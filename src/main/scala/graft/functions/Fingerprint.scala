@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.functions._
+
+/** FNV-1a 64-bit hash of a string's UTF-8 bytes as a native Catalyst
+  * expression with whole-stage codegen (`doGenCode`) — the primitive under
+  * document fingerprinting and SimHash. A custom Expression (not a Scala
+  * UDF) keeps the hot dedup path inside WholeStageCodegen with zero
+  * boxing/serialization per row.
+  */
+case class Fnv64(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Fnv64.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fnv64.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv64 =
+    copy(child = newChild)
+}
+
+object Fnv64 {
+  final val Offset = 0xcbf29ce484222325L
+  final val Prime = 0x100000001b3L
+
+  /** Static hot-path entry shared by interpreted eval and generated code. */
+  def hash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = Offset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= Prime
+      i += 1
+    }
+    h
+  }
+
+  def fnv64(c: Column): Column = new Column(Fnv64(c.expr))
+}
+
+/** Document fingerprinting (winnowing, per Schleimer et al. 2003): hash
+  * character k-grams, then keep the minimum hash of each sliding window of
+  * `w` consecutive k-gram hashes. The resulting distinct-set is a compact,
+  * position-robust document signature.
+  */
+object Fingerprint {
+
+  /** Array of k-gram FNV-1a hashes for a text column. */
+  def kgramHashes(c: Column, k: Int): Column =
+    transform(TextFunctions.charShingles(c, k), g => Fnv64.fnv64(g))
+
+  /** Distinct winnowed fingerprints (sorted ascending for determinism). */
+  def winnow(c: Column, k: Int, w: Int): Column = {
+    val hashes = kgramHashes(c, k)
+    val mins = when(size(hashes) >= w,
+      transform(sequence(lit(1), size(hashes) - w + 1),
+        i => array_min(slice(hashes, i, w)))
+    ).otherwise(when(size(hashes) > 0, array(array_min(hashes)))
+      .otherwise(array().cast("array<bigint>")))
+    array_sort(array_distinct(mins))
+  }
+}

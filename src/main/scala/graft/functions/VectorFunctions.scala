@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `array<float>` / `array<double>` columns.
+  *
+  * All math is done in double precision with sequential (index-order)
+  * accumulation so results are bit-identical to a plain C loop — which is
+  * what ANSI engines (and our DuckDB oracle) compute. For the hot path a
+  * codegen'd Catalyst expression can replace the higher-order functions;
+  * at current scale the HOF form is adequate and stays declarative.
+  */
+object VectorFunctions {
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Sequential-order dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null-safe via double math (0-norm → NaN like the
+    * textbook formula).
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** L2-normalized copy of the vector. */
+  def normalize(a: Column): Column = {
+    val n = norm2(a)
+    transform(asDouble(a), x => x / n)
+  }
+
+  /** Signed-random-projection bucket code: `bits` hyperplanes derived
+    * deterministically from `seed` via SplittableRandom-style mixing, no
+    * data movement — the scale path for cosine LSH bucketing.
+    */
+  def srpCode(a: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
+    val planes = SrpPlanes.planes(dim, bits, seed)
+    val v = asDouble(a)
+    val bitCols = planes.zipWithIndex.map { case (plane, i) =>
+      val proj = aggregate(
+        zip_with(v, lit(plane), (x, w) => x * w), lit(0.0), (acc, p) => acc + p)
+      when(proj >= 0, lit(1L) << i).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ bitwiseOR _).as(s"srp$bits")
+  }
+}
+
+/** Deterministic pseudo-random hyperplanes (public-domain SplitMix64 mix). */
+object SrpPlanes {
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** `bits` unit-free hyperplanes of dimension `dim` with entries in
+    * (-1, 1), derived from (seed, bit, dim index) — identical on every
+    * executor with zero shuffle.
+    */
+  def planes(dim: Int, bits: Int, seed: Long): Seq[Array[Double]] =
+    (0 until bits).map { b =>
+      Array.tabulate(dim) { i =>
+        val h = mix(seed * 0x100000001b3L + b.toLong * 1000003L + i)
+        (h.toDouble / Long.MaxValue.toDouble)
+      }
+    }
+}

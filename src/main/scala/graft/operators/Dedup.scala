@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Fnv64, TextFunctions}
+
+/** Deduplication operators for training-data pipelines, designed to scale:
+  * every variant is expressed as shuffle-on-key DataFrame operations
+  * (groupBy / equi-join on shingle or band keys) so Catalyst plans
+  * map-side partial aggregation and AQE can handle skew. No driver-side
+  * loops, no cartesian products — candidate generation is always a hash
+  * join on a derived key, which is the property that survives 100 TB.
+  */
+object Dedup {
+
+  // --- exact ---------------------------------------------------------------
+
+  /** Exact dedup: one surviving row id per distinct value of `on`; the
+    * survivor is the minimum id (deterministic). Single hash aggregation.
+    */
+  def exactKeepMinId(df: DataFrame, on: Column, id: Column): DataFrame =
+    df.groupBy(on.as("dedup_key"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("group_size"))
+
+  /** Ids of rows that would be dropped by [[exactKeepMinId]]. */
+  def exactDuplicateIds(df: DataFrame, on: Column, id: Column): DataFrame = {
+    val kept = exactKeepMinId(df, on, id)
+    df.select(on.as("dedup_key"), id.as("row_id"))
+      .join(kept, "dedup_key")
+      .filter(col("row_id") =!= col("keep_id"))
+      .select("row_id", "keep_id")
+  }
+
+  // --- exact n-gram Jaccard ---------------------------------------------
+
+  /** Exact Jaccard similarity over distinct word `n`-gram shingles for
+    * every pair of documents sharing at least one shingle: explode
+    * shingles, self-join on the shingle (hash join on a high-cardinality
+    * key — NOT all-pairs), count intersections, then
+    * |A∩B| / (|A| + |B| - |A∩B|). Pairs below `minJaccard` are dropped.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
+                        minJaccard: Double): DataFrame = {
+    val sh = df
+      .select(id.as("doc_id"), explode(TextFunctions.wordShingles(text, n)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // --- MinHash + LSH -------------------------------------------------------
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the minimum `xxhash64(seed, shingle)` over the document's distinct
+    * word-`shingleSize`-gram shingles. Entirely per-row (no shuffle).
+    * Output columns: doc_id, sig: array<bigint>, n_sh.
+    */
+  def minhashSignatures(df: DataFrame, id: Column, text: Column,
+                        numHashes: Int = 128, shingleSize: Int = 5): DataFrame = {
+    val sh = array_distinct(TextFunctions.wordShingles(text, shingleSize))
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(sh, g => xxhash64(seed, g))))
+    df.select(id.as("doc_id"),
+      when(size(sh) > 0, sig).otherwise(array().cast("array<bigint>")).as("sig"),
+      size(sh).as("n_sh"))
+  }
+
+  /** LSH banding over MinHash signatures: split the signature into
+    * `bands` bands of `rows = numHashes / bands` values, hash each band,
+    * and emit (band_idx, band_hash, doc_id) — candidate pairs are rows
+    * agreeing on any (band_idx, band_hash), found with an equi-join.
+    */
+  def lshBands(signatures: DataFrame, bands: Int): DataFrame = {
+    val rowsPerBand = size(col("sig")) / bands
+    val bandHashes = array((0 until bands).map { b =>
+      hash(slice(col("sig"), lit(b) * rowsPerBand + 1, rowsPerBand), lit(b))
+    }: _*)
+    signatures
+      .filter(size(col("sig")) > 0)
+      .select(col("doc_id"), posexplode(bandHashes))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** Candidate duplicate pairs from MinHash LSH, verified by the MinHash
+    * Jaccard estimate (fraction of agreeing signature positions) and
+    * filtered at `minEstJaccard`. Output: (id_a, id_b, est_jaccard).
+    */
+  def minhashDedupPairs(df: DataFrame, id: Column, text: Column,
+                        numHashes: Int = 128, shingleSize: Int = 5,
+                        bands: Int = 32, minEstJaccard: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(df, id, text, numHashes, shingleSize)
+    val banded = lshBands(sigs, bands)
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cands
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / size(col("sig_a")).cast("double"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // --- SimHash ---------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens: each token votes ±1 on every
+    * bit of its FNV-1a hash; the sign of the per-bit sum forms the final
+    * code. Implemented as explode → per-(doc,bit) sum → bit assembly:
+    * pure hash aggregation, scales linearly.
+    */
+  def simhash64(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"),
+      explode(TextFunctions.tokens(text)).as("tok"))
+      .withColumn("h", Fnv64.fnv64(col("tok")))
+    val votes = array((0 until 64).map { b =>
+      when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)
+    }: _*)
+    toks
+      .select(col("doc_id"), posexplode(votes))
+      .withColumnRenamed("pos", "bit")
+      .groupBy("doc_id", "bit")
+      .agg(sum("col").as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Pairs with SimHash Hamming distance ≤ `maxHamming`, using the
+    * pigeonhole block trick: split the 64-bit code into `maxHamming + 1`
+    * 16-bit blocks (for maxHamming ≤ 3); any pair within distance must
+    * agree on ≥ 1 block → equi-join on (block_idx, block_value), then
+    * verify with bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "block trick below uses 4 blocks of 16 bits")
+    val codes = simhash64(df, id, text)
+    val blockVals = array((0 until 4).map { b =>
+      shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))
+    }: _*)
+    val blocks = codes.select(col("doc_id"), col("simhash"),
+      posexplode(blockVals))
+      .withColumnRenamed("pos", "block_idx")
+      .withColumnRenamed("col", "block_val")
+    blocks.as("a").join(blocks.as("b"),
+        col("a.block_idx") === col("b.block_idx") &&
+        col("a.block_val") === col("b.block_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // --- embedding near-duplicates ---------------------------------------
+
+  /** Embedding-cosine near-duplicate pairs above `minCosine`. Candidate
+    * generation via signed-random-projection bucket equality (same
+    * `bits`-bit SRP code → hash join), verification with exact cosine.
+    * For guaranteed-exhaustive small inputs set `bits = 0` (single
+    * bucket = verified all-pairs; only for testing).
+    */
+  def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
+                            minCosine: Double, dim: Int,
+                            bits: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions
+    val coded = df.select(id.as("vec_id"), vec.as("v"),
+      (if (bits > 0) VectorFunctions.srpCode(vec, dim, bits) else lit(0L)).as("bucket"))
+    coded.as("a").join(coded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        VectorFunctions.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k. The query side is
+  *     broadcast (it is the small side by construction), so the corpus
+  *     is scanned exactly once with no shuffle of the corpus — this is
+  *     the right baseline even at large corpus scale as long as the
+  *     query set fits in a broadcast.
+  *   - [[srpBucketTopK]]: the scale path — signed-random-projection
+  *     bucketing on both sides turns candidate generation into an
+  *     equi-join on the bucket code; only candidates are reranked
+  *     exactly. Recall is tunable via `bits` (fewer bits → bigger
+  *     buckets → higher recall, more rerank work).
+  */
+object Similarity {
+
+  /** Exact top-`k` cosine neighbors for each query row.
+    * Output: (query_id, neighbor_id, cosine, rank), rank 1..k,
+    * deterministic tie-break on neighbor id.
+    */
+  def bruteForceTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                     queries: DataFrame, queryId: Column, queryVec: Column,
+                     k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    val joined = c.join(broadcast(q),
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+    val scored = joined.select(col("query_id"), col("neighbor_id"),
+      VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** ANN top-`k` via SRP bucket candidate generation + exact rerank.
+    * `probes > 0` additionally probes buckets at Hamming distance 1 from
+    * the query code (multi-probe), trading compute for recall.
+    */
+  def srpBucketTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                    queries: DataFrame, queryId: Column, queryVec: Column,
+                    k: Int, dim: Int, bits: Int = 12,
+                    probes: Int = 1): DataFrame = {
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"),
+      VectorFunctions.srpCode(corpusVec, dim, bits).as("bucket"))
+    val qCode = VectorFunctions.srpCode(queryVec, dim, bits)
+    // query probes: own bucket plus single-bit flips (multi-probe LSH)
+    val probeCodes =
+      if (probes <= 0) array(qCode)
+      else array((qCode +: (0 until bits).take(probes * bits).map(b =>
+        qCode.bitwiseXOR(lit(1L << b)))): _*)
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"),
+      explode(array_distinct(probeCodes)).as("bucket"))
+    val cands = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val scored = cands.select(col("query_id"), col("neighbor_id"),
+      VectorFunctions.cosine(col("qv"), col("cv")).as("cosine")).distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

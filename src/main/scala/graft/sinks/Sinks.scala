@@ -1,0 +1,99 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Dual-sink layer mirroring the reference: columnar staging (parquet,
+  * reference `save_parquet` zoom_proc.py:247-256) + row-oriented serving
+  * (JDBC, `save_spark_postgres` zoom_proc.py:210-245) with out-of-band
+  * DDL (`send_query` zoom_proc.py:106-128). The JDBC side is behind a
+  * trait so tests run parquet-only with the serving sink mocked — the
+  * harness has no Postgres.
+  */
+trait ServingSink {
+  /** Out-of-band DDL/DML (CREATE/DROP/GRANT), reference K3. */
+  def execute(sql: String): Unit
+  /** Bulk write, reference K2. */
+  def write(df: DataFrame, table: String, mode: SaveMode): Unit
+  /** Serving-side row count, for reconciliation (reference O4). */
+  def count(table: String): Long
+}
+
+/** Real JDBC sink (Postgres-compatible). Parallel per-partition inserts;
+  * `numPartitions`/`batchsize` exposed (the reference leaves defaults,
+  * BASELINE.md notes that as a gap).
+  */
+class JdbcSink(url: String, user: String, password: String,
+               numPartitions: Int = 8, batchSize: Int = 10000) extends ServingSink {
+  override def execute(sql: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, user, password)
+    try { val st = conn.createStatement(); try st.execute(sql) finally st.close() }
+    finally conn.close()
+  }
+  override def write(df: DataFrame, table: String, mode: SaveMode): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("user", user).option("password", password)
+      .option("numPartitions", numPartitions)
+      .option("batchsize", batchSize)
+      .mode(mode).save()
+  override def count(table: String): Long = {
+    val conn = java.sql.DriverManager.getConnection(url, user, password)
+    try {
+      val rs = conn.createStatement().executeQuery(s"SELECT count(*) FROM $table")
+      rs.next(); rs.getLong(1)
+    } finally conn.close()
+  }
+}
+
+/** In-memory mock for tests: records DDL, stores row counts. */
+class MockServingSink extends ServingSink {
+  val ddl = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val counts = scala.collection.mutable.Map.empty[String, Long]
+  override def execute(sql: String): Unit = synchronized { ddl += sql }
+  override def write(df: DataFrame, table: String, mode: SaveMode): Unit = synchronized {
+    val n = df.count()
+    counts(table) = if (mode == SaveMode.Append) counts.getOrElse(table, 0L) + n else n
+  }
+  override def count(table: String): Long = synchronized(counts.getOrElse(table, 0L))
+}
+
+object ParquetSink {
+  /** K1: mode-aware parquet write. */
+  def write(df: DataFrame, path: String, mode: SaveMode): Unit =
+    df.write.mode(mode).parquet(path)
+}
+
+/** Table contract: one declaration drives the final projection, the
+  * serving DDL, and the reconciliation — removing the reference's
+  * duplication between DDL strings and select lists (SURVEY §1.3).
+  */
+case class Contract(table: String, schema: StructType) {
+  def columns: Seq[String] = schema.fields.map(_.name).toSeq
+
+  def ddl: String = {
+    val cols = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+    s"CREATE TABLE IF NOT EXISTS $table ($cols)"
+  }
+
+  private def sqlType(dt: DataType): String = dt match {
+    case LongType      => "bigint"
+    case IntegerType   => "int"
+    case DoubleType    => "double precision"
+    case BooleanType   => "boolean"
+    case TimestampType => "timestamp"
+    case DateType      => "date"
+    case d: DecimalType => s"numeric(${d.precision},${d.scale})"
+    case _             => "text"
+  }
+}
+
+object Reconcile {
+  /** O4: dual-sink consistency — staging parquet count vs serving count. */
+  def check(spark: SparkSession, parquetPath: String, sink: ServingSink,
+            table: String): (Long, Long, Boolean) = {
+    val staged = spark.read.parquet(parquetPath).count()
+    val served = sink.count(table)
+    (staged, served, staged == served)
+  }
+}

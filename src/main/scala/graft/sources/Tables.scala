@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.Timestamps
+
+/** Source layer.
+  *
+  * Two families, mirroring the reference:
+  *   - [[json]]: schema-on-read JSON with glob masks — the reference's
+  *     only input path (reference zoom_proc.py:133-135, vk_proc.py:125).
+  *     Explicit schema supported for determinism (the reference always
+  *     infers; inference costs an extra full pass over the data, which at
+  *     100 TB is a non-starter — callers should pass a schema).
+  *   - [[load]]: parquet scans of the harness tables. `events.ts` is
+  *     nanosecond-precision INT64 which Spark 4 refuses by default; we
+  *     read it as a long (legacy conf) and truncate to µs timestamps.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet scan of one harness table under `dir` (TESTDATA.md). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(path)
+      raw.withColumn("ts", Timestamps.nanosToTimestamp(raw("ts")))
+    } else spark.read.parquet(path)
+  }
+
+  /** S1: JSON multi-file scan with glob mask — implicit UNION ALL of all
+    * matching objects. `schema=None` reproduces the reference's
+    * inference; supplying one skips the inference pass.
+    */
+  def json(spark: SparkSession, pathGlob: String,
+           schema: Option[StructType] = None): DataFrame = {
+    val reader = spark.read
+    schema.fold(reader)(reader.schema).json(pathGlob)
+  }
+
+  /** S2: date-partition mask construction — manual partition pruning by
+    * path (reference zoom_proc.py:324-337). `date == "all"` widens to a
+    * full wildcard, like the reference's CLI contract.
+    */
+  def datedGlob(base: String, template: String, date: String): String = {
+    val d = if (date == "all") "*" else date
+    base.stripSuffix("/") + "/" + template.replace("{date}", d)
+  }
+}
