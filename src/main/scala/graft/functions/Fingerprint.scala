@@ -3,20 +3,19 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** FNV-1a 64-bit hash of a string's UTF-8 bytes as a native Catalyst
   * expression with whole-stage codegen (`doGenCode`) — the primitive under
-  * document fingerprinting and SimHash. A custom Expression (not a Scala
-  * UDF) keeps the hot dedup path inside WholeStageCodegen with zero
-  * boxing/serialization per row.
+  * document fingerprinting. A custom Expression (not a Scala UDF) keeps
+  * the hot dedup path inside WholeStageCodegen with zero boxing or
+  * serialization per row.
   */
-case class Fnv64(child: Expression) extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+case class Fnv64(child: Expression) extends UnaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "fnv64"
 
@@ -47,7 +46,11 @@ object Fnv64 {
     h
   }
 
-  def fnv64(c: Column): Column = new Column(Fnv64(c.expr))
+  /** Reference JVM-side twin for tests. */
+  def hash(s: String): Long = hash(UTF8String.fromString(s))
+
+  def fnv64(c: Column): Column =
+    ColumnBridge.column(Fnv64(ColumnBridge.expression(c)))
 }
 
 /** Document fingerprinting (winnowing, per Schleimer et al. 2003): hash
@@ -66,7 +69,7 @@ object Fingerprint {
     val hashes = kgramHashes(c, k)
     val mins = when(size(hashes) >= w,
       transform(sequence(lit(1), size(hashes) - w + 1),
-        i => array_min(slice(hashes, i, w)))
+        i => array_min(slice(hashes, i, lit(w))))
     ).otherwise(when(size(hashes) > 0, array(array_min(hashes)))
       .otherwise(array().cast("array<bigint>")))
     array_sort(array_distinct(mins))

@@ -33,7 +33,7 @@ object TextFunctions {
     val toks = tokens(c)
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - n + 1),
-        i => array_join(slice(toks, i, n), " "))
+        i => array_join(slice(toks, i, lit(n)), " "))
     ).otherwise(array().cast("array<string>"))
   }
 

@@ -43,7 +43,7 @@ object VectorFunctions {
     val bitCols = planes.zipWithIndex.map { case (plane, i) =>
       val proj = aggregate(
         zip_with(v, lit(plane), (x, w) => x * w), lit(0.0), (acc, p) => acc + p)
-      when(proj >= 0, lit(1L) << i).otherwise(lit(0L))
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bitCols.reduce(_ bitwiseOR _).as(s"srp$bits")
   }

@@ -42,10 +42,24 @@ object Dedup {
     * Output: (id_a, id_b, jaccard) with id_a < id_b.
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
-                        minJaccard: Double): DataFrame = {
-    val sh = df
+                        minJaccard: Double,
+                        maxDocFreq: Option[Long] = None): DataFrame = {
+    val shRaw = df
       .select(id.as("doc_id"), explode(TextFunctions.wordShingles(text, n)).as("sh"))
       .distinct()
+    // Skew guard for the self-join: a boilerplate shingle shared by k docs
+    // contributes k^2 join rows. Capping shingle document-frequency bounds
+    // the worst key at maxDocFreq^2 and is standard practice at scale; the
+    // uncapped form stays available for exact-oracle verification. The cap
+    // is applied consistently to intersections AND set sizes, so the
+    // result is the exact Jaccard over the capped shingle universe.
+    val sh = maxDocFreq match {
+      case None => shRaw
+      case Some(cap) =>
+        val hot = shRaw.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+        shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -82,10 +96,12 @@ object Dedup {
     * and emit (band_idx, band_hash, doc_id) — candidate pairs are rows
     * agreeing on any (band_idx, band_hash), found with an equi-join.
     */
-  def lshBands(signatures: DataFrame, bands: Int): DataFrame = {
-    val rowsPerBand = size(col("sig")) / bands
+  def lshBands(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rowsPerBand = numHashes / bands
     val bandHashes = array((0 until bands).map { b =>
-      hash(slice(col("sig"), lit(b) * rowsPerBand + 1, rowsPerBand), lit(b))
+      hash(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)), lit(b))
     }: _*)
     signatures
       .filter(size(col("sig")) > 0)
@@ -102,7 +118,7 @@ object Dedup {
                         numHashes: Int = 128, shingleSize: Int = 5,
                         bands: Int = 32, minEstJaccard: Double = 0.5): DataFrame = {
     val sigs = minhashSignatures(df, id, text, numHashes, shingleSize)
-    val banded = lshBands(sigs, bands)
+    val banded = lshBands(sigs, numHashes, bands)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -123,24 +139,24 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens: each token votes ±1 on every
     * bit of its FNV-1a hash; the sign of the per-bit sum forms the final
-    * code. Implemented as explode → per-(doc,bit) sum → bit assembly:
-    * pure hash aggregation, scales linearly.
+    * code. Implemented as ONE hash aggregation: explode tokens, then a
+    * single `groupBy(doc_id)` computing 64 conditional sums (map-side
+    * partial aggregation applies), then assemble the bits — no row
+    * inflation beyond the token explode and exactly one shuffle.
     */
   def simhash64(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = df.select(id.as("doc_id"),
       explode(TextFunctions.tokens(text)).as("tok"))
       .withColumn("h", Fnv64.fnv64(col("tok")))
-    val votes = array((0 until 64).map { b =>
-      when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)
-    }: _*)
-    toks
-      .select(col("doc_id"), posexplode(votes))
-      .withColumnRenamed("pos", "bit")
-      .groupBy("doc_id", "bit")
-      .agg(sum("col").as("vote"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-        .otherwise(0L)).as("simhash"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"v$b")
+    }
+    val code = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), code.as("simhash"))
   }
 
   /** Pairs with SimHash Hamming distance ≤ `maxHamming`, using the

@@ -51,17 +51,22 @@ object Similarity {
     val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"),
       VectorFunctions.srpCode(corpusVec, dim, bits).as("bucket"))
     val qCode = VectorFunctions.srpCode(queryVec, dim, bits)
-    // query probes: own bucket plus single-bit flips (multi-probe LSH)
+    // query probes: own bucket plus the first `probes` single-bit flips
+    // (multi-probe LSH) — probes bounds the extra buckets scanned, the
+    // documented compute/recall trade-off.
     val probeCodes =
       if (probes <= 0) array(qCode)
-      else array((qCode +: (0 until bits).take(probes * bits).map(b =>
+      else array((qCode +: (0 until bits).take(probes).map(b =>
         qCode.bitwiseXOR(lit(1L << b)))): _*)
     val q = queries.select(queryId.as("query_id"), queryVec.as("qv"),
       explode(array_distinct(probeCodes)).as("bucket"))
+    // Each corpus row has exactly ONE bucket code and the probe codes are
+    // distinct, so a (query, neighbor) pair joins at most once — no
+    // dedup (and no extra shuffle) needed before scoring.
     val cands = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
     val scored = cands.select(col("query_id"), col("neighbor_id"),
-      VectorFunctions.cosine(col("qv"), col("cv")).as("cosine")).distinct()
+      VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
