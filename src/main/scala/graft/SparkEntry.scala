@@ -1,13 +1,533 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Fingerprint, Fnv64, LogParse, TextFunctions, Timestamps}
+import graft.operators.{Dedup, Explodes, Flatten, Multimodal, Similarity}
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a self-contained DataFrame program over the
+  * harness tables under `dir` (TESTDATA.md). Entries that are expressible in
+  * ANSI SQL have a DuckDB oracle in [[oracleSql]] (same table names); entries
+  * built on engine-specific hashes (xxhash64 / FNV-1a / SRP planes) are
+  * registered without an oracle → the driver records a rows-only check.
+  *
+  * Determinism rules used throughout so hash-compare against DuckDB works:
+  *   - money sums go through DECIMAL (exact, associative) and are cast to
+  *     double once at the end — bit-identical across engines;
+  *   - ratios are single IEEE divisions of integers — bit-identical;
+  *   - timestamps are output as TIMESTAMP_NTZ (naive, like DuckDB);
+  *   - every computed column is aliased identically in Spark and SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: MinHash-LSH near-duplicate detection over the documents
+    * corpus — candidate pairs via banded signature equi-join, verified by
+    * signature agreement (Dedup.minhashDedupPairs). rows > 0 at sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    Dedup.minhashDedupPairs(docs, col("doc_id"), col("text"),
+      numHashes = 64, shingleSize = 3, bands = 16, minEstJaccard = 0.5)
+  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact decimal staging for money sums: per-row cast is a single
+    * well-defined rounding of the same double in every engine; the decimal
+    * sum is exact; the final cast back to double is one more shared
+    * rounding. Avoids order-dependent double accumulation.
+    */
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private def dec6(c: Column): Column = c.cast("decimal(24,6)")
+  private def ntz(c: Column): Column = c.cast("timestamp_ntz")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- aggregation / join / window core (Catalyst surface) ----------
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")))).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty",
+          col("sum_qty").cast("double") / col("count_order").cast("double"))
+    }),
+    "q3_top_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), ntz(col("o_orderdate")).as("o_orderdate"),
+          col("revenue"))
+    }),
+    "q5_region_revenue" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("revenue"))
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      val heavy = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+      t(s, dir, "orders")
+        .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      t(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+    }),
+    "q_window_top3" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+    }),
+    "q_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "q_intersect_custs" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+        .intersect(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
+    }),
+    "q_agg_gate" -> ((s, dir) => {
+      // A1/A2/O3: the global scalar that gates a pipeline run.
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("bigint").as("total_qty"))
+    }),
+    // ----- events (ns timestamp handling, JSON props) --------------------
+    "q_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(ntz(date_trunc("hour", col("ts"))).as("event_hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
+    }),
+    "q_events_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+    }),
+    // ----- reference-parity operators (SURVEY §2) ------------------------
+    "flatten_struct" -> ((s, dir) => {
+      // P1 default aliasing: structCol_field.
+      val df = t(s, dir, "orders").select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price")).as("ord"))
+      Flatten.flatten(df)
+    }),
+    "flatten_prefix" -> ((s, dir) => {
+      // P1 quirk: one prefix applied to the fields of EVERY struct column.
+      val df = t(s, dir, "orders").select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status")).as("a"),
+        struct(col("o_orderpriority").as("priority")).as("b"))
+      Flatten.flatten(df, Some("f_"))
+    }),
+    "flatten_all_nested" -> ((s, dir) => {
+      val df = t(s, dir, "customer").select(col("c_custkey"),
+        struct(struct(col("c_name").as("name"),
+          col("c_mktsegment").as("seg")).as("info")).as("cust"))
+      Flatten.flattenAll(df)
+    }),
+    "explode_carry" -> ((s, dir) => {
+      // G1 + P3: key-carry explode.
+      val df = t(s, dir, "part")
+      Explodes.explodeCarry(
+        df.select(col("p_partkey"), array(col("p_brand"), col("p_type")).as("arr")),
+        Seq("p_partkey"), col("arr"), "attr")
+    }),
+    "explode_pos" -> ((s, dir) => {
+      val df = t(s, dir, "part")
+      Explodes.posExplodeCarry(
+        df.select(col("p_partkey"), array(col("p_brand"), col("p_type")).as("arr")),
+        Seq("p_partkey"), col("arr"), "attr_idx", "attr")
+    }),
+    "explode_map_label" -> ((s, dir) => {
+      // G2: map-wrapped labelled explode (reference zoom_proc.py:181-190).
+      Explodes.explodeMapWrapped(
+        t(s, dir, "supplier"), "suppliers", array(col("s_name")))
+    }),
+    "explode_chain" -> ((s, dir) => {
+      // G3: rebuild a 2-level nested document (region -> nations -> customers)
+      // then take it apart with the explode+flatten chain, like the
+      // reference's survey-answers path (monkey_proc.py:448-475).
+      val custs = t(s, dir, "customer").groupBy(col("c_nationkey"))
+        .agg(collect_list(struct(col("c_custkey"), col("c_name"))).as("custs"))
+      val nats = t(s, dir, "nation")
+        .join(custs, col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_regionkey"),
+          struct(col("n_nationkey"), col("n_name"), col("custs")).as("nat"))
+        .groupBy(col("n_regionkey")).agg(collect_list(col("nat")).as("nats"))
+      val tree = t(s, dir, "region")
+        .join(nats, col("r_regionkey") === col("n_regionkey"))
+      val lvl1 = Flatten.flatten(
+        Explodes.explodeCarry(tree, Seq("r_name"), col("nats"), "nat"))
+      val lvl2 = Flatten.flatten(
+        Explodes.explodeCarry(lvl1, Seq("r_name", "nat_n_name"),
+          col("nat_custs"), "cust"))
+      lvl2.select(col("r_name"), col("nat_n_name").as("n_name"),
+        col("cust_c_custkey").as("c_custkey"), col("cust_c_name").as("c_name"))
+    }),
+    "timestamps_multi" -> ((s, dir) => {
+      // F1: the reference's four timestamp encodings + epoch seconds.
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("iso"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSS").as("plain"),
+        col("o_orderdate").cast("timestamp").cast("long").as("epoch_s"))
+      base.select(col("o_orderkey"),
+        ntz(Timestamps.parseIsoZulu(concat(col("iso"), lit("Z")))).as("t_zulu"),
+        ntz(Timestamps.parseIsoNoZone(col("iso"))).as("t_nozone"),
+        ntz(Timestamps.parseFluentBitNanos(concat(col("iso"), lit(".123456789Z"))))
+          .as("t_nanos"),
+        ntz(Timestamps.parsePlainMillis(col("plain"))).as("t_millis"),
+        ntz(Timestamps.parseEpochSeconds(col("epoch_s"))).as("t_epoch"),
+        col("epoch_s"))
+    }),
+    "sqbrackets_logs" -> ((s, dir) => {
+      // F8: the reference's only UDF, incl. the all-or-nothing fallback.
+      val lines = t(s, dir, "orders").select(col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 0,
+          concat(lit("plain line "), col("o_orderpriority")))
+          .otherwise(concat(lit("[I 2024-01-01 00:00:00.000 JupyterHub app:"),
+            col("o_orderkey"), lit("] msg "), col("o_orderpriority")))
+          .as("line"))
+      val parsed = lines.select(col("o_orderkey"), col("line"),
+        LogParse.sqbracketsCol(col("line")).as("p"))
+      parsed.select(col("o_orderkey"),
+        col("p").getItem(0).as("head"), col("p").getItem(1).as("ts"),
+        col("p").getItem(2).as("service"), col("p").getItem(3).as("typ"),
+        col("p").getItem(4).as("code"), col("p").getItem(5).as("msg"))
+    }),
+    "contract_select" -> ((s, dir) => {
+      // P2/P4/P5/P6: contract projection + rename + drop + audit literal.
+      t(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "customer_id")
+        .drop("c_nationkey", "c_acctbal")
+        .withColumn("load_src", lit("graft"))
+        .select(col("customer_id"), col("c_name").as("customer_name"),
+          col("c_mktsegment").as("segment"), col("load_src"))
+    }),
+    "concat_ws_csv" -> ((s, dir) => {
+      // F2: array -> CSV string for a varchar serving column.
+      t(s, dir, "customer").select(col("c_custkey"),
+        concat_ws(",", array(col("c_name"), col("c_mktsegment"))).as("csv"))
+    }),
+    // ----- LLM-pipeline: dedup ------------------------------------------
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exactKeepMinId(t(s, dir, "documents"), col("text"), col("doc_id"))
+    }),
+    "dedup_dup_ids" -> ((s, dir) => {
+      Dedup.exactDuplicateIds(t(s, dir, "documents"), col("lang"), col("doc_id"))
+    }),
+    "ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"),
+        col("text"), n = 3, minJaccard = 0.5)
+    }),
+    "minhash_pairs" -> ((s, dir) => { // engine-hash based: rows-only check
+      Dedup.minhashDedupPairs(t(s, dir, "documents"), col("doc_id"),
+        col("text"), numHashes = 128, shingleSize = 3, bands = 32,
+        minEstJaccard = 0.5)
+    }),
+    "simhash_codes" -> ((s, dir) => { // FNV-1a based: rows-only check
+      Dedup.simhash64(t(s, dir, "documents"), col("doc_id"), col("text"))
+    }),
+    "simhash_pairs" -> ((s, dir) => { // FNV-1a based: rows-only check
+      Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        maxHamming = 3)
+    }),
+    "winnow_fingerprints" -> ((s, dir) => { // FNV-1a based: rows-only check
+      t(s, dir, "documents").select(col("doc_id"),
+        Fingerprint.winnow(col("text"), k = 5, w = 4).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_fp"),
+          element_at(col("fp"), 1).as("min_fp"))
+    }),
+    // ----- LLM-pipeline: text analysis ----------------------------------
+    "text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.regexTokenCount(col("text")).as("n_word_tokens"),
+        TextFunctions.avgTokenLength(col("text")).as("avg_token_len"),
+        TextFunctions.stopwordCount(col("text"), TextFunctions.DefaultStopwords)
+          .as("n_stopwords"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    }),
+    // ----- LLM-pipeline: similarity search ------------------------------
+    "cosine_topk" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val queries = embs.filter(col("vec_id") % 50 === 0)
+      Similarity.bruteForceTopK(embs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 10)
+    }),
+    "ann_topk" -> ((s, dir) => { // SRP-plane based: rows-only check
+      val embs = t(s, dir, "embeddings")
+      val queries = embs.filter(col("vec_id") % 50 === 0)
+      Similarity.srpBucketTopK(embs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 10, dim = 64,
+        bits = 8, probes = 4)
+    }),
+    "embed_near_dup_exact" -> ((s, dir) => {
+      // bits = 0 -> single bucket = verified all-pairs (exact; small SF only).
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), col("vec_id"),
+        col("embedding"), minCosine = 0.5, dim = 64, bits = 0)
+    }),
+    "embed_near_dup_srp" -> ((s, dir) => { // SRP-plane based: rows-only
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), col("vec_id"),
+        col("embedding"), minCosine = 0.5, dim = 64, bits = 8)
+    }),
+    // ----- LLM-pipeline: multimodal plumbing ----------------------------
+    "media_meta" -> ((s, dir) => {
+      val media = Multimodal.packTextAsMedia(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      media.select((col("asset_id") +:
+        Multimodal.stubDecodeMetaCols(col("media"))): _*)
+    }),
+    "media_frames" -> ((s, dir) => {
+      val media = Multimodal.packTextAsMedia(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      Multimodal.sampleFrames(media, col("asset_id"), col("media"),
+        frameSize = 16, step = 4)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+        | COUNT(*) AS count_order,
+        | CAST(CAST(SUM(l_quantity) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT o_orderkey, o_orderdate,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-01-01'
+        | AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "q_window_top3" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        | FROM orders) WHERE rn <= 3""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_intersect_custs" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT SELECT o_custkey AS custkey FROM orders""".stripMargin,
+    "q_agg_gate" ->
+      """SELECT COUNT(*) AS n_rows, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+        |FROM lineitem""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS event_hour, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type,
+        | SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "flatten_struct" ->
+      """SELECT o_orderkey, o_orderstatus AS ord_status, o_totalprice AS ord_price
+        |FROM orders""".stripMargin,
+    "flatten_prefix" ->
+      """SELECT o_orderkey, o_orderstatus AS f_status, o_orderpriority AS f_priority
+        |FROM orders""".stripMargin,
+    "flatten_all_nested" ->
+      """SELECT c_custkey, c_name AS cust_info_name, c_mktsegment AS cust_info_seg
+        |FROM customer""".stripMargin,
+    "explode_carry" ->
+      """SELECT p_partkey, p_brand AS attr FROM part
+        |UNION ALL SELECT p_partkey, p_type AS attr FROM part""".stripMargin,
+    "explode_pos" ->
+      """SELECT p_partkey, CAST(0 AS INT) AS attr_idx, p_brand AS attr FROM part
+        |UNION ALL
+        |SELECT p_partkey, CAST(1 AS INT) AS attr_idx, p_type AS attr FROM part""".stripMargin,
+    "explode_map_label" ->
+      """SELECT 'suppliers' AS "key", s_name AS "value" FROM supplier""".stripMargin,
+    "explode_chain" ->
+      """SELECT r_name, n_name, c_custkey, c_name
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        | JOIN customer ON c_nationkey = n_nationkey""".stripMargin,
+    "timestamps_multi" ->
+      """SELECT o_orderkey,
+        | o_orderdate AS t_zulu,
+        | o_orderdate AS t_nozone,
+        | o_orderdate + INTERVAL 123456 MICROSECOND AS t_nanos,
+        | o_orderdate AS t_millis,
+        | o_orderdate AS t_epoch,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders""".stripMargin,
+    "sqbrackets_logs" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 10 = 0 THEN '' ELSE 'I' END AS head,
+        | CASE WHEN o_orderkey % 10 = 0 THEN '' ELSE '2024-01-01 00:00:00.000' END AS ts,
+        | CASE WHEN o_orderkey % 10 = 0 THEN '' ELSE 'JupyterHub' END AS service,
+        | CASE WHEN o_orderkey % 10 = 0 THEN '' ELSE 'app' END AS typ,
+        | CASE WHEN o_orderkey % 10 = 0 THEN '' ELSE CAST(o_orderkey AS VARCHAR) END AS code,
+        | CASE WHEN o_orderkey % 10 = 0 THEN 'plain line ' || o_orderpriority
+        |      ELSE 'msg ' || o_orderpriority END AS msg
+        |FROM orders""".stripMargin,
+    "contract_select" ->
+      """SELECT c_custkey AS customer_id, c_name AS customer_name,
+        | c_mktsegment AS segment, 'graft' AS load_src FROM customer""".stripMargin,
+    "concat_ws_csv" ->
+      """SELECT c_custkey, c_name || ',' || c_mktsegment AS csv FROM customer""".stripMargin,
+    "dedup_exact" ->
+      """SELECT text AS dedup_key, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+        |FROM documents GROUP BY text""".stripMargin,
+    "dedup_dup_ids" ->
+      """SELECT d.doc_id AS row_id, k.keep_id
+        |FROM documents d JOIN (
+        |  SELECT lang, MIN(doc_id) AS keep_id FROM documents GROUP BY lang) k
+        | ON d.lang = k.lang
+        |WHERE d.doc_id <> k.keep_id""".stripMargin,
+    "ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id,
+        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM toks WHERE len(t) >= 3)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b,
+        | CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) AS jaccard
+        |FROM inter
+        | JOIN sizes na ON na.doc_id = id_a
+        | JOIN sizes nb ON nb.doc_id = id_b
+        |WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5""".stripMargin,
+    "text_stats" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, text, toks,
+        |  len(toks) AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+        |  CAST(length(text) - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+        |  len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS n_stopwords,
+        |  len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('el','los','las','es','y'))) AS s_es,
+        |  len(list_filter(toks, x -> x IN ('и','в','не','на','что'))) AS s_ru
+        | FROM t)
+        |SELECT doc_id, n_tokens, n_word_tokens, avg_token_len, n_stopwords,
+        | CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'en'
+        |      WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'de'
+        |      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'fr'
+        |      WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'es'
+        |      ELSE 'ru' END AS lang_pred,
+        | (least(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, CAST(1.0 AS DOUBLE))
+        |  + CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
+        |  + least(CAST(n_tokens AS DOUBLE) / 20.0, CAST(1.0 AS DOUBLE))) / 3.0 AS quality
+        |FROM b""".stripMargin,
+    "cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |  list_inner_product(qv, cv) /
+        |   (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cosine
+        |  FROM q CROSS JOIN c WHERE qid <> nid)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+        |WHERE rank <= 10""".stripMargin,
+    "embed_near_dup_exact" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | list_inner_product(a.e, b.e) /
+        |  (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.e, b.e) /
+        |  (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.5""".stripMargin,
+    "media_meta" ->
+      """SELECT doc_id AS asset_id,
+        | CAST((ord(substring(text, 1, 1)) * 7 + strlen(text)) % 512 + 1 AS INT) AS width,
+        | CAST((ord(substring(text, length(text), 1)) * 13 + strlen(text) // 2) % 512 + 1 AS INT) AS height,
+        | CAST(strlen(text) % 3 + 1 AS INT) AS channels,
+        | CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+    "media_frames" ->
+      """SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,
+        | encode(substring(text, CAST(i * 16 + 1 AS INT), 16)) AS frame
+        |FROM documents, unnest(range(0, strlen(text) // 16, 4)) AS u(i)""".stripMargin
+  )
 }
