@@ -20,10 +20,14 @@ object Timestamps {
   /** plain millisecond logs (jhub_proc.py:168). */
   val PlainMillis = "yyyy-MM-dd HH:mm:ss.SSS"
 
-  def parseIsoZulu(c: Column): Column = to_timestamp(c, IsoZulu)
-  def parseIsoNoZone(c: Column): Column = to_timestamp(c, IsoNoZone)
-  def parseFluentBitNanos(c: Column): Column = to_timestamp(c, FluentBitNanos)
-  def parsePlainMillis(c: Column): Column = to_timestamp(c, PlainMillis)
+  // try_to_timestamp, not to_timestamp: Spark 4 runs ANSI mode by default,
+  // where to_timestamp THROWS on unparseable input. The reference ran
+  // Spark 3 with ANSI off and silently produced null (jhub fallback rows
+  // depend on this), so the try_ variant is the faithful port.
+  def parseIsoZulu(c: Column): Column = try_to_timestamp(c, lit(IsoZulu))
+  def parseIsoNoZone(c: Column): Column = try_to_timestamp(c, lit(IsoNoZone))
+  def parseFluentBitNanos(c: Column): Column = try_to_timestamp(c, lit(FluentBitNanos))
+  def parsePlainMillis(c: Column): Column = try_to_timestamp(c, lit(PlainMillis))
 
   /** Epoch seconds (integral column) → timestamp (vk_proc.py:170-173 uses
     * formatless `F.to_timestamp` on a long, which casts).

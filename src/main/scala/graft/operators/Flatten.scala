@@ -22,12 +22,16 @@ import org.apache.spark.sql.types.{StructField, StructType}
 object Flatten {
 
   def flatten(df: DataFrame, prefix: Option[String] = None): DataFrame = {
+    // Python-falsy quirk preserved: the reference's `prefix or default`
+    // treats an EMPTY prefix as no prefix (vk_proc.py:93-94 called with
+    // prefix='' at vk_proc.py:129 still yields ncol_field names).
+    val effPrefix = prefix.filter(_.nonEmpty)
     val (nested, flat) =
       df.schema.fields.partition(_.dataType.isInstanceOf[StructType])
     val flatCols = flat.map(f => col(escape(f.name)))
     val nestedCols = nested.flatMap { nf =>
       nf.dataType.asInstanceOf[StructType].fields.map { sf =>
-        val alias = prefix match {
+        val alias = effPrefix match {
           case Some(p) => p + sf.name
           case None    => nf.name + "_" + sf.name
         }

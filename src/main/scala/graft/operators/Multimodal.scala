@@ -83,7 +83,9 @@ object Multimodal {
           case _              => null
         }
         val (w, h, c, n) = stubDecodeMeta(bytes)
-        Row.fromSeq(r.toSeq ++ Seq(w, h, c, n))
+        // Seq[Any], not Seq(...): weak numeric lub would widen the Ints to
+        // Long and break the INT fields of the row encoder.
+        Row.fromSeq(r.toSeq ++ Seq[Any](w, h, c, n))
       }
     }(enc)
   }

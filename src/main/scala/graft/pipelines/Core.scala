@@ -1,0 +1,68 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.sinks.{Contract, ParquetSink, Reconcile, ServingSink}
+
+/** Shared pipeline machinery mirroring the reference's orchestration
+  * semantics (SURVEY §2.10) with the documented divergences:
+  *   - O2: per-TABLE isolation (one table's failure doesn't abort its
+  *     siblings) but fail-fast within a table, instead of the reference's
+  *     log-and-continue-with-stale-state;
+  *   - O6: fan-out lineages are persisted (MEMORY_AND_DISK) instead of the
+  *     reference's recompute-from-source-per-action — a pure physical
+  *     optimization, same semantics, and the difference between 4 and 1
+  *     source scans at 100 TB.
+  */
+final case class TableResult(table: String, rows: Long, served: Long,
+                             consistent: Boolean)
+
+final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
+                            val stagingDir: String, val mode: SaveMode) {
+
+  private val results = scala.collection.mutable.ArrayBuffer.empty[(String, Either[Throwable, TableResult])]
+
+  /** O2: run one table stage in isolation; failures are recorded, siblings
+    * continue.
+    */
+  def stage(name: String)(body: => TableResult): Unit =
+    results += (name -> (try Right(body) catch { case e: Throwable => Left(e) }))
+
+  def report: Seq[(String, Either[Throwable, TableResult])] = results.toSeq
+
+  def failed: Seq[String] = results.collect { case (n, Left(_)) => n }.toSeq
+
+  /** K1+K2+K3+O4(+O5): DDL (derived from the contract once, SURVEY §1.3),
+    * optional DROP-on-overwrite, contract projection, dual write, and the
+    * dual-sink reconciliation check.
+    */
+  def saveTable(df: DataFrame, contract: Contract,
+                modeOverride: Option[SaveMode] = None,
+                dropOnOverwrite: Boolean = false,
+                applyContract: Boolean = true): TableResult = {
+    val m = modeOverride.getOrElse(mode)
+    if (dropOnOverwrite && m == SaveMode.Overwrite)
+      sink.execute(s"DROP TABLE IF EXISTS ${contract.table}")
+    sink.execute(contract.ddl)
+    val out = if (applyContract) contract.select(df) else df
+    val path = s"$stagingDir/${contract.table}"
+    ParquetSink.write(out, path, m)
+    sink.write(out, contract.table, m)
+    val (staged, served, ok) = Reconcile.check(spark, path, sink, contract.table)
+    TableResult(contract.table, staged, served, ok)
+  }
+
+  /** A2/O3: the empty-input gate — a single global sum collected as a
+    * scalar; 0 (or an empty frame) skips everything downstream.
+    */
+  def sumGate(df: DataFrame, column: String): Long =
+    df.agg(coalesce(sum(col(column)), lit(0L)).cast("long")).first().getLong(0)
+
+  /** O6 fix: persist a lineage that feeds several tables. */
+  def persisted[T](df: DataFrame)(body: DataFrame => T): T = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    try body(df) finally { df.unpersist(); () }
+  }
+}

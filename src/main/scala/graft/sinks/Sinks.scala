@@ -71,6 +71,12 @@ object ParquetSink {
 case class Contract(table: String, schema: StructType) {
   def columns: Seq[String] = schema.fields.map(_.name).toSeq
 
+  /** P2: the contract projection — also the reference's only schema
+    * validation (resolution fails if a declared column is missing).
+    */
+  def select(df: DataFrame): DataFrame =
+    df.select(columns.map(org.apache.spark.sql.functions.col): _*)
+
   def ddl: String = {
     val cols = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
     s"CREATE TABLE IF NOT EXISTS $table ($cols)"

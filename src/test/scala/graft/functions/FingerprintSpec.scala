@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class FingerprintSpec extends SparkTestBase {
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c.as("v")).head().get(0)
+
+  test("Fnv64 expression matches the JVM reference implementation") {
+    // FNV-1a published test vector: fnv1a_64("") = offset basis
+    assert(Fnv64.hash("") == 0xcbf29ce484222325L)
+    Seq("a", "hello", "the quick brown fox", "é中").foreach { s =>
+      assert(one(Fnv64.fnv64(lit(s))) == Fnv64.hash(s), s"fnv64($s)")
+    }
+  }
+
+  test("Fnv64 runs inside whole-stage codegen (plan check)") {
+    val df = spark.range(100).select(Fnv64.fnv64(col("id").cast("string")).as("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan) // * prefix = WholeStageCodegen span
+    assert(df.distinct().count() == 100)
+  }
+
+  test("winnow: windows of w kgram hashes, distinct sorted mins") {
+    val text = "abcdefgh" // 4 kgrams of k=5 -> windows of 2 -> 3 mins
+    val fp = one(Fingerprint.winnow(lit(text), 5, 2)).asInstanceOf[scala.collection.Seq[Long]]
+    assert(fp.nonEmpty && fp == fp.sorted && fp.distinct == fp)
+    val hashes = (0 to 3).map(i => Fnv64.hash(text.substring(i, i + 5)))
+    val expected = (0 to 2).map(i => Seq(hashes(i), hashes(i + 1)).min)
+      .distinct.sorted
+    assert(fp.toSeq == expected)
+  }
+
+  test("winnow of short text keeps the single min hash") {
+    val fp = one(Fingerprint.winnow(lit("abcdef"), 5, 4)).asInstanceOf[scala.collection.Seq[Long]]
+    val hashes = Seq(Fnv64.hash("abcde"), Fnv64.hash("bcdef"))
+    assert(fp.toSeq == Seq(hashes.min))
+  }
+
+  test("identical texts share fingerprints, disjoint texts do not") {
+    val a = one(Fingerprint.winnow(lit("the quick brown fox jumps"), 4, 3))
+      .asInstanceOf[scala.collection.Seq[Long]]
+    val b = one(Fingerprint.winnow(lit("the quick brown fox jumps"), 4, 3))
+      .asInstanceOf[scala.collection.Seq[Long]]
+    val c = one(Fingerprint.winnow(lit("zzzz yyyy xxxx wwww vvvv"), 4, 3))
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(a.toSeq == b.toSeq)
+    assert(a.toSet.intersect(c.toSet).isEmpty)
+  }
+}

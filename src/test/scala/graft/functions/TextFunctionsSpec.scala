@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class TextFunctionsSpec extends SparkTestBase {
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c.as("v")).head().get(0)
+
+  test("tokens and counts") {
+    assert(one(TextFunctions.tokenCount(lit("a b c"))) == 3)
+    assert(one(TextFunctions.regexTokenCount(lit("Hello big world42"))) == 3) // ello, big, world
+  }
+
+  test("word shingles: size-n+1 shingles, empty when too short") {
+    assert(one(TextFunctions.wordShingles(lit("a b c d"), 3)) ==
+      Seq("a b c", "b c d"))
+    assert(one(TextFunctions.wordShingles(lit("a b"), 3)) == Seq())
+  }
+
+  test("char shingles") {
+    assert(one(TextFunctions.charShingles(lit("abcd"), 3)) == Seq("abc", "bcd"))
+    assert(one(TextFunctions.charShingles(lit("ab"), 3)) == Seq())
+  }
+
+  test("avg token length is exact (chars minus separators over tokens)") {
+    assert(one(TextFunctions.avgTokenLength(lit("ab cdef"))) == 3.0)
+  }
+
+  test("stopword count and ratio") {
+    val stops = TextFunctions.DefaultStopwords
+    assert(one(TextFunctions.stopwordCount(lit("the cat is on the mat"), stops)) == 4)
+  }
+
+  test("langId picks the language with most marker hits; ties -> earliest") {
+    assert(one(TextFunctions.langId(lit("the cat and the dog is here"))) == "en")
+    assert(one(TextFunctions.langId(lit("der hund und die katze ist"))) == "de")
+    assert(one(TextFunctions.langId(lit("xyzzy plugh"))) == "en") // all-zero tie
+  }
+
+  test("quality score stays in [0,1]") {
+    Seq("", "the quick brown fox is on the run for a very long time today",
+      "x", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaa").foreach { t =>
+      val q = one(TextFunctions.qualityScore(lit(t))).asInstanceOf[Double]
+      assert(q >= 0.0 && q <= 1.0, s"quality($t) = $q")
+    }
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+
+  private def docs = {
+    import graft.TestSpark.spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+      (4L, "completely different text about spark engines here"),
+      (5L, "")
+    ).toDF("id", "text")
+  }
+
+  test("exactKeepMinId keeps the minimum id per group") {
+    val kept = Dedup.exactKeepMinId(docs, col("text"), col("id"))
+    val m = kept.collect().map(r =>
+      r.getAs[String]("dedup_key") -> (r.getAs[Long]("keep_id"), r.getAs[Long]("group_size"))).toMap
+    assert(m("the quick brown fox jumps over the lazy dog") == (1L, 2L))
+    assert(m("").equals((5L, 1L)))
+  }
+
+  test("exactDuplicateIds returns exactly the dropped rows") {
+    val dups = Dedup.exactDuplicateIds(docs, col("text"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups == Set((2L, 1L)))
+  }
+
+  test("ngramJaccardPairs finds near-dups with exact jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("id"), col("text"), 3, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("document-frequency cap drops hot shingles consistently") {
+    // shingle "the quick brown" appears in docs 1,2,3 -> df=3 > cap=2
+    val capped = Dedup.ngramJaccardPairs(docs, col("id"), col("text"), 3, 0.99,
+      maxDocFreq = Some(2L))
+    // 1 and 2 are still identical over the surviving shingle set
+    val m = capped.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(m.get((1L, 2L)).contains(1.0))
+  }
+
+  test("minhash LSH surfaces exact and near duplicates as candidates") {
+    val pairs = Dedup.minhashDedupPairs(docs, col("id"), col("text"),
+      numHashes = 64, shingleSize = 2, bands = 16, minEstJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("identical docs get identical simhash; near dups stay close") {
+    val codes = Dedup.simhash64(docs.filter(col("text") =!= ""), col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes(1L) == codes(2L))
+    val hamming13 = java.lang.Long.bitCount(codes(1L) ^ codes(3L))
+    val hamming14 = java.lang.Long.bitCount(codes(1L) ^ codes(4L))
+    assert(hamming13 < hamming14, s"near=$hamming13 far=$hamming14")
+  }
+
+  test("simhashPairs finds the exact-dup pair at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs.filter(col("text") =!= ""),
+      col("id"), col("text"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+  }
+
+  test("embeddingNearDupPairs with bits=0 is exact all-pairs") {
+    import graft.TestSpark.spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.04f, 0.0f)), // near dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("id", "v")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, col("id"), col("v"),
+      minCosine = 0.95, dim = 3, bits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

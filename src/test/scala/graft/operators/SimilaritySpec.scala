@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+
+  private def vecs = {
+    import graft.TestSpark.spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))
+    ).toDF("id", "v")
+  }
+
+  test("bruteForceTopK ranks by exact cosine, excludes self") {
+    val out = Similarity.bruteForceTopK(vecs, col("id"), col("v"),
+      vecs.filter(col("id") === 1), col("id"), col("v"), k = 3)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    assert(out.toSeq.sortBy(_._2).map(_._1) == Seq(2L, 3L, 4L))
+  }
+
+  test("srpBucketTopK finds the co-bucketed near neighbor with full probes") {
+    // probes = bits means every 1-bit-flip bucket is probed -> for 2D
+    // vectors the true neighbor is recovered
+    val out = Similarity.srpBucketTopK(vecs, col("id"), col("v"),
+      vecs.filter(col("id") === 1), col("id"), col("v"), k = 1, dim = 2,
+      bits = 4, probes = 4)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    assert(out.nonEmpty && out.head._1 == 2L)
+  }
+
+  test("probes parameter bounds the probe-bucket count") {
+    import graft.functions.VectorFunctions
+    val q = vecs.filter(col("id") === 1)
+    // with probes=0 only the home bucket is probed; result is a subset of
+    // the probes=4 result
+    val p0 = Similarity.srpBucketTopK(vecs, col("id"), col("v"), q, col("id"),
+      col("v"), k = 3, dim = 2, bits = 4, probes = 0).count()
+    val p4 = Similarity.srpBucketTopK(vecs, col("id"), col("v"), q, col("id"),
+      col("v"), k = 3, dim = 2, bits = 4, probes = 4).count()
+    assert(p0 <= p4)
+  }
+
+  test("cosine matches hand-computed value") {
+    import graft.functions.VectorFunctions
+    import graft.TestSpark.spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val c = df.select(VectorFunctions.cosine(col("a"), col("b"))).head().getDouble(0)
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(c - expected) < 1e-12)
+  }
+}

@@ -1,0 +1,326 @@
+package graft.pipelines
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sinks.MockServingSink
+
+/** End-to-end pipeline tests: fixture JSON → transforms → parquet staging
+  * + mock serving sink → reconciliation. Fixture shapes mirror the
+  * reference's raw API payloads (SURVEY §1.1).
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private val loadTs = Timestamp.valueOf("2024-05-01 12:00:00")
+
+  private def ctx(name: String, mode: SaveMode = SaveMode.Overwrite) = {
+    val sink = new MockServingSink
+    (new PipelineContext(spark, sink, tempDir(name).toString, mode), sink)
+  }
+
+  // --- jhub -------------------------------------------------------------
+
+  private def jhubFixture: String = jsonFixture(Seq(
+    """{"log": "[I 2024-01-01 10:00:00.123 JupyterHub app:200] GET /hub/home", "time": "2024-01-01T10:00:00.123456789Z", "kubernetes": {"container_name": "hub", "host": "node1", "pod_name": "hub-1", "annotations": {"noisy": "1"}, "labels": {"app": "jhub"}}}""",
+    """{"log": "no brackets at all", "time": "2024-01-01T11:00:00.000000000Z", "kubernetes": {"container_name": "hub", "host": "node2", "pod_name": "hub-2", "annotations": {"noisy": "2"}, "labels": {"app": "jhub"}}}"""),
+    "jhub")
+
+  test("jhub: end-to-end with contract schema and fallback line") {
+    val (c, sink) = ctx("jhub")
+    JhubPipeline.run(c, jhubFixture)
+    assert(c.failed.isEmpty, c.report.toString)
+
+    val out = spark.read.parquet(s"${c.stagingDir}/jhublogs")
+    assert(out.schema.fieldNames.toSeq == JhubPipeline.jhublogs.columns)
+    assert(out.count() == 2 && sink.count("jhublogs") == 2)
+    assert(sink.ddl.exists(_.startsWith("CREATE TABLE IF NOT EXISTS jhublogs")))
+
+    val ok = out.filter(col("log_code") === "200").head()
+    assert(ok.getAs[String]("log_service") == "JupyterHub")
+    assert(ok.getAs[Timestamp]("time_stamp") ==
+      Timestamp.valueOf("2024-01-01 10:00:00.123456"))
+    assert(ok.getAs[Timestamp]("log_timestamp") ==
+      Timestamp.valueOf("2024-01-01 10:00:00.123"))
+    assert(ok.getAs[String]("log_msg") == "GET /hub/home")
+
+    val fb = out.filter(col("kuber_host") === "node2").head()
+    assert(fb.getAs[String]("log_head") == "")
+    assert(fb.getAs[String]("log_msg") == "no brackets at all")
+    assert(fb.getAs[Timestamp]("log_timestamp") == null)
+  }
+
+  // --- zoom -------------------------------------------------------------
+
+  private def meeting(id: Long, uuid: String, nRecs: Int): String = {
+    val recs = (0 until nRecs).map { i =>
+      s"""{"download_url": "https://dl/$uuid/$i", "file_extension": "MP4",
+         | "file_size": ${1000 + i}, "file_type": "MP4", "id": "rec-$uuid-$i",
+         | "meeting_id": "$uuid", "play_url": "https://play/$uuid/$i",
+         | "recording_end": "2024-01-01T11:00:0${i}Z",
+         | "recording_start": "2024-01-01T10:00:0${i}Z",
+         | "recording_type": "shared_screen", "status": "completed"}"""
+        .stripMargin.replaceAll("\n", "")
+    }.mkString(",")
+    s"""{"account_id": "acc1", "duration": ${30 + id}, "host_email": "h@x.io",
+       | "host_id": "host$id", "id": $id, "recording_count": $nRecs,
+       | "share_url": "https://share/$id",
+       | "start_time": "2024-01-01T09:00:00Z", "timezone": "UTC",
+       | "topic": "Topic $id", "total_size": ${5000 * id}, "type": 2,
+       | "uuid": "$uuid", "recording_files": [$recs]}"""
+      .stripMargin.replaceAll("\n", "")
+  }
+
+  private def zoomMeetingsFixture: String = jsonFixture(Seq(
+    s"""{"from": "2024-01-01", "to": "2024-01-02", "total_records": 2,
+       | "meetings": [${meeting(1, "uuid-1", 2)}, ${meeting(2, "uuid-2", 1)}]}"""
+      .stripMargin.replaceAll("\n", "")), "zoom_meetings")
+
+  private def participant(id: Int): String =
+    s"""{"camera": "cam$id", "connection_type": "UDP", "customer_key": "ck",
+       | "data_center": "EU", "device": "Mac", "domain": "d", "email": "p$id@x.io",
+       | "from_sip_uri": "", "full_data_center": "EU-FR", "harddisk_id": "hd",
+       | "id": "pid$id", "internal_ip_addresses": ["10.0.0.$id", "10.0.1.$id"],
+       | "ip_address": "1.2.3.$id", "join_time": "2024-01-01T09:05:0${id}Z",
+       | "leave_reason": "left", "leave_time": "2024-01-01T09:55:0${id}Z",
+       | "location": "Paris", "mac_addr": "aa:bb", "microphone": "mic",
+       | "network_type": "Wifi", "participant_user_id": "pu$id", "pc_name": "pc",
+       | "recording": ${id % 2 == 0}, "registrant_id": "r$id", "role": "host",
+       | "share_application": false, "share_desktop": true,
+       | "share_whiteboard": false, "sip_uri": "", "speaker": "spk",
+       | "status": "in_meeting", "user_id": "u$id", "user_name": "User $id",
+       | "version": "5.0"}""".stripMargin.replaceAll("\n", "")
+
+  private def zoomParticipantsFixture: String = jsonFixture(Seq(
+    s"""{"uuid": "uuid-1", "participants_data": {"participants": [${participant(1)}, ${participant(2)}]}}""",
+    s"""{"uuid": "uuid-2", "participants_data": {"participants": [${participant(3)}]}}"""),
+    "zoom_participants")
+
+  test("zoom: three tables, key carry, forced participants overwrite") {
+    val (c, sink) = ctx("zoom", SaveMode.Append)
+    ZoomPipeline.run(c, zoomMeetingsFixture, zoomParticipantsFixture)
+    assert(c.failed.isEmpty, c.report.toString)
+
+    val meetings = spark.read.parquet(s"${c.stagingDir}/meetings")
+    assert(meetings.schema.fieldNames.toSeq == ZoomPipeline.meetings.columns)
+    assert(meetings.count() == 2)
+    assert(meetings.filter(col("meet_uuid") === "uuid-1").head()
+      .getAs[Timestamp]("meet_start_time") ==
+      Timestamp.valueOf("2024-01-01 09:00:00"))
+
+    val records = spark.read.parquet(s"${c.stagingDir}/records")
+    assert(records.count() == 3)
+    // P3 key carry: child rows keep parent keys
+    assert(records.filter(col("meet_uuid") === "uuid-1").count() == 2)
+
+    val pts = spark.read.parquet(s"${c.stagingDir}/participants")
+    assert(pts.count() == 3)
+    // daily pipeline flattens the exploded struct with default col_ naming
+    assert(pts.columns.contains("col_user_name"))
+    // F2: array collapsed to CSV
+    assert(pts.filter(col("uuid") === "uuid-2").head()
+      .getAs[String]("col_internal_ip_addresses") == "10.0.0.3,10.0.1.3")
+    // reconciliation recorded for all three tables
+    assert(c.report.collect { case (_, Right(r)) => r.table }.toSet ==
+      Set("meetings", "records", "participants"))
+    assert(c.report.collect { case (_, Right(r)) => r }.forall(_.consistent))
+  }
+
+  test("zoom: empty-input gate skips all tables (O3)") {
+    val empty = jsonFixture(Seq(
+      """{"from": "2024-01-01", "to": "2024-01-02", "total_records": 0, "meetings": []}"""),
+      "zoom_empty")
+    val (c, sink) = ctx("zoom_gate")
+    ZoomPipeline.run(c, empty, zoomParticipantsFixture)
+    assert(c.report.isEmpty)
+    assert(sink.ddl.isEmpty)
+  }
+
+  test("zoom hst: load_datetime stamped, pts_ prefix, 36-col contract") {
+    val (c, _) = ctx("zoom_hst", SaveMode.Append)
+    ZoomPipeline.runHst(c, zoomMeetingsFixture, zoomParticipantsFixture, loadTs)
+    assert(c.failed.isEmpty, c.report.toString)
+
+    val m = spark.read.parquet(s"${c.stagingDir}/hst_meetings")
+    assert(m.schema.fieldNames.toSeq == ZoomPipeline.hstMeetings.columns)
+    assert(m.select(col("load_datetime")).distinct().head().getTimestamp(0) == loadTs)
+
+    val pts = spark.read.parquet(s"${c.stagingDir}/hst_participants")
+    assert(pts.schema.fieldNames.toSeq == ZoomPipeline.hstParticipants.columns)
+    assert(pts.schema.fieldNames.length == 36)
+    assert(pts.filter(col("pts_recording") === true).count() == 1)
+  }
+
+  // --- vk ---------------------------------------------------------------
+
+  private def vkGroupsFixture: String = jsonFixture(Seq(
+    """{"id": 100, "type": "page", "name": "GSOM", "screen_name": "gsom_ma",
+      | "activity": "education", "description": "desc", "is_closed": 0,
+      | "members_count": 2, "status": "st", "verified": 1, "site": "gsom.spbu.ru",
+      | "wiki_page": "w", "city": {"id": 2, "title": "SPB"},
+      | "country": {"id": 1, "title": "RU"},
+      | "contacts": [{"desc": "dean", "email": "dean@x.io", "phone": "+7"}],
+      | "links": [{"id": 5, "name": "site", "desc": "main", "url": "https://x"}]}"""
+      .stripMargin.replaceAll("\n", "")), "vk_groups")
+
+  private def vkMember(id: Long): String =
+    s"""{"id": $id, "first_name": "F$id", "last_name": "L$id", "maiden_name": "",
+       | "screen_name": "sn$id", "nickname": "", "sex": 2,
+       | "city": {"id": 2, "title": "SPB"}, "home_town": "SPB",
+       | "country": {"id": 1, "title": "RU"}, "about": "", "activities": "",
+       | "books": "", "can_post": 1, "deactivated": "", "domain": "d$id",
+       | "followers_count": ${10 * id}, "friend_status": 0, "games": "",
+       | "interests": "", "is_closed": false, "is_friend": 0, "personal": "",
+       | "site": "", "skype": "", "livejournal": "", "twitter": "",
+       | "has_mobile": 1, "mobile_phone": "", "home_phone": "", "status": "",
+       | "relation": 0, "relation_partner_id": 0,
+       | "relation_partner_first_name": "", "relation_partner_last_name": "",
+       | "education_form": 1, "education_status": "Student", "faculty": 11,
+       | "faculty_name": "Mgmt", "graduation": 2024, "university": 22,
+       | "university_name": "SPbU", "occupation": {"id": 33, "name": "SPbU", "type": "university"},
+       | "movies": "", "music": "", "trending": 0, "tv": "", "verified": 0,
+       | "wall_default": 0, "last_seen": {"platform": 4, "time": 1700000000},
+       | "career": [{"city_id": 2, "country_id": 1, "company": "Acme",
+       |   "group_id": 9, "position": "dev", "from": 2020, "until": 2022}],
+       | "schools": [{"city": 2, "class": "a", "country": 1, "id": "sch1",
+       |   "name": "School 1", "speciality": "math", "type": 1,
+       |   "type_str": "gymnasium", "year_from": 2010, "year_graduated": 2017,
+       |   "year_to": 2017}],
+       | "universities": [{"chair": 7, "chair_name": "IS", "city": 2,
+       |   "country": 1, "education_form": 1, "education_status": "Student",
+       |   "faculty": 11, "faculty_name": "Mgmt", "graduation": 2024,
+       |   "id": 22, "name": "SPbU"}]}""".stripMargin.replaceAll("\n", "")
+
+  private def vkMembersFixture: String =
+    jsonFixture(Seq(vkMember(7), vkMember(8)), "vk_members")
+
+  private def vkWallsFixture: String = jsonFixture(Seq(
+    """{"count": 1, "items": [{"owner_id": -100, "from_id": -100, "id": 42,
+      | "date": 1700000100, "edited": 1700000200, "post_type": "post",
+      | "text": "hello wall", "comments": {"count": 3},
+      | "donut": {"is_donut": false}, "likes": {"count": 5, "user_likes": 0},
+      | "post_source": {"type": "vk"}, "reposts": {"count": 1, "user_reposted": 0},
+      | "views": {"count": 99},
+      | "copy_history": [{"id": 9, "from_id": -200, "owner_id": -200,
+      |   "date": 1690000000, "post_type": "post", "text": "original post",
+      |   "post_source": {"platform": "android", "type": "api"}}]}]}"""
+      .stripMargin.replaceAll("\n", "")), "vk_walls")
+
+  test("vk: nine tables with carried keys and collected scalar FK") {
+    val (c, sink) = ctx("vk", SaveMode.Overwrite)
+    VkPipeline.run(c, vkGroupsFixture, vkMembersFixture, vkWallsFixture, loadTs)
+    assert(c.failed.isEmpty, c.report.toString)
+
+    def tbl(n: String) = spark.read.parquet(s"${c.stagingDir}/$n")
+
+    val g = tbl("groups")
+    assert(g.schema.fieldNames.toSeq == VkPipeline.groups.columns)
+    // flat_df(prefix='') is falsy -> city struct flattened as city_id/title
+    assert(g.head().getAs[Long]("city_id") == 2L)
+
+    assert(tbl("groups_contacts").count() == 1)
+    assert(tbl("groups_links").head().getAs[Long]("links_id") == 5L)
+
+    val m = tbl("members")
+    assert(m.schema.fieldNames.toSeq == VkPipeline.members.columns)
+    // A3: group_id lit-stamped from the collected scalar
+    assert(m.select(col("group_id")).distinct().head().getLong(0) == 100L)
+    // epoch seconds parsed
+    assert(m.filter(col("member_id") === 7).head()
+      .getAs[Timestamp]("last_seen_time") ==
+      Timestamp.valueOf("2023-11-14 22:13:20"))
+
+    assert(tbl("members_careers").count() == 2)
+    assert(tbl("members_schools").filter(col("member_id") === 8).count() == 1)
+    assert(tbl("members_universities").head()
+      .getAs[String]("universities_name") == "SPbU")
+
+    val items = tbl("wall_items")
+    assert(items.schema.fieldNames.toSeq == VkPipeline.wallItems.columns)
+    val it = items.head()
+    assert(it.getAs[Long]("items_comments_count") == 3L)
+    assert(it.getAs[Timestamp]("items_date") ==
+      Timestamp.valueOf("2023-11-14 22:15:00"))
+
+    val hist = tbl("wall_history")
+    assert(hist.schema.fieldNames.toSeq == VkPipeline.wallHistory.columns)
+    assert(hist.head().getAs[String]("history_post_source_platform") == "android")
+
+    // O5: overwrite mode DROPs every table first
+    assert(sink.ddl.count(_.startsWith("DROP TABLE IF EXISTS")) == 9)
+  }
+
+  // --- monkey -----------------------------------------------------------
+
+  private def monkeySurveysFixture: String = jsonFixture(Seq(
+    """{"id": 1, "title": "Course feedback", "language": "en", "folder_id": 3,
+      | "date_created": "2021-12-26T10:40:00", "date_modified": "2021-12-27T11:00:00",
+      | "page_count": 1, "question_count": 1, "response_count": 2,
+      | "pages": [{"id": 11, "position": 1, "question_count": 1, "title": "P1",
+      |   "questions": [{"id": 21, "position": 1,
+      |     "headings": [{"heading": "How was it?"}],
+      |     "answers": {"choices": [
+      |       {"id": 31, "is_na": false, "position": 1,
+      |        "quiz_options": {"score": "5"}, "text": "Great", "visible": true,
+      |        "weight": 10},
+      |       {"id": 32, "is_na": false, "position": 2,
+      |        "quiz_options": {"score": "1"}, "text": "Bad", "visible": true,
+      |        "weight": 1}]}}]}]}""".stripMargin.replaceAll("\n", "")),
+    "monkey_surveys")
+
+  private def monkeyResponsesFixture: String = jsonFixture(Seq(
+    """{"data": [{"id": 41, "survey_id": 1, "date_created": "2022-01-05T09:00:00",
+      | "date_modified": "2022-01-05T09:10:00", "email_address": "a@x.io",
+      | "ip_address": "9.9.9.9", "first_name": "Ann", "last_name": "Lee",
+      | "recipient_id": 51, "response_status": "completed", "total_time": 120,
+      | "pages": [{"id": 11, "questions": [{"id": 21,
+      |   "answers": [{"choice_id": 31, "row_id": 0, "text": "Great",
+      |     "quiz_options": {"weight": 10}}]}]}]}]}"""
+      .stripMargin.replaceAll("\n", "")), "monkey_responses")
+
+  test("monkey: five tables incl. the 4-level chain and collision quirk") {
+    val (c, _) = ctx("monkey", SaveMode.Overwrite)
+    MonkeyPipeline.run(c, monkeySurveysFixture, monkeyResponsesFixture, loadTs)
+    assert(c.failed.isEmpty, c.report.toString)
+
+    def tbl(n: String) = spark.read.parquet(s"${c.stagingDir}/$n")
+
+    val sv = tbl("hst_surveys")
+    assert(sv.schema.fieldNames.toSeq == MonkeyPipeline.surveys.columns)
+    assert(sv.head().getAs[Timestamp]("date_created") ==
+      Timestamp.valueOf("2021-12-26 10:40:00"))
+
+    val q = tbl("hst_surveys_questions")
+    assert(q.schema.fieldNames.toSeq == MonkeyPipeline.questions.columns)
+    assert(q.head().getAs[String]("headings_heading") == "How was it?")
+
+    // the collision quirk: choices came from the qs_answers struct through
+    // the headings_ flatten, then the quiz_options second-level flatten
+    val ch = tbl("hst_surveys_choices")
+    assert(ch.schema.fieldNames.toSeq == MonkeyPipeline.choices.columns)
+    assert(ch.count() == 2)
+    assert(ch.filter(col("choices_id") === 31).head()
+      .getAs[String]("choices_quiz_options_score") == "5")
+
+    val r = tbl("hst_surveys_responses")
+    assert(r.schema.fieldNames.toSeq == MonkeyPipeline.responses.columns)
+    // the reference never parses response dates - stays a string
+    assert(r.schema("response_date_created").dataType.typeName == "string")
+
+    val a = tbl("hst_surveys_answers")
+    assert(a.schema.fieldNames.toSeq == MonkeyPipeline.answers.columns)
+    val row = a.head()
+    assert(row.getAs[Long]("response_id") == 41L)
+    assert(row.getAs[Long]("questions_answers_choice_id") == 31L)
+    assert(row.getAs[Long]("choices_questions_answers_weight") == 10L)
+  }
+
+  test("append mode accumulates in the serving sink (O5)") {
+    val (c, sink) = ctx("jhub_append", SaveMode.Append)
+    JhubPipeline.run(c, jhubFixture)
+    JhubPipeline.run(c, jhubFixture)
+    assert(sink.count("jhublogs") == 4)
+  }
+}
