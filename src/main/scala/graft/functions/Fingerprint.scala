@@ -64,14 +64,10 @@ object Fingerprint {
   def kgramHashes(c: Column, k: Int): Column =
     transform(TextFunctions.charShingles(c, k), g => Fnv64.fnv64(g))
 
-  /** Distinct winnowed fingerprints (sorted ascending for determinism). */
-  def winnow(c: Column, k: Int, w: Int): Column = {
-    val hashes = kgramHashes(c, k)
-    val mins = when(size(hashes) >= w,
-      transform(sequence(lit(1), size(hashes) - w + 1),
-        i => array_min(slice(hashes, i, lit(w))))
-    ).otherwise(when(size(hashes) > 0, array(array_min(hashes)))
-      .otherwise(array().cast("array<bigint>")))
-    array_sort(array_distinct(mins))
-  }
+  /** Distinct winnowed fingerprints (sorted ascending for determinism).
+    * Backed by the codegen kernel — the HOF form re-slices the hash array
+    * per window (O(n·w) interpreted evals with per-window allocation).
+    */
+  def winnow(c: Column, k: Int, w: Int): Column =
+    Kernels.winnowFp(c, k, w)
 }

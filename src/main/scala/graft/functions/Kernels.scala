@@ -1,0 +1,248 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Native per-row kernels for the hot dedup/similarity paths, as custom
+  * Catalyst expressions with `doGenCode` (a single static JVM call per
+  * row inside WholeStageCodegen).
+  *
+  * Why not the higher-order-function forms: `transform`/`aggregate`
+  * lambdas are evaluated INTERPRETED per array element — a MinHash
+  * signature via nested transform costs numHashes × shingles interpreted
+  * Expression.eval calls per document (measured: minutes for 5k docs on
+  * one core), where this kernel is one tight compiled loop (~ms). At
+  * 100 TB, per-row CPU constants dominate once shuffles are right; these
+  * kernels keep the whole stage in generated code with zero boxing.
+  */
+object Kernels {
+
+  // --- JVM kernels (shared by interpreted eval and generated code) ------
+
+  /** MinHash signature: for hash k, min over shingles of
+    * xxhash64(shingle bytes, seed) remixed with k. One pass over the
+    * shingle bytes; numHashes cheap long remixes per shingle.
+    */
+  def minhash(shingles: ArrayData, numHashes: Int, seed: Long): ArrayData = {
+    val n = shingles.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      if (s != null) {
+        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes(), seed)
+        var k = 0
+        while (k < numHashes) {
+          val h = XXH64.hashLong(base, k.toLong)
+          if (h < sig(k)) sig(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    if (n == 0) new GenericArrayData(Array.empty[Long])
+    else new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash: each token's FNV-1a hash votes ±1 per bit; the sign
+    * of the per-bit sum forms the code. One pass, no shuffle needed at
+    * all — SimHash is a per-document reduction.
+    */
+  def simhash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (t != null) {
+        val h = Fnv64.hash(t)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var code = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) code |= (1L << b)
+      b += 1
+    }
+    code
+  }
+
+  /** Winnowing fingerprint (Schleimer et al. 2003): FNV-1a over char
+    * k-grams, min of each w-window, distinct + sorted. O(n·w) worst case
+    * with small constants (bounded deque omitted for clarity; w is
+    * small).
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val nGrams = s.length - k + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.empty[Long])
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      hashes(i) = Fnv64.hash(UTF8String.fromString(s.substring(i, i + k)))
+      i += 1
+    }
+    val nWins = nGrams - w + 1
+    val mins =
+      if (nWins <= 0) Array(hashes.min)
+      else {
+        val out = new Array[Long](nWins)
+        var j = 0
+        while (j < nWins) {
+          var m = Long.MaxValue
+          var x = j
+          while (x < j + w) { if (hashes(x) < m) m = hashes(x); x += 1 }
+          out(j) = m
+          j += 1
+        }
+        out
+      }
+    new GenericArrayData(mins.distinct.sorted)
+  }
+
+  /** Cosine similarity with sequential double accumulation — bit-identical
+    * to the HOF form (and to DuckDB's list kernels), so oracle hashes are
+    * preserved.
+    */
+  def cosine(a: ArrayData, b: ArrayData, floats: Boolean): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    if (floats) {
+      while (i < n) {
+        val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+    } else {
+      while (i < n) {
+        val x = a.getDouble(i); val y = b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Signed-random-projection code over all `bits` hyperplanes in one
+    * pass; planes are derived deterministically from (seed, bit, index)
+    * exactly like [[SrpPlanes.planes]].
+    */
+  def srpCode(v: ArrayData, dim: Int, bits: Int, seed: Long,
+              floats: Boolean): Long = {
+    var code = 0L
+    val n = math.min(dim, v.numElements())
+    var b = 0
+    while (b < bits) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (floats) v.getFloat(i).toDouble else v.getDouble(i)
+        val h = SrpPlanes.mix(seed * 0x100000001b3L + b.toLong * 1000003L + i)
+        proj += x * (h.toDouble / Long.MaxValue.toDouble)
+        i += 1
+      }
+      if (proj >= 0) code |= (1L << b)
+      b += 1
+    }
+    code
+  }
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  // --- Catalyst expressions --------------------------------------------
+
+  case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.minhash(input.asInstanceOf[ArrayData], numHashes, seed)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.Kernels.minhash($c, $numHashes, ${seed}L)")
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.simhash(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "winnow"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.winnow(input.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnow($c, $k, $w)")
+    override protected def withNewChildInternal(newChild: Expression): Winnow =
+      copy(child = newChild)
+  }
+
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    private lazy val floats = isFloatArray(left)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_sim"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], floats)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.Kernels.cosine($a, $b, $floats)")
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): CosineSim =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class SrpCode(child: Expression, dim: Int, bits: Int, seed: Long)
+      extends UnaryExpression {
+    private lazy val floats = isFloatArray(child)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "srp_code"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.srpCode(input.asInstanceOf[ArrayData], dim, bits, seed, floats)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.Kernels.srpCode($c, $dim, $bits, ${seed}L, $floats)")
+    override protected def withNewChildInternal(newChild: Expression): SrpCode =
+      copy(child = newChild)
+  }
+
+  // --- Column wrappers --------------------------------------------------
+
+  def minhashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numHashes, seed))
+
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  def winnowFp(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(Winnow(ColumnBridge.expression(text), k, w))
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def srpCodeCol(v: Column, dim: Int, bits: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(SrpCode(ColumnBridge.expression(v), dim, bits, seed))
+}

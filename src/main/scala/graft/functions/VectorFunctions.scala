@@ -23,9 +23,16 @@ object VectorFunctions {
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; null-safe via double math (0-norm → NaN like the
-    * textbook formula).
+    * textbook formula). Backed by the codegen kernel — bit-identical to
+    * the HOF form [[cosineHof]] (sequential accumulation) but a single
+    * compiled loop per row instead of 3 interpreted array traversals.
     */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+  def cosine(a: Column, b: Column): Column = Kernels.cosineSim(a, b)
+
+  /** Declarative HOF twin of [[cosine]], kept as the readable reference
+    * implementation and for cross-checking the kernel in tests.
+    */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 
   /** L2-normalized copy of the vector. */
   def normalize(a: Column): Column = {
@@ -35,18 +42,12 @@ object VectorFunctions {
 
   /** Signed-random-projection bucket code: `bits` hyperplanes derived
     * deterministically from `seed` via SplittableRandom-style mixing, no
-    * data movement — the scale path for cosine LSH bucketing.
+    * data movement — the scale path for cosine LSH bucketing. Backed by
+    * the codegen kernel (one compiled pass over bits × dim instead of
+    * bits interpreted HOF reductions).
     */
-  def srpCode(a: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
-    val planes = SrpPlanes.planes(dim, bits, seed)
-    val v = asDouble(a)
-    val bitCols = planes.zipWithIndex.map { case (plane, i) =>
-      val proj = aggregate(
-        zip_with(v, lit(plane), (x, w) => x * w), lit(0.0), (acc, p) => acc + p)
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ bitwiseOR _).as(s"srp$bits")
-  }
+  def srpCode(a: Column, dim: Int, bits: Int, seed: Long = 42L): Column =
+    Kernels.srpCodeCol(a, dim, bits, seed).as(s"srp$bits")
 }
 
 /** Deterministic pseudo-random hyperplanes (public-domain SplitMix64 mix). */

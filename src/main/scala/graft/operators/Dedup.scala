@@ -53,13 +53,16 @@ object Dedup {
     // uncapped form stays available for exact-oracle verification. The cap
     // is applied consistently to intersections AND set sizes, so the
     // result is the exact Jaccard over the capped shingle universe.
-    val sh = maxDocFreq match {
+    val shUncached = maxDocFreq match {
       case None => shRaw
       case Some(cap) =>
         val hot = shRaw.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("sh")
         shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
     }
+    // Fans out 3 ways (self-join both sides + sizes); persist beats
+    // recomputing the shingle explode per consumer.
+    val sh = shUncached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -76,18 +79,19 @@ object Dedup {
 
   // --- MinHash + LSH -------------------------------------------------------
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the minimum `xxhash64(seed, shingle)` over the document's distinct
-    * word-`shingleSize`-gram shingles. Entirely per-row (no shuffle).
+  /** MinHash signature: for each of `numHashes` hash functions, the
+    * minimum remixed xxhash64 over the document's distinct
+    * word-`shingleSize`-gram shingles. Entirely per-row (no shuffle),
+    * computed by the codegen kernel ([[graft.functions.Kernels]]) — the
+    * nested-HOF form costs numHashes × shingles INTERPRETED evals per
+    * document, which is minutes-per-core at even 5k docs.
     * Output columns: doc_id, sig: array<bigint>, n_sh.
     */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
                         numHashes: Int = 128, shingleSize: Int = 5): DataFrame = {
     val sh = array_distinct(TextFunctions.wordShingles(text, shingleSize))
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(sh, g => xxhash64(seed, g))))
     df.select(id.as("doc_id"),
-      when(size(sh) > 0, sig).otherwise(array().cast("array<bigint>")).as("sig"),
+      graft.functions.Kernels.minhashSig(sh, numHashes).as("sig"),
       size(sh).as("n_sh"))
   }
 
@@ -117,7 +121,11 @@ object Dedup {
   def minhashDedupPairs(df: DataFrame, id: Column, text: Column,
                         numHashes: Int = 128, shingleSize: Int = 5,
                         bands: Int = 32, minEstJaccard: Double = 0.5): DataFrame = {
+    // The signature lineage fans out 4 ways (both sides of the banding
+    // self-join + both est_jaccard lookups); without persist Spark
+    // recomputes the full minhash kernel per consumer.
     val sigs = minhashSignatures(df, id, text, numHashes, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = lshBands(sigs, numHashes, bands)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -139,25 +147,13 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens: each token votes ±1 on every
     * bit of its FNV-1a hash; the sign of the per-bit sum forms the final
-    * code. Implemented as ONE hash aggregation: explode tokens, then a
-    * single `groupBy(doc_id)` computing 64 conditional sums (map-side
-    * partial aggregation applies), then assemble the bits — no row
-    * inflation beyond the token explode and exactly one shuffle.
+    * code. SimHash is a per-document reduction, so it needs NO shuffle at
+    * all — one codegen kernel call per row (the round-1 explode +
+    * double-shuffle plan inflated rows 64× for nothing).
     */
-  def simhash64(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = df.select(id.as("doc_id"),
-      explode(TextFunctions.tokens(text)).as("tok"))
-      .withColumn("h", Fnv64.fnv64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"v$b")
-    }
-    val code = (0 until 64).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-    toks.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), code.as("simhash"))
-  }
+  def simhash64(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"),
+      graft.functions.Kernels.simhash64(TextFunctions.tokens(text)).as("simhash"))
 
   /** Pairs with SimHash Hamming distance ≤ `maxHamming`, using the
     * pigeonhole block trick: split the 64-bit code into `maxHamming + 1`

@@ -23,13 +23,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Parquet scan of one harness table under `dir` (TESTDATA.md). */
+  /** Parquet scan of one harness table under `dir` (TESTDATA.md).
+    *
+    * documents/embeddings are repartitioned when the scan yields fewer
+    * splits than cores: they arrive as a single small file (= 1 input
+    * partition = 1 busy core) but feed CPU-heavy per-row kernels
+    * (minhash/simhash/cosine). On a real lake these tables span many
+    * splits and the condition is false, so no shuffle is added at scale.
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(path)
       raw.withColumn("ts", Timestamps.nanosToTimestamp(raw("ts")))
+    } else if (name == "documents" || name == "embeddings") {
+      val df = spark.read.parquet(path)
+      val cores = spark.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
     } else spark.read.parquet(path)
   }
 
@@ -50,5 +61,17 @@ object Tables {
   def datedGlob(base: String, template: String, date: String): String = {
     val d = if (date == "all") "*" else date
     base.stripSuffix("/") + "/" + template.replace("{date}", d)
+  }
+
+  /** S4: object listing with glob + substring filter (the reference's
+    * s3_all_files, zoom_proc.py:258-264) via the Hadoop FS API — works
+    * against any supported filesystem (local, S3A, HDFS).
+    */
+  def listFiles(spark: SparkSession, pathGlob: String,
+                mask: String = ""): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(pathGlob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    statuses.iterator.map(_.getPath.toString).filter(_.contains(mask)).toSeq
   }
 }
