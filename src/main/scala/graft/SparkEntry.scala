@@ -268,6 +268,14 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"),
         col("text"), n = 3, minJaccard = 0.5)
     }),
+    "dedup_corpus" -> ((s, dir) => {
+      // end-to-end: near-dup pairs -> pruned corpus (greedy min-id keep)
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.5)
+      Dedup.applyPairDedup(docs, col("doc_id"), pairs)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
     "minhash_pairs" -> ((s, dir) => { // engine-hash based: rows-only check
       Dedup.minhashDedupPairs(t(s, dir, "documents"), col("doc_id"),
         col("text"), numHashes = 128, shingleSize = 3, bands = 32,
@@ -475,6 +483,22 @@ object SparkEntry {
         | JOIN sizes na ON na.doc_id = id_a
         | JOIN sizes nb ON nb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5""".stripMargin,
+    "dedup_corpus" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id,
+        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM toks WHERE len(t) >= 3)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |drops AS (SELECT DISTINCT id_b FROM inter
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE id_b = doc_id)""".stripMargin,
     "text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |b AS (SELECT doc_id, text, toks,

@@ -77,6 +77,17 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Materialize a deduplicated corpus from any pair list produced by the
+    * operators below: every id appearing as the GREATER member of a
+    * duplicate pair is dropped (greedy min-id survivor — the standard
+    * one-pass policy; full transitive clustering would need iterative
+    * connected components, overkill for near-dup pruning).
+    */
+  def applyPairDedup(df: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
+    val drop = pairs.select(col("id_b").as("__drop_id")).distinct()
+    df.join(drop, id === col("__drop_id"), "left_anti")
+  }
+
   // --- MinHash + LSH -------------------------------------------------------
 
   /** MinHash signature: for each of `numHashes` hash functions, the

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Plan regression tests: the physical properties the 100-TB design
+  * depends on must survive refactors — filters reach the parquet scan,
+  * projections prune the read schema, small dims broadcast, and per-row
+  * operators don't shuffle.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters are pushed down to the parquet scan") {
+    val df = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey"))
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,48"), plan)
+  }
+
+  test("projection prunes the parquet read schema") {
+    val df = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = planOf(df)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+  }
+
+  test("star joins broadcast the small dimension tables") {
+    val plan = planOf(SparkEntry.queries("q5_region_revenue")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("simhash is a pure projection: zero exchanges") {
+    val df = Dedup.simhash64(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      col("doc_id"), col("text"))
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("simhash64"), plan)
+  }
+
+  test("kernels run inside whole-stage codegen") {
+    val df = Dedup.minhashSignatures(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      col("doc_id"), col("text"), numHashes = 16, shingleSize = 3)
+    val plan = planOf(df)
+    assert(plan.contains("*(1)"), plan) // * prefix = codegen'd stage
+    assert(plan.contains("minhash_sig"), plan)
+  }
+
+  test("LSH candidate generation is an equi-join, not a cartesian product") {
+    val pairs = Dedup.minhashDedupPairs(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      col("doc_id"), col("text"), numHashes = 32, shingleSize = 3, bands = 8)
+    val plan = planOf(pairs)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class StreamsSpec extends SparkTestBase {
+
+  test("jhubStream: AvailableNow drains the input dir through the batch transform") {
+    val in = tempDir("stream_in")
+    val out = tempDir("stream_out")
+    val ckpt = tempDir("stream_ckpt")
+    Files.writeString(in.resolve("part1.json"),
+      """{"log": "[I 2024-01-01 10:00:00.123 JupyterHub app:200] GET /hub", "time": "2024-01-01T10:00:00.123456789Z", "kubernetes": {"container_name": "hub", "host": "n1", "pod_name": "p1", "annotations": {"a": "1"}, "labels": {"l": "1"}}}""")
+
+    // explicit schema (streaming file sources require one) — inferred once
+    // from a batch read of the same fixture, the SURVEY §7.4.2 pattern
+    val schema = spark.read.json(in.toString).schema
+    val q = Streams.jhubStream(spark, in.toString, schema, out.toString,
+      ckpt.toString).start()
+    q.awaitTermination(60000)
+
+    val res = spark.read.parquet(out.toString)
+    assert(res.count() == 1)
+    val r = res.head()
+    assert(r.getAs[String]("log_code") == "200")
+    assert(r.getAs[Timestamp]("time_stamp") ==
+      Timestamp.valueOf("2024-01-01 10:00:00.123456"))
+
+    // restart with a second file: checkpoint makes it incremental
+    Files.writeString(in.resolve("part2.json"),
+      """{"log": "no brackets", "time": "2024-01-01T11:00:00.000000000Z", "kubernetes": {"container_name": "hub", "host": "n2", "pod_name": "p2", "annotations": {"a": "1"}, "labels": {"l": "1"}}}""")
+    val q2 = Streams.jhubStream(spark, in.toString, schema, out.toString,
+      ckpt.toString).start()
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(out.toString).count() == 2)
+  }
+
+  test("eventCountsHourly: watermarked tumbling windows over a memory stream") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+
+    val q = Streams.eventCountsHourly(events)
+      .writeStream.format("memory").queryName("ev_counts")
+      .outputMode("complete").start()
+
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.5),
+      (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.5),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "view", 1.0))
+    q.processAllAvailable()
+
+    val rows = spark.table("ev_counts").collect()
+      .map(r => (r.getAs[Timestamp]("event_hour").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"))).toSet
+    assert(rows == Set(
+      ("2024-01-01 10:00:00.0", "click", 2L, 4.0),
+      ("2024-01-01 11:00:00.0", "view", 1L, 1.0)))
+    q.stop()
+  }
+}
+
+object TestSpark {
+  def sqlContext: org.apache.spark.sql.SQLContext = {
+    val classic = graft.TestSpark.spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sqlContext
+  }
+}
