@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{Fnv64, Kernels}
+
+/** SparkSessionExtensions hook: exposes the engine's custom expressions to
+  * SQL users. Activate with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `GraftExtensions.register(spark)` on a live session) and use:
+  *
+  *   SELECT graft_fnv64(text),
+  *          graft_simhash64(split(text, ' ')),
+  *          graft_minhash(shingles, 128, 42),
+  *          graft_winnow(text, 5, 4),
+  *          graft_cosine(a, b),
+  *          graft_srp_code(vec, 64, 8, 42)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, (info, builder)) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _)  => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _)  => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  val builders: Seq[(String, (ExpressionInfo, Seq[Expression] => Expression))] = Seq(
+    "graft_fnv64" -> ((info("graft_fnv64",
+      "graft_fnv64(str) - FNV-1a 64-bit hash of the UTF-8 bytes"),
+      (args: Seq[Expression]) => Fnv64(args.head))),
+    "graft_simhash64" -> ((info("graft_simhash64",
+      "graft_simhash64(tokens) - 64-bit SimHash of a string array"),
+      (args: Seq[Expression]) => Kernels.SimHash64(args.head))),
+    "graft_minhash" -> ((info("graft_minhash",
+      "graft_minhash(shingles, numHashes, seed) - MinHash signature"),
+      (args: Seq[Expression]) => Kernels.MinHashSig(args.head,
+        intArg(args(1), "numHashes"), longArg(args(2), "seed")))),
+    "graft_winnow" -> ((info("graft_winnow",
+      "graft_winnow(text, k, w) - winnowed k-gram fingerprints"),
+      (args: Seq[Expression]) => Kernels.Winnow(args.head,
+        intArg(args(1), "k"), intArg(args(2), "w")))),
+    "graft_cosine" -> ((info("graft_cosine",
+      "graft_cosine(a, b) - cosine similarity of two numeric arrays"),
+      (args: Seq[Expression]) => Kernels.CosineSim(args.head, args(1)))),
+    "graft_srp_code" -> ((info("graft_srp_code",
+      "graft_srp_code(vec, dim, bits, seed) - signed-random-projection bucket"),
+      (args: Seq[Expression]) => Kernels.SrpCode(args.head,
+        intArg(args(1), "dim"), intArg(args(2), "bits"),
+        longArg(args(3), "seed")))))
+
+  /** Imperative registration for an already-built session (tests, REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, (_, builder)) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

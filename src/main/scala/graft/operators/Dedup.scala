@@ -43,9 +43,19 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
                         minJaccard: Double,
-                        maxDocFreq: Option[Long] = None): DataFrame = {
+                        maxDocFreq: Option[Long] = None,
+                        hashShingles: Boolean = true): DataFrame = {
+    // Shingles are hashed to int64 before the distinct + self-join by
+    // default: an 8-byte fixed-width key shuffles a fraction of the raw
+    // text and hash-joins faster. A 64-bit collision (~1e-7 at millions
+    // of distinct shingles) can perturb one intersection count; pass
+    // hashShingles=false for the exact-text variant.
+    val shingleKey =
+      if (hashShingles) xxhash64(col("sh_text")) else col("sh_text")
     val shRaw = df
-      .select(id.as("doc_id"), explode(TextFunctions.wordShingles(text, n)).as("sh"))
+      .select(id.as("doc_id"),
+        explode(TextFunctions.wordShingles(text, n)).as("sh_text"))
+      .select(col("doc_id"), shingleKey.as("sh"))
       .distinct()
     // Skew guard for the self-join: a boilerplate shingle shared by k docs
     // contributes k^2 join rows. Capping shingle document-frequency bounds
