@@ -153,6 +153,14 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
     }),
+    "q_sessions" -> ((s, dir) => {
+      import graft.operators.Sessionize
+      Sessionize.sessions(t(s, dir, "events"), col("user_id"), col("ts"),
+        gapSeconds = 3600)
+        .select(col("user_id"), col("session_idx"),
+          ntz(col("session_start")).as("session_start"),
+          ntz(col("session_end")).as("session_end"), col("n_events"))
+    }),
     // ----- reference-parity operators (SURVEY §2) ------------------------
     "flatten_struct" -> ((s, dir) => {
       // P1 default aliasing: structCol_field.
@@ -320,6 +328,15 @@ object SparkEntry {
         queries, col("vec_id"), col("embedding"), k = 10, dim = 64,
         bits = 8, probes = 4)
     }),
+    "ivf_topk" -> ((s, dir) => { // k-means based: rows-only check
+      import graft.operators.Ivf
+      val embs = t(s, dir, "embeddings")
+      val model = Ivf.fit(embs, col("embedding"), nlist = 16)
+      val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
+      val queries = embs.filter(col("vec_id") % 50 === 0)
+      Ivf.topK(model, assigned, queries, col("vec_id"), col("embedding"),
+        k = 10, nprobe = 4)
+    }),
     "embed_near_dup_exact" -> ((s, dir) => {
       // bits = 0 -> single bucket = verified all-pairs (exact; small SF only).
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), col("vec_id"),
@@ -412,6 +429,18 @@ object SparkEntry {
         | SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
         | COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_sessions" ->
+      """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, ts,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > CAST(3600 AS BIGINT) * 1000000
+        |       THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM m)
+        |SELECT user_id, session_idx, MIN(ts) AS session_start,
+        | MAX(ts) AS session_end, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
     "flatten_struct" ->
       """SELECT o_orderkey, o_orderstatus AS ord_status, o_totalprice AS ord_price
         |FROM orders""".stripMargin,

@@ -116,20 +116,15 @@ object Kernels {
     * to the HOF form (and to DuckDB's list kernels), so oracle hashes are
     * preserved.
     */
-  def cosine(a: ArrayData, b: ArrayData, floats: Boolean): Double = {
-    val n = a.numElements()
+  def cosine(a: ArrayData, b: ArrayData, aFloats: Boolean,
+             bFloats: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    if (floats) {
-      while (i < n) {
-        val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-    } else {
-      while (i < n) {
-        val x = a.getDouble(i); val y = b.getDouble(i)
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
+    while (i < n) {
+      val x = if (aFloats) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloats) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
@@ -202,14 +197,18 @@ object Kernels {
 
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression {
-    private lazy val floats = isFloatArray(left)
+    // per-side element type: mixed float/double pairs are legal (e.g. a
+    // float corpus against double k-means centroids)
+    private lazy val aFloats = isFloatArray(left)
+    private lazy val bFloats = isFloatArray(right)
     override def dataType: DataType = DoubleType
     override def prettyName: String = "cosine_sim"
     override protected def nullSafeEval(a: Any, b: Any): Any =
-      Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], floats)
+      Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        aFloats, bFloats)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev,
-        (a, b) => s"graft.functions.Kernels.cosine($a, $b, $floats)")
+        (a, b) => s"graft.functions.Kernels.cosine($a, $b, $aFloats, $bFloats)")
     override protected def withNewChildrenInternal(newLeft: Expression,
                                                    newRight: Expression): CosineSim =
       copy(left = newLeft, right = newRight)

@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.pipelines.JhubPipeline
@@ -49,4 +51,61 @@ object Streams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("event_hour"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  // --- stateful sessionization -----------------------------------------
+
+  case class SessionEvent(user_id: Long, ts: Timestamp)
+  case class SessionAcc(startMs: Long, lastMs: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long)
+
+  /** Streaming gap-based sessionization via flatMapGroupsWithState: one
+    * open session per user in state; an event beyond `gapSeconds` of the
+    * previous one closes and emits the session; the event-time timeout
+    * (watermark past last + gap) flushes sessions of idle users. The
+    * streaming twin of [[graft.operators.Sessionize.sessions]].
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapSeconds: Long,
+                       lateness: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def close(user: Long, s: SessionAcc): SessionOut =
+      SessionOut(user, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
+
+    def fn(user: Long, batch: Iterator[SessionEvent],
+           state: GroupState[SessionAcc]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(user, _)).iterator
+        state.remove()
+        out
+      } else {
+        val out = Seq.newBuilder[SessionOut]
+        var acc = state.getOption
+        batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val t = e.ts.getTime
+          acc match {
+            case Some(s) if t - s.lastMs <= gapMs =>
+              acc = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+            case Some(s) =>
+              out += close(user, s)
+              acc = Some(SessionAcc(t, t, 1))
+            case None =>
+              acc = Some(SessionAcc(t, t, 1))
+          }
+        }
+        acc.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        }
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
 }

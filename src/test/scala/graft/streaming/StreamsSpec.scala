@@ -66,6 +66,34 @@ class StreamsSpec extends SparkTestBase {
       ("2024-01-01 11:00:00.0", "view", 1L, 1.0)))
     q.stop()
   }
+
+  test("sessionizeStream: closes a session when the gap is exceeded") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    val mem = MemoryStream[Streams.SessionEvent]
+    val out = Streams.sessionizeStream(mem.toDS(), gapSeconds = 3600)
+
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    mem.addData(
+      Streams.SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      Streams.SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    // next batch: an event far beyond the gap closes the open session
+    mem.addData(
+      Streams.SessionEvent(1L, Timestamp.valueOf("2024-01-01 15:00:00")))
+    q.processAllAvailable()
+
+    val rows = spark.table("sessions").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events"))).toSet
+    assert(rows.contains((1L, Timestamp.valueOf("2024-01-01 10:00:00"),
+      Timestamp.valueOf("2024-01-01 10:10:00"), 2L)), rows.toString)
+    q.stop()
+  }
 }
 
 object TestSpark {
