@@ -153,6 +153,29 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
     }),
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "q_asof_join" -> ((s, dir) => {
+      import graft.operators.AsofJoin
+      // for each event, the customer's most recent order at/before the
+      // event time; right side deduped per (key, ts) for determinism
+      val orders = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("ok"),
+          expr("max_by(o_totalprice, o_orderkey)").as("op"))
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("ts"))
+      AsofJoin.asofJoin(
+        ev, col("user_id"), col("ts"),
+        orders, col("o_custkey"), col("o_orderdate").cast("timestamp"),
+        Seq("last_orderkey" -> col("ok"), "last_totalprice" -> col("op")))
+        .select(col("event_id"), col("user_id"), ntz(col("ts")).as("ts"),
+          col("last_orderkey"), col("last_totalprice"))
+    }),
     "q_sessions" -> ((s, dir) => {
       import graft.operators.Sessionize
       Sessionize.sessions(t(s, dir, "events"), col("user_id"), col("ts"),
@@ -289,6 +312,23 @@ object SparkEntry {
         col("text"), numHashes = 128, shingleSize = 3, bands = 32,
         minEstJaccard = 0.5)
     }),
+    "source_minhash_jaccard" -> ((s, dir) => { // engine-hash: rows-only
+      // group-level sketches via the TypedImperativeAggregate: MinHash
+      // union per source, then pairwise estimated Jaccard across sources
+      import graft.functions.MinHashUnionAgg
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"),
+        numHashes = 64, shingleSize = 3)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      val grouped = sigs.groupBy(col("source"))
+        .agg(MinHashUnionAgg.minhashUnion(col("sig"), 64).as("gsig"))
+      grouped.as("a").join(grouped.as("b"),
+          col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          (size(filter(zip_with(col("a.gsig"), col("b.gsig"),
+            (x, y) => x === y), p => p)).cast("double") / lit(64.0))
+            .as("est_jaccard"))
+    }),
     "simhash_codes" -> ((s, dir) => { // FNV-1a based: rows-only check
       Dedup.simhash64(t(s, dir, "documents"), col("doc_id"), col("text"))
     }),
@@ -358,6 +398,15 @@ object SparkEntry {
         col("doc_id"), col("text"))
       Multimodal.sampleFrames(media, col("asset_id"), col("media"),
         frameSize = 16, step = 4)
+    }),
+    "media_features" -> ((s, dir) => {
+      val media = Multimodal.packTextAsMedia(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      media.filter(octet_length(col("media")) > 0)
+        .select(col("asset_id"),
+        posexplode(Multimodal.stubFeatureVector(col("media"), dim = 8)))
+        .withColumnRenamed("pos", "feature_idx")
+        .withColumnRenamed("col", "feature")
     })
   )
 
@@ -429,6 +478,18 @@ object SparkEntry {
         | SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
         | COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_asof_join" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS ok,
+        |  arg_max(o_totalprice, o_orderkey) AS op
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, e.ts,
+        | r.ok AS last_orderkey, r.op AS last_totalprice
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
     "q_sessions" ->
       """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
         |m AS (SELECT user_id, ts,
@@ -581,6 +642,12 @@ object SparkEntry {
     "media_frames" ->
       """SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,
         | encode(substring(text, CAST(i * 16 + 1 AS INT), 16)) AS frame
-        |FROM documents, unnest(range(0, strlen(text) // 16, 4)) AS u(i)""".stripMargin
+        |FROM documents, unnest(range(0, strlen(text) // 16, 4)) AS u(i)""".stripMargin,
+    "media_features" ->
+      """SELECT doc_id AS asset_id, CAST(i AS INT) AS feature_idx,
+        | CAST(ord(substring(text, CAST(i % strlen(text) AS INT) + 1, 1)) AS DOUBLE)
+        |   / 255.0 - 0.5 AS feature
+        |FROM documents, unnest(range(0, 8)) AS u(i)
+        |WHERE strlen(text) > 0""".stripMargin
   )
 }

@@ -90,6 +90,35 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB FEATURE EXTRACTOR — deterministic fake embedding derived from
+    * payload bytes (cyclic byte read, centered to [-0.5, 0.5]). A real
+    * deployment swaps this expression for a model-inference call (e.g. a
+    * batched ONNX scorer in [[decodeMeta]]'s iterator form); the schema
+    * (array<double> of fixed dim) and everything downstream (ANN, dedup)
+    * stay identical.
+    */
+  def stubFeatureVector(media: Column, dim: Int): Column = {
+    val len = octet_length(media)
+    val byteAt = (i: Column) =>
+      conv(hex(substring(media, (pmod(i, len) + 1).cast("int"), lit(1))), 16, 10)
+        .cast("double")
+    when(len > 0,
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => byteAt(i) / lit(255.0) - lit(0.5)))
+      .otherwise(array_repeat(lit(0.0), dim)).as("features")
+  }
+
+  /** STUB RESIZE — byte-level crop/pad to an exact target size (truncate
+    * long payloads, zero-pad short ones). Stands in for a real image
+    * resample; keeps output size statically known for downstream batch
+    * shapes.
+    */
+  def stubResize(media: Column, targetBytes: Int): Column = {
+    val padded = concat(media,
+      expr(s"repeat(cast(' ' as binary), $targetBytes)").cast("binary"))
+    substring(padded, 1, targetBytes).as("resized")
+  }
+
   /** Fixed-step frame sampling from a video-like payload: every `step`-th
     * `frameSize`-byte slice, as (asset_id, frame_idx, frame). Pure
     * column expressions — scales with no shuffle.

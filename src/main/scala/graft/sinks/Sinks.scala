@@ -62,6 +62,20 @@ object ParquetSink {
   /** K1: mode-aware parquet write. */
   def write(df: DataFrame, path: String, mode: SaveMode): Unit =
     df.write.mode(mode).parquet(path)
+
+  /** Bucketed catalog table: pre-shuffles once at write time so that
+    * repeated joins/aggregations on `bucketCol` read co-located buckets
+    * with NO exchange — the standard big-big join strategy when one side
+    * is reused across many queries (bucket both sides with the same
+    * count and key).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }
 
 /** Table contract: one declaration drives the final projection, the

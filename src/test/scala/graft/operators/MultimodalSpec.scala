@@ -52,4 +52,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.toMap.apply(0) == payload.substring(0, 16))
     assert(frames.toMap.apply(2) == payload.substring(32, 48))
   }
+
+  test("stub feature vector is deterministic with fixed dim") {
+    val f = media.select(col("asset_id"),
+      Multimodal.stubFeatureVector(col("media"), 8)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(f.values.forall(_.length == 8))
+    assert(f(3L).forall(_ == 0.0)) // empty payload -> zero vector
+    assert(f(1L).forall(v => v >= -0.5 && v <= 0.5))
+    // 'h' = 104 -> 104/255 - 0.5
+    assert(math.abs(f(1L).head - (104.0 / 255.0 - 0.5)) < 1e-12)
+  }
+
+  test("stub resize crops long and zero-pads short payloads") {
+    val r = media.select(col("asset_id"),
+      Multimodal.stubResize(col("media"), 8)).collect()
+      .map(x => x.getLong(0) -> x.getAs[Array[Byte]](1)).toMap
+    assert(r.values.forall(_.length == 8))
+    assert(new String(r(1L)) == "hello wo")
+    assert(new String(r(2L)).startsWith("x"))
+  }
 }
