@@ -274,6 +274,53 @@ object SparkEntry {
         col("p").getItem(2).as("service"), col("p").getItem(3).as("typ"),
         col("p").getItem(4).as("code"), col("p").getItem(5).as("msg"))
     }),
+    "jhub_pipeline_transform" -> ((s, dir) => {
+      // the JhubPipeline lineage (kuber_ flatten -> drop -> sqbrackets ->
+      // unpack -> 2 timestamp parses -> contract) over a fluent-bit-shaped
+      // frame synthesized from orders
+      import graft.pipelines.JhubPipeline
+      val raw = t(s, dir, "orders").select(
+        concat(lit("[I 2024-01-01 00:00:00.000 JupyterHub app:"),
+          col("o_orderkey"), lit("] served "), col("o_orderpriority")).as("log"),
+        concat(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"),
+          lit(".000000000Z")).as("time"),
+        struct(
+          concat(lit("hub-"), col("o_orderkey") % 3).as("container_name"),
+          concat(lit("node"), col("o_custkey") % 5).as("host"),
+          concat(lit("pod-"), col("o_orderkey")).as("pod_name"),
+          struct(lit("x").as("noise")).as("annotations"),
+          struct(lit("y").as("app")).as("labels")).as("kubernetes"))
+      JhubPipeline.transform(raw)
+        .withColumn("time_stamp", ntz(col("time_stamp")))
+        .withColumn("log_timestamp", ntz(col("log_timestamp")))
+    }),
+    "zoom_meetings_transform" -> ((s, dir) => {
+      // the ZoomPipeline meetings lineage (explode -> meet_ flatten ->
+      // ISO-Zulu parse -> 13-col contract) over a meetings-log-shaped
+      // frame: one meetings array element per order
+      import graft.pipelines.ZoomPipeline
+      val raw = t(s, dir, "orders").select(
+        lit(1L).as("total_records"),
+        array(struct(
+          concat(lit("acct"), col("o_custkey") % 7).as("account_id"),
+          (col("o_orderkey") % 120).as("duration"),
+          concat(lit("host"), col("o_custkey"), lit("@x.io")).as("host_email"),
+          concat(lit("h"), col("o_custkey")).as("host_id"),
+          col("o_orderkey").as("id"),
+          (col("o_orderkey") % 4).as("recording_count"),
+          concat(lit("https://share/"), col("o_orderkey")).as("share_url"),
+          concat(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"),
+            lit("Z")).as("start_time"),
+          lit("UTC").as("timezone"),
+          concat(lit("Topic "), col("o_orderpriority")).as("topic"),
+          (col("o_orderkey") * 1000).as("total_size"),
+          lit(2L).as("type"),
+          concat(lit("uuid-"), col("o_orderkey")).as("uuid"),
+          array(struct(lit("u").as("download_url")))
+            .as("recording_files"))).as("meetings"))
+      ZoomPipeline.meetings.select(ZoomPipeline.meetingsTransform(raw))
+        .withColumn("meet_start_time", ntz(col("meet_start_time")))
+    }),
     "contract_select" -> ((s, dir) => {
       // P2/P4/P5/P6: contract projection + rename + drop + audit literal.
       t(s, dir, "customer")
@@ -542,6 +589,33 @@ object SparkEntry {
         | CASE WHEN o_orderkey % 10 = 0 THEN '' ELSE CAST(o_orderkey AS VARCHAR) END AS code,
         | CASE WHEN o_orderkey % 10 = 0 THEN 'plain line ' || o_orderpriority
         |      ELSE 'msg ' || o_orderpriority END AS msg
+        |FROM orders""".stripMargin,
+    "jhub_pipeline_transform" ->
+      """SELECT o_orderdate AS time_stamp,
+        | 'hub-' || CAST(o_orderkey % 3 AS VARCHAR) AS kuber_container_name,
+        | 'node' || CAST(o_custkey % 5 AS VARCHAR) AS kuber_host,
+        | 'pod-' || CAST(o_orderkey AS VARCHAR) AS kuber_pod_name,
+        | 'I' AS log_head,
+        | TIMESTAMP '2024-01-01 00:00:00' AS log_timestamp,
+        | 'JupyterHub' AS log_service,
+        | 'app' AS log_type,
+        | CAST(o_orderkey AS VARCHAR) AS log_code,
+        | 'served ' || o_orderpriority AS log_msg
+        |FROM orders""".stripMargin,
+    "zoom_meetings_transform" ->
+      """SELECT 'acct' || CAST(o_custkey % 7 AS VARCHAR) AS meet_account_id,
+        | o_orderkey % 120 AS meet_duration,
+        | 'host' || CAST(o_custkey AS VARCHAR) || '@x.io' AS meet_host_email,
+        | 'h' || CAST(o_custkey AS VARCHAR) AS meet_host_id,
+        | o_orderkey AS meet_id,
+        | o_orderkey % 4 AS meet_recording_count,
+        | 'https://share/' || CAST(o_orderkey AS VARCHAR) AS meet_share_url,
+        | o_orderdate AS meet_start_time,
+        | 'UTC' AS meet_timezone,
+        | 'Topic ' || o_orderpriority AS meet_topic,
+        | o_orderkey * 1000 AS meet_total_size,
+        | CAST(2 AS BIGINT) AS meet_type,
+        | 'uuid-' || CAST(o_orderkey AS VARCHAR) AS meet_uuid
         |FROM orders""".stripMargin,
     "contract_select" ->
       """SELECT c_custkey AS customer_id, c_name AS customer_name,
