@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
+import graft.plans.PlanInspect
 import graft.sources.Tables
 
 /** Plan regression tests: the physical properties the 100-TB design
@@ -15,21 +16,22 @@ class PlanAuditSpec extends SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
 
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.executedPlan.toString
+    PlanInspect.planString(df)
 
   test("filters are pushed down to the parquet scan") {
     val df = Tables.load(spark, dir, "lineitem")
       .filter(col("l_quantity") >= 48)
       .select(col("l_orderkey"))
-    val plan = planOf(df)
-    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,48"), plan)
+    val pushed = PlanInspect.pushedFilters(df)
+    assert(pushed.exists(_.contains("GreaterThanOrEqual(l_quantity,48")), pushed.toString)
   }
 
   test("projection prunes the parquet read schema") {
     val df = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))
-    val plan = planOf(df)
-    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+    assert(PlanInspect.readSchemas(df)
+      .contains("struct<l_orderkey:bigint,l_quantity:double>"),
+      PlanInspect.readSchemas(df).toString)
   }
 
   test("star joins broadcast the small dimension tables") {
@@ -59,8 +61,6 @@ class PlanAuditSpec extends SparkTestBase {
     val pairs = Dedup.minhashDedupPairs(
       spark.read.parquet(s"$dir/documents.parquet"),
       col("doc_id"), col("text"), numHashes = 32, shingleSize = 3, bands = 8)
-    val plan = planOf(pairs)
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!PlanInspect.hasCartesian(pairs), planOf(pairs))
   }
 }
