@@ -359,6 +359,22 @@ object SparkEntry {
         col("text"), numHashes = 128, shingleSize = 3, bands = 32,
         minEstJaccard = 0.5)
     }),
+    "corpus_curation" -> ((s, dir) => { // engine-hash based: rows-only
+      // the composed training-data path: annotate -> quality/lang gate ->
+      // exact dedup -> MinHash near-dedup -> enriched curated corpus
+      import graft.pipelines.CorpusPipeline
+      val cfg = CorpusPipeline.Config(minQuality = 0.3,
+        keepLangs = Seq("en"), minTokens = 5, shingleSize = 3,
+        numHashes = 64, bands = 16, minEstJaccard = 0.7, featureDim = 8)
+      val gated = CorpusPipeline.qualityGate(
+        CorpusPipeline.annotate(t(s, dir, "documents")), cfg)
+      val deduped = CorpusPipeline.nearDedup(
+        CorpusPipeline.exactDedup(gated), cfg)
+      CorpusPipeline.enrich(deduped, cfg)
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+          col("simhash"), size(col("fingerprints")).as("n_fp"),
+          size(col("features")).as("n_features"))
+    }),
     "source_minhash_jaccard" -> ((s, dir) => { // engine-hash: rows-only
       // group-level sketches via the TypedImperativeAggregate: MinHash
       // union per source, then pairwise estimated Jaccard across sources

@@ -1,0 +1,90 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Fingerprint, TextFunctions}
+import graft.operators.{Dedup, Multimodal}
+import graft.sinks.ParquetSink
+
+/** The training-data curation pipeline — the composed "what this engine
+  * is for at 100 TB" path over a raw documents table:
+  *
+  *   raw → text stats (tokens / language / quality)
+  *       → quality + language gate
+  *       → exact dedup (hash groupBy on text)
+  *       → MinHash-LSH near-dedup (banded candidate join, greedy prune)
+  *       → enriched corpus (+ fingerprints, simhash, stub features)
+  *
+  * Each stage is a pure DataFrame → DataFrame function (composable and
+  * unit-testable); `run` materializes the stages to parquet. Everything
+  * heavy is per-row kernels or key equi-joins — no stage is quadratic in
+  * the corpus.
+  */
+object CorpusPipeline {
+
+  final case class Config(minQuality: Double = 0.3,
+                          keepLangs: Seq[String] = Seq("en"),
+                          minTokens: Int = 5,
+                          shingleSize: Int = 3,
+                          numHashes: Int = 128,
+                          bands: Int = 32,
+                          minEstJaccard: Double = 0.8,
+                          featureDim: Int = 16)
+
+  /** Stage 1: annotate with the text-analysis features. */
+  def annotate(docs: DataFrame): DataFrame =
+    docs.select(col("*"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.langId(col("text")).as("lang_pred"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+
+  /** Stage 2: the quality gate — pure pushdown-friendly filters. */
+  def qualityGate(annotated: DataFrame, cfg: Config): DataFrame =
+    annotated
+      .filter(col("n_tokens") >= cfg.minTokens)
+      .filter(col("quality") >= cfg.minQuality)
+      .filter(col("lang_pred").isin(cfg.keepLangs: _*))
+
+  /** Stage 3: exact dedup — one hash aggregation, min-id survivor. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    Dedup.applyPairDedup(docs, col("doc_id"),
+      Dedup.exactDuplicateIds(docs, col("text"), col("doc_id"))
+        .select(col("keep_id").as("id_a"), col("row_id").as("id_b")))
+
+  /** Stage 4: near-dedup via MinHash LSH, greedy min-id survivor. */
+  def nearDedup(docs: DataFrame, cfg: Config): DataFrame =
+    Dedup.applyPairDedup(docs, col("doc_id"),
+      Dedup.minhashDedupPairs(docs, col("doc_id"), col("text"),
+        cfg.numHashes, cfg.shingleSize, cfg.bands, cfg.minEstJaccard))
+
+  /** Stage 5: enrich the surviving corpus with dedup-ready artifacts for
+    * downstream consumers (all per-row kernels, zero shuffle).
+    */
+  def enrich(docs: DataFrame, cfg: Config): DataFrame =
+    docs.select(col("*"),
+      Fingerprint.winnow(col("text"), k = 5, w = 4).as("fingerprints"),
+      graft.functions.Kernels.simhash64(TextFunctions.tokens(col("text")))
+        .as("simhash"),
+      Multimodal.stubFeatureVector(col("text").cast("binary"), cfg.featureDim)
+        .as("features"))
+
+  /** Full run, staged to parquet; returns per-stage row counts. */
+  def run(ctx: PipelineContext, docs: DataFrame,
+          cfg: Config = Config()): Map[String, Long] = {
+    val gated = qualityGate(annotate(docs), cfg)
+    val exact = exactDedup(gated)
+    val path = s"${ctx.stagingDir}/corpus_curated"
+    // the exact-deduped lineage fans into LSH pair generation AND the
+    // anti-join left side → persist once
+    ctx.persisted(exact) { e =>
+      val curated = enrich(nearDedup(e, cfg), cfg)
+      ParquetSink.write(curated, path, SaveMode.Overwrite)
+      Map(
+        "raw" -> docs.count(),
+        "gated" -> gated.count(),
+        "exact_deduped" -> e.count(),
+        "curated" -> ctx.spark.read.parquet(path).count())
+    }
+  }
+}
