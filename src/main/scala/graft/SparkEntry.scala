@@ -132,6 +132,24 @@ object SparkEntry {
         .select(col("c_custkey").as("custkey"))
         .intersect(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
     }),
+    "q_pivot_events" -> ((s, dir) => {
+      // per-user event-type counts pivoted to columns (fixed type set so
+      // the pivot needs no extra distinct-values job)
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .select(col("user_id"), col("click").as("n_click"),
+          col("view").as("n_view"), col("purchase").as("n_purchase"),
+          col("signup").as("n_signup"), col("error").as("n_error"))
+    }),
+    "q_except_custs" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .except(t(s, dir, "orders")
+          .filter(col("o_totalprice") > 200000)
+          .select(col("o_custkey").as("custkey")))
+    }),
     "q_agg_gate" -> ((s, dir) => {
       // A1/A2/O3: the global scalar that gates a pipeline run.
       t(s, dir, "lineitem").agg(
@@ -528,6 +546,18 @@ object SparkEntry {
     "q_intersect_custs" ->
       """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |INTERSECT SELECT o_custkey AS custkey FROM orders""".stripMargin,
+    "q_pivot_events" ->
+      """SELECT user_id,
+        | COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+        | COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+        | COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        | COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        | COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_except_custs" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000""".stripMargin,
     "q_agg_gate" ->
       """SELECT COUNT(*) AS n_rows, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
         |FROM lineitem""".stripMargin,

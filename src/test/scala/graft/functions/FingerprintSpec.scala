@@ -49,4 +49,19 @@ class FingerprintSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
     assert(a.toSet.intersect(c.toSet).isEmpty)
   }
+
+  test("kernels are null-safe: null input yields null, empties yield empties") {
+    import graft.TestSpark.spark.implicits._
+    val df = Seq[(Option[String], Option[Seq[String]])](
+      (None, None), (Some(""), Some(Seq.empty[String]))).toDF("t", "arr")
+    val r = df.select(
+      Fingerprint.winnow(org.apache.spark.sql.functions.col("t"), 5, 4).as("w"),
+      Kernels.simhash64(org.apache.spark.sql.functions.col("arr")).as("sh"),
+      Kernels.minhashSig(org.apache.spark.sql.functions.col("arr"), 8).as("mh"))
+      .collect()
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1) && r(0).isNullAt(2))
+    assert(r(1).getAs[scala.collection.Seq[Long]]("w").isEmpty)
+    assert(r(1).getAs[scala.collection.Seq[Long]]("mh").isEmpty)
+    assert(r(1).getLong(1) == 0L) // simhash of no tokens: all votes negative
+  }
 }
