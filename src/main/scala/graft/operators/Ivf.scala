@@ -78,8 +78,6 @@ object Ivf {
       .filter(col("query_id") =!= col("vec_id"))
     val scored = cands.select(col("query_id"), col("vec_id").as("neighbor_id"),
       VectorFunctions.cosine(col("qv"), col("v")).as("cosine"))
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
+    Similarity.rankTopK(scored, k)
   }
 }

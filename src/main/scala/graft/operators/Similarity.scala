@@ -35,10 +35,23 @@ object Similarity {
       if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
     val scored = joined.select(col("query_id"), col("neighbor_id"),
       VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    Similarity.rankTopK(scored, k)
   }
+
+  /** Shared top-k ranking via the bounded heap aggregate
+    * ([[graft.functions.TopKAgg]]): at most k candidates per query cross
+    * the shuffle (map-side partial top-k), where the window+row_number
+    * form shuffles and sorts EVERY candidate. Ordering contract matches
+    * the window form exactly: cosine DESC, neighbor_id ASC on ties.
+    */
+  private[graft] def rankTopK(scored: org.apache.spark.sql.DataFrame,
+                              k: Int): org.apache.spark.sql.DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cosine"), col("neighbor_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
 
   /** ANN top-`k` via SRP bucket candidate generation + exact rerank.
     * `probes > 0` additionally probes buckets at Hamming distance 1 from
@@ -67,8 +80,6 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
     val scored = cands.select(col("query_id"), col("neighbor_id"),
       VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 }
