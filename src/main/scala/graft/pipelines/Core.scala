@@ -30,6 +30,16 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
   def stage(name: String)(body: => TableResult): Unit =
     results += (name -> (try Right(body) catch { case e: Throwable => Left(e) }))
 
+  /** O2 for source-level sections (scan + gate + the tables they feed):
+    * the reference's preproc functions swallow failures and return None,
+    * skipping everything downstream (zoom_proc.py:130-150) — a missing
+    * day of input must not abort sibling source families.
+    */
+  def guard(name: String)(body: => Unit): Unit =
+    try body catch { case e: Throwable =>
+      results += (name -> Left(e))
+    }
+
   def report: Seq[(String, Either[Throwable, TableResult])] = results.toSeq
 
   def failed: Seq[String] = results.collect { case (n, Left(_)) => n }.toSeq
@@ -55,10 +65,13 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
   }
 
   /** A2/O3: the empty-input gate — a single global sum collected as a
-    * scalar; 0 (or an empty frame) skips everything downstream.
+    * scalar; 0 (an empty frame, or a frame that does not even have the
+    * gate column — what spark.read.json infers from an empty glob) skips
+    * everything downstream.
     */
   def sumGate(df: DataFrame, column: String): Long =
-    df.agg(coalesce(sum(col(column)), lit(0L)).cast("long")).first().getLong(0)
+    if (!df.columns.contains(column)) 0L
+    else df.agg(coalesce(sum(col(column)), lit(0L)).cast("long")).first().getLong(0)
 
   /** O6 fix: persist a lineage that feeds several tables. */
   def persisted[T](df: DataFrame)(body: DataFrame => T): T = {

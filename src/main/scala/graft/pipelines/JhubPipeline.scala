@@ -53,10 +53,11 @@ object JhubPipeline {
   /** End-to-end run over an input glob (the reference's hour-partitioned
     * path, jhub_proc.py:257-276, is just a narrower glob).
     */
-  def run(ctx: PipelineContext, inputGlob: String): Unit = {
-    val raw = Tables.json(ctx.spark, inputGlob)
-    ctx.stage("jhublogs") {
-      ctx.saveTable(transform(raw), jhublogs)
+  def run(ctx: PipelineContext, inputGlob: String): Unit =
+    ctx.guard("jhublogs_source") {
+      val raw = Tables.json(ctx.spark, inputGlob)
+      ctx.stage("jhublogs") {
+        ctx.saveTable(transform(raw), jhublogs)
+      }
     }
-  }
 }

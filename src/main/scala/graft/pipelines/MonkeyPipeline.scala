@@ -135,6 +135,7 @@ object MonkeyPipeline {
           loadDatetime: Timestamp): Unit = {
     val drop = ctx.mode == SaveMode.Overwrite
 
+    ctx.guard("monkey_surveys_source") {
     val surveysFlat = surveysTransform(Tables.json(ctx.spark, surveysGlob),
       loadDatetime)
     ctx.persisted(surveysFlat) { sv =>
@@ -148,7 +149,9 @@ object MonkeyPipeline {
           ctx.saveTable(choicesTransform(q), choices, dropOnOverwrite = drop))
       }
     }
+    }
 
+    ctx.guard("monkey_responses_source") {
     val respFlat = responsesTransform(Tables.json(ctx.spark, responsesGlob),
       loadDatetime)
     ctx.persisted(respFlat) { r =>
@@ -156,6 +159,7 @@ object MonkeyPipeline {
         ctx.saveTable(r, responses, dropOnOverwrite = drop))
       ctx.stage("hst_surveys_answers")(
         ctx.saveTable(answersTransform(r), answers, dropOnOverwrite = drop))
+    }
     }
   }
 }

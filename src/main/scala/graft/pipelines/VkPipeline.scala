@@ -174,6 +174,7 @@ object VkPipeline {
           wallsGlob: String, loadDatetime: Timestamp): Unit = {
     val drop = ctx.mode == SaveMode.Overwrite
 
+    ctx.guard("vk_groups_source") {
     val groupsFlat = groupsTransform(Tables.json(ctx.spark, groupsGlob),
       loadDatetime)
     ctx.persisted(groupsFlat) { g =>
@@ -184,6 +185,7 @@ object VkPipeline {
         ctx.saveTable(linksTransform(g), groupsLinks, dropOnOverwrite = drop))
 
       // A3 (vk_proc.py:465): the members FK is a collected scalar.
+      ctx.guard("vk_members_source") {
       val groupId = g.select(col("group_id")).first().getLong(0)
       val membersFlat = membersTransform(
         Tables.json(ctx.spark, membersGlob), groupId, loadDatetime)
@@ -197,14 +199,18 @@ object VkPipeline {
           ctx.saveTable(universitiesTransform(m), membersUniversities,
             dropOnOverwrite = drop))
       }
+      }
+    }
     }
 
+    ctx.guard("vk_walls_source") {
     val wallFlat = wallTransform(Tables.json(ctx.spark, wallsGlob), loadDatetime)
     ctx.persisted(wallFlat) { w =>
       ctx.stage("wall_items")(
         ctx.saveTable(wallItemsTransform(w), wallItems, dropOnOverwrite = drop))
       ctx.stage("wall_history")(
         ctx.saveTable(wallHistoryTransform(w), wallHistory, dropOnOverwrite = drop))
+    }
     }
   }
 }

@@ -120,7 +120,7 @@ object ZoomPipeline {
 
   /** Daily pipeline (zoom_proc.py proc()). */
   def run(ctx: PipelineContext, meetingsGlob: String,
-          participantsGlob: String): Unit = {
+          participantsGlob: String): Unit = ctx.guard("zoom_source") {
     val raw = Tables.json(ctx.spark, meetingsGlob)
     if (ctx.sumGate(raw, "total_records") > 0) {
       val flat = meetingsTransform(raw)
@@ -143,7 +143,8 @@ object ZoomPipeline {
     * stamped, pts_ prefix, explicit contract selects on all three tables.
     */
   def runHst(ctx: PipelineContext, meetingsGlob: String,
-             participantsGlob: String, loadDatetime: Timestamp): Unit = {
+             participantsGlob: String,
+             loadDatetime: Timestamp): Unit = ctx.guard("zoom_hst_source") {
     val raw = Tables.json(ctx.spark, meetingsGlob)
     if (ctx.sumGate(raw, "total_records") > 0) {
       val flat = stamp(meetingsTransform(raw), loadDatetime)

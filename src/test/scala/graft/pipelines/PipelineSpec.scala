@@ -323,4 +323,16 @@ class PipelineSpec extends SparkTestBase {
     JhubPipeline.run(c, jhubFixture)
     assert(sink.count("jhublogs") == 4)
   }
+
+  test("missing source fails its family only; siblings still run (O2)") {
+    val (c, _) = ctx("vk_partial", SaveMode.Overwrite)
+    // groups glob matches nothing -> groups/members families fail softly;
+    // walls still load
+    VkPipeline.run(c, "/nonexistent/path/*.json", vkMembersFixture,
+      vkWallsFixture, loadTs)
+    assert(c.failed.contains("vk_groups_source"))
+    assert(spark.read.parquet(s"${c.stagingDir}/wall_items").count() == 1)
+    assert(c.report.collect { case (_, Right(r)) => r.table }.toSet ==
+      Set("wall_items", "wall_history"))
+  }
 }
