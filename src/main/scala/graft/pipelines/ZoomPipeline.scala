@@ -136,6 +136,11 @@ object ZoomPipeline {
         ctx.saveTable(pts, participants,
           modeOverride = Some(SaveMode.Overwrite), applyContract = false)
       }
+      // zoom_proc.py:482-486: reader grants issued after the loads
+      ctx.guard("grants") {
+        ctx.sink.execute(
+          "GRANT SELECT ON ALL TABLES IN SCHEMA public TO serving_reader")
+      }
     }
   }
 

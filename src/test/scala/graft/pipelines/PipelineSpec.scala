@@ -125,6 +125,8 @@ class PipelineSpec extends SparkTestBase {
     // reconciliation recorded for all three tables
     assert(c.report.collect { case (_, Right(r)) => r.table }.toSet ==
       Set("meetings", "records", "participants"))
+    // reader grants issued after the loads (zoom_proc.py:482-486)
+    assert(sink.ddl.exists(_.startsWith("GRANT SELECT")))
     assert(c.report.collect { case (_, Right(r)) => r }.forall(_.consistent))
   }
 
