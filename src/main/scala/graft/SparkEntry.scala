@@ -132,6 +132,29 @@ object SparkEntry {
         .select(col("c_custkey").as("custkey"))
         .intersect(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
     }),
+    "q_sql_correlated" -> ((s, dir) => {
+      // SQL frontend + correlated scalar subquery (Catalyst decorrelates
+      // it into an aggregate + outer join)
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""SELECT c_custkey, c_mktsegment,
+              |  (SELECT COUNT(*) FROM orders_v o
+              |    WHERE o.o_custkey = c.c_custkey) AS n_orders,
+              |  (SELECT CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+              |    FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS total_spend
+              |FROM customer_v c""".stripMargin)
+    }),
+    "q_running_total" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // cumulative window frame with exact decimal accumulation
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        ntz(col("o_orderdate")).as("o_orderdate"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double")
+          .as("running_spend"))
+    }),
     "q_pivot_events" -> ((s, dir) => {
       // per-user event-type counts pivoted to columns (fixed type set so
       // the pivot needs no extra distinct-values job)
@@ -546,6 +569,19 @@ object SparkEntry {
     "q_intersect_custs" ->
       """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |INTERSECT SELECT o_custkey AS custkey FROM orders""".stripMargin,
+    "q_sql_correlated" ->
+      """SELECT c_custkey, c_mktsegment,
+        | (SELECT COUNT(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        | (SELECT CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+        |   FROM orders o WHERE o.o_custkey = c.c_custkey) AS total_spend
+        |FROM customer c""".stripMargin,
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+        |FROM orders""".stripMargin,
     "q_pivot_events" ->
       """SELECT user_id,
         | COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
