@@ -132,6 +132,13 @@ object SparkEntry {
         .select(col("c_custkey").as("custkey"))
         .intersect(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
     }),
+    "q_percentiles" -> ((s, dir) => {
+      // exact interpolated percentiles (same definition as quantile_cont)
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95_price"),
+          expr("percentile(l_quantity, 0.5)").as("median_qty"))
+    }),
     "q_sql_correlated" -> ((s, dir) => {
       // SQL frontend + correlated scalar subquery (Catalyst decorrelates
       // it into an aggregate + outer join)
@@ -569,6 +576,12 @@ object SparkEntry {
     "q_intersect_custs" ->
       """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |INTERSECT SELECT o_custkey AS custkey FROM orders""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_extendedprice, 0.5) AS median_price,
+        | quantile_cont(l_extendedprice, 0.95) AS p95_price,
+        | quantile_cont(l_quantity, 0.5) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_sql_correlated" ->
       """SELECT c_custkey, c_mktsegment,
         | (SELECT COUNT(*) FROM orders o
