@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+
+/** Exact algebraic properties of the kernels (not statistical estimates —
+  * these hold for every input).
+  */
+class KernelPropertiesSpec extends SparkTestBase {
+
+  private def words(seed: Long, n: Int): Seq[String] = {
+    val g = Gen.listOfN(n, Gen.oneOf("spark", "row", "data", "fast", "key",
+      "sort", "scan", "merge", "join", "query"))
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+  }
+
+  test("minhash: signature of a union is the element-wise min") {
+    import graft.TestSpark.spark.implicits._
+    (1L to 10L).foreach { seed =>
+      val a = words(seed, 30).mkString(" ")
+      val b = words(seed + 100, 30).mkString(" ")
+      val df = Seq((a, b, a + " " + b)).toDF("a", "b", "u")
+      def sig(c: String) = Kernels.minhashSig(
+        array_distinct(TextFunctions.wordShingles(col(c), 2)), 32)
+      val r = df.select(sig("a").as("sa"), sig("b").as("sb"), sig("u").as("su")).head()
+      val sa = r.getSeq[Long](0); val sb = r.getSeq[Long](1); val su = r.getSeq[Long](2)
+      // shingles(u) ⊇ shingles(a) ∪ shingles(b) minus boundary effects —
+      // use the exact union property on the signature level instead:
+      // every union-signature entry is <= the min of the parts
+      assert(su.zip(sa.zip(sb)).forall { case (u, (x, y)) => u <= math.min(x, y) })
+    }
+  }
+
+  test("minhash est-jaccard of identical inputs is exactly 1") {
+    import graft.TestSpark.spark.implicits._
+    val t = words(7L, 40).mkString(" ")
+    val df = Seq((t, t)).toDF("a", "b")
+    def sig(c: String) = Kernels.minhashSig(
+      array_distinct(TextFunctions.wordShingles(col(c), 3)), 64)
+    val r = df.select(sig("a"), sig("b")).head()
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+  }
+
+  test("simhash is invariant under token duplication") {
+    import graft.TestSpark.spark.implicits._
+    (1L to 10L).foreach { seed =>
+      val toks = words(seed, 25)
+      val df = Seq((toks, toks ++ toks)).toDF("once", "twice")
+      val r = df.select(Kernels.simhash64(col("once")),
+        Kernels.simhash64(col("twice"))).head()
+      assert(r.getLong(0) == r.getLong(1), s"seed $seed")
+    }
+  }
+
+  test("winnow fingerprints are a subset of the k-gram hash set") {
+    import graft.TestSpark.spark.implicits._
+    (1L to 10L).foreach { seed =>
+      val text = words(seed, 20).mkString(" ")
+      val df = Seq(text).toDF("t")
+      val r = df.select(Kernels.winnowFp(col("t"), 4, 3).as("fp"),
+        Fingerprint.kgramHashes(col("t"), 4).as("kg")).head()
+      val fp = r.getSeq[Long](0).toSet
+      val kg = r.getSeq[Long](1).toSet
+      assert(fp.subsetOf(kg), s"seed $seed")
+      assert(fp.nonEmpty)
+    }
+  }
+
+  test("cosine is symmetric and self-cosine is 1") {
+    import graft.TestSpark.spark.implicits._
+    (1L to 10L).foreach { seed =>
+      val g = Gen.listOfN(16, Gen.chooseNum(-1.0, 1.0))
+      val v = g.pureApply(Gen.Parameters.default, Seed(seed)).toArray
+      val w = g.pureApply(Gen.Parameters.default, Seed(seed + 50)).toArray
+      val df = Seq((v, w)).toDF("v", "w")
+      val r = df.select(
+        VectorFunctions.cosine(col("v"), col("w")),
+        VectorFunctions.cosine(col("w"), col("v")),
+        VectorFunctions.cosine(col("v"), col("v"))).head()
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    }
+  }
+}
