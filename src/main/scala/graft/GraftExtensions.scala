@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$name expects $n arguments, got ${args.length}")
+
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _)  => v
     case Literal(v: Long, _) => v.toInt
@@ -47,26 +51,28 @@ object GraftExtensions {
   val builders: Seq[(String, (ExpressionInfo, Seq[Expression] => Expression))] = Seq(
     "graft_fnv64" -> ((info("graft_fnv64",
       "graft_fnv64(str) - FNV-1a 64-bit hash of the UTF-8 bytes"),
-      (args: Seq[Expression]) => Fnv64(args.head))),
+      (args: Seq[Expression]) => { arity("graft_fnv64", args, 1); Fnv64(args.head) })),
     "graft_simhash64" -> ((info("graft_simhash64",
       "graft_simhash64(tokens) - 64-bit SimHash of a string array"),
-      (args: Seq[Expression]) => Kernels.SimHash64(args.head))),
+      (args: Seq[Expression]) => { arity("graft_simhash64", args, 1); Kernels.SimHash64(args.head) })),
     "graft_minhash" -> ((info("graft_minhash",
       "graft_minhash(shingles, numHashes, seed) - MinHash signature"),
-      (args: Seq[Expression]) => Kernels.MinHashSig(args.head,
-        intArg(args(1), "numHashes"), longArg(args(2), "seed")))),
+      (args: Seq[Expression]) => { arity("graft_minhash", args, 3)
+        Kernels.MinHashSig(args.head,
+          intArg(args(1), "numHashes"), longArg(args(2), "seed")) })),
     "graft_winnow" -> ((info("graft_winnow",
       "graft_winnow(text, k, w) - winnowed k-gram fingerprints"),
-      (args: Seq[Expression]) => Kernels.Winnow(args.head,
-        intArg(args(1), "k"), intArg(args(2), "w")))),
+      (args: Seq[Expression]) => { arity("graft_winnow", args, 3)
+        Kernels.Winnow(args.head, intArg(args(1), "k"), intArg(args(2), "w")) })),
     "graft_cosine" -> ((info("graft_cosine",
       "graft_cosine(a, b) - cosine similarity of two numeric arrays"),
-      (args: Seq[Expression]) => Kernels.CosineSim(args.head, args(1)))),
+      (args: Seq[Expression]) => { arity("graft_cosine", args, 2)
+        Kernels.CosineSim(args.head, args(1)) })),
     "graft_srp_code" -> ((info("graft_srp_code",
       "graft_srp_code(vec, dim, bits, seed) - signed-random-projection bucket"),
-      (args: Seq[Expression]) => Kernels.SrpCode(args.head,
-        intArg(args(1), "dim"), intArg(args(2), "bits"),
-        longArg(args(3), "seed")))))
+      (args: Seq[Expression]) => { arity("graft_srp_code", args, 4)
+        Kernels.SrpCode(args.head, intArg(args(1), "dim"),
+          intArg(args(2), "bits"), longArg(args(3), "seed")) })))
 
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

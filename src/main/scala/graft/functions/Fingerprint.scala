@@ -16,6 +16,12 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   */
 case class Fnv64(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"fnv64 requires a string input, got ${child.dataType.simpleString}")
+
   override def dataType: DataType = LongType
   override def prettyName: String = "fnv64"
 

@@ -86,12 +86,17 @@ object Kernels {
     */
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
     val s = text.toString
-    val nGrams = s.length - k + 1
+    // k-grams are CODE POINTS (matching Spark's substring and therefore
+    // TextFunctions.charShingles), not UTF-16 units — astral characters
+    // must not be split across surrogate pairs
+    val cps = s.codePoints().toArray
+    val nGrams = cps.length - k + 1
     if (nGrams <= 0) return new GenericArrayData(Array.empty[Long])
     val hashes = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
-      hashes(i) = Fnv64.hash(UTF8String.fromString(s.substring(i, i + k)))
+      hashes(i) = Fnv64.hash(UTF8String.fromString(
+        new String(cps, i, k)))
       i += 1
     }
     val nWins = nGrams - w + 1
@@ -158,10 +163,30 @@ object Kernels {
     case _                       => false
   }
 
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
+
+  private def requireType(name: String, e: Expression,
+                          ok: DataType => Boolean,
+                          want: String): TypeCheckResult =
+    if (ok(e.dataType)) TypeCheckSuccess
+    else TypeCheckFailure(s"$name requires $want, got ${e.dataType.simpleString}")
+
+  private def isStringArray(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _                        => false
+  }
+  private def isNumericVector(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _                                    => false
+  }
+
   // --- Catalyst expressions --------------------------------------------
 
   case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
       extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child, isStringArray, "array<string>")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_sig"
     override protected def nullSafeEval(input: Any): Any =
@@ -174,6 +199,8 @@ object Kernels {
   }
 
   case class SimHash64(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child, isStringArray, "array<string>")
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"
     override protected def nullSafeEval(input: Any): Any =
@@ -185,6 +212,8 @@ object Kernels {
   }
 
   case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child, _ == StringType, "string")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "winnow"
     override protected def nullSafeEval(input: Any): Any =
@@ -201,6 +230,11 @@ object Kernels {
     // float corpus against double k-means centroids)
     private lazy val aFloats = isFloatArray(left)
     private lazy val bFloats = isFloatArray(right)
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(prettyName, left, isNumericVector, "array<float|double>")
+      if (l != TypeCheckSuccess) l
+      else requireType(prettyName, right, isNumericVector, "array<float|double>")
+    }
     override def dataType: DataType = DoubleType
     override def prettyName: String = "cosine_sim"
     override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -217,6 +251,8 @@ object Kernels {
   case class SrpCode(child: Expression, dim: Int, bits: Int, seed: Long)
       extends UnaryExpression {
     private lazy val floats = isFloatArray(child)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child, isNumericVector, "array<float|double>")
     override def dataType: DataType = LongType
     override def prettyName: String = "srp_code"
     override protected def nullSafeEval(input: Any): Any =

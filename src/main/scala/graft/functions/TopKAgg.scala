@@ -29,6 +29,14 @@ case class TopKAgg(score: Expression, id: Expression, k: Int,
 
   require(k > 0, "k must be positive")
 
+  // fail at ANALYSIS, not with an executor ClassCastException mid-job
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (double, bigint) inputs, got " +
+        s"(${score.dataType.simpleString}, ${id.dataType.simpleString})")
+
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -96,8 +104,13 @@ object TopKAgg {
     var ids: Array[Long] = new Array[Long](math.max(4, k))
     var size: Int = 0
 
-    private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && i1 < i2)
+    // java.lang.Double.compare is a TOTAL order (NaN greatest, matching
+    // Spark's window DESC ordering) — a plain > comparator is inconsistent
+    // under NaN and can blow up TimSort or drop entries nondeterministically.
+    private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && i1 < i2)
+    }
 
     def add(s: Double, i: Long): Unit = {
       if (size == scores.length) {

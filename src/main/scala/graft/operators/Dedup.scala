@@ -44,7 +44,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
                         minJaccard: Double,
                         maxDocFreq: Option[Long] = None,
-                        hashShingles: Boolean = true): DataFrame = {
+                        hashShingles: Boolean = true,
+                        persistLineage: Boolean = true): DataFrame = {
     // Shingles are hashed to int64 before the distinct + self-join by
     // default: an 8-byte fixed-width key shuffles a fraction of the raw
     // text and hash-joins faster. A 64-bit collision (~1e-7 at millions
@@ -71,8 +72,14 @@ object Dedup {
         shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
     }
     // Fans out 3 ways (self-join both sides + sizes); persist beats
-    // recomputing the shingle explode per consumer.
-    val sh = shUncached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // recomputing the shingle explode per consumer. The blocks live until
+    // session cache cleanup (no safe unpersist point inside a lazy
+    // lineage) - long-lived sessions issuing many calls can pass
+    // persistLineage=false or spark.catalog.clearCache() between runs.
+    val sh =
+      if (persistLineage)
+        shUncached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shUncached
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -141,12 +148,17 @@ object Dedup {
     */
   def minhashDedupPairs(df: DataFrame, id: Column, text: Column,
                         numHashes: Int = 128, shingleSize: Int = 5,
-                        bands: Int = 32, minEstJaccard: Double = 0.5): DataFrame = {
+                        bands: Int = 32, minEstJaccard: Double = 0.5,
+                        persistLineage: Boolean = true): DataFrame = {
     // The signature lineage fans out 4 ways (both sides of the banding
     // self-join + both est_jaccard lookups); without persist Spark
-    // recomputes the full minhash kernel per consumer.
-    val sigs = minhashSignatures(df, id, text, numHashes, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // recomputes the full minhash kernel per consumer. Same cache
+    // lifecycle note as ngramJaccardPairs.
+    val sigsRaw = minhashSignatures(df, id, text, numHashes, shingleSize)
+    val sigs =
+      if (persistLineage)
+        sigsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigsRaw
     val banded = lshBands(sigs, numHashes, bands)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

@@ -114,9 +114,8 @@ object Multimodal {
     * shapes.
     */
   def stubResize(media: Column, targetBytes: Int): Column = {
-    val padded = concat(media,
-      expr(s"repeat(cast(' ' as binary), $targetBytes)").cast("binary"))
-    substring(padded, 1, targetBytes).as("resized")
+    val zeros = lit(Array.fill[Byte](targetBytes)(0))
+    substring(concat(media, zeros), 1, targetBytes).as("resized")
   }
 
   /** Fixed-step frame sampling from a video-like payload: every `step`-th

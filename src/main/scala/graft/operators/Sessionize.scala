@@ -15,10 +15,12 @@ object Sessionize {
   /** Per-event session assignment: adds session_idx (1-based per user). */
   def assignSessions(events: DataFrame, user: Column, ts: Column,
                      gapSeconds: Long): DataFrame = {
-    val w = Window.partitionBy(user).orderBy(ts)
-    val prev = lag(unix_micros(ts), 1).over(w)
+    // window rebuilt over the RENAMED columns — the caller's expressions
+    // are no longer resolvable after the projection below
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val prev = lag(unix_micros(col("ts")), 1).over(w)
     val newSession = when(prev.isNull ||
-      unix_micros(ts) - prev > gapSeconds * 1000000L, 1).otherwise(0)
+      unix_micros(col("ts")) - prev > gapSeconds * 1000000L, 1).otherwise(0)
     events.select(user.as("user_id"), ts.as("ts"))
       .withColumn("session_idx",
         sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))

@@ -47,7 +47,10 @@ object Similarity {
   private[graft] def rankTopK(scored: org.apache.spark.sql.DataFrame,
                               k: Int): org.apache.spark.sql.DataFrame =
     scored.groupBy(col("query_id"))
-      .agg(graft.functions.TopKAgg.topK(col("cosine"), col("neighbor_id"), k)
+      // casts make any numeric id/score type legal (the aggregate itself
+      // requires exactly (double, bigint) and rejects others at analysis)
+      .agg(graft.functions.TopKAgg.topK(col("cosine").cast("double"),
+        col("neighbor_id").cast("bigint"), k)
         .as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("neighbor_id"),

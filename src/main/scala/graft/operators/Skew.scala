@@ -22,6 +22,11 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 1, "salt must be > 1")
+    // dim-preserving types (right/full outer) would surface every
+    // unmatched REPLICA — up to `salt` phantom rows per dim row
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin preserves multiplicity only for fact-preserving join types, got $joinType")
     // Deterministic spread: hash the full fact row, not rand() — rerun-
     // stable and independent of partitioning.
     val salted = fact.withColumn("__salt",

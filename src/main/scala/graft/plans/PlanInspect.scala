@@ -14,9 +14,11 @@ object PlanInspect {
 
   def planString(df: DataFrame): String = executedPlan(df).toString
 
-  /** Number of shuffle exchanges in the plan. */
+  /** Number of SHUFFLE exchanges in the plan (word-boundary match, so
+    * BroadcastExchange / ReusedExchange are not miscounted).
+    */
   def exchangeCount(df: DataFrame): Int =
-    planString(df).sliding("Exchange".length).count(_ == "Exchange")
+    "\\bExchange\\b".r.findAllIn(planString(df)).length
 
   def hasBroadcastJoin(df: DataFrame): Boolean =
     planString(df).contains("BroadcastHashJoin")
