@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Kernels, TopKAgg}
+import graft.operators.{Sessionize, Skew}
+
+/** Regression tests for the hardening pass: bad inputs fail at analysis
+  * with clear messages, and the semantic fixes hold.
+  */
+class HardeningSpec extends SparkTestBase {
+
+  test("TopKAgg rejects wrong input types at analysis time") {
+    import graft.TestSpark.spark.implicits._
+    val df = Seq(("a", 1.0, "not-a-long")).toDF("g", "s", "id")
+    val e = intercept[Exception] {
+      df.groupBy("g").agg(TopKAgg.topK(col("s"), col("id"), 2)).collect()
+    }
+    assert(e.getMessage.contains("requires (double, bigint)"), e.getMessage)
+  }
+
+  test("top-k is deterministic in the presence of NaN scores") {
+    import graft.TestSpark.spark.implicits._
+    // zero vector -> cosine NaN against every query
+    val vecs = (Seq((0L, Array(0.0f, 0.0f))) ++
+      (1 to 40).map(i => (i.toLong, Array(i.toFloat, 1.0f)))).toDF("id", "v")
+    val out = graft.operators.Similarity.bruteForceTopK(vecs, col("id"), col("v"),
+      vecs.filter(col("id") === 1), col("id"), col("v"), k = 3)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    // NaN sorts greatest (Spark semantics): the zero vector ranks first,
+    // deterministically
+    assert(out.toSeq.sortBy(_._2).head._1 == 0L)
+    assert(out.length == 3)
+  }
+
+  test("saltedJoin rejects dim-preserving join types") {
+    import graft.TestSpark.spark.implicits._
+    val f = Seq((1L, "x")).toDF("k", "p")
+    val d = Seq((1L, "d")).toDF("k", "n")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(f, d, "k", salt = 4, joinType = "right")
+    }
+    assert(e.getMessage.contains("fact-preserving"))
+  }
+
+  test("sessionize works with arbitrarily named input columns") {
+    import graft.TestSpark.spark.implicits._
+    val ev = Seq(
+      (7L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (7L, Timestamp.valueOf("2024-01-01 13:00:00"))
+    ).toDF("uid", "event_time") // NOT user_id/ts
+    val out = Sessionize.sessions(ev, col("uid"), col("event_time"), 3600)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((7L, 1L), (7L, 2L)))
+  }
+
+  test("winnow segments k-grams by code points (astral-safe)") {
+    val astral = "ab𝄞cd" // 5 code points, 6 UTF-16 units
+    val r = spark.range(1).select(
+      Kernels.winnowFp(lit(astral), 3, 2).as("fp"),
+      graft.functions.Fingerprint.kgramHashes(lit(astral), 3).as("kg")).head()
+    val fp = r.getSeq[Long](0).toSet
+    val kg = r.getSeq[Long](1).toSet
+    // 3 k-grams of 5 code points; fingerprints must come from the same
+    // code-point-segmented gram universe as the charShingles HOF path
+    assert(kg.size == 3)
+    assert(fp.subsetOf(kg))
+  }
+
+  test("SQL functions fail cleanly on bad arity and types") {
+    GraftExtensions.register(spark)
+    val arity = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array('a'))").collect()
+    }
+    assert(arity.getMessage.contains("expects 3 arguments"), arity.getMessage)
+    val typed = intercept[Exception] {
+      spark.sql("SELECT graft_fnv64(42)").collect()
+    }
+    assert(typed.getMessage.contains("requires a string"), typed.getMessage)
+  }
+
+  test("zero-pad resize emits 0x00 bytes") {
+    import graft.TestSpark.spark.implicits._
+    val m = graft.operators.Multimodal.packTextAsMedia(
+      Seq((1L, "abc")).toDF("id", "t"), col("id"), col("t"))
+    val bytes = m.select(graft.operators.Multimodal.stubResize(col("media"), 6))
+      .head().getAs[Array[Byte]](0)
+    assert(bytes.toSeq == Seq[Byte]('a', 'b', 'c', 0, 0, 0))
+  }
+}
