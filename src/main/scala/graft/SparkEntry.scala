@@ -98,6 +98,17 @@ object SparkEntry {
         .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
           .cast("double").as("revenue"))
     }),
+    "q6_forecast_revenue" -> ((s, dir) => {
+      // classic predicate-pushdown shape: all four filters reach the scan
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(dec6(col("l_extendedprice") * col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
     "q_semi_join" -> ((s, dir) => {
       val heavy = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
       t(s, dir, "orders")
@@ -554,6 +565,15 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         | AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY r_name, n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT
+        | CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        | AND l_shipdate < TIMESTAMP '1997-01-01'
+        | AND l_discount BETWEEN 0.05 AND 0.07
+        | AND l_quantity < 24""".stripMargin,
     "q_semi_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem

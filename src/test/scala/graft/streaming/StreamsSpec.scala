@@ -94,6 +94,28 @@ class StreamsSpec extends SparkTestBase {
       Timestamp.valueOf("2024-01-01 10:10:00"), 2L)), rows.toString)
     q.stop()
   }
+
+  test("streaming exact dedup within the watermark") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val deduped = mem.toDF().toDF("doc_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("doc_id")
+
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00")), // dup within watermark
+      (2L, Timestamp.valueOf("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_stream").select("doc_id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L, 2L))
+    q.stop()
+  }
 }
 
 object TestSpark {
