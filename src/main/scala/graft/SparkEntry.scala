@@ -476,6 +476,19 @@ object SparkEntry {
         TextFunctions.langId(col("text")).as("lang_pred"),
         TextFunctions.qualityScore(col("text")).as("quality"))
     }),
+    "text_normalize" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.normalizeText(col("text")).as("norm_text"))
+    }),
+    "vocabulary" -> ((s, dir) => {
+      // corpus vocabulary with document frequencies - the word-count shape
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_occurrences") >= 5)
+    }),
     // ----- LLM-pipeline: similarity search ------------------------------
     "cosine_topk" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
@@ -801,6 +814,17 @@ object SparkEntry {
         |  + CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
         |  + least(CAST(n_tokens AS DOUBLE) / 20.0, CAST(1.0 AS DOUBLE))) / 3.0 AS quality
         |FROM b""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |   ' +', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
+    "vocabulary" ->
+      """SELECT token, COUNT(*) AS n_occurrences,
+        | COUNT(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY token HAVING COUNT(*) >= 5""".stripMargin,
     "cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id % 50 = 0),

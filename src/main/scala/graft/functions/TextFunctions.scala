@@ -47,6 +47,14 @@ object TextFunctions {
   def tokenOccurrences(c: Column, w: String): Column =
     size(filter(tokens(c), t => t === lit(w)))
 
+  /** Training-corpus text normalization: lowercase, strip everything but
+    * letters/digits/spaces, collapse whitespace runs, trim. Pure builtin
+    * composition (codegen'd, pushdown-friendly).
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
   // --- quality features ---------------------------------------------------
 
   /** Mean token length over single-space tokens, exact arithmetic:
