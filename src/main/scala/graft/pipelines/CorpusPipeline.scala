@@ -72,19 +72,21 @@ object CorpusPipeline {
   /** Full run, staged to parquet; returns per-stage row counts. */
   def run(ctx: PipelineContext, docs: DataFrame,
           cfg: Config = Config()): Map[String, Long] = {
-    val gated = qualityGate(annotate(docs), cfg)
-    val exact = exactDedup(gated)
-    val path = s"${ctx.stagingDir}/corpus_curated"
-    // the exact-deduped lineage fans into LSH pair generation AND the
-    // anti-join left side → persist once
-    ctx.persisted(exact) { e =>
-      val curated = enrich(nearDedup(e, cfg), cfg)
-      ParquetSink.write(curated, path, SaveMode.Overwrite)
-      Map(
-        "raw" -> docs.count(),
-        "gated" -> gated.count(),
-        "exact_deduped" -> e.count(),
-        "curated" -> ctx.spark.read.parquet(path).count())
+    // gated feeds exactDuplicateIds (twice: keep + join) AND the anti-join
+    // left side — without persist the annotate filters (HOF langId etc.)
+    // run 3x; same for the exact-deduped lineage feeding LSH + anti-join
+    ctx.persisted(qualityGate(annotate(docs), cfg)) { gated =>
+      val exact = exactDedup(gated)
+      val path = s"${ctx.stagingDir}/corpus_curated"
+      ctx.persisted(exact) { e =>
+        val curated = enrich(nearDedup(e, cfg), cfg)
+        ParquetSink.write(curated, path, SaveMode.Overwrite)
+        Map(
+          "raw" -> docs.count(),
+          "gated" -> gated.count(),
+          "exact_deduped" -> e.count(),
+          "curated" -> ctx.spark.read.parquet(path).count())
+      }
     }
   }
 }
