@@ -158,6 +158,45 @@ object Kernels {
     code
   }
 
+  /** Count single-space-delimited tokens of `text` that are members of
+    * `words` (exact string equality, empties kept — the same token
+    * universe as TextFunctions.tokens). One pass, no allocation beyond
+    * the substring probes.
+    */
+  def tokenSetCount(text: UTF8String, words: java.util.HashSet[String]): Int = {
+    val s = text.toString
+    var count = 0
+    var start = 0
+    val n = s.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (words.contains(s.substring(start, i))) count += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    count
+  }
+
+  /** Count maximal runs of [a-z] — exactly what
+    * regexp_extract_all(c, '[a-z]+') produces, without the regex engine.
+    */
+  def asciiRunCount(text: UTF8String): Int = {
+    val s = text.toString
+    var count = 0
+    var inRun = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val isLower = c >= 'a' && c <= 'z'
+      if (isLower && !inRun) { count += 1; inRun = true }
+      else if (!isLower) inRun = false
+      i += 1
+    }
+    count
+  }
+
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false
@@ -280,4 +319,46 @@ object Kernels {
 
   def srpCodeCol(v: Column, dim: Int, bits: Int, seed: Long = 42L): Column =
     ColumnBridge.column(SrpCode(ColumnBridge.expression(v), dim, bits, seed))
+
+  case class TokenSetCount(child: Expression, words: Seq[String])
+      extends UnaryExpression {
+    @transient private lazy val wordSet: java.util.HashSet[String] = {
+      val set = new java.util.HashSet[String]()
+      words.foreach(set.add)
+      set
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child, _ == StringType, "string")
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "token_set_count"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.tokenSetCount(input.asInstanceOf[UTF8String], wordSet)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wordsRef = ctx.addReferenceObj("tscWords", wordSet,
+        "java.util.HashSet<String>")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.Kernels.tokenSetCount($c, $wordsRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): TokenSetCount =
+      copy(child = newChild)
+  }
+
+  case class AsciiRunCount(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child, _ == StringType, "string")
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "ascii_run_count"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.asciiRunCount(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.asciiRunCount($c)")
+    override protected def withNewChildInternal(newChild: Expression): AsciiRunCount =
+      copy(child = newChild)
+  }
+
+  def tokenSetCountCol(text: Column, words: Seq[String]): Column =
+    ColumnBridge.column(TokenSetCount(ColumnBridge.expression(text), words))
+
+  def asciiRunCountCol(text: Column): Column =
+    ColumnBridge.column(AsciiRunCount(ColumnBridge.expression(text)))
 }

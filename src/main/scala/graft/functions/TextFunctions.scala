@@ -23,7 +23,8 @@ object TextFunctions {
     * regex engines.
     */
   def regexTokenCount(c: Column, pattern: String = "[a-z]+"): Column =
-    size(regexp_extract_all(c, lit(pattern), lit(0)))
+    if (pattern == "[a-z]+") Kernels.asciiRunCountCol(c) // codegen fast path
+    else size(regexp_extract_all(c, lit(pattern), lit(0)))
 
   /** Word n-gram shingles joined by single spaces; empty array when the
     * document has fewer than `n` tokens (guard needed because
@@ -63,8 +64,10 @@ object TextFunctions {
   def avgTokenLength(c: Column): Column =
     (length(c) - (tokenCount(c) - 1)).cast("double") / tokenCount(c).cast("double")
 
+  // kernel, not filter(tokens, isin): the HOF form evaluates the isin
+  // lambda INTERPRETED per token
   def stopwordCount(c: Column, stops: Seq[String]): Column =
-    size(filter(tokens(c), t => t.isin(stops.map(lit): _*)))
+    Kernels.tokenSetCountCol(c, stops)
 
   def stopwordRatio(c: Column, stops: Seq[String]): Column =
     stopwordCount(c, stops).cast("double") / tokenCount(c).cast("double")
@@ -98,9 +101,8 @@ object TextFunctions {
     * language in [[LangMarkers]] order, so results are deterministic.
     */
   def langId(c: Column): Column = {
-    val toks = tokens(c)
     val scores = LangMarkers.map { case (lang, markers) =>
-      lang -> size(filter(toks, t => t.isin(markers.map(lit): _*)))
+      lang -> Kernels.tokenSetCountCol(c, markers)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.reverse.foldLeft(lit(LangMarkers.head._1)) { case (acc, (lang, s)) =>
