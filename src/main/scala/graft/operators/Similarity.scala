@@ -45,16 +45,28 @@ object Similarity {
     * the window form exactly: cosine DESC, neighbor_id ASC on ties.
     */
   private[graft] def rankTopK(scored: org.apache.spark.sql.DataFrame,
-                              k: Int): org.apache.spark.sql.DataFrame =
+                              k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    // Widen only LOSSLESSLY (integral id -> bigint, fractional score ->
+    // double); anything else reaches TopKAgg untouched and is rejected at
+    // analysis. A blanket cast would silently truncate fractional ids or
+    // null-out strings instead of failing.
+    val idType = scored.schema("neighbor_id").dataType
+    val idCol = idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col("neighbor_id").cast("bigint")
+      case _ => col("neighbor_id")
+    }
+    val scoreCol = scored.schema("cosine").dataType match {
+      case FloatType | DoubleType => col("cosine").cast("double")
+      case _                      => col("cosine")
+    }
     scored.groupBy(col("query_id"))
-      // casts make any numeric id/score type legal (the aggregate itself
-      // requires exactly (double, bigint) and rejects others at analysis)
-      .agg(graft.functions.TopKAgg.topK(col("cosine").cast("double"),
-        col("neighbor_id").cast("bigint"), k)
-        .as("top"))
+      .agg(graft.functions.TopKAgg.topK(scoreCol, idCol, k).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("neighbor_id"),
         col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+  }
 
   /** ANN top-`k` via SRP bucket candidate generation + exact rerank.
     * `probes > 0` additionally probes buckets at Hamming distance 1 from

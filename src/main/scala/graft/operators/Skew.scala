@@ -25,7 +25,8 @@ object Skew {
     // dim-preserving types (right/full outer) would surface every
     // unmatched REPLICA — up to `salt` phantom rows per dim row
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
-      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      "leftsemi", "semi", "left_anti", "leftanti", "anti")
+      .contains(joinType.toLowerCase),
       s"saltedJoin preserves multiplicity only for fact-preserving join types, got $joinType")
     // Deterministic spread: hash the full fact row, not rand() — rerun-
     // stable and independent of partitioning.

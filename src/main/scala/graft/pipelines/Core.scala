@@ -70,7 +70,8 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
     * everything downstream.
     */
   def sumGate(df: DataFrame, column: String): Long =
-    if (!df.columns.contains(column)) 0L
+    // case-INSENSITIVE presence check, matching Spark's column resolution
+    if (!df.columns.exists(_.equalsIgnoreCase(column))) 0L
     else df.agg(coalesce(sum(col(column)), lit(0L)).cast("long")).first().getLong(0)
 
   /** O6 fix: persist a lineage that feeds several tables. */

@@ -136,10 +136,12 @@ object ZoomPipeline {
         ctx.saveTable(pts, participants,
           modeOverride = Some(SaveMode.Overwrite), applyContract = false)
       }
-      // zoom_proc.py:482-486: reader grants issued after the loads
+      // zoom_proc.py:482-486: BOTH reader grants issued after the loads
       ctx.guard("grants") {
         ctx.sink.execute(
           "GRANT SELECT ON ALL TABLES IN SCHEMA public TO serving_reader")
+        ctx.sink.execute(
+          "GRANT USAGE ON SCHEMA public TO serving_reader")
       }
     }
   }

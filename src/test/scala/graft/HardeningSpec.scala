@@ -89,4 +89,23 @@ class HardeningSpec extends SparkTestBase {
       .head().getAs[Array[Byte]](0)
     assert(bytes.toSeq == Seq[Byte]('a', 'b', 'c', 0, 0, 0))
   }
+
+  test("rankTopK refuses lossy id types instead of truncating") {
+    import graft.TestSpark.spark.implicits._
+    val scored = Seq(("q", 5.2, 0.9)).toDF("query_id", "neighbor_id", "cosine")
+    val e = intercept[Exception] {
+      graft.operators.Similarity.rankTopK(scored, 1).collect()
+    }
+    assert(e.getMessage.contains("requires (double, bigint)"), e.getMessage)
+  }
+
+  test("sumGate matches the gate column case-insensitively") {
+    import graft.TestSpark.spark.implicits._
+    val ctx = new graft.pipelines.PipelineContext(spark,
+      new graft.sinks.MockServingSink, tempDir("gate").toString,
+      org.apache.spark.sql.SaveMode.Append)
+    val df = Seq(3L, 4L).toDF("Total_Records")
+    assert(ctx.sumGate(df, "total_records") == 7L)
+    assert(ctx.sumGate(df, "absent_column") == 0L)
+  }
 }

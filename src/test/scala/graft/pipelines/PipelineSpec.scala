@@ -125,8 +125,9 @@ class PipelineSpec extends SparkTestBase {
     // reconciliation recorded for all three tables
     assert(c.report.collect { case (_, Right(r)) => r.table }.toSet ==
       Set("meetings", "records", "participants"))
-    // reader grants issued after the loads (zoom_proc.py:482-486)
+    // BOTH reader grants issued after the loads (zoom_proc.py:482-486)
     assert(sink.ddl.exists(_.startsWith("GRANT SELECT")))
+    assert(sink.ddl.exists(_.startsWith("GRANT USAGE")))
     assert(c.report.collect { case (_, Right(r)) => r }.forall(_.consistent))
   }
 
