@@ -338,4 +338,20 @@ class PipelineSpec extends SparkTestBase {
     assert(c.report.collect { case (_, Right(r)) => r.table }.toSet ==
       Set("wall_items", "wall_history"))
   }
+
+  test("O5 idempotency: overwrite is re-runnable, append accumulates") {
+    val (c1, sink) = ctx("monkey_idem", SaveMode.Overwrite)
+    MonkeyPipeline.run(c1, monkeySurveysFixture, monkeyResponsesFixture, loadTs)
+    MonkeyPipeline.run(c1, monkeySurveysFixture, monkeyResponsesFixture, loadTs)
+    // re-running a backfill leaves counts unchanged
+    assert(spark.read.parquet(s"${c1.stagingDir}/hst_surveys_answers").count() == 1)
+    assert(sink.count("hst_surveys_answers") == 1)
+    // every overwrite run drops first (2 runs x 5 tables)
+    assert(sink.ddl.count(_.startsWith("DROP TABLE IF EXISTS")) == 10)
+
+    val c2 = new PipelineContext(spark, sink, c1.stagingDir, SaveMode.Append)
+    MonkeyPipeline.run(c2, monkeySurveysFixture, monkeyResponsesFixture, loadTs)
+    assert(spark.read.parquet(s"${c1.stagingDir}/hst_surveys_answers").count() == 2)
+    assert(sink.count("hst_surveys_answers") == 2)
+  }
 }
