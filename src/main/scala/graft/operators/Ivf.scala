@@ -36,7 +36,9 @@ object Ivf {
     val base = if (sampleFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, sampleFraction, seed)
     val feats = base.select(array_to_vector(vec.cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+    // bucketing doesn't need converged centroids — 10 iterations of
+    // k-means gives stable-enough lists at half the fit cost
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .fit(feats)
     val spark = corpus.sparkSession
     import spark.implicits._
