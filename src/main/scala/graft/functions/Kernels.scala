@@ -103,13 +103,17 @@ object Kernels {
     val mins =
       if (nWins <= 0) Array(hashes.min)
       else {
+        // sliding-window minimum via monotonic deque: O(n), not O(n*w)
         val out = new Array[Long](nWins)
+        val dq = new Array[Int](nGrams)
+        var head = 0
+        var tail = 0
         var j = 0
-        while (j < nWins) {
-          var m = Long.MaxValue
-          var x = j
-          while (x < j + w) { if (hashes(x) < m) m = hashes(x); x += 1 }
-          out(j) = m
+        while (j < nGrams) {
+          while (tail > head && hashes(dq(tail - 1)) >= hashes(j)) tail -= 1
+          dq(tail) = j; tail += 1
+          if (dq(head) <= j - w) head += 1
+          if (j >= w - 1) out(j - w + 1) = hashes(dq(head))
           j += 1
         }
         out

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+/** Recall of the approximate paths against the exact baseline on real
+  * harness embeddings — the quality side of the compute/recall trade-off
+  * the ANN operators document.
+  */
+class AnnRecallSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("SRP and IVF recall vs the exact top-10") {
+    val embs = Tables.load(spark, dir, "embeddings")
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+
+    val exact = topkSet(Similarity.bruteForceTopK(embs, col("vec_id"),
+      col("embedding"), queries, col("vec_id"), col("embedding"), k = 10))
+
+    // random high-dim embeddings are the adversarial LSH case (neighbors
+    // near-orthogonal): use coarse buckets (fewer bits) for recall
+    val srp = topkSet(Similarity.srpBucketTopK(embs, col("vec_id"),
+      col("embedding"), queries, col("vec_id"), col("embedding"), k = 10,
+      dim = 64, bits = 4, probes = 4))
+
+    val model = Ivf.fit(embs, col("embedding"), nlist = 8)
+    val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
+    val ivf = topkSet(Ivf.topK(model, assigned, queries, col("vec_id"),
+      col("embedding"), k = 10, nprobe = 4))
+
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      per.sum / per.size
+    }
+
+    val srpRecall = recall(srp)
+    val ivfRecall = recall(ivf)
+    // loose floors: random 64-dim embeddings are a hard ANN case; the
+    // point is the knobs work and quality is monitored, not a SOTA bound
+    assert(srpRecall >= 0.3, s"SRP recall $srpRecall")
+    assert(ivfRecall >= 0.3, s"IVF recall $ivfRecall")
+
+    // more probes must not reduce SRP recall
+    val srpNarrow = topkSet(Similarity.srpBucketTopK(embs, col("vec_id"),
+      col("embedding"), queries, col("vec_id"), col("embedding"), k = 10,
+      dim = 64, bits = 4, probes = 0))
+    assert(recall(srpNarrow) <= srpRecall + 1e-9)
+  }
+}
