@@ -503,6 +503,16 @@ object SparkEntry {
         queries, col("vec_id"), col("embedding"), k = 10, dim = 64,
         bits = 8, probes = 4)
     }),
+    "label_centroids" -> ((s, dir) => { // double-sum order: rows-only
+      // group centroids via the element-wise vector-sum aggregate
+      import graft.functions.VectorSumAgg
+      t(s, dir, "embeddings").groupBy(col("label"))
+        .agg(VectorSumAgg.meanVector(col("embedding"), 64).as("centroid"),
+          count(lit(1)).as("n_vectors"))
+        .select(col("label"), col("n_vectors"),
+          element_at(col("centroid"), 1).as("c0"),
+          element_at(col("centroid"), 64).as("c63"))
+    }),
     "ivf_topk" -> ((s, dir) => { // k-means based: rows-only check
       import graft.operators.Ivf
       val embs = t(s, dir, "embeddings")

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class VectorSumAggSpec extends SparkTestBase {
+
+  test("group mean embedding equals the hand-computed centroid") {
+    import graft.TestSpark.spark.implicits._
+    val vecs = Seq(
+      ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 4.0f)),
+      ("b", Array(10.0f, 0.0f))).toDF("grp", "v")
+    val m = vecs.groupBy("grp")
+      .agg(VectorSumAgg.meanVector(col("v"), 2).as("centroid"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(m("a") == Seq(2.0, 3.0))
+    assert(m("b") == Seq(10.0, 0.0))
+  }
+
+  test("vector sum rejects non-vector input at analysis") {
+    import graft.TestSpark.spark.implicits._
+    val df = Seq(("a", "x")).toDF("g", "v")
+    val e = intercept[Exception] {
+      df.groupBy("g").agg(VectorSumAgg.vectorSum(col("v"), 2)).collect()
+    }
+    assert(e.getMessage.contains("requires array<float|double>"), e.getMessage)
+  }
+
+  test("centroid of the harness embeddings per label is finite and sized") {
+    val embs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = embs.groupBy("label")
+      .agg(VectorSumAgg.meanVector(col("embedding"), 64).as("centroid"))
+      .collect()
+    assert(cents.nonEmpty)
+    cents.foreach { r =>
+      val c = r.getSeq[Double](1)
+      assert(c.length == 64 && c.forall(x => !x.isNaN && !x.isInfinite))
+    }
+  }
+}
