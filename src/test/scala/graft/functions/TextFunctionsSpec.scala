@@ -46,4 +46,9 @@ class TextFunctionsSpec extends SparkTestBase {
       assert(q >= 0.0 && q <= 1.0, s"quality($t) = $q")
     }
   }
+
+  test("tokenOccurrences counts exact-equal tokens") {
+    assert(one(TextFunctions.tokenOccurrences(lit("the cat the hat"), "the")) == 2)
+    assert(one(TextFunctions.tokenOccurrences(lit("theme theater"), "the")) == 0)
+  }
 }

@@ -52,4 +52,13 @@ class SimilaritySpec extends SparkTestBase {
     val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
     assert(math.abs(c - expected) < 1e-12)
   }
+
+  test("normalize yields unit-norm vectors") {
+    import graft.functions.VectorFunctions
+    import graft.TestSpark.spark.implicits._
+    val df = Seq(Array(3.0, 4.0)).toDF("v")
+    val n = df.select(VectorFunctions.norm2(
+      VectorFunctions.normalize(col("v")))).head().getDouble(0)
+    assert(math.abs(n - 1.0) < 1e-12)
+  }
 }

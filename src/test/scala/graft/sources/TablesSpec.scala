@@ -35,4 +35,11 @@ class TablesSpec extends SparkTestBase {
     val explicit = Tables.json(spark, f, Some(schema))
     assert(explicit.schema == schema && explicit.count() == 2)
   }
+
+  test("S3: every harness table loads with rows") {
+    Tables.names.foreach { name =>
+      val df = Tables.load(spark, "/root/testdata/sf0.001", name)
+      assert(df.count() > 0, name)
+    }
+  }
 }
