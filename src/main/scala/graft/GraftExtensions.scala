@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{Fnv64, Kernels}
+import graft.functions.{Fnv64, Kernels, MinHashUnionAgg, TopKAgg, VectorSumAgg}
 
 /** SparkSessionExtensions hook: exposes the engine's custom expressions to
   * SQL users. Activate with
@@ -72,7 +72,21 @@ object GraftExtensions {
       "graft_srp_code(vec, dim, bits, seed) - signed-random-projection bucket"),
       (args: Seq[Expression]) => { arity("graft_srp_code", args, 4)
         Kernels.SrpCode(args.head, intArg(args(1), "dim"),
-          intArg(args(2), "bits"), longArg(args(3), "seed")) })))
+          intArg(args(2), "bits"), longArg(args(3), "seed")) })),
+    // aggregates: the analyzer wraps a returned AggregateFunction in an
+    // AggregateExpression automatically
+    "graft_minhash_union" -> ((info("graft_minhash_union",
+      "graft_minhash_union(sig, numHashes) - element-wise min of MinHash signatures"),
+      (args: Seq[Expression]) => { arity("graft_minhash_union", args, 2)
+        MinHashUnionAgg(args.head, intArg(args(1), "numHashes")) })),
+    "graft_topk" -> ((info("graft_topk",
+      "graft_topk(score, id, k) - bounded top-k (score DESC, id ASC) as array<struct>"),
+      (args: Seq[Expression]) => { arity("graft_topk", args, 3)
+        TopKAgg(args.head, args(1), intArg(args(2), "k")) })),
+    "graft_vector_sum" -> ((info("graft_vector_sum",
+      "graft_vector_sum(vec, dim) - element-wise vector sum"),
+      (args: Seq[Expression]) => { arity("graft_vector_sum", args, 2)
+        VectorSumAgg(args.head, intArg(args(1), "dim")) })))
 
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -41,4 +41,25 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(java.lang.Double.doubleToLongBits(r2.getDouble(0)) ==
       java.lang.Double.doubleToLongBits(r2.getDouble(1)))
   }
+
+  test("SQL aggregates: topk, minhash union, vector sum") {
+    GraftExtensions.register(spark)
+    import graft.TestSpark.spark.implicits._
+    Seq(("g", 0.9, 1L, Array(1.0, 2.0)), ("g", 0.8, 2L, Array(3.0, 4.0)))
+      .toDF("grp", "score", "id", "vec").createOrReplaceTempView("agg_in")
+    val r = spark.sql("""
+      SELECT graft_topk(score, id, 1) AS top,
+             graft_vector_sum(vec, 2) AS vsum
+      FROM agg_in GROUP BY grp""").head()
+    val top = r.getSeq[org.apache.spark.sql.Row](0)
+    assert(top.length == 1 && top.head.getLong(1) == 1L)
+    assert(r.getSeq[Double](1) == Seq(4.0, 6.0))
+
+    Seq(("a", Array(5L, 9L)), ("a", Array(7L, 3L)))
+      .toDF("grp", "sig").createOrReplaceTempView("sig_in")
+    val u = spark.sql(
+      "SELECT graft_minhash_union(sig, 2) AS usig FROM sig_in GROUP BY grp")
+      .head().getSeq[Long](0)
+    assert(u == Seq(5L, 3L))
+  }
 }
