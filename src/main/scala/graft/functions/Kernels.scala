@@ -80,9 +80,8 @@ object Kernels {
   }
 
   /** Winnowing fingerprint (Schleimer et al. 2003): FNV-1a over char
-    * k-grams, min of each w-window, distinct + sorted. O(n·w) worst case
-    * with small constants (bounded deque omitted for clarity; w is
-    * small).
+    * k-grams, min of each w-window (O(n) monotonic-deque sliding
+    * minimum), distinct + sorted.
     */
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
     val s = text.toString

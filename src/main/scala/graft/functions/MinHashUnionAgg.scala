@@ -22,6 +22,17 @@ case class MinHashUnionAgg(child: Expression, numHashes: Int,
                            inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint> signatures, got ${other.simpleString}")
+    }
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -49,9 +49,16 @@ case class VectorSumAgg(child: Expression, dim: Int,
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      val n = math.min(dim, arr.numElements())
+      // loud failure beats a silently skewed centroid: wrong dim or null
+      // elements would otherwise truncate/zero-pad/zero-sum invisibly
+      if (arr.numElements() != dim)
+        throw new IllegalArgumentException(
+          s"vector_sum(dim=$dim) got a vector of length ${arr.numElements()}")
       var i = 0
-      while (i < n) {
+      while (i < dim) {
+        if (arr.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"vector_sum: null element at index $i")
         buf(i) += (if (floats) arr.getFloat(i).toDouble else arr.getDouble(i))
         i += 1
       }
@@ -93,10 +100,13 @@ object VectorSumAgg {
     ColumnBridge.column(
       VectorSumAgg(ColumnBridge.expression(vec), dim).toAggregateExpression())
 
-  /** Group mean embedding: element-wise sum / count, as array<double>. */
+  /** Group mean embedding: element-wise sum / count(non-null vectors), as
+    * array<double>; null (not NaN) when the group has no vectors at all.
+    */
   def meanVector(vec: Column, dim: Int): Column = {
     val s = vectorSum(vec, dim)
     val n = count(vec)
-    transform(s, x => x / n)
+    when(n > 0, transform(s, x => x / n))
+      .otherwise(lit(null).cast("array<double>"))
   }
 }
