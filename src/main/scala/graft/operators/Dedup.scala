@@ -18,6 +18,9 @@ object Dedup {
 
   /** Exact dedup: one surviving row id per distinct value of `on`; the
     * survivor is the minimum id (deterministic). Single hash aggregation.
+    * At scale, pass a digest as the key (`on = xxhash64(col("text"))` or
+    * sha2) instead of a multi-KB raw text column — the group-by then
+    * shuffles 8-64 bytes per row instead of the document.
     */
   def exactKeepMinId(df: DataFrame, on: Column, id: Column): DataFrame =
     df.groupBy(on.as("dedup_key"))

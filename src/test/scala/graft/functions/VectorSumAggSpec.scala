@@ -38,4 +38,13 @@ class VectorSumAggSpec extends SparkTestBase {
       assert(c.length == 64 && c.forall(x => !x.isNaN && !x.isInfinite))
     }
   }
+
+  test("dim mismatch fails loudly, not with a skewed centroid") {
+    import graft.TestSpark.spark.implicits._
+    val df = Seq(("a", Array(1.0, 2.0, 3.0))).toDF("g", "v")
+    val e = intercept[Exception] {
+      df.groupBy("g").agg(VectorSumAgg.vectorSum(col("v"), 2)).collect()
+    }
+    assert(e.getMessage.contains("got a vector of length 3"), e.getMessage)
+  }
 }
