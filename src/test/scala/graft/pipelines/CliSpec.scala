@@ -2,6 +2,8 @@ package graft.pipelines
 
 import java.time.{ZonedDateTime, ZoneOffset}
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.SaveMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -28,5 +30,17 @@ class CliSpec extends AnyFunSuite {
     assert(PipelineCli.sinkFromEnv(Map.empty).isInstanceOf[MockServingSink])
     assert(PipelineCli.sinkFromEnv(Map("GRAFT_JDBC_URL" -> "jdbc:postgresql://x/db"))
       .isInstanceOf[graft.sinks.JdbcSink])
+  }
+
+  test("JhubMain end-to-end: argv -> glob -> pipeline -> staging parquet") {
+    val spark = graft.TestSpark.spark // getOrCreate() in main reuses it
+    val raw = Files.createTempDirectory("cli_raw")
+    val part = raw.resolve("year=2024/month=01/day=01/hour=10")
+    Files.createDirectories(part)
+    Files.writeString(part.resolve("log.json"),
+      """{"log": "[I 2024-01-01 10:00:00.000 JupyterHub app:1] ok", "time": "2024-01-01T10:00:00.000000000Z", "kubernetes": {"container_name": "c", "host": "h", "pod_name": "p", "annotations": {"a": "1"}, "labels": {"l": "1"}}}""")
+    val staging = Files.createTempDirectory("cli_staging")
+    JhubMain.main(Array(raw.toString, staging.toString, "all"))
+    assert(spark.read.parquet(s"$staging/jhublogs").count() == 1)
   }
 }
