@@ -122,24 +122,30 @@ object Kernels {
 
   /** Cosine similarity with sequential double accumulation — bit-identical
     * to the HOF form (and to DuckDB's list kernels), so oracle hashes are
-    * preserved.
+    * preserved. Returns null (boxed) when either vector contains a null
+    * element, matching the HOF form's null propagation — reading a null
+    * slot as 0.0 would silently skew scores.
     */
   def cosine(a: ArrayData, b: ArrayData, aFloats: Boolean,
-             bFloats: Boolean): Double = {
+             bFloats: Boolean): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloats) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloats) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
   /** Signed-random-projection code over all `bits` hyperplanes in one
     * pass; planes are derived deterministically from (seed, bit, index)
-    * exactly like [[SrpPlanes.planes]].
+    * exactly like [[SrpPlanes.planes]]. Null elements contribute 0.0 to
+    * the projection (bucket assignment stays total — a null-bearing
+    * vector still lands in SOME bucket; exact verification downstream
+    * decides its fate).
     */
   def srpCode(v: ArrayData, dim: Int, bits: Int, seed: Long,
               floats: Boolean): Long = {
@@ -150,7 +156,8 @@ object Kernels {
       var proj = 0.0
       var i = 0
       while (i < n) {
-        val x = if (floats) v.getFloat(i).toDouble else v.getDouble(i)
+        val x = if (v.isNullAt(i)) 0.0
+          else if (floats) v.getFloat(i).toDouble else v.getDouble(i)
         val h = SrpPlanes.mix(seed * 0x100000001b3L + b.toLong * 1000003L + i)
         proj += x * (h.toDouble / Long.MaxValue.toDouble)
         i += 1
@@ -278,13 +285,19 @@ object Kernels {
       else requireType(prettyName, right, isNumericVector, "array<float|double>")
     }
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true // null elements propagate null
     override def prettyName: String = "cosine_sim"
     override protected def nullSafeEval(a: Any, b: Any): Any =
       Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
         aFloats, bFloats)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev,
-        (a, b) => s"graft.functions.Kernels.cosine($a, $b, $aFloats, $bFloats)")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val boxed = ctx.freshName("cosBoxed")
+        s"""java.lang.Double $boxed =
+           |  graft.functions.Kernels.cosine($a, $b, $aFloats, $bFloats);
+           |if ($boxed == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $boxed.doubleValue(); }""".stripMargin
+      })
     override protected def withNewChildrenInternal(newLeft: Expression,
                                                    newRight: Expression): CosineSim =
       copy(left = newLeft, right = newRight)

@@ -48,6 +48,11 @@ case class MinHashUnionAgg(child: Expression, numHashes: Int,
       val n = math.min(numHashes, arr.numElements())
       var i = 0
       while (i < n) {
+        // a null slot would read as 0L and poison the element-wise min
+        // (inflating estimated Jaccard between unrelated groups)
+        if (arr.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"minhash_union: null signature element at index $i")
         val h = arr.getLong(i)
         if (h < buf(i)) buf(i) = h
         i += 1

@@ -38,6 +38,20 @@ final class JdkHttpTransport extends HttpTransport {
 /** K4: raw-zone persistence (the reference's S3 put_object). */
 trait ObjectStore {
   def put(key: String, bytes: Array[Byte]): Unit
+  /** Streaming put for large payloads; returns bytes written. The default
+    * buffers (fine for API-response JSON); file/S3 stores override with a
+    * true streaming copy.
+    */
+  def putStream(key: String, in: java.io.InputStream,
+                chunkSize: Int = 16384): Long = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](chunkSize)
+    var n = in.read(chunk)
+    var total = 0L
+    while (n > 0) { buf.write(chunk, 0, n); total += n; n = in.read(chunk) }
+    put(key, buf.toByteArray)
+    total
+  }
   def keys: Seq[String]
   /** S4-adjacent: substring-filtered listing (zoom_proc.py:258-264). */
   def list(mask: String): Seq[String] = keys.filter(_.contains(mask))
@@ -50,12 +64,30 @@ final class FileObjectStore(root: java.nio.file.Path) extends ObjectStore {
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, bytes)
   }
+  /** True streaming copy — constant memory regardless of payload size. */
+  override def putStream(key: String, in: java.io.InputStream,
+                         chunkSize: Int): Long = {
+    val p = root.resolve(key)
+    java.nio.file.Files.createDirectories(p.getParent)
+    val out = java.nio.file.Files.newOutputStream(p)
+    try {
+      val chunk = new Array[Byte](chunkSize)
+      var total = 0L
+      var n = in.read(chunk)
+      while (n > 0) { out.write(chunk, 0, n); total += n; n = in.read(chunk) }
+      total
+    } finally out.close()
+  }
   override def keys: Seq[String] = {
     import scala.jdk.CollectionConverters._
     if (!java.nio.file.Files.exists(root)) Seq.empty
-    else java.nio.file.Files.walk(root).iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .map(p => root.relativize(p).toString).toSeq.sorted
+    else {
+      val walk = java.nio.file.Files.walk(root) // must be closed (javadoc)
+      try walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => root.relativize(p).toString).toSeq.sorted
+      finally walk.close()
+    }
   }
 }
 
@@ -142,24 +174,14 @@ object Loaders {
     None
   }
 
-  /** S10: chunked binary download → store. The reference streams 16 KiB
-    * chunks to a local file then uploads (zoom_load.py:148-206); here the
-    * chunking is visible for testability and memory bounds.
+  /** S10: chunked binary download → store, streamed in `chunkSize`
+    * pieces (zoom_load.py:148-206 streams recordings the same way) —
+    * memory stays constant however large the payload when the store
+    * implements a true streaming put (FileObjectStore does).
     */
   def chunkedDownload(in: java.io.InputStream, store: ObjectStore, key: String,
-                      chunkSize: Int = 16384): Long = {
-    val buf = new java.io.ByteArrayOutputStream()
-    val chunk = new Array[Byte](chunkSize)
-    var n = in.read(chunk)
-    var total = 0L
-    while (n > 0) {
-      buf.write(chunk, 0, n)
-      total += n
-      n = in.read(chunk)
-    }
-    store.put(key, buf.toByteArray)
-    total
-  }
+                      chunkSize: Int = 16384): Long =
+    store.putStream(key, in, chunkSize)
 
   /** S11: per-date fetch → raw JSON put, with the reference's path-encoded
     * metadata ({upfolder}/{name}_{from}_{to}.json, zoom_load.py:134-141).

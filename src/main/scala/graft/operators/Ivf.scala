@@ -67,7 +67,8 @@ object Ivf {
     * exactly. Candidate generation = equi-join on list_id.
     */
   def topK(model: IvfModel, assigned: DataFrame, queries: DataFrame,
-           queryId: Column, queryVec: Column, k: Int, nprobe: Int): DataFrame = {
+           queryId: Column, queryVec: Column, k: Int, nprobe: Int,
+           excludeSelf: Boolean = true): DataFrame = {
     val qc = queries.select(queryId.as("query_id"), queryVec.as("qv"))
       .crossJoin(broadcast(model.centroids))
       .withColumn("sim", VectorFunctions.cosine(col("qv"), col("centroid")))
@@ -76,8 +77,9 @@ object Ivf {
     val probes = qc.withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("list_id"))
-    val cands = assigned.join(probes, Seq("list_id"))
-      .filter(col("query_id") =!= col("vec_id"))
+    val candsAll = assigned.join(probes, Seq("list_id"))
+    val cands = if (excludeSelf)
+      candsAll.filter(col("query_id") =!= col("vec_id")) else candsAll
     val scored = cands.select(col("query_id"), col("vec_id").as("neighbor_id"),
       VectorFunctions.cosine(col("qv"), col("v")).as("cosine"))
     Similarity.rankTopK(scored, k)

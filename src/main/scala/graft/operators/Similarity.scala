@@ -75,7 +75,7 @@ object Similarity {
   def srpBucketTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                     queries: DataFrame, queryId: Column, queryVec: Column,
                     k: Int, dim: Int, bits: Int = 12,
-                    probes: Int = 1): DataFrame = {
+                    probes: Int = 1, excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"),
       VectorFunctions.srpCode(corpusVec, dim, bits).as("bucket"))
     val qCode = VectorFunctions.srpCode(queryVec, dim, bits)
@@ -91,8 +91,12 @@ object Similarity {
     // Each corpus row has exactly ONE bucket code and the probe codes are
     // distinct, so a (query, neighbor) pair joins at most once — no
     // dedup (and no extra shuffle) needed before scoring.
-    val cands = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val candsAll = c.join(broadcast(q), Seq("bucket"))
+    // excludeSelf assumes query and corpus ids share one id space; set it
+    // false when they don't (a colliding external query id would silently
+    // drop an unrelated true neighbor otherwise)
+    val cands = if (excludeSelf)
+      candsAll.filter(col("query_id") =!= col("neighbor_id")) else candsAll
     val scored = cands.select(col("query_id"), col("neighbor_id"),
       VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
     rankTopK(scored, k)

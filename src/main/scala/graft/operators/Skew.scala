@@ -28,10 +28,12 @@ object Skew {
       "leftsemi", "semi", "left_anti", "leftanti", "anti")
       .contains(joinType.toLowerCase),
       s"saltedJoin preserves multiplicity only for fact-preserving join types, got $joinType")
-    // Deterministic spread: hash the full fact row, not rand() — rerun-
-    // stable and independent of partitioning.
+    // Spread must be independent of row CONTENT: hashing the row would
+    // send fully-identical duplicate rows of a hot key to ONE salt bucket
+    // (zero mitigation in the degenerate skew case). The join RESULT is
+    // deterministic for any salt assignment, so a per-row id is safe.
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(salt)).cast("int"))
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
@@ -48,7 +50,7 @@ object Skew {
                 salt: Int): DataFrame = {
     require(salt > 1, "salt must be > 1")
     df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salt)).cast("int"))
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(key))

@@ -12,7 +12,8 @@ import graft.sources.Tables
   * 219-233, jhub_proc.py:249-276) with the lake location made explicit:
   *
   *   JhubMain   <rawDir> <stagingDir> [all]         — default: previous hour
-  *   ZoomMain   <rawDir> <stagingDir> <head air|hst> <mode> <date|all>
+  *   ZoomMain   <rawDir> <stagingDir> <head air|hst|all> <mode> <date|all>
+  *   ZoomHstMain <rawDir> <stagingDir> <head air|hst|all> <mode> <date|all>
   *   VkMain     <rawDir> <stagingDir> <mode> <date|all>
   *   MonkeyMain <rawDir> <stagingDir> [overwrite]
   *
@@ -79,19 +80,44 @@ object JhubMain {
 }
 
 object ZoomMain {
+  /** Daily pipeline; `head` selects the raw bucket family only
+    * (zoom_proc.py:324-337 — hst|air are BUCKET heads, not variants).
+    */
   def main(args: Array[String]): Unit = {
     val Array(rawDir, stagingDir, head, modeS, date) = args: @unchecked
-    val mode = PipelineCli.parseMode(modeS)
-    val meetings = Tables.datedGlob(rawDir,
-      s"$head-meetings-logs-{date}*/meetings_logs_{date}*.json", date)
-    val participants = s"$rawDir/*-meetings-data/*/participants_*.json"
     val ctx = new PipelineContext(PipelineCli.session(),
-      PipelineCli.sinkFromEnv(), stagingDir, mode)
-    if (head == "hst")
-      ZoomPipeline.runHst(ctx, meetings, participants, PipelineCli.now())
-    else ZoomPipeline.run(ctx, meetings, participants)
+      PipelineCli.sinkFromEnv(), stagingDir, PipelineCli.parseMode(modeS))
+    ZoomPipeline.run(ctx,
+      ZoomMains.meetingsGlob(rawDir, head, date),
+      ZoomMains.participantsGlob(rawDir))
     PipelineCli.finish(ctx)
   }
+}
+
+/** History pipeline — the reference's SEPARATE zoom_proc_hst.py script:
+  * the hst_* tables can be built over ANY bucket head (air|hst|all,
+  * zoom_proc_hst.py:336-349); the variant is the script, not the head.
+  */
+object ZoomHstMain {
+  def main(args: Array[String]): Unit = {
+    val Array(rawDir, stagingDir, head, modeS, date) = args: @unchecked
+    val ctx = new PipelineContext(PipelineCli.session(),
+      PipelineCli.sinkFromEnv(), stagingDir, PipelineCli.parseMode(modeS))
+    ZoomPipeline.runHst(ctx,
+      ZoomMains.meetingsGlob(rawDir, head, date),
+      ZoomMains.participantsGlob(rawDir), PipelineCli.now())
+    PipelineCli.finish(ctx)
+  }
+}
+
+private object ZoomMains {
+  def meetingsGlob(rawDir: String, head: String, date: String): String = {
+    val h = if (head == "all") "*" else head
+    Tables.datedGlob(rawDir,
+      s"$h-meetings-logs-{date}*/meetings_logs_{date}*.json", date)
+  }
+  def participantsGlob(rawDir: String): String =
+    s"$rawDir/*-meetings-data/*/participants_*.json"
 }
 
 object VkMain {
