@@ -108,4 +108,36 @@ class HardeningSpec extends SparkTestBase {
     assert(ctx.sumGate(df, "total_records") == 7L)
     assert(ctx.sumGate(df, "absent_column") == 0L)
   }
+
+  test("cosine propagates null for vectors with null elements (HOF parity)") {
+    import graft.TestSpark.spark.implicits._
+    val df = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 1.0)))
+      .toDF("a", "b")
+    val viaKernel = df.select(
+      graft.functions.VectorFunctions.cosine(col("a").cast("array<double>"),
+        col("b").cast("array<double>"))).head()
+    assert(viaKernel.isNullAt(0))
+  }
+
+  test("salted join spreads fully-identical duplicate rows of a hot key") {
+    import graft.TestSpark.spark.implicits._
+    val fact = Seq.fill(256)((1L, "same-payload")).toDF("k", "p")
+    val dim = Seq((1L, "d")).toDF("k", "n")
+    val out = graft.operators.Skew.saltedJoin(fact, dim, "k", salt = 8)
+    assert(out.count() == 256)
+    val spread = fact.repartition(8)
+      .withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(8)))
+      .select("__salt").distinct().count()
+    assert(spread > 1)
+  }
+
+  test("putStream writes large payloads without full buffering semantics change") {
+    val store = new graft.loaders.FileObjectStore(
+      java.nio.file.Files.createTempDirectory("stream_store"))
+    val payload = Array.tabulate[Byte](1 << 20)(i => (i % 127).toByte)
+    val written = graft.loaders.Loaders.chunkedDownload(
+      new java.io.ByteArrayInputStream(payload), store, "big/file.bin")
+    assert(written == (1 << 20))
+    assert(store.list("big/").size == 1)
+  }
 }
