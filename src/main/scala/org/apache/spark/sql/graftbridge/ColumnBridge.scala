@@ -17,4 +17,14 @@ object ColumnBridge {
 
   /** Extract the Catalyst expression backing a Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions instance's injected functions to a
+    * registry — lets tests exercise the `spark.sql.extensions` config
+    * path (normally invoked by session bootstrap) without building a
+    * second SparkSession.
+    */
+  def registerInjectedFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(registry)
 }

@@ -62,4 +62,17 @@ class GraftExtensionsSpec extends SparkTestBase {
       .head().getSeq[Long](0)
     assert(u == Seq(5L, 3L))
   }
+
+  test("the spark.sql.extensions injection path registers every function") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val registry =
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .registerInjectedFunctions(ext, registry)
+    GraftExtensions.builders.foreach { case (name, _) =>
+      assert(registry.functionExists(FunctionIdentifier(name)), name)
+    }
+  }
 }
