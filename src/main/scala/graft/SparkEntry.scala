@@ -173,6 +173,20 @@ object SparkEntry {
         sum(dec2(col("o_totalprice"))).over(w).cast("double")
           .as("running_spend"))
     }),
+    "q_moving_spend" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // RANGE frame (value-based, peers included) vs q_running_total's
+      // ROWS frame: 30-day trailing spend per customer
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-30L * 86400, 0)
+      t(s, dir, "orders")
+        .withColumn("epoch_s", col("o_orderdate").cast("timestamp").cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntz(col("o_orderdate")).as("o_orderdate"),
+          sum(dec2(col("o_totalprice"))).over(w).cast("double")
+            .as("trailing_30d_spend"))
+    }),
     "q_pivot_events" -> ((s, dir) => {
       // per-user event-type counts pivoted to columns (fixed type set so
       // the pivot needs no extra distinct-values job)
@@ -637,6 +651,13 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         |   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+        |FROM orders""".stripMargin,
+    "q_moving_spend" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS trailing_30d_spend
         |FROM orders""".stripMargin,
     "q_pivot_events" ->
       """SELECT user_id,
