@@ -67,15 +67,28 @@ object PipelineCli {
 }
 
 object JhubMain {
+  /** `all` reprocesses every hour partition (overwrite); `stream` drains
+    * the whole input dir through the checkpointed file stream instead of
+    * hour globs — the engine's incrementality upgrade over the
+    * reference's previous-hour masks (Streams.jhubStream).
+    */
   def main(args: Array[String]): Unit = {
     val Array(rawDir, stagingDir, rest @ _*) = args: @unchecked
-    val all = rest.contains("all")
-    val glob = s"$rawDir/${PipelineCli.hourGlob(java.time.ZonedDateTime.now(), all)}/*.json"
-    val mode = if (all) SaveMode.Overwrite else SaveMode.Append
-    val ctx = new PipelineContext(PipelineCli.session(),
-      PipelineCli.sinkFromEnv(), stagingDir, mode)
-    JhubPipeline.run(ctx, glob)
-    PipelineCli.finish(ctx)
+    val spark = PipelineCli.session()
+    if (rest.contains("stream")) {
+      val schema = spark.read.json(s"$rawDir/*/*/*/*/*.json").schema
+      val q = graft.streaming.Streams.jhubStream(spark, rawDir, schema,
+        s"$stagingDir/jhublogs", s"$stagingDir/_checkpoints/jhublogs").start()
+      q.awaitTermination()
+    } else {
+      val all = rest.contains("all")
+      val glob = s"$rawDir/${PipelineCli.hourGlob(java.time.ZonedDateTime.now(), all)}/*.json"
+      val mode = if (all) SaveMode.Overwrite else SaveMode.Append
+      val ctx = new PipelineContext(spark, PipelineCli.sinkFromEnv(),
+        stagingDir, mode)
+      JhubPipeline.run(ctx, glob)
+      PipelineCli.finish(ctx)
+    }
   }
 }
 

@@ -43,4 +43,17 @@ class CliSpec extends AnyFunSuite {
     JhubMain.main(Array(raw.toString, staging.toString, "all"))
     assert(spark.read.parquet(s"$staging/jhublogs").count() == 1)
   }
+
+  test("JhubMain stream mode drains the raw dir via the file stream") {
+    val raw = Files.createTempDirectory("cli_raw_stream")
+    val part = raw.resolve("year=2024/month=01/day=01/hour=11")
+    Files.createDirectories(part)
+    Files.writeString(part.resolve("log.json"),
+      """{"log": "[I 2024-01-01 11:00:00.000 JupyterHub app:2] ok", "time": "2024-01-01T11:00:00.000000000Z", "kubernetes": {"container_name": "c", "host": "h", "pod_name": "p", "annotations": {"a": "1"}, "labels": {"l": "1"}}}""")
+    val staging = Files.createTempDirectory("cli_staging_stream")
+    JhubMain.main(Array(raw.toString, staging.toString, "stream"))
+    val out = graft.TestSpark.spark.read.parquet(s"$staging/jhublogs")
+    assert(out.count() == 1)
+    assert(out.head().getAs[String]("log_code") == "2")
+  }
 }
