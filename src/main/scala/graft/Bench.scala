@@ -7,11 +7,20 @@ import org.apache.spark.sql.SparkSession
   * bare count() lets Catalyst prune projections and under-reports), and
   * prints ONE JSON line. Failures are reported explicitly (value -1 and
   * listed under "failures") — never silently folded into a timing.
+  *
+  * Timings are per-query MEDIANS over SPARK_GRAFT_BENCH_RUNS passes
+  * (default 3): the shared host shows ±50% noise run-to-run (SCALE.md),
+  * so single-shot numbers can't support round-over-round comparisons.
+  * SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries for focused
+  * iteration.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,23 +34,34 @@ object Bench {
     // startup in its timing.
     graft.sources.Tables.load(spark, sfDir, "region").count()
     spark.range(1000000L).selectExpr("sum(id * 2)").collect()
-    var failures = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    var failures = Set.empty[String]
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    // pass-major order (all queries per pass, passes back to back) so two
+    // passes of one query never run against a hot cache the others missed
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to runs; (name, fn) <- selected if !failures.contains(name)) {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failures ::= name
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        failures += name
+      }
+    }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      s((s.size - 1) / 2) // lower median — conservative for even sizes
+    }
+    val results = selected.map { case (name, _) =>
+      name -> (if (failures.contains(name)) -1.0 else median(samples(name)))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val fstr = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fstr,"sf":"$sfDir"}""")
+    val fstr = failures.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fstr,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

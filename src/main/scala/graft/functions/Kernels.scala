@@ -168,6 +168,72 @@ object Kernels {
     code
   }
 
+  /** Cosine of a row vector against one dense double centroid, sequential
+    * accumulation like [[cosine]]. Null elements contribute 0.0 (bucket
+    * assignment stays total, mirroring [[srpCode]]'s convention — every
+    * vector lands in SOME list; exact rerank downstream decides its fate).
+    */
+  def cosineDense(v: ArrayData, c: Array[Double], floats: Boolean): Double = {
+    val n = math.min(v.numElements(), c.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (v.isNullAt(i)) 0.0
+        else if (floats) v.getFloat(i).toDouble else v.getDouble(i)
+      val y = c(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Argmax-cosine centroid index: one compiled pass over nlist × dim per
+    * row, ties to the LOWER index (same contract as the former
+    * crossJoin + row_number plan: cosine DESC, list_id ASC). This is the
+    * kernel that makes IVF assignment shuffle-free — no row inflation, no
+    * exchange, just a per-row scalar.
+    */
+  def nearestCentroid(v: ArrayData, cents: Array[Array[Double]],
+                      floats: Boolean): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var k = 0
+    while (k < cents.length) {
+      val sim = cosineDense(v, cents(k), floats)
+      if (sim > bestSim) { bestSim = sim; best = k }
+      k += 1
+    }
+    best
+  }
+
+  /** The `n` nearest centroid indices, cosine DESC with ties to the lower
+    * index — the probe-list kernel for IVF queries. Partial selection
+    * (n passes over nlist) — n is nprobe, single digits in practice.
+    */
+  def topCentroids(v: ArrayData, cents: Array[Array[Double]], n: Int,
+                   floats: Boolean): ArrayData = {
+    val nlist = cents.length
+    val sims = new Array[Double](nlist)
+    var k = 0
+    while (k < nlist) { sims(k) = cosineDense(v, cents(k), floats); k += 1 }
+    val take = math.min(n, nlist)
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](nlist)
+    var r = 0
+    while (r < take) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      k = 0
+      while (k < nlist) {
+        if (!used(k) && sims(k) > bestSim) { bestSim = sims(k); best = k }
+        k += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count single-space-delimited tokens of `text` that are members of
     * `words` (exact string equality, empties kept — the same token
     * universe as TextFunctions.tokens). One pass, no allocation beyond
@@ -319,6 +385,44 @@ object Kernels {
       copy(child = newChild)
   }
 
+  case class NearestCentroidIdx(child: Expression,
+                                centroids: Array[Array[Double]])
+      extends UnaryExpression {
+    private lazy val floats = isFloatArray(child)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child, isNumericVector, "array<float|double>")
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "nearest_centroid"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.nearestCentroid(input.asInstanceOf[ArrayData], centroids, floats)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.Kernels.nearestCentroid($c, $cRef, $floats)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NearestCentroidIdx =
+      copy(child = newChild)
+  }
+
+  case class TopCentroidsIdx(child: Expression,
+                             centroids: Array[Array[Double]], n: Int)
+      extends UnaryExpression {
+    private lazy val floats = isFloatArray(child)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child, isNumericVector, "array<float|double>")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "top_centroids"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.topCentroids(input.asInstanceOf[ArrayData], centroids, n, floats)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.Kernels.topCentroids($c, $cRef, $n, $floats)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): TopCentroidsIdx =
+      copy(child = newChild)
+  }
+
   // --- Column wrappers --------------------------------------------------
 
   def minhashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
@@ -335,6 +439,12 @@ object Kernels {
 
   def srpCodeCol(v: Column, dim: Int, bits: Int, seed: Long = 42L): Column =
     ColumnBridge.column(SrpCode(ColumnBridge.expression(v), dim, bits, seed))
+
+  def nearestCentroidCol(v: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroidIdx(ColumnBridge.expression(v), centroids))
+
+  def topCentroidsCol(v: Column, centroids: Array[Array[Double]], n: Int): Column =
+    ColumnBridge.column(TopCentroidsIdx(ColumnBridge.expression(v), centroids, n))
 
   case class TokenSetCount(child: Expression, words: Seq[String])
       extends UnaryExpression {

@@ -57,6 +57,32 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("minhash_sig"), plan)
   }
 
+  test("IVF assignment is a pure projection: zero exchanges, no window, no inflation") {
+    import graft.operators.Ivf
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = Ivf.fit(embs, col("embedding"), nlist = 4)
+    val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
+    val plan = planOf(assigned)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("join"), plan) // no crossJoin row inflation
+    assert(plan.contains("nearest_centroid"), plan)  // the argmin kernel, codegen'd
+  }
+
+  test("IVF probe list is a per-row kernel on the query side (no crossJoin)") {
+    import graft.operators.Ivf
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = Ivf.fit(embs, col("embedding"), nlist = 4)
+    val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    val top = Ivf.topK(model, assigned, queries, col("vec_id"),
+      col("embedding"), k = 5, nprobe = 2)
+    val plan = planOf(top)
+    assert(!PlanInspect.hasCartesian(top), plan)
+    assert(plan.contains("top_centroids"), plan)
+    assert(!plan.contains("Window"), plan) // rankTopK is the bounded heap agg
+  }
+
   test("LSH candidate generation is an equi-join, not a cartesian product") {
     val pairs = Dedup.minhashDedupPairs(
       spark.read.parquet(s"$dir/documents.parquet"),
