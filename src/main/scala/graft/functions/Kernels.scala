@@ -172,6 +172,9 @@ object Kernels {
     * accumulation like [[cosine]]. Null elements contribute 0.0 (bucket
     * assignment stays total, mirroring [[srpCode]]'s convention — every
     * vector lands in SOME list; exact rerank downstream decides its fate).
+    * Degenerate vectors (zero/empty/all-null on either side) get a defined
+    * similarity of -1.0 instead of 0/0=NaN, so the argmin/top-k kernels
+    * stay total orderings.
     */
   def cosineDense(v: ArrayData, c: Array[Double], floats: Boolean): Double = {
     val n = math.min(v.numElements(), c.length)
@@ -183,7 +186,8 @@ object Kernels {
       val y = c(i)
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) -1.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Argmax-cosine centroid index: one compiled pass over nlist × dim per
@@ -214,7 +218,14 @@ object Kernels {
     val nlist = cents.length
     val sims = new Array[Double](nlist)
     var k = 0
-    while (k < nlist) { sims(k) = cosineDense(v, cents(k), floats); k += 1 }
+    while (k < nlist) {
+      // NaN (a NaN element in the data) would make every `>` comparison
+      // false and leave `best` at -1; clamp to -Inf so the selection
+      // below stays a total order, like nearestCentroid's.
+      val s = cosineDense(v, cents(k), floats)
+      sims(k) = if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
+      k += 1
+    }
     val take = math.min(n, nlist)
     val out = new Array[Int](take)
     val used = new Array[Boolean](nlist)
@@ -224,7 +235,7 @@ object Kernels {
       var bestSim = Double.NegativeInfinity
       k = 0
       while (k < nlist) {
-        if (!used(k) && sims(k) > bestSim) { bestSim = sims(k); best = k }
+        if (!used(k) && (best < 0 || sims(k) > bestSim)) { bestSim = sims(k); best = k }
         k += 1
       }
       used(best) = true
@@ -385,18 +396,24 @@ object Kernels {
       copy(child = newChild)
   }
 
+  // Centroids are held as Seq[Seq[Double]] (structural equals/hashCode —
+  // Array fields would defeat common-subexpression elimination and plan
+  // canonicalization) and materialized once per expression instance as a
+  // primitive matrix for the eval/codegen hot path.
   case class NearestCentroidIdx(child: Expression,
-                                centroids: Array[Array[Double]])
+                                centroids: Seq[Seq[Double]])
       extends UnaryExpression {
     private lazy val floats = isFloatArray(child)
+    @transient private lazy val cArr: Array[Array[Double]] =
+      centroids.map(_.toArray).toArray
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(prettyName, child, isNumericVector, "array<float|double>")
     override def dataType: DataType = IntegerType
     override def prettyName: String = "nearest_centroid"
     override protected def nullSafeEval(input: Any): Any =
-      Kernels.nearestCentroid(input.asInstanceOf[ArrayData], centroids, floats)
+      Kernels.nearestCentroid(input.asInstanceOf[ArrayData], cArr, floats)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val cRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+      val cRef = ctx.addReferenceObj("ivfCentroids", cArr, "double[][]")
       defineCodeGen(ctx, ev,
         c => s"graft.functions.Kernels.nearestCentroid($c, $cRef, $floats)")
     }
@@ -405,17 +422,19 @@ object Kernels {
   }
 
   case class TopCentroidsIdx(child: Expression,
-                             centroids: Array[Array[Double]], n: Int)
+                             centroids: Seq[Seq[Double]], n: Int)
       extends UnaryExpression {
     private lazy val floats = isFloatArray(child)
+    @transient private lazy val cArr: Array[Array[Double]] =
+      centroids.map(_.toArray).toArray
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(prettyName, child, isNumericVector, "array<float|double>")
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "top_centroids"
     override protected def nullSafeEval(input: Any): Any =
-      Kernels.topCentroids(input.asInstanceOf[ArrayData], centroids, n, floats)
+      Kernels.topCentroids(input.asInstanceOf[ArrayData], cArr, n, floats)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val cRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+      val cRef = ctx.addReferenceObj("ivfCentroids", cArr, "double[][]")
       defineCodeGen(ctx, ev,
         c => s"graft.functions.Kernels.topCentroids($c, $cRef, $n, $floats)")
     }
@@ -441,10 +460,12 @@ object Kernels {
     ColumnBridge.column(SrpCode(ColumnBridge.expression(v), dim, bits, seed))
 
   def nearestCentroidCol(v: Column, centroids: Array[Array[Double]]): Column =
-    ColumnBridge.column(NearestCentroidIdx(ColumnBridge.expression(v), centroids))
+    ColumnBridge.column(NearestCentroidIdx(ColumnBridge.expression(v),
+      centroids.map(_.toSeq).toSeq))
 
   def topCentroidsCol(v: Column, centroids: Array[Array[Double]], n: Int): Column =
-    ColumnBridge.column(TopCentroidsIdx(ColumnBridge.expression(v), centroids, n))
+    ColumnBridge.column(TopCentroidsIdx(ColumnBridge.expression(v),
+      centroids.map(_.toSeq).toSeq, n))
 
   case class TokenSetCount(child: Expression, words: Seq[String])
       extends UnaryExpression {

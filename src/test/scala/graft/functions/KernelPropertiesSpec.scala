@@ -69,6 +69,41 @@ class KernelPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("centroid kernels stay total on degenerate vectors (zero/null/NaN)") {
+    import graft.TestSpark.spark.implicits._
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(0.0, 0.0))
+    val df = Seq(
+      (1L, Array(0.0, 0.0)),              // zero norm -> sim -1 everywhere
+      (2L, Array(Double.NaN, 1.0)),       // NaN element -> clamped, no crash
+      (3L, Array(1.0, 0.1))               // normal row for contrast
+    ).toDF("id", "vec")
+    val rows = df.select(col("id"),
+      Kernels.nearestCentroidCol(col("vec"), cents).as("nc"),
+      Kernels.topCentroidsCol(col("vec"), cents, 3).as("top"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2)))
+      .toMap
+    // every row gets a full, duplicate-free probe list — no AIOOBE, no gaps
+    rows.values.foreach { case (nc, top) =>
+      assert(top.sorted == Seq(0, 1, 2))
+      assert(top.contains(nc))
+    }
+    assert(rows(3L)._1 == 0) // normal row: genuinely nearest centroid wins
+    assert(rows(3L)._2.head == 0)
+  }
+
+  test("centroid expressions compare structurally (CSE-friendly)") {
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val child = org.apache.spark.sql.catalyst.expressions.Literal
+      .create(Array(1.0, 0.0), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false))
+    // identical matrices built independently must compare equal, or Catalyst
+    // canonicalization/CSE can never dedup two uses of the same model
+    assert(Kernels.NearestCentroidIdx(child, cents.map(_.toSeq)) ==
+      Kernels.NearestCentroidIdx(child, Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))))
+    assert(Kernels.TopCentroidsIdx(child, cents, 2) ==
+      Kernels.TopCentroidsIdx(child, Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), 2))
+  }
+
   test("cosine is symmetric and self-cosine is 1") {
     import graft.TestSpark.spark.implicits._
     (1L to 10L).foreach { seed =>
