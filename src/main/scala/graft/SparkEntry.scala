@@ -542,11 +542,15 @@ object SparkEntry {
     "embed_near_dup_exact" -> ((s, dir) => {
       // bits = 0 -> single bucket = verified all-pairs (exact; small SF only).
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), col("vec_id"),
-        col("embedding"), minCosine = 0.5, dim = 64, bits = 0)
+        col("embedding"), minCosine = 0.5, dim = 64, bits = 0, bands = 1)
     }),
-    "embed_near_dup_srp" -> ((s, dir) => { // SRP-plane based: rows-only
+    "embed_near_dup_srp" -> ((s, dir) => { // SRP LSH-OR based: rows-only
+      // Operating point matched to the threshold: at cos>=0.5 (theta/pi
+      // ~ 1/3) a band matches with p = (2/3)^bits, so 4 bits x 16 bands
+      // gives ~97% recall. A true near-dup threshold (cos>=0.9) would use
+      // more bits / fewer bands — see DedupSpec's recall test.
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), col("vec_id"),
-        col("embedding"), minCosine = 0.5, dim = 64, bits = 8)
+        col("embedding"), minCosine = 0.5, dim = 64, bits = 4, bands = 16)
     }),
     // ----- LLM-pipeline: multimodal plumbing ----------------------------
     "media_meta" -> ((s, dir) => {

@@ -221,21 +221,42 @@ object Dedup {
   // --- embedding near-duplicates ---------------------------------------
 
   /** Embedding-cosine near-duplicate pairs above `minCosine`. Candidate
-    * generation via signed-random-projection bucket equality (same
-    * `bits`-bit SRP code → hash join), verification with exact cosine.
+    * generation via LSH-OR over `bands` INDEPENDENT signed-random-
+    * projection codes (band-seeded): a pair is a candidate if ANY band's
+    * `bits`-bit code matches — an equi-join on (band_idx, code) — then
+    * every candidate is verified with exact cosine. A single SRP code
+    * misses any pair the hyperplanes happen to split (P[one-band match]
+    * = (1 - θ/π)^bits); OR-ing bands drives miss probability to
+    * (1 - p)^bands while keeping candidate generation a hash join.
     * For guaranteed-exhaustive small inputs set `bits = 0` (single
     * bucket = verified all-pairs; only for testing).
     */
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
                             minCosine: Double, dim: Int,
-                            bits: Int = 8): DataFrame = {
+                            bits: Int = 8, bands: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions
-    val coded = df.select(id.as("vec_id"), vec.as("v"),
-      (if (bits > 0) VectorFunctions.srpCode(vec, dim, bits) else lit(0L)).as("bucket"))
-    coded.as("a").join(coded.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        VectorFunctions.cosine(col("a.v"), col("b.v")).as("cosine"))
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val coded = df.select(id.as("vec_id"), vec.as("v"))
+    val bandCodes = array((0 until bands).map { b =>
+      if (bits > 0) VectorFunctions.srpCode(vec, dim, bits, seed = 42L + b)
+      else lit(0L)
+    }: _*)
+    val buckets = df.select(id.as("vec_id"), posexplode(bandCodes))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "bucket")
+    // distinct BEFORE the vector rejoin: a pair agreeing in several bands
+    // would otherwise be cosine-scored once per agreeing band
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cands
+      .join(coded.select(col("vec_id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(coded.select(col("vec_id").as("id_b"), col("v").as("v_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 }

@@ -82,4 +82,30 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("SRP LSH-OR near-dup recovers every exact pair (recall vs bits=0)") {
+    import graft.TestSpark.spark.implicits._
+    // 40 base directions in R^16, each with a jittered near-duplicate —
+    // deterministic LCG noise so the test never flakes
+    val rnd = new scala.util.Random(7L)
+    val dim = 16
+    val rows = (0 until 40).flatMap { i =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val dup = base.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      Seq((i * 2L, base), (i * 2L + 1L, dup))
+    }
+    val vecs = rows.toDF("id", "v")
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairsOf(Dedup.embeddingNearDupPairs(vecs, col("id"), col("v"),
+      minCosine = 0.99, dim = dim, bits = 0, bands = 1))
+    val srp = pairsOf(Dedup.embeddingNearDupPairs(vecs, col("id"), col("v"),
+      minCosine = 0.99, dim = dim, bits = 8, bands = 8))
+    assert(exact.size >= 30, s"fixture should make many near-dup pairs, got ${exact.size}")
+    // LSH-OR is a candidate filter + exact verify: no false positives ever,
+    // and with 8 bands of 8 bits the miss probability per true pair is
+    // (1-(1-θ/π)^8)^8 ≈ 1e-6 at cos≥0.99 — full recall on this fixture
+    assert(srp.subsetOf(exact), "verification must kill false candidates")
+    assert(srp == exact, s"missed pairs: ${(exact -- srp).take(5)}")
+  }
 }
