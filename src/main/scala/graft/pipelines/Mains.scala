@@ -48,10 +48,8 @@ object PipelineCli {
       case None => new MockServingSink
     }
 
-  def session(): SparkSession = SparkSession.builder()
-    .appName("graft-pipeline")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+  def session(): SparkSession =
+    graft.SessionFactory.session(appName = "graft-pipeline")
 
   def now(): Timestamp = new Timestamp(System.currentTimeMillis())
 
