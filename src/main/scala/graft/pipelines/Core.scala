@@ -20,7 +20,8 @@ final case class TableResult(table: String, rows: Long, served: Long,
                              consistent: Boolean)
 
 final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
-                            val stagingDir: String, val mode: SaveMode) {
+                            val stagingDir: String, val mode: SaveMode,
+                            val stagingFormat: String = "parquet") {
 
   private val results = scala.collection.mutable.ArrayBuffer.empty[(String, Either[Throwable, TableResult])]
 
@@ -47,20 +48,43 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
   /** K1+K2+K3+O4(+O5): DDL (derived from the contract once, SURVEY §1.3),
     * optional DROP-on-overwrite, contract projection, dual write, and the
     * dual-sink reconciliation check.
+    *
+    * `loadDate` stamps every row with a `load_date` column and lays the
+    * staging table out as one directory per date (SURVEY §4 row 1): an
+    * append-mode daily run adds a fresh `load_date=...` directory, and
+    * incremental readers prune to it at file-listing time instead of
+    * re-globbing the whole staging zone. The serving side keeps the
+    * column as plain data (the history-table `load_datetime` pattern,
+    * zoom_proc_hst.py:145-148).
     */
   def saveTable(df: DataFrame, contract: Contract,
                 modeOverride: Option[SaveMode] = None,
                 dropOnOverwrite: Boolean = false,
-                applyContract: Boolean = true): TableResult = {
+                applyContract: Boolean = true,
+                loadDate: Option[java.sql.Date] = None): TableResult = {
     val m = modeOverride.getOrElse(mode)
     if (dropOnOverwrite && m == SaveMode.Overwrite)
       sink.execute(s"DROP TABLE IF EXISTS ${contract.table}")
-    sink.execute(contract.ddl)
-    val out = if (applyContract) contract.select(df) else df
+    // serving DDL must declare the stamp column too, or the JDBC insert
+    // (which carries it) would fail against a freshly-created table
+    val ddlContract = loadDate match {
+      case Some(_) => contract.copy(schema =
+        contract.schema.add("load_date", org.apache.spark.sql.types.DateType))
+      case None => contract
+    }
+    sink.execute(ddlContract.ddl)
+    val projected = if (applyContract) contract.select(df) else df
+    val out = loadDate match {
+      case Some(d) => projected.withColumn("load_date", lit(d))
+      case None    => projected
+    }
     val path = s"$stagingDir/${contract.table}"
-    ParquetSink.write(out, path, m)
+    ParquetSink.write(out, path, m,
+      partitionBy = if (loadDate.isDefined) Seq("load_date") else Nil,
+      format = stagingFormat)
     sink.write(out, contract.table, m)
-    val (staged, served, ok) = Reconcile.check(spark, path, sink, contract.table)
+    val (staged, served, ok) =
+      Reconcile.check(spark, path, sink, contract.table, stagingFormat)
     TableResult(contract.table, staged, served, ok)
   }
 

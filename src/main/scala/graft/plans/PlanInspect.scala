@@ -33,6 +33,14 @@ object PlanInspect {
     "PushedFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(planString(df))
       .map(_.group(1)).toSeq
 
+  /** Partition filters at the file scans (partition pruning evidence —
+    * a filter on the partition column must land HERE, not in a post-scan
+    * Filter node, or every partition directory is still listed and read).
+    */
+  def partitionFilters(df: DataFrame): Seq[String] =
+    "PartitionFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(planString(df))
+      .map(_.group(1)).toSeq
+
   /** Read schemas of the file scans (column pruning evidence). */
   def readSchemas(df: DataFrame): Seq[String] =
     "ReadSchema: (struct<[^>]*>)".r.findAllMatchIn(planString(df))

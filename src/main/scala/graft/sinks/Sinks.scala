@@ -59,9 +59,20 @@ class MockServingSink extends ServingSink {
 }
 
 object ParquetSink {
-  /** K1: mode-aware parquet write. */
-  def write(df: DataFrame, path: String, mode: SaveMode): Unit =
-    df.write.mode(mode).parquet(path)
+  /** K1: mode-aware staging write. `partitionBy` lays the table out as
+    * one directory per key value (SURVEY §4: the idiomatic upgrade of
+    * the reference's filename-glob date masks — at 100× the staging zone
+    * itself is what incremental reads must prune, and a partition filter
+    * skips whole directories at file-listing time). `format` defaults to
+    * parquet but accepts any DataSource V1/V2 short name (orc, json, or
+    * delta when its jars are on the classpath).
+    */
+  def write(df: DataFrame, path: String, mode: SaveMode,
+            partitionBy: Seq[String] = Nil,
+            format: String = "parquet"): Unit = {
+    val w = df.write.mode(mode).format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+  }
 
   /** Bucketed catalog table: pre-shuffles once at write time so that
     * repeated joins/aggregations on `bucketCol` read co-located buckets
@@ -109,10 +120,10 @@ case class Contract(table: String, schema: StructType) {
 }
 
 object Reconcile {
-  /** O4: dual-sink consistency — staging parquet count vs serving count. */
-  def check(spark: SparkSession, parquetPath: String, sink: ServingSink,
-            table: String): (Long, Long, Boolean) = {
-    val staged = spark.read.parquet(parquetPath).count()
+  /** O4: dual-sink consistency — staging count vs serving count. */
+  def check(spark: SparkSession, stagingPath: String, sink: ServingSink,
+            table: String, format: String = "parquet"): (Long, Long, Boolean) = {
+    val staged = spark.read.format(format).load(stagingPath).count()
     val served = sink.count(table)
     (staged, served, staged == served)
   }

@@ -354,4 +354,32 @@ class PipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(s"${c1.stagingDir}/hst_surveys_answers").count() == 2)
     assert(sink.count("hst_surveys_answers") == 2)
   }
+
+  test("date-partitioned staging prunes at the scan (SURVEY §4 row 1)") {
+    import graft.TestSpark.spark.implicits._
+    import graft.sinks.Contract
+    import org.apache.spark.sql.types._
+    val (c, sink) = ctx("partitioned", SaveMode.Append)
+    val contract = Contract("events_daily", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    // two daily append runs -> two load_date=... directories
+    val d1 = java.sql.Date.valueOf("2024-05-01")
+    val d2 = java.sql.Date.valueOf("2024-05-02")
+    val r1 = c.saveTable(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), contract,
+      loadDate = Some(d1))
+    val r2 = c.saveTable(Seq((3L, "c")).toDF("id", "v"), contract,
+      loadDate = Some(d2))
+    assert(r1.consistent && r2.rows == 3 && r2.consistent) // cumulative count
+    val path = s"${c.stagingDir}/events_daily"
+    val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("load_date="))
+    assert(dirs.sorted.toSeq == Seq("load_date=2024-05-01", "load_date=2024-05-02"))
+    // serving DDL declares the stamp column
+    assert(sink.ddl.exists(s => s.contains("events_daily") && s.contains("load_date date")))
+    // the incremental read: a load_date filter must land in the scan's
+    // PartitionFilters (directory pruning), not a post-scan Filter
+    val incr = spark.read.parquet(path).filter(col("load_date") === lit(d2))
+    assert(incr.count() == 1)
+    val pf = graft.plans.PlanInspect.partitionFilters(incr)
+    assert(pf.exists(_.contains("load_date")), s"partition filters: $pf")
+  }
 }
