@@ -150,6 +150,18 @@ object SparkEntry {
           expr("percentile(l_extendedprice, 0.95)").as("p95_price"),
           expr("percentile(l_quantity, 0.5)").as("median_qty"))
     }),
+    "q_percentiles_approx" -> ((s, dir) => {
+      // The scale path: approx_percentile (KLL-style mergeable sketch,
+      // bounded memory per group) where exact `percentile` buffers every
+      // value of a group on one executor — OOM territory for a hot group
+      // at 100x (SCALE.md). Rows-only entry: the sketch is
+      // engine-specific, so there is no DuckDB-bitexact oracle; the
+      // guarantee is the tolerance-vs-exact assertion in PlanAuditSpec.
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("median_price"),
+          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95_price"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"))
+    }),
     "q_sql_correlated" -> ((s, dir) => {
       // SQL frontend + correlated scalar subquery (Catalyst decorrelates
       // it into an aggregate + outer join)

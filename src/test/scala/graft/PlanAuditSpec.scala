@@ -89,4 +89,21 @@ class PlanAuditSpec extends SparkTestBase {
       col("doc_id"), col("text"), numHashes = 32, shingleSize = 3, bands = 8)
     assert(!PlanInspect.hasCartesian(pairs), planOf(pairs))
   }
+
+  test("approx percentiles track the exact ones (the sketch scale path)") {
+    def byFlag(name: String): Map[String, Seq[Double]] =
+      graft.SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => r.getString(0) -> (1 to 3).map(i => r.getDouble(i)))
+        .toMap
+    val exact = byFlag("q_percentiles")
+    val approx = byFlag("q_percentiles_approx")
+    assert(exact.keySet == approx.keySet)
+    for (flag <- exact.keySet; i <- 0 until 3) {
+      val (e, a) = (exact(flag)(i), approx(flag)(i))
+      // accuracy=10000 -> 1e-4 rank error; on these distributions that is
+      // well within 2% relative value error
+      assert(math.abs(a - e) <= 0.02 * math.abs(e),
+        s"$flag[$i]: approx $a vs exact $e")
+    }
+  }
 }
