@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -37,25 +35,93 @@ object Ivf {
   case class IvfModel(centroids: DataFrame /* (list_id, centroid) */,
                       matrix: Array[Array[Double]])
 
-  /** Fit nlist centroids. `sampleFraction` bounds the k-means input at
-    * scale (k-means itself is iterative Spark jobs, fine; the sample
-    * bounds per-iteration cost — list assignment quality is insensitive
-    * to sampling because only the centroid POSITIONS matter).
+  /** Fit nlist centroids by spherical k-means on a BOUNDED sample,
+    * trained driver-side. This is the standard IVF design (an IVF model
+    * is always trained on a sample — centroid positions are insensitive
+    * to sampling; only the lists' rough geometry matters), and it is the
+    * scale-correct shape: the sample is capped at `maxSample` rows
+    * regardless of corpus size, one distributed job collects it, and the
+    * Lloyd iterations are in-memory instead of 10 scheduled Spark jobs
+    * (which dominated the fit cost — the model itself is driver-side
+    * either way, it IS an nlist × dim matrix).
+    *
+    * Spherical variant (centroids renormalized each round) because
+    * assignment/probing use cosine. Deterministic: seeded init, parallel
+    * assignment into a preallocated array, sequential accumulation.
+    * Driver fit cost is maxSample × nlist × dim × maxIter multiplies —
+    * size maxSample/nlist accordingly (defaults: 25k × 256 × 64 × 10
+    * ≈ 4 × 10^9, a few seconds across cores).
     */
   def fit(corpus: DataFrame, vec: Column, nlist: Int,
-          sampleFraction: Double = 1.0, seed: Long = 42L): IvfModel = {
+          sampleFraction: Double = 1.0, seed: Long = 42L,
+          maxSample: Int = 25000, maxIter: Int = 10): IvfModel = {
     val base = if (sampleFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, sampleFraction, seed)
-    val feats = base.select(array_to_vector(vec.cast("array<double>")).as("features"))
-    // bucketing doesn't need converged centroids — 10 iterations of
-    // k-means gives stable-enough lists at half the fit cost
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(feats)
+    val pts: Array[Array[Double]] = base
+      .select(vec.cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .limit(maxSample)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(pts.nonEmpty, "Ivf.fit: empty sample")
+    val k = math.min(nlist, pts.length)
+    val dim = pts(0).length
+    // seeded distinct-point init
+    val rnd = new java.util.Random(seed)
+    val centroids = rnd.ints(0, pts.length).distinct().limit(k.toLong)
+      .toArray.map(i => pts(i).clone())
+    val assignArr = new Array[Int](pts.length)
+    var iter = 0
+    while (iter < maxIter) {
+      // parallel argmax-cosine assignment (deterministic: per-point slot)
+      java.util.stream.IntStream.range(0, pts.length).parallel().forEach { i =>
+        var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
+        while (c < k) {
+          val s = localCosine(pts(i), centroids(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        assignArr(i) = best
+      }
+      // sequential mean + renormalize (spherical); empty list keeps its
+      // centroid so every list_id stays populated in the model
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < pts.length) {
+        val a = assignArr(i); val p = pts(i); val s = sums(a)
+        var d = 0
+        while (d < dim) { s(d) += p(d); d += 1 }
+        counts(a) += 1; i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          val s = sums(c)
+          var norm = 0.0
+          var d = 0
+          while (d < dim) { norm += s(d) * s(d); d += 1 }
+          norm = math.sqrt(norm)
+          if (norm > 0) {
+            d = 0
+            while (d < dim) { centroids(c)(d) = s(d) / norm; d += 1 }
+          }
+        }
+        c += 1
+      }
+      iter += 1
+    }
     val spark = corpus.sparkSession
     import spark.implicits._
-    val matrix = model.clusterCenters.map(_.toArray)
-    val rows = matrix.zipWithIndex.toSeq.map { case (c, i) => (i, c) }
-    IvfModel(rows.toDF("list_id", "centroid"), matrix)
+    val rows = centroids.toSeq.zipWithIndex.map { case (cn, i) => (i, cn) }
+    IvfModel(rows.toDF("list_id", "centroid"), centroids)
+  }
+
+  private def localCosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) -1.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Assign each corpus row to its nearest centroid: one argmin kernel
