@@ -244,6 +244,36 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).cast("bigint").as("sum_qty"),
           count(lit(1)).as("n_rows"))
     }),
+    "q_cube" -> ((s, dir) => {
+      // full grouping-set lattice (2^2 groupings in one pass — Catalyst
+      // expands to a single Expand + one aggregate, not 4 scans)
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "q_lag_lead" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // offset window functions: days since the previous order and the
+      // next order's key, per customer (deterministic orderkey tiebreak)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        ntz(col("o_orderdate")).as("o_orderdate"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("int").as("days_since_prev"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+    }),
+    "q_cond_agg" -> ((s, dir) => {
+      // conditional aggregation (FILTER/CASE) + exact distinct count
+      t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(count(when(col("o_totalprice") > 100000, 1)).as("n_big"),
+          count(lit(1)).as("n_all"),
+          sum(when(col("o_orderstatus") === "F", dec2(col("o_totalprice"))))
+            .cast("double").as("spend_f"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+    }),
     "q_asof_join" -> ((s, dir) => {
       import graft.operators.AsofJoin
       // for each event, the customer's most recent order at/before the
@@ -712,6 +742,27 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS INT)
+        |   AS days_since_prev,
+        | LAG(o_orderkey) OVER w AS prev_orderkey,
+        | LEAD(o_orderkey) OVER w AS next_orderkey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+    "q_cond_agg" ->
+      """SELECT o_orderpriority,
+        | COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+        | COUNT(*) AS n_all,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS spend_f,
+        | COUNT(DISTINCT o_custkey) AS n_custs
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_asof_join" ->
       """WITH r AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS ok,
         |  arg_max(o_totalprice, o_orderkey) AS op

@@ -52,6 +52,35 @@ object Streams {
       .select(col("window.start").as("event_hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming ingestion through the SAME dual-sink contract machinery as
+    * the batch pipelines: each micro-batch goes through
+    * [[graft.pipelines.PipelineContext.saveTable]] — contract projection,
+    * serving DDL, parquet staging + JDBC write, reconciliation — in
+    * append mode (the only sane streaming mode for an accumulating
+    * table). Checkpointing makes the SOURCE exactly-once; the sinks are
+    * effectively-once per batch like any foreachBatch writer, which
+    * matches the reference's append-mode daily-load idempotency model
+    * (re-running a failed batch re-appends — same behavior its calendar
+    * batches have, SURVEY §2.10 O5).
+    *
+    * `loadDate` stamps/partitions staging exactly like the batch path, so
+    * a streaming drain and a daily batch land in the same layout.
+    */
+  def dualSinkStream(stream: DataFrame, ctx: graft.pipelines.PipelineContext,
+                     contract: graft.sinks.Contract, checkpointDir: String,
+                     loadDate: Option[java.sql.Date] = None,
+                     trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ctx.stage(s"${contract.table}#$batchId") {
+          ctx.saveTable(batch, contract,
+            modeOverride = Some(org.apache.spark.sql.SaveMode.Append),
+            loadDate = loadDate)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
   // --- stateful sessionization -----------------------------------------
 
   case class SessionEvent(user_id: Long, ts: Timestamp)

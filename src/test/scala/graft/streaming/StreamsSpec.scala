@@ -116,6 +116,38 @@ class StreamsSpec extends SparkTestBase {
     assert(ids == Seq(1L, 2L))
     q.stop()
   }
+
+  test("dualSinkStream: micro-batches land via the contract dual-sink") {
+    import graft.TestSpark.spark.implicits._
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val sink = new graft.sinks.MockServingSink
+    val ctx = new graft.pipelines.PipelineContext(spark, sink,
+      tempDir("dual_stream").toString, org.apache.spark.sql.SaveMode.Append)
+    val contract = graft.sinks.Contract("stream_events", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    val d = java.sql.Date.valueOf("2024-05-01")
+    val q = Streams.dualSinkStream(mem.toDF().toDF("id", "v"), ctx, contract,
+      tempDir("dual_ckpt").toString, loadDate = Some(d),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(ctx.failed.isEmpty, ctx.report.toString)
+    // both sinks accumulated across batches and reconciled per batch
+    val staged = spark.read.parquet(s"${ctx.stagingDir}/stream_events")
+    assert(staged.count() == 3 && sink.count("stream_events") == 3)
+    assert(ctx.report.collect { case (_, Right(r)) => r.consistent }
+      .forall(identity))
+    // streaming batches share the batch path's partition layout
+    assert(staged.filter(col("load_date") === lit(d)).count() == 3)
+    assert(sink.ddl.exists(s => s.contains("stream_events") && s.contains("load_date date")))
+  }
 }
 
 object TestSpark {
