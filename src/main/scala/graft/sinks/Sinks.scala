@@ -69,8 +69,14 @@ object ParquetSink {
     */
   def write(df: DataFrame, path: String, mode: SaveMode,
             partitionBy: Seq[String] = Nil,
-            format: String = "parquet"): Unit = {
-    val w = df.write.mode(mode).format(format)
+            format: String = "parquet",
+            maxRecordsPerFile: Long = 0L): Unit = {
+    // maxRecordsPerFile > 0 bounds output file size WITHOUT a repartition
+    // (the writer rolls files) — the small-files/giant-files knob for a
+    // staging zone that downstream scans re-read
+    val w0 = df.write.mode(mode).format(format)
+    val w = if (maxRecordsPerFile > 0)
+      w0.option("maxRecordsPerFile", maxRecordsPerFile) else w0
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 

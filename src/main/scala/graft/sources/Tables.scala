@@ -40,9 +40,24 @@ object Tables {
     } else if (name == "documents" || name == "embeddings") {
       val df = spark.read.parquet(path)
       val cores = spark.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+      // inputFiles (a listing, no RDD materialization) is the split proxy:
+      // these arrive as one small file locally; many-file lake tables skip
+      // the repartition entirely
+      if (df.inputFiles.length < cores) df.repartition(cores) else df
     } else spark.read.parquet(path)
   }
+
+  /** Incremental read of a date-partitioned staging table — the read twin
+    * of `PipelineContext.saveTable(loadDate = ...)`. The predicate is a
+    * partition filter, so directories outside the window are pruned at
+    * file-listing time (asserted in PipelineSpec); at 100× this is what
+    * keeps daily increments O(day), not O(history).
+    */
+  def loadSince(spark: SparkSession, stagingDir: String, table: String,
+                since: java.sql.Date, format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(s"$stagingDir/$table")
+      .filter(org.apache.spark.sql.functions.col("load_date") >=
+        org.apache.spark.sql.functions.lit(since))
 
   /** S1: JSON multi-file scan with glob mask — implicit UNION ALL of all
     * matching objects. `schema=None` reproduces the reference's

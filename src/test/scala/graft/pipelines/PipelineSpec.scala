@@ -375,9 +375,10 @@ class PipelineSpec extends SparkTestBase {
     assert(dirs.sorted.toSeq == Seq("load_date=2024-05-01", "load_date=2024-05-02"))
     // serving DDL declares the stamp column
     assert(sink.ddl.exists(s => s.contains("events_daily") && s.contains("load_date date")))
-    // the incremental read: a load_date filter must land in the scan's
-    // PartitionFilters (directory pruning), not a post-scan Filter
-    val incr = spark.read.parquet(path).filter(col("load_date") === lit(d2))
+    // the incremental read: the load_date predicate must land in the
+    // scan's PartitionFilters (directory pruning), not a post-scan Filter
+    val incr = graft.sources.Tables.loadSince(spark, c.stagingDir,
+      "events_daily", d2)
     assert(incr.count() == 1)
     val pf = graft.plans.PlanInspect.partitionFilters(incr)
     assert(pf.exists(_.contains("load_date")), s"partition filters: $pf")
