@@ -90,6 +90,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!PlanInspect.hasCartesian(pairs), planOf(pairs))
   }
 
+  test("cube runs as one Expand + one aggregate, not 4 scans") {
+    val df = graft.SparkEntry.queries("q_cube")(spark, dir)
+    val plan = planOf(df)
+    assert("\\bExpand\\b".r.findAllIn(plan).length == 1, plan)
+    assert("\\bFileScan\\b|\\bScan parquet\\b".r.findAllIn(plan).length <= 1, plan)
+  }
+
   test("approx percentiles track the exact ones (the sketch scale path)") {
     def byFlag(name: String): Map[String, Seq[Double]] =
       graft.SparkEntry.queries(name)(spark, dir).collect()
