@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Fingerprint, Fnv64, LogParse, TextFunctions, Timestamps}
-import graft.operators.{Dedup, Explodes, Flatten, Multimodal, Similarity}
+import graft.operators.{Dedup, Explodes, Flatten, Multimodal, Sampling, Similarity}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -594,6 +594,18 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), col("vec_id"),
         col("embedding"), minCosine = 0.5, dim = 64, bits = 4, bands = 16)
     }),
+    "corpus_split" -> ((s, dir) => {
+      // deterministic 90/10 train/holdout split — a pure function of the
+      // row id (md5 bucket), identical on any cluster size/engine
+      Sampling.hashSplit(t(s, dir, "documents"), col("doc_id"),
+        trainFrac = 0.9).select(col("doc_id"), col("split"))
+    }),
+    "corpus_stratified" -> ((s, dir) => {
+      // per-language deterministic subsample: half the en docs, all de
+      Sampling.stratifiedSample(t(s, dir, "documents"), col("doc_id"),
+        col("lang"), Map("en" -> 0.5, "de" -> 1.0))
+        .select(col("doc_id"), col("lang"))
+    }),
     // ----- LLM-pipeline: multimodal plumbing ----------------------------
     "media_meta" -> ((s, dir) => {
       val media = Multimodal.packTextAsMedia(t(s, dir, "documents"),
@@ -856,6 +868,17 @@ object SparkEntry {
         | c_mktsegment AS segment, 'graft' AS load_src FROM customer""".stripMargin,
     "concat_ws_csv" ->
       """SELECT c_custkey, c_name || ',' || c_mktsegment AS csv FROM customer""".stripMargin,
+    "corpus_split" ->
+      """SELECT doc_id,
+        | CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |        < 'e666' THEN 'train' ELSE 'holdout' END AS split
+        |FROM documents""".stripMargin,
+    "corpus_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (lang = 'en' AND
+        |        substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+        |   OR (lang = 'de' AND
+        |        substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < 'g')""".stripMargin,
     "dedup_exact" ->
       """SELECT text AS dedup_key, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
         |FROM documents GROUP BY text""".stripMargin,

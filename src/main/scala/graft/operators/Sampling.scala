@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset splitting/sampling for training pipelines.
+  *
+  * The split assignment must be a PURE FUNCTION of the row's identity —
+  * not of partitioning, row order, cluster size, or a sampler's RNG
+  * stream — so that (a) re-running the pipeline (or re-running it on
+  * 1000 executors instead of 32 cores) yields the identical split, and
+  * (b) a row's membership never silently flips when upstream data is
+  * appended. `randomSplit` guarantees neither. Hash-bucketing on a
+  * cryptographic digest of the id gives both, and is portable: md5 hex
+  * is identical in every engine, so the assignment is even
+  * oracle-checkable bit-for-bit against DuckDB.
+  */
+object Sampling {
+
+  /** Lowercase hex md5 bucket key of (salt ++ id), first 4 hex chars =
+    * 65,536 buckets. Lexicographic comparison of the hex prefix IS the
+    * bucket comparison (both engines emit lowercase hex), which keeps
+    * the predicate a plain string compare — no hex→int conversion that
+    * engines disagree on.
+    */
+  def bucketKey(id: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), id.cast("string"))), 1, 4)
+
+  /** Threshold hex prefix for a fraction: rows with bucketKey < this are
+    * inside the fraction. Granularity 1/65536 (documented; exact split
+    * sizes converge at corpus scale).
+    */
+  def thresholdHex(frac: Double): String = {
+    require(frac >= 0.0 && frac <= 1.0, s"fraction must be in [0,1], got $frac")
+    val b = math.round(frac * 65536.0).toInt
+    // frac=1 must admit every key; the 5-char "10000" would sort BEFORE
+    // most 4-char keys ('1' < '2'..'f'), so use a sentinel above hex
+    if (b >= 65536) "g" else f"$b%04x"
+  }
+
+  /** Deterministic train/holdout split column: 'train' for ~`trainFrac`
+    * of rows, 'holdout' for the rest, stable under re-runs, appends,
+    * repartitioning and engine changes. Change `salt` to draw an
+    * independent split.
+    */
+  def hashSplit(df: DataFrame, id: Column, trainFrac: Double,
+                salt: String = "graft"): DataFrame =
+    df.withColumn("split",
+      when(bucketKey(id, salt) < lit(thresholdHex(trainFrac)), lit("train"))
+        .otherwise(lit("holdout")))
+
+  /** Per-stratum deterministic sample: keeps ~`fractions(stratum)` of each
+    * stratum's rows (absent strata keep nothing), selected by the same
+    * id-hash bucketing as [[hashSplit]] — so the sample is a stable subset
+    * (a row either is or is not in the sample, forever), unlike
+    * `df.stat.sampleBy`'s RNG-stream draw which reshuffles membership
+    * whenever partitioning changes.
+    */
+  def stratifiedSample(df: DataFrame, id: Column, stratum: Column,
+                       fractions: Map[String, Double],
+                       salt: String = "graft"): DataFrame = {
+    val key = bucketKey(id, salt)
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (s, f)) =>
+      acc || (stratum === lit(s) && key < lit(thresholdHex(f)))
+    }
+    df.filter(keep)
+  }
+}
