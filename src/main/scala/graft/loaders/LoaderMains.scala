@@ -22,10 +22,14 @@ object LoaderCli {
   val mapper = new ObjectMapper()
 
   /** The reference's path-safe timestamp mangle (zoom_load.py:217-220,
-    * vk_load.py:317: ' '/':'/'.' all become '-').
+    * vk_load.py:317: ' '/':'/'.' all become '-'). Fixed-width formatter —
+    * LocalDateTime.toString drops :00 seconds, which would give the same
+    * loader differently-shaped keys depending on the wall clock, breaking
+    * substring-mask listings tuned to one shape.
     */
-  def pathTs(now: LocalDateTime): String =
-    now.toString.replace("T", "-").replace(":", "-").replace(".", "-")
+  private val tsFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH-mm-ss")
+  def pathTs(now: LocalDateTime): String = now.format(tsFmt)
 
   def store(outDir: String) =
     new FileObjectStore(java.nio.file.Paths.get(outDir))
@@ -70,14 +74,16 @@ object ZoomLoadMain {
     var i = 0
     meetings.forEach { m =>
       val id = m.path("id").asText()
-      // recordings: chunked binary download -> store (S10)
+      // recordings: STREAMED binary download -> store (S10) — a multi-GB
+      // recording never materializes in heap (getStream + putStream both
+      // move fixed-size chunks)
       m.path("recording_files").forEach { rf =>
         val name = rf.path("recording_type").asText().replace("_", "-") +
           "-" + rf.path("id").asText() + "." + rf.path("file_extension").asText()
-        val bytes = Loaders.getWithRetry(transport,
-          rf.path("download_url").asText(), bearer(token))
-        Loaders.chunkedDownload(new java.io.ByteArrayInputStream(bytes),
-          store, s"$rootDir/$id/$name")
+        val in = transport.getStream(rf.path("download_url").asText(),
+          bearer(token), 20000)
+        try Loaders.chunkedDownload(in, store, s"$rootDir/$id/$name")
+        finally in.close()
         written += s"$rootDir/$id/$name"
       }
       // participants, wrapped with the meeting uuid (zoom_load.py:186-199);

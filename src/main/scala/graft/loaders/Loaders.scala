@@ -17,20 +17,56 @@ import java.time.LocalDate
   */
 trait HttpTransport {
   def get(url: String, headers: Map[String, String], timeoutMs: Int): Array[Byte]
+
+  /** Streaming GET for large payloads (recordings): implementations that
+    * can should return the response body WITHOUT materializing it. The
+    * default buffers via [[get]] — fine for JSON, wrong for video; the
+    * JDK transport overrides with a true stream.
+    */
+  def getStream(url: String, headers: Map[String, String],
+                timeoutMs: Int): java.io.InputStream =
+    new java.io.ByteArrayInputStream(get(url, headers, timeoutMs))
+}
+
+/** Error messages must never echo credentials: both query-string tokens
+  * (VK's access_token) and urls appear in thrown messages and logs.
+  */
+private[loaders] object Redact {
+  def url(u: String): String =
+    u.replaceAll("(access_token|token|key)=[^&]*", "$1=REDACTED")
 }
 
 /** java.net.http-based transport (JDK built-in; no extra dependencies). */
 final class JdkHttpTransport extends HttpTransport {
   private lazy val client = java.net.http.HttpClient.newHttpClient()
-  override def get(url: String, headers: Map[String, String],
-                   timeoutMs: Int): Array[Byte] = {
+
+  private def request(url: String, headers: Map[String, String],
+                      timeoutMs: Int): java.net.http.HttpRequest = {
     val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMs.toLong)).GET()
     headers.foreach { case (k, v) => b.header(k, v) }
-    val resp = client.send(b.build(),
+    b.build()
+  }
+
+  override def get(url: String, headers: Map[String, String],
+                   timeoutMs: Int): Array[Byte] = {
+    val resp = client.send(request(url, headers, timeoutMs),
       java.net.http.HttpResponse.BodyHandlers.ofByteArray())
     if (resp.statusCode() >= 400)
-      throw new java.io.IOException(s"HTTP ${resp.statusCode()} for $url")
+      throw new java.io.IOException(
+        s"HTTP ${resp.statusCode()} for ${Redact.url(url)}")
+    resp.body()
+  }
+
+  override def getStream(url: String, headers: Map[String, String],
+                         timeoutMs: Int): java.io.InputStream = {
+    val resp = client.send(request(url, headers, timeoutMs),
+      java.net.http.HttpResponse.BodyHandlers.ofInputStream())
+    if (resp.statusCode() >= 400) {
+      resp.body().close()
+      throw new java.io.IOException(
+        s"HTTP ${resp.statusCode()} for ${Redact.url(url)}")
+    }
     resp.body()
   }
 }
@@ -118,7 +154,7 @@ object Loaders {
       }
     }
     throw new java.io.IOException(
-      s"giving up on $url after $maxAttempts attempts", last)
+      s"giving up on ${Redact.url(url)} after $maxAttempts attempts", last)
   }
 
   /** S6: offset pagination — advance `offset += pageSize` until the

@@ -57,10 +57,20 @@ object Ivf {
           maxSample: Int = 25000, maxIter: Int = 10): IvfModel = {
     val base = if (sampleFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, sampleFraction, seed)
-    val pts: Array[Array[Double]] = base
-      .select(vec.cast("array<double>").as("v"))
+    val vecs = base.select(vec.cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
-      .limit(maxSample)
+    // cap via a UNIFORM thinning, never a bare limit(): limit takes the
+    // first rows in file order, and a corpus laid out sorted/clustered
+    // (by source, language, ...) would hand the fit one corner of
+    // embedding space — every centroid lands there and the rest of the
+    // corpus collapses into a few giant lists. The count is one cheap
+    // aggregate; the residual limit only trims sampling variance.
+    val n = vecs.count()
+    val capped = if (n > maxSample)
+      vecs.sample(withReplacement = false,
+        math.min(1.0, maxSample * 1.1 / n.toDouble), seed).limit(maxSample)
+    else vecs
+    val pts: Array[Array[Double]] = capped
       .collect()
       .map(_.getSeq[Double](0).toArray)
     require(pts.nonEmpty, "Ivf.fit: empty sample")

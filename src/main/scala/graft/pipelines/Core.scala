@@ -23,13 +23,18 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
                             val stagingDir: String, val mode: SaveMode,
                             val stagingFormat: String = "parquet") {
 
+  // synchronized: streaming drains (Streams.dualSinkStream) append from
+  // the micro-batch thread while a caller may read report/failed
   private val results = scala.collection.mutable.ArrayBuffer.empty[(String, Either[Throwable, TableResult])]
+
+  private def record(entry: (String, Either[Throwable, TableResult])): Unit =
+    results.synchronized { results += entry; () }
 
   /** O2: run one table stage in isolation; failures are recorded, siblings
     * continue.
     */
   def stage(name: String)(body: => TableResult): Unit =
-    results += (name -> (try Right(body) catch { case e: Throwable => Left(e) }))
+    record(name -> (try Right(body) catch { case e: Throwable => Left(e) }))
 
   /** O2 for source-level sections (scan + gate + the tables they feed):
     * the reference's preproc functions swallow failures and return None,
@@ -38,12 +43,14 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
     */
   def guard(name: String)(body: => Unit): Unit =
     try body catch { case e: Throwable =>
-      results += (name -> Left(e))
+      record(name -> Left(e))
     }
 
-  def report: Seq[(String, Either[Throwable, TableResult])] = results.toSeq
+  def report: Seq[(String, Either[Throwable, TableResult])] =
+    results.synchronized(results.toSeq)
 
-  def failed: Seq[String] = results.collect { case (n, Left(_)) => n }.toSeq
+  def failed: Seq[String] =
+    results.synchronized(results.collect { case (n, Left(_)) => n }.toSeq)
 
   /** K1+K2+K3+O4(+O5): DDL (derived from the contract once, SURVEY §1.3),
     * optional DROP-on-overwrite, contract projection, dual write, and the

@@ -40,11 +40,29 @@ object Tables {
     } else if (name == "documents" || name == "embeddings") {
       val df = spark.read.parquet(path)
       val cores = spark.sparkContext.defaultParallelism
-      // inputFiles (a listing, no RDD materialization) is the split proxy:
-      // these arrive as one small file locally; many-file lake tables skip
-      // the repartition entirely
-      if (df.inputFiles.length < cores) df.repartition(cores) else df
+      // estimate SPLITS (bytes / maxPartitionBytes per file, like the file
+      // scan planner), not file count: a lake table of a few multi-GB
+      // files yields plenty of splits and must NOT be repartitioned —
+      // only a genuinely under-split local artifact (one small file) is
+      if (estimatedSplits(spark, df.inputFiles) < cores)
+        df.repartition(cores)
+      else df
     } else spark.read.parquet(path)
+  }
+
+  /** Sum over files of ceil(len / maxPartitionBytes) — the same quantum
+    * the FileSourceScan planner uses, via a cheap FS status call per file
+    * (no RDD materialization).
+    */
+  private def estimatedSplits(spark: SparkSession, files: Array[String]): Long = {
+    val maxBytes = spark.conf.get("spark.sql.files.maxPartitionBytes",
+      "134217728").stripSuffix("b").toLong
+    val hc = spark.sparkContext.hadoopConfiguration
+    files.iterator.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val len = p.getFileSystem(hc).getFileStatus(p).getLen
+      math.max(1L, (len + maxBytes - 1) / maxBytes)
+    }.sum
   }
 
   /** Incremental read of a date-partitioned staging table — the read twin

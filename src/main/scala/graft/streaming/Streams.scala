@@ -72,10 +72,23 @@ object Streams {
                      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // record the per-batch result for the report, but RETHROW on
+        // failure: a swallowed exception would let the engine commit the
+        // batch's offsets, permanently skipping its rows. Failing the
+        // query instead leaves the checkpoint at the failed batch, so a
+        // restart replays it (append-mode re-run, the reference's
+        // idempotency model).
         ctx.stage(s"${contract.table}#$batchId") {
           ctx.saveTable(batch, contract,
             modeOverride = Some(org.apache.spark.sql.SaveMode.Append),
             loadDate = loadDate)
+        }
+        ctx.report.collectFirst {
+          case (n, Left(e)) if n == s"${contract.table}#$batchId" => e
+        }.foreach { e =>
+          throw new IllegalStateException(
+            s"dual-sink batch $batchId failed; failing the query so the " +
+              "checkpoint does not advance past it", e)
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -45,7 +45,7 @@ class LoaderMainsSpec extends AnyFunSuite {
     val (store, root) = memStore
     val keys = ZoomLoadMain.run(t, store, api, "tok",
       LocalDate.of(2024, 5, 1), now)
-    assert(keys.head.startsWith("air-meetings-logs-2024-05-01-12-00/") &&
+    assert(keys.head.startsWith("air-meetings-logs-2024-05-01-12-00-00/") &&
       keys.head.endsWith("meetings_logs_2024-05-01_2024-05-01.json"))
     assert(keys.contains("air-meetings-data/77/shared-screen-r1.MP4"))
     assert(keys.contains("air-meetings-data/77/participants_0.json"))
@@ -74,14 +74,14 @@ class LoaderMainsSpec extends AnyFunSuite {
     val (store, root) = memStore
     val keys = VkLoadMain.run(t, store, api, "tok", "gsom.spbu", now, pageSize = 2)
     // dot in the group name is path-mangled (vk_load.py:317)
-    assert(keys.forall(_.startsWith("gsom_spbu-2024-05-01-12-00/")))
+    assert(keys.forall(_.startsWith("gsom_spbu-2024-05-01-12-00-00/")))
     assert(keys.exists(_.endsWith("/gsom.spbu.json")))
     val members = LoaderCli.parse(readKey(root,
       keys.find(_.contains("members_group_")).get).getBytes("UTF-8"))
     val items = members.path("response").path("items")
     assert(Seq.tabulate(items.size())(items.get(_).asInt()) == Seq(1, 2, 3))
     val wall = LoaderCli.parse(readKey(root,
-      "gsom_spbu-2024-05-01-12-00/wall_owner_id_-999.json").getBytes("UTF-8"))
+      "gsom_spbu-2024-05-01-12-00-00/wall_owner_id_-999.json").getBytes("UTF-8"))
     assert(wall.path("response").path("items").path(0).path("text").asText() == "post")
   }
 

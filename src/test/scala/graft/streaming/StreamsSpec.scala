@@ -148,6 +148,37 @@ class StreamsSpec extends SparkTestBase {
     assert(staged.filter(col("load_date") === lit(d)).count() == 3)
     assert(sink.ddl.exists(s => s.contains("stream_events") && s.contains("load_date date")))
   }
+
+  test("dualSinkStream: a failed batch fails the query (checkpoint must not advance)") {
+    import graft.TestSpark.spark.implicits._
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val sink = new graft.sinks.MockServingSink {
+      override def write(df: org.apache.spark.sql.DataFrame, table: String,
+                         mode: org.apache.spark.sql.SaveMode): Unit =
+        throw new RuntimeException("serving sink down")
+    }
+    val ctx = new graft.pipelines.PipelineContext(spark, sink,
+      tempDir("dual_fail").toString, org.apache.spark.sql.SaveMode.Append)
+    val contract = graft.sinks.Contract("failing_events", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    val q = Streams.dualSinkStream(mem.toDF().toDF("id", "v"), ctx, contract,
+      tempDir("dual_fail_ckpt").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem.addData((1L, "a"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(30000)
+    }
+    // the stage failure propagated instead of being swallowed — a
+    // swallowed failure would commit the batch and silently drop its rows
+    assert(e.getMessage.contains("dual-sink batch") ||
+      Option(e.getCause).exists(_.getMessage.contains("dual-sink batch")))
+    assert(ctx.failed.nonEmpty)
+  }
 }
 
 object TestSpark {
