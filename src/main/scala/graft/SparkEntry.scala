@@ -274,6 +274,18 @@ object SparkEntry {
             .cast("double").as("spend_f"),
           countDistinct(col("o_custkey")).as("n_custs"))
     }),
+    "q_rank_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // distribution window functions: quartile bucket, percentile rank
+      // and cumulative distribution of order value within its priority
+      // class (deterministic orderkey tiebreak)
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    }),
     "q_asof_join" -> ((s, dir) => {
       import graft.operators.AsofJoin
       // for each event, the customer's most recent order at/before the
@@ -468,6 +480,19 @@ object SparkEntry {
         n = 3, minJaccard = 0.5)
       Dedup.applyPairDedup(docs, col("doc_id"), pairs)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+    "dedup_clusters" -> ((s, dir) => {
+      // transitive near-dup clusters: every doc labelled with the min id
+      // reachable through the exact n-gram pair graph (singletons label
+      // themselves) — the cluster view that greedy pruning can't give
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.5)
+      val cc = Dedup.connectedComponents(pairs)
+      docs.select(col("doc_id"))
+        .join(cc, docs("doc_id") === cc("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("component"))
     }),
     "minhash_pairs" -> ((s, dir) => { // engine-hash based: rows-only check
       Dedup.minhashDedupPairs(t(s, dir, "documents"), col("doc_id"),
@@ -775,6 +800,14 @@ object SparkEntry {
         |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS spend_f,
         | COUNT(DISTINCT o_custkey) AS n_custs
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_rank_stats" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | CAST(NTILE(4) OVER w AS INT) AS quartile,
+        | PERCENT_RANK() OVER w AS pct_rank,
+        | CUME_DIST() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
     "q_asof_join" ->
       """WITH r AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS ok,
         |  arg_max(o_totalprice, o_orderkey) AS op
@@ -904,6 +937,30 @@ object SparkEntry {
         | JOIN sizes na ON na.doc_id = id_a
         | JOIN sizes nb ON nb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id,
+        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM toks WHERE len(t) >= 3)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.t, r.comp FROM reach r JOIN edges e ON e.s = r.id)
+        |SELECT d.doc_id, COALESCE(MIN(r.comp), d.doc_id) AS component
+        |FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
     "dedup_corpus" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, sh FROM (

@@ -108,6 +108,50 @@ object Dedup {
     df.join(drop, id === col("__drop_id"), "left_anti")
   }
 
+  /** Transitive duplicate CLUSTERS from a pair list: iterative min-label
+    * propagation — every vertex adopts the smallest id it can reach — to
+    * fixpoint. [[applyPairDedup]]'s greedy one-pass policy is right for
+    * pruning; clustering is what you need when the duplicate groups
+    * themselves are the product (choose a canonical doc per cluster,
+    * count cluster sizes, audit chains A~B~C where A,C never paired
+    * directly).
+    *
+    * Each round is one equi-join + one min-agg, both shuffling on the id
+    * key; rounds needed = component diameter, and near-dup components are
+    * shallow in practice. Labels are persisted per round and the previous
+    * round unpersisted, so lineage stays O(1) deep. Deterministic: the
+    * label is min(reachable ids), independent of iteration order.
+    * Output: (id, component) for every id occurring in `pairs`; callers
+    * left-join singletons back if they need total coverage.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
+      .union(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val prop = edges.join(labels.withColumnRenamed("id", "s"), "s")
+        .select(col("t").as("id"), col("comp"))
+      val next = labels.union(prop).groupBy("id")
+        .agg(min(col("comp")).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next
+        .join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // --- MinHash + LSH -------------------------------------------------------
 
   /** MinHash signature: for each of `numHashes` hash functions, the

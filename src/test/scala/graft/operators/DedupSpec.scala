@@ -83,6 +83,20 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("connectedComponents: transitive min-id labels beyond greedy pairs") {
+    import graft.TestSpark.spark.implicits._
+    // chain 1~5~3 (1,3 never paired directly), pair 7~9, plus 2~1
+    val pairs = Seq((1L, 5L), (5L, 3L), (7L, 9L), (1L, 2L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+      7L -> 7L, 9L -> 7L))
+    // greedy applyPairDedup would keep 3 (only GREATER pair members drop,
+    // and 3 is smaller than its direct partner 5) — clustering is the
+    // view that sees the whole chain
+  }
+
   test("SRP LSH-OR near-dup recovers every exact pair (recall vs bits=0)") {
     import graft.TestSpark.spark.implicits._
     // 40 base directions in R^16, each with a jittered near-duplicate —
