@@ -126,8 +126,12 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
-      .union(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
+    // the pair lineage is typically expensive (an n-gram or LSH self-join)
+    // and the symmetric union below references it twice — persist it so
+    // edge materialization computes it once
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("id_a").as("s"), col("id_b").as("t"))
+      .union(p.select(col("id_b").as("s"), col("id_a").as("t")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("s").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
@@ -149,6 +153,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels
   }
 
