@@ -94,6 +94,18 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
 
+  /** Stream-static enrichment: join each micro-batch against a dimension
+    * DataFrame. The static side is planned per micro-batch (so a
+    * dimension backed by a table/path picks up updates between batches)
+    * and broadcast by default — the dimension is the small side by
+    * construction, and broadcasting keeps the stream side shuffle-free,
+    * which is the only sane shape for an unbounded stream.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+                   joinType: String = "left",
+                   broadcastDim: Boolean = true): DataFrame =
+    stream.join(if (broadcastDim) broadcast(dim) else dim, keys, joinType)
+
   // --- stateful sessionization -----------------------------------------
 
   case class SessionEvent(user_id: Long, ts: Timestamp)

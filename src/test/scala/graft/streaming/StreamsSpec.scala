@@ -149,6 +149,24 @@ class StreamsSpec extends SparkTestBase {
     assert(sink.ddl.exists(s => s.contains("stream_events") && s.contains("load_date date")))
   }
 
+  test("enrichStream: broadcast stream-static join enriches micro-batches") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val enriched = Streams.enrichStream(
+      mem.toDF().toDF("user_id", "amount"), dim, Seq("user_id"))
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData((1L, 10.0), (3L, 5.0)) // 3 has no dim row -> null tier kept
+    q.processAllAvailable()
+    val rows = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+    assert(rows == Set((1L, Some("gold")), (3L, None)))
+    q.stop()
+  }
+
   test("dualSinkStream: a failed batch fails the query (checkpoint must not advance)") {
     import graft.TestSpark.spark.implicits._
     import org.apache.spark.sql.types._
