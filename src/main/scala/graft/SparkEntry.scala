@@ -138,6 +138,30 @@ object SparkEntry {
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n_rows"))
     }),
+    "q_distinct_approx" -> ((s, dir) => {
+      // HLL++ sketch twin of q_distinct_agg: constant memory per group
+      // where exact countDistinct expands each group by its distinct
+      // count. Rows-only (sketch estimates are engine-specific); the
+      // cross-engine guarantee is the tolerance assertion vs the exact
+      // twin in PlanAuditSpec.
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01).as("n_parts"),
+          approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "vocabulary_topk" -> ((s, dir) => {
+      // approx_top_k heavy hitters over the token stream: one mergeable
+      // sketch instead of vocabulary's full groupBy+filter — the shape
+      // for "top 1000 tokens of a 100-TB corpus" where the full
+      // vocabulary agg would shuffle billions of (token, count) groups.
+      // Rows-only; tolerance vs the exact count in PlanAuditSpec.
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .agg(expr("approx_top_k(token, 10, 10000)").as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item").as("token"), col("e.count").as("n_occurrences"))
+    }),
     "q_intersect_custs" -> ((s, dir) => {
       t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("custkey"))

@@ -83,6 +83,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan) // rankTopK is the bounded heap agg
   }
 
+  test("multimodal frame sampling adds no shuffle of its own") {
+    val frames = graft.SparkEntry.queries("media_frames")(spark, dir)
+    val plan = planOf(frames)
+    // the only exchange allowed is Tables.load's local single-file
+    // round-robin split-up (absent on a many-file lake table); the frame
+    // explode/substring chain itself must stay a narrow projection
+    val nonInput = "Exchange (?!RoundRobinPartitioning)".r
+      .findAllIn(plan).length
+    assert(nonInput == 0, plan)
+  }
+
   test("LSH candidate generation is an equi-join, not a cartesian product") {
     val pairs = Dedup.minhashDedupPairs(
       spark.read.parquet(s"$dir/documents.parquet"),
@@ -95,6 +106,29 @@ class PlanAuditSpec extends SparkTestBase {
     val plan = planOf(df)
     assert("\\bExpand\\b".r.findAllIn(plan).length == 1, plan)
     assert("\\bFileScan\\b|\\bScan parquet\\b".r.findAllIn(plan).length <= 1, plan)
+  }
+
+  test("sketch aggregates track their exact twins (HLL distinct, top-k)") {
+    // HLL++ distinct counts within 5% of exact per group
+    val exact = graft.SparkEntry.queries("q_distinct_agg")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = graft.SparkEntry.queries("q_distinct_approx")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(exact.keySet == approx.keySet)
+    for (k <- exact.keySet) {
+      assert(math.abs(approx(k)._1 - exact(k)._1) <= 0.05 * exact(k)._1, s"$k parts")
+      assert(math.abs(approx(k)._2 - exact(k)._2) <= 0.05 * exact(k)._2, s"$k supps")
+    }
+    // approx_top_k's heavy hitters: its top-3 tokens are the exact top-3
+    // with exact counts (sketch capacity far exceeds the vocabulary here)
+    val sketchTop = graft.SparkEntry.queries("vocabulary_topk")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactTop = graft.SparkEntry.queries("vocabulary")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(-_._2).take(3).toMap
+    exactTop.foreach { case (tok, n) =>
+      assert(sketchTop.get(tok).contains(n), s"$tok: ${sketchTop.get(tok)} vs $n")
+    }
   }
 
   test("approx percentiles track the exact ones (the sketch scale path)") {
