@@ -310,6 +310,23 @@ object SparkEntry {
         percent_rank().over(w).as("pct_rank"),
         cume_dist().over(w).as("cume"))
     }),
+    "q_range_join" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      // incident blast radius: for each error event, every event landing
+      // in the following hour — a pure interval join (no equi key), made
+      // an equi-join on 1h time cells instead of a nested-loop
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val incidents = t(s, dir, "events")
+        .filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      RangeJoin.rangeJoin(ev, "ts", incidents, "w_start", "w_end",
+          granuleSeconds = 3600)
+        .groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     "q_asof_join" -> ((s, dir) => {
       import graft.operators.AsofJoin
       // for each event, the customer's most recent order at/before the
@@ -832,6 +849,13 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
+    "q_range_join" ->
+      """WITH inc AS (SELECT event_id AS incident_id, ts AS w_start,
+        |  ts + INTERVAL 1 HOUR AS w_end FROM events WHERE event_type = 'error')
+        |SELECT incident_id, COUNT(*) AS n_events,
+        | COUNT(DISTINCT e.user_id) AS n_users
+        |FROM inc JOIN events e ON e.ts >= inc.w_start AND e.ts < inc.w_end
+        |GROUP BY incident_id""".stripMargin,
     "q_asof_join" ->
       """WITH r AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS ok,
         |  arg_max(o_totalprice, o_orderkey) AS op

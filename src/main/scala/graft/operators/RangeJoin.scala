@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join: left rows with a point timestamp against right
+  * rows with [start, end) intervals.
+  *
+  * Spark has no native range-join strategy, so the naive
+  * `l.join(r, ts >= start && ts < end)` plans as a broadcast
+  * nested-loop / cartesian — quadratic, the classic scale-killer.
+  * Bucketizing time into `granuleSeconds` cells turns it into an
+  * EQUI-join: each point belongs to exactly one cell, each interval is
+  * replicated to every cell it overlaps (`explode(sequence(...))`), the
+  * cell equi-join generates candidates and the exact predicate verifies
+  * them. A (point, interval) pair can only meet in the point's single
+  * cell, so no post-join dedup is needed.
+  *
+  * Cost model: interval replication factor ≈ duration/granule + 1 —
+  * pick the granule near the typical interval length (replication ~2)
+  * so the join stays a hash join on a well-distributed key. Skewed hot
+  * cells (everything in one hour) are the documented caveat; compose
+  * with [[Skew.saltedJoin]] if a cell dominates.
+  */
+object RangeJoin {
+
+  /** `tsCol` names the left timestamp column; `startCol`/`endCol` name
+    * the right interval bounds (end EXCLUSIVE). All other columns of
+    * both sides are carried through. Column names must not collide
+    * across sides (pre-alias if they do).
+    */
+  def rangeJoin(left: DataFrame, tsCol: String,
+                right: DataFrame, startCol: String, endCol: String,
+                granuleSeconds: Long): DataFrame = {
+    require(granuleSeconds > 0, s"granuleSeconds must be positive, got $granuleSeconds")
+    val cell = "__range_cell"
+    val l = left.withColumn(cell,
+      floor(col(tsCol).cast("long") / granuleSeconds)).alias("l")
+    // cover through floor(end/g): second-truncation of a fractional end
+    // must not drop the last cell a point could truncate into. Cells are
+    // distinct per interval, so candidates stay unique per pair.
+    val r = right.withColumn(cell, explode(sequence(
+      floor(col(startCol).cast("long") / granuleSeconds),
+      floor(col(endCol).cast("long") / granuleSeconds)))).alias("r")
+    l.join(r,
+        col(s"l.$cell") === col(s"r.$cell") &&
+        col(s"l.$tsCol") >= col(s"r.$startCol") &&
+        col(s"l.$tsCol") < col(s"r.$endCol"))
+      .drop(cell)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.plans.PlanInspect
+
+class RangeJoinSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("rangeJoin matches exactly [start, end) and crosses cell borders") {
+    import graft.TestSpark.spark.implicits._
+    val points = Seq(
+      (1L, ts("2024-01-01 10:00:00")),  // == start: in
+      (2L, ts("2024-01-01 10:59:59")),  // inside, other side of a 30m cell
+      (3L, ts("2024-01-01 11:00:00")),  // == end: out (exclusive)
+      (4L, ts("2024-01-01 09:59:59")),  // before: out
+      (5L, ts("2024-01-02 10:30:00"))   // far away: out
+    ).toDF("pid", "ts")
+    val intervals = Seq(
+      (100L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (200L, ts("2024-01-01 10:30:00"), ts("2024-01-01 10:45:00"))
+    ).toDF("iid", "w_start", "w_end")
+    // granule (30m) smaller than the interval: replication must cover
+    // every overlapped cell or border points get lost
+    val got = RangeJoin.rangeJoin(points, "ts", intervals,
+        "w_start", "w_end", granuleSeconds = 1800)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 100L)))
+  }
+
+  test("rangeJoin plans an equi-join, never a nested loop") {
+    import graft.TestSpark.spark.implicits._
+    val points = (0L until 100L).map(i =>
+      (i, new Timestamp(1700000000000L + i * 60000L))).toDF("pid", "ts")
+    val intervals = (0L until 10L).map(i =>
+      (i, new Timestamp(1700000000000L + i * 600000L),
+        new Timestamp(1700000000000L + i * 600000L + 3600000L)))
+      .toDF("iid", "w_start", "w_end")
+    val joined = RangeJoin.rangeJoin(points, "ts", intervals,
+      "w_start", "w_end", granuleSeconds = 3600)
+    assert(!PlanInspect.hasCartesian(joined), PlanInspect.planString(joined))
+    // candidates are unique per (point, interval) — no dedup hidden anywhere
+    val pairs = joined.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.toSet.size)
+  }
+}
