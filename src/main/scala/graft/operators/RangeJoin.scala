@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   * Cost model: interval replication factor ≈ duration/granule + 1 —
   * pick the granule near the typical interval length (replication ~2)
   * so the join stays a hash join on a well-distributed key. Skewed hot
-  * cells (everything in one hour) are the documented caveat; compose
-  * with [[Skew.saltedJoin]] if a cell dominates.
+  * cells (everything in one hour) are the documented caveat: shrink the
+  * granule to split a dominant cell (costs more interval replicas), or
+  * let AQE's skew-join handle the residual imbalance.
   */
 object RangeJoin {
 

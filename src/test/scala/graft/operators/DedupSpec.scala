@@ -83,6 +83,12 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("connectedComponents: empty pair list yields empty labels") {
+    import graft.TestSpark.spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+
   test("connectedComponents: transitive min-id labels beyond greedy pairs") {
     import graft.TestSpark.spark.implicits._
     // chain 1~5~3 (1,3 never paired directly), pair 7~9, plus 2~1
