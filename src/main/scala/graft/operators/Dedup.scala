@@ -118,18 +118,30 @@ object Dedup {
     *
     * Each round is one equi-join + one min-agg, both shuffling on the id
     * key; rounds needed = component diameter, and near-dup components are
-    * shallow in practice. Labels are persisted per round and the previous
-    * round unpersisted, so lineage stays O(1) deep. Deterministic: the
+    * shallow in practice. Each round's labels are persisted and the
+    * previous round unpersisted, so RE-COMPUTE cost stays O(1) rounds
+    * while cached (on cached-block loss, replay is bounded by the rounds
+    * run — the usual iterative-algorithm caveat). Deterministic: the
     * label is min(reachable ids), independent of iteration order.
-    * Output: (id, component) for every id occurring in `pairs`; callers
-    * left-join singletons back if they need total coverage.
+    *
+    * Contract: throws IllegalStateException if maxIter rounds don't reach
+    * the fixpoint (silently returning split components would corrupt
+    * downstream canonical-doc picks); raise maxIter for deep chains. The
+    * RETURNED DataFrame is persisted (it is the materialized fixpoint) —
+    * callers should `.unpersist()` it when done. Output: (id, component)
+    * for every id occurring in `pairs`; callers left-join singletons back
+    * if they need total coverage.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // the pair lineage is typically expensive (an n-gram or LSH self-join)
     // and the symmetric union below references it twice — persist it so
-    // edge materialization computes it once
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    // edge materialization computes it once. If the CALLER already cached
+    // it, respect their cache and leave its lifecycle to them (persist
+    // returns the same Dataset, so unpersisting here would evict theirs).
+    val callerCached = pairs.storageLevel != StorageLevel.NONE
+    val p = if (callerCached) pairs
+      else pairs.persist(StorageLevel.MEMORY_AND_DISK)
     val edges = p.select(col("id_a").as("s"), col("id_b").as("t"))
       .union(p.select(col("id_b").as("s"), col("id_a").as("t")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -153,7 +165,14 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    p.unpersist()
+    if (!callerCached) p.unpersist()
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — a " +
+          "component's diameter exceeds maxIter; raise it (labels would " +
+          "be WRONG: one real component split into several ids)")
+    }
     labels
   }
 

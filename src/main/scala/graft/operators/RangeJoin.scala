@@ -28,21 +28,41 @@ object RangeJoin {
   /** `tsCol` names the left timestamp column; `startCol`/`endCol` name
     * the right interval bounds (end EXCLUSIVE). All other columns of
     * both sides are carried through. Column names must not collide
-    * across sides (pre-alias if they do).
+    * across sides (pre-alias if they do), and neither side may contain
+    * the reserved internal column `__range_cell`.
+    *
+    * `maxCellsPerInterval` guards the replication: one dirty interval
+    * (a sentinel end date, a corrupted bound) would otherwise explode
+    * into millions of cells and OOM the join — such a row FAILS the job
+    * loudly (assert_true) instead.
     */
   def rangeJoin(left: DataFrame, tsCol: String,
                 right: DataFrame, startCol: String, endCol: String,
-                granuleSeconds: Long): DataFrame = {
+                granuleSeconds: Long,
+                maxCellsPerInterval: Long = 10000L): DataFrame = {
     require(granuleSeconds > 0, s"granuleSeconds must be positive, got $granuleSeconds")
     val cell = "__range_cell"
+    require(!left.columns.contains(cell) && !right.columns.contains(cell),
+      s"$cell is reserved by rangeJoin; rename the input column")
     val l = left.withColumn(cell,
       floor(col(tsCol).cast("long") / granuleSeconds)).alias("l")
     // cover through floor(end/g): second-truncation of a fractional end
     // must not drop the last cell a point could truncate into. Cells are
     // distinct per interval, so candidates stay unique per pair.
-    val r = right.withColumn(cell, explode(sequence(
-      floor(col(startCol).cast("long") / granuleSeconds),
-      floor(col(endCol).cast("long") / granuleSeconds)))).alias("r")
+    val firstCell = floor(col(startCol).cast("long") / granuleSeconds)
+    val lastCell = floor(col(endCol).cast("long") / granuleSeconds)
+    // the assert lives INSIDE the cell expression's dataflow (a separate
+    // guard column would be pruned away unused and never evaluated):
+    // assert_true yields null on success, so the when() wrapper always
+    // takes the sequence branch — or raises with the offending bounds
+    val guardedCells = when(
+      assert_true(lastCell - firstCell < lit(maxCellsPerInterval),
+        concat(lit(s"rangeJoin: interval wider than maxCellsPerInterval=" +
+          s"$maxCellsPerInterval cells (granule ${granuleSeconds}s) at "),
+          col(startCol).cast("string"), lit(".."), col(endCol).cast("string")))
+        .isNull,
+      sequence(firstCell, lastCell))
+    val r = right.withColumn(cell, explode(guardedCells)).alias("r")
     l.join(r,
         col(s"l.$cell") === col(s"r.$cell") &&
         col(s"l.$tsCol") >= col(s"r.$startCol") &&

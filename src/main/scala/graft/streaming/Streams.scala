@@ -95,11 +95,15 @@ object Streams {
       .trigger(trigger)
 
   /** Stream-static enrichment: join each micro-batch against a dimension
-    * DataFrame. The static side is planned per micro-batch (so a
-    * dimension backed by a table/path picks up updates between batches)
-    * and broadcast by default — the dimension is the small side by
+    * DataFrame, broadcast by default — the dimension is the small side by
     * construction, and broadcasting keeps the stream side shuffle-free,
     * which is the only sane shape for an unbounded stream.
+    *
+    * Dimension freshness caveat: a plain `spark.read.parquet(path)`
+    * DataFrame snapshots its FILE LISTING at creation, so files appended
+    * to the path later are NOT picked up between batches. For a slowly-
+    * changing dimension use a catalog table (`spark.table`, re-resolved
+    * per batch) or rebuild the dimension inside a foreachBatch writer.
     */
   def enrichStream(stream: DataFrame, dim: DataFrame, keys: Seq[String],
                    joinType: String = "left",

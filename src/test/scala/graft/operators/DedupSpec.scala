@@ -89,6 +89,30 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
 
+  test("connectedComponents: refuses to return non-converged labels") {
+    import graft.TestSpark.spark.implicits._
+    // a 6-vertex chain has diameter 5: maxIter=2 cannot reach fixpoint
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with enough rounds the same chain collapses to component 0
+    val ok = Dedup.connectedComponents(chain, maxIter = 10)
+    assert(ok.collect().map(_.getLong(1)).toSet == Set(0L))
+    ok.unpersist()
+  }
+
+  test("connectedComponents: leaves a caller-owned cache in place") {
+    import graft.TestSpark.spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.connectedComponents(pairs).unpersist()
+    assert(pairs.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE) // not evicted by the callee
+    pairs.unpersist()
+  }
+
   test("connectedComponents: transitive min-id labels beyond greedy pairs") {
     import graft.TestSpark.spark.implicits._
     // chain 1~5~3 (1,3 never paired directly), pair 7~9, plus 2~1

@@ -32,6 +32,32 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got == Set((1L, 100L), (2L, 100L)))
   }
 
+  test("rangeJoin fails loudly on an interval wider than the cell cap") {
+    import graft.TestSpark.spark.implicits._
+    val points = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("pid", "ts")
+    val dirty = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("9999-12-31 00:00:00"))
+    ).toDF("iid", "w_start", "w_end")
+    val e = intercept[Exception] {
+      RangeJoin.rangeJoin(points, "ts", dirty, "w_start", "w_end",
+        granuleSeconds = 3600, maxCellsPerInterval = 1000).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxCellsPerInterval")), e.toString)
+  }
+
+  test("rangeJoin rejects inputs using the reserved cell column") {
+    import graft.TestSpark.spark.implicits._
+    val bad = Seq((1L, ts("2024-01-01 10:00:00"), 0L))
+      .toDF("pid", "ts", "__range_cell")
+    val ivs = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("iid", "w_start", "w_end")
+    intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoin(bad, "ts", ivs, "w_start", "w_end", 3600)
+    }
+  }
+
   test("rangeJoin plans an equi-join, never a nested loop") {
     import graft.TestSpark.spark.implicits._
     val points = (0L until 100L).map(i =>
