@@ -75,8 +75,13 @@ object ParquetSink {
     // (the writer rolls files) — the small-files/giant-files knob for a
     // staging zone that downstream scans re-read
     val w0 = df.write.mode(mode).format(format)
-    val w = if (maxRecordsPerFile > 0)
+    val w1 = if (maxRecordsPerFile > 0)
       w0.option("maxRecordsPerFile", maxRecordsPerFile) else w0
+    // DYNAMIC partition overwrite for partitioned overwrites: a one-day
+    // backfill must replace that day's directory, not truncate the whole
+    // staging table (Spark's default static mode deletes every partition)
+    val w = if (partitionBy.nonEmpty && mode == SaveMode.Overwrite)
+      w1.option("partitionOverwriteMode", "dynamic") else w1
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 

@@ -382,5 +382,13 @@ class PipelineSpec extends SparkTestBase {
     assert(incr.count() == 1)
     val pf = graft.plans.PlanInspect.partitionFilters(incr)
     assert(pf.exists(_.contains("load_date")), s"partition filters: $pf")
+
+    // day-1 backfill in OVERWRITE mode replaces day 1 only — dynamic
+    // partition overwrite, not a truncate of the whole staging table
+    c.saveTable(Seq((9L, "z")).toDF("id", "v"), contract,
+      modeOverride = Some(SaveMode.Overwrite), loadDate = Some(d1))
+    val after = spark.read.parquet(path)
+    assert(after.filter(col("load_date") === lit(d1)).count() == 1) // replaced
+    assert(after.filter(col("load_date") === lit(d2)).count() == 1) // untouched
   }
 }
