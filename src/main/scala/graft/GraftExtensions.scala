@@ -68,6 +68,10 @@ object GraftExtensions {
       "graft_cosine(a, b) - cosine similarity of two numeric arrays"),
       (args: Seq[Expression]) => { arity("graft_cosine", args, 2)
         Kernels.CosineSim(args.head, args(1)) })),
+    "graft_agree_count" -> ((info("graft_agree_count",
+      "graft_agree_count(a, b) - positions where two bigint arrays agree (MinHash estimate numerator)"),
+      (args: Seq[Expression]) => { arity("graft_agree_count", args, 2)
+        Kernels.AgreeCount(args.head, args(1)) })),
     "graft_srp_code" -> ((info("graft_srp_code",
       "graft_srp_code(vec, dim, bits, seed) - signed-random-projection bucket"),
       (args: Seq[Expression]) => { arity("graft_srp_code", args, 4)

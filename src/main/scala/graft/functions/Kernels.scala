@@ -50,6 +50,23 @@ object Kernels {
     else new GenericArrayData(sig)
   }
 
+  /** Count of positions where two long arrays agree — the MinHash
+    * Jaccard-estimate numerator. The HOF form
+    * (`size(filter(zip_with(a, b, _ === _), identity))`) evaluates THREE
+    * interpreted lambdas per element per candidate pair; this is one
+    * compiled loop. Null elements never match (mirrors `===` semantics).
+    */
+  def agreeCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** 64-bit SimHash: each token's FNV-1a hash votes ±1 per bit; the sign
     * of the per-bit sum forms the code. One pass, no shuffle needed at
     * all — SimHash is a per-document reduction.
@@ -380,6 +397,29 @@ object Kernels {
       copy(left = newLeft, right = newRight)
   }
 
+  case class AgreeCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    private def isLongArray(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(prettyName, left, isLongArray, "array<bigint>")
+      if (l != TypeCheckSuccess) l
+      else requireType(prettyName, right, isLongArray, "array<bigint>")
+    }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "agree_count"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.agreeCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.Kernels.agreeCount($a, $b)")
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): AgreeCount =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class SrpCode(child: Expression, dim: Int, bits: Int, seed: Long)
       extends UnaryExpression {
     private lazy val floats = isFloatArray(child)
@@ -455,6 +495,9 @@ object Kernels {
 
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def agreeCountCol(a: Column, b: Column): Column =
+    ColumnBridge.column(AgreeCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def srpCodeCol(v: Column, dim: Int, bits: Int, seed: Long = 42L): Column =
     ColumnBridge.column(SrpCode(ColumnBridge.expression(v), dim, bits, seed))

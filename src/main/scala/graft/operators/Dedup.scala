@@ -240,8 +240,10 @@ object Dedup {
     cands
       .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      // codegen kernel, not zip_with+filter: the HOF form runs 3
+      // interpreted lambdas × numHashes per candidate pair
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+        graft.functions.Kernels.agreeCountCol(col("sig_a"), col("sig_b"))
           .cast("double") / size(col("sig_a")).cast("double"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("id_a", "id_b", "est_jaccard")

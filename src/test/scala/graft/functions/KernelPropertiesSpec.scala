@@ -69,6 +69,27 @@ class KernelPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("agreeCount kernel matches the zip_with HOF form exactly") {
+    import graft.TestSpark.spark.implicits._
+    (1L to 10L).foreach { seed =>
+      val g = Gen.listOfN(32, Gen.chooseNum(0L, 3L)) // small range -> collisions
+      val a = g.pureApply(Gen.Parameters.default, Seed(seed))
+      val b = g.pureApply(Gen.Parameters.default, Seed(seed + 100))
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        Kernels.agreeCountCol(col("a"), col("b")).as("kernel"),
+        size(filter(zip_with(col("a"), col("b"), (x, y) => x === y),
+          v => v)).as("hof")).head()
+      assert(r.getInt(0) == r.getInt(1), s"seed $seed")
+    }
+    // SQL surface + empty/self cases
+    import graft.TestSpark.spark.implicits._
+    graft.GraftExtensions.register(graft.TestSpark.spark)
+    val s = Seq((Seq(1L, 2L), Seq(1L, 2L))).toDF("a", "b")
+      .selectExpr("graft_agree_count(a, b)").head().getInt(0)
+    assert(s == 2)
+  }
+
   test("centroid kernels stay total on degenerate vectors (zero/null/NaN)") {
     import graft.TestSpark.spark.implicits._
     val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(0.0, 0.0))
