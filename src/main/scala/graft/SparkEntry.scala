@@ -569,9 +569,8 @@ object SparkEntry {
       grouped.as("a").join(grouped.as("b"),
           col("a.source") < col("b.source"))
         .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
-          (size(filter(zip_with(col("a.gsig"), col("b.gsig"),
-            (x, y) => x === y), p => p)).cast("double") / lit(64.0))
-            .as("est_jaccard"))
+          (graft.functions.Kernels.agreeCountCol(col("a.gsig"), col("b.gsig"))
+            .cast("double") / lit(64.0)).as("est_jaccard"))
     }),
     "simhash_codes" -> ((s, dir) => { // FNV-1a based: rows-only check
       Dedup.simhash64(t(s, dir, "documents"), col("doc_id"), col("text"))

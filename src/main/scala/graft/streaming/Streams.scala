@@ -110,6 +110,24 @@ object Streams {
                    broadcastDim: Boolean = true): DataFrame =
     stream.join(if (broadcastDim) broadcast(dim) else dim, keys, joinType)
 
+  /** Watermarked stream-stream inner join (the attribution shape: right
+    * events joined to the left event they follow within `maxDelay`).
+    * Both sides buffer in state; the TIME-BOUND condition + watermarks
+    * are what let the engine evict state — an unconstrained stream-stream
+    * join grows state forever, so the bound is mandatory here, not an
+    * option. Key columns must be distinctly named per side (pre-alias).
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       keyLeft: String, keyRight: String,
+                       tsLeft: String, tsRight: String,
+                       maxDelay: String = "1 hour",
+                       lateness: String = "10 minutes"): DataFrame =
+    left.withWatermark(tsLeft, lateness)
+      .join(right.withWatermark(tsRight, lateness),
+        col(keyLeft) === col(keyRight) &&
+          col(tsRight) >= col(tsLeft) &&
+          col(tsRight) <= col(tsLeft) + expr(s"INTERVAL $maxDelay"))
+
   // --- stateful sessionization -----------------------------------------
 
   case class SessionEvent(user_id: Long, ts: Timestamp)

@@ -149,6 +149,32 @@ class StreamsSpec extends SparkTestBase {
     assert(sink.ddl.exists(s => s.contains("stream_events") && s.contains("load_date date")))
   }
 
+  test("streamStreamJoin: time-bounded attribution over two memory streams") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = Streams.streamStreamJoin(
+      imps.toDF().toDF("imp_ad", "imp_ts"),
+      clicks.toDF().toDF("click_ad", "click_ts"),
+      "imp_ad", "click_ad", "imp_ts", "click_ts",
+      maxDelay = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    imps.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00")))
+    clicks.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00")),  // within bound: joins
+      (2L, Timestamp.valueOf("2024-01-01 10:30:00")),  // too late: dropped
+      (3L, Timestamp.valueOf("2024-01-01 10:05:00")))  // no impression
+    q.processAllAvailable()
+    val rows = spark.table("attrib").select("imp_ad").collect()
+      .map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L))
+    q.stop()
+  }
+
   test("enrichStream: broadcast stream-static join enriches micro-batches") {
     import graft.TestSpark.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
