@@ -70,7 +70,9 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
                 applyContract: Boolean = true,
                 loadDate: Option[java.sql.Date] = None): TableResult = {
     val m = modeOverride.getOrElse(mode)
-    if (dropOnOverwrite && m == SaveMode.Overwrite)
+    // a PARTITIONED overwrite is a one-day backfill — it must never drop
+    // the whole serving table (only a full unpartitioned rebuild may)
+    if (dropOnOverwrite && m == SaveMode.Overwrite && loadDate.isEmpty)
       sink.execute(s"DROP TABLE IF EXISTS ${contract.table}")
     // serving DDL must declare the stamp column too, or the JDBC insert
     // (which carries it) would fail against a freshly-created table
@@ -89,7 +91,13 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
     ParquetSink.write(out, path, m,
       partitionBy = if (loadDate.isDefined) Seq("load_date") else Nil,
       format = stagingFormat)
-    sink.write(out, contract.table, m)
+    // dated writes use the partition-aware serving path: staging's dynamic
+    // partition overwrite replaces one day, so the serving side must too
+    // (a plain Overwrite would truncate the whole serving table)
+    loadDate match {
+      case Some(d) => sink.writeDated(out, contract.table, m, "load_date", d)
+      case None    => sink.write(out, contract.table, m)
+    }
     val (staged, served, ok) =
       Reconcile.check(spark, path, sink, contract.table, stagingFormat)
     TableResult(contract.table, staged, served, ok)

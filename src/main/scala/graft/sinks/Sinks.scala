@@ -17,6 +17,18 @@ trait ServingSink {
   def write(df: DataFrame, table: String, mode: SaveMode): Unit
   /** Serving-side row count, for reconciliation (reference O4). */
   def count(table: String): Long
+
+  /** Date-partition-aware write — the serving twin of staging's dynamic
+    * partition overwrite. Append appends; Overwrite replaces ONLY the
+    * given date's rows (delete-then-append), so a one-day backfill never
+    * truncates the serving table while staging keeps its other days.
+    */
+  def writeDated(df: DataFrame, table: String, mode: SaveMode,
+                 dateCol: String, date: java.sql.Date): Unit = {
+    if (mode == SaveMode.Overwrite)
+      execute(s"DELETE FROM $table WHERE $dateCol = DATE '$date'")
+    write(df, table, SaveMode.Append)
+  }
 }
 
 /** Real JDBC sink (Postgres-compatible). Parallel per-partition inserts;
@@ -46,16 +58,37 @@ class JdbcSink(url: String, user: String, password: String,
   }
 }
 
-/** In-memory mock for tests: records DDL, stores row counts. */
+/** In-memory mock for tests: records DDL, stores row counts — dated
+  * writes tracked per (table, date) so partition-level overwrites model
+  * the JDBC delete-then-append faithfully.
+  */
 class MockServingSink extends ServingSink {
   val ddl = scala.collection.mutable.ArrayBuffer.empty[String]
-  private val counts = scala.collection.mutable.Map.empty[String, Long]
+  // key: (table, Some(date)) for dated writes, (table, None) otherwise
+  private val counts =
+    scala.collection.mutable.Map.empty[(String, Option[java.sql.Date]), Long]
   override def execute(sql: String): Unit = synchronized { ddl += sql }
   override def write(df: DataFrame, table: String, mode: SaveMode): Unit = synchronized {
     val n = df.count()
-    counts(table) = if (mode == SaveMode.Append) counts.getOrElse(table, 0L) + n else n
+    val k = (table, Option.empty[java.sql.Date])
+    if (mode == SaveMode.Append) counts(k) = counts.getOrElse(k, 0L) + n
+    else { // full overwrite truncates the whole table, dated buckets included
+      counts.keys.filter(_._1 == table).toSeq.foreach(counts.remove)
+      counts(k) = n
+    }
   }
-  override def count(table: String): Long = synchronized(counts.getOrElse(table, 0L))
+  override def writeDated(df: DataFrame, table: String, mode: SaveMode,
+                          dateCol: String, date: java.sql.Date): Unit = synchronized {
+    val n = df.count()
+    val k = (table, Some(date): Option[java.sql.Date])
+    if (mode == SaveMode.Append) counts(k) = counts.getOrElse(k, 0L) + n
+    else { // mirror the trait's delete-then-append, with the DDL recorded
+      ddl += s"DELETE FROM $table WHERE $dateCol = DATE '$date'"
+      counts(k) = n
+    }
+  }
+  override def count(table: String): Long = synchronized(
+    counts.collect { case ((t, _), n) if t == table => n }.sum)
 }
 
 object ParquetSink {
@@ -70,7 +103,8 @@ object ParquetSink {
   def write(df: DataFrame, path: String, mode: SaveMode,
             partitionBy: Seq[String] = Nil,
             format: String = "parquet",
-            maxRecordsPerFile: Long = 0L): Unit = {
+            maxRecordsPerFile: Long = 0L,
+            dynamicPartitionOverwrite: Boolean = true): Unit = {
     // maxRecordsPerFile > 0 bounds output file size WITHOUT a repartition
     // (the writer rolls files) — the small-files/giant-files knob for a
     // staging zone that downstream scans re-read
@@ -79,8 +113,11 @@ object ParquetSink {
       w0.option("maxRecordsPerFile", maxRecordsPerFile) else w0
     // DYNAMIC partition overwrite for partitioned overwrites: a one-day
     // backfill must replace that day's directory, not truncate the whole
-    // staging table (Spark's default static mode deletes every partition)
-    val w = if (partitionBy.nonEmpty && mode == SaveMode.Overwrite)
+    // staging table (Spark's default static mode deletes every
+    // partition). Pass dynamicPartitionOverwrite=false for a FULL
+    // rebuild that must also remove partitions absent from `df`.
+    val w = if (partitionBy.nonEmpty && mode == SaveMode.Overwrite
+                && dynamicPartitionOverwrite)
       w1.option("partitionOverwriteMode", "dynamic") else w1
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }

@@ -72,18 +72,31 @@ class KernelPropertiesSpec extends SparkTestBase {
   test("agreeCount kernel matches the zip_with HOF form exactly") {
     import graft.TestSpark.spark.implicits._
     (1L to 10L).foreach { seed =>
-      val g = Gen.listOfN(32, Gen.chooseNum(0L, 3L)) // small range -> collisions
-      val a = g.pureApply(Gen.Parameters.default, Seed(seed))
-      val b = g.pureApply(Gen.Parameters.default, Seed(seed + 100))
+      // random LENGTHS too: zip_with pads the shorter side with nulls
+      // (which never match ===), the kernel loops to min length — the
+      // forms must still agree
+      val lenG = Gen.chooseNum(0, 40)
+      val la = lenG.pureApply(Gen.Parameters.default, Seed(seed + 200))
+      val lb = lenG.pureApply(Gen.Parameters.default, Seed(seed + 300))
+      val g = (n: Int) => Gen.listOfN(n, Gen.chooseNum(0L, 3L)) // collisions
+      val a = g(la).pureApply(Gen.Parameters.default, Seed(seed))
+      val b = g(lb).pureApply(Gen.Parameters.default, Seed(seed + 100))
       val df = Seq((a, b)).toDF("a", "b")
       val r = df.select(
         Kernels.agreeCountCol(col("a"), col("b")).as("kernel"),
         size(filter(zip_with(col("a"), col("b"), (x, y) => x === y),
           v => v)).as("hof")).head()
-      assert(r.getInt(0) == r.getInt(1), s"seed $seed")
+      assert(r.getInt(0) == r.getInt(1), s"seed $seed (len $la vs $lb)")
     }
-    // SQL surface + empty/self cases
-    import graft.TestSpark.spark.implicits._
+    // null elements never match — same as === semantics in the HOF form
+    val withNulls = Seq((Seq[java.lang.Long](1L, null, 3L),
+      Seq[java.lang.Long](1L, null, 4L))).toDF("a", "b")
+    val rn = withNulls.select(
+      Kernels.agreeCountCol(col("a"), col("b")).as("kernel"),
+      size(filter(zip_with(col("a"), col("b"), (x, y) => x === y),
+        v => v)).as("hof")).head()
+    assert(rn.getInt(0) == 1 && rn.getInt(1) == 1)
+    // SQL surface
     graft.GraftExtensions.register(graft.TestSpark.spark)
     val s = Seq((Seq(1L, 2L), Seq(1L, 2L))).toDF("a", "b")
       .selectExpr("graft_agree_count(a, b)").head().getInt(0)

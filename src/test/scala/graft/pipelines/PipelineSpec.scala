@@ -384,11 +384,15 @@ class PipelineSpec extends SparkTestBase {
     assert(pf.exists(_.contains("load_date")), s"partition filters: $pf")
 
     // day-1 backfill in OVERWRITE mode replaces day 1 only — dynamic
-    // partition overwrite, not a truncate of the whole staging table
-    c.saveTable(Seq((9L, "z")).toDF("id", "v"), contract,
+    // partition overwrite on staging AND delete-then-append on serving,
+    // never a truncate of either side
+    val r3 = c.saveTable(Seq((9L, "z")).toDF("id", "v"), contract,
       modeOverride = Some(SaveMode.Overwrite), loadDate = Some(d1))
     val after = spark.read.parquet(path)
     assert(after.filter(col("load_date") === lit(d1)).count() == 1) // replaced
     assert(after.filter(col("load_date") === lit(d2)).count() == 1) // untouched
+    // dual-sink invariant survives the backfill: both sides total 2 rows
+    assert(r3.rows == 2 && r3.served == 2 && r3.consistent, r3.toString)
+    assert(sink.ddl.exists(_.startsWith("DELETE FROM events_daily WHERE load_date")))
   }
 }
