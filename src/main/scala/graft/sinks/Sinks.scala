@@ -26,7 +26,7 @@ trait ServingSink {
   def writeDated(df: DataFrame, table: String, mode: SaveMode,
                  dateCol: String, date: java.sql.Date): Unit = {
     if (mode == SaveMode.Overwrite)
-      execute(s"DELETE FROM $table WHERE $dateCol = DATE '$date'")
+      execute(s"DELETE FROM $table WHERE $dateCol = CAST('$date' AS DATE)")
     write(df, table, SaveMode.Append)
   }
 }
@@ -83,7 +83,7 @@ class MockServingSink extends ServingSink {
     val k = (table, Some(date): Option[java.sql.Date])
     if (mode == SaveMode.Append) counts(k) = counts.getOrElse(k, 0L) + n
     else { // mirror the trait's delete-then-append, with the DDL recorded
-      ddl += s"DELETE FROM $table WHERE $dateCol = DATE '$date'"
+      ddl += s"DELETE FROM $table WHERE $dateCol = CAST('$date' AS DATE)"
       counts(k) = n
     }
   }

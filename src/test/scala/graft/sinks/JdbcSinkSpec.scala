@@ -34,4 +34,34 @@ class JdbcSinkSpec extends SparkTestBase {
     val (staged, served, ok) = Reconcile.check(spark, staging, sink, "oob_ddl")
     assert(staged == 3 && served == 1 && !ok) // counts differ -> flagged
   }
+
+  test("writeDated backfill replaces one day's rows on a real JDBC table") {
+    import graft.TestSpark.spark.implicits._
+    val sink = new JdbcSink(url, "", "", numPartitions = 1, batchSize = 100)
+    val d1 = java.sql.Date.valueOf("2024-05-01")
+    val d2 = java.sql.Date.valueOf("2024-05-02")
+    def rows(vals: (Long, java.sql.Date)*) = vals.toSeq.toDF("id", "load_date")
+    // like the pipeline flow: the contract DDL creates the table (unquoted
+    // identifiers) BEFORE any write — the raw DELETE then resolves the
+    // same unquoted column name
+    sink.execute("CREATE TABLE serving_dated (id BIGINT, load_date DATE)")
+
+    sink.writeDated(rows((1L, d1), (2L, d1)), "serving_dated",
+      SaveMode.Append, "load_date", d1)
+    sink.writeDated(rows((3L, d2)), "serving_dated",
+      SaveMode.Append, "load_date", d2)
+    assert(sink.count("serving_dated") == 3)
+
+    // the day-1 backfill: DELETE WHERE load_date = d1, then append
+    sink.writeDated(rows((9L, d1)), "serving_dated",
+      SaveMode.Overwrite, "load_date", d1)
+    assert(sink.count("serving_dated") == 2) // d1 replaced, d2 untouched
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT id FROM serving_dated ORDER BY id")
+      val ids = Iterator.continually(rs).takeWhile(_.next()).map(_.getLong(1)).toList
+      assert(ids == List(3L, 9L))
+    } finally conn.close()
+  }
 }
