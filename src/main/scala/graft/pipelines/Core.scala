@@ -70,9 +70,14 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
                 applyContract: Boolean = true,
                 loadDate: Option[java.sql.Date] = None): TableResult = {
     val m = modeOverride.getOrElse(mode)
-    // a PARTITIONED overwrite is a one-day backfill — it must never drop
-    // the whole serving table (only a full unpartitioned rebuild may)
-    if (dropOnOverwrite && m == SaveMode.Overwrite && loadDate.isEmpty)
+    // contradictory intent fails loudly: a dated backfill PRESERVES the
+    // other days; dropOnOverwrite would destroy them. Migrating an
+    // undated serving table to the dated schema is a one-time explicit
+    // DROP + a dated run, not something to trigger implicitly.
+    require(!(dropOnOverwrite && m == SaveMode.Overwrite && loadDate.isDefined),
+      s"${contract.table}: dropOnOverwrite with a dated Overwrite backfill " +
+        "would truncate the serving table the backfill is meant to preserve")
+    if (dropOnOverwrite && m == SaveMode.Overwrite)
       sink.execute(s"DROP TABLE IF EXISTS ${contract.table}")
     // serving DDL must declare the stamp column too, or the JDBC insert
     // (which carries it) would fail against a freshly-created table
@@ -88,6 +93,19 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
       case None    => projected
     }
     val path = s"$stagingDir/${contract.table}"
+    // an EMPTY dated Overwrite is a purge: dynamic partition overwrite
+    // only replaces partitions present in the written frame, so writing
+    // nothing would leave the old day on disk in staging while the
+    // serving DELETE removes it — desyncing the sinks. Delete the staging
+    // partition directory explicitly instead (isEmpty is a limit-1 probe,
+    // cheap on non-empty frames).
+    loadDate match {
+      case Some(d) if m == SaveMode.Overwrite && out.isEmpty =>
+        val pdir = new org.apache.hadoop.fs.Path(s"$path/load_date=$d")
+        val fs = pdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(pdir, true)
+      case _ => ()
+    }
     ParquetSink.write(out, path, m,
       partitionBy = if (loadDate.isDefined) Seq("load_date") else Nil,
       format = stagingFormat)

@@ -22,9 +22,24 @@ trait ServingSink {
     * partition overwrite. Append appends; Overwrite replaces ONLY the
     * given date's rows (delete-then-append), so a one-day backfill never
     * truncates the serving table while staging keeps its other days.
+    *
+    * Contract: `df` must contain only rows stamped `date` (saveTable
+    * guarantees this — it stamps one literal); rows for other dates
+    * would append without their day being cleared. The delete-then-
+    * append is NOT one transaction (the DELETE autocommits, the append
+    * runs on the JDBC writer's own connections) — a failure in between
+    * leaves the day absent until the backfill is re-run, and concurrent
+    * readers can observe the gap. This matches the reference's own
+    * overwrite semantics (DROP + recreate + write, zoom_proc.py:210-245
+    * + vk_proc.py:374-378, which exposes the WHOLE table, not one day);
+    * a serving store needing atomic swaps should write to a side table
+    * and rename in one transaction.
     */
   def writeDated(df: DataFrame, table: String, mode: SaveMode,
                  dateCol: String, date: java.sql.Date): Unit = {
+    require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
+      s"writeDated supports Append/Overwrite only, got $mode " +
+        "(Ignore/ErrorIfExists would silently diverge the two sinks)")
     if (mode == SaveMode.Overwrite)
       execute(s"DELETE FROM $table WHERE $dateCol = CAST('$date' AS DATE)")
     write(df, table, SaveMode.Append)

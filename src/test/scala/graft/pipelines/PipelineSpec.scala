@@ -394,5 +394,39 @@ class PipelineSpec extends SparkTestBase {
     // dual-sink invariant survives the backfill: both sides total 2 rows
     assert(r3.rows == 2 && r3.served == 2 && r3.consistent, r3.toString)
     assert(sink.ddl.exists(_.startsWith("DELETE FROM events_daily WHERE load_date")))
+
+    // an EMPTY dated overwrite is a purge: the day disappears from BOTH
+    // sinks (dynamic overwrite alone would leave the staging directory)
+    val r4 = c.saveTable(Seq.empty[(Long, String)].toDF("id", "v"), contract,
+      modeOverride = Some(SaveMode.Overwrite), loadDate = Some(d1))
+    val purged = spark.read.parquet(path)
+    assert(purged.filter(col("load_date") === lit(d1)).count() == 0)
+    assert(purged.filter(col("load_date") === lit(d2)).count() == 1)
+    assert(r4.rows == 1 && r4.served == 1 && r4.consistent, r4.toString)
+
+    // contradictory intent fails loudly: dated backfill + dropOnOverwrite
+    intercept[IllegalArgumentException] {
+      c.saveTable(Seq((1L, "a")).toDF("id", "v"), contract,
+        modeOverride = Some(SaveMode.Overwrite), dropOnOverwrite = true,
+        loadDate = Some(d1))
+    }
+  }
+
+  test("static partition overwrite (opt-out) removes absent partitions") {
+    import graft.TestSpark.spark.implicits._
+    val dir = tempDir("static_ovw").toString + "/t"
+    val d1 = java.sql.Date.valueOf("2024-05-01")
+    val d2 = java.sql.Date.valueOf("2024-05-02")
+    graft.sinks.ParquetSink.write(
+      Seq((1L, d1), (2L, d2)).toDF("id", "load_date"), dir,
+      SaveMode.Overwrite, partitionBy = Seq("load_date"))
+    // full rebuild containing only d2: static mode must drop d1 entirely
+    graft.sinks.ParquetSink.write(
+      Seq((9L, d2)).toDF("id", "load_date"), dir,
+      SaveMode.Overwrite, partitionBy = Seq("load_date"),
+      dynamicPartitionOverwrite = false)
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString)).toSet
+    assert(rows == Set((9L, "2024-05-02")))
   }
 }
