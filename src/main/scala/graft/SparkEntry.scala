@@ -28,11 +28,12 @@ object SparkEntry {
     * corpus — candidate pairs via banded signature equi-join, verified by
     * signature agreement (Dedup.minhashDedupPairs). rows > 0 at sf0.001.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
-    Dedup.minhashDedupPairs(docs, col("doc_id"), col("text"),
-      numHashes = 64, shingleSize = 3, bands = 16, minEstJaccard = 0.5)
-  }
+  def entry(spark: SparkSession): DataFrame =
+    // flagship: the composed curation funnel (annotate -> quality gate ->
+    // exact dedup -> MinHash-LSH near-dedup -> enrich) on the smallest SF
+    // — one query touching scans, kernels, joins, aggregation and the
+    // lineage-persist machinery end-to-end (476 rows at sf0.001)
+    queries("corpus_curation")(spark, "/root/testdata/sf0.001")
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
