@@ -83,6 +83,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan) // rankTopK is the bounded heap agg
   }
 
+  test("registered range join is cartesian-free with pruned event reads") {
+    val df = graft.SparkEntry.queries("q_range_join")(spark, dir)
+    assert(!PlanInspect.hasCartesian(df), planOf(df))
+    // the incident side reads only the columns it needs from events
+    val schemas = PlanInspect.readSchemas(df)
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("props")), schemas.toString)
+  }
+
   test("multimodal frame sampling adds no shuffle of its own") {
     val frames = graft.SparkEntry.queries("media_frames")(spark, dir)
     val plan = planOf(frames)
