@@ -299,6 +299,19 @@ object SparkEntry {
             .cast("double").as("spend_f"),
           countDistinct(col("o_custkey")).as("n_custs"))
     }),
+    "q_histogram" -> ((s, dir) => {
+      // data-profiling histogram: fixed-width value buckets in one
+      // map-side-combinable aggregate (floor arithmetic is IEEE-exact so
+      // the oracle hash-matches; no width_bucket needed)
+      val bucket = least(greatest(floor(
+        (col("l_extendedprice").cast("double") - lit(900.0)) / lit(5205.0)),
+        lit(0.0)), lit(19.0)).cast("bigint")
+      t(s, dir, "lineitem")
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice").cast("double")).as("lo"),
+          max(col("l_extendedprice").cast("double")).as("hi"))
+    }),
     "q_rank_stats" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       // distribution window functions: quartile bucket, percentile rank
@@ -841,6 +854,14 @@ object SparkEntry {
         |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS spend_f,
         | COUNT(DISTINCT o_custkey) AS n_custs
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(LEAST(GREATEST(FLOOR(
+        |   (CAST(l_extendedprice AS DOUBLE) - 900.0) / 5205.0), 0.0), 19.0)
+        |   AS BIGINT) AS bucket,
+        | COUNT(*) AS n,
+        | MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+        | MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_rank_stats" ->
       """SELECT o_orderkey, o_orderpriority,
         | CAST(NTILE(4) OVER w AS INT) AS quartile,
