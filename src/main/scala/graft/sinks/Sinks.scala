@@ -137,6 +137,34 @@ object ParquetSink {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 
+  /** Compact one partition of a staging table in place: many small files
+    * (the residue of frequent incremental appends — each append writes
+    * its own files) become `targetFiles` right-sized ones. Reads only the
+    * partition being compacted (partition filter), rewrites it through
+    * dynamic partition overwrite, leaves every other partition untouched.
+    * Run it as the off-peak maintenance pass small-file-heavy zones need:
+    * downstream scan cost is dominated by file count once files are
+    * smaller than a split.
+    */
+  def compactPartition(spark: SparkSession, path: String,
+                       partitionCol: String, partitionValue: String,
+                       targetFiles: Int = 1,
+                       format: String = "parquet"): Long = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val part = spark.read.format(format).load(path)
+      .filter(org.apache.spark.sql.functions.col(partitionCol) === partitionValue)
+    // localCheckpoint CUTS the lineage: Spark (rightly) refuses to
+    // overwrite a path its write plan still reads from. The partition is
+    // materialized to executor block storage for the duration — fine for
+    // a per-partition maintenance pass (one partition, not the table).
+    val compacted = part.repartition(targetFiles).localCheckpoint(true)
+    val rows = compacted.count()
+    if (rows > 0)
+      write(compacted, path, SaveMode.Overwrite,
+        partitionBy = Seq(partitionCol), format = format)
+    rows
+  }
+
   /** Bucketed catalog table: pre-shuffles once at write time so that
     * repeated joins/aggregations on `bucketCol` read co-located buckets
     * with NO exchange — the standard big-big join strategy when one side

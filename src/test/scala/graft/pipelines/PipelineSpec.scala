@@ -412,6 +412,32 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("compactPartition collapses a day's small files, preserves data and siblings") {
+    import graft.TestSpark.spark.implicits._
+    val dir = tempDir("compact").toString + "/t"
+    val d1 = java.sql.Date.valueOf("2024-05-01")
+    val d2 = java.sql.Date.valueOf("2024-05-02")
+    // five appends = five+ files in d1's directory
+    (1L to 5L).foreach { i =>
+      graft.sinks.ParquetSink.write(Seq((i, d1)).toDF("id", "load_date"),
+        dir, SaveMode.Append, partitionBy = Seq("load_date"))
+    }
+    graft.sinks.ParquetSink.write(Seq((9L, d2)).toDF("id", "load_date"),
+      dir, SaveMode.Append, partitionBy = Seq("load_date"))
+    def filesIn(day: String) =
+      new java.io.File(s"$dir/load_date=$day").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert(filesIn("2024-05-01") == 5)
+    val rows = graft.sinks.ParquetSink.compactPartition(spark, dir,
+      "load_date", "2024-05-01", targetFiles = 1)
+    assert(rows == 5)
+    assert(filesIn("2024-05-01") == 1) // compacted
+    assert(filesIn("2024-05-02") == 1) // untouched
+    val all = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString)).toSet
+    assert(all == (1L to 5L).map((_, "2024-05-01")).toSet + ((9L, "2024-05-02")))
+  }
+
   test("static partition overwrite (opt-out) removes absent partitions") {
     import graft.TestSpark.spark.implicits._
     val dir = tempDir("static_ovw").toString + "/t"
