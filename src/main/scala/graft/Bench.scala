@@ -50,6 +50,11 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         failures += name
       }
+      // Queries that persist their fan-out lineage (ngram/minhash/CC)
+      // have no safe in-query unpersist point; dropping the blocks here
+      // keeps one query's cache from pressuring the next 60's memory and
+      // makes every timed pass equally cold.
+      spark.catalog.clearCache()
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
@@ -58,11 +63,14 @@ object Bench {
     val results = selected.map { case (name, _) =>
       name -> (if (failures.contains(name)) -1.0 else median(samples(name)))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision: 17-significant-digit doubles ballooned the
+    // line past the harness's output tail window at 68 queries
+    def ms(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val fstr = failures.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fstr,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failures":$fstr,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
