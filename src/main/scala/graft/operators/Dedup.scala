@@ -116,9 +116,15 @@ object Dedup {
     * count cluster sizes, audit chains A~B~C where A,C never paired
     * directly).
     *
-    * Each round is one equi-join + one min-agg, both shuffling on the id
-    * key; rounds needed = component diameter, and near-dup components are
-    * shallow in practice. Each round's labels are persisted and the
+    * Each round propagates labels across edges AND across the label
+    * mapping itself (pointer jumping: a vertex adopts its label's label),
+    * so rounds needed grow with log(component diameter), not the diameter
+    * — a chain of 1M near-identical docs resolves in ~20 rounds instead
+    * of 1M. Convergence is detected from the SUM of labels: propagation
+    * is pointwise non-increasing (every round takes a min over a superset
+    * that includes the old label), so an unchanged sum is an exact
+    * fixpoint test — one map-side-partial aggregate per round instead of
+    * a labels⋈labels diff join. Each round's labels are persisted and the
     * previous round unpersisted, so RE-COMPUTE cost stays O(1) rounds
     * while cached (on cached-block loss, replay is bounded by the rounds
     * run — the usual iterative-algorithm caveat). Deterministic: the
@@ -148,20 +154,38 @@ object Dedup {
     var labels = edges.select(col("s").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // ids are arbitrary longs; decimal(38,0) keeps the convergence sum
+    // exact (a double would round above 2^53 and could miss a change);
+    // empty input sums to SQL NULL -> ZERO
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val prop = edges.join(labels.withColumnRenamed("id", "s"), "s")
         .select(col("t").as("id"), col("comp"))
-      val next = labels.union(prop).groupBy("id")
+      // Pointer jump: follow the current label one step (id -> comp ->
+      // comp's comp), collapsing chains in logarithmic rounds. Engaged
+      // only once plain propagation hasn't converged in 3 rounds: typical
+      // near-dup components are diameter <= 3 and finish before paying
+      // the extra labels-by-comp shuffle; pathological chains switch to
+      // ~3 + log2(diameter) rounds instead of diameter.
+      val base = labels.union(prop)
+      val withJump = if (iter < 3) base else base.union(
+        labels.as("a")
+          .join(labels.select(col("id").as("comp"), col("comp").as("comp2")),
+            "comp")
+          .select(col("id"), col("comp2").as("comp")))
+      val next = withJump.groupBy("id")
         .agg(min(col("comp")).as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next
-        .join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") < col("prev")).count()
+      val curSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       iter += 1
     }
     edges.unpersist()
