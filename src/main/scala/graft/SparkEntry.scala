@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Fingerprint, Fnv64, LogParse, TextFunctions, Timestamps}
+import graft.functions.{Fingerprint, Fnv64, LogParse, TextFunctions, Timestamps, VectorFunctions}
 import graft.operators.{Dedup, Explodes, Flatten, Multimodal, Sampling, Similarity}
 import graft.sources.Tables
 
@@ -709,6 +709,42 @@ object SparkEntry {
         posexplode(Multimodal.stubFeatureVector(col("media"), dim = 8)))
         .withColumnRenamed("pos", "feature_idx")
         .withColumnRenamed("col", "feature")
+    }),
+    "media_resize" -> ((s, dir) => {
+      // byte-level crop/pad to a fixed frame size; hex'd for the driver's
+      // hash compare (same convention as media_frames)
+      val media = Multimodal.packTextAsMedia(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      media.select(col("asset_id"),
+        hex(Multimodal.stubResize(col("media"), targetBytes = 64)).as("resized_hex"))
+    }),
+    "text_scrub" -> ((s, dir) => {
+      // the source docs carry no PII, so the query plants a synthetic
+      // email / account number / URL derived from doc_id and verifies the
+      // scrubber masks exactly those spans (oracle replays both steps)
+      val dirty = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com ref 1234567890 via https://ex.com/d/"),
+        col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.scrubPii(dirty).as("scrubbed"))
+    }),
+    "contamination" -> ((s, dir) => {
+      // eval-set decontamination: docs from src0 act as the benchmark;
+      // every other doc is scored by distinct shared word-3-gram shingles
+      val docs = t(s, dir, "documents")
+      Dedup.shingleContamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        col("doc_id"), col("text"), n = 3)
+    }),
+    "embed_quantize" -> ((s, dir) => {
+      // int8 symmetric quantization of the embedding column; codes
+      // emitted CSV-joined (the driver's hash compare needs scalar cells)
+      val emb = t(s, dir, "embeddings")
+      emb.select(col("vec_id"),
+        array_join(VectorFunctions.quantize8(col("embedding"))
+          .cast("array<string>"), ",").as("q_csv"),
+        VectorFunctions.quantScale(col("embedding")).as("scale"))
     })
   )
 
@@ -1116,6 +1152,44 @@ object SparkEntry {
         | CAST(ord(substring(text, CAST(i % strlen(text) AS INT) + 1, 1)) AS DOUBLE)
         |   / 255.0 - 0.5 AS feature
         |FROM documents, unnest(range(0, 8)) AS u(i)
-        |WHERE strlen(text) > 0""".stripMargin
+        |WHERE strlen(text) > 0""".stripMargin,
+    "media_resize" ->
+      // crop/pad in hex space: hex of the first 64 payload bytes, then
+      // '00' pairs for the zero padding
+      """SELECT doc_id AS asset_id,
+        | hex(encode(substring(text, 1, 64)))
+        |   || repeat('00', CAST(greatest(64 - strlen(text), 0) AS INT)) AS resized_hex
+        |FROM documents""".stripMargin,
+    "text_scrub" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(
+        |   text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |        || '@mail.example.com ref 1234567890 via https://ex.com/d/'
+        |        || CAST(doc_id AS VARCHAR),
+        |   'https?://[^ ]+', '<URL>', 'g'),
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
+    "contamination" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source, sh FROM (
+        |  SELECT doc_id, source,
+        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM toks WHERE len(t) >= 3)),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0')
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contam
+        |FROM sh s JOIN ev USING (sh)
+        |WHERE s.source <> 'src0'
+        |GROUP BY s.doc_id""".stripMargin,
+    "embed_quantize" ->
+      """SELECT vec_id,
+        | array_to_string(
+        |   [CAST(CAST(floor(CAST(x AS DOUBLE) * CAST(127 AS DOUBLE) / mx + 0.5) AS TINYINT) AS VARCHAR)
+        |    FOR x IN embedding], ',') AS q_csv,
+        | mx / CAST(127 AS DOUBLE) AS scale
+        |FROM (SELECT vec_id, embedding,
+        |       greatest(list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]),
+        |                CAST(1e-30 AS DOUBLE)) AS mx
+        |      FROM embeddings)""".stripMargin
   )
 }

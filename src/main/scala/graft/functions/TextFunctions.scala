@@ -56,6 +56,22 @@ object TextFunctions {
     trim(regexp_replace(
       regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** PII scrubbing for training corpora: masks URLs, then email
+    * addresses, then long digit runs (phone/account numbers) with typed
+    * placeholder tokens. Order matters — URLs can embed both `@` and
+    * digits, so they are consumed first; the placeholders themselves
+    * contain neither, so no pass re-masks another's output. Patterns are
+    * RE2-safe (no backrefs/lookarounds), so decontamination audits in
+    * other engines reproduce the transform byte-for-byte. Three
+    * codegen'd regexp_replace passes, per-row, no shuffle.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "https?://[^ ]+", "<URL>"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]{6,}", "<NUM>")
+
   // --- quality features ---------------------------------------------------
 
   /** Mean token length over single-space tokens, exact arithmetic:

@@ -200,6 +200,36 @@ object Dedup {
     labels
   }
 
+  // --- eval-set contamination -------------------------------------------
+
+  /** Benchmark/eval-set contamination check — the standard pre-training
+    * decontamination pass: for every corpus document, the number of
+    * DISTINCT word `n`-gram shingles it shares with the evaluation
+    * corpus. Matching is an equi-join on the shingle string; eval sets
+    * are tiny next to a training corpus, so the distinct eval-shingle
+    * side is broadcast by default and the corpus is never shuffled —
+    * the scan streams through a map-side hash join + partial count.
+    * Docs with zero overlap are absent from the output (filter with a
+    * left_anti on this result to keep the clean ones).
+    */
+  def shingleContamination(corpus: DataFrame, eval: DataFrame,
+                           id: Column, text: Column, n: Int,
+                           broadcastEval: Boolean = true): DataFrame = {
+    val evShRaw = eval
+      .select(explode(TextFunctions.wordShingles(text, n)).as("sh"))
+      .distinct()
+    val evSh = if (broadcastEval) broadcast(evShRaw) else evShRaw
+    // join BEFORE any distinct: the corpus-side shingle stream hits the
+    // broadcast hash table with zero exchange, and only the (rare)
+    // matches reach the distinct-count shuffle — a corpus-wide
+    // distinct() first would shuffle every shingle of the training set
+    corpus
+      .select(id.as("doc_id"), explode(TextFunctions.wordShingles(text, n)).as("sh"))
+      .join(evSh, "sh")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("sh")).as("n_contam"))
+  }
+
   // --- MinHash + LSH -------------------------------------------------------
 
   /** MinHash signature: for each of `numHashes` hash functions, the
