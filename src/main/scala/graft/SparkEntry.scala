@@ -737,6 +737,24 @@ object SparkEntry {
         docs.filter(col("source") === "src0"),
         col("doc_id"), col("text"), n = 3)
     }),
+    "dedup_incremental" -> ((s, dir) => { // engine-hash based: rows-only
+      // the daily-increment shape: docs from sources src10-src19 arrive as
+      // the new batch and are near-deduped against the accumulated corpus
+      // (src0-src9) via its STORED MinHash signatures — the accumulated
+      // text is never rescanned
+      import graft.pipelines.CorpusPipeline
+      val cfg = CorpusPipeline.Config(minQuality = 0.3,
+        keepLangs = Seq("en"), minTokens = 5, shingleSize = 3,
+        numHashes = 64, bands = 16, minEstJaccard = 0.7, featureDim = 8)
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(col("source").rlike("^src[0-9]$"))
+      val inc = docs.filter(col("source").rlike("^src1[0-9]$"))
+      val refSigs = Dedup.minhashSignatures(
+        CorpusPipeline.qualityGate(CorpusPipeline.annotate(ref), cfg),
+        col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
+      val (curated, _) = CorpusPipeline.curateIncrement(inc, refSigs, cfg)
+      curated.select(col("doc_id"), col("lang_pred"), col("n_tokens"))
+    }),
     "embed_quantize" -> ((s, dir) => {
       // int8 symmetric quantization of the embedding column; codes
       // emitted CSV-joined (the driver's hash compare needs scalar cells)

@@ -303,6 +303,41 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Incremental near-dedup: candidate pairs between a NEW increment's
+    * signatures and an accumulated REFERENCE corpus's signatures — the
+    * shape a daily pipeline needs at scale, where re-LSHing the whole
+    * lake per increment is not an option. Both inputs are
+    * (doc_id, sig) frames from [[minhashSignatures]]; the reference side
+    * is typically read back from a staged signature table (store it
+    * bucketed/partitioned by band hash and the daily join prunes to the
+    * increment's buckets — the increment is small, so its banded form
+    * broadcasts). Output: (id_a = ref doc, id_b = new doc, est_jaccard);
+    * feed to [[applyPairDedup]] to drop the increment's duplicates.
+    * Contract: the two id spaces should be disjoint; self-pairs are
+    * excluded defensively if they overlap. Dedup WITHIN the increment is
+    * [[minhashDedupPairs]] on the increment alone.
+    */
+  def minhashPairsAgainst(newSigs: DataFrame, refSigs: DataFrame,
+                          numHashes: Int, bands: Int,
+                          minEstJaccard: Double): DataFrame = {
+    val bn = lshBands(newSigs, numHashes, bands)
+    val br = lshBands(refSigs, numHashes, bands)
+    val cands = br.as("a").join(bn.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cands
+      .join(refSigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(newSigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        graft.functions.Kernels.agreeCountCol(col("sig_a"), col("sig_b"))
+          .cast("double") / size(col("sig_a")).cast("double"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
   // --- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: each token votes ±1 on every

@@ -69,6 +69,42 @@ object CorpusPipeline {
       Multimodal.stubFeatureVector(col("text").cast("binary"), cfg.featureDim)
         .as("features"))
 
+  /** Incremental curation — the daily-increment shape of the funnel:
+    * gate + exact-dedup + near-dedup the new documents against themselves
+    * AND against the accumulated corpus's stored MinHash signatures,
+    * WITHOUT touching the accumulated documents. Returns
+    * (curated increment, signatures of the kept increment docs) — append
+    * the signatures to the signature store so tomorrow's increment
+    * dedups against today's survivors too.
+    *
+    * This is the 100 TB pattern: the corpus-side cost of a day's dedup is
+    * one banded equi-join against a signature table (a few hundred bytes
+    * per accumulated doc), not a re-scan of the accumulated text.
+    *
+    * Both returned frames share persisted intermediates (same lifecycle
+    * note as the pair operators: blocks live until session cache cleanup).
+    */
+  def curateIncrement(newDocs: DataFrame, refSigs: DataFrame,
+                      cfg: Config = Config()): (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    val gated = qualityGate(annotate(newDocs), cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // within-increment dedup first (exact, then LSH self-join) ...
+    val selfClean = nearDedup(exactDedup(gated), cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ... then cross-increment: band-join the survivors' signatures
+    // against the accumulated signature store and drop any new doc that
+    // near-matches an accumulated one
+    val sigs = Dedup.minhashSignatures(selfClean, col("doc_id"), col("text"),
+        cfg.numHashes, cfg.shingleSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val crossPairs = Dedup.minhashPairsAgainst(sigs, refSigs,
+      cfg.numHashes, cfg.bands, cfg.minEstJaccard)
+    val clean = Dedup.applyPairDedup(selfClean, col("doc_id"), crossPairs)
+    val keptSigs = sigs.join(clean.select("doc_id"), Seq("doc_id"), "left_semi")
+    (enrich(clean, cfg), keptSigs)
+  }
+
   /** Full run, staged to parquet; returns per-stage row counts. */
   def run(ctx: PipelineContext, docs: DataFrame,
           cfg: Config = Config()): Map[String, Long] = {

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.pipelines.CorpusPipeline
+
+/** Incremental near-dedup: a day's increment is deduped against the
+  * accumulated corpus via its stored MinHash signatures — never against
+  * the accumulated text. These specs pin the cross-join contract
+  * (minhashPairsAgainst) and the full incremental funnel
+  * (curateIncrement): within-increment dups, cross-increment dups, the
+  * quality gate, and the signature hand-off for the next increment.
+  */
+class IncrementalDedupSpec extends SparkTestBase {
+  import testImplicits._
+
+  private lazy val testImplicits = spark.implicits
+
+  private val refText1 = "the cat and the dog walk to the old mill by the river road"
+  private val refText2 = "the sun is warm and the wind is cold over the high green hills"
+  private val novel = "the children read the books and the teacher is glad of the quiet room"
+
+  private def refDocs = Seq((1L, refText1), (2L, refText2)).toDF("doc_id", "text")
+
+  private val cfg = CorpusPipeline.Config(minQuality = 0.0,
+    keepLangs = Seq("en"), minTokens = 5, shingleSize = 3,
+    numHashes = 64, bands = 16, minEstJaccard = 0.5, featureDim = 4)
+
+  test("minhashPairsAgainst finds cross-corpus duplicates, not unrelated docs") {
+    val refSigs = Dedup.minhashSignatures(refDocs, col("doc_id"), col("text"),
+      cfg.numHashes, cfg.shingleSize)
+    val newSigs = Dedup.minhashSignatures(
+      Seq((10L, refText1), (11L, novel)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
+    val pairs = Dedup.minhashPairsAgainst(newSigs, refSigs,
+        cfg.numHashes, cfg.bands, cfg.minEstJaccard)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 10L, 1.0))) // exact copy: every band agrees
+  }
+
+  test("curateIncrement: drops cross-increment and within-increment dups, keeps novel, gates junk") {
+    val increment = Seq(
+      (10L, refText1), // exact copy of accumulated doc 1 -> dropped cross
+      (11L, novel),    // genuinely new -> kept
+      (12L, novel),    // within-increment exact dup of 11 -> dropped self
+      (13L, "bad")     // fails the minTokens gate
+    ).toDF("doc_id", "text")
+    val refSigs = Dedup.minhashSignatures(refDocs, col("doc_id"), col("text"),
+      cfg.numHashes, cfg.shingleSize)
+    val (curated, keptSigs) = CorpusPipeline.curateIncrement(increment, refSigs, cfg)
+    assert(curated.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    assert(keptSigs.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    // the kept signature is usable as tomorrow's reference: a re-sent copy
+    // of the novel doc is now a cross-increment duplicate
+    val tomorrow = Seq((20L, novel)).toDF("doc_id", "text")
+    val (curated2, _) = CorpusPipeline.curateIncrement(tomorrow, keptSigs, cfg)
+    assert(curated2.isEmpty)
+  }
+
+  test("curateIncrement with an empty reference keeps the whole (self-deduped) increment") {
+    val increment = Seq((10L, refText1), (11L, novel)).toDF("doc_id", "text")
+    val emptyRef = Dedup.minhashSignatures(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
+    val (curated, _) = CorpusPipeline.curateIncrement(increment, emptyRef, cfg)
+    assert(curated.select("doc_id").as[Long].collect().sorted.toSeq == Seq(10L, 11L))
+  }
+}
