@@ -335,8 +335,10 @@ object SparkEntry {
         .filter(col("event_type") === "error")
         .select(col("event_id").as("incident_id"), col("ts").as("w_start"),
           (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      // incidents are a filtered slice of events -> broadcast them; the
+      // full point stream then joins with zero exchange
       RangeJoin.rangeJoin(ev, "ts", incidents, "w_start", "w_end",
-          granuleSeconds = 3600)
+          granuleSeconds = 3600, broadcastRight = true)
         .groupBy(col("incident_id"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"))

@@ -36,10 +36,17 @@ object RangeJoin {
     * into millions of cells and OOM the join — such a row FAILS the job
     * loudly (assert_true) instead.
     */
+  /** With `broadcastRight = true` the replicated interval side is
+    * broadcast, so the (usually much larger) point side is never
+    * shuffled at all — the right call when intervals are a filtered
+    * slice (incidents, maintenance windows, campaigns). Leave false when
+    * both sides are large; the cell equi-join then shuffles both.
+    */
   def rangeJoin(left: DataFrame, tsCol: String,
                 right: DataFrame, startCol: String, endCol: String,
                 granuleSeconds: Long,
-                maxCellsPerInterval: Long = 10000L): DataFrame = {
+                maxCellsPerInterval: Long = 10000L,
+                broadcastRight: Boolean = false): DataFrame = {
     require(granuleSeconds > 0, s"granuleSeconds must be positive, got $granuleSeconds")
     val cell = "__range_cell"
     require(!left.columns.contains(cell) && !right.columns.contains(cell),
@@ -62,7 +69,8 @@ object RangeJoin {
           col(startCol).cast("string"), lit(".."), col(endCol).cast("string")))
         .isNull,
       sequence(firstCell, lastCell))
-    val r = right.withColumn(cell, explode(guardedCells)).alias("r")
+    val rRaw = right.withColumn(cell, explode(guardedCells)).alias("r")
+    val r = if (broadcastRight) broadcast(rRaw) else rRaw
     l.join(r,
         col(s"l.$cell") === col(s"r.$cell") &&
         col(s"l.$tsCol") >= col(s"r.$startCol") &&

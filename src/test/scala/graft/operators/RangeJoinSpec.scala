@@ -74,4 +74,25 @@ class RangeJoinSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.length == pairs.toSet.size)
   }
+
+  test("rangeJoin broadcastRight: same rows, broadcast hash join, point side unshuffled") {
+    import graft.TestSpark.spark.implicits._
+    val points = (0L until 100L).map(i =>
+      (i, new Timestamp(1700000000000L + i * 60000L))).toDF("pid", "ts")
+    val intervals = (0L until 10L).map(i =>
+      (i, new Timestamp(1700000000000L + i * 600000L),
+        new Timestamp(1700000000000L + i * 600000L + 3600000L)))
+      .toDF("iid", "w_start", "w_end")
+    val shuffled = RangeJoin.rangeJoin(points, "ts", intervals,
+      "w_start", "w_end", granuleSeconds = 3600)
+    val bcast = RangeJoin.rangeJoin(points, "ts", intervals,
+      "w_start", "w_end", granuleSeconds = 3600, broadcastRight = true)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(key(bcast) == key(shuffled))
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("ShuffleExchange"), plan)
+  }
 }
