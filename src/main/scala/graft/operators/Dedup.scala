@@ -49,18 +49,23 @@ object Dedup {
                         maxDocFreq: Option[Long] = None,
                         hashShingles: Boolean = true,
                         persistLineage: Boolean = true): DataFrame = {
-    // Shingles are hashed to int64 before the distinct + self-join by
-    // default: an 8-byte fixed-width key shuffles a fraction of the raw
-    // text and hash-joins faster. A 64-bit collision (~1e-7 at millions
-    // of distinct shingles) can perturb one intersection count; pass
+    // Shingles are hashed to int64 before the self-join by default: an
+    // 8-byte fixed-width key shuffles a fraction of the raw text and
+    // hash-joins faster. A 64-bit collision (~1e-7 at millions of
+    // distinct shingles) can perturb one intersection count; pass
     // hashShingles=false for the exact-text variant.
     val shingleKey =
       if (hashShingles) xxhash64(col("sh_text")) else col("sh_text")
+    // per-doc uniqueness via array_distinct BEFORE the explode — a pure
+    // per-row op. A global .distinct() here would be a full extra
+    // exchange of the entire shingle stream on a key the self-join
+    // doesn't even reuse (it shuffles on sh alone). Deduping the TEXT
+    // shingles (not their hashes) also keeps per-doc set sizes exact
+    // even if two of a doc's shingles ever collided in 64 bits.
     val shRaw = df
       .select(id.as("doc_id"),
-        explode(TextFunctions.wordShingles(text, n)).as("sh_text"))
+        explode(array_distinct(TextFunctions.wordShingles(text, n))).as("sh_text"))
       .select(col("doc_id"), shingleKey.as("sh"))
-      .distinct()
     // Skew guard for the self-join: a boilerplate shingle shared by k docs
     // contributes k^2 join rows. Capping shingle document-frequency bounds
     // the worst key at maxDocFreq^2 and is standard practice at scale; the
