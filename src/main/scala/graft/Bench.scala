@@ -9,8 +9,11 @@ import org.apache.spark.sql.SparkSession
   * listed under "failures") — never silently folded into a timing.
   *
   * Timings are per-query MEDIANS over SPARK_GRAFT_BENCH_RUNS passes
-  * (default 3): the shared host shows ±50% noise run-to-run (SCALE.md),
+  * (default 5): the shared host shows ±50% noise run-to-run (SCALE.md),
   * so single-shot numbers can't support round-over-round comparisons.
+  * The "spread" object carries per-query {min, med, max} so a reader of
+  * the artifact can tell noise (wide spread straddling the old number)
+  * from regression (tight spread at a new level) without re-running.
   * SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries for focused
   * iteration.
   */
@@ -18,7 +21,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -68,9 +71,13 @@ object Bench {
     def ms(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    val spread = results.collect { case (name, v) if v >= 0 =>
+      val s = samples(name)
+      "\"" + name + "\":{\"min\":" + ms(s.min) + ",\"med\":" + ms(v) + ",\"max\":" + ms(s.max) + "}"
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val fstr = failures.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failures":$fstr,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"spread":$spread,"failures":$fstr,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

@@ -640,15 +640,24 @@ object SparkEntry {
         queries, col("vec_id"), col("embedding"), k = 10, dim = 64,
         bits = 8, probes = 4)
     }),
-    "label_centroids" -> ((s, dir) => { // double-sum order: rows-only
-      // group centroids via the element-wise vector-sum aggregate
+    "label_centroids" -> ((s, dir) => {
+      // Group centroids via the element-wise vector-sum aggregate.
+      // Elements are quantized to integral micro-units first
+      // (floor(x*1e6+0.5) — the same engine-portable tie rule as
+      // embed_quantize): integral doubles sum exactly and
+      // order-independently below 2^53, which makes the emitted
+      // components oracle-hashable. This is the money-sum DECIMAL trick
+      // adapted to floats, whose exact decimal expansion can exceed
+      // DECIMAL(38) and so can't be decimal-staged directly.
       import graft.functions.VectorSumAgg
+      val micros = transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("double"))
       t(s, dir, "embeddings").groupBy(col("label"))
-        .agg(VectorSumAgg.meanVector(col("embedding"), 64).as("centroid"),
+        .agg(VectorSumAgg.vectorSum(micros, 64).as("qsum"),
           count(lit(1)).as("n_vectors"))
         .select(col("label"), col("n_vectors"),
-          element_at(col("centroid"), 1).as("c0"),
-          element_at(col("centroid"), 64).as("c63"))
+          (element_at(col("qsum"), 1) / lit(1e6) / col("n_vectors")).as("c0"),
+          (element_at(col("qsum"), 64) / lit(1e6) / col("n_vectors")).as("c63"))
     }),
     "ivf_topk" -> ((s, dir) => { // k-means based: rows-only check
       import graft.operators.Ivf
@@ -1201,6 +1210,15 @@ object SparkEntry {
         |FROM sh s JOIN ev USING (sh)
         |WHERE s.source <> 'src0'
         |GROUP BY s.doc_id""".stripMargin,
+    "label_centroids" ->
+      // micro-unit quantization makes the element sums integral, hence
+      // exact and order-independent in both engines (see the query doc)
+      """SELECT label, COUNT(*) AS n_vectors,
+        | SUM(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5))
+        |   / 1000000.0 / COUNT(*) AS c0,
+        | SUM(floor(CAST(embedding[64] AS DOUBLE) * 1000000.0 + 0.5))
+        |   / 1000000.0 / COUNT(*) AS c63
+        |FROM embeddings GROUP BY label""".stripMargin,
     "embed_quantize" ->
       """SELECT vec_id,
         | array_to_string(

@@ -108,10 +108,12 @@ object Dedup {
     * one-pass policy; full transitive clustering would need iterative
     * connected components, overkill for near-dup pruning).
     */
-  def applyPairDedup(df: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
-    val drop = pairs.select(col("id_b").as("__drop_id")).distinct()
-    df.join(drop, id === col("__drop_id"), "left_anti")
-  }
+  def applyPairDedup(df: DataFrame, id: Column, pairs: DataFrame): DataFrame =
+    // no distinct() on the pair list: left_anti semantics are identical
+    // with a duplicated right side, and the distinct was a whole extra
+    // exchange of the pair list before the join's own build
+    df.join(pairs.select(col("id_b").as("__drop_id")), id === col("__drop_id"),
+      "left_anti")
 
   /** Transitive duplicate CLUSTERS from a pair list: iterative min-label
     * propagation — every vertex adopts the smallest id it can reach — to
@@ -135,6 +137,14 @@ object Dedup {
     * run — the usual iterative-algorithm caveat). Deterministic: the
     * label is min(reachable ids), independent of iteration order.
     *
+    * `checkpointEvery > 0` additionally `localCheckpoint`s the label
+    * frame every N rounds, truncating the logical lineage: after k
+    * rounds the plan is otherwise k joins deep, and a replay after
+    * cached-block loss costs O(rounds-run); with checkpointing the
+    * replay window is O(checkpointEvery). The standard guard for 20+
+    * round runs (deep chains); off by default because it pins the
+    * checkpointed blocks for the run's lifetime.
+    *
     * Contract: throws IllegalStateException if maxIter rounds don't reach
     * the fixpoint (silently returning split components would corrupt
     * downstream canonical-doc picks); raise maxIter for deep chains. The
@@ -143,8 +153,11 @@ object Dedup {
     * for every id occurring in `pairs`; callers left-join singletons back
     * if they need total coverage.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          checkpointEvery: Int = 0): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    require(checkpointEvery >= 0,
+      s"checkpointEvery must be >= 0 (0 = off), got $checkpointEvery")
     // the pair lineage is typically expensive (an n-gram or LSH self-join)
     // and the symmetric union below references it twice — persist it so
     // edge materialization computes it once. If the CALLER already cached
@@ -183,9 +196,16 @@ object Dedup {
           .join(labels.select(col("id").as("comp"), col("comp").as("comp2")),
             "comp")
           .select(col("id"), col("comp2").as("comp")))
-      val next = withJump.groupBy("id")
+      val nextBase = withJump.groupBy("id")
         .agg(min(col("comp")).as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint(eager) both materializes AND truncates lineage —
+      // the round's labels become a leaf RDD, so later rounds (and any
+      // replay) never re-walk the join chain behind it. persist() alone
+      // keeps the full logical plan.
+      val next =
+        if (checkpointEvery > 0 && (iter + 1) % checkpointEvery == 0)
+          nextBase.localCheckpoint(true)
+        else nextBase.persist(StorageLevel.MEMORY_AND_DISK)
       val curSum = labelSum(next)
       labels.unpersist()
       labels = next
@@ -324,11 +344,33 @@ object Dedup {
     */
   def minhashPairsAgainst(newSigs: DataFrame, refSigs: DataFrame,
                           numHashes: Int, bands: Int,
-                          minEstJaccard: Double): DataFrame = {
+                          minEstJaccard: Double): DataFrame =
+    minhashPairsAgainstBanded(newSigs, lshBands(refSigs, numHashes, bands),
+      refSigs, numHashes, bands, minEstJaccard)
+
+  /** [[minhashPairsAgainst]] where the reference side is a PRE-BANDED
+    * store: `refBanded` is (doc_id, band_idx, band_hash) — the read-back
+    * of [[graft.pipelines.CorpusPipeline.writeSignatureStore]]. Staging
+    * the banded form bucketed by band_hash means the daily band join
+    * reads co-located buckets and plans NO store-side exchange: the only
+    * shuffle is the increment's, which is the whole point at 100 TB.
+    * `refSigs` supplies the signature arrays for verification and is
+    * only joined for the (rare) candidates.
+    *
+    * The join key is band_hash ALONE: [[lshBands]] seeds each band's
+    * hash with its band index, so band identity is already encoded in
+    * the hash, and a single-column key is what lets the store's bucket
+    * partitioning satisfy the join's clustering outright (Spark requires
+    * ALL join keys as partition keys to skip the shuffle —
+    * spark.sql.requireAllClusterKeysForCoPartition). A cross-band 32-bit
+    * hash collision can only ADD a candidate, and every candidate is
+    * verified against the full signatures by the est_jaccard filter.
+    */
+  def minhashPairsAgainstBanded(newSigs: DataFrame, refBanded: DataFrame,
+                                refSigs: DataFrame, numHashes: Int, bands: Int,
+                                minEstJaccard: Double): DataFrame = {
     val bn = lshBands(newSigs, numHashes, bands)
-    val br = lshBands(refSigs, numHashes, bands)
-    val cands = br.as("a").join(bn.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
+    val cands = refBanded.as("a").join(bn.as("b"),
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

@@ -41,18 +41,38 @@ object RangeJoin {
     * shuffled at all — the right call when intervals are a filtered
     * slice (incidents, maintenance windows, campaigns). Leave false when
     * both sides are large; the cell equi-join then shuffles both.
+    *
+    * `saltBuckets > 1` handles the HOT-CELL case (everything in one
+    * hour): the point side's join key gains a content-independent salt
+    * in [0, saltBuckets) and each interval cell is replicated once per
+    * salt, so a dominant cell's rows spread over `saltBuckets` reducers
+    * instead of one. Costs saltBuckets× extra interval replicas — cheap
+    * when intervals are the small side, which is exactly the hot-cell
+    * scenario. Result multiplicity is unchanged (each point joins the
+    * single replica carrying its salt).
     */
   def rangeJoin(left: DataFrame, tsCol: String,
                 right: DataFrame, startCol: String, endCol: String,
                 granuleSeconds: Long,
                 maxCellsPerInterval: Long = 10000L,
-                broadcastRight: Boolean = false): DataFrame = {
+                broadcastRight: Boolean = false,
+                saltBuckets: Int = 1): DataFrame = {
     require(granuleSeconds > 0, s"granuleSeconds must be positive, got $granuleSeconds")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val cell = "__range_cell"
+    val salt = "__range_salt"
     require(!left.columns.contains(cell) && !right.columns.contains(cell),
       s"$cell is reserved by rangeJoin; rename the input column")
-    val l = left.withColumn(cell,
-      floor(col(tsCol).cast("long") / granuleSeconds)).alias("l")
+    require(!left.columns.contains(salt) && !right.columns.contains(salt),
+      s"$salt is reserved by rangeJoin; rename the input column")
+    val lCell = left.withColumn(cell,
+      floor(col(tsCol).cast("long") / granuleSeconds))
+    // content-independent spread (see Skew.saltedJoin): hashing row
+    // content would send identical hot rows to ONE salt bucket
+    val l = (if (saltBuckets > 1)
+      lCell.withColumn(salt,
+        pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)).cast("int"))
+    else lCell).alias("l")
     // cover through floor(end/g): second-truncation of a fractional end
     // must not drop the last cell a point could truncate into. Cells are
     // distinct per interval, so candidates stay unique per pair.
@@ -69,12 +89,17 @@ object RangeJoin {
           col(startCol).cast("string"), lit(".."), col(endCol).cast("string")))
         .isNull,
       sequence(firstCell, lastCell))
-    val rRaw = right.withColumn(cell, explode(guardedCells)).alias("r")
+    val rCell = right.withColumn(cell, explode(guardedCells))
+    val rRaw = (if (saltBuckets > 1)
+      rCell.withColumn(salt, explode(sequence(lit(0), lit(saltBuckets - 1))))
+    else rCell).alias("r")
     val r = if (broadcastRight) broadcast(rRaw) else rRaw
-    l.join(r,
-        col(s"l.$cell") === col(s"r.$cell") &&
+    val baseCond =
+      col(s"l.$cell") === col(s"r.$cell") &&
         col(s"l.$tsCol") >= col(s"r.$startCol") &&
-        col(s"l.$tsCol") < col(s"r.$endCol"))
-      .drop(cell)
+        col(s"l.$tsCol") < col(s"r.$endCol")
+    val cond = if (saltBuckets > 1)
+      baseCond && col(s"l.$salt") === col(s"r.$salt") else baseCond
+    l.join(r, cond).drop(cell).drop(salt)
   }
 }

@@ -85,7 +85,16 @@ object CorpusPipeline {
     * note as the pair operators: blocks live until session cache cleanup).
     */
   def curateIncrement(newDocs: DataFrame, refSigs: DataFrame,
-                      cfg: Config = Config()): (DataFrame, DataFrame) = {
+                      cfg: Config = Config()): (DataFrame, DataFrame) =
+    curateAgainst(newDocs, cfg)(sigs =>
+      Dedup.minhashPairsAgainst(sigs, refSigs,
+        cfg.numHashes, cfg.bands, cfg.minEstJaccard))
+
+  /** The shared incremental funnel: gate → self-dedup → signatures →
+    * cross-pairs (strategy supplied by the caller) → prune → enrich.
+    */
+  private def curateAgainst(newDocs: DataFrame, cfg: Config)(
+      crossPairsOf: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val gated = qualityGate(annotate(newDocs), cfg)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -98,11 +107,49 @@ object CorpusPipeline {
     val sigs = Dedup.minhashSignatures(selfClean, col("doc_id"), col("text"),
         cfg.numHashes, cfg.shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val crossPairs = Dedup.minhashPairsAgainst(sigs, refSigs,
-      cfg.numHashes, cfg.bands, cfg.minEstJaccard)
-    val clean = Dedup.applyPairDedup(selfClean, col("doc_id"), crossPairs)
+    val clean = Dedup.applyPairDedup(selfClean, col("doc_id"), crossPairsOf(sigs))
     val keptSigs = sigs.join(clean.select("doc_id"), Seq("doc_id"), "left_semi")
     (enrich(clean, cfg), keptSigs)
+  }
+
+  /** Stage a day's kept signatures as the accumulated signature STORE —
+    * two catalog tables (bucketing metadata lives in the catalog):
+    *
+    *  - `<table>_banded`: the banded form (doc_id, band_idx, band_hash),
+    *    bucketed AND sorted by band_hash. Tomorrow's cross-increment
+    *    band join ([[graft.operators.Dedup.minhashPairsAgainstBanded]])
+    *    then reads co-located buckets and plans no store-side exchange —
+    *    the store, which grows with the corpus, is never reshuffled;
+    *    only the day's increment is (asserted in PlanAuditSpec).
+    *  - `<table>`: the raw (doc_id, sig, n_sh) signatures, joined only
+    *    for verified candidates (storing sig inside the banded table
+    *    would duplicate the 1 KB signature × bands).
+    *
+    * Append mode accumulates days; Spark appends to a bucketed table
+    * with the same bucket spec without reshuffling existing data.
+    */
+  def writeSignatureStore(sigs: DataFrame, table: String, cfg: Config,
+                          buckets: Int,
+                          mode: SaveMode = SaveMode.Append): Unit = {
+    ParquetSink.writeBucketed(
+      Dedup.lshBands(sigs, cfg.numHashes, cfg.bands),
+      s"${table}_banded", "band_hash", buckets, mode)
+    sigs.write.mode(mode).format("parquet").saveAsTable(table)
+  }
+
+  /** [[curateIncrement]] against the staged signature store written by
+    * [[writeSignatureStore]]: same funnel, but the cross-increment band
+    * join consumes the PRE-BANDED bucketed table, so the store side of
+    * the join plans no exchange. Does NOT append the kept signatures —
+    * call [[writeSignatureStore]] with the returned frame once the
+    * curated increment has been committed downstream.
+    */
+  def curateIncrementFromStore(newDocs: DataFrame, table: String,
+                               cfg: Config = Config()): (DataFrame, DataFrame) = {
+    val spark = newDocs.sparkSession
+    curateAgainst(newDocs, cfg)(sigs =>
+      Dedup.minhashPairsAgainstBanded(sigs, spark.table(s"${table}_banded"),
+        spark.table(table), cfg.numHashes, cfg.bands, cfg.minEstJaccard))
   }
 
   /** Full run, staged to parquet; returns per-stage row counts. */

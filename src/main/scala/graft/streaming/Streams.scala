@@ -94,6 +94,65 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
 
+  /** Streaming incremental near-dedup — the streaming-native form of the
+    * daily curation funnel
+    * ([[graft.pipelines.CorpusPipeline.curateIncrement]]): each
+    * micro-batch of raw (doc_id, text) documents is quality-gated,
+    * deduped against itself AND against the accumulated signature store,
+    * its survivors appended to `curatedPath` and their MinHash
+    * signatures appended to `sigStorePath` — so the NEXT batch dedups
+    * against everything kept so far, including earlier batches of this
+    * same stream. The store is re-read each batch (fresh file listing),
+    * and a batch's dedup cost is one banded equi-join against
+    * signatures — accumulated text is never rescanned, which is what
+    * makes the shape viable on an unbounded stream.
+    *
+    * Same effectively-once model as [[dualSinkStream]]: a failing batch
+    * fails the query (foreachBatch exceptions propagate), so the
+    * checkpoint cannot advance past dropped rows; a replayed batch
+    * re-appends, and its docs would then self-dedup against their own
+    * first append's signatures.
+    */
+  def incrementalDedupStream(docs: DataFrame, sigStorePath: String,
+                             curatedPath: String, checkpointDir: String,
+                             cfg: graft.pipelines.CorpusPipeline.Config =
+                               graft.pipelines.CorpusPipeline.Config(),
+                             trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val sc = spark.sparkContext
+        val cachedBefore = sc.getPersistentRDDs.keySet
+        val hPath = new org.apache.hadoop.fs.Path(sigStorePath)
+        val fs = hPath.getFileSystem(sc.hadoopConfiguration)
+        // empty-store bootstrap: derive the signature schema from an
+        // empty slice of the batch instead of hand-declaring it
+        val refSigs =
+          if (fs.exists(hPath) &&
+              fs.listStatus(hPath).exists(_.getPath.getName.endsWith(".parquet")))
+            spark.read.parquet(sigStorePath)
+          else graft.operators.Dedup.minhashSignatures(batch.toDF().limit(0),
+            col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
+        val (curated, keptSigs) =
+          graft.pipelines.CorpusPipeline.curateIncrement(batch.toDF(), refSigs, cfg)
+        graft.sinks.ParquetSink.write(curated, curatedPath,
+          org.apache.spark.sql.SaveMode.Append)
+        // signatures append AFTER the curated write, to the same path
+        // refSigs reads: refSigs snapshotted its file listing above, so
+        // the new files don't feed back into this batch's own dedup
+        graft.sinks.ParquetSink.write(keptSigs, sigStorePath,
+          org.apache.spark.sql.SaveMode.Append)
+        // free ONLY this batch's persisted intermediates (the funnel
+        // persists at its fan-outs; a long-running stream would
+        // accumulate cached blocks per batch forever otherwise) —
+        // other caches in the session are left alone
+        sc.getPersistentRDDs
+          .filterNot(kv => cachedBefore.contains(kv._1))
+          .values.foreach(_.unpersist(blocking = false))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
   /** Stream-static enrichment: join each micro-batch against a dimension
     * DataFrame, broadcast by default — the dimension is the small side by
     * construction, and broadcasting keeps the stream side shuffle-free,

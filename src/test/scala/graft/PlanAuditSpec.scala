@@ -109,6 +109,81 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!PlanInspect.hasCartesian(pairs), planOf(pairs))
   }
 
+  test("bucketed signature store: band join plans no store-side exchange") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import graft.pipelines.CorpusPipeline
+    val cfg = CorpusPipeline.Config(numHashes = 32, bands = 8, shingleSize = 3)
+    val table = "pa_sig_store"
+    val docs = Seq(
+      (1L, "the cat and the dog walk to the old mill by the river road"),
+      (2L, "the sun is warm and the wind is cold over the high green hills")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"),
+      cfg.numHashes, cfg.shingleSize)
+    CorpusPipeline.writeSignatureStore(sigs, table, cfg, buckets = 4,
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    val newSigs = Dedup.minhashSignatures(
+      Seq((10L, "the children read the books and the teacher is glad today"))
+        .toDF("doc_id", "text"),
+      col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    val prevBcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // broadcast off: otherwise the tiny increment broadcasts and the test
+    // would pass vacuously; AQE off so executedPlan is the final tree
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def pathToStoreScan(p: SparkPlan): Option[List[SparkPlan]] = p match {
+        case s: FileSourceScanExec
+            if s.tableIdentifier.exists(_.table == s"${table}_banded") =>
+          Some(List(s))
+        case _ => p.children.view.flatMap(pathToStoreScan).headOption
+          .map(p :: _)
+      }
+      def isJoin(p: SparkPlan) = p.isInstanceOf[SortMergeJoinExec] ||
+        p.isInstanceOf[ShuffledHashJoinExec] || p.isInstanceOf[BroadcastHashJoinExec]
+
+      val pairs = Dedup.minhashPairsAgainstBanded(newSigs,
+        spark.table(s"${table}_banded"), spark.table(table),
+        cfg.numHashes, cfg.bands, minEstJaccard = 0.5)
+      val path = pathToStoreScan(pairs.queryExecution.executedPlan)
+        .getOrElse(fail("no scan of the bucketed store in the plan"))
+      val belowJoin = path.drop(path.lastIndexWhere(isJoin) + 1)
+      assert(path.exists(isJoin), path.mkString("\n"))
+      // the segment between the band join and the store scan is exchange-
+      // free: the bucket layout IS the join partitioning
+      assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        path.mkString("\n"))
+
+      // contrast: the same join against a NON-bucketed reference must
+      // shuffle the store side — bucketing is what removes the exchange
+      val unbucketed = Dedup.minhashPairsAgainst(newSigs, spark.table(table),
+        cfg.numHashes, cfg.bands, minEstJaccard = 0.5)
+      def pathToRawScan(p: SparkPlan): Option[List[SparkPlan]] = p match {
+        case s: FileSourceScanExec
+            if s.tableIdentifier.exists(_.table == table) => Some(List(s))
+        case _ => p.children.view.flatMap(pathToRawScan).headOption
+          .map(p :: _)
+      }
+      // the raw table is scanned twice (banding + sig lookup); the banding
+      // path is the one feeding the first join
+      val upath = pathToRawScan(unbucketed.queryExecution.executedPlan)
+        .getOrElse(fail("no scan of the raw store in the plan"))
+      val ubelow = upath.drop(upath.lastIndexWhere(isJoin) + 1)
+      assert(ubelow.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        upath.mkString("\n"))
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_banded")
+    }
+  }
+
   test("cube runs as one Expand + one aggregate, not 4 scans") {
     val df = graft.SparkEntry.queries("q_cube")(spark, dir)
     val plan = planOf(df)

@@ -113,6 +113,22 @@ class DedupSpec extends SparkTestBase {
     pairs.unpersist()
   }
 
+  test("connectedComponents: checkpointEvery truncates lineage on a deep chain") {
+    import graft.TestSpark.spark.implicits._
+    // 200-vertex chain (diameter 199): pointer jumping needs 10+ rounds,
+    // so every checkpoint interval fires several times
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, maxIter = 40, checkpointEvery = 3)
+    val rows = cc.collect()
+    assert(rows.length == 200, rows.length)
+    assert(rows.map(_.getLong(1)).toSet == Set(0L))
+    // lineage proof: the returned frame's plan bottoms out at a
+    // checkpointed RDD leaf, not the 10+-round join chain
+    assert(cc.queryExecution.optimizedPlan.toString.contains("ExistingRDD"),
+      cc.queryExecution.optimizedPlan.toString)
+    cc.unpersist()
+  }
+
   test("connectedComponents: transitive min-id labels beyond greedy pairs") {
     import graft.TestSpark.spark.implicits._
     // chain 1~5~3 (1,3 never paired directly), pair 7~9, plus 2~1

@@ -58,6 +58,32 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(curated2.isEmpty)
   }
 
+  test("bucketed signature store round-trip: curateIncrementFromStore matches curateIncrement") {
+    val table = "inc_sig_store"
+    val refSigs = Dedup.minhashSignatures(refDocs, col("doc_id"), col("text"),
+      cfg.numHashes, cfg.shingleSize)
+    CorpusPipeline.writeSignatureStore(refSigs, table, cfg, buckets = 4,
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    try {
+      val increment = Seq(
+        (10L, refText1), // copy of stored doc 1 -> dropped via the store
+        (11L, novel)     // new -> kept
+      ).toDF("doc_id", "text")
+      val (curated, keptSigs) =
+        CorpusPipeline.curateIncrementFromStore(increment, table, cfg)
+      assert(curated.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+      // day 2: append the survivors' signatures; a re-sent copy of the
+      // novel doc is now a cross-increment duplicate via the store
+      CorpusPipeline.writeSignatureStore(keptSigs, table, cfg, buckets = 4)
+      val (curated2, _) = CorpusPipeline.curateIncrementFromStore(
+        Seq((20L, novel)).toDF("doc_id", "text"), table, cfg)
+      assert(curated2.isEmpty)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_banded")
+    }
+  }
+
   test("curateIncrement with an empty reference keeps the whole (self-deduped) increment") {
     val increment = Seq((10L, refText1), (11L, novel)).toDF("doc_id", "text")
     val emptyRef = Dedup.minhashSignatures(

@@ -75,6 +75,46 @@ class RangeJoinSpec extends SparkTestBase {
     assert(pairs.length == pairs.toSet.size)
   }
 
+  test("rangeJoin saltBuckets: spreads a single hot cell, identical results") {
+    import graft.TestSpark.spark.implicits._
+    // the documented worst case: EVERY point in one hour cell
+    val base = 1699999200L // hour-aligned epoch seconds
+    val points = (0L until 1000L).map(i =>
+      (i, new Timestamp((base + i % 1800) * 1000L))).toDF("pid", "ts")
+    val intervals = Seq(
+      (1L, new Timestamp(base * 1000L), new Timestamp((base + 3600) * 1000L)),
+      (2L, new Timestamp(base * 1000L), new Timestamp((base + 1800) * 1000L))
+    ).toDF("iid", "w_start", "w_end")
+    def run(salt: Int) = RangeJoin.rangeJoin(points, "ts", intervals,
+      "w_start", "w_end", granuleSeconds = 3600, saltBuckets = salt)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // multiplicity preserved exactly: each point joins one salted replica
+    assert(key(run(8)) == key(run(1)))
+    // balance at the join's own shuffle: AQE off so the output keeps the
+    // join's partitioning; broadcast off so it IS a shuffle join
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    val prevBcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def sizes(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+        df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+          .filter(_ > 0).toSeq
+      val hot = sizes(run(1))
+      val spread = sizes(run(8))
+      assert(hot.length == 1, s"hot cell should land on ONE reducer: $hot")
+      assert(spread.length >= 2, s"salting should spread the cell: $spread")
+      assert(spread.max < hot.head, s"max salted partition ${spread.max} " +
+        s"should be below the unsalted ${hot.head}")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
+
   test("rangeJoin broadcastRight: same rows, broadcast hash join, point side unshuffled") {
     import graft.TestSpark.spark.implicits._
     val points = (0L until 100L).map(i =>

@@ -149,6 +149,41 @@ class StreamsSpec extends SparkTestBase {
     assert(sink.ddl.exists(s => s.contains("stream_events") && s.contains("load_date date")))
   }
 
+  test("incrementalDedupStream: batch 2 drops a re-sent batch-1 doc via the signature store") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    val textA = "the cat and the dog walk to the old mill by the river road"
+    val textB = "the sun is warm and the wind is cold over the high green hills"
+    val cfg = graft.pipelines.CorpusPipeline.Config(minQuality = 0.0,
+      keepLangs = Seq("en"), minTokens = 5, shingleSize = 3,
+      numHashes = 64, bands = 16, minEstJaccard = 0.5, featureDim = 4)
+    val sigStore = tempDir("dedup_sigs").toString
+    val curated = tempDir("dedup_curated").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.incrementalDedupStream(mem.toDF().toDF("doc_id", "text"),
+        sigStore, curated, tempDir("dedup_stream_ckpt").toString, cfg,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem.addData((1L, textA), (2L, textB))
+    q.processAllAvailable()
+    // batch 1 bootstrapped an empty store: both docs kept, sigs appended
+    assert(spark.read.parquet(curated).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    assert(spark.read.parquet(sigStore).count() == 2)
+    // batch 2 re-sends textA under a new id, plus one genuinely new doc:
+    // the re-send is a cross-batch duplicate against the store
+    mem.addData((10L, textA),
+      (11L, "the children read the books and the teacher is glad today"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(curated).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 11L))
+    // and batch 2's survivor handed its signature forward for batch 3
+    assert(spark.read.parquet(sigStore).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 11L))
+  }
+
   test("streamStreamJoin: time-bounded attribution over two memory streams") {
     import graft.TestSpark.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
