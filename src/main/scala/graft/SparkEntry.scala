@@ -617,6 +617,27 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.normalizeText(col("text")).as("norm_text"))
     }),
+    "text_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signals: fraction of duplicate
+      // word n-grams and fraction covered by the most frequent n-gram,
+      // for n = 2 and 3. Per-row kernel — the whole query is a
+      // projection with ZERO shuffle; the oracle's explode+groupBy form
+      // shuffles every n-gram of the corpus to compute the same thing.
+      val r2 = TextFunctions.repetitionStats(col("text"), 2)
+      val r3 = TextFunctions.repetitionStats(col("text"), 3)
+      def frac(num: Column, den: Column): Column =
+        when(den > 0, num.cast("double") / den.cast("double"))
+          .otherwise(lit(0.0))
+      t(s, dir, "documents").select(col("doc_id"),
+        element_at(r2, 1).cast("long").as("n_2grams"),
+        frac(element_at(r2, 1) - element_at(r2, 2), element_at(r2, 1))
+          .as("dup_2gram_frac"),
+        frac(element_at(r2, 3), element_at(r2, 1)).as("top_2gram_frac"),
+        element_at(r3, 1).cast("long").as("n_3grams"),
+        frac(element_at(r3, 1) - element_at(r3, 2), element_at(r3, 1))
+          .as("dup_3gram_frac"),
+        frac(element_at(r3, 3), element_at(r3, 1)).as("top_3gram_frac"))
+    }),
     "vocabulary" -> ((s, dir) => {
       // corpus vocabulary with document frequencies - the word-count shape
       val toks = t(s, dir, "documents")
@@ -1139,6 +1160,42 @@ object SparkEntry {
         | trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
         |   ' +', ' ', 'g')) AS norm_text
         |FROM documents""".stripMargin,
+    "text_repetition" ->
+      // the explode+groupBy formulation of the per-row kernel: counts are
+      // integers in both engines, fractions one identical double division
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g2 AS (SELECT doc_id,
+        |  unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+        |s2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total2,
+        |  COUNT(*) AS dist2, CAST(MAX(c) AS BIGINT) AS mx2
+        |  FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id,
+        |  unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS g
+        |  FROM toks WHERE len(t) >= 3),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+        |s3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total3,
+        |  COUNT(*) AS dist3, CAST(MAX(c) AS BIGINT) AS mx3
+        |  FROM c3 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | COALESCE(total2, 0) AS n_2grams,
+        | CASE WHEN COALESCE(total2, 0) > 0
+        |   THEN CAST(total2 - dist2 AS DOUBLE) / CAST(total2 AS DOUBLE)
+        |   ELSE CAST(0 AS DOUBLE) END AS dup_2gram_frac,
+        | CASE WHEN COALESCE(total2, 0) > 0
+        |   THEN CAST(mx2 AS DOUBLE) / CAST(total2 AS DOUBLE)
+        |   ELSE CAST(0 AS DOUBLE) END AS top_2gram_frac,
+        | COALESCE(total3, 0) AS n_3grams,
+        | CASE WHEN COALESCE(total3, 0) > 0
+        |   THEN CAST(total3 - dist3 AS DOUBLE) / CAST(total3 AS DOUBLE)
+        |   ELSE CAST(0 AS DOUBLE) END AS dup_3gram_frac,
+        | CASE WHEN COALESCE(total3, 0) > 0
+        |   THEN CAST(mx3 AS DOUBLE) / CAST(total3 AS DOUBLE)
+        |   ELSE CAST(0 AS DOUBLE) END AS top_3gram_frac
+        |FROM documents d
+        | LEFT JOIN s2 ON s2.doc_id = d.doc_id
+        | LEFT JOIN s3 ON s3.doc_id = d.doc_id""".stripMargin,
     "vocabulary" ->
       """SELECT token, COUNT(*) AS n_occurrences,
         | COUNT(DISTINCT doc_id) AS n_docs

@@ -67,6 +67,45 @@ object Kernels {
     c
   }
 
+  /** Per-document word n-gram repetition stats — the "repetitious
+    * document" quality filters of the MassiveText/Gopher curation recipe
+    * (Rae et al. 2021, appendix A1.1: fraction of duplicate n-grams and
+    * fraction covered by the most frequent n-gram): returns
+    * [total, distinct, maxCount] over the document's word `n`-grams
+    * ([0,0,0] when the document has fewer than n tokens). Like simhash
+    * this is a per-document REDUCTION, so the operator needs NO shuffle
+    * at all — the explode+groupBy formulation (what the DuckDB oracle
+    * runs) shuffles every n-gram of the corpus instead. Counts are over
+    * the actual n-gram STRINGS (a per-row hash map), not their hashes,
+    * so the result is exact.
+    */
+  def repetition(tokens: ArrayData, n: Int): ArrayData = {
+    val nTok = tokens.numElements()
+    val total = nTok - n + 1
+    if (total <= 0) return new GenericArrayData(Array(0, 0, 0))
+    val counts = new java.util.HashMap[String, Integer]()
+    val sb = new java.lang.StringBuilder()
+    var maxC = 0
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        val t = tokens.getUTF8String(i + j)
+        if (t != null) sb.append(t.toString)
+        j += 1
+      }
+      val g = sb.toString
+      val prev = counts.get(g)
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(g, Integer.valueOf(c))
+      if (c > maxC) maxC = c
+      i += 1
+    }
+    new GenericArrayData(Array(total, counts.size(), maxC))
+  }
+
   /** 64-bit SimHash: each token's FNV-1a hash votes ±1 per bit; the sign
     * of the per-bit sum forms the code. One pass, no shuffle needed at
     * all — SimHash is a per-document reduction.
@@ -533,6 +572,20 @@ object Kernels {
       copy(child = newChild)
   }
 
+  case class NgramRepetition(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child, isStringArray, "array<string>")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "ngram_repetition"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.repetition(input.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.repetition($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): NgramRepetition =
+      copy(child = newChild)
+  }
+
   case class AsciiRunCount(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(prettyName, child, _ == StringType, "string")
@@ -551,4 +604,7 @@ object Kernels {
 
   def asciiRunCountCol(text: Column): Column =
     ColumnBridge.column(AsciiRunCount(ColumnBridge.expression(text)))
+
+  def repetitionCol(tokens: Column, n: Int): Column =
+    ColumnBridge.column(NgramRepetition(ColumnBridge.expression(tokens), n))
 }

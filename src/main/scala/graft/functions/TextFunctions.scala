@@ -48,6 +48,13 @@ object TextFunctions {
   def tokenOccurrences(c: Column, w: String): Column =
     size(filter(tokens(c), t => t === lit(w)))
 
+  /** Word n-gram repetition stats [total, distinct, maxCount] — the
+    * Gopher-style repetitious-document signals, as a per-row codegen
+    * kernel (zero shuffle). See [[Kernels.repetition]].
+    */
+  def repetitionStats(c: Column, n: Int): Column =
+    Kernels.repetitionCol(tokens(c), n)
+
   /** Training-corpus text normalization: lowercase, strip everything but
     * letters/digits/spaces, collapse whitespace runs, trim. Pure builtin
     * composition (codegen'd, pushdown-friendly).

@@ -102,6 +102,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(nonInput == 0, plan)
   }
 
+  test("repetition stats run as a pure projection: zero exchanges, codegen kernel") {
+    val df = graft.SparkEntry.queries("text_repetition")(spark, dir)
+    val plan = planOf(df)
+    // only Tables.load's local single-file round-robin split-up is allowed
+    // (absent on a many-file lake table); the stats themselves are per-row
+    val nonInput = "Exchange (?!RoundRobinPartitioning)".r
+      .findAllIn(plan).length
+    assert(nonInput == 0, plan)
+    assert(plan.contains("ngram_repetition"), plan)
+  }
+
   test("LSH candidate generation is an equi-join, not a cartesian product") {
     val pairs = Dedup.minhashDedupPairs(
       spark.read.parquet(s"$dir/documents.parquet"),

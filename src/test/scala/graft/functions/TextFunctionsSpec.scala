@@ -19,6 +19,20 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(one(TextFunctions.wordShingles(lit("a b"), 3)) == Seq())
   }
 
+  test("repetitionStats: [total, distinct, maxCount] over word n-grams") {
+    // "a b a b a" 2-grams: [a b, b a, a b, b a] -> total 4, distinct 2, max 2
+    assert(one(TextFunctions.repetitionStats(lit("a b a b a"), 2)) ==
+      Seq(4, 2, 2))
+    // 3-grams: [a b a, b a b, a b a] -> total 3, distinct 2, max 2
+    assert(one(TextFunctions.repetitionStats(lit("a b a b a"), 3)) ==
+      Seq(3, 2, 2))
+    // all-distinct document: max count 1, zero duplicate fraction
+    assert(one(TextFunctions.repetitionStats(lit("w x y z"), 2)) ==
+      Seq(3, 3, 1))
+    // shorter than n: [0, 0, 0], not a crash or a negative total
+    assert(one(TextFunctions.repetitionStats(lit("a"), 2)) == Seq(0, 0, 0))
+  }
+
   test("char shingles") {
     assert(one(TextFunctions.charShingles(lit("abcd"), 3)) == Seq("abc", "bcd"))
     assert(one(TextFunctions.charShingles(lit("ab"), 3)) == Seq())
