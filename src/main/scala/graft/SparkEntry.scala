@@ -705,6 +705,18 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), col("vec_id"),
         col("embedding"), minCosine = 0.5, dim = 64, bits = 4, bands = 16)
     }),
+    "corpus_pack" -> ((s, dir) => {
+      // concat-and-chunk sequence packing: where each doc's tokens start
+      // in its source's fixed-512-token training windows. One exchange
+      // (hash on source) + in-partition running sum.
+      import graft.operators.Packing
+      Packing.packAssignments(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+        col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")), budget = 512L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("pack_id"), col("pack_offset"))
+    }),
     "corpus_split" -> ((s, dir) => {
       // deterministic 90/10 train/holdout split — a pure function of the
       // row id (md5 bucket), identical on any cluster size/engine
@@ -1056,6 +1068,20 @@ object SparkEntry {
         | c_mktsegment AS segment, 'graft' AS load_src FROM customer""".stripMargin,
     "concat_ws_csv" ->
       """SELECT c_custkey, c_name || ',' || c_mktsegment AS csv FROM customer""".stripMargin,
+    "corpus_pack" ->
+      // exclusive prefix sum of token counts per source, chunked into
+      // 512-token windows; DuckDB windowed SUM(BIGINT) widens to HUGEINT,
+      // hence the explicit cast before the subtraction
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS cum FROM t)
+        |SELECT doc_id, source, n_tokens,
+        | CAST(FLOOR(CAST(cum AS DOUBLE) / 512.0) AS BIGINT) AS pack_id,
+        | cum % 512 AS pack_offset
+        |FROM c""".stripMargin,
     "corpus_split" ->
       """SELECT doc_id,
         | CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4)
