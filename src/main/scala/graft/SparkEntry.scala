@@ -662,19 +662,20 @@ object SparkEntry {
         bits = 8, probes = 4)
     }),
     "label_centroids" -> ((s, dir) => {
-      // Group centroids via the element-wise vector-sum aggregate.
-      // Elements are quantized to integral micro-units first
-      // (floor(x*1e6+0.5) — the same engine-portable tie rule as
-      // embed_quantize): integral doubles sum exactly and
-      // order-independently below 2^53, which makes the emitted
-      // components oracle-hashable. This is the money-sum DECIMAL trick
-      // adapted to floats, whose exact decimal expansion can exceed
-      // DECIMAL(38) and so can't be decimal-staged directly.
+      // Group centroids via the element-wise vector-sum aggregate with
+      // in-loop micro-unit quantization (floor(x*1e6+0.5) — the same
+      // engine-portable tie rule as embed_quantize): integral doubles
+      // sum exactly and order-independently below 2^53, which makes the
+      // emitted components oracle-hashable. This is the money-sum
+      // DECIMAL trick adapted to floats, whose exact decimal expansion
+      // can exceed DECIMAL(38) and so can't be decimal-staged directly.
+      // Quantization lives INSIDE the aggregate's update loop — a
+      // transform() HOF here would run 64 interpreted lambda evals per
+      // row on the hot aggregation input.
       import graft.functions.VectorSumAgg
-      val micros = transform(col("embedding"),
-        x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("double"))
       t(s, dir, "embeddings").groupBy(col("label"))
-        .agg(VectorSumAgg.vectorSum(micros, 64).as("qsum"),
+        .agg(VectorSumAgg.vectorSumQuantized(col("embedding"), 64, 1e6)
+          .as("qsum"),
           count(lit(1)).as("n_vectors"))
         .select(col("label"), col("n_vectors"),
           (element_at(col("qsum"), 1) / lit(1e6) / col("n_vectors")).as("c0"),

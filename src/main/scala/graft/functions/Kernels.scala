@@ -574,6 +574,7 @@ object Kernels {
 
   case class NgramRepetition(child: Expression, n: Int)
       extends UnaryExpression {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(prettyName, child, isStringArray, "array<string>")
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

@@ -16,13 +16,23 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * source). Map-side partial merge, one double[] buffer per group;
   * combined with count it gives the mean without ever materializing the
   * group's vectors together.
+  *
+  * `quantScale > 0` quantizes each element to floor(x·scale + 0.5)
+  * inside the update loop before summing: the summands become integral
+  * doubles, whose addition is exact and order-independent below 2^53 —
+  * which is what makes a centroid query hash-comparable against another
+  * engine. Quantizing here (a compiled loop) rather than with a
+  * `transform` HOF on the input avoids dim interpreted lambda evals per
+  * row on the aggregate's hot path.
   */
 case class VectorSumAgg(child: Expression, dim: Int,
+                        quantScale: Double = 0.0,
                         mutableAggBufferOffset: Int = 0,
                         inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Double]] {
 
   require(dim > 0, "dim must be positive")
+  require(quantScale >= 0, "quantScale must be >= 0 (0 = no quantization)")
 
   private lazy val floats = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -59,7 +69,8 @@ case class VectorSumAgg(child: Expression, dim: Int,
         if (arr.isNullAt(i))
           throw new IllegalArgumentException(
             s"vector_sum: null element at index $i")
-        buf(i) += (if (floats) arr.getFloat(i).toDouble else arr.getDouble(i))
+        val x = if (floats) arr.getFloat(i).toDouble else arr.getDouble(i)
+        buf(i) += (if (quantScale > 0) math.floor(x * quantScale + 0.5) else x)
         i += 1
       }
     }
@@ -99,6 +110,14 @@ object VectorSumAgg {
   def vectorSum(vec: Column, dim: Int): Column =
     ColumnBridge.column(
       VectorSumAgg(ColumnBridge.expression(vec), dim).toAggregateExpression())
+
+  /** Element-wise sum of floor(x·scale + 0.5)-quantized vectors —
+    * exact, order-independent, engine-portable (see class doc).
+    */
+  def vectorSumQuantized(vec: Column, dim: Int, scale: Double): Column =
+    ColumnBridge.column(
+      VectorSumAgg(ColumnBridge.expression(vec), dim, scale)
+        .toAggregateExpression())
 
   /** Group mean embedding: element-wise sum / count(non-null vectors), as
     * array<double>; null (not NaN) when the group has no vectors at all.

@@ -18,6 +18,17 @@ class VectorSumAggSpec extends SparkTestBase {
     assert(m("b") == Seq(10.0, 0.0))
   }
 
+  test("vectorSumQuantized sums floor(x*scale + 0.5) micro-units exactly") {
+    import graft.TestSpark.spark.implicits._
+    // 1.25 -> 13, -0.35 -> -3 (floor(-3.5+0.5)), 0.04 -> 0, 2.06 -> 21
+    val vecs = Seq(
+      ("a", Array(1.25f, -0.35f)), ("a", Array(0.04f, 2.06f))).toDF("grp", "v")
+    val m = vecs.groupBy("grp")
+      .agg(VectorSumAgg.vectorSumQuantized(col("v"), 2, 10.0).as("qsum"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(m("a") == Seq(13.0, 18.0), m.toString) // 13+0, -3+21
+  }
+
   test("vector sum rejects non-vector input at analysis") {
     import graft.TestSpark.spark.implicits._
     val df = Seq(("a", "x")).toDF("g", "v")
