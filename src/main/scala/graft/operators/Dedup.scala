@@ -137,13 +137,20 @@ object Dedup {
     * run — the usual iterative-algorithm caveat). Deterministic: the
     * label is min(reachable ids), independent of iteration order.
     *
-    * `checkpointEvery > 0` additionally `localCheckpoint`s the label
-    * frame every N rounds, truncating the logical lineage: after k
-    * rounds the plan is otherwise k joins deep, and a replay after
-    * cached-block loss costs O(rounds-run); with checkpointing the
-    * replay window is O(checkpointEvery). The standard guard for 20+
-    * round runs (deep chains); off by default because it pins the
-    * checkpointed blocks for the run's lifetime.
+    * `checkpointEvery > 0` additionally checkpoints the label frame
+    * every N rounds, truncating the logical lineage: after k rounds the
+    * plan is otherwise k joins deep and a replay after cached-block
+    * loss costs O(rounds-run); with checkpointing the replay window is
+    * O(checkpointEvery). When the SparkContext has a checkpoint dir set
+    * (`sc.setCheckpointDir` — do this on a cluster) the checkpoint is
+    * RELIABLE: written to that filesystem and immune to executor loss.
+    * Without one it falls back to `localCheckpoint`, whose blocks live
+    * in executor storage — lineage is truncated, so losing an executor
+    * mid-run FAILS the job (it cannot recompute a truncated leaf)
+    * rather than slowly replaying; acceptable for single-JVM/local use,
+    * wrong for long multi-executor runs, hence the dir-based upgrade.
+    * Off by default because checkpointed blocks/files are pinned for
+    * the run's lifetime.
     *
     * Contract: throws IllegalStateException if maxIter rounds don't reach
     * the fixpoint (silently returning split components would corrupt
@@ -198,14 +205,17 @@ object Dedup {
           .select(col("id"), col("comp2").as("comp")))
       val nextBase = withJump.groupBy("id")
         .agg(min(col("comp")).as("comp"))
-      // localCheckpoint(eager) both materializes AND truncates lineage —
-      // the round's labels become a leaf RDD, so later rounds (and any
-      // replay) never re-walk the join chain behind it. persist() alone
-      // keeps the full logical plan.
+      // eager checkpoint both materializes AND truncates lineage — the
+      // round's labels become a leaf, so later rounds (and any replay)
+      // never re-walk the join chain behind it. persist() alone keeps
+      // the full logical plan. Reliable (dir-backed) when available;
+      // executor-local otherwise — see the contract note above.
       val next =
-        if (checkpointEvery > 0 && (iter + 1) % checkpointEvery == 0)
-          nextBase.localCheckpoint(true)
-        else nextBase.persist(StorageLevel.MEMORY_AND_DISK)
+        if (checkpointEvery > 0 && (iter + 1) % checkpointEvery == 0) {
+          if (nextBase.sparkSession.sparkContext.getCheckpointDir.isDefined)
+            nextBase.checkpoint(true)
+          else nextBase.localCheckpoint(true)
+        } else nextBase.persist(StorageLevel.MEMORY_AND_DISK)
       val curSum = labelSum(next)
       labels.unpersist()
       labels = next
@@ -344,9 +354,19 @@ object Dedup {
     */
   def minhashPairsAgainst(newSigs: DataFrame, refSigs: DataFrame,
                           numHashes: Int, bands: Int,
-                          minEstJaccard: Double): DataFrame =
-    minhashPairsAgainstBanded(newSigs, lshBands(refSigs, numHashes, bands),
-      refSigs, numHashes, bands, minEstJaccard)
+                          minEstJaccard: Double): DataFrame = {
+    val bn = lshBands(newSigs, numHashes, bands)
+    val br = lshBands(refSigs, numHashes, bands)
+    // both band columns in the key: collisions stay within a band
+    // (expected spurious candidates ~ N_ref·N_new·bands/2^32, not ·bands²)
+    val cands = br.as("a").join(bn.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyCandidatePairs(cands, newSigs, refSigs, minEstJaccard)
+  }
 
   /** [[minhashPairsAgainst]] where the reference side is a PRE-BANDED
     * store: `refBanded` is (doc_id, band_idx, band_hash) — the read-back
@@ -357,14 +377,17 @@ object Dedup {
     * `refSigs` supplies the signature arrays for verification and is
     * only joined for the (rare) candidates.
     *
-    * The join key is band_hash ALONE: [[lshBands]] seeds each band's
-    * hash with its band index, so band identity is already encoded in
-    * the hash, and a single-column key is what lets the store's bucket
-    * partitioning satisfy the join's clustering outright (Spark requires
-    * ALL join keys as partition keys to skip the shuffle —
-    * spark.sql.requireAllClusterKeysForCoPartition). A cross-band 32-bit
-    * hash collision can only ADD a candidate, and every candidate is
-    * verified against the full signatures by the est_jaccard filter.
+    * The join key here is band_hash ALONE — the price of the bucket
+    * co-partitioning: Spark skips the store-side shuffle only when ALL
+    * join keys are bucket keys (spark.sql.requireAllClusterKeysForCoPartition),
+    * and the store is bucketed by the one column. [[lshBands]] seeds each
+    * band's hash with its band index, so band identity is still encoded
+    * in the hash; the cost is cross-band 32-bit collisions inflating the
+    * candidate set ~bands× relative to the two-key join (still
+    * ~N_ref·N_new·bands²/2^32 — negligible until corpus×increment
+    * approaches 2^32/bands², and every candidate is verified against the
+    * full signatures). [[minhashPairsAgainst]] keeps the tighter two-key
+    * join since it gains nothing from a single-column key.
     */
   def minhashPairsAgainstBanded(newSigs: DataFrame, refBanded: DataFrame,
                                 refSigs: DataFrame, numHashes: Int, bands: Int,
@@ -375,6 +398,16 @@ object Dedup {
         col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    verifyCandidatePairs(cands, newSigs, refSigs, minEstJaccard)
+  }
+
+  /** Shared verification tail of the cross-corpus pair generators: fetch
+    * both signatures for each candidate and keep pairs whose agreeing
+    * fraction clears `minEstJaccard`.
+    */
+  private def verifyCandidatePairs(cands: DataFrame, newSigs: DataFrame,
+                                   refSigs: DataFrame,
+                                   minEstJaccard: Double): DataFrame =
     cands
       .join(refSigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(newSigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -383,7 +416,6 @@ object Dedup {
           .cast("double") / size(col("sig_a")).cast("double"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("id_a", "id_b", "est_jaccard")
-  }
 
   // --- SimHash ---------------------------------------------------------
 

@@ -43,13 +43,21 @@ object RangeJoin {
     * both sides are large; the cell equi-join then shuffles both.
     *
     * `saltBuckets > 1` handles the HOT-CELL case (everything in one
-    * hour): the point side's join key gains a content-independent salt
-    * in [0, saltBuckets) and each interval cell is replicated once per
-    * salt, so a dominant cell's rows spread over `saltBuckets` reducers
-    * instead of one. Costs saltBuckets× extra interval replicas — cheap
-    * when intervals are the small side, which is exactly the hot-cell
-    * scenario. Result multiplicity is unchanged (each point joins the
-    * single replica carrying its salt).
+    * hour): the point side's join key gains a salt in [0, saltBuckets)
+    * and each interval cell is replicated once per salt, so a dominant
+    * cell's rows spread over `saltBuckets` reducers instead of one.
+    * Costs saltBuckets× extra interval replicas — cheap when intervals
+    * are the small side, which is exactly the hot-cell scenario. Result
+    * multiplicity is unchanged (each point joins the single replica
+    * carrying its salt).
+    *
+    * The salt is a DETERMINISTIC hash of the point row's columns — a
+    * nondeterministic spread (row id, rand) used as a shuffle-join key
+    * can move a row between salt buckets when a lost map partition is
+    * recomputed, duplicating or dropping it from the join. The
+    * trade-off: fully identical duplicate point rows share a bucket and
+    * don't spread — dedup them first (they produce identical output
+    * rows anyway); distinct rows in a hot hour spread fine.
     */
   def rangeJoin(left: DataFrame, tsCol: String,
                 right: DataFrame, startCol: String, endCol: String,
@@ -67,11 +75,10 @@ object RangeJoin {
       s"$salt is reserved by rangeJoin; rename the input column")
     val lCell = left.withColumn(cell,
       floor(col(tsCol).cast("long") / granuleSeconds))
-    // content-independent spread (see Skew.saltedJoin): hashing row
-    // content would send identical hot rows to ONE salt bucket
     val l = (if (saltBuckets > 1)
       lCell.withColumn(salt,
-        pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)).cast("int"))
+        pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*),
+          lit(saltBuckets)).cast("int"))
     else lCell).alias("l")
     // cover through floor(end/g): second-truncation of a fractional end
     // must not drop the last cell a point could truncate into. Cells are
