@@ -85,16 +85,31 @@ object CorpusPipeline {
     * note as the pair operators: blocks live until session cache cleanup).
     */
   def curateIncrement(newDocs: DataFrame, refSigs: DataFrame,
-                      cfg: Config = Config()): (DataFrame, DataFrame) =
+                      cfg: Config = Config()): (DataFrame, DataFrame) = {
+    val (curated, keptSigs, _) = curateIncrementManaged(newDocs, refSigs, cfg)
+    (curated, keptSigs)
+  }
+
+  /** [[curateIncrement]] plus handles to the funnel's persisted
+    * intermediates, for callers that own a long-lived session (e.g. the
+    * streaming loop) and must free them after materializing both
+    * results: `Dataset.unpersist` drops the cached blocks AND the
+    * cache-manager plan entry, which an RDD-level unpersist would leak —
+    * one leaked entry per persist per batch, scanned by every
+    * subsequent query's cache lookup.
+    */
+  def curateIncrementManaged(newDocs: DataFrame, refSigs: DataFrame,
+                             cfg: Config = Config()): (DataFrame, DataFrame, Seq[DataFrame]) =
     curateAgainst(newDocs, cfg)(sigs =>
       Dedup.minhashPairsAgainst(sigs, refSigs,
         cfg.numHashes, cfg.bands, cfg.minEstJaccard))
 
   /** The shared incremental funnel: gate → self-dedup → signatures →
     * cross-pairs (strategy supplied by the caller) → prune → enrich.
+    * Returns (curated, keptSigs, persisted intermediates).
     */
   private def curateAgainst(newDocs: DataFrame, cfg: Config)(
-      crossPairsOf: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+      crossPairsOf: DataFrame => DataFrame): (DataFrame, DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
     val gated = qualityGate(annotate(newDocs), cfg)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -107,9 +122,13 @@ object CorpusPipeline {
     val sigs = Dedup.minhashSignatures(selfClean, col("doc_id"), col("text"),
         cfg.numHashes, cfg.shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // clean is consumed TWICE (enrich -> curated, and the keptSigs
+    // semi-join); persisting it keeps the expensive cross-corpus band
+    // join from running once per consumer
     val clean = Dedup.applyPairDedup(selfClean, col("doc_id"), crossPairsOf(sigs))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val keptSigs = sigs.join(clean.select("doc_id"), Seq("doc_id"), "left_semi")
-    (enrich(clean, cfg), keptSigs)
+    (enrich(clean, cfg), keptSigs, Seq(gated, selfClean, sigs, clean))
   }
 
   /** Stage a day's kept signatures as the accumulated signature STORE —
@@ -127,15 +146,45 @@ object CorpusPipeline {
     *
     * Append mode accumulates days; Spark appends to a bucketed table
     * with the same bucket spec without reshuffling existing data.
+    *
+    * The two writes are NOT one transaction. The raw table is written
+    * FIRST because it is the source of truth — the banded table is an
+    * INDEX derived from it. A crash in between leaves the index stale
+    * (missing doc_ids generate no candidates, so their duplicates would
+    * be silently admitted): run [[verifySignatureStore]] after a failed
+    * load, and [[repairSignatureStore]] to rebuild the index from the
+    * raw table.
     */
   def writeSignatureStore(sigs: DataFrame, table: String, cfg: Config,
                           buckets: Int,
                           mode: SaveMode = SaveMode.Append): Unit = {
+    sigs.write.mode(mode).format("parquet").saveAsTable(table)
     ParquetSink.writeBucketed(
       Dedup.lshBands(sigs, cfg.numHashes, cfg.bands),
       s"${table}_banded", "band_hash", buckets, mode)
-    sigs.write.mode(mode).format("parquet").saveAsTable(table)
   }
+
+  /** Reconcile the banded index with its raw signature table: true iff
+    * they cover exactly the same doc_ids (two anti-join counts — cheap
+    * next to a band join). False means a [[writeSignatureStore]] run
+    * died between its two writes; repair before the next increment.
+    */
+  def verifySignatureStore(spark: org.apache.spark.sql.SparkSession,
+                           table: String): Boolean = {
+    val raw = spark.table(table).select("doc_id").distinct()
+    val idx = spark.table(s"${table}_banded").select("doc_id").distinct()
+    raw.join(idx, Seq("doc_id"), "left_anti").isEmpty &&
+      idx.join(raw, Seq("doc_id"), "left_anti").isEmpty
+  }
+
+  /** Rebuild the banded index from the raw signature table — the
+    * recovery path for a partial [[writeSignatureStore]].
+    */
+  def repairSignatureStore(spark: org.apache.spark.sql.SparkSession,
+                           table: String, cfg: Config, buckets: Int): Unit =
+    ParquetSink.writeBucketed(
+      Dedup.lshBands(spark.table(table), cfg.numHashes, cfg.bands),
+      s"${table}_banded", "band_hash", buckets, SaveMode.Overwrite)
 
   /** [[curateIncrement]] against the staged signature store written by
     * [[writeSignatureStore]]: same funnel, but the cross-increment band
@@ -147,9 +196,10 @@ object CorpusPipeline {
   def curateIncrementFromStore(newDocs: DataFrame, table: String,
                                cfg: Config = Config()): (DataFrame, DataFrame) = {
     val spark = newDocs.sparkSession
-    curateAgainst(newDocs, cfg)(sigs =>
+    val (curated, keptSigs, _) = curateAgainst(newDocs, cfg)(sigs =>
       Dedup.minhashPairsAgainstBanded(sigs, spark.table(s"${table}_banded"),
         spark.table(table), cfg.numHashes, cfg.bands, cfg.minEstJaccard))
+    (curated, keptSigs)
   }
 
   /** Full run, staged to parquet; returns per-stage row counts. */

@@ -109,9 +109,17 @@ object Streams {
     *
     * Same effectively-once model as [[dualSinkStream]]: a failing batch
     * fails the query (foreachBatch exceptions propagate), so the
-    * checkpoint cannot advance past dropped rows; a replayed batch
-    * re-appends, and its docs would then self-dedup against their own
-    * first append's signatures.
+    * checkpoint cannot advance past dropped rows. Replay semantics are
+    * append-mode: a batch that crashed AFTER both appends re-appends
+    * nothing new on replay (its docs now match their own stored
+    * signatures and are dropped — the first append stands); a batch
+    * that crashed BETWEEN the curated append and the signature append
+    * re-appends its curated rows (duplicates in `curatedPath`).
+    * Signatures are deliberately appended last — the other order would
+    * make a replayed batch's docs match their own signatures and never
+    * land in `curatedPath` at all (data loss beats duplication is the
+    * wrong trade). Downstream consumers wanting exactly-once should
+    * exact-dedup on doc_id, which is one hash aggregate.
     */
   def incrementalDedupStream(docs: DataFrame, sigStorePath: String,
                              curatedPath: String, checkpointDir: String,
@@ -121,10 +129,8 @@ object Streams {
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val sc = spark.sparkContext
-        val cachedBefore = sc.getPersistentRDDs.keySet
         val hPath = new org.apache.hadoop.fs.Path(sigStorePath)
-        val fs = hPath.getFileSystem(sc.hadoopConfiguration)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // empty-store bootstrap: derive the signature schema from an
         // empty slice of the batch instead of hand-declaring it
         val refSigs =
@@ -133,22 +139,26 @@ object Streams {
             spark.read.parquet(sigStorePath)
           else graft.operators.Dedup.minhashSignatures(batch.toDF().limit(0),
             col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
-        val (curated, keptSigs) =
-          graft.pipelines.CorpusPipeline.curateIncrement(batch.toDF(), refSigs, cfg)
-        graft.sinks.ParquetSink.write(curated, curatedPath,
-          org.apache.spark.sql.SaveMode.Append)
-        // signatures append AFTER the curated write, to the same path
-        // refSigs reads: refSigs snapshotted its file listing above, so
-        // the new files don't feed back into this batch's own dedup
-        graft.sinks.ParquetSink.write(keptSigs, sigStorePath,
-          org.apache.spark.sql.SaveMode.Append)
-        // free ONLY this batch's persisted intermediates (the funnel
-        // persists at its fan-outs; a long-running stream would
-        // accumulate cached blocks per batch forever otherwise) —
-        // other caches in the session are left alone
-        sc.getPersistentRDDs
-          .filterNot(kv => cachedBefore.contains(kv._1))
-          .values.foreach(_.unpersist(blocking = false))
+        val (curated, keptSigs, persisted) =
+          graft.pipelines.CorpusPipeline.curateIncrementManaged(
+            batch.toDF(), refSigs, cfg)
+        try {
+          graft.sinks.ParquetSink.write(curated, curatedPath,
+            org.apache.spark.sql.SaveMode.Append)
+          // signatures append AFTER the curated write, to the same path
+          // refSigs reads: refSigs snapshotted its file listing above, so
+          // the new files don't feed back into this batch's own dedup —
+          // and see the replay-semantics note for why this order
+          graft.sinks.ParquetSink.write(keptSigs, sigStorePath,
+            org.apache.spark.sql.SaveMode.Append)
+        } finally {
+          // free this batch's persisted intermediates via the DATASET
+          // handles: unlike an RDD-level unpersist this also removes the
+          // cache-manager plan entries, which would otherwise accumulate
+          // per batch for the stream's lifetime and slow every cache
+          // lookup
+          persisted.foreach(_.unpersist(blocking = false))
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

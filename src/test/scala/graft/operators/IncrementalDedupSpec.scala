@@ -84,6 +84,35 @@ class IncrementalDedupSpec extends SparkTestBase {
     }
   }
 
+  test("signature store reconcile detects a partial write; repair rebuilds the index") {
+    val table = "inc_sig_repair"
+    val refSigs = Dedup.minhashSignatures(refDocs, col("doc_id"), col("text"),
+      cfg.numHashes, cfg.shingleSize)
+    CorpusPipeline.writeSignatureStore(refSigs, table, cfg, buckets = 4,
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    try {
+      assert(CorpusPipeline.verifySignatureStore(spark, table))
+      // simulate a crash between writeSignatureStore's two writes: a
+      // day lands in the raw table but never reaches the banded index
+      val day2 = Dedup.minhashSignatures(
+        Seq((30L, novel)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
+      day2.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(table)
+      assert(!CorpusPipeline.verifySignatureStore(spark, table))
+      CorpusPipeline.repairSignatureStore(spark, table, cfg, buckets = 4)
+      assert(CorpusPipeline.verifySignatureStore(spark, table))
+      // the repaired index actually serves candidates for the day that
+      // had been missing from it
+      val (curated, _) = CorpusPipeline.curateIncrementFromStore(
+        Seq((40L, novel)).toDF("doc_id", "text"), table, cfg)
+      assert(curated.isEmpty)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_banded")
+    }
+  }
+
   test("curateIncrement with an empty reference keeps the whole (self-deduped) increment") {
     val increment = Seq((10L, refText1), (11L, novel)).toDF("doc_id", "text")
     val emptyRef = Dedup.minhashSignatures(
