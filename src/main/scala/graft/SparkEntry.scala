@@ -47,6 +47,30 @@ object SparkEntry {
   private def dec6(c: Column): Column = c.cast("decimal(24,6)")
   private def ntz(c: Column): Column = c.cast("timestamp_ntz")
 
+  /** Macro-averaged recall of an approximate top-k against the exact
+    * brute-force top-k, with the floor ENFORCED in-query: assert_true
+    * throws at every harness run if recall drops below `floor`, so ANN
+    * quality is a hard gate, not a spec-only observation (AnnRecallSpec
+    * keeps the parameter-sensitivity coverage). One summary row:
+    * (n_queries, macro_recall, recall_floor).
+    */
+  private def recallGate(exact: DataFrame, approx: DataFrame,
+                         floor: Double, what: String): DataFrame = {
+    val truth = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = truth
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        avg(coalesce(col("n_hit"), lit(0L)) / col("n_exact")).as("macro_recall"))
+      .withColumn("recall_floor", lit(floor))
+      .where(assert_true(col("macro_recall") >= col("recall_floor"),
+        concat(lit(s"$what recall below floor $floor: "),
+          col("macro_recall"))).isNull)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- aggregation / join / window core (Catalyst surface) ----------
     "q1_pricing_summary" -> ((s, dir) => {
@@ -142,26 +166,46 @@ object SparkEntry {
     "q_distinct_approx" -> ((s, dir) => {
       // HLL++ sketch twin of q_distinct_agg: constant memory per group
       // where exact countDistinct expands each group by its distinct
-      // count. Rows-only (sketch estimates are engine-specific); the
-      // cross-engine guarantee is the tolerance assertion vs the exact
-      // twin in PlanAuditSpec.
+      // count. Rows-only (sketch estimates are engine-specific) but
+      // SELF-ASSERTING: the exact twin is computed in the same agg and
+      // assert_true throws on >5% relative drift (PlanAuditSpec's
+      // tolerance), so the driver's rows-only check fails loudly if the
+      // sketch ever drifts instead of silently passing. The exact
+      // columns are projected away after the assertion — output schema
+      // is unchanged from the pure-sketch version.
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01).as("n_parts"),
           approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("n_supps"),
+          countDistinct(col("l_partkey")).as("__x_parts"),
+          countDistinct(col("l_suppkey")).as("__x_supps"),
           count(lit(1)).as("n_rows"))
+        .where(assert_true(
+          abs(col("n_parts") - col("__x_parts")) <= col("__x_parts") * 0.05 &&
+          abs(col("n_supps") - col("__x_supps")) <= col("__x_supps") * 0.05,
+          concat(lit("approx_count_distinct drifted >5% from exact for "),
+            col("l_returnflag"))).isNull)
+        .select(col("l_returnflag"), col("n_parts"), col("n_supps"), col("n_rows"))
     }),
     "vocabulary_topk" -> ((s, dir) => {
       // approx_top_k heavy hitters over the token stream: one mergeable
       // sketch instead of vocabulary's full groupBy+filter — the shape
       // for "top 1000 tokens of a 100-TB corpus" where the full
       // vocabulary agg would shuffle billions of (token, count) groups.
-      // Rows-only; tolerance vs the exact count in PlanAuditSpec.
+      // Oracle-checkable: the sketch is EXACT whenever the vocabulary
+      // fits maxItemsTracked (space-saving sketches admit no evictions
+      // below capacity), so asking it for more than k and re-ranking
+      // with a deterministic tie-break (count DESC, token ASC — mirrored
+      // in the DuckDB oracle's ORDER BY) yields the exact top-k
+      // including boundary ties. Above capacity the same plan degrades
+      // gracefully to approximate heavy hitters.
       t(s, dir, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("token"))
-        .agg(expr("approx_top_k(token, 10, 10000)").as("top"))
+        .agg(expr("approx_top_k(token, 100, 10000)").as("top"))
         .select(explode(col("top")).as("e"))
         .select(col("e.item").as("token"), col("e.count").as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("token").asc)
+        .limit(10)
     }),
     "q_intersect_custs" -> ((s, dir) => {
       t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -179,13 +223,29 @@ object SparkEntry {
       // The scale path: approx_percentile (KLL-style mergeable sketch,
       // bounded memory per group) where exact `percentile` buffers every
       // value of a group on one executor — OOM territory for a hot group
-      // at 100x (SCALE.md). Rows-only entry: the sketch is
-      // engine-specific, so there is no DuckDB-bitexact oracle; the
-      // guarantee is the tolerance-vs-exact assertion in PlanAuditSpec.
+      // at 100x (SCALE.md). Rows-only entry (the sketch is
+      // engine-specific, so there is no DuckDB-bitexact oracle) but
+      // SELF-ASSERTING: the exact percentiles ride the same agg and
+      // assert_true throws on >2% relative drift (PlanAuditSpec's
+      // tolerance), then get projected away — the driver's rows-only
+      // check fails loudly if the sketch drifts. Output schema unchanged.
+      def ok(a: String, e: String) =
+        abs(col(a) - col(e)) <= abs(col(e)) * 0.02
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("median_price"),
           expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95_price"),
-          expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"))
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"),
+          expr("percentile(l_extendedprice, 0.5)").as("__x_median_price"),
+          expr("percentile(l_extendedprice, 0.95)").as("__x_p95_price"),
+          expr("percentile(l_quantity, 0.5)").as("__x_median_qty"))
+        .where(assert_true(
+          ok("median_price", "__x_median_price") &&
+          ok("p95_price", "__x_p95_price") &&
+          ok("median_qty", "__x_median_qty"),
+          concat(lit("approx_percentile drifted >2% from exact for "),
+            col("l_returnflag"))).isNull)
+        .select(col("l_returnflag"), col("median_price"), col("p95_price"),
+          col("median_qty"))
     }),
     "q_sql_correlated" -> ((s, dir) => {
       // SQL frontend + correlated scalar subquery (Catalyst decorrelates
@@ -655,11 +715,17 @@ object SparkEntry {
         queries, col("vec_id"), col("embedding"), k = 10)
     }),
     "ann_topk" -> ((s, dir) => { // SRP-plane based: rows-only check
+      // bits=4/probes=4 is AnnRecallSpec's operating point: random
+      // 64-dim embeddings are the adversarial LSH case (neighbors
+      // near-orthogonal), so coarse buckets are needed for recall —
+      // measured 0.44-0.45 macro-recall at sf0.01/sf0.1 vs 0.07 at
+      // bits=8. The ann_topk_recall gate enforces the 0.3 floor at this
+      // exact operating point every harness run.
       val embs = t(s, dir, "embeddings")
       val queries = embs.filter(col("vec_id") % 50 === 0)
       Similarity.srpBucketTopK(embs, col("vec_id"), col("embedding"),
         queries, col("vec_id"), col("embedding"), k = 10, dim = 64,
-        bits = 8, probes = 4)
+        bits = 4, probes = 4)
     }),
     "label_centroids" -> ((s, dir) => {
       // Group centroids via the element-wise vector-sum aggregate with
@@ -693,16 +759,55 @@ object SparkEntry {
       Ivf.topK(model, assigned, queries, col("vec_id"), col("embedding"),
         k = 10, nprobe = 4)
     }),
+    "ann_topk_recall" -> ((s, dir) => {
+      // Recall gate for ann_topk's exact operating point (bits=4,
+      // probes=4): macro-averaged recall vs the in-query brute-force
+      // top-10, assert_true'd against the floor — harness runs fail
+      // loudly if a refactor degrades ANN quality. Random 64-dim
+      // embeddings are the adversarial LSH case (AnnRecallSpec), hence
+      // the loose floor (measured 0.44-0.45 at sf0.01/sf0.1).
+      val embs = t(s, dir, "embeddings")
+      val queries = embs.filter(col("vec_id") % 50 === 0)
+      recallGate(
+        Similarity.bruteForceTopK(embs, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"), k = 10),
+        Similarity.srpBucketTopK(embs, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"), k = 10, dim = 64,
+          bits = 4, probes = 4),
+        floor = 0.3, what = "SRP ANN")
+    }),
+    "ivf_topk_recall" -> ((s, dir) => {
+      // Same gate for ivf_topk's operating point (nlist=16, nprobe=4,
+      // sampled fit).
+      import graft.operators.Ivf
+      val embs = t(s, dir, "embeddings")
+      val queries = embs.filter(col("vec_id") % 50 === 0)
+      val model = Ivf.fit(embs, col("embedding"), nlist = 16,
+        sampleFraction = 0.25)
+      val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
+      recallGate(
+        Similarity.bruteForceTopK(embs, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"), k = 10),
+        Ivf.topK(model, assigned, queries, col("vec_id"), col("embedding"),
+          k = 10, nprobe = 4),
+        floor = 0.3, what = "IVF ANN")
+    }),
     "embed_near_dup_exact" -> ((s, dir) => {
       // bits = 0 -> single bucket = verified all-pairs (exact; small SF only).
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), col("vec_id"),
         col("embedding"), minCosine = 0.5, dim = 64, bits = 0, bands = 1)
     }),
-    "embed_near_dup_srp" -> ((s, dir) => { // SRP LSH-OR based: rows-only
+    "embed_near_dup_srp" -> ((s, dir) => { // SRP LSH-OR based
       // Operating point matched to the threshold: at cos>=0.5 (theta/pi
       // ~ 1/3) a band matches with p = (2/3)^bits, so 4 bits x 16 bands
       // gives ~97% recall. A true near-dup threshold (cos>=0.9) would use
       // more bits / fewer bands — see DedupSpec's recall test.
+      // Oracle-checked against the SAME exact-cosine DuckDB oracle as
+      // embed_near_dup_exact: candidates are verified with the exact
+      // cosine kernel, so every emitted pair carries the exact score,
+      // and at this operating point the LSH recovers the full exact pair
+      // set (DedupSpec recall test) — identical output, a fraction of
+      // the comparisons.
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), col("vec_id"),
         col("embedding"), minCosine = 0.5, dim = 64, bits = 4, bands = 16)
     }),
@@ -715,6 +820,21 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
         col("source"), col("doc_id"),
         TextFunctions.tokenCount(col("text")), budget = 512L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("pack_id"), col("pack_offset"))
+    }),
+    "corpus_pack_chunked" -> ((s, dir) => {
+      // The two-level scan variant (chunkSize > 0): same assignments as
+      // corpus_pack byte-for-byte (exact long arithmetic both paths),
+      // held to the SAME DuckDB oracle — but the giant-group prefix sum
+      // parallelizes over (group, chunk) instead of serializing per
+      // group. The shape for a 100-TB corpus with a handful of sources.
+      import graft.operators.Packing
+      Packing.packAssignments(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+        col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")), budget = 512L,
+        chunkSize = 64L)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("pack_id"), col("pack_offset"))
     }),
@@ -1083,6 +1203,19 @@ object SparkEntry {
         | CAST(FLOOR(CAST(cum AS DOUBLE) / 512.0) AS BIGINT) AS pack_id,
         | cum % 512 AS pack_offset
         |FROM c""".stripMargin,
+    // the two-level scan must reproduce the single-window assignments
+    // bit-for-bit, so it is held to the IDENTICAL oracle
+    "corpus_pack_chunked" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS cum FROM t)
+        |SELECT doc_id, source, n_tokens,
+        | CAST(FLOOR(CAST(cum AS DOUBLE) / 512.0) AS BIGINT) AS pack_id,
+        | cum % 512 AS pack_offset
+        |FROM c""".stripMargin,
     "corpus_split" ->
       """SELECT doc_id,
         | CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4)
@@ -1229,6 +1362,15 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |      FROM documents)
         |GROUP BY token HAVING COUNT(*) >= 5""".stripMargin,
+    // deterministic tie-break (count DESC, token ASC) mirrors the Spark
+    // query's re-rank of the approx_top_k sketch output — exact while
+    // the vocabulary fits the sketch's maxItemsTracked
+    "vocabulary_topk" ->
+      """SELECT token, COUNT(*) AS n_occurrences
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY n_occurrences DESC, token ASC
+        |LIMIT 10""".stripMargin,
     "cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id % 50 = 0),
@@ -1242,6 +1384,17 @@ object SparkEntry {
         |   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
     "embed_near_dup_exact" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | list_inner_product(a.e, b.e) /
+        |  (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.e, b.e) /
+        |  (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.5""".stripMargin,
+    // The SRP LSH path verifies its candidates with the exact cosine
+    // kernel and recovers the full exact pair set at its operating point
+    // (DedupSpec recall test), so it is held to the SAME exact oracle.
+    "embed_near_dup_srp" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | list_inner_product(a.e, b.e) /

@@ -24,9 +24,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale: one exchange (hash on `group`) + an in-partition sort for the
   * running sum — the same shape as any per-key cumulative window. Groups
-  * are the parallelism unit; a single giant group serializes its prefix
-  * sum (the standard two-level refinement: chunk the group, window
-  * within chunks, broadcast per-chunk totals as offsets).
+  * are the parallelism unit; a single giant group would serialize its
+  * prefix sum, so `chunkSize > 0` switches to the two-level scan:
+  * chunk the group by floor(order / chunkSize) (order-monotone, hence
+  * chunks are contiguous runs of the stream), window WITHIN each
+  * (group, chunk) in parallel, and broadcast the per-chunk exclusive
+  * totals back as offsets. All sums are exact long arithmetic, so the
+  * two paths produce byte-identical assignments; the per-chunk-totals
+  * side is one row per chunk — broadcast-sized even for a trillion-row
+  * group at chunkSize 10M.
   */
 object Packing {
 
@@ -34,17 +40,56 @@ object Packing {
     * `tokens` must be a non-negative integral column (token count per
     * document); `order` must be unique within a group for the assignment
     * to be well-defined.
+    *
+    * `chunkSize = 0` (default) runs the single window per group;
+    * `chunkSize > 0` runs the two-level scan above — use it when one
+    * group dominates the corpus. Chunking requires a numeric `order`
+    * (chunk = floor(order / chunkSize)); a non-numeric order casts to
+    * null and degrades to one chunk per group — correct, but with the
+    * unchunked path's parallelism.
     */
   def packAssignments(df: DataFrame, group: Column, order: Column,
-                      tokens: Column, budget: Long): DataFrame = {
+                      tokens: Column, budget: Long,
+                      chunkSize: Long = 0L): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val w = Window.partitionBy(group).orderBy(order)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // exclusive prefix sum: tokens of all earlier docs in the group
-    val cum = (sum(tokens.cast("long")).over(w) - tokens.cast("long"))
-      .as("__pack_cum")
-    df.withColumn("__pack_cum", cum)
-      .withColumn("n_tokens", tokens.cast("long"))
+    val toks = tokens.cast("long")
+    val cum: DataFrame =
+      if (chunkSize <= 0L) {
+        val w = Window.partitionBy(group).orderBy(order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // exclusive prefix sum: tokens of all earlier docs in the group
+        df.withColumn("__pack_cum", sum(toks).over(w) - toks)
+      } else {
+        // Two-level scan. floor(double) division is exact below 2^53
+        // and monotone in `order`, so chunk c's rows all precede chunk
+        // c+1's in the group stream — a per-chunk local prefix plus the
+        // exclusive sum of earlier chunks' totals IS the group prefix.
+        val base = df
+          .withColumn("__pack_grp", group)
+          .withColumn("__pack_chunk",
+            floor(order.cast("double") / lit(chunkSize.toDouble)))
+        val wLocal = Window
+          .partitionBy(col("__pack_grp"), col("__pack_chunk"))
+          .orderBy(order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = base.withColumn("__pack_local", sum(toks).over(wLocal) - toks)
+        // one row per (group, chunk): the cumulative-offset window here
+        // runs over chunk COUNTS, not row counts — trivially small
+        val wOff = Window.partitionBy(col("__pack_grp"))
+          .orderBy(col("__pack_chunk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = base
+          .groupBy(col("__pack_grp"), col("__pack_chunk"))
+          .agg(sum(toks).as("__pack_ctot"))
+          .withColumn("__pack_off",
+            sum(col("__pack_ctot")).over(wOff) - col("__pack_ctot"))
+          .select(col("__pack_grp"), col("__pack_chunk"), col("__pack_off"))
+        local.join(broadcast(offsets), Seq("__pack_grp", "__pack_chunk"))
+          .withColumn("__pack_cum", col("__pack_off") + col("__pack_local"))
+          .drop("__pack_grp", "__pack_chunk", "__pack_local", "__pack_off")
+      }
+    cum
+      .withColumn("n_tokens", toks)
       // floor(double) division: exact below 2^53 tokens per group and
       // byte-identical across engines (integer division truncation rules
       // differ for signed types; these are non-negative but explicit

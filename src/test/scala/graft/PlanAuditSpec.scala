@@ -225,6 +225,27 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("approx twins and ANN recall gates are SELF-asserting in-plan") {
+    // round 7: the tolerance/recall guarantees moved from spec-only
+    // observations into the registered queries themselves (assert_true,
+    // rendered as raise_error after RuntimeReplaceable rewrite). Pin
+    // that the assert survives optimization so a refactor can't
+    // silently drop the gate while the rows-only check keeps passing.
+    for (name <- Seq("q_distinct_approx", "q_percentiles_approx",
+        "ann_topk_recall", "ivf_topk_recall")) {
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("raise_error"), s"$name lost its in-query assert")
+    }
+    // and the gates actually pass on harness data (recall above floor,
+    // sketches within tolerance) — a breach would throw here
+    for (name <- Seq("ann_topk_recall", "ivf_topk_recall")) {
+      val r = graft.SparkEntry.queries(name)(spark, dir).collect()
+      assert(r.length == 1)
+      assert(r(0).getDouble(1) >= r(0).getDouble(2))
+    }
+  }
+
   test("approx percentiles track the exact ones (the sketch scale path)") {
     def byFlag(name: String): Map[String, Seq[Double]] =
       graft.SparkEntry.queries(name)(spark, dir).collect()

@@ -43,4 +43,48 @@ class PackingSpec extends SparkTestBase {
       Packing.packAssignments(docs, col("src"), col("doc_id"), col("n"), 0L)
     }
   }
+
+  test("two-level packing: single giant group, chunked == unchunked byte-for-byte") {
+    // one group of 1000 docs (the serialization case the refinement
+    // exists for), sparse non-contiguous ids, varied token counts —
+    // including chunk-boundary-straddling budgets
+    val docs = (0 until 1000)
+      .map(i => ("g", i.toLong * 3 + 7, i % 17 + 1))
+      .toDF("src", "doc_id", "n")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("src", "doc_id", "n_tokens", "pack_id", "pack_offset")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val plain = canon(Packing.packAssignments(docs, col("src"),
+      col("doc_id"), col("n"), budget = 512L))
+    val chunked = Packing.packAssignments(docs, col("src"),
+      col("doc_id"), col("n"), budget = 512L, chunkSize = 100L)
+    assert(canon(chunked) == plain)
+    assert(chunked.columns.toSeq ==
+      Seq("src", "doc_id", "n", "n_tokens", "pack_id", "pack_offset"))
+    // the heavy stage parallelizes: the local-prefix window partitions
+    // by (group, chunk), not group alone — with one group and ~30
+    // chunks the sort shuffle spreads over >1 partition
+    val plan = chunked.queryExecution.executedPlan.toString
+    assert(plan.contains("__pack_chunk"), plan)
+    val npart = chunked
+      .withColumn("pid", spark_partition_id())
+      .select("pid").distinct().count()
+    assert(npart > 1, s"expected the chunked path to use >1 partition, got $npart")
+  }
+
+  test("two-level packing: multiple groups and uneven chunk fill") {
+    val docs = Seq(
+      ("g", 1L, 6), ("g", 2L, 3), ("g", 3L, 4),
+      ("h", 9L, 5), ("h", 11L, 2)
+    ).toDF("src", "doc_id", "n")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("src", "doc_id", "pack_id", "pack_offset")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // chunkSize 2: docs 1 and 11 share no chunk with their group peers
+    val chunked = canon(Packing.packAssignments(docs, col("src"),
+      col("doc_id"), col("n"), budget = 8L, chunkSize = 2L))
+    assert(chunked == Set(
+      ("g", 1L, 0L, 0L), ("g", 2L, 0L, 6L), ("g", 3L, 1L, 1L),
+      ("h", 9L, 0L, 0L), ("h", 11L, 0L, 5L)))
+  }
 }
