@@ -167,19 +167,26 @@ object SparkEntry {
       // HLL++ sketch twin of q_distinct_agg: constant memory per group
       // where exact countDistinct expands each group by its distinct
       // count. Rows-only (sketch estimates are engine-specific) but
-      // SELF-ASSERTING: the exact twin is computed in the same agg and
-      // assert_true throws on >5% relative drift (PlanAuditSpec's
-      // tolerance), so the driver's rows-only check fails loudly if the
-      // sketch ever drifts instead of silently passing. The exact
-      // columns are projected away after the assertion — output schema
-      // is unchanged from the pure-sketch version.
-      t(s, dir, "lineitem")
+      // SELF-ASSERTING: the exact twin rides a SEPARATE aggregate,
+      // broadcast-joined on the 3-row group key, and assert_true throws
+      // on >5% relative drift (PlanAuditSpec's tolerance) — the
+      // driver's rows-only check fails loudly if the sketch ever
+      // drifts. Separate on purpose: mixing countDistinct with the HLL
+      // aggregate in ONE agg triggers Catalyst's multi-distinct Expand
+      // rewrite, which replicates every input row per distinct column
+      // and made the sketch pass 4x slower than the two passes combined
+      // (measured 6.6 s vs 0.8 + 1.5 at sf0.1). The exact columns are
+      // dropped after the assertion — output schema unchanged.
+      val approx = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01).as("n_parts"),
           approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("n_supps"),
-          countDistinct(col("l_partkey")).as("__x_parts"),
-          countDistinct(col("l_suppkey")).as("__x_supps"),
           count(lit(1)).as("n_rows"))
+      val exact = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("__x_parts"),
+          countDistinct(col("l_suppkey")).as("__x_supps"))
+      approx.join(broadcast(exact), Seq("l_returnflag"))
         .where(assert_true(
           abs(col("n_parts") - col("__x_parts")) <= col("__x_parts") * 0.05 &&
           abs(col("n_supps") - col("__x_supps")) <= col("__x_supps") * 0.05,
@@ -707,6 +714,17 @@ object SparkEntry {
           countDistinct(col("doc_id")).as("n_docs"))
         .filter(col("n_occurrences") >= 5)
     }),
+    "tfidf_topterms" -> ((s, dir) => {
+      // Per-document characteristic terms: tf-idf with the exact
+      // rational rarity weight tf*(N+1)/(df+1) — bit-reproducible
+      // across engines (one long product, one IEEE division), hence
+      // hash-oracle-checkable, unlike a log idf (ulp-level libm
+      // differences). One explode pass; df derives from the reduced
+      // (doc, token) aggregate; vocabulary broadcasts.
+      import graft.operators.TermWeights
+      TermWeights.tfidfTopTerms(t(s, dir, "documents"), col("doc_id"),
+        col("text"), k = 3)
+    }),
     // ----- LLM-pipeline: similarity search ------------------------------
     "cosine_topk" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
@@ -1192,7 +1210,9 @@ object SparkEntry {
     "corpus_pack" ->
       // exclusive prefix sum of token counts per source, chunked into
       // 512-token windows; DuckDB windowed SUM(BIGINT) widens to HUGEINT,
-      // hence the explicit cast before the subtraction
+      // hence the explicit cast before the subtraction. cum // 512 is
+      // BIGINT floor division of non-negatives — matches Spark's `div`
+      // exactly at all magnitudes
       """WITH t AS (SELECT doc_id, source,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents),
@@ -1200,7 +1220,7 @@ object SparkEntry {
         |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS cum FROM t)
         |SELECT doc_id, source, n_tokens,
-        | CAST(FLOOR(CAST(cum AS DOUBLE) / 512.0) AS BIGINT) AS pack_id,
+        | cum // 512 AS pack_id,
         | cum % 512 AS pack_offset
         |FROM c""".stripMargin,
     // the two-level scan must reproduce the single-window assignments
@@ -1213,7 +1233,7 @@ object SparkEntry {
         |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS cum FROM t)
         |SELECT doc_id, source, n_tokens,
-        | CAST(FLOOR(CAST(cum AS DOUBLE) / 512.0) AS BIGINT) AS pack_id,
+        | cum // 512 AS pack_id,
         | cum % 512 AS pack_offset
         |FROM c""".stripMargin,
     "corpus_split" ->
@@ -1362,6 +1382,21 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |      FROM documents)
         |GROUP BY token HAVING COUNT(*) >= 5""".stripMargin,
+    "tfidf_topterms" ->
+      // tf*(N+1) stays exact in BIGINT; the single division by (df+1)
+      // is the one shared rounding — same bits in both engines
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, token, tf, df,
+        |  CAST(tf * (n_docs + 1) AS DOUBLE) / (df + 1) AS score
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tf, df, score, CAST(rank AS INT) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, token ASC) AS rank FROM s)
+        |WHERE rank <= 3""".stripMargin,
     // deterministic tie-break (count DESC, token ASC) mirrors the Spark
     // query's re-rank of the approx_top_k sketch output — exact while
     // the vocabulary fits the sketch's maxItemsTracked

@@ -90,12 +90,11 @@ object Packing {
       }
     cum
       .withColumn("n_tokens", toks)
-      // floor(double) division: exact below 2^53 tokens per group and
-      // byte-identical across engines (integer division truncation rules
-      // differ for signed types; these are non-negative but explicit
-      // floor keeps the semantics self-evident)
-      .withColumn("pack_id",
-        floor(col("__pack_cum").cast("double") / lit(budget.toDouble)))
+      // exact long division: __pack_cum is a sum of non-negative token
+      // counts, so truncating `div` equals floor division in every
+      // engine (DuckDB `//`, Spark `div`) and stays exact at ALL
+      // magnitudes — no 2^53 double-precision ceiling
+      .withColumn("pack_id", expr(s"__pack_cum div ${budget}L"))
       .withColumn("pack_offset", pmod(col("__pack_cum"), lit(budget)))
       .drop("__pack_cum")
   }
