@@ -85,8 +85,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val fstr = failures.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // host contention forensics: SCALE.md's noise methodology needs to
+    // know whether a wide spread coincided with outside load (1/5/15-min
+    // load averages at end of run; this box has 32 cores)
+    val loadavg = try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      s.split(" ").take(3).mkString("[", ",", "]")
+    } catch { case _: Exception => "[]" }
     val compact = s"""{"metric":"total","value":${round(total, 2)},"unit":"sec","queries":$qs,"failures":$fstr,"runs":$runs,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"spread":$spread,"failures":$fstr,"runs":$runs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"spread":$spread,"failures":$fstr,"runs":$runs,"loadavg":$loadavg,"sf":"$sfDir"}"""
     val spreadOut = sys.env.getOrElse("SPARK_GRAFT_SPREAD_OUT", "tools/bench_spread.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(spreadOut), (full + "\n").getBytes("UTF-8"))

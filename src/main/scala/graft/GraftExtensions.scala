@@ -55,6 +55,9 @@ object GraftExtensions {
     "graft_simhash64" -> ((info("graft_simhash64",
       "graft_simhash64(tokens) - 64-bit SimHash of a string array"),
       (args: Seq[Expression]) => { arity("graft_simhash64", args, 1); Kernels.SimHash64(args.head) })),
+    "graft_deflate_ratio" -> ((info("graft_deflate_ratio",
+      "graft_deflate_ratio(str) - deflate compressed/raw byte ratio (low = repetitive text)"),
+      (args: Seq[Expression]) => { arity("graft_deflate_ratio", args, 1); Kernels.DeflateRatio(args.head) })),
     "graft_minhash" -> ((info("graft_minhash",
       "graft_minhash(shingles, numHashes, seed) - MinHash signature"),
       (args: Seq[Expression]) => { arity("graft_minhash", args, 3)

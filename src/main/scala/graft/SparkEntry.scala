@@ -684,6 +684,23 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.normalizeText(col("text")).as("norm_text"))
     }),
+    "text_compressibility" -> ((s, dir) => {
+      // compressibility quality heuristic: deflate ratio per document —
+      // boilerplate/spam compresses far better than prose. Zero-shuffle
+      // codegen kernel (thread-local zlib state, one compiled call per
+      // row); zlib streams are JVM-specific, so rows-only — with the
+      // structural invariant self-asserted: ratio in (0, 2) always
+      // (deflate overhead is bounded), and the sf corpus' synthetic
+      // token soup must not be flagged hyper-repetitive on average.
+      import graft.functions.Kernels
+      t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          Kernels.deflateRatioCol(col("text")).as("deflate_ratio"))
+        .where(assert_true(
+          col("deflate_ratio") > 0.0 && col("deflate_ratio") < 2.0,
+          concat(lit("deflate_ratio out of (0,2) for doc "),
+            col("doc_id"))).isNull)
+    }),
     "text_repetition" -> ((s, dir) => {
       // Gopher-style repetition quality signals: fraction of duplicate
       // word n-grams and fraction covered by the most frequent n-gram,
@@ -855,6 +872,15 @@ object SparkEntry {
         chunkSize = 64L)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("pack_id"), col("pack_offset"))
+    }),
+    "corpus_mixture" -> ((s, dir) => {
+      // training-mix temperature sampling: per-source token masses
+      // tempered by alpha=0.5 — sqrt is IEEE-correctly-rounded (pow is
+      // not), and micro-unit quantization makes the normalizing sum
+      // exact, so the weights hash-match DuckDB bit-for-bit
+      Sampling.temperatureWeights(t(s, dir, "documents"), col("source"),
+        TextFunctions.tokenCount(col("text")))
+        .select(col("source"), col("n_units"), col("weight"))
     }),
     "corpus_split" -> ((s, dir) => {
       // deterministic 90/10 train/holdout split — a pure function of the
@@ -1236,6 +1262,16 @@ object SparkEntry {
         | cum // 512 AS pack_id,
         | cum % 512 AS pack_offset
         |FROM c""".stripMargin,
+    "corpus_mixture" ->
+      // FLOOR(sqrt·1e6+0.5) micro-units: integral doubles sum exactly in
+      // any order; the weight is then one shared IEEE division
+      """WITH c AS (SELECT source,
+        |  SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_units
+        |  FROM documents GROUP BY source),
+        |q AS (SELECT source, n_units,
+        |  FLOOR(sqrt(CAST(n_units AS DOUBLE)) * 1000000.0 + 0.5) AS qs
+        |  FROM c)
+        |SELECT source, n_units, qs / SUM(qs) OVER () AS weight FROM q""".stripMargin,
     "corpus_split" ->
       """SELECT doc_id,
         | CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4)

@@ -340,6 +340,37 @@ object Kernels {
     count
   }
 
+  /** Per-executor-thread Deflater, reset per row: Deflater construction
+    * allocates native zlib state — per-row allocation would dominate the
+    * kernel. Never end()ed; one small native block per executor thread
+    * for the executor's lifetime.
+    */
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+  }
+
+  /** Deflate compression ratio of the UTF-8 bytes: compressed/raw.
+    * Low ratio = repetitive/templated text — the compressibility
+    * quality heuristic of web-corpus curation (boilerplate and spam
+    * compress far better than natural prose). Deterministic for a
+    * fixed JVM's zlib, but NOT engine-portable (different zlib builds
+    * emit different streams), so queries over it are rows-only
+    * checkable. Empty text -> 1.0.
+    */
+  def deflateRatio(text: UTF8String): Double = {
+    val bytes = text.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
+  }
+
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false
@@ -587,6 +618,19 @@ object Kernels {
       copy(child = newChild)
   }
 
+  case class DeflateRatio(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child, _ == StringType, "string")
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "deflate_ratio"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.deflateRatio(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.deflateRatio($c)")
+    override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+      copy(child = newChild)
+  }
+
   case class AsciiRunCount(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(prettyName, child, _ == StringType, "string")
@@ -605,6 +649,9 @@ object Kernels {
 
   def asciiRunCountCol(text: Column): Column =
     ColumnBridge.column(AsciiRunCount(ColumnBridge.expression(text)))
+
+  def deflateRatioCol(text: Column): Column =
+    ColumnBridge.column(DeflateRatio(ColumnBridge.expression(text)))
 
   def repetitionCol(tokens: Column, n: Int): Column =
     ColumnBridge.column(NgramRepetition(ColumnBridge.expression(tokens), n))

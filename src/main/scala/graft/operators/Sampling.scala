@@ -65,4 +65,42 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Temperature-tempered mixture weights per group — the training-mix
+    * primitive (sample source s proportionally to n_s^alpha; alpha<1
+    * upweights small sources, cf. the multilingual-pretraining mixes of
+    * XLM-R/mT5). Output: group column + `n_units` (exact long sum of
+    * `size`) + `weight` in (0,1] summing to 1.
+    *
+    * Engine-portable exactness at the default alpha=0.5: IEEE requires
+    * sqrt to be correctly rounded (unlike pow), so sqrt(n) is
+    * bit-identical everywhere; floor(sqrt(n)*1e6 + 0.5) micro-units
+    * make the tempered masses integral, hence their sum is exact and
+    * order-independent, and each weight is one shared IEEE division —
+    * the same quantization trick as the centroid aggregate. A non-0.5
+    * alpha goes through pow, which libms round differently at ulp
+    * level: correct to ~1e-15, but rows-only checkable.
+    *
+    * Scale: one partial-agg shuffle on the group key (group cardinality
+    * rows out); the normalizing total is a whole-frame window over that
+    * already-tiny counts table — single lineage, so the corpus is
+    * scanned exactly once (an agg-then-join would duplicate the scan).
+    * The unpartitioned window's one-partition stage holds group-
+    * cardinality rows, not corpus rows.
+    */
+  def temperatureWeights(df: DataFrame, group: Column, size: Column,
+                         alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val counts = df.groupBy(group)
+      .agg(sum(size.cast("long")).as("n_units"))
+    val tempered =
+      if (alpha == 0.5) sqrt(col("n_units").cast("double"))
+      else pow(col("n_units").cast("double"), lit(alpha))
+    counts
+      .withColumn("__q", floor(tempered * lit(1e6) + lit(0.5)))
+      .withColumn("weight",
+        col("__q") / sum(col("__q")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .drop("__q")
+  }
 }

@@ -153,4 +153,36 @@ class KernelPropertiesSpec extends SparkTestBase {
       assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
     }
   }
+
+  test("deflateRatio: repetition compresses, entropy doesn't, empty is 1") {
+    import graft.TestSpark.spark.implicits._
+    val repetitive = "spam spam spam " * 200
+    // xxhash64-derived hex soup — no structure for zlib to find
+    val entropic = (1 to 200).map(i =>
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(i.toString).toLong * 2654435761L))
+      .mkString(" ")
+    val df = Seq((1L, repetitive), (2L, entropic), (3L, "")).toDF("id", "text")
+    val r = df.select(col("id"), Kernels.deflateRatioCol(col("text")))
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) < 0.05, s"repetitive ratio ${r(1L)}")
+    assert(r(2L) > 0.3, s"entropic ratio ${r(2L)}")
+    assert(r(3L) == 1.0)
+    // deterministic under re-evaluation (thread-local state resets fully)
+    val again = df.select(col("id"), Kernels.deflateRatioCol(col("text")))
+      .as[(Long, Double)].collect().toMap
+    assert(again == r)
+  }
+
+  test("deflateRatio stays inside whole-stage codegen") {
+    // spark.range source: a literal local relation would be folded by
+    // ConvertToLocalRelation before any codegen stage exists
+    val df = graft.TestSpark.spark.range(3)
+      .select(concat(lit("tok "), col("id").cast("string")).as("text"))
+      .select(Kernels.deflateRatioCol(col("text")).as("r"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan) // * prefix = codegen'd stage
+    assert(plan.contains("deflate_ratio"), plan)
+    assert(df.head().getDouble(0) > 0.0)
+  }
 }

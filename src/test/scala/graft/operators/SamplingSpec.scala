@@ -54,4 +54,48 @@ class SamplingSpec extends SparkTestBase {
     val narrow = s.select("id").collect().map(_.getLong(0)).toSet
     assert(narrow.subsetOf(wide))
   }
+
+  test("temperatureWeights: alpha=0.5 weights are exact and sum to 1") {
+    import graft.TestSpark.spark.implicits._
+    // masses 100/400/1600 -> sqrt 10/20/40 -> weights 1/7, 2/7, 4/7
+    val rows = Seq.fill(10)(("a", 10)) ++ Seq.fill(10)(("b", 40)) ++
+      Seq.fill(10)(("c", 160))
+    val df = rows.toDF("src", "n")
+    val got = Sampling.temperatureWeights(df, col("src"), col("n"))
+      .select("src", "n_units", "weight")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("a", 100L, 1e7 / 7e7), ("b", 400L, 2e7 / 7e7), ("c", 1600L, 4e7 / 7e7)))
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-12)
+  }
+
+  test("temperatureWeights: alpha<1 upweights small sources vs proportional") {
+    import graft.TestSpark.spark.implicits._
+    val df = Seq(("small", 100), ("big", 10000)).toDF("src", "n")
+    val w = Sampling.temperatureWeights(df, col("src"), col("n"))
+      .select("src", "weight").as[(String, Double)].collect().toMap
+    // proportional share of `small` is 100/10100 ~ 0.0099; tempered
+    // share is 10/110 ~ 0.0909
+    assert(w("small") > 0.09 && w("small") < 0.1)
+    assert(math.abs(w.values.sum - 1.0) < 1e-12)
+  }
+
+  test("temperatureWeights: single corpus scan (no agg-then-join rescan)") {
+    import graft.TestSpark.spark.implicits._
+    val df = Seq(("a", 1), ("b", 2)).toDF("src", "n")
+    val plan = Sampling.temperatureWeights(df, col("src"), col("n"))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("temperatureWeights rejects alpha outside (0,1]") {
+    import graft.TestSpark.spark.implicits._
+    val df = Seq(("a", 1)).toDF("src", "n")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureWeights(df, col("src"), col("n"), alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureWeights(df, col("src"), col("n"), alpha = 1.5)
+    }
+  }
 }
