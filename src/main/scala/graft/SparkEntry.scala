@@ -946,6 +946,18 @@ object SparkEntry {
         docs.filter(col("source") === "src0"),
         col("doc_id"), col("text"), n = 3)
     }),
+    "contamination_bloom" -> ((s, dir) => {
+      // the runtime-filter shape of decontamination: driver-built Bloom
+      // filter over eval shingles rides the plan as a binary literal
+      // and drops non-members in codegen before the exact verify join —
+      // no false negatives, so the result (and oracle) is identical to
+      // `contamination`
+      val docs = t(s, dir, "documents")
+      Dedup.bloomShingleContamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        col("doc_id"), col("text"), n = 3, expectedItems = 1L << 17)
+    }),
     "dedup_incremental" -> ((s, dir) => { // engine-hash based: rows-only
       // the daily-increment shape: docs from sources src10-src19 arrive as
       // the new batch and are near-deduped against the accumulated corpus
@@ -1508,6 +1520,19 @@ object SparkEntry {
         |   '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
     "contamination" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source, sh FROM (
+        |  SELECT doc_id, source,
+        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM toks WHERE len(t) >= 3)),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0')
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contam
+        |FROM sh s JOIN ev USING (sh)
+        |WHERE s.source <> 'src0'
+        |GROUP BY s.doc_id""".stripMargin,
+    // the Bloom pre-filter admits no false negatives and the exact join
+    // runs after it, so the bloom path answers to the IDENTICAL oracle
+    "contamination_bloom" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, source, sh FROM (
         |  SELECT doc_id, source,

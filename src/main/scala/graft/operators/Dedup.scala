@@ -265,6 +265,58 @@ object Dedup {
       .agg(count_distinct(col("sh")).as("n_contam"))
   }
 
+  /** [[shingleContamination]] with a Bloom pre-filter — the
+    * runtime-filter shape for when the distinct eval-shingle set is too
+    * wide to broadcast as a join hash relation: the driver builds a
+    * Bloom filter over the eval shingles (`bitsPerItem` bits each —
+    * 20-50x smaller than broadcast rows) and embeds it in the plan as a
+    * BINARY LITERAL, so the corpus shingle stream drops non-members in
+    * whole-stage codegen with zero exchange. Blooms admit false
+    * positives but no false negatives, so the exact equi-join still
+    * runs after the filter — over the rare survivors only — and the
+    * result is IDENTICAL to the exact operator (same oracle). The join
+    * deliberately does NOT broadcast the eval side: in the regime this
+    * variant exists for, that side doesn't fit an executor, while the
+    * post-bloom corpus side is survivor-sized and shuffles cheaply.
+    *
+    * Driver-side cost is the sketch only (numBits/8 bytes ~ a few MB at
+    * 10 bits x millions of shingles) — the bounded-model pattern of
+    * Ivf.fit. `expectedItems` sizes the filter (a stats estimate in a
+    * real pipeline); overestimating costs bits, underestimating costs
+    * false-positive rate, never correctness. The eval shingle set is
+    * persisted across its two uses (bloom build + verify join); callers
+    * running long-lived sessions should clearCache() between runs, as
+    * with the other fan-out operators.
+    */
+  def bloomShingleContamination(corpus: DataFrame, eval: DataFrame,
+                                id: Column, text: Column, n: Int,
+                                expectedItems: Long = 1L << 20,
+                                bitsPerItem: Int = 10): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(bitsPerItem > 0, s"bitsPerItem must be positive, got $bitsPerItem")
+    val evSh = eval
+      .select(explode(TextFunctions.wordShingles(text, n)).as("sh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col("sh"))),
+      Literal(expectedItems), Literal(expectedItems * bitsPerItem))
+      .toAggregateExpression())
+    val bloomBytes = evSh.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(lit(bloomBytes)),
+      ColumnBridge.expression(xxhash64(col("sh")))))
+    corpus
+      .select(id.as("doc_id"), explode(TextFunctions.wordShingles(text, n)).as("sh"))
+      .filter(mightContain)
+      .join(evSh, "sh")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("sh")).as("n_contam"))
+  }
+
   // --- MinHash + LSH -------------------------------------------------------
 
   /** MinHash signature: for each of `numHashes` hash functions, the

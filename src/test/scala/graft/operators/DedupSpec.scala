@@ -168,4 +168,42 @@ class DedupSpec extends SparkTestBase {
     assert(srp.subsetOf(exact), "verification must kill false candidates")
     assert(srp == exact, s"missed pairs: ${(exact -- srp).take(5)}")
   }
+
+  test("bloom contamination == exact contamination (no false negatives survive)") {
+    spark.catalog.clearCache()
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val eval = docs.filter(col("source") === "src0")
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = scores(Dedup.shingleContamination(corpus, eval,
+      col("doc_id"), col("text"), n = 3))
+    val bloom = Dedup.bloomShingleContamination(corpus, eval,
+      col("doc_id"), col("text"), n = 3, expectedItems = 1L << 14)
+    assert(scores(bloom) == exact)
+    // the sketch rides the plan as a literal probe in codegen — and the
+    // verify join is NOT a broadcast (this variant models the eval side
+    // that does not fit an executor)
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    spark.catalog.clearCache()
+  }
+
+  test("bloom contamination: an undersized filter still returns exact results") {
+    spark.catalog.clearCache()
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val eval = docs.filter(col("source") === "src0")
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 64 expected items vs thousands of real shingles: the bloom
+    // saturates (high false-positive rate), which only weakens the
+    // pre-filter — the exact join keeps correctness
+    val tiny = scores(Dedup.bloomShingleContamination(corpus, eval,
+      col("doc_id"), col("text"), n = 3, expectedItems = 64))
+    val exact = scores(Dedup.shingleContamination(corpus, eval,
+      col("doc_id"), col("text"), n = 3))
+    assert(tiny == exact)
+    spark.catalog.clearCache()
+  }
 }
