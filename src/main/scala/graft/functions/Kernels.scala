@@ -340,6 +340,27 @@ object Kernels {
     count
   }
 
+  /** True iff ANY shingle is (probably) in the Bloom filter — the
+    * stateless decontamination probe: one pass, early exit on first
+    * hit. Hashing MUST mirror the build side (xxhash64 of the UTF-8
+    * bytes, Spark's default seed 42, then putLong/mightContainLong).
+    */
+  def bloomAnyMember(shingles: ArrayData,
+                     bloom: org.apache.spark.util.sketch.BloomFilter): Boolean = {
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      if (s != null) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes(), 42L)
+        if (bloom.mightContainLong(h)) return true
+      }
+      i += 1
+    }
+    false
+  }
+
   /** Per-executor-thread Deflater, reset per row: Deflater construction
     * allocates native zlib state — per-row allocation would dominate the
     * kernel. Never end()ed; one small native block per executor thread
@@ -618,6 +639,32 @@ object Kernels {
       copy(child = newChild)
   }
 
+  /** Array field => reference equality, so two instances never compare
+    * equal and CSE can't merge them — acceptable for the intended
+    * one-probe-per-gate filter usage, and it avoids boxing multi-MB
+    * sketch bytes into a Seq.
+    */
+  case class BloomContainsAny(child: Expression, bloomBytes: Array[Byte])
+      extends UnaryExpression {
+    @transient private lazy val bloom =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes))
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child, isStringArray, "array<string>")
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "bloom_contains_any"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.bloomAnyMember(input.asInstanceOf[ArrayData], bloom)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bloomRef = ctx.addReferenceObj("gateBloom", bloom,
+        "org.apache.spark.util.sketch.BloomFilter")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.Kernels.bloomAnyMember($c, $bloomRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BloomContainsAny =
+      copy(child = newChild)
+  }
+
   case class DeflateRatio(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(prettyName, child, _ == StringType, "string")
@@ -652,6 +699,9 @@ object Kernels {
 
   def deflateRatioCol(text: Column): Column =
     ColumnBridge.column(DeflateRatio(ColumnBridge.expression(text)))
+
+  def bloomContainsAnyCol(shingles: Column, bloomBytes: Array[Byte]): Column =
+    ColumnBridge.column(BloomContainsAny(ColumnBridge.expression(shingles), bloomBytes))
 
   def repetitionCol(tokens: Column, n: Int): Column =
     ColumnBridge.column(NgramRepetition(ColumnBridge.expression(tokens), n))

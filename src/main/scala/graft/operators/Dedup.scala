@@ -292,8 +292,7 @@ object Dedup {
                                 id: Column, text: Column, n: Int,
                                 expectedItems: Long = 1L << 20,
                                 bitsPerItem: Int = 10): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.graftbridge.ColumnBridge
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
     require(bitsPerItem > 0, s"bitsPerItem must be positive, got $bitsPerItem")
@@ -301,11 +300,7 @@ object Dedup {
       .select(explode(TextFunctions.wordShingles(text, n)).as("sh"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
-      ColumnBridge.expression(xxhash64(col("sh"))),
-      Literal(expectedItems), Literal(expectedItems * bitsPerItem))
-      .toAggregateExpression())
-    val bloomBytes = evSh.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val bloomBytes = bloomOverShingles(evSh, expectedItems, bitsPerItem)
     val mightContain = ColumnBridge.column(BloomFilterMightContain(
       ColumnBridge.expression(lit(bloomBytes)),
       ColumnBridge.expression(xxhash64(col("sh")))))
@@ -315,6 +310,53 @@ object Dedup {
       .join(evSh, "sh")
       .groupBy("doc_id")
       .agg(count_distinct(col("sh")).as("n_contam"))
+  }
+
+  /** Bloom filter bytes over the distinct word-`n`-gram shingles of
+    * `eval` — the sketch [[bloomShingleContamination]] builds
+    * internally, exposed for gates that probe it elsewhere (e.g. the
+    * streaming [[decontaminationGate]], which must build it ONCE at
+    * stream setup, not per micro-batch).
+    */
+  def buildShingleBloom(eval: DataFrame, text: Column, n: Int,
+                        expectedItems: Long = 1L << 20,
+                        bitsPerItem: Int = 10): Array[Byte] = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(bitsPerItem > 0, s"bitsPerItem must be positive, got $bitsPerItem")
+    val evSh = eval
+      .select(explode(TextFunctions.wordShingles(text, n)).as("sh"))
+      .distinct()
+    bloomOverShingles(evSh, expectedItems, bitsPerItem)
+  }
+
+  private def bloomOverShingles(evSh: DataFrame, expectedItems: Long,
+                                bitsPerItem: Int): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col("sh"))),
+      Literal(expectedItems), Literal(expectedItems * bitsPerItem))
+      .toAggregateExpression())
+    evSh.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Stateless decontamination gate: drops every document whose shingle
+    * set probably intersects the eval bloom — one per-row codegen probe
+    * with early exit, NO shuffle, NO state, so it composes with
+    * Structured Streaming as a plain filter (the streaming twin of
+    * [[bloomShingleContamination]]). Conservative by construction:
+    * blooms have no false negatives, so every truly contaminated
+    * document is dropped; ~fpp of clean documents fall with them
+    * (size `expectedItems` accordingly). Pipelines that can't afford
+    * that loss route the gate's complement through the exact batch
+    * path instead.
+    */
+  def decontaminationGate(docs: DataFrame, bloomBytes: Array[Byte],
+                          text: Column, n: Int): DataFrame = {
+    import graft.functions.Kernels
+    docs.filter(!Kernels.bloomContainsAnyCol(
+      TextFunctions.wordShingles(text, n), bloomBytes))
   }
 
   // --- MinHash + LSH -------------------------------------------------------

@@ -206,4 +206,21 @@ class DedupSpec extends SparkTestBase {
     assert(tiny == exact)
     spark.catalog.clearCache()
   }
+
+  test("decontaminationGate: every exactly-contaminated doc is dropped") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val eval = docs.filter(col("source") === "src0")
+    val contaminated = Dedup.shingleContamination(corpus, eval,
+      col("doc_id"), col("text"), n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.buildShingleBloom(eval, col("text"), n = 3,
+      expectedItems = 1L << 14)
+    val kept = Dedup.decontaminationGate(corpus, bloom, col("text"), n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // no false negatives: nothing contaminated survives the gate; false
+    // positives may drop extra clean docs, never admit dirty ones
+    assert(kept.intersect(contaminated).isEmpty)
+    assert(kept.nonEmpty, "gate must not drop the whole corpus at 10 bits/item")
+  }
 }

@@ -258,6 +258,32 @@ class StreamsSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("dual-sink batch")))
     assert(ctx.failed.nonEmpty)
   }
+
+  test("decontaminationGate: stateless bloom filter drops contaminated stream docs") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // eval corpus: one known benchmark passage
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val bloom = graft.operators.Dedup.buildShingleBloom(eval, col("text"),
+      n = 3, expectedItems = 1024)
+    val mem = MemoryStream[(Long, String)]
+    val gated = graft.operators.Dedup.decontaminationGate(
+      mem.toDF().toDF("doc_id", "text"), bloom, col("text"), n = 3)
+    val q = gated.writeStream.format("memory").queryName("decontam_stream")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, "totally novel words about spark shuffles and parquet files"),
+      (2L, "copied the quick brown fox jumps verbatim"), // shares 3-grams
+      (3L, "short"))
+    q.processAllAvailable()
+    val kept = spark.table("decontam_stream").select("doc_id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(kept == Seq(1L, 3L), s"kept $kept")
+    q.stop()
+  }
 }
 
 object TestSpark {
