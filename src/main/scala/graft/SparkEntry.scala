@@ -882,6 +882,15 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")))
         .select(col("source"), col("n_units"), col("weight"))
     }),
+    "corpus_length_buckets" -> ((s, dir) => {
+      // length-curriculum bucketing: quartile cut points of n_chars in
+      // one array-percentile aggregate, broadcast into a codegen'd
+      // when-chain label — quantile_cont semantics, hash-exact vs DuckDB
+      Sampling.quantileBuckets(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        col("n_chars"))
+        .select(col("doc_id"), col("n_chars"), col("bucket"))
+    }),
     "corpus_split" -> ((s, dir) => {
       // deterministic 90/10 train/holdout split — a pure function of the
       // row id (md5 bucket), identical on any cluster size/engine
@@ -1284,6 +1293,17 @@ object SparkEntry {
         |  FLOOR(sqrt(CAST(n_units AS DOUBLE)) * 1000000.0 + 0.5) AS qs
         |  FROM c)
         |SELECT source, n_units, qs / SUM(qs) OVER () AS weight FROM q""".stripMargin,
+    "corpus_length_buckets" ->
+      // quantile_cont == Spark's exact interpolated percentile (the
+      // q_percentiles equivalence), so the cut points are bit-identical
+      """WITH c AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+        |                  [0.25, 0.5, 0.75]) AS cuts FROM documents)
+        |SELECT doc_id, n_chars,
+        | CAST(CASE WHEN CAST(n_chars AS DOUBLE) <= cuts[1] THEN 1
+        |      WHEN CAST(n_chars AS DOUBLE) <= cuts[2] THEN 2
+        |      WHEN CAST(n_chars AS DOUBLE) <= cuts[3] THEN 3
+        |      ELSE 4 END AS INT) AS bucket
+        |FROM documents CROSS JOIN c""".stripMargin,
     "corpus_split" ->
       """SELECT doc_id,
         | CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4)

@@ -88,6 +88,53 @@ object Sampling {
     * The unpartitioned window's one-partition stage holds group-
     * cardinality rows, not corpus rows.
     */
+  /** Quantile bucketing of a numeric column — the length-curriculum /
+    * batch-shape primitive: cut the corpus at the given quantiles of
+    * `value` and label every row with its bucket (1-based; rows above
+    * the last cut get `fracs.size + 1`). Cut semantics: bucket b is the
+    * first whose cut point is >= value (exact interpolated percentile,
+    * the `quantile_cont` definition, so the assignment is
+    * oracle-checkable bit-for-bit).
+    *
+    * Scale shape: one aggregate computes ALL cut points (a single
+    * array-percentile pass), the resulting 1-row frame broadcasts, and
+    * the bucket label is a codegen'd when-chain per row — no shuffle of
+    * the data itself, no window. Exact `percentile` buffers the column
+    * per-partition at aggregation time; at 100-TB swap in
+    * approx_percentile cut points (the q_percentiles_approx trade) —
+    * bucket EDGES move within sketch tolerance but the operator shape
+    * is unchanged. Two source scans by necessity — global cut points
+    * require a full pass before any row can be labeled — and the
+    * second pass re-reads the (column-pruned) source instead of
+    * caching the corpus: at 100 TB, re-scanning one pruned column
+    * beats materializing it.
+    *
+    * Output: input columns + `<outCol>` (integer bucket).
+    */
+  def quantileBuckets(df: DataFrame, value: Column,
+                      fracs: Seq[Double] = Seq(0.25, 0.5, 0.75),
+                      outCol: String = "bucket"): DataFrame = {
+    require(fracs.nonEmpty, "fracs must be non-empty")
+    require(fracs.forall(f => f > 0.0 && f < 1.0),
+      s"fracs must be inside (0,1), got $fracs")
+    require(fracs == fracs.sorted && fracs.distinct == fracs,
+      s"fracs must be strictly increasing, got $fracs")
+    val sized = df.withColumn("__qb_v", value.cast("double"))
+    val cuts = sized.agg(
+      expr(s"percentile(__qb_v, array(${fracs.mkString(",")}))").as("__qb_cuts"))
+    // when-chain, smallest cut first — plain Column comparisons keep the
+    // assignment inside whole-stage codegen (an aggregate() HOF over the
+    // cuts array would run interpreted per row)
+    val bucket = fracs.indices.reverse.foldLeft(lit(fracs.size + 1)) {
+      (acc, i) =>
+        when(col("__qb_v") <= element_at(col("__qb_cuts"), i + 1), lit(i + 1))
+          .otherwise(acc)
+    }
+    sized.crossJoin(broadcast(cuts))
+      .withColumn(outCol, bucket)
+      .drop("__qb_v", "__qb_cuts")
+  }
+
   def temperatureWeights(df: DataFrame, group: Column, size: Column,
                          alpha: Double = 0.5): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")

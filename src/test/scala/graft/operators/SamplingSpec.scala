@@ -88,6 +88,40 @@ class SamplingSpec extends SparkTestBase {
     assert("LocalTableScan".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("quantileBuckets: quartile labels with interpolated cut points") {
+    import graft.TestSpark.spark.implicits._
+    // values 1..8: quantile_cont cuts at 0.25/0.5/0.75 = 2.75/4.5/6.25
+    val df = (1 to 8).map(i => (i.toLong, i)).toDF("id", "v")
+    val got = Sampling.quantileBuckets(df, col("v"))
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2,
+      5L -> 3, 6L -> 3, 7L -> 4, 8L -> 4))
+  }
+
+  test("quantileBuckets: custom fracs, boundary value lands in the lower bucket") {
+    import graft.TestSpark.spark.implicits._
+    // median of 1..5 is exactly 3 -> value 3 must satisfy v <= cut (lower)
+    val df = (1 to 5).map(i => (i.toLong, i)).toDF("id", "v")
+    val got = Sampling.quantileBuckets(df, col("v"), fracs = Seq(0.5),
+        outCol = "half")
+      .select("id", "half").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2))
+  }
+
+  test("quantileBuckets rejects malformed fracs") {
+    import graft.TestSpark.spark.implicits._
+    val df = Seq((1L, 1)).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Sampling.quantileBuckets(df, col("v"), fracs = Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.quantileBuckets(df, col("v"), fracs = Seq(0.75, 0.25))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.quantileBuckets(df, col("v"), fracs = Seq(0.5, 1.0))
+    }
+  }
+
   test("temperatureWeights rejects alpha outside (0,1]") {
     import graft.TestSpark.spark.implicits._
     val df = Seq(("a", 1)).toDF("src", "n")
