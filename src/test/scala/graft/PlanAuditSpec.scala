@@ -225,6 +225,24 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("round-7 operators keep their plan shapes") {
+    spark.catalog.clearCache()
+    // tfidf: the vocabulary-sized df table joins as a broadcast hash
+    // relation, never a shuffle of the corpus-side tf stream
+    val p1 = planOf(graft.SparkEntry.queries("tfidf_topterms")(spark, dir))
+    assert(p1.contains("BroadcastHashJoin"), p1)
+    spark.catalog.clearCache()
+    // bloom contamination: the driver-built sketch probes in-plan
+    val p2 = planOf(graft.SparkEntry.queries("contamination_bloom")(spark, dir))
+    assert(p2.contains("might_contain"), p2)
+    spark.catalog.clearCache()
+    // length buckets: broadcast cut points + when-chain label — no
+    // window (an ntile would drag the corpus through one partition)
+    val p3 = planOf(graft.SparkEntry.queries("corpus_length_buckets")(spark, dir))
+    assert(!p3.contains("Window"), p3)
+    assert(p3.contains("Broadcast"), p3)
+  }
+
   test("approx twins and ANN recall gates are SELF-asserting in-plan") {
     // round 7: the tolerance/recall guarantees moved from spec-only
     // observations into the registered queries themselves (assert_true,
