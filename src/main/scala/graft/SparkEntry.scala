@@ -668,6 +668,13 @@ object SparkEntry {
         .select(col("doc_id"), size(col("fp")).as("n_fp"),
           element_at(col("fp"), 1).as("min_fp"))
     }),
+    "boilerplate_scores" -> ((s, dir) => { // FNV-1a based: rows-only check
+      // repeated-passage fraction per doc from the winnowed fingerprint
+      // sample — template/licence-block detection; only the 8-byte
+      // fingerprint sample ever shuffles, never the text
+      Dedup.boilerplateScores(t(s, dir, "documents"), col("doc_id"),
+        col("text"), k = 8, w = 8, minDocs = 2)
+    }),
     // ----- LLM-pipeline: text analysis ----------------------------------
     "text_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")

@@ -341,6 +341,51 @@ object Dedup {
     evSh.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
   }
 
+  /** Cross-document repeated-passage (boilerplate) scores: for every
+    * document, the fraction of its winnowed fingerprints that also
+    * appear in at least `minDocs` OTHER-or-same distinct documents —
+    * headers, footers, templates and licence blocks score near 1,
+    * original prose near 0. The winnowing guarantee (Schleimer et al.
+    * 2003) makes this a position-robust substring-match sample: any
+    * shared run of >= w+k-1 chars shares at least one fingerprint. The
+    * k=8/w=8 defaults target passage-level runs (>= 15 chars) — short
+    * k floods the score with chance k-gram collisions between
+    * unrelated prose.
+    *
+    * Scale: the corpus text itself is never shuffled — only the
+    * winnowed fingerprint SAMPLE (density ~2/w of the k-gram stream,
+    * 8-byte longs) crosses the wire: one groupBy(fp) counts document
+    * frequency, and the per-doc shared/total counts are fp- and
+    * doc-keyed aggregates of that same exploded sample, which is
+    * persisted at its 3-way fan-out (same lifecycle contract as the
+    * other fan-out operators — clearCache() between runs in long-lived
+    * sessions). Fingerprints are FNV-1a engine hashes → rows-only
+    * checkable, property-spec'd.
+    */
+  def boilerplateScores(df: DataFrame, id: Column, text: Column,
+                        k: Int = 8, w: Int = 8,
+                        minDocs: Int = 2): DataFrame = {
+    import graft.functions.Fingerprint
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val fps = df.select(id.as("doc_id"),
+        explode(array_distinct(Fingerprint.winnow(text, k, w))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-doc distinct fps (array_distinct above), so count(*) per fp
+    // IS the document frequency
+    val shared = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("fp"))
+    val nShared = fps.join(shared, Seq("fp"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      .join(nShared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_fp"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_fp"))
+          .as("boilerplate_frac"))
+  }
+
   /** Stateless decontamination gate: drops every document whose shingle
     * set probably intersects the eval bloom — one per-row codegen probe
     * with early exit, NO shuffle, NO state, so it composes with

@@ -207,6 +207,47 @@ class DedupSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("boilerplateScores: shared template scores high, unique prose scores zero") {
+    import graft.TestSpark.spark.implicits._
+    spark.catalog.clearCache()
+    val template = "subscribe to our newsletter and accept the cookie policy today"
+    val docs = Seq(
+      (1L, template),                                       // pure template
+      (2L, template + " plus one extra appended clause xq"), // mostly template
+      (3L, template),                                        // pure template again
+      (4L, "wholly original musings regarding catalyst optimizer rules zz")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateScores(docs, col("doc_id"), col("text"))
+      .select("doc_id", "boilerplate_frac")
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.0, s"pure template: ${got(1L)}")
+    assert(got(3L) == 1.0)
+    assert(got(2L) > 0.5 && got(2L) < 1.0, s"mostly template: ${got(2L)}")
+    assert(got(4L) == 0.0, s"original doc: ${got(4L)}")
+    spark.catalog.clearCache()
+  }
+
+  test("boilerplateScores: minDocs raises the sharing bar") {
+    import graft.TestSpark.spark.implicits._
+    spark.catalog.clearCache()
+    val passage = "this exact passage appears in precisely two documents"
+    val docs = Seq(
+      (1L, passage), (2L, passage),
+      (3L, "unrelated text about catalyst optimizer rules")
+    ).toDF("doc_id", "text")
+    def fracs(minDocs: Int): Map[Long, Double] =
+      Dedup.boilerplateScores(docs, col("doc_id"), col("text"),
+          minDocs = minDocs)
+        .select("doc_id", "boilerplate_frac")
+        .as[(Long, Double)].collect().toMap
+    val atTwo = fracs(2)
+    assert(atTwo(1L) == 1.0 && atTwo(2L) == 1.0)
+    // a passage in 2 docs no longer counts when 3 are required
+    val atThree = fracs(3)
+    assert(atThree(1L) == 0.0 && atThree(2L) == 0.0)
+    spark.catalog.clearCache()
+  }
+
   test("decontaminationGate: every exactly-contaminated doc is dropped") {
     val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val corpus = docs.filter(col("source") =!= "src0")
