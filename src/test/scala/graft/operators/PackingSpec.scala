@@ -72,6 +72,29 @@ class PackingSpec extends SparkTestBase {
     assert(npart > 1, s"expected the chunked path to use >1 partition, got $npart")
   }
 
+  test("two-level packing property: chunked == unchunked across random shapes") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val nGroups = rnd.nextInt(3) + 1
+      val docs = (0 until 200).map { i =>
+        // i*10 + jitter keeps doc_id unique (the operator contract:
+        // order must be unique within a group) but non-contiguous
+        (s"g${rnd.nextInt(nGroups)}", i.toLong * 10 + rnd.nextInt(5),
+          rnd.nextInt(300)) // includes 0-token docs
+      }.toDF("src", "doc_id", "n")
+      val budget = rnd.nextInt(500) + 1L
+      val chunk = rnd.nextInt(40) + 1L
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("src", "doc_id", "n_tokens", "pack_id", "pack_offset")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val plain = canon(Packing.packAssignments(docs, col("src"),
+        col("doc_id"), col("n"), budget))
+      val two = canon(Packing.packAssignments(docs, col("src"),
+        col("doc_id"), col("n"), budget, chunkSize = chunk))
+      assert(two == plain, s"trial $trial: budget=$budget chunk=$chunk")
+    }
+  }
+
   test("two-level packing: multiple groups and uneven chunk fill") {
     val docs = Seq(
       ("g", 1L, 6), ("g", 2L, 3), ("g", 3L, 4),
