@@ -23,6 +23,65 @@ import org.apache.spark.sql.SparkSession
   * iteration.
   */
 object Bench {
+
+  /** Trailing-zero strip of a fixed-scale decimal ("0.50"->"0.5",
+    * "1.00"->"1") — pure byte savings on the tail-budgeted line.
+    */
+  def trimZeros(s: String): String =
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+    else s
+
+  private def rounded(d: Double, scale: Int): String =
+    trimZeros(BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString)
+
+  /** The one stdout line the harness parses. Hard budget: the harness
+    * keeps only a ~2000-char stdout tail and sbt's trailing "[success]"
+    * line occupies ~66 of it, so the line must fit `budget` chars or
+    * the artifact loses its head (rounds 4 and 6 both shipped truncated
+    * artifacts before this was enforced). Fallback chain 2 -> 1 -> 0
+    * decimals; at 0 decimals sub-second queries print as "0" — names,
+    * count and total stay parseable, and the authoritative 3-decimal
+    * numbers are in the spread file regardless. Failures ride stdout
+    * only when non-empty (they matter more than precision); runs/
+    * loadavg/spread live in the side file only. If even 0 decimals
+    * cannot fit (query NAMES dominate the width eventually), the line
+    * keeps the slowest queries that fit and reports the rest as
+    * "queries_omitted": a parseable artifact with the informative tail
+    * beats a complete one the capture truncates unparseably.
+    */
+  def compactLine(results: Seq[(String, Double)], failures: Set[String],
+                  sfDir: String, budget: Int = 1850): String = {
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failuresField =
+      if (failures.isEmpty) ""
+      else failures.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString(""","failures":[""", ",", "]")
+    def mk(scale: Int, keep: Seq[(String, Double)]): String = {
+      val omitted = results.size - keep.size
+      val omittedField =
+        if (omitted == 0) "" else s""","queries_omitted":$omitted"""
+      val qs = keep
+        .map { case (k, v) => "\"" + k + "\":" + rounded(v, scale) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${rounded(total, 2)},"unit":"sec","queries":$qs$failuresField$omittedField,"sf":"$sfDir"}"""
+    }
+    Iterator(2, 1, 0).map(mk(_, results)).find(_.length <= budget)
+      .getOrElse {
+        // slowest-first truncation (failures sort first via -1 < times
+        // being false — force failures kept by sorting them to the top)
+        val prioritized = results.sortBy { case (n, v) =>
+          (if (v < 0) Double.NegativeInfinity else -v, n)
+        }
+        Iterator.range(prioritized.size - 1, 0, -1)
+          .map { k =>
+            val keepSet = prioritized.take(k).map(_._1).toSet
+            mk(1, results.filter { case (n, _) => keepSet(n) })
+          }
+          .find(_.length <= budget)
+          .getOrElse(mk(1, Seq.empty))
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -71,25 +130,15 @@ object Bench {
     val results = selected.map { case (name, _) =>
       name -> (if (failures.contains(name)) -1.0 else median(samples(name)))
     }
-    def round(d: Double, scale: Int): String =
-      BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
-    def ms(d: Double): String = round(d, 3)
-    // stdout formatting: every byte of the compact line counts against
-    // the harness's 2000-char tail (which sbt's trailing "[success]"
-    // line also occupies) — trim trailing zeros, and if the line still
-    // outgrows the budget at 2 decimals, drop to 1; authoritative
-    // 3-decimal numbers live in the spread file either way
-    def trim(s: String): String =
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
-      else s
-    def qjson(scale: Int): String = results
-      .map { case (k, v) => "\"" + k + "\":" + trim(round(v, scale)) }
-      .mkString("{", ",", "}")
+    def ms(d: Double): String =
+      BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val spread = results.collect { case (name, v) if v >= 0 =>
       val s = samples(name)
       "\"" + name + "\":{\"min\":" + ms(s.min) + ",\"med\":" + ms(v) + ",\"max\":" + ms(s.max) + "}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val qs3 = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
     val fstr = failures.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // host contention forensics: SCALE.md's noise methodology needs to
     // know whether a wide spread coincided with outside load (1/5/15-min
@@ -99,15 +148,8 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
       s.split(" ").take(3).mkString("[", ",", "]")
     } catch { case _: Exception => "[]" }
-    // failures ride stdout only when non-empty; runs/loadavg/spread live
-    // in the side file — the driver contract needs metric/value/unit/
-    // queries/sf, and every omitted byte is tail headroom
-    val failuresField = if (failures.isEmpty) "" else s""","failures":$fstr"""
-    def mkCompact(qs: String) =
-      s"""{"metric":"total","value":${trim(round(total, 2))},"unit":"sec","queries":$qs$failuresField,"sf":"$sfDir"}"""
-    val compact2 = mkCompact(qjson(2))
-    val compact = if (compact2.length <= 1850) compact2 else mkCompact(qjson(1))
-    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qjson(3)},"spread":$spread,"failures":$fstr,"runs":$runs,"loadavg":$loadavg,"sf":"$sfDir"}"""
+    val compact = compactLine(results, failures, sfDir)
+    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs3,"spread":$spread,"failures":$fstr,"runs":$runs,"loadavg":$loadavg,"sf":"$sfDir"}"""
     val spreadOut = sys.env.getOrElse("SPARK_GRAFT_SPREAD_OUT", "tools/bench_spread.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(spreadOut), (full + "\n").getBytes("UTF-8"))
