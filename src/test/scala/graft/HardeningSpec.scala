@@ -12,6 +12,14 @@ import graft.operators.{Sessionize, Skew}
   */
 class HardeningSpec extends SparkTestBase {
 
+  test("every oracle key names a registered query (driver-contract consistency)") {
+    // an oracleSql entry without a matching queries entry would make the
+    // driver's DuckDB compare look up a parquet dump that was never
+    // written — a silent red row. Cheap to pin here.
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql keys without queries: $orphans")
+  }
+
   test("TopKAgg rejects wrong input types at analysis time") {
     import graft.TestSpark.spark.implicits._
     val df = Seq(("a", 1.0, "not-a-long")).toDF("g", "s", "id")
