@@ -889,6 +889,16 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")))
         .select(col("source"), col("n_units"), col("weight"))
     }),
+    "corpus_fixed_sample" -> ((s, dir) => {
+      // fixed-size eval-set construction: the 5 smallest md5-ranked docs
+      // per language — count-based where corpus_stratified is
+      // fraction-based; md5 hex order is engine-portable, hence the
+      // oracle. WindowGroupLimit bounds the shuffle at n per stratum
+      // per input partition.
+      Sampling.fixedSizeSample(t(s, dir, "documents"), col("doc_id"),
+        col("lang"), n = 5)
+        .select(col("doc_id"), col("lang"))
+    }),
     "corpus_length_buckets" -> ((s, dir) => {
       // length-curriculum bucketing: quartile cut points of n_chars in
       // one array-percentile aggregate, broadcast into a codegen'd
@@ -1300,6 +1310,14 @@ object SparkEntry {
         |  FLOOR(sqrt(CAST(n_units AS DOUBLE)) * 1000000.0 + 0.5) AS qs
         |  FROM c)
         |SELECT source, n_units, qs / SUM(qs) OVER () AS weight FROM q""".stripMargin,
+    "corpus_fixed_sample" ->
+      // lowercase md5 hex compares identically in both engines (the
+      // corpus_split portability argument), doc_id breaks exact-key ties
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5""".stripMargin,
     "corpus_length_buckets" ->
       // quantile_cont == Spark's exact interpolated percentile (the
       // q_percentiles equivalence), so the cut points are bit-identical

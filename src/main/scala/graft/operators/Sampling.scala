@@ -88,6 +88,33 @@ object Sampling {
     * The unpartitioned window's one-partition stage holds group-
     * cardinality rows, not corpus rows.
     */
+  /** Fixed-SIZE deterministic sample per stratum: the n rows with the
+    * smallest md5(salt ++ id) in each stratum — eval-set construction
+    * by COUNT ("500 eval docs per language") where [[stratifiedSample]]
+    * samples by fraction. Same identity-hash guarantees: membership is
+    * a pure function of (id, salt, the stratum's other members), stable
+    * under re-runs, partitioning and engines — and the md5 hex order is
+    * portable, so the selection is DuckDB-oracle-checkable. Note the
+    * one semantic difference from fraction sampling: adding corpus rows
+    * can displace a previously-sampled row from the top-n (fixed size
+    * forces that for ANY scheme).
+    *
+    * Scale: one exchange on the stratum; Spark plans the rank filter as
+    * a WindowGroupLimit (map-side partial top-n per stratum), so at
+    * most n rows per stratum per input partition reach the shuffle —
+    * not the whole corpus.
+    */
+  def fixedSizeSample(df: DataFrame, id: Column, stratum: Column, n: Int,
+                      salt: String = "graft"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit(salt), id.cast("string")))
+    val w = Window.partitionBy(stratum).orderBy(key.asc, id.asc)
+    df.withColumn("__fs_rank", row_number().over(w))
+      .filter(col("__fs_rank") <= n)
+      .drop("__fs_rank")
+  }
+
   /** Quantile bucketing of a numeric column — the length-curriculum /
     * batch-shape primitive: cut the corpus at the given quantiles of
     * `value` and label every row with its bucket (1-based; rows above

@@ -88,6 +88,31 @@ class SamplingSpec extends SparkTestBase {
     assert("LocalTableScan".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("fixedSizeSample: exactly n per stratum, stable, partition-independent") {
+    import graft.TestSpark.spark.implicits._
+    val df = (0L until 300L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.fixedSizeSample(d, col("id"), col("lang"), n = 7)
+        .select("id").as[Long].collect().toSet
+    val s1 = ids(df)
+    assert(s1.size == 14) // 7 en + 7 de
+    assert(ids(df.repartition(13)) == s1) // partitioning-independent
+    // a stratum smaller than n yields the whole stratum, no padding
+    val tiny = Seq((1L, "en"), (2L, "en"), (3L, "fr")).toDF("id", "lang")
+    val t = Sampling.fixedSizeSample(tiny, col("id"), col("lang"), n = 7)
+      .select("id").as[Long].collect().toSet
+    assert(t == Set(1L, 2L, 3L))
+  }
+
+  test("fixedSizeSample: map-side partial top-n (WindowGroupLimit) in the plan") {
+    import graft.TestSpark.spark.implicits._
+    val df = (0L until 100L).map(i => (i, "en")).toDF("id", "lang")
+    val plan = Sampling.fixedSizeSample(df, col("id"), col("lang"), n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("quantileBuckets: quartile labels with interpolated cut points") {
     import graft.TestSpark.spark.implicits._
     // values 1..8: quantile_cont cuts at 0.25/0.5/0.75 = 2.75/4.5/6.25
