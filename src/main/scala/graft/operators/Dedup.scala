@@ -477,6 +477,54 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** MinHash-LSH candidate pairs verified by the EXACT shingle Jaccard —
+    * the `embed_near_dup_srp` construction applied to text: the sketch
+    * only GENERATES candidates; every candidate is re-scored on the true
+    * distinct word-`shingleSize`-gram sets, so the output is a subset of
+    * [[ngramJaccardPairs]] (exact values, exact threshold) and answers
+    * the same exact DuckDB oracle whenever LSH recall is 1 on the data.
+    * Choose banding for near-certain recall at the threshold: with
+    * `rows = numHashes/bands` hash rows per band, a true pair at
+    * jaccard `j >= minJaccard` is missed with probability
+    * `(1 - j^rows)^bands` — at rows=2, bands=64, j=0.5 that is
+    * 0.75^64 ~ 1e-8. Cost shape at 100 TB: the per-row minhash kernel +
+    * a banded equi-join generate few candidates; only those candidates
+    * (not the corpus) pay the exact set intersection, via codegen
+    * array_intersect on the two shingle arrays.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashVerifiedPairs(df: DataFrame, id: Column, text: Column,
+                           numHashes: Int = 128, shingleSize: Int = 3,
+                           bands: Int = 64, minJaccard: Double = 0.5,
+                           persistLineage: Boolean = true): DataFrame = {
+    val sigsRaw = minhashSignatures(df, id, text, numHashes, shingleSize)
+    val sigs =
+      if (persistLineage)
+        sigsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigsRaw
+    val banded = lshBands(sigs, numHashes, bands)
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // exact verification: distinct TEXT shingle sets for candidate rows
+    // only. array_intersect is a codegen collection op; the arrays ride
+    // the (small) candidate join, never a corpus-wide shuffle of text.
+    val shingles = df.select(id.as("doc_id"),
+      array_distinct(TextFunctions.wordShingles(text, shingleSize)).as("sh_set"))
+    cands
+      .join(shingles.select(col("doc_id").as("id_a"), col("sh_set").as("sh_a")), "id_a")
+      .join(shingles.select(col("doc_id").as("id_b"), col("sh_set").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Incremental near-dedup: candidate pairs between a NEW increment's
     * signatures and an accumulated REFERENCE corpus's signatures — the
     * shape a daily pipeline needs at scale, where re-LSHing the whole

@@ -162,6 +162,16 @@ object Sampling {
       .drop("__qb_v", "__qb_cuts")
   }
 
+  /** Training-mix temperature sampling: per-group unit masses tempered by
+    * `alpha` (n^alpha), emitted as `(group, n_units, q_units, weight)`.
+    * `q_units` is the tempered mass quantized to micro-units —
+    * `floor(n^alpha * 1e6 + 0.5)` as an exact long — so downstream exact
+    * comparisons (and the DuckDB oracle) can consume an integral column;
+    * `weight` is the normalized share, one shared IEEE division per row
+    * over the exact long sum. Oracle-checked consumers should project
+    * `q_units`, not `weight`: a raw double cell is hash-fragile across
+    * engines even when bit-identical (round-7 driver finding).
+    */
   def temperatureWeights(df: DataFrame, group: Column, size: Column,
                          alpha: Double = 0.5): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
@@ -171,10 +181,10 @@ object Sampling {
       if (alpha == 0.5) sqrt(col("n_units").cast("double"))
       else pow(col("n_units").cast("double"), lit(alpha))
     counts
-      .withColumn("__q", floor(tempered * lit(1e6) + lit(0.5)))
+      .withColumn("q_units",
+        floor(tempered * lit(1e6) + lit(0.5)).cast("long"))
       .withColumn("weight",
-        col("__q") / sum(col("__q")).over(
+        col("q_units") / sum(col("q_units")).over(
           org.apache.spark.sql.expressions.Window.partitionBy()))
-      .drop("__q")
   }
 }

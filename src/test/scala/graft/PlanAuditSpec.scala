@@ -246,17 +246,41 @@ class PlanAuditSpec extends SparkTestBase {
   test("approx twins and ANN recall gates are SELF-asserting in-plan") {
     // round 7: the tolerance/recall guarantees moved from spec-only
     // observations into the registered queries themselves (assert_true,
-    // rendered as raise_error after RuntimeReplaceable rewrite). Pin
-    // that the assert survives optimization so a refactor can't
-    // silently drop the gate while the rows-only check keeps passing.
-    for (name <- Seq("q_distinct_approx", "q_percentiles_approx",
+    // rendered as raise_error after RuntimeReplaceable rewrite). Round
+    // 8 split them out of the benched queries into dedicated _gate
+    // entries (the r7 verdict: benching exact+approx+assert misstates
+    // the operator's production cost). Pin that the assert survives
+    // optimization so a refactor can't silently drop the gate while the
+    // rows-only check keeps passing.
+    for (name <- Seq("q_distinct_approx_gate", "q_percentiles_approx_gate",
         "ann_topk_recall", "ivf_topk_recall")) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
       assert(plan.contains("raise_error"), s"$name lost its in-query assert")
     }
+    // and the PLAIN benched twins stay sketch-only: no in-plan assert
+    // (that's the gate's job) and no exact `percentile`/countDistinct
+    // riding along to inflate the benched cost again
+    for (name <- Seq("q_distinct_approx", "q_percentiles_approx")) {
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("raise_error"),
+        s"$name re-folded its gate — keep it in the _gate entry")
+    }
+    // every percentile in the plain sketch plan is the approx one
+    locally {
+      val plan = graft.SparkEntry.queries("q_percentiles_approx")(spark, dir)
+        .queryExecution.executedPlan.toString
+      val all = "(?<!approx_)percentile\\(".r.findAllIn(plan).length
+      assert(all == 0, s"exact percentile leaked into the plain sketch plan:\n$plan")
+    }
     // and the gates actually pass on harness data (recall above floor,
     // sketches within tolerance) — a breach would throw here
+    for (name <- Seq("ann_topk_recall", "ivf_topk_recall",
+        "q_distinct_approx_gate", "q_percentiles_approx_gate")) {
+      val r = graft.SparkEntry.queries(name)(spark, dir).collect()
+      assert(r.nonEmpty, s"$name returned no rows")
+    }
     for (name <- Seq("ann_topk_recall", "ivf_topk_recall")) {
       val r = graft.SparkEntry.queries(name)(spark, dir).collect()
       assert(r.length == 1)

@@ -54,6 +54,22 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("minhashVerifiedPairs == ngramJaccardPairs (exact values, exact set)") {
+    // the oracle-equivalence claim behind the minhash_pairs registration:
+    // LSH only generates candidates; the exact shingle-Jaccard verify
+    // makes the output coincide with the exact pair operator whenever
+    // recall is 1 (2 rows x 32 bands here: miss prob (1-j^2)^32 ~ 1e-4
+    // at j=0.3, and the fixture's true pairs sit far above the floor)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val verified = asMap(Dedup.minhashVerifiedPairs(docs, col("id"), col("text"),
+      numHashes = 64, shingleSize = 3, bands = 32, minJaccard = 0.3))
+    val exact = asMap(Dedup.ngramJaccardPairs(docs, col("id"), col("text"),
+      n = 3, minJaccard = 0.3, hashShingles = false))
+    assert(verified == exact, s"verified=$verified exact=$exact")
+    assert(verified.contains((1L, 2L)) && verified((1L, 2L)) == 1.0)
+  }
+
   test("identical docs get identical simhash; near dups stay close") {
     val codes = Dedup.simhash64(docs.filter(col("text") =!= ""), col("id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

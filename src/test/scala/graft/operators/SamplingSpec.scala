@@ -69,6 +69,20 @@ class SamplingSpec extends SparkTestBase {
     assert(math.abs(got.map(_._3).sum - 1.0) < 1e-12)
   }
 
+  test("temperatureWeights: q_units is the exact micro-unit long") {
+    import graft.TestSpark.spark.implicits._
+    val rows = Seq.fill(10)(("a", 10)) ++ Seq.fill(10)(("b", 40)) ++
+      Seq.fill(10)(("c", 160))
+    val df = rows.toDF("src", "n")
+    val got = Sampling.temperatureWeights(df, col("src"), col("n"))
+      .select("src", "q_units").as[(String, Long)].collect().toSet
+    // sqrt(100)=10, sqrt(400)=20, sqrt(1600)=40 -> micro-units x 1e6
+    assert(got == Set(("a", 10000000L), ("b", 20000000L), ("c", 40000000L)))
+    val schema = Sampling.temperatureWeights(df, col("src"), col("n")).schema
+    assert(schema("q_units").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("temperatureWeights: alpha<1 upweights small sources vs proportional") {
     import graft.TestSpark.spark.implicits._
     val df = Seq(("small", 100), ("big", 10000)).toDF("src", "n")
