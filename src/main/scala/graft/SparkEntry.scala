@@ -218,9 +218,22 @@ object SparkEntry {
       // in the DuckDB oracle's ORDER BY) yields the exact top-k
       // including boundary ties. Above capacity the same plan degrades
       // gracefully to approximate heavy hitters.
+      // The exactness precondition is ASSERTED in-query: an HLL distinct
+      // estimate of the vocabulary rides the same single-pass agg, and
+      // the query throws if it approaches maxItemsTracked (8000 guard
+      // band covers the ~5% HLL rsd) — so a saturated sketch fails
+      // loudly instead of going silently approximate and red at the
+      // oracle (r7 advice).
       t(s, dir, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("token"))
-        .agg(expr("approx_top_k(token, 100, 10000)").as("top"))
+        .agg(expr("approx_top_k(token, 100, 10000)").as("top"),
+          approx_count_distinct(col("token")).as("__n_vocab"))
+        .where(assert_true(col("__n_vocab") <= 8000,
+          concat(lit("vocabulary_topk sketch near saturation: ~"),
+            col("__n_vocab"),
+            lit(" distinct tokens vs maxItemsTracked=10000 — exactness "
+              + "precondition broken; raise maxItemsTracked or accept "
+              + "approximate heavy hitters"))).isNull)
         .select(explode(col("top")).as("e"))
         .select(col("e.item").as("token"), col("e.count").as("n_occurrences"))
         .orderBy(col("n_occurrences").desc, col("token").asc)
@@ -727,16 +740,21 @@ object SparkEntry {
       // boilerplate/spam compresses far better than prose. Zero-shuffle
       // codegen kernel (thread-local zlib state, one compiled call per
       // row); zlib streams are JVM-specific, so rows-only — with the
-      // structural invariant self-asserted: ratio in (0, 2) always
-      // (deflate overhead is bounded), and the sf corpus' synthetic
-      // token soup must not be flagged hyper-repetitive on average.
+      // structural invariant self-asserted. The bound scales with input
+      // length: deflate's stored-block overhead is ~5 bytes per 64 KiB
+      // block plus a few fixed bytes, so ratio <= 1.001 + 8/n_chars
+      // (n_chars <= n_bytes, so the per-char bound is the loose side).
+      // A constant ceiling would be WRONG: 1 raw byte deflates to 3
+      // (ratio 3.0) — the r7 (0,2) assert threw on any 1-2 char doc.
       import graft.functions.Kernels
       t(s, dir, "documents")
         .select(col("doc_id"), length(col("text")).as("n_chars"),
           Kernels.deflateRatioCol(col("text")).as("deflate_ratio"))
         .where(assert_true(
-          col("deflate_ratio") > 0.0 && col("deflate_ratio") < 2.0,
-          concat(lit("deflate_ratio out of (0,2) for doc "),
+          col("deflate_ratio") > 0.0 &&
+          col("deflate_ratio") <=
+            lit(1.001) + lit(8.0) / greatest(col("n_chars"), lit(1)),
+          concat(lit("deflate_ratio above the stored-block bound for doc "),
             col("doc_id"))).isNull)
     }),
     "text_repetition" -> ((s, dir) => {
@@ -1034,6 +1052,34 @@ object SparkEntry {
         CorpusPipeline.qualityGate(CorpusPipeline.annotate(ref), cfg),
         col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
       val (curated, _) = CorpusPipeline.curateIncrement(inc, refSigs, cfg)
+      curated.select(col("doc_id"), col("lang_pred"), col("n_tokens"))
+    }),
+    "dedup_incremental_stored" -> ((s, dir) => { // engine-hash: rows-only
+      // the 100-TB-relevant DAILY MARGINAL COST: dedup_incremental above
+      // rebuilds the reference signature store inline, so its benched
+      // number conflates store-build with the increment (r7 verdict).
+      // This entry curates the same increment against the
+      // PRE-MATERIALIZED bucketed store: built once per session+dir
+      // (first bench pass / first Verify call), then every timed pass
+      // measures only what a daily run pays — the store side of the
+      // band join plans no exchange (PlanAuditSpec pins it).
+      import graft.pipelines.CorpusPipeline
+      val cfg = CorpusPipeline.Config(minQuality = 0.3,
+        keepLangs = Seq("en"), minTokens = 5, shingleSize = 3,
+        numHashes = 64, bands = 16, minEstJaccard = 0.7, featureDim = 8)
+      val table = "graft_sigstore_" + java.lang.Integer.toHexString(dir.hashCode)
+      if (!s.catalog.tableExists(table)) {
+        val ref = t(s, dir, "documents")
+          .filter(col("source").rlike("^src[0-9]$"))
+        val refSigs = Dedup.minhashSignatures(
+          CorpusPipeline.qualityGate(CorpusPipeline.annotate(ref), cfg),
+          col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
+        CorpusPipeline.writeSignatureStore(refSigs, table, cfg,
+          buckets = 32, org.apache.spark.sql.SaveMode.Overwrite)
+      }
+      val inc = t(s, dir, "documents")
+        .filter(col("source").rlike("^src1[0-9]$"))
+      val (curated, _) = CorpusPipeline.curateIncrementFromStore(inc, table, cfg)
       curated.select(col("doc_id"), col("lang_pred"), col("n_tokens"))
     }),
     "embed_quantize" -> ((s, dir) => {

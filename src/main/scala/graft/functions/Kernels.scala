@@ -378,6 +378,13 @@ object Kernels {
     * fixed JVM's zlib, but NOT engine-portable (different zlib builds
     * emit different streams), so queries over it are rows-only
     * checkable. Empty text -> 1.0.
+    *
+    * Worst-case bound: deflate falls back to stored blocks (5-byte
+    * header per <=65535-byte block), so compressed <= n + 5*ceil(n/65535)
+    * + a few fixed-code bytes; the ratio can exceed 2 for TINY inputs
+    * (1 raw byte deflates to 3 on this JVM) and is only bounded by
+    * ~1 + c/n in general — assertions over it must scale the tolerance
+    * by input length, not assume a constant ceiling.
     */
   def deflateRatio(text: UTF8String): Double = {
     val bytes = text.getBytes

@@ -350,7 +350,9 @@ object Dedup {
     * shared run of >= w+k-1 chars shares at least one fingerprint. The
     * k=8/w=8 defaults target passage-level runs (>= 15 chars) — short
     * k floods the score with chance k-gram collisions between
-    * unrelated prose.
+    * unrelated prose. Documents too short to yield any fingerprint
+    * (text under ~k+w-1 chars) still appear in the output, as
+    * (n_fp=0, n_shared=0, boilerplate_frac=0.0).
     *
     * Scale: the corpus text itself is never shuffled — only the
     * winnowed fingerprint SAMPLE (density ~2/w of the k-gram stream,
@@ -367,22 +369,31 @@ object Dedup {
                         minDocs: Int = 2): DataFrame = {
     import graft.functions.Fingerprint
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // explode_OUTER: a document shorter than ~k+w-1 chars yields no
+    // fingerprints, and a plain explode would drop it from the output
+    // entirely (r7 advice) — the outer row carries fp=null and the doc
+    // surfaces as (n_fp=0, n_shared=0, boilerplate_frac=0.0)
     val fps = df.select(id.as("doc_id"),
-        explode(array_distinct(Fingerprint.winnow(text, k, w))).as("fp"))
+        explode_outer(array_distinct(Fingerprint.winnow(text, k, w))).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-doc distinct fps (array_distinct above), so count(*) per fp
-    // IS the document frequency
-    val shared = fps.groupBy(col("fp"))
+    // per-doc distinct fps (array_distinct above), so count per fp IS
+    // the document frequency; null fps (fingerprint-less docs) must not
+    // form a df group of their own
+    val shared = fps.filter(col("fp").isNotNull)
+      .groupBy(col("fp"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
       .select(col("fp"))
+    // left_semi equi-join: null fp rows never match — correct, they are
+    // not shared fingerprints
     val nShared = fps.join(shared, Seq("fp"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    fps.groupBy(col("doc_id")).agg(count(col("fp")).as("n_fp"))
       .join(nShared, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_fp"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_fp"))
+        when(col("n_fp") === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_fp"))
           .as("boilerplate_frac"))
   }
 

@@ -43,10 +43,15 @@ object Packing {
     *
     * `chunkSize = 0` (default) runs the single window per group;
     * `chunkSize > 0` runs the two-level scan above — use it when one
-    * group dominates the corpus. Chunking requires a numeric `order`
-    * (chunk = floor(order / chunkSize)); a non-numeric order casts to
-    * null and degrades to one chunk per group — correct, but with the
-    * unchunked path's parallelism.
+    * group dominates the corpus. Chunking requires an integral (or
+    * integral-castable) `order`: chunk = order div chunkSize, exact long
+    * arithmetic at all magnitudes. Under ANSI mode (Spark 4 default) a
+    * non-numeric `order` THROWS at the cast — use the unchunked path
+    * for such orders. NULL order values chunk to a Long.MinValue
+    * sentinel (the lowest chunk), matching the unchunked window's
+    * nulls-first ordering; NULL group values are preserved via a
+    * null-safe chunk join — both paths emit byte-identical assignments
+    * for them.
     */
   def packAssignments(df: DataFrame, group: Column, order: Column,
                       tokens: Column, budget: Long,
@@ -60,14 +65,25 @@ object Packing {
         // exclusive prefix sum: tokens of all earlier docs in the group
         df.withColumn("__pack_cum", sum(toks).over(w) - toks)
       } else {
-        // Two-level scan. floor(double) division is exact below 2^53
-        // and monotone in `order`, so chunk c's rows all precede chunk
-        // c+1's in the group stream — a per-chunk local prefix plus the
-        // exclusive sum of earlier chunks' totals IS the group prefix.
+        // Two-level scan. Truncating long `div` is exact at ALL
+        // magnitudes (no 2^53 double ceiling — the same argument as
+        // pack_id below) and monotone in `order`, so chunk c's rows all
+        // precede chunk c+1's in the group stream — a per-chunk local
+        // prefix plus the exclusive sum of earlier chunks' totals IS the
+        // group prefix. (Identity of the two paths never depended on
+        // WHERE chunk boundaries fall, only that chunks are
+        // order-contiguous runs.) NULL orders get a Long.MinValue
+        // sentinel chunk: lowest chunk, and the within-chunk window's
+        // nulls-first order matches the unchunked path. chunkSize=1 with
+        // order=Long.MinValue collides with the sentinel, which is
+        // harmless — rows merely share a chunk.
         val base = df
           .withColumn("__pack_grp", group)
+          .withColumn("__pack_ord", order.cast("long"))
           .withColumn("__pack_chunk",
-            floor(order.cast("double") / lit(chunkSize.toDouble)))
+            coalesce(expr(s"__pack_ord div ${chunkSize}L"),
+              lit(Long.MinValue)))
+          .drop("__pack_ord")
         val wLocal = Window
           .partitionBy(col("__pack_grp"), col("__pack_chunk"))
           .orderBy(order)
@@ -83,10 +99,17 @@ object Packing {
           .agg(sum(toks).as("__pack_ctot"))
           .withColumn("__pack_off",
             sum(col("__pack_ctot")).over(wOff) - col("__pack_ctot"))
-          .select(col("__pack_grp"), col("__pack_chunk"), col("__pack_off"))
-        local.join(broadcast(offsets), Seq("__pack_grp", "__pack_chunk"))
+          .select(col("__pack_grp").as("__pack_grp_r"),
+            col("__pack_chunk").as("__pack_chunk_r"), col("__pack_off"))
+        // null-safe (<=>) join: a NULL group (fine in the unchunked
+        // window) must still meet its chunk offset — plain equality
+        // would silently DROP those rows here
+        local.join(broadcast(offsets),
+            col("__pack_grp") <=> col("__pack_grp_r") &&
+            col("__pack_chunk") <=> col("__pack_chunk_r"))
           .withColumn("__pack_cum", col("__pack_off") + col("__pack_local"))
-          .drop("__pack_grp", "__pack_chunk", "__pack_local", "__pack_off")
+          .drop("__pack_grp", "__pack_chunk", "__pack_grp_r",
+            "__pack_chunk_r", "__pack_local", "__pack_off")
       }
     cum
       .withColumn("n_tokens", toks)

@@ -174,6 +174,21 @@ class KernelPropertiesSpec extends SparkTestBase {
     assert(again == r)
   }
 
+  test("deflateRatio: tiny inputs exceed 2 but respect the stored-block bound") {
+    import graft.TestSpark.spark.implicits._
+    // r7 advice: 1 raw byte deflates to 3 bytes (ratio 3.0), 2 to 4 —
+    // a constant (0,2) invariant is false for short texts. The honest
+    // bound scales with length: ratio <= 1.001 + 8/n (the assertion
+    // text_compressibility now registers).
+    val df = (1 to 64).map(n => (n.toLong, "a" * n)).toDF("id", "text")
+    val r = df.select(col("id"), Kernels.deflateRatioCol(col("text")))
+      .as[(Long, Double)].collect()
+    r.foreach { case (n, ratio) =>
+      assert(ratio > 0.0 && ratio <= 1.001 + 8.0 / n, s"n=$n ratio=$ratio")
+    }
+    assert(r.toMap.apply(1L) > 2.0) // the counterexample that killed (0,2)
+  }
+
   test("deflateRatio stays inside whole-stage codegen") {
     // spark.range source: a literal local relation would be folded by
     // ConvertToLocalRelation before any codegen stage exists

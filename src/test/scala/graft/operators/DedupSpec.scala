@@ -243,6 +243,30 @@ class DedupSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("boilerplateScores: fingerprint-less short docs surface with n_fp=0") {
+    import graft.TestSpark.spark.implicits._
+    spark.catalog.clearCache()
+    val template = "subscribe to our newsletter and accept the cookie policy"
+    val docs = Seq(
+      (1L, template), (2L, template),
+      (3L, "tiny"), // < k+w-1 chars: zero winnowed fingerprints
+      (4L, ""),     // empty text
+      (5L, "also short")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateScores(docs, col("doc_id"), col("text"))
+      .select("doc_id", "n_fp", "n_shared", "boilerplate_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // r7 advice: plain explode silently DROPPED these rows
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), s"missing docs: $got")
+    for (id <- Seq(3L, 4L)) assert(got(id) == ((0L, 0L, 0.0)), s"$id: ${got(id)}")
+    assert(got(1L)._3 == 1.0 && got(2L)._3 == 1.0)
+    // and the null-fp rows never form a shared-fingerprint group: the
+    // fingerprint-less docs must not count each other as boilerplate
+    assert(got(3L)._2 == 0L && got(4L)._2 == 0L && got(5L)._2 == 0L)
+    spark.catalog.clearCache()
+  }
+
   test("boilerplateScores: minDocs raises the sharing bar") {
     import graft.TestSpark.spark.implicits._
     spark.catalog.clearCache()

@@ -95,6 +95,34 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("two-level packing: null group and null order rows survive, chunked == unchunked") {
+    // r7 advice: the chunked path's inner equi-join silently DROPPED
+    // null-group rows (null never equi-matches), and a null order made
+    // a null chunk with the same fate. Null-safe join + sentinel chunk
+    // must make both paths byte-identical, nulls included.
+    val docs = Seq[(Option[String], Option[java.lang.Long], Int)](
+      (Some("g"), Some(1L), 6), (Some("g"), Some(2L), 3),
+      (None, Some(5L), 4), (None, Some(7L), 2), // null group
+      (Some("h"), None, 5), (Some("h"), Some(3L), 1) // null order in h
+    ).toDF("src", "doc_id", "n")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("src", "doc_id", "n_tokens", "pack_id", "pack_offset")
+      .collect().map(r => (r.get(0), r.get(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val plain = canon(Packing.packAssignments(docs, col("src"),
+      col("doc_id"), col("n"), budget = 8L))
+    val chunked = canon(Packing.packAssignments(docs, col("src"),
+      col("doc_id"), col("n"), budget = 8L, chunkSize = 2L))
+    assert(chunked == plain, s"chunked=$chunked plain=$plain")
+    assert(chunked.size == 6, s"rows dropped: $chunked")
+    // null order sorts first (nulls-first window order): doc_id=null in
+    // h starts the stream at 0; doc_id=3 follows at offset 5
+    assert(chunked.exists { case (s, d, _, p, o) =>
+      s == "h" && d == null && p == 0L && o == 0L })
+    assert(chunked.exists { case (s, d, _, p, o) =>
+      s == "h" && d == 3L && p == 0L && o == 5L })
+  }
+
   test("two-level packing: multiple groups and uneven chunk fill") {
     val docs = Seq(
       ("g", 1L, 6), ("g", 2L, 3), ("g", 3L, 4),

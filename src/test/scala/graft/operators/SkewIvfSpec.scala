@@ -23,6 +23,30 @@ class SkewIvfSpec extends SparkTestBase {
     assert(spread > 1)
   }
 
+  test("saltedJoin with saltSource: replay-deterministic and spreads identical payloads") {
+    import graft.TestSpark.spark.implicits._
+    // degenerate skew: the hot key's rows are FULLY identical except the
+    // unique id — a content hash would bucket them together; the id salt
+    // must spread them, and being a pure function of the data it is
+    // stable under any retry/replay (the SPARK-23207 hazard of the MID
+    // default, documented in Skew.saltCol)
+    val fact = ((1 to 100).map(i => (i.toLong, 1L, "same")) ++
+      Seq((101L, 2L, "x"))).toDF("id", "k", "payload")
+    val dim = Seq((1L, "one"), (2L, "two")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).count()
+    val salted = Skew.saltedJoin(fact, dim, "k", salt = 8,
+      saltSource = Some(col("id")))
+    assert(salted.count() == plain)
+    val saltOf = (d: org.apache.spark.sql.DataFrame) => d
+      .withColumn("__salt", pmod(xxhash64(col("id")), lit(8)).cast("int"))
+      .filter(col("k") === 1)
+      .select("id", "__salt").as[(Long, Int)].collect().toMap
+    val a = saltOf(fact)
+    val b = saltOf(fact) // re-evaluated lineage: identical assignment
+    assert(a == b)
+    assert(a.values.toSet.size > 1, "identical payloads must still spread")
+  }
+
   test("saltedSum equals the plain aggregation") {
     import graft.TestSpark.spark.implicits._
     val df = ((1 to 1000).map(i => ("hot", i.toLong)) ++
