@@ -667,6 +667,13 @@ object SparkEntry {
         col("text"), numHashes = 128, shingleSize = 3, bands = 64,
         minJaccard = 0.5)
     }),
+    "duplicate_spans" -> ((s, dir) => {
+      // substring-level dedup signal (Lee et al. 2022): per doc, the
+      // count of corpus-duplicated 8-token spans and the tokens covered
+      // by their union. All-integral output -> exact DuckDB oracle.
+      Dedup.duplicateSpanStats(t(s, dir, "documents"), col("doc_id"),
+        col("text"), n = 8, minCount = 2)
+    }),
     "corpus_curation" -> ((s, dir) => { // engine-hash based: rows-only
       // the composed training-data path: annotate -> quality/lang gate ->
       // exact dedup -> MinHash near-dedup -> enriched curated corpus
@@ -1466,6 +1473,26 @@ object SparkEntry {
         | JOIN sizes na ON na.doc_id = id_a
         | JOIN sizes nb ON nb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5""".stripMargin,
+    "duplicate_spans" ->
+      // exact-text twin of the hashed-span plan; gaps (pos - prev) are
+      // base-independent, so DuckDB's 1-based positions match Spark's
+      // 0-based posexplode
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS sh
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos
+        |        FROM toks WHERE len(t) >= 8)),
+        |hot AS (SELECT sh FROM grams GROUP BY sh HAVING COUNT(*) >= 2),
+        |seq AS (SELECT doc_id, pos,
+        |  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM grams JOIN hot USING (sh)),
+        |cov AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
+        |  SUM(CASE WHEN prev IS NULL THEN 8 ELSE LEAST(8, pos - prev) END) AS dup_tokens
+        |  FROM seq GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(c.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens
+        |FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE
         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

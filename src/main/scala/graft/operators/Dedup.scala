@@ -415,6 +415,66 @@ object Dedup {
       TextFunctions.wordShingles(text, n), bloomBytes))
   }
 
+  /** Duplicate-span statistics — the exact SUBSTRING-level dedup signal
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): for every document, the number of its token
+    * `n`-gram spans whose exact text occurs at least `minCount` times
+    * across the WHOLE corpus (within-doc repeats included), and the
+    * number of its tokens covered by the union of those spans.
+    * Near-dup operators (MinHash/SimHash) score whole documents; this
+    * scores the duplicated PASSAGES inside otherwise-unique documents —
+    * the signal used to cut memorization-prone training text.
+    *
+    * Plan shape at 100 TB: the n-gram stream is hashed to 8-byte keys
+    * per row (`hashShingles`, default — pass false for the exact-text
+    * variant the oracle uses at verification scale), aggregated once by
+    * key with map-side partial counts to find hot spans, and
+    * left_semi-joined back; only the HOT positions (a small fraction of
+    * the corpus by construction) reach the per-doc window that unions
+    * overlapping spans via the lag-gap identity
+    * `covered = Σ min(n, pos - prev_pos)`. The gram stream persists at
+    * its 2-way fan-out (count + semi-join), same cache lifecycle
+    * contract as [[ngramJaccardPairs]].
+    *
+    * Output (all-integral, hash-stable for the DuckDB oracle):
+    * (doc_id, n_tokens, n_dup_spans, dup_tokens) — every input doc
+    * appears, zeros when nothing is duplicated.
+    */
+  def duplicateSpanStats(df: DataFrame, id: Column, text: Column,
+                         n: Int = 8, minCount: Long = 2,
+                         hashShingles: Boolean = true,
+                         persistLineage: Boolean = true): DataFrame = {
+    require(n >= 2, s"span length must be >= 2 tokens, got $n")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val shingleKey =
+      if (hashShingles) xxhash64(col("sh_text")) else col("sh_text")
+    val gramsRaw = df
+      .select(id.as("doc_id"),
+        posexplode(TextFunctions.wordShingles(text, n)).as(Seq("pos", "sh_text")))
+      .select(col("doc_id"), col("pos"), shingleKey.as("sh"))
+    val grams =
+      if (persistLineage)
+        gramsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else gramsRaw
+    val hot = grams.groupBy("sh").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount).select("sh")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val covered = grams.join(hot, Seq("sh"), "left_semi")
+      .withColumn("__prev", lag(col("pos"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(when(col("__prev").isNull, lit(n.toLong))
+          .otherwise(least(lit(n.toLong),
+            (col("pos") - col("__prev")).cast("long")))).as("dup_tokens"))
+    df.select(id.as("doc_id"),
+        TextFunctions.tokenCount(text).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   // --- MinHash + LSH -------------------------------------------------------
 
   /** MinHash signature: for each of `numHashes` hash functions, the

@@ -54,6 +54,36 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("duplicateSpanStats: span counts and union coverage, all docs present") {
+    import graft.TestSpark.spark.implicits._
+    spark.catalog.clearCache()
+    val span = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8 r9"                     // 9 tokens
+    val docs = Seq(
+      (1L, s"one two three $span"),   // span at pos 3
+      (2L, s"$span nine ten"),        // span at pos 0
+      (3L, "completely unrelated words here that never repeat anywhere at all"),
+      (4L, s"$span $span"),           // span at 0 and 8: whole doc covered
+      (5L, "tiny doc"),               // < n tokens: no grams
+      (6L, run),                      // 2 overlapping hot 8-grams
+      (7L, s"pre $run")
+    ).toDF("id", "text")
+    val got = Dedup.duplicateSpanStats(docs, col("id"), col("text"), n = 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(got(1L) == ((11L, 1L, 8L)))
+    assert(got(2L) == ((10L, 1L, 8L)))
+    assert(got(3L) == ((10L, 0L, 0L)))
+    // two disjoint hot spans: 8 + min(8, gap 8) = 16 — fully covered
+    assert(got(4L) == ((16L, 2L, 16L)))
+    assert(got(5L) == ((2L, 0L, 0L)))
+    // two OVERLAPPING hot spans (gap 1): union is 9 tokens, not 16
+    assert(got(6L) == ((9L, 2L, 9L)))
+    assert(got(7L) == ((10L, 2L, 9L)))
+    spark.catalog.clearCache()
+  }
+
   test("minhashVerifiedPairs == ngramJaccardPairs (exact values, exact set)") {
     // the oracle-equivalence claim behind the minhash_pairs registration:
     // LSH only generates candidates; the exact shingle-Jaccard verify
