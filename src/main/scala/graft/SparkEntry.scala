@@ -674,6 +674,14 @@ object SparkEntry {
       Dedup.duplicateSpanStats(t(s, dir, "documents"), col("doc_id"),
         col("text"), n = 8, minCount = 2)
     }),
+    "strip_duplicate_spans" -> ((s, dir) => {
+      // the action half: cut every corpus-duplicated 8-token span from
+      // every document (all occurrences — boilerplate semantics).
+      // clean_text reconstructs from kept tokens, so both engines emit
+      // byte-identical strings.
+      Dedup.stripDuplicateSpans(t(s, dir, "documents"), col("doc_id"),
+        col("text"), n = 8, minCount = 2)
+    }),
     "corpus_curation" -> ((s, dir) => { // engine-hash based: rows-only
       // the composed training-data path: annotate -> quality/lang gate ->
       // exact dedup -> MinHash near-dedup -> enriched curated corpus
@@ -1493,6 +1501,28 @@ object SparkEntry {
         |  CAST(COALESCE(c.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
         |  CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens
         |FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id""".stripMargin,
+    "strip_duplicate_spans" ->
+      // DuckDB's 1-based positions are self-consistent (coverage tests
+      // s <= i < s+8 in the same base); empty-array array_to_string is
+      // NULL in DuckDB, hence the final COALESCE for fully-covered docs
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |grams AS (SELECT doc_id, pos, array_to_string(tk[pos:pos+7], ' ') AS sh
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS pos
+        |        FROM toks WHERE len(tk) >= 8)),
+        |hot AS (SELECT sh FROM grams GROUP BY sh HAVING COUNT(*) >= 2),
+        |starts AS (SELECT doc_id, list_sort(list(pos)) AS st
+        |  FROM grams JOIN hot USING (sh) GROUP BY doc_id),
+        |kept AS (SELECT t.doc_id,
+        |  [t.tk[i] for i in range(1, len(t.tk) + 1)
+        |   if len(list_filter(coalesce(s.st, []), x -> x <= i AND i < x + 8)) = 0]
+        |    AS kt,
+        |  CAST(len(t.tk) AS BIGINT) AS n_tokens
+        |  FROM toks t LEFT JOIN starts s ON t.doc_id = s.doc_id)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(kt, ' '), '') AS clean_text,
+        |  n_tokens,
+        |  n_tokens - CAST(len(kt) AS BIGINT) AS n_removed
+        |FROM kept""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE
         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -440,10 +440,16 @@ object Dedup {
     * (doc_id, n_tokens, n_dup_spans, dup_tokens) — every input doc
     * appears, zeros when nothing is duplicated.
     */
-  def duplicateSpanStats(df: DataFrame, id: Column, text: Column,
-                         n: Int = 8, minCount: Long = 2,
-                         hashShingles: Boolean = true,
-                         persistLineage: Boolean = true): DataFrame = {
+  /** Shared front half of the duplicate-span operators: the (doc_id,
+    * pos) stream of token-`n`-gram START positions whose gram occurs at
+    * least `minCount` times corpus-wide. One 8-byte-key aggregate with
+    * map-side partials + a left_semi back onto the (persisted) gram
+    * stream; only hot positions flow out.
+    */
+  private def hotSpanPositions(df: DataFrame, id: Column, text: Column,
+                               n: Int, minCount: Long,
+                               hashShingles: Boolean,
+                               persistLineage: Boolean): DataFrame = {
     require(n >= 2, s"span length must be >= 2 tokens, got $n")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val shingleKey =
@@ -458,9 +464,17 @@ object Dedup {
       else gramsRaw
     val hot = grams.groupBy("sh").agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= minCount).select("sh")
+    grams.join(hot, Seq("sh"), "left_semi")
+  }
+
+  def duplicateSpanStats(df: DataFrame, id: Column, text: Column,
+                         n: Int = 8, minCount: Long = 2,
+                         hashShingles: Boolean = true,
+                         persistLineage: Boolean = true): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val covered = grams.join(hot, Seq("sh"), "left_semi")
+    val covered = hotSpanPositions(df, id, text, n, minCount,
+        hashShingles, persistLineage)
       .withColumn("__prev", lag(col("pos"), 1).over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_spans"),
@@ -473,6 +487,49 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
+  /** The ACTION half of [[duplicateSpanStats]]: strip every token
+    * covered by a corpus-duplicated `n`-gram span from every document —
+    * aggressive template/boilerplate removal, the "cut the memorized
+    * passage" edit of Lee et al. 2022. Note the semantics: ALL
+    * occurrences are removed (right for boilerplate a pipeline never
+    * wants); occurrence-level dedup that KEEPS one canonical copy needs
+    * a global survivor choice per span — compose [[exactKeepMinId]]
+    * over span hashes if that is the goal.
+    *
+    * Plan shape: the hot-position front half is [[hotSpanPositions]]
+    * (text never shuffles there); the per-doc sorted start list rides a
+    * collect_list aggregate (bounded by tokens-per-doc, and hot spans
+    * are rare by construction), left-joins the corpus, and tokens drop
+    * in a per-row filter+exists HOF — interpreted, O(tokens × spans)
+    * per doc with early exit, so cost concentrates exactly on the
+    * templated docs being cleaned. Docs with no hot span short-circuit
+    * to the original text (join miss), paying zero HOF evals.
+    *
+    * Output: (doc_id, clean_text, n_tokens, n_removed). clean_text is
+    * the space-join of surviving tokens — byte-identical to the input
+    * for untouched docs (split/join on single space is lossless).
+    */
+  def stripDuplicateSpans(df: DataFrame, id: Column, text: Column,
+                          n: Int = 8, minCount: Long = 2,
+                          hashShingles: Boolean = true,
+                          persistLineage: Boolean = true): DataFrame = {
+    val starts = hotSpanPositions(df, id, text, n, minCount,
+        hashShingles, persistLineage)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    df.select(id.as("doc_id"), text.as("__text"))
+      .join(starts, Seq("doc_id"), "left")
+      .withColumn("__tk", TextFunctions.tokens(col("__text")))
+      .withColumn("__kept",
+        when(col("__starts").isNull, col("__tk"))
+          .otherwise(filter(col("__tk"), (_, i) =>
+            !exists(col("__starts"), s => s <= i && i < s + n))))
+      .select(col("doc_id"),
+        concat_ws(" ", col("__kept")).as("clean_text"),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        (size(col("__tk")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
   // --- MinHash + LSH -------------------------------------------------------

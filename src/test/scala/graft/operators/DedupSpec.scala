@@ -84,6 +84,66 @@ class DedupSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("duplicateSpanStats property: matches brute force on random dense corpora") {
+    import graft.TestSpark.spark.implicits._
+    spark.catalog.clearCache()
+    val rnd = new scala.util.Random(11)
+    val n = 4
+    // 5-word vocabulary: dense collisions, many overlapping hot spans
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (1 to 40).map { i =>
+      val ntok = rnd.nextInt(25)
+      (i.toLong, Vector.fill(ntok)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // brute force: count every n-gram occurrence, union hot intervals
+    val grams = docs.flatMap { case (docId, text) =>
+      val t = text.split(" ", -1).toVector
+      if (t.size >= n) (0 to t.size - n).map(p => (docId, p, t.slice(p, p + n).mkString(" ")))
+      else Nil
+    }
+    val cnt = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    val expected = docs.map { case (docId, text) =>
+      val t = text.split(" ", -1).toVector
+      val hotStarts = grams.filter(g => g._1 == docId && cnt(g._3) >= 2).map(_._2)
+      val union = hotStarts.flatMap(p => p until p + n).toSet.size
+      docId -> ((t.size.toLong, hotStarts.size.toLong, union.toLong))
+    }.toMap
+    val got = Dedup.duplicateSpanStats(docs.toDF("id", "text"),
+        col("id"), col("text"), n = n)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+    spark.catalog.clearCache()
+  }
+
+  test("stripDuplicateSpans: removes exactly the covered tokens, keeps clean docs verbatim") {
+    import graft.TestSpark.spark.implicits._
+    spark.catalog.clearCache()
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three $span"),
+      (2L, s"$span nine ten"),
+      (3L, "completely unrelated words here that never repeat anywhere at all"),
+      (4L, s"$span $span"), // fully covered -> empty clean_text
+      (5L, "tiny doc")
+    ).toDF("id", "text")
+    val got = Dedup.stripDuplicateSpans(docs, col("id"), col("text"), n = 8)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("one two three", 11L, 8L)))
+    assert(got(2L) == (("nine ten", 10L, 8L)))
+    assert(got(3L) == (("completely unrelated words here that never repeat anywhere at all", 10L, 0L)))
+    assert(got(4L) == (("", 16L, 16L)))
+    assert(got(5L) == (("tiny doc", 2L, 0L)))
+    // consistency: n_removed == duplicateSpanStats.dup_tokens everywhere
+    val stats = Dedup.duplicateSpanStats(docs, col("id"), col("text"), n = 8)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    got.foreach { case (id, (_, _, removed)) =>
+      assert(removed == stats(id), s"doc $id: $removed vs ${stats(id)}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("minhashVerifiedPairs == ngramJaccardPairs (exact values, exact set)") {
     // the oracle-equivalence claim behind the minhash_pairs registration:
     // LSH only generates candidates; the exact shingle-Jaccard verify
