@@ -243,6 +243,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p3.contains("Broadcast"), p3)
   }
 
+  test("duplicate-span operators: only gram hashes and doc ids shuffle, never text") {
+    spark.catalog.clearCache()
+    for (name <- Seq("duplicate_spans", "strip_duplicate_spans")) {
+      val plan = planOf(graft.SparkEntry.queries(name)(spark, dir))
+      // grams are hashed to 8-byte keys scan-side
+      assert(plan.contains("xxhash64"), s"$name: $plan")
+      // every hash exchange partitions on the gram hash or the doc id —
+      // the raw text column must never be a shuffle key or ride one
+      val parts = "hashpartitioning\\(([A-Za-z_]+)#".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet
+      assert(parts.nonEmpty && parts.subsetOf(Set("sh", "doc_id")),
+        s"$name shuffles on $parts")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("approx twins and ANN recall gates are SELF-asserting in-plan") {
     // round 7: the tolerance/recall guarantees moved from spec-only
     // observations into the registered queries themselves (assert_true,
