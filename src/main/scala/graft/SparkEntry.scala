@@ -956,6 +956,19 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")))
         .select(col("source"), col("n_units"), col("q_units"))
     }),
+    "corpus_budget_alloc" -> ((s, dir) => {
+      // epoch-capped water-filling: 52k-token training budget split by
+      // the alpha=0.5 tempered mixture, every source capped at 2 epochs
+      // of its own tokens. Closed-form λ via one window pass over the
+      // source-cardinality table; all-integral output. 52k sits in the
+      // MIXED regime at sf0.01 (the smallest sources hit their 2-epoch
+      // caps, the rest water-fill), is uncapped at sf0.1, and degrades
+      // to the caps at sf0.001 (budget above every cap) — the three
+      // regimes of the operator across the harness scale factors.
+      Sampling.allocateBudget(t(s, dir, "documents"), col("source"),
+        TextFunctions.tokenCount(col("text")),
+        totalTokens = 52000L, maxEpochs = 2.0)
+    }),
     "corpus_fixed_sample" -> ((s, dir) => {
       // fixed-size eval-set construction: the 5 smallest md5-ranked docs
       // per language — count-based where corpus_stratified is
@@ -1406,6 +1419,39 @@ object SparkEntry {
         |  CAST(FLOOR(sqrt(CAST(n_units AS DOUBLE)) * 1000000.0 + 0.5)
         |    AS BIGINT) AS q_units
         |FROM c""".stripMargin,
+    "corpus_budget_alloc" ->
+      // mirror of the closed-form water-filling: identical exact-long
+      // inputs, one IEEE division for λ, min(cap, floor(λ·q)) per row —
+      // bit-identical in any IEEE engine. NULL λ (budget above all
+      // caps) degrades to the caps in both.
+      """WITH c AS (SELECT source,
+        |  SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_units
+        |  FROM documents GROUP BY source),
+        |q AS (SELECT source, n_units,
+        |  CAST(FLOOR(sqrt(CAST(n_units AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS q_units
+        |  FROM c),
+        |caps AS (SELECT source, n_units, q_units,
+        |  CAST(FLOOR(CAST(n_units AS DOUBLE) * 2.0) AS BIGINT) AS cap_tokens,
+        |  CAST(cap_tokens AS DOUBLE) / CAST(q_units AS DOUBLE) AS rr
+        |  FROM q),
+        |sums AS (SELECT *,
+        |  SUM(cap_tokens) OVER (ORDER BY rr, source ROWS UNBOUNDED PRECEDING) AS cumC,
+        |  SUM(q_units) OVER (ORDER BY rr, source ROWS UNBOUNDED PRECEDING) AS cumQ,
+        |  SUM(q_units) OVER () AS totQ
+        |  FROM caps),
+        |cand AS (SELECT *,
+        |  LAG(cumC, 1, 0) OVER (ORDER BY rr, source) AS cPrev,
+        |  LAG(cumQ, 1, 0) OVER (ORDER BY rr, source) AS qPrev,
+        |  LAG(rr, 1, 0.0) OVER (ORDER BY rr, source) AS rPrev
+        |  FROM sums),
+        |lamv AS (SELECT MIN(lam) AS lambda FROM (
+        |  SELECT (52000.0 - CAST(cPrev AS DOUBLE)) / CAST(totQ - qPrev AS DOUBLE) AS lam,
+        |         rr, rPrev FROM cand)
+        |  WHERE lam >= rPrev AND lam <= rr)
+        |SELECT source, n_units, q_units, cap_tokens,
+        |  LEAST(cap_tokens, CAST(COALESCE(
+        |    FLOOR(l.lambda * CAST(q_units AS DOUBLE)), cap_tokens) AS BIGINT)) AS alloc_tokens
+        |FROM caps, lamv l""".stripMargin,
     "corpus_fixed_sample" ->
       // lowercase md5 hex compares identically in both engines (the
       // corpus_split portability argument), doc_id breaks exact-key ties

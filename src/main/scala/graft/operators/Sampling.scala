@@ -187,4 +187,69 @@ object Sampling {
         col("q_units") / sum(col("q_units")).over(
           org.apache.spark.sql.expressions.Window.partitionBy()))
   }
+
+  /** Epoch-capped token-budget allocation — water-filling over the
+    * tempered mixture: split `totalTokens` across groups proportionally
+    * to [[temperatureWeights]]' tempered masses, but cap every group at
+    * `maxEpochs` passes over its own `n_units` (the data-mixing
+    * computation of LLM training recipes: a small high-weight source
+    * must not be repeated tens of epochs just because the temperature
+    * upweights it).
+    *
+    * Solved in CLOSED FORM, no iteration: allocation is
+    * `min(cap_i, λ·q_i)` where λ is the water level making the total hit
+    * the budget. Sort groups by `cap_i/q_i` ascending; for k capped
+    * groups the candidate level is `λ_k = (T - Σcap_{≤k}) / Σq_{>k}`,
+    * and the unique valid k satisfies `r_k <= λ_k <= r_{k+1}` — one
+    * window pass over the GROUP-CARDINALITY table (sources, not
+    * documents — the single-partition window is deliberate and tiny),
+    * then the scalar λ broadcasts back. If the budget exceeds every
+    * cap (infeasible), allocation degrades to the caps and the total is
+    * `Σcap < T` — no iteration, no failure.
+    *
+    * Engine-portable by the [[temperatureWeights]] argument: every
+    * input to λ is an exact long, λ itself is one IEEE division, and
+    * each group's allocation is `min(cap, floor(λ·q))` — identical
+    * doubles, identical floors in any IEEE engine, integral output.
+    * Σalloc can undershoot T by at most one token per group (the
+    * floors) plus any infeasibility gap. Output: (group, n_units,
+    * q_units, cap_tokens, alloc_tokens).
+    */
+  def allocateBudget(df: DataFrame, group: Column, size: Column,
+                     totalTokens: Long, maxEpochs: Double,
+                     alpha: Double = 0.5): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
+    require(maxEpochs > 0.0, s"maxEpochs must be positive, got $maxEpochs")
+    import org.apache.spark.sql.expressions.Window
+    val tw = temperatureWeights(df, group, size, alpha).drop("weight")
+    val gname = tw.columns.head
+    val caps = tw.withColumn("cap_tokens",
+        floor(col("n_units").cast("double") * lit(maxEpochs)).cast("long"))
+      .withColumn("__r",
+        col("cap_tokens").cast("double") / col("q_units").cast("double"))
+    val ord = Window.orderBy(col("__r"), col(gname))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // two projections: lag of a windowed sum can't nest in one select
+    val sums = caps
+      .withColumn("__cumC", sum(col("cap_tokens")).over(cum))
+      .withColumn("__cumQ", sum(col("q_units")).over(cum))
+      .withColumn("__totQ", sum(col("q_units")).over(Window.partitionBy()))
+    val cands = sums
+      .withColumn("__cPrev", lag(col("__cumC"), 1, 0L).over(ord))
+      .withColumn("__qPrev", lag(col("__cumQ"), 1, 0L).over(ord))
+      .withColumn("__rPrev", lag(col("__r"), 1, 0.0).over(ord))
+      .withColumn("__lam",
+        (lit(totalTokens.toDouble) - col("__cPrev").cast("double")) /
+          (col("__totQ") - col("__qPrev")).cast("double"))
+    // the unique valid water level (NULL when the budget exceeds all
+    // caps — the infeasible case, which degrades to the caps below)
+    val lambda = cands
+      .agg(min(when(col("__lam") >= col("__rPrev") &&
+        col("__lam") <= col("__r"), col("__lam"))).as("__lambda"))
+    caps.crossJoin(broadcast(lambda))
+      .select(col(gname), col("n_units"), col("q_units"), col("cap_tokens"),
+        least(col("cap_tokens"),
+          coalesce(floor(col("__lambda") * col("q_units").cast("double"))
+            .cast("long"), col("cap_tokens"))).as("alloc_tokens"))
+  }
 }

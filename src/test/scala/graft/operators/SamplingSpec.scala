@@ -83,6 +83,57 @@ class SamplingSpec extends SparkTestBase {
       org.apache.spark.sql.types.LongType)
   }
 
+  test("allocateBudget: closed-form water level matches iterative water-filling") {
+    import graft.TestSpark.spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // reference: iterate the capped set to fixpoint with the SAME
+    // arithmetic (exact long sums, one IEEE division) — the closed-form
+    // sorted scan must agree bit-for-bit
+    def brute(masses: Seq[(String, Long)], t: Long, maxEpochs: Double): Map[String, Long] = {
+      val q = masses.map { case (k, n) =>
+        k -> math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong }.toMap
+      val cap = masses.map { case (k, n) =>
+        k -> math.floor(n.toDouble * maxEpochs).toLong }.toMap
+      var capped = Set.empty[String]
+      var lam = Double.PositiveInfinity
+      var changed = true
+      while (changed) {
+        val qSum = q.filterNot(kv => capped(kv._1)).values.sum
+        if (qSum == 0L) { changed = false; lam = Double.PositiveInfinity }
+        else {
+          lam = (t - capped.toSeq.map(cap).sum).toDouble / qSum.toDouble
+          val newly = q.keys.filterNot(capped)
+            .filter(k => lam * q(k).toDouble >= cap(k).toDouble).toSet
+          changed = newly.nonEmpty
+          capped ++= newly
+        }
+      }
+      masses.map { case (k, _) =>
+        k -> (if (lam.isInfinity) cap(k)
+              else math.min(cap(k), math.floor(lam * q(k).toDouble).toLong))
+      }.toMap
+    }
+    for (trial <- 1 to 5) {
+      val masses = (1 to 6).map(i => (s"s$i", (rnd.nextInt(1990) + 10).toLong))
+      val total = masses.map(_._2).sum
+      // three regimes: loose budget, tight (forces caps), infeasible
+      for (t <- Seq(total / 3, (total * 3) / 2, total * 10).map(_ max 1L)) {
+        val rows = masses.flatMap { case (k, n) => Seq((k, n)) }
+        val got = Sampling.allocateBudget(rows.toDF("src", "n"),
+            col("src"), col("n"), totalTokens = t, maxEpochs = 2.0)
+          .select("src", "cap_tokens", "alloc_tokens")
+          .as[(String, Long, Long)].collect()
+        val expect = brute(masses, t, 2.0)
+        got.foreach { case (k, cap, alloc) =>
+          assert(alloc == expect(k), s"trial $trial t=$t src $k: $alloc vs ${expect(k)}")
+          assert(alloc <= cap)
+        }
+        assert(got.map(_._3).sum <= t || got.map(_._3).sum == got.map(_._2).sum,
+          s"budget exceeded: ${got.toSeq}")
+      }
+    }
+  }
+
   test("temperatureWeights: alpha<1 upweights small sources vs proportional") {
     import graft.TestSpark.spark.implicits._
     val df = Seq(("small", 100), ("big", 10000)).toDF("src", "n")
