@@ -1096,7 +1096,14 @@ object SparkEntry {
         keepLangs = Seq("en"), minTokens = 5, shingleSize = 3,
         numHashes = 64, bands = 16, minEstJaccard = 0.7, featureDim = 8)
       val table = "graft_sigstore_" + java.lang.Integer.toHexString(dir.hashCode)
-      if (!s.catalog.tableExists(table)) {
+      // guard on BOTH halves: writeSignatureStore's two writes are not
+      // transactional, and a crash between them would otherwise leave
+      // the raw table present, the build skipped forever, and the
+      // banded-index read failing (or, worse, silently stale) — the
+      // exact hazard verifySignatureStore/repairSignatureStore exist
+      // for. Overwrite mode makes the rebuild safe over either half.
+      if (!s.catalog.tableExists(table) ||
+          !s.catalog.tableExists(table + "_banded")) {
         val ref = t(s, dir, "documents")
           .filter(col("source").rlike("^src[0-9]$"))
         val refSigs = Dedup.minhashSignatures(
@@ -1438,7 +1445,7 @@ object SparkEntry {
         |  SUM(cap_tokens) OVER (ORDER BY rr, source ROWS UNBOUNDED PRECEDING) AS cumC,
         |  SUM(q_units) OVER (ORDER BY rr, source ROWS UNBOUNDED PRECEDING) AS cumQ,
         |  SUM(q_units) OVER () AS totQ
-        |  FROM caps),
+        |  FROM caps WHERE q_units > 0),
         |cand AS (SELECT *,
         |  LAG(cumC, 1, 0) OVER (ORDER BY rr, source) AS cPrev,
         |  LAG(cumQ, 1, 0) OVER (ORDER BY rr, source) AS qPrev,
@@ -1449,8 +1456,10 @@ object SparkEntry {
         |         rr, rPrev FROM cand)
         |  WHERE lam >= rPrev AND lam <= rr)
         |SELECT source, n_units, q_units, cap_tokens,
-        |  LEAST(cap_tokens, CAST(COALESCE(
-        |    FLOOR(l.lambda * CAST(q_units AS DOUBLE)), cap_tokens) AS BIGINT)) AS alloc_tokens
+        |  CASE WHEN q_units > 0 THEN
+        |    LEAST(cap_tokens, CAST(COALESCE(
+        |      FLOOR(l.lambda * CAST(q_units AS DOUBLE)), cap_tokens) AS BIGINT))
+        |  ELSE 0 END AS alloc_tokens
         |FROM caps, lamv l""".stripMargin,
     "corpus_fixed_sample" ->
       // lowercase md5 hex compares identically in both engines (the

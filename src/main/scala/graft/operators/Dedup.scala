@@ -415,31 +415,6 @@ object Dedup {
       TextFunctions.wordShingles(text, n), bloomBytes))
   }
 
-  /** Duplicate-span statistics — the exact SUBSTRING-level dedup signal
-    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
-    * Models Better"): for every document, the number of its token
-    * `n`-gram spans whose exact text occurs at least `minCount` times
-    * across the WHOLE corpus (within-doc repeats included), and the
-    * number of its tokens covered by the union of those spans.
-    * Near-dup operators (MinHash/SimHash) score whole documents; this
-    * scores the duplicated PASSAGES inside otherwise-unique documents —
-    * the signal used to cut memorization-prone training text.
-    *
-    * Plan shape at 100 TB: the n-gram stream is hashed to 8-byte keys
-    * per row (`hashShingles`, default — pass false for the exact-text
-    * variant the oracle uses at verification scale), aggregated once by
-    * key with map-side partial counts to find hot spans, and
-    * left_semi-joined back; only the HOT positions (a small fraction of
-    * the corpus by construction) reach the per-doc window that unions
-    * overlapping spans via the lag-gap identity
-    * `covered = Σ min(n, pos - prev_pos)`. The gram stream persists at
-    * its 2-way fan-out (count + semi-join), same cache lifecycle
-    * contract as [[ngramJaccardPairs]].
-    *
-    * Output (all-integral, hash-stable for the DuckDB oracle):
-    * (doc_id, n_tokens, n_dup_spans, dup_tokens) — every input doc
-    * appears, zeros when nothing is duplicated.
-    */
   /** Shared front half of the duplicate-span operators: the (doc_id,
     * pos) stream of token-`n`-gram START positions whose gram occurs at
     * least `minCount` times corpus-wide. One 8-byte-key aggregate with
@@ -467,6 +442,31 @@ object Dedup {
     grams.join(hot, Seq("sh"), "left_semi")
   }
 
+  /** Duplicate-span statistics — the exact SUBSTRING-level dedup signal
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): for every document, the number of its token
+    * `n`-gram spans whose exact text occurs at least `minCount` times
+    * across the WHOLE corpus (within-doc repeats included), and the
+    * number of its tokens covered by the union of those spans.
+    * Near-dup operators (MinHash/SimHash) score whole documents; this
+    * scores the duplicated PASSAGES inside otherwise-unique documents —
+    * the signal used to cut memorization-prone training text.
+    *
+    * Plan shape at 100 TB: the n-gram stream is hashed to 8-byte keys
+    * per row (`hashShingles`, default — pass false for the exact-text
+    * variant the oracle uses at verification scale), aggregated once by
+    * key with map-side partial counts to find hot spans, and
+    * left_semi-joined back; only the HOT positions (a small fraction of
+    * the corpus by construction) reach the per-doc window that unions
+    * overlapping spans via the lag-gap identity
+    * `covered = Σ min(n, pos - prev_pos)`. The gram stream persists at
+    * its 2-way fan-out (count + semi-join), same cache lifecycle
+    * contract as [[ngramJaccardPairs]].
+    *
+    * Output (all-integral, hash-stable for the DuckDB oracle):
+    * (doc_id, n_tokens, n_dup_spans, dup_tokens) — every input doc
+    * appears, zeros when nothing is duplicated.
+    */
   def duplicateSpanStats(df: DataFrame, id: Column, text: Column,
                          n: Int = 8, minCount: Long = 2,
                          hashShingles: Boolean = true,

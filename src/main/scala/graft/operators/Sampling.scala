@@ -227,10 +227,17 @@ object Sampling {
         floor(col("n_units").cast("double") * lit(maxEpochs)).cast("long"))
       .withColumn("__r",
         col("cap_tokens").cast("double") / col("q_units").cast("double"))
+    // zero-mass groups (q_units = 0, possible only when the group's
+    // size sum is 0 or NULL) are excluded from the water-level math —
+    // 0/0 would make __r NULL, sort first, and poison the next row's
+    // lag(__r) so the valid candidate's predicate goes NULL and the
+    // whole allocation silently degrades to caps. They get 0 tokens in
+    // the output (their cap is 0 anyway).
+    val live = caps.filter(col("q_units") > 0)
     val ord = Window.orderBy(col("__r"), col(gname))
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // two projections: lag of a windowed sum can't nest in one select
-    val sums = caps
+    val sums = live
       .withColumn("__cumC", sum(col("cap_tokens")).over(cum))
       .withColumn("__cumQ", sum(col("q_units")).over(cum))
       .withColumn("__totQ", sum(col("q_units")).over(Window.partitionBy()))
@@ -248,8 +255,10 @@ object Sampling {
         col("__lam") <= col("__r"), col("__lam"))).as("__lambda"))
     caps.crossJoin(broadcast(lambda))
       .select(col(gname), col("n_units"), col("q_units"), col("cap_tokens"),
-        least(col("cap_tokens"),
-          coalesce(floor(col("__lambda") * col("q_units").cast("double"))
-            .cast("long"), col("cap_tokens"))).as("alloc_tokens"))
+        when(col("q_units") > 0,
+          least(col("cap_tokens"),
+            coalesce(floor(col("__lambda") * col("q_units").cast("double"))
+              .cast("long"), col("cap_tokens"))))
+          .otherwise(lit(0L)).as("alloc_tokens"))
   }
 }

@@ -291,9 +291,10 @@ class PlanAuditSpec extends SparkTestBase {
       assert(all == 0, s"exact percentile leaked into the plain sketch plan:\n$plan")
     }
     // and the gates actually pass on harness data (recall above floor,
-    // sketches within tolerance) — a breach would throw here
-    for (name <- Seq("ann_topk_recall", "ivf_topk_recall",
-        "q_distinct_approx_gate", "q_percentiles_approx_gate")) {
+    // sketches within tolerance) — a breach would throw here. The ANN
+    // recall gates are collected once below (length==1 implies
+    // nonEmpty), so only the two new _gate entries need the extra run.
+    for (name <- Seq("q_distinct_approx_gate", "q_percentiles_approx_gate")) {
       val r = graft.SparkEntry.queries(name)(spark, dir).collect()
       assert(r.nonEmpty, s"$name returned no rows")
     }

@@ -114,7 +114,11 @@ class SamplingSpec extends SparkTestBase {
       }.toMap
     }
     for (trial <- 1 to 5) {
-      val masses = (1 to 6).map(i => (s"s$i", (rnd.nextInt(1990) + 10).toLong))
+      // include a zero-mass source: q_units = 0 must not poison the
+      // water level (NULL __r sorting first broke the lag chain before
+      // the r8 review fix) — it gets 0 tokens, everyone else allocates
+      val masses = (1 to 6).map(i => (s"s$i", (rnd.nextInt(1990) + 10).toLong)) :+
+        ("s_zero", 0L)
       val total = masses.map(_._2).sum
       // three regimes: loose budget, tight (forces caps), infeasible
       for (t <- Seq(total / 3, (total * 3) / 2, total * 10).map(_ max 1L)) {
