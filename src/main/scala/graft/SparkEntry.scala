@@ -667,6 +667,18 @@ object SparkEntry {
         col("text"), numHashes = 128, shingleSize = 3, bands = 64,
         minJaccard = 0.5)
     }),
+    "novelty_scores" -> ((s, dir) => {
+      // per-doc novelty of the src1x increment vs the accumulated
+      // src0-9 reference (the dedup_incremental split): integral
+      // (n_sh, n_known) projection for the oracle; the novelty double
+      // stays on the operator output
+      val docs = t(s, dir, "documents")
+      Dedup.noveltyScores(
+        docs.filter(col("source").rlike("^src1[0-9]$")),
+        docs.filter(col("source").rlike("^src[0-9]$")),
+        col("doc_id"), col("text"), n = 3)
+        .select(col("doc_id"), col("n_sh"), col("n_known"))
+    }),
     "duplicate_spans" -> ((s, dir) => {
       // substring-level dedup signal (Lee et al. 2022): per doc, the
       // count of corpus-duplicated 8-token spans and the tokens covered
@@ -1536,6 +1548,25 @@ object SparkEntry {
         | JOIN sizes na ON na.doc_id = id_a
         | JOIN sizes nb ON nb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5""".stripMargin,
+    "novelty_scores" ->
+      // exact-text twin of the hashed-shingle plan (ngram_jaccard's
+      // 3-gram comprehension); DISTINCT per doc mirrors array_distinct
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |dsh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id,
+        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM toks WHERE regexp_matches(source, '^src1[0-9]$') AND len(t) >= 3)),
+        |rsh AS (SELECT DISTINCT sh FROM (
+        |  SELECT unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM toks WHERE regexp_matches(source, '^src[0-9]$') AND len(t) >= 3)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_sh,
+        |  CAST(SUM(CASE WHEN r.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known
+        |  FROM dsh d LEFT JOIN rsh r USING (sh) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_sh, 0) AS n_sh,
+        |  COALESCE(a.n_known, 0) AS n_known
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |WHERE regexp_matches(d.source, '^src1[0-9]$')""".stripMargin,
     "duplicate_spans" ->
       // exact-text twin of the hashed-span plan; gaps (pos - prev) are
       // base-independent, so DuckDB's 1-based positions match Spark's

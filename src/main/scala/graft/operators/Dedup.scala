@@ -442,6 +442,58 @@ object Dedup {
     grams.join(hot, Seq("sh"), "left_semi")
   }
 
+  /** Per-document NOVELTY against a reference corpus: for every doc in
+    * `docs`, how many of its distinct word-`n`-gram shingles already
+    * occur anywhere in `ref` — the daily-crawl question ("how much of
+    * today's batch is new text?") that drives dedup-before-ingest and
+    * crawl-source budgeting. The inverse view of the contamination
+    * family: [[shingleContamination]] scores EVAL docs against the
+    * training corpus; this scores INCOMING docs against the accumulated
+    * reference.
+    *
+    * Plan shape at 100 TB: both sides reduce to 8-byte shingle hashes
+    * (`hashShingles` — pass false for the exact-text oracle variant);
+    * the reference set distincts once on the hash, the incoming side
+    * left-joins it (equi-join on a fixed-width key; Catalyst broadcasts
+    * when the ref fits, AQE otherwise), and per-doc counts aggregate
+    * with map-side partials. Raw text never shuffles. For a
+    * boolean-gate variant with ZERO shuffle, use
+    * [[decontaminationGate]]'s bloom-probe kernel instead.
+    *
+    * Output: (doc_id, n_sh, n_known, novelty) for EVERY input doc —
+    * n_sh/n_known integral (hash-stable for the oracle), novelty =
+    * 1 - n_known/n_sh as a convenience double (1.0 for shingle-less
+    * docs: nothing about them is known to the reference).
+    */
+  def noveltyScores(docs: DataFrame, ref: DataFrame, id: Column,
+                    text: Column, n: Int,
+                    hashShingles: Boolean = true): DataFrame = {
+    val key =
+      if (hashShingles) xxhash64(col("sh_text")) else col("sh_text")
+    val docSh = docs.select(id.as("doc_id"),
+        explode(array_distinct(TextFunctions.wordShingles(text, n))).as("sh_text"))
+      .select(col("doc_id"), key.as("sh"))
+    val refSh = ref
+      .select(explode(array_distinct(TextFunctions.wordShingles(text, n))).as("sh_text"))
+      .select(key.as("sh"))
+      .distinct()
+    // ref side is distinct, so the left join preserves doc-shingle
+    // cardinality; count(__known) counts exactly the matched shingles
+    val counts = docSh
+      .join(refSh.withColumn("__known", lit(1)), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), count(col("__known")).as("n_known"))
+    docs.select(id.as("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        when(coalesce(col("n_sh"), lit(0L)) === 0L, lit(1.0))
+          .otherwise(lit(1.0) -
+            coalesce(col("n_known"), lit(0L)).cast("double") /
+              col("n_sh").cast("double")).as("novelty"))
+  }
+
   /** Duplicate-span statistics — the exact SUBSTRING-level dedup signal
     * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
     * Models Better"): for every document, the number of its token

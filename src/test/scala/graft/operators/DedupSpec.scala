@@ -54,6 +54,31 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("noveltyScores: known/unknown shingle split per incoming doc") {
+    import graft.TestSpark.spark.implicits._
+    spark.catalog.clearCache()
+    val ref = Seq(
+      (100L, "the quick brown fox jumps"),
+      (101L, "over the lazy dog today")
+    ).toDF("id", "text")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps"),        // fully known: novelty 0
+      (2L, "entirely fresh words appear here"), // fully novel
+      (3L, "the quick brown cat sits"),         // 1 of 3 shingles known
+      (4L, "xy")                                // < n tokens: no shingles
+    ).toDF("id", "text")
+    val got = Dedup.noveltyScores(incoming, ref, col("id"), col("text"), n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((3L, 3L, 0.0)))
+    assert(got(2L) == ((3L, 0L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 1.0 - 1.0 / 3.0)))
+    // shingle-less docs: nothing about them is known to the reference
+    assert(got(4L) == ((0L, 0L, 1.0)))
+    spark.catalog.clearCache()
+  }
+
   test("duplicateSpanStats: span counts and union coverage, all docs present") {
     import graft.TestSpark.spark.implicits._
     spark.catalog.clearCache()
