@@ -1107,7 +1107,17 @@ object SparkEntry {
       val cfg = CorpusPipeline.Config(minQuality = 0.3,
         keepLangs = Seq("en"), minTokens = 5, shingleSize = 3,
         numHashes = 64, bands = 16, minEstJaccard = 0.7, featureDim = 8)
-      val table = "graft_sigstore_" + java.lang.Integer.toHexString(dir.hashCode)
+      // The table name is scoped by applicationId: a FRESH JVM's
+      // in-memory catalog does not know tables a previous JVM created,
+      // but their warehouse LOCATIONS survive on disk, and saveAsTable
+      // throws LOCATION_ALREADY_EXISTS rather than adopt one (caught
+      // silently by Verify's per-query try in round 8 until the bench
+      // surfaced it). Per-app names make the first build of every JVM
+      // collision-free; stale locations from prior JVMs are deleted
+      // below so the (gitignored) warehouse does not accrete.
+      val appTag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "")
+      val table = "graft_sigstore_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_" + appTag
       // guard on BOTH halves: writeSignatureStore's two writes are not
       // transactional, and a crash between them would otherwise leave
       // the raw table present, the build skipped forever, and the
@@ -1116,6 +1126,19 @@ object SparkEntry {
       // for. Overwrite mode makes the rebuild safe over either half.
       if (!s.catalog.tableExists(table) ||
           !s.catalog.tableExists(table + "_banded")) {
+        // sweep stale store locations left by other (dead) application
+        // ids — rebuildable caches, safe to drop; this JVM's own stores
+        // (any sf dir) carry the current appTag and are preserved
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) {
+          fs.listStatus(wh).foreach { st =>
+            val nm = st.getPath.getName
+            if (nm.startsWith("graft_sigstore_") && !nm.contains(appTag))
+              fs.delete(st.getPath, true)
+          }
+        }
         val ref = t(s, dir, "documents")
           .filter(col("source").rlike("^src[0-9]$"))
         val refSigs = Dedup.minhashSignatures(

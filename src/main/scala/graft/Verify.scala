@@ -15,6 +15,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -22,9 +23,17 @@ object Verify {
         val n = spark.read.parquet(s"$outDir/$name").count()
         println(s"[verify] $name: $n rows")
       } catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // loud STDOUT summary: a swallowed per-query failure cost round 8 a
+    // silently-missing rows-only dump (the stderr line never reached the
+    // tail-watching eye); the last stdout line must say pass or fail
+    if (failed.nonEmpty)
+      println(s"[verify] FAILED ${failed.size}: ${failed.sorted.mkString(", ")}")
+    else
+      println(s"[verify] all ${SparkEntry.queries.size} queries dumped OK")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
