@@ -814,6 +814,20 @@ object SparkEntry {
           countDistinct(col("doc_id")).as("n_docs"))
         .filter(col("n_occurrences") >= 5)
     }),
+    "vocab_stats" -> ((s, dir) => {
+      // per-source corpus diagnostics: token mass, type count, hapax
+      // legomena (types occurring once WITHIN the source — the Zipf
+      // tail whose share flags OCR noise / boilerplate-stripped text).
+      // Two chained aggs, both map-side partial; all-integral output.
+      t(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy(col("source"))
+        .agg(sum(col("__cnt")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          count(when(col("__cnt") === 1L, lit(1))).as("n_hapax"))
+    }),
     "tfidf_topterms" -> ((s, dir) => {
       // Per-document characteristic terms: tf-idf with the exact
       // rational rarity weight tf*(N+1)/(df+1) — bit-reproducible
@@ -1742,6 +1756,15 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |      FROM documents)
         |GROUP BY token HAVING COUNT(*) >= 5""".stripMargin,
+    "vocab_stats" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, COUNT(*) AS cnt FROM tok GROUP BY source, token)
+        |SELECT source,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_types,
+        |  CAST(COUNT(CASE WHEN cnt = 1 THEN 1 END) AS BIGINT) AS n_hapax
+        |FROM c GROUP BY source""".stripMargin,
     "tfidf_topterms" ->
       // tf*(N+1) stays exact in BIGINT; the single division by (df+1)
       // is the one shared rounding — same bits in both engines

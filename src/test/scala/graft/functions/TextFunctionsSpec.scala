@@ -65,4 +65,27 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(one(TextFunctions.tokenOccurrences(lit("the cat the hat"), "the")) == 2)
     assert(one(TextFunctions.tokenOccurrences(lit("theme theater"), "the")) == 0)
   }
+
+  test("vocab_stats query: token mass, types, hapax per source") {
+    import graft.TestSpark.spark.implicits._
+    val docs = Seq(
+      ("a", "x y x z"),   // src a: 4 tokens, types {x:2,y:1,z:1}, hapax 2
+      ("a", "x"),         //        +1 token -> x:3
+      ("b", "p q")        // src b: 2 tokens, 2 types, 2 hapax
+    ).toDF("source", "text")
+    // same shape as the registered vocab_stats query, inlined over the
+    // fixture (the registered one binds to the documents table)
+    val got = docs
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("source"))
+      .agg(sum(col("__cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("__cnt") === 1L, lit(1))).as("n_hapax"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((5L, 3L, 2L)))
+    assert(got("b") == ((2L, 2L, 2L)))
+  }
 }
