@@ -141,6 +141,68 @@ class DedupSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("stripDuplicateSpans property: matches brute force on random dense corpora") {
+    import graft.TestSpark.spark.implicits._
+    spark.catalog.clearCache()
+    val rnd = new scala.util.Random(13)
+    val n = 4
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (1 to 40).map { i =>
+      val ntok = rnd.nextInt(25)
+      (i.toLong, Vector.fill(ntok)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val grams = docs.flatMap { case (docId, text) =>
+      val t = text.split(" ", -1).toVector
+      if (t.size >= n) (0 to t.size - n).map(p => (docId, p, t.slice(p, p + n).mkString(" ")))
+      else Nil
+    }
+    val cnt = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    val expected = docs.map { case (docId, text) =>
+      val t = text.split(" ", -1).toVector
+      val covered = grams.filter(g => g._1 == docId && cnt(g._3) >= 2)
+        .flatMap(g => g._2 until g._2 + n).toSet
+      val kept = t.indices.filterNot(covered).map(t)
+      docId -> ((kept.mkString(" "), t.size.toLong, covered.size.toLong))
+    }.toMap
+    val got = Dedup.stripDuplicateSpans(docs.toDF("id", "text"),
+        col("id"), col("text"), n = n)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+    spark.catalog.clearCache()
+  }
+
+  test("noveltyScores property: matches brute-force membership on random corpora") {
+    import graft.TestSpark.spark.implicits._
+    spark.catalog.clearCache()
+    val rnd = new scala.util.Random(17)
+    val n = 3
+    val vocab = Vector("a", "b", "c", "d")
+    def mkDocs(ids: Range) = ids.map { i =>
+      (i.toLong, Vector.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val ref = mkDocs(100 to 115)
+    val inc = mkDocs(1 to 25)
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ", -1).toVector
+      if (t.size >= n) (0 to t.size - n).map(p => t.slice(p, p + n).mkString(" ")).toSet
+      else Set.empty
+    }
+    val refSet = ref.flatMap(d => shingles(d._2)).toSet
+    val expected = inc.map { case (id, text) =>
+      val sh = shingles(text)
+      val known = sh.count(refSet)
+      id -> ((sh.size.toLong, known.toLong))
+    }.toMap
+    val got = Dedup.noveltyScores(inc.toDF("id", "text"), ref.toDF("id", "text"),
+        col("id"), col("text"), n = n)
+      .select("doc_id", "n_sh", "n_known")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected)
+    spark.catalog.clearCache()
+  }
+
   test("stripDuplicateSpans: removes exactly the covered tokens, keeps clean docs verbatim") {
     import graft.TestSpark.spark.implicits._
     spark.catalog.clearCache()
