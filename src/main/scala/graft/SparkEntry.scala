@@ -655,6 +655,21 @@ object SparkEntry {
         .select(col("doc_id"),
           coalesce(col("comp"), col("doc_id")).as("component"))
     }),
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      // the cluster-level product: size distribution of the transitive
+      // near-dup components (how much of the corpus sits in 2-doc
+      // pairs vs template families) — one agg over dedup_clusters'
+      // labels, then a size histogram; all-integral
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.5)
+      val cc = Dedup.connectedComponents(pairs)
+      docs.select(col("doc_id"))
+        .join(cc, docs("doc_id") === cc("id"), "left")
+        .select(coalesce(col("comp"), col("doc_id")).as("component"))
+        .groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+        .groupBy(col("n_members")).agg(count(lit(1)).as("n_clusters"))
+    }),
     "minhash_pairs" -> ((s, dir) => {
       // LSH candidates -> EXACT shingle-Jaccard verify (the
       // embed_near_dup_srp construction), so the pair set answers the
@@ -1670,6 +1685,36 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(MIN(r.comp), d.doc_id) AS component
         |FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
         |GROUP BY d.doc_id""".stripMargin,
+    "dedup_cluster_sizes" ->
+      // the dedup_clusters recursive CTE, rolled up twice: component ->
+      // member count -> histogram of cluster sizes
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id,
+        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM toks WHERE len(t) >= 3)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.t, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+        |labels AS (SELECT d.doc_id, COALESCE(MIN(r.comp), d.doc_id) AS component
+        |  FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
+        |  GROUP BY d.doc_id),
+        |members AS (SELECT component, COUNT(*) AS n_members
+        |  FROM labels GROUP BY component)
+        |SELECT n_members, COUNT(*) AS n_clusters
+        |FROM members GROUP BY n_members""".stripMargin,
     "dedup_corpus" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, sh FROM (
