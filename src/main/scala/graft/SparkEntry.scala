@@ -682,6 +682,20 @@ object SparkEntry {
         col("text"), numHashes = 128, shingleSize = 3, bands = 64,
         minJaccard = 0.5)
     }),
+    "snapshot_diff" -> ((s, dir) => {
+      // two synthetic snapshots of the documents table: old = src0-14,
+      // new = src5-19 with German docs' text uppercased — so the
+      // overlap splits into changed (de) and unchanged (rest), the
+      // src0-4 tail is removed, the src15-19 head added. Exact-text
+      // content compare here (the digest form is the scale path).
+      import graft.operators.Snapshot
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("source").rlike("^src([0-9]|1[0-4])$"))
+      val neu = docs.filter(col("source").rlike("^src([5-9]|1[0-9])$"))
+        .withColumn("text",
+          when(col("lang") === "de", upper(col("text"))).otherwise(col("text")))
+      Snapshot.diff(old, neu, col("doc_id"), col("text"))
+    }),
     "novelty_scores" -> ((s, dir) => {
       // per-doc novelty of the src1x increment vs the accumulated
       // src0-9 reference (the dedup_incremental split): integral
@@ -1600,6 +1614,18 @@ object SparkEntry {
         | JOIN sizes na ON na.doc_id = id_a
         | JOIN sizes nb ON nb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5""".stripMargin,
+    "snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents
+        |  WHERE regexp_matches(source, '^src([0-9]|1[0-4])$')),
+        |neu AS (SELECT doc_id,
+        |  CASE WHEN lang = 'de' THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE regexp_matches(source, '^src([5-9]|1[0-9])$'))
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id""".stripMargin,
     "novelty_scores" ->
       // exact-text twin of the hashed-shingle plan (ngram_jaccard's
       // 3-gram comprehension); DISTINCT per doc mirrors array_distinct
