@@ -24,6 +24,11 @@ object Snapshot {
     * bucketed by id ([[graft.sinks.ParquetSink.writeBucketed]]), the
     * join plans no exchange at all.
     *
+    * Contract: `id` must be unique WITHIN each snapshot — duplicate
+    * ids multiply through the full-outer join (m×n rows for one id),
+    * as in any keyed reconciliation; dedup first
+    * ([[Dedup.exactKeepMinId]]) if the load can produce repeats.
+    *
     * Output: (id, status) with status in
     * added | removed | changed | unchanged.
     */
