@@ -259,6 +259,17 @@ class PlanAuditSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("snapshot_diff joins keyed, vocab_stats aggregates map-side") {
+    spark.catalog.clearCache()
+    val p1 = planOf(graft.SparkEntry.queries("snapshot_diff")(spark, dir))
+    assert(p1.contains("FullOuter"), p1)
+    assert(!p1.contains("CartesianProduct") &&
+      !p1.contains("BroadcastNestedLoopJoin"), p1)
+    val p2 = planOf(graft.SparkEntry.queries("vocab_stats")(spark, dir))
+    assert(p2.contains("partial_count") || p2.contains("partial_sum"), p2)
+    spark.catalog.clearCache()
+  }
+
   test("approx twins and ANN recall gates are SELF-asserting in-plan") {
     // round 7: the tolerance/recall guarantees moved from spec-only
     // observations into the registered queries themselves (assert_true,
