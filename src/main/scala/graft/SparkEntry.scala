@@ -658,17 +658,20 @@ object SparkEntry {
     "dedup_cluster_sizes" -> ((s, dir) => {
       // the cluster-level product: size distribution of the transitive
       // near-dup components (how much of the corpus sits in 2-doc
-      // pairs vs template families) — one agg over dedup_clusters'
-      // labels, then a size histogram; all-integral
+      // pairs vs template families). The pair-gen + CC recompute here
+      // is a HARNESS ARTIFACT — registered queries must be
+      // self-contained; a production run derives this with ONE agg
+      // over the stored dedup_clusters labels
+      // (Dedup.clusterSizeHistogram, spec'd against a written table)
       val docs = t(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
         n = 3, minJaccard = 0.5)
       val cc = Dedup.connectedComponents(pairs)
-      docs.select(col("doc_id"))
-        .join(cc, docs("doc_id") === cc("id"), "left")
-        .select(coalesce(col("comp"), col("doc_id")).as("component"))
-        .groupBy(col("component")).agg(count(lit(1)).as("n_members"))
-        .groupBy(col("n_members")).agg(count(lit(1)).as("n_clusters"))
+      Dedup.clusterSizeHistogram(
+        docs.select(col("doc_id"))
+          .join(cc, docs("doc_id") === cc("id"), "left")
+          .select(coalesce(col("comp"), col("doc_id")).as("component")),
+        col("component"))
     }),
     "minhash_pairs" -> ((s, dir) => {
       // LSH candidates -> EXACT shingle-Jaccard verify (the
@@ -696,24 +699,52 @@ object SparkEntry {
           when(col("lang") === "de", upper(col("text"))).otherwise(col("text")))
       Snapshot.diff(old, neu, col("doc_id"), col("text"))
     }),
+    "snapshot_diff_digest" -> ((s, dir) => {
+      // the 100-TB form of snapshot_diff: only an 8-byte xxhash64(text)
+      // digest crosses the full-outer join, never the document. The
+      // in-query gate proves class-identical output to the exact-text
+      // form on this data (a digest collision would THROW, not silently
+      // differ), which is what lets the exact-form DuckDB oracle check
+      // this entry too. Bucketed-by-id snapshots plan the join with
+      // zero exchange (PlanAuditSpec pins it via writeBucketed).
+      import graft.operators.Snapshot
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("source").rlike("^src([0-9]|1[0-4])$"))
+      val neu = docs.filter(col("source").rlike("^src([5-9]|1[0-9])$"))
+        .withColumn("text",
+          when(col("lang") === "de", upper(col("text"))).otherwise(col("text")))
+      val dig = Snapshot.diff(old, neu, col("doc_id"), xxhash64(col("text")))
+      val exact = Snapshot.diff(old, neu, col("doc_id"), col("text"))
+        .withColumnRenamed("status", "__exact")
+      dig.join(exact, Seq("id"))
+        .where(assert_true(col("status") === col("__exact"),
+          concat(lit("digest snapshot status diverged from exact for id "),
+            col("id"))).isNull)
+        .select(col("id"), col("status"))
+    }),
     "novelty_scores" -> ((s, dir) => {
       // per-doc novelty of the src1x increment vs the accumulated
       // src0-9 reference (the dedup_incremental split): integral
       // (n_sh, n_known) projection for the oracle; the novelty double
       // stays on the operator output
       val docs = t(s, dir, "documents")
+      // hashShingles=false: the oracle computes exact text shingles, so
+      // the registered entry must too — a 64-bit gram-hash collision
+      // would flip the counts. Production keeps the hashed default.
       Dedup.noveltyScores(
         docs.filter(col("source").rlike("^src1[0-9]$")),
         docs.filter(col("source").rlike("^src[0-9]$")),
-        col("doc_id"), col("text"), n = 3)
+        col("doc_id"), col("text"), n = 3, hashShingles = false)
         .select(col("doc_id"), col("n_sh"), col("n_known"))
     }),
     "duplicate_spans" -> ((s, dir) => {
       // substring-level dedup signal (Lee et al. 2022): per doc, the
       // count of corpus-duplicated 8-token spans and the tokens covered
       // by their union. All-integral output -> exact DuckDB oracle.
+      // hashShingles=false to match the exact-text oracle (see
+      // novelty_scores); hashed remains the production default
       Dedup.duplicateSpanStats(t(s, dir, "documents"), col("doc_id"),
-        col("text"), n = 8, minCount = 2)
+        col("text"), n = 8, minCount = 2, hashShingles = false)
     }),
     "strip_duplicate_spans" -> ((s, dir) => {
       // the action half: cut every corpus-duplicated 8-token span from
@@ -721,7 +752,7 @@ object SparkEntry {
       // clean_text reconstructs from kept tokens, so both engines emit
       // byte-identical strings.
       Dedup.stripDuplicateSpans(t(s, dir, "documents"), col("doc_id"),
-        col("text"), n = 8, minCount = 2)
+        col("text"), n = 8, minCount = 2, hashShingles = false)
     }),
     "corpus_curation" -> ((s, dir) => { // engine-hash based: rows-only
       // the composed training-data path: annotate -> quality/lang gate ->
@@ -768,12 +799,15 @@ object SparkEntry {
         .select(col("doc_id"), size(col("fp")).as("n_fp"),
           element_at(col("fp"), 1).as("min_fp"))
     }),
-    "boilerplate_scores" -> ((s, dir) => { // FNV-1a based: rows-only check
+    "boilerplate_scores" -> ((s, dir) => {
       // repeated-passage fraction per doc from the winnowed fingerprint
-      // sample — template/licence-block detection; only the 8-byte
-      // fingerprint sample ever shuffles, never the text
+      // sample — template/licence-block detection; only the fingerprint
+      // sample ever shuffles, never the text. engineHash=false: the
+      // md5-hex fingerprint variant reproduces in DuckDB SQL, so the
+      // whole operator is oracle-checked; production keeps the FNV
+      // default (winnow_fingerprints benches that kernel)
       Dedup.boilerplateScores(t(s, dir, "documents"), col("doc_id"),
-        col("text"), k = 8, w = 8, minDocs = 2)
+        col("text"), k = 8, w = 8, minDocs = 2, engineHash = false)
     }),
     // ----- LLM-pipeline: text analysis ----------------------------------
     "text_stats" -> ((s, dir) => {
@@ -1171,14 +1205,19 @@ object SparkEntry {
           !s.catalog.tableExists(table + "_banded")) {
         // sweep stale store locations left by other (dead) application
         // ids — rebuildable caches, safe to drop; this JVM's own stores
-        // (any sf dir) carry the current appTag and are preserved
+        // (any sf dir) carry the current appTag and are preserved. The
+        // 30-minute age floor keeps a CONCURRENT harness JVM's live
+        // store (bench + verify sharing spark-warehouse run in minutes)
+        // from being deleted mid-run; only genuinely dead leftovers go.
         val wh = new org.apache.hadoop.fs.Path(
           s.conf.get("spark.sql.warehouse.dir"))
         val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val staleBefore = System.currentTimeMillis() - 30L * 60 * 1000
         if (fs.exists(wh)) {
           fs.listStatus(wh).foreach { st =>
             val nm = st.getPath.getName
-            if (nm.startsWith("graft_sigstore_") && !nm.contains(appTag))
+            if (nm.startsWith("graft_sigstore_") && !nm.contains(appTag) &&
+                st.getModificationTime < staleBefore)
               fs.delete(st.getPath, true)
           }
         }
@@ -1497,8 +1536,11 @@ object SparkEntry {
       // FLOOR(sqrt·1e6+0.5) micro-units as exact BIGINT — all-integral
       // projection so the hash gate has no float cell to disagree on
       // (r7: the weight double was value-identical yet hash-red)
+      // the outer CAST matters: DuckDB widens SUM(BIGINT) to HUGEINT and
+      // the driver hashes typed cells, so an uncast sum hash-mismatches
+      // Spark's int64 even when every value is identical (red r7+r8)
       """WITH c AS (SELECT source,
-        |  SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_units
+        |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_units
         |  FROM documents GROUP BY source)
         |SELECT source, n_units,
         |  CAST(FLOOR(sqrt(CAST(n_units AS DOUBLE)) * 1000000.0 + 0.5)
@@ -1509,8 +1551,9 @@ object SparkEntry {
       // inputs, one IEEE division for λ, min(cap, floor(λ·q)) per row —
       // bit-identical in any IEEE engine. NULL λ (budget above all
       // caps) degrades to the caps in both.
+      // same HUGEINT rule as corpus_mixture: cast the SUM back to BIGINT
       """WITH c AS (SELECT source,
-        |  SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_units
+        |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_units
         |  FROM documents GROUP BY source),
         |q AS (SELECT source, n_units,
         |  CAST(FLOOR(sqrt(CAST(n_units AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS q_units
@@ -1626,6 +1669,47 @@ object SparkEntry {
         |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id""".stripMargin,
+    "snapshot_diff_digest" ->
+      // the digest form's in-query gate asserts class-identity with the
+      // exact-text diff, so the exact-form oracle is ITS oracle too
+      """WITH old AS (SELECT doc_id, text FROM documents
+        |  WHERE regexp_matches(source, '^src([0-9]|1[0-4])$')),
+        |neu AS (SELECT doc_id,
+        |  CASE WHEN lang = 'de' THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE regexp_matches(source, '^src([5-9]|1[0-9])$'))
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id""".stripMargin,
+    "boilerplate_scores" ->
+      // portable-fingerprint twin of the winnowing kernel: both engines
+      // fingerprint with substr(md5(gram),1,16) (lowercase hex compares
+      // identically as ASCII), take the min per 8-window of the 8-gram
+      // hash stream — min-of-all for docs with 1..7 grams via the
+      // greatest(...,2) clamp, none for gram-less docs — then count
+      // distinct fps and those shared by >= 2 docs. n_shared's
+      // SUM(CASE) is CAST back from DuckDB's HUGEINT (the r8 rule).
+      """WITH g AS (SELECT doc_id,
+        |  [substr(md5(substr(text, i, 8)), 1, 16)
+        |   for i in range(1, greatest(len(text) - 6, 1))] AS h
+        |  FROM documents),
+        |fp AS (SELECT DISTINCT doc_id, fp FROM (
+        |  SELECT doc_id, unnest(
+        |    [list_min(h[i:i+7]) for i in range(1, greatest(len(h) - 6, 2))]) AS fp
+        |  FROM g WHERE len(h) >= 1)),
+        |shared AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) >= 2),
+        |agg AS (SELECT f.doc_id, COUNT(*) AS n_fp,
+        |  SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+        |  FROM fp f LEFT JOIN shared s USING (fp) GROUP BY f.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_fp, 0) AS BIGINT) AS n_fp,
+        |  CAST(COALESCE(a.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CASE WHEN COALESCE(a.n_fp, 0) = 0 THEN 0.0
+        |       ELSE CAST(a.n_shared AS DOUBLE) / CAST(a.n_fp AS DOUBLE) END
+        |    AS boilerplate_frac
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
     "novelty_scores" ->
       // exact-text twin of the hashed-shingle plan (ngram_jaccard's
       // 3-gram comprehension); DISTINCT per doc mirrors array_distinct

@@ -50,5 +50,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // non-zero exit on any per-query failure: a driver that checks the
+    // process status (not the stdout tail) must not read a partial dump
+    // as success
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

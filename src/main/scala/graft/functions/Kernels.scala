@@ -176,6 +176,67 @@ object Kernels {
     new GenericArrayData(mins.distinct.sorted)
   }
 
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  private def md5Hex16(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](16)
+    var i = 0
+    while (i < 8) {
+      out(2 * i) = Character.forDigit((d(i) >> 4) & 0xf, 16)
+      out(2 * i + 1) = Character.forDigit(d(i) & 0xf, 16)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Portable winnowing twin of [[winnow]]: fingerprints are the first
+    * 16 hex chars (64 bits) of `md5(k-gram)` instead of FNV-1a engine
+    * hashes, so any SQL engine reproduces them exactly —
+    * `substr(md5(g), 1, 16)` in DuckDB, and lowercase ASCII hex strings
+    * compare identically under JVM `compareTo`, Spark UTF8 binary order
+    * and DuckDB varchar order, which makes the sliding MIN and the
+    * distinct ascending output portable too. Window semantics are
+    * IDENTICAL to [[winnow]]: code-point k-grams, min per w-window,
+    * min-of-all for docs with 1..w-1 grams, empty for gram-less docs.
+    * ~5-10x the per-gram cost of FNV — use for oracle-checked runs; the
+    * engine-hash form stays the production default.
+    */
+  def winnowMd5(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val nGrams = cps.length - k + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.empty[UTF8String])
+    val md = md5Local.get()
+    val hashes = new Array[String](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      hashes(i) = md5Hex16(md, new String(cps, i, k))
+      i += 1
+    }
+    val nWins = nGrams - w + 1
+    val mins =
+      if (nWins <= 0) Array(hashes.min)
+      else {
+        // same monotonic-deque sliding minimum as winnow, string keys
+        val out = new Array[String](nWins)
+        val dq = new Array[Int](nGrams)
+        var head = 0
+        var tail = 0
+        var j = 0
+        while (j < nGrams) {
+          while (tail > head && hashes(dq(tail - 1)).compareTo(hashes(j)) >= 0) tail -= 1
+          dq(tail) = j; tail += 1
+          if (dq(head) <= j - w) head += 1
+          if (j >= w - 1) out(j - w + 1) = hashes(dq(head))
+          j += 1
+        }
+        out
+      }
+    new GenericArrayData(mins.distinct.sorted.map(UTF8String.fromString))
+  }
+
   /** Cosine similarity with sequential double accumulation — bit-identical
     * to the HOF form (and to DuckDB's list kernels), so oracle hashes are
     * preserved. Returns null (boxed) when either vector contains a null
@@ -465,6 +526,19 @@ object Kernels {
       copy(child = newChild)
   }
 
+  case class WinnowMd5(child: Expression, k: Int, w: Int) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child, _ == StringType, "string")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "winnow_md5"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.winnowMd5(input.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnowMd5($c, $k, $w)")
+    override protected def withNewChildInternal(newChild: Expression): WinnowMd5 =
+      copy(child = newChild)
+  }
+
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression {
     // per-side element type: mixed float/double pairs are legal (e.g. a
@@ -590,6 +664,9 @@ object Kernels {
 
   def winnowFp(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(Winnow(ColumnBridge.expression(text), k, w))
+
+  def winnowMd5Fp(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowMd5(ColumnBridge.expression(text), k, w))
 
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -235,6 +235,22 @@ object Dedup {
     labels
   }
 
+  /** Cluster-size histogram from MATERIALIZED cluster labels — the
+    * production form of `dedup_cluster_sizes`: a run that has already
+    * written the (doc_id, component) cluster view (the dedup_clusters
+    * output) derives the size distribution with two chained map-side-
+    * partial aggregates over that table and NOTHING else — no pair
+    * generation, no CC iteration. The registered harness query
+    * recomputes the labels only because registered queries must be
+    * self-contained (SCALE.md); at 100 TB you always read the stored
+    * labels.
+    */
+  def clusterSizeHistogram(labels: DataFrame,
+                           component: Column): DataFrame =
+    labels.groupBy(component.as("component"))
+      .agg(count(lit(1)).as("n_members"))
+      .groupBy(col("n_members")).agg(count(lit(1)).as("n_clusters"))
+
   // --- eval-set contamination -------------------------------------------
 
   /** Benchmark/eval-set contamination check — the standard pre-training
@@ -361,20 +377,28 @@ object Dedup {
     * doc-keyed aggregates of that same exploded sample, which is
     * persisted at its 3-way fan-out (same lifecycle contract as the
     * other fan-out operators — clearCache() between runs in long-lived
-    * sessions). Fingerprints are FNV-1a engine hashes → rows-only
-    * checkable, property-spec'd.
+    * sessions). Fingerprints are FNV-1a engine hashes by default
+    * (`engineHash` — pass false for the portable md5-hex variant that
+    * answers an exact DuckDB oracle).
     */
   def boilerplateScores(df: DataFrame, id: Column, text: Column,
                         k: Int = 8, w: Int = 8,
-                        minDocs: Int = 2): DataFrame = {
+                        minDocs: Int = 2,
+                        engineHash: Boolean = true): DataFrame = {
     import graft.functions.Fingerprint
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // engineHash=false swaps the FNV-1a fingerprints for portable
+    // md5-hex ones (identical window semantics) so the whole operator
+    // answers an exact DuckDB oracle; true stays the production default
+    val fpArr =
+      if (engineHash) Fingerprint.winnow(text, k, w)
+      else Fingerprint.winnowPortable(text, k, w)
     // explode_OUTER: a document shorter than ~k+w-1 chars yields no
     // fingerprints, and a plain explode would drop it from the output
     // entirely (r7 advice) — the outer row carries fp=null and the doc
     // surfaces as (n_fp=0, n_shared=0, boilerplate_frac=0.0)
     val fps = df.select(id.as("doc_id"),
-        explode_outer(array_distinct(Fingerprint.winnow(text, k, w))).as("fp"))
+        explode_outer(array_distinct(fpArr)).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-doc distinct fps (array_distinct above), so count per fp IS
     // the document frequency; null fps (fingerprint-less docs) must not

@@ -195,6 +195,43 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed snapshots: snapshot diff plans zero exchanges") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.operators.Snapshot
+    import graft.sinks.ParquetSink
+    val oldT = "pa_snap_old"; val newT = "pa_snap_new"
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    // AQE off so executedPlan is the final tree
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // digest-form snapshots written bucketed by id: the bucket layout
+      // IS the full-outer join partitioning, so the nightly diff reads
+      // co-located buckets with no exchange on either side
+      ParquetSink.writeBucketed(
+        Seq((1L, 11L), (2L, 22L), (3L, 33L)).toDF("doc_id", "digest"),
+        oldT, "doc_id", buckets = 4)
+      ParquetSink.writeBucketed(
+        Seq((2L, 22L), (3L, 99L), (4L, 44L)).toDF("doc_id", "digest"),
+        newT, "doc_id", buckets = 4)
+      val diff = Snapshot.diff(spark.table(oldT), spark.table(newT),
+        col("doc_id"), col("digest"))
+      val exchanges = diff.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, diff.queryExecution.executedPlan.toString)
+      // and the bucketed plan still classifies all four statuses right
+      val got = diff.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "removed", 2L -> "unchanged",
+        3L -> "changed", 4L -> "added"), got.toString)
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql(s"DROP TABLE IF EXISTS $oldT")
+      spark.sql(s"DROP TABLE IF EXISTS $newT")
+    }
+  }
+
   test("cube runs as one Expand + one aggregate, not 4 scans") {
     val df = graft.SparkEntry.queries("q_cube")(spark, dir)
     val plan = planOf(df)
@@ -245,8 +282,16 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("duplicate-span operators: only gram hashes and doc ids shuffle, never text") {
     spark.catalog.clearCache()
-    for (name <- Seq("duplicate_spans", "strip_duplicate_spans")) {
-      val plan = planOf(graft.SparkEntry.queries(name)(spark, dir))
+    // built directly with the hashShingles=true PRODUCTION default: the
+    // registered entries run the exact-text twin so the DuckDB oracle is
+    // deterministic (r8 advice), so the scale-shape pin lives here
+    val docs = Tables.load(spark, dir, "documents")
+    for ((name, df) <- Seq(
+        "duplicate_spans" -> Dedup.duplicateSpanStats(docs,
+          col("doc_id"), col("text"), n = 8, minCount = 2),
+        "strip_duplicate_spans" -> Dedup.stripDuplicateSpans(docs,
+          col("doc_id"), col("text"), n = 8, minCount = 2))) {
+      val plan = planOf(df)
       // grams are hashed to 8-byte keys scan-side
       assert(plan.contains("xxhash64"), s"$name: $plan")
       // every hash exchange partitions on the gram hash or the doc id —

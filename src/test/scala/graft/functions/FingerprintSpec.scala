@@ -50,6 +50,42 @@ class FingerprintSpec extends SparkTestBase {
     assert(a.toSet.intersect(c.toSet).isEmpty)
   }
 
+  test("winnowPortable matches a naive md5 witness (short, astral, long)") {
+    // independent O(n·w) witness: md5-hex-16 per code-point k-gram,
+    // plain min per window (min-of-all when 1..w-1 grams); validates the
+    // deque kernel AND that its hex matches the JDK md5 the oracle's
+    // DuckDB substr(md5(g),1,16) also implements
+    def witness(text: String, k: Int, w: Int): Seq[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h16(g: String): String =
+        md.digest(g.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val cps = text.codePoints().toArray
+      val grams = (0 to cps.length - k).map(i => new String(cps, i, k))
+      if (grams.isEmpty) Seq.empty
+      else if (grams.length < w) Seq(grams.map(h16).min)
+      else grams.map(h16).sliding(w).map(_.min).toSeq.distinct.sorted
+    }
+    val texts = Seq("abcdefghijklmnop", "abcdef", "", "ab",
+      "a😀b😀c😀d😀e😀f",
+      "the quick brown fox jumps over the lazy dog")
+    for (t <- texts; (k, w) <- Seq((5, 3), (3, 4))) {
+      val got = one(Fingerprint.winnowPortable(lit(t), k, w))
+        .asInstanceOf[scala.collection.Seq[String]]
+      assert(got.toSeq == witness(t, k, w), s"text=$t k=$k w=$w")
+    }
+  }
+
+  test("winnowPortable hex-16 equals Spark's own md5 prefix") {
+    // the oracle depends on kernel md5 == SQL md5: check against the
+    // builtin md5() for a handful of grams including non-ASCII
+    Seq("abcde", "é中xyz", " spac").foreach { g =>
+      val sql = one(substring(md5(lit(g)), 1, 16)).asInstanceOf[String]
+      val got = one(Fingerprint.winnowPortable(lit(g), g.length, 1))
+        .asInstanceOf[scala.collection.Seq[String]]
+      assert(got.toSeq == Seq(sql), s"gram=$g")
+    }
+  }
+
   test("kernels are null-safe: null input yields null, empties yield empties") {
     import graft.TestSpark.spark.implicits._
     val df = Seq[(Option[String], Option[Seq[String]])](

@@ -465,6 +465,32 @@ class DedupSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("boilerplateScores portable mode keeps the template/short-doc/minDocs contracts") {
+    import graft.TestSpark.spark.implicits._
+    spark.catalog.clearCache()
+    val template = "subscribe to our newsletter and accept the cookie policy today"
+    val docs = Seq(
+      (1L, template), (2L, template),
+      (3L, "wholly original musings regarding catalyst optimizer rules zz"),
+      (4L, "tiny"), (5L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateScores(docs, col("doc_id"), col("text"),
+        engineHash = false)
+      .select("doc_id", "n_fp", "n_shared", "boilerplate_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(1L)._3 == 1.0 && got(2L)._3 == 1.0, s"template: $got")
+    assert(got(3L) == ((got(3L)._1, 0L, 0.0)) && got(3L)._1 > 0L)
+    for (id <- Seq(4L, 5L)) assert(got(id) == ((0L, 0L, 0.0)), s"$id: ${got(id)}")
+    // minDocs still raises the bar in portable mode
+    val atThree = Dedup.boilerplateScores(docs, col("doc_id"), col("text"),
+        minDocs = 3, engineHash = false)
+      .select("doc_id", "boilerplate_frac").as[(Long, Double)].collect().toMap
+    assert(atThree(1L) == 0.0 && atThree(2L) == 0.0)
+    spark.catalog.clearCache()
+  }
+
   test("decontaminationGate: every exactly-contaminated doc is dropped") {
     val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val corpus = docs.filter(col("source") =!= "src0")

@@ -42,4 +42,36 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(r.getAs[scala.collection.Seq[Double]]("features").length == 16)
     assert(r.getAs[String]("lang_pred") == "en")
   }
+
+  test("cluster products derive from the STORED label table, not a recompute") {
+    // the production path behind dedup_cluster_sizes: materialize the
+    // (doc_id, component) cluster view once, then every cluster-level
+    // product is an agg over that table — here the size histogram via
+    // Dedup.clusterSizeHistogram, checked against the from-scratch form
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      n = 3, minJaccard = 0.5)
+    val cc = Dedup.connectedComponents(pairs)
+    val labels = docs.select(col("doc_id"))
+      .join(cc, docs("doc_id") === cc("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("component"))
+    val labelDir = s"${tempDir("labels")}/dedup_clusters"
+    labels.write.mode(SaveMode.Overwrite).parquet(labelDir)
+
+    val fromStore = Dedup.clusterSizeHistogram(
+      spark.read.parquet(labelDir), col("component"))
+    // the stored-label derivation is one join-free two-agg plan
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = toMap(Dedup.clusterSizeHistogram(labels, col("component")))
+    assert(toMap(fromStore) == expected, s"expected $expected")
+    assert(expected.nonEmpty && expected.keySet.exists(_ >= 2),
+      s"fixture should contain a real multi-doc cluster: $expected")
+    spark.catalog.clearCache()
+  }
 }

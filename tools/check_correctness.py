@@ -24,6 +24,36 @@ def canon(df):
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
+# The driver hashes TYPED cells, so an oracle column whose DuckDB type
+# differs from the Spark parquet type hash-mismatches even when every
+# value is equal (r7+r8: uncast SUM(BIGINT) -> HUGEINT). pandas coerces
+# HUGEINT to float64 and int64==float64 passes, so the value compare
+# below is blind to exactly that defect — gate on DESCRIBE types first.
+BENIGN = [
+    # Spark parquet timestamps are UTC-adjusted (isAdjustedToUTC), which
+    # DuckDB reads as TIMESTAMP WITH TIME ZONE; oracle TIMESTAMP is the
+    # same instant and the driver's green rows confirm it hashes equal.
+    {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    # int32 vs int64 hashes equal at the driver (text_stats carries
+    # INTEGER columns against BIGINT oracle outputs and has been
+    # driver-green since r6) — the widening that does NOT hash equal is
+    # HUGEINT/DECIMAL, which stays fatal.
+    {"INTEGER", "BIGINT"},
+]
+
+def types_of(sql):
+    return {r[0]: r[1].upper() for r in con.execute(f"DESCRIBE ({sql})").fetchall()}
+
+def type_gate(name):
+    ours = types_of(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+    theirs = types_of(oracle[name])
+    bad = []
+    for c in sorted(set(ours) & set(theirs)):
+        a, b = ours[c], theirs[c]
+        if a != b and not any(a in s and b in s for s in BENIGN):
+            bad.append(f"{c}: parquet {a} vs oracle {b}")
+    return bad
+
 def cmp(name):
     try:
         ours = canon(con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df())
@@ -31,6 +61,9 @@ def cmp(name):
         return f"FAIL {name}: cannot read our parquet: {e}"
     try:
         theirs = canon(con.execute(oracle[name]).df())
+        bad_types = type_gate(name)
+        if bad_types:
+            return f"FAIL {name}: column type mismatch ({'; '.join(bad_types)})"
     except Exception as e:
         return f"FAIL {name}: oracle SQL error: {e}"
     if list(ours.columns) != list(theirs.columns):
