@@ -793,6 +793,22 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
         maxHamming = 3)
     }),
+    "simhash_codes_portable" -> ((s, dir) => {
+      // md5-vote twin of simhash_codes: same ±1-vote per-row reduction,
+      // zero shuffle, but the code derives from substr(md5(token),1,16)
+      // so DuckDB reproduces it bit-for-bit → the whole simhash
+      // construction is oracle-checked (FNV stays production)
+      Dedup.simhash64(t(s, dir, "documents"), col("doc_id"), col("text"),
+        portableHash = true)
+    }),
+    "simhash_pairs_portable" -> ((s, dir) => {
+      // the pigeonhole block join is EXACT at a fixed code function
+      // (hamming<=3 forces >=1 of 4 16-bit blocks equal), so with
+      // portable codes the pair set answers an exact all-pairs hamming
+      // oracle — the LSH recall proof the FNV twin can only property-test
+      Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        maxHamming = 3, portableHash = true)
+    }),
     "winnow_fingerprints" -> ((s, dir) => { // FNV-1a based: rows-only check
       t(s, dir, "documents").select(col("doc_id"),
         Fingerprint.winnow(col("text"), k = 5, w = 4).as("fp"))
@@ -1683,6 +1699,49 @@ object SparkEntry {
         |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id""".stripMargin,
+    "simhash_codes_portable" ->
+      // both engines: per token, first 64 bits of md5 (= 16 hex chars,
+      // decoded nibble-wise here), ±1 vote per bit over token
+      // OCCURRENCES, code bit = vote sum > 0. The signed int64 is
+      // rebuilt from bits with an explicit -2^63 term for bit 63 and
+      // the SUM cast back from HUGEINT (the r8 rule).
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |hx AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM tok),
+        |votes AS (
+        |  SELECT doc_id, r.b AS b,
+        |    SUM(CASE WHEN (strpos('0123456789abcdef', substr(h, 16 - r.b // 4, 1)) - 1)
+        |              & (1 << (r.b % 4)) != 0 THEN 1 ELSE -1 END) AS v
+        |  FROM hx, range(64) r(b)
+        |  GROUP BY doc_id, r.b)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN v <= 0 THEN 0
+        |           WHEN b = 63 THEN -9223372036854775808
+        |           ELSE (CAST(1 AS BIGINT) << b) END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin,
+    "simhash_pairs_portable" ->
+      // exact all-pairs hamming over the portable codes: the engine's
+      // pigeonhole join must reproduce this set EXACTLY (no recall
+      // slack) — bit_count(xor) is two's-complement popcount in both
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |hx AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM tok),
+        |votes AS (
+        |  SELECT doc_id, r.b AS b,
+        |    SUM(CASE WHEN (strpos('0123456789abcdef', substr(h, 16 - r.b // 4, 1)) - 1)
+        |              & (1 << (r.b % 4)) != 0 THEN 1 ELSE -1 END) AS v
+        |  FROM hx, range(64) r(b)
+        |  GROUP BY doc_id, r.b),
+        |code AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v <= 0 THEN 0
+        |             WHEN b = 63 THEN -9223372036854775808
+        |             ELSE (CAST(1 AS BIGINT) << b) END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM code a JOIN code b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "boilerplate_scores" ->
       // portable-fingerprint twin of the winnowing kernel: both engines
       // fingerprint with substr(md5(gram),1,16) (lowercase hex compares

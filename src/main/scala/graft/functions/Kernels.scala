@@ -135,6 +135,46 @@ object Kernels {
     code
   }
 
+  /** Portable SimHash twin of [[simhash]]: per-bit votes come from the
+    * first 64 bits of md5(token) — the value any SQL engine derives as
+    * `substr(md5(t), 1, 16)` read as hex — instead of FNV-1a, so the
+    * code, and with it the pigeonhole pair set (which is EXACT at a
+    * given code function), reproduces bit-for-bit in DuckDB. Same vote
+    * semantics: +1 per set bit per token occurrence, code bit = sign
+    * of the vote sum (ties clear). ~5-10x FNV's per-token cost; the
+    * FNV form stays the production default.
+    */
+  def simhashMd5(tokens: ArrayData): Long = {
+    val md = md5Local.get()
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (t != null) {
+        md.reset()
+        val d = md.digest(t.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 8 digest bytes big-endian == first 16 hex chars of md5
+        var h = 0L
+        var k = 0
+        while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var code = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) code |= (1L << b)
+      b += 1
+    }
+    code
+  }
+
   /** Winnowing fingerprint (Schleimer et al. 2003): FNV-1a over char
     * k-grams, min of each w-window (O(n) monotonic-deque sliding
     * minimum), distinct + sorted.
@@ -513,6 +553,19 @@ object Kernels {
       copy(child = newChild)
   }
 
+  case class SimHashMd5(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child, isStringArray, "array<string>")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash_md5"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.simhashMd5(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhashMd5($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+      copy(child = newChild)
+  }
+
   case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(prettyName, child, _ == StringType, "string")
@@ -661,6 +714,9 @@ object Kernels {
 
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  def simhashMd5Col(tokens: Column): Column =
+    ColumnBridge.column(SimHashMd5(ColumnBridge.expression(tokens)))
 
   def winnowFp(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(Winnow(ColumnBridge.expression(text), k, w))

@@ -823,10 +823,18 @@ object Dedup {
     * code. SimHash is a per-document reduction, so it needs NO shuffle at
     * all — one codegen kernel call per row (the round-1 explode +
     * double-shuffle plan inflated rows 64× for nothing).
+    * `portableHash = true` votes over md5-derived bits instead
+    * ([[graft.functions.Kernels.simhashMd5]]), which a DuckDB oracle
+    * reproduces exactly; FNV stays the production default.
     */
-  def simhash64(df: DataFrame, id: Column, text: Column): DataFrame =
+  def simhash64(df: DataFrame, id: Column, text: Column,
+                portableHash: Boolean = false): DataFrame = {
+    val kernel =
+      if (portableHash) graft.functions.Kernels.simhashMd5Col _
+      else graft.functions.Kernels.simhash64 _
     df.select(id.as("doc_id"),
-      graft.functions.Kernels.simhash64(TextFunctions.tokens(text)).as("simhash"))
+      kernel(TextFunctions.tokens(text)).as("simhash"))
+  }
 
   /** Pairs with SimHash Hamming distance ≤ `maxHamming`, using the
     * pigeonhole block trick: split the 64-bit code into `maxHamming + 1`
@@ -835,9 +843,10 @@ object Dedup {
     * verify with bit_count(xor).
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   portableHash: Boolean = false): DataFrame = {
     require(maxHamming <= 3, "block trick below uses 4 blocks of 16 bits")
-    val codes = simhash64(df, id, text)
+    val codes = simhash64(df, id, text, portableHash)
     val blockVals = array((0 until 4).map { b =>
       shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))
     }: _*)

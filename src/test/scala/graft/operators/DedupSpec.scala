@@ -263,6 +263,38 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
   }
 
+  test("portable simhash matches an independent md5 witness and keeps the pair contract") {
+    // witness recomputes the code from scratch (JDK md5, big-endian
+    // first-8-bytes, ±1 votes, sign) — independent of the kernel's loop
+    def witness(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](64)
+      for (t <- text.split(" ", -1)) {
+        val d = md.digest(t.getBytes("UTF-8"))
+        val h = (0 until 8).foldLeft(0L)((acc, k) => (acc << 8) | (d(k) & 0xffL))
+        for (b <- 0 until 64)
+          if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+      }
+      (0 until 64).foldLeft(0L)((c, b) => if (votes(b) > 0) c | (1L << b) else c)
+    }
+    val in = docs.filter(col("text") =!= "")
+    val got = Dedup.simhash64(in, col("id"), col("text"), portableHash = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = in.select("id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, text) <- texts)
+      assert(got(id) == witness(text), s"doc $id")
+    // pigeonhole pairs over portable codes equal brute-force hamming<=3
+    val pairs = Dedup.simhashPairs(in, col("id"), col("text"),
+      maxHamming = 3, portableHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (a, _) <- texts; (b, _) <- texts if a < b
+      h = java.lang.Long.bitCount(got(a) ^ got(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(pairs == brute, s"pairs=$pairs brute=$brute")
+  }
+
   test("embeddingNearDupPairs with bits=0 is exact all-pairs") {
     import graft.TestSpark.spark.implicits._
     val vecs = Seq(
