@@ -770,6 +770,15 @@ object SparkEntry {
           col("simhash"), size(col("fingerprints")).as("n_fp"),
           size(col("features")).as("n_features"))
     }),
+    "source_jaccard_exact" -> ((s, dir) => {
+      // the audit-time exact twin of source_minhash_jaccard: true
+      // distinct-shingle-set Jaccard per source pair, every pair
+      // emitted, all-integral counts + one 0/0-guarded IEEE division.
+      // hashShingles=false so the DuckDB oracle recomputes the
+      // identical text-shingle sets (production uses hashed keys)
+      Dedup.sourceJaccardExact(t(s, dir, "documents"), col("source"),
+        col("text"), n = 3, hashShingles = false)
+    }),
     "source_minhash_jaccard" -> ((s, dir) => { // engine-hash: rows-only
       // group-level sketches via the TypedImperativeAggregate: MinHash
       // union per source, then pairwise estimated Jaccard across sources
@@ -1699,6 +1708,34 @@ object SparkEntry {
         |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id""".stripMargin,
+    "source_jaccard_exact" ->
+      // per-source distinct 3-gram sets (ngram_jaccard's comprehension),
+      // pairwise |A∩B| via equi-join, every pair kept through the
+      // sizes cross frame; counts CAST from HUGEINT (r8 rule), 0/0
+      // guarded to 0.0 on both sides
+      """WITH sh AS (SELECT DISTINCT source, sh FROM (
+        |  SELECT source,
+        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3)),
+        |sizes AS (SELECT d.source, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |  FROM (SELECT DISTINCT source FROM documents) d
+        |  LEFT JOIN (SELECT source, COUNT(*) AS n FROM sh GROUP BY source) c
+        |    USING (source)),
+        |ints AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    COUNT(*) AS ni
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT x.source AS source_a, y.source AS source_b,
+        |  CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_int,
+        |  CAST(x.n + y.n - COALESCE(i.ni, 0) AS BIGINT) AS n_union,
+        |  CASE WHEN x.n + y.n - COALESCE(i.ni, 0) = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(i.ni, 0) AS DOUBLE)
+        |            / CAST(x.n + y.n - COALESCE(i.ni, 0) AS DOUBLE) END
+        |    AS jaccard
+        |FROM sizes x JOIN sizes y ON x.source < y.source
+        |LEFT JOIN ints i
+        |  ON i.source_a = x.source AND i.source_b = y.source""".stripMargin,
     "simhash_codes_portable" ->
       // both engines: per token, first 64 bits of md5 (= 16 hex chars,
       // decoded nibble-wise here), ±1 vote per bit over token

@@ -102,6 +102,66 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT pairwise shingle-set Jaccard between GROUPS (sources) — the
+    * audit-time twin of the MinHash-union sketch diagnostic
+    * (`source_minhash_jaccard`): the sketch estimates these numbers
+    * from 64 retained hashes per group, this computes them from the
+    * true distinct-shingle sets, so it both calibrates the sketch
+    * (spec asserts the estimate tracks it) and answers an exact DuckDB
+    * oracle. Emits EVERY ordered group pair, zero-intersection pairs
+    * included, with a 0/0-safe jaccard (two all-empty groups score
+    * 0.0, not NULL/NaN — Spark Divide and DuckDB disagree on 0/0, see
+    * the budget-alloc note).
+    *
+    * Scale: one distinct over (group, shingle-key) — 8-byte hashed
+    * keys by default (`hashShingles = false` for the exact-text oracle
+    * form) — then an equi-self-join on the key whose output is bounded
+    * by (groups sharing a shingle choose 2) ≤ (nGroups choose 2) rows
+    * PER DISTINCT SHINGLE, independent of corpus row count; the final
+    * pair frame is nGroups², driver-trivial. The sketch form stays the
+    * cheap per-day production diagnostic (no self-join at all); run
+    * this one at audit cadence.
+    */
+  def sourceJaccardExact(df: DataFrame, group: Column, text: Column,
+                         n: Int,
+                         hashShingles: Boolean = true,
+                         persistLineage: Boolean = true): DataFrame = {
+    val shingleKey =
+      if (hashShingles) xxhash64(col("sh_text")) else col("sh_text")
+    val shRaw = df
+      .select(group.as("source"),
+        explode(TextFunctions.wordShingles(text, n)).as("sh_text"))
+      .select(col("source"), shingleKey.as("sh"))
+      .distinct()
+    // fans out 3 ways (sizes + both self-join sides), same lifecycle
+    // contract as ngramJaccardPairs
+    val sh =
+      if (persistLineage)
+        shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shRaw
+    // group universe from the INPUT, not the shingle stream: a group
+    // whose docs are all too short for a single shingle still audits
+    // (n=0, every pair 0/0-guarded), instead of silently vanishing
+    val sizes = df.select(group.as("source")).distinct()
+      .join(sh.groupBy("source").agg(count(lit(1)).as("__n")),
+        Seq("source"), "left")
+      .select(col("source"), coalesce(col("__n"), lit(0L)).as("n"))
+    val ints = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_int"))
+    val ni = coalesce(col("n_int"), lit(0L))
+    val nu = col("n_a") + col("n_b") - ni
+    sizes.as("x").join(sizes.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+      .join(ints, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        ni.as("n_int"), nu.as("n_union"),
+        when(nu === 0L, lit(0.0))
+          .otherwise(ni.cast("double") / nu.cast("double")).as("jaccard"))
+  }
+
   /** Materialize a deduplicated corpus from any pair list produced by the
     * operators below: every id appearing as the GREATER member of a
     * duplicate pair is dropped (greedy min-id survivor — the standard

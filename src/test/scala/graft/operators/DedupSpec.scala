@@ -295,6 +295,59 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == brute, s"pairs=$pairs brute=$brute")
   }
 
+  test("sourceJaccardExact: hand-computed sets, both hash modes, zero-pair emission") {
+    import graft.TestSpark.spark.implicits._
+    val docs = Seq(
+      ("s1", "a b c d"),      // 3-grams: {a b c, b c d}
+      ("s1", "a b c"),        // adds nothing new to s1
+      ("s2", "a b c x"),      // {a b c, b c x} -> shares 1 of 3 with s1
+      ("s3", "p q r s"),      // disjoint from everything
+      ("s4", "xy")            // too short: EMPTY set
+    ).toDF("source", "text")
+    for (hashed <- Seq(true, false)) {
+      val got = Dedup.sourceJaccardExact(docs, col("source"), col("text"),
+          n = 3, hashShingles = hashed, persistLineage = false)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      assert(got.size == 6, s"hashed=$hashed: all 4C2 pairs emitted: $got")
+      assert(got(("s1", "s2")) == ((1L, 3L, 1.0 / 3.0)), s"hashed=$hashed")
+      assert(got(("s1", "s3")) == ((0L, 4L, 0.0)), s"hashed=$hashed")
+      // empty-set source pairs: union may be one side only, or 0/0 -> 0.0
+      assert(got(("s1", "s4")) == ((0L, 2L, 0.0)), s"hashed=$hashed")
+      assert(got(("s3", "s4")) == ((0L, 2L, 0.0)), s"hashed=$hashed")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("group MinHash-union sketch tracks the exact source Jaccard") {
+    // the calibration claim behind running the sketch daily and the
+    // exact twin at audit cadence: 64 retained hashes -> std error
+    // sqrt(j(1-j)/64) <= 0.0625, so 0.25 absolute is a >3-sigma bound
+    import graft.functions.MinHashUnionAgg
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val exact = Dedup.sourceJaccardExact(docs, col("source"), col("text"),
+        n = 3, persistLineage = false)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"),
+        numHashes = 64, shingleSize = 3)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val grouped = sigs.groupBy(col("source"))
+      .agg(MinHashUnionAgg.minhashUnion(col("sig"), 64).as("gsig"))
+    val est = grouped.as("a").join(grouped.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source"), col("b.source"),
+        (graft.functions.Kernels.agreeCountCol(col("a.gsig"), col("b.gsig"))
+          .cast("double") / lit(64.0)).as("est"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est.keySet == exact.keySet)
+    for (k <- exact.keySet)
+      assert(math.abs(est(k) - exact(k)) <= 0.25,
+        s"$k: est=${est(k)} exact=${exact(k)}")
+    spark.catalog.clearCache()
+  }
+
   test("embeddingNearDupPairs with bits=0 is exact all-pairs") {
     import graft.TestSpark.spark.implicits._
     val vecs = Seq(
