@@ -634,6 +634,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"),
         col("text"), n = 3, minJaccard = 0.5)
     }),
+    "ngram_containment" -> ((s, dir) => {
+      // asymmetric twin of ngram_jaccard: |A∩B|/|A| — catches a short
+      // doc embedded verbatim in a long one (containment ~1, Jaccard
+      // ~|A|/|B| → arbitrarily low). Directed pairs, both directions.
+      Dedup.ngramContainmentPairs(t(s, dir, "documents"), col("doc_id"),
+        col("text"), n = 3, minContainment = 0.8)
+    }),
     "dedup_corpus" -> ((s, dir) => {
       // end-to-end: near-dup pairs -> pruned corpus (greedy min-id keep)
       val docs = t(s, dir, "documents")
@@ -927,6 +934,19 @@ object SparkEntry {
       TermWeights.tfidfTopTerms(t(s, dir, "documents"), col("doc_id"),
         col("text"), k = 3)
     }),
+    "doc_unigram_stats" -> ((s, dir) => {
+      // self-supervised unigram-LM quality scoring: corpus token
+      // frequencies scored back onto each document. The oracle-checked
+      // projection keeps the exact-integer columns + the single-division
+      // mean_freq; the logprob column itself is a double SUM
+      // (order-dependent at ulp level) and is spec-checked with
+      // tolerance instead — the tfidf RationalIdf/LogIdf split.
+      import graft.operators.UnigramLm
+      UnigramLm.docUnigramStats(t(s, dir, "documents"), col("doc_id"),
+        col("text"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
+          col("min_freq"), col("mean_freq"))
+    }),
     // ----- LLM-pipeline: similarity search ------------------------------
     "cosine_topk" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
@@ -1092,6 +1112,15 @@ object SparkEntry {
       Sampling.fixedSizeSample(t(s, dir, "documents"), col("doc_id"),
         col("lang"), n = 5)
         .select(col("doc_id"), col("lang"))
+    }),
+    "corpus_weighted_sample" -> ((s, dir) => {
+      // length-weighted (PPS) systematic sample, 5 docs per language:
+      // pure integer cut arithmetic over md5-shuffled weighted
+      // positions, so the selected set is engine-portable — unlike the
+      // u^(1/w) exponential-key form, which orders by a transcendental
+      Sampling.weightedSystematicSample(t(s, dir, "documents"),
+        col("doc_id"), col("lang"), col("n_chars"), k = 5)
+        .select(col("doc_id"), col("lang"), col("weight"))
     }),
     "corpus_length_buckets" -> ((s, dir) => {
       // length-curriculum bucketing: quartile cut points of n_chars in
@@ -1615,6 +1644,22 @@ object SparkEntry {
         |    ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
         |  FROM documents)
         |WHERE rk <= 5""".stripMargin,
+    "corpus_weighted_sample" ->
+      // systematic PPS cuts: pure integer arithmetic (// is DuckDB
+      // integer division, div on the Spark side); the random start u0
+      // is 60 md5 bits mod the stratum total — cum/tot widen to
+      // HUGEINT internally but are never projected
+      """SELECT doc_id, lang, weight FROM (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+        |    SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang
+        |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang) AS tot,
+        |    1 + (('0x' || substr(md5('graft#' || lang), 1, 15))::BIGINT %
+        |         SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang)) AS u0
+        |  FROM documents)
+        |WHERE (5 * cum - u0 + tot) // tot >
+        |      (5 * (cum - weight) - u0 + tot) // tot""".stripMargin,
     "corpus_length_buckets" ->
       // quantile_cont == Spark's exact interpolated percentile (the
       // q_percentiles equivalence), so the cut points are bit-identical
@@ -1662,6 +1707,21 @@ object SparkEntry {
         | JOIN sizes na ON na.doc_id = id_a
         | JOIN sizes nb ON nb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5""".stripMargin,
+    "ngram_containment" ->
+      // directed pairs; containment = i / |A| is one IEEE division of
+      // exact longs, bit-identical in both engines
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id,
+        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM toks WHERE len(t) >= 3)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, CAST(i AS DOUBLE) / na.n_sh AS containment
+        |FROM inter JOIN sizes na ON na.doc_id = id_a
+        |WHERE CAST(i AS DOUBLE) / na.n_sh >= 0.8""".stripMargin,
     "minhash_pairs" ->
       // IDENTICAL exact oracle as ngram_jaccard: the registered query
       // verifies every LSH candidate with the exact shingle Jaccard, and
@@ -2031,6 +2091,22 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, token ASC) AS rank FROM s)
         |WHERE rank <= 3""".stripMargin,
+    "doc_unigram_stats" ->
+      // exact-integer projection of the unigram-LM scores; every SUM is
+      // cast back to BIGINT (DuckDB widens SUM(BIGINT) to HUGEINT and
+      // the driver hashes typed cells — the corpus_mixture lesson);
+      // mean_freq is the one shared IEEE division
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |cf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1)
+        |SELECT doc_id,
+        | CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        | CAST(SUM(tf * cf) AS BIGINT) AS sum_freq,
+        | MIN(cf) AS min_freq,
+        | CAST(SUM(tf * cf) AS DOUBLE) / CAST(SUM(tf) AS BIGINT) AS mean_freq
+        |FROM tf JOIN cf USING (token)
+        |GROUP BY doc_id""".stripMargin,
     // deterministic tie-break (count DESC, token ASC) mirrors the Spark
     // query's re-rank of the approx_top_k sketch output — exact while
     // the vocabulary fits the sketch's maxItemsTracked

@@ -102,6 +102,59 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact shingle-set CONTAINMENT — the asymmetric companion to
+    * [[ngramJaccardPairs]]: C(a→b) = |A∩B| / |A|, the fraction of `a`'s
+    * distinct `n`-gram shingles also present in `b`. Containment is the
+    * right lens for near-SUPERSET duplication (a short doc embedded
+    * verbatim in a long one scores ~1.0 here but arbitrarily low
+    * Jaccard, because the union is dominated by the long doc), which is
+    * exactly the quote/aggregator-page shape symmetric dedup misses.
+    * Output: every DIRECTED pair (id_a, id_b, containment) with
+    * containment ≥ `minContainment`, id_a ≠ id_b.
+    *
+    * Scale: same shingle-explode + equi-self-join skeleton as
+    * [[ngramJaccardPairs]] (hash join on the shingle key — never
+    * all-pairs). The self-join and intersection aggregate run on the
+    * UNORDERED id_a < id_b half — half the shuffled aggregate rows —
+    * and both directions are emitted afterwards by a cheap projection
+    * union on the already-reduced pair frame, each direction joined to
+    * its own denominator. The division |A∩B|/|A| is one shared IEEE op
+    * over exact longs, so the scores are engine-portable and
+    * DuckDB-oracle-checkable (the tfidf RationalIdf argument).
+    */
+  def ngramContainmentPairs(df: DataFrame, id: Column, text: Column, n: Int,
+                            minContainment: Double,
+                            hashShingles: Boolean = true,
+                            persistLineage: Boolean = true): DataFrame = {
+    val shingleKey =
+      if (hashShingles) xxhash64(col("sh_text")) else col("sh_text")
+    val shUncached = df
+      .select(id.as("doc_id"),
+        explode(array_distinct(TextFunctions.wordShingles(text, n))).as("sh_text"))
+      .select(col("doc_id"), shingleKey.as("sh"))
+    // fans out 3 ways (both self-join sides + sizes) — same persist
+    // contract as ngramJaccardPairs
+    val sh =
+      if (persistLineage)
+        shUncached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shUncached
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    // mirror AFTER the reduction: the union runs over one row per
+    // intersecting pair, not per shared shingle
+    val directed = inter.select(col("id_a"), col("id_b"), col("inter"))
+      .unionAll(inter.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+        col("inter")))
+    directed
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .withColumn("containment", col("inter").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** EXACT pairwise shingle-set Jaccard between GROUPS (sources) — the
     * audit-time twin of the MinHash-union sketch diagnostic
     * (`source_minhash_jaccard`): the sketch estimates these numbers

@@ -115,6 +115,76 @@ object Sampling {
       .drop("__fs_rank")
   }
 
+  /** Weighted (probability-proportional-to-size) systematic sample of
+    * ~`k` rows per stratum — the "sample documents ∝ token count /
+    * quality weight" primitive, done the survey-statistics way instead
+    * of with per-row RNG keys: lay the stratum's rows along a weighted
+    * axis in md5-shuffled order, place `k` equally-spaced cuts with a
+    * random start u0 uniform in (0, total/k] — derived from
+    * md5(salt # stratum), NOT a fixed start, because a deterministic
+    * cut position skews inclusion toward whichever rows the ordering
+    * puts at it — and keep every row whose interval contains a cut.
+    * Textbook systematic PPS: inclusion probability is EXACTLY
+    * min(1, k·w/total) regardless of ordering. The whole construction
+    * is EXACT INTEGER arithmetic on the k-scaled axis:
+    * cuts-below-x is `(k·x − u0 + total) div total` over exact longs,
+    * u0 = 1 + (md5-60-bit mod total) — no pow/log/float-ordering
+    * anywhere, so the selected set is bit-portable across engines and
+    * DuckDB-oracle-checkable (the Efraimidis–Spirakis u^(1/w) key
+    * form is equivalent in distribution but orders by a
+    * transcendental, which is exactly the tfidf LogIdf ulp trap). The
+    * md5 row ordering decorrelates neighbors; changing `salt` draws an
+    * independent sample. (k·total must fit in a long — swap the cut
+    * test to DECIMAL(38) arithmetic past ~10^18/k units of stratum
+    * mass.)
+    *
+    * Selects exactly `k` rows per stratum when every weight <
+    * total/k; a row heavier than the sampling interval straddles
+    * multiple cuts and is kept ONCE (so such strata yield fewer than
+    * `k` rows — the standard certainty-unit contraction).
+    *
+    * Scale: per-stratum totals are a map-side-combined aggregate
+    * broadcast back (NOT a full-frame window, which would buffer each
+    * stratum in the window buffer); the running sum is a streaming
+    * running-frame window per stratum. One exchange on the stratum.
+    * Strata are the parallelism unit — for a single giant stratum,
+    * swap the window for the two-level partition prefix sum used by
+    * [[Packing]] (per-partition subtotals + broadcast offsets); the
+    * cut test is unchanged.
+    *
+    * Output: input columns + `weight` (the long-cast weight).
+    */
+  def weightedSystematicSample(df: DataFrame, id: Column, stratum: Column,
+                               weight: Column, k: Int,
+                               salt: String = "graft"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit(salt), id.cast("string")))
+    val run = Window.partitionBy(col("__ws_g")).orderBy(key.asc, id.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sized = df.withColumn("__ws_g", stratum)
+      .withColumn("weight", weight.cast("long"))
+    val totals = sized.groupBy(col("__ws_g"))
+      .agg(sum(col("weight")).as("__ws_tot"))
+    // random start on the k-scaled axis: 60 bits of md5(salt # stratum)
+    // (15 hex chars -> exact long in both engines: conv() here,
+    // ('0x'||hex)::BIGINT in DuckDB), reduced mod total — the mod bias
+    // is ~total/2^60, immaterial
+    val u0 = pmod(
+      conv(substring(md5(concat(lit(salt + "#"),
+        col("__ws_g").cast("string"))), 1, 15), 16, 10).cast("long"),
+      col("__ws_tot")) + lit(1L)
+    sized.join(broadcast(totals), "__ws_g")
+      .withColumn("__ws_cum", sum(col("weight")).over(run))
+      .withColumn("__ws_u0", u0)
+      // cuts-below-x count; integer div on exact longs — both engines
+      // floor identically for the non-negative operands guaranteed by
+      // weights >= 0 and u0 <= total
+      .filter(expr(s"($k * __ws_cum - __ws_u0 + __ws_tot) div __ws_tot") >
+        expr(s"($k * (__ws_cum - weight) - __ws_u0 + __ws_tot) div __ws_tot"))
+      .drop("__ws_g", "__ws_tot", "__ws_cum", "__ws_u0")
+  }
+
   /** Quantile bucketing of a numeric column — the length-curriculum /
     * batch-shape primitive: cut the corpus at the given quantiles of
     * `value` and label every row with its bucket (1-based; rows above

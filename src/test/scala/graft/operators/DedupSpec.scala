@@ -592,4 +592,35 @@ class DedupSpec extends SparkTestBase {
     assert(kept.intersect(contaminated).isEmpty)
     assert(kept.nonEmpty, "gate must not drop the whole corpus at 10 bits/item")
   }
+
+  test("ngramContainmentPairs: embedded doc scores 1.0 toward its superset, " +
+    "which symmetric Jaccard misses") {
+    import graft.TestSpark.spark.implicits._
+    val small = "a b c d e f"
+    val big = small + " g h i j k l m n o p q r s t u v w x y z a1 b1 c1"
+    val d = Seq((1L, small), (2L, big), (3L, "zz yy xx ww vv"))
+      .toDF("id", "text")
+    val pairs = Dedup.ngramContainmentPairs(d, col("id"), col("text"),
+      n = 3, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // only the small->big direction: all 4 of small's shingles appear in
+    // big, while big's 27 shingles are mostly absent from small
+    assert(pairs == Seq((1L, 2L, 1.0)), s"got $pairs")
+    assert(Dedup.ngramJaccardPairs(d, col("id"), col("text"),
+      n = 3, minJaccard = 0.5).count() == 0) // jaccard = 4/27, invisible
+  }
+
+  test("ngramContainmentPairs: hashed and exact-text shingle modes agree") {
+    import graft.TestSpark.spark.implicits._
+    val d = Seq(
+      (1L, "p q r s t u"), (2L, "p q r s t u v w"), (3L, "p q r s"),
+      (4L, "m n o p q r"), (5L, "completely different text here now"))
+      .toDF("id", "text")
+    def run(h: Boolean) =
+      Dedup.ngramContainmentPairs(d, col("id"), col("text"), n = 3,
+        minContainment = 0.5, hashShingles = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(true) == run(false))
+    assert(run(true).nonEmpty)
+  }
 }

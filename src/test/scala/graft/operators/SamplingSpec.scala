@@ -216,6 +216,46 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("weightedSystematicSample: exactly k per stratum with uniform weights, " +
+    "invariant to partitioning") {
+    import graft.TestSpark.spark.implicits._
+    val d = (0L until 300L).map(i => (i, if (i % 2 == 0) "en" else "de", 10L))
+      .toDF("id", "lang", "w")
+    val s = Sampling.weightedSystematicSample(d, col("id"), col("lang"), col("w"), k = 7)
+    val counts = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 7L, "de" -> 7L))
+    val ids = s.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.weightedSystematicSample(d.repartition(5), col("id"),
+      col("lang"), col("w"), k = 7).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == ids2) // pure function of identity + weights, not layout
+  }
+
+  test("weightedSystematicSample: a certainty unit (w > total/k) is always kept, once") {
+    import graft.TestSpark.spark.implicits._
+    // 50 light docs + one holding ~95% of the stratum's mass; k=5 cuts
+    val d = ((0L until 50L).map(i => (i, "en", 1L)) :+ (99L, "en", 1000L))
+      .toDF("id", "lang", "w")
+    (1 to 5).foreach { i =>
+      val ids = Sampling.weightedSystematicSample(d, col("id"), col("lang"),
+        col("w"), k = 5, salt = s"s$i").select("id").collect().map(_.getLong(0))
+      assert(ids.count(_ == 99L) == 1, s"salt s$i: ${ids.mkString(",")}")
+    }
+  }
+
+  test("weightedSystematicSample: selection probability tracks weight across salts") {
+    import graft.TestSpark.spark.implicits._
+    // one doc carries half the stratum mass; with k=1 it should be the
+    // pick in roughly half the independent draws, a light doc almost never
+    val d = ((0L until 100L).map(i => (i, "en", 1L)) :+ (999L, "en", 100L))
+      .toDF("id", "lang", "w")
+    val wins = (1 to 40).count { i =>
+      Sampling.weightedSystematicSample(d, col("id"), col("lang"), col("w"),
+        k = 1, salt = s"t$i").select("id").collect().map(_.getLong(0)).contains(999L)
+    }
+    assert(wins >= 8 && wins <= 32, s"heavy doc won $wins/40") // ~20 expected
+  }
+
   test("temperatureWeights rejects alpha outside (0,1]") {
     import graft.TestSpark.spark.implicits._
     val df = Seq(("a", 1)).toDF("src", "n")

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class UnigramLmSpec extends SparkTestBase {
+
+  // corpus: a:2, b:2, c:1 → N = 5
+  private def docs = {
+    import graft.TestSpark.spark.implicits._
+    Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
+  }
+
+  test("docUnigramStats: exact integer columns on a hand-checked fixture") {
+    val out = UnigramLm.docUnigramStats(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 3L) // n_tokens
+    assert(r1.getLong(2) == 6L) // sum_freq = 2·cf(a)=4 + 1·cf(b)=2
+    assert(r1.getLong(3) == 2L) // min_freq: both a and b occur twice
+    assert(r1.getDouble(4) == 2.0) // mean_freq = 6/3
+    val r2 = out(2L)
+    assert(r2.getLong(1) == 2L)
+    assert(r2.getLong(2) == 3L) // cf(b)=2 + cf(c)=1
+    assert(r2.getLong(3) == 1L) // c is a hapax
+    assert(r2.getDouble(4) == 1.5)
+  }
+
+  test("docUnigramStats: logprob is the mean token log-probability") {
+    val out = UnigramLm.docUnigramStats(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    // doc 1: (2·ln2 + 1·ln2)/3 − ln5 = ln(2/5)
+    assert(math.abs(out(1L) - math.log(0.4)) < 1e-12, s"got ${out(1L)}")
+    // doc 2: (ln2 + ln1)/2 − ln5
+    assert(math.abs(out(2L) - (math.log(2.0) / 2 - math.log(5.0))) < 1e-12)
+    // gibberish scores strictly below fluent text in a larger corpus
+    import graft.TestSpark.spark.implicits._
+    val corpus = ((1L to 20L).map(i => (i, "the cat sat on the mat")) :+
+      (99L, "zxqv wkjh pmtr")).toDF("id", "text")
+    val lp = UnigramLm.docUnigramStats(corpus, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(lp(99L) < lp(1L))
+  }
+
+  test("docUnigramStats: broadcast and shuffle vocab joins agree") {
+    def run(b: Boolean) =
+      UnigramLm.docUnigramStats(docs, col("id"), col("text"),
+        broadcastVocab = b, persistTf = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+    assert(run(true) == run(false))
+  }
+}
