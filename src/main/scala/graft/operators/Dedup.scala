@@ -143,11 +143,17 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    // mirror AFTER the reduction: the union runs over one row per
-    // intersecting pair, not per shared shingle
-    val directed = inter.select(col("id_a"), col("id_b"), col("inter"))
-      .unionAll(inter.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
-        col("inter")))
+    // mirror AFTER the reduction, and as ONE explode projection — a
+    // union of two selects over `inter` makes Catalyst plan the whole
+    // self-join + aggregate subtree TWICE (observed in the physical
+    // plan), doubling the most expensive stage; the explode emits both
+    // directions in a single pass over the reduced pair frame
+    val directed = inter
+      .select(explode(array(
+        struct(col("id_a"), col("id_b")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("p"),
+        col("inter"))
+      .select(col("p.id_a"), col("p.id_b"), col("inter"))
     directed
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .withColumn("containment", col("inter").cast("double") / col("n_a").cast("double"))

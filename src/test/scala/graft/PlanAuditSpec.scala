@@ -377,4 +377,30 @@ class PlanAuditSpec extends SparkTestBase {
         s"$flag[$i]: approx $a vs exact $e")
     }
   }
+
+  test("unigram-LM vocabulary join broadcasts (no sort-merge join)") {
+    val plan = planOf(SparkEntry.queries("doc_unigram_stats")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("weighted systematic sample: streaming running-frame window, totals broadcast") {
+    val plan = planOf(SparkEntry.queries("corpus_weighted_sample")(spark, dir))
+    // ONE window, running frame (streams; a full-frame total would
+    // buffer each stratum in the window buffer)
+    assert("\\+- Window ".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("unboundedpreceding$(), currentrow$()"), plan)
+    // per-stratum totals arrive by broadcast join, not a second window
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("containment mirror is one explode over the reduced pair frame " +
+    "(a select-union here re-plans the whole self-join twice)") {
+    val plan = planOf(SparkEntry.queries("ngram_containment")(spark, dir))
+    assert(!plan.contains("Union"), plan)
+    val pairAggs = "hashpartitioning\\(doc_id#\\d+L, doc_id#\\d+L"
+      .r.findAllIn(plan).length
+    assert(pairAggs == 1, s"pair aggregate planned $pairAggs times:\n$plan")
+  }
 }
