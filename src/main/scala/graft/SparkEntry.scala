@@ -641,6 +641,15 @@ object SparkEntry {
       Dedup.ngramContainmentPairs(t(s, dir, "documents"), col("doc_id"),
         col("text"), n = 3, minContainment = 0.8)
     }),
+    "dedup_containment_prune" -> ((s, dir) => {
+      // end-to-end superset dedup: drop docs that are near-subsets of
+      // another doc; mutual (near-identical) pairs keep their min id
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramContainmentPairs(docs, col("doc_id"),
+        col("text"), n = 3, minContainment = 0.8)
+      Dedup.applyContainmentPrune(docs, col("doc_id"), pairs)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
     "dedup_corpus" -> ((s, dir) => {
       // end-to-end: near-dup pairs -> pruned corpus (greedy min-id keep)
       val docs = t(s, dir, "documents")
@@ -1722,6 +1731,25 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(i AS DOUBLE) / na.n_sh AS containment
         |FROM inter JOIN sizes na ON na.doc_id = id_a
         |WHERE CAST(i AS DOUBLE) / na.n_sh >= 0.8""".stripMargin,
+    "dedup_containment_prune" ->
+      // same pair CTE as ngram_containment; one-way containment drops
+      // the contained doc, mutual pairs keep the min id
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id,
+        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM toks WHERE len(t) >= 3)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (SELECT id_a, id_b FROM inter JOIN sizes na ON na.doc_id = id_a
+        |  WHERE CAST(i AS DOUBLE) / na.n_sh >= 0.8),
+        |drops AS (SELECT p.id_a FROM pairs p LEFT JOIN pairs r
+        |  ON p.id_a = r.id_b AND p.id_b = r.id_a
+        |  WHERE r.id_a IS NULL OR p.id_a > p.id_b)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id_a FROM drops)""".stripMargin,
     "minhash_pairs" ->
       // IDENTICAL exact oracle as ngram_jaccard: the registered query
       // verifies every LSH candidate with the exact shingle Jaccard, and

@@ -234,6 +234,32 @@ object Dedup {
     df.join(pairs.select(col("id_b").as("__drop_id")), id === col("__drop_id"),
       "left_anti")
 
+  /** Prune documents that are near-SUBSETS of another document, from a
+    * [[ngramContainmentPairs]] directed pair list: drop `id_a` of every
+    * (id_a, id_b) pair — a's shingles are (mostly) inside b — EXCEPT
+    * when the containment is mutual (near-identical twins, both
+    * directions above threshold): dropping both would lose the content
+    * entirely, so the pair keeps its min-id member, [[applyPairDedup]]'s
+    * deterministic survivor rule. The quote-page / aggregator shape:
+    * the contained short doc goes, the superset stays.
+    *
+    * Scale: one self-join of the (tiny, already-thresholded) pair list
+    * on the reversed key to detect mutuality, then a left_anti against
+    * the corpus — corpus rows shuffle once, pair-list work is
+    * candidate-sized.
+    */
+  def applyContainmentPrune(df: DataFrame, id: Column,
+                            pairs: DataFrame): DataFrame = {
+    val rev = pairs.select(col("id_a").as("r_b"), col("id_b").as("r_a"))
+    val drops = pairs
+      .join(rev, col("id_a") === col("r_a") && col("id_b") === col("r_b"),
+        "left")
+      // one-way containment: a always drops; mutual: min id survives
+      .filter(col("r_a").isNull || col("id_a") > col("id_b"))
+      .select(col("id_a").as("__drop_id"))
+    df.join(drops, id === col("__drop_id"), "left_anti")
+  }
+
   /** Transitive duplicate CLUSTERS from a pair list: iterative min-label
     * propagation — every vertex adopts the smallest id it can reach — to
     * fixpoint. [[applyPairDedup]]'s greedy one-pass policy is right for

@@ -610,6 +610,22 @@ class DedupSpec extends SparkTestBase {
       n = 3, minJaccard = 0.5).count() == 0) // jaccard = 4/27, invisible
   }
 
+  test("applyContainmentPrune: contained doc drops, superset stays, " +
+    "mutual twins keep min id") {
+    import graft.TestSpark.spark.implicits._
+    val small = "a b c d e f"
+    val big = small + " g h i j k l m n o p q r s t u v w x y z a1 b1 c1"
+    val twin = "t1 t2 t3 t4 t5 t6 t7"
+    val d = Seq((1L, small), (2L, big), (3L, twin), (4L, twin),
+      (5L, "zz yy xx ww vv")).toDF("id", "text")
+    val pairs = Dedup.ngramContainmentPairs(d, col("id"), col("text"),
+      n = 3, minContainment = 0.9)
+    val kept = Dedup.applyContainmentPrune(d, col("id"), pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // 1 ⊂ 2 one-way: 1 drops; 3 ≡ 4 mutual: min id 3 survives; 5 untouched
+    assert(kept == Set(2L, 3L, 5L), s"kept $kept")
+  }
+
   test("ngramContainmentPairs: hashed and exact-text shingle modes agree") {
     import graft.TestSpark.spark.implicits._
     val d = Seq(
