@@ -1140,6 +1140,19 @@ object SparkEntry {
         col("n_chars"))
         .select(col("doc_id"), col("n_chars"), col("bucket"))
     }),
+    "corpus_fluency_buckets" -> ((s, dir) => {
+      // quality-curriculum composition: unigram-LM mean corpus frequency
+      // per doc (exact rational projection), quartile-bucketed with the
+      // same percentile/when-chain machinery as the length curriculum —
+      // the "train easy/fluent docs first" ordering signal
+      import graft.operators.UnigramLm
+      val stats = UnigramLm.docUnigramStats(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+        .select(col("doc_id"), col("mean_freq"))
+      Sampling.quantileBuckets(stats, col("mean_freq"),
+        outCol = "fluency_bucket")
+        .select(col("doc_id"), col("mean_freq"), col("fluency_bucket"))
+    }),
     "corpus_split" -> ((s, dir) => {
       // deterministic 90/10 train/holdout split — a pure function of the
       // row id (md5 bucket), identical on any cluster size/engine
@@ -1680,6 +1693,24 @@ object SparkEntry {
         |      WHEN CAST(n_chars AS DOUBLE) <= cuts[3] THEN 3
         |      ELSE 4 END AS INT) AS bucket
         |FROM documents CROSS JOIN c""".stripMargin,
+    "corpus_fluency_buckets" ->
+      // unigram mean_freq CTE (the doc_unigram_stats oracle) bucketed by
+      // quantile_cont cuts — both halves reuse proven-bit-identical forms
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |cf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+        |stats AS (SELECT doc_id,
+        |  CAST(SUM(tf * cf) AS DOUBLE) / CAST(SUM(tf) AS BIGINT) AS mean_freq
+        |  FROM tf JOIN cf USING (token) GROUP BY doc_id),
+        |c AS (SELECT quantile_cont(mean_freq, [0.25, 0.5, 0.75]) AS cuts
+        |  FROM stats)
+        |SELECT doc_id, mean_freq,
+        | CAST(CASE WHEN mean_freq <= cuts[1] THEN 1
+        |      WHEN mean_freq <= cuts[2] THEN 2
+        |      WHEN mean_freq <= cuts[3] THEN 3
+        |      ELSE 4 END AS INT) AS fluency_bucket
+        |FROM stats CROSS JOIN c""".stripMargin,
     "corpus_split" ->
       """SELECT doc_id,
         | CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4)

@@ -256,6 +256,23 @@ class SamplingSpec extends SparkTestBase {
     assert(wins >= 8 && wins <= 32, s"heavy doc won $wins/40") // ~20 expected
   }
 
+  test("weightedSystematicSample edges: k >= rows selects everything once; " +
+    "zero-weight rows are never selected") {
+    import graft.TestSpark.spark.implicits._
+    val d = (0L until 20L).map(i => (i, "en", 1L)).toDF("id", "lang", "w")
+    val all = Sampling.weightedSystematicSample(d, col("id"), col("lang"),
+      col("w"), k = 40).select("id").collect().map(_.getLong(0))
+    assert(all.length == 20 && all.toSet.size == 20) // every row, no dupes
+    val withZero = ((0L until 20L).map(i => (i, "en", 1L)) :+ (99L, "en", 0L))
+      .toDF("id", "lang", "w")
+    (1 to 5).foreach { i =>
+      val ids = Sampling.weightedSystematicSample(withZero, col("id"),
+        col("lang"), col("w"), k = 3, salt = s"z$i")
+        .select("id").collect().map(_.getLong(0))
+      assert(!ids.contains(99L), s"zero-weight row selected under salt z$i")
+    }
+  }
+
   test("temperatureWeights rejects alpha outside (0,1]") {
     import graft.TestSpark.spark.implicits._
     val df = Seq(("a", 1)).toDF("src", "n")

@@ -43,6 +43,18 @@ class UnigramLmSpec extends SparkTestBase {
     assert(lp(99L) < lp(1L))
   }
 
+  test("docUnigramStats: empty text follows string_split semantics " +
+    "(one empty token) rather than dropping the doc") {
+    import graft.TestSpark.spark.implicits._
+    val d = Seq((1L, ""), (2L, "a a")).toDF("id", "text")
+    val out = UnigramLm.docUnigramStats(d, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // split("", " ") = [""] in Spark AND DuckDB — the doc scores against
+    // the "" pseudo-token (cf=1) instead of vanishing from the output
+    assert(out.contains(1L) && out(1L).getLong(1) == 1L)
+    assert(out(1L).getLong(3) == 1L) // min_freq: "" is a hapax
+  }
+
   test("docUnigramStats: broadcast and shuffle vocab joins agree") {
     def run(b: Boolean) =
       UnigramLm.docUnigramStats(docs, col("id"), col("text"),
