@@ -1153,6 +1153,26 @@ object SparkEntry {
         outCol = "fluency_bucket")
         .select(col("doc_id"), col("mean_freq"), col("fluency_bucket"))
     }),
+    "chunk_documents" -> ((s, dir) => {
+      // context-window prep: 200-char windows advancing 120 chars
+      // (overlapping), zero-shuffle generate+project — see Chunking
+      import graft.operators.Chunking
+      Chunking.chunkDocuments(t(s, dir, "documents"), col("doc_id"),
+        col("text"), chunkChars = 200, strideChars = 120)
+    }),
+    "chunk_stats" -> ((s, dir) => {
+      // per-doc chunk audit over the same windows: count, surviving
+      // chars (> n_chars under overlap), coverage bound
+      import graft.operators.Chunking
+      Chunking.chunkStats(t(s, dir, "documents"), col("doc_id"),
+        col("text"), chunkChars = 200, strideChars = 120)
+    }),
+    "bpe_pair_counts" -> ((s, dir) => {
+      // one BPE-iteration statistic: top adjacent whitespace-token
+      // pairs, deterministic total-order cut at k
+      import graft.operators.BpeStats
+      BpeStats.pairCounts(t(s, dir, "documents"), col("text"), k = 40)
+    }),
     "corpus_split" -> ((s, dir) => {
       // deterministic 90/10 train/holdout split — a pure function of the
       // row id (md5 bucket), identical on any cluster size/engine
@@ -1711,6 +1731,37 @@ object SparkEntry {
         |      WHEN mean_freq <= cuts[3] THEN 3
         |      ELSE 4 END AS INT) AS fluency_bucket
         |FROM stats CROSS JOIN c""".stripMargin,
+    "chunk_documents" ->
+      // same start set as Spark's sequence(0, len-1, stride): inclusive
+      // bounds, fixed step; substr is 1-based char semantics both sides
+      """WITH starts AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, CAST(length(text) - 1 AS BIGINT), 120)) AS s
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id,
+        |  CAST(s // 120 AS INT) AS chunk_idx,
+        |  CAST(s AS INT) AS chunk_start,
+        |  substr(text, CAST(s AS INT) + 1, 200) AS chunk_text,
+        |  CAST(length(substr(text, CAST(s AS INT) + 1, 200)) AS INT) AS chunk_chars
+        |FROM starts""".stripMargin,
+    "chunk_stats" ->
+      """WITH starts AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, CAST(length(text) - 1 AS BIGINT), 120)) AS s
+        |  FROM documents WHERE length(text) > 0),
+        |ch AS (SELECT doc_id, CAST(s AS INT) AS cs,
+        |         length(substr(text, CAST(s AS INT) + 1, 200)) AS cc
+        |       FROM starts)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(cc) AS BIGINT) AS chunked_chars,
+        |  CAST(MAX(cs + cc) AS INT) AS covered_to
+        |FROM ch GROUP BY doc_id""".stripMargin,
+    "bpe_pair_counts" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT t, unnest(generate_series(1, CAST(len(t) - 1 AS BIGINT))) AS i
+        |        FROM toks WHERE len(t) >= 2)
+        |SELECT t[i] AS a, t[i + 1] AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM idx GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 40""".stripMargin,
     "corpus_split" ->
       """SELECT doc_id,
         | CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4)

@@ -304,6 +304,26 @@ class PlanAuditSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("chunking plans zero exchanges; BPE pair count is one partial agg + top-k heap") {
+    import graft.operators.{BpeStats, Chunking}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // chunking: generate + substr projection, inherits scan partitioning
+    val c = Chunking.chunkDocuments(docs, col("doc_id"), col("text"), 200, 120)
+    val pc = planOf(c)
+    assert(PlanInspect.exchangeCount(c) == 0, pc)
+    assert(pc.contains("Generate"), pc)
+    // pair count: map-side partial collapse before the ONE pair-key
+    // exchange, then a per-partition heap (TakeOrdered), never a global sort
+    val b = BpeStats.pairCounts(docs, col("text"), 40)
+    val pb = planOf(b)
+    assert(PlanInspect.exchangeCount(b) == 1, pb)
+    assert(pb.contains("partial_count"), pb)
+    assert(pb.contains("TakeOrderedAndProject"), pb)
+    // chunk stats: one doc_id agg over the zero-exchange chunk stream
+    val s = Chunking.chunkStats(docs, col("doc_id"), col("text"), 200, 120)
+    assert(PlanInspect.exchangeCount(s) == 1, planOf(s))
+  }
+
   test("snapshot_diff joins keyed, vocab_stats aggregates map-side") {
     spark.catalog.clearCache()
     val p1 = planOf(graft.SparkEntry.queries("snapshot_diff")(spark, dir))

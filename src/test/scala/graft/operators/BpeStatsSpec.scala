@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class BpeStatsSpec extends SparkTestBase {
+
+  private lazy val testImplicits = spark.implicits
+  import testImplicits._
+
+  test("pair counts match a hand count across documents") {
+    val d = Seq(
+      "the cat sat",          // (the,cat) (cat,sat)
+      "the cat ran",          // (the,cat) (cat,ran)
+      "a the cat"             // (a,the) (the,cat)
+    ).toDF("text")
+    val got = BpeStats.pairCounts(d, col("text"), k = 10)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got.head == (("the", "cat", 3L)))
+    assert(got.toSet == Set(
+      ("the", "cat", 3L), ("a", "the", 1L), ("cat", "ran", 1L),
+      ("cat", "sat", 1L)))
+    // deterministic total order: cnt desc, then (a, b) ascending
+    assert(got == got.sortBy(p => (-p._3, p._1, p._2)))
+  }
+
+  test("k cuts at a deterministic boundary under ties") {
+    val d = Seq("b c", "a b", "c d").toDF("text") // three pairs, all cnt 1
+    val got = BpeStats.pairCounts(d, col("text"), k = 2)
+      .as[(String, String, Long)].collect().toSeq
+    // tie broken by (a, b) ascending: (a,b) then (b,c) survive the cut
+    assert(got == Seq(("a", "b", 1L), ("b", "c", 1L)))
+  }
+
+  test("sub-2-token and null documents contribute nothing; empties are tokens") {
+    val d = Seq[Option[String]](
+      Some("solo"), Some(""), None,
+      Some("x  y") // double space -> tokens x, "", y -> pairs (x,"") ("",y)
+    ).toDF("text")
+    val got = BpeStats.pairCounts(d, col("text"), k = 10)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("x", "", 1L), ("", "y", 1L)))
+  }
+}
