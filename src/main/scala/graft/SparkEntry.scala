@@ -1160,6 +1160,12 @@ object SparkEntry {
       Chunking.chunkDocuments(t(s, dir, "documents"), col("doc_id"),
         col("text"), chunkChars = 200, strideChars = 120)
     }),
+    "chunk_tokens" -> ((s, dir) => {
+      // tokenizer-aware windows: 40 whitespace tokens advancing 30
+      import graft.operators.Chunking
+      Chunking.chunkByTokens(t(s, dir, "documents"), col("doc_id"),
+        col("text"), chunkTokens = 40, strideTokens = 30)
+    }),
     "chunk_stats" -> ((s, dir) => {
       // per-doc chunk audit over the same windows: count, surviving
       // chars (> n_chars under overlap), coverage bound
@@ -1743,6 +1749,21 @@ object SparkEntry {
         |  CAST(s AS INT) AS chunk_start,
         |  substr(text, CAST(s AS INT) + 1, 200) AS chunk_text,
         |  CAST(length(substr(text, CAST(s AS INT) + 1, 200)) AS INT) AS chunk_chars
+        |FROM starts""".stripMargin,
+    "chunk_tokens" ->
+      // DuckDB list slice t[a:b] is 1-based inclusive; stop clamps at
+      // len(t) to match Spark's slice(length) bound
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |starts AS (SELECT doc_id, t,
+        |    unnest(generate_series(0, CAST(len(t) - 1 AS BIGINT), 30)) AS s
+        |  FROM toks WHERE len(t) > 0)
+        |SELECT doc_id,
+        |  CAST(s // 30 AS INT) AS chunk_idx,
+        |  CAST(s AS INT) AS tok_start,
+        |  array_to_string(t[CAST(s + 1 AS INT) :
+        |                    CAST(least(s + 40, len(t)) AS INT)], ' ') AS chunk_text,
+        |  CAST(least(s + 40, len(t)) - s AS INT) AS chunk_tokens
         |FROM starts""".stripMargin,
     "chunk_stats" ->
       """WITH starts AS (

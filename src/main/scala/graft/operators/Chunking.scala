@@ -53,6 +53,39 @@ object Chunking {
       .withColumn("chunk_chars", length(col("chunk_text")).cast("int"))
   }
 
+  /** Token-window variant of [[chunkDocuments]]: windows of
+    * `chunkTokens` whitespace tokens advancing by `strideTokens` — the
+    * shape a tokenizer-aware packing stage consumes (char windows cut
+    * words in half; token windows don't). Same zero-shuffle
+    * generate+project plan; `chunk_text` re-joins the token slice with
+    * single spaces, so for single-space-delimited input the
+    * stride=chunk windows concatenate back to the document.
+    *
+    * Token semantics match [[graft.functions.TextFunctions.tokens]]
+    * (single-space split, empties kept): an empty document is ONE empty
+    * token under this tokenizer and yields one empty window — dropping
+    * it would make token accounting disagree with `tokenCount`.
+    * NULL documents yield no rows.
+    */
+  def chunkByTokens(docs: DataFrame, id: Column, text: Column,
+                    chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(strideTokens > 0 && strideTokens <= chunkTokens,
+      s"strideTokens must be in [1, chunkTokens]: $strideTokens")
+    docs.select(id.as("doc_id"), split(text, " ").as("__t"))
+      .where(size(col("__t")) > 0)
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(0), size(col("__t")) - 1,
+          lit(strideTokens))).as("__start"))
+      .select(col("doc_id"),
+        (col("__start") / strideTokens).cast("int").as("chunk_idx"),
+        col("__start").cast("int").as("tok_start"),
+        array_join(slice(col("__t"), col("__start") + 1,
+          lit(chunkTokens)), " ").as("chunk_text"),
+        least(col("__start") + chunkTokens, size(col("__t")))
+          .minus(col("__start")).cast("int").as("chunk_tokens"))
+  }
+
   /** Per-document chunking audit: window count and the character count
     * that survives into chunks (with overlap, > n_chars). One map-side
     * partial agg over [[chunkDocuments]] — the sanity gate a pipeline

@@ -59,6 +59,28 @@ class ChunkingSpec extends SparkTestBase {
     assert(got(1) == ((2L, 1L, 2L, 2)))
   }
 
+  test("token windows: slice bounds, rejoin, and the empty-token contract") {
+    val text = "a b c d e f g" // 7 tokens, chunk 3, stride 2
+    val got = Chunking.chunkByTokens(docs((1L, text)), col("doc_id"),
+      col("text"), 3, 2)
+      .orderBy("chunk_idx").as[(Long, Int, Int, String, Int)].collect()
+    assert(got.map(_._3).toSeq == Seq(0, 2, 4, 6))
+    assert(got.map(_._4).toSeq == Seq("a b c", "c d e", "e f g", "g"))
+    assert(got.map(_._5).toSeq == Seq(3, 3, 3, 1))
+    // stride = chunk: windows rejoin to the document
+    val nonOv = Chunking.chunkByTokens(docs((1L, text)), col("doc_id"),
+      col("text"), 2, 2)
+      .orderBy("chunk_idx").as[(Long, Int, Int, String, Int)].collect()
+    assert(nonOv.map(_._4).mkString(" ") == text)
+    // an empty document is ONE empty token (tokenCount contract), a
+    // null document is no rows
+    val edge = Seq[(Long, Option[String])]((1L, Some("")), (2L, None))
+      .toDF("doc_id", "text")
+    val e = Chunking.chunkByTokens(edge, col("doc_id"), col("text"), 3, 2)
+      .as[(Long, Int, Int, String, Int)].collect()
+    assert(e.toSeq == Seq((1L, 0, 0, "", 1)))
+  }
+
   test("invalid parameters rejected") {
     val d = docs((1L, "abc"))
     intercept[IllegalArgumentException] {
