@@ -1041,6 +1041,39 @@ object SparkEntry {
           k = 10, nprobe = 4),
         floor = 0.3, what = "IVF ANN")
     }),
+    "pq_topk" -> ((s, dir) => { // IVF-PQ: compressed-candidate ANN, rows-only
+      import graft.operators.{Ivf, Pq}
+      val embs = t(s, dir, "embeddings")
+      val ivf = Ivf.fit(embs, col("embedding"), nlist = 16,
+        sampleFraction = 0.25)
+      val pq = Pq.fit(embs, col("embedding"), m = 8, k = 16)
+      val encoded = Pq.assignEncode(ivf, pq, embs, col("vec_id"),
+        col("embedding"))
+      val queries = embs.filter(col("vec_id") % 50 === 0)
+      Pq.topK(ivf, pq, encoded, queries, col("vec_id"), col("embedding"),
+        k = 10, nprobe = 4)
+    }),
+    "pq_topk_recall" -> ((s, dir) => {
+      // Recall gate at pq_topk's operating point: quantization noise
+      // stacks on IVF pruning, so the floor sits below ivf_topk_recall's
+      // (random uniform embeddings are the adversarial case — real
+      // corpora cluster and quantize far better; measured ~0.35 at
+      // sf0.01/sf0.1).
+      import graft.operators.{Ivf, Pq}
+      val embs = t(s, dir, "embeddings")
+      val queries = embs.filter(col("vec_id") % 50 === 0)
+      val ivf = Ivf.fit(embs, col("embedding"), nlist = 16,
+        sampleFraction = 0.25)
+      val pq = Pq.fit(embs, col("embedding"), m = 8, k = 16)
+      val encoded = Pq.assignEncode(ivf, pq, embs, col("vec_id"),
+        col("embedding"))
+      recallGate(
+        Similarity.bruteForceTopK(embs, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"), k = 10),
+        Pq.topK(ivf, pq, encoded, queries, col("vec_id"), col("embedding"),
+          k = 10, nprobe = 4),
+        floor = 0.2, what = "IVF-PQ ANN")
+    }),
     "embed_near_dup_exact" -> ((s, dir) => {
       // bits = 0 -> single bucket = verified all-pairs (exact; small SF only).
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), col("vec_id"),

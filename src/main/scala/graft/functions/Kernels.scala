@@ -402,6 +402,95 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Product-quantization encode: L2-normalize `v`, then for each of the
+    * `cb.length` subspaces pick the argmin squared-L2 codeword (ties to
+    * the lower code — deterministic on any partitioning). Normalizing
+    * INSIDE the kernel keeps the fit/encode/score contract in one place:
+    * codebooks are trained on normalized vectors, so
+    * dot(q̂, reconstruction) ≈ cosine(q, v) and no caller can encode
+    * unnormalized data against a normalized model. One compiled pass of
+    * m × k × subdim multiplies per row, no allocation beyond the code
+    * array — the 100-TB write-path kernel that turns a 256-byte float
+    * vector into m int codes (m bytes on disk after parquet packs them).
+    */
+  def pqEncode(v: ArrayData, cb: Array[Array[Array[Double]]],
+               floats: Boolean): ArrayData = {
+    val m = cb.length
+    val subdim = cb(0)(0).length
+    val dim = m * subdim
+    val x = new Array[Double](dim)
+    val n = math.min(v.numElements(), dim)
+    var i = 0
+    var norm = 0.0
+    while (i < n) {
+      val e = if (v.isNullAt(i)) 0.0
+        else if (floats) v.getFloat(i).toDouble else v.getDouble(i)
+      x(i) = e; norm += e * e; i += 1
+    }
+    norm = math.sqrt(norm)
+    if (norm > 0) { i = 0; while (i < dim) { x(i) /= norm; i += 1 } }
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cents = cb(j)
+      val off = j * subdim
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cents.length) {
+        val ce = cents(c)
+        var d = 0.0
+        var t = 0
+        while (t < subdim) {
+          val diff = x(off + t) - ce(t); d += diff * diff; t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best; j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Asymmetric-distance score: dot(normalize(q), PQ reconstruction of
+    * `codes`) ≈ cosine(q, original vector). The query is exact, only the
+    * corpus side is quantized — the standard ADC trade (Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search"). Zero-norm
+    * queries score -1.0, matching [[cosineDense]]'s no-direction
+    * contract. Codes outside [0, k) clamp to the last codeword rather
+    * than throw: a corrupt store row should rank low, not kill the job.
+    */
+  def pqAdcScore(q: ArrayData, codes: ArrayData,
+                 cb: Array[Array[Array[Double]]], floats: Boolean): Double = {
+    val m = cb.length
+    val subdim = cb(0)(0).length
+    val dim = m * subdim
+    val x = new Array[Double](dim)
+    val n = math.min(q.numElements(), dim)
+    var i = 0
+    var norm = 0.0
+    while (i < n) {
+      val e = if (q.isNullAt(i)) 0.0
+        else if (floats) q.getFloat(i).toDouble else q.getDouble(i)
+      x(i) = e; norm += e * e; i += 1
+    }
+    norm = math.sqrt(norm)
+    if (norm == 0.0) return -1.0
+    var score = 0.0
+    val mc = math.min(m, codes.numElements())
+    var j = 0
+    while (j < mc) {
+      val cents = cb(j)
+      val raw = if (codes.isNullAt(j)) 0 else codes.getInt(j)
+      val ce = cents(math.min(math.max(raw, 0), cents.length - 1))
+      val off = j * subdim
+      var t = 0
+      while (t < subdim) { score += x(off + t) / norm * ce(t); t += 1 }
+      j += 1
+    }
+    score
+  }
+
   /** Count single-space-delimited tokens of `text` that are members of
     * `words` (exact string equality, empties kept — the same token
     * universe as TextFunctions.tokens). One pass, no allocation beyond
@@ -707,6 +796,59 @@ object Kernels {
       copy(child = newChild)
   }
 
+  // Codebooks as Seq-of-Seq-of-Seq for the same canonicalization reason
+  // as NearestCentroidIdx's centroids; primitive matrix materialized once.
+  case class PqEncodeExpr(child: Expression,
+                          codebooks: Seq[Seq[Seq[Double]]])
+      extends UnaryExpression {
+    private lazy val floats = isFloatArray(child)
+    @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+      codebooks.map(_.map(_.toArray).toArray).toArray
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child, isNumericVector, "array<float|double>")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "pq_encode"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.pqEncode(input.asInstanceOf[ArrayData], cbArr, floats)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("pqCodebooks", cbArr, "double[][][]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.Kernels.pqEncode($c, $cRef, $floats)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+      copy(child = newChild)
+  }
+
+  case class PqAdcScoreExpr(left: Expression, right: Expression,
+                            codebooks: Seq[Seq[Seq[Double]]])
+      extends BinaryExpression {
+    private lazy val floats = isFloatArray(left)
+    @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+      codebooks.map(_.map(_.toArray).toArray).toArray
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(prettyName, left, isNumericVector, "array<float|double>")
+      if (l != TypeCheckSuccess) l
+      else requireType(prettyName, right,
+        { // parquet read-back declares elements nullable — accept both
+          case ArrayType(IntegerType, _) => true
+          case _ => false
+        }, "array<int> (pq codes)")
+    }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "pq_adc_score"
+    override protected def nullSafeEval(q: Any, codes: Any): Any =
+      Kernels.pqAdcScore(q.asInstanceOf[ArrayData],
+        codes.asInstanceOf[ArrayData], cbArr, floats)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("pqCodebooks", cbArr, "double[][][]")
+      defineCodeGen(ctx, ev, (q, c) =>
+        s"graft.functions.Kernels.pqAdcScore($q, $c, $cRef, $floats)")
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): PqAdcScoreExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
   // --- Column wrappers --------------------------------------------------
 
   def minhashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
@@ -732,6 +874,16 @@ object Kernels {
 
   def srpCodeCol(v: Column, dim: Int, bits: Int, seed: Long = 42L): Column =
     ColumnBridge.column(SrpCode(ColumnBridge.expression(v), dim, bits, seed))
+
+  def pqEncodeCol(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(v),
+      codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+
+  def pqAdcScoreCol(q: Column, codes: Column,
+                    codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqAdcScoreExpr(ColumnBridge.expression(q),
+      ColumnBridge.expression(codes),
+      codebooks.map(_.map(_.toSeq).toSeq).toSeq))
 
   def nearestCentroidCol(v: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroidIdx(ColumnBridge.expression(v),

@@ -324,6 +324,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(PlanInspect.exchangeCount(s) == 1, planOf(s))
   }
 
+  test("IVF-PQ: write path is a zero-exchange double kernel, probe join is keyed") {
+    import graft.operators.{Ivf, Pq}
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ivf = Ivf.fit(embs, col("embedding"), nlist = 8)
+    val pq = Pq.fit(embs, col("embedding"), m = 8, k = 16)
+    val enc = Pq.assignEncode(ivf, pq, embs, col("vec_id"), col("embedding"))
+    val pe = planOf(enc)
+    assert(PlanInspect.exchangeCount(enc) == 0, pe)
+    assert(pe.contains("pq_encode") && pe.contains("nearest_centroid"), pe)
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    val top = Pq.topK(ivf, pq, enc, queries, col("vec_id"),
+      col("embedding"), k = 10, nprobe = 4)
+    val pt = planOf(top)
+    assert(!PlanInspect.hasCartesian(top), pt)
+    assert(pt.contains("pq_adc_score"), pt)
+  }
+
   test("snapshot_diff joins keyed, vocab_stats aggregates map-side") {
     spark.catalog.clearCache()
     val p1 = planOf(graft.SparkEntry.queries("snapshot_diff")(spark, dir))
