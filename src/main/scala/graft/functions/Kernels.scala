@@ -491,6 +491,32 @@ object Kernels {
     score
   }
 
+  /** Apply ONE BPE merge to a token stream, greedy left-to-right over
+    * NON-overlapping occurrences: each adjacent (a, b) collapses into
+    * the single token a+sep+b, and the right element of a merge cannot
+    * start the next one — "a a a" under (a, a) merges to [a·a, a], the
+    * standard BPE trainer contract. Null elements pass through and
+    * never participate in a merge.
+    */
+  def mergeTokens(tokens: ArrayData, a: UTF8String, b: UTF8String,
+                  sep: UTF8String): ArrayData = {
+    val n = tokens.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      val cur = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      val canPair = cur != null && i + 1 < n && !tokens.isNullAt(i + 1)
+      if (canPair && cur.equals(a) && tokens.getUTF8String(i + 1).equals(b)) {
+        out.add(UTF8String.concat(cur, sep, tokens.getUTF8String(i + 1)))
+        i += 2
+      } else {
+        out.add(cur)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Count single-space-delimited tokens of `text` that are members of
     * `words` (exact string equality, empties kept — the same token
     * universe as TextFunctions.tokens). One pass, no allocation beyond
@@ -849,6 +875,29 @@ object Kernels {
       copy(left = newLeft, right = newRight)
   }
 
+  case class MergeTokensExpr(child: Expression, a: String, b: String,
+                             sep: String) extends UnaryExpression {
+    @transient private lazy val aU = UTF8String.fromString(a)
+    @transient private lazy val bU = UTF8String.fromString(b)
+    @transient private lazy val sepU = UTF8String.fromString(sep)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child, isStringArray, "array<string>")
+    override def dataType: DataType = ArrayType(StringType, containsNull = true)
+    override def prettyName: String = "merge_tokens"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.mergeTokens(input.asInstanceOf[ArrayData], aU, bU, sepU)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val t = "org.apache.spark.unsafe.types.UTF8String"
+      val aRef = ctx.addReferenceObj("mergeA", aU, t)
+      val bRef = ctx.addReferenceObj("mergeB", bU, t)
+      val sRef = ctx.addReferenceObj("mergeSep", sepU, t)
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.Kernels.mergeTokens($c, $aRef, $bRef, $sRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): MergeTokensExpr =
+      copy(child = newChild)
+  }
+
   // --- Column wrappers --------------------------------------------------
 
   def minhashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
@@ -874,6 +923,11 @@ object Kernels {
 
   def srpCodeCol(v: Column, dim: Int, bits: Int, seed: Long = 42L): Column =
     ColumnBridge.column(SrpCode(ColumnBridge.expression(v), dim, bits, seed))
+
+  def mergeTokensCol(tokens: Column, a: String, b: String,
+                     sep: String = ""): Column =
+    ColumnBridge.column(MergeTokensExpr(ColumnBridge.expression(tokens),
+      a, b, sep))
 
   def pqEncodeCol(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(v),

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Kernels
+
 /** Corpus statistics for tokenizer training — the distributed half of a
   * BPE build. One BPE iteration is "count every adjacent symbol pair,
   * merge the most frequent"; the count is the data-scale part (one pass
@@ -31,10 +33,17 @@ object BpeStats {
     * `string_split`); documents with fewer than two tokens contribute
     * nothing.
     */
-  def pairCounts(docs: DataFrame, text: Column, k: Int): DataFrame = {
+  def pairCounts(docs: DataFrame, text: Column, k: Int): DataFrame =
+    pairCountsTokens(docs, split(text, " "), k)
+
+  /** [[pairCounts]] over an already-tokenized column — the form the
+    * training loop iterates (merged symbols must stay distinct tokens;
+    * re-joining to text would conflate a merged pair with an identical
+    * pre-existing token).
+    */
+  def pairCountsTokens(docs: DataFrame, tokens: Column, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val t = split(text, " ")
-    docs.select(t.as("__t"))
+    docs.select(tokens.as("__t"))
       .where(size(col("__t")) >= 2)
       .select(explode(zip_with(
         slice(col("__t"), lit(1), size(col("__t")) - 1),
@@ -44,5 +53,48 @@ object BpeStats {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("a"), col("b"))
       .limit(k)
+  }
+
+  /** One greedy left-to-right merge of (a, b) in a token-array column —
+    * a per-row codegen kernel ([[Kernels.mergeTokens]]), zero shuffle.
+    */
+  def applyMerge(tokens: Column, a: String, b: String,
+                 sep: String = ""): Column =
+    Kernels.mergeTokensCol(tokens, a, b, sep)
+
+  /** Full BPE training loop: `steps` iterations of count-top-pair /
+    * merge-everywhere. Returns the learned merge list in order. The
+    * driver state is the merge list (kilobytes) — each iteration is one
+    * Spark job over the corpus, which is how a distributed tokenizer
+    * trainer splits the work (the 100-TB part is counting; the argmax
+    * is one row). The token column's lineage grows by one kernel per
+    * step; `persistEvery` caches the frame periodically so the plan
+    * doesn't recompile all previous merges each round (the same
+    * checkpointEvery discipline as [[Dedup.connectedComponents]]).
+    */
+  def trainMerges(docs: DataFrame, text: Column, steps: Int,
+                  sep: String = "", persistEvery: Int = 8): Seq[(String, String)] = {
+    require(steps >= 0, s"steps must be non-negative: $steps")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var frame = docs.select(split(text, " ").as("__toks"))
+    var persisted: Option[DataFrame] = None
+    var step = 0
+    while (step < steps) {
+      val top = pairCountsTokens(frame, col("__toks"), k = 1).collect()
+      if (top.isEmpty) return merges.toSeq // corpus fully merged
+      val (a, b) = (top(0).getString(0), top(0).getString(1))
+      merges += ((a, b))
+      frame = frame.select(applyMerge(col("__toks"), a, b, sep).as("__toks"))
+      step += 1
+      if (step % persistEvery == 0 && step < steps) {
+        val p = frame.persist()
+        p.count() // materialize before unpersisting the previous anchor
+        persisted.foreach(_.unpersist())
+        persisted = Some(p)
+        frame = p
+      }
+    }
+    persisted.foreach(_.unpersist())
+    merges.toSeq
   }
 }

@@ -33,6 +33,36 @@ class BpeStatsSpec extends SparkTestBase {
     assert(got == Seq(("a", "b", 1L), ("b", "c", 1L)))
   }
 
+  test("applyMerge is greedy left-to-right over non-overlapping pairs") {
+    val d = Seq(Seq("a", "a", "a"), Seq("x", "a", "a", "y", "a"))
+      .toDF("toks")
+    val got = d.select(BpeStats.applyMerge(col("toks"), "a", "a", sep = "+"))
+      .as[Seq[String]].collect().toSeq
+    // "a a a" -> [a+a, a]: the merged right element can't start a new pair
+    assert(got == Seq(Seq("a+a", "a"), Seq("x", "a+a", "y", "a")))
+    // null elements pass through untouched
+    val withNull = Seq(Seq(Some("a"), None, Some("a"))).toDF("toks")
+      .select(BpeStats.applyMerge(col("toks"), "a", "a"))
+      .as[Seq[Option[String]]].collect().head
+    assert(withNull == Seq(Some("a"), None, Some("a")))
+  }
+
+  test("trainMerges learns the hand-computed merge sequence") {
+    // corpus: "l o w", "l o w", "l o w e r" — classic BPE toy.
+    // step 1: (l,o) x3 wins; step 2: (lo,w) x3 wins
+    val d = Seq("l o w", "l o w", "l o w e r").toDF("text")
+    val merges = BpeStats.trainMerges(d, col("text"), steps = 2)
+    assert(merges == Seq(("l", "o"), ("lo", "w")))
+    // a fully merged corpus stops early instead of looping
+    val tiny = Seq("a b").toDF("text")
+    assert(BpeStats.trainMerges(tiny, col("text"), steps = 5) ==
+      Seq(("a", "b")))
+    // persistEvery exercised: same result through the cached anchor path
+    val viaPersist = BpeStats.trainMerges(d, col("text"), steps = 2,
+      persistEvery = 1)
+    assert(viaPersist == Seq(("l", "o"), ("lo", "w")))
+  }
+
   test("sub-2-token and null documents contribute nothing; empties are tokens") {
     val d = Seq[Option[String]](
       Some("solo"), Some(""), None,
