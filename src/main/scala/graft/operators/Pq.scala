@@ -158,4 +158,32 @@ object Pq {
         .as("cosine"))
     Similarity.rankTopK(scored, k)
   }
+
+  /** The production retrieval shape: ADC-rank `k × candidateFactor`
+    * candidates from the code table, then rerank ONLY those survivors
+    * against the float table and keep the exact top k. The float join
+    * touches k·factor rows per query — noise at scale — while the
+    * corpus-wide candidate stream still moves m-byte codes. Exact
+    * scores in the output, quantization error reduced to a recall
+    * (not ranking) effect within the probed lists.
+    */
+  def topKReranked(ivf: Ivf.IvfModel, pq: PqModel, encoded: DataFrame,
+                   vectors: DataFrame, vecId: Column, vec: Column,
+                   queries: DataFrame, queryId: Column, queryVec: Column,
+                   k: Int, nprobe: Int,
+                   candidateFactor: Int = 4): DataFrame = {
+    require(candidateFactor >= 1, s"candidateFactor >= 1: $candidateFactor")
+    val approx = topK(ivf, pq, encoded, queries, queryId, queryVec,
+      k * candidateFactor, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = approx
+      .join(vectors.select(vecId.as("neighbor_id"), vec.as("__nv")),
+        Seq("neighbor_id"))
+      .join(queries.select(queryId.as("query_id"), queryVec.as("__qv")),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.cosine(col("__qv"), col("__nv"))
+          .as("cosine"))
+    Similarity.rankTopK(scored, k)
+  }
 }

@@ -79,6 +79,43 @@ class PqSpec extends SparkTestBase {
     assert(recall >= 0.2, s"IVF-PQ recall $recall")
   }
 
+  test("exact rerank recovers at least ADC's recall and emits exact scores") {
+    val embs = Tables.load(spark, dir, "embeddings")
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    val ivf = Ivf.fit(embs, col("embedding"), nlist = 8)
+    val pq = Pq.fit(embs, col("embedding"), m = 8, k = 16)
+    val encoded = Pq.assignEncode(ivf, pq, embs, col("vec_id"), col("embedding"))
+    def topkSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topkSet(Similarity.bruteForceTopK(embs, col("vec_id"),
+      col("embedding"), queries, col("vec_id"), col("embedding"), k = 10))
+    def recall(got: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, truth) =>
+        got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size }
+      per.sum / per.size
+    }
+    val adc = recall(topkSet(Pq.topK(ivf, pq, encoded, queries,
+      col("vec_id"), col("embedding"), k = 10, nprobe = 4)))
+    val reranked = Pq.topKReranked(ivf, pq, encoded,
+      embs, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"),
+      k = 10, nprobe = 4, candidateFactor = 4)
+    assert(recall(topkSet(reranked)) >= adc - 1e-9,
+      "exact rerank of a candidate superset cannot lose recall")
+    // survivors carry EXACT cosine: spot-check one row against the kernel
+    val row = reranked.limit(1)
+      .join(embs.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv")), Seq("query_id"))
+      .join(embs.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv")), Seq("neighbor_id"))
+      .select(col("cosine"),
+        VectorFunctions.cosine(col("qv"), col("nv")).as("truth"))
+      .as[(Double, Double)].head()
+    assert(math.abs(row._1 - row._2) < 1e-12)
+  }
+
   test("edge contracts: zero query scores -1, corrupt codes clamp, bad dims rejected") {
     val df = Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "v")
     val model = Pq.fit(df, col("v"), m = 2, k = 2)
