@@ -1099,6 +1099,62 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), col("vec_id"),
         col("embedding"), minCosine = 0.5, dim = 64, bits = 4, bands = 16)
     }),
+    "semantic_prune_exact" -> ((s, dir) => {
+      // SemDeDup keep-one-per-component prune, exact twin (nlist=1 =
+      // verified all-pairs): DuckDB reproduces it with the list-cosine
+      // pair join + the recursive-CTE reach from dedup_clusters, keeping
+      // rows whose component label is their own id. tau=0.4 so the
+      // uniform-random harness embeddings actually form components.
+      import graft.operators.SemDedup
+      val embs = t(s, dir, "embeddings")
+      SemDedup.semanticPrune(embs, col("vec_id"), col("embedding"),
+        minCosine = 0.4, dim = 64, nlist = 1)
+        .select(col("vec_id"), col("label"))
+    }),
+    "semantic_prune" -> ((s, dir) => {
+      // The production SemDeDup shape: cluster-bounded candidates
+      // (Σ|list|²/2 comparisons instead of n²/2), exact cosine inside.
+      // Approximate BY CONSTRUCTION (cross-cluster duplicates are
+      // unseen) so rows-only here; semantic_dup_recall is the gate, and
+      // SemDedupSpec pins the survivors ⊇ exact-survivors containment.
+      import graft.operators.SemDedup
+      val embs = t(s, dir, "embeddings")
+      SemDedup.semanticPrune(embs, col("vec_id"), col("embedding"),
+        minCosine = 0.4, dim = 64, nlist = 4)
+        .select(col("vec_id"), col("label"))
+    }),
+    "semantic_dup_recall" -> ((s, dir) => {
+      // In-plan gate for the clustered candidate generation, two claims:
+      // (1) IDENTITY — every clustered pair is an exact pair (same ids,
+      // exact cosine attached, so a left_semi hit count equalling the
+      // clustered count proves subset-with-identical-scores); (2)
+      // RECALL — the cluster-boundary miss rate stays above the floor.
+      // Floor 0.25 measured against 0.58/0.63/0.46 at sf0.001/0.01/0.1
+      // (deterministic per SF — seeded fit, no run variance) on
+      // uniform-random embeddings, the adversarial case: real duplicate
+      // pairs sit far inside clusters, these sit at the tau boundary.
+      import graft.operators.SemDedup
+      val embs = t(s, dir, "embeddings")
+      val exact = SemDedup.semanticDupPairs(embs, col("vec_id"),
+        col("embedding"), minCosine = 0.4, dim = 64, nlist = 1)
+        .select("id_a", "id_b")
+      val clustered = SemDedup.semanticDupPairs(embs, col("vec_id"),
+        col("embedding"), minCosine = 0.4, dim = 64, nlist = 4)
+        .select("id_a", "id_b")
+      val nHit = clustered.join(exact, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(clustered.agg(count(lit(1)).as("n_clustered")))
+        .crossJoin(nHit)
+        .withColumn("recall",
+          col("n_hit") / greatest(col("n_exact"), lit(1L)))
+        .withColumn("recall_floor", lit(0.25))
+        .where(assert_true(col("n_hit") === col("n_clustered"),
+          lit("clustered SemDeDup pair outside the exact pair set")).isNull)
+        .where(assert_true(col("recall") >= col("recall_floor"),
+          concat(lit("SemDeDup cluster recall below floor: "),
+            col("recall"))).isNull)
+    }),
     "corpus_pack" -> ((s, dir) => {
       // concat-and-chunk sequence packing: where each doc's tokens start
       // in its source's fixed-512-token training windows. One exchange
@@ -2317,6 +2373,28 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_inner_product(a.e, b.e) /
         |  (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.5""".stripMargin,
+    // SemDeDup exact twin: list-cosine pair graph (embed_near_dup
+    // pattern) + the recursive-CTE reach from dedup_clusters; survivors
+    // are rows whose min reachable component id is their own id.
+    "semantic_prune_exact" ->
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_inner_product(a.e, b.e) /
+        |   (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.4),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.t, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+        |labels AS (SELECT emb.vec_id, COALESCE(MIN(r.comp), emb.vec_id) AS component
+        |  FROM embeddings emb LEFT JOIN reach r ON r.id = emb.vec_id
+        |  GROUP BY emb.vec_id)
+        |SELECT e.vec_id, e.label FROM embeddings e
+        |JOIN labels l ON l.vec_id = e.vec_id
+        |WHERE l.component = e.vec_id""".stripMargin,
     "media_meta" ->
       """SELECT doc_id AS asset_id,
         | CAST((ord(substring(text, 1, 1)) * 7 + strlen(text)) % 512 + 1 AS INT) AS width,

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Semantic deduplication over an embedding column — the SemDeDup shape
+  * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+  * through semantic deduplication", arXiv:2303.09540): k-means-cluster
+  * the embeddings, score cosine only WITHIN each cluster, call any pair
+  * above `minCosine` a semantic duplicate, and keep exactly one document
+  * per connected duplicate group.
+  *
+  * Where [[Dedup.embeddingNearDupPairs]] generates candidates with SRP
+  * LSH (pair-local, threshold-tuned bit/band budget), SemDeDup's
+  * clustering makes candidate generation GLOBAL: each vector lands in
+  * one k-means list and only same-list pairs are scored, so the
+  * comparison count drops from n²/2 to Σ|list|²/2 ≈ n²/(2·nlist) with
+  * NO per-pair hashing. The trade is recall at the cluster boundary —
+  * a duplicate pair split across two lists is invisible — which the
+  * paper accepts by construction (duplicates cluster together far more
+  * reliably than uniform-random points do; the registered
+  * `semantic_dup_recall` gate measures exactly this miss rate on the
+  * harness's adversarial uniform embeddings).
+  *
+  * Scale shape: the fit is [[Ivf.fit]]'s bounded driver sample
+  * (≤25k rows regardless of corpus size), assignment is a per-row
+  * codegen kernel over the broadcast centroid matrix, and the
+  * within-list self-join is a plain equi-join on `list_id` — every
+  * piece is the 100-TB-safe pattern already audited for `ivf_topk`.
+  * The one genuine skew risk is a hot list (k-means on clustered real
+  * corpora can produce lists far above n/nlist); at cluster scale raise
+  * `nlist` (the paper runs 50k clusters for 60M+ docs, keeping lists in
+  * the low thousands) — the quadratic-in-list-size cost is the
+  * published algorithm's own contract, not an artifact of this
+  * implementation.
+  */
+object SemDedup {
+
+  /** Within-cluster semantic duplicate pairs `(id_a, id_b, cosine)`,
+    * `id_a < id_b`, exact cosine ≥ `minCosine` (every emitted pair
+    * carries its exact score — clustering only prunes CANDIDATES).
+    * `nlist <= 1` degenerates to the verified all-pairs exact twin
+    * (identical output contract to [[Dedup.embeddingNearDupPairs]] with
+    * `bits = 0`), which is what the DuckDB oracle checks; the clustered
+    * form is held to the same-scored-subset + recall-floor gates.
+    */
+  def semanticDupPairs(df: DataFrame, id: Column, vec: Column,
+                       minCosine: Double, dim: Int, nlist: Int,
+                       seed: Long = 42L): DataFrame = {
+    require(minCosine > 0.0 && minCosine <= 1.0,
+      s"minCosine in (0, 1], got $minCosine")
+    if (nlist <= 1)
+      Dedup.embeddingNearDupPairs(df, id, vec, minCosine, dim,
+        bits = 0, bands = 1)
+    else {
+      val assigned = Ivf.assign(Ivf.fit(df, vec, nlist, seed = seed),
+        df, id, vec)
+      assigned.as("a").join(assigned.as("b"),
+          col("a.list_id") === col("b.list_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          VectorFunctions.cosine(col("a.v"), col("b.v")).as("cosine"))
+        .filter(col("cosine") >= minCosine)
+    }
+  }
+
+  /** Prune to one survivor per semantic-duplicate component: connected
+    * components over the ≥`minCosine` pair graph, keep the minimum id of
+    * each component (the repo's deterministic survivor rule — the paper
+    * keeps the member with LOWEST centroid similarity to bias kept data
+    * away from cluster prototypes; that policy is one ORDER BY swap on
+    * the component join and deliberately NOT the default here, because
+    * min-id is reproducible across refits while centroid geometry is
+    * not). Transitivity matters: cosine near-duplicacy chains (A≈B≈C
+    * with cos(A,C) < τ), and a pairwise-greedy drop would either keep
+    * chain middles or drop whole chains depending on visit order — the
+    * component view makes "one per group" exact, same as
+    * `dedup_clusters` does for text.
+    *
+    * Returns `df` filtered to survivors, schema unchanged. Cost on top
+    * of pair generation: [[Dedup.connectedComponents]]'s iterative
+    * equi-joins over the (tiny, already-thresholded) pair list, then one
+    * left_anti of the corpus against the non-min members.
+    */
+  def semanticPrune(df: DataFrame, id: Column, vec: Column,
+                    minCosine: Double, dim: Int, nlist: Int,
+                    seed: Long = 42L): DataFrame = {
+    val pairs = semanticDupPairs(df, id, vec, minCosine, dim, nlist, seed)
+    val cc = Dedup.connectedComponents(pairs)
+    val drops = cc.filter(col("id") =!= col("comp"))
+      .select(col("id").as("__drop_id"))
+    df.join(drops, id === col("__drop_id"), "left_anti")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class SemDedupSpec extends SparkTestBase {
+
+  private lazy val testImplicits = spark.implicits
+  import testImplicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // Planted geometry in 4-d: two duplicate families on distinct axes plus
+  // two loners. Within a family cosine = 1 (scaled copies); across
+  // families / to loners cosine = 0. Axis-aligned so k-means can't
+  // accidentally merge families.
+  private def planted = Seq(
+    (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(2f, 0f, 0f, 0f)),
+    (3L, Array(3f, 0f, 0f, 0f)),
+    (10L, Array(0f, 1f, 0f, 0f)), (11L, Array(0f, 5f, 0f, 0f)),
+    (20L, Array(0f, 0f, 1f, 0f)),
+    (21L, Array(0f, 0f, 0f, 1f))).toDF("vec_id", "v")
+
+  test("exact form keeps one min-id survivor per duplicate family") {
+    val kept = SemDedup.semanticPrune(planted, col("vec_id"), col("v"),
+      minCosine = 0.9, dim = 4, nlist = 1)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 10L, 20L, 21L))
+  }
+
+  test("transitive chains collapse to one survivor, not one per pair") {
+    // chain: 1~2 (cos .9947), 2~3 (cos .9947), but cos(1,3) = .9788 is
+    // ALSO above threshold here, so tighten: use vectors where the
+    // endpoints fall below tau while adjacent links stay above.
+    val chain = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 1f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "v")
+    // cos(1,2) = cos(2,3) = 0.7071, cos(1,3) = 0 — pairwise graph is a
+    // path; the component must still collapse to min id 1
+    val kept = SemDedup.semanticPrune(chain, col("vec_id"), col("v"),
+      minCosine = 0.7, dim = 2, nlist = 1)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L))
+  }
+
+  test("nlist=1 matches embeddingNearDupPairs bits=0 exactly") {
+    val embs = Tables.load(spark, dir, "embeddings")
+    val a = SemDedup.semanticDupPairs(embs, col("vec_id"), col("embedding"),
+      minCosine = 0.4, dim = 64, nlist = 1)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    val b = Dedup.embeddingNearDupPairs(embs, col("vec_id"),
+      col("embedding"), minCosine = 0.4, dim = 64, bits = 0, bands = 1)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
+  test("clustered pairs are a subset of exact pairs with identical scores") {
+    val embs = Tables.load(spark, dir, "embeddings")
+    def toMap(nlist: Int): Map[(Long, Long), Double] =
+      SemDedup.semanticDupPairs(embs, col("vec_id"), col("embedding"),
+        minCosine = 0.4, dim = 64, nlist = nlist)
+        .select("id_a", "id_b", "cosine").as[(Long, Long, Double)]
+        .collect().map(r => ((r._1, r._2), r._3)).toMap
+    val exact = toMap(1)
+    val clustered = toMap(4)
+    assert(clustered.nonEmpty)
+    clustered.foreach { case (k, cos) =>
+      assert(exact.contains(k), s"clustered pair $k missing from exact")
+      assert(exact(k) == cos, s"score drift on $k")
+    }
+    // and pruning can only get LESS aggressive as candidates shrink:
+    // every exact survivor survives the clustered prune too
+    val keptExact = SemDedup.semanticPrune(embs, col("vec_id"),
+      col("embedding"), minCosine = 0.4, dim = 64, nlist = 1)
+      .select("vec_id").as[Long].collect().toSet
+    val keptClustered = SemDedup.semanticPrune(embs, col("vec_id"),
+      col("embedding"), minCosine = 0.4, dim = 64, nlist = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptExact.subsetOf(keptClustered))
+    assert(keptClustered.size >= keptExact.size)
+  }
+
+  test("deterministic across invocations; empty pair graph keeps everything") {
+    val embs = Tables.load(spark, dir, "embeddings")
+    def run() = SemDedup.semanticDupPairs(embs, col("vec_id"),
+      col("embedding"), minCosine = 0.4, dim = 64, nlist = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(run() == run())
+    // tau above any cosine in uniform-random 64-d: nothing pairs, prune
+    // is the identity set
+    val kept = SemDedup.semanticPrune(embs, col("vec_id"), col("embedding"),
+      minCosine = 0.999, dim = 64, nlist = 4)
+      .select("vec_id").as[Long].collect()
+    assert(kept.length == embs.count())
+    assert(kept.distinct.length == kept.length)
+  }
+
+  test("rejects a nonsense threshold") {
+    intercept[IllegalArgumentException] {
+      SemDedup.semanticDupPairs(planted, col("vec_id"), col("v"),
+        minCosine = 0.0, dim = 4, nlist = 1)
+    }
+  }
+}
