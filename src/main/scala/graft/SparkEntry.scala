@@ -943,6 +943,33 @@ object SparkEntry {
       TermWeights.tfidfTopTerms(t(s, dir, "documents"), col("doc_id"),
         col("text"), k = 3)
     }),
+    "bm25_index" -> ((s, dir) => {
+      // BM25 index build, rational-idf flavour: the whole weight is
+      // exact-long inputs through a fixed order of IEEE + * / (no log),
+      // so the DuckDB oracle hash-matches every score bit-for-bit.
+      // Production retrieval uses the classic LogIdf (bm25_search);
+      // the saturation/length-normalization machinery under test here
+      // is identical between the two.
+      import graft.operators.{Bm25, TermWeights}
+      Bm25.bm25Index(t(s, dir, "documents"), col("doc_id"), col("text"),
+        k1 = 1.2, b = 0.75, weight = TermWeights.RationalIdf)
+    }),
+    "bm25_search" -> ((s, dir) => {
+      // lexical retrieval over the LogIdf index: rows-only (libm log is
+      // ulp-engine-specific and per-doc score is a double SUM) —
+      // Bm25Spec checks the full formula and ranking against a
+      // hand-rolled reference; query 94 carries a no-hit term on
+      // purpose (absent terms must not contribute or error).
+      import s.implicits._
+      import graft.operators.Bm25
+      val idx = Bm25.bm25Index(t(s, dir, "documents"), col("doc_id"),
+        col("text"))
+      val queries = Seq(
+        (91L, "fast hash join"), (92L, "vector scan"),
+        (93L, "slow merge sort"), (94L, "customer quantum"))
+        .toDF("qid", "qtext")
+      Bm25.bm25Search(idx, queries, col("qid"), col("qtext"), k = 10)
+    }),
     "doc_unigram_stats" -> ((s, dir) => {
       // self-supervised unigram-LM quality scoring: corpus token
       // frequencies scored back onto each document. The oracle-checked
@@ -2317,6 +2344,27 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, token ASC) AS rank FROM s)
         |WHERE rank <= 3""".stripMargin,
+    // BM25 rational-idf index: e0-suffixed literals force DOUBLE (a bare
+    // 1.2 is DECIMAL(2,1) in DuckDB and would round differently); op
+    // order mirrors Bm25.bm25Index subexpression for subexpression, and
+    // SUM(tf) is cast back to BIGINT before use (HUGEINT lesson).
+    "bm25_index" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |  CAST((SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS DOUBLE)
+        |   / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl)
+        |SELECT doc_id, token, tf, dl, df,
+        | ((CAST(n_docs - df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0))
+        |  * ((CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0)) /
+        |     (CAST(tf AS DOUBLE)
+        |      + 1.2e0 * ((1.0e0 - 0.75e0)
+        |                 + (0.75e0 * CAST(dl AS DOUBLE)) / avgdl))) AS score
+        |FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+        |CROSS JOIN stats""".stripMargin,
     "doc_unigram_stats" ->
       // exact-integer projection of the unigram-LM scores; every SUM is
       // cast back to BIGINT (DuckDB widens SUM(BIGINT) to HUGEINT and
