@@ -13,9 +13,13 @@ import graft.functions.Timestamps
   *     Explicit schema supported for determinism (the reference always
   *     infers; inference costs an extra full pass over the data, which at
   *     100 TB is a non-starter — callers should pass a schema).
-  *   - [[load]]: parquet scans of the harness tables. `events.ts` is
-  *     nanosecond-precision INT64 which Spark 4 refuses by default; we
-  *     read it as a long (legacy conf) and truncate to µs timestamps.
+  *   - [[load]]: parquet scans of the harness tables. `events.ts` has
+  *     shipped as BOTH nanosecond-precision INT64 (which Spark 4 refuses
+  *     by default; read as long via the legacy conf and truncated to µs)
+  *     and as a plain parquet TIMESTAMP (isAdjustedToUTC=false → Spark
+  *     reads TIMESTAMP_NTZ); the loader normalizes either encoding to a
+  *     session-zone µs timestamp (session tz is pinned UTC, so the NTZ
+  *     cast is value-preserving).
   */
 object Tables {
 
@@ -36,7 +40,14 @@ object Tables {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(path)
-      raw.withColumn("ts", Timestamps.nanosToTimestamp(raw("ts")))
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      raw.schema("ts").dataType match {
+        case LongType => // INT64 nanos (legacy conf) → truncate to µs
+          raw.withColumn("ts", Timestamps.nanosToTimestamp(raw("ts")))
+        case TimestampNTZType => // µs NTZ → session-zone µs (tz is UTC)
+          raw.withColumn("ts", raw("ts").cast("timestamp"))
+        case _ => raw // already a session-zone µs timestamp
+      }
     } else if (name == "documents" || name == "embeddings") {
       val df = spark.read.parquet(path)
       val cores = spark.sparkContext.defaultParallelism
