@@ -93,6 +93,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // plan strings are built per-action for listener events; cap them
+      // so a lineage regression costs a truncated debug string, not
+      // minutes of 2 GiB string building (the r9 bench-timeout mode)
+      .config("spark.sql.maxPlanStringLength", "1000000")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

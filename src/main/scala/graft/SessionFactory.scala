@@ -16,10 +16,17 @@ import org.apache.spark.sql.SparkSession
   */
 object SessionFactory {
 
-  /** SQL-level conf every graft session carries. */
+  /** SQL-level conf every graft session carries. The plan-string cap
+    * exists because plan STRINGS are built eagerly for SQL-listener
+    * events on every action: an iterative operator whose lineage ever
+    * escapes its checkpoint discipline would otherwise spend minutes
+    * (and GiBs) stringifying plans before any work runs — 1 MB is far
+    * beyond any sane plan and far below the 2 GiB default.
+    */
   def baseConf(shufflePartitions: Int = 32): Map[String, String] = Map(
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+    "spark.sql.maxPlanStringLength" -> "1000000",
     "spark.sql.extensions" -> classOf[GraftExtensions].getName
   )
 

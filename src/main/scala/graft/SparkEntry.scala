@@ -665,7 +665,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
         n = 3, minJaccard = 0.5)
-      val cc = Dedup.connectedComponents(pairs)
+      val cc = Dedup.connectedComponents(pairs, checkpointEvery = 4)
       docs.select(col("doc_id"))
         .join(cc, docs("doc_id") === cc("id"), "left")
         .select(col("doc_id"),
@@ -682,7 +682,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
         n = 3, minJaccard = 0.5)
-      val cc = Dedup.connectedComponents(pairs)
+      val cc = Dedup.connectedComponents(pairs, checkpointEvery = 4)
       Dedup.clusterSizeHistogram(
         docs.select(col("doc_id"))
           .join(cc, docs("doc_id") === cc("id"), "left")

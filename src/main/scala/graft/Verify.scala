@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // same plan-string cap as Bench: a lineage regression must fail
+      // fast/truncated, not stall the round's correctness dump
+      .config("spark.sql.maxPlanStringLength", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

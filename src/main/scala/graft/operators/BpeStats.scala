@@ -68,16 +68,36 @@ object BpeStats {
     * Spark job over the corpus, which is how a distributed tokenizer
     * trainer splits the work (the 100-TB part is counting; the argmax
     * is one row). The token column's lineage grows by one kernel per
-    * step; `persistEvery` caches the frame periodically so the plan
-    * doesn't recompile all previous merges each round (the same
-    * checkpointEvery discipline as [[Dedup.connectedComponents]]).
+    * step; `persistEvery` LINEAGE-TRUNCATES the frame every N steps via
+    * an eager `localCheckpoint` (reliable `checkpoint` when the context
+    * has a checkpoint dir — same discipline and same executor-loss
+    * trade-off as [[Dedup.connectedComponents]]). A plain `persist`
+    * here is NOT enough: persist bounds recompute, but every step's
+    * `collect` re-ANALYZES the full merge-kernel chain and stringifies
+    * it for the SQL-listener event, so a real 30k-merge vocab build
+    * would degrade quadratically on the driver even with all data
+    * cached. After truncation the plan is a leaf plus at most
+    * `persistEvery` kernels, so per-step analysis cost is O(1) in the
+    * number of completed merges.
     */
   def trainMerges(docs: DataFrame, text: Column, steps: Int,
-                  sep: String = "", persistEvery: Int = 8): Seq[(String, String)] = {
+                  sep: String = "", persistEvery: Int = 8): Seq[(String, String)] =
+    trainMergesProbed(docs, text, steps, sep, persistEvery, _ => ())
+
+  /** [[trainMerges]] with a per-step observation hook (called with the
+    * CURRENT token frame after each merge) — exists so the lineage-
+    * truncation contract is testable: a spec can assert the analyzed
+    * plan's node count stays O(persistEvery) regardless of step count.
+    * Not part of the training API surface.
+    */
+  private[graft] def trainMergesProbed(docs: DataFrame, text: Column,
+      steps: Int, sep: String, persistEvery: Int,
+      probe: DataFrame => Unit): Seq[(String, String)] = {
     require(steps >= 0, s"steps must be non-negative: $steps")
+    require(persistEvery > 0, s"persistEvery must be positive: $persistEvery")
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var frame = docs.select(split(text, " ").as("__toks"))
-    var persisted: Option[DataFrame] = None
+    var anchored: Option[DataFrame] = None
     var step = 0
     while (step < steps) {
       val top = pairCountsTokens(frame, col("__toks"), k = 1).collect()
@@ -86,15 +106,20 @@ object BpeStats {
       merges += ((a, b))
       frame = frame.select(applyMerge(col("__toks"), a, b, sep).as("__toks"))
       step += 1
+      probe(frame)
       if (step % persistEvery == 0 && step < steps) {
-        val p = frame.persist()
-        p.count() // materialize before unpersisting the previous anchor
-        persisted.foreach(_.unpersist())
-        persisted = Some(p)
+        // eager truncation materializes the frame AND replaces its plan
+        // with a leaf; the previous anchor's blocks are then safe to drop
+        val p =
+          if (frame.sparkSession.sparkContext.getCheckpointDir.isDefined)
+            frame.checkpoint(true)
+          else frame.localCheckpoint(true)
+        anchored.foreach(_.unpersist())
+        anchored = Some(p)
         frame = p
       }
     }
-    persisted.foreach(_.unpersist())
+    anchored.foreach(_.unpersist())
     merges.toSeq
   }
 }

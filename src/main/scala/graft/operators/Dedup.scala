@@ -294,8 +294,20 @@ object Dedup {
     * mid-run FAILS the job (it cannot recompute a truncated leaf)
     * rather than slowly replaying; acceptable for single-JVM/local use,
     * wrong for long multi-executor runs, hence the dir-based upgrade.
-    * Off by default because checkpointed blocks/files are pinned for
-    * the run's lifetime.
+    *
+    * ON by default (every 4 rounds) because the alternative is not just
+    * slow replay — it is unbounded PLAN growth: each round unions the
+    * propagation join and (from round 3) a labels⋈labels pointer jump,
+    * so the logical plan roughly quadruples per round, and `persist()`
+    * bounds recompute but NOT the plan. Every round's convergence
+    * action then stringifies that plan for the SQL-listener event —
+    * at ~20 rounds that is a multi-GiB string build per action (this
+    * exact failure mode timed out a full bench run at sf0.1 before the
+    * default flipped). The `edges` frame is likewise lineage-truncated
+    * up front so the (typically expensive) pair-generation plan does
+    * not re-inline into every round's join. Pass `checkpointEvery = 0`
+    * only for shallow graphs where pinning checkpoint blocks for the
+    * run's lifetime matters more than plan hygiene.
     *
     * Contract: throws IllegalStateException if maxIter rounds don't reach
     * the fixpoint (silently returning split components would corrupt
@@ -306,10 +318,16 @@ object Dedup {
     * if they need total coverage.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
-                          checkpointEvery: Int = 0): DataFrame = {
+                          checkpointEvery: Int = 4): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(checkpointEvery >= 0,
       s"checkpointEvery must be >= 0 (0 = off), got $checkpointEvery")
+    // reliable checkpoint when a dir is configured, executor-local
+    // otherwise — the trade-off documented in the contract note above
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(true)
+      else df.localCheckpoint(true)
     // the pair lineage is typically expensive (an n-gram or LSH self-join)
     // and the symmetric union below references it twice — persist it so
     // edge materialization computes it once. If the CALLER already cached
@@ -318,9 +336,14 @@ object Dedup {
     val callerCached = pairs.storageLevel != StorageLevel.NONE
     val p = if (callerCached) pairs
       else pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = p.select(col("id_a").as("s"), col("id_b").as("t"))
+    // edges joins into EVERY round's plan — truncating its lineage here
+    // (one materialization, which the persist below pays anyway) keeps
+    // the pair-generation plan from re-inlining into each round
+    val edgesBase = p.select(col("id_a").as("s"), col("id_b").as("t"))
       .union(p.select(col("id_b").as("s"), col("id_a").as("t")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges =
+      if (checkpointEvery > 0) truncate(edgesBase)
+      else edgesBase.persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("s").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -356,11 +379,9 @@ object Dedup {
       // the full logical plan. Reliable (dir-backed) when available;
       // executor-local otherwise — see the contract note above.
       val next =
-        if (checkpointEvery > 0 && (iter + 1) % checkpointEvery == 0) {
-          if (nextBase.sparkSession.sparkContext.getCheckpointDir.isDefined)
-            nextBase.checkpoint(true)
-          else nextBase.localCheckpoint(true)
-        } else nextBase.persist(StorageLevel.MEMORY_AND_DISK)
+        if (checkpointEvery > 0 && (iter + 1) % checkpointEvery == 0)
+          truncate(nextBase)
+        else nextBase.persist(StorageLevel.MEMORY_AND_DISK)
       val curSum = labelSum(next)
       labels.unpersist()
       labels = next

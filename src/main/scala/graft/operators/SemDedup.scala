@@ -88,7 +88,11 @@ object SemDedup {
                     minCosine: Double, dim: Int, nlist: Int,
                     seed: Long = 42L): DataFrame = {
     val pairs = semanticDupPairs(df, id, vec, minCosine, dim, nlist, seed)
-    val cc = Dedup.connectedComponents(pairs)
+    // checkpointEvery=4 explicitly: the sf0.1 harness graph (uniform
+    // embeddings at τ in the dense regime) is one giant component of
+    // diameter ≫ 3, exactly the many-round case where unbounded CC
+    // lineage built multi-GiB plan strings per convergence action
+    val cc = Dedup.connectedComponents(pairs, checkpointEvery = 4)
     val drops = cc.filter(col("id") =!= col("comp"))
       .select(col("id").as("__drop_id"))
     df.join(drops, id === col("__drop_id"), "left_anti")

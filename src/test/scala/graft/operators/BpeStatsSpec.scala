@@ -63,6 +63,26 @@ class BpeStatsSpec extends SparkTestBase {
     assert(viaPersist == Seq(("l", "o"), ("lo", "w")))
   }
 
+  test("trainMerges keeps the analyzed plan bounded across steps (lineage truncation)") {
+    // 30 distinct tokens -> 20 merge steps always find a pair. Without
+    // eager truncation the analyzed plan gains one merge-kernel Project
+    // per step (~steps + 2 nodes by step 20); with persistEvery=4 the
+    // plan is a checkpoint leaf plus at most persistEvery kernels, so
+    // the per-step analysis cost the driver pays is O(1) in completed
+    // merges — the property that makes a 30k-merge vocab build linear.
+    val d = Seq((1 to 30).map(i => s"t$i").mkString(" ")).toDF("text")
+    var maxNodes = 0
+    val merges = BpeStats.trainMergesProbed(d, col("text"), steps = 20,
+      sep = "", persistEvery = 4,
+      probe = f => {
+        val n = f.queryExecution.analyzed.collect { case p => p }.size
+        maxNodes = math.max(maxNodes, n)
+      })
+    assert(merges.size == 20)
+    assert(maxNodes <= 8, // leaf + <=persistEvery kernel Projects + slack
+      s"analyzed plan grew to $maxNodes nodes — lineage truncation broken")
+  }
+
   test("sub-2-token and null documents contribute nothing; empties are tokens") {
     val d = Seq[Option[String]](
       Some("solo"), Some(""), None,

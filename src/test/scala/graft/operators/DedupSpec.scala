@@ -407,6 +407,27 @@ class DedupSpec extends SparkTestBase {
     cc.unpersist()
   }
 
+  test("connectedComponents: DEFAULT call truncates lineage (plan stays bounded)") {
+    import graft.TestSpark.spark.implicits._
+    // the r9 bench timeout was the DEFAULT path: checkpointEvery used to
+    // be 0, so a many-round graph quadrupled its plan per round and each
+    // convergence action stringified a multi-GiB plan. The default is
+    // now 4 — pin that a deep chain run with NO explicit argument still
+    // bottoms out at a checkpoint leaf with a small plan string.
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, maxIter = 40)
+    assert(cc.collect().map(_.getLong(1)).toSet == Set(0L))
+    val plan = cc.queryExecution.optimizedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan)
+    // ~41k chars: checkpoint leaf + at most (checkpointEvery-1) rounds
+    // of propagation/jump unions — CONSTANT in chain depth. The broken
+    // default grew ~4x per round (2 GiB strings by round ~15), so an
+    // order-of-magnitude ceiling separates bounded from unbounded.
+    assert(plan.length < 150000,
+      s"default-path CC plan is ${plan.length} chars — lineage unbounded")
+    cc.unpersist()
+  }
+
   test("connectedComponents: transitive min-id labels beyond greedy pairs") {
     import graft.TestSpark.spark.implicits._
     // chain 1~5~3 (1,3 never paired directly), pair 7~9, plus 2~1
