@@ -24,6 +24,47 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** One timed pass under a wall-clock watchdog. Returns Right(seconds)
+    * on success, Left(reason) on failure OR timeout. Exists because a
+    * single pathological query must never again produce an unparseable
+    * round artifact: r9's bench ran one query into a multi-GiB
+    * plan-string build and the whole process hit the driver's `timeout`
+    * — no JSON line, no numbers for ANY of the other 114 queries. With
+    * the watchdog the stuck query becomes one "failures" entry and the
+    * run continues.
+    *
+    * The body runs on a daemon thread with its own Spark job group
+    * (`interruptOnCancel = true`); on timeout the group's jobs are
+    * cancelled so executors stop burning cores. A DRIVER-side hang
+    * (e.g. plan stringification) is not cancellable — the thread is
+    * abandoned to its fate (daemon: it cannot block JVM exit) and the
+    * loop moves on, which is exactly the containment that matters.
+    */
+  def timedPass(spark: SparkSession, name: String, body: () => Unit,
+                timeoutSec: Int): Either[String, Double] = {
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val group = s"bench-$name"
+    val t0 = System.nanoTime()
+    val th = new Thread(() => {
+      try {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try body() finally spark.sparkContext.clearJobGroup()
+      } catch { case t: Throwable => err.set(t) }
+      finally done.countDown()
+    }, group)
+    th.setDaemon(true)
+    th.start()
+    val finished = done.await(timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) {
+      spark.sparkContext.cancelJobGroup(group)
+      Left(s"timeout after ${timeoutSec}s")
+    } else Option(err.get()) match {
+      case Some(t) => Left(s"${t.getClass.getSimpleName}: ${t.getMessage}")
+      case None    => Right((System.nanoTime() - t0) / 1e9)
+    }
+  }
+
   /** Trailing-zero strip of a fixed-scale decimal ("0.50"->"0.5",
     * "1.00"->"1") — pure byte savings on the tail-budgeted line.
     */
@@ -89,6 +130,10 @@ object Bench {
     require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val watchdogSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT_SEC", "120").toInt
+    require(watchdogSec >= 1,
+      s"SPARK_GRAFT_BENCH_TIMEOUT_SEC must be >= 1, got $watchdogSec")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -114,11 +159,12 @@ object Bench {
     // (skip the store build when a SPARK_GRAFT_BENCH_ONLY selection
     // excludes the query — no point paying it for a one-query rerun)
     if (only.forall(_.contains("dedup_incremental_stored")))
-      try SparkEntry.queries.get("dedup_incremental_stored").foreach { q =>
-        q(spark, sfDir).write.format("noop").mode("overwrite").save()
-        spark.catalog.clearCache()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] store warmup failed: ${e.getMessage}")
+      SparkEntry.queries.get("dedup_incremental_stored").foreach { q =>
+        timedPass(spark, "store-warmup", () => {
+          q(spark, sfDir).write.format("noop").mode("overwrite").save()
+          spark.catalog.clearCache()
+        }, watchdogSec).left.foreach(r =>
+          System.err.println(s"[bench] store warmup failed: $r"))
       }
     var failures = Set.empty[String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -127,13 +173,14 @@ object Bench {
     // passes of one query never run against a hot cache the others missed
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 1 to runs; (name, fn) <- selected if !failures.contains(name)) {
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        failures += name
+      timedPass(spark, name,
+        () => fn(spark, sfDir).write.format("noop").mode("overwrite").save(),
+        watchdogSec) match {
+        case Right(sec) =>
+          samples(name) = sec :: samples.getOrElse(name, Nil)
+        case Left(reason) =>
+          System.err.println(s"[bench] $name FAILED: $reason")
+          failures += name
       }
       // Queries that persist their fan-out lineage (ngram/minhash/CC)
       // have no safe in-query unpersist point; dropping the blocks here

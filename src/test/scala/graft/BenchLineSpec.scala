@@ -75,6 +75,32 @@ class BenchLineSpec extends SparkTestBase {
     assert(qs.getAs[Number]("b").longValue == -1L)
   }
 
+  test("watchdog: a sleeping query becomes a failure entry, line still parses") {
+    // the r9 mode: ONE pathological query ran past the driver's global
+    // timeout and the whole artifact was lost. The watchdog must turn
+    // that into Left(timeout) while a well-behaved query still times.
+    val stuck = Bench.timedPass(spark, "q_sleeper",
+      () => Thread.sleep(30000), timeoutSec = 1)
+    assert(stuck.isLeft)
+    assert(stuck.left.toOption.get.contains("timeout"), stuck)
+    val ok = Bench.timedPass(spark, "q_fast",
+      () => { spark.range(1000).selectExpr("sum(id)").collect(); () },
+      timeoutSec = 120)
+    assert(ok.isRight && ok.toOption.get > 0.0, ok)
+    // a thrown body is a tagged failure, not a crash
+    val boom = Bench.timedPass(spark, "q_boom",
+      () => throw new RuntimeException("synthetic"), timeoutSec = 120)
+    assert(boom.isLeft && boom.left.toOption.get.contains("synthetic"), boom)
+    // and the artifact with the timed-out query folded into failures is
+    // exactly the parseable shape the driver reads
+    val line = Bench.compactLine(
+      Seq(("q_fast", ok.toOption.get), ("q_sleeper", -1.0)),
+      Set("q_sleeper"), "/x")
+    val row = parse(line)
+    assert(row.getAs[org.apache.spark.sql.Row]("queries").schema.size == 2)
+    assert(line.contains(""""failures":["q_sleeper"]"""))
+  }
+
   test("trimZeros keeps precision where it exists") {
     assert(Bench.trimZeros("0.50") == "0.5")
     assert(Bench.trimZeros("1.00") == "1")

@@ -6,6 +6,15 @@ query's true cost).
 
 Usage:
     python3 tools/check_bench.py OLD NEW [threshold]
+    python3 tools/check_bench.py --coverage [SPREAD [SPARKENTRY]]
+
+--coverage gates bench COMPLETENESS instead of regressions: exit 1
+unless the spread artifact's query key set equals SparkEntry.queries'
+registered names (parsed from the registration pattern in the source).
+Exists because round 9 shipped 11 queries that were never benched at
+sf0.1 — one of them timed out the driver's run and no one had seen it
+coming. Run it against tools/bench_spread.json after every full bench;
+a SPARK_GRAFT_BENCH_ONLY-restricted spread legitimately fails it.
 
 OLD / NEW each accept either artifact shape:
   - tools/bench_spread.json   (Bench's side file: {"queries", "spread"})
@@ -38,7 +47,49 @@ def load(path):
     return {q: (v, "med") for q, v in d["queries"].items() if v >= 0}, sf
 
 
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def registry_keys(src_path):
+    """Registered query names, parsed from the uniform registration
+    pattern `"name" -> ((s, dir)` — the only place that shape occurs."""
+    with open(src_path) as f:
+        names = re.findall(r'^\s*"([a-z0-9_]+)" -> \(\(s, dir\)', f.read(),
+                           re.MULTILINE)
+    if not names:
+        sys.exit(f"{src_path}: no registration pattern matches — "
+                 "registry parse broken, refusing to pass vacuously")
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        sys.exit(f"{src_path}: duplicate registrations: {sorted(dupes)}")
+    return set(names)
+
+
+def coverage(argv):
+    spread_path = argv[0] if argv else os.path.join(REPO, "tools",
+                                                    "bench_spread.json")
+    src_path = argv[1] if len(argv) > 1 else os.path.join(
+        REPO, "src", "main", "scala", "graft", "SparkEntry.scala")
+    benched, _ = load(spread_path)
+    registered = registry_keys(src_path)
+    missing = sorted(registered - set(benched))
+    extra = sorted(set(benched) - registered)
+    for q in missing:
+        print(f"UNBENCHED   {q}")
+    for q in extra:
+        print(f"UNREGISTERED {q}")
+    print(f"{len(set(benched) & registered)}/{len(registered)} registered "
+          f"queries present in {spread_path}")
+    if missing or extra:
+        sys.exit(1)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--coverage":
+        return coverage(sys.argv[2:])
     if len(sys.argv) < 3:
         sys.exit(__doc__)
     old_path, new_path = sys.argv[1], sys.argv[2]
