@@ -970,6 +970,23 @@ object SparkEntry {
         .toDF("qid", "qtext")
       Bm25.bm25Search(idx, queries, col("qid"), col("qtext"), k = 10)
     }),
+    "bm25_search_rational" -> ((s, dir) => {
+      // oracle twin of bm25_search: RationalIdf index (bit-exact per
+      // row, the bm25_index trick) + PORTABLE summation (ascending
+      // sort + left fold — sum(double) order is nondeterministic under
+      // partial aggregation, and the DuckDB side mirrors the fold with
+      // list_reduce(list_sort(...))). Same queries, same k; production
+      // keeps the LogIdf/plain-sum form.
+      import s.implicits._
+      import graft.operators.{Bm25, TermWeights}
+      val idx = Bm25.bm25Index(t(s, dir, "documents"), col("doc_id"),
+        col("text"), k1 = 1.2, b = 0.75, weight = TermWeights.RationalIdf)
+      val queries = Seq(
+        (91L, "fast hash join"), (92L, "vector scan"),
+        (93L, "slow merge sort"), (94L, "customer quantum"))
+        .toDF("qid", "qtext")
+      Bm25.bm25SearchPortable(idx, queries, col("qid"), col("qtext"), k = 10)
+    }),
     "doc_unigram_stats" -> ((s, dir) => {
       // self-supervised unigram-LM quality scoring: corpus token
       // frequencies scored back onto each document. The oracle-checked
@@ -2365,6 +2382,41 @@ object SparkEntry {
         |                 + (0.75e0 * CAST(dl AS DOUBLE)) / avgdl))) AS score
         |FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
         |CROSS JOIN stats""".stripMargin,
+    // BM25 search over the rational index: same index SQL, then the
+    // query-term join and a PORTABLE score sum — list_reduce over the
+    // ascending-sorted score list folds left exactly like Spark's
+    // aggregate(sort_array(collect_list(...))), making the double
+    // additions order-identical (0.0 + x == x in IEEE, so the differing
+    // initial accumulator is immaterial)
+    "bm25_search_rational" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |  CAST((SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS DOUBLE)
+        |   / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl),
+        |idx AS (SELECT doc_id, token,
+        | ((CAST(n_docs - df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0))
+        |  * ((CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0)) /
+        |     (CAST(tf AS DOUBLE)
+        |      + 1.2e0 * ((1.0e0 - 0.75e0)
+        |                 + (0.75e0 * CAST(dl AS DOUBLE)) / avgdl))) AS score
+        | FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+        | CROSS JOIN stats),
+        |q(query_id, qtext) AS (VALUES
+        |  (CAST(91 AS BIGINT), 'fast hash join'), (92, 'vector scan'),
+        |  (93, 'slow merge sort'), (94, 'customer quantum')),
+        |qt AS (SELECT DISTINCT query_id, token FROM
+        |  (SELECT query_id, unnest(string_split(qtext, ' ')) AS token FROM q)),
+        |m AS (SELECT query_id, doc_id, COUNT(*) AS n_matched,
+        |  list_reduce(list_sort(LIST(score)), (a, b) -> a + b) AS bm25
+        | FROM idx JOIN qt USING (token) GROUP BY 1, 2)
+        |SELECT query_id, doc_id, n_matched, bm25, CAST(rank AS INT) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY bm25 DESC, doc_id ASC) AS rank FROM m)
+        |WHERE rank <= 10""".stripMargin,
     "doc_unigram_stats" ->
       // exact-integer projection of the unigram-LM scores; every SUM is
       // cast back to BIGINT (DuckDB widens SUM(BIGINT) to HUGEINT and

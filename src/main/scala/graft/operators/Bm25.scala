@@ -102,17 +102,45 @@ object Bm25 {
     * once (bag-of-words query, the standard BM25 form).
     */
   def bm25Search(index: DataFrame, queries: DataFrame,
-                 qid: Column, qtext: Column, k: Int): DataFrame = {
+                 qid: Column, qtext: Column, k: Int): DataFrame =
+    searchImpl(index, queries, qid, qtext, k, portableSum = false)
+
+  /** [[bm25Search]] with a PORTABLE per-(query, doc) summation: matched
+    * term scores are sorted ascending and left-folded, so the double
+    * additions happen in one fixed order in ANY engine — `sum(double)`
+    * is order-dependent at ulp level and Spark's partial aggregation
+    * order is nondeterministic, which is the one thing that keeps the
+    * plain form from hash-matching a DuckDB oracle even over the
+    * RationalIdf index. The collect_list per group is bounded by the
+    * query's term count (tiny by construction), so the scale shape is
+    * unchanged: the index side still never reshuffles per query batch.
+    * Production stays on [[bm25Search]] (partial-agg `sum` — cheaper
+    * and the ulp order noise is irrelevant to retrieval); this form is
+    * the oracle anchor, same division of labour as RationalIdf vs
+    * LogIdf.
+    */
+  def bm25SearchPortable(index: DataFrame, queries: DataFrame,
+                         qid: Column, qtext: Column, k: Int): DataFrame =
+    searchImpl(index, queries, qid, qtext, k, portableSum = true)
+
+  private def searchImpl(index: DataFrame, queries: DataFrame,
+                         qid: Column, qtext: Column, k: Int,
+                         portableSum: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val qterms = queries
       .select(qid.as("query_id"),
         explode(TextFunctions.tokens(qtext)).as("token"))
       .distinct()
     val matched = index.join(broadcast(qterms), "token")
+    val scoreSum =
+      if (portableSum)
+        aggregate(sort_array(collect_list(col("score"))), lit(0.0),
+          (acc, x) => acc + x)
+      else sum(col("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
     matched.groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).as("n_matched"), sum(col("score")).as("bm25"))
+      .agg(count(lit(1)).as("n_matched"), scoreSum.as("bm25"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("n_matched"),

@@ -121,6 +121,30 @@ class Bm25Spec extends SparkTestBase {
     idx.unpersist()
   }
 
+  test("portable search: identical ranking to plain sum, ulp-close scores") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val idx = Bm25.bm25Index(docs, col("doc_id"), col("text"),
+      weight = TermWeights.RationalIdf).persist()
+    val qs = Seq((91L, "fast hash join"), (92L, "vector scan"))
+      .toDF("qid", "qtext")
+    val plain = Bm25.bm25Search(idx, qs, col("qid"), col("qtext"), k = 10)
+      .as[(Long, Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    val portable = Bm25.bm25SearchPortable(idx, qs, col("qid"), col("qtext"),
+      k = 10).as[(Long, Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    idx.unpersist()
+    // the portable fold changes only ADDITION ORDER: same keys, same
+    // n_matched, same rank, scores within accumulated-ulp distance
+    assert(plain.keySet == portable.keySet)
+    assert(plain.nonEmpty)
+    plain.foreach { case (k, (n, s, r)) =>
+      val (pn, ps, pr) = portable(k)
+      assert(n == pn && r == pr, s"$k: ($n,$r) vs ($pn,$pr)")
+      assert(math.abs(s - ps) <= math.ulp(s) * 8, s"$k: $s vs $ps")
+    }
+  }
+
   test("parameter contracts") {
     intercept[IllegalArgumentException] {
       Bm25.bm25Index(tiny, col("doc_id"), col("text"), k1 = -0.1)
