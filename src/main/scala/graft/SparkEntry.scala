@@ -1412,6 +1412,35 @@ object SparkEntry {
       val (curated, _) = CorpusPipeline.curateIncrement(inc, refSigs, cfg)
       curated.select(col("doc_id"), col("lang_pred"), col("n_tokens"))
     }),
+    "dedup_incremental_portable" -> ((s, dir) => {
+      // oracle twin of dedup_incremental: the SAME funnel (gate ->
+      // exact self-dedup -> LSH self-dedup -> cross-corpus band join ->
+      // prune) with md5-hex signatures and raw-slice band keys, so
+      // every signature element, band key, candidate pair and
+      // est_jaccard reproduces bit-for-bit in DuckDB. Engine-hash forms
+      // stay the production default (cheaper kernels, 4-byte band keys).
+      import graft.pipelines.CorpusPipeline
+      val cfg = CorpusPipeline.Config(minQuality = 0.3,
+        keepLangs = Seq("en"), minTokens = 5, shingleSize = 3,
+        numHashes = 64, bands = 16, minEstJaccard = 0.7, featureDim = 8)
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(col("source").rlike("^src[0-9]$"))
+      val inc = docs.filter(col("source").rlike("^src1[0-9]$"))
+      val refSigs = Dedup.minhashSignaturesPortable(
+        CorpusPipeline.qualityGate(CorpusPipeline.annotate(ref), cfg),
+        col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
+      val gated = CorpusPipeline.qualityGate(CorpusPipeline.annotate(inc), cfg)
+      val selfExact = CorpusPipeline.exactDedup(gated)
+      val selfClean = Dedup.applyPairDedup(selfExact, col("doc_id"),
+        Dedup.minhashDedupPairsPortable(selfExact, col("doc_id"), col("text"),
+          cfg.numHashes, cfg.shingleSize, cfg.bands, cfg.minEstJaccard))
+      val incSigs = Dedup.minhashSignaturesPortable(selfClean,
+        col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
+      Dedup.applyPairDedup(selfClean, col("doc_id"),
+          Dedup.minhashPairsAgainstPortable(incSigs, refSigs,
+            cfg.numHashes, cfg.bands, cfg.minEstJaccard))
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"))
+    }),
     "dedup_incremental_stored" -> ((s, dir) => { // engine-hash: rows-only
       // the 100-TB-relevant DAILY MARGINAL COST: dedup_incremental above
       // rebuilds the reference signature store inline, so its benched
@@ -1942,6 +1971,78 @@ object SparkEntry {
         |  SELECT lang, MIN(doc_id) AS keep_id FROM documents GROUP BY lang) k
         | ON d.lang = k.lang
         |WHERE d.doc_id <> k.keep_id""".stripMargin,
+    // The portable incremental-dedup funnel, mirrored stage for stage:
+    // annotate/gate = the text_stats formulas + filters; exact self-dedup
+    // = min-id QUALIFY; signatures = min md5-hex per (doc, k); band keys
+    // = raw 4-element signature slices; est_jaccard = agree/64 (exact
+    // dyadic division, so the >= 0.7 cut is engine-identical)
+    "dedup_incremental_portable" ->
+      """WITH ann AS (
+        |  SELECT doc_id, text, source, n_tokens,
+        |    CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'en'
+        |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'de'
+        |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'fr'
+        |         WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'es'
+        |         ELSE 'ru' END AS lang_pred,
+        |    (least(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, CAST(1.0 AS DOUBLE))
+        |     + CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
+        |     + least(CAST(n_tokens AS DOUBLE) / 20.0, CAST(1.0 AS DOUBLE))) / 3.0 AS quality
+        |  FROM (
+        |    SELECT doc_id, text, source,
+        |      len(toks) AS n_tokens,
+        |      CAST(length(text) - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+        |      len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS n_stopwords,
+        |      len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        |      len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |      len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+        |      len(list_filter(toks, x -> x IN ('el','los','las','es','y'))) AS s_es,
+        |      len(list_filter(toks, x -> x IN ('и','в','не','на','что'))) AS s_ru
+        |    FROM (SELECT doc_id, text, source, string_split(text, ' ') AS toks FROM documents))),
+        |refg AS (SELECT doc_id, text FROM ann
+        |  WHERE regexp_matches(source, '^src[0-9]$')
+        |    AND n_tokens >= 5 AND quality >= 0.3 AND lang_pred = 'en'),
+        |incg AS (SELECT doc_id, text, lang_pred, n_tokens FROM ann
+        |  WHERE regexp_matches(source, '^src1[0-9]$')
+        |    AND n_tokens >= 5 AND quality >= 0.3 AND lang_pred = 'en'),
+        |iexact AS (SELECT doc_id, text, lang_pred, n_tokens FROM incg
+        |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)),
+        |rsh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM refg) WHERE len(t) >= 3)),
+        |ish AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM iexact) WHERE len(t) >= 3)),
+        |rsig AS (SELECT doc_id, LIST(h ORDER BY k) AS sig FROM (
+        |  SELECT doc_id, k, MIN(substr(md5(sh || ':' || CAST(k AS VARCHAR)), 1, 16)) AS h
+        |  FROM rsh CROSS JOIN range(64) r(k) GROUP BY doc_id, k) GROUP BY doc_id),
+        |isig AS (SELECT doc_id, LIST(h ORDER BY k) AS sig FROM (
+        |  SELECT doc_id, k, MIN(substr(md5(sh || ':' || CAST(k AS VARCHAR)), 1, 16)) AS h
+        |  FROM ish CROSS JOIN range(64) r(k) GROUP BY doc_id, k) GROUP BY doc_id),
+        |rbands AS (SELECT doc_id, b AS band_idx,
+        |    array_to_string(sig[b*4+1 : b*4+4], ',') AS band_key
+        |  FROM rsig CROSS JOIN range(16) rb(b)),
+        |ibands AS (SELECT doc_id, b AS band_idx,
+        |    array_to_string(sig[b*4+1 : b*4+4], ',') AS band_key
+        |  FROM isig CROSS JOIN range(16) rb(b)),
+        |scand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ibands a JOIN ibands b ON a.band_idx = b.band_idx
+        |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |sdrops AS (SELECT DISTINCT id_b FROM scand
+        |  JOIN isig sa ON sa.doc_id = id_a JOIN isig sb ON sb.doc_id = id_b
+        |  WHERE CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+        |        / CAST(len(sa.sig) AS DOUBLE) >= 0.7),
+        |sclean AS (SELECT doc_id, lang_pred, n_tokens FROM iexact
+        |  WHERE NOT EXISTS (SELECT 1 FROM sdrops WHERE id_b = doc_id)),
+        |ccand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM rbands a JOIN ibands b ON a.band_idx = b.band_idx
+        |    AND a.band_key = b.band_key AND a.doc_id <> b.doc_id
+        |  WHERE EXISTS (SELECT 1 FROM sclean WHERE sclean.doc_id = b.doc_id)),
+        |cdrops AS (SELECT DISTINCT id_b FROM ccand
+        |  JOIN rsig sa ON sa.doc_id = id_a JOIN isig sb ON sb.doc_id = id_b
+        |  WHERE CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+        |        / CAST(len(sa.sig) AS DOUBLE) >= 0.7)
+        |SELECT doc_id, lang_pred, n_tokens FROM sclean
+        |WHERE NOT EXISTS (SELECT 1 FROM cdrops WHERE id_b = doc_id)""".stripMargin,
     "ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, sh FROM (

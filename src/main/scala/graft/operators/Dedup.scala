@@ -982,6 +982,105 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("id_a", "id_b", "est_jaccard")
 
+  // --- Portable (md5) MinHash twins ------------------------------------
+  //
+  // Engine-exact mirrors of the MinHash family above, for oracle-anchored
+  // runs: signatures are md5-hex ([[graft.functions.Kernels.minhashMd5]]),
+  // band keys are the RAW comma-joined signature slices (no engine hash
+  // anywhere — a DuckDB twin recomputes every value bit-for-bit), and the
+  // Jaccard estimate is an integer agree-count over one exact double
+  // division. Join/shuffle shapes are identical to the production forms;
+  // only the per-row hash kernel and the band-key encoding differ (band
+  // keys are ~64 bytes instead of 4 — immaterial at candidate counts).
+
+  /** [[minhashSignatures]] with portable md5-hex signature elements.
+    * Output: (doc_id, sig: array<string>, n_sh).
+    */
+  def minhashSignaturesPortable(df: DataFrame, id: Column, text: Column,
+                                numHashes: Int, shingleSize: Int): DataFrame = {
+    val sh = array_distinct(TextFunctions.wordShingles(text, shingleSize))
+    df.select(id.as("doc_id"),
+      graft.functions.Kernels.minhashMd5SigCol(sh, numHashes).as("sig"),
+      size(sh).as("n_sh"))
+  }
+
+  /** [[lshBands]] over portable signatures: the band key is the
+    * comma-joined signature slice itself — identical candidate semantics
+    * minus the engine hash's (rare, benign) cross-band collisions.
+    * Output: (doc_id, band_idx, band_key).
+    */
+  def lshBandsPortable(signatures: DataFrame, numHashes: Int,
+                       bands: Int): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    val bandKeys = array((0 until bands).map { b =>
+      concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+    }: _*)
+    signatures
+      .filter(size(col("sig")) > 0)
+      .select(col("doc_id"), posexplode(bandKeys))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+  }
+
+  /** Portable est-jaccard verification tail: agreeing-position count
+    * over the hex signatures (integer) / signature length — one exact
+    * IEEE division, same formula as [[verifyCandidatePairs]].
+    */
+  private def verifyCandidatePairsPortable(cands: DataFrame,
+                                           newSigs: DataFrame,
+                                           refSigs: DataFrame,
+                                           minEstJaccard: Double): DataFrame =
+    cands
+      .join(refSigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(newSigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          p => p)).cast("double") / size(col("sig_a")).cast("double"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+
+  /** [[minhashDedupPairs]] with portable signatures and band keys —
+    * within-corpus pair generation a DuckDB oracle reproduces exactly.
+    */
+  def minhashDedupPairsPortable(df: DataFrame, id: Column, text: Column,
+                                numHashes: Int, shingleSize: Int,
+                                bands: Int, minEstJaccard: Double,
+                                persistLineage: Boolean = true): DataFrame = {
+    val sigsRaw = minhashSignaturesPortable(df, id, text, numHashes, shingleSize)
+    val sigs =
+      if (persistLineage)
+        sigsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigsRaw
+    val banded = lshBandsPortable(sigs, numHashes, bands)
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyCandidatePairsPortable(cands, sigs, sigs, minEstJaccard)
+  }
+
+  /** [[minhashPairsAgainst]] with portable signatures and band keys —
+    * the cross-corpus increment join a DuckDB oracle reproduces exactly.
+    * Output: (id_a = ref doc, id_b = new doc, est_jaccard).
+    */
+  def minhashPairsAgainstPortable(newSigs: DataFrame, refSigs: DataFrame,
+                                  numHashes: Int, bands: Int,
+                                  minEstJaccard: Double): DataFrame = {
+    val bn = lshBandsPortable(newSigs, numHashes, bands)
+    val br = lshBandsPortable(refSigs, numHashes, bands)
+    val cands = br.as("a").join(bn.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyCandidatePairsPortable(cands, newSigs, refSigs, minEstJaccard)
+  }
+
   // --- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: each token votes ±1 on every

@@ -113,6 +113,51 @@ class IncrementalDedupSpec extends SparkTestBase {
     }
   }
 
+  test("portable md5 signatures match a Spark-SQL md5 recomputation exactly") {
+    // the kernel's contract is that ANY engine derives the same values
+    // as substr(md5(sh || ':' || k), 1, 16); pin it against Spark's own
+    // md5 (itself standard, hence equal to DuckDB's) via the HOF twin
+    val docs = Seq((1L, refText1), (2L, refText2)).toDF("doc_id", "text")
+    val kernel = Dedup.minhashSignaturesPortable(docs, col("doc_id"),
+      col("text"), numHashes = 8, shingleSize = 3)
+      .select("doc_id", "sig").as[(Long, Seq[String])].collect().toMap
+    val sh = array_distinct(
+      graft.functions.TextFunctions.wordShingles(col("text"), 3))
+    val hof = docs.select(col("doc_id"),
+        transform(sequence(lit(0), lit(7)), k =>
+          array_min(transform(sh, g =>
+            substring(md5(concat(g, lit(":"), k.cast("string"))), 1, 16))))
+          .as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(kernel == hof)
+    assert(kernel(1L).forall(_.matches("[0-9a-f]{16}")))
+    // shingle-less doc -> empty signature (mirrors the engine kernel)
+    val empty = Dedup.minhashSignaturesPortable(
+      Seq((9L, "one two")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), numHashes = 8, shingleSize = 3)
+      .select("sig").as[Seq[String]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("portable pair generators mirror the engine-hash semantics") {
+    val refSigs = Dedup.minhashSignaturesPortable(refDocs, col("doc_id"),
+      col("text"), cfg.numHashes, cfg.shingleSize)
+    val newSigs = Dedup.minhashSignaturesPortable(
+      Seq((10L, refText1), (11L, novel)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
+    val cross = Dedup.minhashPairsAgainstPortable(newSigs, refSigs,
+        cfg.numHashes, cfg.bands, cfg.minEstJaccard)
+      .as[(Long, Long, Double)].collect()
+    assert(cross.toSeq == Seq((1L, 10L, 1.0)))
+    val selfPairs = Dedup.minhashDedupPairsPortable(
+      Seq((20L, novel), (21L, novel), (22L, refText2))
+        .toDF("doc_id", "text"),
+      col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize,
+      cfg.bands, cfg.minEstJaccard)
+      .as[(Long, Long, Double)].collect()
+    assert(selfPairs.toSeq == Seq((20L, 21L, 1.0)))
+  }
+
   test("curateIncrement with an empty reference keeps the whole (self-deduped) increment") {
     val increment = Seq((10L, refText1), (11L, novel)).toDF("doc_id", "text")
     val emptyRef = Dedup.minhashSignatures(
