@@ -284,12 +284,22 @@ object Sampling {
     * Σalloc can undershoot T by at most one token per group (the
     * floors) plus any infeasibility gap. Output: (group, n_units,
     * q_units, cap_tokens, alloc_tokens).
+    *
+    * CONTRACT — small group cardinality: the water-level sort runs in a
+    * single-partition global window, which is deliberate and cheap
+    * BECAUSE it orders the per-GROUP aggregate (one row per training
+    * source — tens to thousands of rows), never per-document rows.
+    * Passing a high-cardinality column (doc_id, url, ...) as `group`
+    * would funnel the whole corpus through one task; the in-plan
+    * `maxGroups` guard (default 1M) fails that loudly at execution
+    * instead of letting it crawl.
     */
   def allocateBudget(df: DataFrame, group: Column, size: Column,
                      totalTokens: Long, maxEpochs: Double,
-                     alpha: Double = 0.5): DataFrame = {
+                     alpha: Double = 0.5, maxGroups: Int = 1000000): DataFrame = {
     require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
     require(maxEpochs > 0.0, s"maxEpochs must be positive, got $maxEpochs")
+    require(maxGroups > 0, s"maxGroups must be positive, got $maxGroups")
     import org.apache.spark.sql.expressions.Window
     val tw = temperatureWeights(df, group, size, alpha).drop("weight")
     val gname = tw.columns.head
@@ -307,10 +317,22 @@ object Sampling {
     val ord = Window.orderBy(col("__r"), col(gname))
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // two projections: lag of a windowed sum can't nest in one select
+    // the guard rides __totQ (a column the λ math actually consumes —
+    // a standalone guard column would be pruned away unevaluated); the
+    // count shares the global window, so it costs nothing extra
+    val nGroups = count(lit(1)).over(Window.partitionBy())
     val sums = live
       .withColumn("__cumC", sum(col("cap_tokens")).over(cum))
       .withColumn("__cumQ", sum(col("q_units")).over(cum))
-      .withColumn("__totQ", sum(col("q_units")).over(Window.partitionBy()))
+      .withColumn("__totQ",
+        when(nGroups > lit(maxGroups.toLong),
+          raise_error(concat(
+            lit("allocateBudget: group cardinality "),
+            nGroups.cast("string"),
+            lit(s" exceeds maxGroups=$maxGroups — the water-level window " +
+              "is single-partition over the per-GROUP table by design; " +
+              "was a per-document column passed as `group`?"))).cast("long"))
+          .otherwise(sum(col("q_units")).over(Window.partitionBy())))
     val cands = sums
       .withColumn("__cPrev", lag(col("__cumC"), 1, 0L).over(ord))
       .withColumn("__qPrev", lag(col("__cumQ"), 1, 0L).over(ord))

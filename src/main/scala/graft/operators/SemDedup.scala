@@ -67,34 +67,64 @@ object SemDedup {
   }
 
   /** Prune to one survivor per semantic-duplicate component: connected
-    * components over the ≥`minCosine` pair graph, keep the minimum id of
-    * each component (the repo's deterministic survivor rule — the paper
-    * keeps the member with LOWEST centroid similarity to bias kept data
-    * away from cluster prototypes; that policy is one ORDER BY swap on
-    * the component join and deliberately NOT the default here, because
-    * min-id is reproducible across refits while centroid geometry is
-    * not). Transitivity matters: cosine near-duplicacy chains (A≈B≈C
-    * with cos(A,C) < τ), and a pairwise-greedy drop would either keep
-    * chain middles or drop whole chains depending on visit order — the
-    * component view makes "one per group" exact, same as
-    * `dedup_clusters` does for text.
+    * components over the ≥`minCosine` pair graph, then one keep per
+    * component under the chosen policy. Transitivity matters: cosine
+    * near-duplicacy chains (A≈B≈C with cos(A,C) < τ), and a
+    * pairwise-greedy drop would either keep chain middles or drop whole
+    * chains depending on visit order — the component view makes "one per
+    * group" exact, same as `dedup_clusters` does for text.
+    *
+    * Survivor policy:
+    *  - default (`keepLowestCentroidSim = false`): minimum id — the
+    *    repo's deterministic rule, reproducible across k-means refits.
+    *  - `keepLowestCentroidSim = true`: the SemDeDup paper's rule
+    *    (Abbas 2023 §2): keep the member with the LOWEST cosine to its
+    *    cluster centroid, biasing kept data away from cluster
+    *    prototypes. Ties (identical vectors) break to the lower id.
+    *    NOT the default because centroid geometry changes under refit
+    *    while ids do not. Selection is a map-side-combining `min_by`
+    *    over (sim, id) per component — no per-component window sort,
+    *    so a giant component costs the same as many small ones.
     *
     * Returns `df` filtered to survivors, schema unchanged. Cost on top
     * of pair generation: [[Dedup.connectedComponents]]'s iterative
     * equi-joins over the (tiny, already-thresholded) pair list, then one
-    * left_anti of the corpus against the non-min members.
+    * left_anti of the corpus against the dropped members (the paper
+    * policy adds the per-row centroid-sim kernel + one agg over the
+    * component members — still nothing quadratic).
     */
   def semanticPrune(df: DataFrame, id: Column, vec: Column,
                     minCosine: Double, dim: Int, nlist: Int,
-                    seed: Long = 42L): DataFrame = {
+                    seed: Long = 42L,
+                    keepLowestCentroidSim: Boolean = false): DataFrame = {
     val pairs = semanticDupPairs(df, id, vec, minCosine, dim, nlist, seed)
     // checkpointEvery=4 explicitly: the sf0.1 harness graph (uniform
     // embeddings at τ in the dense regime) is one giant component of
     // diameter ≫ 3, exactly the many-round case where unbounded CC
     // lineage built multi-GiB plan strings per convergence action
     val cc = Dedup.connectedComponents(pairs, checkpointEvery = 4)
-    val drops = cc.filter(col("id") =!= col("comp"))
-      .select(col("id").as("__drop_id"))
+    val drops =
+      if (!keepLowestCentroidSim)
+        cc.filter(col("id") =!= col("comp"))
+          .select(col("id").as("__drop_id"))
+      else {
+        // same fit parameters as candidate generation, so members score
+        // against the geometry that clustered them (nlist<=1 pairs come
+        // from the exact twin; a single global centroid still gives the
+        // paper's "away from the prototype" ordering)
+        val model = Ivf.fit(df, vec, math.max(nlist, 1), seed = seed)
+        val sims = Ivf.assign(model, df, id, vec)
+          .join(broadcast(model.centroids), "list_id")
+          .select(col("vec_id").as("id"),
+            VectorFunctions.cosine(col("v"), col("centroid")).as("__csim"))
+        val members = cc.join(sims, "id")
+        val keeps = members.groupBy(col("comp"))
+          .agg(min_by(col("id"), struct(col("__csim"), col("id")))
+            .as("__keep_id"))
+        members.join(keeps, "comp")
+          .filter(col("id") =!= col("__keep_id"))
+          .select(col("id").as("__drop_id"))
+      }
     df.join(drops, id === col("__drop_id"), "left_anti")
   }
 }

@@ -138,6 +138,22 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("allocateBudget: maxGroups guard fails loudly on per-document grouping") {
+    import graft.TestSpark.spark.implicits._
+    // grouping by a high-cardinality column must raise, not silently
+    // funnel the corpus through the single-partition water-level window
+    val docs = (1L to 50L).map(i => (s"doc$i", 10L)).toDF("doc_id", "n")
+    val e = intercept[Exception] {
+      Sampling.allocateBudget(docs, col("doc_id"), col("n"),
+        totalTokens = 100L, maxEpochs = 2.0, maxGroups = 10).collect()
+    }
+    assert(e.getMessage.contains("maxGroups"), e.getMessage)
+    // at-or-under the bound still allocates
+    val ok = Sampling.allocateBudget(docs, col("doc_id"), col("n"),
+      totalTokens = 100L, maxEpochs = 2.0, maxGroups = 50).collect()
+    assert(ok.length == 50)
+  }
+
   test("temperatureWeights: alpha<1 upweights small sources vs proportional") {
     import graft.TestSpark.spark.implicits._
     val df = Seq(("small", 100), ("big", 10000)).toDF("src", "n")

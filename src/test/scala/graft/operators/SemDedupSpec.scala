@@ -30,6 +30,28 @@ class SemDedupSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(1L, 10L, 20L, 21L))
   }
 
+  test("survivor policies: min-id vs the paper's lowest-centroid-sim keep") {
+    // One duplicate pair {1, 2} plus an identical far pair {3, 4} that
+    // pulls the single centroid off the pair's bisector. Unnormalized
+    // centroid direction = v1+v2+v3+v4 = (1.9939, 2.1104, 0, 0), so
+    // v1 = normalize(0.9, 0.1) scores HIGHER centroid sim (2.2147 ∝)
+    // than v2 = (1, 0) (1.9939 ∝): min-id keeps 1, the paper rule
+    // keeps the prototype-farther member 2. The identical pair {3, 4}
+    // has equal sims — the tie must break to the lower id under BOTH.
+    val docs = Seq(
+      (1L, Array(0.9939f, 0.1104f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "v")
+    def kept(paper: Boolean): Seq[Long] =
+      SemDedup.semanticPrune(docs, col("vec_id"), col("v"),
+        minCosine = 0.95, dim = 4, nlist = 1,
+        keepLowestCentroidSim = paper)
+        .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept(paper = false) == Seq(1L, 3L))
+    assert(kept(paper = true) == Seq(2L, 3L))
+  }
+
   test("transitive chains collapse to one survivor, not one per pair") {
     // chain: 1~2 (cos .9947), 2~3 (cos .9947), but cos(1,3) = .9788 is
     // ALSO above threshold here, so tighten: use vectors where the
