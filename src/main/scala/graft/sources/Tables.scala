@@ -40,13 +40,29 @@ object Tables {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(path)
-      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       raw.schema("ts").dataType match {
         case LongType => // INT64 nanos (legacy conf) → truncate to µs
           raw.withColumn("ts", Timestamps.nanosToTimestamp(raw("ts")))
-        case TimestampNTZType => // µs NTZ → session-zone µs (tz is UTC)
+        case TimestampNTZType => // µs NTZ → session-zone µs
+          // the cast reinterprets the wall-clock under the SESSION zone:
+          // value-preserving only when that zone is UTC, which every
+          // graft entry point pins — fail loudly if a caller didn't,
+          // rather than silently shifting every event time
+          require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+            "Tables.load(events): TIMESTAMP_NTZ ts requires " +
+              "spark.sql.session.timeZone=UTC (got " +
+              s"${spark.conf.get("spark.sql.session.timeZone")}) — " +
+              "the NTZ→timestamp cast would shift event times")
           raw.withColumn("ts", raw("ts").cast("timestamp"))
-        case _ => raw // already a session-zone µs timestamp
+        case TimestampType => raw // already a session-zone µs timestamp
+        case other =>
+          // a THIRD encoding from a future testdata refresh must fail
+          // at load, not flow through unnormalized into every oracle
+          throw new IllegalStateException(
+            s"events.ts arrived as unsupported type $other — " +
+              "Tables.load handles INT64 nanos, TIMESTAMP_NTZ and " +
+              "TIMESTAMP; add an explicit normalization for this encoding")
       }
     } else if (name == "documents" || name == "embeddings") {
       val df = spark.read.parquet(path)
