@@ -786,6 +786,31 @@ object SparkEntry {
           col("simhash"), size(col("fingerprints")).as("n_fp"),
           size(col("features")).as("n_features"))
     }),
+    "corpus_curation_portable" -> ((s, dir) => {
+      // oracle twin of the composed funnel: every engine-hash stage
+      // swapped for its proven portable form (md5 minhash self-dedup,
+      // md5-vote simhash, md5 winnowing), so the END-TO-END composition
+      // — gate ∘ exact-dedup ∘ LSH-dedup ∘ enrich — hash-matches one
+      // DuckDB query, not just each primitive in isolation. Engine-hash
+      // corpus_curation stays the production path.
+      import graft.pipelines.CorpusPipeline
+      import graft.functions.Kernels
+      val cfg = CorpusPipeline.Config(minQuality = 0.3,
+        keepLangs = Seq("en"), minTokens = 5, shingleSize = 3,
+        numHashes = 64, bands = 16, minEstJaccard = 0.7, featureDim = 8)
+      val gated = CorpusPipeline.qualityGate(
+        CorpusPipeline.annotate(t(s, dir, "documents")), cfg)
+      val exact = CorpusPipeline.exactDedup(gated)
+      val deduped = Dedup.applyPairDedup(exact, col("doc_id"),
+        Dedup.minhashDedupPairsPortable(exact, col("doc_id"), col("text"),
+          cfg.numHashes, cfg.shingleSize, cfg.bands, cfg.minEstJaccard))
+      deduped.select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        Kernels.simhashMd5Col(TextFunctions.tokens(col("text")))
+          .as("simhash"),
+        size(Kernels.winnowMd5Fp(col("text"), 5, 4)).as("n_fp"),
+        size(graft.operators.Multimodal.stubFeatureVector(
+          col("text").cast("binary"), cfg.featureDim)).as("n_features"))
+    }),
     "source_jaccard_exact" -> ((s, dir) => {
       // the audit-time exact twin of source_minhash_jaccard: true
       // distinct-shingle-set Jaccard per source pair, every pair
@@ -2058,6 +2083,80 @@ object SparkEntry {
         |        / CAST(len(sa.sig) AS DOUBLE) >= 0.7)
         |SELECT doc_id, lang_pred, n_tokens FROM sclean
         |WHERE NOT EXISTS (SELECT 1 FROM cdrops WHERE id_b = doc_id)""".stripMargin,
+    // End-to-end portable curation funnel: the ann/gate/exact/LSH
+    // fragments proven on dedup_incremental_portable, the md5 simhash
+    // votes from simhash_codes_portable, and the k=5/w=4 winnow-count
+    // variant of the boilerplate fingerprint machinery
+    "corpus_curation_portable" ->
+      """WITH ann AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'en'
+        |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'de'
+        |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'fr'
+        |         WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'es'
+        |         ELSE 'ru' END AS lang_pred,
+        |    (least(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, CAST(1.0 AS DOUBLE))
+        |     + CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
+        |     + least(CAST(n_tokens AS DOUBLE) / 20.0, CAST(1.0 AS DOUBLE))) / 3.0 AS quality
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      len(toks) AS n_tokens,
+        |      CAST(length(text) - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+        |      len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS n_stopwords,
+        |      len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        |      len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |      len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+        |      len(list_filter(toks, x -> x IN ('el','los','las','es','y'))) AS s_es,
+        |      len(list_filter(toks, x -> x IN ('и','в','не','на','что'))) AS s_ru
+        |    FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))),
+        |gated AS (SELECT doc_id, text, lang_pred, n_tokens FROM ann
+        |  WHERE n_tokens >= 5 AND quality >= 0.3 AND lang_pred = 'en'),
+        |iexact AS (SELECT doc_id, text, lang_pred, n_tokens FROM gated
+        |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)),
+        |ish AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM iexact) WHERE len(t) >= 3)),
+        |isig AS (SELECT doc_id, LIST(h ORDER BY k) AS sig FROM (
+        |  SELECT doc_id, k, MIN(substr(md5(sh || ':' || CAST(k AS VARCHAR)), 1, 16)) AS h
+        |  FROM ish CROSS JOIN range(64) r(k) GROUP BY doc_id, k) GROUP BY doc_id),
+        |ibands AS (SELECT doc_id, b AS band_idx,
+        |    array_to_string(sig[b*4+1 : b*4+4], ',') AS band_key
+        |  FROM isig CROSS JOIN range(16) rb(b)),
+        |scand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ibands a JOIN ibands b ON a.band_idx = b.band_idx
+        |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |sdrops AS (SELECT DISTINCT id_b FROM scand
+        |  JOIN isig sa ON sa.doc_id = id_a JOIN isig sb ON sb.doc_id = id_b
+        |  WHERE CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+        |        / CAST(len(sa.sig) AS DOUBLE) >= 0.7),
+        |clean AS (SELECT doc_id, text, lang_pred, n_tokens FROM iexact
+        |  WHERE NOT EXISTS (SELECT 1 FROM sdrops WHERE id_b = doc_id)),
+        |hx AS (SELECT doc_id, substr(md5(tkn), 1, 16) AS h FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tkn FROM clean)),
+        |votes AS (
+        |  SELECT doc_id, r.b AS b,
+        |    SUM(CASE WHEN (strpos('0123456789abcdef', substr(h, 16 - r.b // 4, 1)) - 1)
+        |              & (1 << (r.b % 4)) != 0 THEN 1 ELSE -1 END) AS v
+        |  FROM hx, range(64) r(b)
+        |  GROUP BY doc_id, r.b),
+        |sim AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN v <= 0 THEN 0
+        |           WHEN b = 63 THEN -9223372036854775808
+        |           ELSE (CAST(1 AS BIGINT) << b) END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id),
+        |wg AS (SELECT doc_id,
+        |  [substr(md5(substr(text, i, 5)), 1, 16)
+        |   for i in range(1, greatest(len(text) - 3, 1))] AS h
+        |  FROM clean),
+        |wfp AS (SELECT DISTINCT doc_id, fp FROM (
+        |  SELECT doc_id, unnest(
+        |    [list_min(h[i:i+3]) for i in range(1, greatest(len(h) - 2, 2))]) AS fp
+        |  FROM wg WHERE len(h) >= 1)),
+        |nfp AS (SELECT doc_id, COUNT(*) AS n_fp FROM wfp GROUP BY doc_id)
+        |SELECT c.doc_id, c.lang_pred, c.n_tokens, s.simhash,
+        |  CAST(COALESCE(f.n_fp, 0) AS INT) AS n_fp,
+        |  CAST(8 AS INT) AS n_features
+        |FROM clean c JOIN sim s USING (doc_id) LEFT JOIN nfp f USING (doc_id)""".stripMargin,
     "ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, sh FROM (
