@@ -232,6 +232,7 @@ object Kernels {
   def minhashMd5(shingles: ArrayData, numHashes: Int): ArrayData = {
     val n = shingles.numElements()
     val md = md5Local.get()
+    val suf = md5Suffixes(numHashes)
     val sig = new Array[String](numHashes)
     var any = false
     var i = 0
@@ -239,10 +240,24 @@ object Kernels {
       val s = shingles.getUTF8String(i)
       if (s != null) {
         any = true
-        val str = s.toString
+        // byte-level feed: UTF-8(s || ":k") == UTF-8(s) ++ UTF-8(":k"),
+        // so updating with the two arrays digests the identical message
+        // — without re-encoding the shingle numHashes times per row
+        val sBytes = s.getBytes
         var k = 0
         while (k < numHashes) {
-          val h = md5Hex16(md, str + ":" + k)
+          md.reset()
+          md.update(sBytes)
+          md.update(suf(k))
+          val d = md.digest()
+          val out = new Array[Char](16)
+          var j = 0
+          while (j < 8) {
+            out(2 * j) = Character.forDigit((d(j) >> 4) & 0xf, 16)
+            out(2 * j + 1) = Character.forDigit(d(j) & 0xf, 16)
+            j += 1
+          }
+          val h = new String(out)
           if (sig(k) == null || h.compareTo(sig(k)) < 0) sig(k) = h
           k += 1
         }
@@ -251,6 +266,19 @@ object Kernels {
     }
     if (!any) new GenericArrayData(Array.empty[UTF8String])
     else new GenericArrayData(sig.map(UTF8String.fromString))
+  }
+
+  // ":k" suffix bytes per hash index, grown on demand and shared across
+  // threads (rebuild race is benign — contents are deterministic)
+  @volatile private var md5SuffixCache: Array[Array[Byte]] = Array.empty
+  private def md5Suffixes(n: Int): Array[Array[Byte]] = {
+    var c = md5SuffixCache
+    if (c.length < n) {
+      c = Array.tabulate(n)(k =>
+        (":" + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md5SuffixCache = c
+    }
+    c
   }
 
   private val md5Local: ThreadLocal[java.security.MessageDigest] =
