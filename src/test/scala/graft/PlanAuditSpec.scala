@@ -432,6 +432,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("BM25 search: query terms broadcast against the index (index never reshuffles)") {
+    // both search forms: the tiny query-term side must arrive as a
+    // broadcast build, so the token-keyed index streams through a hash
+    // probe instead of shuffling per query batch
+    for (q <- Seq("bm25_search", "bm25_search_rational")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(plan.contains("BroadcastHashJoin"), s"$q:\n$plan")
+    }
+  }
+
+  test("portable LSH twins: band joins are equi-joins, never cartesian") {
+    for (q <- Seq("dedup_incremental_portable", "corpus_curation_portable")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+    }
+  }
+
   test("containment mirror is one explode over the reduced pair frame " +
     "(a select-union here re-plans the whole self-join twice)") {
     val plan = planOf(SparkEntry.queries("ngram_containment")(spark, dir))
