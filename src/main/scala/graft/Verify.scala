@@ -18,16 +18,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query wall cap (same containment as Bench's watchdog): one
+    // pathological query must cost the round ONE red correctness row,
+    // not the whole dump timing out with no artifact. Verify runs each
+    // query once on fewer cores than Bench, so the default cap is wider.
+    val watchdogSec =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_SEC", "300").toInt
+    require(watchdogSec >= 1,
+      s"SPARK_GRAFT_VERIFY_TIMEOUT_SEC must be >= 1, got $watchdogSec")
     var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try {
+      Bench.timedPass(spark, name, () => {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         val n = spark.read.parquet(s"$outDir/$name").count()
         println(s"[verify] $name: $n rows")
-      } catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }, watchdogSec) match {
+        case Right(_) => ()
+        case Left(reason) =>
+          failed ::= name
+          System.err.println(s"[verify] $name failed: $reason")
       }
     }
     // loud STDOUT summary: a swallowed per-query failure cost round 8 a
