@@ -836,6 +836,30 @@ object SparkEntry {
           (graft.functions.Kernels.agreeCountCol(col("a.gsig"), col("b.gsig"))
             .cast("double") / lit(64.0)).as("est_jaccard"))
     }),
+    "source_minhash_jaccard_portable" -> ((s, dir) => {
+      // md5 twin of the group-sketch query: per-(source, k) min over the
+      // portable per-doc signatures IS the MinHash union (min over a
+      // union of sets = min over per-set mins), so the whole sketch —
+      // signature elements, group union, agree-count/64 estimate —
+      // reproduces bit-for-bit in DuckDB. Same two-shuffle shape as the
+      // production TypedImperativeAggregate form (one agg, one tiny
+      // sources×sources join); the engine-hash form stays the bench
+      // default (4-byte kernel hashes vs 16-char md5 strings).
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minhashSignaturesPortable(docs, col("doc_id"),
+          col("text"), numHashes = 64, shingleSize = 3)
+        .filter(size(col("sig")) > 0)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      val grouped = sigs
+        .select(col("source"), posexplode(col("sig")).as(Seq("k", "h")))
+        .groupBy(col("source"), col("k")).agg(min(col("h")).as("h"))
+      grouped.as("a").join(grouped.as("b"),
+          col("a.k") === col("b.k") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg((sum(when(col("a.h") === col("b.h"), 1L).otherwise(0L))
+          .cast("double") / lit(64.0)).as("est_jaccard"))
+    }),
     "simhash_codes" -> ((s, dir) => { // FNV-1a based: rows-only check
       Dedup.simhash64(t(s, dir, "documents"), col("doc_id"), col("text"))
     }),
@@ -862,6 +886,18 @@ object SparkEntry {
     "winnow_fingerprints" -> ((s, dir) => { // FNV-1a based: rows-only check
       t(s, dir, "documents").select(col("doc_id"),
         Fingerprint.winnow(col("text"), k = 5, w = 4).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_fp"),
+          element_at(col("fp"), 1).as("min_fp"))
+    }),
+    "winnow_fingerprints_portable" -> ((s, dir) => {
+      // md5 twin of winnow_fingerprints at the same (k=5, w=4): the
+      // kernel's distinct-ascending output makes element 1 the minimum
+      // fingerprint, so both the count and the min are oracle-exact
+      // (the k=8/w=8 variant is already proven inside boilerplate_scores;
+      // this pins the standalone fingerprint query). FNV stays default.
+      import graft.functions.Kernels
+      t(s, dir, "documents").select(col("doc_id"),
+        Kernels.winnowMd5Fp(col("text"), k = 5, w = 4).as("fp"))
         .select(col("doc_id"), size(col("fp")).as("n_fp"),
           element_at(col("fp"), 1).as("min_fp"))
     }),
@@ -933,6 +969,34 @@ object SparkEntry {
         frac(element_at(r3, 1) - element_at(r3, 2), element_at(r3, 1))
           .as("dup_3gram_frac"),
         frac(element_at(r3, 3), element_at(r3, 1)).as("top_3gram_frac"))
+    }),
+    "gopher_quality_flags" -> ((s, dir) => {
+      // Gopher rule-filter gate (Rae et al. 2021 A1.1): measurements +
+      // one boolean per rule + the conjunction. Pure zero-shuffle
+      // projection of codegen kernels; every ratio is one IEEE division
+      // over integer counts, so the full rule evaluation hash-matches
+      // the DuckDB oracle.
+      import graft.operators.Quality
+      Quality.gopherQualityFlags(t(s, dir, "documents"), col("doc_id"),
+        col("text"))
+    }),
+    "gopher_drop_histogram" -> ((s, dir) => {
+      // corpus-level drop-reason audit over the same flags: how many
+      // docs each rule rejects (non-exclusive) — one map-side-partial
+      // aggregation, driver-sized output
+      import graft.operators.Quality
+      Quality.gopherDropHistogram(
+        Quality.gopherQualityFlags(t(s, dir, "documents"), col("doc_id"),
+          col("text")))
+    }),
+    "ngram_counts" -> ((s, dir) => {
+      // corpus trigram count table (min support 2, top 100): the n-gram
+      // LM / audit statistic generalizing vocabulary (n=1) and
+      // bpe_pair_counts (adjacent pairs). Zipf tail dies in the
+      // map-side partial agg; total order makes the cut deterministic.
+      import graft.operators.Ngrams
+      Ngrams.ngramCounts(t(s, dir, "documents"), col("doc_id"),
+        col("text"), n = 3, minCount = 2L, k = 100)
     }),
     "vocabulary" -> ((s, dir) => {
       // corpus vocabulary with document frequencies - the word-count shape
@@ -1369,6 +1433,24 @@ object SparkEntry {
       Sampling.stratifiedSample(t(s, dir, "documents"), col("doc_id"),
         col("lang"), Map("en" -> 0.5, "de" -> 1.0))
         .select(col("doc_id"), col("lang"))
+    }),
+    "corpus_shards" -> ((s, dir) => {
+      // training-shard assignment: md5 hash-range over 16 shards — a
+      // pure zero-shuffle projection (the writer's partitionBy spends
+      // the only exchange), engine-portable and stable under re-runs
+      import graft.operators.Sharding
+      Sharding.assignShards(t(s, dir, "documents"), col("doc_id"),
+          numShards = 16)
+        .select(col("doc_id"), col("shard_key"), col("shard"))
+    }),
+    "shard_stats" -> ((s, dir) => {
+      // per-shard balance audit: doc count, token mass, observed key
+      // range — one map-side-partial agg to a 16-row frame
+      import graft.operators.Sharding
+      Sharding.shardStats(
+        Sharding.assignShards(t(s, dir, "documents"), col("doc_id"),
+          numShards = 16),
+        TextFunctions.tokenCount(col("text")))
     }),
     // ----- LLM-pipeline: multimodal plumbing ----------------------------
     "media_meta" -> ((s, dir) => {
@@ -2002,6 +2084,123 @@ object SparkEntry {
         |        substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
         |   OR (lang = 'de' AND
         |        substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < 'g')""".stripMargin,
+    // hash-range sharding: shard = #boundaries (i*4096 as 4-hex) at or
+    // below the 4-hex md5 key — contiguous key slices, not hash-mod
+    "corpus_shards" ->
+      """WITH k AS (SELECT doc_id,
+        |  substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) AS shard_key
+        |  FROM documents)
+        |SELECT doc_id, shard_key,
+        |  (CASE WHEN shard_key >= '1000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= '2000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= '3000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= '4000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= '5000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= '6000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= '7000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= '8000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= '9000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= 'a000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= 'b000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= 'c000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= 'd000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= 'e000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= 'f000' THEN 1 ELSE 0 END) AS shard
+        |FROM k""".stripMargin,
+    "shard_stats" ->
+      """WITH k AS (SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+        |  substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) AS shard_key
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_toks, shard_key,
+        |  (CASE WHEN shard_key >= '1000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= '2000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= '3000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= '4000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= '5000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= '6000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= '7000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= '8000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= '9000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= 'a000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= 'b000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= 'c000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= 'd000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= 'e000' THEN 1 ELSE 0 END
+        | + CASE WHEN shard_key >= 'f000' THEN 1 ELSE 0 END) AS shard
+        |FROM k)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        |  MIN(shard_key) AS min_key, MAX(shard_key) AS max_key
+        |FROM s GROUP BY shard""".stripMargin,
+    // Gopher A1.1 rules: every measurement is integer counts + one IEEE
+    // division, so flags and ratios are engine-exact; '...' occurrences
+    // via the non-overlapping replace-delta // 3 (delta is always a
+    // multiple of 3, so integer division is exact on both sides)
+    "gopher_quality_flags" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_words,
+        |    CAST(length(text) - (len(toks) - 1) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+        |    CAST((length(text) - length(replace(text, '#', '')))
+        |       + (length(text) - length(replace(text, '...', ''))) // 3
+        |       + (length(text) - length(replace(text, '…', ''))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+        |    CAST(len(list_filter(toks,
+        |      x -> x IN ('the','be','to','of','and','that','have','with'))) AS INT) AS n_stop
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+        |  symbol_ratio, alpha_frac, n_stop,
+        |  n_words BETWEEN 50 AND 100000 AS flag_words,
+        |  mean_word_len BETWEEN 3.0 AND 10.0 AS flag_word_len,
+        |  symbol_ratio <= 0.1 AS flag_symbols,
+        |  alpha_frac >= 0.8 AS flag_alpha,
+        |  n_stop >= 2 AS flag_stopwords,
+        |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2 AS keep
+        |FROM f""".stripMargin,
+    "gopher_drop_histogram" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_words,
+        |    CAST(length(text) - (len(toks) - 1) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+        |    CAST((length(text) - length(replace(text, '#', '')))
+        |       + (length(text) - length(replace(text, '...', ''))) // 3
+        |       + (length(text) - length(replace(text, '…', ''))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+        |    len(list_filter(toks,
+        |      x -> x IN ('the','be','to','of','and','that','have','with'))) AS n_stop
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)),
+        |g AS (SELECT
+        |    n_words BETWEEN 50 AND 100000 AS flag_words,
+        |    mean_word_len BETWEEN 3.0 AND 10.0 AS flag_word_len,
+        |    symbol_ratio <= 0.1 AS flag_symbols,
+        |    alpha_frac >= 0.8 AS flag_alpha,
+        |    n_stop >= 2 AS flag_stopwords
+        |  FROM f)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN flag_words AND flag_word_len AND flag_symbols
+        |    AND flag_alpha AND flag_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(SUM(CASE WHEN NOT flag_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+        |  CAST(SUM(CASE WHEN NOT flag_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+        |  CAST(SUM(CASE WHEN NOT flag_symbols THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbols,
+        |  CAST(SUM(CASE WHEN NOT flag_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+        |  CAST(SUM(CASE WHEN NOT flag_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords
+        |FROM g""".stripMargin,
+    "ngram_counts" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |  unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS gram
+        |  FROM toks WHERE len(t) >= 3)
+        |SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM g GROUP BY gram HAVING COUNT(*) >= 2
+        |ORDER BY cnt DESC, gram LIMIT 100""".stripMargin,
     "dedup_exact" ->
       """SELECT text AS dedup_key, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
         |FROM documents GROUP BY text""".stripMargin,
@@ -2351,6 +2550,39 @@ object SparkEntry {
         |       ELSE CAST(a.n_shared AS DOUBLE) / CAST(a.n_fp AS DOUBLE) END
         |    AS boilerplate_frac
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+    // k=5/w=4 winnowing twin: the kernel emits DISTINCT ASCENDING
+    // fingerprints, so n_fp = count distinct and min_fp = MIN — the
+    // same comprehension as boilerplate_scores' fp stage at (8,8)
+    "winnow_fingerprints_portable" ->
+      """WITH g AS (SELECT doc_id,
+        |  [substr(md5(substr(text, i, 5)), 1, 16)
+        |   for i in range(1, greatest(len(text) - 3, 1))] AS h
+        |  FROM documents),
+        |fp AS (SELECT DISTINCT doc_id, fp FROM (
+        |  SELECT doc_id, unnest(
+        |    [list_min(h[i:i+3]) for i in range(1, greatest(len(h) - 2, 2))]) AS fp
+        |  FROM g WHERE len(h) >= 1)),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_fp,
+        |  MIN(fp) AS min_fp FROM fp GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_fp, 0) AS n_fp, a.min_fp AS min_fp
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+    // group MinHash union: min over a union of shingle sets = min over
+    // per-set mins, so DISTINCT (source, shingle) + per-(source, k) MIN
+    // reproduces the engine's per-doc-signature fold exactly
+    "source_minhash_jaccard_portable" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT source, sh FROM (
+        |  SELECT source,
+        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM toks WHERE len(t) >= 3)),
+        |gsig AS (SELECT source, k,
+        |  MIN(substr(md5(sh || ':' || CAST(k AS VARCHAR)), 1, 16)) AS h
+        |  FROM sh CROSS JOIN range(64) r(k) GROUP BY source, k)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS DOUBLE) / 64.0
+        |    AS est_jaccard
+        |FROM gsig a JOIN gsig b ON a.k = b.k AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     "novelty_scores" ->
       // exact-text twin of the hashed-shingle plan (ngram_jaccard's
       // 3-gram comprehension); DISTINCT per doc mirrors array_distinct

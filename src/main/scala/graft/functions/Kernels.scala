@@ -603,6 +603,30 @@ object Kernels {
     count
   }
 
+  /** Count single-space-delimited tokens containing at least one ASCII
+    * letter — the Gopher "fraction of words with an alphabetic character"
+    * numerator (Rae et al. 2021, A1.1), over the same token universe as
+    * [[tokenSetCount]] (empties kept). One pass, no allocation.
+    */
+  def alphaTokenCount(text: UTF8String): Int = {
+    val s = text.toString
+    var count = 0
+    var hasAlpha = false
+    val n = s.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (hasAlpha) count += 1
+        hasAlpha = false
+      } else {
+        val c = s.charAt(i)
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) hasAlpha = true
+      }
+      i += 1
+    }
+    count
+  }
+
   /** Count maximal runs of [a-z] — exactly what
     * regexp_extract_all(c, '[a-z]+') produces, without the regex engine.
     */
@@ -1107,6 +1131,19 @@ object Kernels {
       copy(child = newChild)
   }
 
+  case class AlphaTokenCount(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child, _ == StringType, "string")
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "alpha_token_count"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.alphaTokenCount(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.alphaTokenCount($c)")
+    override protected def withNewChildInternal(newChild: Expression): AlphaTokenCount =
+      copy(child = newChild)
+  }
+
   case class AsciiRunCount(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(prettyName, child, _ == StringType, "string")
@@ -1125,6 +1162,9 @@ object Kernels {
 
   def asciiRunCountCol(text: Column): Column =
     ColumnBridge.column(AsciiRunCount(ColumnBridge.expression(text)))
+
+  def alphaTokenCountCol(text: Column): Column =
+    ColumnBridge.column(AlphaTokenCount(ColumnBridge.expression(text)))
 
   def deflateRatioCol(text: Column): Column =
     ColumnBridge.column(DeflateRatio(ColumnBridge.expression(text)))

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Kernels, TextFunctions}
+
+/** Gopher-style document-quality rule filters (Rae et al. 2021,
+  * "Scaling Language Models: Methods, Analysis & Insights from Training
+  * Gopher", Appendix A1.1) — the standard pre-training corpus gate:
+  * hard per-document thresholds on word count, mean word length,
+  * symbol-to-word ratio, alphabetic-word fraction and stopword
+  * presence. Every rule is emitted as its own boolean flag plus the
+  * underlying measurement, so a pipeline can audit WHY a document was
+  * dropped (the flags are the drop-reason histogram) and re-cut
+  * thresholds without recomputing features.
+  *
+  * Scale shape: pure projection — ZERO shuffle, every feature is either
+  * a codegen'd one-pass kernel ([[Kernels.tokenSetCount]],
+  * [[Kernels.alphaTokenCount]]) or a builtin length/replace
+  * composition, so the gate rides the parquet scan and pushes column
+  * pruning down (only the text + id columns are read). All counts are
+  * integers and every ratio is a single IEEE division, so the flags
+  * reproduce bit-for-bit in any ANSI engine — the operator is
+  * oracle-checked end-to-end, not spot-tested.
+  *
+  * The reference's line-based rules (bullet-line and ellipsis-line
+  * fractions) require a line structure the single-line test corpus
+  * does not have; the symbol-to-word rule keeps their ellipsis term as
+  * the '…'/'...' occurrence count, which is the same signal without
+  * the line split.
+  */
+object Quality {
+
+  /** Gopher A1.1 stopword list (the "contains at least `minStopwords`
+    * of ..." rule uses these exact eight function words).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document Gopher rule evaluation: measurements, one boolean per
+    * rule, and the conjunction `keep`.
+    *
+    * Rules (defaults = the paper's):
+    *  - `flag_words`: word count in [minWords, maxWords]
+    *  - `flag_word_len`: mean word length in [minMeanWordLen, maxMeanWordLen]
+    *  - `flag_symbols`: (hash + ellipsis occurrences) / words <= maxSymbolRatio
+    *  - `flag_alpha`: fraction of words containing an ASCII letter >= minAlphaFrac
+    *  - `flag_stopwords`: >= minStopwords hits from [[GopherStopwords]]
+    */
+  def gopherQualityFlags(docs: DataFrame, id: Column, text: Column,
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minMeanWordLen: Double = 3.0,
+                         maxMeanWordLen: Double = 10.0,
+                         maxSymbolRatio: Double = 0.1,
+                         minAlphaFrac: Double = 0.8,
+                         minStopwords: Int = 2): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1: $minWords")
+    require(maxWords >= minWords, s"maxWords < minWords: $maxWords")
+    val nWords = TextFunctions.tokenCount(text)
+    // occurrence counts via length deltas — builtin `replace` stays in
+    // codegen and the integer arithmetic is engine-exact
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    // the '...' replace-delta is always a multiple of 3, so the double
+    // division is exact and the int cast lossless (Spark `/` on ints is
+    // IEEE division; the DuckDB twin's `// 3` lands on the same value)
+    val nEllipsis =
+      ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3))
+        .cast("int") +
+        (length(text) - length(regexp_replace(text, "…", "")))
+    val nAlpha = Kernels.alphaTokenCountCol(text)
+    val nStop = Kernels.tokenSetCountCol(text, GopherStopwords)
+    val meanLen = TextFunctions.avgTokenLength(text)
+    val symbolRatio = (nHash + nEllipsis).cast("double") / nWords.cast("double")
+    val alphaFrac = nAlpha.cast("double") / nWords.cast("double")
+    docs.select(
+      id.as("doc_id"),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      alphaFrac.as("alpha_frac"),
+      nStop.as("n_stop"),
+      nWords.between(minWords, maxWords).as("flag_words"),
+      meanLen.between(minMeanWordLen, maxMeanWordLen).as("flag_word_len"),
+      (symbolRatio <= maxSymbolRatio).as("flag_symbols"),
+      (alphaFrac >= minAlphaFrac).as("flag_alpha"),
+      (nStop >= minStopwords).as("flag_stopwords"))
+      .withColumn("keep",
+        col("flag_words") && col("flag_word_len") && col("flag_symbols") &&
+          col("flag_alpha") && col("flag_stopwords"))
+  }
+
+  /** Drop-reason histogram over the flags — the corpus-level audit a
+    * curation run reports: how many documents each rule rejects
+    * (non-exclusive: a doc failing two rules counts under both) plus
+    * the total and surviving counts. One map-side-combinable
+    * aggregation over the zero-shuffle flag projection.
+    */
+  def gopherDropHistogram(flags: DataFrame): DataFrame = {
+    def failed(c: String) = sum(when(!col(c), 1L).otherwise(0L))
+    flags.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+      failed("flag_words").as("fail_words"),
+      failed("flag_word_len").as("fail_word_len"),
+      failed("flag_symbols").as("fail_symbols"),
+      failed("flag_alpha").as("fail_alpha"),
+      failed("flag_stopwords").as("fail_stopwords"))
+  }
+}

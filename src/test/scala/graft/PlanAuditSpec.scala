@@ -458,4 +458,42 @@ class PlanAuditSpec extends SparkTestBase {
       .r.findAllIn(plan).length
     assert(pairAggs == 1, s"pair aggregate planned $pairAggs times:\n$plan")
   }
+
+  // Tables.load repartitions the single-file documents scan for local
+  // parallelism (a no-op on a real many-split lake), so query-level pins
+  // ignore that RoundRobin exchange and count only DATA exchanges —
+  // hash/range repartitions the operator itself would cost at scale.
+  private def dataExchanges(plan: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan).length +
+      "Exchange rangepartitioning".r.findAllIn(plan).length +
+      "Exchange SinglePartition".r.findAllIn(plan).length
+
+  test("gopher flags and shard assignment are zero-exchange projections") {
+    for (q <- Seq("gopher_quality_flags", "corpus_shards")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(dataExchanges(plan) == 0, s"$q:\n$plan")
+      assert(!plan.contains("Window"), s"$q:\n$plan")
+    }
+    // the rule kernels are codegen'd, not interpreted HOFs
+    val gplan = planOf(SparkEntry.queries("gopher_quality_flags")(spark, dir))
+    assert(gplan.contains("alpha_token_count"), gplan)
+    assert(gplan.contains("token_set_count"), gplan)
+  }
+
+  test("shard_stats and gopher histogram aggregate map-side " +
+    "(partial agg before the single data exchange)") {
+    for (q <- Seq("shard_stats", "gopher_drop_histogram")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(dataExchanges(plan) <= 1, s"$q:\n$plan")
+      assert(plan.contains("partial"), s"$q:\n$plan")
+    }
+  }
+
+  test("ngram_counts: Zipf tail dies in the partial aggregate, " +
+    "top-k cut is a sorted limit, not a global sort materialization") {
+    val plan = planOf(SparkEntry.queries("ngram_counts")(spark, dir))
+    assert(plan.contains("partial"), plan)           // map-side combine
+    assert(plan.contains("TakeOrderedAndProject"), plan) // bounded top-k
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -103,6 +103,28 @@ class KernelPropertiesSpec extends SparkTestBase {
     assert(s == 2)
   }
 
+  test("alphaTokenCount matches the HOF filter over split tokens") {
+    import graft.TestSpark.spark.implicits._
+    val cases = Seq(
+      "the quick 123 fox",      // 3 alpha of 4
+      "", " ", "  ",            // empty tokens only
+      "123 456 #!? ...",        // zero alpha
+      "a", "A1", "1a", "ж д",   // single/mixed/non-ASCII letters
+      "x  y",                   // empty token between doubles
+      words(7L, 30).mkString(" "))
+    cases.foreach { s =>
+      val r = Seq(s).toDF("t").select(
+        Kernels.alphaTokenCountCol(col("t")).as("kernel"),
+        size(filter(split(col("t"), " "),
+          t => t.rlike("[a-zA-Z]"))).as("hof")).head()
+      assert(r.getInt(0) == r.getInt(1), s"input '$s'")
+    }
+    // cyrillic has no ASCII letters — both forms agree on 0
+    val cy = Seq("ж д").toDF("t")
+      .select(Kernels.alphaTokenCountCol(col("t"))).head().getInt(0)
+    assert(cy == 0)
+  }
+
   test("centroid kernels stay total on degenerate vectors (zero/null/NaN)") {
     import graft.TestSpark.spark.implicits._
     val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(0.0, 0.0))
