@@ -75,6 +75,10 @@ object GraftExtensions {
       "graft_agree_count(a, b) - positions where two bigint arrays agree (MinHash estimate numerator)"),
       (args: Seq[Expression]) => { arity("graft_agree_count", args, 2)
         Kernels.AgreeCount(args.head, args(1)) })),
+    "graft_alpha_token_count" -> ((info("graft_alpha_token_count",
+      "graft_alpha_token_count(str) - tokens containing an ASCII letter (Gopher alpha-word rule numerator)"),
+      (args: Seq[Expression]) => { arity("graft_alpha_token_count", args, 1)
+        Kernels.AlphaTokenCount(args.head) })),
     "graft_srp_code" -> ((info("graft_srp_code",
       "graft_srp_code(vec, dim, bits, seed) - signed-random-projection bucket"),
       (args: Seq[Expression]) => { arity("graft_srp_code", args, 4)

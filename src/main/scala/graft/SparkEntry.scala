@@ -845,7 +845,12 @@ object SparkEntry {
       // production TypedImperativeAggregate form (one agg, one tiny
       // sources×sources join); the engine-hash form stays the bench
       // default (4-byte kernel hashes vs 16-char md5 strings).
-      val docs = t(s, dir, "documents")
+      // Bounded anchor (the vec_id<1000 convention): the md5 kernel is
+      // ~10x the engine hash per (shingle, k), so the twin runs on the
+      // deterministic doc_id%5 slice — every source keeps 1/5 of its
+      // docs, the construction is exercised end-to-end, and the oracle
+      // applies the same cut.
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
       val sigs = Dedup.minhashSignaturesPortable(docs, col("doc_id"),
           col("text"), numHashes = 64, shingleSize = 3)
         .filter(size(col("sig")) > 0)
@@ -988,6 +993,15 @@ object SparkEntry {
       Quality.gopherDropHistogram(
         Quality.gopherQualityFlags(t(s, dir, "documents"), col("doc_id"),
           col("text")))
+    }),
+    "gopher_repetition_flags" -> ((s, dir) => {
+      // the repetition half of the Gopher gate: top-n-gram coverage
+      // (n=2..4) and duplicate-n-gram fractions (n=5..10) against the
+      // paper's thresholds — nine zero-shuffle kernel passes; the
+      // oracle recomputes each via explode+groupBy
+      import graft.operators.Quality
+      Quality.repetitionFlags(t(s, dir, "documents"), col("doc_id"),
+        col("text"))
     }),
     "ngram_counts" -> ((s, dir) => {
       // corpus trigram count table (min support 2, top 100): the n-gram
@@ -1434,6 +1448,13 @@ object SparkEntry {
         col("lang"), Map("en" -> 0.5, "de" -> 1.0))
         .select(col("doc_id"), col("lang"))
     }),
+    "split_leakage" -> ((s, dir) => {
+      // eval-contamination audit of the 90/10 split: exact-content keys
+      // present in BOTH splits, via one content-keyed hash agg (never a
+      // train x holdout self-join)
+      Sampling.splitLeakage(t(s, dir, "documents"), col("doc_id"),
+        col("text"), trainFrac = 0.9)
+    }),
     "corpus_shards" -> ((s, dir) => {
       // training-shard assignment: md5 hash-range over 16 shards — a
       // pure zero-shuffle projection (the writer's partitionBy spends
@@ -1637,7 +1658,55 @@ object SparkEntry {
     })
   )
 
+  /** Generated oracle for gopher_repetition_flags: one explode+groupBy
+    * CTE per n (the shuffle-heavy formulation of the zero-shuffle
+    * kernel); totals derive from len(t) - n + 1 so gram-less docs fall
+    * out as fraction 0 / rule passed, matching the kernel's [0,0,0].
+    * Thresholds are [[graft.operators.Quality]]'s paper defaults —
+    * generated from the SAME constants, so the twin can't drift.
+    */
+  private def gopherRepetitionSql: String = {
+    import graft.operators.Quality
+    val tops = Quality.GopherTopNgramThresholds
+    val dups = Quality.GopherDupNgramThresholds
+    val ctes = (tops ++ dups).map(_._1).map { n =>
+      s"""r$n AS (SELECT doc_id, COUNT(*) AS dist, MAX(c) AS maxc FROM (
+         |  SELECT doc_id, g, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest([array_to_string(t[i:i+${n - 1}], ' ')
+         |      for i in range(1, len(t) - ${n - 2})]) AS g
+         |    FROM toks WHERE len(t) >= $n) GROUP BY doc_id, g) GROUP BY doc_id)""".stripMargin
+    }
+    def total(n: Int) = s"(len(t) - ${n - 1})"
+    val fracs =
+      tops.map { case (n, _) =>
+        s"""CASE WHEN len(t) >= $n THEN CAST(r$n.maxc AS DOUBLE)
+           |  / CAST(${total(n)} AS DOUBLE) ELSE 0.0 END AS top_${n}gram_frac""".stripMargin
+      } ++ dups.map { case (n, _) =>
+        s"""CASE WHEN len(t) >= $n THEN CAST(${total(n)} - r$n.dist AS DOUBLE)
+           |  / CAST(${total(n)} AS DOUBLE) ELSE 0.0 END AS dup_${n}gram_frac""".stripMargin
+      }
+    val flags =
+      tops.map { case (n, thr) => s"top_${n}gram_frac <= $thr AS flag_top_$n" } ++
+        dups.map { case (n, thr) => s"dup_${n}gram_frac <= $thr AS flag_dup_$n" }
+    val keep =
+      (tops.map { case (n, thr) => s"top_${n}gram_frac <= $thr" } ++
+        dups.map { case (n, thr) => s"dup_${n}gram_frac <= $thr" })
+        .mkString(" AND ")
+    val joins = (tops ++ dups).map(_._1)
+      .map(n => s"LEFT JOIN r$n USING (doc_id)").mkString(" ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |${ctes.mkString(",\n")},
+       |f AS (SELECT doc_id, ${fracs.mkString(",\n  ")}
+       |  FROM toks $joins)
+       |SELECT doc_id, ${(tops.map(t => s"top_${t._1}gram_frac") ++
+        dups.map(d => s"dup_${d._1}gram_frac")).mkString(", ")},
+       |  ${flags.mkString(",\n  ")},
+       |  $keep AS keep
+       |FROM f""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "gopher_repetition_flags" -> gopherRepetitionSql,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
@@ -2084,6 +2153,19 @@ object SparkEntry {
         |        substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
         |   OR (lang = 'de' AND
         |        substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < 'g')""".stripMargin,
+    "split_leakage" ->
+      """WITH sp AS (SELECT doc_id, text,
+        |  CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |         < 'e666' THEN 'train' ELSE 'holdout' END AS split
+        |  FROM documents)
+        |SELECT text AS leak_key,
+        |  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(SUM(CASE WHEN split = 'holdout' THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout,
+        |  MIN(CASE WHEN split = 'train' THEN doc_id END) AS train_id,
+        |  MIN(CASE WHEN split = 'holdout' THEN doc_id END) AS holdout_id
+        |FROM sp GROUP BY text
+        |HAVING SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) > 0
+        |   AND SUM(CASE WHEN split = 'holdout' THEN 1 ELSE 0 END) > 0""".stripMargin,
     // hash-range sharding: shard = #boundaries (i*4096 as 4-hex) at or
     // below the 4-hex md5 key — contiguous key slices, not hash-mod
     "corpus_shards" ->
@@ -2570,7 +2652,8 @@ object SparkEntry {
     // per-set mins, so DISTINCT (source, shingle) + per-(source, k) MIN
     // reproduces the engine's per-doc-signature fold exactly
     "source_minhash_jaccard_portable" ->
-      """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 5 = 0),
         |sh AS (SELECT DISTINCT source, sh FROM (
         |  SELECT source,
         |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh

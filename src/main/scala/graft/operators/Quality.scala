@@ -90,6 +90,55 @@ object Quality {
           col("flag_alpha") && col("flag_stopwords"))
   }
 
+  /** Gopher A1.1 repetition-rule thresholds: fraction covered by the
+    * MOST FREQUENT n-gram for small n, fraction of DUPLICATED n-grams
+    * for larger n (the paper's remove-if-above cutoffs).
+    */
+  val GopherTopNgramThresholds: Seq[(Int, Double)] =
+    Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val GopherDupNgramThresholds: Seq[(Int, Double)] =
+    Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** The repetition half of the Gopher gate: per-document top-n-gram
+    * coverage (n = 2..4) and duplicate-n-gram fractions (n = 5..10)
+    * against the paper's thresholds, one flag per rule plus the
+    * conjunction. Fractions are token-count based (the
+    * [[graft.functions.Kernels.repetition]] signal — the paper measures
+    * duplicated CHARACTERS; the token proxy needs no second pass and
+    * flags the same degenerate documents); thresholds are the paper's.
+    *
+    * Scale shape: one codegen kernel pass per n over the per-row token
+    * array — ZERO shuffle, like [[gopherQualityFlags]]; the oracle's
+    * explode+groupBy formulation shuffles every n-gram of the corpus
+    * per n to compute the same numbers. Documents with fewer than n
+    * tokens have no n-grams: fraction 0, rule passes.
+    */
+  def repetitionFlags(docs: DataFrame, id: Column, text: Column,
+                      topThresholds: Seq[(Int, Double)] = GopherTopNgramThresholds,
+                      dupThresholds: Seq[(Int, Double)] = GopherDupNgramThresholds)
+      : DataFrame = {
+    require(topThresholds.nonEmpty || dupThresholds.nonEmpty,
+      "at least one repetition rule is required")
+    val toks = TextFunctions.tokens(text)
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    val top = topThresholds.map { case (n, thr) =>
+      val r = Kernels.repetitionCol(toks, n)
+      val f = frac(element_at(r, 3), element_at(r, 1))
+      (f.as(s"top_${n}gram_frac"), (f <= thr).as(s"flag_top_$n"),
+        s"flag_top_$n")
+    }
+    val dup = dupThresholds.map { case (n, thr) =>
+      val r = Kernels.repetitionCol(toks, n)
+      val f = frac(element_at(r, 1) - element_at(r, 2), element_at(r, 1))
+      (f.as(s"dup_${n}gram_frac"), (f <= thr).as(s"flag_dup_$n"),
+        s"flag_dup_$n")
+    }
+    val all = top ++ dup
+    docs.select(id.as("doc_id") +: all.flatMap(c => Seq(c._1, c._2)): _*)
+      .withColumn("keep", all.map(c => col(c._3)).reduce(_ && _))
+  }
+
   /** Drop-reason histogram over the flags — the corpus-level audit a
     * curation run reports: how many documents each rule rejects
     * (non-exclusive: a doc failing two rules counts under both) plus

@@ -49,6 +49,34 @@ object Sampling {
       when(bucketKey(id, salt) < lit(thresholdHex(trainFrac)), lit("train"))
         .otherwise(lit("holdout")))
 
+  /** Train/holdout leakage audit: exact-content keys that appear on BOTH
+    * sides of a [[hashSplit]] — the eval-contamination check every split
+    * needs before the holdout is trusted (identical documents landing in
+    * both splits silently inflate eval scores). One row per leaked key:
+    * per-split counts plus the min doc id on each side as the repro
+    * handle.
+    *
+    * Scale shape: ONE hash aggregation on the content key with map-side
+    * partial pivots — never a train×holdout self-join (equal-content
+    * groups are tiny, but a join would shuffle both sides keyed by full
+    * text; here only the aggregated groups cross the exchange, and
+    * unique texts — the overwhelming majority — collapse to one row
+    * before the filter drops them). Pass a digest column as `content`
+    * for wide documents so 8 bytes per row cross the wire, not the text
+    * (the [[graft.operators.Snapshot]] convention).
+    */
+  def splitLeakage(df: DataFrame, id: Column, content: Column,
+                   trainFrac: Double, salt: String = "graft"): DataFrame = {
+    val sp = hashSplit(df, id, trainFrac, salt)
+    sp.groupBy(content.as("leak_key"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "holdout", 1L).otherwise(0L)).as("n_holdout"),
+        min(when(col("split") === "train", id)).as("train_id"),
+        min(when(col("split") === "holdout", id)).as("holdout_id"))
+      .filter(col("n_train") > 0 && col("n_holdout") > 0)
+  }
+
   /** Per-stratum deterministic sample: keeps ~`fractions(stratum)` of each
     * stratum's rows (absent strata keep nothing), selected by the same
     * id-hash bucketing as [[hashSplit]] — so the sample is a stable subset

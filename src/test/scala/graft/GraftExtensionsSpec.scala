@@ -14,12 +14,14 @@ class GraftExtensionsSpec extends SparkTestBase {
         |  size(graft_minhash(array('x y z', 'y z w'), 16, 42)) AS msize,
         |  size(graft_winnow('abcdefgh', 5, 2)) AS wsize,
         |  graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
-        |  graft_srp_code(array(1.0D, 2.0D), 2, 4, 42) AS srp
+        |  graft_srp_code(array(1.0D, 2.0D), 2, 4, 42) AS srp,
+        |  graft_alpha_token_count('the 123 a1') AS alpha
         |""".stripMargin).head()
     assert(r.getAs[Long]("h") == Fnv64.hash("hello"))
     assert(r.getAs[Int]("msize") == 16)
     assert(r.getAs[Int]("wsize") >= 1)
     assert(r.getAs[Double]("cos") == 1.0)
+    assert(r.getAs[Int]("alpha") == 2)
   }
 
   test("kernel cosine is bit-identical to the declarative HOF form") {

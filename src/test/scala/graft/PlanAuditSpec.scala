@@ -489,6 +489,20 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("gopher repetition flags are a zero-exchange kernel projection") {
+    val plan = planOf(SparkEntry.queries("gopher_repetition_flags")(spark, dir))
+    assert(dataExchanges(plan) == 0, plan)
+    assert(plan.contains("ngram_repetition"), plan)
+  }
+
+  test("split_leakage is one content-key aggregation, never a " +
+    "cross-split self-join") {
+    val plan = planOf(SparkEntry.queries("split_leakage")(spark, dir))
+    assert(!plan.toLowerCase.contains("join"), plan)
+    assert(dataExchanges(plan) == 1, plan)
+    assert(plan.contains("partial"), plan)
+  }
+
   test("ngram_counts: Zipf tail dies in the partial aggregate, " +
     "top-k cut is a sorted limit, not a global sort materialization") {
     val plan = planOf(SparkEntry.queries("ngram_counts")(spark, dir))

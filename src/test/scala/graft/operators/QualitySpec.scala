@@ -57,6 +57,39 @@ class QualitySpec extends SparkTestBase {
     assert(r == 2.0 / 10.0)
   }
 
+  test("repetitionFlags: degenerate repetition trips the paper thresholds") {
+    val looped = Seq.fill(30)("spam ham").mkString(" ") // 'spam ham' x30
+    val clean = (1 to 60).map(i => s"w$i").mkString(" ") // all distinct
+    val got = Quality.repetitionFlags(
+        Seq((1L, looped), (2L, clean)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .select("doc_id", "top_2gram_frac", "dup_5gram_frac", "keep")
+      .as[(Long, Double, Double, Boolean)].collect().sortBy(_._1)
+    // looped: 59 bigrams, 'spam ham' occurs 30x -> top frac 30/59 > 0.2;
+    // 56 5-grams but only 2 distinct -> dup frac 54/56 > 0.15
+    assert(got(0)._2 == 30.0 / 59.0)
+    assert(got(0)._3 == 54.0 / 56.0)
+    assert(!got(0)._4)
+    // clean: every n-gram unique -> top fracs 1/total, dup fracs 0
+    assert(got(1)._2 == 1.0 / 59.0)
+    assert(got(1)._3 == 0.0)
+    assert(got(1)._4)
+  }
+
+  test("repetitionFlags: docs shorter than n pass that rule with frac 0") {
+    val got = Quality.repetitionFlags(
+        Seq((1L, "only three words")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .select("top_4gram_frac", "dup_5gram_frac", "flag_top_4",
+        "flag_dup_10", "top_2gram_frac", "keep")
+      .as[(Double, Double, Boolean, Boolean, Double, Boolean)].head()
+    // n > 3 rules have no grams: frac 0, rule passes
+    assert(got._1 == 0.0 && got._2 == 0.0 && got._3 && got._4)
+    // but the SMALL-n rules do fire on a 3-token doc: the single top
+    // bigram covers 1/2 of 2 bigrams (> 0.2), so keep is false
+    assert(got._5 == 0.5 && !got._6)
+  }
+
   test("drop histogram counts non-exclusive failures and survivors") {
     val got = Quality.gopherDropHistogram(flags(
         (1L, fiftyGood),

@@ -39,6 +39,35 @@ class SamplingSpec extends SparkTestBase {
     assert(overlap > 0.35 && overlap < 0.65, s"overlap=$overlap") // ~independent
   }
 
+  test("splitLeakage: flags exactly the content keys straddling the split") {
+    import graft.TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 60 docs, 20 distinct texts x3 copies: with a 50/50 split most
+    // triples straddle; expectation derived from hashSplit itself
+    val d = (0L until 60L).map(i => (i, s"text-${i % 20}")).toDF("doc_id", "text")
+    val sp = Sampling.hashSplit(d, col("doc_id"), 0.5)
+      .select("doc_id", "text", "split").as[(Long, String, String)].collect()
+    val byText = sp.groupBy(_._2)
+    val expect = byText.collect {
+      case (text, rows) if rows.exists(_._3 == "train") &&
+          rows.exists(_._3 == "holdout") =>
+        text -> (rows.filter(_._3 == "train").map(_._1).min,
+          rows.filter(_._3 == "holdout").map(_._1).min)
+    }
+    val got = Sampling.splitLeakage(d, col("doc_id"), col("text"), 0.5)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.length == expect.size && expect.nonEmpty)
+    got.foreach { case (key, nTrain, nHoldout, trainId, holdoutId) =>
+      val (eTrain, eHoldout) = expect(key)
+      assert(nTrain >= 1 && nHoldout >= 1 && nTrain + nHoldout == 3)
+      assert(trainId == eTrain && holdoutId == eHoldout, key)
+    }
+    // a corpus of unique texts leaks nothing
+    val uniq = (0L until 50L).map(i => (i, s"u-$i")).toDF("doc_id", "text")
+    assert(Sampling.splitLeakage(uniq, col("doc_id"), col("text"), 0.5)
+      .count() == 0L)
+  }
+
   test("stratifiedSample: per-stratum fractions, absent strata dropped, stable subset") {
     val s = Sampling.stratifiedSample(docs, col("id"), col("lang"),
       Map("en" -> 0.5, "fr" -> 1.0))
