@@ -467,6 +467,43 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Dense linear projection: out_c = Σ_i (v_i − mean_i) · comps_c_i —
+    * the per-row kernel under PCA/whitening transforms. One compiled
+    * pass of k × dim multiply-adds per row, no allocation beyond the
+    * k-length output; centering is fused into the loop so the centered
+    * vector is never materialized. Null elements are read as 0.0 (the
+    * [[cosineDense]] convention); a wrong-length vector fails loudly —
+    * a silently truncated projection would skew every downstream
+    * distance.
+    */
+  def projectDense(v: ArrayData, mean: Array[Double],
+                   comps: Array[Array[Double]], floats: Boolean): ArrayData = {
+    val dim = mean.length
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"project_dense(dim=$dim) got a vector of length ${v.numElements()}")
+    val k = comps.length
+    val centered = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      val x = if (v.isNullAt(i)) 0.0
+        else if (floats) v.getFloat(i).toDouble else v.getDouble(i)
+      centered(i) = x - mean(i)
+      i += 1
+    }
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val comp = comps(c)
+      var acc = 0.0
+      i = 0
+      while (i < dim) { acc += centered(i) * comp(i); i += 1 }
+      out(c) = acc
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Product-quantization encode: L2-normalize `v`, then for each of the
     * `cb.length` subspaces pick the argmin squared-L2 codeword (ties to
     * the lower code — deterministic on any partitioning). Normalizing
@@ -580,6 +617,51 @@ object Kernels {
       }
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** Apply an ORDERED merge table in one kernel call — the BPE ENCODE
+    * path. Each merge is one greedy left-to-right non-overlapping pass
+    * (identical semantics to iterating [[mergeTokens]]), but the loop
+    * runs over a reused scratch array inside a single compiled
+    * expression: a 30k-merge vocabulary is 30k in-kernel passes, NOT
+    * 30k nested plan nodes — the plan stays one leaf + one projection
+    * regardless of vocabulary size, which is what makes encoding a
+    * 100-TB corpus with a production merge table plannable at all.
+    * Merges whose pair never occurs cost one scan of the (shrinking)
+    * token array each.
+    */
+  def mergeTokensAll(tokens: ArrayData, a: Array[UTF8String],
+                     b: Array[UTF8String], sep: UTF8String): ArrayData = {
+    var n = tokens.numElements()
+    val cur = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      cur(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      i += 1
+    }
+    var m = 0
+    while (m < a.length) {
+      val am = a(m); val bm = b(m)
+      var r = 0; var w = 0
+      while (r < n) {
+        val c = cur(r)
+        if (c != null && r + 1 < n && cur(r + 1) != null &&
+            c.equals(am) && cur(r + 1).equals(bm)) {
+          cur(w) = UTF8String.concat(c, sep, cur(r + 1))
+          r += 2
+        } else {
+          cur(w) = c
+          r += 1
+        }
+        w += 1
+      }
+      n = w
+      m += 1
+    }
+    val out = new Array[AnyRef](n)
+    i = 0
+    while (i < n) { out(i) = cur(i); i += 1 }
+    new GenericArrayData(out)
   }
 
   /** Count single-space-delimited tokens of `text` that are members of
@@ -926,6 +1008,31 @@ object Kernels {
       copy(child = newChild)
   }
 
+  // Mean/components as Seqs for the same canonicalization reason as
+  // NearestCentroidIdx's centroids; primitive arrays materialized once.
+  case class ProjectDenseExpr(child: Expression, mean: Seq[Double],
+                              comps: Seq[Seq[Double]])
+      extends UnaryExpression {
+    private lazy val floats = isFloatArray(child)
+    @transient private lazy val mArr: Array[Double] = mean.toArray
+    @transient private lazy val cArr: Array[Array[Double]] =
+      comps.map(_.toArray).toArray
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child, isNumericVector, "array<float|double>")
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "project_dense"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.projectDense(input.asInstanceOf[ArrayData], mArr, cArr, floats)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mRef = ctx.addReferenceObj("projMean", mArr, "double[]")
+      val cRef = ctx.addReferenceObj("projComps", cArr, "double[][]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.Kernels.projectDense($c, $mRef, $cRef, $floats)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): ProjectDenseExpr =
+      copy(child = newChild)
+  }
+
   // Codebooks as Seq-of-Seq-of-Seq for the same canonicalization reason
   // as NearestCentroidIdx's centroids; primitive matrix materialized once.
   case class PqEncodeExpr(child: Expression,
@@ -1002,6 +1109,35 @@ object Kernels {
       copy(child = newChild)
   }
 
+  // Merge table as Seq-of-pairs for plan canonicalization (the
+  // NearestCentroidIdx convention); primitive UTF8String arrays
+  // materialized once per expression instance.
+  case class MergeTokensAllExpr(child: Expression,
+                                merges: Seq[(String, String)], sep: String)
+      extends UnaryExpression {
+    @transient private lazy val aArr: Array[UTF8String] =
+      merges.map(p => UTF8String.fromString(p._1)).toArray
+    @transient private lazy val bArr: Array[UTF8String] =
+      merges.map(p => UTF8String.fromString(p._2)).toArray
+    @transient private lazy val sepU = UTF8String.fromString(sep)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child, isStringArray, "array<string>")
+    override def dataType: DataType = ArrayType(StringType, containsNull = true)
+    override def prettyName: String = "merge_tokens_all"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.mergeTokensAll(input.asInstanceOf[ArrayData], aArr, bArr, sepU)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val t = "org.apache.spark.unsafe.types.UTF8String"
+      val aRef = ctx.addReferenceObj("mergeAs", aArr, s"$t[]")
+      val bRef = ctx.addReferenceObj("mergeBs", bArr, s"$t[]")
+      val sRef = ctx.addReferenceObj("mergeSep", sepU, t)
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.Kernels.mergeTokensAll($c, $aRef, $bRef, $sRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): MergeTokensAllExpr =
+      copy(child = newChild)
+  }
+
   // --- Column wrappers --------------------------------------------------
 
   def minhashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
@@ -1036,6 +1172,11 @@ object Kernels {
     ColumnBridge.column(MergeTokensExpr(ColumnBridge.expression(tokens),
       a, b, sep))
 
+  def mergeTokensAllCol(tokens: Column, merges: Seq[(String, String)],
+                        sep: String = ""): Column =
+    ColumnBridge.column(MergeTokensAllExpr(ColumnBridge.expression(tokens),
+      merges, sep))
+
   def pqEncodeCol(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(v),
       codebooks.map(_.map(_.toSeq).toSeq).toSeq))
@@ -1053,6 +1194,11 @@ object Kernels {
   def topCentroidsCol(v: Column, centroids: Array[Array[Double]], n: Int): Column =
     ColumnBridge.column(TopCentroidsIdx(ColumnBridge.expression(v),
       centroids.map(_.toSeq).toSeq, n))
+
+  def projectDenseCol(v: Column, mean: Array[Double],
+                      comps: Array[Array[Double]]): Column =
+    ColumnBridge.column(ProjectDenseExpr(ColumnBridge.expression(v),
+      mean.toSeq, comps.map(_.toSeq).toSeq))
 
   case class TokenSetCount(child: Expression, words: Seq[String])
       extends UnaryExpression {

@@ -62,6 +62,23 @@ object BpeStats {
                  sep: String = ""): Column =
     Kernels.mergeTokensCol(tokens, a, b, sep)
 
+  /** ENCODE with a trained merge table: apply every merge, in learned
+    * order, via the single-call kernel
+    * ([[graft.functions.Kernels.mergeTokensAll]]) — greedy left-to-right
+    * per merge, identical semantics to folding [[applyMerge]], but ONE
+    * plan node regardless of table size. Folding instead would nest one
+    * expression per merge: a production 30k-merge vocabulary would be a
+    * 30k-deep expression tree (codegen gives up, analysis crawls — the
+    * trainMerges lineage lesson on the encode side). Zero shuffle;
+    * output is (id, `tokens` array<string>, `n_tokens` after merging).
+    */
+  def encode(docs: DataFrame, id: Column, text: Column,
+             merges: Seq[(String, String)], sep: String = ""): DataFrame = {
+    val toks = Kernels.mergeTokensAllCol(split(text, " "), merges, sep)
+    docs.select(id.as("doc_id"), toks.as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
+
   /** Full BPE training loop: `steps` iterations of count-top-pair /
     * merge-everywhere. Returns the learned merge list in order. The
     * driver state is the merge list (kilobytes) — each iteration is one

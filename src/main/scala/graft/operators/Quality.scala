@@ -139,6 +139,71 @@ object Quality {
       .withColumn("keep", all.map(c => col(c._3)).reduce(_ && _))
   }
 
+  /** Linear quality-classifier weights over the Gopher feature set —
+    * the shape of a CCNet/RefinedWeb-style model-based filter (a linear
+    * model over cheap per-document features), with fixed public
+    * stand-in coefficients: a production run would drop in offline-
+    * trained weights, and the operator's value is the scoring plan, not
+    * these constants. All weights are small dyadic rationals (exactly
+    * representable doubles), so the fused multiply-add chain reproduces
+    * bit-for-bit in any IEEE engine.
+    */
+  final case class LogitWeights(bias: Double, alphaFrac: Double,
+                                stopFrac: Double, symbolRatio: Double,
+                                meanWordLen: Double)
+  val DefaultLogitWeights: LogitWeights =
+    LogitWeights(bias = -2.0, alphaFrac = 3.5, stopFrac = 1.25,
+      symbolRatio = -7.5, meanWordLen = 0.0625)
+
+  /** Classifier-style quality score: a linear logit over the rule
+    * features, squashed through the RATIONAL sigmoid x / (1 + |x|)
+    * instead of the logistic exp form — monotone-equivalent for
+    * thresholding, and exact IEEE arithmetic (one division, no libm),
+    * which is what lets the whole operator hash-match a DuckDB twin
+    * rather than settle for a rows-only check. Features are the Gopher
+    * measurements (each a single integer-over-integer division);
+    * the logit is a fixed-order multiply-add chain, identical term
+    * order in the generated oracle SQL.
+    *
+    * Scale shape: pure projection like [[gopherQualityFlags]] — ZERO
+    * shuffle, every term codegen'd, rides the parquet scan.
+    */
+  def logisticQualityScore(docs: DataFrame, id: Column, text: Column,
+                           w: LogitWeights = DefaultLogitWeights,
+                           keepThreshold: Double = 0.5): DataFrame = {
+    val nWords = TextFunctions.tokenCount(text)
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val nEllipsis =
+      ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3))
+        .cast("int") +
+        (length(text) - length(regexp_replace(text, "…", "")))
+    val nAlpha = Kernels.alphaTokenCountCol(text)
+    val nStop = Kernels.tokenSetCountCol(text, GopherStopwords)
+    val meanLen = TextFunctions.avgTokenLength(text)
+    def ratio(num: Column): Column =
+      when(nWords > 0, num.cast("double") / nWords.cast("double"))
+        .otherwise(lit(0.0))
+    val alphaFrac = ratio(nAlpha)
+    val stopFrac = ratio(nStop)
+    val symbolRatio = ratio(nHash + nEllipsis)
+    // fixed-order multiply-add chain — the oracle renders the SAME order
+    val logit = lit(w.bias) +
+      lit(w.alphaFrac) * alphaFrac +
+      lit(w.stopFrac) * stopFrac +
+      lit(w.symbolRatio) * symbolRatio +
+      lit(w.meanWordLen) * meanLen
+    val score = logit / (lit(1.0) + abs(logit))
+    docs.select(
+      id.as("doc_id"),
+      alphaFrac.as("alpha_frac"),
+      stopFrac.as("stop_frac"),
+      symbolRatio.as("symbol_ratio"),
+      meanLen.as("mean_word_len"),
+      logit.as("logit"),
+      score.as("quality_score"),
+      (score >= keepThreshold).as("keep"))
+  }
+
   /** Drop-reason histogram over the flags — the corpus-level audit a
     * curation run reports: how many documents each rule rejects
     * (non-exclusive: a doc failing two rules counts under both) plus

@@ -510,4 +510,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan) // bounded top-k
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("quality_logit is a zero-exchange projection; pca_gram is one " +
+    "map-side-combining moment aggregate") {
+    val logit = planOf(SparkEntry.queries("quality_logit")(spark, dir))
+    assert(dataExchanges(logit) == 0, logit)
+    // the moment pass: exactly one aggregate exchange (the 2080-long
+    // triangle), partial combine before it, vectors never shuffled
+    val gram = planOf(SparkEntry.queries("pca_gram")(spark, dir))
+    assert(dataExchanges(gram) == 1, gram)
+    assert(gram.contains("partial"), gram)
+    assert(gram.contains("gram_sum"), gram)
+  }
+
+  test("pca_project and bpe_encode are zero-exchange kernel projections " +
+    "(fit/training cost lives in the builder, not the per-row plan)") {
+    val proj = planOf(SparkEntry.queries("pca_project")(spark, dir))
+    assert(dataExchanges(proj) == 0, proj)
+    assert(proj.contains("project_dense"), proj)
+    val enc = planOf(SparkEntry.queries("bpe_encode")(spark, dir))
+    assert(dataExchanges(enc) == 0, enc)
+    assert(enc.contains("merge_tokens_all"), enc)
+  }
 }

@@ -92,4 +92,38 @@ class BpeStatsSpec extends SparkTestBase {
       .as[(String, String, Long)].collect().toSet
     assert(got == Set(("x", "", 1L), ("", "y", 1L)))
   }
+
+  test("encode applies the merge table identically to folding applyMerge") {
+    val d = Seq((1L, "a b a b c a b"), (2L, "b c b c b c")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"), ("ab", "c"), ("b", "c"))
+    val viaKernel = BpeStats.encode(d, col("doc_id"), col("text"), merges)
+      .orderBy("doc_id").select("tokens").as[Seq[String]].collect().toSeq
+    val folded = d.select(col("doc_id"),
+        merges.foldLeft(split(col("text"), " ")) { case (c, (a, b)) =>
+          BpeStats.applyMerge(c, a, b)
+        }.as("tokens"))
+      .orderBy("doc_id").select("tokens").as[Seq[String]].collect().toSeq
+    assert(viaKernel == folded)
+    // and the semantics are the expected greedy cascade: (a,b) rewrites
+    // to [ab ab c ab]; (ab,c) then merges only at position 2 (the first
+    // ab pairs with another ab, not with c) -> [ab abc ab]
+    assert(viaKernel.head == Seq("ab", "abc", "ab"))
+    assert(viaKernel(1) == Seq("bc", "bc", "bc"))
+  }
+
+  test("encode with trained merges shrinks token counts, never grows them") {
+    val docs = Seq((1L, "x y x y x y z"), (2L, "x y z x y z")).toDF("doc_id", "text")
+    val merges = BpeStats.trainMerges(docs, col("text"), steps = 2)
+    assert(merges.nonEmpty)
+    val enc = BpeStats.encode(docs, col("doc_id"), col("text"), merges)
+      .select("doc_id", "n_tokens").as[(Long, Int)].collect().toMap
+    assert(enc(1L) < 7 && enc(2L) < 6)
+  }
+
+  test("encode with an empty merge table is the identity tokenization") {
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val got = BpeStats.encode(d, col("doc_id"), col("text"), Seq.empty)
+      .select("tokens").as[Seq[String]].head()
+    assert(got == Seq("a", "b", "c"))
+  }
 }

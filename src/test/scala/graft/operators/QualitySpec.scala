@@ -100,4 +100,38 @@ class QualitySpec extends SparkTestBase {
     //  fail_alpha, fail_stopwords)
     assert(got == ((3L, 1L, 1L, 0L, 0L, 0L, 2L)))
   }
+
+  test("logisticQualityScore: hand-computed logit, squash and threshold") {
+    // "the the": alpha_frac 1, stop_frac 1, symbol_ratio 0, mean len 3
+    val got = Quality.logisticQualityScore(
+        Seq((1L, "the the")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .as[(Long, Double, Double, Double, Double, Double, Double, Boolean)]
+      .head()
+    val w = Quality.DefaultLogitWeights
+    val logit = w.bias + w.alphaFrac * 1.0 + w.stopFrac * 1.0 +
+      w.symbolRatio * 0.0 + w.meanWordLen * 3.0
+    assert(got._6 == logit)
+    assert(got._7 == logit / (1.0 + math.abs(logit)))
+    assert(got._8 == (got._7 >= 0.5))
+  }
+
+  test("logisticQualityScore: symbol-heavy text scores below threshold") {
+    // 4 words, 8 hashes: symbol_ratio 2.0 dominates via its -7.5 weight
+    val scored = Quality.logisticQualityScore(
+        Seq((1L, "#### #### the words")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .select("quality_score", "keep").as[(Double, Boolean)].head()
+    assert(scored._1 < 0.0 && !scored._2)
+  }
+
+  test("logisticQualityScore: squash is monotone in the logit") {
+    // cleaner document (more stopwords) never scores lower
+    val rows = Seq((1L, "the of and that have with all stop words here"),
+      (2L, "zz qq xx vv kk jj ww yy uu oo"))
+    val got = Quality.logisticQualityScore(rows.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .orderBy("doc_id").select("quality_score").as[Double].collect()
+    assert(got(0) > got(1))
+  }
 }
