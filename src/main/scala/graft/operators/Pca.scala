@@ -124,6 +124,28 @@ object Pca {
     df.withColumn(outCol,
       Kernels.projectDenseCol(vec, model.mean, model.components))
 
+  /** Whitened projection: each component divided by √eigenvalue, so the
+    * output axes have unit variance — the standard pre-conditioning
+    * before cosine/L2 clustering when raw axes differ by orders of
+    * magnitude. Components with eigenvalue <= `eps` (numerically dead
+    * directions) are dropped rather than amplified: dividing by a
+    * near-zero √λ would turn quantization noise into the dominant axis.
+    * Same zero-shuffle kernel as [[project]] — the scaling folds into
+    * the component matrix on the driver.
+    */
+  def whiten(model: Model, df: DataFrame, vec: Column,
+             outCol: String = "pca_white", eps: Double = 1e-9): DataFrame = {
+    val keep = model.eigenvalues.zipWithIndex.filter(_._1 > eps).map(_._2)
+    require(keep.nonEmpty,
+      s"whiten: every eigenvalue is <= $eps — nothing to project onto")
+    val scaled = keep.map { c =>
+      val s = 1.0 / math.sqrt(model.eigenvalues(c))
+      model.components(c).map(_ * s)
+    }
+    df.withColumn(outCol,
+      Kernels.projectDenseCol(vec, model.mean, scaled))
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix. Returns
     * (eigenvalues, eigenvector matrix with vectors in COLUMNS, matching
     * value order). O(sweeps · dim³); converges quadratically — 30 sweeps

@@ -89,6 +89,28 @@ class PcaSpec extends SparkTestBase {
     assert(vars(0) >= vars(1) && vars(1) >= vars(2))
   }
 
+  test("whiten yields unit-variance axes and drops dead directions") {
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Seq(math.sin(i * 0.7) * 3.0, math.cos(i * 1.3) * 0.2, 0.0))
+    }
+    val df = vecs(rows: _*)
+    val model = Pca.fit(df, col("embedding"), dim = 3, k = 3)
+    // the constant third axis has ~zero eigenvalue -> dropped
+    val white = Pca.whiten(model, df, col("embedding"))
+    val width = white.select(size(col("pca_white"))).as[Int].head()
+    assert(width == 2, s"expected dead axis dropped, got width $width")
+    val stats = white.select(
+      (1 to 2).flatMap(c => Seq(
+        sum(element_at(col("pca_white"), c)).as(s"s$c"),
+        sum(element_at(col("pca_white"), c) * element_at(col("pca_white"), c)).as(s"q$c"))): _*)
+      .head()
+    (0 until 2).foreach { c =>
+      val s = stats.getDouble(2 * c); val q = stats.getDouble(2 * c + 1)
+      val v = (q - s * s / 200.0) / 199.0
+      assert(math.abs(v - 1.0) < 1e-3, s"axis $c variance $v")
+    }
+  }
+
   test("fit is deterministic across partitionings") {
     val rows = (1 to 100).map(i => (i.toLong, Seq(i * 0.01, (101 - i) * 0.02)))
     val a = Pca.fit(vecs(rows: _*).repartition(1), col("embedding"), 2, 2)
