@@ -1010,6 +1010,14 @@ object SparkEntry {
       Quality.repetitionFlags(t(s, dir, "documents"), col("doc_id"),
         col("text"))
     }),
+    "corpus_report" -> ((s, dir) => {
+      // the one-pass curation dashboard: per-source doc/dup/token counts
+      // + survivors under BOTH gates from a single scan (no join between
+      // the gates), one aggregation by source; all-integer outputs make
+      // the whole dashboard oracle-checkable
+      import graft.operators.Quality
+      Quality.corpusReport(t(s, dir, "documents"), col("source"), col("text"))
+    }),
     "quality_logit" -> ((s, dir) => {
       // classifier-style quality scoring (CCNet/RefinedWeb shape): a
       // linear logit over the Gopher features squashed through the
@@ -1806,9 +1814,50 @@ object SparkEntry {
        |FROM g""".stripMargin
   }
 
+  /** Generated oracle for corpus_report: the gopher-rule and logit-gate
+    * formulas (same constants as their standalone oracles) rolled up
+    * per source — COUNT/COUNT DISTINCT/SUM over exact integers.
+    */
+  private def corpusReportSql: String = {
+    import graft.operators.Quality
+    val w = Quality.DefaultLogitWeights
+    s"""WITH f AS (
+       |  SELECT source, text,
+       |    len(toks) AS n_words,
+       |    CAST(length(text) - (len(toks) - 1) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+       |    CAST((length(text) - length(replace(text, '#', '')))
+       |       + (length(text) - length(replace(text, '...', ''))) // 3
+       |       + (length(text) - length(replace(text, '…', ''))) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+       |    len(list_filter(toks,
+       |      x -> x IN (${Quality.GopherStopwords.map("'" + _ + "'").mkString(",")}))) AS n_stop
+       |  FROM (SELECT source, text, string_split(text, ' ') AS toks FROM documents)),
+       |g AS (SELECT source, text, n_words,
+       |    (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       |      AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2 AS gk,
+       |    ${w.bias} + ${w.alphaFrac} * (CASE WHEN n_words > 0 THEN alpha_frac ELSE 0.0 END)
+       |      + ${w.stopFrac} * (CASE WHEN n_words > 0
+       |          THEN CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END)
+       |      + ${w.symbolRatio} * (CASE WHEN n_words > 0 THEN symbol_ratio ELSE 0.0 END)
+       |      + ${w.meanWordLen} * mean_word_len AS logit
+       |  FROM f)
+       |SELECT source,
+       |  COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT text) AS n_distinct_texts,
+       |  COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs,
+       |  CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CASE WHEN gk THEN 1 ELSE 0 END) AS BIGINT) AS gopher_keep,
+       |  CAST(SUM(CASE WHEN logit / (1.0 + abs(logit)) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS logit_keep
+       |FROM g GROUP BY source""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "gopher_repetition_flags" -> gopherRepetitionSql,
     "quality_logit" -> qualityLogitSql,
+    "corpus_report" -> corpusReportSql,
     // the exact integer moment pass: quantized products sum exactly as
     // longs in both engines (micro-unit trick, bilinear form)
     "pca_gram" ->

@@ -38,6 +38,36 @@ object Quality {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The shared Gopher feature expressions (all codegen'd, all exact:
+    * integer counts and single IEEE divisions) — one definition feeding
+    * the rule gate, the logit score and the corpus report so the three
+    * can never diverge on what "symbol ratio" means.
+    */
+  private final case class Feats(nWords: Column, meanLen: Column,
+                                 symbolRatio: Column, alphaFrac: Column,
+                                 nStop: Column)
+
+  private def feats(text: Column): Feats = {
+    val nWords = TextFunctions.tokenCount(text)
+    // occurrence counts via length deltas — builtin `replace` stays in
+    // codegen and the integer arithmetic is engine-exact
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    // the '...' replace-delta is always a multiple of 3, so the double
+    // division is exact and the int cast lossless (Spark `/` on ints is
+    // IEEE division; the DuckDB twin's `// 3` lands on the same value)
+    val nEllipsis =
+      ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3))
+        .cast("int") +
+        (length(text) - length(regexp_replace(text, "…", "")))
+    val nAlpha = Kernels.alphaTokenCountCol(text)
+    val nStop = Kernels.tokenSetCountCol(text, GopherStopwords)
+    val meanLen = TextFunctions.avgTokenLength(text)
+    Feats(nWords, meanLen,
+      (nHash + nEllipsis).cast("double") / nWords.cast("double"),
+      nAlpha.cast("double") / nWords.cast("double"),
+      nStop)
+  }
+
   /** Per-document Gopher rule evaluation: measurements, one boolean per
     * rule, and the conjunction `keep`.
     *
@@ -57,22 +87,12 @@ object Quality {
                          minStopwords: Int = 2): DataFrame = {
     require(minWords >= 1, s"minWords must be >= 1: $minWords")
     require(maxWords >= minWords, s"maxWords < minWords: $maxWords")
-    val nWords = TextFunctions.tokenCount(text)
-    // occurrence counts via length deltas — builtin `replace` stays in
-    // codegen and the integer arithmetic is engine-exact
-    val nHash = length(text) - length(regexp_replace(text, "#", ""))
-    // the '...' replace-delta is always a multiple of 3, so the double
-    // division is exact and the int cast lossless (Spark `/` on ints is
-    // IEEE division; the DuckDB twin's `// 3` lands on the same value)
-    val nEllipsis =
-      ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3))
-        .cast("int") +
-        (length(text) - length(regexp_replace(text, "…", "")))
-    val nAlpha = Kernels.alphaTokenCountCol(text)
-    val nStop = Kernels.tokenSetCountCol(text, GopherStopwords)
-    val meanLen = TextFunctions.avgTokenLength(text)
-    val symbolRatio = (nHash + nEllipsis).cast("double") / nWords.cast("double")
-    val alphaFrac = nAlpha.cast("double") / nWords.cast("double")
+    val f = feats(text)
+    val nWords = f.nWords
+    val nStop = f.nStop
+    val meanLen = f.meanLen
+    val symbolRatio = f.symbolRatio
+    val alphaFrac = f.alphaFrac
     docs.select(
       id.as("doc_id"),
       nWords.as("n_words"),
@@ -171,37 +191,65 @@ object Quality {
   def logisticQualityScore(docs: DataFrame, id: Column, text: Column,
                            w: LogitWeights = DefaultLogitWeights,
                            keepThreshold: Double = 0.5): DataFrame = {
-    val nWords = TextFunctions.tokenCount(text)
-    val nHash = length(text) - length(regexp_replace(text, "#", ""))
-    val nEllipsis =
-      ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3))
-        .cast("int") +
-        (length(text) - length(regexp_replace(text, "…", "")))
-    val nAlpha = Kernels.alphaTokenCountCol(text)
-    val nStop = Kernels.tokenSetCountCol(text, GopherStopwords)
-    val meanLen = TextFunctions.avgTokenLength(text)
-    def ratio(num: Column): Column =
-      when(nWords > 0, num.cast("double") / nWords.cast("double"))
-        .otherwise(lit(0.0))
-    val alphaFrac = ratio(nAlpha)
-    val stopFrac = ratio(nStop)
-    val symbolRatio = ratio(nHash + nEllipsis)
+    val f = feats(text)
+    def guard(c: Column): Column =
+      when(f.nWords > 0, c).otherwise(lit(0.0))
+    val alphaFrac = guard(f.alphaFrac)
+    val stopFrac = guard(f.nStop.cast("double") / f.nWords.cast("double"))
+    val symbolRatio = guard(f.symbolRatio)
     // fixed-order multiply-add chain — the oracle renders the SAME order
     val logit = lit(w.bias) +
       lit(w.alphaFrac) * alphaFrac +
       lit(w.stopFrac) * stopFrac +
       lit(w.symbolRatio) * symbolRatio +
-      lit(w.meanWordLen) * meanLen
+      lit(w.meanWordLen) * f.meanLen
     val score = logit / (lit(1.0) + abs(logit))
     docs.select(
       id.as("doc_id"),
       alphaFrac.as("alpha_frac"),
       stopFrac.as("stop_frac"),
       symbolRatio.as("symbol_ratio"),
-      meanLen.as("mean_word_len"),
+      f.meanLen.as("mean_word_len"),
       logit.as("logit"),
       score.as("quality_score"),
       (score >= keepThreshold).as("keep"))
+  }
+
+  /** The one-pass curation dashboard: per-source document counts,
+    * intra-source exact-duplicate counts (n_docs − distinct texts),
+    * token totals and survivor counts under BOTH gates (Gopher rules at
+    * the paper defaults, logit at [[DefaultLogitWeights]] ≥ 0.5) — the
+    * summary a daily corpus run reports.
+    *
+    * Scale shape: both gates are the same zero-shuffle feature
+    * projection (no join between them — one scan computes every
+    * column), then ONE aggregation by source; the distinct-text count
+    * partial-aggregates map-side like any distinct. Every output is an
+    * exact integer, so the whole dashboard is oracle-checkable.
+    */
+  def corpusReport(docs: DataFrame, source: Column, text: Column): DataFrame = {
+    val f = feats(text)
+    val gKeep = f.nWords.between(50, 100000) &&
+      f.meanLen.between(3.0, 10.0) && f.symbolRatio <= 0.1 &&
+      f.alphaFrac >= 0.8 && f.nStop >= 2
+    val w = DefaultLogitWeights
+    def guard(c: Column): Column = when(f.nWords > 0, c).otherwise(lit(0.0))
+    val logit = lit(w.bias) +
+      lit(w.alphaFrac) * guard(f.alphaFrac) +
+      lit(w.stopFrac) * guard(f.nStop.cast("double") / f.nWords.cast("double")) +
+      lit(w.symbolRatio) * guard(f.symbolRatio) +
+      lit(w.meanWordLen) * f.meanLen
+    val lKeep = logit / (lit(1.0) + abs(logit)) >= 0.5
+    docs.select(source.as("source"), text.as("__text"),
+        f.nWords.as("__nw"), gKeep.as("__g"), lKeep.as("__l"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("__text")).as("n_distinct_texts"),
+        (count(lit(1)) - countDistinct(col("__text"))).as("n_dup_docs"),
+        sum(col("__nw").cast("long")).as("total_tokens"),
+        sum(when(col("__g"), 1L).otherwise(0L)).as("gopher_keep"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("logit_keep"))
   }
 
   /** Drop-reason histogram over the flags — the corpus-level audit a

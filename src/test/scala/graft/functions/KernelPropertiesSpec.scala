@@ -222,4 +222,57 @@ class KernelPropertiesSpec extends SparkTestBase {
     assert(plan.contains("deflate_ratio"), plan)
     assert(df.head().getDouble(0) > 0.0)
   }
+
+  test("mergeTokensAll equals folding mergeTokens over random corpora") {
+    import graft.TestSpark.spark.implicits._
+    // property over random token streams and random merge tables drawn
+    // from the SAME small alphabet (so merges actually fire, including
+    // cascades where a merge consumes an earlier merge's output)
+    val alphabet = Seq("a", "b", "c", "ab", "bc")
+    (1L to 20L).foreach { seed =>
+      val toks = Gen.listOfN(30, Gen.oneOf(alphabet))
+        .pureApply(Gen.Parameters.default, Seed(seed))
+      val merges = Gen.listOfN(5,
+          Gen.zip(Gen.oneOf(alphabet), Gen.oneOf(alphabet)))
+        .pureApply(Gen.Parameters.default, Seed(seed + 1000))
+      val df = Seq(Tuple1(toks)).toDF("toks")
+      val kernel = df.select(
+        Kernels.mergeTokensAllCol(col("toks"), merges).as("t"))
+        .as[Seq[String]].head()
+      val folded = df.select(
+          merges.foldLeft(col("toks")) { case (c, (a, b)) =>
+            Kernels.mergeTokensCol(c, a, b)
+          }.as("t"))
+        .as[Seq[String]].head()
+      assert(kernel == folded, s"seed $seed merges $merges toks $toks")
+    }
+  }
+
+  test("projectDense is linear and zero at the mean") {
+    import graft.TestSpark.spark.implicits._
+    val mean = Array(0.5, -1.0, 2.0)
+    val comps = Array(Array(1.0, 0.0, 0.0), Array(0.5, 0.5, -0.5))
+    val df = Seq(
+      (1L, Seq(0.5, -1.0, 2.0)),     // exactly the mean
+      (2L, Seq(1.5, -1.0, 2.0)),     // mean + e1
+      (3L, Seq(2.5, -1.0, 2.0))      // mean + 2*e1 (linearity)
+    ).toDF("id", "v")
+    val got = df.orderBy("id")
+      .select(Kernels.projectDenseCol(col("v"), mean, comps).as("p"))
+      .as[Seq[Double]].collect()
+    assert(got(0) == Seq(0.0, 0.0))
+    assert(got(1) == Seq(1.0, 0.5))
+    assert(got(2) == Seq(2.0, 1.0)) // double the displacement, double out
+  }
+
+  test("projectDense stays inside whole-stage codegen") {
+    val df = graft.TestSpark.spark.range(3)
+      .select(array(col("id").cast("double"),
+        (col("id") * 2).cast("double")).as("v"))
+      .select(Kernels.projectDenseCol(col("v"), Array(0.0, 0.0),
+        Array(Array(1.0, 1.0))).as("p"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+    assert(plan.contains("project_dense"), plan)
+  }
 }

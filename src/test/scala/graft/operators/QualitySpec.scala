@@ -125,6 +125,25 @@ class QualitySpec extends SparkTestBase {
     assert(scored._1 < 0.0 && !scored._2)
   }
 
+  test("corpusReport: per-source counts, dups, tokens and both gates") {
+    val docs = Seq(
+      (1L, fiftyGood, "srcA"),        // passes gopher
+      (2L, fiftyGood, "srcA"),        // exact dup of 1
+      (3L, "short doc", "srcA"),      // fails gopher (words)
+      (4L, Seq.fill(60)("the").mkString(" "), "srcB")
+    ).toDF("doc_id", "text", "source")
+    val got = Quality.corpusReport(docs, col("source"), col("text"))
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    // srcA: 3 docs, 2 distinct texts, 1 dup, 50+50+2 tokens, 2 gopher
+    assert(got(0)._1 == "srcA" && got(0)._2 == 3 && got(0)._3 == 2 &&
+      got(0)._4 == 1 && got(0)._5 == 102 && got(0)._6 == 2)
+    assert(got(1)._1 == "srcB" && got(1)._2 == 1 && got(1)._4 == 0 &&
+      got(1)._5 == 60 && got(1)._6 == 1)
+    // the logit gate keeps every all-stopword doc (alpha 1, stop-rich)
+    assert(got(0)._7 >= 2 && got(1)._7 == 1)
+  }
+
   test("logisticQualityScore: squash is monotone in the logit") {
     // cleaner document (more stopwords) never scores lower
     val rows = Seq((1L, "the of and that have with all stop words here"),
