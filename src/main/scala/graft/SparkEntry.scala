@@ -1183,11 +1183,24 @@ object SparkEntry {
       // codegen kernel, zero shuffle. Deterministic bit-for-bit (exact
       // triangle + pinned eigenvector sign) but not SQL-expressible —
       // PcaSpec gates variance-vs-eigenvalue agreement, orthonormality
-      // and ordering.
+      // and ordering; IN-PLAN, every row asserts the orthonormal-
+      // projection contract |Px|² <= |x−μ|² (a rotated-then-truncated
+      // vector can never grow), so a broken eigenbasis fails every
+      // harness run loudly, not just the spec.
       import graft.operators.Pca
       val embs = t(s, dir, "embeddings")
       val model = Pca.fit(embs, col("embedding"), dim = 64, k = 8)
+      val mean = typedLit(model.mean.toSeq)
+      val centeredSq = aggregate(
+        zip_with(col("embedding").cast("array<double>"), mean,
+          (x, m) => (x - m) * (x - m)),
+        lit(0.0), (acc, v) => acc + v)
+      val projSq = aggregate(transform(col("pca"), p => p * p),
+        lit(0.0), (acc, v) => acc + v)
       Pca.project(model, embs, col("embedding"))
+        .where(assert_true(projSq <= centeredSq * lit(1.0 + 1e-9) + lit(1e-9),
+          lit("pca_project: |Px|^2 exceeded |x-mean|^2 — basis not orthonormal"))
+          .isNull)
         .select(col("vec_id") +:
           (1 to 8).map(c => element_at(col("pca"), c).as(s"p$c")): _*)
     }),

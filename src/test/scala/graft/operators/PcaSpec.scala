@@ -136,6 +136,17 @@ class PcaSpec extends SparkTestBase {
       ex2.getCause != null && ex2.getCause.getMessage.contains("length"))
   }
 
+  test("gram overflow guard fails loudly instead of wrapping around") {
+    // quantScale large enough that |q| busts the 3e9 magnitude cap
+    val df = vecs(1L -> Seq(1.0e9, 0.0))
+    val ex = intercept[Exception] {
+      Pca.gramTriangle(df, col("embedding"), dim = 2, scale = 1e6).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("overflow guard")), ex.toString)
+  }
+
   test("float input vectors are accepted (the embeddings table's type)") {
     val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
       .toDF("vec_id", "embedding")
