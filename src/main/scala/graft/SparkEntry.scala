@@ -854,10 +854,11 @@ object SparkEntry {
       // default (4-byte kernel hashes vs 16-char md5 strings).
       // Bounded anchor (the vec_id<1000 convention): the md5 kernel is
       // ~10x the engine hash per (shingle, k), so the twin runs on the
-      // deterministic doc_id%5 slice — every source keeps 1/5 of its
+      // deterministic doc_id%10 slice — every source keeps 1/10 of its
       // docs, the construction is exercised end-to-end, and the oracle
-      // applies the same cut.
-      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      // applies the same cut (still the costliest query in the spread
+      // at %5; the sketch math is size-independent).
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
       val sigs = Dedup.minhashSignaturesPortable(docs, col("doc_id"),
           col("text"), numHashes = 64, shingleSize = 3)
         .filter(size(col("sig")) > 0)
@@ -1114,6 +1115,34 @@ object SparkEntry {
         (93L, "slow merge sort"), (94L, "customer quantum"))
         .toDF("qid", "qtext")
       Bm25.bm25SearchPortable(idx, queries, col("qid"), col("qtext"), k = 10)
+    }),
+    "hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval, the RAG default: lexical (rational BM25, the
+      // portable-sum form) and dense (exact cosine top-k) arms fused by
+      // Reciprocal Rank Fusion. Query docs = every 100th doc that has
+      // an embedding (vec_id shares the doc_id space); BOTH arms
+      // include the self-hit, so fused rank 1 == query doc is the
+      // built-in identity sanity. RRF contributions are exact integer
+      // divisions summed as longs — the entire three-stage pipeline
+      // hash-matches DuckDB. At 100 TB the exact dense arm swaps for
+      // the IVF/PQ arm: rrfFuse only consumes (query_id, id, rank).
+      import graft.operators.{Bm25, Retrieval, TermWeights}
+      val docs = t(s, dir, "documents")
+      val embs = t(s, dir, "embeddings")
+      val q = docs.filter(col("doc_id") % 100 === 0)
+        .join(embs, col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("qid"), col("text").as("qtext"),
+          col("embedding").as("qv"))
+      val idx = Bm25.bm25Index(docs, col("doc_id"), col("text"),
+        k1 = 1.2, b = 0.75, weight = TermWeights.RationalIdf)
+      val lex = Bm25.bm25SearchPortable(idx, q, col("qid"), col("qtext"),
+          k = 20)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val dense = Similarity.bruteForceTopK(embs, col("vec_id"),
+          col("embedding"), q, col("qid"), col("qv"), k = 20,
+          excludeSelf = false)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, dense), k0 = 60, k = 10)
     }),
     "doc_unigram_stats" -> ((s, dir) => {
       // self-supervised unigram-LM quality scoring: corpus token
@@ -2831,7 +2860,7 @@ object SparkEntry {
     // reproduces the engine's per-doc-signature fold exactly
     "source_minhash_jaccard_portable" ->
       """WITH toks AS (SELECT source, string_split(text, ' ') AS t
-        |  FROM documents WHERE doc_id % 5 = 0),
+        |  FROM documents WHERE doc_id % 10 = 0),
         |sh AS (SELECT DISTINCT source, sh FROM (
         |  SELECT source,
         |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
@@ -3124,6 +3153,58 @@ object SparkEntry {
         |SELECT query_id, doc_id, n_matched, bm25, CAST(rank AS INT) AS rank
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |        ORDER BY bm25 DESC, doc_id ASC) AS rank FROM m)
+        |WHERE rank <= 10""".stripMargin,
+    // hybrid RRF: the bm25_search_rational and cosine_topk oracle
+    // fragments (both proven hash-exact) as arms at k=20 over the
+    // joined query set, fused by exact integer division — 1000000000 //
+    // (60 + rank) summed as BIGINT mirrors Spark's `div` + long sum
+    "hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |  CAST((SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS DOUBLE)
+        |   / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl),
+        |idx AS (SELECT doc_id, token,
+        | ((CAST(n_docs - df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0))
+        |  * ((CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0)) /
+        |     (CAST(tf AS DOUBLE)
+        |      + 1.2e0 * ((1.0e0 - 0.75e0)
+        |                 + (0.75e0 * CAST(dl AS DOUBLE)) / avgdl))) AS score
+        | FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+        | CROSS JOIN stats),
+        |q AS (SELECT d.doc_id AS query_id, d.text AS qtext,
+        |    CAST(e.embedding AS DOUBLE[]) AS qv
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |  WHERE d.doc_id % 100 = 0),
+        |qt AS (SELECT DISTINCT query_id, token FROM
+        |  (SELECT query_id, unnest(string_split(qtext, ' ')) AS token FROM q)),
+        |m AS (SELECT query_id, doc_id, COUNT(*) AS n_matched,
+        |  list_reduce(list_sort(LIST(score)), (a, b) -> a + b) AS bm25
+        | FROM idx JOIN qt USING (token) GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id AS id, rank FROM (
+        |  SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY bm25 DESC, doc_id ASC) AS rank FROM m)
+        | WHERE rank <= 20),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings),
+        |s AS (SELECT query_id, nid AS id,
+        |  list_inner_product(qv, cv) /
+        |   (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cosine
+        |  FROM q CROSS JOIN c),
+        |dense AS (SELECT query_id, id, rank FROM (
+        |  SELECT query_id, id, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, id ASC) AS rank FROM s)
+        | WHERE rank <= 20),
+        |u AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
+        |f AS (SELECT query_id, id, CAST(COUNT(*) AS BIGINT) AS n_arms,
+        |  CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_score
+        | FROM u GROUP BY 1, 2)
+        |SELECT query_id, id, n_arms, rrf_score, CAST(rank AS INT) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |  ORDER BY rrf_score DESC, id ASC) AS rank FROM f)
         |WHERE rank <= 10""".stripMargin,
     "doc_unigram_stats" ->
       // exact-integer projection of the unigram-LM scores; every SUM is
