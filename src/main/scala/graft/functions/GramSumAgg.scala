@@ -40,8 +40,11 @@ case class GramSumAgg(child: Expression, dim: Int, quantScale: Double,
   require(quantScale > 0, "quantScale must be positive")
 
   private val tri = dim * (dim + 1) / 2
-  // |q_i| cap such that cap^2 * 2^20 rows still fits a long with margin;
-  // quantized unit-scale embeddings sit ~6 orders below it
+  // |q_i| cap keeps a SINGLE product inside a long (3e9² ≈ Long.Max);
+  // the running sums use addExact below, so accumulation across rows or
+  // partitions can never wrap silently either — quantized unit-scale
+  // embeddings sit ~6 orders below the cap, so the checks never fire on
+  // sane inputs and cost one branch each (intrinsified)
   private val qCap = 3_000_000_000L
 
   private lazy val floats = child.dataType match {
@@ -91,7 +94,10 @@ case class GramSumAgg(child: Expression, dim: Int, quantScale: Double,
       while (i < dim) {
         val qi = q(i)
         var j = i
-        while (j < dim) { buf(k) += qi * q(j); j += 1; k += 1 }
+        while (j < dim) {
+          buf(k) = Math.addExact(buf(k), qi * q(j))
+          j += 1; k += 1
+        }
         i += 1
       }
     }

@@ -37,19 +37,29 @@ object Retrieval {
     * fused top `k` per query, rrf_score DESC with id ASC tie-break.
     */
   def rrfFuse(arms: Seq[DataFrame], k0: Int = 60, k: Int = 10,
-              scale: Long = 1000000000L): DataFrame = {
+              scale: Long = 1000000000L): DataFrame =
+    rrfFuseWeighted(arms.map(_ -> scale), k0, k)
+
+  /** Weighted RRF: score(q, d) = Σ_arms scale_arm div (k0 + rank) — the
+    * standard arm-bias knob (e.g. 2:1 lexical:dense) with the same
+    * exact-integer reproducibility; [[rrfFuse]] is the uniform case.
+    */
+  def rrfFuseWeighted(arms: Seq[(DataFrame, Long)], k0: Int = 60,
+                      k: Int = 10): DataFrame = {
     require(arms.nonEmpty, "rrfFuse needs at least one arm")
     require(k0 >= 0, s"k0 must be >= 0: $k0")
     require(k >= 1, s"k must be >= 1: $k")
-    require(scale >= 1, s"scale must be >= 1: $scale")
-    val u = arms.map(_.select(col("query_id"), col("id"), col("rank")))
-      .reduce(_ unionByName _)
-    // `div` = exact integer division (Spark's `/` is always IEEE double)
-    val contrib = expr(s"${scale}L div ($k0 + rank)")
+    arms.foreach { case (_, s) =>
+      require(s >= 1, s"arm scale must be >= 1: $s") }
+    val u = arms.map { case (df, scale) =>
+      // `div` = exact integer division (Spark's `/` is always IEEE double)
+      df.select(col("query_id"), col("id"),
+        expr(s"${scale}L div ($k0 + rank)").as("__contrib"))
+    }.reduce(_ unionByName _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_score").desc, col("id").asc)
     u.groupBy(col("query_id"), col("id"))
-      .agg(count(lit(1)).as("n_arms"), sum(contrib).as("rrf_score"))
+      .agg(count(lit(1)).as("n_arms"), sum(col("__contrib")).as("rrf_score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id"), col("n_arms"),

@@ -523,6 +523,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(gram.contains("gram_sum"), gram)
   }
 
+  test("corpus_report: both gates ride ONE scan — no gate-vs-gate join") {
+    val plan = planOf(SparkEntry.queries("corpus_report")(spark, dir))
+    assert(!plan.toLowerCase.contains("join"), plan)
+    assert(plan.contains("partial"), plan) // map-side combine
+    // one scan of documents, not one per gate
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("hybrid_rrf: query sides broadcast, fusion is never a cartesian " +
+    "over the corpus") {
+    val plan = planOf(SparkEntry.queries("hybrid_rrf")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // lexical arm: query terms broadcast against the index; dense arm:
+    // the (tiny) query set broadcasts against the embeddings scan
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
   test("pca_project and bpe_encode are zero-exchange kernel projections " +
     "(fit/training cost lives in the builder, not the per-row plan)") {
     val proj = planOf(SparkEntry.queries("pca_project")(spark, dir))

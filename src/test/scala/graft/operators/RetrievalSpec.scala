@@ -36,6 +36,21 @@ class RetrievalSpec extends SparkTestBase {
     assert(got(0)._4 == got(1)._4)
   }
 
+  test("rrfFuseWeighted: a heavier arm outvotes a better rank") {
+    val lex = arm((1L, 10L, 1), (1L, 11L, 2))
+    val dense = arm((1L, 11L, 1), (1L, 10L, 2))
+    // uniform weights tie 10 and 11 (mirror ranks) -> id ASC puts 10 first;
+    // doubling the lexical arm's scale must put its #1 (doc 10) clearly top
+    val uni = Retrieval.rrfFuse(Seq(lex, dense), k = 10)
+      .orderBy("rank").as[(Long, Long, Long, Long, Int)].collect()
+    assert(uni(0)._2 == 10L && uni(0)._4 == uni(1)._4)
+    val weighted = Retrieval.rrfFuseWeighted(
+        Seq(lex -> 2000000000L, dense -> 1000000000L), k = 10)
+      .orderBy("rank").as[(Long, Long, Long, Long, Int)].collect()
+    assert(weighted(0)._2 == 10L)
+    assert(weighted(0)._4 > weighted(1)._4) // strictly, not a tie-break
+  }
+
   test("rrfFuse: k cuts per query independently") {
     val a = arm((1L, 1L, 1), (1L, 2L, 2), (2L, 9L, 1))
     val got = Retrieval.rrfFuse(Seq(a), k = 1)
