@@ -861,11 +861,22 @@ object SparkEntry {
       val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
       val sigs = Dedup.minhashSignaturesPortable(docs, col("doc_id"),
           col("text"), numHashes = 64, shingleSize = 3)
-        .filter(size(col("sig")) > 0)
+        // n_sh, not size(sig): a size(sig) predicate pushes the md5
+        // kernel into the pre-exchange Filter (2-3 evals/row, one task —
+        // measured 8x the query's real cost); see Dedup.lshBands
+        .filter(col("n_sh") > 0)
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      val grouped = sigs
-        .select(col("source"), posexplode(col("sig")).as(Seq("k", "h")))
-        .groupBy(col("source"), col("k")).agg(min(col("h")).as("h"))
+      // group union via the typed aggregate, NOT posexplode-then-min:
+      // exploding a kernel-derived array makes InferFiltersFromGenerate
+      // add isnotnull(sig), which pushdown rewrites into a pre-exchange
+      // Filter evaluating the md5 kernel 2-3x per row in one task; the
+      // aggregate leaves the kernel in its parallel Project. The
+      // per-(source, k) rows (identical values) come from exploding the
+      // TINY group signatures after the agg.
+      import graft.functions.MinHashUnionAgg
+      val grouped = sigs.groupBy(col("source"))
+        .agg(MinHashUnionAgg.minhashUnionMd5(col("sig"), 64).as("gsig"))
+        .select(col("source"), posexplode(col("gsig")).as(Seq("k", "h")))
       grouped.as("a").join(grouped.as("b"),
           col("a.k") === col("b.k") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("source_a"),

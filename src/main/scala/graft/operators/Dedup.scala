@@ -805,7 +805,13 @@ object Dedup {
       hash(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)), lit(b))
     }: _*)
     signatures
-      .filter(size(col("sig")) > 0)
+      // gate on n_sh, NOT size(sig): sig is empty exactly when n_sh = 0
+      // (both signature builders emit n_sh; the store persists it), and a
+      // size(sig) predicate gets alias-substituted through the projection
+      // by predicate pushdown — the SIGNATURE KERNEL lands inside the
+      // Filter below the parallelizing exchange and runs 2-3x per row in
+      // one pre-repartition task (measured 8x wall on the md5 form)
+      .filter(col("n_sh") > 0)
       .select(col("doc_id"), posexplode(bandHashes))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
@@ -1018,7 +1024,9 @@ object Dedup {
       concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
     }: _*)
     signatures
-      .filter(size(col("sig")) > 0)
+      // n_sh, not size(sig) — see lshBands (pushdown would evaluate the
+      // md5 kernel inside the pre-exchange Filter)
+      .filter(col("n_sh") > 0)
       .select(col("doc_id"), posexplode(bandKeys))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_key")
@@ -1111,7 +1119,14 @@ object Dedup {
                    maxHamming: Int = 3,
                    portableHash: Boolean = false): DataFrame = {
     require(maxHamming <= 3, "block trick below uses 4 blocks of 16 bits")
+    // persist the (tiny: id + long) code frame at the fan-out: the block
+    // join reads it TWICE, and without the cache boundary the join keys'
+    // inferred isnotnull(block_val) traces back to isnotnull(simhash64(
+    // text)) and pushdown plants the HASH KERNEL inside each side's scan
+    // Filter — 2 extra kernel evals per row per side (the lshBands
+    // pushdown lesson; same persist convention as minhashDedupPairs)
     val codes = simhash64(df, id, text, portableHash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blockVals = array((0 until 4).map { b =>
       shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))
     }: _*)

@@ -523,6 +523,35 @@ class PlanAuditSpec extends SparkTestBase {
     assert(gram.contains("gram_sum"), gram)
   }
 
+  test("no expensive kernel is evaluated inside a Filter or scan " +
+    "(InferFiltersFromGenerate / join-key isnotnull pushdown)") {
+    // The failure mode (round 10): a posexplode over a kernel-derived
+    // array, or a join key traced back to a kernel, makes the optimizer
+    // infer isnotnull/size predicates; pushdown alias-substitutes the
+    // KERNEL into the Filter below the parallelizing exchange, where it
+    // runs 2-3x per row in one pre-repartition task (measured 5x wall
+    // on the md5 group sketch, 2-4x on simhash pairs). The fixes: gate
+    // on n_sh not size(sig); aggregate with the union agg instead of
+    // exploding signatures; persist tiny fan-out code frames.
+    // text_compressibility is exempt BY DESIGN: its in-plan assert IS a
+    // filter over the (cheap) deflate kernel.
+    val kernels = Seq("minhash_md5_sig", "minhash_sig(", "simhash64",
+      "simhash_md5", "winnow(", "winnow_md5")
+    val audited = Seq("source_minhash_jaccard_portable",
+      "source_minhash_jaccard", "simhash_pairs", "simhash_pairs_portable",
+      "minhash_pairs", "dedup_incremental_portable", "dedup_incremental",
+      "winnow_fingerprints", "winnow_fingerprints_portable",
+      "boilerplate_scores", "dedup_clusters")
+    audited.foreach { name =>
+      val plan = planOf(SparkEntry.queries(name)(spark, dir))
+      val bad = plan.linesIterator.filter(l =>
+        (l.contains("Filter") || l.contains("FileScan")) &&
+          kernels.exists(l.contains)).toSeq
+      assert(bad.isEmpty, s"$name evaluates a kernel in a Filter/scan:\n" +
+        bad.mkString("\n"))
+    }
+  }
+
   test("corpus_report: both gates ride ONE scan — no gate-vs-gate join") {
     val plan = planOf(SparkEntry.queries("corpus_report")(spark, dir))
     assert(!plan.toLowerCase.contains("join"), plan)
