@@ -696,6 +696,26 @@ object SparkEntry {
           .select(coalesce(col("comp"), col("doc_id")).as("component")),
         col("component"))
     }),
+    "dedup_keep_best" -> ((s, dir) => {
+      // quality-aware survivor policy over the same transitive near-dup
+      // components as dedup_clusters: keep the member with the HIGHEST
+      // rational-sigmoid quality score (ties → min id) instead of the
+      // min id — the production canonical-pick (near-dup clusters mix a
+      // clean original with truncated / boilerplate-wrapped mirrors;
+      // keep the best, not the first-crawled). Exact IEEE scoring end
+      // to end, so the full survivor set hash-matches the
+      // recursive-CTE + window-arg-max oracle.
+      import graft.operators.Quality
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.5)
+      val q = Quality.logisticQualityScore(docs, col("doc_id"), col("text"))
+        .select(col("doc_id").as("__qid"), col("quality_score"))
+      val ranked = docs.join(q, docs("doc_id") === col("__qid"))
+      Dedup.applyClusterDedupByRank(ranked, col("doc_id"), pairs,
+          col("quality_score"))
+        .select(col("doc_id"), col("source"), col("quality_score"))
+    }),
     "minhash_pairs" -> ((s, dir) => {
       // LSH candidates -> EXACT shingle-Jaccard verify (the
       // embed_near_dup_srp construction), so the pair set answers the
@@ -1155,6 +1175,21 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
       Retrieval.rrfFuse(Seq(lex, dense), k0 = 60, k = 10)
     }),
+    "doc_bigram_stats" -> ((s, dir) => {
+      // interpolated bigram-LM scoring (the KenLM-perplexity-filter
+      // shape, one order up from doc_unigram_stats): conditional
+      // p(w2|w1) with Jelinek-Mercer continuation backoff, BOTH
+      // marginals derived from the single bigram count table — one
+      // explode pass over the corpus, everything downstream vocab-sized.
+      // Registered projection = the exact-integer columns + the one
+      // shared division; the libm logprob is spec-checked (tolerance),
+      // the unigram/tfidf split.
+      import graft.operators.UnigramLm
+      UnigramLm.docBigramStats(t(s, dir, "documents"), col("doc_id"),
+        col("text"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_freq"),
+          col("min_freq"), col("mean_freq"))
+    }),
     "doc_unigram_stats" -> ((s, dir) => {
       // self-supervised unigram-LM quality scoring: corpus token
       // frequencies scored back onto each document. The oracle-checked
@@ -1288,6 +1323,39 @@ object SparkEntry {
         Ivf.topK(model, assigned, queries, col("vec_id"), col("embedding"),
           k = 10, nprobe = 4),
         floor = 0.3, what = "IVF ANN")
+    }),
+    "kmeans_cluster_profile" -> ((s, dir) => {
+      // distributed Lloyd k-means over the FULL corpus (Ivf.fitDistributed):
+      // per iteration one narrow argmax-cosine kernel pass + one
+      // nlist-row-wide VectorSumAgg shuffle; each round's plan derives
+      // from the persisted base + a fresh literal matrix, so plan size
+      // is CONSTANT per iteration (no CC-style lineage growth by
+      // construction). Registered rows-only — an iterative float fit is
+      // engine-specific — with the coverage identity enforced IN-PLAN:
+      // cluster sizes must sum to exactly the corpus row count, so a
+      // dropped/duplicated assignment fails every harness run loudly.
+      import graft.operators.Ivf
+      import org.apache.spark.sql.expressions.Window
+      val embs = t(s, dir, "embeddings")
+      val model = Ivf.fitDistributed(embs, col("vec_id"), col("embedding"),
+        nlist = 16, maxIter = 8)
+      val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
+      val prof = assigned.join(broadcast(model.centroids), "list_id")
+        .groupBy(col("list_id"))
+        .agg(count(lit(1)).as("n_vecs"),
+          avg(VectorFunctions.cosine(col("v"), col("centroid")))
+            .as("mean_cos"),
+          min(VectorFunctions.cosine(col("v"), col("centroid")))
+            .as("min_cos"))
+      val total = embs.agg(count(lit(1)).as("__n_corpus"))
+      prof.crossJoin(broadcast(total))
+        .withColumn("__cover",
+          sum(col("n_vecs")).over(Window.partitionBy()))
+        .where(assert_true(col("__cover") === col("__n_corpus"),
+          concat(lit("kmeans coverage broken: "), col("__cover"),
+            lit(" of "), col("__n_corpus"))).isNull)
+        .select(col("list_id"), col("n_vecs"), col("mean_cos"),
+          col("min_cos"))
     }),
     "pq_topk" -> ((s, dir) => { // IVF-PQ: compressed-candidate ANN, rows-only
       import graft.operators.{Ivf, Pq}
@@ -1867,6 +1935,70 @@ object SparkEntry {
        |FROM g""".stripMargin
   }
 
+  /** Generated oracle for dedup_keep_best: the dedup_clusters recursive
+    * CTE (components over the exact 3-gram Jaccard ≥ 0.5 pair graph)
+    * composed with the quality_logit formulas (same constants, same
+    * fixed-order chain), survivor = per-component window arg-max on
+    * (quality_score DESC, doc_id ASC) — the SQL rendering of
+    * min_by(id, (−score, id)).
+    */
+  private def dedupKeepBestSql: String = {
+    import graft.operators.Quality
+    val w = Quality.DefaultLogitWeights
+    s"""WITH RECURSIVE
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, sh FROM (
+       |  SELECT doc_id,
+       |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+       |  FROM toks WHERE len(t) >= 3)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |prs AS (SELECT id_a, id_b FROM inter
+       |  JOIN sizes na ON na.doc_id = id_a
+       |  JOIN sizes nb ON nb.doc_id = id_b
+       |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5),
+       |edges AS (SELECT id_a AS s, id_b AS t FROM prs
+       |  UNION SELECT id_b, id_a FROM prs),
+       |reach(id, comp) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.t, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+       |comp AS (SELECT d.doc_id, COALESCE(MIN(r.comp), d.doc_id) AS component
+       |  FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
+       |  GROUP BY d.doc_id),
+       |f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) > 0
+       |      THEN CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+       |        / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS alpha_frac,
+       |    CASE WHEN len(t) > 0
+       |      THEN CAST(len(list_filter(t,
+       |        x -> x IN (${Quality.GopherStopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+       |        / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS stop_frac,
+       |    CASE WHEN len(t) > 0
+       |      THEN CAST((length(text) - length(replace(text, '#', '')))
+       |         + (length(text) - length(replace(text, '...', ''))) // 3
+       |         + (length(text) - length(replace(text, '…', ''))) AS DOUBLE)
+       |        / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
+       |    CAST(length(text) - (len(t) - 1) AS DOUBLE)
+       |      / CAST(len(t) AS DOUBLE) AS mean_word_len
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+       |q AS (SELECT doc_id, logit / (1.0 + abs(logit)) AS quality_score
+       |  FROM (SELECT doc_id,
+       |    ${w.bias} + ${w.alphaFrac} * alpha_frac + ${w.stopFrac} * stop_frac
+       |      + ${w.symbolRatio} * symbol_ratio + ${w.meanWordLen} * mean_word_len AS logit
+       |    FROM f)),
+       |ranked AS (SELECT c.doc_id, c.component, q.quality_score,
+       |    ROW_NUMBER() OVER (PARTITION BY c.component
+       |      ORDER BY q.quality_score DESC, c.doc_id) AS rn
+       |  FROM comp c JOIN q ON q.doc_id = c.doc_id)
+       |SELECT d.doc_id, d.source, r.quality_score
+       |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+       |WHERE r.rn = 1""".stripMargin
+  }
+
   /** Generated oracle for corpus_report: the gopher-rule and logit-gate
     * formulas (same constants as their standalone oracles) rolled up
     * per source — COUNT/COUNT DISTINCT/SUM over exact integers.
@@ -1910,6 +2042,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "gopher_repetition_flags" -> gopherRepetitionSql,
     "quality_logit" -> qualityLogitSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "corpus_report" -> corpusReportSql,
     // the exact integer moment pass: quantized products sum exactly as
     // longs in both engines (micro-unit trick, bilinear form)
@@ -3217,6 +3350,23 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |  ORDER BY rrf_score DESC, id ASC) AS rank FROM f)
         |WHERE rank <= 10""".stripMargin,
+    "doc_bigram_stats" ->
+      // exact-integer projection of the bigram-LM scores, same HUGEINT
+      // and single-division rules as doc_unigram_stats; bigrams via the
+      // same 1-based inclusive list slices as the dedup_clusters oracle
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id,
+        |   unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS gram
+        | FROM toks WHERE len(t) >= 2),
+        |tf AS (SELECT doc_id, gram, COUNT(*) AS tf FROM bg GROUP BY 1, 2),
+        |cf AS (SELECT gram, CAST(SUM(tf) AS BIGINT) AS cf2 FROM tf GROUP BY 1)
+        |SELECT doc_id,
+        | CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        | CAST(SUM(tf * cf2) AS BIGINT) AS sum_freq,
+        | MIN(cf2) AS min_freq,
+        | CAST(SUM(tf * cf2) AS DOUBLE) / CAST(SUM(tf) AS BIGINT) AS mean_freq
+        |FROM tf JOIN cf USING (gram)
+        |GROUP BY doc_id""".stripMargin,
     "doc_unigram_stats" ->
       // exact-integer projection of the unigram-LM scores; every SUM is
       // cast back to BIGINT (DuckDB widens SUM(BIGINT) to HUGEINT and

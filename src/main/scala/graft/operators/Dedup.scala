@@ -260,6 +260,43 @@ object Dedup {
     df.join(drops, id === col("__drop_id"), "left_anti")
   }
 
+  /** One survivor per TRANSITIVE near-dup component under a caller-chosen
+    * rank — the quality-aware canonical-document policy of production
+    * curation (near-dup clusters routinely mix a clean original with
+    * truncated / boilerplate-wrapped mirrors; min-id keeps whichever
+    * crawled first, this keeps the BEST one). `rank` is any Column over
+    * `df` (typically [[Quality.logisticQualityScore]]'s rational-sigmoid
+    * score — exact IEEE arithmetic, so the whole operator stays
+    * oracle-checkable); the survivor is the component member maximizing
+    * it, ties to the smaller id, making the choice deterministic and
+    * engine-portable.
+    *
+    * Scale shape: [[connectedComponents]] over the (tiny, thresholded)
+    * pair list, then the survivor pick is a map-side-combining
+    * `min_by(id, (-rank, id))` per component — no per-component window
+    * sort, a giant component costs the same as many small ones (the
+    * [[SemDedup.semanticPrune]] argument). The corpus shuffles once, in
+    * the final left_anti against the dropped members; docs outside any
+    * pair are untouched survivors by construction. Returns `df` filtered
+    * to survivors, schema unchanged.
+    */
+  def applyClusterDedupByRank(df: DataFrame, id: Column, pairs: DataFrame,
+                              rank: Column,
+                              checkpointEvery: Int = 4): DataFrame = {
+    val cc = connectedComponents(pairs, checkpointEvery = checkpointEvery)
+    val ranked = df.select(id.as("__rid"), rank.cast("double").as("__rank"))
+    val members = cc.join(ranked, col("id") === col("__rid"))
+    // min over (-rank, id) = max rank, tie → smaller id; ranks are finite
+    // IEEE doubles (negation exact), ids totally ordered
+    val keeps = members.groupBy(col("comp"))
+      .agg(min_by(col("id"), struct((-col("__rank")).as("r"), col("id")))
+        .as("__keep_id"))
+    val drops = members.join(keeps, "comp")
+      .filter(col("id") =!= col("__keep_id"))
+      .select(col("id").as("__drop_id"))
+    df.join(drops, id === col("__drop_id"), "left_anti")
+  }
+
   /** Transitive duplicate CLUSTERS from a pair list: iterative min-label
     * propagation — every vertex adopts the smallest id it can reach — to
     * fixpoint. [[applyPairDedup]]'s greedy one-pass policy is right for

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Kernels, VectorFunctions}
+import graft.functions.{Kernels, VectorFunctions, VectorSumAgg}
 
 /** IVF (inverted-file) approximate nearest neighbor — the centroid-
   * partitioned scale path complementing the SRP-LSH variant
@@ -125,6 +125,111 @@ object Ivf {
     import spark.implicits._
     val rows = centroids.toSeq.zipWithIndex.map { case (cn, i) => (i, cn) }
     IvfModel(rows.toDF("list_id", "centroid"), centroids)
+  }
+
+  /** Distributed spherical k-means (Lloyd) — the fit path for corpora
+    * whose geometry a bounded driver sample cannot represent (very large
+    * nlist, or heavy multi-modal structure where rare modes vanish from
+    * a 25k sample). [[fit]] remains the default — an IVF coarse
+    * quantizer genuinely only needs sample-level geometry — but when
+    * the centroids themselves are the product (cluster-balanced
+    * sampling, SemDeDup's cluster bound, corpus cartography), the fit
+    * must see every row, and that is this operator.
+    *
+    * Per iteration, ONE distributed pass:
+    *   - assignment is the [[Kernels.nearestCentroid]] argmax-cosine
+    *     codegen kernel over the broadcast centroid matrix — a narrow
+    *     projection, no shuffle, no row inflation;
+    *   - the update is a groupBy(list_id) of [[VectorSumAgg]] + count:
+    *     map-side partial merge means each task ships at most
+    *     nlist × dim doubles regardless of row count — the only
+    *     shuffle, k rows wide;
+    *   - the k (sum, n) rows collect to the driver (the model IS an
+    *     nlist × dim matrix), are renormalized (spherical), and embed
+    *     as literals in the next iteration's kernel.
+    *
+    * The LOGICAL PLAN is constant-size per iteration — each round's
+    * frame derives from the persisted base projection plus a fresh
+    * literal matrix, never from the previous round's frame, so there is
+    * no lineage growth to checkpoint (the connectedComponents lesson
+    * does not arise by construction). Early exit when every centroid
+    * moves by less than `tol` in cosine distance.
+    *
+    * Determinism: the kernel's argmax ties break to the lower list_id,
+    * and init picks the nlist rows with the smallest
+    * md5(id ++ "#" ++ seed) — hash order is uncorrelated with corpus
+    * layout, so the seeds spread like a uniform sample yet are exactly
+    * reproducible across partitionings and engines (the md5-rank trick
+    * of [[Sampling.hashSplit]]). Double summation order inside a list
+    * DOES vary with partitioning, so centroid floats are reproducible
+    * only to summation ulps — assignments on separated data are stable
+    * (spec-asserted); exact cross-engine hashes are not a goal here.
+    *
+    * Empty lists keep their previous centroid (same contract as [[fit]])
+    * so every list_id stays populated.
+    */
+  def fitDistributed(corpus: DataFrame, id: Column, vec: Column, nlist: Int,
+                     maxIter: Int = 10, tol: Double = 1e-6, seed: Long = 42L,
+                     persistInput: Boolean = true): IvfModel = {
+    require(nlist > 0, s"nlist must be positive, got $nlist")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val vecsRaw = corpus
+      .select(id.cast("string").as("__kid"), vec.cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    val vecs = if (persistInput)
+      vecsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else vecsRaw
+    try {
+      val initRows = vecs
+        .select(col("v"), md5(concat(col("__kid"), lit(s"#$seed"))).as("__h"))
+        .orderBy(col("__h")) // TakeOrderedAndProject: nlist rows to driver
+        .limit(nlist)
+        .collect()
+      require(initRows.nonEmpty, "Ivf.fitDistributed: empty input")
+      val k = initRows.length // < nlist iff corpus has fewer rows
+      val dim = initRows(0).getSeq[Double](0).length
+      def unit(a: Array[Double]): Array[Double] = {
+        var n = 0.0; var i = 0
+        while (i < a.length) { n += a(i) * a(i); i += 1 }
+        n = math.sqrt(n)
+        if (n > 0) { i = 0; while (i < a.length) { a(i) /= n; i += 1 } }
+        a
+      }
+      var mat = initRows.map(r => unit(r.getSeq[Double](0).toArray))
+      var iter = 0
+      var shift = Double.PositiveInfinity
+      while (iter < maxIter && shift > tol) {
+        val agg = vecs
+          .select(Kernels.nearestCentroidCol(col("v"), mat).as("list_id"),
+            col("v"))
+          .groupBy(col("list_id"))
+          .agg(VectorSumAgg.vectorSum(col("v"), dim).as("s"))
+          .collect()
+        val next = mat.map(_.clone()) // empty list keeps its centroid
+        agg.foreach { r =>
+          val c = r.getInt(0)
+          val s = r.getSeq[Double](1).toArray
+          var norm = 0.0; var d = 0
+          while (d < dim) { norm += s(d) * s(d); d += 1 }
+          if (norm > 0) next(c) = unit(s)
+        }
+        shift = 0.0
+        var c = 0
+        while (c < k) {
+          val move = 1.0 - localCosine(mat(c), next(c))
+          if (move > shift) shift = move
+          c += 1
+        }
+        mat = next
+        iter += 1
+      }
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val rows = mat.toSeq.zipWithIndex.map { case (cn, i) => (i, cn) }
+      IvfModel(rows.toDF("list_id", "centroid"), mat)
+    } finally {
+      if (persistInput) vecs.unpersist()
+    }
   }
 
   private def localCosine(a: Array[Double], b: Array[Double]): Double = {

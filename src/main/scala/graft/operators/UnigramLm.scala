@@ -74,4 +74,85 @@ object UnigramLm {
       .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
         col("min_freq"), col("mean_freq"), col("logprob"))
   }
+
+  /** Interpolated BIGRAM language-model scoring — one order up from
+    * [[docUnigramStats]], the closest Spark-shaped stand-in for the
+    * CCNet/Gopher KenLM perplexity filter: score each document by its
+    * mean conditional log-probability under
+    *
+    *   p(w2|w1) = λ · cf2(w1 w2)/left(w1) + (1−λ) · right(w2)/N2
+    *
+    * where cf2 is the corpus bigram count and BOTH marginals derive from
+    * the SAME bigram table — `left(w1) = Σ_w cf2(w1 w)` (context count:
+    * positions where w1 has a successor) and `right(w2) = Σ_w cf2(w w2)`
+    * (continuation mass), with `N2 = Σ cf2`. Deriving the marginals from
+    * cf2 instead of a separate token count removes the second corpus
+    * pass AND makes the conditional exact: left(w1) is precisely the
+    * denominator positions cf2 is counted over, so Σ_w2 p(w2|w1) = 1.
+    * Interpolation (λ < 1) keeps unseen-in-context bigrams finite — the
+    * continuation term is the Jelinek-Mercer backoff.
+    *
+    * Output: (doc_id, n_bigrams, sum_freq, min_freq, mean_freq, logprob)
+    * with the same oracle contract as [[docUnigramStats]]: the integer
+    * columns and the single-division mean are exact/hash-portable; the
+    * logprob is a libm+double-sum and is spec-checked with tolerance.
+    * Documents with fewer than 2 tokens have no bigrams and drop out
+    * (the inner-join semantics a caller left-joins back if needed).
+    *
+    * Scale shape (100 TB): ONE explode pass over per-row generated
+    * bigrams; per-(doc, gram) counts first so all downstream work runs
+    * on the reduced frame; the bigram vocabulary aggregates with
+    * map-side partials, its two marginals are vocab-sized groupBys of
+    * the vocab table itself (corpus never re-scanned), and the scored
+    * join broadcasts the vocabulary back (`broadcastVocab = false` for
+    * a shuffle join when the bigram vocab outgrows broadcast). `tf`
+    * fans out (vocab + score join) and is persisted by default.
+    */
+  def docBigramStats(df: DataFrame, id: Column, text: Column,
+                     lambda: Double = 0.75,
+                     broadcastVocab: Boolean = true,
+                     persistTf: Boolean = true): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda must be in (0,1]: $lambda")
+    val grams = df.select(id.as("doc_id"),
+      explode(TextFunctions.wordShingles(text, 2)).as("gram"))
+    val tfUncached = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("tf"))
+    val tf =
+      if (persistTf)
+        tfUncached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else tfUncached
+    val cf2 = tf.groupBy(col("gram")).agg(sum(col("tf")).as("cf2"))
+      .withColumn("__w1", substring_index(col("gram"), " ", 1))
+      .withColumn("__w2", substring_index(col("gram"), " ", -1))
+    // both marginals are groupBys of the VOCAB-SIZED cf2 table; persist
+    // it across its 3-way fan-out (left, right, score join)
+    val cf2P = cf2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val leftM = cf2P.groupBy(col("__w1")).agg(sum(col("cf2")).as("left_n"))
+    val rightM = cf2P.groupBy(col("__w2")).agg(sum(col("cf2")).as("right_n"))
+    val vocabAll = cf2P
+      .join(leftM, "__w1")
+      .join(rightM, "__w2")
+      .select(col("gram"), col("cf2"), col("left_n"), col("right_n"))
+    val vocab = if (broadcastVocab) broadcast(vocabAll) else vocabAll
+    val totals = cf2P.agg(sum(col("cf2")).as("__n2"))
+    tf.join(vocab, "gram")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("cf2")).as("sum_freq"),
+        min(col("cf2")).as("min_freq"),
+        sum(col("tf").cast("double") *
+            log(lit(lambda) * col("cf2").cast("double") /
+                  col("left_n").cast("double") +
+                lit(1.0 - lambda) * col("right_n").cast("double") /
+                  col("__n2").cast("double")))
+          .as("__sum_log_p"))
+      .withColumn("mean_freq",
+        col("sum_freq").cast("double") / col("n_bigrams").cast("double"))
+      .withColumn("logprob",
+        col("__sum_log_p") / col("n_bigrams").cast("double"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_freq"),
+        col("min_freq"), col("mean_freq"), col("logprob"))
+  }
 }

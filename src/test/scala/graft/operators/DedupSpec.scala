@@ -442,6 +442,35 @@ class DedupSpec extends SparkTestBase {
     // view that sees the whole chain
   }
 
+  test("applyClusterDedupByRank: keeps the best-ranked member per " +
+    "component, ties to min id, singletons untouched") {
+    import graft.TestSpark.spark.implicits._
+    // component {1,2,3,5} (chain), component {7,9}, singletons 4, 8
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.4), (5L, 0.9), // 2 and 5 tie on rank
+      (7L, 0.1), (9L, 0.8),
+      (4L, 0.0), (8L, 0.5)).toDF("id", "rank")
+    val pairs = Seq((1L, 5L), (5L, 3L), (7L, 9L), (1L, 2L))
+      .toDF("id_a", "id_b")
+    val kept = Dedup.applyClusterDedupByRank(docs, col("id"), pairs,
+        col("rank"))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    // chain: max rank 0.9 shared by 2 and 5 → min id 2 survives;
+    // pair: 9 outranks 7; singletons always survive
+    assert(kept == Set(2L, 9L, 4L, 8L))
+  }
+
+  test("applyClusterDedupByRank: constant rank degrades to min-id (the " +
+    "dedup_clusters survivor) and schema passes through") {
+    import graft.TestSpark.spark.implicits._
+    val docs = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "payload")
+    val pairs = Seq((2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.applyClusterDedupByRank(docs, col("id"), pairs, lit(1.0))
+    assert(out.columns.toSeq == Seq("id", "payload"))
+    assert(out.select(col("id")).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+  }
+
   test("SRP LSH-OR near-dup recovers every exact pair (recall vs bits=0)") {
     import graft.TestSpark.spark.implicits._
     // 40 base directions in R^16, each with a jittered near-duplicate —
