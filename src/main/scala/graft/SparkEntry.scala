@@ -1060,6 +1060,38 @@ object SparkEntry {
       Quality.logisticQualityScore(t(s, dir, "documents"), col("doc_id"),
         col("text"))
     }),
+    "c4_page_filter" -> ((s, dir) => {
+      // C4 §2.2 line+page rules (terminal punctuation, >=3 words/line,
+      // javascript lines, lorem-ipsum / brace pages, >=5 sentences).
+      // The harness corpus is single-line by construction, so the query
+      // derives a deterministic line-structured page per doc IN PLAN —
+      // 12-token lines; even docs' lines end with '.'; every 5th doc
+      // gains a javascript line, every 7th a lorem-ipsum line, every
+      // 11th a brace line — mirrored verbatim in the DuckDB oracle, so
+      // every rule path carries live data at every sf. The operator
+      // itself is pure builtin string arithmetic: the WHOLE output
+      // (clean text included) hash-matches.
+      import graft.operators.Quality
+      val docs = t(s, dir, "documents")
+      val toks = TextFunctions.tokens(col("text"))
+      val emptyArr = array().cast("array<string>")
+      val nl = ceil(size(toks).cast("double") / lit(12.0)).cast("int")
+      val body = transform(sequence(lit(1), nl),
+        i => concat(
+          array_join(slice(toks, (i - lit(1)) * lit(12) + lit(1), lit(12)),
+            " "),
+          when(col("doc_id") % 2 === 0, lit(".")).otherwise(lit(""))))
+      val page = concat_ws("\n", concat(body,
+        when(col("doc_id") % 5 === 0,
+          array(lit("see the javascript console output."))).otherwise(emptyArr),
+        when(col("doc_id") % 7 === 0,
+          array(lit("lorem ipsum dolor sit amet."))).otherwise(emptyArr),
+        when(col("doc_id") % 11 === 0,
+          array(lit("function demo() {"))).otherwise(emptyArr)))
+      Quality.c4PageFilter(
+        docs.select(col("doc_id"), page.as("page")),
+        col("doc_id"), col("page"))
+    }),
     "ngram_counts" -> ((s, dir) => {
       // corpus trigram count table (min support 2, top 100): the n-gram
       // LM / audit statistic generalizing vocabulary (n=1) and
@@ -1356,6 +1388,26 @@ object SparkEntry {
             lit(" of "), col("__n_corpus"))).isNull)
         .select(col("list_id"), col("n_vecs"), col("mean_cos"),
           col("min_cos"))
+    }),
+    "d4_prototype_prune" -> ((s, dir) => {
+      // the diversification half of D4 (SemDeDup is semantic_prune):
+      // SSL-prototype pruning drops the floor(dropFrac·n) most
+      // prototypical members of each embedding cluster — closest to
+      // centroid = least marginal information. Rows-only (the Lloyd
+      // centroid matrix is float-sum order-dependent) with the floor
+      // identity enforced IN-PLAN per cluster: a rank-logic regression
+      // fails every harness run, not just the spec.
+      import graft.operators.{Diversify, Ivf}
+      val embs = t(s, dir, "embeddings")
+      val dropFrac = 0.25
+      val model = Ivf.fitDistributed(embs, col("vec_id"), col("embedding"),
+        nlist = 16, maxIter = 8)
+      Diversify.prototypePruneProfile(embs, col("vec_id"),
+          col("embedding"), model, dropFrac)
+        .where(assert_true(
+          col("n_dropped") === floor(lit(dropFrac) * col("n_before")),
+          concat(lit("prototype prune floor identity broken on list "),
+            col("list_id"))).isNull)
     }),
     "pq_topk" -> ((s, dir) => { // IVF-PQ: compressed-candidate ANN, rows-only
       import graft.operators.{Ivf, Pq}
@@ -2043,6 +2095,53 @@ object SparkEntry {
     "gopher_repetition_flags" -> gopherRepetitionSql,
     "quality_logit" -> qualityLogitSql,
     "dedup_keep_best" -> dedupKeepBestSql,
+    "c4_page_filter" ->
+      // same in-plan page derivation as the Spark query (12-token
+      // lines, '.' on even docs, the three injected rule-trigger
+      // lines), then the C4 line+page rules in builtin string
+      // arithmetic — 1-based inclusive list slices, single-space word
+      // split, strpos/right instead of regex, replace-delta sentence
+      // counts
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |paged AS (SELECT doc_id,
+        |  array_to_string(
+        |    [array_to_string(t[(i-1)*12+1:(i-1)*12+12], ' ')
+        |       || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END
+        |     for i in range(1, CAST(ceil(len(t) / 12.0) AS BIGINT) + 1)]
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ['see the javascript console output.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ['lorem ipsum dolor sit amet.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ['function demo() {']
+        |         ELSE CAST([] AS VARCHAR[]) END,
+        |    chr(10)) AS page
+        |  FROM base),
+        |ln AS (SELECT doc_id, page, string_split(page, chr(10)) AS ls FROM paged),
+        |k AS (SELECT doc_id, page, ls,
+        |  list_filter(ls, l -> right(l, 1) IN ('.', '!', '?', '"', '''')
+        |    AND len(string_split(l, ' ')) >= 3
+        |    AND strpos(lower(l), 'javascript') = 0) AS ka
+        |  FROM ln),
+        |c AS (SELECT doc_id, page, ls, ka,
+        |  COALESCE(array_to_string(ka, chr(10)), '') AS clean_text FROM k),
+        |m AS (SELECT doc_id,
+        |  len(ls) AS n_lines,
+        |  len(ka) AS n_kept_lines,
+        |  clean_text,
+        |  (length(clean_text) - length(replace(clean_text, '.', '')))
+        |   + (length(clean_text) - length(replace(clean_text, '!', '')))
+        |   + (length(clean_text) - length(replace(clean_text, '?', ''))) AS n_sentences,
+        |  strpos(lower(page), 'lorem ipsum') > 0 AS has_lorem_ipsum,
+        |  strpos(page, '{') > 0 AS has_brace
+        |  FROM c)
+        |SELECT doc_id, n_lines, n_kept_lines, clean_text, n_sentences,
+        |  has_lorem_ipsum, has_brace,
+        |  n_sentences >= 5 AS flag_sentences,
+        |  n_sentences >= 5 AND NOT has_lorem_ipsum AND NOT has_brace AS keep
+        |FROM m""".stripMargin,
     "corpus_report" -> corpusReportSql,
     // the exact integer moment pass: quantized products sum exactly as
     // longs in both engines (micro-unit trick, bilinear form)

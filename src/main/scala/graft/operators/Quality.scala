@@ -252,6 +252,61 @@ object Quality {
         sum(when(col("__l"), 1L).otherwise(0L)).as("logit_keep"))
   }
 
+  /** C4-style page cleaning (Raffel et al. 2020, "Exploring the Limits
+    * of Transfer Learning...", §2.2) — the line-level companion to the
+    * document-level Gopher gate: per page, RETAIN only lines that end
+    * in a terminal punctuation mark, contain at least `minWordsPerLine`
+    * words and do not mention "javascript"; then DISCARD pages with
+    * fewer than `minSentences` sentences after cleaning, any page
+    * containing "lorem ipsum" and any page containing a curly brace
+    * (code leakage). Emits the cleaned text plus every measurement and
+    * flag so a pipeline can audit the drop reasons, like
+    * [[gopherQualityFlags]].
+    *
+    * Scale shape: pure projection, ZERO shuffle. The line predicate
+    * runs through a `filter` higher-order function — interpreted per
+    * LINE, not per token, so the per-row constant is lines-per-page
+    * (tens), unlike the token-loop kernels ([[graft.functions.Kernels]])
+    * where interpretation was the bill. Every term is builtin string
+    * arithmetic (last-char compare, single-space word split, substring
+    * search, replace-delta counts) — no libm, no engine-specific hash —
+    * so the full output is DuckDB-oracle-checkable.
+    *
+    * Sentence count = terminal-punctuation occurrences ('.', '!', '?')
+    * in the CLEANED text — C4's "sentence" is delimiter-based (they
+    * split on punctuation for the 3-sentence span dedup too); counting
+    * after line filtering means a dropped boilerplate line contributes
+    * no sentences, which is the paper's intent.
+    */
+  def c4PageFilter(docs: DataFrame, id: Column, text: Column,
+                   minWordsPerLine: Int = 3,
+                   minSentences: Int = 5): DataFrame = {
+    require(minWordsPerLine >= 1, s"minWordsPerLine >= 1: $minWordsPerLine")
+    require(minSentences >= 0, s"minSentences >= 0: $minSentences")
+    val lines = split(text, "\n", -1)
+    val keptArr = filter(lines, l =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"", "'") &&
+        size(split(l, " ", -1)) >= minWordsPerLine &&
+        instr(lower(l), "javascript") === 0)
+    val clean = array_join(keptArr, "\n")
+    def occ(c: Column, pat: String): Column =
+      length(c) - length(regexp_replace(c, pat, ""))
+    val nSentences = occ(clean, "\\.") + occ(clean, "!") + occ(clean, "\\?")
+    val hasLorem = instr(lower(text), "lorem ipsum") > 0
+    val hasBrace = instr(text, "{") > 0
+    docs.select(
+        id.as("doc_id"),
+        size(lines).as("n_lines"),
+        size(keptArr).as("n_kept_lines"),
+        clean.as("clean_text"),
+        nSentences.as("n_sentences"),
+        hasLorem.as("has_lorem_ipsum"),
+        hasBrace.as("has_brace"),
+        (nSentences >= minSentences).as("flag_sentences"))
+      .withColumn("keep",
+        col("flag_sentences") && !col("has_lorem_ipsum") && !col("has_brace"))
+  }
+
   /** Drop-reason histogram over the flags — the corpus-level audit a
     * curation run reports: how many documents each rule rejects
     * (non-exclusive: a doc failing two rules counts under both) plus

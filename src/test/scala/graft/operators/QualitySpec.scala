@@ -153,4 +153,58 @@ class QualitySpec extends SparkTestBase {
       .orderBy("doc_id").select("quality_score").as[Double].collect()
     assert(got(0) > got(1))
   }
+
+  // ---- C4 page cleaning --------------------------------------------------
+
+  private def c4(pages: Seq[(Long, String)], minSentences: Int = 5) = {
+    import graft.TestSpark.spark.implicits._
+    Quality.c4PageFilter(pages.toDF("doc_id", "text"), col("doc_id"),
+        col("text"), minSentences = minSentences)
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("c4PageFilter: line rules — terminal punctuation, min words, " +
+    "javascript") {
+    val page = Seq(
+      "this line ends with a period.",   // kept
+      "no terminal punctuation here",    // dropped: punct
+      "too short.",                      // dropped: 2 words
+      "enable javascript to continue.",  // dropped: javascript
+      "is this a question?",             // kept
+      "quoted line ends well.\"",        // kept: closing quote
+      "").mkString("\n")                 // dropped: empty
+    val r = c4(Seq((1L, page)), minSentences = 1)(1L)
+    assert(r.getInt(1) == 7)  // n_lines
+    assert(r.getInt(2) == 3)  // n_kept_lines
+    assert(r.getString(3) ==
+      "this line ends with a period.\nis this a question?\n" +
+        "quoted line ends well.\"")
+    // sentences in CLEAN text: 1 period + 1 question mark + 1 period
+    // inside the quoted line = 3
+    assert(r.getInt(4) == 3)
+    assert(r.getBoolean(8)) // keep: >=1 sentence, no lorem, no brace
+  }
+
+  test("c4PageFilter: page rules — lorem ipsum, braces, min sentences") {
+    val five = (1 to 5).map(i => s"sentence number $i is here.")
+      .mkString("\n")
+    val out = c4(Seq(
+      (1L, five),                                   // keep
+      (2L, five + "\nLorem Ipsum dolor sit amet."), // lorem (case-blind)
+      (3L, five + "\nfunction f() { return 1; }"),  // brace
+      (4L, (1 to 4).map(i => s"only sentence $i here.").mkString("\n"))))
+    assert(out(1L).getBoolean(8))
+    assert(!out(2L).getBoolean(8) && out(2L).getBoolean(5))
+    assert(!out(3L).getBoolean(8) && out(3L).getBoolean(6))
+    assert(!out(4L).getBoolean(8) && !out(4L).getBoolean(7)) // 4 < 5
+  }
+
+  test("c4PageFilter: single-line page degenerates to one line; " +
+    "dropped lines contribute no sentences") {
+    val out = c4(Seq((1L, "a single unpunctuated page like the corpus")))
+    val r = out(1L)
+    assert(r.getInt(1) == 1 && r.getInt(2) == 0)
+    assert(r.getString(3) == "" && r.getInt(4) == 0)
+    assert(!r.getBoolean(8))
+  }
 }
