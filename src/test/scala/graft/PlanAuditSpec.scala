@@ -523,6 +523,70 @@ class PlanAuditSpec extends SparkTestBase {
     assert(gram.contains("gram_sum"), gram)
   }
 
+  test("c4 page filter is a zero-exchange builtin-string projection") {
+    val plan = planOf(SparkEntry.queries("c4_page_filter")(spark, dir))
+    assert(dataExchanges(plan) == 0, plan)
+    // no physical join of any kind (array_join the EXPRESSION is fine)
+    for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!plan.contains(j), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("bigram LM: ONE explode pass; marginals derive from the count " +
+    "table; vocabulary joins broadcast (no sort-merge join)") {
+    val plan = planOf(SparkEntry.queries("doc_bigram_stats")(spark, dir))
+    // the persisted tf's cached subtree prints under every
+    // InMemoryTableScan, so count DISTINCT Generate lines: a second
+    // corpus explode (e.g. a separate unigram pass for the marginals)
+    // would appear as a structurally different one
+    val gens = plan.linesIterator.filter(_.contains("Generate explode"))
+      .map(_.dropWhile(!_.isLetter)).toSet
+    assert(gens.size == 1, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("partial"), plan)
+  }
+
+  test("dedup_keep_best: survivor pick is a map-side min_by aggregate, " +
+    "not a per-component window sort; no cartesian anywhere") {
+    val plan = planOf(SparkEntry.queries("dedup_keep_best")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("min_by"), plan)
+  }
+
+  test("distributed k-means iteration: kernel assignment + one " +
+    "map-side-combining nlist-row aggregate") {
+    import graft.functions.{Kernels, VectorSumAgg}
+    val embs = Tables.load(spark, dir, "embeddings")
+    val mat = Array.fill(4)(Array.fill(64)(0.5))
+    val iter = embs
+      .select(Kernels.nearestCentroidCol(
+        col("embedding").cast("array<double>"), mat).as("list_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .groupBy(col("list_id"))
+      .agg(VectorSumAgg.vectorSum(col("v"), 64).as("s"))
+    val plan = planOf(iter)
+    assert(dataExchanges(plan) == 1, plan) // only the nlist-row agg
+    assert(plan.contains("partial"), plan) // buffers merge map-side
+    assert(plan.contains("nearest_centroid"), plan) // codegen kernel
+    assert(plan.contains("vector_sum"), plan)
+  }
+
+  test("prototype prune: the rank window is the corpus's only exchange " +
+    "(keyed by the cluster assignment); drop set joins broadcast") {
+    import graft.operators.{Diversify, Ivf}
+    val embs = Tables.load(spark, dir, "embeddings")
+    val model = Ivf.fit(embs, col("embedding"), nlist = 4)
+    val kept = Diversify.sslPrototypePrune(embs, col("vec_id"),
+      col("embedding"), model, dropFrac = 0.25)
+    val plan = planOf(kept)
+    assert(dataExchanges(plan) == 1, plan)
+    assert(plan.contains("hashpartitioning(list_id"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("no expensive kernel is evaluated inside a Filter or scan " +
     "(InferFiltersFromGenerate / join-key isnotnull pushdown)") {
     // The failure mode (round 10): a posexplode over a kernel-derived
