@@ -167,10 +167,22 @@ object Ivf {
     *
     * Empty lists keep their previous centroid (same contract as [[fit]])
     * so every list_id stays populated.
+    *
+    * `quantScale > 0` switches the update to
+    * [[VectorSumAgg.vectorSumQuantized]]: each element quantizes to
+    * floor(x·scale + 0.5) before summing, so the summands are integral
+    * doubles whose addition is EXACT and order-independent — the whole
+    * fit becomes bit-reproducible across partitionings, executor counts
+    * and re-runs (spherical normalization cancels the scale factor, so
+    * no de-scaling is needed). The cost is ~1/scale absolute centroid
+    * quantization per update — at the 1e6 default granularity, noise
+    * far below any clustering signal. 0 disables (raw IEEE sums,
+    * reproducible only to summation ulps).
     */
   def fitDistributed(corpus: DataFrame, id: Column, vec: Column, nlist: Int,
                      maxIter: Int = 10, tol: Double = 1e-6, seed: Long = 42L,
-                     persistInput: Boolean = true): IvfModel = {
+                     persistInput: Boolean = true,
+                     quantScale: Double = 1e6): IvfModel = {
     require(nlist > 0, s"nlist must be positive, got $nlist")
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val vecsRaw = corpus
@@ -199,11 +211,15 @@ object Ivf {
       var iter = 0
       var shift = Double.PositiveInfinity
       while (iter < maxIter && shift > tol) {
+        val sumAgg =
+          if (quantScale > 0)
+            VectorSumAgg.vectorSumQuantized(col("v"), dim, quantScale)
+          else VectorSumAgg.vectorSum(col("v"), dim)
         val agg = vecs
           .select(Kernels.nearestCentroidCol(col("v"), mat).as("list_id"),
             col("v"))
           .groupBy(col("list_id"))
-          .agg(VectorSumAgg.vectorSum(col("v"), dim).as("s"))
+          .agg(sumAgg.as("s"))
           .collect()
         val next = mat.map(_.clone()) // empty list keeps its centroid
         agg.foreach { r =>

@@ -252,6 +252,35 @@ object Quality {
         sum(when(col("__l"), 1L).otherwise(0L)).as("logit_keep"))
   }
 
+  /** The Gopher rule conjunction as a single COLUMN over `text` — the
+    * in-row form for contexts where a projection is all there is (a
+    * streaming micro-batch gate, a WHERE clause, a CASE arm). Same
+    * formulas and paper-default thresholds as [[gopherQualityFlags]]'
+    * `keep`; use the DataFrame form when the per-rule audit columns
+    * matter.
+    */
+  def gopherKeepCol(text: Column): Column = {
+    val f = feats(text)
+    f.nWords.between(50, 100000) && f.meanLen.between(3.0, 10.0) &&
+      f.symbolRatio <= 0.1 && f.alphaFrac >= 0.8 && f.nStop >= 2
+  }
+
+  /** The rational-sigmoid quality score as a single COLUMN over `text`
+    * — [[logisticQualityScore]]'s `quality_score` in in-row form, same
+    * weights, same fixed-order chain.
+    */
+  def logitScoreCol(text: Column,
+                    w: LogitWeights = DefaultLogitWeights): Column = {
+    val f = feats(text)
+    def guard(c: Column): Column = when(f.nWords > 0, c).otherwise(lit(0.0))
+    val logit = lit(w.bias) +
+      lit(w.alphaFrac) * guard(f.alphaFrac) +
+      lit(w.stopFrac) * guard(f.nStop.cast("double") / f.nWords.cast("double")) +
+      lit(w.symbolRatio) * guard(f.symbolRatio) +
+      lit(w.meanWordLen) * f.meanLen
+    logit / (lit(1.0) + abs(logit))
+  }
+
   /** C4-style page cleaning (Raffel et al. 2020, "Exploring the Limits
     * of Transfer Learning...", §2.2) — the line-level companion to the
     * document-level Gopher gate: per page, RETAIN only lines that end

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -252,5 +252,25 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  /** Stateless quality gate for a document stream — the ingest-time
+    * companion to [[graft.operators.Dedup.decontaminationGate]]: the
+    * Gopher rule conjunction and the rational-logit score are pure
+    * per-row projections ([[graft.operators.Quality.gopherKeepCol]] /
+    * `logitScoreCol`), so they apply to a streaming frame unchanged —
+    * no watermark, no state store, no shuffle; rejected documents never
+    * reach the sink, and the surviving rows carry their score for
+    * downstream threshold re-cuts. Works identically on a batch frame
+    * (same plan), which is what the spec asserts.
+    */
+  def qualityGateStream(docs: DataFrame, text: Column,
+                        minScore: Double = 0.5,
+                        applyGopherRules: Boolean = true): DataFrame = {
+    import graft.operators.Quality
+    val scored = docs.withColumn("quality_score", Quality.logitScoreCol(text))
+    val gated = scored.filter(col("quality_score") >= minScore)
+    if (applyGopherRules) gated.filter(Quality.gopherKeepCol(text))
+    else gated
   }
 }

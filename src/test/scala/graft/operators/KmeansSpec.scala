@@ -53,10 +53,33 @@ class KmeansSpec extends SparkTestBase {
       col("embedding"), nlist = 3, maxIter = 5, seed = 7L).matrix
     val b = Ivf.fitDistributed(df.repartition(7), col("vec_id"),
       col("embedding"), nlist = 3, maxIter = 5, seed = 7L).matrix
-    // integer-valued sums are exact doubles → identical bits regardless
-    // of partition/summation order; init is md5-ranked → layout-free
+    // quantized sums are exact integral doubles → identical bits
+    // regardless of partition/summation order; init is md5-ranked →
+    // layout-free
     assert(a.length == b.length)
     a.zip(b).foreach { case (ca, cb) => assert(ca.sameElements(cb)) }
+  }
+
+  test("quantScale makes the fit bit-reproducible across partitionings " +
+    "on arbitrary FLOAT coordinates too") {
+    import graft.TestSpark.spark.implicits._
+    // non-integral, non-dyadic coordinates: raw double summation order
+    // would differ at ulp level across partitionings; quantization
+    // makes the update sums exact integers
+    val rows = (0 until 60).map { i =>
+      val g = i % 3
+      val base = Array.fill(4)(0.1 + (i % 7) * 0.3 / 7.0)
+      base(g) = 10.0 + i * 0.01
+      (i.toLong, base.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val a = Ivf.fitDistributed(df.repartition(1), col("vec_id"),
+      col("embedding"), nlist = 3, maxIter = 6, seed = 7L).matrix
+    val b = Ivf.fitDistributed(df.repartition(11), col("vec_id"),
+      col("embedding"), nlist = 3, maxIter = 6, seed = 7L).matrix
+    a.zip(b).foreach { case (ca, cb) =>
+      assert(ca.sameElements(cb), "quantized fit diverged across layouts")
+    }
   }
 
   test("fitDistributed keeps every list populated when nlist exceeds " +

@@ -284,6 +284,39 @@ class StreamsSpec extends SparkTestBase {
     assert(kept == Seq(1L, 3L), s"kept $kept")
     q.stop()
   }
+
+  test("qualityGateStream: stateless Gopher+logit gate filters a stream " +
+    "and agrees with the batch plan") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // 1: fluent 50+ words with stopwords → passes both gates
+    // 2: symbol soup → fails (alpha frac + symbol ratio)
+    val fluent = ("the data pipeline reads events and writes hourly " +
+      "aggregates to the serving store with careful handling of late " +
+      "arrivals and that process repeats for every source we have " +
+      "registered so far including batch and stream inputs alike " +
+      "which keeps the curated corpus fresh and consistent over time " +
+      "for the training runs that consume it downstream every day")
+    val junk = Seq.fill(60)("#x@").mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    val gated = Streams.qualityGateStream(
+      mem.toDF().toDF("doc_id", "text"), col("text"))
+    val q = gated.writeStream.format("memory").queryName("quality_stream")
+      .outputMode("append").start()
+    mem.addData((1L, fluent), (2L, junk))
+    q.processAllAvailable()
+    val kept = spark.table("quality_stream").select("doc_id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L), s"kept $kept")
+    q.stop()
+    // batch form: SAME function, same plan, same verdicts
+    val batchKept = Streams.qualityGateStream(
+        Seq((1L, fluent), (2L, junk)).toDF("doc_id", "text"), col("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(batchKept == Seq(1L))
+  }
 }
 
 object TestSpark {
