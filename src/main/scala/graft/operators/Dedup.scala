@@ -346,6 +346,15 @@ object Dedup {
     * only for shallow graphs where pinning checkpoint blocks for the
     * run's lifetime matters more than plan hygiene.
     *
+    * Size-gated hybrid: when the materialized pair count is at most
+    * `driverEdgeLimit` (default 2M — ~80 MB of driver arrays), the
+    * labels come from driver-side union-find over the collected pairs
+    * instead of the loop: identical min-reachable-id output, none of
+    * the per-round scheduler latency that dominates small graphs (a
+    * few hundred thresholded near-dup pairs do not deserve ten Spark
+    * jobs). The distributed loop is the contract for everything above
+    * the limit; pass `driverEdgeLimit = 0` to force it.
+    *
     * Contract: throws IllegalStateException if maxIter rounds don't reach
     * the fixpoint (silently returning split components would corrupt
     * downstream canonical-doc picks); raise maxIter for deep chains. The
@@ -355,10 +364,14 @@ object Dedup {
     * if they need total coverage.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
-                          checkpointEvery: Int = 4): DataFrame = {
+                          checkpointEvery: Int = 4,
+                          driverEdgeLimit: Long = 2000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(checkpointEvery >= 0,
       s"checkpointEvery must be >= 0 (0 = off), got $checkpointEvery")
+    require(driverEdgeLimit >= 0,
+      s"driverEdgeLimit must be >= 0 (0 = always distributed), got " +
+        driverEdgeLimit)
     // reliable checkpoint when a dir is configured, executor-local
     // otherwise — the trade-off documented in the contract note above
     def truncate(df: DataFrame): DataFrame =
@@ -373,6 +386,61 @@ object Dedup {
     val callerCached = pairs.storageLevel != StorageLevel.NONE
     val p = if (callerCached) pairs
       else pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    // Size-gated driver fast path: label propagation pays ~1 s of
+    // scheduler latency PER ROUND (join + agg + convergence action +
+    // periodic checkpoint — several multi-stage jobs) regardless of
+    // data size, so a small pair graph burns seconds of fixed cost on
+    // microseconds of work. Near-dup pair lists are usually small even
+    // when the corpus is not (they're threshold-filtered), so when the
+    // materialized pair count fits `driverEdgeLimit`, collect it and
+    // run union-find on the driver: identical output by construction
+    // (component label = min reachable id — union-by-min-root keeps
+    // exactly that invariant), deterministic under any edge order, and
+    // ~80 MB of driver arrays at the 2M default (well under any sane
+    // driver heap). Above the limit — the genuinely big graphs the
+    // operator exists for — the distributed loop below runs unchanged.
+    // The count is one cheap aggregate over the already-persisted pair
+    // frame the loop would materialize anyway. `driverEdgeLimit = 0`
+    // forces the distributed path (the lineage specs pin it).
+    val pairCount = p.count()
+    if (pairCount <= driverEdgeLimit) {
+      val rows = p.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect()
+      if (!callerCached) p.unpersist()
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](
+        math.max(16, rows.length * 2))
+      def find(x0: Long): Long = {
+        var x = x0
+        var px = parent.get(x).longValue()
+        while (px != x) {
+          val ppx = parent.get(px).longValue()
+          parent.put(x, ppx) // path halving
+          x = ppx
+          px = parent.get(x).longValue()
+        }
+        x
+      }
+      rows.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val labelled = new Array[(Long, Long)](parent.size())
+      val it = parent.keySet().iterator()
+      var i = 0
+      while (it.hasNext) {
+        val id = it.next().longValue()
+        labelled(i) = (id, find(id))
+        i += 1
+      }
+      return labelled.toSeq.toDF("id", "comp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     // edges joins into EVERY round's plan — truncating its lineage here
     // (one materialization, which the persist below pays anyway) keeps
     // the pair-generation plan from re-inlining into each round

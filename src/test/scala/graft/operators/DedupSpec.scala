@@ -372,11 +372,12 @@ class DedupSpec extends SparkTestBase {
     // a 6-vertex chain has diameter 5: maxIter=2 cannot reach fixpoint
     val chain = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 2)
+      Dedup.connectedComponents(chain, maxIter = 2, driverEdgeLimit = 0)
     }
     assert(e.getMessage.contains("did not converge"))
     // with enough rounds the same chain collapses to component 0
-    val ok = Dedup.connectedComponents(chain, maxIter = 10)
+    val ok = Dedup.connectedComponents(chain, maxIter = 10,
+      driverEdgeLimit = 0)
     assert(ok.collect().map(_.getLong(1)).toSet == Set(0L))
     ok.unpersist()
   }
@@ -396,7 +397,8 @@ class DedupSpec extends SparkTestBase {
     // 200-vertex chain (diameter 199): pointer jumping needs 10+ rounds,
     // so every checkpoint interval fires several times
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(chain, maxIter = 40, checkpointEvery = 3)
+    val cc = Dedup.connectedComponents(chain, maxIter = 40,
+      checkpointEvery = 3, driverEdgeLimit = 0)
     val rows = cc.collect()
     assert(rows.length == 200, rows.length)
     assert(rows.map(_.getLong(1)).toSet == Set(0L))
@@ -412,10 +414,13 @@ class DedupSpec extends SparkTestBase {
     // the r9 bench timeout was the DEFAULT path: checkpointEvery used to
     // be 0, so a many-round graph quadrupled its plan per round and each
     // convergence action stringified a multi-GiB plan. The default is
-    // now 4 — pin that a deep chain run with NO explicit argument still
-    // bottoms out at a checkpoint leaf with a small plan string.
+    // now 4 — pin that a deep chain run on the DISTRIBUTED path with the
+    // default checkpoint cadence still bottoms out at a checkpoint leaf
+    // with a small plan string (driverEdgeLimit = 0 forces the loop —
+    // the size gate would otherwise take this small fixture driver-side)
     val chain = (0L until 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(chain, maxIter = 40)
+    val cc = Dedup.connectedComponents(chain, maxIter = 40,
+      driverEdgeLimit = 0)
     assert(cc.collect().map(_.getLong(1)).toSet == Set(0L))
     val plan = cc.queryExecution.optimizedPlan.toString
     assert(plan.contains("ExistingRDD"), plan)
@@ -440,6 +445,28 @@ class DedupSpec extends SparkTestBase {
     // greedy applyPairDedup would keep 3 (only GREATER pair members drop,
     // and 3 is smaller than its direct partner 5) — clustering is the
     // view that sees the whole chain
+  }
+
+  test("connectedComponents: driver union-find fast path == the " +
+    "distributed loop on random graphs (exact label sets)") {
+    import graft.TestSpark.spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      // random sparse graph over a scattered id space: chains, smalls,
+      // singleton-free by construction (every id appears in a pair)
+      val n = 60 + trial * 40
+      val pairs = (0 until n).map { _ =>
+        val a = rnd.nextInt(50) * 7L + rnd.nextInt(3)
+        val b = rnd.nextInt(50) * 7L + rnd.nextInt(3)
+        if (a <= b) (a, b + 1) else (b, a)
+      }.toDF("id_a", "id_b")
+      val fast = Dedup.connectedComponents(pairs)
+      val slow = Dedup.connectedComponents(pairs, driverEdgeLimit = 0)
+      val f = fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val s = slow.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(f == s, s"trial $trial: driver and distributed labels differ")
+      fast.unpersist(); slow.unpersist()
+    }
   }
 
   test("applyClusterDedupByRank: keeps the best-ranked member per " +
