@@ -1254,6 +1254,52 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
           col("min_freq"), col("mean_freq"))
     }),
+    // ----- LLM-pipeline: DSIR data selection ----------------------------
+    "dsir_weights" -> ((s, dir) => {
+      // DSIR (Xie 2023) importance statistics of the raw corpus (every
+      // source but src0) against the src0 target slice — the
+      // decontamination-style src0-as-reference convention. Portable
+      // md5 bucket hashing, so the exact-integer columns and the two
+      // single-division doubles are oracle-hashed end to end; the libm
+      // log_weight column is spec-checked (DsirSpec) and projected out.
+      import graft.operators.Dsir
+      val docs = t(s, dir, "documents")
+      Dsir.importanceWeights(
+        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+        buckets = 1024)
+        .select(col("doc_id"), col("n_grams"), col("n_feats"),
+          col("sum_target_freq"), col("sum_raw_freq"),
+          col("min_target_freq"), col("mean_target_freq"),
+          col("target_ratio"))
+    }),
+    "dsir_select" -> ((s, dir) => {
+      // the exact-arithmetic selection twin: top-200 most target-like
+      // raw docs by the bit-portable target_ratio (ties -> lower id).
+      // Same TakeOrderedAndProject plan as the production Gumbel form.
+      import graft.operators.Dsir
+      val docs = t(s, dir, "documents")
+      val w = Dsir.importanceWeights(
+        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+        buckets = 1024)
+      Dsir.selectTopK(w, 200)
+        .select(col("doc_id"), col("n_grams"), col("target_ratio"))
+    }),
+    "dsir_resample" -> ((s, dir) => {
+      // the paper's production path: Gumbel top-k sampling without
+      // replacement with P(doc) ∝ w(doc) over the engine-hash (xxhash64)
+      // feature space. libm on top of libm -> rows-only here; DsirSpec
+      // pins determinism, exact-k and the selection bias.
+      import graft.operators.Dsir
+      val docs = t(s, dir, "documents")
+      val w = Dsir.importanceWeights(
+        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+        buckets = 1024, portableHash = false)
+      Dsir.gumbelResample(w, 200)
+        .select(col("doc_id"), col("n_grams"), col("log_weight"))
+    }),
     // ----- LLM-pipeline: similarity search ------------------------------
     "cosine_topk" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
@@ -2005,6 +2051,45 @@ object SparkEntry {
        |  logit / (1.0 + abs(logit)) >= $thr AS keep
        |FROM g""".stripMargin
   }
+
+  /** Shared CTE prefix of the dsir_weights / dsir_select oracles:
+    * unigram+bigram features of the raw (non-src0) and target (src0)
+    * corpora, the portable md5 60-bit bucket (mod 1024 — non-negative
+    * operand, so `%` matches Spark's `pmod`), and the full-outer
+    * smoothed-count model — the DuckDB rendering of
+    * [[graft.operators.Dsir.hashedFeatures]] + `bucketModel`. Ends
+    * without a trailing comma so callers append either the final SELECT
+    * or another CTE.
+    */
+  private val dsirWeightsSql: String =
+    """WITH rtoks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |  FROM documents WHERE source <> 'src0'),
+      |ttoks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |  FROM documents WHERE source = 'src0'),
+      |rg AS (SELECT doc_id, unnest(t) AS gram FROM rtoks
+      | UNION ALL
+      | SELECT doc_id,
+      |  unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS gram
+      | FROM rtoks WHERE len(t) >= 2),
+      |tg AS (SELECT doc_id, unnest(t) AS gram FROM ttoks
+      | UNION ALL
+      | SELECT doc_id,
+      |  unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS gram
+      | FROM ttoks WHERE len(t) >= 2),
+      |rf AS (SELECT doc_id,
+      |  ('0x' || substr(md5('dsir#' || gram), 1, 15))::BIGINT % 1024 AS bucket,
+      |  COUNT(*) AS c
+      | FROM rg GROUP BY 1, 2),
+      |bt AS (SELECT
+      |  ('0x' || substr(md5('dsir#' || gram), 1, 15))::BIGINT % 1024 AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt_t
+      | FROM tg GROUP BY 1),
+      |br AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cnt_r
+      | FROM rf GROUP BY 1),
+      |model AS (SELECT COALESCE(bt.bucket, br.bucket) AS bucket,
+      |  COALESCE(cnt_t, 0) AS cnt_t, COALESCE(cnt_r, 0) AS cnt_r
+      | FROM bt FULL OUTER JOIN br ON bt.bucket = br.bucket)
+      |""".stripMargin
 
   /** Generated oracle for dedup_keep_best: the dedup_clusters recursive
     * CTE (components over the exact 3-gram Jaccard ≥ 0.5 pair graph)
@@ -3485,6 +3570,35 @@ object SparkEntry {
         | CAST(SUM(tf * cf2) AS DOUBLE) / CAST(SUM(tf) AS BIGINT) AS mean_freq
         |FROM tf JOIN cf USING (gram)
         |GROUP BY doc_id""".stripMargin,
+    "dsir_weights" ->
+      // DSIR hashed-ngram importance stats: same md5 60-bit bucket as
+      // the Spark portable path (('0x'||15 hex)::BIGINT is exact), the
+      // integer columns cast back to BIGINT (HUGEINT rule), and the two
+      // ratio columns each a single IEEE division over exact longs
+      (dsirWeightsSql +
+      """SELECT doc_id,
+        | CAST(SUM(c) AS BIGINT) AS n_grams,
+        | COUNT(*) AS n_feats,
+        | CAST(SUM(c * cnt_t) AS BIGINT) AS sum_target_freq,
+        | CAST(SUM(c * cnt_r) AS BIGINT) AS sum_raw_freq,
+        | MIN(cnt_t) AS min_target_freq,
+        | CAST(SUM(c * cnt_t) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+        |   AS mean_target_freq,
+        | CAST(SUM(c * cnt_t) AS DOUBLE) /
+        |   (CAST(SUM(c * cnt_r) AS BIGINT) + 1) AS target_ratio
+        |FROM rf JOIN model USING (bucket)
+        |GROUP BY doc_id""".stripMargin),
+    "dsir_select" ->
+      (dsirWeightsSql +
+      """, w AS (SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_grams,
+        |  CAST(SUM(c * cnt_t) AS DOUBLE) /
+        |    (CAST(SUM(c * cnt_r) AS BIGINT) + 1) AS target_ratio
+        | FROM rf JOIN model USING (bucket)
+        | GROUP BY doc_id)
+        |SELECT doc_id, n_grams, target_ratio FROM w
+        |ORDER BY target_ratio DESC, doc_id ASC
+        |LIMIT 200""".stripMargin),
     "doc_unigram_stats" ->
       // exact-integer projection of the unigram-LM scores; every SUM is
       // cast back to BIGINT (DuckDB widens SUM(BIGINT) to HUGEINT and
