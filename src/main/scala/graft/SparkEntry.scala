@@ -1603,6 +1603,67 @@ object SparkEntry {
           concat(lit("SemDeDup cluster recall below floor: "),
             col("recall"))).isNull)
     }),
+    "semantic_contamination_exact" -> ((s, dir) => {
+      // Cross-set (train vs eval) embedding contamination, exact twin:
+      // nlist=0 -> broadcast nested-loop all-pairs over the tiny eval
+      // side. label=0 plays the held-out benchmark (the src0 convention
+      // from dsir_weights applied to embeddings); the vec_id < 1000 cap
+      // bounds the anchor to constant cost as sf grows, same contract
+      // as embed_near_dup_exact. ORACLE ANCHOR — production is the
+      // IVF-bucketed form below.
+      import graft.operators.SemDedup
+      val embs = t(s, dir, "embeddings").filter(col("vec_id") < 1000L)
+      SemDedup.crossContamination(
+        embs.filter(col("label") =!= 0), col("vec_id"), col("embedding"),
+        embs.filter(col("label") === 0), col("vec_id"), col("embedding"),
+        minCosine = 0.35, dim = 64, nlist = 0)
+    }),
+    "semantic_contamination" -> ((s, dir) => {
+      // the production path, uncapped: IVF assignment of the train side
+      // (projection, zero exchange), eval probe lists broadcast,
+      // candidate join on list_id. Engine-dependent recall at the
+      // nlist/nprobe operating point -> rows-only; the _recall gate
+      // below holds it to an identity + floor contract.
+      import graft.operators.SemDedup
+      val embs = t(s, dir, "embeddings")
+      SemDedup.crossContamination(
+        embs.filter(col("label") =!= 0), col("vec_id"), col("embedding"),
+        embs.filter(col("label") === 0), col("vec_id"), col("embedding"),
+        minCosine = 0.35, dim = 64, nlist = 16, nprobe = 4)
+    }),
+    "semantic_contamination_recall" -> ((s, dir) => {
+      // In-plan gate, same two claims as semantic_dup_recall: every
+      // bucketed pair is an exact pair (identity — left_semi hit count
+      // equals the bucketed count), and probe-miss recall stays above
+      // the floor. Floor 0.5 measured 0.70/0.67/0.74 at sf0.001/0.01/0.1
+      // (nlist=4, nprobe=2 on the capped range, seeded fit -> run-stable)
+      // on uniform embeddings — adversarial placement: τ=0.35 pairs sit
+      // AT the cluster boundary, so nprobe=2-of-4 misses ~30%; real
+      // contaminated pairs (cos→1) co-cluster and the production
+      // nprobe=4-of-16 point probes a similar list fraction.
+      import graft.operators.SemDedup
+      val embs = t(s, dir, "embeddings").filter(col("vec_id") < 1000L)
+      def pairs(nl: Int, np: Int) = SemDedup.crossContamination(
+        embs.filter(col("label") =!= 0), col("vec_id"), col("embedding"),
+        embs.filter(col("label") === 0), col("vec_id"), col("embedding"),
+        minCosine = 0.35, dim = 64, nlist = nl, nprobe = np)
+        .select("train_id", "eval_id")
+      val exact = pairs(0, 1)
+      val bucketed = pairs(4, 2)
+      val nHit = bucketed.join(exact, Seq("train_id", "eval_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(bucketed.agg(count(lit(1)).as("n_bucketed")))
+        .crossJoin(nHit)
+        .withColumn("recall",
+          col("n_hit") / greatest(col("n_exact"), lit(1L)))
+        .withColumn("recall_floor", lit(0.5))
+        .where(assert_true(col("n_hit") === col("n_bucketed"),
+          lit("bucketed contamination pair outside the exact pair set")).isNull)
+        .where(assert_true(col("recall") >= col("recall_floor"),
+          concat(lit("cross-contamination recall below floor: "),
+            col("recall"))).isNull)
+    }),
     "corpus_pack" -> ((s, dir) => {
       // concat-and-chunk sequence packing: where each doc's tokens start
       // in its source's fixed-512-token training windows. One exchange
@@ -3645,6 +3706,18 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_inner_product(a.e, b.e) /
         |  (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.5""".stripMargin,
+    // Cross-set contamination exact twin: same list-cosine kernel, the
+    // join asymmetric (train = label<>0, eval = label=0) instead of the
+    // id_a < id_b self-pair triangle.
+    "semantic_contamination_exact" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 1000)
+        |SELECT a.vec_id AS train_id, b.vec_id AS eval_id,
+        | list_inner_product(a.e, b.e) /
+        |  (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) AS cosine
+        |FROM v a JOIN v b ON a.label <> 0 AND b.label = 0
+        |WHERE list_inner_product(a.e, b.e) /
+        |  (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.35""".stripMargin,
     // The SRP LSH path verifies its candidates with the exact cosine
     // kernel and recovers the full exact pair set at its operating point
     // (DedupSpec recall test), so it is held to the SAME exact oracle.

@@ -127,4 +127,57 @@ object SemDedup {
       }
     df.join(drops, id === col("__drop_id"), "left_anti")
   }
+
+  /** Cross-set semantic contamination: flag TRAIN documents whose
+    * embedding is ≥ `minCosine`-similar to any EVAL document — the
+    * embedding analog of the n-gram [[Dedup]] contamination check, used
+    * to decontaminate a pretraining corpus against held-out benchmark
+    * suites when near-verbatim overlap has been paraphrased away (the
+    * concern SemDeDup §4 raises for within-corpus duplicates applies
+    * verbatim across the train/eval boundary). Emits every matching
+    * `(train_id, eval_id, cosine)` pair, exact score attached — the
+    * caller left_anti-joins the distinct train ids to drop, or audits
+    * per-benchmark hit counts.
+    *
+    * Asymmetry is the whole design: eval suites are 1e3–1e6 rows while
+    * the corpus is 1e9+, so the EVAL side (its `nprobe` probe lists per
+    * row — a per-row kernel over the broadcast centroid matrix, no
+    * shuffle) is broadcast and the train side is touched exactly once,
+    * in place: assignment is a projection (same codegen argmin kernel as
+    * [[Ivf.assign]]) and the candidate join is broadcast-hash on
+    * `list_id` — ZERO exchange on the 100-TB side. Recall follows the
+    * IVF operating point (raise `nprobe` toward `nlist` to trade cost
+    * for recall; the registered gate measures it on uniform embeddings,
+    * the adversarial case).
+    *
+    * `nlist <= 1` degenerates to the verified all-pairs exact twin
+    * (broadcast nested-loop over the tiny eval side — the DuckDB oracle
+    * anchor, never a production path).
+    */
+  def crossContamination(train: DataFrame, trainId: Column, trainVec: Column,
+                         evalDf: DataFrame, evalId: Column, evalVec: Column,
+                         minCosine: Double, dim: Int, nlist: Int,
+                         nprobe: Int = 1, seed: Long = 42L): DataFrame = {
+    require(minCosine > 0.0 && minCosine <= 1.0,
+      s"minCosine in (0, 1], got $minCosine")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    if (nlist <= 1) {
+      val a = train.select(trainId.as("train_id"), trainVec.as("tv"))
+      val b = evalDf.select(evalId.as("eval_id"), evalVec.as("ev"))
+      a.crossJoin(broadcast(b))
+        .select(col("train_id"), col("eval_id"),
+          VectorFunctions.cosine(col("tv"), col("ev")).as("cosine"))
+        .filter(col("cosine") >= minCosine)
+    } else {
+      val model = Ivf.fit(train, trainVec, nlist, seed = seed)
+      val probes = evalDf.select(evalId.as("eval_id"), evalVec.as("ev"),
+        explode(graft.functions.Kernels.topCentroidsCol(
+          evalVec, model.matrix, math.min(nprobe, nlist))).as("list_id"))
+      Ivf.assign(model, train, trainId, trainVec)
+        .join(broadcast(probes), Seq("list_id"))
+        .select(col("vec_id").as("train_id"), col("eval_id"),
+          VectorFunctions.cosine(col("v"), col("ev")).as("cosine"))
+        .filter(col("cosine") >= minCosine)
+    }
+  }
 }

@@ -69,6 +69,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("nearest_centroid"), plan)  // the argmin kernel, codegen'd
   }
 
+  test("cross-set contamination broadcasts eval, never exchanges train") {
+    import graft.operators.SemDedup
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = SemDedup.crossContamination(
+      embs.filter(col("label") =!= 0), col("vec_id"), col("embedding"),
+      embs.filter(col("label") === 0), col("vec_id"), col("embedding"),
+      minCosine = 0.35, dim = 64, nlist = 4, nprobe = 2)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only allowed Exchange is the broadcast of the tiny eval probe
+    // side — the train side must reach the join as scan+project only
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("IVF probe list is a per-row kernel on the query side (no crossJoin)") {
     import graft.operators.Ivf
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")

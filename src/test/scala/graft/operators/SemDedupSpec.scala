@@ -127,4 +127,54 @@ class SemDedupSpec extends SparkTestBase {
         minCosine = 0.0, dim = 4, nlist = 1)
     }
   }
+
+  // Cross-set contamination: eval prototypes on the two family axes.
+  // Exact expectation at tau=0.9: every family member flags against its
+  // axis prototype (cos = 1), loners 20/21 stay clean, and train-internal
+  // duplicate pairs are NOT emitted (cross-set only).
+  private def evalSet = Seq(
+    (100L, Array(1f, 0f, 0f, 0f)), (101L, Array(0f, 1f, 0f, 0f)))
+    .toDF("vec_id", "v")
+
+  test("crossContamination exact twin: cross-set pairs only, exact scores") {
+    val got = SemDedup.crossContamination(
+      planted, col("vec_id"), col("v"), evalSet, col("vec_id"), col("v"),
+      minCosine = 0.9, dim = 4, nlist = 0)
+      .select("train_id", "eval_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (2L, 100L), (3L, 100L),
+      (10L, 101L), (11L, 101L)))
+    val cos = SemDedup.crossContamination(
+      planted, col("vec_id"), col("v"), evalSet, col("vec_id"), col("v"),
+      minCosine = 0.9, dim = 4, nlist = 0)
+      .select("cosine").as[Double].collect()
+    assert(cos.forall(c => math.abs(c - 1.0) < 1e-6))
+  }
+
+  test("crossContamination bucketed: subset of exact, full recall here") {
+    // axis-aligned families -> k-means separates them; nprobe=1 already
+    // routes each eval prototype to its family's list
+    val exact = SemDedup.crossContamination(
+      planted, col("vec_id"), col("v"), evalSet, col("vec_id"), col("v"),
+      minCosine = 0.9, dim = 4, nlist = 0)
+      .select("train_id", "eval_id").as[(Long, Long)].collect().toSet
+    val bucketed = SemDedup.crossContamination(
+      planted, col("vec_id"), col("v"), evalSet, col("vec_id"), col("v"),
+      minCosine = 0.9, dim = 4, nlist = 4, nprobe = 1)
+      .select("train_id", "eval_id").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exact), s"bucketed pair outside exact: $bucketed")
+    assert(bucketed == exact, s"missed pairs: ${exact -- bucketed}")
+  }
+
+  test("crossContamination rejects bad operating points") {
+    intercept[IllegalArgumentException] {
+      SemDedup.crossContamination(planted, col("vec_id"), col("v"),
+        evalSet, col("vec_id"), col("v"),
+        minCosine = 1.5, dim = 4, nlist = 0)
+    }
+    intercept[IllegalArgumentException] {
+      SemDedup.crossContamination(planted, col("vec_id"), col("v"),
+        evalSet, col("vec_id"), col("v"),
+        minCosine = 0.9, dim = 4, nlist = 4, nprobe = 0)
+    }
+  }
 }
