@@ -501,6 +501,38 @@ object SparkEntry {
           ntz(col("session_start")).as("session_start"),
           ntz(col("session_end")).as("session_end"), col("n_events"))
     }),
+    "q_funnel_users" -> ((s, dir) => {
+      // per-user greedy-earliest ordered funnel completion; every stage
+      // aggregates/joins on the user key — every exchange hashes on
+      // user_id (PlanAuditSpec pins it).
+      import graft.operators.EventAnalytics
+      EventAnalytics.funnelTimes(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_type"), Seq("view", "click", "purchase"))
+        .select(col("user_id"), ntz(col("t1")).as("t1"),
+          ntz(col("t2")).as("t2"), ntz(col("t3")).as("t3"))
+    }),
+    "q_funnel_reach" -> ((s, dir) => {
+      import graft.operators.EventAnalytics
+      EventAnalytics.funnelReach(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_type"), Seq("view", "click", "purchase"))
+    }),
+    "q_retention_cohorts" -> ((s, dir) => {
+      import graft.operators.EventAnalytics
+      EventAnalytics.retentionCohorts(t(s, dir, "events"), col("user_id"),
+        col("ts"), granularity = "day", horizon = 7)
+        .select(ntz(col("cohort")).as("cohort"), col("offset_n"),
+          col("n_active"))
+    }),
+    "q_scd2_history" -> ((s, dir) => {
+      // gaps-and-islands SCD2: consecutive per-user runs of event_type
+      // as half-open validity intervals.
+      import graft.operators.EventAnalytics
+      EventAnalytics.changeHistory(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"))
+        .select(col("user_id"), col("value"),
+          ntz(col("valid_from")).as("valid_from"),
+          ntz(col("valid_to")).as("valid_to"), col("n_events"))
+    }),
     // ----- reference-parity operators (SURVEY §2) ------------------------
     "flatten_struct" -> ((s, dir) => {
       // P1 default aliasing: structCol_field.
@@ -2505,6 +2537,63 @@ object SparkEntry {
         |SELECT user_id, session_idx, MIN(ts) AS session_start,
         | MAX(ts) AS session_end, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    // greedy-earliest funnel: t1 = min view; t_i = min step-i event
+    // strictly after t_{i-1}; left joins keep partial completions
+    "q_funnel_users" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT s1.user_id, t1, t2, t3 FROM s1
+        |LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "q_funnel_reach" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT 1 AS step_idx, 'view' AS step, COUNT(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', COUNT(*) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', COUNT(*) FROM s3""".stripMargin,
+    "q_retention_cohorts" ->
+      """WITH f AS (SELECT user_id, date_trunc('day', MIN(ts)) AS cohort
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS period
+        |  FROM events)
+        |-- DuckDB date_trunc('day') yields DATE; Spark's yields TIMESTAMP
+        |SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+        | CAST(datediff('day', cohort, period) AS INTEGER) AS offset_n,
+        | COUNT(*) AS n_active
+        |FROM a JOIN f USING (user_id)
+        |WHERE datediff('day', cohort, period) <= 7
+        |GROUP BY 1, 2""".stripMargin,
+    // gaps-and-islands: change flags -> running island id -> one row per
+    // run, valid_to = next run's start (half-open, null for the open run)
+    "q_scd2_history" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type
+        |       THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |i AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM m),
+        |g AS (SELECT user_id, island, event_type AS value,
+        |  MIN(ts) AS valid_from, COUNT(*) AS n_events
+        |  FROM i GROUP BY 1, 2, 3)
+        |SELECT user_id, value, valid_from,
+        | lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
+        | n_events
+        |FROM g""".stripMargin,
     "flatten_struct" ->
       """SELECT o_orderkey, o_orderstatus AS ord_status, o_totalprice AS ord_price
         |FROM orders""".stripMargin,

@@ -84,6 +84,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("funnel chain: every shuffle keys on the user id, aggs are partial") {
+    import graft.operators.EventAnalytics
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val df = EventAnalytics.funnelTimes(ev, col("user_id"), col("ts"),
+      col("event_type"), Seq("view", "click", "purchase"))
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the chain introduces no shuffle on any key but the user id — the
+    // property that keeps the funnel skew-free-by-cardinality at scale
+    val keys = "Exchange hashpartitioning\\(([A-Za-z_0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(keys.nonEmpty, plan)
+    assert(keys.forall(_.startsWith("user_id")), s"$keys\n$plan")
+  }
+
   test("IVF probe list is a per-row kernel on the query side (no crossJoin)") {
     import graft.operators.Ivf
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")

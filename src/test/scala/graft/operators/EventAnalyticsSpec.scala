@@ -1,0 +1,119 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class EventAnalyticsSpec extends SparkTestBase {
+
+  private lazy val testImplicits = spark.implicits
+  import testImplicits._
+
+  private def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+
+  // user 1: full ordered funnel; user 2: signup before view (out of
+  // order -> stops after view); user 3: view only; user 4: never views
+  // (must not appear at all).
+  private def events = Seq(
+    (1L, t("10:00:00"), 1L, "view"),
+    (2L, t("10:05:00"), 1L, "click"),
+    (3L, t("10:10:00"), 1L, "purchase"),
+    (4L, t("09:00:00"), 2L, "click"),
+    (5L, t("09:30:00"), 2L, "view"),
+    (6L, t("11:00:00"), 3L, "view"),
+    (7L, t("11:00:00"), 4L, "purchase"))
+    .toDF("event_id", "ts", "user_id", "event_type")
+
+  test("funnelTimes: greedy-earliest ordered completion with nulls after the break") {
+    val got = EventAnalytics.funnelTimes(events, col("user_id"), col("ts"),
+      col("event_type"), Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2)),
+        Option(r.getTimestamp(3))))
+    assert(got.toSeq == Seq(
+      (1L, t("10:00:00"), Some(t("10:05:00")), Some(t("10:10:00"))),
+      (2L, t("09:30:00"), None, None), // click happened BEFORE the view
+      (3L, t("11:00:00"), None, None)))
+  }
+
+  test("funnelTimes: the adjacent-step conversion window prunes slow steps") {
+    val got = EventAnalytics.funnelTimes(events, col("user_id"), col("ts"),
+      col("event_type"), Seq("view", "click", "purchase"),
+      maxStepGapSeconds = Some(240L)) // 4 min: view->click (5 min) now fails
+      .filter(col("t2").isNotNull).count()
+    assert(got == 0L)
+  }
+
+  test("funnelReach: monotone per-step user counts") {
+    val got = EventAnalytics.funnelReach(events, col("user_id"), col("ts"),
+      col("event_type"), Seq("view", "click", "purchase"))
+      .orderBy("step_idx")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, "view", 3L), (2, "click", 1L),
+      (3, "purchase", 1L)))
+  }
+
+  test("retentionCohorts: day-offset activity against first-seen cohort") {
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 23:00:00")), // same day, 1 cell
+      (1L, Timestamp.valueOf("2024-01-03 10:00:00")),
+      (2L, Timestamp.valueOf("2024-01-02 10:00:00")),
+      (2L, Timestamp.valueOf("2024-01-09 10:00:00")), // high offset
+      (3L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventAnalytics.retentionCohorts(ev, col("user_id"), col("ts"),
+      granularity = "day", horizon = 7)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      ("2024-01-01", 0, 2L), // users 1 and 3 on their cohort day
+      ("2024-01-01", 2, 1L), // user 1 back on Jan 3
+      ("2024-01-02", 0, 1L), // user 2 cohort day
+      ("2024-01-02", 7, 1L))) // user 2 on Jan 9, exactly at horizon
+  }
+
+  test("changeHistory: consecutive runs collapse, half-open intervals chain") {
+    val got = EventAnalytics.changeHistory(events.filter(col("user_id") === 1L)
+      .unionAll(Seq((8L, t("10:20:00"), 1L, "view"))
+        .toDF("event_id", "ts", "user_id", "event_type")),
+      col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .orderBy("valid_from")
+      .collect()
+      .map(r => (r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("view", t("10:00:00"), Some(t("10:05:00")), 1L),
+      ("click", t("10:05:00"), Some(t("10:10:00")), 1L),
+      ("purchase", t("10:10:00"), Some(t("10:20:00")), 1L),
+      ("view", t("10:20:00"), None, 1L)))
+    // intervals chain: each valid_to is the next valid_from
+  }
+
+  test("changeHistory: a run of equal values is ONE interval with its count") {
+    val ev = Seq(
+      (1L, t("10:00:00"), 9L, "a"), (2L, t("10:01:00"), 9L, "a"),
+      (3L, t("10:02:00"), 9L, "b"), (4L, t("10:03:00"), 9L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.changeHistory(ev, col("user_id"), col("ts"),
+      col("event_id"), col("event_type"))
+      .orderBy("valid_from")
+      .collect().map(r => (r.getString(1), r.getLong(4)))
+    assert(got.toSeq == Seq(("a", 2L), ("b", 1L), ("a", 1L)))
+  }
+
+  test("funnel rejects empty and duplicate step lists") {
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnelTimes(events, col("user_id"), col("ts"),
+        col("event_type"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnelTimes(events, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "view"))
+    }
+  }
+}
