@@ -750,6 +750,19 @@ object SparkEntry {
           .select(coalesce(col("comp"), col("doc_id")).as("component")),
         col("component"))
     }),
+    "doc_pagerank" -> ((s, dir) => {
+      // template-centrality of each doc: exact fixed-point PageRank
+      // (integer arithmetic, bit-portable — Centrality scaladoc) over
+      // the same exact 3-gram Jaccard pair graph dedup_clusters uses,
+      // 3 iterations unrolled as CTEs on the oracle side.
+      import graft.operators.Centrality
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.5)
+      Centrality.fixedPointPageRank(docs, col("doc_id"), pairs,
+        iterations = 3)
+        .select(col("id").as("doc_id"), col("score"))
+    }),
     "dedup_keep_best" -> ((s, dir) => {
       // quality-aware survivor policy over the same transitive near-dup
       // components as dedup_clusters: keep the member with the HIGHEST
@@ -2191,6 +2204,50 @@ object SparkEntry {
     * (quality_score DESC, doc_id ASC) — the SQL rendering of
     * min_by(id, (−score, id)).
     */
+  /** Generated oracle for doc_pagerank: the exact 3-gram Jaccard pair
+    * graph (same CTEs as dedup_clusters), then the fixed-point PageRank
+    * recurrence with `iters` iterations UNROLLED as CTE pairs
+    * (inflow_k, scores_k). All arithmetic is BIGINT multiply /
+    * floor-divide (`//`, matching Spark's `div` on non-negative
+    * operands) / SUM-cast-back — order-independent, so the DuckDB hash
+    * matches the distributed result bit for bit. The one engine quirk
+    * is DuckDB widening SUM(BIGINT) to HUGEINT, cast back immediately.
+    */
+  private def docPagerankSql(iters: Int = 3): String = {
+    val base = "(15 * (1000000000000 // c.n)) // 100"
+    val graph =
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id,
+        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM toks WHERE len(t) >= 3)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |prs AS (SELECT id_a, id_b FROM inter
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+        |  UNION ALL SELECT id_b, id_a FROM prs),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM edges GROUP BY 1),
+        |ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |s0 AS (SELECT doc_id AS id, 1000000000000 // c.n AS score
+        |  FROM documents CROSS JOIN c)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""i$k AS (SELECT ed.dst, CAST(SUM(s.score // ed.deg) AS BIGINT) AS inflow
+         |  FROM ed JOIN s${k - 1} s ON s.id = ed.src GROUP BY 1),
+         |s$k AS (SELECT d.doc_id AS id,
+         |  $base + COALESCE((85 * i$k.inflow) // 100, 0) AS score
+         |  FROM documents d CROSS JOIN c
+         |  LEFT JOIN i$k ON i$k.dst = d.doc_id)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    graph + steps + s"SELECT id AS doc_id, score FROM s$iters"
+  }
+
   private def dedupKeepBestSql: String = {
     import graft.operators.Quality
     val w = Quality.DefaultLogitWeights
@@ -3455,6 +3512,7 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(MIN(r.comp), d.doc_id) AS component
         |FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
         |GROUP BY d.doc_id""".stripMargin,
+    "doc_pagerank" -> docPagerankSql(3),
     "dedup_cluster_sizes" ->
       // the dedup_clusters recursive CTE, rolled up twice: component ->
       // member count -> histogram of cluster sizes

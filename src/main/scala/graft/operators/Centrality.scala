@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over document-similarity graphs — PageRank (Page et
+  * al. 1999, "The PageRank citation ranking") on the near-duplicate
+  * pair graph, scoring how *template-central* each document is: hubs of
+  * big near-dup families rank high, singletons sit at the base score.
+  * Useful as a curation signal (drop or down-weight the center of a
+  * boilerplate family, keep its periphery) on top of the binary
+  * keep/drop the dedup operators give.
+  *
+  * EXACT FIXED-POINT ARITHMETIC, deliberately: scores are maintained as
+  * BIGINT multiples of 1/`scale` and every step is integer
+  * multiply/floor-divide/sum —
+  *
+  *   s0     = scale div n
+  *   s_i+1  = (15 * s0) div 100  +  (85 * Σ_{j~i} (s_j div deg_j)) div 100
+  *
+  * Integer addition is order-independent where float addition is not,
+  * so the result is bit-identical across engines, partitionings and
+  * retries — the same trick the repo's RationalIdf twins use, extended
+  * to an ITERATIVE graph algorithm: the registered query is
+  * DuckDB-hash-checkable end to end with the iterations unrolled as
+  * CTEs. Floor-division loses < 1/scale per term (damping also keeps
+  * the drift contractive), so ranks at `scale` = 1e12 match float
+  * PageRank to ~9 significant digits while being exactly reproducible.
+  *
+  * Scale shape: the symmetrized, degree-annotated edge list is built
+  * once and persisted (reused every iteration); one iteration is one
+  * equi-join (scores ⋈ edges on the node id) + one map-side-combining
+  * SUM keyed by the node id + one left join back to the node set —
+  * nothing materializes adjacency per node, so degree skew costs rows,
+  * not memory. The plan grows linearly in iterations; past
+  * `truncateEvery` the score frame is localCheckpoint'd (the
+  * [[Dedup.connectedComponents]] lineage lesson — persist bounds
+  * recompute, only checkpointing bounds the PLAN). The node count `n`
+  * is the one driver-side action (a scalar count, same contract as the
+  * A1 metric gates).
+  */
+object Centrality {
+
+  /** PageRank scores `(id, score)` for every node in `nodes`, damping
+    * 0.85, over the undirected pair graph `pairs` (`id_a`, `id_b`;
+    * each pair contributes both directions). `score` is a BIGINT in
+    * units of 1/`scale`; isolated nodes converge to the base term
+    * `(15 * (scale div n)) div 100`.
+    */
+  def fixedPointPageRank(nodes: DataFrame, id: Column, pairs: DataFrame,
+                         iterations: Int, scale: Long = 1000000000000L,
+                         truncateEvery: Int = 8): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(scale >= 1000L, s"scale must be >= 1000, got $scale")
+    require(truncateEvery >= 1,
+      s"truncateEvery must be >= 1, got $truncateEvery")
+    val ids = nodes.select(id.as("id"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val degreed = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .persist() // reused every iteration
+    val n = ids.count()
+    require(n > 0, "PageRank over an empty node set")
+    val s0 = scale / n
+    val base = 15L * s0 / 100L
+    var scores = ids.select(col("id"), lit(s0).as("score"))
+    for (iter <- 1 to iterations) {
+      val inflow = degreed
+        .join(scores, degreed("src") === scores("id"))
+        .select(col("dst"), expr("score div deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("inflow"))
+      scores = ids
+        .join(inflow, ids("id") === inflow("dst"), "left_outer")
+        .select(col("id"),
+          (lit(base) +
+            coalesce(expr("(85 * inflow) div 100"), lit(0L))).as("score"))
+      if (iter % truncateEvery == 0 && iter < iterations)
+        scores = scores.localCheckpoint(true)
+    }
+    // degreed stays persisted: the returned frame is lazy and every
+    // evaluation replays all iterations against it; callers that
+    // materialize the result can unpersist via the catalog
+    scores
+  }
+}
