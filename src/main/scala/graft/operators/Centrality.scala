@@ -55,8 +55,18 @@ object Centrality {
     require(truncateEvery >= 1,
       s"truncateEvery must be >= 1, got $truncateEvery")
     val ids = nodes.select(id.as("id"))
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // symmetrize with ONE explode rather than a self-union: a union of
+    // two selects would re-evaluate the (possibly expensive) pair
+    // generation subtree once per branch inside the same job. The edge
+    // list is persisted BEFORE the degree join for the same reason —
+    // the join needs edges twice (probe + agg side), and every
+    // iteration of the loop reuses it.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist()
     val degreed = edges
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .persist() // reused every iteration
