@@ -207,6 +207,44 @@ object SparkEntry {
           approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("n_supps"),
           count(lit(1)).as("n_rows"))
     }),
+    "heavy_hitters_gate" -> ((s, dir) => {
+      // count-min heavy hitters: per-source CMS sketches (the built-in
+      // count_min_sketch aggregate — mergeable, constant size, the
+      // 100-TB path for "how often does term X occur per slice" without
+      // a per-(source,term) shuffle) probed for the global top-10 terms
+      // via the codegen count_min_estimate kernel. In-plan gates pin
+      // the CMS contract against the exact counts: never under, over by
+      // at most ceil(eps*N_source). Rows-only (the sketch layout is
+      // engine-specific) — the exact side is covered by the vocabulary
+      // oracles.
+      import graft.functions.Kernels
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .persist() // fans out 3 ways: exact counts, top terms, sketches
+      val exact = toks.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("n_exact"))
+      val top = toks.groupBy(col("term"))
+        .agg(count(lit(1)).as("n_total"))
+        .orderBy(col("n_total").desc, col("term").asc)
+        .limit(10).select(col("term"))
+      val sketches = toks.groupBy(col("source"))
+        .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("cms"),
+          count(lit(1)).as("n_tokens"))
+      sketches.crossJoin(broadcast(top))
+        .select(col("source"), col("term"), col("n_tokens"),
+          Kernels.countMinEstimateCol(col("cms"), col("term")).as("n_est"))
+        .join(exact, Seq("source", "term"), "left_outer")
+        .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
+        .where(assert_true(col("n_est") >= col("n_exact"),
+          lit("count-min under-count: impossible by construction")).isNull)
+        .where(assert_true(
+          col("n_est") <= col("n_exact") +
+            greatest(lit(1L), ceil(col("n_tokens") * lit(0.001)).cast("long")),
+          concat(lit("count-min over-count beyond eps*N: "),
+            col("n_est") - col("n_exact"))).isNull)
+        .select(col("source"), col("term"), col("n_exact"), col("n_est"))
+    }),
     "q_distinct_approx_gate" -> ((s, dir) => {
       // Drift gate for q_distinct_approx: the exact twin rides a
       // SEPARATE aggregate, broadcast-joined on the 3-row group key, and

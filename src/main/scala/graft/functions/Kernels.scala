@@ -786,6 +786,35 @@ object Kernels {
     total.toDouble / bytes.length
   }
 
+  // Count-min probe support. Deserializing the sketch per probed row
+  // would dominate any probe join, so sketches are memoized PER
+  // EXECUTOR keyed by full byte equality (ByteBuffer wraps hash/equals
+  // over content). Bounded: a pipeline carries a handful of live
+  // sketches (one per group); the clear() guard only exists so a
+  // pathological caller cycling thousands of sketches degrades to
+  // re-deserialization instead of leaking.
+  private val cmsCache =
+    new java.util.concurrent.ConcurrentHashMap[java.nio.ByteBuffer,
+      org.apache.spark.util.sketch.CountMinSketch]()
+
+  /** Estimated count of `item` in a serialized
+    * `org.apache.spark.util.sketch.CountMinSketch` (the binary the
+    * built-in `count_min_sketch` aggregate emits). Probes with the
+    * item's UTF-8 bytes — exactly how the aggregate added string items,
+    * so estimates are consistent with the build side.
+    */
+  def countMinEstimate(sketchBytes: Array[Byte], item: UTF8String): Long = {
+    val key = java.nio.ByteBuffer.wrap(sketchBytes)
+    var cms = cmsCache.get(key)
+    if (cms == null) {
+      if (cmsCache.size > 64) cmsCache.clear()
+      cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(sketchBytes))
+      cmsCache.put(key, cms)
+    }
+    cms.estimateCount(item.getBytes)
+  }
+
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false
@@ -1264,6 +1293,31 @@ object Kernels {
       copy(child = newChild)
   }
 
+  /** Probe a serialized count-min sketch for a string item's estimated
+    * count. Codegen'd to one static call; the deserialized sketch is
+    * executor-memoized ([[Kernels.countMinEstimate]]), so per-row cost
+    * after the first probe of a sketch is the CMS depth×hash walk.
+    */
+  case class CountMinEstimate(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(prettyName, left, _ == BinaryType, "binary")
+      if (l != TypeCheckSuccess) l
+      else requireType(prettyName, right, _ == StringType, "string")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "count_min_estimate"
+    override protected def nullSafeEval(s: Any, i: Any): Any =
+      Kernels.countMinEstimate(s.asInstanceOf[Array[Byte]],
+        i.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (s, i) => s"graft.functions.Kernels.countMinEstimate($s, $i)")
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): CountMinEstimate =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class DeflateRatio(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(prettyName, child, _ == StringType, "string")
@@ -1317,6 +1371,10 @@ object Kernels {
 
   def bloomContainsAnyCol(shingles: Column, bloomBytes: Array[Byte]): Column =
     ColumnBridge.column(BloomContainsAny(ColumnBridge.expression(shingles), bloomBytes))
+
+  def countMinEstimateCol(sketch: Column, item: Column): Column =
+    ColumnBridge.column(CountMinEstimate(ColumnBridge.expression(sketch),
+      ColumnBridge.expression(item)))
 
   def repetitionCol(tokens: Column, n: Int): Column =
     ColumnBridge.column(NgramRepetition(ColumnBridge.expression(tokens), n))
