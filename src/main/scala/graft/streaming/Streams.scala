@@ -254,6 +254,80 @@ object Streams {
         GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  // --- stateful funnel tracking -----------------------------------------
+
+  case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
+  case class FunnelProgress(timesMs: List[Long])
+  case class FunnelOut(user_id: Long, n_steps: Int, t_first: Timestamp,
+                       t_last: Timestamp, completed: Boolean)
+
+  /** Streaming ordered-funnel tracking via flatMapGroupsWithState — the
+    * streaming twin of [[graft.operators.EventAnalytics.funnelTimes]]:
+    * per-user state is the greedy-earliest step timestamps reached so
+    * far; an event advances the funnel iff it is the NEXT step and
+    * strictly after the last reached one. Completion emits immediately
+    * (and clears state, so a user may convert again later); the
+    * event-time timeout flushes a `completed = false` row for users
+    * idle past `idleFlushSeconds`, giving downstream a
+    * drop-off-by-stage signal without waiting for the stream to end.
+    *
+    * Equivalence contract with the batch operator: identical when each
+    * user's events are PROCESSED in event-time order — within a
+    * micro-batch arrivals are sorted by ts, across batches ordering is
+    * up to the source (a step-1 event arriving after a later-batch
+    * step-2 event cannot retroactively improve the chain; the batch
+    * form, seeing everything, can). State is O(steps) longs per live
+    * user — no event buffering.
+    */
+  def funnelStream(events: Dataset[FunnelEvent], steps: Seq[String],
+                   idleFlushSeconds: Long,
+                   lateness: String = "10 minutes"): Dataset[FunnelOut] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, s"duplicate funnel steps: $steps")
+    require(idleFlushSeconds > 0,
+      s"idleFlushSeconds must be positive, got $idleFlushSeconds")
+    import events.sparkSession.implicits._
+
+    def out(user: Long, timesMs: List[Long], completed: Boolean): FunnelOut =
+      FunnelOut(user, timesMs.size, new Timestamp(timesMs.head),
+        new Timestamp(timesMs.last), completed)
+
+    def fn(user: Long, batch: Iterator[FunnelEvent],
+           state: GroupState[FunnelProgress]): Iterator[FunnelOut] = {
+      if (state.hasTimedOut) {
+        val flushed = state.getOption.filter(_.timesMs.nonEmpty)
+          .map(p => out(user, p.timesMs, completed = false)).iterator
+        state.remove()
+        flushed
+      } else {
+        val emitted = Seq.newBuilder[FunnelOut]
+        var times = state.getOption.map(_.timesMs).getOrElse(Nil)
+        batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val t = e.ts.getTime
+          if (times.size < steps.size && e.event_type == steps(times.size) &&
+              (times.isEmpty || t > times.last)) {
+            times = times :+ t
+            if (times.size == steps.size) {
+              emitted += out(user, times, completed = true)
+              times = Nil // conversion done; a fresh funnel may start
+            }
+          }
+        }
+        if (times.nonEmpty) {
+          state.update(FunnelProgress(times))
+          state.setTimeoutTimestamp(times.last + idleFlushSeconds * 1000L)
+        } else state.remove()
+        emitted.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** Stateless quality gate for a document stream — the ingest-time
     * companion to [[graft.operators.Dedup.decontaminationGate]]: the
     * Gopher rule conjunction and the rational-logit score are pure

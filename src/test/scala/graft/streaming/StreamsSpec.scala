@@ -317,6 +317,85 @@ class StreamsSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(batchKept == Seq(1L))
   }
+
+  test("funnelStream: in-order completion matches the batch funnel; out-of-order stalls") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    def ev(u: Long, t: String, typ: String) =
+      Streams.FunnelEvent(u, Timestamp.valueOf(s"2024-01-01 $t"), typ)
+    val mem = MemoryStream[Streams.FunnelEvent]
+    val out = Streams.funnelStream(mem.toDS(),
+      Seq("view", "click", "purchase"), idleFlushSeconds = 3600)
+    val q = out.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+
+    // user 1 completes across TWO micro-batches (state carries over);
+    // user 2 clicks before viewing — the ordered funnel must stall at
+    // the view even though both event types are present
+    mem.addData(ev(1L, "10:00:00", "view"), ev(1L, "10:05:00", "click"),
+      ev(2L, "09:00:00", "click"))
+    q.processAllAvailable()
+    mem.addData(ev(1L, "10:10:00", "purchase"), ev(2L, "09:30:00", "view"))
+    q.processAllAvailable()
+
+    val done = spark.table("funnel_stream").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_steps"),
+        r.getAs[Timestamp]("t_first"), r.getAs[Timestamp]("t_last"),
+        r.getAs[Boolean]("completed")))
+    assert(done.toSeq == Seq((1L, 3,
+      Timestamp.valueOf("2024-01-01 10:00:00"),
+      Timestamp.valueOf("2024-01-01 10:10:00"), true)), done.toSeq.toString)
+
+    // batch twin agrees on the same event set: user 1 completes with the
+    // same endpoint times, user 2 stalls after the view
+    import graft.operators.EventAnalytics
+    val batch = EventAnalytics.funnelTimes(
+      Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), "view"),
+        (1L, Timestamp.valueOf("2024-01-01 10:05:00"), "click"),
+        (1L, Timestamp.valueOf("2024-01-01 10:10:00"), "purchase"),
+        (2L, Timestamp.valueOf("2024-01-01 09:00:00"), "click"),
+        (2L, Timestamp.valueOf("2024-01-01 09:30:00"), "view"))
+        .toDF("user_id", "ts", "event_type"),
+      col("user_id"), col("ts"), col("event_type"),
+      Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(3))))
+    assert(batch.toSeq == Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"),
+        Some(Timestamp.valueOf("2024-01-01 10:10:00"))),
+      (2L, Timestamp.valueOf("2024-01-01 09:30:00"), None)))
+    q.stop()
+  }
+
+  test("funnelStream: idle users flush a partial row on event-time timeout") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    def ev(u: Long, t: String, typ: String) =
+      Streams.FunnelEvent(u, Timestamp.valueOf(s"2024-01-01 $t"), typ)
+    val mem = MemoryStream[Streams.FunnelEvent]
+    val out = Streams.funnelStream(mem.toDS(),
+      Seq("view", "click", "purchase"), idleFlushSeconds = 600,
+      lateness = "1 minute")
+    val q = out.writeStream.format("memory").queryName("funnel_flush")
+      .outputMode("append").start()
+
+    mem.addData(ev(1L, "10:00:00", "view"), ev(1L, "10:02:00", "click"))
+    q.processAllAvailable()
+    // another user's much later event advances the watermark beyond
+    // user 1's last event + idleFlushSeconds -> the timeout fires
+    mem.addData(ev(9L, "12:00:00", "view"))
+    q.processAllAvailable()
+    mem.addData(ev(9L, "13:00:00", "click")) // one more batch to deliver timeouts
+    q.processAllAvailable()
+
+    val flushed = spark.table("funnel_flush").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_steps"),
+        r.getAs[Boolean]("completed")))
+    assert(flushed.contains((1L, 2, false)), flushed.toSeq.toString)
+    q.stop()
+  }
 }
 
 object TestSpark {
