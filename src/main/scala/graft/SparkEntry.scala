@@ -554,6 +554,16 @@ object SparkEntry {
       EventAnalytics.funnelReach(t(s, dir, "events"), col("user_id"),
         col("ts"), col("event_type"), Seq("view", "click", "purchase"))
     }),
+    "q_funnel_windowed" -> ((s, dir) => {
+      // the conversion-window form: each step must land within 6h of
+      // the previous one (greedy-earliest reading, the oracle pins it)
+      import graft.operators.EventAnalytics
+      EventAnalytics.funnelTimes(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_type"), Seq("view", "click", "purchase"),
+        maxStepGapSeconds = Some(21600L))
+        .select(col("user_id"), ntz(col("t1")).as("t1"),
+          ntz(col("t2")).as("t2"), ntz(col("t3")).as("t3"))
+    }),
     "q_retention_cohorts" -> ((s, dir) => {
       import graft.operators.EventAnalytics
       EventAnalytics.retentionCohorts(t(s, dir, "events"), col("user_id"),
@@ -2643,6 +2653,19 @@ object SparkEntry {
         |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
         |  JOIN s2 ON e.user_id = s2.user_id
         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT s1.user_id, t1, t2, t3 FROM s1
+        |LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "q_funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 21600 SECOND GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL 21600 SECOND GROUP BY 1)
         |SELECT s1.user_id, t1, t2, t3 FROM s1
         |LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
     "q_funnel_reach" ->
