@@ -213,10 +213,14 @@ object SparkEntry {
       // 100-TB path for "how often does term X occur per slice" without
       // a per-(source,term) shuffle) probed for the global top-10 terms
       // via the codegen count_min_estimate kernel. In-plan gates pin
-      // the CMS contract against the exact counts: never under, over by
-      // at most ceil(eps*N_source). Rows-only (the sketch layout is
-      // engine-specific) — the exact side is covered by the vocabulary
-      // oracles.
+      // the CMS contract against the exact counts: never-under is the
+      // sketch's DETERMINISTIC guarantee; the over-count bound eps*N
+      // holds per probe only with the confidence probability (0.99
+      // here), so the gate allows 3x headroom — it exists to catch
+      // implementation breakage (wrong hashing, wrong merge), not to
+      // hard-assert a probabilistic tail on every future dataset.
+      // Rows-only (the sketch layout is engine-specific) — the exact
+      // side is covered by the vocabulary oracles.
       import graft.functions.Kernels
       val toks = t(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("term"))
@@ -240,8 +244,9 @@ object SparkEntry {
           lit("count-min under-count: impossible by construction")).isNull)
         .where(assert_true(
           col("n_est") <= col("n_exact") +
-            greatest(lit(1L), ceil(col("n_tokens") * lit(0.001)).cast("long")),
-          concat(lit("count-min over-count beyond eps*N: "),
+            lit(3L) * greatest(lit(1L),
+              ceil(col("n_tokens") * lit(0.001)).cast("long")),
+          concat(lit("count-min over-count far beyond eps*N: "),
             col("n_est") - col("n_exact"))).isNull)
         .select(col("source"), col("term"), col("n_exact"), col("n_est"))
     }),
@@ -1709,7 +1714,7 @@ object SparkEntry {
       SemDedup.crossContamination(
         embs.filter(col("label") =!= 0), col("vec_id"), col("embedding"),
         embs.filter(col("label") === 0), col("vec_id"), col("embedding"),
-        minCosine = 0.35, dim = 64, nlist = 0)
+        minCosine = 0.35, nlist = 0)
     }),
     "semantic_contamination" -> ((s, dir) => {
       // the production path, uncapped: IVF assignment of the train side
@@ -1722,7 +1727,7 @@ object SparkEntry {
       SemDedup.crossContamination(
         embs.filter(col("label") =!= 0), col("vec_id"), col("embedding"),
         embs.filter(col("label") === 0), col("vec_id"), col("embedding"),
-        minCosine = 0.35, dim = 64, nlist = 16, nprobe = 4)
+        minCosine = 0.35, nlist = 16, nprobe = 4)
     }),
     "semantic_contamination_recall" -> ((s, dir) => {
       // In-plan gate, same two claims as semantic_dup_recall: every
@@ -1739,7 +1744,7 @@ object SparkEntry {
       def pairs(nl: Int, np: Int) = SemDedup.crossContamination(
         embs.filter(col("label") =!= 0), col("vec_id"), col("embedding"),
         embs.filter(col("label") === 0), col("vec_id"), col("embedding"),
-        minCosine = 0.35, dim = 64, nlist = nl, nprobe = np)
+        minCosine = 0.35, nlist = nl, nprobe = np)
         .select("train_id", "eval_id")
       val exact = pairs(0, 1)
       val bucketed = pairs(4, 2)

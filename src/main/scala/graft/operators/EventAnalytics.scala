@@ -85,13 +85,19 @@ object EventAnalytics {
                   maxStepGapSeconds: Option[Long] = None): DataFrame = {
     val times = funnelTimes(events, user, ts, eventType, steps,
       maxStepGapSeconds)
-    val perStep = steps.zipWithIndex.map { case (s, i) =>
-      times.filter(col(s"t${i + 1}").isNotNull)
-        .agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).as("step_idx"), lit(s).as("step"),
-          col("n_users"))
-    }
-    perStep.reduce(_.unionAll(_))
+    // one pass: count(t_i) counts the non-null step times, so a single
+    // aggregate over the times frame gives every step's reach — a
+    // per-step filter+agg union would re-evaluate the whole funnel
+    // chain (k-1 joins, k aggregations) once PER STEP
+    val counts = times.agg(
+      count(col("t1")).as("c1"),
+      steps.indices.drop(1).map(i =>
+        count(col(s"t${i + 1}")).as(s"c${i + 1}")): _*)
+    counts.select(explode(array(steps.zipWithIndex.map { case (s, i) =>
+        struct(lit(i + 1).as("step_idx"), lit(s).as("step"),
+          col(s"c${i + 1}").as("n_users"))
+      }: _*)).as("r"))
+      .select(col("r.step_idx"), col("r.step"), col("r.n_users"))
   }
 
   /** Cohort retention: cohort = the user's first-seen period

@@ -156,7 +156,7 @@ object SemDedup {
     */
   def crossContamination(train: DataFrame, trainId: Column, trainVec: Column,
                          evalDf: DataFrame, evalId: Column, evalVec: Column,
-                         minCosine: Double, dim: Int, nlist: Int,
+                         minCosine: Double, nlist: Int,
                          nprobe: Int = 1, seed: Long = 42L): DataFrame = {
     require(minCosine > 0.0 && minCosine <= 1.0,
       s"minCosine in (0, 1], got $minCosine")

@@ -302,20 +302,35 @@ object Streams {
       } else {
         val emitted = Seq.newBuilder[FunnelOut]
         var times = state.getOption.map(_.timesMs).getOrElse(Nil)
-        batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
-          val t = e.ts.getTime
-          if (times.size < steps.size && e.event_type == steps(times.size) &&
-              (times.isEmpty || t > times.last)) {
-            times = times :+ t
-            if (times.size == steps.size) {
-              emitted += out(user, times, completed = true)
-              times = Nil // conversion done; a fresh funnel may start
+        // ts ties break by step POSITION (earlier funnel stage first,
+        // non-step events last): iterator order within a group is
+        // run-dependent, and a ts-only sort would make equal-timestamp
+        // view/click races produce different state on replay
+        val stepPos = steps.zipWithIndex.toMap
+        batch.toSeq
+          .sortBy(e => (e.ts.getTime, stepPos.getOrElse(e.event_type, Int.MaxValue)))
+          .foreach { e =>
+            val t = e.ts.getTime
+            if (times.size < steps.size && e.event_type == steps(times.size) &&
+                (times.isEmpty || t > times.last)) {
+              times = times :+ t
+              if (times.size == steps.size) {
+                emitted += out(user, times, completed = true)
+                times = Nil // conversion done; a fresh funnel may start
+              }
             }
           }
-        }
         if (times.nonEmpty) {
           state.update(FunnelProgress(times))
-          state.setTimeoutTimestamp(times.last + idleFlushSeconds * 1000L)
+          // clamp to just past the watermark: when a batch delivers only
+          // non-advancing events (wrong step / duplicates) the desired
+          // timeout can sit BEHIND the watermark, and
+          // setTimeoutTimestamp throws on that — which would kill the
+          // query on routine out-of-funnel traffic. Clamping means such
+          // a user flushes at the next watermark advance instead.
+          val wm = state.getCurrentWatermarkMs()
+          state.setTimeoutTimestamp(
+            math.max(times.last + idleFlushSeconds * 1000L, wm + 1L))
         } else state.remove()
         emitted.result().iterator
       }

@@ -75,7 +75,7 @@ class PlanAuditSpec extends SparkTestBase {
     val df = SemDedup.crossContamination(
       embs.filter(col("label") =!= 0), col("vec_id"), col("embedding"),
       embs.filter(col("label") === 0), col("vec_id"), col("embedding"),
-      minCosine = 0.35, dim = 64, nlist = 4, nprobe = 2)
+      minCosine = 0.35, nlist = 4, nprobe = 2)
     val plan = planOf(df)
     assert(plan.contains("BroadcastHashJoin"), plan)
     // the only allowed Exchange is the broadcast of the tiny eval probe

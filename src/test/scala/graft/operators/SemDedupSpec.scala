@@ -139,13 +139,13 @@ class SemDedupSpec extends SparkTestBase {
   test("crossContamination exact twin: cross-set pairs only, exact scores") {
     val got = SemDedup.crossContamination(
       planted, col("vec_id"), col("v"), evalSet, col("vec_id"), col("v"),
-      minCosine = 0.9, dim = 4, nlist = 0)
+      minCosine = 0.9, nlist = 0)
       .select("train_id", "eval_id").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 100L), (2L, 100L), (3L, 100L),
       (10L, 101L), (11L, 101L)))
     val cos = SemDedup.crossContamination(
       planted, col("vec_id"), col("v"), evalSet, col("vec_id"), col("v"),
-      minCosine = 0.9, dim = 4, nlist = 0)
+      minCosine = 0.9, nlist = 0)
       .select("cosine").as[Double].collect()
     assert(cos.forall(c => math.abs(c - 1.0) < 1e-6))
   }
@@ -155,11 +155,11 @@ class SemDedupSpec extends SparkTestBase {
     // routes each eval prototype to its family's list
     val exact = SemDedup.crossContamination(
       planted, col("vec_id"), col("v"), evalSet, col("vec_id"), col("v"),
-      minCosine = 0.9, dim = 4, nlist = 0)
+      minCosine = 0.9, nlist = 0)
       .select("train_id", "eval_id").as[(Long, Long)].collect().toSet
     val bucketed = SemDedup.crossContamination(
       planted, col("vec_id"), col("v"), evalSet, col("vec_id"), col("v"),
-      minCosine = 0.9, dim = 4, nlist = 4, nprobe = 1)
+      minCosine = 0.9, nlist = 4, nprobe = 1)
       .select("train_id", "eval_id").as[(Long, Long)].collect().toSet
     assert(bucketed.subsetOf(exact), s"bucketed pair outside exact: $bucketed")
     assert(bucketed == exact, s"missed pairs: ${exact -- bucketed}")
@@ -169,12 +169,12 @@ class SemDedupSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       SemDedup.crossContamination(planted, col("vec_id"), col("v"),
         evalSet, col("vec_id"), col("v"),
-        minCosine = 1.5, dim = 4, nlist = 0)
+        minCosine = 1.5, nlist = 0)
     }
     intercept[IllegalArgumentException] {
       SemDedup.crossContamination(planted, col("vec_id"), col("v"),
         evalSet, col("vec_id"), col("v"),
-        minCosine = 0.9, dim = 4, nlist = 4, nprobe = 0)
+        minCosine = 0.9, nlist = 4, nprobe = 0)
     }
   }
 }

@@ -396,6 +396,43 @@ class StreamsSpec extends SparkTestBase {
     assert(flushed.contains((1L, 2, false)), flushed.toSeq.toString)
     q.stop()
   }
+
+  test("funnelStream: a stale non-advancing event after the watermark passed must not kill the query") {
+    // regression: state carries times from before the watermark; a batch
+    // that delivers only a WRONG-step event for that user runs the data
+    // path, and re-setting the (now stale) timeout would throw
+    // "timeout cannot be earlier than watermark" and terminate the
+    // query — the clamp must land it just past the watermark instead
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    def ev(u: Long, t: String, typ: String) =
+      Streams.FunnelEvent(u, Timestamp.valueOf(s"2024-01-01 $t"), typ)
+    val mem = MemoryStream[Streams.FunnelEvent]
+    val out = Streams.funnelStream(mem.toDS(),
+      Seq("view", "click", "purchase"), idleFlushSeconds = 600,
+      lateness = "1 minute")
+    val q = out.writeStream.format("memory").queryName("funnel_stale")
+      .outputMode("append").start()
+
+    mem.addData(ev(1L, "10:00:00", "view"))
+    q.processAllAvailable()
+    // advance the watermark way past user 1's timeout (10:10)
+    mem.addData(ev(9L, "12:00:00", "view"))
+    q.processAllAvailable()
+    // user 1 sends a non-advancing event (purchase while click expected)
+    // in the same batch window — without the clamp this crashed the query
+    mem.addData(ev(1L, "12:00:30", "purchase"))
+    q.processAllAvailable()
+    mem.addData(ev(9L, "13:00:00", "click")) // deliver pending timeouts
+    q.processAllAvailable()
+    assert(q.exception.isEmpty, q.exception.toString)
+    val flushed = spark.table("funnel_stale").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_steps"),
+        r.getAs[Boolean]("completed")))
+    assert(flushed.contains((1L, 1, false)), flushed.toSeq.toString)
+    q.stop()
+  }
 }
 
 object TestSpark {
