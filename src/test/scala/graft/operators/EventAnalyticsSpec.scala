@@ -77,6 +77,37 @@ class EventAnalyticsSpec extends SparkTestBase {
       ("2024-01-02", 7, 1L))) // user 2 on Jan 9, exactly at horizon
   }
 
+  test("retentionCohorts: week and month granularities bucket by period arithmetic") {
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")), // cohort Mon Jan 1
+      (1L, Timestamp.valueOf("2024-01-10 10:00:00")), // next ISO week -> offset 1
+      (2L, Timestamp.valueOf("2024-01-05 10:00:00")), // cohort month Jan
+      (2L, Timestamp.valueOf("2024-03-20 10:00:00"))) // offset 2 months
+      .toDF("user_id", "ts")
+    val weekly = EventAnalytics.retentionCohorts(ev, col("user_id"),
+      col("ts"), granularity = "week", horizon = 7)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getInt(1), r.getLong(2)))
+      .toSet
+    // date_trunc('week') -> Monday; Jan 1 2024 IS a Monday. User 2's
+    // March activity is week offset 11 — beyond horizon 7, filtered out.
+    assert(weekly == Set(
+      ("2024-01-01", 0, 2L), // both users' first events fall in that week
+      ("2024-01-01", 1, 1L)), weekly.toString) // user 1 the following week
+    val monthly = EventAnalytics.retentionCohorts(ev, col("user_id"),
+      col("ts"), granularity = "month", horizon = 7)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(monthly == Set(
+      ("2024-01-01", 0, 2L),
+      ("2024-01-01", 2, 1L)), monthly.toString)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.retentionCohorts(ev, col("user_id"), col("ts"),
+        granularity = "hour")
+    }
+  }
+
   test("changeHistory: consecutive runs collapse, half-open intervals chain") {
     val got = EventAnalytics.changeHistory(events.filter(col("user_id") === 1L)
       .unionAll(Seq((8L, t("10:20:00"), 1L, "view"))
