@@ -225,7 +225,13 @@ object SparkEntry {
       val toks = t(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("term"))
         .filter(length(col("term")) > 0)
-        .persist() // fans out 3 ways: exact counts, top terms, sketches
+        // fans out 3 ways (exact counts, top terms, sketches). The
+        // persist is never explicitly released — a lazy query has no
+        // safe in-plan unpersist point — so repeated re-registration
+        // accumulates entries until LRU eviction; Bench's per-pass
+        // clearCache() is what bounds it there (documented convention,
+        // same as Dsir.importanceWeights)
+        .persist()
       val exact = toks.groupBy(col("source"), col("term"))
         .agg(count(lit(1)).as("n_exact"))
       val top = toks.groupBy(col("term"))
@@ -1697,7 +1703,10 @@ object SparkEntry {
         .withColumn("recall_floor", lit(0.25))
         .where(assert_true(col("n_hit") === col("n_clustered"),
           lit("clustered SemDeDup pair outside the exact pair set")).isNull)
-        .where(assert_true(col("recall") >= col("recall_floor"),
+        // vacuously true when the capped anchor range holds no exact
+        // pair at all — recall is 0/0 then, not a regression
+        .where(assert_true(
+          col("n_exact") === 0 || col("recall") >= col("recall_floor"),
           concat(lit("SemDeDup cluster recall below floor: "),
             col("recall"))).isNull)
     }),
@@ -1758,7 +1767,10 @@ object SparkEntry {
         .withColumn("recall_floor", lit(0.5))
         .where(assert_true(col("n_hit") === col("n_bucketed"),
           lit("bucketed contamination pair outside the exact pair set")).isNull)
-        .where(assert_true(col("recall") >= col("recall_floor"),
+        // vacuously true when the capped anchor range holds no exact
+        // contamination pair — recall is 0/0 then, not a regression
+        .where(assert_true(
+          col("n_exact") === 0 || col("recall") >= col("recall_floor"),
           concat(lit("cross-contamination recall below floor: "),
             col("recall"))).isNull)
     }),

@@ -788,14 +788,28 @@ object Kernels {
 
   // Count-min probe support. Deserializing the sketch per probed row
   // would dominate any probe join, so sketches are memoized PER
-  // EXECUTOR keyed by full byte equality (ByteBuffer wraps hash/equals
-  // over content). Bounded: a pipeline carries a handful of live
-  // sketches (one per group); the clear() guard only exists so a
-  // pathological caller cycling thousands of sketches degrades to
-  // re-deserialization instead of leaking.
+  // EXECUTOR. The cache key is a cheap fingerprint — length mixed with
+  // a hardware CRC32C of the bytes — NOT full-content hash/equals: the
+  // former ByteBuffer key paid a byte-by-byte hashCode scan of the
+  // ~110 KB sketch (eps=0.001) on EVERY probed row, which contradicted
+  // the "per-row cost is the depth×hash walk" contract. A fingerprint
+  // hit still verifies with Arrays.equals (a vectorized intrinsic, an
+  // order of magnitude cheaper than the boxed hashCode loop), so a
+  // CRC collision degrades to re-deserialization, never a wrong
+  // estimate. Bounded: a pipeline carries a handful of live sketches
+  // (one per group); the clear() guard only exists so a pathological
+  // caller cycling thousands of sketches degrades to
+  // re-deserialization instead of leaking (racy by design — losers of
+  // the race merely re-deserialize).
   private val cmsCache =
-    new java.util.concurrent.ConcurrentHashMap[java.nio.ByteBuffer,
-      org.apache.spark.util.sketch.CountMinSketch]()
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long,
+      (Array[Byte], org.apache.spark.util.sketch.CountMinSketch)]()
+
+  private def cmsFingerprint(bytes: Array[Byte]): Long = {
+    val crc = new java.util.zip.CRC32C()
+    crc.update(bytes, 0, bytes.length)
+    (bytes.length.toLong << 32) ^ crc.getValue
+  }
 
   /** Estimated count of `item` in a serialized
     * `org.apache.spark.util.sketch.CountMinSketch` (the binary the
@@ -804,14 +818,17 @@ object Kernels {
     * so estimates are consistent with the build side.
     */
   def countMinEstimate(sketchBytes: Array[Byte], item: UTF8String): Long = {
-    val key = java.nio.ByteBuffer.wrap(sketchBytes)
-    var cms = cmsCache.get(key)
-    if (cms == null) {
-      if (cmsCache.size > 64) cmsCache.clear()
-      cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(sketchBytes))
-      cmsCache.put(key, cms)
-    }
+    val key = java.lang.Long.valueOf(cmsFingerprint(sketchBytes))
+    val hit = cmsCache.get(key)
+    val cms =
+      if (hit != null && java.util.Arrays.equals(hit._1, sketchBytes)) hit._2
+      else {
+        if (cmsCache.size > 64) cmsCache.clear()
+        val fresh = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(sketchBytes))
+        cmsCache.put(key, (sketchBytes, fresh))
+        fresh
+      }
     cms.estimateCount(item.getBytes)
   }
 

@@ -36,8 +36,17 @@ import org.apache.spark.sql.functions._
   * `truncateEvery` the score frame is localCheckpoint'd (the
   * [[Dedup.connectedComponents]] lineage lesson — persist bounds
   * recompute, only checkpointing bounds the PLAN). The node count `n`
-  * is the one driver-side action (a scalar count, same contract as the
+  * is one driver-side action (a scalar count, same contract as the
   * A1 metric gates).
+  *
+  * Cache lifecycle: the raw symmetrized edge list is persisted only
+  * until the degree-annotated copy materializes (the two hold the same
+  * rows — caching both doubled the footprint for nothing), and the
+  * RETURNED frame is an eager localCheckpoint: the iterations run
+  * exactly once inside this call, every caller action scans the
+  * checkpointed result instead of replaying the whole loop, and both
+  * intermediate caches are released before returning. CentralitySpec
+  * pins the returned plan free of the iteration joins.
   */
 object Centrality {
 
@@ -70,6 +79,8 @@ object Centrality {
     val degreed = edges
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .persist() // reused every iteration
+    degreed.count() // materialize so the raw edge cache can be released
+    edges.unpersist(blocking = false) // degreed carries the same rows
     val n = ids.count()
     require(n > 0, "PageRank over an empty node set")
     val s0 = scale / n
@@ -89,9 +100,11 @@ object Centrality {
       if (iter % truncateEvery == 0 && iter < iterations)
         scores = scores.localCheckpoint(true)
     }
-    // degreed stays persisted: the returned frame is lazy and every
-    // evaluation replays all iterations against it; callers that
-    // materialize the result can unpersist via the catalog
-    scores
+    // eager checkpoint: run the iterations ONCE here, hand callers a
+    // frame whose plan is just the checkpointed scan — then the
+    // iteration cache is done and releases immediately
+    val result = scores.localCheckpoint(true)
+    degreed.unpersist(blocking = false)
+    result
   }
 }

@@ -101,6 +101,12 @@ object Dsir {
                         salt: String = "dsir",
                         portableHash: Boolean = true): DataFrame = {
     val rawFeats = hashedFeatures(raw, id, text, buckets, salt, portableHash)
+      // fans out twice (bucket model fit + the scored join below).
+      // Never explicitly unpersisted — the returned frame is lazy, so
+      // there is no safe in-plan release point; repeat callers
+      // accumulate cache entries until LRU eviction (Bench bounds this
+      // with its per-pass clearCache — the repo's documented
+      // persist-and-leave convention for lazy fan-out queries)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val targetFeats =
       hashedFeatures(target, targetId, targetText, buckets, salt, portableHash)

@@ -68,6 +68,51 @@ object Quality {
       nStop)
   }
 
+  /** The five Gopher rule predicates over a [[Feats]], in gate order —
+    * THE single definition of the rules: [[gopherQualityFlags]] aliases
+    * these as its flag columns, [[gopherKeep]] conjoins them, and
+    * [[corpusReport]]/[[gopherKeepCol]] consume the conjunction, so an
+    * edited threshold changes every consumer or none.
+    */
+  private def gopherRules(f: Feats, minWords: Int, maxWords: Int,
+                          minMeanWordLen: Double, maxMeanWordLen: Double,
+                          maxSymbolRatio: Double, minAlphaFrac: Double,
+                          minStopwords: Int): Seq[Column] = Seq(
+    f.nWords.between(minWords, maxWords),
+    f.meanLen.between(minMeanWordLen, maxMeanWordLen),
+    f.symbolRatio <= maxSymbolRatio,
+    f.alphaFrac >= minAlphaFrac,
+    f.nStop >= minStopwords)
+
+  /** Paper-default rule conjunction over a [[Feats]]. */
+  private def gopherKeep(f: Feats): Column =
+    gopherRules(f, 50, 100000, 3.0, 10.0, 0.1, 0.8, 2).reduce(_ && _)
+
+  /** Empty-document guard shared by every logit consumer: a 0-word doc
+    * has undefined ratios (0/0 = NaN); scoring treats them as 0.
+    */
+  private def guardZero(f: Feats)(c: Column): Column =
+    when(f.nWords > 0, c).otherwise(lit(0.0))
+
+  /** THE fixed-order logit multiply-add chain — single definition so the
+    * gate ([[logisticQualityScore]]), the report ([[corpusReport]]) and
+    * the in-row form ([[logitScoreCol]]) can never diverge; the oracle
+    * SQL renders the same term order.
+    */
+  private def logitChain(f: Feats, w: LogitWeights): Column = {
+    val guard = guardZero(f) _
+    lit(w.bias) +
+      lit(w.alphaFrac) * guard(f.alphaFrac) +
+      lit(w.stopFrac) * guard(f.nStop.cast("double") / f.nWords.cast("double")) +
+      lit(w.symbolRatio) * guard(f.symbolRatio) +
+      lit(w.meanWordLen) * f.meanLen
+  }
+
+  /** The exact IEEE rational sigmoid x / (1 + |x|) every logit consumer
+    * squashes through.
+    */
+  private def rationalSigmoid(x: Column): Column = x / (lit(1.0) + abs(x))
+
   /** Per-document Gopher rule evaluation: measurements, one boolean per
     * rule, and the conjunction `keep`.
     *
@@ -88,23 +133,21 @@ object Quality {
     require(minWords >= 1, s"minWords must be >= 1: $minWords")
     require(maxWords >= minWords, s"maxWords < minWords: $maxWords")
     val f = feats(text)
-    val nWords = f.nWords
-    val nStop = f.nStop
-    val meanLen = f.meanLen
-    val symbolRatio = f.symbolRatio
-    val alphaFrac = f.alphaFrac
+    val Seq(rWords, rWordLen, rSymbols, rAlpha, rStop) =
+      gopherRules(f, minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+        maxSymbolRatio, minAlphaFrac, minStopwords)
     docs.select(
       id.as("doc_id"),
-      nWords.as("n_words"),
-      meanLen.as("mean_word_len"),
-      symbolRatio.as("symbol_ratio"),
-      alphaFrac.as("alpha_frac"),
-      nStop.as("n_stop"),
-      nWords.between(minWords, maxWords).as("flag_words"),
-      meanLen.between(minMeanWordLen, maxMeanWordLen).as("flag_word_len"),
-      (symbolRatio <= maxSymbolRatio).as("flag_symbols"),
-      (alphaFrac >= minAlphaFrac).as("flag_alpha"),
-      (nStop >= minStopwords).as("flag_stopwords"))
+      f.nWords.as("n_words"),
+      f.meanLen.as("mean_word_len"),
+      f.symbolRatio.as("symbol_ratio"),
+      f.alphaFrac.as("alpha_frac"),
+      f.nStop.as("n_stop"),
+      rWords.as("flag_words"),
+      rWordLen.as("flag_word_len"),
+      rSymbols.as("flag_symbols"),
+      rAlpha.as("flag_alpha"),
+      rStop.as("flag_stopwords"))
       .withColumn("keep",
         col("flag_words") && col("flag_word_len") && col("flag_symbols") &&
           col("flag_alpha") && col("flag_stopwords"))
@@ -192,18 +235,12 @@ object Quality {
                            w: LogitWeights = DefaultLogitWeights,
                            keepThreshold: Double = 0.5): DataFrame = {
     val f = feats(text)
-    def guard(c: Column): Column =
-      when(f.nWords > 0, c).otherwise(lit(0.0))
+    val guard = guardZero(f) _
     val alphaFrac = guard(f.alphaFrac)
     val stopFrac = guard(f.nStop.cast("double") / f.nWords.cast("double"))
     val symbolRatio = guard(f.symbolRatio)
-    // fixed-order multiply-add chain — the oracle renders the SAME order
-    val logit = lit(w.bias) +
-      lit(w.alphaFrac) * alphaFrac +
-      lit(w.stopFrac) * stopFrac +
-      lit(w.symbolRatio) * symbolRatio +
-      lit(w.meanWordLen) * f.meanLen
-    val score = logit / (lit(1.0) + abs(logit))
+    val logit = logitChain(f, w)
+    val score = rationalSigmoid(logit)
     docs.select(
       id.as("doc_id"),
       alphaFrac.as("alpha_frac"),
@@ -229,17 +266,8 @@ object Quality {
     */
   def corpusReport(docs: DataFrame, source: Column, text: Column): DataFrame = {
     val f = feats(text)
-    val gKeep = f.nWords.between(50, 100000) &&
-      f.meanLen.between(3.0, 10.0) && f.symbolRatio <= 0.1 &&
-      f.alphaFrac >= 0.8 && f.nStop >= 2
-    val w = DefaultLogitWeights
-    def guard(c: Column): Column = when(f.nWords > 0, c).otherwise(lit(0.0))
-    val logit = lit(w.bias) +
-      lit(w.alphaFrac) * guard(f.alphaFrac) +
-      lit(w.stopFrac) * guard(f.nStop.cast("double") / f.nWords.cast("double")) +
-      lit(w.symbolRatio) * guard(f.symbolRatio) +
-      lit(w.meanWordLen) * f.meanLen
-    val lKeep = logit / (lit(1.0) + abs(logit)) >= 0.5
+    val gKeep = gopherKeep(f)
+    val lKeep = rationalSigmoid(logitChain(f, DefaultLogitWeights)) >= 0.5
     docs.select(source.as("source"), text.as("__text"),
         f.nWords.as("__nw"), gKeep.as("__g"), lKeep.as("__l"))
       .groupBy(col("source"))
@@ -259,27 +287,15 @@ object Quality {
     * `keep`; use the DataFrame form when the per-rule audit columns
     * matter.
     */
-  def gopherKeepCol(text: Column): Column = {
-    val f = feats(text)
-    f.nWords.between(50, 100000) && f.meanLen.between(3.0, 10.0) &&
-      f.symbolRatio <= 0.1 && f.alphaFrac >= 0.8 && f.nStop >= 2
-  }
+  def gopherKeepCol(text: Column): Column = gopherKeep(feats(text))
 
   /** The rational-sigmoid quality score as a single COLUMN over `text`
     * — [[logisticQualityScore]]'s `quality_score` in in-row form, same
     * weights, same fixed-order chain.
     */
   def logitScoreCol(text: Column,
-                    w: LogitWeights = DefaultLogitWeights): Column = {
-    val f = feats(text)
-    def guard(c: Column): Column = when(f.nWords > 0, c).otherwise(lit(0.0))
-    val logit = lit(w.bias) +
-      lit(w.alphaFrac) * guard(f.alphaFrac) +
-      lit(w.stopFrac) * guard(f.nStop.cast("double") / f.nWords.cast("double")) +
-      lit(w.symbolRatio) * guard(f.symbolRatio) +
-      lit(w.meanWordLen) * f.meanLen
-    logit / (lit(1.0) + abs(logit))
-  }
+                    w: LogitWeights = DefaultLogitWeights): Column =
+    rationalSigmoid(logitChain(feats(text), w))
 
   /** C4-style page cleaning (Raffel et al. 2020, "Exploring the Limits
     * of Transfer Learning...", §2.2) — the line-level companion to the

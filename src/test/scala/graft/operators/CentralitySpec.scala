@@ -59,6 +59,34 @@ class CentralitySpec extends SparkTestBase {
     assert(run(3) == run(3))
   }
 
+  test("returned plan is the checkpoint scan, free of iteration joins") {
+    // the dedup_clusters plan-bound pattern: the eager localCheckpoint
+    // must truncate lineage, so caller actions scan an ExistingRDD
+    // instead of replaying every iteration's join against the cached
+    // edge list
+    val scores = Centrality.fixedPointPageRank(
+      nodes.toDF("doc_id"), col("doc_id"),
+      path.toDF("id_a", "id_b"), iterations = 5)
+    val plan = scores.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"), plan)
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
+
+  test("releases its caches before returning") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Centrality.fixedPointPageRank(
+      nodes.toDF("doc_id"), col("doc_id"),
+      path.toDF("id_a", "id_b"), iterations = 3)
+    // unpersist(blocking = false) is async; poll briefly. The one
+    // surviving entry is the eager localCheckpoint itself (that IS the
+    // returned result); the edge and degree caches must be gone.
+    val deadline = System.nanoTime() + 10000000000L
+    def leaked() = (spark.sparkContext.getPersistentRDDs.keySet -- before).size
+    while (leaked() > 1 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(leaked() <= 1, s"leaked ${leaked()} cached RDDs (expected <= 1)")
+  }
+
   test("rejects degenerate parameters") {
     intercept[IllegalArgumentException] { run(0) }
     intercept[IllegalArgumentException] {
