@@ -1948,12 +1948,73 @@ object SparkEntry {
           numShards = 16),
         TextFunctions.tokenCount(col("text")))
     }),
-    // ----- LLM-pipeline: multimodal plumbing ----------------------------
+    // ----- LLM-pipeline: multimodal columns -----------------------------
     "media_meta" -> ((s, dir) => {
-      val media = Multimodal.packTextAsMedia(t(s, dir, "documents"),
-        col("doc_id"), col("text"))
-      media.select((col("asset_id") +:
-        Multimodal.stubDecodeMetaCols(col("media"))): _*)
+      // REAL image metadata decode: per-document PNGs are synthesized
+      // ON EXECUTORS (dims a pure function of doc_id — no image assets
+      // exist in the container) and decoded back through javax.imageio.
+      // The in-plan gate asserts the DECODED dims equal the encoded
+      // ones (the kmeans_cluster_profile identity-gate pattern), so a
+      // codec break fails the harness run; the registered projection is
+      // the decoded metadata, which the DuckDB twin recomputes from the
+      // doc_id arithmetic — the oracle is green only if ImageIO
+      // round-trips real PNG bytes. n_bytes is PNG-encoder-specific and
+      // stays out of the projection (gated > 0 instead).
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 13 + 4).cast("int").as("w"),
+        (col("doc_id") % 11 + 3).cast("int").as("h"))
+      val media = Multimodal.synthesizeImages(dims, col("doc_id"),
+        col("w"), col("h"))
+      Multimodal.decodeMeta(media)
+        .where(assert_true(
+          col("width") === col("true_width") &&
+            col("height") === col("true_height") && col("channels") === 3,
+          concat(lit("ImageIO decode does not round-trip encoded dims: "),
+            col("asset_id"))).isNull)
+        .where(assert_true(col("n_bytes") > 0,
+          lit("empty encoded payload")).isNull)
+        .select(col("asset_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          (col("width") * col("height")).cast("long").as("n_pixels"))
+    }),
+    "media_pixel_stats" -> ((s, dir) => {
+      // the codec round-trip PROOF: encode synthetic pixels to real PNG,
+      // decode, sum each channel over the raster — PNG is lossless 8-bit
+      // sRGB, so the sums equal the DuckDB twin's arithmetic recompute
+      // of the synthetic pixel function exactly. Also the shape of real
+      // non-model feature extraction (per-channel statistics).
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 13 + 4).cast("int").as("w"),
+        (col("doc_id") % 11 + 3).cast("int").as("h"))
+      val media = Multimodal.synthesizeImages(dims, col("doc_id"),
+        col("w"), col("h"))
+      Multimodal.imageChannelStats(media, col("asset_id"))
+    }),
+    "media_resize_image" -> ((s, dir) => {
+      // REAL bilinear resample to a fixed thumbnail size, re-encoded
+      // PNG, then decoded again: the gate asserts the decoded dims are
+      // exactly the target (resampled pixel VALUES are interpolation-
+      // implementation-specific, so only the dims project). Every 10th
+      // doc: the resample is the most expensive per-row step of the
+      // media family and the plumbing claim needs coverage, not volume.
+      val dims = t(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          (col("doc_id") % 13 + 4).cast("int").as("w"),
+          (col("doc_id") % 11 + 3).cast("int").as("h"))
+      val media = Multimodal.synthesizeImages(dims, col("doc_id"),
+        col("w"), col("h"))
+      val resized = Multimodal.resizeImages(media, targetW = 8, targetH = 6)
+        .select(col("asset_id"), col("resized").as("media"))
+      Multimodal.decodeMeta(resized)
+        .where(assert_true(col("width") === 8 && col("height") === 6,
+          concat(lit("resample missed target dims: "), col("asset_id"))).isNull)
+        .select(col("asset_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"))
     }),
     "media_frames" -> ((s, dir) => {
       val media = Multimodal.packTextAsMedia(t(s, dir, "documents"),
@@ -3978,12 +4039,35 @@ object SparkEntry {
         |JOIN labels l ON l.vec_id = e.vec_id
         |WHERE l.component = e.vec_id""".stripMargin,
     "media_meta" ->
+      // the twin recomputes the encoded dims arithmetically; the Spark
+      // side reports what ImageIO DECODED from real PNG bytes — a hash
+      // match proves the codec round trip, not just the projection
       """SELECT doc_id AS asset_id,
-        | CAST((ord(substring(text, 1, 1)) * 7 + strlen(text)) % 512 + 1 AS INT) AS width,
-        | CAST((ord(substring(text, length(text), 1)) * 13 + strlen(text) // 2) % 512 + 1 AS INT) AS height,
-        | CAST(strlen(text) % 3 + 1 AS INT) AS channels,
-        | CAST(strlen(text) AS BIGINT) AS n_bytes
+        | CAST(doc_id % 13 + 4 AS BIGINT) AS width,
+        | CAST(doc_id % 11 + 3 AS BIGINT) AS height,
+        | CAST(3 AS BIGINT) AS channels,
+        | CAST((doc_id % 13 + 4) * (doc_id % 11 + 3) AS BIGINT) AS n_pixels
         |FROM documents""".stripMargin,
+    "media_pixel_stats" ->
+      // arithmetic recompute of the synthetic pixel function summed over
+      // the raster — equals the Spark side only because PNG is lossless
+      """SELECT d.doc_id AS asset_id,
+        | CAST((d.doc_id % 13 + 4) * (d.doc_id % 11 + 3) AS BIGINT) AS n_pixels,
+        | CAST(SUM((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256) AS BIGINT) AS sum_r,
+        | CAST(SUM((d.doc_id * 31 + x.x * 7 + y.y * 13 + 101) % 256) AS BIGINT) AS sum_g,
+        | CAST(SUM((d.doc_id * 31 + x.x * 7 + y.y * 13 + 202) % 256) AS BIGINT) AS sum_b
+        |FROM documents d,
+        | unnest(range(0, CAST(d.doc_id % 13 + 4 AS INT))) AS x(x),
+        | unnest(range(0, CAST(d.doc_id % 11 + 3 AS INT))) AS y(y)
+        |GROUP BY d.doc_id""".stripMargin,
+    "media_resize_image" ->
+      // resampled dims are the target by contract (in-plan gated); the
+      // oracle pins the projection and the every-10th-doc coverage
+      """SELECT doc_id AS asset_id,
+        | CAST(8 AS BIGINT) AS width,
+        | CAST(6 AS BIGINT) AS height,
+        | CAST(3 AS BIGINT) AS channels
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
     "media_frames" ->
       """SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,
         | hex(encode(substring(text, CAST(i * 16 + 1 AS INT), 16))) AS frame

@@ -26,8 +26,14 @@ object Verify {
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_SEC", "300").toInt
     require(watchdogSec >= 1,
       s"SPARK_GRAFT_VERIFY_TIMEOUT_SEC must be >= 1, got $watchdogSec")
+    // focused iteration, mirroring Bench's SPARK_GRAFT_BENCH_ONLY; the
+    // driver never sets it, so round dumps stay complete
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     var failed = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       Bench.timedPass(spark, name, () => {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -46,7 +52,7 @@ object Verify {
     if (failed.nonEmpty)
       println(s"[verify] FAILED ${failed.size}: ${failed.sorted.mkString(", ")}")
     else
-      println(s"[verify] all ${SparkEntry.queries.size} queries dumped OK")
+      println(s"[verify] all ${selected.size} queries dumped OK")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,16 +12,33 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column plumbing.
   *
   * Media payloads are opaque `binary` columns with typed metadata
-  * alongside — the schema/partitioning/batching is real and tested; only
-  * the codec itself is a STUB (this container has no image/audio
-  * libraries), clearly marked below and swappable for a real decoder.
+  * alongside. The IMAGE codec is REAL: `javax.imageio` (shipped in
+  * every JDK) encodes and decodes PNG/JPEG/GIF/BMP, so [[decodeMeta]],
+  * [[imageChannelStats]] and [[resizeImages]] operate on actual encoded
+  * bytes — pointing `media_meta` at a directory of real PNGs returns
+  * their true dimensions. Only the EMBEDDING extractor remains a
+  * clearly-marked stub ([[stubFeatureVector]] — model inference needs
+  * an ML runtime this container does not have); its schema and
+  * everything downstream (ANN, dedup) are the real shapes.
   *
-  * The decode path deliberately mirrors the batched-UDF shape (a
-  * partition-at-a-time iterator transform, like `mapInPandas`): decoding
-  * is per-partition with no shuffle, so it scales linearly with input
-  * splits on a real cluster.
+  * Every decode-path operator is a partition-at-a-time iterator
+  * transform (the `mapInPandas` analogue): decoding is per-partition
+  * with no shuffle and no driver involvement, so it scales linearly
+  * with input splits on a real cluster. PNG is lossless 8-bit sRGB, so
+  * an encode→decode round trip reproduces pixel values EXACTLY — which
+  * is what lets the `media_pixel_stats` query hash-match a DuckDB twin
+  * that recomputes the synthetic pixel sums arithmetically: the oracle
+  * proves the whole codec round trip, not just the plumbing.
   */
 object Multimodal {
+
+  // ImageIO defaults to spooling through temp FILES per call; in-memory
+  // streams are strictly better for small per-row payloads. Headless is
+  // forced so Graphics2D resampling never looks for a display.
+  private lazy val imageIoInit: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    ImageIO.setUseCache(false)
+  }
 
   /** Canonical media-table schema: id + opaque payload + content type. */
   val mediaSchema: StructType = StructType(Seq(
@@ -31,46 +53,101 @@ object Multimodal {
     StructField("n_bytes", LongType, nullable = true)))
 
   /** Build a media table from any table with an id + text column — the
-    * UTF-8 bytes stand in for an encoded image payload in tests.
+    * UTF-8 bytes stand in for an OPAQUE payload (frame slicing, byte
+    * resizing and the stub embedding are content-agnostic); they are
+    * NOT decodable images, and [[decodeMeta]] reports null dimensions
+    * for them (spec-pinned).
     */
   def packTextAsMedia(df: DataFrame, id: Column, payload: Column,
-                      mediaType: String = "image/fake"): DataFrame =
+                      mediaType: String = "application/octet-stream"): DataFrame =
     df.select(id.cast("long").as("asset_id"),
       payload.cast("binary").as("media"),
       lit(mediaType).as("media_type"))
 
-  /** STUB DECODER — deterministic fake. A real deployment replaces this
-    * one function (bytes → metadata) with an actual codec call; nothing
-    * else in the pipeline changes. Kept total: any byte array decodes.
+  /** The deterministic synthetic pixel: channel 0/1/2 = R/G/B. Shared
+    * by the executor-side encoder and the specs; the DuckDB oracle twin
+    * renders the same arithmetic (`(asset_id*31 + x*7 + y*13 +
+    * channel*101) % 256`), which is what makes the round-trip pixel
+    * sums oracle-checkable.
     */
-  def stubDecodeMeta(bytes: Array[Byte]): (Int, Int, Int, Long) = {
-    if (bytes == null || bytes.isEmpty) (0, 0, 0, 0L)
-    else {
-      val w = 1 + ((bytes(0) & 0xff) * 7 + bytes.length) % 512
-      val h = 1 + ((bytes(bytes.length - 1) & 0xff) * 13 + bytes.length / 2) % 512
-      val c = 1 + (bytes.length % 3)
-      (w, h, c, bytes.length.toLong)
+  def syntheticPixel(assetId: Long, x: Int, y: Int, channel: Int): Int =
+    ((assetId * 31L + x * 7L + y * 13L + channel * 101L) % 256L).toInt
+
+  /** Encode one deterministic `w`×`h` image to real PNG (or JPEG/BMP…)
+    * bytes via ImageIO — runs on EXECUTORS inside [[synthesizeImages]];
+    * public for the specs' golden fixtures.
+    */
+  def encodeSyntheticImage(assetId: Long, w: Int, h: Int,
+                           format: String = "png"): Array[Byte] = {
+    imageIoInit
+    require(w >= 1 && h >= 1, s"degenerate image dims ${w}x$h")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = syntheticPixel(assetId, x, y, 0)
+        val g = syntheticPixel(assetId, x, y, 1)
+        val b = syntheticPixel(assetId, x, y, 2)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
     }
+    val baos = new ByteArrayOutputStream()
+    val ok = ImageIO.write(img, format, baos)
+    require(ok, s"no ImageIO writer for format '$format'")
+    baos.toByteArray
   }
 
-  /** Column-expression twin of [[stubDecodeMeta]] for engines that want
-    * the metadata inline without the batched-iterator path (and for
-    * cross-engine verification of the plumbing).
+  /** Synthesize one real encoded image per row — the fixture generator
+    * for codec-path queries (no image assets exist in the container, so
+    * the corpus is generated ON EXECUTORS, deterministically from the
+    * id + requested dims; ImageIO both encodes here and decodes in
+    * [[decodeMeta]], so the pair exercises the real codec round trip).
+    * Output: (asset_id, media, media_type, true_width, true_height) —
+    * the true dims ride along so decode gates can assert identity
+    * without a join.
     */
-  def stubDecodeMetaCols(media: Column): Seq[Column] = {
-    val len = octet_length(media)
-    val first = when(len > 0, conv(hex(substring(media, 1, 1)), 16, 10).cast("int")).otherwise(0)
-    val last = when(len > 0, conv(hex(substring(media, -1, 1)), 16, 10).cast("int")).otherwise(0)
-    Seq(
-      when(len > 0, (first * 7 + len) % 512 + 1).otherwise(0).as("width"),
-      when(len > 0, (last * 13 + (len / 2).cast("int")) % 512 + 1).otherwise(0).as("height"),
-      when(len > 0, len % 3 + 1).otherwise(0).as("channels"),
-      len.cast("long").as("n_bytes"))
+  def synthesizeImages(df: DataFrame, id: Column, width: Column,
+                       height: Column, format: String = "png"): DataFrame = {
+    val in = df.select(id.cast("long").as("asset_id"),
+      width.cast("int").as("true_width"), height.cast("int").as("true_height"))
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = true),
+      StructField("media_type", StringType, nullable = true),
+      StructField("true_width", IntegerType, nullable = false),
+      StructField("true_height", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val mime = s"image/$format"
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val a = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+        Row(a, encodeSyntheticImage(a, w, h, format), mime, w, h)
+      }
+    }(enc)
   }
 
-  /** Batched decode over partitions (the `mapInPandas` analogue): the
-    * iterator is consumed lazily, one row in flight per partition, no
-    * driver involvement. Appends the [[metaSchema]] fields.
+  /** Real decode of one payload: Some(image) for any format ImageIO
+    * recognizes (PNG/JPEG/GIF/BMP out of the box), None for
+    * null/empty/undecodable bytes — total by catching the codec's
+    * failure modes, never by faking dimensions.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[BufferedImage] = {
+    imageIoInit
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+  }
+
+  /** Batched REAL metadata decode over partitions (the `mapInPandas`
+    * analogue): the iterator is consumed lazily, one row in flight per
+    * partition, no driver involvement. Appends the [[metaSchema]]
+    * fields — true decoded width/height and the color-model component
+    * count for decodable payloads, nulls (with the byte length) for
+    * undecodable ones.
     */
   def decodeMeta(df: DataFrame, mediaCol: String = "media"): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ metaSchema.fields)
@@ -82,10 +159,100 @@ object Multimodal {
           case b: Array[Byte] => b
           case _              => null
         }
-        val (w, h, c, n) = stubDecodeMeta(bytes)
-        // Seq[Any], not Seq(...): weak numeric lub would widen the Ints to
-        // Long and break the INT fields of the row encoder.
-        Row.fromSeq(r.toSeq ++ Seq[Any](w, h, c, n))
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        // Seq[Any], not Seq(...): weak numeric lub would widen the Ints
+        // to Long and break the INT fields of the row encoder.
+        val meta = decodeImage(bytes) match {
+          case Some(img) => Seq[Any](img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents, n)
+          case None => Seq[Any](null, null, null, n)
+        }
+        Row.fromSeq(r.toSeq ++ meta)
+      }
+    }(enc)
+  }
+
+  /** REAL per-image feature extraction with exact-integer outputs:
+    * per-channel pixel-value sums + pixel count, from the decoded
+    * raster. On PNG (lossless) the sums reproduce the encoded values
+    * exactly, so over [[synthesizeImages]] fixtures the whole
+    * encode→decode→aggregate pipeline is DuckDB-oracle-checkable
+    * (`media_pixel_stats`). Undecodable payloads yield null sums.
+    * Output: (asset_id, n_pixels, sum_r, sum_g, sum_b).
+    */
+  def imageChannelStats(df: DataFrame, id: Column,
+                        mediaCol: String = "media"): DataFrame = {
+    val in = df.select(id.cast("long").as("asset_id"), col(mediaCol).as("m"))
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("n_pixels", LongType, nullable = true),
+      StructField("sum_r", LongType, nullable = true),
+      StructField("sum_g", LongType, nullable = true),
+      StructField("sum_b", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val a = r.getLong(0)
+        decodeImage(r.get(1) match {
+          case b: Array[Byte] => b
+          case _              => null
+        }) match {
+          case Some(img) =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Row(a, img.getWidth.toLong * img.getHeight, sr, sg, sb)
+          case None => Row(a, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL image resample to exact target dimensions (bilinear
+    * Graphics2D scaling, headless), re-encoded in `format` — the
+    * thumbnail/normalize step of an image-corpus pipeline. Appends a
+    * `resized` binary column (null for undecodable payloads); decode
+    * gates downstream can assert the decoded dims equal the target.
+    * Same zero-shuffle partition-iterator shape as [[decodeMeta]].
+    */
+  def resizeImages(df: DataFrame, targetW: Int, targetH: Int,
+                   mediaCol: String = "media",
+                   format: String = "png"): DataFrame = {
+    require(targetW >= 1 && targetH >= 1,
+      s"degenerate target dims ${targetW}x$targetH")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resized", BinaryType, nullable = true))
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val resized = decodeImage(r.get(mediaIdx) match {
+          case b: Array[Byte] => b
+          case _              => null
+        }).map { img =>
+          val out = new BufferedImage(targetW, targetH,
+            BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+          } finally g.dispose()
+          val baos = new ByteArrayOutputStream()
+          ImageIO.write(out, format, baos)
+          baos.toByteArray
+        }.orNull
+        Row.fromSeq(r.toSeq :+ resized)
       }
     }(enc)
   }
@@ -95,7 +262,8 @@ object Multimodal {
     * deployment swaps this expression for a model-inference call (e.g. a
     * batched ONNX scorer in [[decodeMeta]]'s iterator form); the schema
     * (array<double> of fixed dim) and everything downstream (ANN, dedup)
-    * stay identical.
+    * stay identical. For a real NON-model feature over decoded pixels,
+    * see [[imageChannelStats]].
     */
   def stubFeatureVector(media: Column, dim: Int): Column = {
     val len = octet_length(media)
@@ -108,10 +276,11 @@ object Multimodal {
       .otherwise(array_repeat(lit(0.0), dim)).as("features")
   }
 
-  /** STUB RESIZE — byte-level crop/pad to an exact target size (truncate
-    * long payloads, zero-pad short ones). Stands in for a real image
-    * resample; keeps output size statically known for downstream batch
-    * shapes.
+  /** BYTE-level crop/pad to an exact payload size (truncate long
+    * payloads, zero-pad short ones) — the content-agnostic batch-shape
+    * normalizer for OPAQUE payloads (audio frames, tensors); for real
+    * image resampling use [[resizeImages]]. Keeps output size
+    * statically known for downstream batch shapes.
     */
   def stubResize(media: Column, targetBytes: Int): Column = {
     val zeros = lit(Array.fill[Byte](targetBytes)(0))

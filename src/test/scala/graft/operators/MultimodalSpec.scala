@@ -12,32 +12,96 @@ class MultimodalSpec extends SparkTestBase {
     Multimodal.packTextAsMedia(docs, col("doc_id"), col("text"))
   }
 
+  private def dims = {
+    import graft.TestSpark.spark.implicits._
+    Seq((1L, 5, 4), (2L, 12, 3), (3L, 1, 1)).toDF("doc_id", "w", "h")
+  }
+
   test("pack yields the canonical media schema") {
     assert(media.schema.fieldNames.toSeq == Seq("asset_id", "media", "media_type"))
     assert(media.schema("media").dataType.typeName == "binary")
   }
 
-  test("column-expression decode equals the JVM stub codec") {
-    val viaCols = media.select((col("asset_id") +:
-      Multimodal.stubDecodeMetaCols(col("media"))): _*).collect()
-      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))))
-      .toMap
-    val direct = media.select(col("asset_id"), col("media")).collect()
-      .map(r => r.getLong(0) -> Multimodal.stubDecodeMeta(r.getAs[Array[Byte]](1)))
-      .toMap
-    assert(viaCols == direct)
+  test("synthesize -> decode round-trips real PNG dimensions and channels") {
+    val synth = Multimodal.synthesizeImages(dims, col("doc_id"), col("w"), col("h"))
+    val meta = Multimodal.decodeMeta(synth)
+      .select("asset_id", "width", "height", "channels", "true_width", "true_height")
+      .collect()
+    assert(meta.length == 3)
+    meta.foreach { r =>
+      assert(r.getInt(1) == r.getInt(4), s"width mismatch: $r")
+      assert(r.getInt(2) == r.getInt(5), s"height mismatch: $r")
+      assert(r.getInt(3) == 3, s"RGB PNG must decode 3 channels: $r")
+    }
   }
 
-  test("iterator decode (mapInPandas analogue) matches the column path") {
-    val it = Multimodal.decodeMeta(media)
-      .select(col("asset_id"), col("width"), col("height"), col("channels"), col("n_bytes"))
-      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))))
+  test("decoded pixel sums equal the synthetic arithmetic exactly (PNG lossless)") {
+    val synth = Multimodal.synthesizeImages(dims, col("doc_id"), col("w"), col("h"))
+    val got = Multimodal.imageChannelStats(synth, col("asset_id")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
-    val cols = media.select((col("asset_id") +:
-      Multimodal.stubDecodeMetaCols(col("media"))): _*).collect()
-      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))))
-      .toMap
-    assert(it == cols)
+    val want = Seq((1L, 5, 4), (2L, 12, 3), (3L, 1, 1)).map { case (a, w, h) =>
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += Multimodal.syntheticPixel(a, x, y, 0)
+        sg += Multimodal.syntheticPixel(a, x, y, 1)
+        sb += Multimodal.syntheticPixel(a, x, y, 2)
+      }
+      a -> (w.toLong * h, sr, sg, sb)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("golden fixture: an independently ImageIO-encoded PNG decodes to its known dims") {
+    // encode OUTSIDE the operator pipeline (driver-side, explicit pixel
+    // writes), then decode through the distributed iterator path
+    val img = new java.awt.image.BufferedImage(7, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 7) img.setRGB(x, y, (x * 36) << 16 | 200)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    import graft.TestSpark.spark.implicits._
+    val df = Seq((42L, baos.toByteArray, "image/png"))
+      .toDF("asset_id", "media", "media_type")
+    val r = Multimodal.decodeMeta(df)
+      .select("width", "height", "channels").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == (7, 2, 3))
+  }
+
+  test("JPEG also decodes (dims exact, content lossy by design)") {
+    val bytes = Multimodal.encodeSyntheticImage(5L, 9, 6, format = "jpg")
+    import graft.TestSpark.spark.implicits._
+    val df = Seq((5L, bytes, "image/jpg")).toDF("asset_id", "media", "media_type")
+    val r = Multimodal.decodeMeta(df).select("width", "height").head()
+    assert((r.getInt(0), r.getInt(1)) == (9, 6))
+  }
+
+  test("undecodable payloads report null dims, never fabricated ones") {
+    val meta = Multimodal.decodeMeta(media)
+      .select("asset_id", "width", "height", "channels", "n_bytes")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // text bytes are not an image: null metadata, byte length preserved
+    assert(meta(1L).isNullAt(1) && meta(1L).isNullAt(2) && meta(1L).isNullAt(3))
+    assert(meta(1L).getLong(4) == 40L)
+    // empty payload
+    assert(meta(3L).isNullAt(1) && meta(3L).getLong(4) == 0L)
+    // channel stats degrade the same way
+    val stats = Multimodal.imageChannelStats(media, col("asset_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(stats(1L).isNullAt(1) && stats(1L).isNullAt(2))
+  }
+
+  test("real resample hits exact target dims and stays decodable; undecodable -> null") {
+    val synth = Multimodal.synthesizeImages(dims, col("doc_id"), col("w"), col("h"))
+    val resized = Multimodal.resizeImages(synth, targetW = 8, targetH = 6)
+      .select(col("asset_id"), col("resized").as("media"))
+    val meta = Multimodal.decodeMeta(resized)
+      .select("asset_id", "width", "height").collect()
+    assert(meta.length == 3)
+    meta.foreach(r => assert((r.getInt(1), r.getInt(2)) == (8, 6), r.toString))
+    val nullRow = Multimodal.resizeImages(media, 8, 6)
+      .filter(col("asset_id") === 1L).select("resized").head()
+    assert(nullRow.isNullAt(0))
   }
 
   test("sampleFrames emits every step-th fixed-size slice") {
@@ -64,7 +128,7 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(f(1L).head - (104.0 / 255.0 - 0.5)) < 1e-12)
   }
 
-  test("stub resize crops long and zero-pads short payloads") {
+  test("byte resize crops long and zero-pads short payloads") {
     val r = media.select(col("asset_id"),
       Multimodal.stubResize(col("media"), 8)).collect()
       .map(x => x.getLong(0) -> x.getAs[Array[Byte]](1)).toMap
