@@ -1330,6 +1330,94 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
       Retrieval.rrfFuse(Seq(lex, dense), k0 = 60, k = 10)
     }),
+    "hybrid_rrf_ann" -> ((s, dir) => {
+      // the PRODUCTION-shaped hybrid twin: same rational-BM25 lexical
+      // arm, but the dense arm is the IVF ANN path — the plan a real
+      // RAG stack runs at 100 TB, where brute-force cosine is not an
+      // option. rrfFuse consumes only (query_id, id, rank), so this is
+      // exactly the arm swap Retrieval.scala's scaladoc promises. The
+      // fit is fitDistributed with quantized sums: BIT-REPRODUCIBLE
+      // across partitionings/core counts, so the fused ranking (and
+      // these gates) behave identically on any runner — the sampled
+      // Ivf.fit varies with input splits, which made a strict gate
+      // flap between environments. Rows-only (k-means float) with TWO
+      // in-plan gates: the dense arm's self-hit must be rank 1 (a
+      // STRUCTURAL IVF invariant: the self list is always probed and
+      // cos(self)=1), and the fused top-10 must CONTAIN the self-hit.
+      // Membership, not fused-rank-1, deliberately: a lexical-only
+      // competitor (rank 1 in BM25, absent from the exact dense top-20)
+      // can legitimately overtake the self-hit when IVF probe misses
+      // promote its dense rank — measured at sf0.01 (self fused rank
+      // 2), so rank-1 identity is a property of the EXACT fusion
+      // (hybrid_rrf), not of any correct ANN fusion. Quality is gated
+      // by the macro-recall floor in hybrid_rrf_ann_recall.
+      import graft.operators.{Bm25, Ivf, Retrieval, TermWeights}
+      val docs = t(s, dir, "documents")
+      val embs = t(s, dir, "embeddings")
+      val q = docs.filter(col("doc_id") % 100 === 0)
+        .join(embs, col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("qid"), col("text").as("qtext"),
+          col("embedding").as("qv"))
+      val idx = bm25IndexFor(s, dir, TermWeights.RationalIdf)
+      val lex = Bm25.bm25SearchPortable(idx, q, col("qid"), col("qtext"),
+          k = 20)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val model = Ivf.fitDistributed(embs, col("vec_id"), col("embedding"),
+        nlist = 16)
+      val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
+      val dense = Ivf.topK(model, assigned, q, col("qid"), col("qv"),
+          k = 20, nprobe = 4, excludeSelf = false)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+        .where(assert_true(
+          col("query_id") =!= col("id") || col("rank") === 1,
+          concat(lit("IVF self-hit not at dense rank 1 for query "),
+            col("query_id"))).isNull)
+      val fused = Retrieval.rrfFuse(Seq(lex, dense), k0 = 60, k = 10)
+      val selfCount = fused.filter(col("query_id") === col("id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__n_self"))
+      fused.join(selfCount, Seq("query_id"), "left")
+        .where(assert_true(coalesce(col("__n_self"), lit(0L)) === 1,
+          concat(lit("hybrid ANN fusion lost the self-hit for query "),
+            col("query_id"))).isNull)
+        .drop("__n_self")
+    }),
+    "hybrid_rrf_ann_recall" -> ((s, dir) => {
+      // the ann_topk_recall pattern applied to the FUSED ranking: the
+      // ANN-armed fusion's top-10 per query must recover most of the
+      // exact-armed fusion's top-10. Floor 0.5 measured 0.68/0.88/0.805
+      // at sf0.001/0.01/0.1 (bit-stable: fitDistributed quantized fit,
+      // so no run variance). The lexical arm is shared verbatim, so
+      // every miss is attributable to IVF probe misses surviving
+      // fusion — much rarer than raw dense-arm misses because the
+      // lexical contribution re-anchors most candidates.
+      import graft.operators.{Bm25, Ivf, Retrieval, TermWeights}
+      val docs = t(s, dir, "documents")
+      val embs = t(s, dir, "embeddings")
+      val q = docs.filter(col("doc_id") % 100 === 0)
+        .join(embs, col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("qid"), col("text").as("qtext"),
+          col("embedding").as("qv"))
+      val idx = bm25IndexFor(s, dir, TermWeights.RationalIdf)
+      val lex = Bm25.bm25SearchPortable(idx, q, col("qid"), col("qtext"),
+          k = 20)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+        .persist() // shared by both fusions; tiny (|q| * 20 rows)
+      val exactDense = Similarity.bruteForceTopK(embs, col("vec_id"),
+          col("embedding"), q, col("qid"), col("qv"), k = 20,
+          excludeSelf = false)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      val model = Ivf.fitDistributed(embs, col("vec_id"), col("embedding"),
+        nlist = 16) // the production fit — bit-stable, see hybrid_rrf_ann
+      val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
+      val annDense = Ivf.topK(model, assigned, q, col("qid"), col("qv"),
+          k = 20, nprobe = 4, excludeSelf = false)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      def fuse(dense: DataFrame) =
+        Retrieval.rrfFuse(Seq(lex, dense), k0 = 60, k = 10)
+          .select(col("query_id"), col("id").as("neighbor_id"))
+      recallGate(fuse(exactDense), fuse(annDense),
+        floor = 0.5, what = "hybrid ANN fusion")
+    }),
     "doc_bigram_stats" -> ((s, dir) => {
       // interpolated bigram-LM scoring (the KenLM-perplexity-filter
       // shape, one order up from doc_unigram_stats): conditional

@@ -28,7 +28,11 @@ import org.apache.spark.sql.functions._
   * per-query rank is a window over ≤ k · arms candidates. Arms are
   * pluggable: anything emitting (query_id, id, rank) fuses, so the
   * brute-force exact arm used by the oracle swaps for the IVF/PQ ANN
-  * arm at 100 TB without touching the fusion.
+  * arm at 100 TB without touching the fusion — and that swap is
+  * REGISTERED, not just claimed: `hybrid_rrf_ann` runs the IVF-armed
+  * fusion under an in-plan self-hit identity gate, and
+  * `hybrid_rrf_ann_recall` holds its fused top-10 to a macro-recall
+  * floor against the exact-armed fusion.
   */
 object Retrieval {
 
