@@ -257,27 +257,45 @@ object Streams {
   // --- stateful funnel tracking -----------------------------------------
 
   case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
-  case class FunnelProgress(timesMs: List[Long])
+
+  /** Per-user funnel state: `applied` is the greedy-earliest chain
+    * folded from FINALIZED events (ts already behind the watermark —
+    * no earlier event can still arrive for them); `pending` buffers
+    * step events still inside the lateness window as (tsMs, stepIdx)
+    * pairs, folded in event-time order once the watermark passes them.
+    */
+  case class FunnelBuf(applied: List[Long], pending: List[(Long, Int)])
   case class FunnelOut(user_id: Long, n_steps: Int, t_first: Timestamp,
                        t_last: Timestamp, completed: Boolean)
 
   /** Streaming ordered-funnel tracking via flatMapGroupsWithState — the
     * streaming twin of [[graft.operators.EventAnalytics.funnelTimes]]:
-    * per-user state is the greedy-earliest step timestamps reached so
-    * far; an event advances the funnel iff it is the NEXT step and
-    * strictly after the last reached one. Completion emits immediately
-    * (and clears state, so a user may convert again later); the
-    * event-time timeout flushes a `completed = false` row for users
-    * idle past `idleFlushSeconds`, giving downstream a
-    * drop-off-by-stage signal without waiting for the stream to end.
+    * per-user state is the greedy-earliest step chain; an event
+    * advances the funnel iff it is the NEXT step and strictly after
+    * the last reached one. The event-time timeout flushes a
+    * `completed = false` row for users idle past `idleFlushSeconds`,
+    * giving downstream a drop-off-by-stage signal without waiting for
+    * the stream to end.
     *
-    * Equivalence contract with the batch operator: identical when each
-    * user's events are PROCESSED in event-time order — within a
-    * micro-batch arrivals are sorted by ts, across batches ordering is
-    * up to the source (a step-1 event arriving after a later-batch
-    * step-2 event cannot retroactively improve the chain; the batch
-    * form, seeing everything, can). State is O(steps) longs per live
-    * user — no event buffering.
+    * ORDERING CONTRACT — equal to the batch operator for EVERY arrival
+    * order within the watermark bound: step events are buffered in
+    * state while their event time is still inside the lateness window
+    * and folded into the chain in EVENT-TIME order only once the
+    * watermark passes them (at which point no earlier event can still
+    * arrive — the engine drops rows behind the watermark). So a step-1
+    * event arriving a micro-batch AFTER a later step-2 event still
+    * completes the funnel, exactly as the batch form would. The price
+    * is latency, not correctness: a completion emits when the
+    * watermark passes its last event (≤ `lateness` of event time
+    * behind the live edge), not in the arrival micro-batch. Ties on
+    * ts fold by step position (earlier funnel stage first) — the same
+    * replay-stable rule the batch sort uses.
+    *
+    * State bound: `applied` is ≤ steps longs; `pending` holds only
+    * STEP-TYPED events (off-funnel traffic is never buffered) whose
+    * event time is within `lateness` of the watermark — bounded by the
+    * user's step-event rate × lateness window, the standard stateful-
+    * streaming bound (the stream-stream join buffers strictly more).
     */
   def funnelStream(events: Dataset[FunnelEvent], steps: Seq[String],
                    idleFlushSeconds: Long,
@@ -287,53 +305,72 @@ object Streams {
     require(idleFlushSeconds > 0,
       s"idleFlushSeconds must be positive, got $idleFlushSeconds")
     import events.sparkSession.implicits._
+    val idleMs = idleFlushSeconds * 1000L
+    val nSteps = steps.size
+    val stepPos = steps.zipWithIndex.toMap
 
     def out(user: Long, timesMs: List[Long], completed: Boolean): FunnelOut =
       FunnelOut(user, timesMs.size, new Timestamp(timesMs.head),
         new Timestamp(timesMs.last), completed)
 
-    def fn(user: Long, batch: Iterator[FunnelEvent],
-           state: GroupState[FunnelProgress]): Iterator[FunnelOut] = {
-      if (state.hasTimedOut) {
-        val flushed = state.getOption.filter(_.timesMs.nonEmpty)
-          .map(p => out(user, p.timesMs, completed = false)).iterator
-        state.remove()
-        flushed
-      } else {
-        val emitted = Seq.newBuilder[FunnelOut]
-        var times = state.getOption.map(_.timesMs).getOrElse(Nil)
-        // ts ties break by step POSITION (earlier funnel stage first,
-        // non-step events last): iterator order within a group is
-        // run-dependent, and a ts-only sort would make equal-timestamp
-        // view/click races produce different state on replay
-        val stepPos = steps.zipWithIndex.toMap
-        batch.toSeq
-          .sortBy(e => (e.ts.getTime, stepPos.getOrElse(e.event_type, Int.MaxValue)))
-          .foreach { e =>
-            val t = e.ts.getTime
-            if (times.size < steps.size && e.event_type == steps(times.size) &&
-                (times.isEmpty || t > times.last)) {
-              times = times :+ t
-              if (times.size == steps.size) {
-                emitted += out(user, times, completed = true)
-                times = Nil // conversion done; a fresh funnel may start
-              }
-            }
+    /** Fold every pending event the watermark has passed (strictly —
+      * an event AT the watermark could still be joined by an equal-ts
+      * peer) into the chain in (ts, step) order, emitting completions.
+      */
+    def foldFinal(user: Long, buf: FunnelBuf, wm: Long,
+                  emitted: scala.collection.mutable.Builder[FunnelOut, Seq[FunnelOut]])
+        : FunnelBuf = {
+      val (fin, still) = buf.pending.partition(_._1 < wm)
+      var applied = buf.applied
+      fin.sorted.foreach { case (t, idx) =>
+        if (applied.size < nSteps && idx == applied.size &&
+            (applied.isEmpty || t > applied.last)) {
+          applied = applied :+ t
+          if (applied.size == nSteps) {
+            emitted += out(user, applied, completed = true)
+            applied = Nil // conversion done; a fresh funnel may start
           }
-        if (times.nonEmpty) {
-          state.update(FunnelProgress(times))
-          // clamp to just past the watermark: when a batch delivers only
-          // non-advancing events (wrong step / duplicates) the desired
-          // timeout can sit BEHIND the watermark, and
-          // setTimeoutTimestamp throws on that — which would kill the
-          // query on routine out-of-funnel traffic. Clamping means such
-          // a user flushes at the next watermark advance instead.
-          val wm = state.getCurrentWatermarkMs()
-          state.setTimeoutTimestamp(
-            math.max(times.last + idleFlushSeconds * 1000L, wm + 1L))
-        } else state.remove()
-        emitted.result().iterator
+        }
       }
+      FunnelBuf(applied, still)
+    }
+
+    /** Store `buf` and arm the timeout at the earliest actionable
+      * instant: the oldest pending event (to fold it when the
+      * watermark passes) or the idle-flush deadline — clamped past the
+      * watermark, because a non-advancing batch can leave the desired
+      * timeout BEHIND it and setTimeoutTimestamp throws on that (which
+      * would kill the query on routine out-of-funnel traffic).
+      */
+    def park(state: GroupState[FunnelBuf], buf: FunnelBuf, wm: Long): Unit =
+      if (buf.applied.isEmpty && buf.pending.isEmpty) state.remove()
+      else {
+        val targets = buf.pending.map(_._1) ++
+          (if (buf.applied.nonEmpty && buf.pending.isEmpty)
+             List(buf.applied.last + idleMs)
+           else Nil)
+        state.update(buf)
+        state.setTimeoutTimestamp(math.max(targets.min, wm + 1L))
+      }
+
+    def fn(user: Long, batch: Iterator[FunnelEvent],
+           state: GroupState[FunnelBuf]): Iterator[FunnelOut] = {
+      val wm = state.getCurrentWatermarkMs()
+      val emitted = Seq.newBuilder[FunnelOut]
+      val prior = state.getOption.getOrElse(FunnelBuf(Nil, Nil))
+      val incoming = if (state.hasTimedOut) Nil
+        else batch.flatMap(e => stepPos.get(e.event_type)
+          .map(idx => (e.ts.getTime, idx))).toList
+      var buf = foldFinal(user,
+        prior.copy(pending = prior.pending ++ incoming), wm, emitted)
+      if (buf.pending.isEmpty && buf.applied.nonEmpty &&
+          wm >= buf.applied.last + idleMs) {
+        // genuinely idle: nothing can still arrive before the deadline
+        emitted += out(user, buf.applied, completed = false)
+        buf = FunnelBuf(Nil, Nil)
+      }
+      park(state, buf, wm)
+      emitted.result().iterator
     }
 
     events

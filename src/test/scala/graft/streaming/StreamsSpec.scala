@@ -318,7 +318,7 @@ class StreamsSpec extends SparkTestBase {
     assert(batchKept == Seq(1L))
   }
 
-  test("funnelStream: in-order completion matches the batch funnel; out-of-order stalls") {
+  test("funnelStream: completion matches the batch funnel once the watermark passes; wrong-order-only stalls") {
     import graft.TestSpark.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
       TestSpark.sqlContext
@@ -326,7 +326,7 @@ class StreamsSpec extends SparkTestBase {
       Streams.FunnelEvent(u, Timestamp.valueOf(s"2024-01-01 $t"), typ)
     val mem = MemoryStream[Streams.FunnelEvent]
     val out = Streams.funnelStream(mem.toDS(),
-      Seq("view", "click", "purchase"), idleFlushSeconds = 3600)
+      Seq("view", "click", "purchase"), idleFlushSeconds = 7200)
     val q = out.writeStream.format("memory").queryName("funnel_stream")
       .outputMode("append").start()
 
@@ -338,11 +338,21 @@ class StreamsSpec extends SparkTestBase {
     q.processAllAvailable()
     mem.addData(ev(1L, "10:10:00", "purchase"), ev(2L, "09:30:00", "view"))
     q.processAllAvailable()
+    // nothing may emit before the watermark passes the chain — the
+    // delayed-fold contract (lateness default 10 min; wm is 10:00 here)
+    assert(spark.table("funnel_stream").isEmpty,
+      spark.table("funnel_stream").collect().toSeq.toString)
+    // watermark-driving traffic from another user finalizes the chain
+    mem.addData(ev(9L, "11:00:00", "view"))
+    q.processAllAvailable()
+    mem.addData(ev(9L, "11:30:00", "view")) // deliver pending timeouts
+    q.processAllAvailable()
 
     val done = spark.table("funnel_stream").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_steps"),
         r.getAs[Timestamp]("t_first"), r.getAs[Timestamp]("t_last"),
         r.getAs[Boolean]("completed")))
+      .filter(_._1 == 1L)
     assert(done.toSeq == Seq((1L, 3,
       Timestamp.valueOf("2024-01-01 10:00:00"),
       Timestamp.valueOf("2024-01-01 10:10:00"), true)), done.toSeq.toString)
@@ -365,6 +375,41 @@ class StreamsSpec extends SparkTestBase {
       (1L, Timestamp.valueOf("2024-01-01 10:00:00"),
         Some(Timestamp.valueOf("2024-01-01 10:10:00"))),
       (2L, Timestamp.valueOf("2024-01-01 09:30:00"), None)))
+    q.stop()
+  }
+
+  test("funnelStream: a step-1 event arriving a micro-batch AFTER step-2 (within lateness) still completes") {
+    // the batch-equivalence-under-reordering contract: cross-batch
+    // arrival order must not matter inside the watermark bound — the
+    // old event-arrival fold could never complete this funnel
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    def ev(u: Long, t: String, typ: String) =
+      Streams.FunnelEvent(u, Timestamp.valueOf(s"2024-01-01 $t"), typ)
+    val mem = MemoryStream[Streams.FunnelEvent]
+    val out = Streams.funnelStream(mem.toDS(), Seq("view", "click"),
+      idleFlushSeconds = 7200, lateness = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("funnel_ooo")
+      .outputMode("append").start()
+
+    mem.addData(ev(1L, "10:05:00", "click")) // step 2 arrives FIRST
+    q.processAllAvailable()
+    mem.addData(ev(1L, "10:00:00", "view")) // step 1 a batch later, within lateness
+    q.processAllAvailable()
+    mem.addData(ev(9L, "10:30:00", "view")) // watermark past the chain
+    q.processAllAvailable()
+    mem.addData(ev(9L, "10:40:00", "view")) // deliver pending timeouts
+    q.processAllAvailable()
+
+    val done = spark.table("funnel_ooo").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_steps"),
+        r.getAs[Timestamp]("t_first"), r.getAs[Timestamp]("t_last"),
+        r.getAs[Boolean]("completed")))
+      .filter(_._1 == 1L)
+    assert(done.toSeq == Seq((1L, 2,
+      Timestamp.valueOf("2024-01-01 10:00:00"),
+      Timestamp.valueOf("2024-01-01 10:05:00"), true)), done.toSeq.toString)
     q.stop()
   }
 
@@ -424,7 +469,9 @@ class StreamsSpec extends SparkTestBase {
     // in the same batch window — without the clamp this crashed the query
     mem.addData(ev(1L, "12:00:30", "purchase"))
     q.processAllAvailable()
-    mem.addData(ev(9L, "13:00:00", "click")) // deliver pending timeouts
+    mem.addData(ev(9L, "13:00:00", "click")) // watermark past the stale event
+    q.processAllAvailable()
+    mem.addData(ev(9L, "14:00:00", "click")) // deliver pending timeouts
     q.processAllAvailable()
     assert(q.exception.isEmpty, q.exception.toString)
     val flushed = spark.table("funnel_stale").collect()
