@@ -67,6 +67,51 @@ object SparkEntry {
         idx
       })
 
+  /** Pinned merge table for `bpe_encode_portable` — a FIXED bounded
+    * vocabulary (vs the runtime-trained list `bpe_encode` uses), which
+    * is what lets the encode kernel be held to a DuckDB oracle: the
+    * oracle SQL is GENERATED from this same constant by folding each
+    * merge into one string `replace` over delimiter-wrapped tokens
+    * (greedy left-to-right non-overlapping replace ≡ the kernel's
+    * per-merge pass, see [[bpeEncodePortableOracle]]). The list is
+    * deliberately adversarial: an overlapping self-pair
+    * (order,order), second-order merges consuming first-order outputs
+    * ((orderorder,order), (aggpart,filter)), and pairs that may never
+    * occur (each still costs the kernel one scan).
+    */
+  private val BpePortableMerges: Seq[(String, String)] = Seq(
+    ("order", "order"), ("orderorder", "order"), ("order", "fast"),
+    ("agg", "part"), ("aggpart", "filter"), ("data", "slow"),
+    ("scan", "a"), ("stream", "column"), ("window", "join"),
+    ("join", "column"), ("line", "agg"), ("line", "group"),
+    ("the", "batch"), ("sort", "merge"), ("key", "data"),
+    ("orderfast", "keydata"))
+
+  /** DuckDB twin of the merge-kernel encode over [[BpePortableMerges]]:
+    * tokens wrap as chr(2)tok chr(3) so one `replace` per merge is
+    * exactly one greedy left-to-right non-overlapping pass — the
+    * wrapped form makes adjacent matches share no delimiter characters,
+    * so [a,b,a,b] merges twice, [a,a,a] merges once (kernel-identical);
+    * a bare 'sep-joined' encoding would under-merge, because a match
+    * consumes the boundary the next match needs.
+    */
+  private def bpeEncodePortableOracle: String = {
+    BpePortableMerges.foreach { case (a, b) =>
+      require((a + b).forall(_.isLetter), s"merge tokens must be plain words: $a,$b")
+    }
+    val base = "chr(2) || replace(text, ' ', chr(3)||chr(2)) || chr(3)"
+    val enc = BpePortableMerges.foldLeft(base) { case (acc, (a, b)) =>
+      s"replace($acc, chr(2)||'$a'||chr(3)||chr(2)||'$b'||chr(3), chr(2)||'$a$b'||chr(3))"
+    }
+    s"""WITH enc AS (SELECT doc_id, $enc AS s FROM documents)
+       |SELECT doc_id,
+       | CAST(length(s) - length(replace(s, chr(2), '')) AS BIGINT) AS n_tokens,
+       | array_to_string(list_slice(
+       |   string_split(substr(s, 2, length(s) - 2), chr(3)||chr(2)), 1, 8), ' ')
+       |   AS head_tokens
+       |FROM enc""".stripMargin
+  }
+
   /** Exact decimal staging for money sums: per-row cast is a single
     * well-defined rounding of the same double in every engine; the decimal
     * sum is exact; the final cast back to double is one more shared
@@ -1988,8 +2033,9 @@ object SparkEntry {
       // daily, so timed passes measure ENCODE), then encode the corpus
       // through the single-call merge kernel — one plan node for the
       // whole table, zero shuffle (BpeStatsSpec pins merge semantics
-      // against the per-step kernel; no DuckDB oracle: greedy iterative
-      // list rewriting is not SQL-expressible)
+      // against the per-step kernel; rows-only here because the merge
+      // list is runtime-trained — the kernel itself is hash-checked by
+      // bpe_encode_portable over the pinned vocabulary)
       import graft.operators.BpeStats
       val docs = t(s, dir, "documents")
       val merges = bpeMergeCache.getOrElseUpdate(
@@ -1997,6 +2043,21 @@ object SparkEntry {
         BpeStats.trainMerges(docs, col("text"), steps = 6))
       BpeStats.encode(docs, col("doc_id"), col("text"), merges)
         .select(col("doc_id"), col("n_tokens"),
+          array_join(slice(col("tokens"), 1, 8), " ").as("head_tokens"))
+    }),
+    "bpe_encode_portable" -> ((s, dir) => {
+      // the ORACLE-CHECKED encode twin: the same single-call merge
+      // kernel (one plan node, zero shuffle — the production path) over
+      // the PINNED BpePortableMerges vocabulary, so DuckDB can replay
+      // the identical greedy merge sequence as nested replaces (the
+      // oracle SQL is generated from the same constant — see
+      // bpeEncodePortableOracle). bpe_encode keeps the trained-merge
+      // registration; this row moves the kernel itself from
+      // spec-checked to hash-checked.
+      import graft.operators.BpeStats
+      BpeStats.encode(t(s, dir, "documents"), col("doc_id"), col("text"),
+        BpePortableMerges)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           array_join(slice(col("tokens"), 1, 8), " ").as("head_tokens"))
     }),
     "corpus_split" -> ((s, dir) => {
@@ -3129,6 +3190,7 @@ object SparkEntry {
         |        FROM toks WHERE len(t) >= 2)
         |SELECT t[i] AS a, t[i + 1] AS b, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM idx GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 40""".stripMargin,
+    "bpe_encode_portable" -> bpeEncodePortableOracle,
     "corpus_split" ->
       """SELECT doc_id,
         | CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4)
