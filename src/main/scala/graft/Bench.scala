@@ -166,6 +166,22 @@ object Bench {
         }, watchdogSec).left.foreach(r =>
           System.err.println(s"[bench] store warmup failed: $r"))
       }
+    // Explicit memoized-store warmup (trained BPE merges + BM25 index
+    // flavours), LOGGED: the sigstore convention prices builds in setup
+    // and search/encode in the timed loop; doing it lazily meant the
+    // split depended on pass order, and a runner reorder could fold a
+    // build into one query's first pass with nothing saying so. The
+    // log line is the audit trail; SparkEntry.warmCaches is idempotent
+    // (spec-pinned). Skipped when a BENCH_ONLY selection touches no
+    // store-reading query.
+    val storeUsers = Set("bpe_encode", "bm25_search", "bm25_search_rational",
+      "hybrid_rrf", "hybrid_rrf_ann", "hybrid_rrf_ann_recall")
+    if (only.forall(_.exists(storeUsers.contains)))
+      timedPass(spark, "cache-warmup", () => {
+        val report = SparkEntry.warmCaches(spark, sfDir)
+        System.err.println(s"[bench] warmed stores: ${report.mkString(", ")}")
+      }, watchdogSec).left.foreach(r =>
+        System.err.println(s"[bench] cache warmup failed: $r"))
     var failures = Set.empty[String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

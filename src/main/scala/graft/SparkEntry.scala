@@ -67,6 +67,34 @@ object SparkEntry {
         idx
       })
 
+  /** Pre-materialize every memoized per-(session, dir) store the
+    * search/encode queries read — the trained BPE merge table and both
+    * BM25 index flavours — and report what happened to each. Exists so
+    * Bench can warm them EXPLICITLY before timed passes and log the
+    * outcome: the sigstore convention prices index BUILD in setup and
+    * SEARCH in the timed loop, and without this call that split
+    * silently depended on which query's first pass happened to run
+    * first (a runner reorder would fold a build into one query's
+    * timing with nothing saying so). Idempotent: a second call reports
+    * `already-warm` for every store and does no work — spec-pinned.
+    */
+  def warmCaches(s: SparkSession, dir: String): Seq[String] = {
+    import graft.operators.{BpeStats, TermWeights}
+    val app = s.sparkContext.applicationId
+    val report = Seq.newBuilder[String]
+    val hadMerges = bpeMergeCache.contains((app, dir))
+    bpeMergeCache.getOrElseUpdate((app, dir),
+      BpeStats.trainMerges(t(s, dir, "documents"), col("text"), steps = 6))
+    report += s"bpe_merges=${if (hadMerges) "already-warm" else "warmed"}"
+    Seq(TermWeights.RationalIdf, TermWeights.LogIdf).foreach { w =>
+      val flavour = w.getClass.getSimpleName
+      val had = bm25IndexCache.contains((app, dir, flavour))
+      bm25IndexFor(s, dir, w)
+      report += s"bm25_index_$flavour=${if (had) "already-warm" else "warmed"}"
+    }
+    report.result()
+  }
+
   /** Pinned merge table for `bpe_encode_portable` — a FIXED bounded
     * vocabulary (vs the runtime-trained list `bpe_encode` uses), which
     * is what lets the encode kernel be held to a DuckDB oracle: the

@@ -101,6 +101,22 @@ class BenchLineSpec extends SparkTestBase {
     assert(line.contains(""""failures":["q_sleeper"]"""))
   }
 
+  test("warmCaches materializes every memoized store once and is idempotent") {
+    // the explicit warmup Bench runs before timed passes: first call
+    // builds (and says so), second call must be a pure no-op report —
+    // a regression here would silently fold an index/merge build into
+    // one query's timed pass again
+    val dir = "/root/testdata/sf0.001"
+    val first = SparkEntry.warmCaches(spark, dir)
+    assert(first.size == 3, first.toString)
+    assert(first.exists(_.startsWith("bpe_merges=")), first.toString)
+    assert(first.count(_.startsWith("bm25_index_")) == 2, first.toString)
+    val second = SparkEntry.warmCaches(spark, dir)
+    assert(second.forall(_.endsWith("=already-warm")), second.toString)
+    assert(second.map(_.takeWhile(_ != '=')) ==
+      first.map(_.takeWhile(_ != '=')))
+  }
+
   test("trimZeros keeps precision where it exists") {
     assert(Bench.trimZeros("0.50") == "0.5")
     assert(Bench.trimZeros("1.00") == "1")
