@@ -108,9 +108,10 @@ class BenchLineSpec extends SparkTestBase {
     // one query's timed pass again
     val dir = "/root/testdata/sf0.001"
     val first = SparkEntry.warmCaches(spark, dir)
-    assert(first.size == 3, first.toString)
+    assert(first.size == 4, first.toString)
     assert(first.exists(_.startsWith("bpe_merges=")), first.toString)
     assert(first.count(_.startsWith("bm25_index_")) == 2, first.toString)
+    assert(first.exists(_.startsWith("ivf_model=")), first.toString)
     val second = SparkEntry.warmCaches(spark, dir)
     assert(second.forall(_.endsWith("=already-warm")), second.toString)
     assert(second.map(_.takeWhile(_ != '=')) ==
