@@ -2193,6 +2193,40 @@ object SparkEntry {
         col("w"), col("h"))
       Multimodal.imageChannelStats(media, col("asset_id"))
     }),
+    "media_audio_meta" -> ((s, dir) => {
+      // REAL audio metadata decode: per-document WAV clips synthesized
+      // ON EXECUTORS (mono 16-bit PCM, length a pure function of
+      // doc_id) and decoded back through javax.sound.sampled — the
+      // audio twin of media_meta, same gate/oracle construction: the
+      // in-plan gate pins decoded frames ≡ encoded samples, and the
+      // DuckDB twin recomputes the projection arithmetically, so the
+      // row is green only if the WAV container round-trips.
+      val lens = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 97 + 40).cast("int").as("n"))
+      val media = Multimodal.synthesizeAudio(lens, col("doc_id"), col("n"))
+      Multimodal.decodeAudioMeta(media)
+        .where(assert_true(
+          col("n_frames") === col("true_n_samples") &&
+            col("channels") === 1 && col("bits") === 16 &&
+            col("sample_rate") === col("true_sample_rate"),
+          concat(lit("WAV decode does not round-trip the clip shape: "),
+            col("asset_id"))).isNull)
+        .select(col("asset_id"),
+          col("n_frames").cast("long").as("n_samples"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits").cast("long").as("bits"))
+    }),
+    "media_audio_stats" -> ((s, dir) => {
+      // the audio codec round-trip PROOF (media_pixel_stats' twin):
+      // synthetic 16-bit samples encode to real WAV, decode, aggregate
+      // as exact integers — PCM is lossless, so the sums hash-match the
+      // DuckDB arithmetic recompute of the sample function.
+      val lens = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 97 + 40).cast("int").as("n"))
+      val media = Multimodal.synthesizeAudio(lens, col("doc_id"), col("n"))
+      Multimodal.audioSampleStats(media, col("asset_id"))
+    }),
     "media_resize_image" -> ((s, dir) => {
       // REAL bilinear resample to a fixed thumbnail size, re-encoded
       // PNG, then decoded again: the gate asserts the decoded dims are
@@ -4261,6 +4295,28 @@ object SparkEntry {
         |FROM documents d,
         | unnest(range(0, CAST(d.doc_id % 13 + 4 AS INT))) AS x(x),
         | unnest(range(0, CAST(d.doc_id % 11 + 3 AS INT))) AS y(y)
+        |GROUP BY d.doc_id""".stripMargin,
+    "media_audio_meta" ->
+      // arithmetic recompute of the encoded clip shape; the Spark side
+      // reports what javax.sound.sampled DECODED from real WAV bytes
+      """SELECT doc_id AS asset_id,
+        | CAST(doc_id % 97 + 40 AS BIGINT) AS n_samples,
+        | CAST(8000 AS BIGINT) AS sample_rate,
+        | CAST(1 AS BIGINT) AS channels,
+        | CAST(16 AS BIGINT) AS bits
+        |FROM documents""".stripMargin,
+    "media_audio_stats" ->
+      // arithmetic recompute of the synthetic PCM sample function,
+      // aggregated — equals the Spark side only because 16-bit PCM is
+      // lossless through the WAV container
+      """SELECT d.doc_id AS asset_id,
+        | CAST(doc_id % 97 + 40 AS BIGINT) AS n_samples,
+        | CAST(SUM((d.doc_id * 31 + k.k * 7) % 4096 - 2048) AS BIGINT) AS sum_pcm,
+        | CAST(SUM(abs((d.doc_id * 31 + k.k * 7) % 4096 - 2048)) AS BIGINT) AS sum_abs,
+        | CAST(MIN((d.doc_id * 31 + k.k * 7) % 4096 - 2048) AS BIGINT) AS min_pcm,
+        | CAST(MAX((d.doc_id * 31 + k.k * 7) % 4096 - 2048) AS BIGINT) AS max_pcm
+        |FROM documents d,
+        | unnest(range(0, CAST(d.doc_id % 97 + 40 AS INT))) AS k(k)
         |GROUP BY d.doc_id""".stripMargin,
     "media_resize_image" ->
       // resampled dims are the target by contract (in-plan gated); the

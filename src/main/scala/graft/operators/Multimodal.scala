@@ -257,6 +257,188 @@ object Multimodal {
     }(enc)
   }
 
+  // --- audio (javax.sound.sampled — WAV/AIFF/AU ship in the JDK) -------
+
+  /** The deterministic synthetic PCM sample for asset `assetId` at
+    * frame `k` — a 12-bit-range signed value, exactly representable in
+    * 16-bit PCM, so a WAV encode→decode round trip reproduces it
+    * EXACTLY and the DuckDB twin can recompute aggregate statistics
+    * arithmetically (`(asset_id*31 + k*7) % 4096 - 2048`).
+    */
+  def syntheticSample(assetId: Long, k: Int): Int =
+    ((assetId * 31L + k * 7L) % 4096L).toInt - 2048
+
+  /** Encode one deterministic mono 16-bit PCM clip to real WAV (or
+    * AIFF/AU) bytes via `javax.sound.sampled` — executor-side in
+    * [[synthesizeAudio]]; public for spec fixtures.
+    */
+  def encodeSyntheticWav(assetId: Long, nSamples: Int, sampleRate: Int = 8000,
+                         fileType: String = "wav"): Array[Byte] = {
+    imageIoInit // headless (shared init; sound file IO needs no device)
+    require(nSamples >= 1, s"degenerate clip length $nSamples")
+    val bigEndian = fileType != "wav" // AIFF/AU are big-endian PCM
+    val pcm = new Array[Byte](nSamples * 2)
+    var k = 0
+    while (k < nSamples) {
+      val s = syntheticSample(assetId, k)
+      if (bigEndian) {
+        pcm(2 * k) = ((s >> 8) & 0xff).toByte
+        pcm(2 * k + 1) = (s & 0xff).toByte
+      } else {
+        pcm(2 * k) = (s & 0xff).toByte
+        pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+      }
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+      true, bigEndian)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val baos = new ByteArrayOutputStream()
+    val t = fileType match {
+      case "wav"  => javax.sound.sampled.AudioFileFormat.Type.WAVE
+      case "aiff" => javax.sound.sampled.AudioFileFormat.Type.AIFF
+      case "au"   => javax.sound.sampled.AudioFileFormat.Type.AU
+      case other  => throw new IllegalArgumentException(s"no writer for $other")
+    }
+    javax.sound.sampled.AudioSystem.write(stream, t, baos)
+    baos.toByteArray
+  }
+
+  /** Synthesize one real encoded audio clip per row — the audio twin of
+    * [[synthesizeImages]]. Output: (asset_id, media, media_type,
+    * true_n_samples, true_sample_rate).
+    */
+  def synthesizeAudio(df: DataFrame, id: Column, nSamples: Column,
+                      sampleRate: Int = 8000,
+                      fileType: String = "wav"): DataFrame = {
+    val in = df.select(id.cast("long").as("asset_id"),
+      nSamples.cast("int").as("true_n_samples"))
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = true),
+      StructField("media_type", StringType, nullable = true),
+      StructField("true_n_samples", IntegerType, nullable = false),
+      StructField("true_sample_rate", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val mime = s"audio/$fileType"
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val a = r.getLong(0); val n = r.getInt(1)
+        Row(a, encodeSyntheticWav(a, n, sampleRate, fileType), mime, n,
+          sampleRate)
+      }
+    }(enc)
+  }
+
+  /** Real decode of one audio payload to (stream, format): any
+    * container `AudioSystem` recognizes (WAV/AIFF/AU out of the box);
+    * None for null/empty/undecodable bytes.
+    */
+  def decodeAudio(bytes: Array[Byte])
+      : Option[javax.sound.sampled.AudioInputStream] = {
+    imageIoInit
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try Option(javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes)))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException                               => None
+      }
+  }
+
+  /** Batched REAL audio metadata decode (the audio [[decodeMeta]]):
+    * appends sample_rate, channels, bits, n_frames, n_bytes — true
+    * decoded values for decodable payloads, nulls (plus byte length)
+    * otherwise. Zero-shuffle partition iterator.
+    */
+  def decodeAudioMeta(df: DataFrame, mediaCol: String = "media"): DataFrame = {
+    val extra = Seq(
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("bits", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("n_bytes", LongType, nullable = true))
+    val outSchema = StructType(df.schema.fields ++ extra)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.get(mediaIdx) match {
+          case b: Array[Byte] => b
+          case _              => null
+        }
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        val meta = decodeAudio(bytes) match {
+          case Some(st) =>
+            try {
+              val f = st.getFormat
+              Seq[Any](f.getSampleRate.toInt, f.getChannels,
+                f.getSampleSizeInBits, st.getFrameLength, n)
+            } finally st.close()
+          case None => Seq[Any](null, null, null, null, n)
+        }
+        Row.fromSeq(r.toSeq ++ meta)
+      }
+    }(enc)
+  }
+
+  /** REAL per-clip PCM statistics with exact-integer outputs: sample
+    * sum, absolute sum, min, max over the decoded 16-bit frames — PCM
+    * is lossless, so over [[synthesizeAudio]] fixtures the whole
+    * encode→decode→aggregate pipeline is DuckDB-oracle-checkable (the
+    * audio twin of [[imageChannelStats]]). Output: (asset_id,
+    * n_samples, sum_pcm, sum_abs, min_pcm, max_pcm); nulls for
+    * undecodable payloads.
+    */
+  def audioSampleStats(df: DataFrame, id: Column,
+                       mediaCol: String = "media"): DataFrame = {
+    val in = df.select(id.cast("long").as("asset_id"), col(mediaCol).as("m"))
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("sum_pcm", LongType, nullable = true),
+      StructField("sum_abs", LongType, nullable = true),
+      StructField("min_pcm", LongType, nullable = true),
+      StructField("max_pcm", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val a = r.getLong(0)
+        decodeAudio(r.get(1) match {
+          case b: Array[Byte] => b
+          case _              => null
+        }) match {
+          case Some(st) =>
+            try {
+              val f = st.getFormat
+              require(f.getSampleSizeInBits == 16 && f.getChannels == 1,
+                s"audioSampleStats expects mono 16-bit PCM, got $f")
+              val big = f.isBigEndian
+              val bytes = st.readAllBytes()
+              var sum = 0L; var sabs = 0L
+              var mn = Long.MaxValue; var mx = Long.MinValue
+              var i = 0
+              while (i + 2 <= bytes.length) {
+                val s =
+                  if (big) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+                  else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+                sum += s; sabs += math.abs(s.toLong)
+                if (s < mn) mn = s
+                if (s > mx) mx = s
+                i += 2
+              }
+              val nS = bytes.length / 2
+              if (nS == 0) Row(a, 0L, 0L, 0L, null, null)
+              else Row(a, nS.toLong, sum, sabs, mn, mx)
+            } finally st.close()
+          case None => Row(a, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** STUB FEATURE EXTRACTOR — deterministic fake embedding derived from
     * payload bytes (cyclic byte read, centered to [-0.5, 0.5]). A real
     * deployment swaps this expression for a model-inference call (e.g. a

@@ -104,6 +104,53 @@ class MultimodalSpec extends SparkTestBase {
     assert(nullRow.isNullAt(0))
   }
 
+  test("synthesize -> decode round-trips real WAV clip shape and exact PCM sums") {
+    import graft.TestSpark.spark.implicits._
+    val lens = Seq((1L, 40), (2L, 137), (3L, 1)).toDF("doc_id", "n")
+    val audio = Multimodal.synthesizeAudio(lens, col("doc_id"), col("n"),
+      sampleRate = 8000)
+    val meta = Multimodal.decodeAudioMeta(audio)
+      .select("asset_id", "n_frames", "true_n_samples", "sample_rate",
+        "channels", "bits").collect()
+    assert(meta.length == 3)
+    meta.foreach { r =>
+      assert(r.getLong(1) == r.getInt(2).toLong, s"frame count: $r")
+      assert((r.getInt(3), r.getInt(4), r.getInt(5)) == (8000, 1, 16), r.toString)
+    }
+    val got = Multimodal.audioSampleStats(audio, col("asset_id")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val want = Seq((1L, 40), (2L, 137), (3L, 1)).map { case (a, n) =>
+      val ss = (0 until n).map(Multimodal.syntheticSample(a, _).toLong)
+      a -> (n.toLong, ss.sum, ss.map(math.abs).sum, ss.min, ss.max)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("AIFF (big-endian PCM) also decodes with identical stats") {
+    import graft.TestSpark.spark.implicits._
+    val bytes = Multimodal.encodeSyntheticWav(7L, 64, fileType = "aiff")
+    val df = Seq((7L, bytes, "audio/aiff")).toDF("asset_id", "media", "media_type")
+    val m = Multimodal.decodeAudioMeta(df)
+      .select("n_frames", "channels", "bits").head()
+    assert((m.getLong(0), m.getInt(1), m.getInt(2)) == (64L, 1, 16))
+    val st = Multimodal.audioSampleStats(df, col("asset_id")).head()
+    val ss = (0 until 64).map(Multimodal.syntheticSample(7L, _).toLong)
+    assert((st.getLong(1), st.getLong(2), st.getLong(4), st.getLong(5)) ==
+      (64L, ss.sum, ss.min, ss.max))
+  }
+
+  test("non-audio payloads report null audio metadata") {
+    val m = Multimodal.decodeAudioMeta(media)
+      .select("asset_id", "sample_rate", "n_frames", "n_bytes")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).isNullAt(1) && m(1L).isNullAt(2) && m(1L).getLong(3) == 40L)
+    val st = Multimodal.audioSampleStats(media, col("asset_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(st(1L).isNullAt(1))
+  }
+
   test("sampleFrames emits every step-th fixed-size slice") {
     import graft.TestSpark.spark.implicits._
     val payload = (0 until 64).map(i => ('a' + i % 26).toChar).mkString
