@@ -2193,6 +2193,19 @@ object SparkEntry {
         col("w"), col("h"))
       Multimodal.imageChannelStats(media, col("asset_id"))
     }),
+    "media_video_frames" -> ((s, dir) => {
+      // REAL video frame extraction: per-document containers of
+      // length-prefixed PNG frames (a real variable-size framing, so
+      // the reader is a demuxer, not a stride slicer), every 2nd frame
+      // DECODED through ImageIO with exact per-channel pixel sums.
+      // The DuckDB twin recomputes frame coverage, dims and sums
+      // arithmetically — green only if framing AND codec round-trip.
+      val vids = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 7 + 3).cast("int").as("nf"))
+      val media = Multimodal.synthesizeVideo(vids, col("doc_id"), col("nf"),
+        w = 6, h = 4)
+      Multimodal.sampleVideoFrames(media, col("asset_id"), step = 2)
+    }),
     "media_audio_meta" -> ((s, dir) => {
       // REAL audio metadata decode: per-document WAV clips synthesized
       // ON EXECUTORS (mono 16-bit PCM, length a pure function of
@@ -4296,6 +4309,19 @@ object SparkEntry {
         | unnest(range(0, CAST(d.doc_id % 13 + 4 AS INT))) AS x(x),
         | unnest(range(0, CAST(d.doc_id % 11 + 3 AS INT))) AS y(y)
         |GROUP BY d.doc_id""".stripMargin,
+    "media_video_frames" ->
+      // arithmetic recompute of the sampled-frame coverage, dims and
+      // per-channel sums; the Spark side demuxes real PNG frames
+      """SELECT d.doc_id AS asset_id, CAST(f.f AS INT) AS frame_idx,
+        | CAST(6 AS INT) AS width, CAST(4 AS INT) AS height,
+        | CAST(SUM(((d.doc_id * 1009 + f.f) * 31 + x.x * 7 + y.y * 13) % 256) AS BIGINT) AS sum_r,
+        | CAST(SUM(((d.doc_id * 1009 + f.f) * 31 + x.x * 7 + y.y * 13 + 101) % 256) AS BIGINT) AS sum_g,
+        | CAST(SUM(((d.doc_id * 1009 + f.f) * 31 + x.x * 7 + y.y * 13 + 202) % 256) AS BIGINT) AS sum_b
+        |FROM documents d,
+        | unnest(range(0, CAST(d.doc_id % 7 + 3 AS INT), 2)) AS f(f),
+        | unnest(range(0, 6)) AS x(x),
+        | unnest(range(0, 4)) AS y(y)
+        |GROUP BY d.doc_id, f.f""".stripMargin,
     "media_audio_meta" ->
       // arithmetic recompute of the encoded clip shape; the Spark side
       // reports what javax.sound.sampled DECODED from real WAV bytes

@@ -257,6 +257,117 @@ object Multimodal {
     }(enc)
   }
 
+  // --- video (length-prefixed PNG frame container, real frame decode) --
+
+  /** Synthesize one "video" per row: `nFrames` real PNG frames (each a
+    * `w`×`h` image whose pixels also depend on the frame index —
+    * `syntheticPixel(assetId * 1009 + frame, x, y, c)`) packed into a
+    * length-prefixed container (4-byte big-endian frame size + PNG
+    * bytes, repeated). PNG frames are variable-size, so the container
+    * needs real framing — which is exactly what makes the decode path
+    * below a real demuxer shape rather than fixed-stride byte slicing
+    * ([[sampleFrames]] keeps covering the fixed-stride case). Output:
+    * (asset_id, media, media_type, true_n_frames).
+    */
+  def synthesizeVideo(df: DataFrame, id: Column, nFrames: Column,
+                      w: Int, h: Int): DataFrame = {
+    require(w >= 1 && h >= 1, s"degenerate frame dims ${w}x$h")
+    val in = df.select(id.cast("long").as("asset_id"),
+      nFrames.cast("int").as("true_n_frames"))
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = true),
+      StructField("media_type", StringType, nullable = true),
+      StructField("true_n_frames", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val a = r.getLong(0); val n = r.getInt(1)
+        val baos = new ByteArrayOutputStream()
+        val out = new java.io.DataOutputStream(baos)
+        var f = 0
+        while (f < n) {
+          val png = encodeSyntheticImage(a * 1009L + f, w, h)
+          out.writeInt(png.length)
+          out.write(png)
+          f += 1
+        }
+        Row(a, baos.toByteArray, "video/x-png-frames", n)
+      }
+    }(enc)
+  }
+
+  /** REAL frame sampling + decode from the length-prefixed container:
+    * walk the framing, DECODE every `step`-th frame through ImageIO,
+    * and emit its true dimensions plus exact per-channel pixel sums —
+    * one row per sampled frame. Skipped frames cost a seek (length
+    * read + skip), never a decode — the demuxer property that makes
+    * sparse sampling of a long video cheap. Corrupt/short containers
+    * stop at the last whole frame (partial trailing bytes ignored).
+    * Output: (asset_id, frame_idx, width, height, sum_r, sum_g, sum_b).
+    */
+  def sampleVideoFrames(df: DataFrame, id: Column, step: Int,
+                        mediaCol: String = "media"): DataFrame = {
+    require(step >= 1, s"step must be >= 1: $step")
+    val in = df.select(id.cast("long").as("asset_id"), col(mediaCol).as("m"))
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sum_r", LongType, nullable = true),
+      StructField("sum_g", LongType, nullable = true),
+      StructField("sum_b", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val a = r.getLong(0)
+        val bytes = r.get(1) match {
+          case b: Array[Byte] => b
+          case _              => null
+        }
+        if (bytes == null) Iterator.empty
+        else {
+          val outRows = Seq.newBuilder[Row]
+          var pos = 0
+          var idx = 0
+          while (pos + 4 <= bytes.length) {
+            val len = ((bytes(pos) & 0xff) << 24) | ((bytes(pos + 1) & 0xff) << 16) |
+              ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+            if (len < 0 || pos + 4 + len > bytes.length) pos = bytes.length
+            else {
+              if (idx % step == 0) {
+                val frame = java.util.Arrays.copyOfRange(bytes, pos + 4,
+                  pos + 4 + len)
+                decodeImage(frame) match {
+                  case Some(img) =>
+                    var sr = 0L; var sg = 0L; var sb = 0L
+                    var y = 0
+                    while (y < img.getHeight) {
+                      var x = 0
+                      while (x < img.getWidth) {
+                        val rgb = img.getRGB(x, y)
+                        sr += (rgb >> 16) & 0xff
+                        sg += (rgb >> 8) & 0xff
+                        sb += rgb & 0xff
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    outRows += Row(a, idx, img.getWidth, img.getHeight, sr, sg, sb)
+                  case None => outRows += Row(a, idx, null, null, null, null, null)
+                }
+              }
+              pos += 4 + len
+              idx += 1
+            }
+          }
+          outRows.result().iterator
+        }
+      }
+    }(enc)
+  }
+
   // --- audio (javax.sound.sampled — WAV/AIFF/AU ship in the JDK) -------
 
   /** The deterministic synthetic PCM sample for asset `assetId` at

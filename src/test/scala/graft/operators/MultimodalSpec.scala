@@ -104,6 +104,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(nullRow.isNullAt(0))
   }
 
+  test("video container: demux + decode every step-th frame with exact pixel sums") {
+    import graft.TestSpark.spark.implicits._
+    val vids = Seq((1L, 5), (2L, 1)).toDF("doc_id", "nf")
+    val media = Multimodal.synthesizeVideo(vids, col("doc_id"), col("nf"),
+      w = 3, h = 2)
+    val got = Multimodal.sampleVideoFrames(media, col("asset_id"), step = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // asset 1 has frames 0..4 -> sampled 0,2,4; asset 2 -> frame 0
+    assert(got.keySet == Set((1L, 0), (1L, 2), (1L, 4), (2L, 0)), got.keySet)
+    got.foreach { case ((a, f), (w, h, sr, sg, sb)) =>
+      assert((w, h) == (3, 2))
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until 2; x <- 0 until 3) {
+        er += Multimodal.syntheticPixel(a * 1009L + f, x, y, 0)
+        eg += Multimodal.syntheticPixel(a * 1009L + f, x, y, 1)
+        eb += Multimodal.syntheticPixel(a * 1009L + f, x, y, 2)
+      }
+      assert((sr, sg, sb) == (er, eg, eb), s"asset $a frame $f")
+    }
+    // a truncated container stops cleanly at the last whole frame
+    val cut = media.filter(col("asset_id") === 1L)
+      .select(col("asset_id"),
+        expr("substring(media, 1, octet_length(media) - 5)").as("media"))
+    val partial = Multimodal.sampleVideoFrames(cut, col("asset_id"), step = 1)
+      .collect()
+    assert(partial.length == 4, partial.length.toString) // frame 5 lost its tail
+  }
+
   test("synthesize -> decode round-trips real WAV clip shape and exact PCM sums") {
     import graft.TestSpark.spark.implicits._
     val lens = Seq((1L, 40), (2L, 137), (3L, 1)).toDF("doc_id", "n")
