@@ -2193,6 +2193,21 @@ object SparkEntry {
         col("w"), col("h"))
       Multimodal.imageChannelStats(media, col("asset_id"))
     }),
+    "media_grid_features" -> ((s, dir) => {
+      // REAL visual features from DECODED pixels: 2x2 grid grayscale
+      // means over the synthesized PNGs — exact integer cell sums plus
+      // a single IEEE division each, so the extraction (decode included)
+      // hash-matches the DuckDB arithmetic twin. The pre-ML image
+      // descriptor; the ML-embedding SHAPE stays covered by
+      // media_features' stub extractor.
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 13 + 4).cast("int").as("w"),
+        (col("doc_id") % 11 + 3).cast("int").as("h"))
+      val media = Multimodal.synthesizeImages(dims, col("doc_id"),
+        col("w"), col("h"))
+      Multimodal.imageGridFeatures(media, col("asset_id"),
+        gridW = 2, gridH = 2)
+    }),
     "media_video_frames" -> ((s, dir) => {
       // REAL video frame extraction: per-document containers of
       // length-prefixed PNG frames (a real variable-size framing, so
@@ -4309,6 +4324,24 @@ object SparkEntry {
         | unnest(range(0, CAST(d.doc_id % 13 + 4 AS INT))) AS x(x),
         | unnest(range(0, CAST(d.doc_id % 11 + 3 AS INT))) AS y(y)
         |GROUP BY d.doc_id""".stripMargin,
+    "media_grid_features" ->
+      // arithmetic recompute of the grid-cell gray sums and the
+      // single-division means over the synthetic pixel function
+      """SELECT d.doc_id AS asset_id,
+        | CAST((x.x * 2) // (d.doc_id % 13 + 4) AS INT) AS cell_x,
+        | CAST((y.y * 2) // (d.doc_id % 11 + 3) AS INT) AS cell_y,
+        | CAST(COUNT(*) AS BIGINT) AS n_px,
+        | CAST(SUM(((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256)
+        |        + ((d.doc_id * 31 + x.x * 7 + y.y * 13 + 101) % 256)
+        |        + ((d.doc_id * 31 + x.x * 7 + y.y * 13 + 202) % 256)) AS BIGINT) AS sum_gray,
+        | CAST(SUM(((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256)
+        |        + ((d.doc_id * 31 + x.x * 7 + y.y * 13 + 101) % 256)
+        |        + ((d.doc_id * 31 + x.x * 7 + y.y * 13 + 202) % 256)) AS DOUBLE)
+        |   / (3.0 * COUNT(*)) AS mean_gray
+        |FROM documents d,
+        | unnest(range(0, CAST(d.doc_id % 13 + 4 AS INT))) AS x(x),
+        | unnest(range(0, CAST(d.doc_id % 11 + 3 AS INT))) AS y(y)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "media_video_frames" ->
       // arithmetic recompute of the sampled-frame coverage, dims and
       // per-channel sums; the Spark side demuxes real PNG frames

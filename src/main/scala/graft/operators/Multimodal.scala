@@ -257,6 +257,88 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL visual feature extraction from DECODED pixels: a `gridW`×
+    * `gridH` grid of grayscale means — one row per cell with the exact
+    * integer sum (r+g+b over the cell's pixels), the pixel count, and
+    * the mean as ONE IEEE division, so the whole feature is
+    * DuckDB-oracle-checkable over [[synthesizeImages]] fixtures. This
+    * is the classic pre-ML image descriptor (a downsampled intensity
+    * map); [[stubFeatureVector]] remains only for the MODEL-embedding
+    * shape (inference needs an ML runtime). Cell of pixel (x, y) is
+    * (x·gridW div width, y·gridH div height). Images smaller than the
+    * grid leave the uncovered cells absent (no padding rows).
+    * Output: (asset_id, cell_x, cell_y, n_px, sum_gray, mean_gray);
+    * undecodable payloads contribute no rows.
+    */
+  def imageGridFeatures(df: DataFrame, id: Column, gridW: Int, gridH: Int,
+                        mediaCol: String = "media"): DataFrame = {
+    require(gridW >= 1 && gridH >= 1, s"degenerate grid ${gridW}x$gridH")
+    val in = df.select(id.cast("long").as("asset_id"), col(mediaCol).as("m"))
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("cell_x", IntegerType, nullable = false),
+      StructField("cell_y", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("sum_gray", LongType, nullable = false),
+      StructField("mean_gray", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val a = r.getLong(0)
+        decodeImage(r.get(1) match {
+          case b: Array[Byte] => b
+          case _              => null
+        }) match {
+          case Some(img) =>
+            val w = img.getWidth; val h = img.getHeight
+            val sums = Array.ofDim[Long](gridW, gridH)
+            val counts = Array.ofDim[Long](gridW, gridH)
+            var y = 0
+            while (y < h) {
+              val cy = y * gridH / h
+              var x = 0
+              while (x < w) {
+                val cx = x * gridW / w
+                val rgb = img.getRGB(x, y)
+                sums(cx)(cy) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                  (rgb & 0xff)
+                counts(cx)(cy) += 1
+                x += 1
+              }
+              y += 1
+            }
+            for {
+              cx <- 0 until gridW
+              cy <- 0 until gridH
+              if counts(cx)(cy) > 0
+            } yield Row(a, cx, cy, counts(cx)(cy), sums(cx)(cy),
+              sums(cx)(cy).toDouble / (3.0 * counts(cx)(cy)))
+          case None => Nil
+        }
+      }
+    }(enc)
+  }
+
+  /** The grid features assembled into a fixed-dim `array<double>`
+    * embedding (row-major cells, absent cells 0.0) — the form the ANN
+    * operators consume; values are the same single-division means the
+    * oracle checks on [[imageGridFeatures]].
+    */
+  def imageGridEmbedding(df: DataFrame, id: Column, gridW: Int, gridH: Int,
+                         mediaCol: String = "media"): DataFrame = {
+    val cells = imageGridFeatures(df, id, gridW, gridH, mediaCol)
+    val dim = gridW * gridH
+    cells
+      .groupBy(col("asset_id"))
+      .agg(map_from_arrays(
+        collect_list(col("cell_y") * gridW + col("cell_x")),
+        collect_list(col("mean_gray"))).as("__cells"))
+      .select(col("asset_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__cells"), i), lit(0.0)))
+          .as("features"))
+  }
+
   // --- video (length-prefixed PNG frame container, real frame decode) --
 
   /** Synthesize one "video" per row: `nFrames` real PNG frames (each a

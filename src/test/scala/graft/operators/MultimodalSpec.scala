@@ -104,6 +104,40 @@ class MultimodalSpec extends SparkTestBase {
     assert(nullRow.isNullAt(0))
   }
 
+  test("grid features: decoded cell sums match direct arithmetic; embedding assembles row-major") {
+    val synth = Multimodal.synthesizeImages(dims, col("doc_id"), col("w"), col("h"))
+    val got = Multimodal.imageGridFeatures(synth, col("asset_id"), 2, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    val want = scala.collection.mutable.Map
+      .empty[(Long, Int, Int), (Long, Long)]
+    for ((a, w, h) <- Seq((1L, 5, 4), (2L, 12, 3), (3L, 1, 1));
+         y <- 0 until h; x <- 0 until w) {
+      val key = (a, x * 2 / w, y * 2 / h)
+      val g = Multimodal.syntheticPixel(a, x, y, 0).toLong +
+        Multimodal.syntheticPixel(a, x, y, 1) +
+        Multimodal.syntheticPixel(a, x, y, 2)
+      val (n0, s0) = want.getOrElse(key, (0L, 0L))
+      want(key) = (n0 + 1, s0 + g)
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (n, s)) =>
+      val (gn, gs, gm) = got(k)
+      assert((gn, gs) == (n, s), k.toString)
+      assert(gm == s.toDouble / (3.0 * n), k.toString)
+    }
+    // 1x1 image covers only cell (0,0) — no padding rows
+    assert(got.keySet.count(_._1 == 3L) == 1)
+    // embedding form: row-major cells, absent cells zero
+    val emb = Multimodal.imageGridEmbedding(synth, col("asset_id"), 2, 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(emb(1L).length == 4)
+    assert(emb(1L)(1) == got((1L, 1, 0))._3) // idx 1 = (cell_x=1, cell_y=0)
+    assert(emb(3L) == Seq(got((3L, 0, 0))._3, 0.0, 0.0, 0.0))
+  }
+
   test("video container: demux + decode every step-th frame with exact pixel sums") {
     import graft.TestSpark.spark.implicits._
     val vids = Seq((1L, 5), (2L, 1)).toDF("doc_id", "nf")
