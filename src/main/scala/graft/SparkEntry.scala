@@ -85,34 +85,54 @@ object SparkEntry {
         col("embedding"), nlist = 16)
     })
 
-  /** Pre-materialize every memoized per-(session, dir) store the
-    * search/encode queries read — the trained BPE merge table and both
-    * BM25 index flavours — and report what happened to each. Exists so
-    * Bench can warm them EXPLICITLY before timed passes and log the
-    * outcome: the sigstore convention prices index BUILD in setup and
-    * SEARCH in the timed loop, and without this call that split
-    * silently depended on which query's first pass happened to run
-    * first (a runner reorder would fold a build into one query's
-    * timing with nothing saying so). Idempotent: a second call reports
-    * `already-warm` for every store and does no work — spec-pinned.
+  /** Store kinds [[warmCaches]] knows how to pre-materialize. */
+  val AllStores: Set[String] = Set("bpe", "bm25", "ivf")
+
+  /** Pre-materialize the requested memoized per-(session, dir) stores —
+    * the trained BPE merge table, the BM25 index flavours, the IVF
+    * model — and report what happened to each. Exists so Bench can
+    * warm them EXPLICITLY before timed passes and log the outcome: the
+    * sigstore convention prices store BUILD in setup and the read path
+    * in the timed loop, and without this call that split silently
+    * depended on which query's first pass happened to run first (a
+    * runner reorder would fold a build into one query's timing with
+    * nothing saying so). The guarantee differs by store kind: the BPE
+    * merges and IVF model are DRIVER-side values — once built they
+    * stay warm for every pass — while the BM25 entries are persisted
+    * DataFrames whose cached blocks Bench's per-pass equal-cold
+    * `clearCache()` deliberately drops, so BM25 search passes still
+    * re-derive the index inside the timed plan (conservative: searches
+    * never measure faster than a cold run) and the warm genuinely
+    * holds only for consumers that do not clear the cache (Verify).
+    * `stores` selects which kinds to build — a focused bench rerun
+    * must not pay a k-means fit for a BPE-only selection. Idempotent:
+    * a second call reports `already-warm` and does no work
+    * (spec-pinned).
     */
-  def warmCaches(s: SparkSession, dir: String): Seq[String] = {
+  def warmCaches(s: SparkSession, dir: String,
+                 stores: Set[String] = AllStores): Seq[String] = {
     import graft.operators.{BpeStats, TermWeights}
+    require(stores.subsetOf(AllStores), s"unknown stores: ${stores -- AllStores}")
     val app = s.sparkContext.applicationId
     val report = Seq.newBuilder[String]
-    val hadMerges = bpeMergeCache.contains((app, dir))
-    bpeMergeCache.getOrElseUpdate((app, dir),
-      BpeStats.trainMerges(t(s, dir, "documents"), col("text"), steps = 6))
-    report += s"bpe_merges=${if (hadMerges) "already-warm" else "warmed"}"
-    Seq(TermWeights.RationalIdf, TermWeights.LogIdf).foreach { w =>
-      val flavour = w.getClass.getSimpleName
-      val had = bm25IndexCache.contains((app, dir, flavour))
-      bm25IndexFor(s, dir, w)
-      report += s"bm25_index_$flavour=${if (had) "already-warm" else "warmed"}"
+    if (stores("bpe")) {
+      val had = bpeMergeCache.contains((app, dir))
+      bpeMergeCache.getOrElseUpdate((app, dir),
+        BpeStats.trainMerges(t(s, dir, "documents"), col("text"), steps = 6))
+      report += s"bpe_merges=${if (had) "already-warm" else "warmed"}"
     }
-    val hadIvf = ivfModelCache.contains((app, dir))
-    ivfModelFor(s, dir)
-    report += s"ivf_model=${if (hadIvf) "already-warm" else "warmed"}"
+    if (stores("bm25"))
+      Seq(TermWeights.RationalIdf, TermWeights.LogIdf).foreach { w =>
+        val flavour = w.getClass.getSimpleName
+        val had = bm25IndexCache.contains((app, dir, flavour))
+        bm25IndexFor(s, dir, w)
+        report += s"bm25_index_$flavour=${if (had) "already-warm" else "warmed"}"
+      }
+    if (stores("ivf")) {
+      val had = ivfModelCache.contains((app, dir))
+      ivfModelFor(s, dir)
+      report += s"ivf_model=${if (had) "already-warm" else "warmed"}"
+    }
     report.result()
   }
 
@@ -1435,16 +1455,16 @@ object SparkEntry {
       // these gates) behave identically on any runner — the sampled
       // Ivf.fit varies with input splits, which made a strict gate
       // flap between environments. Rows-only (k-means float) with TWO
-      // in-plan gates: the dense arm's self-hit must be rank 1 (a
-      // STRUCTURAL IVF invariant: the self list is always probed and
-      // cos(self)=1), and the fused top-10 must CONTAIN the self-hit.
-      // Membership, not fused-rank-1, deliberately: a lexical-only
-      // competitor (rank 1 in BM25, absent from the exact dense top-20)
-      // can legitimately overtake the self-hit when IVF probe misses
-      // promote its dense rank — measured at sf0.01 (self fused rank
-      // 2), so rank-1 identity is a property of the EXACT fusion
-      // (hybrid_rrf), not of any correct ANN fusion. Quality is gated
-      // by the macro-recall floor in hybrid_rrf_ann_recall.
+      // in-plan gates, both PRESENCE claims because presence is what
+      // the structure actually guarantees: the dense arm must CONTAIN
+      // the self-hit (the self list is always probed and cos(self) is
+      // maximal — but an exact-DUPLICATE embedding with a lower id
+      // ties at the same cosine and wins the deterministic tie-break,
+      // so dense rank 1 is only duplicate-free-data strong), and the
+      // fused top-10 must CONTAIN the self-hit (a lexical-only
+      // competitor promoted by IVF probe misses can legitimately
+      // overtake it for fused rank 1 — measured at sf0.01). Quality is
+      // gated by the macro-recall floor in hybrid_rrf_ann_recall.
       import graft.operators.{Bm25, Ivf, Retrieval, TermWeights}
       val docs = t(s, dir, "documents")
       val embs = t(s, dir, "embeddings")
@@ -1461,10 +1481,14 @@ object SparkEntry {
       val dense = Ivf.topK(model, assigned, q, col("qid"), col("qv"),
           k = 20, nprobe = 4, excludeSelf = false)
         .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
-        .where(assert_true(
-          col("query_id") =!= col("id") || col("rank") === 1,
-          concat(lit("IVF self-hit not at dense rank 1 for query "),
+        .withColumn("__self_in_dense",
+          sum(when(col("query_id") === col("id"), 1L).otherwise(0L))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))))
+        .where(assert_true(col("__self_in_dense") === 1,
+          concat(lit("IVF probe lost the self-hit for query "),
             col("query_id"))).isNull)
+        .drop("__self_in_dense")
       val fused = Retrieval.rrfFuse(Seq(lex, dense), k0 = 60, k = 10)
       // membership gate as a WINDOW over the fused frame (≤ |q|·k rows,
       // already partitioned by query_id from the fusion's rank window)

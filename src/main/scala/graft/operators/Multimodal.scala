@@ -172,6 +172,28 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-channel pixel-value sums over a decoded raster — the one
+    * accumulation loop [[imageChannelStats]] and [[sampleVideoFrames]]
+    * share, so a future color-model fix cannot silently diverge
+    * between the image and video stats.
+    */
+  private def channelSums(img: BufferedImage): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff
+        sg += (rgb >> 8) & 0xff
+        sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
+  }
+
   /** REAL per-image feature extraction with exact-integer outputs:
     * per-channel pixel-value sums + pixel count, from the decoded
     * raster. On PNG (lossless) the sums reproduce the encoded values
@@ -198,19 +220,7 @@ object Multimodal {
           case _              => null
         }) match {
           case Some(img) =>
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val rgb = img.getRGB(x, y)
-                sr += (rgb >> 16) & 0xff
-                sg += (rgb >> 8) & 0xff
-                sb += rgb & 0xff
-                x += 1
-              }
-              y += 1
-            }
+            val (sr, sg, sb) = channelSums(img)
             Row(a, img.getWidth.toLong * img.getHeight, sr, sg, sb)
           case None => Row(a, null, null, null, null)
         }
@@ -416,26 +426,17 @@ object Multimodal {
           while (pos + 4 <= bytes.length) {
             val len = ((bytes(pos) & 0xff) << 24) | ((bytes(pos + 1) & 0xff) << 16) |
               ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
-            if (len < 0 || pos + 4 + len > bytes.length) pos = bytes.length
+            // bound check in LONG arithmetic: a corrupt prefix near
+            // Int.MaxValue would wrap `pos + 4 + len` negative and slip
+            // past an Int comparison straight into copyOfRange
+            if (len < 0 || pos.toLong + 4L + len > bytes.length) pos = bytes.length
             else {
               if (idx % step == 0) {
                 val frame = java.util.Arrays.copyOfRange(bytes, pos + 4,
                   pos + 4 + len)
                 decodeImage(frame) match {
                   case Some(img) =>
-                    var sr = 0L; var sg = 0L; var sb = 0L
-                    var y = 0
-                    while (y < img.getHeight) {
-                      var x = 0
-                      while (x < img.getWidth) {
-                        val rgb = img.getRGB(x, y)
-                        sr += (rgb >> 16) & 0xff
-                        sg += (rgb >> 8) & 0xff
-                        sb += rgb & 0xff
-                        x += 1
-                      }
-                      y += 1
-                    }
+                    val (sr, sg, sb) = channelSums(img)
                     outRows += Row(a, idx, img.getWidth, img.getHeight, sr, sg, sb)
                   case None => outRows += Row(a, idx, null, null, null, null, null)
                 }
@@ -583,7 +584,8 @@ object Multimodal {
     * encode→decode→aggregate pipeline is DuckDB-oracle-checkable (the
     * audio twin of [[imageChannelStats]]). Output: (asset_id,
     * n_samples, sum_pcm, sum_abs, min_pcm, max_pcm); nulls for
-    * undecodable payloads.
+    * undecodable payloads AND for decodable-but-unsupported layouts
+    * (non-mono or non-16-bit) — never a task failure.
     */
   def audioSampleStats(df: DataFrame, id: Column,
                        mediaCol: String = "media"): DataFrame = {
@@ -603,11 +605,14 @@ object Multimodal {
           case b: Array[Byte] => b
           case _              => null
         }) match {
-          case Some(st) =>
+          case Some(st) if st.getFormat.getSampleSizeInBits == 16 &&
+              st.getFormat.getChannels == 1 =>
+            // decodable but UNSUPPORTED layouts (stereo, 8/24-bit) fall
+            // through to the null row below — a require here would fail
+            // the whole job on one odd file, breaking the documented
+            // degrade-to-nulls contract every sibling decoder keeps
             try {
               val f = st.getFormat
-              require(f.getSampleSizeInBits == 16 && f.getChannels == 1,
-                s"audioSampleStats expects mono 16-bit PCM, got $f")
               val big = f.isBigEndian
               val bytes = st.readAllBytes()
               var sum = 0L; var sabs = 0L
@@ -626,7 +631,9 @@ object Multimodal {
               if (nS == 0) Row(a, 0L, 0L, 0L, null, null)
               else Row(a, nS.toLong, sum, sabs, mn, mx)
             } finally st.close()
-          case None => Row(a, null, null, null, null, null)
+          case other => // undecodable OR unsupported layout
+            other.foreach(_.close())
+            Row(a, null, null, null, null, null)
         }
       }
     }(enc)

@@ -116,6 +116,12 @@ class BenchLineSpec extends SparkTestBase {
     assert(second.forall(_.endsWith("=already-warm")), second.toString)
     assert(second.map(_.takeWhile(_ != '=')) ==
       first.map(_.takeWhile(_ != '=')))
+    // selective warm: a focused selection builds only what it reads
+    val ivfOnly = SparkEntry.warmCaches(spark, dir, Set("ivf"))
+    assert(ivfOnly == Seq("ivf_model=already-warm"), ivfOnly.toString)
+    intercept[IllegalArgumentException] {
+      SparkEntry.warmCaches(spark, dir, Set("nope"))
+    }
   }
 
   test("trimZeros keeps precision where it exists") {

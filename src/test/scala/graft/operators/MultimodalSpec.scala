@@ -206,6 +206,42 @@ class MultimodalSpec extends SparkTestBase {
       (64L, ss.sum, ss.min, ss.max))
   }
 
+  test("decodable-but-unsupported audio (stereo) degrades to null stats, never a task failure") {
+    import graft.TestSpark.spark.implicits._
+    // hand-build a 4-frame STEREO 16-bit WAV — decodable, outside
+    // audioSampleStats' mono contract
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val pcm = new Array[Byte](16)
+    val st = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 4L)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(st,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val df = Seq((11L, baos.toByteArray, "audio/wav"))
+      .toDF("asset_id", "media", "media_type")
+    // metadata still reports the true (stereo) shape
+    val m = Multimodal.decodeAudioMeta(df).select("channels", "n_frames").head()
+    assert((m.getInt(0), m.getLong(1)) == (2, 4L))
+    // stats degrade to the null row instead of require-crashing the job
+    val s = Multimodal.audioSampleStats(df, col("asset_id")).head()
+    assert(s.isNullAt(1) && s.isNullAt(2), s.toString)
+  }
+
+  test("video container: a corrupt near-Int.MaxValue length prefix stops cleanly") {
+    import graft.TestSpark.spark.implicits._
+    val good = Multimodal.encodeSyntheticImage(5L, 3, 2)
+    val baos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(baos)
+    out.writeInt(good.length); out.write(good)
+    out.writeInt(0x7ffffffb) // Int-overflow bait: pos+4+len wraps negative
+    out.write(Array[Byte](1, 2, 3))
+    val df = Seq((5L, baos.toByteArray, "video/x-png-frames"))
+      .toDF("asset_id", "media", "media_type")
+    val rows = Multimodal.sampleVideoFrames(df, col("asset_id"), step = 1)
+      .collect()
+    assert(rows.length == 1 && rows(0).getInt(1) == 0, rows.toSeq.toString)
+  }
+
   test("non-audio payloads report null audio metadata") {
     val m = Multimodal.decodeAudioMeta(media)
       .select("asset_id", "sample_rate", "n_frames", "n_bytes")
