@@ -38,6 +38,39 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Deterministic CDC delta for the cdc_merge/cdc_merge_summary pair:
+    * inserts (src15-19), updates (in-range de docs uppercased), deletes
+    * (doc_id%7), a later-seq re-upsert (doc_id%11 — overrides the
+    * delete where both hit) and a latest-seq delete of a not-in-base id
+    * (src15-19 ∧ doc_id%13 — cancels its own insert AND exercises the
+    * delete_noop action). (doc_id, seq) is unique by construction: each
+    * branch uses a distinct seq except inserts/updates, whose id sets
+    * are disjoint (source ranges don't overlap).
+    */
+  private def cdcChanges(docs: DataFrame, base: DataFrame): DataFrame = {
+    val inserts = docs.filter(col("source").rlike("^src1[5-9]$"))
+      .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    val updates = docs.filter(col("source").rlike("^src([5-9]|1[0-4])$") &&
+        col("lang") === "de")
+      .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
+        upper(col("text")).as("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val deletes = base.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), lit(2L).as("seq"), lit("delete").as("op"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    val lateUpserts = base.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), lit(3L).as("seq"), lit("upsert").as("op"),
+        concat(col("text"), lit(" [v3]")).as("text"), col("lang"),
+        col("source"), col("n_chars"))
+    val lateDeletes = docs.filter(col("source").rlike("^src1[5-9]$") &&
+        col("doc_id") % 13 === 0)
+      .select(col("doc_id"), lit(4L).as("seq"), lit("delete").as("op"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    inserts.unionByName(updates).unionByName(deletes)
+      .unionByName(lateUpserts).unionByName(lateDeletes)
+  }
+
   // trained BPE merge tables, one per (application, table dir): training
   // is a driver loop of count jobs that a production run pays once per
   // vocabulary, not once per encode — memoizing keeps bpe_encode's
@@ -1004,6 +1037,32 @@ object SparkEntry {
           concat(lit("digest snapshot status diverged from exact for id "),
             col("id"))).isNull)
         .select(col("id"), col("status"))
+    }),
+    "cdc_merge" -> ((s, dir) => {
+      // nightly-refresh MERGE: base = the src0-14 snapshot; the delta
+      // mixes inserts (src15-19 arrive), in-place updates (de docs
+      // uppercase), deletes (doc_id%7), and a later-seq re-upsert
+      // (doc_id%11, overriding the delete where both hit) — so
+      // latest-wins, idempotent-delete and insert-vs-update all face
+      // the oracle. One window + one full-outer join, both keyed on
+      // doc_id (the change side's exchange is planned once).
+      import graft.operators.Cdc
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("source").rlike("^src([0-9]|1[0-4])$"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      Cdc.applyChangeSet(base, cdcChanges(docs, base), "doc_id")
+    }),
+    "cdc_merge_summary" -> ((s, dir) => {
+      // the reconciliation line of the same merge: per-action counts
+      // incl. delete_noop (replayed deletes must not fail or count as
+      // deletions) — what a nightly job logs and alerts on
+      import graft.operators.Cdc
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("source").rlike("^src([0-9]|1[0-4])$"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      Cdc.changeSetSummary(base, cdcChanges(docs, base), "doc_id")
     }),
     "novelty_scores" -> ((s, dir) => {
       // per-doc novelty of the src1x increment vs the accumulated
@@ -3722,6 +3781,70 @@ object SparkEntry {
         |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id""".stripMargin,
+    "cdc_merge" ->
+      // same delta construction (cdcChanges scaladoc), latest-wins via
+      // QUALIFY row_number, merge via full-outer + delete filter
+      """WITH base AS (SELECT doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE regexp_matches(source, '^src([0-9]|1[0-4])$')),
+        |changes AS (
+        |  SELECT doc_id, 1 AS seq, 'upsert' AS op, text, lang, source, n_chars
+        |    FROM documents WHERE regexp_matches(source, '^src1[5-9]$')
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'upsert', upper(text), lang, source, n_chars
+        |    FROM documents
+        |    WHERE regexp_matches(source, '^src([5-9]|1[0-4])$') AND lang = 'de'
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'delete', text, lang, source, n_chars FROM base
+        |    WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'upsert', text || ' [v3]', lang, source, n_chars
+        |    FROM base WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 4, 'delete', text, lang, source, n_chars
+        |    FROM documents
+        |    WHERE regexp_matches(source, '^src1[5-9]$') AND doc_id % 13 = 0),
+        |latest AS (SELECT doc_id, op, text, lang, source, n_chars
+        |  FROM changes
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1)
+        |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN c.doc_id IS NOT NULL THEN c.text ELSE b.text END AS text,
+        |  CASE WHEN c.doc_id IS NOT NULL THEN c.lang ELSE b.lang END AS lang,
+        |  CASE WHEN c.doc_id IS NOT NULL THEN c.source ELSE b.source END
+        |    AS source,
+        |  CASE WHEN c.doc_id IS NOT NULL THEN c.n_chars ELSE b.n_chars END
+        |    AS n_chars
+        |FROM base b FULL OUTER JOIN latest c ON b.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL OR c.op <> 'delete'""".stripMargin,
+    "cdc_merge_summary" ->
+      """WITH base AS (SELECT doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE regexp_matches(source, '^src([0-9]|1[0-4])$')),
+        |changes AS (
+        |  SELECT doc_id, 1 AS seq, 'upsert' AS op, text, lang, source, n_chars
+        |    FROM documents WHERE regexp_matches(source, '^src1[5-9]$')
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'upsert', upper(text), lang, source, n_chars
+        |    FROM documents
+        |    WHERE regexp_matches(source, '^src([5-9]|1[0-4])$') AND lang = 'de'
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'delete', text, lang, source, n_chars FROM base
+        |    WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'upsert', text || ' [v3]', lang, source, n_chars
+        |    FROM base WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 4, 'delete', text, lang, source, n_chars
+        |    FROM documents
+        |    WHERE regexp_matches(source, '^src1[5-9]$') AND doc_id % 13 = 0),
+        |latest AS (SELECT doc_id, op FROM changes
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1)
+        |SELECT CASE WHEN c.doc_id IS NULL THEN 'unchanged'
+        |    WHEN c.op = 'delete' THEN
+        |      CASE WHEN b.doc_id IS NULL THEN 'delete_noop' ELSE 'deleted' END
+        |    WHEN b.doc_id IS NULL THEN 'inserted'
+        |    ELSE 'updated' END AS action,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM base b FULL OUTER JOIN latest c ON b.doc_id = c.doc_id
+        |GROUP BY 1""".stripMargin,
     "source_jaccard_exact" ->
       // per-source distinct 3-gram sets (ngram_jaccard's comprehension),
       // pairwise |A∩B| via equi-join, every pair kept through the

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class CdcSpec extends SparkTestBase {
+  import graft.TestSpark.spark.implicits._
+
+  private def base: DataFrame =
+    Seq((1L, "alpha", 10), (2L, "beta", 20), (3L, "gamma", 30))
+      .toDF("id", "txt", "v")
+
+  private def merged(changes: DataFrame): Map[Long, (String, Int)] =
+    Cdc.applyChangeSet(base, changes, "id").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+
+  test("insert, update, delete, passthrough in one changeset") {
+    val changes = Seq(
+      (4L, 1L, "upsert", "delta", 40),   // insert: id absent from base
+      (2L, 1L, "upsert", "BETA", 21),    // update in place
+      (3L, 1L, "delete", null.asInstanceOf[String], 0)) // remove
+      .toDF("id", "seq", "op", "txt", "v")
+    val out = merged(changes)
+    assert(out == Map(1L -> ("alpha", 10), 2L -> ("BETA", 21),
+      4L -> ("delta", 40)))
+  }
+
+  test("latest seq wins: delete then re-upsert, and upsert then delete") {
+    val changes = Seq(
+      (1L, 1L, "delete", null.asInstanceOf[String], 0),
+      (1L, 2L, "upsert", "alpha2", 11),   // resurrects id 1
+      (2L, 5L, "upsert", "beta2", 22),
+      (2L, 9L, "delete", null.asInstanceOf[String], 0)) // kills id 2
+      .toDF("id", "seq", "op", "txt", "v")
+    val out = merged(changes)
+    assert(out == Map(1L -> ("alpha2", 11), 3L -> ("gamma", 30)))
+  }
+
+  test("delete of an absent id is a no-op; replay is idempotent") {
+    val changes = Seq(
+      (99L, 1L, "delete", null.asInstanceOf[String], 0))
+      .toDF("id", "seq", "op", "txt", "v")
+    val once = Cdc.applyChangeSet(base, changes, "id")
+    assert(once.count() == 3)
+    // replaying the same delta over the merged result changes nothing
+    val twice = Cdc.applyChangeSet(once, changes, "id")
+    assert(twice.collect().toSet == once.collect().toSet)
+  }
+
+  test("unknown op fails the job instead of silently skipping") {
+    val changes = Seq((1L, 1L, "patch", "x", 0))
+      .toDF("id", "seq", "op", "txt", "v")
+    val e = intercept[Exception] {
+      Cdc.applyChangeSet(base, changes, "id").collect()
+    }
+    assert(e.getMessage.contains("unknown op") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown op")))
+  }
+
+  test("summary classifies inserted/updated/deleted/unchanged/delete_noop") {
+    val changes = Seq(
+      (4L, 1L, "upsert", "delta", 40),
+      (2L, 1L, "upsert", "BETA", 21),
+      (3L, 1L, "delete", null.asInstanceOf[String], 0),
+      (99L, 1L, "delete", null.asInstanceOf[String], 0))
+      .toDF("id", "seq", "op", "txt", "v")
+    val m = Cdc.changeSetSummary(base, changes, "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("inserted" -> 1L, "updated" -> 1L, "deleted" -> 1L,
+      "unchanged" -> 1L, "delete_noop" -> 1L))
+  }
+
+  test("merge plans at most two exchanges (collapse partitioning reused)") {
+    val changes = Seq((2L, 1L, "upsert", "BETA", 21))
+      .toDF("id", "seq", "op", "txt", "v")
+    val plan = Cdc.applyChangeSet(base, changes, "id")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$plan")
+  }
+}
