@@ -969,6 +969,22 @@ object SparkEntry {
         iterations = 3)
         .select(col("id").as("doc_id"), col("score"))
     }),
+    "graph_triangles" -> ((s, dir) => {
+      // clique-ness of each doc's near-dup neighborhood: per-node
+      // triangle counts + local clustering coefficient over the same
+      // exact 3-gram Jaccard pair graph dedup_clusters/doc_pagerank
+      // use. Degree-ordered forward enumeration (skew-proof — the
+      // Centrality.triangleStats scaladoc); coefficient is one IEEE
+      // division of exact longs, so the whole frame hash-matches the
+      // brute-force 3-way-join oracle.
+      import graft.operators.Centrality
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.5)
+      Centrality.triangleStats(docs, col("doc_id"), pairs)
+        .select(col("id").as("doc_id"), col("degree"),
+          col("n_triangles"), col("clustering"))
+    }),
     "dedup_keep_best" -> ((s, dir) => {
       // quality-aware survivor policy over the same transitive near-dup
       // components as dedup_clusters: keep the member with the HIGHEST
@@ -4063,6 +4079,44 @@ object SparkEntry {
         |FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
         |GROUP BY d.doc_id""".stripMargin,
     "doc_pagerank" -> docPagerankSql(3),
+    "graph_triangles" ->
+      // the dedup_clusters pair graph; triangles enumerated a<b<c by
+      // the canonical 3-way join (the oracle can afford it — the
+      // registered entry uses degree-ordered wedges for skew safety,
+      // and the per-node counts are orientation-independent)
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id,
+        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM toks WHERE len(t) >= 3)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5),
+        |tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e2.id_a = e1.id_b
+        |  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+        |tcnt AS (SELECT nid, COUNT(*) AS tc FROM (
+        |  SELECT a AS nid FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri) GROUP BY nid),
+        |deg AS (SELECT nid, COUNT(*) AS dg FROM (
+        |  SELECT id_a AS nid FROM pairs UNION ALL SELECT id_b FROM pairs)
+        |  GROUP BY nid)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(g.dg, 0) AS BIGINT) AS degree,
+        |  CAST(COALESCE(t.tc, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN COALESCE(g.dg, 0) >= 2
+        |    THEN CAST(2 * COALESCE(t.tc, 0) AS DOUBLE) /
+        |         CAST(g.dg * (g.dg - 1) AS DOUBLE)
+        |    ELSE 0.0 END AS clustering
+        |FROM documents d
+        |LEFT JOIN deg g ON g.nid = d.doc_id
+        |LEFT JOIN tcnt t ON t.nid = d.doc_id""".stripMargin,
     "dedup_cluster_sizes" ->
       // the dedup_clusters recursive CTE, rolled up twice: component ->
       // member count -> histogram of cluster sizes

@@ -107,4 +107,85 @@ object Centrality {
     degreed.unpersist(blocking = false)
     result
   }
+
+  /** Per-node triangle participation and local clustering coefficient
+    * over the undirected pair graph `pairs` (`id_a`, `id_b`) — the
+    * structural complement to [[fixedPointPageRank]]: PageRank scores
+    * how CENTRAL a doc is in its near-dup family, the clustering
+    * coefficient scores how CLIQUE-LIKE the family is around it
+    * (mirror farms and template families are near-cliques, coeff → 1;
+    * chains of pairwise-similar revisions are triangle-free, coeff 0).
+    *
+    * Enumeration is the degree-ordered "forward" algorithm (Schank &
+    * Wagner 2005): every undirected edge is oriented from its
+    * lower-(degree, id) endpoint to the higher, wedges are generated
+    * only from each node's OUT-neighbors, and a wedge (v, w) counts iff
+    * v→w is itself an oriented edge — each triangle is found exactly
+    * once, and the wedge fan-out per node is bounded by its
+    * out-degree, which the orientation caps at O(√m) on any graph
+    * (the reason this survives skew: a celebrity node with degree 10⁶
+    * contributes NO wedges from its own id — its edges all point INTO
+    * it from the low-degree side). A naive a<b-by-id wedge join is
+    * quadratic in the hottest node's degree; by-(degree, id) it is
+    * quadratic only in the GRAPH's arboricity.
+    *
+    * Scale shape: one agg for degrees, two hash joins to annotate
+    * endpoints, one self-join on the wedge apex, one equi-join to
+    * close wedges, one explode+agg for per-node counts — all keyed
+    * joins, nothing collected. The coefficient is a single IEEE
+    * division of two exact longs (2T / d(d-1)), so the whole output is
+    * bit-portable and DuckDB-oracle-checkable.
+    *
+    * Output: (id, degree, n_triangles, clustering) for EVERY node in
+    * `nodes` (isolated nodes: 0, 0, 0.0; degree-1 nodes: coeff 0.0).
+    */
+  def triangleStats(nodes: DataFrame, id: Column,
+                    pairs: DataFrame): DataFrame = {
+    val und = pairs
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") < col("v")).distinct()
+    val deg = und.select(col("u").as("n"))
+      .unionAll(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // annotate both endpoints with degree, then orient low -> high
+    val ann = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+    // persist: the oriented edge list is scanned three times (both
+    // wedge sides + the closing join); lazy-return convention — the
+    // cache lives with the query (the documented persist-and-leave
+    // trade-off, same as the gate caches in SparkEntry)
+    val oriented = ann.select(
+      when(struct(col("du").as("d"), col("u").as("i")) <
+          struct(col("dv").as("d"), col("v").as("i")),
+        struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+      .persist()
+    // wedges from each apex's out-neighbors; closed iff v->w oriented.
+    // Exactly one of (v,w)/(w,v) can match: orientation is a DAG.
+    val wedges = oriented.as("o1")
+      .join(oriented.as("o2"),
+        col("o1.s") === col("o2.s") && col("o1.t") =!= col("o2.t"))
+      .select(col("o1.s").as("a"), col("o1.t").as("b"), col("o2.t").as("c"))
+    val triangles = wedges.join(oriented,
+      col("b") === col("s") && col("c") === col("t"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("t"))
+    nodes.select(id.as("id"))
+      .join(deg.withColumnRenamed("n", "__dn"), col("id") === col("__dn"),
+        "left")
+      .join(perNode.withColumnRenamed("n", "__tn"), col("id") === col("__tn"),
+        "left")
+      .select(col("id"),
+        coalesce(col("d"), lit(0L)).as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        when(coalesce(col("d"), lit(0L)) >= 2,
+          (coalesce(col("t"), lit(0L)) * 2).cast("double") /
+            (col("d") * (col("d") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
 }

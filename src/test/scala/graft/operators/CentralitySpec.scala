@@ -87,6 +87,66 @@ class CentralitySpec extends SparkTestBase {
     assert(leaked() <= 1, s"leaked ${leaked()} cached RDDs (expected <= 1)")
   }
 
+  /** Brute-force reference: count triangles by testing all id triples. */
+  private def refTriangles(nodes: Seq[Long],
+                           pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = pairs.map { case (a, b) => (a min b, a max b) }.toSet
+    def edge(x: Long, y: Long) = es((x min y, x max y))
+    val tris = for {
+      a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+      if edge(a, b) && edge(b, c) && edge(a, c)
+    } yield (a, b, c)
+    nodes.map(n => n ->
+      tris.count(t => t._1 == n || t._2 == n || t._3 == n).toLong).toMap
+  }
+
+  private def runTriangles(ns: Seq[Long], ps: Seq[(Long, Long)]) =
+    Centrality.triangleStats(ns.toDF("doc_id"), col("doc_id"),
+        ps.toDF("id_a", "id_b"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+  test("triangles: clique, wedge, isolated node") {
+    // 1-2-3 triangle, 3-4 pendant, 5 isolated
+    val ns = Seq(1L, 2L, 3L, 4L, 5L)
+    val ps = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val got = runTriangles(ns, ps)
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 1.0 / 3.0))) // 2*1/(3*2)
+    assert(got(4L) == ((1L, 0L, 0.0)))
+    assert(got(5L) == ((0L, 0L, 0.0)))
+  }
+
+  test("triangles: K4 matches brute force, each triangle counted once") {
+    val ns = Seq(1L, 2L, 3L, 4L)
+    val ps = for (a <- ns; b <- ns if a < b) yield (a, b)
+    val got = runTriangles(ns, ps)
+    val want = refTriangles(ns, ps)
+    assert(got.view.mapValues(_._2).toMap == want) // 3 triangles each
+    assert(got.values.forall(_._3 == 1.0)) // complete graph: coeff 1
+  }
+
+  test("triangles: duplicate and reversed pairs collapse") {
+    val ns = Seq(1L, 2L, 3L)
+    val ps = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L), (1L, 3L))
+    val got = runTriangles(ns, ps)
+    assert(got.view.mapValues(_._2).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles: skew-star with one closing edge — hub wedges stay linear") {
+    // hub 0 connected to 1..20, plus edge (1,2): exactly one triangle.
+    // Under by-id orientation the hub would fan out C(20,2) wedges;
+    // degree-ordering points every spoke INTO the hub instead.
+    val ns = (0L to 20L).toSeq
+    val ps = (1L to 20L).map(i => (0L, i)) :+ (1L, 2L)
+    val got = runTriangles(ns, ps)
+    assert(got(0L)._2 == 1L && got(1L)._2 == 1L && got(2L)._2 == 1L)
+    assert((3L to 20L).forall(got(_)._2 == 0L))
+    assert(got(0L)._1 == 20L)
+  }
+
   test("rejects degenerate parameters") {
     intercept[IllegalArgumentException] { run(0) }
     intercept[IllegalArgumentException] {
