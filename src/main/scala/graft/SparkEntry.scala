@@ -1080,6 +1080,55 @@ object SparkEntry {
           col("n_chars"))
       Cdc.changeSetSummary(base, cdcChanges(docs, base), "doc_id")
     }),
+    "zorder_zonemap" -> ((s, dir) => {
+      // OPTIMIZE-ZORDER's deterministic twin: lineitem's
+      // (partkey, suppkey) normalized to 16 bits from a broadcast
+      // 1-row stats frame, Morton-interleaved, prefix-bucketed into 64
+      // zones with raw per-zone min/max — ONE map-side-combining agg,
+      // zero sorts, bit-portable (Layout scaladoc)
+      import graft.operators.Layout
+      val li = t(s, dir, "lineitem")
+      val stats = li.agg(max(col("l_partkey")).cast("long").as("px"),
+        max(col("l_suppkey")).cast("long").as("sx"))
+      val df = li.crossJoin(broadcast(stats))
+      Layout.zoneMap(df,
+        Layout.normalize16(col("l_partkey"), col("px")),
+        Layout.normalize16(col("l_suppkey"), col("sx")),
+        bucketBits = 6)
+    }),
+    "zorder_pruning" -> ((s, dir) => {
+      // the point of the layout, measured: candidate buckets/rows for
+      // the same 2-D box under z-order vs a partkey-only layout, plus
+      // the true match count — min/max skipping is sound (candidates
+      // ⊇ exact, the LayoutSpec property), and the zorder row's
+      // n_candidate_rows is the fraction of the table a scan planner
+      // actually reads
+      import graft.operators.Layout
+      val li = t(s, dir, "lineitem")
+      val stats = li.agg(max(col("l_partkey")).cast("long").as("px"),
+        max(col("l_suppkey")).cast("long").as("sx"))
+      val df = li.crossJoin(broadcast(stats))
+      val nx = Layout.normalize16(col("l_partkey"), col("px"))
+      val ny = Layout.normalize16(col("l_suppkey"), col("sx"))
+      // box in raw units, normalized with the same exact arithmetic
+      val box = stats.select(
+        Layout.normalize16(lit(500L), col("px")).as("x0"),
+        Layout.normalize16(lit(600L), col("px")).as("x1"),
+        Layout.normalize16(lit(20L), col("sx")).as("y0"),
+        Layout.normalize16(lit(30L), col("sx")).as("y1"))
+      def stats4(zm: DataFrame, tag: String) =
+        Layout.pruningStats(zm.crossJoin(broadcast(box)),
+          col("x0"), col("x1"), col("y0"), col("y1"))
+          .withColumn("layout", lit(tag))
+      val exact = li.where(col("l_partkey").between(500L, 600L) &&
+          col("l_suppkey").between(20L, 30L))
+        .agg(count(lit(1)).as("n_exact_rows"))
+      stats4(Layout.zoneMap(df, nx, ny, 6), "zorder")
+        .unionByName(stats4(Layout.linearZoneMap(df, nx, ny, 6), "linear"))
+        .crossJoin(broadcast(exact))
+        .select(col("layout"), col("n_buckets"), col("n_candidate_buckets"),
+          col("n_candidate_rows"), col("n_exact_rows"))
+    }),
     "novelty_scores" -> ((s, dir) => {
       // per-doc novelty of the src1x increment vs the accumulated
       // src0-9 reference (the dedup_incremental split): integral
@@ -3861,6 +3910,83 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM base b FULL OUTER JOIN latest c ON b.doc_id = c.doc_id
         |GROUP BY 1""".stripMargin,
+    "zorder_zonemap" ->
+      // normalize16's clamp+floor-div, the 8-4-2-1 Morton spread as
+      // stepwise CTEs, prefix bucketing — all exact integer bit
+      // arithmetic, hence hash-checkable
+      """WITH st AS (SELECT CAST(max(l_partkey) AS BIGINT) AS px,
+        |                   CAST(max(l_suppkey) AS BIGINT) AS sx
+        |            FROM lineitem),
+        |pts AS (SELECT
+        |  (least(greatest(l_partkey, 0), px) * 65535) // px AS x,
+        |  (least(greatest(l_suppkey, 0), sx) * 65535) // sx AS y
+        |  FROM lineitem, st),
+        |a AS (SELECT x, y, (x | (x << 8)) & 16711935 AS xa,
+        |  (y | (y << 8)) & 16711935 AS ya FROM pts),
+        |b AS (SELECT x, y, (xa | (xa << 4)) & 252645135 AS xb,
+        |  (ya | (ya << 4)) & 252645135 AS yb FROM a),
+        |c AS (SELECT x, y, (xb | (xb << 2)) & 858993459 AS xc,
+        |  (yb | (yb << 2)) & 858993459 AS yc FROM b),
+        |d AS (SELECT x, y, (xc | (xc << 1)) & 1431655765 AS xd,
+        |  (yc | (yc << 1)) & 1431655765 AS yd FROM c),
+        |z AS (SELECT x, y, (xd | (yd << 1)) AS zv FROM d)
+        |SELECT zv >> 26 AS bucket,
+        |  min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM z GROUP BY 1""".stripMargin,
+    "zorder_pruning" ->
+      """WITH st AS (SELECT CAST(max(l_partkey) AS BIGINT) AS px,
+        |                   CAST(max(l_suppkey) AS BIGINT) AS sx
+        |            FROM lineitem),
+        |pts AS (SELECT
+        |  (least(greatest(l_partkey, 0), px) * 65535) // px AS x,
+        |  (least(greatest(l_suppkey, 0), sx) * 65535) // sx AS y
+        |  FROM lineitem, st),
+        |a AS (SELECT x, y, (x | (x << 8)) & 16711935 AS xa,
+        |  (y | (y << 8)) & 16711935 AS ya FROM pts),
+        |b AS (SELECT x, y, (xa | (xa << 4)) & 252645135 AS xb,
+        |  (ya | (ya << 4)) & 252645135 AS yb FROM a),
+        |c AS (SELECT x, y, (xb | (xb << 2)) & 858993459 AS xc,
+        |  (yb | (yb << 2)) & 858993459 AS yc FROM b),
+        |d AS (SELECT x, y, (xc | (xc << 1)) & 1431655765 AS xd,
+        |  (yc | (yc << 1)) & 1431655765 AS yd FROM c),
+        |z AS (SELECT x, y, (xd | (yd << 1)) AS zv FROM d),
+        |zm AS (SELECT zv >> 26 AS bucket, min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y,
+        |  CAST(count(*) AS BIGINT) AS n_rows FROM z GROUP BY 1),
+        |lm AS (SELECT x >> 10 AS bucket, min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y,
+        |  CAST(count(*) AS BIGINT) AS n_rows FROM z GROUP BY 1),
+        |box AS (SELECT
+        |  (least(greatest(500, 0), px) * 65535) // px AS x0,
+        |  (least(greatest(600, 0), px) * 65535) // px AS x1,
+        |  (least(greatest(20, 0), sx) * 65535) // sx AS y0,
+        |  (least(greatest(30, 0), sx) * 65535) // sx AS y1 FROM st),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_rows
+        |  FROM lineitem WHERE l_partkey BETWEEN 500 AND 600
+        |  AND l_suppkey BETWEEN 20 AND 30),
+        |zstat AS (SELECT 'zorder' AS layout,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(COALESCE(SUM(CASE WHEN min_x <= x1 AND max_x >= x0
+        |    AND min_y <= y1 AND max_y >= y0 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_candidate_buckets,
+        |  CAST(COALESCE(SUM(CASE WHEN min_x <= x1 AND max_x >= x0
+        |    AND min_y <= y1 AND max_y >= y0 THEN n_rows ELSE 0 END), 0)
+        |    AS BIGINT) AS n_candidate_rows
+        |  FROM zm, box),
+        |lstat AS (SELECT 'linear' AS layout,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(COALESCE(SUM(CASE WHEN min_x <= x1 AND max_x >= x0
+        |    AND min_y <= y1 AND max_y >= y0 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_candidate_buckets,
+        |  CAST(COALESCE(SUM(CASE WHEN min_x <= x1 AND max_x >= x0
+        |    AND min_y <= y1 AND max_y >= y0 THEN n_rows ELSE 0 END), 0)
+        |    AS BIGINT) AS n_candidate_rows
+        |  FROM lm, box)
+        |SELECT layout, n_buckets, n_candidate_buckets, n_candidate_rows,
+        |  n_exact_rows
+        |FROM (SELECT * FROM zstat UNION ALL SELECT * FROM lstat), ex""".stripMargin,
     "source_jaccard_exact" ->
       // per-source distinct 3-gram sets (ngram_jaccard's comprehension),
       // pairwise |A∩B| via equi-join, every pair kept through the

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Morton (Z-order) interleaving + fixed
+  * -width zone maps + candidate-bucket pruning stats — the file-layout
+  * optimization behind "OPTIMIZE ... ZORDER BY" in lakehouse engines
+  * (Delta/Iceberg publish the technique; the curve itself is Morton
+  * 1966). Why it matters at 100 TB: parquet scans skip row groups via
+  * min/max stats, but a table sorted by ONE key has useless stats for
+  * every OTHER predicate column; interleaving the bits of two (or more)
+  * columns gives every z-contiguous file a small bounding BOX in value
+  * space, so a 2-D selective predicate prunes on both dimensions at
+  * once. The operators here are the measurable core: compute the
+  * curve, lay the data out, derive the zone map a scan planner would
+  * use, and quantify how many buckets a box query actually touches
+  * under z-layout vs a single-key layout.
+  *
+  * Everything is exact integer bit arithmetic (shifts/and/or on
+  * longs), so every stage is whole-stage-codegen'd, shuffle-free until
+  * the one zone-map aggregation, and bit-identically reproducible in
+  * DuckDB for the oracle.
+  */
+object Layout {
+
+  /** Bit-spread the low 16 bits of `c` to even bit positions 0,2,..30
+    * (the classic mask doubling: 8-4-2-1). Input outside [0, 65535]
+    * must be masked by the caller — [[zValue]] does.
+    */
+  private def spread16(c: Column): Column =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L),
+      (1, 0x55555555L))
+      .foldLeft(c.cast("long").bitwiseAND(lit(0xFFFFL))) {
+        case (v, (s, m)) => v.bitwiseOR(shiftleft(v, s)).bitwiseAND(lit(m))
+      }
+
+  /** 32-bit Morton z-value of two dimensions, each masked to its low 16
+    * bits: bit i of `x` lands at position 2i, bit i of `y` at 2i+1.
+    * Pure projection — no shuffle, codegen'd, ~10 long ops per row.
+    * Callers with domains that don't already fill 16 bits normalize
+    * first ([[normalize16]]) — interleaving works on RELATIVE position
+    * within each domain, so a narrow column left unscaled contributes
+    * nothing but zero bits to the curve's coarse levels.
+    */
+  def zValue(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Scale a non-negative column with known domain max to the full
+    * 16-bit range: (v * 65535) div maxVal — exact integer arithmetic
+    * (one multiply, one floor division), monotone, portable across
+    * engines bit-for-bit. `maxVal` is the column's domain bound, which
+    * a production job reads from table stats; values above it clamp
+    * (a stale stats bound must not corrupt the interleave, only
+    * coarsen the tail bucket).
+    */
+  def normalize16(v: Column, maxVal: Long): Column = {
+    require(maxVal >= 1, s"maxVal must be >= 1, got $maxVal")
+    // 65535 * maxVal must stay exactly representable in double for the
+    // remainder-subtraction floor division below to be exact
+    require(maxVal <= (1L << 37),
+      s"maxVal must be <= 2^37, got $maxVal")
+    val a = least(greatest(v.cast("long"), lit(0L)), lit(maxVal)) *
+      lit(65535L)
+    // exact floor division: subtract the remainder first so the double
+    // division is of an exact multiple (bit-exact, unlike floor(a/b)
+    // whose quotient can round up across an integer boundary)
+    ((a - pmod(a, lit(maxVal))) / lit(maxVal)).cast("long")
+  }
+
+  /** [[normalize16]] with the domain bound as a COLUMN — the form a
+    * production job uses with a broadcast 1-row stats frame (max of
+    * the column from table stats), and the form the registered queries
+    * use so the layout stays meaningful at every scale factor. Same
+    * exact remainder-subtraction floor division; the caller owns the
+    * 2^37 bound on the stat's value.
+    */
+  def normalize16(v: Column, maxVal: Column): Column = {
+    val m = maxVal.cast("long")
+    val a = least(greatest(v.cast("long"), lit(0L)), m) * lit(65535L)
+    ((a - pmod(a, m)) / m).cast("long")
+  }
+
+  /** Fixed-width zone map over the z-curve: bucket = the z-value's top
+    * `bucketBits` bits (2^bucketBits buckets of equal curve-length),
+    * with per-bucket min/max of both dimensions and a row count — the
+    * stats a scan planner consults before touching data. Fixed-width
+    * prefix bucketing (vs ntile/repartitionByRange) is deliberate:
+    * the bucket id is a pure projection of the row, so the whole zone
+    * map is ONE map-side-combining aggregation with no global sort,
+    * no sampled range boundaries, and a deterministic result any
+    * engine reproduces bit-for-bit. Buckets sparse regions simply
+    * produce no row for.
+    *
+    * Output: (bucket, min_x, max_x, min_y, max_y, n_rows).
+    */
+  def zoneMap(df: DataFrame, x: Column, y: Column,
+              bucketBits: Int = 6): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 16,
+      s"bucketBits must be in [1,16], got $bucketBits")
+    val xs = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    val ys = y.cast("long").bitwiseAND(lit(0xFFFFL))
+    df.select(xs.as("__x"), ys.as("__y"),
+        shiftright(zValue(x, y), 32 - bucketBits).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
+        min(col("__y")).as("min_y"), max(col("__y")).as("max_y"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Single-key zone map with the same bucket count: rows bucketed by
+    * the top `bucketBits` bits of `x` alone (the layout a table sorted
+    * only by `x` gives you) — the comparison baseline for
+    * [[pruningStats]].
+    */
+  def linearZoneMap(df: DataFrame, x: Column, y: Column,
+                    bucketBits: Int = 6): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 16,
+      s"bucketBits must be in [1,16], got $bucketBits")
+    val xs = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    val ys = y.cast("long").bitwiseAND(lit(0xFFFFL))
+    df.select(xs.as("__x"), ys.as("__y"),
+        shiftright(xs, 16 - bucketBits).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
+        min(col("__y")).as("min_y"), max(col("__y")).as("max_y"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** How much a box predicate (x ∈ [x0,x1] ∧ y ∈ [y0,y1]) can skip
+    * under a zone map: a bucket is a CANDIDATE iff its [min,max] box
+    * overlaps the query box on BOTH dimensions (the standard min/max
+    * skipping test — sound, never prunes a matching row). One row:
+    * (n_buckets, n_candidate_buckets, n_candidate_rows) — the scan
+    * planner's work estimate; candidate rows / total rows is the
+    * fraction of the table the engine actually reads.
+    */
+  def pruningStats(zoneMap: DataFrame,
+                   x0: Long, x1: Long, y0: Long, y1: Long): DataFrame =
+    pruningStats(zoneMap, lit(x0), lit(x1), lit(y0), lit(y1))
+
+  /** [[pruningStats]] with Column bounds — pass bounds derived from a
+    * broadcast stats frame (cross-join it onto the zone map first).
+    */
+  def pruningStats(zoneMap: DataFrame, x0: Column, x1: Column,
+                   y0: Column, y1: Column): DataFrame = {
+    val cand = col("min_x") <= x1 && col("max_x") >= x0 &&
+      col("min_y") <= y1 && col("max_y") >= y0
+    zoneMap.agg(
+      count(lit(1)).as("n_buckets"),
+      coalesce(sum(when(cand, 1L).otherwise(0L)), lit(0L))
+        .as("n_candidate_buckets"),
+      coalesce(sum(when(cand, col("n_rows")).otherwise(0L)), lit(0L))
+        .as("n_candidate_rows"))
+  }
+
+  /** Production layout writer: range-partition by z-value into
+    * `numPartitions` output files and sort within each — what an
+    * OPTIMIZE ZORDER job does before writing parquet (row-group
+    * min/max stats then play the zone map's role). Range boundaries
+    * come from sampling, so this is for WRITING data, not for
+    * oracle-checked derivations — [[zoneMap]]'s fixed-width prefix is
+    * the deterministic twin.
+    */
+  def clusterByZ(df: DataFrame, x: Column, y: Column,
+                 numPartitions: Int): DataFrame = {
+    require(numPartitions >= 1,
+      s"numPartitions must be >= 1, got $numPartitions")
+    df.withColumn("__z", zValue(x, y))
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}

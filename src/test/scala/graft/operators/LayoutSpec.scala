@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class LayoutSpec extends SparkTestBase {
+
+  private lazy val testImplicits = spark.implicits
+  import testImplicits._
+
+  /** Bit-by-bit reference interleave. */
+  private def refZ(x: Long, y: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | ((x >> i) & 1L) << (2 * i) | ((y >> i) & 1L) << (2 * i + 1)
+    }
+
+  test("zValue matches the bit-by-bit reference on known and random points") {
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L),
+      (12345L, 54321L), (19999L, 999L))
+    val got = pts.toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y")).as("z"))
+      .as[Long].collect()
+    assert(got.toSeq == pts.map { case (x, y) => refZ(x, y) })
+  }
+
+  test("zValue masks inputs wider than 16 bits") {
+    val got = Seq((65536L + 3L, 5L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y")).as("z"))
+      .as[Long].head()
+    assert(got == refZ(3L, 5L))
+  }
+
+  test("zone map covers every row exactly once and bounds are tight") {
+    val df = (0 until 1000)
+      .map(i => (i.toLong % 97, (i.toLong * 31) % 89)).toDF("x", "y")
+    val zm = Layout.zoneMap(df, col("x"), col("y"), bucketBits = 4).collect()
+    assert(zm.map(_.getAs[Long]("n_rows")).sum == 1000L)
+    zm.foreach { r =>
+      assert(r.getAs[Long]("min_x") <= r.getAs[Long]("max_x"))
+      assert(r.getAs[Long]("min_y") <= r.getAs[Long]("max_y"))
+    }
+  }
+
+  test("pruning is sound: candidate rows >= exact matches, both layouts") {
+    val df = (0 until 5000)
+      .map(i => ((i.toLong * 7919) % 1024, (i.toLong * 104729) % 512))
+      .toDF("x", "y")
+    val (x0, x1, y0, y1) = (100L, 160L, 50L, 80L)
+    val exact = df.where(col("x").between(x0, x1) &&
+      col("y").between(y0, y1)).count()
+    for (zm <- Seq(Layout.zoneMap(df, col("x"), col("y")),
+        Layout.linearZoneMap(df, col("x"), col("y")))) {
+      val st = Layout.pruningStats(zm, x0, x1, y0, y1).head()
+      assert(st.getAs[Long]("n_candidate_rows") >= exact)
+      assert(st.getAs[Long]("n_candidate_buckets") <=
+        st.getAs[Long]("n_buckets"))
+    }
+  }
+
+  test("normalize16 is exact, monotone, clamps, fills the domain") {
+    val got = Seq(-5L, 0L, 1L, 127L, 255L, 300L).toDF("v")
+      .select(Layout.normalize16(col("v"), 255L).as("n"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(0L, 0L, 257L, 127L * 257, 65535L, 65535L))
+  }
+
+  test("z-layout prunes a 2-D box better than single-key layout on grid data") {
+    // uniform grid: every (x, y) cell — the case z-ordering exists for.
+    // Domains are normalized to full 16-bit width first, as the
+    // production path does from table stats.
+    val df = (for (x <- 0 until 256; y <- 0 until 256)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val nx = Layout.normalize16(col("x"), 255L)
+    val ny = Layout.normalize16(col("y"), 255L)
+    // query box x,y in [10,20] raw -> normalized bounds
+    val (b0, b1) = (10L * 257, 20L * 257)
+    val zs = Layout.pruningStats(
+      Layout.zoneMap(df, nx, ny, 6), b0, b1, b0, b1).head()
+    val ls = Layout.pruningStats(
+      Layout.linearZoneMap(df, nx, ny, 6), b0, b1, b0, b1).head()
+    assert(zs.getAs[Long]("n_candidate_rows") <
+      ls.getAs[Long]("n_candidate_rows"),
+      s"z=${zs}, linear=${ls}")
+  }
+
+  test("clusterByZ: partition z-ranges are disjoint and rows survive") {
+    val df = (0 until 4096)
+      .map(i => ((i.toLong * 613) % 256, (i.toLong * 389) % 256))
+      .toDF("x", "y")
+    val laid = Layout.clusterByZ(df, col("x"), col("y"), 8)
+    assert(laid.count() == 4096)
+    val ranges = laid
+      .select(Layout.zValue(col("x"), col("y")).as("z"))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+  }
+
+  test("rejects degenerate parameters") {
+    val df = Seq((1L, 2L)).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      Layout.zoneMap(df, col("x"), col("y"), bucketBits = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.clusterByZ(df, col("x"), col("y"), 0)
+    }
+  }
+}
