@@ -1080,6 +1080,35 @@ object SparkEntry {
           col("n_chars"))
       Cdc.changeSetSummary(base, cdcChanges(docs, base), "doc_id")
     }),
+    "fuzzy_name_pairs" -> ((s, dir) => {
+      // entity canonicalization on the DICTIONARY: distinct part names
+      // + corpus frequencies (one hash agg), token-blocked candidates,
+      // exact Levenshtein verify at dist<=2 — candidates bounded by
+      // dictionary token df², independent of corpus size
+      import graft.operators.FuzzyJoin
+      val dict = t(s, dir, "part").groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n"))
+      FuzzyJoin.tokenBlockedEditJoin(dict, col("name"), col("name"),
+          maxDist = 2)
+        .select(col("name_a"), col("name_b"), col("dist"))
+        .join(dict.select(col("name").as("name_a"), col("n").as("n_a")),
+          Seq("name_a"))
+        .join(dict.select(col("name").as("name_b"), col("n").as("n_b")),
+          Seq("name_b"))
+        .select(col("name_a"), col("name_b"), col("dist"),
+          col("n_a"), col("n_b"))
+    }),
+    "fuzzy_pairs_exact" -> ((s, dir) => {
+      // ground-truth twin: all-pairs edit join over the same 64-name
+      // dictionary (dictionary-sized by construction — the capped
+      // anchor convention) — recall auditor for fuzzy_name_pairs
+      import graft.operators.FuzzyJoin
+      val dict = t(s, dir, "part").select(col("p_name").as("name"))
+        .distinct()
+      FuzzyJoin.allPairsEditJoin(dict, col("name"), col("name"),
+        maxDist = 2)
+        .select(col("name_a"), col("name_b"), col("dist"))
+    }),
     "zorder_zonemap" -> ((s, dir) => {
       // OPTIMIZE-ZORDER's deterministic twin: lineitem's
       // (partkey, suppkey) normalized to 16 bits from a broadcast
@@ -3910,6 +3939,31 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM base b FULL OUTER JOIN latest c ON b.doc_id = c.doc_id
         |GROUP BY 1""".stripMargin,
+    "fuzzy_name_pairs" ->
+      // mirrors the blocking exactly: distinct (name, token), df-capped
+      // tokens, shared-token candidates, Levenshtein verify
+      """WITH dict AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM part GROUP BY p_name),
+        |t AS (SELECT DISTINCT name, tok FROM (
+        |  SELECT name, unnest(string_split(name, ' ')) AS tok FROM dict)
+        |  WHERE tok <> ''),
+        |keep AS (SELECT tok FROM t GROUP BY tok HAVING COUNT(*) <= 1000),
+        |tk AS (SELECT t.name, t.tok FROM t JOIN keep USING (tok)),
+        |cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        |  FROM tk a JOIN tk b ON a.tok = b.tok AND a.name < b.name)
+        |SELECT c.name_a, c.name_b,
+        |  CAST(levenshtein(c.name_a, c.name_b) AS INTEGER) AS dist,
+        |  da.n AS n_a, db.n AS n_b
+        |FROM cand c
+        |JOIN dict da ON da.name = c.name_a
+        |JOIN dict db ON db.name = c.name_b
+        |WHERE levenshtein(c.name_a, c.name_b) <= 2""".stripMargin,
+    "fuzzy_pairs_exact" ->
+      """WITH dict AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+        |FROM dict a JOIN dict b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
     "zorder_zonemap" ->
       // normalize16's clamp+floor-div, the 8-4-2-1 Morton spread as
       // stepwise CTEs, prefix bucketing — all exact integer bit
