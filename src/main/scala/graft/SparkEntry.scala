@@ -1125,6 +1125,38 @@ object SparkEntry {
         Layout.normalize16(col("l_suppkey"), col("sx")),
         bucketBits = 6)
     }),
+    "zorder_zonemap_incremental" -> ((s, dir) => {
+      // the maintenance algebra at 100 TB: per-slice zone maps (an
+      // ingest batch computes its own) merged by one bucket-keyed agg
+      // ≡ the full rebuild, asserted IN-PLAN cell by cell; historical
+      // data is never rescanned. Oracle = the full-rebuild SQL (the
+      // gate makes the merged frame answer it).
+      import graft.operators.Layout
+      val li = t(s, dir, "lineitem")
+      val stats = li.agg(max(col("l_partkey")).cast("long").as("px"),
+        max(col("l_suppkey")).cast("long").as("sx"))
+      val df = li.crossJoin(broadcast(stats))
+      def zm(d: DataFrame) = Layout.zoneMap(d,
+        Layout.normalize16(col("l_partkey"), col("px")),
+        Layout.normalize16(col("l_suppkey"), col("sx")),
+        bucketBits = 6)
+      val merged = Layout.mergeZoneMaps(
+        zm(df.where(col("l_orderkey") % 2 === 0)),
+        zm(df.where(col("l_orderkey") % 2 === 1)))
+      val full = zm(df).select(col("bucket"),
+        col("min_x").as("__fx0"), col("max_x").as("__fx1"),
+        col("min_y").as("__fy0"), col("max_y").as("__fy1"),
+        col("n_rows").as("__fn"))
+      merged.join(full, Seq("bucket"), "full_outer")
+        .where(assert_true(
+          col("min_x") === col("__fx0") && col("max_x") === col("__fx1") &&
+            col("min_y") === col("__fy0") && col("max_y") === col("__fy1") &&
+            col("n_rows") === col("__fn"),
+          concat(lit("merged zone map diverged from rebuild at bucket "),
+            col("bucket"))).isNull)
+        .select(col("bucket"), col("min_x"), col("max_x"),
+          col("min_y"), col("max_y"), col("n_rows"))
+    }),
     "zorder_pruning" -> ((s, dir) => {
       // the point of the layout, measured: candidate buckets/rows for
       // the same 2-D box under z-order vs a partkey-only layout, plus
@@ -3968,6 +4000,30 @@ object SparkEntry {
       // normalize16's clamp+floor-div, the 8-4-2-1 Morton spread as
       // stepwise CTEs, prefix bucketing — all exact integer bit
       // arithmetic, hence hash-checkable
+      """WITH st AS (SELECT CAST(max(l_partkey) AS BIGINT) AS px,
+        |                   CAST(max(l_suppkey) AS BIGINT) AS sx
+        |            FROM lineitem),
+        |pts AS (SELECT
+        |  (least(greatest(l_partkey, 0), px) * 65535) // px AS x,
+        |  (least(greatest(l_suppkey, 0), sx) * 65535) // sx AS y
+        |  FROM lineitem, st),
+        |a AS (SELECT x, y, (x | (x << 8)) & 16711935 AS xa,
+        |  (y | (y << 8)) & 16711935 AS ya FROM pts),
+        |b AS (SELECT x, y, (xa | (xa << 4)) & 252645135 AS xb,
+        |  (ya | (ya << 4)) & 252645135 AS yb FROM a),
+        |c AS (SELECT x, y, (xb | (xb << 2)) & 858993459 AS xc,
+        |  (yb | (yb << 2)) & 858993459 AS yc FROM b),
+        |d AS (SELECT x, y, (xc | (xc << 1)) & 1431655765 AS xd,
+        |  (yc | (yc << 1)) & 1431655765 AS yd FROM c),
+        |z AS (SELECT x, y, (xd | (yd << 1)) AS zv FROM d)
+        |SELECT zv >> 26 AS bucket,
+        |  min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM z GROUP BY 1""".stripMargin,
+    "zorder_zonemap_incremental" ->
+      // merge(zm(even), zm(odd)) ≡ zm(all) is asserted in-plan, so the
+      // merged frame answers the full-rebuild oracle
       """WITH st AS (SELECT CAST(max(l_partkey) AS BIGINT) AS px,
         |                   CAST(max(l_suppkey) AS BIGINT) AS sx
         |            FROM lineitem),

@@ -154,6 +154,24 @@ object Layout {
         .as("n_candidate_rows"))
   }
 
+  /** Merge zone maps built over disjoint slices of a table (per-file,
+    * per-day, per-ingest-batch) into the zone map of the union — the
+    * algebra that makes layout stats MAINTAINABLE at 100 TB: a new
+    * ingest computes its own (tiny) zone map and one bucket-keyed agg
+    * folds it in; the historical data is never rescanned. min/max/sum
+    * are all associative-commutative, so merge(zm(A), zm(B)) ≡
+    * zm(A ∪ B) exactly (the registered identity gate asserts it
+    * in-plan).
+    */
+  def mergeZoneMaps(maps: DataFrame*): DataFrame = {
+    require(maps.nonEmpty, "mergeZoneMaps needs at least one zone map")
+    maps.reduce(_ unionByName _)
+      .groupBy(col("bucket"))
+      .agg(min(col("min_x")).as("min_x"), max(col("max_x")).as("max_x"),
+        min(col("min_y")).as("min_y"), max(col("max_y")).as("max_y"),
+        sum(col("n_rows")).as("n_rows"))
+  }
+
   /** Production layout writer: range-partition by z-value into
     * `numPartitions` output files and sort within each — what an
     * OPTIMIZE ZORDER job does before writing parquet (row-group

@@ -102,6 +102,32 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("mergeZoneMaps of disjoint slices equals the full rebuild") {
+    val df = (0 until 2000)
+      .map(i => (i.toLong, (i.toLong * 613) % 256, (i.toLong * 389) % 256))
+      .toDF("k", "x", "y")
+    def zm(d: org.apache.spark.sql.DataFrame) =
+      Layout.zoneMap(d, Layout.normalize16(col("x"), 255L),
+        Layout.normalize16(col("y"), 255L), bucketBits = 5)
+    val merged = Layout.mergeZoneMaps(
+        zm(df.where(col("k") % 3 === 0)),
+        zm(df.where(col("k") % 3 === 1)),
+        zm(df.where(col("k") % 3 === 2)))
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val full = zm(df).collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(merged == full)
+  }
+
+  test("mergeZoneMaps keeps buckets present in only one slice") {
+    val a = Seq((0L, 1L, 1L, 1L, 1L, 5L))
+      .toDF("bucket", "min_x", "max_x", "min_y", "max_y", "n_rows")
+    val b = Seq((7L, 9L, 9L, 9L, 9L, 3L))
+      .toDF("bucket", "min_x", "max_x", "min_y", "max_y", "n_rows")
+    val m = Layout.mergeZoneMaps(a, b).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(m == Map(0L -> 5L, 7L -> 3L))
+  }
+
   test("rejects degenerate parameters") {
     val df = Seq((1L, 2L)).toDF("x", "y")
     intercept[IllegalArgumentException] {
