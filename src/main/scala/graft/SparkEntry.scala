@@ -1080,6 +1080,25 @@ object SparkEntry {
           col("n_chars"))
       Cdc.changeSetSummary(base, cdcChanges(docs, base), "doc_id")
     }),
+    "cdc_merge_versioned" -> ((s, dir) => {
+      // the STORE form of the merge: versioned snapshot (per-id applied
+      // seq + delete tombstones) folded in two batches with the
+      // HIGH-seq batch first and the stale stragglers second — the
+      // stored seq must shield every newer value and tombstone, making
+      // the fold batch-order-invariant. Final live view ≡ the one-shot
+      // merge, so it answers cdc_merge's oracle verbatim.
+      import graft.operators.Cdc
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("source").rlike("^src([0-9]|1[0-4])$"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val changes = cdcChanges(docs, base)
+      Cdc.snapshotView(
+        Cdc.applyChangeSetVersioned(
+          Cdc.applyChangeSetVersioned(Cdc.versionSnapshot(base),
+            changes.where(col("seq") >= 2), "doc_id"),
+          changes.where(col("seq") <= 1), "doc_id"))
+    }),
     "fuzzy_name_pairs" -> ((s, dir) => {
       // entity canonicalization on the DICTIONARY: distinct part names
       // + corpus frequencies (one hash agg), token-blocked candidates,
@@ -3910,6 +3929,41 @@ object SparkEntry {
     "cdc_merge" ->
       // same delta construction (cdcChanges scaladoc), latest-wins via
       // QUALIFY row_number, merge via full-outer + delete filter
+      """WITH base AS (SELECT doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE regexp_matches(source, '^src([0-9]|1[0-4])$')),
+        |changes AS (
+        |  SELECT doc_id, 1 AS seq, 'upsert' AS op, text, lang, source, n_chars
+        |    FROM documents WHERE regexp_matches(source, '^src1[5-9]$')
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'upsert', upper(text), lang, source, n_chars
+        |    FROM documents
+        |    WHERE regexp_matches(source, '^src([5-9]|1[0-4])$') AND lang = 'de'
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'delete', text, lang, source, n_chars FROM base
+        |    WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'upsert', text || ' [v3]', lang, source, n_chars
+        |    FROM base WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 4, 'delete', text, lang, source, n_chars
+        |    FROM documents
+        |    WHERE regexp_matches(source, '^src1[5-9]$') AND doc_id % 13 = 0),
+        |latest AS (SELECT doc_id, op, text, lang, source, n_chars
+        |  FROM changes
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1)
+        |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN c.doc_id IS NOT NULL THEN c.text ELSE b.text END AS text,
+        |  CASE WHEN c.doc_id IS NOT NULL THEN c.lang ELSE b.lang END AS lang,
+        |  CASE WHEN c.doc_id IS NOT NULL THEN c.source ELSE b.source END
+        |    AS source,
+        |  CASE WHEN c.doc_id IS NOT NULL THEN c.n_chars ELSE b.n_chars END
+        |    AS n_chars
+        |FROM base b FULL OUTER JOIN latest c ON b.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL OR c.op <> 'delete'""".stripMargin,
+    "cdc_merge_versioned" ->
+      // the two-batch versioned fold is batch-order-invariant, so its
+      // live view answers the ONE-SHOT merge SQL verbatim — the
+      // equivalence is the point of the query
       """WITH base AS (SELECT doc_id, text, lang, source, n_chars
         |  FROM documents WHERE regexp_matches(source, '^src([0-9]|1[0-4])$')),
         |changes AS (

@@ -79,6 +79,77 @@ object Cdc {
           .otherwise(col(p)).as(p))): _*)
   }
 
+  /** Bootstrap a plain snapshot into the VERSIONED form
+    * [[applyChangeSetVersioned]] consumes: applied-seq 0 (every real
+    * change outranks the initial load) and no tombstones.
+    */
+  def versionSnapshot(base: DataFrame): DataFrame =
+    base.withColumn("__seq", lit(0L)).withColumn("__deleted", lit(false))
+
+  /** Changeset application for a STORE that is merged repeatedly
+    * (micro-batches, daily deltas arriving out of order): the snapshot
+    * remembers, per id, the highest sequence it has applied (`__seq`)
+    * and keeps deletes as TOMBSTONES (`__deleted`) instead of dropping
+    * the row. Both are what make the fold correct across batches:
+    *
+    *   - a STALE change (seq ≤ the stored one) in a later batch is
+    *     ignored — without the stored seq, a delayed early upsert
+    *     would overwrite a newer value it lost to;
+    *   - a stale upsert arriving after a delete cannot resurrect the
+    *     row, because the delete left a tombstone carrying its seq.
+    *
+    * This gives the associativity that batch boundaries need: folding
+    * any partition of a changeset in any batch order yields the same
+    * store as one-shot [[applyChangeSet]] of the union (given the
+    * global (id, seq)-uniqueness contract) — the registered
+    * `cdc_merge_versioned` query asserts exactly that against the
+    * one-shot oracle. Tombstones are garbage: [[compactTombstones]]
+    * purges those every consumer has seen (the seq-watermark analog of
+    * a streaming state timeout). [[snapshotView]] projects the live
+    * rows. Same plan shape as [[applyChangeSet]]: one window + one
+    * full-outer join, both keyed on id.
+    */
+  def applyChangeSetVersioned(versionedBase: DataFrame, changes: DataFrame,
+                              id: String, seq: String = "seq",
+                              op: String = "op"): DataFrame = {
+    val payload =
+      versionedBase.columns.filterNot(Set(id, "__seq", "__deleted")).toSeq
+    val latest0 = latestChangePerKey(changes, id, seq)
+      .select((Seq(col(id), col(seq).as("__c_seq"), col(op).as("__op")) ++
+        payload.map(c => col(c).as(s"__c_$c"))): _*)
+      .withColumn("__op",
+        when(col("__op").isin("upsert", "delete"), col("__op"))
+          .otherwise(raise_error(concat(
+            lit("Cdc.applyChangeSetVersioned: unknown op '"), col("__op"),
+            lit(s"' for $id="), col(id).cast("string")))))
+    val b = versionedBase.withColumn("__in_base", lit(1))
+    val c = latest0.withColumn("__in_chg", lit(1))
+    val chgWins = col("__in_chg") === 1 &&
+      (col("__in_base").isNull || col("__c_seq") > col("__seq"))
+    b.join(c, Seq(id), "full_outer")
+      .select((Seq(col(id),
+        when(chgWins, col("__c_seq")).otherwise(col("__seq")).as("__seq"),
+        when(chgWins, col("__op") === "delete")
+          .otherwise(col("__deleted")).as("__deleted")) ++
+        payload.map(p =>
+          when(chgWins, col(s"__c_$p")).otherwise(col(p)).as(p))): _*)
+  }
+
+  /** Purge tombstones with seq ≤ `seqWatermark` — safe once every
+    * consumer/replayer is past that sequence; a later replay of an
+    * older upsert for a purged id re-inserts it, which is exactly the
+    * risk the watermark contract states (identical to dropping
+    * streaming state past the watermark).
+    */
+  def compactTombstones(versioned: DataFrame, seqWatermark: Long): DataFrame =
+    versioned.where(!(col("__deleted") && col("__seq") <= seqWatermark))
+
+  /** The live snapshot a reader sees: tombstones and bookkeeping
+    * dropped.
+    */
+  def snapshotView(versioned: DataFrame): DataFrame =
+    versioned.where(!col("__deleted")).drop("__seq", "__deleted")
+
   /** Merge audit: per-action row counts for a changeset application —
     * inserted / updated / deleted / unchanged — the reconciliation
     * line a nightly refresh logs (and alerts on: a `deleted` spike

@@ -72,6 +72,61 @@ class CdcSpec extends SparkTestBase {
       "unchanged" -> 1L, "delete_noop" -> 1L))
   }
 
+  test("versioned fold across batches equals one-shot, in any batch order") {
+    val changes = Seq(
+      (4L, 1L, "upsert", "delta", 40),
+      (2L, 1L, "upsert", "BETA", 21),
+      (3L, 2L, "delete", null.asInstanceOf[String], 0),
+      (3L, 3L, "upsert", "gamma3", 33),
+      (1L, 4L, "delete", null.asInstanceOf[String], 0))
+      .toDF("id", "seq", "op", "txt", "v")
+    val oneShot = Cdc.applyChangeSet(base, changes, "id")
+      .collect().map(_.toSeq).toSet
+    val v0 = Cdc.versionSnapshot(base)
+    // fold high-seq batch FIRST, then the low-seq stragglers: the
+    // stored seq must shield newer values from the stale batch
+    val highFirst = Cdc.snapshotView(
+      Cdc.applyChangeSetVersioned(
+        Cdc.applyChangeSetVersioned(v0, changes.where($"seq" >= 2), "id"),
+        changes.where($"seq" <= 1), "id"))
+      .collect().map(_.toSeq).toSet
+    val lowFirst = Cdc.snapshotView(
+      Cdc.applyChangeSetVersioned(
+        Cdc.applyChangeSetVersioned(v0, changes.where($"seq" <= 1), "id"),
+        changes.where($"seq" >= 2), "id"))
+      .collect().map(_.toSeq).toSet
+    assert(highFirst == oneShot && lowFirst == oneShot)
+  }
+
+  test("a stale upsert after a delete cannot resurrect the row") {
+    val v0 = Cdc.versionSnapshot(base)
+    val del = Seq((2L, 5L, "delete", null.asInstanceOf[String], 0))
+      .toDF("id", "seq", "op", "txt", "v")
+    val staleUp = Seq((2L, 3L, "upsert", "zombie", 99))
+      .toDF("id", "seq", "op", "txt", "v")
+    val after = Cdc.applyChangeSetVersioned(
+      Cdc.applyChangeSetVersioned(v0, del, "id"), staleUp, "id")
+    val view = Cdc.snapshotView(after).collect().map(_.getLong(0)).toSet
+    assert(view == Set(1L, 3L))
+    // the tombstone is still there, carrying the delete's seq
+    val tomb = after.where(col("__deleted")).collect()
+    assert(tomb.length == 1 && tomb.head.getAs[Long]("__seq") == 5L)
+  }
+
+  test("tombstone compaction honors the seq watermark") {
+    val v0 = Cdc.versionSnapshot(base)
+    val dels = Seq(
+      (1L, 2L, "delete", null.asInstanceOf[String], 0),
+      (2L, 9L, "delete", null.asInstanceOf[String], 0))
+      .toDF("id", "seq", "op", "txt", "v")
+    val v1 = Cdc.applyChangeSetVersioned(v0, dels, "id")
+    val compacted = Cdc.compactTombstones(v1, seqWatermark = 5L)
+    val tombs = compacted.where(col("__deleted"))
+      .collect().map(_.getLong(0)).toSet
+    assert(tombs == Set(2L)) // seq-2 tombstone purged, seq-9 kept
+    assert(Cdc.snapshotView(compacted).count() == 1) // id 3 lives
+  }
+
   test("merge plans at most two exchanges (collapse partitioning reused)") {
     val changes = Seq((2L, 1L, "upsert", "BETA", 21))
       .toDF("id", "seq", "op", "txt", "v")

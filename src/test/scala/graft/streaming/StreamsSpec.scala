@@ -480,6 +480,39 @@ class StreamsSpec extends SparkTestBase {
     assert(flushed.contains((1L, 1, false)), flushed.toSeq.toString)
     q.stop()
   }
+
+  test("cdcMergeStream: versioned store across batches, stale stragglers lose") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    val store = tempDir("cdc_store").toString
+    val mem = MemoryStream[(Long, Long, String, String)]
+    val q = Streams.cdcMergeStream(
+        mem.toDF().toDF("id", "seq", "op", "txt"), store,
+        tempDir("cdc_ckpt").toString, id = "id",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    // batch 1: two inserts, then a high-seq delete of one of them
+    mem.addData((1L, 1L, "upsert", "alpha"), (2L, 2L, "upsert", "beta"),
+      (1L, 5L, "delete", null.asInstanceOf[String]))
+    q.processAllAvailable()
+    val v1 = Streams.cdcStoreView(spark, store)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1 == Map(2L -> "beta"))
+    // batch 2: a STALE upsert of the deleted id (seq 3 < tombstone's 5)
+    // must not resurrect; a genuinely new change applies
+    mem.addData((1L, 3L, "upsert", "zombie"), (2L, 6L, "upsert", "beta2"),
+      (3L, 4L, "upsert", "gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val v2 = Streams.cdcStoreView(spark, store)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2 == Map(2L -> "beta2", 3L -> "gamma"))
+    // exactly one live generation dir + the pointer remain
+    val root = new java.io.File(store)
+    val gens = root.listFiles().map(_.getName).filter(_.startsWith("gen-"))
+    assert(gens.length == 1, gens.mkString(","))
+  }
 }
 
 object TestSpark {
@@ -487,4 +520,5 @@ object TestSpark {
     val classic = graft.TestSpark.spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sqlContext
   }
+
 }
