@@ -985,6 +985,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("degree"),
           col("n_triangles"), col("clustering"))
     }),
+    "graph_kcore" -> ((s, dir) => {
+      // cohesive-subgraph membership: the 2-core of the near-dup graph
+      // (nodes that remain after iteratively peeling degree<2 members)
+      // — density classifier for template families on top of the
+      // triangle/PageRank signals. Bounded peeling with the in-plan
+      // convergence gate (one extra peel must be a no-op or the job
+      // fails), unrolled as CTEs on the oracle side.
+      import graft.operators.Centrality
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.5)
+      Centrality.kCoreBounded(docs, col("doc_id"), pairs, k = 2,
+          maxPeels = 4)
+        .select(col("id").as("doc_id"), col("in_kcore"))
+    }),
     "dedup_keep_best" -> ((s, dir) => {
       // quality-aware survivor policy over the same transitive near-dup
       // components as dedup_clusters: keep the member with the HIGHEST
@@ -2830,6 +2845,41 @@ object SparkEntry {
     * matches the distributed result bit for bit. The one engine quirk
     * is DuckDB widening SUM(BIGINT) to HUGEINT, cast back immediately.
     */
+  /** graph_kcore's oracle: the shared pair-graph CTEs + `peels`
+    * synchronous peel rounds unrolled (restrict edges to survivors,
+    * recount degrees, keep ≥ k) — the docPagerankSql trick applied to
+    * a monotone-shrinking set.
+    */
+  private def graphKcoreSql(k: Int = 2, peels: Int = 4): String = {
+    val graph =
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id,
+        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM toks WHERE len(t) >= 3)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |prs AS (SELECT id_a, id_b FROM inter
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5),
+        |s0 AS (SELECT doc_id AS id FROM documents)""".stripMargin
+    val steps = (1 to peels).map { i =>
+      s"""a$i AS (SELECT e.id_a, e.id_b FROM prs e
+         |  JOIN s${i - 1} x ON x.id = e.id_a
+         |  JOIN s${i - 1} y ON y.id = e.id_b),
+         |d$i AS (SELECT nid, COUNT(*) AS d FROM (
+         |  SELECT id_a AS nid FROM a$i UNION ALL SELECT id_b FROM a$i)
+         |  GROUP BY 1),
+         |s$i AS (SELECT nid AS id FROM d$i WHERE d >= $k)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    graph + steps +
+      s"""SELECT d.doc_id, (s.id IS NOT NULL) AS in_kcore
+         |FROM documents d LEFT JOIN s$peels s ON s.id = d.doc_id""".stripMargin
+  }
+
   private def docPagerankSql(iters: Int = 3): String = {
     val base = "(15 * (1000000000000 // c.n)) // 100"
     val graph =
@@ -4369,6 +4419,7 @@ object SparkEntry {
         |FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
         |GROUP BY d.doc_id""".stripMargin,
     "doc_pagerank" -> docPagerankSql(3),
+    "graph_kcore" -> graphKcoreSql(2, 4),
     "graph_triangles" ->
       // the dedup_clusters pair graph; triangles enumerated a<b<c by
       // the canonical 3-way join (the oracle can afford it — the

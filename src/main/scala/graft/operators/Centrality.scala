@@ -139,6 +139,121 @@ object Centrality {
     * Output: (id, degree, n_triangles, clustering) for EVERY node in
     * `nodes` (isolated nodes: 0, 0, 0.0; degree-1 nodes: coeff 0.0).
     */
+  /** One synchronous peel: survivors of `surv` whose degree WITHIN the
+    * surviving subgraph is ≥ k. Two semi-joins (edge endpoints against
+    * the survivor set) + one map-side-combining degree agg, all keyed
+    * on the node id.
+    */
+  private def peelOnce(und: DataFrame, surv: DataFrame, k: Int): DataFrame = {
+    val alive = und
+      .join(surv.select(col("id").as("u")), Seq("u"))
+      .join(surv.select(col("id").as("v")), Seq("v"))
+    // explode-symmetrize, don't self-union: a union would evaluate the
+    // two-join `alive` subtree once per branch (the PageRank edge-list
+    // lesson)
+    alive.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .where(col("d") >= k).select(col("n").as("id"))
+  }
+
+  /** Canonical deduped undirected edges (u < v) from a pair frame. */
+  private def canonicalEdges(pairs: DataFrame): DataFrame =
+    pairs.select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") < col("v")).distinct()
+
+  /** k-core membership via BOUNDED synchronous peeling: `maxPeels`
+    * rounds of "drop every node with in-subgraph degree < k", with an
+    * IN-PLAN convergence gate — one extra peel is computed and the job
+    * FAILS unless it changes nothing, so a green run certifies the
+    * true fixpoint (the k-core), never a half-peeled prefix. The
+    * bounded unrolling is what makes the result expressible as a
+    * chain of DuckDB CTEs (the doc_pagerank trick); the peel count
+    * needed in practice is small on similarity graphs (near-dup
+    * families are near-cliques — one or two rounds strips the
+    * pendants). [[kCoreFixpoint]] is the unbounded production twin.
+    *
+    * Output: (id, in_kcore) for every node in `nodes`. Scale shape:
+    * per peel one small eager job (two node-keyed semi-joins + one
+    * degree agg over the checkpointed canonical edge list — eager
+    * because both semi-joins reference the same survivor frame inside
+    * one job, where a lazy cache cannot help; see the in-body
+    * comment); the convergence gate is two 1-row count frames
+    * cross-joined into the returned plan, so the FAILURE still
+    * surfaces in-plan at read time.
+    */
+  def kCoreBounded(nodes: DataFrame, id: Column, pairs: DataFrame,
+                   k: Int, maxPeels: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxPeels >= 1, s"maxPeels must be >= 1, got $maxPeels")
+    // EAGER materialization, not lazy persist: every peel references
+    // its input twice (both endpoint semi-joins), and within ONE job
+    // both references materialize concurrently BEFORE either fills a
+    // lazy cache — so an unpinned chain re-evaluates the (expensive)
+    // pair generation ~2^depth times (measured: 78s -> 3s at sf0.01
+    // when these checkpoints went in). One small job per peel instead.
+    val und = canonicalEdges(pairs).localCheckpoint(true)
+    val all = nodes.select(id.as("id"))
+    var surv = all
+    for (_ <- 1 to maxPeels) surv = peelOnce(und, surv, k).localCheckpoint(true)
+    val extra = peelOnce(und, surv, k)
+    val cA = surv.agg(count(lit(1)).as("__n_peeled"))
+    val cB = extra.agg(count(lit(1)).as("__n_extra"))
+    val members = surv.withColumn("__in", lit(true))
+    all.join(members, Seq("id"), "left")
+      .crossJoin(broadcast(cA)).crossJoin(broadcast(cB))
+      .where(assert_true(col("__n_peeled") === col("__n_extra"),
+        concat(lit(s"kCoreBounded: not converged after $maxPeels peels ("),
+          col("__n_peeled"), lit(" -> "), col("__n_extra"),
+          lit(" survivors); raise maxPeels"))).isNull)
+      .select(col("id"), coalesce(col("__in"), lit(false)).as("in_kcore"))
+  }
+
+  /** Unbounded k-core: peel to the true fixpoint with a driver-side
+    * convergence loop (one scalar count per round — the CC/A1-metric
+    * contract), survivor frames localCheckpoint-truncated every
+    * `truncateEvery` rounds so the plan stays bounded however deep the
+    * peeling goes (degenerate graphs can need O(n) rounds; real
+    * similarity graphs need a handful).
+    */
+  def kCoreFixpoint(nodes: DataFrame, id: Column, pairs: DataFrame,
+                    k: Int, truncateEvery: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(truncateEvery >= 1,
+      s"truncateEvery must be >= 1, got $truncateEvery")
+    // eager edge materialization (see kCoreBounded: both endpoint
+    // semi-joins of round 1 would otherwise race the lazy cache and
+    // run pair generation twice); rounds are serialized by their
+    // count() actions, so lazy persist suffices for the survivor lists
+    val und = canonicalEdges(pairs).localCheckpoint(true)
+    val all = nodes.select(id.as("id"))
+    var surv = all
+    var prev = surv.count()
+    var round = 0
+    var done = false
+    val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    while (!done) {
+      round += 1
+      // persist every round (each peel scans its input twice);
+      // checkpoint on the truncate cadence so the PLAN stays bounded
+      // too — persist alone bounds recompute, only checkpointing
+      // bounds lineage (the CC lesson)
+      surv = peelOnce(und, surv, k)
+      if (round % truncateEvery == 0) surv = surv.localCheckpoint(true)
+      else { surv = surv.persist(); cached += surv }
+      val n = surv.count()
+      done = n == prev
+      prev = n
+    }
+    val result = all
+      .join(surv.withColumn("__in", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__in"), lit(false)).as("in_kcore"))
+      .localCheckpoint(true)
+    cached.foreach(_.unpersist(blocking = false))
+    und.unpersist(blocking = false)
+    result
+  }
+
   def triangleStats(nodes: DataFrame, id: Column,
                     pairs: DataFrame): DataFrame = {
     // persist the canonical edge list FIRST: `pairs` is typically an

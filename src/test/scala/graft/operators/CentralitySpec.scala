@@ -147,6 +147,52 @@ class CentralitySpec extends SparkTestBase {
     assert(got(0L)._1 == 20L)
   }
 
+  private def runKcore(ns: Seq[Long], ps: Seq[(Long, Long)], k: Int,
+                       peels: Int): Map[Long, Boolean] =
+    Centrality.kCoreBounded(ns.toDF("doc_id"), col("doc_id"),
+        ps.toDF("id_a", "id_b"), k = k, maxPeels = peels)
+      .as[(Long, Boolean)].collect().toMap
+
+  test("kcore: triangle survives 2-core, pendant and isolated peel off") {
+    val ns = Seq(1L, 2L, 3L, 4L, 5L)
+    val ps = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val got = runKcore(ns, ps, k = 2, peels = 2)
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false))
+    val fx = Centrality.kCoreFixpoint(ns.toDF("doc_id"), col("doc_id"),
+        ps.toDF("id_a", "id_b"), k = 2)
+      .as[(Long, Boolean)].collect().toMap
+    assert(fx == got)
+  }
+
+  test("kcore: cascading peel empties a path; too few peels fails the gate") {
+    val ns = (1L to 6L).toSeq
+    val ps = (1L to 5L).map(i => (i, i + 1))
+    // 2-core of a path is empty, reached after 3 cascading peels
+    val got = runKcore(ns, ps, k = 2, peels = 3)
+    assert(got.values.forall(_ == false))
+    // one peel only strips the endpoints — the convergence gate must
+    // fail the job rather than report the half-peeled set
+    val e = intercept[Exception] {
+      runKcore(ns, ps, k = 2, peels = 1)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("not converged")))
+    val fx = Centrality.kCoreFixpoint(ns.toDF("doc_id"), col("doc_id"),
+        ps.toDF("id_a", "id_b"), k = 2, truncateEvery = 2)
+      .as[(Long, Boolean)].collect().toMap
+    assert(fx.values.forall(_ == false))
+  }
+
+  test("kcore: K4 is a 3-core") {
+    val ns = Seq(1L, 2L, 3L, 4L)
+    val ps = for (a <- ns; b <- ns if a < b) yield (a, b)
+    val got = runKcore(ns, ps, k = 3, peels = 1)
+    assert(got.values.forall(_ == true))
+  }
+
   test("rejects degenerate parameters") {
     intercept[IllegalArgumentException] { run(0) }
     intercept[IllegalArgumentException] {
