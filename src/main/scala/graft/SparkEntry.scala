@@ -985,6 +985,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("degree"),
           col("n_triangles"), col("clustering"))
     }),
+    "doc_pagerank_weighted" -> ((s, dir) => {
+      // similarity-weighted template centrality: score flows ∝
+      // floor(jaccard·10⁶) instead of uniformly — a hub held by
+      // 0.95-mirrors outranks one held by borderline 0.5 matches.
+      // Quantization is floor of one IEEE multiply of one IEEE
+      // division, so the weights (and the whole integer iteration)
+      // reproduce bit-for-bit in DuckDB (iterations unrolled as CTEs).
+      import graft.operators.Centrality
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.5)
+      Centrality.fixedPointPageRankWeighted(docs, col("doc_id"), pairs,
+          floor(col("jaccard") * 1000000).cast("long"), iterations = 3)
+        .select(col("id").as("doc_id"), col("score"))
+    }),
     "graph_kcore" -> ((s, dir) => {
       // cohesive-subgraph membership: the 2-core of the near-dup graph
       // (nodes that remain after iteratively peeling degree<2 members)
@@ -2880,6 +2895,51 @@ object SparkEntry {
          |FROM documents d LEFT JOIN s$peels s ON s.id = d.doc_id""".stripMargin
   }
 
+  /** doc_pagerank_weighted's oracle: the weighted recurrence with
+    * floor(jaccard·10⁶) integer weights, iterations unrolled. score·w
+    * stays within BIGINT (10¹² · 10⁶ < 2^63) — the operator's stated
+    * overflow contract.
+    */
+  private def docPagerankWeightedSql(iters: Int = 3): String = {
+    val base = "(15 * (1000000000000 // c.n)) // 100"
+    val jac = "CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE)"
+    val graph =
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, sh FROM (
+         |  SELECT doc_id,
+         |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+         |  FROM toks WHERE len(t) >= 3)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |prs AS (SELECT id_a, id_b,
+         |    CAST(floor(($jac) * 1000000) AS BIGINT) AS w
+         |  FROM inter
+         |  JOIN sizes na ON na.doc_id = id_a
+         |  JOIN sizes nb ON nb.doc_id = id_b
+         |  WHERE $jac >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst, w FROM prs
+         |  UNION ALL SELECT id_b, id_a, w FROM prs),
+         |wd AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum
+         |  FROM edges GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, e.w, d.wsum
+         |  FROM edges e JOIN wd d USING (src)),
+         |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |s0 AS (SELECT doc_id AS id, 1000000000000 // c.n AS score
+         |  FROM documents CROSS JOIN c)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""i$k AS (SELECT ed.dst,
+         |  CAST(SUM((s.score * ed.w) // ed.wsum) AS BIGINT) AS inflow
+         |  FROM ed JOIN s${k - 1} s ON s.id = ed.src GROUP BY 1),
+         |s$k AS (SELECT d.doc_id AS id,
+         |  $base + COALESCE((85 * i$k.inflow) // 100, 0) AS score
+         |  FROM documents d CROSS JOIN c
+         |  LEFT JOIN i$k ON i$k.dst = d.doc_id)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    graph + steps + s"SELECT id AS doc_id, score FROM s$iters"
+  }
+
   private def docPagerankSql(iters: Int = 3): String = {
     val base = "(15 * (1000000000000 // c.n)) // 100"
     val graph =
@@ -4419,6 +4479,7 @@ object SparkEntry {
         |FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
         |GROUP BY d.doc_id""".stripMargin,
     "doc_pagerank" -> docPagerankSql(3),
+    "doc_pagerank_weighted" -> docPagerankWeightedSql(3),
     "graph_kcore" -> graphKcoreSql(2, 4),
     "graph_triangles" ->
       // the dedup_clusters pair graph; triangles enumerated a<b<c by

@@ -87,6 +87,57 @@ class CentralitySpec extends SparkTestBase {
     assert(leaked() <= 1, s"leaked ${leaked()} cached RDDs (expected <= 1)")
   }
 
+  /** Weighted single-threaded reference — same integer recurrence with
+    * per-edge weights.
+    */
+  private def refWeighted(nodes: Seq[Long], pairs: Seq[(Long, Long, Long)],
+                          iters: Int, scale: Long): Map[Long, Long] = {
+    val adj = pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val wsum = adj.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val s0 = scale / nodes.size
+    val base = 15L * s0 / 100L
+    var s = nodes.map(_ -> s0).toMap
+    for (_ <- 1 to iters) {
+      val inflow = adj.groupBy(_._2).view.mapValues(
+        _.map { case (src, _, w) => s(src) * w / wsum(src) }.sum).toMap
+      s = nodes.map(id =>
+        id -> (base + 85L * inflow.getOrElse(id, 0L) / 100L)).toMap
+    }
+    s
+  }
+
+  private def runWeighted(ns: Seq[Long], ps: Seq[(Long, Long, Long)],
+                          iters: Int): Map[Long, Long] =
+    Centrality.fixedPointPageRankWeighted(ns.toDF("doc_id"), col("doc_id"),
+        ps.toDF("id_a", "id_b", "w"), col("w"), iterations = iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("weighted pagerank matches the weighted reference bit-for-bit") {
+    val ns = Seq(1L, 2L, 3L, 4L)
+    val ps = Seq((1L, 2L, 9L), (2L, 3L, 1L), (3L, 4L, 500000L))
+    assert(runWeighted(ns, ps, 3) == refWeighted(ns, ps, 3, 1000000000000L))
+  }
+
+  test("uniform weights reproduce the unweighted scores exactly") {
+    val ps = path.map { case (a, b) => (a, b, 7L) }
+    assert(runWeighted(nodes, ps, 3) == run(3))
+  }
+
+  test("a heavier edge pulls more of its neighbor's outflow") {
+    // 2 splits its score between 1 (weight 9) and 3 (weight 1)
+    val ns = Seq(1L, 2L, 3L)
+    val got = runWeighted(ns, Seq((1L, 2L, 9L), (2L, 3L, 1L)), 1)
+    assert(got(1L) > got(3L))
+  }
+
+  test("non-positive weights are non-edges") {
+    val ns = Seq(1L, 2L, 3L)
+    val got = runWeighted(ns, Seq((1L, 2L, 5L), (2L, 3L, 0L)), 2)
+    // node 3 is isolated: sits at the base score every iteration
+    val iso = refWeighted(ns, Seq((1L, 2L, 5L)), 2, 1000000000000L)
+    assert(got == iso)
+  }
+
   /** Brute-force reference: count triangles by testing all id triples. */
   private def refTriangles(nodes: Seq[Long],
                            pairs: Seq[(Long, Long)]): Map[Long, Long] = {
