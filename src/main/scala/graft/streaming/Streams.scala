@@ -239,6 +239,52 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
 
+  /** Continuously maintain layout statistics: each micro-batch computes
+    * its OWN zone map ([[graft.operators.Layout.zoneMap]] — one
+    * map-side agg over just the new rows) and APPENDS it to the store;
+    * the served zone map is [[graft.operators.Layout.mergeZoneMaps]]
+    * over the appended slices, which the merge algebra makes EXACT
+    * (min/max/sum are associative-commutative — zorder_zonemap
+    * _incremental's in-plan identity). Append-only, so no pointer
+    * dance is needed ([[cdcMergeStream]] swaps because its store is
+    * replaced; this one only grows) and replay of a batch merely
+    * appends a duplicate slice — min/max absorb it, only n_rows would
+    * double-count, which is why the slice carries the batch id: the
+    * reader deduplicates per (batch_id, bucket), making the view
+    * replay-proof too.
+    *
+    * `x`/`y` must be the NORMALIZED curve inputs with bounds fixed at
+    * stream start ([[graft.operators.Layout.normalize16]] with a
+    * constant max): an unbounded stream cannot re-derive its domain
+    * per batch without the bucket boundaries drifting between slices.
+    */
+  def zoneMapStream(rows: DataFrame, x: Column, y: Column,
+                    bucketBits: Int, storePath: String,
+                    checkpointDir: String,
+                    trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Layout.zoneMap(batch.toDF(), x, y, bucketBits)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(storePath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
+  /** The zone map a [[zoneMapStream]] store currently serves: slices
+    * deduplicated per (batch_id, bucket) — a replayed batch's
+    * duplicate appendix collapses — then folded by the merge algebra.
+    */
+  def zoneMapStoreView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Layout.mergeZoneMaps(
+      spark.read.parquet(storePath)
+        .groupBy(col("batch_id"), col("bucket"))
+        .agg(min(col("min_x")).as("min_x"), max(col("max_x")).as("max_x"),
+          min(col("min_y")).as("min_y"), max(col("max_y")).as("max_y"),
+          max(col("n_rows")).as("n_rows"))
+        .drop("batch_id"))
+
   /** Read the live snapshot a [[cdcMergeStream]] store currently
     * serves (resolve CURRENT, project the live rows).
     */

@@ -263,6 +263,39 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed base: CDC merge exchanges only the delta, once") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.operators.Cdc
+    import graft.sinks.ParquetSink
+    val baseT = "pa_cdc_base"
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the nightly-refresh layout: snapshot bucketed by id, so the
+      // 100-TB side streams through the merge with no shuffle — the
+      // only exchange is the delta's latest-wins window, whose hash
+      // partitioning the full-outer join then reuses
+      ParquetSink.writeBucketed(
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "txt"),
+        baseT, "id", buckets = 4)
+      val changes = Seq((2L, 1L, "upsert", "B"), (9L, 1L, "upsert", "i"))
+        .toDF("id", "seq", "op", "txt")
+      val merged = Cdc.applyChangeSet(spark.table(baseT), changes, "id")
+      val exchanges = merged.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.length == 1,
+        merged.queryExecution.executedPlan.toString)
+      val got = merged.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c", 9L -> "i"))
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql(s"DROP TABLE IF EXISTS $baseT")
+    }
+  }
+
   test("cube runs as one Expand + one aggregate, not 4 scans") {
     val df = graft.SparkEntry.queries("q_cube")(spark, dir)
     val plan = planOf(df)

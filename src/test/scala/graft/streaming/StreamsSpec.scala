@@ -513,6 +513,40 @@ class StreamsSpec extends SparkTestBase {
     val gens = root.listFiles().map(_.getName).filter(_.startsWith("gen-"))
     assert(gens.length == 1, gens.mkString(","))
   }
+
+  test("zoneMapStream: appended slices merge to the exact batch zone map") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    import graft.operators.Layout
+    val store = tempDir("zm_store").toString
+    val mem = MemoryStream[(Long, Long)]
+    val nx = Layout.normalize16(col("x"), 255L)
+    val ny = Layout.normalize16(col("y"), 255L)
+    val q = Streams.zoneMapStream(mem.toDF().toDF("x", "y"), nx, ny,
+        bucketBits = 4, store, tempDir("zm_ckpt").toString,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val b1 = (0 until 300).map(i => ((i * 613L) % 256, (i * 389L) % 256))
+    val b2 = (0 until 200).map(i => ((i * 97L) % 256, (i * 31L) % 256))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val served = Streams.zoneMapStoreView(spark, store)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val full = Layout.zoneMap((b1 ++ b2).toDF("x", "y"), nx, ny, 4)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(served == full)
+    // replayed batch: appending a duplicate of slice 0 must not change
+    // the served view (per-(batch_id, bucket) dedup)
+    val slice0 = spark.read.parquet(store).where(col("batch_id") === 0)
+    slice0.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(store)
+    val replayed = Streams.zoneMapStoreView(spark, store)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(replayed == full)
+  }
 }
 
 object TestSpark {
