@@ -46,6 +46,15 @@ object FuzzyJoin {
     * frequency ≤ `maxTokenDf`. Plans: one explode+distinct, one df
     * agg, one equi-join on the token, one distinct, one codegen'd
     * levenshtein filter — no cartesian anywhere.
+    *
+    * Two verify-side prunes keep the exact step cheap at dictionary
+    * scale: a length-difference filter (|len(a)−len(b)| > maxDist is
+    * already dist > maxDist — free, and it runs BEFORE the distinct so
+    * unverifiable candidates never enter that exchange) and the
+    * THRESHOLDED levenshtein (Spark's 3-arg form computes only the
+    * Ukkonen band of width 2·maxDist+1 and early-exits to −1 above the
+    * bound — O(maxDist·len) per pair instead of O(len²), exact for
+    * every pair kept, so the oracle is untouched).
     */
   def tokenBlockedEditJoin(df: DataFrame, id: Column, name: Column,
                            maxDist: Int,
@@ -59,13 +68,16 @@ object FuzzyJoin {
       .select(col("__tok"))
     val blocked = toks.join(keep, Seq("__tok"))
     val cands = blocked.as("a").join(blocked.as("b"),
-        col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id"))
+        col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id") &&
+          abs(length(col("a.__name")) - length(col("b.__name"))) <=
+            lit(maxDist))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         col("a.__name").as("name_a"), col("b.__name").as("name_b"))
       .distinct()
     cands
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .where(col("dist") <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist))
+      .where(col("dist") >= 0)
   }
 
   /** Ground-truth all-pairs edit join — QUADRATIC in `df`, for
