@@ -33,7 +33,13 @@ import org.apache.spark.sql.functions._
   * exchange, or ZERO when the base snapshot is stored bucketed by id
   * ([[graft.sinks.ParquetSink.writeBucketed]] — the nightly-refresh
   * layout: the table is bucketed precisely so every day's merge can
-  * stream it through without a shuffle). The changeset is typically
+  * stream it through without a shuffle). The elision requires the
+  * delta's shuffle to land ON the bucket count: EnsureRequirements
+  * co-partitions a join on the larger child partitioning, so
+  * `spark.sql.shuffle.partitions` above the bucket count makes it
+  * re-shuffle the bucketed base instead of reusing it — choose the
+  * bucket count as the merge job's shuffle parallelism (the
+  * PlanAuditSpec bucketed-base audit pins exactly this relationship). The changeset is typically
   * orders of magnitude smaller than the base (a day's delta vs the
   * corpus); everything downstream of the collapse is row-linear in
   * |base| + |delta|, and nothing is ever collected to the driver.

@@ -206,34 +206,46 @@ object Streams {
               java.nio.charset.StandardCharsets.UTF_8).trim)
             finally in.close()
           } else None
-        val base = gen match {
-          case Some(g) =>
-            spark.read.parquet(new org.apache.hadoop.fs.Path(root, g).toString)
-          case None =>
-            // bootstrap: empty versioned store with the payload schema
-            // derived from the change stream itself
-            graft.operators.Cdc.versionSnapshot(
-              batch.toDF().drop(seq, op).limit(0))
-        }
-        val next = graft.operators.Cdc.applyChangeSetVersioned(
-          base, batch.toDF(), id, seq, op)
         val genName = f"gen-$batchId%012d"
-        next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(new org.apache.hadoop.fs.Path(root, genName).toString)
-        // pointer swap: write CURRENT.tmp fully, then rename into place
-        // (delete-then-rename of the tiny pointer — the data itself is
-        // never in the window, and CURRENT.tmp survives a torn swap)
-        val tmp = new org.apache.hadoop.fs.Path(root, "CURRENT.tmp")
-        val outS = fs.create(tmp, true)
-        try outS.write(genName.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-        finally outS.close()
-        if (fs.exists(current)) fs.delete(current, false)
-        fs.rename(tmp, current)
-        // GC superseded generations, best effort
-        gen.foreach { g =>
-          if (g != genName)
-            fs.delete(new org.apache.hadoop.fs.Path(root, g), true)
+        // replay short-circuit: CURRENT moves only AFTER a generation is
+        // fully written, so CURRENT == this batch's generation proves the
+        // batch already applied and only the stream checkpoint commit was
+        // lost. Proceeding would read base FROM gen-N and Overwrite-write
+        // the fold back TO gen-N — the overwrite deletes the very files
+        // the lazy base scan still needs, wiping the store on exactly the
+        // at-least-once replay path this store exists to survive. (A plain
+        // `return` here would be a non-local return from the enclosing
+        // method — a thrown NonLocalReturnControl that FAILS the batch.)
+        if (!gen.contains(genName)) {
+          val base = gen match {
+            case Some(g) =>
+              spark.read.parquet(
+                new org.apache.hadoop.fs.Path(root, g).toString)
+            case None =>
+              // bootstrap: empty versioned store with the payload schema
+              // derived from the change stream itself
+              graft.operators.Cdc.versionSnapshot(
+                batch.toDF().drop(seq, op).limit(0))
+          }
+          val next = graft.operators.Cdc.applyChangeSetVersioned(
+            base, batch.toDF(), id, seq, op)
+          next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(new org.apache.hadoop.fs.Path(root, genName).toString)
+          // pointer swap: write CURRENT.tmp fully, then rename into place
+          // (delete-then-rename of the tiny pointer — the data itself is
+          // never in the window, and CURRENT.tmp survives a torn swap)
+          val tmp = new org.apache.hadoop.fs.Path(root, "CURRENT.tmp")
+          val outS = fs.create(tmp, true)
+          try outS.write(genName.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally outS.close()
+          if (fs.exists(current)) fs.delete(current, false)
+          fs.rename(tmp, current)
+          // GC superseded generations, best effort
+          gen.foreach { g =>
+            if (g != genName)
+              fs.delete(new org.apache.hadoop.fs.Path(root, g), true)
+          }
         }
       }
       .option("checkpointLocation", checkpointDir)

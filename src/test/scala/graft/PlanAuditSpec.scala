@@ -271,7 +271,19 @@ class PlanAuditSpec extends SparkTestBase {
     val baseT = "pa_cdc_base"
     val conf = spark.conf
     val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    val prevShuffle = conf.get("spark.sql.shuffle.partitions")
     conf.set("spark.sql.adaptive.enabled", "false")
+    // exchange elision requires the delta's window shuffle to land on
+    // the bucket count: EnsureRequirements co-partitions the join on
+    // the LARGER child partitioning, so shuffle.partitions above the
+    // bucket count makes it re-shuffle the bucketed base instead of
+    // reusing it. In production the bucket count IS chosen as the
+    // job's shuffle parallelism (that's the point of the layout); pin
+    // the same relationship here so the audit tests the tuned shape —
+    // and doesn't silently depend on which suite ran before this one
+    // (a pipeline main joining the shared session via getOrCreate
+    // re-applies ITS shuffle.partitions to the whole suite).
+    conf.set("spark.sql.shuffle.partitions", "4")
     try {
       // the nightly-refresh layout: snapshot bucketed by id, so the
       // 100-TB side streams through the merge with no shuffle — the
@@ -292,6 +304,7 @@ class PlanAuditSpec extends SparkTestBase {
       assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c", 9L -> "i"))
     } finally {
       conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.sql(s"DROP TABLE IF EXISTS $baseT")
     }
   }

@@ -32,7 +32,28 @@ class CliSpec extends AnyFunSuite {
       .isInstanceOf[graft.sinks.JdbcSink])
   }
 
+  /** The mains join the suite's shared session via getOrCreate, which
+    * re-applies SessionFactory's runtime SQL conf (shuffle.partitions
+    * 32, plan-string cap) onto it — correct production behavior, but a
+    * LEAK here: every suite running after this one would silently
+    * inherit the pipeline tuning instead of TestSpark's (the bucketed
+    * plan audits key on the 4-partition test default). Snapshot and
+    * restore around each main() call.
+    */
+  private def withSessionConfRestored[A](body: => A): A = {
+    val conf = graft.TestSpark.spark.conf
+    val keys =
+      Seq("spark.sql.shuffle.partitions", "spark.sql.maxPlanStringLength")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("JhubMain end-to-end: argv -> glob -> pipeline -> staging parquet") {
+    withSessionConfRestored {
     val spark = graft.TestSpark.spark // getOrCreate() in main reuses it
     val raw = Files.createTempDirectory("cli_raw")
     val part = raw.resolve("year=2024/month=01/day=01/hour=10")
@@ -42,9 +63,11 @@ class CliSpec extends AnyFunSuite {
     val staging = Files.createTempDirectory("cli_staging")
     JhubMain.main(Array(raw.toString, staging.toString, "all"))
     assert(spark.read.parquet(s"$staging/jhublogs").count() == 1)
+    }
   }
 
   test("JhubMain stream mode drains the raw dir via the file stream") {
+    withSessionConfRestored {
     val raw = Files.createTempDirectory("cli_raw_stream")
     val part = raw.resolve("year=2024/month=01/day=01/hour=11")
     Files.createDirectories(part)
@@ -55,5 +78,6 @@ class CliSpec extends AnyFunSuite {
     val out = graft.TestSpark.spark.read.parquet(s"$staging/jhublogs")
     assert(out.count() == 1)
     assert(out.head().getAs[String]("log_code") == "2")
+    }
   }
 }

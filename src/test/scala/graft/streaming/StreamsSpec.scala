@@ -514,6 +514,41 @@ class StreamsSpec extends SparkTestBase {
     assert(gens.length == 1, gens.mkString(","))
   }
 
+  test("cdcMergeStream: replay of an already-applied batch is a no-op " +
+      "(checkpoint lost after the pointer swap)") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    val store = tempDir("cdc_replay_store").toString
+    val mem1 = MemoryStream[(Long, Long, String, String)]
+    val q1 = Streams.cdcMergeStream(
+        mem1.toDF().toDF("id", "seq", "op", "txt"), store,
+        tempDir("cdc_replay_ckpt1").toString, id = "id",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem1.addData((1L, 1L, "upsert", "alpha"), (2L, 2L, "upsert", "beta"))
+    q1.processAllAvailable()
+    q1.stop()
+    // a FRESH checkpoint replays the same data as batch 0 against a
+    // store whose CURRENT already points at gen-0 — the worst-case
+    // at-least-once replay (applied, pointer swapped, commit lost).
+    // The batch must skip: re-deriving gen-0 would Overwrite the very
+    // files its own base scan reads.
+    val mem2 = MemoryStream[(Long, Long, String, String)]
+    val q2 = Streams.cdcMergeStream(
+        mem2.toDF().toDF("id", "seq", "op", "txt"), store,
+        tempDir("cdc_replay_ckpt2").toString, id = "id",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem2.addData((1L, 1L, "upsert", "alpha"), (2L, 2L, "upsert", "beta"))
+    q2.processAllAvailable()
+    assert(q2.exception.isEmpty, q2.exception.toString)
+    q2.stop()
+    val v = Streams.cdcStoreView(spark, store)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(1L -> "alpha", 2L -> "beta"))
+  }
+
   test("zoneMapStream: appended slices merge to the exact batch zone map") {
     import graft.TestSpark.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
