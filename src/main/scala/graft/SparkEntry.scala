@@ -431,6 +431,59 @@ object SparkEntry {
         .select(col("l_returnflag"), col("n_parts"), col("__x_parts"),
           col("n_supps"), col("__x_supps"))
     }),
+    "hll_distinct_by_source" -> ((s, dir) => {
+      // mergeable-sketch distinct tokens per source (DataSketches HLL):
+      // the PLAIN production plan — one map-side-combining aggregate,
+      // constant 2^12-byte registers per group crossing the wire where
+      // countDistinct would shuffle every distinct token. Rows-only
+      // (sketch estimates are engine-specific); quality + the merge
+      // algebra are enforced by hll_merge_identity_gate, priced apart
+      // (the q_distinct_approx / _gate convention).
+      import graft.operators.Cardinality
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      Cardinality.distinctEstimate(toks, col("source"), col("token"))
+        .select(col("group").as("source"), col("n_distinct"))
+    }),
+    "hll_merge_identity_gate" -> ((s, dir) => {
+      // the property that makes the sketch store MAINTAINABLE, gated
+      // in-plan: per-slice sketches (slice = lang, standing in for
+      // ingest batches) union to EXACTLY the one-shot sketch of the
+      // union — register-max union of a partition of the data, the
+      // same argument as the zone-map merge identity — and the
+      // estimate tracks exact countDistinct within 3 sigma
+      // (1.04/sqrt(2^12) ~ 1.6% per side; breakage detector, not a
+      // probabilistic-tail assertion — the heavy_hitters_gate
+      // convention). Rows-only: estimates are engine hashes.
+      import graft.operators.Cardinality
+      val toks = t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val merged = Cardinality.mergeSliceSketches(
+          Cardinality.sliceSketches(toks, col("lang"), col("source"),
+            col("token")))
+        .drop("sketch")
+      val oneShot = Cardinality.distinctEstimate(toks, col("source"),
+          col("token"))
+        .withColumnRenamed("n_distinct", "__one_shot")
+      val exact = toks.groupBy(col("source").as("group"))
+        .agg(countDistinct(col("token")).as("__exact"))
+      merged.join(broadcast(oneShot), Seq("group"))
+        .join(broadcast(exact), Seq("group"))
+        .where(assert_true(col("n_distinct") === col("__one_shot"),
+          concat(lit("HLL merge identity violated for "),
+            col("group"))).isNull)
+        .where(assert_true(
+          abs(col("n_distinct") - col("__exact")) <=
+            greatest(lit(1L), ceil(col("__exact") * 0.05).cast("long")),
+          concat(lit("HLL estimate drifted >5% from exact for "),
+            col("group"))).isNull)
+        .select(col("group").as("source"), col("n_distinct"),
+          col("__one_shot").as("n_one_shot"), col("__exact").as("n_exact"),
+          col("n_rows"), col("n_slices"))
+    }),
     "vocabulary_topk" -> ((s, dir) => {
       // approx_top_k heavy hitters over the token stream: one mergeable
       // sketch instead of vocabulary's full groupBy+filter — the shape

@@ -284,6 +284,47 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
 
+  /** Continuously maintain per-group distinct counts: each micro-batch
+    * appends its OWN constant-size HLL sketch rows
+    * ([[graft.operators.Cardinality.sliceSketches]] keyed by the batch
+    * id) and the served view folds the store by register-max union —
+    * the cardinality twin of [[zoneMapStream]]: append-only, history
+    * never rescanned, replay-proof. Replay safety needs no dedup at
+    * all for the sketch itself (a sketch's registers are the max over
+    * the batch's value hashes, so a replayed duplicate unions to the
+    * identical registers — union is idempotent); only the row COUNT
+    * would double-count, which is why the view folds n_rows with max
+    * per (batch_id, group) before summing.
+    */
+  def cardinalityStream(rows: DataFrame, group: Column, value: Column,
+                        lgK: Int, storePath: String, checkpointDir: String,
+                        trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Cardinality.sliceSketches(
+            batch.toDF(), lit(batchId).as("batch_id"), group, value, lgK)
+          .withColumnRenamed("slice", "batch_id")
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(storePath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
+  /** The per-group distinct view a [[cardinalityStream]] store
+    * currently serves: replayed appendixes collapse (idempotent sketch
+    * union + max n_rows per batch slice), then one store-row-sized
+    * merge. Output: (group, n_distinct, n_rows, n_slices).
+    */
+  def cardinalityStoreView(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Cardinality.mergeSliceSketches(
+      spark.read.parquet(storePath)
+        .groupBy(col("batch_id"), col("group"))
+        .agg(org.apache.spark.sql.functions.hll_union_agg(col("sketch"))
+            .as("sketch"),
+          max(col("n_rows")).as("n_rows"))
+        .drop("batch_id"))
+      .drop("sketch")
+
   /** The zone map a [[zoneMapStream]] store currently serves: slices
     * deduplicated per (batch_id, bucket) — a replayed batch's
     * duplicate appendix collapses — then folded by the merge algebra.

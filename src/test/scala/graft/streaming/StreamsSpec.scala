@@ -549,6 +549,48 @@ class StreamsSpec extends SparkTestBase {
     assert(v == Map(1L -> "alpha", 2L -> "beta"))
   }
 
+  test("cardinalityStream: appended sketches serve the exact distinct view") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    import graft.operators.Cardinality
+    val store = tempDir("card_store").toString
+    val mem = MemoryStream[(String, String)]
+    val q = Streams.cardinalityStream(mem.toDF().toDF("grp", "v"),
+        col("grp"), col("v"), lgK = 12, store,
+        tempDir("card_ckpt").toString,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val b1 = (0 until 300).map(i => (s"g${i % 2}", s"v${i % 40}"))
+    val b2 = (0 until 200).map(i => (s"g${i % 2}", s"v${i % 70}"))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val served = Streams.cardinalityStoreView(spark, store)
+      .collect().map(r => r.getAs[String]("group") ->
+        (r.getAs[Long]("n_distinct"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("n_slices"))).toMap
+    val full = Cardinality.distinctEstimate((b1 ++ b2).toDF("grp", "v"),
+        col("grp"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(served.keySet == full.keySet)
+    served.foreach { case (g, (est, nRows, nSlices)) =>
+      assert(est == full(g), s"served view diverged for $g")
+      assert(nRows == 250L && nSlices == 2L, s"bookkeeping for $g")
+    }
+    // replayed batch: a duplicate appendix of slice 0 must not change
+    // the served view (idempotent union + max-n_rows collapse)
+    val slice0 = spark.read.parquet(store).where(col("batch_id") === 0)
+    slice0.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(store)
+    val replayed = Streams.cardinalityStoreView(spark, store)
+      .collect().map(r => r.getAs[String]("group") ->
+        (r.getAs[Long]("n_distinct"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("n_slices"))).toMap
+    assert(replayed == served, s"replay changed the view: $replayed")
+  }
+
   test("zoneMapStream: appended slices merge to the exact batch zone map") {
     import graft.TestSpark.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
