@@ -1182,6 +1182,48 @@ object SparkEntry {
             changes.where(col("seq") >= 2), "doc_id"),
           changes.where(col("seq") <= 1), "doc_id"))
     }),
+    "cdc_merge_evolve" -> ((s, dir) => {
+      // schema DRIFT through the merge: the same delta suddenly carries
+      // a column the base has never seen (`rev`) — the base widens
+      // with nulls (mergeSchema semantics), rows the changeset wins
+      // carry the value, and a same-name/different-type column fails
+      // at plan assembly instead (CdcSpec). Mirrors the reference's
+      // schema-on-read drift: a new JSON field just appears one day
+      // and the canonical table follows (SURVEY §7.4.2).
+      import graft.operators.Cdc
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("source").rlike("^src([0-9]|1[0-4])$"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val changes = cdcChanges(docs, base)
+        .withColumn("rev", (col("doc_id") % 5).cast("int"))
+      Cdc.applyChangeSet(base, changes, "doc_id")
+    }),
+    "cdc_generation_diff" -> ((s, dir) => {
+      // generation time travel, oracle-composed: g1 = the versioned
+      // fold of the high-seq batch (what a cdcMergeStream store's
+      // PREVIOUS generation held), g2 = g1 + the straggler batch (the
+      // live generation — equal, by batch-order invariance, to the
+      // one-shot merge the oracle recomputes); the output is
+      // Snapshot.diff over the two LIVE views — the very composition
+      // Streams.generationDiff runs against a store's gen-* dirs
+      // (spec-verified against real dirs in StreamsSpec; inlined here
+      // so DuckDB can recompute both snapshots). Exercises tombstone
+      // shielding ACROSS the generation boundary: stale seq-1 rows for
+      // ids g1 deleted at seq 2-4 stay absent from both views.
+      import graft.operators.{Cdc, Snapshot}
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("source").rlike("^src([0-9]|1[0-4])$"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val changes = cdcChanges(docs, base)
+      val g1 = Cdc.applyChangeSetVersioned(Cdc.versionSnapshot(base),
+        changes.where(col("seq") >= 2), "doc_id")
+      val g2 = Cdc.applyChangeSetVersioned(g1,
+        changes.where(col("seq") <= 1), "doc_id")
+      Snapshot.diff(Cdc.snapshotView(g1), Cdc.snapshotView(g2),
+        col("doc_id"), col("text"))
+    }),
     "fuzzy_name_pairs" -> ((s, dir) => {
       // entity canonicalization on the DICTIONARY: distinct part names
       // + corpus frequencies (one hash agg), token-blocked candidates,
@@ -4158,6 +4200,84 @@ object SparkEntry {
         |    AS n_chars
         |FROM base b FULL OUTER JOIN latest c ON b.doc_id = c.doc_id
         |WHERE c.doc_id IS NULL OR c.op <> 'delete'""".stripMargin,
+    "cdc_merge_evolve" ->
+      // the one-shot merge with the drifted column: rows the changeset
+      // wins carry rev = doc_id % 5, pre-existing rows widen to NULL
+      """WITH base AS (SELECT doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE regexp_matches(source, '^src([0-9]|1[0-4])$')),
+        |changes AS (
+        |  SELECT doc_id, 1 AS seq, 'upsert' AS op, text, lang, source, n_chars
+        |    FROM documents WHERE regexp_matches(source, '^src1[5-9]$')
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'upsert', upper(text), lang, source, n_chars
+        |    FROM documents
+        |    WHERE regexp_matches(source, '^src([5-9]|1[0-4])$') AND lang = 'de'
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'delete', text, lang, source, n_chars FROM base
+        |    WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'upsert', text || ' [v3]', lang, source, n_chars
+        |    FROM base WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 4, 'delete', text, lang, source, n_chars
+        |    FROM documents
+        |    WHERE regexp_matches(source, '^src1[5-9]$') AND doc_id % 13 = 0),
+        |latest AS (SELECT doc_id, op, text, lang, source, n_chars
+        |  FROM changes
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1)
+        |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN c.doc_id IS NOT NULL THEN c.text ELSE b.text END AS text,
+        |  CASE WHEN c.doc_id IS NOT NULL THEN c.lang ELSE b.lang END AS lang,
+        |  CASE WHEN c.doc_id IS NOT NULL THEN c.source ELSE b.source END
+        |    AS source,
+        |  CASE WHEN c.doc_id IS NOT NULL THEN c.n_chars ELSE b.n_chars END
+        |    AS n_chars,
+        |  CASE WHEN c.doc_id IS NOT NULL THEN CAST(c.doc_id % 5 AS INTEGER)
+        |    ELSE NULL END AS rev
+        |FROM base b FULL OUTER JOIN latest c ON b.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL OR c.op <> 'delete'""".stripMargin,
+    "cdc_generation_diff" ->
+      // g1 = one-shot merge of the seq>=2 batch (≡ the single-batch
+      // versioned fold); g2 = one-shot merge of ALL changes (≡ the
+      // two-batch fold, by the batch-order invariance
+      // cdc_merge_versioned certifies); diff classifies by text
+      """WITH base AS (SELECT doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE regexp_matches(source, '^src([0-9]|1[0-4])$')),
+        |changes AS (
+        |  SELECT doc_id, 1 AS seq, 'upsert' AS op, text, lang, source, n_chars
+        |    FROM documents WHERE regexp_matches(source, '^src1[5-9]$')
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'upsert', upper(text), lang, source, n_chars
+        |    FROM documents
+        |    WHERE regexp_matches(source, '^src([5-9]|1[0-4])$') AND lang = 'de'
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'delete', text, lang, source, n_chars FROM base
+        |    WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'upsert', text || ' [v3]', lang, source, n_chars
+        |    FROM base WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 4, 'delete', text, lang, source, n_chars
+        |    FROM documents
+        |    WHERE regexp_matches(source, '^src1[5-9]$') AND doc_id % 13 = 0),
+        |lat1 AS (SELECT doc_id, op, text FROM changes WHERE seq >= 2
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1),
+        |g1 AS (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN c.doc_id IS NOT NULL THEN c.text ELSE b.text END AS text
+        |  FROM base b FULL OUTER JOIN lat1 c ON b.doc_id = c.doc_id
+        |  WHERE c.doc_id IS NULL OR c.op <> 'delete'),
+        |lat2 AS (SELECT doc_id, op, text FROM changes
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1),
+        |g2 AS (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN c.doc_id IS NOT NULL THEN c.text ELSE b.text END AS text
+        |  FROM base b FULL OUTER JOIN lat2 c ON b.doc_id = c.doc_id
+        |  WHERE c.doc_id IS NULL OR c.op <> 'delete')
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM g1 o FULL OUTER JOIN g2 n ON o.doc_id = n.doc_id""".stripMargin,
     "cdc_merge_summary" ->
       """WITH base AS (SELECT doc_id, text, lang, source, n_chars
         |  FROM documents WHERE regexp_matches(source, '^src([0-9]|1[0-4])$')),

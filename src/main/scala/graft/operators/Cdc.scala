@@ -57,14 +57,56 @@ object Cdc {
       .where(col("__rn") === 1)
       .drop("__rn")
 
-  /** The merged next snapshot, schema ≡ `base.schema`. `changes` must
-    * carry every base column plus `seq` (monotone per id, (id, seq)
-    * unique) and `op` ∈ {upsert, delete}; an unknown op fails the job
-    * in-plan (a silent skip would quietly resurrect deleted rows on
-    * the next full rebuild).
+  /** Schema evolution for the merge pair below: a changeset may carry
+    * columns the base has never seen (the schema-on-read reality this
+    * engine mirrors — a new JSON field simply appears one day, so the
+    * CDC feed widens before the canonical table does). The base WIDENS
+    * to the union — new columns appended with the changeset's type,
+    * existing base rows null-filled, exactly parquet `mergeSchema`
+    * semantics — while a column present on BOTH sides with a
+    * DIFFERENT type fails loudly up front: silently casting would
+    * corrupt every pre-existing row, and picking a winner is a schema
+    * migration decision no merge job should make implicitly. Missing
+    * base columns on the change side also fail up front (an upsert's
+    * payload replaces the whole row, so a column it doesn't carry
+    * would have to be invented).
+    *
+    * Returns the widened base; the merge then proceeds unchanged —
+    * widening is a pure pre-step, so the one-window + one-join plan
+    * shape and its single change-side exchange are untouched.
     */
-  def applyChangeSet(base: DataFrame, changes: DataFrame, id: String,
+  private def widenForChanges(base: DataFrame, changes: DataFrame,
+                              id: String, nonPayload: Set[String]): DataFrame = {
+    val cTypes = changes.schema.map(f => f.name -> f.dataType).toMap
+    val bTypes = base.schema.map(f => f.name -> f.dataType).toMap
+    val conflicts = (bTypes.keySet & cTypes.keySet)
+      .filter(c => bTypes(c) != cTypes(c)).toSeq.sorted
+    require(conflicts.isEmpty,
+      "Cdc: changeset type conflicts with base on " +
+        conflicts.map(c => s"$c (base ${bTypes(c).simpleString} vs " +
+          s"change ${cTypes(c).simpleString})").mkString(", ") +
+        " — resolve the schema migration explicitly before merging")
+    val missing = (bTypes.keySet -- nonPayload -- cTypes.keySet).toSeq.sorted
+    require(missing.isEmpty,
+      s"Cdc: changeset is missing base payload columns " +
+        s"${missing.mkString(", ")} — an upsert replaces the whole row, " +
+        "so every base column must be carried")
+    val newCols = changes.columns
+      .filterNot(nonPayload ++ bTypes.keySet).toSeq
+    newCols.foldLeft(base)((d, c) => d.withColumn(c, lit(null).cast(cTypes(c))))
+  }
+
+  /** The merged next snapshot, schema ≡ `base.schema` widened by any
+    * NEW changeset columns ([[widenForChanges]] — untouched rows get
+    * null there). `changes` must carry every base column plus `seq`
+    * (monotone per id, (id, seq) unique) and `op` ∈ {upsert, delete};
+    * an unknown op fails the job in-plan (a silent skip would quietly
+    * resurrect deleted rows on the next full rebuild), and a
+    * same-name/different-type column fails at plan assembly.
+    */
+  def applyChangeSet(base0: DataFrame, changes: DataFrame, id: String,
                      seq: String = "seq", op: String = "op"): DataFrame = {
+    val base = widenForChanges(base0, changes, id, Set(id, seq, op))
     val payload = base.columns.filterNot(_ == id).toSeq
     val latest0 = latestChangePerKey(changes, id, seq)
       .select((Seq(col(id), col(op).as("__op")) ++
@@ -115,9 +157,11 @@ object Cdc {
     * rows. Same plan shape as [[applyChangeSet]]: one window + one
     * full-outer join, both keyed on id.
     */
-  def applyChangeSetVersioned(versionedBase: DataFrame, changes: DataFrame,
+  def applyChangeSetVersioned(versionedBase0: DataFrame, changes: DataFrame,
                               id: String, seq: String = "seq",
                               op: String = "op"): DataFrame = {
+    val versionedBase = widenForChanges(versionedBase0, changes, id,
+      Set(id, seq, op, "__seq", "__deleted"))
     val payload =
       versionedBase.columns.filterNot(Set(id, "__seq", "__deleted")).toSeq
     val latest0 = latestChangePerKey(changes, id, seq)

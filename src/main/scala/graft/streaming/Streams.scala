@@ -180,45 +180,95 @@ object Streams {
     * Store layout: generation directories + a CURRENT pointer file —
     * the store can't be overwritten in place while its own files back
     * the batch's base frame, and a crash between writes must never
-    * lose the last committed generation. The new generation is fully
+    * lose the last committed generation. Generation numbers are a
+    * per-STORE monotone counter (successor of CURRENT's generation),
+    * never the stream's batch id: batch ids restart at 0 with every
+    * fresh checkpoint, and a gen name derived from them collides
+    * across checkpoint lifetimes — the original design's failure mode,
+    * where a new stream's batch 0 either overwrote gen-0 or was
+    * silently skipped as a "replay". The new generation is fully
     * written BEFORE the pointer moves (a torn run leaves an orphan
-    * gen dir, never a broken store); old generations are
-    * best-effort-deleted after the swap. This is the two-phase shape
-    * every table format uses (manifest-then-data); at 100 TB you'd
-    * swap this writer for MERGE INTO on a transactional table and
-    * keep the same versioned-fold semantics upstream.
+    * gen dir, never a broken store).
+    *
+    * Crash recovery, the full matrix:
+    *   - crash after the gen write, before the pointer swap → orphan
+    *     gen dir; CURRENT still names the previous generation; replay
+    *     folds onto it and writes the NEXT number (the orphan is GC'd);
+    *   - crash between `delete(CURRENT)` and `rename(tmp, CURRENT)` —
+    *     the torn swap — leaves no CURRENT but a fully-written
+    *     CURRENT.tmp (it is created and closed before the delete):
+    *     the next batch COMPLETES the swap (rename tmp into place) and
+    *     proceeds from it; readers ([[cdcStoreView]]) fall back to the
+    *     tmp without mutating. Bootstrapping an empty base instead
+    *     would silently drop the accumulated store;
+    *   - no CURRENT, no CURRENT.tmp, but gen-* dirs present → the
+    *     store is corrupt in a way no automatic choice can repair
+    *     (which generation is live?); the batch FAILS loudly instead
+    *     of starting over empty;
+    *   - nothing at all → genuine bootstrap from the change stream's
+    *     own schema.
+    *
+    * Replay semantics: CURRENT records, besides the gen name, the
+    * identity of the batch that committed it (a per-writer epoch +
+    * the batch id). A batch whose identity matches CURRENT already
+    * applied — only the stream's checkpoint commit was lost — and is
+    * skipped: proceeding would read base FROM that generation while
+    * Overwrite-writing the fold back TO it, deleting the very files
+    * the lazy base scan needs. A replay from a DIFFERENT writer epoch
+    * (same-checkpoint restart, or a fresh checkpoint re-feeding old
+    * data) is indistinguishable from new data by name — it re-applies,
+    * which the versioned fold makes a semantic no-op (stale seqs are
+    * shielded), and writes a fresh generation number, so the
+    * self-overwrite hazard cannot recur. (A plain `return` in
+    * foreachBatch would be a non-local return — a thrown
+    * NonLocalReturnControl that FAILS the batch — hence the guard
+    * shape below.)
+    *
+    * GC keeps the immediately superseded generation (N-1) and deletes
+    * older ones: a reader that resolved CURRENT just before a
+    * concurrent swap still has every file of its snapshot on disk for
+    * a full batch interval, and [[readGeneration]] can time-travel one
+    * step back. This is the two-phase shape every table format uses
+    * (manifest-then-data, retained-snapshot GC); at 100 TB you'd swap
+    * this writer for MERGE INTO on a transactional table and keep the
+    * same versioned-fold semantics upstream.
     */
   def cdcMergeStream(changes: DataFrame, storePath: String,
                      checkpointDir: String, id: String,
                      seq: String = "seq", op: String = "op",
-                     trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+                     trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    // writer epoch: one per cdcMergeStream CALL, so it changes on every
+    // restart (like the engine's runId) but is stable across batches of
+    // one run — exactly the scope a same-run redelivery shares
+    val writerEpoch = java.util.UUID.randomUUID().toString.take(8)
     changes.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val root = new org.apache.hadoop.fs.Path(storePath)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val current = new org.apache.hadoop.fs.Path(root, "CURRENT")
-        val gen: Option[String] =
+        val tmp = new org.apache.hadoop.fs.Path(root, "CURRENT.tmp")
+        // resolve the committed pointer, completing a torn swap if one
+        // is in flight (no CURRENT, fully-written CURRENT.tmp)
+        if (!fs.exists(current) && fs.exists(tmp)) fs.rename(tmp, current)
+        val pointer: Option[(String, String)] =
           if (fs.exists(current)) {
             val in = fs.open(current)
-            try Some(new String(
-              org.apache.commons.io.IOUtils.toByteArray(in),
-              java.nio.charset.StandardCharsets.UTF_8).trim)
-            finally in.close()
+            val lines =
+              try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+                java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+              finally in.close()
+            Some((lines.head.trim, lines.drop(1).headOption.getOrElse("").trim))
           } else None
-        val genName = f"gen-$batchId%012d"
-        // replay short-circuit: CURRENT moves only AFTER a generation is
-        // fully written, so CURRENT == this batch's generation proves the
-        // batch already applied and only the stream checkpoint commit was
-        // lost. Proceeding would read base FROM gen-N and Overwrite-write
-        // the fold back TO gen-N — the overwrite deletes the very files
-        // the lazy base scan still needs, wiping the store on exactly the
-        // at-least-once replay path this store exists to survive. (A plain
-        // `return` here would be a non-local return from the enclosing
-        // method — a thrown NonLocalReturnControl that FAILS the batch.)
-        if (!gen.contains(genName)) {
-          val base = gen match {
-            case Some(g) =>
+        val existingGens = listGenerations(fs, root)
+        require(pointer.nonEmpty || existingGens.isEmpty,
+          s"cdc store $storePath has generation dirs " +
+            s"(${existingGens.mkString(",")}) but no CURRENT pointer — " +
+            "refusing to bootstrap an empty base over an existing store")
+        val identity = s"$writerEpoch:$batchId"
+        if (!pointer.exists(_._2 == identity)) {
+          val base = pointer match {
+            case Some((g, _)) =>
               spark.read.parquet(
                 new org.apache.hadoop.fs.Path(root, g).toString)
             case None =>
@@ -227,6 +277,12 @@ object Streams {
               graft.operators.Cdc.versionSnapshot(
                 batch.toDF().drop(seq, op).limit(0))
           }
+          // successor of the highest generation on disk, not CURRENT's
+          // (an orphan gen from a torn run may outrank CURRENT; writing
+          // over it with Overwrite would also be fine, but skipping its
+          // number keeps "gen number = commit order" readable)
+          val genName = f"gen-${
+            existingGens.lastOption.map(genNumber).getOrElse(0L) + 1}%012d"
           val next = graft.operators.Cdc.applyChangeSetVersioned(
             base, batch.toDF(), id, seq, op)
           next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -234,22 +290,77 @@ object Streams {
           // pointer swap: write CURRENT.tmp fully, then rename into place
           // (delete-then-rename of the tiny pointer — the data itself is
           // never in the window, and CURRENT.tmp survives a torn swap)
-          val tmp = new org.apache.hadoop.fs.Path(root, "CURRENT.tmp")
           val outS = fs.create(tmp, true)
-          try outS.write(genName.getBytes(
+          try outS.write(s"$genName\n$identity".getBytes(
             java.nio.charset.StandardCharsets.UTF_8))
           finally outS.close()
           if (fs.exists(current)) fs.delete(current, false)
           fs.rename(tmp, current)
-          // GC superseded generations, best effort
-          gen.foreach { g =>
-            if (g != genName)
-              fs.delete(new org.apache.hadoop.fs.Path(root, g), true)
+          // GC: keep the new generation AND the one it superseded (so
+          // concurrent readers of the previous CURRENT stay valid, and
+          // one step of time travel survives); delete everything older
+          val keep = Set(genName) ++ pointer.map(_._1)
+          listGenerations(fs, root).filterNot(keep).foreach { g =>
+            fs.delete(new org.apache.hadoop.fs.Path(root, g), true)
           }
         }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
+  }
+
+  private def genNumber(genName: String): Long =
+    genName.stripPrefix("gen-").toLong
+
+  private def listGenerations(fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("gen-\\d{12}")).toSeq.sorted
+
+  /** The generation names currently on disk under a [[cdcMergeStream]]
+    * store, oldest first — with the keep-N-1 GC at most the live
+    * generation and its predecessor (plus a not-yet-GC'd orphan from a
+    * torn run).
+    */
+  def listGenerations(spark: SparkSession, storePath: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    listGenerations(root.getFileSystem(
+      spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  /** Time travel: the VERSIONED frame of one named generation (as
+    * [[graft.operators.Cdc.applyChangeSetVersioned]] wrote it —
+    * project through [[graft.operators.Cdc.snapshotView]] for the live
+    * rows). With keep-N-1 GC the previous generation is always
+    * readable; older ones only until their GC.
+    */
+  def readGeneration(spark: SparkSession, storePath: String,
+                     genName: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(root, genName)
+    require(fs.exists(dir),
+      s"generation $genName not on disk under $storePath " +
+        s"(have: ${listGenerations(fs, root).mkString(",")})")
+    spark.read.parquet(dir.toString)
+  }
+
+  /** What changed between two generations of a [[cdcMergeStream]]
+    * store, as a [[graft.operators.Snapshot.diff]] classification of
+    * the LIVE views (added / removed / changed / unchanged by the
+    * given content column) — the "what did last night's fold actually
+    * touch" audit, and the incremental-reprocessing driver ("recompute
+    * only the changed ids"). Both sides are one parquet scan; the diff
+    * is one full-outer join keyed on id.
+    */
+  def generationDiff(spark: SparkSession, storePath: String,
+                     fromGen: String, toGen: String,
+                     id: Column, content: Column): DataFrame =
+    graft.operators.Snapshot.diff(
+      graft.operators.Cdc.snapshotView(readGeneration(spark, storePath, fromGen)),
+      graft.operators.Cdc.snapshotView(readGeneration(spark, storePath, toGen)),
+      id, content)
 
   /** Continuously maintain layout statistics: each micro-batch computes
     * its OWN zone map ([[graft.operators.Layout.zoneMap]] — one
@@ -339,17 +450,34 @@ object Streams {
         .drop("batch_id"))
 
   /** Read the live snapshot a [[cdcMergeStream]] store currently
-    * serves (resolve CURRENT, project the live rows).
+    * serves (resolve CURRENT, project the live rows). Falls back to a
+    * fully-written CURRENT.tmp when CURRENT is missing — the torn-swap
+    * window — WITHOUT mutating the store (completing the swap is the
+    * writer's job; a reader must stay read-only).
+    *
+    * Concurrency contract: the pointer is resolved eagerly but the
+    * generation's files are scanned lazily, so materialize the view
+    * promptly. The writer's keep-N-1 GC guarantees the resolved
+    * generation's files survive at least one further batch commit — a
+    * view is safe across ONE concurrent swap, not an unbounded backlog
+    * (pin a longer retention by reading [[readGeneration]] output into
+    * a persisted frame if you need a long-lived handle).
     */
   def cdcStoreView(spark: SparkSession, storePath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val current = new org.apache.hadoop.fs.Path(root, "CURRENT")
-    require(fs.exists(current), s"no CURRENT pointer under $storePath")
-    val in = fs.open(current)
+    val tmp = new org.apache.hadoop.fs.Path(root, "CURRENT.tmp")
+    val pointer =
+      if (fs.exists(current)) current
+      else if (fs.exists(tmp)) tmp
+      else throw new IllegalArgumentException(
+        s"no CURRENT pointer (or in-flight CURRENT.tmp) under $storePath")
+    val in = fs.open(pointer)
     val gen =
       try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").head.trim
       finally in.close()
     graft.operators.Cdc.snapshotView(
       spark.read.parquet(new org.apache.hadoop.fs.Path(root, gen).toString))

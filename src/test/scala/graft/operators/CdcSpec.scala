@@ -49,6 +49,50 @@ class CdcSpec extends SparkTestBase {
     assert(twice.collect().toSet == once.collect().toSet)
   }
 
+  test("schema evolution: a NEW changeset column widens the base with " +
+      "nulls, one-shot and versioned") {
+    val changes = Seq(
+      (2L, 1L, "upsert", "BETA", 21, "eu"),
+      (4L, 1L, "upsert", "delta", 40, "us"))
+      .toDF("id", "seq", "op", "txt", "v", "region")
+    val out = Cdc.applyChangeSet(base, changes, "id")
+    assert(out.columns.toSeq == Seq("id", "txt", "v", "region"))
+    val byId = out.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(3))).toMap
+    assert(byId == Map(1L -> ("alpha", null), 2L -> ("BETA", "eu"),
+      3L -> ("gamma", null), 4L -> ("delta", "us")))
+    // versioned: batch 1 pre-drift, batch 2 introduces the column —
+    // the store widens mid-stream and earlier rows read back null
+    val b1 = Seq((5L, 1L, "upsert", "eps", 50)).toDF("id", "seq", "op", "txt", "v")
+    val b2 = changes.where(col("id") === 4L)
+    val store = Cdc.applyChangeSetVersioned(
+      Cdc.applyChangeSetVersioned(Cdc.versionSnapshot(base), b1, "id"),
+      b2, "id")
+    val live = Cdc.snapshotView(store)
+    assert(live.columns.toSeq == Seq("id", "txt", "v", "region"))
+    val regions = live.collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(regions == Map(1L -> null, 2L -> null, 3L -> null,
+      5L -> null, 4L -> "us"))
+  }
+
+  test("schema evolution: a type CONFLICT on a shared column fails " +
+      "loudly at plan assembly") {
+    val changes = Seq((2L, 1L, "upsert", "BETA", "not-an-int"))
+      .toDF("id", "seq", "op", "txt", "v") // v: string vs base's int
+    val e = intercept[IllegalArgumentException] {
+      Cdc.applyChangeSet(base, changes, "id")
+    }
+    assert(e.getMessage.contains("type conflict"), e.getMessage)
+    // and a changeset MISSING a base payload column fails too (an
+    // upsert replaces the whole row — it cannot invent v)
+    val partial = Seq((2L, 1L, "upsert", "BETA")).toDF("id", "seq", "op", "txt")
+    val e2 = intercept[IllegalArgumentException] {
+      Cdc.applyChangeSet(base, partial, "id")
+    }
+    assert(e2.getMessage.contains("missing base payload"), e2.getMessage)
+  }
+
   test("unknown op fails the job instead of silently skipping") {
     val changes = Seq((1L, 1L, "patch", "x", 0))
       .toDF("id", "seq", "op", "txt", "v")

@@ -508,10 +508,20 @@ class StreamsSpec extends SparkTestBase {
     val v2 = Streams.cdcStoreView(spark, store)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(v2 == Map(2L -> "beta2", 3L -> "gamma"))
-    // exactly one live generation dir + the pointer remain
-    val root = new java.io.File(store)
-    val gens = root.listFiles().map(_.getName).filter(_.startsWith("gen-"))
-    assert(gens.length == 1, gens.mkString(","))
+    // keep-N-1 GC: the live generation AND its predecessor remain (a
+    // reader that resolved the old CURRENT mid-swap must stay valid)
+    val gens = Streams.listGenerations(spark, store)
+    assert(gens.length == 2, gens.mkString(","))
+    // time travel: the PREVIOUS generation is batch 1's snapshot
+    val prev = graft.operators.Cdc.snapshotView(
+        Streams.readGeneration(spark, store, gens.head))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(prev == Map(2L -> "beta"))
+    // and the generation-to-generation diff classifies every id
+    val diff = Streams.generationDiff(spark, store, gens.head, gens.last,
+        col("id"), col("txt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(2L -> "changed", 3L -> "added"), diff.toString)
   }
 
   test("cdcMergeStream: replay of an already-applied batch is a no-op " +
@@ -530,10 +540,12 @@ class StreamsSpec extends SparkTestBase {
     q1.processAllAvailable()
     q1.stop()
     // a FRESH checkpoint replays the same data as batch 0 against a
-    // store whose CURRENT already points at gen-0 — the worst-case
-    // at-least-once replay (applied, pointer swapped, commit lost).
-    // The batch must skip: re-deriving gen-0 would Overwrite the very
-    // files its own base scan reads.
+    // store that already applied it — the worst-case at-least-once
+    // replay (applied, pointer swapped, commit lost). The new writer
+    // epoch makes this indistinguishable from new data, so it
+    // RE-APPLIES — into a FRESH generation number (no self-overwrite
+    // possible), and the versioned fold shields every stored seq, so
+    // the snapshot is unchanged: a semantic no-op.
     val mem2 = MemoryStream[(Long, Long, String, String)]
     val q2 = Streams.cdcMergeStream(
         mem2.toDF().toDF("id", "seq", "op", "txt"), store,
@@ -547,6 +559,114 @@ class StreamsSpec extends SparkTestBase {
     val v = Streams.cdcStoreView(spark, store)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(v == Map(1L -> "alpha", 2L -> "beta"))
+  }
+
+  test("cdcMergeStream: a fresh checkpoint's GENUINELY NEW batch 0 " +
+      "applies (no batch-id/generation collision across lifetimes)") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    val store = tempDir("cdc_newrun_store").toString
+    val mem1 = MemoryStream[(Long, Long, String, String)]
+    val q1 = Streams.cdcMergeStream(
+        mem1.toDF().toDF("id", "seq", "op", "txt"), store,
+        tempDir("cdc_newrun_ckpt1").toString, id = "id",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem1.addData((1L, 1L, "upsert", "alpha"))
+    q1.processAllAvailable()
+    q1.stop()
+    // new stream, new checkpoint, DIFFERENT data — its batch id is 0
+    // again. The old design keyed replay detection on the batch id and
+    // silently dropped this batch; the epoch-scoped identity must not.
+    val mem2 = MemoryStream[(Long, Long, String, String)]
+    val q2 = Streams.cdcMergeStream(
+        mem2.toDF().toDF("id", "seq", "op", "txt"), store,
+        tempDir("cdc_newrun_ckpt2").toString, id = "id",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem2.addData((2L, 2L, "upsert", "beta"))
+    q2.processAllAvailable()
+    assert(q2.exception.isEmpty, q2.exception.toString)
+    q2.stop()
+    val v = Streams.cdcStoreView(spark, store)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(1L -> "alpha", 2L -> "beta"))
+  }
+
+  test("cdcMergeStream: torn pointer swap (no CURRENT, CURRENT.tmp " +
+      "present) recovers the committed store instead of restarting empty") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    val store = tempDir("cdc_torn_store").toString
+    val mem1 = MemoryStream[(Long, Long, String, String)]
+    val q1 = Streams.cdcMergeStream(
+        mem1.toDF().toDF("id", "seq", "op", "txt"), store,
+        tempDir("cdc_torn_ckpt1").toString, id = "id",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem1.addData((1L, 1L, "upsert", "alpha"))
+    q1.processAllAvailable()
+    q1.stop()
+    // simulate the torn window: CURRENT deleted, its content parked in
+    // CURRENT.tmp (exactly the state a crash between delete and rename
+    // leaves behind, since tmp is fully written first)
+    val cur = new java.io.File(store, "CURRENT")
+    val tmp = new java.io.File(store, "CURRENT.tmp")
+    java.nio.file.Files.move(cur.toPath, tmp.toPath)
+    // a READER resolves through the tmp without mutating the store
+    val vTorn = Streams.cdcStoreView(spark, store)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(vTorn == Map(1L -> "alpha"))
+    assert(!cur.exists(), "reader must not complete the swap")
+    // the next WRITER batch completes the swap and folds onto the
+    // recovered base — not onto an empty bootstrap
+    val mem2 = MemoryStream[(Long, Long, String, String)]
+    val q2 = Streams.cdcMergeStream(
+        mem2.toDF().toDF("id", "seq", "op", "txt"), store,
+        tempDir("cdc_torn_ckpt2").toString, id = "id",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem2.addData((2L, 2L, "upsert", "beta"))
+    q2.processAllAvailable()
+    assert(q2.exception.isEmpty, q2.exception.toString)
+    q2.stop()
+    val v = Streams.cdcStoreView(spark, store)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(1L -> "alpha", 2L -> "beta"))
+  }
+
+  test("cdcMergeStream: generations without any pointer fail loudly " +
+      "instead of silently bootstrapping an empty base") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    val store = tempDir("cdc_corrupt_store").toString
+    val mem1 = MemoryStream[(Long, Long, String, String)]
+    val q1 = Streams.cdcMergeStream(
+        mem1.toDF().toDF("id", "seq", "op", "txt"), store,
+        tempDir("cdc_corrupt_ckpt1").toString, id = "id",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem1.addData((1L, 1L, "upsert", "alpha"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(new java.io.File(store, "CURRENT").delete())
+    val mem2 = MemoryStream[(Long, Long, String, String)]
+    val q2 = Streams.cdcMergeStream(
+        mem2.toDF().toDF("id", "seq", "op", "txt"), store,
+        tempDir("cdc_corrupt_ckpt2").toString, id = "id",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem2.addData((2L, 2L, "upsert", "beta"))
+    val failed =
+      try { q2.processAllAvailable(); false }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException |
+                   _: IllegalArgumentException => true }
+    assert(failed || q2.exception.nonEmpty,
+      "batch against a pointerless store with generations must fail")
+    q2.stop()
   }
 
   test("cardinalityStream: appended sketches serve the exact distinct view") {
