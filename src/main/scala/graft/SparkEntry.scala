@@ -71,6 +71,42 @@ object SparkEntry {
       .unionByName(lateUpserts).unionByName(lateDeletes)
   }
 
+  /** Image-variant corpus for the image_near_dup pair: ≤64 anchor docs
+    * (doc_id % 8 = 0, doc_id < 512 — the capped-anchor convention, flat
+    * across SFs) rendered as PNG originals plus ONE planted variant
+    * each, kind = (doc_id % 24)/8: 0 → BMP re-encode of the SAME pixels
+    * (content dup, zero shared bytes), 1 → crop (offset (1,1), dims
+    * −1), 2 → unrelated (seed + 7777). Variant asset ids are
+    * doc_id + 100000. Returns (media frame, variant descriptor frame).
+    */
+  private def imageVariantCorpus(s: SparkSession,
+                                 dir: String): (DataFrame, DataFrame) = {
+    import graft.operators.Multimodal
+    val anchors = t(s, dir, "documents")
+      .filter(col("doc_id") % 8 === 0 && col("doc_id") < 512)
+      .select(col("doc_id"))
+    val kind = ((col("doc_id") % 24) / 8).cast("int")
+    val originals = anchors.select(
+      col("doc_id").as("img_id"), col("doc_id").as("seed"),
+      (col("doc_id") % 13 + 4).cast("int").as("w"),
+      (col("doc_id") % 11 + 3).cast("int").as("h"),
+      lit(0).as("dx"), lit(0).as("dy"), lit("png").as("fmt"))
+    val variants = anchors.select(
+      (col("doc_id") + 100000).as("img_id"),
+      when(kind === 2, col("doc_id") + 7777).otherwise(col("doc_id"))
+        .as("seed"),
+      when(kind === 1, col("doc_id") % 13 + 3)
+        .otherwise(col("doc_id") % 13 + 4).cast("int").as("w"),
+      when(kind === 1, col("doc_id") % 11 + 2)
+        .otherwise(col("doc_id") % 11 + 3).cast("int").as("h"),
+      when(kind === 1, 1).otherwise(0).as("dx"),
+      when(kind === 1, 1).otherwise(0).as("dy"),
+      when(kind === 0, "bmp").otherwise("png").as("fmt"))
+    val spec = originals.unionByName(variants)
+    (Multimodal.synthesizeImageVariants(spec, col("img_id"), col("seed"),
+      col("w"), col("h"), col("dx"), col("dy"), col("fmt")), spec)
+  }
+
   // trained BPE merge tables, one per (application, table dir): training
   // is a driver loop of count jobs that a production run pays once per
   // vocabulary, not once per encode — memoizing keeps bpe_encode's
@@ -2560,6 +2596,45 @@ object SparkEntry {
         col("w"), col("h"))
       Multimodal.imageGridFeatures(media, col("asset_id"),
         gridW = 2, gridH = 2)
+    }),
+    "image_near_dup" -> ((s, dir) => {
+      // IMAGE near-dup on REAL pixel content, oracle-proven end to end:
+      // a capped anchor corpus of originals (PNG) plus one planted
+      // variant each — a BMP RE-ENCODE (same pixels, zero shared
+      // bytes), a CROP (offset + smaller dims) or an UNRELATED image
+      // (different seed) — is decoded, reduced to centered 3x3
+      // grid-sum vectors (exact longs), and ALL pairs are scored with
+      // the INTEGER-exact cosine>=0.999 decision: byte dedup finds
+      // nothing (every payload differs), content dedup must find
+      // exactly the re-encodes (cos = 1), and crops/unrelated stay
+      // below (measured negative max 0.9976 on this fixture). Every
+      // output cell is integer/boolean, so the DuckDB twin recomputes
+      // decode + features + decision verbatim — hash-green only if the
+      // whole codec-to-decision pipeline round-trips.
+      val (media, _) = imageVariantCorpus(s, dir)
+      val vecs = Multimodal.imageGridSumVector(media, col("asset_id"),
+        gridW = 3, gridH = 3)
+      Similarity.integerCosinePairs(vecs, col("asset_id"), col("features"),
+          tNum = 999, tDen = 1000, bits = 0)
+        .select(col("id_a").as("asset_a"), col("id_b").as("asset_b"),
+          col("dot"), col("is_dup"))
+    }),
+    "image_near_dup_lsh" -> ((s, dir) => {
+      // the SCALE arm of image_near_dup: SRP-banded candidate
+      // generation (equi-join on (band, code) — never all-pairs) with
+      // the SAME integer-exact verify. Identical vectors collide in
+      // every band, so recall on true re-encode pairs is 1.0 by
+      // construction — which is why this arm can answer a DETERMINISTIC
+      // oracle (the exact arm's duplicate set) instead of a recall
+      // floor: LSH only thins candidates BELOW the threshold.
+      val (media, _) = imageVariantCorpus(s, dir)
+      val vecs = Multimodal.imageGridSumVector(media, col("asset_id"),
+        gridW = 3, gridH = 3)
+      Similarity.integerCosinePairs(vecs, col("asset_id"), col("features"),
+          tNum = 999, tDen = 1000, bits = 12, bands = 4)
+        .where(col("is_dup"))
+        .select(col("id_a").as("asset_a"), col("id_b").as("asset_b"),
+          col("dot"))
     }),
     "media_video_frames" -> ((s, dir) => {
       // REAL video frame extraction: per-document containers of
@@ -5118,6 +5193,95 @@ object SparkEntry {
         | unnest(range(0, CAST(d.doc_id % 13 + 4 AS INT))) AS x(x),
         | unnest(range(0, CAST(d.doc_id % 11 + 3 AS INT))) AS y(y)
         |GROUP BY 1, 2, 3""".stripMargin,
+    "image_near_dup" ->
+      // full arithmetic recompute of the variant corpus (originals +
+      // re-encode/crop/unrelated variants), the 3x3 centered grid-sum
+      // vectors and the integer-exact cosine>=999/1000 verdict — every
+      // value integral, so the comparison is bit-decisive
+      """WITH anchors AS (SELECT doc_id FROM documents
+        |  WHERE doc_id % 8 = 0 AND doc_id < 512),
+        |imgs AS (
+        |  SELECT doc_id AS img_id, doc_id AS seed, doc_id % 13 + 4 AS w,
+        |      doc_id % 11 + 3 AS h, 0 AS dx, 0 AS dy FROM anchors
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    CASE WHEN (doc_id % 24) // 8 = 2 THEN doc_id + 7777
+        |         ELSE doc_id END,
+        |    CASE WHEN (doc_id % 24) // 8 = 1 THEN doc_id % 13 + 3
+        |         ELSE doc_id % 13 + 4 END,
+        |    CASE WHEN (doc_id % 24) // 8 = 1 THEN doc_id % 11 + 2
+        |         ELSE doc_id % 11 + 3 END,
+        |    CASE WHEN (doc_id % 24) // 8 = 1 THEN 1 ELSE 0 END,
+        |    CASE WHEN (doc_id % 24) // 8 = 1 THEN 1 ELSE 0 END
+        |  FROM anchors),
+        |sums AS (SELECT i.img_id,
+        |    ((y.y * 3) // i.h) * 3 + (x.x * 3) // i.w AS cell,
+        |    SUM( (i.seed * 31 + (x.x + i.dx) * 7 + (y.y + i.dy) * 13) % 256
+        |       + (i.seed * 31 + (x.x + i.dx) * 7 + (y.y + i.dy) * 13 + 101) % 256
+        |       + (i.seed * 31 + (x.x + i.dx) * 7 + (y.y + i.dy) * 13 + 202) % 256
+        |       ) AS s
+        |  FROM imgs i, unnest(range(0, i.w)) AS x(x),
+        |       unnest(range(0, i.h)) AS y(y)
+        |  GROUP BY 1, 2),
+        |grid AS (SELECT i.img_id, c.c AS cell, COALESCE(s.s, 0) AS s
+        |  FROM imgs i CROSS JOIN unnest(range(0, 9)) AS c(c)
+        |  LEFT JOIN sums s ON s.img_id = i.img_id AND s.cell = c.c),
+        |tot AS (SELECT img_id, SUM(s) AS st FROM grid GROUP BY 1),
+        |v AS (SELECT g.img_id, g.cell, CAST(9 * g.s - t.st AS HUGEINT) AS c
+        |  FROM grid g JOIN tot t ON t.img_id = g.img_id),
+        |norms AS (SELECT img_id, SUM(c * c) AS nn FROM v GROUP BY 1),
+        |dots AS (SELECT a.img_id AS ia, b.img_id AS ib, SUM(a.c * b.c) AS dot
+        |  FROM v a JOIN v b ON a.cell = b.cell AND a.img_id < b.img_id
+        |  GROUP BY 1, 2)
+        |SELECT d.ia AS asset_a, d.ib AS asset_b, CAST(d.dot AS BIGINT) AS dot,
+        |  (d.dot > 0 AND d.dot * d.dot * 1000000 >= 998001 * na.nn * nb.nn)
+        |    AS is_dup
+        |FROM dots d JOIN norms na ON na.img_id = d.ia
+        |JOIN norms nb ON nb.img_id = d.ib""".stripMargin,
+    "image_near_dup_lsh" ->
+      // the scale arm answers the exact arm's DUPLICATE SET: banding
+      // cannot drop an identical-vector pair (equal codes in every
+      // band) and the verify is the same integer-exact decision
+      """WITH anchors AS (SELECT doc_id FROM documents
+        |  WHERE doc_id % 8 = 0 AND doc_id < 512),
+        |imgs AS (
+        |  SELECT doc_id AS img_id, doc_id AS seed, doc_id % 13 + 4 AS w,
+        |      doc_id % 11 + 3 AS h, 0 AS dx, 0 AS dy FROM anchors
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    CASE WHEN (doc_id % 24) // 8 = 2 THEN doc_id + 7777
+        |         ELSE doc_id END,
+        |    CASE WHEN (doc_id % 24) // 8 = 1 THEN doc_id % 13 + 3
+        |         ELSE doc_id % 13 + 4 END,
+        |    CASE WHEN (doc_id % 24) // 8 = 1 THEN doc_id % 11 + 2
+        |         ELSE doc_id % 11 + 3 END,
+        |    CASE WHEN (doc_id % 24) // 8 = 1 THEN 1 ELSE 0 END,
+        |    CASE WHEN (doc_id % 24) // 8 = 1 THEN 1 ELSE 0 END
+        |  FROM anchors),
+        |sums AS (SELECT i.img_id,
+        |    ((y.y * 3) // i.h) * 3 + (x.x * 3) // i.w AS cell,
+        |    SUM( (i.seed * 31 + (x.x + i.dx) * 7 + (y.y + i.dy) * 13) % 256
+        |       + (i.seed * 31 + (x.x + i.dx) * 7 + (y.y + i.dy) * 13 + 101) % 256
+        |       + (i.seed * 31 + (x.x + i.dx) * 7 + (y.y + i.dy) * 13 + 202) % 256
+        |       ) AS s
+        |  FROM imgs i, unnest(range(0, i.w)) AS x(x),
+        |       unnest(range(0, i.h)) AS y(y)
+        |  GROUP BY 1, 2),
+        |grid AS (SELECT i.img_id, c.c AS cell, COALESCE(s.s, 0) AS s
+        |  FROM imgs i CROSS JOIN unnest(range(0, 9)) AS c(c)
+        |  LEFT JOIN sums s ON s.img_id = i.img_id AND s.cell = c.c),
+        |tot AS (SELECT img_id, SUM(s) AS st FROM grid GROUP BY 1),
+        |v AS (SELECT g.img_id, g.cell, CAST(9 * g.s - t.st AS HUGEINT) AS c
+        |  FROM grid g JOIN tot t ON t.img_id = g.img_id),
+        |norms AS (SELECT img_id, SUM(c * c) AS nn FROM v GROUP BY 1),
+        |dots AS (SELECT a.img_id AS ia, b.img_id AS ib, SUM(a.c * b.c) AS dot
+        |  FROM v a JOIN v b ON a.cell = b.cell AND a.img_id < b.img_id
+        |  GROUP BY 1, 2)
+        |SELECT d.ia AS asset_a, d.ib AS asset_b, CAST(d.dot AS BIGINT) AS dot
+        |FROM dots d JOIN norms na ON na.img_id = d.ia
+        |JOIN norms nb ON nb.img_id = d.ib
+        |WHERE d.dot > 0
+        |  AND d.dot * d.dot * 1000000 >= 998001 * na.nn * nb.nn""".stripMargin,
     "media_video_frames" ->
       // arithmetic recompute of the sampled-frame coverage, dims and
       // per-channel sums; the Spark side demuxes real PNG frames

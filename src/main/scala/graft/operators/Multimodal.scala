@@ -78,7 +78,8 @@ object Multimodal {
     * public for the specs' golden fixtures.
     */
   def encodeSyntheticImage(assetId: Long, w: Int, h: Int,
-                           format: String = "png"): Array[Byte] = {
+                           format: String = "png",
+                           dx: Int = 0, dy: Int = 0): Array[Byte] = {
     imageIoInit
     require(w >= 1 && h >= 1, s"degenerate image dims ${w}x$h")
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -86,9 +87,9 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = syntheticPixel(assetId, x, y, 0)
-        val g = syntheticPixel(assetId, x, y, 1)
-        val b = syntheticPixel(assetId, x, y, 2)
+        val r = syntheticPixel(assetId, x + dx, y + dy, 0)
+        val g = syntheticPixel(assetId, x + dx, y + dy, 1)
+        val b = syntheticPixel(assetId, x + dx, y + dy, 2)
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
@@ -98,6 +99,39 @@ object Multimodal {
     val ok = ImageIO.write(img, format, baos)
     require(ok, s"no ImageIO writer for format '$format'")
     baos.toByteArray
+  }
+
+  /** Synthesize a CORPUS WITH PLANTED VARIANTS: each row describes one
+    * image as (asset id, pixel seed, dims, crop offset, container
+    * format) — all per-row columns, so one call renders originals,
+    * re-encodes (same seed, different lossless container: a PNG and a
+    * BMP of the same pixels share no bytes but identical content),
+    * crops (offset + smaller dims) and unrelated images (different
+    * seed). The content-dedup fixture generator: byte-level dedup finds
+    * none of the planted duplicates, content features find exactly the
+    * re-encodes. Runs per-partition on executors like
+    * [[synthesizeImages]]. Output: (asset_id, media, media_type).
+    */
+  def synthesizeImageVariants(df: DataFrame, id: Column, seed: Column,
+                              width: Column, height: Column,
+                              dx: Column, dy: Column,
+                              format: Column): DataFrame = {
+    val in = df.select(id.cast("long").as("asset_id"),
+      seed.cast("long").as("seed"),
+      width.cast("int").as("w"), height.cast("int").as("h"),
+      dx.cast("int").as("dx"), dy.cast("int").as("dy"),
+      format.cast("string").as("fmt"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val fmt = r.getString(6)
+        Row(r.getLong(0),
+          encodeSyntheticImage(r.getLong(1), r.getInt(2), r.getInt(3),
+            fmt, r.getInt(4), r.getInt(5)),
+          s"image/$fmt")
+      }
+    }(enc)
   }
 
   /** Synthesize one real encoded image per row — the fixture generator
@@ -346,6 +380,42 @@ object Multimodal {
       .select(col("asset_id"),
         transform(sequence(lit(0), lit(dim - 1)),
           i => coalesce(element_at(col("__cells"), i), lit(0.0)))
+          .as("features"))
+  }
+
+  /** The grid features as an INTEGER-EXACT content signature: the
+    * per-cell gray SUMS (absent cells 0, row-major like
+    * [[imageGridEmbedding]]) mean-centered in scaled-integer form —
+    * `c_i = d·s_i − Σs` (d = gridW·gridH), which is the per-image mean
+    * subtraction multiplied through by d so every value stays a LONG.
+    * Centering is what makes cosine over these vectors discriminate:
+    * raw gray means of natural (and synthetic) images concentrate
+    * around mid-gray, so uncentered cosines are ≈1 for EVERYTHING,
+    * while centered cosine is the cells' correlation. Because the
+    * values are exact integers end to end (PNG/BMP are lossless), a
+    * cosine THRESHOLD decision over them can be taken in pure integer
+    * arithmetic ([[Similarity.integerCosinePairs]]) — bit-identical on
+    * any engine, which is what lets an image-content dedup be
+    * hash-checked against a SQL oracle. Output: (asset_id, features
+    * array<long> of length d).
+    */
+  def imageGridSumVector(df: DataFrame, id: Column, gridW: Int, gridH: Int,
+                         mediaCol: String = "media"): DataFrame = {
+    val cells = imageGridFeatures(df, id, gridW, gridH, mediaCol)
+    val dim = gridW * gridH
+    cells
+      .groupBy(col("asset_id"))
+      .agg(map_from_arrays(
+        collect_list(col("cell_y") * gridW + col("cell_x")),
+        collect_list(col("sum_gray"))).as("__cells"))
+      .select(col("asset_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__cells"), i), lit(0L)))
+          .as("__sums"))
+      .select(col("asset_id"),
+        transform(col("__sums"),
+          s => s * lit(dim.toLong) -
+            aggregate(col("__sums"), lit(0L), (a, x) => a + x))
           .as("features"))
   }
 

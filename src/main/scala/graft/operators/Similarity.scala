@@ -101,4 +101,82 @@ object Similarity {
       VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
     rankTopK(scored, k)
   }
+
+  /** Duplicate-pair join over INTEGER vectors with the cosine threshold
+    * decided in EXACT integer arithmetic: `cos(a,b) ≥ tNum/tDen` ⟺
+    * `dot > 0 ∧ dot²·tDen² ≥ tNum²·‖a‖²·‖b‖²` — dot products and
+    * squared norms of long vectors are exact longs, and the one
+    * comparison that can exceed 64 bits runs in decimal(38,0), so the
+    * decision is bit-identical on ANY engine (a SQL oracle recomputes
+    * it verbatim; no IEEE rounding anywhere). This is what makes an
+    * image/content near-dup operator hash-checkable end to end, where
+    * a float cosine threshold is only gate-checkable. A degenerate
+    * all-zero vector (‖a‖ = 0) is never a duplicate of anything —
+    * `dot > 0` settles that without a division.
+    *
+    * Candidates: `bits = 0` scores ALL pairs (the verified oracle-
+    * anchor form — caller caps the input); `bits > 0` generates
+    * candidates with the same banded SRP-OR scheme as
+    * [[graft.operators.Dedup.embeddingNearDupPairs]] (equi-join on
+    * (band, code)) and only candidates are scored — the scale path.
+    * EXACT duplicates (identical vectors) hash to identical codes in
+    * every band, so the scale path's recall on true re-encode/copy
+    * pairs is 1.0 by construction, not probabilistically; only
+    * below-cos-1 near-pairs are subject to the usual LSH miss rate.
+    *
+    * Output: (id_a, id_b, dot, is_dup) with id_a < id_b — `dot` the
+    * exact long dot product, `is_dup` the integer-exact threshold
+    * verdict. Filter `is_dup` for the duplicate set; keep all rows for
+    * margin inspection.
+    */
+  def integerCosinePairs(df: DataFrame, id: Column, vec: Column,
+                         tNum: Long, tDen: Long,
+                         bits: Int = 0, bands: Int = 4): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be in (0, 1]: got $tNum/$tDen")
+    val coded = df.select(id.as("vec_id"), vec.as("v"))
+    val cands =
+      if (bits <= 0)
+        coded.as("a").join(coded.as("b"),
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("a.v").as("v_a"),
+            col("b.vec_id").as("id_b"), col("b.v").as("v_b"))
+      else {
+        val asDbl = transform(vec, x => x.cast("double"))
+        val dim = 64 // srp kernel only needs an upper bound via length;
+        val bandCodes = array((0 until bands).map { b =>
+          VectorFunctions.srpCode(asDbl, dim, bits, seed = 42L + b)
+        }: _*)
+        val buckets = df.select(id.as("vec_id"), posexplode(bandCodes))
+          .withColumnRenamed("pos", "band_idx")
+          .withColumnRenamed("col", "bucket")
+        buckets.as("a").join(buckets.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+          .distinct()
+          .join(coded.select(col("vec_id").as("id_a"), col("v").as("v_a")),
+            "id_a")
+          .join(coded.select(col("vec_id").as("id_b"), col("v").as("v_b")),
+            "id_b")
+      }
+    val dot = aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val na = aggregate(transform(col("v_a"), x => x * x),
+      lit(0L), (acc, x) => acc + x)
+    val nb = aggregate(transform(col("v_b"), x => x * x),
+      lit(0L), (acc, x) => acc + x)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lhs = col("__dot").cast(dec) * col("__dot").cast(dec) *
+      lit(tDen * tDen).cast(dec)
+    val rhs = lit(tNum * tNum).cast(dec) *
+      col("__na").cast(dec) * col("__nb").cast(dec)
+    cands
+      .withColumn("__dot", dot)
+      .withColumn("__na", na)
+      .withColumn("__nb", nb)
+      .select(col("id_a"), col("id_b"), col("__dot").as("dot"),
+        (col("__dot") > 0 && lhs >= rhs).as("is_dup"))
+  }
 }

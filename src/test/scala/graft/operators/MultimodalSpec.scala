@@ -284,4 +284,54 @@ class MultimodalSpec extends SparkTestBase {
     assert(new String(r(1L)) == "hello wo")
     assert(new String(r(2L)).startsWith("x"))
   }
+
+  test("a BMP re-encode shares NO bytes with the PNG but decodes to the " +
+      "identical centered grid-sum vector (content dedup across containers)") {
+    import graft.TestSpark.spark.implicits._
+    val spec = Seq(
+      (1L, 7L, 9, 6, 0, 0, "png"),
+      (2L, 7L, 9, 6, 0, 0, "bmp"),   // same pixels, different container
+      (3L, 7L, 8, 5, 1, 1, "png"),   // crop of the same content
+      (4L, 777L, 9, 6, 0, 0, "png")) // unrelated content
+      .toDF("img_id", "seed", "w", "h", "dx", "dy", "fmt")
+    val media = Multimodal.synthesizeImageVariants(spec, col("img_id"),
+      col("seed"), col("w"), col("h"), col("dx"), col("dy"), col("fmt"))
+    val payloads = media.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(!java.util.Arrays.equals(payloads(1L), payloads(2L)),
+      "the whole point: the encoded bytes differ")
+    val vecs = Multimodal.imageGridSumVector(media, col("asset_id"), 3, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(vecs(1L) == vecs(2L), "lossless containers, same content")
+    assert(vecs(1L) != vecs(3L) && vecs(1L) != vecs(4L))
+    // scaled mean-centering: every vector sums to zero exactly
+    vecs.values.foreach(v => assert(v.sum == 0L, v.toString))
+  }
+
+  test("integer-exact cosine pairs: identical vectors are dups with " +
+      "dot^2 = na*nb; crops/unrelated/zero vectors are not") {
+    import graft.TestSpark.spark.implicits._
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (1L, Seq(3L, -1L, -2L)),
+      (2L, Seq(3L, -1L, -2L)),    // exact dup of 1
+      (3L, Seq(6L, -2L, -4L)),    // scaled copy: cosine exactly 1 too
+      (4L, Seq(-3L, 1L, 2L)),     // antipodal: cosine -1, never a dup
+      (5L, Seq(0L, 0L, 0L)))      // degenerate: never a dup
+      .toDF("id", "v")
+    val all = Similarity.integerCosinePairs(vecs, col("id"), col("v"),
+        tNum = 999, tDen = 1000, bits = 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(3)).toMap
+    assert(all.size == 10) // all C(5,2) pairs scored
+    assert(all((1L, 2L)) && all((1L, 3L)) && all((2L, 3L)))
+    assert(!all((1L, 4L)) && !all((1L, 5L)) && !all((4L, 5L)))
+    // the SCALE arm (SRP banding) must keep every identical-vector pair
+    // (equal vectors -> equal codes in every band) and agree on verdicts
+    val lsh = Similarity.integerCosinePairs(vecs, col("id"), col("v"),
+        tNum = 999, tDen = 1000, bits = 12, bands = 4)
+      .where(col("is_dup")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(lsh), lsh.toString)
+  }
 }
