@@ -107,6 +107,35 @@ object SparkEntry {
       col("w"), col("h"), col("dx"), col("dy"), col("fmt")), spec)
   }
 
+  /** Audio-variant corpus for audio_near_dup — same anchor/kind scheme
+    * as [[imageVariantCorpus]] over chirp clips: kind 0 → AIFF
+    * re-encode of the same samples (content dup, big-endian container:
+    * zero shared bytes with the WAV), 1 → truncation to 4/5 length,
+    * 2 → unrelated seed (+7777).
+    */
+  private def audioVariantCorpus(s: SparkSession,
+                                 dir: String): (DataFrame, DataFrame) = {
+    import graft.operators.Multimodal
+    val anchors = t(s, dir, "documents")
+      .filter(col("doc_id") % 8 === 0 && col("doc_id") < 512)
+      .select(col("doc_id"))
+    val kind = ((col("doc_id") % 24) / 8).cast("int")
+    val n = col("doc_id") % 97 + 40
+    val originals = anchors.select(
+      col("doc_id").as("clip_id"), col("doc_id").as("seed"),
+      n.cast("int").as("n"), lit("wav").as("ft"))
+    val variants = anchors.select(
+      (col("doc_id") + 100000).as("clip_id"),
+      when(kind === 2, col("doc_id") + 7777).otherwise(col("doc_id"))
+        .as("seed"),
+      when(kind === 1, (n * 4 / 5).cast("int")).otherwise(n.cast("int"))
+        .as("n"),
+      when(kind === 0, "aiff").otherwise("wav").as("ft"))
+    val spec = originals.unionByName(variants)
+    (Multimodal.synthesizeAudioVariants(spec, col("clip_id"), col("seed"),
+      col("n"), col("ft")), spec)
+  }
+
   // trained BPE merge tables, one per (application, table dir): training
   // is a driver loop of count jobs that a production run pays once per
   // vocabulary, not once per encode — memoizing keeps bpe_encode's
@@ -2682,6 +2711,35 @@ object SparkEntry {
         (col("doc_id") % 97 + 40).cast("int").as("n"))
       val media = Multimodal.synthesizeAudio(lens, col("doc_id"), col("n"))
       Multimodal.audioSampleStats(media, col("asset_id"))
+    }),
+    "media_audio_features" -> ((s, dir) => {
+      // REAL audio content features: the windowed energy contour (the
+      // pre-ML audio descriptor — what VAD/loudness gates run on) over
+      // decoded PCM. 16-frame windows, exact long sums + one IEEE
+      // division per window, so the whole decode→window→aggregate
+      // pipeline hash-matches the DuckDB k//16 arithmetic twin.
+      val lens = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 97 + 40).cast("int").as("n"))
+      val media = Multimodal.synthesizeAudio(lens, col("doc_id"), col("n"))
+      Multimodal.audioWindowFeatures(media, col("asset_id"), windowSize = 16)
+    }),
+    "audio_near_dup" -> ((s, dir) => {
+      // near-dup-by-SOUND, the audio twin of image_near_dup: a capped
+      // anchor corpus of chirp clips (WAV originals; variants = AIFF
+      // re-encode of the SAME samples / truncation to 4/5 length /
+      // unrelated seed) decoded to centered 12-cell proportional
+      // contour vectors (exact longs) and all-pairs scored with the
+      // integer-exact cosine>=0.99 verdict — re-encodes land at cos=1
+      // exactly, truncated/unrelated measured <=0.954. Byte dedup sees
+      // nothing (WAV vs AIFF differ in every byte incl. endianness);
+      // content dedup finds exactly the re-encodes, oracle-proven.
+      val (media, _) = audioVariantCorpus(s, dir)
+      val vecs = Multimodal.audioGridSumVector(media, col("asset_id"),
+        cells = 12)
+      Similarity.integerCosinePairs(vecs, col("asset_id"), col("features"),
+          tNum = 99, tDen = 100, bits = 0)
+        .select(col("id_a").as("asset_a"), col("id_b").as("asset_b"),
+          col("dot"), col("is_dup"))
     }),
     "media_resize_image" -> ((s, dir) => {
       // REAL bilinear resample to a fixed thumbnail size, re-encoded
@@ -5317,6 +5375,59 @@ object SparkEntry {
         |FROM documents d,
         | unnest(range(0, CAST(d.doc_id % 97 + 40 AS INT))) AS k(k)
         |GROUP BY d.doc_id""".stripMargin,
+    "media_audio_features" ->
+      // arithmetic recompute of the 16-frame windowed energy contour —
+      // exact long window sums, one IEEE division per window
+      """SELECT d.doc_id AS asset_id, CAST(k.k // 16 AS INT) AS win_idx,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM((d.doc_id * 31 + k.k * 7) % 4096 - 2048) AS BIGINT)
+        |   AS sum_pcm,
+        | CAST(SUM(((d.doc_id * 31 + k.k * 7) % 4096 - 2048)
+        |        * ((d.doc_id * 31 + k.k * 7) % 4096 - 2048)) AS BIGINT)
+        |   AS sum_sq,
+        | CAST(SUM(((d.doc_id * 31 + k.k * 7) % 4096 - 2048)
+        |        * ((d.doc_id * 31 + k.k * 7) % 4096 - 2048)) AS DOUBLE)
+        |   / COUNT(*) AS energy
+        |FROM documents d,
+        | unnest(range(0, CAST(d.doc_id % 97 + 40 AS INT))) AS k(k)
+        |GROUP BY 1, 2""".stripMargin,
+    "audio_near_dup" ->
+      // full arithmetic recompute of the chirp-clip variant corpus, the
+      // 12-cell centered contour vectors and the integer-exact
+      // cosine>=99/100 verdict (the audio image_near_dup twin)
+      """WITH anchors AS (SELECT doc_id FROM documents
+        |  WHERE doc_id % 8 = 0 AND doc_id < 512),
+        |clips AS (
+        |  SELECT doc_id AS clip_id, doc_id AS seed, doc_id % 97 + 40 AS n
+        |  FROM anchors
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    CASE WHEN (doc_id % 24) // 8 = 2 THEN doc_id + 7777
+        |         ELSE doc_id END,
+        |    CASE WHEN (doc_id % 24) // 8 = 1 THEN ((doc_id % 97 + 40) * 4) // 5
+        |         ELSE doc_id % 97 + 40 END
+        |  FROM anchors),
+        |sums AS (SELECT c.clip_id, (k.k * 12) // c.n AS cell,
+        |    SUM((c.seed * 31 + (c.seed % 13 + 2) * k.k * k.k + 7 * k.k)
+        |        % 4096 - 2048) AS s
+        |  FROM clips c, unnest(range(0, c.n)) AS k(k)
+        |  GROUP BY 1, 2),
+        |grid AS (SELECT c.clip_id, x.x AS cell, COALESCE(s.s, 0) AS s
+        |  FROM clips c CROSS JOIN unnest(range(0, 12)) AS x(x)
+        |  LEFT JOIN sums s ON s.clip_id = c.clip_id AND s.cell = x.x),
+        |tot AS (SELECT clip_id, SUM(s) AS st FROM grid GROUP BY 1),
+        |v AS (SELECT g.clip_id, g.cell, CAST(12 * g.s - t.st AS HUGEINT) AS c
+        |  FROM grid g JOIN tot t ON t.clip_id = g.clip_id),
+        |norms AS (SELECT clip_id, SUM(c * c) AS nn FROM v GROUP BY 1),
+        |dots AS (SELECT a.clip_id AS ia, b.clip_id AS ib,
+        |    SUM(a.c * b.c) AS dot
+        |  FROM v a JOIN v b ON a.cell = b.cell AND a.clip_id < b.clip_id
+        |  GROUP BY 1, 2)
+        |SELECT d.ia AS asset_a, d.ib AS asset_b, CAST(d.dot AS BIGINT) AS dot,
+        |  (d.dot > 0 AND d.dot * d.dot * 10000 >= 9801 * na.nn * nb.nn)
+        |    AS is_dup
+        |FROM dots d JOIN norms na ON na.clip_id = d.ia
+        |JOIN norms nb ON nb.clip_id = d.ib""".stripMargin,
     "media_resize_image" ->
       // resampled dims are the target by contract (in-plan gated); the
       // oracle pins the projection and the every-10th-doc coverage

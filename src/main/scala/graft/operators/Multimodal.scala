@@ -532,19 +532,35 @@ object Multimodal {
   def syntheticSample(assetId: Long, k: Int): Int =
     ((assetId * 31L + k * 7L) % 4096L).toInt - 2048
 
+  /** A CONTENT-RICH synthetic sample — a chirp whose sweep rate depends
+    * on the seed (`(a·31 + (a%13+2)·k² + 7k) mod 4096 − 2048`). The
+    * plain [[syntheticSample]] sawtooth is (piecewise) LINEAR in `k`
+    * over short clips, so after mean-centering every clip's energy
+    * contour is the same ramp and cosine cannot tell any two clips
+    * apart — fine for codec round-trip proofs, useless as a dedup
+    * fixture. The seed-dependent k² term wraps at different rates per
+    * seed, giving distinct contour shapes (measured: re-encodes cos =
+    * 1 exactly, unrelated/truncated ≤ 0.954 at 12 cells).
+    */
+  def syntheticChirp(assetId: Long, k: Int): Int =
+    ((assetId * 31L + (assetId % 13L + 2L) * k * k + 7L * k) % 4096L)
+      .toInt - 2048
+
   /** Encode one deterministic mono 16-bit PCM clip to real WAV (or
     * AIFF/AU) bytes via `javax.sound.sampled` — executor-side in
     * [[synthesizeAudio]]; public for spec fixtures.
     */
   def encodeSyntheticWav(assetId: Long, nSamples: Int, sampleRate: Int = 8000,
-                         fileType: String = "wav"): Array[Byte] = {
+                         fileType: String = "wav",
+                         chirp: Boolean = false): Array[Byte] = {
     imageIoInit // headless (shared init; sound file IO needs no device)
     require(nSamples >= 1, s"degenerate clip length $nSamples")
     val bigEndian = fileType != "wav" // AIFF/AU are big-endian PCM
     val pcm = new Array[Byte](nSamples * 2)
     var k = 0
     while (k < nSamples) {
-      val s = syntheticSample(assetId, k)
+      val s = if (chirp) syntheticChirp(assetId, k)
+        else syntheticSample(assetId, k)
       if (bigEndian) {
         pcm(2 * k) = ((s >> 8) & 0xff).toByte
         pcm(2 * k + 1) = (s & 0xff).toByte
@@ -707,6 +723,147 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  /** Audio twin of [[synthesizeImageVariants]]: per-row (asset id,
+    * pixel seed, clip length, container format) renders a CHIRP clip
+    * ([[syntheticChirp]] — see its scaladoc for why the sawtooth can't
+    * serve as a dedup fixture) into a real WAV/AIFF/AU container — a
+    * WAV and an AIFF of the same seed share no bytes but identical
+    * PCM content. Output: (asset_id, media, media_type).
+    */
+  def synthesizeAudioVariants(df: DataFrame, id: Column, seed: Column,
+                              nSamples: Column, fileType: Column,
+                              sampleRate: Int = 8000): DataFrame = {
+    val in = df.select(id.cast("long").as("asset_id"),
+      seed.cast("long").as("seed"), nSamples.cast("int").as("n"),
+      fileType.cast("string").as("ft"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val ft = r.getString(3)
+        Row(r.getLong(0),
+          encodeSyntheticWav(r.getLong(1), r.getInt(2), sampleRate, ft,
+            chirp = true),
+          s"audio/$ft")
+      }
+    }(enc)
+  }
+
+  /** Windowed energy contour over REAL decoded PCM — the audio analog
+    * of [[imageGridFeatures]]: fixed-length windows of `windowSize`
+    * frames (`win_idx = k / windowSize`, last window partial), each
+    * reduced to exact-long count/sum/sum-of-squares plus ONE IEEE
+    * division for the mean energy — so over [[synthesizeAudio]]
+    * fixtures the whole decode→window→aggregate pipeline hash-matches
+    * a SQL arithmetic twin. Mono 16-bit only (the sibling decoders'
+    * degrade-to-nothing contract: unsupported layouts emit no rows).
+    * Output: (asset_id, win_idx, n, sum_pcm, sum_sq, energy).
+    */
+  def audioWindowFeatures(df: DataFrame, id: Column, windowSize: Int,
+                          mediaCol: String = "media"): DataFrame = {
+    require(windowSize >= 1, s"degenerate window $windowSize")
+    val in = df.select(id.cast("long").as("asset_id"), col(mediaCol).as("m"))
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("win_idx", IntegerType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("sum_pcm", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("energy", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val a = r.getLong(0)
+        decodedMonoPcm(r.get(1)) match {
+          case Some(samples) =>
+            samples.indices.groupBy(_ / windowSize).toSeq.sortBy(_._1)
+              .map { case (w, ks) =>
+                var sum = 0L; var sq = 0L
+                ks.foreach { k =>
+                  val s = samples(k).toLong; sum += s; sq += s * s
+                }
+                Row(a, w, ks.length.toLong, sum, sq,
+                  sq.toDouble / ks.length)
+              }
+          case None => Nil
+        }
+      }
+    }(enc)
+  }
+
+  /** The audio CONTENT SIGNATURE for integer-exact dedup — the 1-D twin
+    * of [[imageGridSumVector]]: the clip is split into `cells`
+    * proportional segments (`cell = k·cells / n`, so clips of any
+    * length map to the same fixed dimension), each reduced to its
+    * exact-long sample sum, then scaled-mean-centered
+    * (`c_i = cells·s_i − Σs`). Feed to
+    * [[Similarity.integerCosinePairs]] for a bit-decisive
+    * near-dup-by-sound join. Output: (asset_id, features array<long>
+    * of length `cells`).
+    */
+  def audioGridSumVector(df: DataFrame, id: Column, cells: Int,
+                         mediaCol: String = "media"): DataFrame = {
+    require(cells >= 1, s"degenerate cell count $cells")
+    val in = df.select(id.cast("long").as("asset_id"), col(mediaCol).as("m"))
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("features", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val a = r.getLong(0)
+        decodedMonoPcm(r.get(1)) match {
+          case Some(samples) if samples.nonEmpty =>
+            val sums = new Array[Long](cells)
+            val n = samples.length
+            var k = 0
+            while (k < n) {
+              sums(((k.toLong * cells) / n).toInt) += samples(k)
+              k += 1
+            }
+            val total = sums.sum
+            Some(Row(a, sums.map(s => s * cells - total).toSeq))
+          case _ => None
+        }
+      }
+    }(enc)
+  }
+
+  /** Decode a payload to mono 16-bit PCM samples, None for
+    * undecodable/unsupported layouts (shared by the window/grid
+    * extractors; same total-by-construction contract as
+    * [[audioSampleStats]]).
+    */
+  private def decodedMonoPcm(payload: Any): Option[Array[Short]] = {
+    val bytes = payload match {
+      case b: Array[Byte] => b
+      case _              => null
+    }
+    decodeAudio(bytes) match {
+      case Some(st) if st.getFormat.getSampleSizeInBits == 16 &&
+          st.getFormat.getChannels == 1 =>
+        try {
+          val big = st.getFormat.isBigEndian
+          val raw = st.readAllBytes()
+          val out = new Array[Short](raw.length / 2)
+          var i = 0
+          while (i + 2 <= raw.length) {
+            out(i / 2) =
+              if (big) ((raw(i) << 8) | (raw(i + 1) & 0xff)).toShort
+              else ((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort
+            i += 2
+          }
+          Some(out)
+        } finally st.close()
+      case other =>
+        other.foreach(_.close())
+        None
+    }
   }
 
   /** STUB FEATURE EXTRACTOR — deterministic fake embedding derived from

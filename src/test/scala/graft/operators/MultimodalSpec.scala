@@ -334,4 +334,41 @@ class MultimodalSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(lsh), lsh.toString)
   }
+
+  test("near-dup-by-sound: an AIFF re-encode of a WAV is found by the " +
+      "contour + integer-cosine composition; truncation/unrelated are not") {
+    import graft.TestSpark.spark.implicits._
+    import graft.operators.Similarity
+    val spec = Seq(
+      (1L, 9L, 100, "wav"),
+      (2L, 9L, 100, "aiff"),  // same chirp, big-endian container
+      (3L, 9L, 80, "wav"),    // truncated to 4/5
+      (4L, 7786L, 100, "wav")) // unrelated seed
+      .toDF("clip_id", "seed", "n", "ft")
+    val media = Multimodal.synthesizeAudioVariants(spec, col("clip_id"),
+      col("seed"), col("n"), col("ft"))
+    val payloads = media.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(!java.util.Arrays.equals(payloads(1L), payloads(2L)),
+      "byte dedup must not see the pair")
+    val vecs = Multimodal.audioGridSumVector(media, col("asset_id"), 12)
+    val verdicts = Similarity.integerCosinePairs(vecs, col("asset_id"),
+        col("features"), tNum = 99, tDen = 100, bits = 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(3)).toMap
+    assert(verdicts((1L, 2L)), "re-encode is a content dup")
+    assert(!verdicts((1L, 3L)) && !verdicts((1L, 4L)) && !verdicts((3L, 4L)),
+      verdicts.toString)
+    // windowed energy contour: identical for the re-encode pair, and
+    // window sums are exact (lossless PCM round trip)
+    val wf = Multimodal.audioWindowFeatures(media, col("asset_id"), 16)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toSeq).toMap
+    assert(wf(1L) == wf(2L))
+    assert(wf(1L).map(_._2).sum == 100L) // all frames covered
+    val expectedW0 = (0 until 16).map(k => Multimodal.syntheticChirp(9L, k).toLong).sum
+    assert(wf(1L).head._3 == expectedW0)
+  }
 }
