@@ -1399,6 +1399,48 @@ object SparkEntry {
         .select(col("layout"), col("n_buckets"), col("n_candidate_buckets"),
           col("n_candidate_rows"), col("n_exact_rows"))
     }),
+    "compaction_stats" -> ((s, dir) => {
+      // the OPTIMIZE half of the reference's append cadence: stage
+      // lineitem's key columns as 64 small files (one "hourly append"
+      // each — the pattern jhub_proc's calendar batches accrete), then
+      // bin-pack with Maintenance.compactTable and PROVE the rewrite
+      // lossless against the SOURCE with data aggregates (row count +
+      // an exact integral checksum, covering staging AND compaction).
+      // File counts are environment facts (parquet encoder sizes
+      // vary), so the oracle pins data identity and the reduction
+      // CONTRACT as booleans while the driver-side require enforces
+      // the actual file-count drop; the benched number prices the
+      // whole maintenance op (stage + rewrite + swap).
+      import graft.operators.Maintenance
+      val stagePath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_compact_" + java.lang.Integer.toHexString(dir.hashCode) +
+          "_" + s.sparkContext.applicationId
+            .replaceAll("[^A-Za-z0-9]", "")).toString
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val fsP = new org.apache.hadoop.fs.Path(stagePath)
+      val fs = fsP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsP, true) // fresh staging: the op itself is the measure
+      li.repartition(64).write.parquet(stagePath)
+      val src = li.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("l_orderkey")).cast("long").as("ck")).head()
+      val (nSrc, ckSrc) = (src.getLong(0), src.getLong(1))
+      val res = Maintenance.compactTable(s, stagePath,
+        targetBytes = 64L << 20)
+      require(res.filesAfter < res.filesBefore,
+        s"compaction did not reduce files: $res")
+      s.read.parquet(stagePath)
+        .agg(count(lit(1)).cast("long").as("n_rows_after"),
+          sum(col("l_orderkey")).cast("long").as("sum_okey_after"))
+        .select(lit(nSrc).as("n_rows_before"), col("n_rows_after"),
+          lit(ckSrc).as("sum_okey_before"), col("sum_okey_after"),
+          (col("n_rows_after") === nSrc &&
+            col("sum_okey_after") === ckSrc).as("row_identity"),
+          lit(res.filesAfter < res.filesBefore).as("files_reduced"))
+        .where(assert_true(col("row_identity"),
+          lit(s"compacted table diverged from source at $stagePath")).isNull)
+    }),
     "novelty_scores" -> ((s, dir) => {
       // per-doc novelty of the src1x increment vs the accumulated
       // src0-9 reference (the dedup_incremental split): integral
@@ -4466,6 +4508,15 @@ object SparkEntry {
         |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
         |FROM dict a JOIN dict b ON a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
+    "compaction_stats" ->
+      // data identity of the staged+compacted table vs the source; the
+      // contract booleans are TRUE by the in-plan/driver gates
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_before,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows_after,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey_before,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey_after,
+        |  TRUE AS row_identity, TRUE AS files_reduced
+        |FROM lineitem""".stripMargin,
     "zorder_zonemap" ->
       // normalize16's clamp+floor-div, the 8-4-2-1 Morton spread as
       // stepwise CTEs, prefix bucketing — all exact integer bit

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, SaveMode, SparkSession}
+
+/** Table maintenance: small-file compaction (the OPTIMIZE half every
+  * lakehouse pairs with an append-mode ingest cadence).
+  *
+  * Why it exists here: the reference's staging pattern appends one
+  * parquet slice per calendar batch (hourly/daily globs —
+  * `jhub_proc.py:268-276`, `zoom_proc.py:330-337` in the reference
+  * repo), which accretes files forever; a year of hourly appends is
+  * ~9k files per table, and at 100 TB the file COUNT — not the bytes —
+  * becomes the bottleneck (every scan pays listing + one task per
+  * file; the NameNode/manifest pays the metadata). Compaction
+  * bin-packs a directory table back to ~`targetBytes` files in one
+  * read→rewrite→swap pass.
+  *
+  * Scale shape: the listing is one `listStatus` (a manifest read on a
+  * real table format); the rewrite is ONE Spark job whose plan is just
+  * scan→exchange-free-coalesce→write (or scan→range-exchange→sorted
+  * write when preserving a sort/z-order layout — the only shuffle, and
+  * it is the one that buys the clustering back); the swap is two
+  * directory renames, no data movement. Nothing is collected to the
+  * driver but the file listing.
+  *
+  * Zone maps under compaction: [[Layout.zoneMap]] is a function of the
+  * DATA, not the file layout, so a compaction that preserves rows
+  * preserves the zone map VERBATIM — previously appended per-slice
+  * maps ([[graft.streaming.Streams.zoneMapStream]]) stay exact under
+  * [[Layout.mergeZoneMaps]] with no rescan (MaintenanceSpec pins both
+  * claims: merged-slices ≡ rebuild, before ≡ after).
+  *
+  * Crash matrix of the swap (same two-phase discipline as the CDC
+  * store's pointer dance, Streams.scala):
+  *   1. crash while writing `<path>.__compact_tmp` → original table
+  *      untouched; rerun overwrites the orphan tmp;
+  *   2. crash after `path → <path>.__compact_old`, before
+  *      `tmp → path` → no live table, but BOTH complete copies exist;
+  *      [[recoverCompaction]] restores the ORIGINAL (conservative:
+  *      compaction is idempotent, redo beats trusting a maybe-torn
+  *      rewrite);
+  *   3. crash before the final old-dir delete → live table is the
+  *      compacted one; [[recoverCompaction]] just clears the leftover.
+  */
+object Maintenance {
+
+  /** (file count, total bytes) of a table directory's data files —
+    * driver-side, one listing call. */
+  def fileStats(spark: SparkSession, path: String): (Int, Long) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = dataFiles(fs, p)
+    (files.length, files.map(_.getLen).sum)
+  }
+
+  private def dataFiles(fs: FileSystem, p: Path) =
+    fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** Compaction outcome: file/byte counts either side of the swap. */
+  final case class CompactionResult(filesBefore: Int, bytesBefore: Long,
+                                    filesAfter: Int, bytesAfter: Long)
+
+  /** Bin-pack the parquet table at `path` to ≈`targetBytes` per file.
+    *
+    * Target file count = ⌈bytes/targetBytes⌉ (≥1). With `sortCols`
+    * empty the rewrite COALESCES — no shuffle, each output file is a
+    * concatenation of input splits (the cheap path for an unclustered
+    * staging table). With `sortCols` (e.g. the z-value column of a
+    * [[Layout.clusterByZ]] table) it range-partitions and sorts on
+    * them, so the compacted table keeps (re-gains) its clustering and
+    * zone-map pruning power — that one exchange is the price of the
+    * layout, exactly as in the original cluster write.
+    *
+    * No-op short-circuit: a table already at or under the target count
+    * is left byte-identical (`filesAfter == filesBefore`), because a
+    * rewrite that changes nothing still invalidates file-level caches
+    * downstream.
+    */
+  def compactTable(spark: SparkSession, path: String, targetBytes: Long,
+                   sortCols: Seq[Column] = Nil): CompactionResult = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(spark, path)
+    val before = dataFiles(fs, p)
+    val bytesBefore = before.map(_.getLen).sum
+    val targetFiles =
+      math.max(1L, (bytesBefore + targetBytes - 1) / targetBytes).toInt
+    if (before.length <= targetFiles)
+      return CompactionResult(before.length, bytesBefore,
+        before.length, bytesBefore)
+    val tmp = new Path(path + ".__compact_tmp")
+    val old = new Path(path + ".__compact_old")
+    val df = spark.read.parquet(path)
+    val packed =
+      if (sortCols.isEmpty) df.coalesce(targetFiles)
+      else df.repartitionByRange(targetFiles, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+    packed.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // two-phase swap: the original is PARKED, never deleted before the
+    // compacted copy is live (crash matrix in the object scaladoc)
+    require(fs.rename(p, old), s"could not park $p")
+    require(fs.rename(tmp, p), s"could not promote $tmp")
+    fs.delete(old, true)
+    val after = dataFiles(fs, p)
+    CompactionResult(before.length, bytesBefore,
+      after.length, after.map(_.getLen).sum)
+  }
+
+  /** Repair an interrupted [[compactTable]] swap. Restores the parked
+    * original when the live directory is missing (crash window 2 —
+    * conservative: prefer the source of truth, redo the compaction),
+    * and clears tmp/old leftovers when the live directory exists
+    * (windows 1 and 3). Idempotent; called automatically at the top of
+    * every [[compactTable]].
+    */
+  def recoverCompaction(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + ".__compact_tmp")
+    val old = new Path(path + ".__compact_old")
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"could not restore parked table $old")
+    if (fs.exists(p)) {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(old)) fs.delete(old, true)
+    }
+  }
+}

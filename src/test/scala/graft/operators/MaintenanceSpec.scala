@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class MaintenanceSpec extends SparkTestBase {
+  import graft.TestSpark.spark
+  import graft.TestSpark.spark.implicits._
+
+  private def stage(n: Int, files: Int): String = {
+    val dir = tempDir("compact_stage").toString
+    (0 until n).map(i => (i.toLong, i % 40L, (i * 7) % 30L, s"row$i"))
+      .toDF("id", "x", "y", "payload")
+      .repartition(files)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("compaction bin-packs many small files into few, preserving " +
+      "every row byte-for-byte") {
+    val dir = stage(n = 5000, files = 32)
+    val before = spark.read.parquet(dir).collect().toSet
+    val (fb, _) = Maintenance.fileStats(spark, dir)
+    assert(fb == 32)
+    val r = Maintenance.compactTable(spark, dir, targetBytes = 1L << 26)
+    assert(r.filesBefore == 32 && r.filesAfter == 1, r.toString)
+    val after = spark.read.parquet(dir).collect().toSet
+    assert(after == before)
+    // no stray swap dirs remain
+    assert(!new java.io.File(dir + ".__compact_tmp").exists())
+    assert(!new java.io.File(dir + ".__compact_old").exists())
+  }
+
+  test("a table already at the target count is left untouched " +
+      "(no pointless rewrite)") {
+    val dir = stage(n = 100, files = 2)
+    // 2 files of a 100-row table are under any sane byte target -> the
+    // target count would be 1 and 2 > 1 WOULD compact; a 1-byte target
+    // makes targetFiles >= the current count, the no-op case
+    val listing = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    val r = Maintenance.compactTable(spark, dir, targetBytes = 1L)
+    assert(r.filesBefore == 2 && r.filesAfter == 2, r.toString)
+    val listing2 = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    assert(listing2 == listing, "no-op must leave the files untouched")
+  }
+
+  test("sorted compaction preserves z-order clustering and the zone map " +
+      "is invariant (merged pre-compaction slices stay exact, no rescan)") {
+    val dir = tempDir("compact_z").toString
+    val df = (0 until 4000)
+      .map(i => (i.toLong, (i * 31) % 997L, (i * 17) % 983L))
+      .toDF("id", "x", "y")
+    val nx = Layout.normalize16(col("x"), 996L)
+    val ny = Layout.normalize16(col("y"), 982L)
+    Layout.clusterByZ(df, nx, ny, numPartitions = 16)
+      .write.mode("overwrite").parquet(dir)
+    val zmBefore = Layout.zoneMap(spark.read.parquet(dir), nx, ny, 6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // per-slice maps an ingest would have appended (2 halves)
+    val t = spark.read.parquet(dir)
+    val slices = Layout.mergeZoneMaps(
+      Layout.zoneMap(t.where(col("id") % 2 === 0), nx, ny, 6),
+      Layout.zoneMap(t.where(col("id") % 2 === 1), nx, ny, 6))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val r = Maintenance.compactTable(spark, dir, targetBytes = 1L << 26,
+      sortCols = Seq(Layout.zValue(nx, ny)))
+    assert(r.filesAfter < r.filesBefore, r.toString)
+    // zone map is a function of the data: identical after the rewrite,
+    // and the pre-compaction per-slice merge still serves it exactly
+    val zmAfter = Layout.zoneMap(spark.read.parquet(dir), nx, ny, 6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(zmAfter == zmBefore)
+    assert(slices == zmAfter)
+    // clustering survived: within the single output file the z-values
+    // are non-decreasing
+    val zs = spark.read.parquet(dir).select(Layout.zValue(nx, ny))
+      .collect().map(_.getLong(0)).toSeq
+    assert(zs == zs.sorted, "sorted compaction must keep the z order")
+  }
+
+  test("interrupted swap recovers: a parked original is restored, " +
+      "stale leftovers are cleared") {
+    val dir = stage(n = 500, files = 4)
+    val before = spark.read.parquet(dir).collect().toSet
+    // crash window 2: live dir gone, original parked
+    val f = new java.io.File(dir)
+    val old = new java.io.File(dir + ".__compact_old")
+    assert(f.renameTo(old))
+    Maintenance.recoverCompaction(spark, dir)
+    assert(f.exists() && !old.exists())
+    assert(spark.read.parquet(dir).collect().toSet == before)
+    // crash window 1/3: live dir present, orphan tmp left behind
+    val tmp = new java.io.File(dir + ".__compact_tmp")
+    assert(tmp.mkdirs())
+    val r = Maintenance.compactTable(spark, dir, targetBytes = 1L << 26)
+    assert(r.filesAfter == 1 && !tmp.exists())
+    assert(spark.read.parquet(dir).collect().toSet == before)
+  }
+}
