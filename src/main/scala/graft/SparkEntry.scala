@@ -1904,7 +1904,11 @@ object SparkEntry {
       import graft.operators.{Bm25, Ivf, Retrieval, TermWeights}
       val docs = t(s, dir, "documents")
       val embs = t(s, dir, "embeddings")
-      val q = docs.filter(col("doc_id") % 100 === 0)
+      // PINNED query set (64 fixed ids): the benched number must
+      // measure CORPUS scaling, not query-load scaling — the previous
+      // every-100th-doc set grew 10x with the corpus and made the 10x
+      // bench ratio a construction artifact (r11 verdict)
+      val q = docs.filter(col("doc_id") < 64)
         .join(embs, col("doc_id") === col("vec_id"))
         .select(col("doc_id").as("qid"), col("text").as("qtext"),
           col("embedding").as("qv"))
@@ -1951,7 +1955,11 @@ object SparkEntry {
       import graft.operators.{Bm25, Ivf, Retrieval, TermWeights}
       val docs = t(s, dir, "documents")
       val embs = t(s, dir, "embeddings")
-      val q = docs.filter(col("doc_id") % 100 === 0)
+      // PINNED query set (64 fixed ids): the benched number must
+      // measure CORPUS scaling, not query-load scaling — the previous
+      // every-100th-doc set grew 10x with the corpus and made the 10x
+      // bench ratio a construction artifact (r11 verdict)
+      val q = docs.filter(col("doc_id") < 64)
         .join(embs, col("doc_id") === col("vec_id"))
         .select(col("doc_id").as("qid"), col("text").as("qtext"),
           col("embedding").as("qv"))
