@@ -95,12 +95,8 @@ object Maintenance {
         before.length, bytesBefore)
     val tmp = new Path(path + ".__compact_tmp")
     val old = new Path(path + ".__compact_old")
-    val df = spark.read.parquet(path)
-    val packed =
-      if (sortCols.isEmpty) df.coalesce(targetFiles)
-      else df.repartitionByRange(targetFiles, sortCols: _*)
-        .sortWithinPartitions(sortCols: _*)
-    packed.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    packedFrame(spark.read.parquet(path), targetFiles, sortCols)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // two-phase swap: the original is PARKED, never deleted before the
     // compacted copy is live (crash matrix in the object scaladoc)
     require(fs.rename(p, old), s"could not park $p")
@@ -110,6 +106,17 @@ object Maintenance {
     CompactionResult(before.length, bytesBefore,
       after.length, after.map(_.getLen).sum)
   }
+
+  /** The rewrite plan of [[compactTable]], exposed for plan audits:
+    * coalesce (NO exchange — each output file concatenates input
+    * splits) or one range exchange + sort when preserving a layout.
+    */
+  private[graft] def packedFrame(df: org.apache.spark.sql.DataFrame,
+                                 targetFiles: Int,
+                                 sortCols: Seq[Column]): org.apache.spark.sql.DataFrame =
+    if (sortCols.isEmpty) df.coalesce(targetFiles)
+    else df.repartitionByRange(targetFiles, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
 
   /** Repair an interrupted [[compactTable]] swap. Restores the parked
     * original when the live directory is missing (crash window 2 —

@@ -719,4 +719,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(dataExchanges(enc) == 0, enc)
     assert(enc.contains("merge_tokens_all"), enc)
   }
+
+  test("image_near_dup_lsh candidates come from an equi-join on " +
+    "(band, code) — never a cartesian (the exact arm is the only " +
+    "all-pairs form, and it is the capped anchor)") {
+    val lsh = SparkEntry.queries("image_near_dup_lsh")(spark, dir)
+    val plan = planOf(lsh)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val exact = SparkEntry.queries("image_near_dup")(spark, dir)
+    val eplan = planOf(exact)
+    assert(eplan.contains("CartesianProduct") ||
+      eplan.contains("BroadcastNestedLoopJoin"), eplan)
+  }
+
+  test("compaction rewrite: the unclustered path is exchange-FREE " +
+    "(coalesce concatenates splits); the sorted path pays exactly the " +
+    "one range exchange that buys the clustering back") {
+    import graft.operators.{Layout, Maintenance}
+    val li = Tables.load(spark, dir, "lineitem")
+    val plain = planOf(Maintenance.packedFrame(li, 4, Nil))
+    assert(dataExchanges(plain) == 0, plain)
+    assert(plain.contains("Coalesce"), plain)
+    val nx = Layout.normalize16(col("l_partkey"), 20000L)
+    val ny = Layout.normalize16(col("l_suppkey"), 1000L)
+    val sorted = planOf(
+      Maintenance.packedFrame(li, 4, Seq(Layout.zValue(nx, ny))))
+    assert("Exchange rangepartitioning".r.findAllIn(sorted).length == 1,
+      sorted)
+  }
 }
