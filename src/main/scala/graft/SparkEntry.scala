@@ -136,6 +136,34 @@ object SparkEntry {
       col("n"), col("ft")), spec)
   }
 
+  /** Video-variant corpus for video_near_dup — the same anchor scheme
+    * with TWO kinds (alternating by (doc_id % 16)/8): 0 → the same
+    * sloped-pixel frames re-encoded as BMP inside the container
+    * (content dup, zero shared bytes with the PNG-framed original),
+    * 1 → unrelated (seed + 7777). 6×4 frames, doc_id%7+3 of them.
+    */
+  private def videoVariantCorpus(s: SparkSession,
+                                 dir: String): (DataFrame, DataFrame) = {
+    import graft.operators.Multimodal
+    val anchors = t(s, dir, "documents")
+      .filter(col("doc_id") % 8 === 0 && col("doc_id") < 512)
+      .select(col("doc_id"))
+    val kind = ((col("doc_id") % 16) / 8).cast("int")
+    val nf = (col("doc_id") % 7 + 3).cast("int")
+    val originals = anchors.select(
+      col("doc_id").as("vid_id"), col("doc_id").as("seed"),
+      nf.as("nf"), lit("png").as("fmt"))
+    val variants = anchors.select(
+      (col("doc_id") + 100000).as("vid_id"),
+      when(kind === 1, col("doc_id") + 7777).otherwise(col("doc_id"))
+        .as("seed"),
+      nf.as("nf"),
+      when(kind === 0, "bmp").otherwise("png").as("fmt"))
+    val spec = originals.unionByName(variants)
+    (Multimodal.synthesizeVideoVariants(spec, col("vid_id"), col("seed"),
+      col("nf"), col("fmt"), w = 6, h = 4), spec)
+  }
+
   // trained BPE merge tables, one per (application, table dir): training
   // is a driver loop of count jobs that a production run pays once per
   // vocabulary, not once per encode — memoizing keeps bpe_encode's
@@ -2727,6 +2755,26 @@ object SparkEntry {
       val media = Multimodal.synthesizeVideo(vids, col("doc_id"), col("nf"),
         w = 6, h = 4)
       Multimodal.sampleVideoFrames(media, col("asset_id"), step = 2)
+    }),
+    "video_near_dup" -> ((s, dir) => {
+      // near-dup-by-content for VIDEO, closing the multimodal triangle
+      // (image_near_dup / audio_near_dup siblings): a capped anchor
+      // corpus of frame containers — PNG-framed originals; variants =
+      // the SAME frames re-encoded as BMP (content dup, zero shared
+      // bytes) or an unrelated seed — demuxed, every 2nd frame
+      // DECODED, grid sums accumulated across sampled frames into one
+      // centered 3x3 signature, all pairs scored with the
+      // integer-exact cosine>=0.9995 verdict (re-encodes cos=1
+      // exactly; unrelated measured <=0.9992 — thin because 6x4
+      // synthetic frames carry little content, but the integer
+      // decision makes even a thin margin bit-decisive).
+      val (media, _) = videoVariantCorpus(s, dir)
+      val vecs = Multimodal.videoGridSumVector(media, col("asset_id"),
+        gridW = 3, gridH = 3, step = 2)
+      Similarity.integerCosinePairs(vecs, col("asset_id"), col("features"),
+          tNum = 9995, tDen = 10000, bits = 0)
+        .select(col("id_a").as("asset_a"), col("id_b").as("asset_b"),
+          col("dot"), col("is_dup"))
     }),
     "media_audio_meta" -> ((s, dir) => {
       // REAL audio metadata decode: per-document WAV clips synthesized
@@ -5412,6 +5460,45 @@ object SparkEntry {
         | unnest(range(0, 6)) AS x(x),
         | unnest(range(0, 4)) AS y(y)
         |GROUP BY d.doc_id, f.f""".stripMargin,
+    "video_near_dup" ->
+      // arithmetic recompute of the sloped-pixel frame sums over the
+      // sampled frames, the centered 3x3 signatures and the
+      // integer-exact cosine>=9995/10000 verdict
+      """WITH anchors AS (SELECT doc_id FROM documents
+        |  WHERE doc_id % 8 = 0 AND doc_id < 512),
+        |vids AS (
+        |  SELECT doc_id AS vid_id, doc_id AS seed,
+        |      doc_id % 7 + 3 AS nf FROM anchors
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    CASE WHEN (doc_id % 16) // 8 = 1 THEN doc_id + 7777
+        |         ELSE doc_id END,
+        |    doc_id % 7 + 3
+        |  FROM anchors),
+        |px AS (SELECT v.vid_id,
+        |    ((y.y * 3) // 4) * 3 + (x.x * 3) // 6 AS cell,
+        |    v.seed * 1009 + f.f AS fa, x.x AS x, y.y AS y
+        |  FROM vids v,
+        |    unnest(range(0, v.nf, 2)) AS f(f),
+        |    unnest(range(0, 6)) AS x(x), unnest(range(0, 4)) AS y(y)),
+        |sums AS (SELECT vid_id, cell,
+        |    SUM( (fa * 31 + x * (fa % 7 + 3) + y * (fa % 11 + 5)) % 256
+        |       + (fa * 31 + x * (fa % 7 + 3) + y * (fa % 11 + 5) + 101) % 256
+        |       + (fa * 31 + x * (fa % 7 + 3) + y * (fa % 11 + 5) + 202) % 256
+        |       ) AS s
+        |  FROM px GROUP BY 1, 2),
+        |tot AS (SELECT vid_id, SUM(s) AS st FROM sums GROUP BY 1),
+        |v AS (SELECT g.vid_id, g.cell, CAST(9 * g.s - t.st AS HUGEINT) AS c
+        |  FROM sums g JOIN tot t ON t.vid_id = g.vid_id),
+        |norms AS (SELECT vid_id, SUM(c * c) AS nn FROM v GROUP BY 1),
+        |dots AS (SELECT a.vid_id AS ia, b.vid_id AS ib, SUM(a.c * b.c) AS dot
+        |  FROM v a JOIN v b ON a.cell = b.cell AND a.vid_id < b.vid_id
+        |  GROUP BY 1, 2)
+        |SELECT d.ia AS asset_a, d.ib AS asset_b, CAST(d.dot AS BIGINT) AS dot,
+        |  (d.dot > 0 AND d.dot * d.dot * 100000000 >= 99900025 * na.nn * nb.nn)
+        |    AS is_dup
+        |FROM dots d JOIN norms na ON na.vid_id = d.ia
+        |JOIN norms nb ON nb.vid_id = d.ib""".stripMargin,
     "media_audio_meta" ->
       // arithmetic recompute of the encoded clip shape; the Spark side
       // reports what javax.sound.sampled DECODED from real WAV bytes

@@ -73,23 +73,40 @@ object Multimodal {
   def syntheticPixel(assetId: Long, x: Int, y: Int, channel: Int): Int =
     ((assetId * 31L + x * 7L + y * 13L + channel * 101L) % 256L).toInt
 
+  /** A CONTENT-RICH synthetic pixel whose gradient SLOPES depend on the
+    * seed (`(a·31 + x·(a%7+3) + y·(a%11+5) + c·101) mod 256`) — the
+    * image twin of [[syntheticChirp]] and needed for the same reason:
+    * [[syntheticPixel]]'s slopes are constant, so two videos' frames
+    * differ only by a constant offset and their centered grid sums
+    * differ only through mod-wrap positions — too degenerate to plant
+    * distinguishable near-dup fixtures on FIXED-dims frames (measured:
+    * negative pairs reach cosine 1.0 exactly). Seed-dependent slopes
+    * give distinct spatial shapes per frame id.
+    */
+  def syntheticSlopedPixel(assetId: Long, x: Int, y: Int, channel: Int): Int =
+    ((assetId * 31L + x * (assetId % 7L + 3L) + y * (assetId % 11L + 5L) +
+      channel * 101L) % 256L).toInt
+
   /** Encode one deterministic `w`×`h` image to real PNG (or JPEG/BMP…)
     * bytes via ImageIO — runs on EXECUTORS inside [[synthesizeImages]];
     * public for the specs' golden fixtures.
     */
   def encodeSyntheticImage(assetId: Long, w: Int, h: Int,
                            format: String = "png",
-                           dx: Int = 0, dy: Int = 0): Array[Byte] = {
+                           dx: Int = 0, dy: Int = 0,
+                           sloped: Boolean = false): Array[Byte] = {
     imageIoInit
     require(w >= 1 && h >= 1, s"degenerate image dims ${w}x$h")
+    val pixel: (Long, Int, Int, Int) => Int =
+      if (sloped) syntheticSlopedPixel else syntheticPixel
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = syntheticPixel(assetId, x + dx, y + dy, 0)
-        val g = syntheticPixel(assetId, x + dx, y + dy, 1)
-        val b = syntheticPixel(assetId, x + dx, y + dy, 2)
+        val r = pixel(assetId, x + dx, y + dy, 0)
+        val g = pixel(assetId, x + dx, y + dy, 1)
+        val b = pixel(assetId, x + dx, y + dy, 2)
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
@@ -516,6 +533,118 @@ object Multimodal {
             }
           }
           outRows.result().iterator
+        }
+      }
+    }(enc)
+  }
+
+  /** Video twin of [[synthesizeImageVariants]]: per-row (asset id,
+    * pixel seed, frame count, FRAME FORMAT) renders a length-prefixed
+    * container of real encoded frames — frame `f`'s pixels are
+    * [[syntheticSlopedPixel]] under seed `seed·1009 + f` (see its
+    * scaladoc for why the constant-slope pixel cannot plant
+    * distinguishable fixtures), so a PNG-framed and a BMP-framed
+    * container of the same seed share no bytes but identical decoded
+    * content. Output: (asset_id, media, media_type).
+    */
+  def synthesizeVideoVariants(df: DataFrame, id: Column, seed: Column,
+                              nFrames: Column, frameFormat: Column,
+                              w: Int, h: Int): DataFrame = {
+    val in = df.select(id.cast("long").as("asset_id"),
+      seed.cast("long").as("seed"), nFrames.cast("int").as("nf"),
+      frameFormat.cast("string").as("fmt"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val sd = r.getLong(1); val nf = r.getInt(2); val fmt = r.getString(3)
+        val baos = new ByteArrayOutputStream()
+        val out = new java.io.DataOutputStream(baos)
+        var f = 0
+        while (f < nf) {
+          val frame = encodeSyntheticImage(sd * 1009L + f, w, h, fmt,
+            sloped = true)
+          out.writeInt(frame.length)
+          out.write(frame)
+          f += 1
+        }
+        Row(r.getLong(0), baos.toByteArray, s"video/x-$fmt-frames")
+      }
+    }(enc)
+  }
+
+  /** The video CONTENT SIGNATURE for integer-exact dedup — the temporal
+    * member of the [[imageGridSumVector]] family: demux the container,
+    * DECODE every `step`-th frame, and accumulate the per-cell gray
+    * sums of all sampled frames into ONE gridW×gridH vector (exact
+    * longs, scaled-mean-centered like its image/audio siblings). The
+    * accumulation makes the signature length-independent without
+    * resampling, and skipped frames still cost only a seek — the
+    * [[sampleVideoFrames]] demuxer property. Feed to
+    * [[Similarity.integerCosinePairs]] for near-dup-by-content across
+    * frame codecs. Output: (asset_id, features array<long>).
+    */
+  def videoGridSumVector(df: DataFrame, id: Column, gridW: Int, gridH: Int,
+                         step: Int, mediaCol: String = "media"): DataFrame = {
+    require(gridW >= 1 && gridH >= 1 && step >= 1,
+      s"degenerate grid/step ${gridW}x$gridH/$step")
+    val in = df.select(id.cast("long").as("asset_id"), col(mediaCol).as("m"))
+    val dim = gridW * gridH
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("features", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val a = r.getLong(0)
+        val bytes = r.get(1) match {
+          case b: Array[Byte] => b
+          case _              => null
+        }
+        if (bytes == null) None
+        else {
+          val sums = new Array[Long](dim)
+          var any = false
+          var pos = 0
+          var idx = 0
+          while (pos + 4 <= bytes.length) {
+            val len = ((bytes(pos) & 0xff) << 24) |
+              ((bytes(pos + 1) & 0xff) << 16) |
+              ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+            if (len < 0 || pos.toLong + 4L + len > bytes.length)
+              pos = bytes.length
+            else {
+              if (idx % step == 0) {
+                decodeImage(java.util.Arrays.copyOfRange(bytes, pos + 4,
+                    pos + 4 + len)).foreach { img =>
+                  any = true
+                  val w = img.getWidth; val h = img.getHeight
+                  var y = 0
+                  while (y < h) {
+                    val cy = y * gridH / h
+                    var x = 0
+                    while (x < w) {
+                      val cx = x * gridW / w
+                      val rgb = img.getRGB(x, y)
+                      sums(cy * gridW + cx) += ((rgb >> 16) & 0xff) +
+                        ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                }
+              }
+              pos += 4 + len
+              idx += 1
+            }
+          }
+          if (!any) None
+          else {
+            val total = sums.sum
+            Some(Row(a, sums.map(s => s * dim - total).toSeq))
+          }
         }
       }
     }(enc)

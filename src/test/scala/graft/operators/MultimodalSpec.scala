@@ -371,4 +371,32 @@ class MultimodalSpec extends SparkTestBase {
     val expectedW0 = (0 until 16).map(k => Multimodal.syntheticChirp(9L, k).toLong).sum
     assert(wf(1L).head._3 == expectedW0)
   }
+
+  test("near-dup-by-video-content: a BMP-framed re-encode of a PNG-framed " +
+      "container matches; an unrelated clip does not") {
+    import graft.TestSpark.spark.implicits._
+    import graft.operators.Similarity
+    val spec = Seq(
+      (1L, 5L, 6, "png"),
+      (2L, 5L, 6, "bmp"),     // same sloped-pixel frames, other codec
+      (3L, 7782L, 6, "png"))  // unrelated seed
+      .toDF("vid_id", "seed", "nf", "fmt")
+    val media = Multimodal.synthesizeVideoVariants(spec, col("vid_id"),
+      col("seed"), col("nf"), col("fmt"), w = 6, h = 4)
+    val payloads = media.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(!java.util.Arrays.equals(payloads(1L), payloads(2L)),
+      "frame codecs differ, so the containers share no bytes")
+    val vecs = Multimodal.videoGridSumVector(media, col("asset_id"),
+      gridW = 3, gridH = 3, step = 2)
+    val byId = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(byId(1L) == byId(2L) && byId(1L) != byId(3L))
+    assert(byId.values.forall(_.sum == 0L)) // scaled mean-centering
+    val verdicts = Similarity.integerCosinePairs(vecs, col("asset_id"),
+        col("features"), tNum = 9995, tDen = 10000, bits = 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(3)).toMap
+    assert(verdicts((1L, 2L)) && !verdicts((1L, 3L)) && !verdicts((2L, 3L)),
+      verdicts.toString)
+  }
 }
