@@ -2756,6 +2756,47 @@ object SparkEntry {
         w = 6, h = 4)
       Multimodal.sampleVideoFrames(media, col("asset_id"), step = 2)
     }),
+    "media_features_learned" -> ((s, dir) => { // rows-only (PCA floats)
+      // the model-INFERENCE shape with a REAL learned model — what the
+      // declared stubFeatureVector stands in for, minus the external
+      // ML runtime: content features from DECODED pixels (grid sums),
+      // a PCA basis FITTED on this corpus (the training step, one
+      // distributed moment pass + driver Jacobi), and per-row
+      // projection through the broadcast weight matrix (the batched
+      // inference step — swap the projection kernel for an ONNX/CLIP
+      // call and nothing upstream or downstream changes). IN-PLAN
+      // gate: a BMP re-encode's learned embedding must be IDENTICAL
+      // to its PNG original's (same decoded content -> same features
+      // -> same projection, bit-for-bit) — the gate a fake extractor
+      // that hashed BYTES instead of content would fail.
+      import graft.operators.Pca
+      val (media, _) = imageVariantCorpus(s, dir)
+      val vecs = Multimodal.imageGridSumVector(media, col("asset_id"),
+          gridW = 3, gridH = 3)
+        .select(col("asset_id"),
+          // exact scaling into unit range (one IEEE division by a
+          // power of two per component — keeps the gram aggregate's
+          // quantization guard satisfied and re-encode equality exact)
+          transform(col("features"), x => x.cast("double") / lit(1 << 20))
+            .as("fv"))
+      val model = Pca.fit(vecs, col("fv"), dim = 9, k = 4)
+      val proj = Pca.project(model, vecs, col("fv"))
+        .select(col("asset_id"), col("pca"))
+      // re-encode pairs: variant id = doc_id + 100000, kind 0
+      val reenc = proj.filter(col("asset_id") >= 100000L &&
+          (col("asset_id") - 100000) % 24 === 0)
+        .select((col("asset_id") - 100000).as("asset_id"),
+          col("pca").as("__v_pca"))
+      val gated = proj.join(reenc, Seq("asset_id"), "left")
+        .where(assert_true(col("__v_pca").isNull ||
+            col("pca") === col("__v_pca"),
+          concat(lit("re-encoded content diverged in the learned " +
+            "embedding for asset "), col("asset_id"))).isNull)
+        .drop("__v_pca")
+      gated.select(col("asset_id"), posexplode(col("pca")))
+        .withColumnRenamed("pos", "feature_idx")
+        .withColumnRenamed("col", "feature")
+    }),
     "video_near_dup" -> ((s, dir) => {
       // near-dup-by-content for VIDEO, closing the multimodal triangle
       // (image_near_dup / audio_near_dup siblings): a capped anchor
