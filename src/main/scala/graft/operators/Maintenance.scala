@@ -118,6 +118,38 @@ object Maintenance {
     else df.repartitionByRange(targetFiles, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
 
+  /** [[compactTable]] for a PARTITIONED staging table (`path/k=v/...`
+    * subdirectories — the reference's date-partitioned append layout,
+    * which is exactly where small files accrete: one slice per
+    * calendar batch per partition). Each leaf partition directory is
+    * bin-packed INDEPENDENTLY with its own two-phase swap, so a crash
+    * mid-run leaves every partition either fully compacted or fully
+    * original (and [[recoverCompaction]]-repairable) — never a
+    * half-swapped table; this is also why the loop is a driver loop
+    * over partition names (dimension-bounded metadata, like the
+    * listing itself) while all data movement stays in Spark jobs.
+    * Typically only RECENT partitions need work — pass `partitionFilter`
+    * to skip the already-compacted history (at 100 TB you'd never
+    * relist a year of cold partitions every night).
+    * Returns per-partition results, keyed by the partition dir name.
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         targetBytes: Long,
+                         sortCols: Seq[Column] = Nil,
+                         partitionFilter: String => Boolean = _ => true)
+      : Map[String, CompactionResult] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).filter { st =>
+      st.isDirectory && st.getPath.getName.contains("=") &&
+        !st.getPath.getName.startsWith(".")
+    }.map(_.getPath.getName).sorted
+    parts.filter(partitionFilter).map { part =>
+      part -> compactTable(spark, new Path(p, part).toString, targetBytes,
+        sortCols)
+    }.toMap
+  }
+
   /** Repair an interrupted [[compactTable]] swap. Restores the parked
     * original when the live directory is missing (crash window 2 —
     * conservative: prefer the source of truth, redo the compaction),

@@ -85,6 +85,30 @@ class MaintenanceSpec extends SparkTestBase {
     assert(zs == zs.sorted, "sorted compaction must keep the z order")
   }
 
+  test("partitioned compaction bin-packs each date partition " +
+      "independently, honors the partition filter, and preserves rows") {
+    val dir = tempDir("compact_part").toString
+    (0 until 3000).map(i => (i.toLong, s"2026-08-${10 + i % 3}", s"p$i"))
+      .toDF("id", "load_date", "payload")
+      .repartition(8)
+      .write.partitionBy("load_date").mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).collect().toSet
+    // compact only two of the three partitions (the recent-days filter
+    // a nightly job would pass)
+    val results = Maintenance.compactPartitioned(spark, dir,
+      targetBytes = 1L << 26,
+      partitionFilter = p => p >= "load_date=2026-08-11")
+    assert(results.keySet ==
+      Set("load_date=2026-08-11", "load_date=2026-08-12"), results.toString)
+    results.values.foreach { r =>
+      assert(r.filesBefore == 8 && r.filesAfter == 1, r.toString)
+    }
+    // the filtered-out partition keeps its small files
+    val (f10, _) = Maintenance.fileStats(spark, s"$dir/load_date=2026-08-10")
+    assert(f10 == 8)
+    assert(spark.read.parquet(dir).collect().toSet == before)
+  }
+
   test("interrupted swap recovers: a parked original is restored, " +
       "stale leftovers are cleared") {
     val dir = stage(n = 500, files = 4)
