@@ -302,6 +302,22 @@ class PlanAuditSpec extends SparkTestBase {
         merged.queryExecution.executedPlan.toString)
       val got = merged.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c", 9L -> "i"))
+      // schema EVOLUTION must not cost the layout its elision: the
+      // widening is a Project over the bucketed scan (null literal for
+      // the new column), and bucketing survives projections — so the
+      // evolved merge plans the SAME single delta-side exchange
+      val drifted = Seq((2L, 2L, "upsert", "B2", "eu"))
+        .toDF("id", "seq", "op", "txt", "region")
+      val evolved = Cdc.applyChangeSet(spark.table(baseT), drifted, "id")
+      val evolvedExchanges = evolved.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(evolvedExchanges.length == 1,
+        evolved.queryExecution.executedPlan.toString)
+      val got2 = evolved.collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+      assert(got2 == Map(1L -> ("a", null), 2L -> ("B2", "eu"),
+        3L -> ("c", null)), got2.toString)
     } finally {
       conf.set("spark.sql.adaptive.enabled", prevAqe)
       conf.set("spark.sql.shuffle.partitions", prevShuffle)
