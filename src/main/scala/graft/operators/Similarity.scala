@@ -128,6 +128,17 @@ object Similarity {
     * exact long dot product, `is_dup` the integer-exact threshold
     * verdict. Filter `is_dup` for the duplicate set; keep all rows for
     * margin inspection.
+    *
+    * Magnitude contract: Σv² per vector must satisfy Σv² ≤ 10¹⁹/tDen —
+    * then dot and both norms are exact longs (Cauchy-Schwarz bounds
+    * |dot| by the norms) and both sides of the squared-products
+    * comparison stay under decimal(38,0)'s 10³⁸ ceiling
+    * (tDen²·na·nb ≤ 10³⁸). Every content signature in this repo is ≤ a
+    * few 1e6 per component at dim ≤ 12 (Σv² ≤ ~1e14), orders of
+    * magnitude inside the bound; an out-of-contract input fails LOUDLY
+    * with Spark's ANSI decimal-overflow error, never silently.
+    * SimilaritySpec pins the verdicts to exact BigInt rational
+    * arithmetic across magnitudes up to the bound.
     */
   def integerCosinePairs(df: DataFrame, id: Column, vec: Column,
                          tNum: Long, tDen: Long,

@@ -61,4 +61,43 @@ class SimilaritySpec extends SparkTestBase {
       VectorFunctions.normalize(col("v")))).head().getDouble(0)
     assert(math.abs(n - 1.0) < 1e-12)
   }
+
+  test("integer cosine verdicts agree with exact BigInt rational " +
+      "arithmetic on randomized vectors, including magnitudes that " +
+      "need far more than 64 bits mid-comparison") {
+    import graft.TestSpark.spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // mixed magnitudes: small, centered-signature-sized (~1e6), and
+    // near the documented Σv² ≤ 1e19/tDen contract bound — where the
+    // dot/norms still fit a long but their squared products push the
+    // decimal(38,0) comparison close to its 1e38 ceiling
+    val vecs = (0 until 60).map { i =>
+      val scale = Seq(10L, 1000000L, 100000000L)(i % 3)
+      (i.toLong, Seq.fill(9)((rnd.nextLong() % scale)))
+    }.toDF("id", "v")
+    val tNum = 95L; val tDen = 100L
+    val got = Similarity.integerCosinePairs(vecs, col("id"), col("v"),
+        tNum, tDen, bits = 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val byId = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got.size == 60 * 59 / 2)
+    got.foreach { case ((ia, ib), (dot, verdict)) =>
+      val a = byId(ia).map(BigInt(_)); val b = byId(ib).map(BigInt(_))
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum
+      val nb = b.map(x => x * x).sum
+      // dot column is the exact long dot product (these magnitudes are
+      // chosen to keep the DOT itself in range; only its square is not)
+      assert(BigInt(dot) == d, s"($ia,$ib): dot $dot != $d")
+      // verdict == cos(a,b) >= tNum/tDen decided as an exact rational
+      // comparison (cross-multiplied squares) — no floats anywhere
+      val want = d > 0 &&
+        d * d * BigInt(tDen) * BigInt(tDen) >=
+          BigInt(tNum) * BigInt(tNum) * na * nb
+      assert(verdict == want, s"($ia,$ib): verdict $verdict != $want")
+    }
+  }
 }
