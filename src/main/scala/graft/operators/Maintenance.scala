@@ -87,6 +87,15 @@ object Maintenance {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(spark, path)
     val before = dataFiles(fs, p)
+    // a PARTITIONED root has no top-level data files — a silent no-op
+    // here would read as "already compact" while every partition keeps
+    // its small files; route to the per-partition entry point instead
+    if (before.isEmpty &&
+        fs.listStatus(p).exists(st => st.isDirectory &&
+          st.getPath.getName.contains("=")))
+      throw new IllegalArgumentException(
+        s"$path is a partitioned table root (k=v subdirectories, no " +
+          "top-level data files) — use compactPartitioned")
     val bytesBefore = before.map(_.getLen).sum
     val targetFiles =
       math.max(1L, (bytesBefore + targetBytes - 1) / targetBytes).toInt

@@ -107,6 +107,12 @@ class MaintenanceSpec extends SparkTestBase {
     val (f10, _) = Maintenance.fileStats(spark, s"$dir/load_date=2026-08-10")
     assert(f10 == 8)
     assert(spark.read.parquet(dir).collect().toSet == before)
+    // pointing the FLAT compactor at a partitioned root is an error,
+    // not a silent "already compact" no-op
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.compactTable(spark, dir, targetBytes = 1L << 26)
+    }
+    assert(e.getMessage.contains("compactPartitioned"), e.getMessage)
   }
 
   test("interrupted swap recovers: a parked original is restored, " +

@@ -594,6 +594,43 @@ class StreamsSpec extends SparkTestBase {
     assert(v == Map(1L -> "alpha", 2L -> "beta"))
   }
 
+  test("cdcMergeStream: a restarted stream carrying a NEW payload column " +
+      "widens the store mid-stream (schema-on-read drift)") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    val store = tempDir("cdc_drift_store").toString
+    val mem1 = MemoryStream[(Long, Long, String, String)]
+    val q1 = Streams.cdcMergeStream(
+        mem1.toDF().toDF("id", "seq", "op", "txt"), store,
+        tempDir("cdc_drift_ckpt1").toString, id = "id",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem1.addData((1L, 1L, "upsert", "alpha"), (2L, 2L, "upsert", "beta"))
+    q1.processAllAvailable()
+    q1.stop()
+    // the upstream feed gained a column; the restarted job's inferred
+    // schema is wider — the fold must widen the stored snapshot with
+    // nulls for pre-drift rows instead of failing or dropping it
+    val mem2 = MemoryStream[(Long, Long, String, String, String)]
+    val q2 = Streams.cdcMergeStream(
+        mem2.toDF().toDF("id", "seq", "op", "txt", "region"), store,
+        tempDir("cdc_drift_ckpt2").toString, id = "id",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem2.addData((2L, 3L, "upsert", "beta2", "eu"),
+      (3L, 4L, "upsert", "gamma", "us"))
+    q2.processAllAvailable()
+    assert(q2.exception.isEmpty, q2.exception.toString)
+    q2.stop()
+    val v = Streams.cdcStoreView(spark, store)
+    assert(v.columns.toSeq == Seq("id", "txt", "region"))
+    val got = v.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got == Map(1L -> ("alpha", null), 2L -> ("beta2", "eu"),
+      3L -> ("gamma", "us")), got.toString)
+  }
+
   test("cdcMergeStream: torn pointer swap (no CURRENT, CURRENT.tmp " +
       "present) recovers the committed store instead of restarting empty") {
     import graft.TestSpark.spark.implicits._
