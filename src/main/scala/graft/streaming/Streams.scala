@@ -236,7 +236,8 @@ object Streams {
   def cdcMergeStream(changes: DataFrame, storePath: String,
                      checkpointDir: String, id: String,
                      seq: String = "seq", op: String = "op",
-                     trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] = {
+                     trigger: Trigger = Trigger.AvailableNow(),
+                     generationFiles: Option[Int] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
     // writer epoch: one per cdcMergeStream CALL, so it changes on every
     // restart (like the engine's runId) but is stable across batches of
     // one run — exactly the scope a same-run redelivery shares
@@ -283,8 +284,17 @@ object Streams {
           // number keeps "gen number = commit order" readable)
           val genName = f"gen-${
             existingGens.lastOption.map(genNumber).getOrElse(0L) + 1}%012d"
-          val next = graft.operators.Cdc.applyChangeSetVersioned(
+          val next0 = graft.operators.Cdc.applyChangeSetVersioned(
             base, batch.toDF(), id, seq, op)
+          // generationFiles: every batch REWRITES the store, so the
+          // merge's shuffle parallelism would otherwise dictate the
+          // file count of even a tiny snapshot forever (the small-file
+          // problem inside our own store). The coalesce adds no
+          // exchange — it concatenates the join's partitions, the same
+          // shuffle-free bin-packing Maintenance.compactTable uses.
+          // Leave None when the snapshot is genuinely large: natural
+          // partitioning IS the parallelism of the next batch's scan.
+          val next = generationFiles.map(next0.coalesce).getOrElse(next0)
           next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(new org.apache.hadoop.fs.Path(root, genName).toString)
           // pointer swap: write CURRENT.tmp fully, then rename into place

@@ -524,6 +524,31 @@ class StreamsSpec extends SparkTestBase {
     assert(diff == Map(2L -> "changed", 3L -> "added"), diff.toString)
   }
 
+  test("cdcMergeStream: generationFiles bin-packs each generation " +
+      "(no small-file accretion inside the store)") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    val store = tempDir("cdc_packed_store").toString
+    val mem = MemoryStream[(Long, Long, String, String)]
+    val q = Streams.cdcMergeStream(
+        mem.toDF().toDF("id", "seq", "op", "txt"), store,
+        tempDir("cdc_packed_ckpt").toString, id = "id",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        generationFiles = Some(1))
+      .start()
+    mem.addData((1L, 1L, "upsert", "alpha"), (2L, 2L, "upsert", "beta"))
+    q.processAllAvailable()
+    q.stop()
+    val gens = Streams.listGenerations(spark, store)
+    val (nFiles, _) = graft.operators.Maintenance.fileStats(spark,
+      new java.io.File(store, gens.last).toString)
+    assert(nFiles == 1, s"expected 1 data file, got $nFiles")
+    val v = Streams.cdcStoreView(spark, store)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(1L -> "alpha", 2L -> "beta"))
+  }
+
   test("cdcMergeStream: replay of an already-applied batch is a no-op " +
       "(checkpoint lost after the pointer swap)") {
     import graft.TestSpark.spark.implicits._
