@@ -1469,6 +1469,37 @@ object SparkEntry {
         .where(assert_true(col("row_identity"),
           lit(s"compacted table diverged from source at $stagePath")).isNull)
     }),
+    "compaction_partitioned_stats" -> ((s, dir) => {
+      // the PARTITIONED form of compaction_stats — the reference's
+      // actual layout (date-partitioned staging, one slice per
+      // calendar batch): lineitem staged under 3 l_returnflag
+      // partitions x 16 small files each, every partition bin-packed
+      // independently, and the rewrite proven lossless per partition
+      // against the source's GROUP BY — so a partition swapped with
+      // another's data (not just lost rows) would hash-mismatch.
+      import graft.operators.Maintenance
+      val stagePath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_compact_part_" + java.lang.Integer.toHexString(dir.hashCode) +
+          "_" + s.sparkContext.applicationId
+            .replaceAll("[^A-Za-z0-9]", "")).toString
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"))
+      val fsP = new org.apache.hadoop.fs.Path(stagePath)
+      val fs = fsP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsP, true)
+      li.repartition(16).write.partitionBy("l_returnflag").parquet(stagePath)
+      val results = Maintenance.compactPartitioned(s, stagePath,
+        targetBytes = 64L << 20)
+      require(results.nonEmpty &&
+        results.values.forall(r => r.filesAfter < r.filesBefore),
+        s"partitioned compaction did not reduce files: $results")
+      s.read.parquet(stagePath)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("l_orderkey")).cast("long").as("sum_okey"))
+        .withColumn("compacted", lit(true))
+    }),
     "novelty_scores" -> ((s, dir) => {
       // per-doc novelty of the src1x increment vs the accumulated
       // src0-9 reference (the dedup_incremental split): integral
@@ -4605,6 +4636,13 @@ object SparkEntry {
         |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
         |FROM dict a JOIN dict b ON a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
+    "compaction_partitioned_stats" ->
+      // per-partition data identity of the staged+compacted table vs
+      // the source's GROUP BY; `compacted` TRUE by the driver gate
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+        |  TRUE AS compacted
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "compaction_stats" ->
       // data identity of the staged+compacted table vs the source; the
       // contract booleans are TRUE by the in-plan/driver gates
