@@ -1230,6 +1230,32 @@ object SparkEntry {
             col("id"))).isNull)
         .select(col("id"), col("status"))
     }),
+    "ivm_refresh" -> ((s, dir) => {
+      // incremental view maintenance over the snapshot_diff scenario:
+      // the stored per-doc annotation table (token/stopword counts +
+      // exact mean token length) is refreshed by RE-DERIVING ONLY the
+      // added/changed slice — survivors pass through, removed ids drop.
+      // The oracle recomputes the WHOLE table from the new snapshot, so
+      // a hash match IS the full-recompute-equivalence proof (the IVM
+      // contract: derive is row-local, content compare covers derive's
+      // inputs). At 100 TB the derive slice is churn-sized; SnapshotSpec
+      // pins that unchanged rows never reach the derive (a poisoned
+      // derive that throws on them stays green).
+      import graft.operators.Snapshot
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("source").rlike("^src([0-9]|1[0-4])$"))
+      val neu = docs.filter(col("source").rlike("^src([5-9]|1[0-9])$"))
+        .withColumn("text",
+          when(col("lang") === "de", upper(col("text"))).otherwise(col("text")))
+      def derive(d: DataFrame): DataFrame =
+        d.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.stopwordCount(col("text"),
+            TextFunctions.DefaultStopwords).as("n_stopwords"),
+          TextFunctions.avgTokenLength(col("text")).as("avg_token_len"))
+      Snapshot.incrementalRefresh(derive(old), old, neu, "doc_id",
+        col("text"), derive)
+    }),
     "cdc_merge" -> ((s, dir) => {
       // nightly-refresh MERGE: base = the src0-14 snapshot; the delta
       // mixes inserts (src15-19 arrive), in-place updates (de docs
@@ -4434,6 +4460,17 @@ object SparkEntry {
         |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id""".stripMargin,
+    "ivm_refresh" ->
+      // the oracle is the FULL recompute over the new snapshot — the
+      // incremental path must be indistinguishable from it
+      """WITH neu AS (SELECT doc_id,
+        |  CASE WHEN lang = 'de' THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE regexp_matches(source, '^src([5-9]|1[0-9])$')),
+        |t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM neu)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        | len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS n_stopwords,
+        | CAST(length(text) - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len
+        |FROM t""".stripMargin,
     "cdc_merge" ->
       // same delta construction (cdcChanges scaladoc), latest-wins via
       // QUALIFY row_number, merge via full-outer + delete filter

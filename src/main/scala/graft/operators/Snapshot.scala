@@ -54,4 +54,54 @@ object Snapshot {
                   id: Column, content: Column): DataFrame =
     diff(oldSnap, newSnap, id, content)
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
+
+  /** Incremental view maintenance for a ROW-LOCAL derived table: bring
+    * `prevDerived` = `derive(oldSnap)` up to date with `newSnap` by
+    * recomputing ONLY the rows the snapshot diff says changed —
+    * surviving rows pass through untouched, `derive` runs over the
+    * added/changed slice alone, removed ids drop out. This is the
+    * nightly-refresh shape for every per-document annotation table
+    * (quality scores, token counts, fingerprints, embeddings): at
+    * 100 TB with sub-percent daily churn, a full re-derivation
+    * re-tokenizes the whole corpus to change almost nothing, while
+    * this touches churn-sized data plus one id-keyed reconciliation.
+    *
+    * Contract:
+    *   - `derive` must be ROW-LOCAL: `derive(subset)` must equal the
+    *     restriction of `derive(whole)` to that subset (pure per-row
+    *     projections/kernels — no corpus aggregates, no joins back
+    *     into the snapshot). A corpus-dependent derive (df/idf stats,
+    *     normalization by a global mean) silently violates the
+    *     full-recompute equivalence; refresh those via their mergeable
+    *     partial-aggregate forms instead ([[graft.operators.Layout.mergeZoneMaps]]
+    *     / the sketch stores are that family's primitives).
+    *   - `prevDerived` is exactly `derive(oldSnap)` (same id universe);
+    *     `idName` names the id column in all four frames; ids unique
+    *     per snapshot (the [[diff]] contract).
+    *   - Equality of `content` must imply equality of `derive`'s
+    *     inputs for that row — compare the columns `derive` reads (or
+    *     a digest of them), not an unrelated version stamp.
+    *
+    * Scale shape: the [[diff]] full-outer join plus two LEFT SEMI
+    * joins, every one keyed on the SAME id — bucketed-by-id stores
+    * plan the whole refresh with zero exchange, and AQE reuses the
+    * diff's exchange for the semi probes otherwise. `derive` sees only
+    * churn-sized input. The output union is a pure concatenation (no
+    * shuffle); `unionByName` fails loudly if a derive schema drifted
+    * from the stored table.
+    */
+  def incrementalRefresh(prevDerived: DataFrame,
+                         oldSnap: DataFrame, newSnap: DataFrame,
+                         idName: String, content: Column,
+                         derive: DataFrame => DataFrame): DataFrame = {
+    val d = diff(oldSnap, newSnap, col(idName), content)
+    val kept = prevDerived.join(
+      d.filter(col("status") === "unchanged").select(col("id").as("__keep_id")),
+      prevDerived(idName) === col("__keep_id"), "left_semi")
+    val freshRows = newSnap.join(
+      d.filter(col("status").isin("added", "changed"))
+        .select(col("id").as("__fresh_id")),
+      newSnap(idName) === col("__fresh_id"), "left_semi")
+    kept.unionByName(derive(freshRows))
+  }
 }

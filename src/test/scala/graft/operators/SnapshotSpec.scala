@@ -42,4 +42,53 @@ class SnapshotSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(viaDigest == viaText)
   }
+
+  private def deriveStats(d: org.apache.spark.sql.DataFrame) =
+    d.select(col("id"), length(col("text")).as("n_chars"),
+      size(split(col("text"), " ")).as("n_tokens"))
+
+  test("incrementalRefresh == full recompute; derive never sees survivors") {
+    val old = (1L to 60L).map(i => (i, s"doc number $i body")).toDF("id", "text")
+    val neu = ((5L to 64L).map(i =>
+      (i, if (i % 7 == 0) s"doc number $i body edited twice" // changed
+          else s"doc number $i body"))).toDF("id", "text")
+    val prev = deriveStats(old)
+    val survivorIds = (5L to 64L).filter(i => i <= 60 && i % 7 != 0)
+    // POISONED derive: throws in-plan if any survivor id reaches it —
+    // pins the IVM contract that unchanged rows are never re-derived.
+    // The poison rides INSIDE a projected column (the shape of a real
+    // derive kernel) rather than a where(): a deterministic FILTER is
+    // fair game for pushdown below the semi join, but project
+    // expressions are only ever evaluated on the join's output rows —
+    // which is exactly the property the scale claim rests on.
+    def poisoned(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id"),
+        when(assert_true(!col("id").isin(survivorIds: _*),
+          concat(lit("derive saw survivor id "), col("id"))).isNull,
+          length(col("text"))).as("n_chars"),
+        size(split(col("text"), " ")).as("n_tokens"))
+    val got = Snapshot.incrementalRefresh(prev, old, neu, "id",
+      col("text"), poisoned)
+    val full = deriveStats(neu)
+    assert(got.count() == 60)
+    assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
+  }
+
+  test("incrementalRefresh drops removed ids and fails loudly on derive schema drift") {
+    val old = (1L to 10L).map(i => (i, s"d $i")).toDF("id", "text")
+    val neu = (6L to 10L).map(i => (i, s"d $i")).toDF("id", "text")
+    val refreshed = Snapshot.incrementalRefresh(deriveStats(old), old, neu,
+      "id", col("text"), deriveStats)
+    assert(refreshed.select("id").as[Long].collect().sorted
+      .sameElements(6L to 10L))
+    // a derive whose output schema drifted from the stored table must
+    // throw at plan assembly (unionByName), not write a corrupt union
+    val drifted = intercept[org.apache.spark.sql.AnalysisException] {
+      Snapshot.incrementalRefresh(deriveStats(old), old, neu, "id",
+        col("text"),
+        d => d.select(col("id"), length(col("text")).as("other_col")))
+    }
+    assert(drifted.getMessage.toLowerCase.contains("n_chars") ||
+      drifted.getMessage.toLowerCase.contains("other_col"))
+  }
 }
