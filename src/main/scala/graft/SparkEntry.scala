@@ -1146,6 +1146,23 @@ object SparkEntry {
           floor(col("jaccard") * 1000000).cast("long"), iterations = 3)
         .select(col("id").as("doc_id"), col("score"))
     }),
+    "graph_communities" -> ((s, dir) => {
+      // community detection on the near-dup graph: deterministic
+      // synchronous label propagation (frequency voting, ties to the
+      // min label), 3 rounds — splits a connected component into its
+      // DENSE cores, the signal dedup_clusters' CC can't give (two
+      // template families bridged by one borderline pair vote apart).
+      // Exact integer counts + deterministic tie-break make the round-3
+      // labelling bit-reproducible, so the whole frame hash-matches the
+      // unrolled-CTE DuckDB oracle (the doc_pagerank convention).
+      import graft.operators.Centrality
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.5)
+      Centrality.labelPropagation(docs, col("doc_id"), pairs,
+          iterations = 3)
+        .select(col("id").as("doc_id"), col("label").as("community"))
+    }),
     "graph_kcore" -> ((s, dir) => {
       // cohesive-subgraph membership: the 2-core of the near-dup graph
       // (nodes that remain after iteratively peeling degree<2 members)
@@ -3364,6 +3381,43 @@ object SparkEntry {
     graph + steps + s"SELECT id AS doc_id, score FROM s$iters"
   }
 
+  /** Unrolled-CTE oracle for graph_communities: the same exact 3-gram
+    * Jaccard pair graph as docPagerankSql, then `iters` synchronous
+    * label-propagation rounds — per round a (node, label) frequency
+    * count over the symmetrized edges, a QUALIFY argmax with the
+    * (count DESC, label ASC) tie-break, and a left join back to the
+    * node set (isolated nodes keep their own id).
+    */
+  private def docLabelPropSql(iters: Int = 3): String = {
+    val graph =
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id,
+        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM toks WHERE len(t) >= 3)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |prs AS (SELECT id_a, id_b FROM inter
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+        |  UNION ALL SELECT id_b, id_a FROM prs),
+        |l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""p$k AS (SELECT dst, label FROM (
+         |  SELECT e.dst, l.label, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM edges e JOIN l${k - 1} l ON l.id = e.src GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (PARTITION BY dst
+         |    ORDER BY c DESC, label ASC) = 1),
+         |l$k AS (SELECT d.doc_id AS id, COALESCE(p$k.label, d.doc_id) AS label
+         |  FROM documents d LEFT JOIN p$k ON p$k.dst = d.doc_id)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    graph + steps + s"SELECT id AS doc_id, label AS community FROM l$iters"
+  }
+
   private def docPagerankSql(iters: Int = 3): String = {
     val base = "(15 * (1000000000000 // c.n)) // 100"
     val graph =
@@ -5008,6 +5062,7 @@ object SparkEntry {
         |FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
         |GROUP BY d.doc_id""".stripMargin,
     "doc_pagerank" -> docPagerankSql(3),
+    "graph_communities" -> docLabelPropSql(3),
     "doc_pagerank_weighted" -> docPagerankWeightedSql(3),
     "graph_kcore" -> graphKcoreSql(2, 4),
     "graph_triangles" ->

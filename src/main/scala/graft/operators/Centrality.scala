@@ -322,6 +322,73 @@ object Centrality {
     result
   }
 
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara 2007, "Near linear time algorithm to detect
+    * community structures in large-scale networks"), made DETERMINISTIC:
+    * every node starts with its own id as label, and each round adopts
+    * the label most frequent among its NEIGHBORS, ties broken toward
+    * the smallest label; isolated nodes keep their own id. Unlike
+    * [[Dedup.connectedComponents]] (which a min-label fixpoint would
+    * reproduce), frequency voting splits a component into its dense
+    * cores: two template families bridged by one borderline pair stay
+    * separate communities, because one cross-edge is always outvoted —
+    * the curation signal CC cannot give ("this near-dup blob is really
+    * two families").
+    *
+    * Determinism is the whole trick (the paper's random tie-break makes
+    * runs incomparable): argmax-by-(count, min-label) over exact counts
+    * is a pure function of the previous labelling, so a FIXED number of
+    * synchronous rounds is bit-reproducible across engines,
+    * partitionings and retries — and the registered query answers a
+    * DuckDB oracle with the rounds unrolled as CTEs (the doc_pagerank
+    * convention). Synchronous LPA on a bipartite-ish subgraph can
+    * 2-cycle rather than converge; a fixed `iterations` makes that a
+    * non-issue (both engines compute the same round-k labelling).
+    *
+    * Scale shape: the symmetrized edge list is persisted once; each
+    * round is one src-keyed equi-join (labels onto edges), one
+    * map-side-combining (dst, label) count, one dst-keyed window argmax
+    * (rows per node bounded by its distinct neighbor labels ≤ degree),
+    * and one left join back to the node set — all exchanges keyed on
+    * the node id, nothing collected. Plan lineage is truncated every
+    * `truncateEvery` rounds and the result is an eager checkpoint (the
+    * [[fixedPointPageRank]] lifecycle).
+    *
+    * Output: (id, label) for every node in `nodes`; `label` is the id
+    * of some member of the node's community.
+    */
+  def labelPropagation(nodes: DataFrame, id: Column, pairs: DataFrame,
+                       iterations: Int, truncateEvery: Int = 4): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(truncateEvery >= 1,
+      s"truncateEvery must be >= 1, got $truncateEvery")
+    val ids = nodes.select(id.as("id"))
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist() // reused every round (fills on round 1's scan)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst")).orderBy(col("c").desc, col("label").asc)
+    var labels = ids.select(col("id"), col("id").as("label"))
+    for (iter <- 1 to iterations) {
+      val pick = edges
+        .join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("dst"), col("label").as("__new"))
+      labels = ids.join(pick, ids("id") === pick("dst"), "left")
+        .select(col("id"), coalesce(col("__new"), col("id")).as("label"))
+      if (iter % truncateEvery == 0 && iter < iterations)
+        labels = labels.localCheckpoint(true)
+    }
+    val result = labels.localCheckpoint(true)
+    edges.unpersist(blocking = false)
+    result
+  }
+
   def triangleStats(nodes: DataFrame, id: Column,
                     pairs: DataFrame): DataFrame = {
     // persist the canonical edge list FIRST: `pairs` is typically an

@@ -250,5 +250,56 @@ class CentralitySpec extends SparkTestBase {
       Centrality.fixedPointPageRank(nodes.toDF("doc_id"), col("doc_id"),
         path.toDF("id_a", "id_b"), iterations = 1, scale = 10L)
     }
+    intercept[IllegalArgumentException] {
+      Centrality.labelPropagation(nodes.toDF("doc_id"), col("doc_id"),
+        path.toDF("id_a", "id_b"), iterations = 0)
+    }
+  }
+
+  private def runLpa(ns: Seq[Long], ps: Seq[(Long, Long)],
+                     iters: Int): Map[Long, Long] =
+    Centrality.labelPropagation(ns.toDF("doc_id"), col("doc_id"),
+        ps.toDF("id_a", "id_b"), iterations = iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("lpa: bridged triangles split into two communities; CC would merge them") {
+    // two triangles joined by ONE bridge edge — a single connected
+    // component, but frequency voting keeps the dense cores apart.
+    // Expected labels hand-simulated round by round (ties -> min label):
+    //   L1 = [2,1,1,3,4,4], L2 = [1,1,1,4,3,3], L3 = [1,1,1,3,3,3]
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L) // 7 isolated
+    val ps = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    assert(runLpa(ns, ps, 3) == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L,
+      7L -> 7L))
+    // the intermediate rounds match the hand simulation too (pins the
+    // synchronous-update semantics, not just a lucky fixpoint)
+    assert(runLpa(ns, ps, 1) == Map(
+      1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L,
+      7L -> 7L))
+    assert(runLpa(ns, ps, 2) == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 3L, 6L -> 3L,
+      7L -> 7L))
+  }
+
+  test("lpa: a clique labels to its min id; determinism across repartition") {
+    val ns = Seq(10L, 11L, 12L, 13L)
+    val ps = Seq((10L, 11L), (10L, 12L), (10L, 13L),
+      (11L, 12L), (11L, 13L), (12L, 13L))
+    val a = runLpa(ns, ps, 2)
+    val b = Centrality.labelPropagation(
+        ns.toDF("doc_id").repartition(7), col("doc_id"),
+        ps.toDF("id_a", "id_b").repartition(5), iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a.values.toSet == Set(10L))
+  }
+
+  test("lpa: returned plan is the checkpoint scan, free of iteration joins") {
+    val got = Centrality.labelPropagation(nodes.toDF("doc_id"),
+      col("doc_id"), path.toDF("id_a", "id_b"), iterations = 3)
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
   }
 }
