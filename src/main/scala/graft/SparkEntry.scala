@@ -2247,6 +2247,60 @@ object SparkEntry {
       Ivf.topK(model, assigned, queries, col("vec_id"), col("embedding"),
         k = 10, nprobe = 4)
     }),
+    "ivf_stored_topk" -> ((s, dir) => { // engine-hash: rows-only
+      // the STORED-index probe cost — dedup_incremental_stored's ANN
+      // twin: ivf_topk re-assigns the corpus inline, so its number
+      // conflates index build with the probe; this entry probes a
+      // PRE-MATERIALIZED list-partitioned index (built once per
+      // session+dir, the ivfIndexStream layout: slices stamped with
+      // batch ids, partitioned by list_id so probes prune directories —
+      // PlanAuditSpec pins the PartitionFilters). The store carries a
+      // deliberately REPLAYED appendix of slice 1, so the self-hit gate
+      // below doubles as the replay-absorption certificate: without
+      // topKStored's post-prune dedup every odd-id query would see its
+      // self-hit TWICE and the === 1 assert fails. Full identity to the
+      // fresh in-memory index is spec-pinned (StreamsSpec).
+      import graft.operators.Ivf
+      val model = ivfModelFor(s, dir) // memoized bit-stable fit
+      val embs = t(s, dir, "embeddings")
+      val appTag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val store = new org.apache.hadoop.fs.Path(wh, "graft_ivfindex_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_" + appTag)
+      if (!fs.exists(store)) {
+        // sweep stale stores left by dead application ids (the sigstore
+        // hygiene discipline; same 30-minute concurrent-JVM floor)
+        val staleBefore = System.currentTimeMillis() - 30L * 60 * 1000
+        if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+          val nm = st.getPath.getName
+          if (nm.startsWith("graft_ivfindex_") && !nm.contains(appTag) &&
+              st.getModificationTime < staleBefore)
+            fs.delete(st.getPath, true)
+        }
+        def appendSlice(p: Column, bid: Long): Unit =
+          Ivf.assign(model, embs.filter(p), col("vec_id"), col("embedding"))
+            .withColumn("batch_id", lit(bid))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .partitionBy("list_id").parquet(store.toString)
+        appendSlice(col("vec_id") % 2 === 0, 0L)
+        appendSlice(col("vec_id") % 2 === 1, 1L)
+        appendSlice(col("vec_id") % 2 === 1, 1L) // the replayed appendix
+      }
+      val q = embs.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Ivf.topKStored(model, s.read.parquet(store.toString), q,
+          col("qid"), col("qv"), k = 10, nprobe = 4, excludeSelf = false)
+        .withColumn("__self",
+          sum(when(col("query_id") === col("neighbor_id"), 1L).otherwise(0L))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))))
+        .where(assert_true(col("__self") === 1,
+          concat(lit("stored IVF probe lost (or duplicated) the self-hit " +
+            "for query "), col("query_id"))).isNull)
+        .drop("__self")
+    }),
     "ann_topk_recall" -> ((s, dir) => {
       // Recall gate for ann_topk's exact operating point (bits=4,
       // probes=4): macro-averaged recall vs the in-query brute-force

@@ -431,6 +431,57 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
 
+  /** Continuously maintain an IVF vector index: each micro-batch of
+    * (id, embedding) rows is assigned to its nearest centroid — a pure
+    * per-row codegen kernel over the broadcast model, ZERO shuffle —
+    * and appended to the store PARTITIONED BY `list_id`, so a query's
+    * probe of nprobe lists reads nprobe/nlist of the index directories
+    * and the accumulated index is never rescanned or refit per batch.
+    * This is the vector-index twin of [[incrementalDedupStream]]'s
+    * signature store: the model (an nlist×dim matrix) is fit ONCE
+    * ([[graft.operators.Ivf.fitDistributed]] for the bit-stable form)
+    * and must stay FIXED for the life of the store — re-fitting would
+    * silently re-route new vectors to lists old ones were filed under
+    * (rebuild into a fresh store to re-center; the standard IVF
+    * operating model).
+    *
+    * Replay semantics: append-only, same as [[zoneMapStream]] — a
+    * replayed batch re-appends its slice verbatim (stamped with the
+    * same batch id). No view-side dedup is needed for the store
+    * itself; the probe path collapses duplicates AFTER candidate
+    * pruning ([[graft.operators.Ivf.topKStored]]), which keeps the
+    * dedup candidate-sized and the partition-pruned scan intact.
+    * Contract: `id` values are unique across the stream's life (an
+    * append-only corpus); route vector UPDATES through a CDC store
+    * instead — an updated vector may belong to a DIFFERENT list, so
+    * latest-wins cannot be resolved inside one list's partition.
+    */
+  def ivfIndexStream(vectors: DataFrame, model: graft.operators.Ivf.IvfModel,
+                     storePath: String, checkpointDir: String,
+                     id: Column, vec: Column,
+                     trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Ivf.assign(model, batch.toDF(), id, vec)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy("list_id")
+          .parquet(storePath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
+  /** The raw assigned-vector frame an [[ivfIndexStream]] store
+    * currently serves — `(vec_id, v, batch_id, list_id)`, list_id a
+    * partition column so a static or dynamic list filter prunes
+    * directories (PlanAuditSpec pins the PartitionFilters). Feed it to
+    * [[graft.operators.Ivf.topKStored]], which also absorbs replayed
+    * duplicate appendixes; do NOT hand it to plain `topK`, which
+    * assumes a dedup'd assignment.
+    */
+  def ivfIndexView(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+
   /** The per-group distinct view a [[cardinalityStream]] store
     * currently serves: replayed appendixes collapse (idempotent sketch
     * union + max n_rows per batch slice), then one store-row-sized

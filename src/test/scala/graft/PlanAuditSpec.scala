@@ -26,6 +26,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(pushed.exists(_.contains("GreaterThanOrEqual(l_quantity,48")), pushed.toString)
   }
 
+  test("stored IVF index: a list filter prunes partition directories") {
+    // the whole point of partitionBy(list_id) in ivfIndexStream: a
+    // probe of nprobe lists must read nprobe/nlist of the store, not
+    // scan-and-filter it
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ivf_prune").resolve("index").toString
+    import TestSpark.spark.implicits._
+    val vecs = (0L until 30L).map { i =>
+      val base = Array(0.0, 0.0, 0.0, 0.0); base((i % 3).toInt) = 10.0
+      (i, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val model = operators.Ivf.fitDistributed(vecs, col("vec_id"),
+      col("embedding"), nlist = 3, maxIter = 5, seed = 7L)
+    operators.Ivf.assign(model, vecs, col("vec_id"), col("embedding"))
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("list_id").parquet(store)
+    val probed = graft.streaming.Streams.ivfIndexView(spark, store)
+      .where(col("list_id").isin(0, 2))
+    val plan = planOf(probed)
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^\\]]*list_id.*"),
+      plan)
+  }
+
   test("projection prunes the parquet read schema") {
     val df = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))

@@ -806,6 +806,71 @@ class StreamsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.toSeq).toMap
     assert(replayed == full)
   }
+
+  test("ivfIndexStream: slices accumulate a list-partitioned index; " +
+    "stored probes match the fresh index and absorb a replayed appendix") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    import graft.operators.Ivf
+    // three separated direction clusters (the KmeansSpec fixture shape)
+    def row(i: Long): (Long, Seq[Double]) = {
+      val g = (i % 3).toInt
+      val base = Array(0.0, 0.0, 0.0, 0.0)
+      base(g) = 10.0
+      base((g + 1) % 4) = (i / 3 % 3).toDouble
+      (i, base.toSeq)
+    }
+    val batch1 = (0L until 18L).map(row)
+    val batch2 = (18L until 30L).map(row)
+    val all = (batch1 ++ batch2).toDF("vec_id", "embedding")
+    val model = Ivf.fitDistributed(all, col("vec_id"), col("embedding"),
+      nlist = 3, maxIter = 10, seed = 7L)
+    val store = tempDir("ivf_index_store").toString
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.ivfIndexStream(mem.toDF().toDF("vec_id", "embedding"),
+        model, store, tempDir("ivf_index_ckpt").toString,
+        col("vec_id"), col("embedding"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // physical layout: one directory per inverted list
+    val dirs = new java.io.File(store).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("list_id=")).sorted
+    assert(dirs.length == 3, dirs.mkString(","))
+    // stored assignment == fresh kernel assignment, id for id
+    val view = Streams.ivfIndexView(spark, store)
+    val fresh = Ivf.assign(model, all, col("vec_id"), col("embedding"))
+    assert(view.select(col("vec_id"), col("list_id")).as[(Long, Int)]
+      .collect().toMap ==
+      fresh.select(col("vec_id"), col("list_id")).as[(Long, Int)]
+        .collect().toMap)
+    // probe path: stored index answers exactly like the fresh one
+    val queries = Seq((100L, row(4L)._2), (101L, row(11L)._2))
+      .toDF("qid", "qv")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val exp = res(Ivf.topK(model, fresh, queries, col("qid"), col("qv"),
+      k = 5, nprobe = 2, excludeSelf = false))
+    assert(res(Ivf.topKStored(model, view, queries, col("qid"), col("qv"),
+      k = 5, nprobe = 2, excludeSelf = false)) == exp)
+    // replay attack: re-append batch 2's slice verbatim (same batch_id,
+    // the at-least-once failure mode) — topKStored's post-prune dedup
+    // must keep the answer identical
+    Ivf.assign(model, batch2.toDF("vec_id", "embedding"), col("vec_id"),
+        col("embedding"))
+      .withColumn("batch_id", lit(1L))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("list_id").parquet(store)
+    assert(res(Ivf.topKStored(model,
+      Streams.ivfIndexView(spark, store), queries, col("qid"), col("qv"),
+      k = 5, nprobe = 2, excludeSelf = false)) == exp)
+  }
 }
 
 object TestSpark {
