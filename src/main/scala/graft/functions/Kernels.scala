@@ -832,6 +832,36 @@ object Kernels {
     cms.estimateCount(item.getBytes)
   }
 
+  /** (x, y) → Hilbert curve index on a 2^bits × 2^bits grid, the
+    * standard per-level rotate/reflect walk (Hilbert 1891; the loop is
+    * the widely-published xy2d form): at each scale s = 2^b the quadrant
+    * contributes s²·((3·rx) xor ry) and the sub-square is rotated into
+    * canonical orientation. Inputs are masked to the low `bits` bits.
+    * A tight JVM loop, because the rotation makes each level's (x, y)
+    * depend on BOTH previous coordinates — as a Column expression tree
+    * the unrolling doubles per level (2^bits nodes); as SQL it stays
+    * linear only because CTE steps materialize rows (the oracle's
+    * unrolled form).
+    */
+  def hilbert(x0: Long, y0: Long, bits: Int): Long = {
+    val mask = (1L << bits) - 1
+    var x = x0 & mask
+    var y = y0 & mask
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) { // rotate the sub-square
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false
@@ -989,6 +1019,36 @@ object Kernels {
         (a, b) => s"graft.functions.Kernels.agreeCount($a, $b)")
     override protected def withNewChildrenInternal(newLeft: Expression,
                                                    newRight: Expression): AgreeCount =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class HilbertIndex(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression {
+    private def isIntegral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult = {
+      require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+      val l = requireType(prettyName, left, isIntegral, "integral")
+      if (l != TypeCheckSuccess) l
+      else requireType(prettyName, right, isIntegral, "integral")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hilbert_index"
+    private def asLong(v: Any): Long = v match {
+      case b: Byte  => b.toLong
+      case s: Short => s.toLong
+      case i: Int   => i.toLong
+      case l: Long  => l
+    }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.hilbert(asLong(a), asLong(b), bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.Kernels.hilbert((long) $a, (long) $b, $bits)")
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): HilbertIndex =
       copy(left = newLeft, right = newRight)
   }
 
@@ -1209,6 +1269,10 @@ object Kernels {
 
   def agreeCountCol(a: Column, b: Column): Column =
     ColumnBridge.column(AgreeCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def hilbertCol(x: Column, y: Column, bits: Int = 16): Column =
+    ColumnBridge.column(HilbertIndex(ColumnBridge.expression(x),
+      ColumnBridge.expression(y), bits))
 
   def srpCodeCol(v: Column, dim: Int, bits: Int, seed: Long = 42L): Column =
     ColumnBridge.column(SrpCode(ColumnBridge.expression(v), dim, bits, seed))

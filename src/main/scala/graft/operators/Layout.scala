@@ -46,6 +46,41 @@ object Layout {
   def zValue(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** 32-bit Hilbert curve index of two 16-bit dimensions — the
+    * locality-better alternative to [[zValue]] (Hilbert 1891; Faloutsos
+    * & Roseman 1989 measured it dominating Morton for range queries):
+    * consecutive curve positions are ALWAYS spatially adjacent, where
+    * the Morton curve takes a long diagonal "seam" jump every time a
+    * quadrant closes.
+    *
+    * Where the advantage does and does NOT appear — measured, because
+    * the intuition misleads: a fixed-width PREFIX bucket at EVEN k
+    * (top k bits) of either curve is the same depth-k/2 quadtree cell,
+    * the two curves only LABEL the cells differently, so prefix zone
+    * maps ([[zoneMap]] vs [[hilbertZoneMap]]) prune IDENTICALLY
+    * (LayoutSpec pins it; at odd k the cells differ but neither curve
+    * systematically wins). The
+    * locality pays off exactly when buckets are curve-contiguous
+    * EQUAL-COUNT chunks — i.e. real FILES written by a cluster-by
+    * job, whose boundaries fall at arbitrary curve positions: a chunk
+    * spanning a Morton seam gets a bounding box bloated by the
+    * diagonal jump, a Hilbert chunk never does
+    * ([[curveFileMap]]; the `hilbert_pruning` oracle measures the
+    * same box query reading ~2x fewer candidate rows under Hilbert
+    * file chunks on lineitem).
+    *
+    * Same contract as zValue: mask/normalize inputs to 16 bits first.
+    * A codegen kernel rather than builtin composition because each
+    * scale level's rotation reads BOTH coordinates — a Column
+    * unrolling doubles per level ([[graft.functions.Kernels.hilbert]]);
+    * the cost is the same ~dozen long ops per row inside
+    * WholeStageCodegen.
+    */
+  def hilbertValue(x: Column, y: Column): Column =
+    graft.functions.Kernels.hilbertCol(
+      x.cast("long").bitwiseAND(lit(0xFFFFL)),
+      y.cast("long").bitwiseAND(lit(0xFFFFL)), bits = 16)
+
   /** Scale a non-negative column with known domain max to the full
     * 16-bit range: (v * 65535) div maxVal — exact integer arithmetic
     * (one multiply, one floor division), monotone, portable across
@@ -95,13 +130,30 @@ object Layout {
     * Output: (bucket, min_x, max_x, min_y, max_y, n_rows).
     */
   def zoneMap(df: DataFrame, x: Column, y: Column,
-              bucketBits: Int = 6): DataFrame = {
+              bucketBits: Int = 6): DataFrame =
+    curveZoneMap(df, x, y, zValue(x, y), bucketBits)
+
+  /** [[zoneMap]] over the HILBERT curve instead of Morton — same
+    * fixed-width prefix bucketing (2^bucketBits equal curve-length
+    * buckets), same one-aggregation plan, same merge algebra
+    * ([[mergeZoneMaps]] is curve-agnostic: it only sees buckets and
+    * boxes). Prefix buckets of the two curves are the SAME quadtree
+    * cells relabeled, so this prunes exactly like [[zoneMap]] — its
+    * oracle pins the WALK's arithmetic; the pruning advantage lives in
+    * [[curveFileMap]]'s equal-count chunks ([[hilbertValue]] scaladoc).
+    */
+  def hilbertZoneMap(df: DataFrame, x: Column, y: Column,
+                     bucketBits: Int = 6): DataFrame =
+    curveZoneMap(df, x, y, hilbertValue(x, y), bucketBits)
+
+  private def curveZoneMap(df: DataFrame, x: Column, y: Column,
+                           curve: Column, bucketBits: Int): DataFrame = {
     require(bucketBits >= 1 && bucketBits <= 16,
       s"bucketBits must be in [1,16], got $bucketBits")
     val xs = x.cast("long").bitwiseAND(lit(0xFFFFL))
     val ys = y.cast("long").bitwiseAND(lit(0xFFFFL))
     df.select(xs.as("__x"), ys.as("__y"),
-        shiftright(zValue(x, y), 32 - bucketBits).as("bucket"))
+        shiftright(curve, 32 - bucketBits).as("bucket"))
       .groupBy(col("bucket"))
       .agg(min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
         min(col("__y")).as("min_y"), max(col("__y")).as("max_y"),
@@ -121,6 +173,44 @@ object Layout {
     val ys = y.cast("long").bitwiseAND(lit(0xFFFFL))
     df.select(xs.as("__x"), ys.as("__y"),
         shiftright(xs, 16 - bucketBits).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
+        min(col("__y")).as("min_y"), max(col("__y")).as("max_y"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** The FILE layout a cluster-by-curve write produces, as a
+    * deterministic stats frame: rows ranked by (curve, x, y) and cut
+    * into `numChunks` curve-contiguous EQUAL-COUNT chunks (the file
+    * boundaries of a clustered write), with per-chunk min/max boxes —
+    * schema-compatible with [[zoneMap]] so [[pruningStats]] consumes
+    * it unchanged. This is where curve CHOICE matters ([[hilbertValue]]
+    * scaladoc): chunk boundaries fall at arbitrary curve positions, so
+    * a Morton seam inside a chunk bloats its box while Hilbert chunks
+    * stay compact.
+    *
+    * Determinism anchor, not a production writer: the global
+    * row_number (one-partition sort window) exists so the chunking —
+    * and therefore the oracle hash — is engine-reproducible, ties
+    * resolved by (curve, x, y), identical rows interchangeable without
+    * affecting any chunk's stats. A production job writes with
+    * [[clusterByZ]]-style repartitionByRange (sampled boundaries,
+    * fully parallel) and reads these boxes back from parquet row-group
+    * stats; same division of labour as zoneMap-vs-clusterByZ.
+    */
+  def curveFileMap(df: DataFrame, x: Column, y: Column, curve: Column,
+                   numChunks: Int): DataFrame = {
+    require(numChunks >= 1, s"numChunks must be >= 1, got $numChunks")
+    val xs = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    val ys = y.cast("long").bitwiseAND(lit(0xFFFFL))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__c"), col("__x"), col("__y"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy() // whole frame; same single sort pass as the rank
+    df.select(xs.as("__x"), ys.as("__y"), curve.as("__c"))
+      .withColumn("__rn", row_number().over(w).cast("long") - 1L)
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("bucket", expr(s"(__rn * ${numChunks}L) div __n"))
       .groupBy(col("bucket"))
       .agg(min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
         min(col("__y")).as("min_y"), max(col("__y")).as("max_y"),
