@@ -159,7 +159,8 @@ object Bench {
     // the store on every later one.
     // (skip a store build when a SPARK_GRAFT_BENCH_ONLY selection
     // excludes its query — no point paying it for a one-query rerun)
-    for (storeQuery <- Seq("dedup_incremental_stored", "ivf_stored_topk")
+    for (storeQuery <- Seq("dedup_incremental_stored", "ivf_stored_topk",
+           "zonemap_prune_scan")
          if only.forall(_.contains(storeQuery));
          q <- SparkEntry.queries.get(storeQuery))
       timedPass(spark, s"store-warmup:$storeQuery", () => {

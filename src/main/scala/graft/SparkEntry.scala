@@ -1524,6 +1524,54 @@ object SparkEntry {
         .select(col("layout"), col("n_buckets"), col("n_candidate_buckets"),
           col("n_candidate_rows"), col("n_exact_rows"))
     }),
+    "zonemap_prune_scan" -> ((s, dir) => {
+      // zone-map data skipping as a Catalyst OPTIMIZER RULE
+      // (plans/ZoneMapPruning.scala — the injectable-rule extension
+      // point): lineitem's key columns are clustered ONCE per session
+      // into z-bucket partition directories (store convention), the
+      // per-bucket raw boxes registered driver-side, and every scan of
+      // the store with x/y range conjuncts gets `z_bucket IN (...)`
+      // injected, which FileSourceStrategy turns into directory
+      // pruning (ZoneMapPruningSpec pins the PartitionFilters and the
+      // bail-outs). The oracle recomputes the SAME filter over raw
+      // lineitem — a hash match is the proof the rewrite lost and
+      // duplicated nothing.
+      import graft.operators.Layout
+      import graft.plans.ZoneMapPruning
+      val appTag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val store = new org.apache.hadoop.fs.Path(wh, "graft_zcluster_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_" + appTag)
+      if (!fs.exists(store)) {
+        val staleBefore = System.currentTimeMillis() - 30L * 60 * 1000
+        if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+          val nm = st.getPath.getName
+          if (nm.startsWith("graft_zcluster_") && !nm.contains(appTag) &&
+              st.getModificationTime < staleBefore)
+            fs.delete(st.getPath, true)
+        }
+        val li = t(s, dir, "lineitem")
+        val stats = li.agg(max(col("l_partkey")).cast("long").as("px"),
+          max(col("l_suppkey")).cast("long").as("sx"))
+        li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"))
+          .crossJoin(broadcast(stats))
+          .withColumn("z_bucket", shiftright(Layout.zValue(
+            Layout.normalize16(col("l_partkey"), col("px")),
+            Layout.normalize16(col("l_suppkey"), col("sx"))), 26))
+          .drop("px", "sx")
+          .write.partitionBy("z_bucket").parquet(store.toString)
+        ZoneMapPruning.attach(s, store.toString, "z_bucket",
+          "l_partkey", "l_suppkey")
+      }
+      s.read.parquet(store.toString)
+        .where(col("l_partkey") >= 500L && col("l_partkey") <= 600L &&
+          col("l_suppkey") >= 20L && col("l_suppkey") <= 30L)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+    }),
     "compaction_stats" -> ((s, dir) => {
       // the OPTIMIZE half of the reference's append cadence: stage
       // lineitem's key columns as 64 small files (one "hourly append"
@@ -5002,6 +5050,12 @@ object SparkEntry {
         |SELECT layout, n_buckets, n_candidate_buckets, n_candidate_rows,
         |  n_exact_rows
         |FROM (SELECT * FROM hstat UNION ALL SELECT * FROM zstat), ex""".stripMargin),
+    "zonemap_prune_scan" ->
+      // the pruned scan must be indistinguishable from the raw filter
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 500 AND 600
+        |  AND l_suppkey BETWEEN 20 AND 30""".stripMargin,
     "zorder_pruning" ->
       """WITH st AS (SELECT CAST(max(l_partkey) AS BIGINT) AS px,
         |                   CAST(max(l_suppkey) AS BIGINT) AS sx
