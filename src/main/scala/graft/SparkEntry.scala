@@ -1273,6 +1273,27 @@ object SparkEntry {
       Snapshot.incrementalRefresh(derive(old), old, neu, "doc_id",
         col("text"), derive)
     }),
+    "ivm_refresh_agg" -> ((s, dir) => {
+      // the AGGREGATE half of IVM over the same snapshot churn: the
+      // stored per-language (count, sum n_chars) table is folded
+      // forward by delta algebra — added/changed rows add, removed/
+      // changed-old rows subtract, groups that empty disappear — and
+      // the oracle recomputes the whole aggregate from the new
+      // snapshot, so the hash match proves the algebra. Exact because
+      // the value column is integral (integer addition commutes; float
+      // sums stay with the tolerance-gated sketch family).
+      import graft.operators.Snapshot
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("source").rlike("^src([0-9]|1[0-4])$"))
+      val neu = docs.filter(col("source").rlike("^src([5-9]|1[0-9])$"))
+        .withColumn("text",
+          when(col("lang") === "de", upper(col("text"))).otherwise(col("text")))
+      val prev = old.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars").cast("long")).as("sum_value"))
+      Snapshot.incrementalRefreshAgg(prev, old, neu, "doc_id",
+        col("text"), "lang", col("n_chars"))
+    }),
     "cdc_merge" -> ((s, dir) => {
       // nightly-refresh MERGE: base = the src0-14 snapshot; the delta
       // mixes inserts (src15-19 arrive), in-place updates (de docs
@@ -4707,6 +4728,14 @@ object SparkEntry {
         |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id""".stripMargin,
+    "ivm_refresh_agg" ->
+      // full-recompute oracle over the new snapshot: the delta algebra
+      // must be indistinguishable from it (incl. emptied groups absent)
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_value
+        |FROM documents
+        |WHERE regexp_matches(source, '^src([5-9]|1[0-9])$')
+        |GROUP BY lang""".stripMargin,
     "ivm_refresh" ->
       // the oracle is the FULL recompute over the new snapshot — the
       // incremental path must be indistinguishable from it

@@ -104,4 +104,52 @@ object Snapshot {
       newSnap(idName) === col("__fresh_id"), "left_semi")
     kept.unionByName(derive(freshRows))
   }
+
+  /** The AGGREGATE half of incremental view maintenance: bring a
+    * stored per-group (count, sum) table up to date with `newSnap` by
+    * pure delta ALGEBRA — added/changed rows contribute positively,
+    * removed/changed rows' OLD values contribute negatively, the
+    * stored aggregates merge with one group-keyed sum, and groups
+    * whose count reaches zero disappear (exactly as a full recompute
+    * would have no row). History is never rescanned: the delta aggs
+    * touch churn-sized row sets, the merge touches group-sized frames.
+    * This is the sum/count instance of the self-maintainable-view
+    * algebra (every commutative-group aggregate maintains this way;
+    * min/max do NOT — a removed minimum needs a rescan — which is why
+    * the zone-map family keeps append-only merge semantics instead).
+    *
+    * Contract mirrors [[incrementalRefresh]]: `prevAgg` is exactly the
+    * (groupName, n_rows, sum_value) aggregate of `oldSnap`; equality of
+    * `content` must imply equality of (group, value) for that row —
+    * and note a CHANGED row may move BETWEEN groups, which the
+    * subtract-old/add-new algebra handles by construction. Exact for
+    * integral `value` columns (integer addition commutes); float sums
+    * would re-order — keep those to the tolerance-gated sketch family.
+    *
+    * Output: (groupName, n_rows, sum_value).
+    */
+  def incrementalRefreshAgg(prevAgg: DataFrame,
+                            oldSnap: DataFrame, newSnap: DataFrame,
+                            idName: String, content: Column,
+                            groupName: String, value: Column): DataFrame = {
+    val d = diff(oldSnap, newSnap, col(idName), content)
+    def side(snap: DataFrame, statuses: Seq[String], sign: Long) =
+      snap.join(
+          d.filter(col("status").isin(statuses: _*))
+            .select(col("id").as("__delta_id")),
+          snap(idName) === col("__delta_id"), "left_semi")
+        .select(col(groupName), lit(sign).as("__sgn"),
+          value.cast("long").as("__v"))
+    val deltas = side(newSnap, Seq("added", "changed"), 1L)
+      .unionByName(side(oldSnap, Seq("removed", "changed"), -1L))
+      .groupBy(col(groupName))
+      .agg(sum(col("__sgn")).as("n_rows"),
+        sum(col("__sgn") * col("__v")).as("sum_value"))
+    prevAgg.select(col(groupName), col("n_rows"), col("sum_value"))
+      .unionByName(deltas)
+      .groupBy(col(groupName))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_value")).as("sum_value"))
+      .where(col("n_rows") > 0)
+  }
 }

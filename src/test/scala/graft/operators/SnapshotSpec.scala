@@ -91,4 +91,32 @@ class SnapshotSpec extends SparkTestBase {
     assert(drifted.getMessage.toLowerCase.contains("n_chars") ||
       drifted.getMessage.toLowerCase.contains("other_col"))
   }
+
+  test("incrementalRefreshAgg == full recompute through group moves and emptied groups") {
+    // encode (group, value) in the content so the diff sees changes:
+    // text = "<grp> <value-padding>"
+    def snap(rows: Seq[(Long, String, Int)]) =
+      rows.map { case (id, g, v) => (id, g, v, s"$g ${"x" * v}") }
+        .toDF("id", "grp", "v", "text")
+    val old = snap(Seq(
+      (1L, "a", 5), (2L, "a", 7), (3L, "b", 11), (4L, "b", 2),
+      (5L, "c", 9))) // c will EMPTY (5 removed)
+    val neu = snap(Seq(
+      (1L, "a", 5),            // unchanged
+      (2L, "b", 7),            // GROUP MOVE a -> b
+      (3L, "b", 13),           // value change within b
+      (4L, "b", 2),            // unchanged
+      (6L, "d", 4)))           // new group d
+    val prev = old.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v").cast("long")).as("sum_value"))
+    val got = Snapshot.incrementalRefreshAgg(prev, old, neu, "id",
+        col("text"), "grp", col("v"))
+      .as[(String, Long, Long)].collect().toSet
+    val full = neu.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v").cast("long")).as("sum_value"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == full)
+    assert(!got.exists(_._1 == "c")) // emptied group gone, not (0, 0)
+    assert(got.contains(("b", 3L, 22L))) // move + change landed
+  }
 }
