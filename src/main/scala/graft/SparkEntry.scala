@@ -1545,6 +1545,29 @@ object SparkEntry {
         .select(col("layout"), col("n_buckets"), col("n_candidate_buckets"),
           col("n_candidate_rows"), col("n_exact_rows"))
     }),
+    "dq_audit" -> ((s, dir) => {
+      // declarative data-quality audit over lineitem, the gate a load
+      // runs before promoting to serving: nulls, candidate key,
+      // domains, referential integrity — a MIX of clean and violated
+      // rules so both count paths face the oracle (and the audit
+      // earned its keep immediately: the synthetic lineitem REUSES
+      // (l_orderkey, l_linenumber) pairs — ~26k rows at sf0.01 share
+      // their would-be TPC-H primary key — which this query now pins
+      // as a data fact). All row-local rules share ONE aggregation
+      // pass (adding a rule adds a sum column, not a scan); unique is
+      // one keyed agg; the FK target broadcasts.
+      import graft.operators.Constraints
+      import graft.operators.Constraints._
+      val li = t(s, dir, "lineitem")
+      Constraints.audit(li, Seq(
+        NotNull("l_orderkey"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        InRange("l_quantity", 1L, 50L),
+        InRange("l_linenumber", 1L, 4L), // deliberately violated
+        Matches("l_returnflag", "^[ARN]$"),
+        Matches("l_linestatus", "^F$"), // deliberately violated ('O')
+        ForeignKey("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
+    }),
     "zonemap_prune_scan" -> ((s, dir) => {
       // zone-map data skipping as a Catalyst OPTIMIZER RULE
       // (plans/ZoneMapPruning.scala — the injectable-rule extension
@@ -5079,6 +5102,41 @@ object SparkEntry {
         |SELECT layout, n_buckets, n_candidate_buckets, n_candidate_rows,
         |  n_exact_rows
         |FROM (SELECT * FROM hstat UNION ALL SELECT * FROM zstat), ex""".stripMargin),
+    "dq_audit" ->
+      """SELECT 'not_null(l_orderkey)' AS constraint_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'in_range(l_quantity,1,50)', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50) THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'in_range(l_linenumber,1,4)', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN NOT (l_linenumber >= 1 AND l_linenumber <= 4) THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'matches(l_returnflag)', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN NOT regexp_matches(l_returnflag, '^[ARN]$') THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'matches(l_linestatus)', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN NOT regexp_matches(l_linestatus, '^F$') THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'unique(l_orderkey,l_linenumber)',
+        |  CAST(coalesce(sum(c), 0) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS c FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber)
+        |UNION ALL
+        |SELECT 'foreign_key(l_orderkey->o_orderkey)',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN l_orderkey IS NOT NULL
+        |    AND o2.o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM lineitem LEFT JOIN
+        |  (SELECT DISTINCT o_orderkey FROM orders) o2
+        |  ON l_orderkey = o2.o_orderkey""".stripMargin,
     "zonemap_prune_scan" ->
       // the pruned scan must be indistinguishable from the raw filter
       """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraints over a frame — the audit every
+  * serving-layer load wants in front of it (the reference reconciles
+  * row COUNTS between its dual sinks; production pipelines also gate
+  * on nulls, key uniqueness, domains and referential integrity before
+  * promoting a load). One call returns a small
+  * `(constraint, n_rows, n_violations)` frame; compose with an
+  * `assert_true(n_violations === 0)` where a violation must fail the
+  * job in-plan (the repo's gate convention).
+  *
+  * Null semantics follow SQL CHECK: a row violates [[InRange]] /
+  * [[Matches]] only when the predicate is definitely FALSE — a NULL
+  * value passes (unknown), and null-freedom is [[NotNull]]'s job, so
+  * the two compose instead of double-counting. A NULL foreign key
+  * passes [[ForeignKey]] for the same reason.
+  *
+  * Scale shape: every row-local constraint (NotNull/InRange/Matches)
+  * folds into ONE shared map-side-combining aggregation pass over the
+  * frame — adding a tenth rule costs one more sum column, never
+  * another scan. [[Unique]] is one hash aggregation keyed on the
+  * candidate key; [[ForeignKey]] is one broadcast left join against
+  * the (dimension-sized, deduplicated) key column + the same count
+  * pass. The result union is constraint-sized.
+  */
+object Constraints {
+
+  sealed trait Constraint { def label: String }
+
+  final case class NotNull(column: String) extends Constraint {
+    val label = s"not_null($column)"
+  }
+
+  /** Closed integral range check, nulls pass (see object scaladoc). */
+  final case class InRange(column: String, lo: Long, hi: Long)
+      extends Constraint {
+    val label = s"in_range($column,$lo,$hi)"
+  }
+
+  /** RE2-safe regex domain check on a string column, nulls pass. */
+  final case class Matches(column: String, pattern: String)
+      extends Constraint {
+    val label = s"matches($column)"
+  }
+
+  /** Candidate-key check: a violation is EVERY row that shares its key
+    * with another row (so `n_violations = Σ_{groups with c>1} c` — the
+    * rows a dedup would have to adjudicate, not the groups).
+    */
+  final case class Unique(columns: Seq[String]) extends Constraint {
+    require(columns.nonEmpty, "Unique needs at least one column")
+    val label = s"unique(${columns.mkString(",")})"
+  }
+
+  /** Referential check: non-null `column` values must appear in
+    * `dim`'s `dimColumn` (deduplicated and broadcast — dimension-sized
+    * by contract, like any FK target).
+    */
+  final case class ForeignKey(column: String, dim: DataFrame,
+                              dimColumn: String) extends Constraint {
+    val label = s"foreign_key($column->$dimColumn)"
+  }
+
+  /** Evaluate all constraints; output one row each:
+    * (constraint, n_rows, n_violations), `constraint` = the label.
+    */
+  def audit(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "audit needs at least one constraint")
+    val rowLocal: Seq[(String, org.apache.spark.sql.Column)] =
+      constraints.collect {
+        case c: NotNull => c.label -> col(c.column).isNull
+        case c: InRange => c.label ->
+          // definitely-false only: null comparison -> null -> passes
+          coalesce(!(col(c.column) >= c.lo && col(c.column) <= c.hi),
+            lit(false))
+        case c: Matches => c.label ->
+          coalesce(!regexp_like(col(c.column), lit(c.pattern)), lit(false))
+      }
+    val parts = Seq.newBuilder[DataFrame]
+    if (rowLocal.nonEmpty) {
+      val aggs = count(lit(1)).as("__n") +: rowLocal.zipWithIndex.map {
+        case ((_, viol), i) =>
+          sum(when(viol, 1L).otherwise(0L)).as(s"__v$i")
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      parts += one.select(explode(array(rowLocal.zipWithIndex.map {
+        case ((label, _), i) =>
+          struct(lit(label).as("constraint_name"), col("__n").as("n_rows"),
+            col(s"__v$i").as("n_violations"))
+      }: _*)).as("r")).select(col("r.constraint_name"), col("r.n_rows"),
+        col("r.n_violations"))
+    }
+    constraints.foreach {
+      case c: Unique =>
+        parts += df.groupBy(c.columns.map(col): _*)
+          .agg(count(lit(1)).as("__c"))
+          .agg(coalesce(sum(col("__c")), lit(0L)).as("n_rows"),
+            coalesce(sum(when(col("__c") > 1, col("__c")).otherwise(0L)),
+              lit(0L)).as("n_violations"))
+          .select(lit(c.label).as("constraint_name"), col("n_rows"),
+            col("n_violations"))
+      case c: ForeignKey =>
+        val keys = broadcast(
+          c.dim.select(col(c.dimColumn).as("__fk")).distinct())
+        parts += df.join(keys, col(c.column) === col("__fk"), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(when(col(c.column).isNotNull && col("__fk").isNull,
+              1L).otherwise(0L)), lit(0L)).as("n_violations"))
+          .select(lit(c.label).as("constraint_name"), col("n_rows"),
+            col("n_violations"))
+      case _ => () // row-local: already folded into the shared pass
+    }
+    parts.result().reduce(_ unionByName _)
+  }
+
+  /** [[audit]] with the in-plan gate: reading the frame FAILS unless
+    * every constraint is clean — the promotion gate form.
+    */
+  def auditGated(df: DataFrame, constraints: Seq[Constraint]): DataFrame =
+    audit(df, constraints)
+      .where(assert_true(col("n_violations") === 0,
+        concat(lit("data-quality constraint violated: "), col("constraint_name"),
+          lit(" ("), col("n_violations"), lit(" rows)"))).isNull)
+}

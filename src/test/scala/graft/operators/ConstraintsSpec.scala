@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ConstraintsSpec extends SparkTestBase {
+
+  private lazy val testImplicits = spark.implicits
+  import testImplicits._
+  import Constraints._
+
+  private def rows = Seq[(java.lang.Long, java.lang.Long, String)](
+    (1L, 10L, "A"), (2L, 20L, "B"), (2L, 99L, "A"), // dup key 2; 99 + B off-domain
+    (3L, null, "A"),                                // null value
+    (null, 30L, "A")                                // null key
+  ).toDF("k", "v", "flag")
+
+  test("audit: SQL-CHECK null semantics, unique counts ROWS, FK passes nulls") {
+    val dim = Seq(1L, 2L, 3L).toDF("dk") // FK target misses nothing non-null... except nothing: all non-null k in {1,2,3}
+    val got = Constraints.audit(rows, Seq(
+        NotNull("k"), NotNull("v"),
+        InRange("v", 10L, 50L),     // 99 violates; NULL v passes (CHECK)
+        Matches("flag", "^A$"),     // one B violates
+        Unique(Seq("k")),           // key 2 twice -> 2 violating ROWS
+        ForeignKey("k", dim, "dk")  // null k passes; 1,2,3 present
+      )).collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got("not_null(k)") == (5L, 1L))
+    assert(got("not_null(v)") == (5L, 1L))
+    assert(got("in_range(v,10,50)") == (5L, 1L)) // null v is NOT a violation
+    assert(got("matches(flag)") == (5L, 1L))
+    assert(got("unique(k)") == (5L, 2L))
+    assert(got("foreign_key(k->dk)") == (5L, 0L))
+  }
+
+  test("audit: FK violations count only non-null misses; gated audit fails in-plan") {
+    val dim = Seq(1L, 3L).toDF("dk") // key 2 (twice) now dangles
+    val got = Constraints.audit(rows, Seq(ForeignKey("k", dim, "dk")))
+      .collect().head
+    assert((got.getLong(1), got.getLong(2)) == (5L, 2L))
+    // the gate: clean rule reads fine, violated rule fails the job
+    assert(Constraints.auditGated(rows, Seq(NotNull("flag"))).count() == 1)
+    val e = intercept[Exception] {
+      Constraints.auditGated(rows, Seq(NotNull("k"))).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("data-quality constraint violated")))
+  }
+
+  test("rejects an empty rule set and an empty Unique key") {
+    intercept[IllegalArgumentException] {
+      Constraints.audit(rows, Nil)
+    }
+    intercept[IllegalArgumentException] { Unique(Nil) }
+  }
+}
