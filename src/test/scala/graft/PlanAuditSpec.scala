@@ -50,6 +50,18 @@ class PlanAuditSpec extends SparkTestBase {
       plan)
   }
 
+  test("row-local data-quality rules share ONE scan pass") {
+    import graft.operators.Constraints
+    import graft.operators.Constraints._
+    val audit = Constraints.audit(Tables.load(spark, dir, "lineitem"),
+      Seq(NotNull("l_orderkey"), InRange("l_quantity", 1L, 50L),
+        Matches("l_returnflag", "^[ARN]$"), NotNull("l_suppkey")))
+    val plan = planOf(audit)
+    // four rules, one parquet scan: adding a rule must add a sum
+    // column, never another pass over the table
+    assert(plan.split("Scan parquet").length - 1 == 1, plan)
+  }
+
   test("projection prunes the parquet read schema") {
     val df = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))
