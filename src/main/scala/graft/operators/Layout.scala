@@ -81,6 +81,70 @@ object Layout {
       x.cast("long").bitwiseAND(lit(0xFFFFL)),
       y.cast("long").bitwiseAND(lit(0xFFFFL)), bits = 16)
 
+  /** Bit-spread the low 16 bits of `c` to every THIRD position
+    * 0,3,..45 (the 3-D Morton mask chain — the standard published
+    * constants for 21-bit spreading, which cover the 16-bit case).
+    */
+  private def spread16x3(c: Column): Column =
+    Seq((32, 0x1f00000000ffffL), (16, 0x1f0000ff0000ffL),
+      (8, 0x100f00f00f00f00fL), (4, 0x10c30c30c30c30c3L),
+      (2, 0x1249249249249249L))
+      .foldLeft(c.cast("long").bitwiseAND(lit(0xFFFFL))) {
+        case (v, (s, m)) => v.bitwiseOR(shiftleft(v, s)).bitwiseAND(lit(m))
+      }
+
+  /** 48-bit 3-D Morton value of three dimensions, each masked to its
+    * low 16 bits — what `OPTIMIZE ... ZORDER BY (a, b, c)` computes
+    * when three predicate columns share the scans: bit i of `x` lands
+    * at 3i, of `y` at 3i+1, of `z` at 3i+2. Same contract and cost
+    * class as [[zValue]] (pure long projection, ~15 ops per row,
+    * bit-portable); normalize each input with [[normalize16]] first.
+    * More dimensions buy broader predicate coverage at the price of
+    * coarser per-dimension resolution per curve level — the standard
+    * ZORDER trade, measured head-to-head in `zorder3_pruning`.
+    */
+  def zValue3(x: Column, y: Column, z: Column): Column =
+    spread16x3(x)
+      .bitwiseOR(shiftleft(spread16x3(y), 1))
+      .bitwiseOR(shiftleft(spread16x3(z), 2))
+
+  /** [[zoneMap]] in three dimensions over [[zValue3]]: per-prefix-bucket
+    * min/max of ALL THREE dims + count, one map-side-combining agg.
+    * Output: (bucket, min_x, max_x, min_y, max_y, min_z, max_z, n_rows).
+    */
+  def zoneMap3(df: DataFrame, x: Column, y: Column, z: Column,
+               bucketBits: Int = 6): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 16,
+      s"bucketBits must be in [1,16], got $bucketBits")
+    val xs = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    val ys = y.cast("long").bitwiseAND(lit(0xFFFFL))
+    val zs = z.cast("long").bitwiseAND(lit(0xFFFFL))
+    df.select(xs.as("__x"), ys.as("__y"), zs.as("__z"),
+        shiftright(zValue3(x, y, z), 48 - bucketBits).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
+        min(col("__y")).as("min_y"), max(col("__y")).as("max_y"),
+        min(col("__z")).as("min_z"), max(col("__z")).as("max_z"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** 3-D box pruning stats over a [[zoneMap3]] frame — the 2-D
+    * [[pruningStats]] test extended with the third dimension.
+    */
+  def pruningStats3(zoneMap: DataFrame, x0: Column, x1: Column,
+                    y0: Column, y1: Column,
+                    z0: Column, z1: Column): DataFrame = {
+    val cand = col("min_x") <= x1 && col("max_x") >= x0 &&
+      col("min_y") <= y1 && col("max_y") >= y0 &&
+      col("min_z") <= z1 && col("max_z") >= z0
+    zoneMap.agg(
+      count(lit(1)).as("n_buckets"),
+      coalesce(sum(when(cand, 1L).otherwise(0L)), lit(0L))
+        .as("n_candidate_buckets"),
+      coalesce(sum(when(cand, col("n_rows")).otherwise(0L)), lit(0L))
+        .as("n_candidate_rows"))
+  }
+
   /** Scale a non-negative column with known domain max to the full
     * 16-bit range: (v * 65535) div maxVal — exact integer arithmetic
     * (one multiply, one floor division), monotone, portable across

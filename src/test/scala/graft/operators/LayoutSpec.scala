@@ -31,6 +31,41 @@ class LayoutSpec extends SparkTestBase {
     assert(got == refZ(3L, 5L))
   }
 
+  /** Bit-by-bit 3-D reference interleave. */
+  private def refZ3(x: Long, y: Long, z: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | ((x >> i) & 1L) << (3 * i) |
+        ((y >> i) & 1L) << (3 * i + 1) |
+        ((z >> i) & 1L) << (3 * i + 2)
+    }
+
+  test("zValue3 matches the bit-by-bit reference; masks wide inputs") {
+    val pts = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (3L, 5L, 7L), (65535L, 65535L, 65535L), (12345L, 54321L, 777L))
+    val got = pts.toDF("x", "y", "z")
+      .select(Layout.zValue3(col("x"), col("y"), col("z"))).as[Long].collect()
+    assert(got.toSeq == pts.map { case (x, y, z) => refZ3(x, y, z) })
+    val wide = Seq((65536L + 3L, 5L, 65536L * 4 + 7L)).toDF("x", "y", "z")
+      .select(Layout.zValue3(col("x"), col("y"), col("z"))).as[Long].head()
+    assert(wide == refZ3(3L, 5L, 7L))
+  }
+
+  test("zoneMap3 covers every row once; 3-D pruning is sound") {
+    val rows = (0 until 600).map(i =>
+      ((i * 613L) % 65536, (i * 389L) % 65536, (i * 97L) % 65536))
+      .toDF("x", "y", "z")
+    val zm = Layout.zoneMap3(rows, col("x"), col("y"), col("z"), 6)
+    assert(zm.agg(sum(col("n_rows"))).as[Long].head() == 600L)
+    val (x0, x1, y0, y1, z0, z1) =
+      (1000L, 30000L, 2000L, 40000L, 0L, 20000L)
+    val cand = Layout.pruningStats3(zm, lit(x0), lit(x1), lit(y0), lit(y1),
+      lit(z0), lit(z1)).as[(Long, Long, Long)].head()
+    val exact = rows.where(col("x").between(x0, x1) &&
+      col("y").between(y0, y1) && col("z").between(z0, z1)).count()
+    assert(cand._3 >= exact) // candidates are a superset — sound
+    assert(cand._2 <= cand._1)
+  }
+
   test("zone map covers every row exactly once and bounds are tight") {
     val df = (0 until 1000)
       .map(i => (i.toLong % 97, (i.toLong * 31) % 89)).toDF("x", "y")
