@@ -1629,6 +1629,27 @@ object SparkEntry {
         Matches("l_linestatus", "^F$"), // deliberately violated ('O')
         ForeignKey("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
     }),
+    "table_profile" -> ((s, dir) => {
+      // one-pass column profiler (operators/Profile.scala) — the
+      // DISCOVERY twin of dq_audit: null counts, exact distincts,
+      // native-typed min/max, mean rendered length and candidate-key
+      // detection for four orders columns in a SINGLE aggregation
+      // scan (count(distinct) per column plans through one Expand;
+      // the exactDistinct=false knob swaps HLL++ in at 100 TB).
+      import graft.operators.Profile
+      Profile.table(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    }),
+    "profile_top_values" -> ((s, dir) => {
+      // the per-column frequent-values half of profiling: each column
+      // costs one thin projected scan + hash agg, and the top-k is
+      // TakeOrderedAndProject (per-partition partial top-k), never a
+      // global sort; ties break by value so the result is exact and
+      // deterministic even on the high-cardinality o_custkey column.
+      import graft.operators.Profile
+      Profile.topValues(t(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey"), 3)
+    }),
     "zonemap_prune_scan" -> ((s, dir) => {
       // zone-map data skipping as a Catalyst OPTIMIZER RULE
       // (plans/ZoneMapPruning.scala — the injectable-rule extension
@@ -5288,6 +5309,32 @@ object SparkEntry {
         |FROM lineitem LEFT JOIN
         |  (SELECT DISTINCT o_orderkey FROM orders) o2
         |  ON l_orderkey = o2.o_orderkey""".stripMargin,
+    "table_profile" -> {
+      def one(c: String): String =
+        s"""SELECT '$c' AS column_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count($c) AS BIGINT) AS n_nonnull,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value,
+           |  CAST(sum(length(CAST($c AS VARCHAR))) AS DOUBLE) / count($c) AS avg_len,
+           |  (count($c) = count(*) AND count(DISTINCT $c) = count(*)) AS is_candidate_key
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(one).mkString("\nUNION ALL\n")
+    },
+    "profile_top_values" -> {
+      def one(c: String): String =
+        s"""SELECT column_name, value, n, rnk FROM (
+           |  SELECT '$c' AS column_name, value, n,
+           |    CAST(row_number() OVER (ORDER BY n DESC, value) AS INT) AS rnk
+           |  FROM (SELECT CAST($c AS VARCHAR) AS value,
+           |               CAST(count(*) AS BIGINT) AS n
+           |        FROM orders WHERE $c IS NOT NULL GROUP BY 1)
+           |) WHERE rnk <= 3""".stripMargin
+      Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+        .map(one).mkString("\nUNION ALL\n")
+    },
     "zonemap_prune_scan" ->
       // the pruned scan must be indistinguishable from the raw filter
       """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiler — the `DESCRIBE`-on-steroids every data
+  * platform runs when a new staging table lands (the reference's
+  * schema-on-read ingestion means nobody knows a table's shape until
+  * someone looks: which columns are null-riddled, which are candidate
+  * keys, what the value ranges are — exactly what this answers before
+  * anyone writes a query). Complements [[Constraints]]: the auditor
+  * CHECKS rules you already know; the profiler DISCOVERS the facts the
+  * rules should encode.
+  *
+  * Output is long-format, one row per profiled column:
+  * `(column_name, n_rows, n_nonnull, n_distinct, min_value, max_value,
+  * avg_len, is_candidate_key)`. min/max are computed on the column's
+  * NATIVE type (so numerics order numerically) and rendered to string
+  * only at the end; `avg_len` is the mean rendered length over
+  * non-null rows; `is_candidate_key` is the discovery form of
+  * [[Constraints.Unique]] — true iff the column is null-free AND
+  * all-distinct.
+  *
+  * Scale shape: ONE aggregation over the frame, map-side combining,
+  * no joins. The only scale knob is distinct counting:
+  * `exactDistinct = true` uses `count(distinct col)` per column, which
+  * Catalyst plans through a single scan + Expand (rows × #columns
+  * before the partial agg — fine at audit scale, and it is what the
+  * DuckDB oracle can replay bit-for-bit); at 100 TB profile with
+  * `exactDistinct = false`, which swaps in `approx_count_distinct`
+  * (HLL++) — no Expand, constant-size partials, same single scan.
+  * Min/max/count partials are a few bytes per column either way.
+  */
+object Profile {
+
+  /** Profile `columns` of `df` in one aggregation pass. */
+  def table(df: DataFrame, columns: Seq[String],
+            exactDistinct: Boolean = true): DataFrame = {
+    require(columns.nonEmpty, "profile needs at least one column")
+    val aggs = Seq.newBuilder[Column]
+    aggs += count(lit(1)).as("__n")
+    columns.zipWithIndex.foreach { case (c, i) =>
+      val nat = col(c)
+      aggs += count(nat).as(s"__nn$i")
+      aggs += (if (exactDistinct) count_distinct(nat)
+               else approx_count_distinct(nat)).as(s"__nd$i")
+      aggs += min(nat).cast("string").as(s"__mn$i")
+      aggs += max(nat).cast("string").as(s"__mx$i")
+      // exact integer sum + ONE IEEE division (not avg(): explicit
+      // sum/count keeps the arithmetic engine-portable bit-for-bit)
+      aggs += (sum(length(nat.cast("string"))).cast("double") /
+        count(nat)).as(s"__al$i")
+    }
+    val built = aggs.result()
+    val one = df.agg(built.head, built.tail: _*)
+    one.select(explode(array(columns.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("column_name"),
+        col("__n").as("n_rows"),
+        col(s"__nn$i").as("n_nonnull"),
+        col(s"__nd$i").as("n_distinct"),
+        col(s"__mn$i").as("min_value"),
+        col(s"__mx$i").as("max_value"),
+        col(s"__al$i").as("avg_len"),
+        (col(s"__nn$i") === col("__n") &&
+          col(s"__nd$i") === col("__n")).as("is_candidate_key"))
+    }: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Per-column most-frequent values — the "what's actually IN this
+    * column" half of profiling. One projected scan + hash agg per
+    * column (each scan prunes to that single column at the reader, so
+    * k columns cost k thin scans, not k table scans); ties break by
+    * value ascending so the result is deterministic. The top-k itself
+    * is `orderBy.limit(k)`, which Catalyst plans as
+    * TakeOrderedAndProject — per-partition partial top-k merged at the
+    * driver, NEVER a global sort, so a billion-distinct key column
+    * ships k rows per partition, not the distinct set. Returns
+    * `(column_name, value, n, rnk)` with `rnk <= k`.
+    */
+  def topValues(df: DataFrame, columns: Seq[String], k: Int): DataFrame = {
+    require(columns.nonEmpty && k > 0, "need columns and k > 0")
+    import org.apache.spark.sql.expressions.Window
+    columns.map { c =>
+      val top = df.where(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("value"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("value").asc)
+        .limit(k)
+      // rank over the k survivors only — a k-row window, not a sort
+      val w = Window.orderBy(col("n").desc, col("value").asc)
+      top.withColumn("rnk", row_number().over(w))
+        .select(lit(c).as("column_name"), col("value"), col("n"),
+          col("rnk"))
+    }.reduce(_ unionByName _)
+  }
+}

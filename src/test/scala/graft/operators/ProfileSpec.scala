@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkTestBase {
+
+  private lazy val testImplicits = spark.implicits
+  import testImplicits._
+
+  private def fixture = Seq(
+    (1L, Some("alpha"), "x"),
+    (2L, Some("beta"), "x"),
+    (3L, None, "y"),
+    (4L, Some("alpha"), "y"),
+    (5L, Some("gamma"), "x")
+  ).toDF("id", "name", "tag")
+
+  test("table profiles counts, distincts, min/max and key detection") {
+    val p = Profile.table(fixture, Seq("id", "name", "tag"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val id = p("id")
+    assert(id.getLong(1) == 5L && id.getLong(2) == 5L && id.getLong(3) == 5L)
+    assert(id.getString(4) == "1" && id.getString(5) == "5")
+    assert(id.getBoolean(7), "id is null-free and all-distinct => key")
+
+    val name = p("name")
+    assert(name.getLong(2) == 4L, "one null name")
+    assert(name.getLong(3) == 3L, "distinct ignores nulls")
+    assert(name.getString(4) == "alpha" && name.getString(5) == "gamma")
+    assert(!name.getBoolean(7), "nullable column is not a candidate key")
+    // avg rendered length over NON-NULL rows: (5+4+5+5)/4
+    assert(math.abs(name.getDouble(6) - 19.0 / 4) < 1e-12)
+
+    val tag = p("tag")
+    assert(tag.getLong(2) == 5L && tag.getLong(3) == 2L)
+    assert(!tag.getBoolean(7), "non-distinct column is not a key")
+  }
+
+  test("table approx mode keeps the same shape without Expand") {
+    val p = Profile.table(fixture, Seq("id", "tag"), exactDistinct = false)
+    val rows = p.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // HLL++ at default precision is exact at these cardinalities
+    assert(rows("id") == 5L && rows("tag") == 2L)
+    val plan = p.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"approx profile must not Expand:\n$plan")
+  }
+
+  test("topValues ranks by frequency with deterministic tie-break") {
+    val tv = Profile.topValues(fixture, Seq("name", "tag"), 2)
+      .collect().groupBy(_.getString(0))
+    // name: alpha x2 then (beta, gamma) tie -> beta by value asc
+    assert(tv("name").sortBy(_.getInt(3)).map(r =>
+      (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("alpha", 2L), ("beta", 1L)))
+    assert(tv("tag").sortBy(_.getInt(3)).map(r =>
+      (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("x", 3L), ("y", 2L)))
+  }
+
+  test("topValues plans a partial top-k, not a global sort") {
+    val tv = Profile.topValues(fixture, Seq("tag"), 1)
+    val plan = tv.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+  }
+
+  test("nulls-only column profiles cleanly") {
+    val df = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "v")
+    val r = Profile.table(df, Seq("v")).collect()(0)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 0L && r.getLong(3) == 0L)
+    assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+    assert(!r.getBoolean(7))
+  }
+}
