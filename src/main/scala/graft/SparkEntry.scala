@@ -1650,6 +1650,57 @@ object SparkEntry {
       Profile.topValues(t(s, dir, "orders"),
         Seq("o_orderstatus", "o_orderpriority", "o_custkey"), 3)
     }),
+    "bloom_index_build" -> ((s, dir) => {
+      // file-level Bloom index (operators/BloomIndex.scala) — the
+      // EQUALITY twin of the zone-map family: 256-row order "files"
+      // indexed on the NON-clustered o_custkey (zone maps can't serve
+      // a point lookup on a column the layout wasn't sorted by). The
+      // md5-derived bit positions make the filter engine-portable, so
+      // DuckDB rebuilds the index bit-for-bit — false positives and
+      // all. One projected scan + one bit_or agg; ~2.4k-row output
+      // for a 15k-row table at sf0.01.
+      import graft.operators.BloomIndex
+      BloomIndex.build(t(s, dir, "orders"),
+        expr("CAST(o_orderkey DIV 256 AS BIGINT)"), col("o_custkey"),
+        k = 3, mBits = 4096)
+    }),
+    "bloom_index_prune" -> ((s, dir) => {
+      // the LOOKUP half: 5 present + 3 absent customer keys probed
+      // against the index; output compares candidate chunks (bloom
+      // "maybe") with true chunks per key — the gap IS the measured
+      // false-positive cost, and the oracle reproduces it exactly
+      // because the hash is portable. The in-plan assert_true pins
+      // the Bloom contract: NO false negatives (every true chunk is a
+      // candidate), for present and absent keys alike. Probe side
+      // broadcasts; the index never shuffles.
+      import s.implicits._
+      import graft.operators.BloomIndex
+      val orders = t(s, dir, "orders")
+      val chunkCol = expr("CAST(o_orderkey DIV 256 AS BIGINT)")
+      val index = BloomIndex.build(orders, chunkCol, col("o_custkey"), 3, 4096)
+      val probes = Seq("7", "42", "137", "999", "1250",
+        "100007", "100042", "100137").toDF("probe_key")
+      val cand = BloomIndex.candidates(index, probes, col("probe_key"), 3, 4096)
+      val truth = orders
+        .select(chunkCol.as("chunk"),
+          col("o_custkey").cast("string").as("probe_key"))
+        .join(broadcast(probes), Seq("probe_key")).distinct()
+      val candCnt = cand.groupBy("probe_key")
+        .agg(count(lit(1)).as("n_candidates"))
+      val trueCnt = truth.groupBy("probe_key").agg(count(lit(1)).as("n_true"))
+      val missed = truth.join(cand, Seq("probe_key", "chunk"), "left_anti")
+        .groupBy("probe_key").agg(count(lit(1)).as("n_missed"))
+      probes
+        .join(candCnt, Seq("probe_key"), "left")
+        .join(trueCnt, Seq("probe_key"), "left")
+        .join(missed, Seq("probe_key"), "left")
+        .select(col("probe_key"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"))
+        .where(assert_true(coalesce(col("n_missed"), lit(0L)) === 0,
+          concat(lit("bloom false negative for key "), col("probe_key")))
+          .isNull)
+    }),
     "zonemap_prune_scan" -> ((s, dir) => {
       // zone-map data skipping as a Catalyst OPTIMIZER RULE
       // (plans/ZoneMapPruning.scala — the injectable-rule extension
@@ -3450,6 +3501,15 @@ object SparkEntry {
     * Thresholds are [[graft.operators.Quality]]'s paper defaults —
     * generated from the SAME constants, so the twin can't drift.
     */
+  /** DuckDB list of the k=3 portable Bloom bit positions for `x`
+    * (must render an already-VARCHAR expression) at mBits=4096 —
+    * mirrors `BloomIndex.positions`.
+    */
+  private def bloomPosListSql(x: String): String =
+    (0 until 3).map(i =>
+      s"('0x' || substr(md5($x || '#bloom$i'), 1, 15))::BIGINT % 4096")
+      .mkString("[", ",\n           ", "]")
+
   private def gopherRepetitionSql: String = {
     import graft.operators.Quality
     val tops = Quality.GopherTopNgramThresholds
@@ -5335,6 +5395,53 @@ object SparkEntry {
       Seq("o_orderstatus", "o_orderpriority", "o_custkey")
         .map(one).mkString("\nUNION ALL\n")
     },
+    "bloom_index_build" ->
+      s"""WITH raw AS (
+         |  SELECT o_orderkey // 256 AS chunk,
+         |         unnest(${bloomPosListSql("CAST(o_custkey AS VARCHAR)")}) AS pos
+         |  FROM orders WHERE o_custkey IS NOT NULL)
+         |SELECT CAST(chunk AS BIGINT) AS chunk,
+         |       CAST(pos // 63 AS BIGINT) AS word,
+         |       bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bitmap
+         |FROM raw GROUP BY 1, 2""".stripMargin,
+    "bloom_index_prune" ->
+      s"""WITH raw AS (
+         |  SELECT o_orderkey // 256 AS chunk,
+         |         unnest(${bloomPosListSql("CAST(o_custkey AS VARCHAR)")}) AS pos
+         |  FROM orders WHERE o_custkey IS NOT NULL),
+         |idx AS (
+         |  SELECT chunk, pos // 63 AS word,
+         |         bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bitmap
+         |  FROM raw GROUP BY 1, 2),
+         |probes AS (SELECT unnest(['7','42','137','999','1250',
+         |                          '100007','100042','100137']) AS probe_key),
+         |ppos AS (
+         |  SELECT DISTINCT probe_key, pos // 63 AS word,
+         |         CAST(1 AS BIGINT) << CAST(pos % 63 AS INT) AS mask
+         |  FROM (SELECT probe_key,
+         |               unnest(${bloomPosListSql("probe_key")}) AS pos
+         |        FROM probes)),
+         |need AS (SELECT probe_key, count(*) AS need FROM ppos GROUP BY 1),
+         |hits AS (
+         |  SELECT probe_key, chunk, count(*) AS hits
+         |  FROM idx JOIN ppos USING (word)
+         |  WHERE (bitmap & mask) = mask GROUP BY 1, 2),
+         |cand AS (SELECT h.probe_key, h.chunk FROM hits h
+         |         JOIN need n ON h.probe_key = n.probe_key
+         |         WHERE h.hits = n.need),
+         |truth AS (
+         |  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS probe_key,
+         |         o_orderkey // 256 AS chunk
+         |  FROM orders
+         |  WHERE CAST(o_custkey AS VARCHAR) IN (SELECT probe_key FROM probes)),
+         |cc AS (SELECT probe_key, count(*) AS n FROM cand GROUP BY 1),
+         |tc AS (SELECT probe_key, count(*) AS n FROM truth GROUP BY 1)
+         |SELECT p.probe_key,
+         |  CAST(coalesce(cc.n, 0) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(tc.n, 0) AS BIGINT) AS n_true
+         |FROM probes p
+         |LEFT JOIN cc ON p.probe_key = cc.probe_key
+         |LEFT JOIN tc ON p.probe_key = tc.probe_key""".stripMargin,
     "zonemap_prune_scan" ->
       // the pruned scan must be indistinguishable from the raw filter
       """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
