@@ -1650,6 +1650,21 @@ object SparkEntry {
       Profile.topValues(t(s, dir, "orders"),
         Seq("o_orderstatus", "o_orderpriority", "o_custkey"), 3)
     }),
+    "event_anomalies" -> ((s, dir) => {
+      // robust volume monitoring (operators/Anomaly.scala): hourly
+      // event counts per type, median/MAD center+spread (50 %
+      // breakdown — a broken day can't mask itself the way it drags a
+      // mean/stddev z-score), flag = |cnt−med| > 3·mad. All exact
+      // integer/half arithmetic, so DuckDB replays the decision
+      // bit-for-bit; the events frame collapses to the ~680-bucket
+      // count series in one map-side agg and the per-type stats
+      // broadcast back.
+      import graft.operators.Anomaly
+      Anomaly.robustCountAnomalies(t(s, dir, "events"),
+        col("event_type"), ntz(date_trunc("hour", col("ts"))), 3.0)
+        .withColumnRenamed("group", "event_type")
+        .withColumnRenamed("bucket", "event_hour")
+    }),
     "bloom_index_build" -> ((s, dir) => {
       // file-level Bloom index (operators/BloomIndex.scala) — the
       // EQUALITY twin of the zone-map family: 256-row order "files"
@@ -5395,6 +5410,21 @@ object SparkEntry {
       Seq("o_orderstatus", "o_orderpriority", "o_custkey")
         .map(one).mkString("\nUNION ALL\n")
     },
+    "event_anomalies" ->
+      """WITH series AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS event_hour,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, median(cnt) AS med
+        |        FROM series GROUP BY 1),
+        |wm AS (SELECT s.event_type, s.event_hour, s.cnt, m.med,
+        |              abs(s.cnt - m.med) AS adev
+        |       FROM series s JOIN med m ON s.event_type = m.event_type),
+        |mad AS (SELECT event_type, median(adev) AS mad
+        |        FROM wm GROUP BY 1)
+        |SELECT w.event_type, w.event_hour, w.cnt, w.med, d.mad,
+        |       (w.adev > 3.0 * d.mad) AS is_anomaly
+        |FROM wm w JOIN mad d ON w.event_type = d.event_type""".stripMargin,
     "bloom_index_build" ->
       s"""WITH raw AS (
          |  SELECT o_orderkey // 256 AS chunk,
