@@ -3042,6 +3042,24 @@ object SparkEntry {
         col("lang"), Map("en" -> 0.5, "de" -> 1.0))
         .select(col("doc_id"), col("lang"))
     }),
+    "group_safe_split" -> ((s, dir) => {
+      // the FIX for what split_leakage audits: assign train/holdout by
+      // the CONTENT key, so exact copies can never straddle the split
+      // (and passing a Dedup cluster id as the group extends that to
+      // near-dups). Still a zero-shuffle projection; the in-plan gate
+      // proves the guarantee on this corpus (max splits-per-group = 1)
+      // rather than asserting it on faith.
+      import graft.operators.Sampling
+      val sp = Sampling.groupSafeSplit(t(s, dir, "documents"),
+        col("text"), trainFrac = 0.9)
+      val gate = sp.groupBy(col("text"))
+        .agg(count_distinct(col("split")).as("k"))
+        .agg(coalesce(max(col("k")), lit(0L)).as("max_k"))
+      sp.crossJoin(broadcast(gate))
+        .where(assert_true(col("max_k") <= 1,
+          lit("group-safe split leaked a content group")).isNull)
+        .select(col("doc_id"), col("split"))
+    }),
     "split_leakage" -> ((s, dir) => {
       // eval-contamination audit of the 90/10 split: exact-content keys
       // present in BOTH splits, via one content-keyed hash agg (never a
@@ -4553,6 +4571,11 @@ object SparkEntry {
         |        substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
         |   OR (lang = 'de' AND
         |        substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < 'g')""".stripMargin,
+    "group_safe_split" ->
+      """SELECT doc_id,
+        | CASE WHEN substr(md5('graft' || text), 1, 4) < 'e666'
+        |      THEN 'train' ELSE 'holdout' END AS split
+        |FROM documents""".stripMargin,
     "split_leakage" ->
       """WITH sp AS (SELECT doc_id, text,
         |  CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4)

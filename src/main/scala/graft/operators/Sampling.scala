@@ -77,6 +77,27 @@ object Sampling {
       .filter(col("n_train") > 0 && col("n_holdout") > 0)
   }
 
+  /** Leakage-FREE split: assign by a GROUP key instead of the row id,
+    * so every member of a group lands in the same split by
+    * construction — the fix for what [[splitLeakage]] audits
+    * (duplicate documents straddling train/holdout silently inflate
+    * eval scores; splitting by content key makes that impossible for
+    * exact copies, and splitting by a near-dup CLUSTER representative
+    * — `Dedup` cluster ids work directly as `group` — extends the
+    * guarantee to near-duplicates). Same md5 bucketing as
+    * [[hashSplit]], same stability contract; the observed train
+    * fraction now converges over GROUPS, not rows, so heavy groups
+    * wobble it — that is the price of the guarantee, not a bug.
+    *
+    * Scale shape: a pure zero-shuffle projection, exactly like
+    * [[hashSplit]] — the group key is hashed per row, never joined.
+    */
+  def groupSafeSplit(df: DataFrame, group: Column, trainFrac: Double,
+                     salt: String = "graft"): DataFrame =
+    df.withColumn("split",
+      when(bucketKey(group, salt) < lit(thresholdHex(trainFrac)),
+        lit("train")).otherwise(lit("holdout")))
+
   /** Per-stratum deterministic sample: keeps ~`fractions(stratum)` of each
     * stratum's rows (absent strata keep nothing), selected by the same
     * id-hash bucketing as [[hashSplit]] — so the sample is a stable subset

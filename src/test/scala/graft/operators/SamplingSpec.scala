@@ -328,4 +328,36 @@ class SamplingSpec extends SparkTestBase {
       Sampling.temperatureWeights(df, col("src"), col("n"), alpha = 1.5)
     }
   }
+
+  test("groupSafeSplit never lets a group straddle the split") {
+    import graft.TestSpark.spark.implicits._
+    // 200 distinct texts, each duplicated under 3 different ids — the
+    // id-keyed hashSplit WILL leak some of these; the group-keyed
+    // split must leak none
+    val dup = (0L until 600L).map(i => (i, s"text-${i % 200}"))
+      .toDF("id", "text")
+    val sp = Sampling.groupSafeSplit(dup, col("text"), trainFrac = 0.8)
+    val straddled = sp.groupBy("text")
+      .agg(countDistinct("split").as("k")).where(col("k") > 1).count()
+    assert(straddled == 0L)
+    // and the doc-keyed baseline DOES leak on the same corpus, so the
+    // guarantee is doing real work here
+    val naive = Sampling.hashSplit(dup, col("id"), trainFrac = 0.8)
+    val naiveLeaks = naive.groupBy("text")
+      .agg(countDistinct("split").as("k")).where(col("k") > 1).count()
+    assert(naiveLeaks > 0L, "fixture too easy: naive split didn't leak")
+  }
+
+  test("groupSafeSplit agrees with hashSplit when groups are singletons") {
+    import graft.TestSpark.spark.implicits._
+    val uniq = (0L until 500L).map(i => (i, s"u-$i")).toDF("id", "text")
+    val a = Sampling.groupSafeSplit(uniq, col("text"), 0.7)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // same hash input => same assignment as hashSplit keyed on text
+    val b = Sampling.hashSplit(uniq, col("text"), 0.7)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.6 && frac < 0.8, s"observed train frac $frac")
+  }
 }
