@@ -1399,6 +1399,45 @@ object SparkEntry {
         .select(col("name_a"), col("name_b"), col("dist"),
           col("n_a"), col("n_b"))
     }),
+    "entity_resolution" -> ((s, dir) => {
+      // the END of the record-linkage pipeline: fuzzy pairs
+      // (token-blocked banded Levenshtein, the fuzzy_name_pairs
+      // machinery) → transitive closure (the Dedup CC operator, keyed
+      // on portable 60-bit md5 name ids so DuckDB can replay the
+      // labels) → survivorship: the cluster's most frequent spelling
+      // wins (ties to the lexicographically smallest), every variant
+      // mapped to its canonical form. One row per dictionary name —
+      // the lookup a normalization pass joins against.
+      import graft.operators.{Dedup, FuzzyJoin}
+      import org.apache.spark.sql.expressions.Window
+      val dict = t(s, dir, "part").groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n"))
+      val named = dict.withColumn("name_id",
+        conv(substring(md5(col("name")), 1, 15), 16, 10).cast("long"))
+      val idPairs = FuzzyJoin.tokenBlockedEditJoin(dict, col("name"),
+          col("name"), maxDist = 2)
+        .select(col("name_a"), col("name_b")) // id_a/id_b here are names
+        .join(named.select(col("name").as("name_a"),
+          col("name_id").as("id_a")), Seq("name_a"))
+        .join(named.select(col("name").as("name_b"),
+          col("name_id").as("id_b")), Seq("name_b"))
+        .select(col("id_a"), col("id_b"))
+      val cc = Dedup.connectedComponents(idPairs)
+      val lab = named.join(cc, named("name_id") === cc("id"), "left")
+        .select(col("name"), col("n"),
+          coalesce(col("comp"), col("name_id")).as("cluster"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n").desc, col("name").asc)
+      val canon = lab.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("cluster"), col("name").as("canonical_name"))
+      val sizes = lab.groupBy("cluster")
+        .agg(count(lit(1)).as("cluster_size"))
+      lab.join(broadcast(canon), Seq("cluster"))
+        .join(broadcast(sizes), Seq("cluster"))
+        .select(col("name"), col("canonical_name"), col("cluster_size"),
+          col("n"))
+    }),
     "fuzzy_pairs_exact" -> ((s, dir) => {
       // ground-truth twin: all-pairs edit join over the same 64-name
       // dictionary (dictionary-sized by construction — the capped
@@ -5173,6 +5212,47 @@ object SparkEntry {
         |JOIN dict da ON da.name = c.name_a
         |JOIN dict db ON db.name = c.name_b
         |WHERE levenshtein(c.name_a, c.name_b) <= 2""".stripMargin,
+    "entity_resolution" ->
+      // fuzzy_name_pairs' blocking verbatim, then the dedup_clusters
+      // reach-CTE over md5 name ids, then survivorship by (n DESC,
+      // name) — the full linkage pipeline replayed in one query
+      """WITH RECURSIVE
+        |dict AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM part GROUP BY p_name),
+        |named AS (SELECT name, n,
+        |  ('0x' || substr(md5(name), 1, 15))::BIGINT AS name_id FROM dict),
+        |t AS (SELECT DISTINCT name, tok FROM (
+        |  SELECT name, unnest(string_split(name, ' ')) AS tok FROM dict)
+        |  WHERE tok <> ''),
+        |keep AS (SELECT tok FROM t GROUP BY tok HAVING COUNT(*) <= 1000),
+        |tk AS (SELECT t.name, t.tok FROM t JOIN keep USING (tok)),
+        |cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        |  FROM tk a JOIN tk b ON a.tok = b.tok AND a.name < b.name),
+        |pairs AS (SELECT name_a, name_b FROM cand
+        |  WHERE levenshtein(name_a, name_b) <= 2),
+        |idp AS (SELECT na.name_id AS id_a, nb.name_id AS id_b FROM pairs
+        |  JOIN named na ON na.name = name_a
+        |  JOIN named nb ON nb.name = name_b),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM idp
+        |  UNION SELECT id_b, id_a FROM idp),
+        |reach(id, comp) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+        |lab AS (SELECT nm.name, nm.n,
+        |  COALESCE(MIN(r.comp), nm.name_id) AS cluster
+        |  FROM named nm LEFT JOIN reach r ON r.id = nm.name_id
+        |  GROUP BY nm.name, nm.n, nm.name_id),
+        |canon AS (SELECT cluster, name AS canonical_name FROM (
+        |  SELECT cluster, name, row_number() OVER (
+        |    PARTITION BY cluster ORDER BY n DESC, name) AS rk FROM lab)
+        |  WHERE rk = 1),
+        |sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |  FROM lab GROUP BY cluster)
+        |SELECT l.name, c.canonical_name, s.cluster_size, l.n
+        |FROM lab l
+        |JOIN canon c ON l.cluster = c.cluster
+        |JOIN sizes s ON l.cluster = s.cluster""".stripMargin,
     "fuzzy_pairs_exact" ->
       """WITH dict AS (SELECT DISTINCT p_name AS name FROM part)
         |SELECT a.name AS name_a, b.name AS name_b,
