@@ -1689,6 +1689,19 @@ object SparkEntry {
       Profile.topValues(t(s, dir, "orders"),
         Seq("o_orderstatus", "o_orderpriority", "o_custkey"), 3)
     }),
+    "profile_fds" -> ((s, dir) => {
+      // cross-column structure discovery: o_orderkey->o_custkey must
+      // HOLD (orderkey is the key), the reverse and custkey->status
+      // must NOT (customers place many orders) — one violated and one
+      // held dependency face the oracle on both count paths. Each
+      // candidate is one thin two-column scan + keyed agg.
+      import graft.operators.Profile
+      Profile.functionalDependencies(t(s, dir, "orders"), Seq(
+        "o_orderkey" -> "o_custkey",
+        "o_custkey" -> "o_orderkey",
+        "o_custkey" -> "o_orderstatus",
+        "o_orderpriority" -> "o_orderstatus"))
+    }),
     "event_anomalies" -> ((s, dir) => {
       // robust volume monitoring (operators/Anomaly.scala): hourly
       // event counts per type, median/MAD center+spread (50 %
@@ -5512,6 +5525,19 @@ object SparkEntry {
            |) WHERE rnk <= 3""".stripMargin
       Seq("o_orderstatus", "o_orderpriority", "o_custkey")
         .map(one).mkString("\nUNION ALL\n")
+    },
+    "profile_fds" -> {
+      def one(a: String, b: String): String =
+        s"""SELECT '$a->$b' AS dependency,
+           |  CAST(count(*) AS BIGINT) AS n_groups,
+           |  CAST(coalesce(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violating_groups,
+           |  (coalesce(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END), 0) = 0) AS holds
+           |FROM (SELECT $a, count(DISTINCT $b) AS k
+           |      FROM orders GROUP BY $a)""".stripMargin
+      Seq("o_orderkey" -> "o_custkey", "o_custkey" -> "o_orderkey",
+        "o_custkey" -> "o_orderstatus",
+        "o_orderpriority" -> "o_orderstatus")
+        .map { case (a, b) => one(a, b) }.mkString("\nUNION ALL\n")
     },
     "event_anomalies" ->
       """WITH series AS (

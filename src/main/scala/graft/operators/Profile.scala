@@ -67,6 +67,35 @@ object Profile {
     }: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Functional-dependency check: for each candidate `a → b`, does
+    * every value of `a` determine exactly one value of `b`? The
+    * profiling question behind normalization, key inference and
+    * "can I safely join on this" — [[table]] discovers single-column
+    * keys; this discovers the cross-column structure. A violating
+    * group is an `a` value observed with >1 distinct `b` (nulls in
+    * `b` don't count as a value, matching `count(distinct)`); the
+    * dependency holds iff no group violates.
+    *
+    * Scale shape: one two-column projected scan + hash agg per
+    * candidate (grouped on `a`, distinct-counting `b`), then a
+    * single-row rollup — candidates are checked independently, so k
+    * candidates cost k thin scans and the output is k rows.
+    */
+  def functionalDependencies(df: DataFrame,
+                             deps: Seq[(String, String)]): DataFrame = {
+    require(deps.nonEmpty, "need at least one candidate dependency")
+    deps.map { case (a, b) =>
+      df.groupBy(col(a))
+        .agg(count_distinct(col(b)).as("__k"))
+        .agg(count(lit(1)).as("n_groups"),
+          coalesce(sum(when(col("__k") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("n_violating_groups"))
+        .select(lit(s"$a->$b").as("dependency"), col("n_groups"),
+          col("n_violating_groups"),
+          (col("n_violating_groups") === 0).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-column most-frequent values — the "what's actually IN this
     * column" half of profiling. One projected scan + hash agg per
     * column (each scan prunes to that single column at the reader, so

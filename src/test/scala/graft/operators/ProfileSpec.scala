@@ -68,6 +68,28 @@ class ProfileSpec extends SparkTestBase {
       s"expected TakeOrderedAndProject in:\n$plan")
   }
 
+  test("functionalDependencies separates held from violated") {
+    // id -> tag holds (ids unique); tag -> name violated (tag x maps
+    // to alpha/beta/gamma); name -> tag holds on non-null names here
+    // (alpha appears twice, both tagged differently => violated!)
+    val fds = Profile.functionalDependencies(fixture, Seq(
+      "id" -> "tag", "tag" -> "name", "name" -> "tag"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(fds("id->tag") == (5L, 0L, true))
+    assert(fds("tag->name")._3 == false)
+    // "alpha" rows carry tags x and y => one violating group
+    assert(fds("name->tag") == (4L, 1L, false))
+  }
+
+  test("functionalDependencies ignores null dependents") {
+    val df = Seq(("a", Some(1)), ("a", None), ("b", None))
+      .toDF("k", "v")
+    val r = Profile.functionalDependencies(df, Seq("k" -> "v")).collect()(0)
+    // group a has 1 distinct non-null v; group b has 0 => no violation
+    assert(r.getLong(1) == 2L && r.getLong(2) == 0L && r.getBoolean(3))
+  }
+
   test("nulls-only column profiles cleanly") {
     val df = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "v")
     val r = Profile.table(df, Seq("v")).collect()(0)
