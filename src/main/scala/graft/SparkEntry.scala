@@ -1717,6 +1717,20 @@ object SparkEntry {
         .withColumnRenamed("group", "event_type")
         .withColumnRenamed("bucket", "event_hour")
     }),
+    "event_drift" -> ((s, dir) => {
+      // the LEVEL-SHIFT twin of event_anomalies: one-sided CUSUM in
+      // MAD units (slack 0.5, decision h=5), computed closed-form as
+      // S − min(0, running-min S) — two per-group ordered windows, no
+      // recursion, exact half-integer arithmetic end to end. Catches
+      // the sustained small shift the per-bucket z-score structurally
+      // cannot.
+      import graft.operators.Anomaly
+      Anomaly.cusumDrift(t(s, dir, "events"),
+        col("event_type"), ntz(date_trunc("hour", col("ts"))),
+        slack = 0.5, h = 5.0)
+        .withColumnRenamed("group", "event_type")
+        .withColumnRenamed("bucket", "event_hour")
+    }),
     "bloom_index_build" -> ((s, dir) => {
       // file-level Bloom index (operators/BloomIndex.scala) — the
       // EQUALITY twin of the zone-map family: 256-row order "files"
@@ -5554,6 +5568,37 @@ object SparkEntry {
         |SELECT w.event_type, w.event_hour, w.cnt, w.med, d.mad,
         |       (w.adev > 3.0 * d.mad) AS is_anomaly
         |FROM wm w JOIN mad d ON w.event_type = d.event_type""".stripMargin,
+    "event_drift" ->
+      """WITH series AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS event_hour,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, median(cnt) AS med
+        |        FROM series GROUP BY 1),
+        |wm AS (SELECT s.event_type, s.event_hour, s.cnt, m.med,
+        |              abs(s.cnt - m.med) AS adev
+        |       FROM series s JOIN med m ON s.event_type = m.event_type),
+        |mad AS (SELECT event_type, median(adev) AS mad
+        |        FROM wm GROUP BY 1),
+        |base AS (SELECT w.event_type, w.event_hour, w.cnt, w.med, d.mad,
+        |  (w.cnt - w.med - 0.5 * d.mad) AS dp,
+        |  (w.med - w.cnt - 0.5 * d.mad) AS dn
+        |  FROM wm w JOIN mad d ON w.event_type = d.event_type),
+        |s1 AS (SELECT *,
+        |  sum(dp) OVER (PARTITION BY event_type ORDER BY event_hour
+        |                ROWS UNBOUNDED PRECEDING) AS sp,
+        |  sum(dn) OVER (PARTITION BY event_type ORDER BY event_hour
+        |                ROWS UNBOUNDED PRECEDING) AS sn
+        |  FROM base),
+        |s2 AS (SELECT *,
+        |  sp - least(0, min(sp) OVER (PARTITION BY event_type
+        |    ORDER BY event_hour ROWS UNBOUNDED PRECEDING)) AS cusum_pos,
+        |  sn - least(0, min(sn) OVER (PARTITION BY event_type
+        |    ORDER BY event_hour ROWS UNBOUNDED PRECEDING)) AS cusum_neg
+        |  FROM s1)
+        |SELECT event_type, event_hour, cnt, cusum_pos, cusum_neg,
+        |  (cusum_pos > 5.0 * mad OR cusum_neg > 5.0 * mad) AS is_drift
+        |FROM s2""".stripMargin,
     "bloom_index_build" ->
       s"""WITH raw AS (
          |  SELECT o_orderkey // 256 AS chunk,

@@ -29,12 +29,12 @@ import org.apache.spark.sql.functions._
   */
 object Anomaly {
 
-  /** Count-volume anomalies: one row per `(group, bucket)` with the
-    * count, the group's median/MAD and the flag.
+  /** The `(group, bucket, cnt, med, mad, adev)` series shared by both
+    * detectors: one map-side agg to the count series, two exact
+    * percentile rollups, stats broadcast back.
     */
-  def robustCountAnomalies(df: DataFrame, group: Column, bucket: Column,
-                           thresh: Double = 3.0): DataFrame = {
-    require(thresh > 0, "thresh must be positive")
+  private def robustSeries(df: DataFrame, group: Column,
+                           bucket: Column): DataFrame = {
     val series = df.groupBy(group.as("group"), bucket.as("bucket"))
       .agg(count(lit(1)).as("cnt"))
     val med = series.groupBy("group")
@@ -44,7 +44,61 @@ object Anomaly {
     val mad = withMed.groupBy("group")
       .agg(percentile(col("adev"), lit(0.5)).as("mad"))
     withMed.join(broadcast(mad), Seq("group"))
+  }
+
+  /** Count-volume anomalies: one row per `(group, bucket)` with the
+    * count, the group's median/MAD and the flag.
+    */
+  def robustCountAnomalies(df: DataFrame, group: Column, bucket: Column,
+                           thresh: Double = 3.0): DataFrame = {
+    require(thresh > 0, "thresh must be positive")
+    robustSeries(df, group, bucket)
       .select(col("group"), col("bucket"), col("cnt"), col("med"),
         col("mad"), (col("adev") > lit(thresh) * col("mad")).as("is_anomaly"))
+  }
+
+  /** CUSUM drift detection — the LEVEL-SHIFT twin of
+    * [[robustCountAnomalies]]: a point spike trips the MAD z-score,
+    * but a sustained small shift (volume quietly up 30 % since
+    * Tuesday) never deviates 3 MADs in any single bucket; the
+    * cumulative sum of deviations catches exactly that. Classic
+    * one-sided CUSUM in MAD units: per bucket (ordered within group),
+    *
+    *   `s⁺_t = max(0, s⁺_{t−1} + (cnt_t − med) − slack·mad)`
+    *
+    * (mirrored for s⁻), drift flagged when either side exceeds
+    * `h·mad`. The recursion is computed CLOSED-FORM as
+    * `S_t − min(0, min_{i≤t} S_i)` over the plain cumulative sum `S`
+    * — two ordered-window passes, no iterative loop, and because
+    * counts are integers and medians are exact halves the whole
+    * computation is engine-portable arithmetic.
+    *
+    * Scale shape: identical to the z-score path (everything after the
+    * first agg runs on the bucket series), plus two window passes
+    * partitioned BY GROUP — each group's series sorts independently,
+    * no global sort.
+    */
+  def cusumDrift(df: DataFrame, group: Column, bucket: Column,
+                 slack: Double = 0.5, h: Double = 5.0): DataFrame = {
+    require(slack >= 0, "slack must be >= 0")
+    require(h > 0, "h must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("group")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    robustSeries(df, group, bucket)
+      .withColumn("__dp",
+        col("cnt") - col("med") - lit(slack) * col("mad"))
+      .withColumn("__dn",
+        (col("med") - col("cnt")) - lit(slack) * col("mad"))
+      .withColumn("__sp", sum(col("__dp")).over(w))
+      .withColumn("__sn", sum(col("__dn")).over(w))
+      .withColumn("cusum_pos",
+        col("__sp") - least(lit(0.0), min(col("__sp")).over(w)))
+      .withColumn("cusum_neg",
+        col("__sn") - least(lit(0.0), min(col("__sn")).over(w)))
+      .select(col("group"), col("bucket"), col("cnt"),
+        col("cusum_pos"), col("cusum_neg"),
+        (col("cusum_pos") > lit(h) * col("mad") ||
+          col("cusum_neg") > lit(h) * col("mad")).as("is_drift"))
   }
 }

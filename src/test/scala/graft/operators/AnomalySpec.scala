@@ -51,6 +51,57 @@ class AnomalySpec extends SparkTestBase {
     assert(flagged == Set(("b", 9)))
   }
 
+  test("cusum catches a sustained shift the z-score misses") {
+    // steady buckets 1..30 cycle 9/10/11 (30 of 39 values keep the
+    // median pinned at 10, mad at 1); buckets 31..39 step to 13 — an
+    // adev of exactly 3, NOT > 3·mad, so the z-score is blind to it,
+    // but each drifted bucket adds 13−10−0.5 = 2.5 to the cusum,
+    // which (on top of the steady cycle's 0.5 carry at bucket 30)
+    // clears h·mad = 5 at the second drifted bucket
+    val steady = (1 to 30).flatMap(b => Seq.fill(9 + ((b - 1) % 3))(("a", b)))
+    val shifted = (31 to 39).flatMap(b => Seq.fill(13)(("a", b)))
+    val out = Anomaly.cusumDrift((steady ++ shifted).toDF("g", "b"),
+      col("g"), col("b"), slack = 0.5, h = 5.0)
+      .collect().map(r => r.getInt(1) -> r.getBoolean(5)).toMap
+    assert((32 to 39).forall(out(_)), s"drift region must flag: $out")
+    assert((1 to 31).forall(b => !out(b)),
+      "steady region and sub-threshold ramp must not flag")
+    // cross-check: the z-score detector sees NO anomaly anywhere here
+    // (adev ≤ 3 everywhere, threshold is strict)
+    val z = Anomaly.robustCountAnomalies((steady ++ shifted).toDF("g", "b"),
+      col("g"), col("b"))
+    assert(z.where(col("is_anomaly")).count() == 0L,
+      "fixture must be invisible to the point detector")
+  }
+
+  test("cusum closed form matches the sequential recursion") {
+    // random-ish fixed series; recompute s_t = max(0, s_{t-1}+d) on
+    // the driver from the same med/mad and compare
+    val counts = Seq(5, 7, 3, 9, 9, 2, 8, 11, 4, 6)
+    val rows = counts.zipWithIndex.flatMap { case (c, b) =>
+      Seq.fill(c)(("a", b)) }
+    val out = Anomaly.cusumDrift(rows.toDF("g", "b"), col("g"), col("b"),
+        slack = 0.5, h = 5.0)
+      .orderBy("bucket").collect()
+    val med = {
+      val s = counts.sorted.map(_.toDouble)
+      (s(4) + s(5)) / 2
+    }
+    val mad = {
+      val s = counts.map(c => math.abs(c - med)).sorted
+      (s(4) + s(5)) / 2
+    }
+    var sp = 0.0
+    var sn = 0.0
+    out.foreach { r =>
+      val c = r.getLong(2).toDouble
+      sp = math.max(0.0, sp + (c - med - 0.5 * mad))
+      sn = math.max(0.0, sn + (med - c - 0.5 * mad))
+      assert(r.getDouble(3) == sp && r.getDouble(4) == sn,
+        s"bucket ${r.get(1)}: got (${r.getDouble(3)},${r.getDouble(4)}) want ($sp,$sn)")
+    }
+  }
+
   test("the per-group stats joins broadcast onto the series") {
     val plan = Anomaly.robustCountAnomalies(spiky, col("g"), col("b"))
       .queryExecution.executedPlan.toString
