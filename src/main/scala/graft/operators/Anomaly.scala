@@ -29,14 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object Anomaly {
 
-  /** The `(group, bucket, cnt, med, mad, adev)` series shared by both
-    * detectors: one map-side agg to the count series, two exact
-    * percentile rollups, stats broadcast back.
+  /** The raw-rows → `(group, bucket, cnt)` collapse both detectors
+    * share: one map-side-combining aggregation.
     */
-  private def robustSeries(df: DataFrame, group: Column,
-                           bucket: Column): DataFrame = {
-    val series = df.groupBy(group.as("group"), bucket.as("bucket"))
+  def countSeries(df: DataFrame, group: Column, bucket: Column): DataFrame =
+    df.groupBy(group.as("group"), bucket.as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Median/MAD annotation of an existing `(group, bucket, cnt)`
+    * series (e.g. one served by a streaming count store): two exact
+    * percentile rollups, stats broadcast back onto the series.
+    */
+  private def robustStats(series: DataFrame): DataFrame = {
     val med = series.groupBy("group")
       .agg(percentile(col("cnt"), lit(0.5)).as("med"))
     val withMed = series.join(broadcast(med), Seq("group"))
@@ -50,9 +54,17 @@ object Anomaly {
     * count, the group's median/MAD and the flag.
     */
   def robustCountAnomalies(df: DataFrame, group: Column, bucket: Column,
-                           thresh: Double = 3.0): DataFrame = {
+                           thresh: Double = 3.0): DataFrame =
+    robustCountAnomaliesFromSeries(countSeries(df, group, bucket), thresh)
+
+  /** [[robustCountAnomalies]] over a pre-aggregated
+    * `(group, bucket, cnt)` series — the form a streaming count store
+    * feeds ([[graft.streaming.Streams.anomalyStoreView]]).
+    */
+  def robustCountAnomaliesFromSeries(series: DataFrame,
+                                     thresh: Double = 3.0): DataFrame = {
     require(thresh > 0, "thresh must be positive")
-    robustSeries(df, group, bucket)
+    robustStats(series)
       .select(col("group"), col("bucket"), col("cnt"), col("med"),
         col("mad"), (col("adev") > lit(thresh) * col("mad")).as("is_anomaly"))
   }
@@ -79,13 +91,20 @@ object Anomaly {
     * no global sort.
     */
   def cusumDrift(df: DataFrame, group: Column, bucket: Column,
-                 slack: Double = 0.5, h: Double = 5.0): DataFrame = {
+                 slack: Double = 0.5, h: Double = 5.0): DataFrame =
+    cusumDriftFromSeries(countSeries(df, group, bucket), slack, h)
+
+  /** [[cusumDrift]] over a pre-aggregated `(group, bucket, cnt)`
+    * series — the streaming-store form.
+    */
+  def cusumDriftFromSeries(series: DataFrame,
+                           slack: Double = 0.5, h: Double = 5.0): DataFrame = {
     require(slack >= 0, "slack must be >= 0")
     require(h > 0, "h must be positive")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("group")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    robustSeries(df, group, bucket)
+    robustStats(series)
       .withColumn("__dp",
         col("cnt") - col("med") - lit(slack) * col("mad"))
       .withColumn("__dn",

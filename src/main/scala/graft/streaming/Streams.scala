@@ -431,6 +431,49 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
 
+  /** Continuously maintain the volume-monitoring count store behind
+    * [[graft.operators.Anomaly]]: each micro-batch collapses to its
+    * own `(group, bucket, cnt)` partial counts (one map-side agg —
+    * slice size is bounded by groups × buckets TOUCHED by the batch,
+    * not by batch rows), stamped with the batch id and appended. The
+    * served view ([[anomalyStoreView]]) folds replayed duplicate
+    * appendixes with max per (batch_id, group, bucket) — a replay
+    * rewrites the identical partial, so max is exact — then sums
+    * partials across batches into the total series and runs the
+    * detector. Late events for an old bucket are NOT a special case:
+    * their batch appends another partial for that bucket and the sum
+    * absorbs it — the monitor's verdict converges to the batch
+    * recompute for every arrival order.
+    */
+  def anomalyStream(rows: DataFrame, group: Column, bucket: Column,
+                    storePath: String, checkpointDir: String,
+                    trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Anomaly.countSeries(batch.toDF(), group, bucket)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(storePath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
+  /** The monitoring verdict an [[anomalyStream]] store currently
+    * serves: replay-collapse, cross-batch sum, then the median/MAD
+    * detector — identical output to running
+    * [[graft.operators.Anomaly.robustCountAnomalies]] over all events
+    * ever streamed.
+    */
+  def anomalyStoreView(spark: SparkSession, storePath: String,
+                       thresh: Double = 3.0): DataFrame =
+    graft.operators.Anomaly.robustCountAnomaliesFromSeries(
+      spark.read.parquet(storePath)
+        .groupBy(col("batch_id"), col("group"), col("bucket"))
+        .agg(max(col("cnt")).as("cnt"))
+        .groupBy(col("group"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt")),
+      thresh)
+
   /** Continuously maintain an IVF vector index: each micro-batch of
     * (id, embedding) rows is assigned to its nearest centroid — a pure
     * per-row codegen kernel over the broadcast model, ZERO shuffle —

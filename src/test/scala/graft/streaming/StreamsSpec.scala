@@ -773,6 +773,44 @@ class StreamsSpec extends SparkTestBase {
     assert(replayed == served, s"replay changed the view: $replayed")
   }
 
+  test("anomalyStream: served verdict equals the batch recompute, " +
+    "absorbs late buckets and replayed appendixes") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    import graft.operators.Anomaly
+    val store = tempDir("anom_store").toString
+    val mem = MemoryStream[(String, Int)]
+    val q = Streams.anomalyStream(mem.toDF().toDF("g", "b"),
+        col("g"), col("b"), store, tempDir("anom_ckpt").toString,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    // batch 1: steady traffic; batch 2: a spike bucket PLUS late
+    // events for bucket 2 (already counted in batch 1)
+    val b1 = (1 to 8).flatMap(b => Seq.fill(10)(("a", b)))
+    val b2 = Seq.fill(60)(("a", 9)) ++ Seq.fill(2)(("a", 2))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getBoolean(5))).toMap
+    val served = snap(Streams.anomalyStoreView(spark, store))
+    val full = snap(Anomaly.robustCountAnomalies(
+      (b1 ++ b2).toDF("g", "b"), col("g"), col("b")))
+    assert(served == full, s"served=$served\nfull=$full")
+    assert(served(("a", 2))._1 == 12L, "late events must fold into bucket 2")
+    assert(served(("a", 9))._2, "the spike bucket must flag")
+    // replay attack: re-append batch 0's partials verbatim — the view
+    // must collapse them (max per batch) and stay identical
+    val slice0 = spark.read.parquet(store).where(col("batch_id") === 0)
+    slice0.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(store)
+    assert(snap(Streams.anomalyStoreView(spark, store)) == served,
+      "replayed appendix changed the verdict")
+  }
+
   test("zoneMapStream: appended slices merge to the exact batch zone map") {
     import graft.TestSpark.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
