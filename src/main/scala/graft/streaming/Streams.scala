@@ -474,6 +474,21 @@ object Streams {
         .agg(sum(col("cnt")).as("cnt")),
       thresh)
 
+  /** The CUSUM level-shift verdict over the same [[anomalyStream]]
+    * store — one store, both detectors (point spikes via
+    * [[anomalyStoreView]], sustained shifts here), same replay
+    * collapse.
+    */
+  def driftStoreView(spark: SparkSession, storePath: String,
+                     slack: Double = 0.5, h: Double = 5.0): DataFrame =
+    graft.operators.Anomaly.cusumDriftFromSeries(
+      spark.read.parquet(storePath)
+        .groupBy(col("batch_id"), col("group"), col("bucket"))
+        .agg(max(col("cnt")).as("cnt"))
+        .groupBy(col("group"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt")),
+      slack, h)
+
   /** Continuously maintain an IVF vector index: each micro-batch of
     * (id, embedding) rows is assigned to its nearest centroid — a pure
     * per-row codegen kernel over the broadcast model, ZERO shuffle —

@@ -800,4 +800,47 @@ class PlanAuditSpec extends SparkTestBase {
     assert("Exchange rangepartitioning".r.findAllIn(sorted).length == 1,
       sorted)
   }
+
+  test("profiler: table stats share ONE scan; each FD candidate is one " +
+    "thin two-column scan") {
+    import graft.operators.Profile
+    val orders = Tables.load(spark, dir, "orders")
+    val p1 = planOf(Profile.table(orders,
+      Seq("o_orderkey", "o_custkey", "o_orderstatus")))
+    // all per-column stats (counts, distincts, min/max, lengths) fold
+    // into one aggregation pass — a column adds agg columns, not scans
+    assert(p1.split("Scan parquet").length - 1 == 1, p1)
+    val p2 = planOf(Profile.functionalDependencies(orders,
+      Seq("o_orderkey" -> "o_custkey", "o_custkey" -> "o_orderstatus")))
+    assert(p2.split("Scan parquet").length - 1 == 2, p2)
+    // and each scan reads only its candidate's two columns
+    assert(PlanInspect.readSchemas(p2DF(orders)).forall(s =>
+      s.count(_ == ',') <= 1), PlanInspect.readSchemas(p2DF(orders)).toString)
+  }
+
+  private def p2DF(orders: org.apache.spark.sql.DataFrame) =
+    graft.operators.Profile.functionalDependencies(orders,
+      Seq("o_orderkey" -> "o_custkey", "o_custkey" -> "o_orderstatus"))
+
+  test("bloom index: the build is one scan + one keyed aggregation " +
+    "exchange; the probe broadcasts and never exchanges the index") {
+    import graft.operators.BloomIndex
+    val orders = Tables.load(spark, dir, "orders")
+    val idx = BloomIndex.build(orders,
+      expr("CAST(o_orderkey DIV 256 AS BIGINT)"), col("o_custkey"),
+      k = 3, mBits = 4096)
+    val bp = planOf(idx)
+    assert(bp.split("Scan parquet").length - 1 == 1, bp)
+    assert(dataExchanges(bp) == 1, bp)
+    // scan reads exactly the two columns the index needs
+    assert(PlanInspect.readSchemas(idx)
+      .contains("struct<o_orderkey:bigint,o_custkey:bigint>"),
+      PlanInspect.readSchemas(idx).toString)
+    val probes = spark.range(4).select(col("id").cast("string")
+      .as("probe_key"))
+    val cp = planOf(BloomIndex.candidates(idx, probes, col("probe_key"),
+      3, 4096))
+    assert(cp.contains("BroadcastHashJoin"), cp)
+    assert(!cp.contains("SortMergeJoin"), cp)
+  }
 }

@@ -809,6 +809,14 @@ class StreamsSpec extends SparkTestBase {
     slice0.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(store)
     assert(snap(Streams.anomalyStoreView(spark, store)) == served,
       "replayed appendix changed the verdict")
+    // the drift view reads the same store and must equal ITS batch twin
+    def dsnap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(dsnap(Streams.driftStoreView(spark, store)) ==
+      dsnap(Anomaly.cusumDrift((b1 ++ b2).toDF("g", "b"),
+        col("g"), col("b"))),
+      "drift view diverged from the batch recompute")
   }
 
   test("zoneMapStream: appended slices merge to the exact batch zone map") {
