@@ -1702,6 +1702,27 @@ object SparkEntry {
         "o_custkey" -> "o_orderstatus",
         "o_orderpriority" -> "o_orderstatus"))
     }),
+    "profile_histogram" -> ((s, dir) => {
+      // equi-DEPTH distribution view of o_custkey: 8 buckets cut at
+      // exact interpolated octiles (k a power of two keeps every
+      // interior fraction an exact binary, so the lo + frac·(hi−lo)
+      // interpolation is exact arithmetic in both engines); bucket
+      // membership is the portable strict-> comparison chain. Two
+      // aggregation passes over one projected column; swap
+      // exactBoundaries=false (t-digest) at 100 TB.
+      import graft.operators.Profile
+      Profile.equiDepthHistogram(t(s, dir, "orders"), "o_custkey", 8)
+    }),
+    "corpus_balanced_sample" -> ((s, dir) => {
+      // fixed k=16 docs PER LANGUAGE — the balanced-eval draw a
+      // fraction-keyed stratified sample can't give (rare strata keep
+      // ~nothing); md5-ranked so the draw is stable under re-runs and
+      // engine changes. One keyed exchange + per-group window.
+      import graft.operators.Sampling
+      Sampling.fixedPerGroupSample(t(s, dir, "documents"),
+        col("doc_id"), col("lang"), k = 16)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+    }),
     "event_anomalies" -> ((s, dir) => {
       // robust volume monitoring (operators/Anomaly.scala): hourly
       // event counts per type, median/MAD center+spread (50 %
@@ -5553,6 +5574,34 @@ object SparkEntry {
         "o_orderpriority" -> "o_orderstatus")
         .map { case (a, b) => one(a, b) }.mkString("\nUNION ALL\n")
     },
+    "profile_histogram" -> {
+      val cmp = (1 to 7).map(i =>
+        s"CASE WHEN o_custkey > qs[$i] THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT
+         |  quantile_cont(o_custkey,
+         |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs,
+         |  CAST(min(o_custkey) AS DOUBLE) AS mn,
+         |  CAST(max(o_custkey) AS DOUBLE) AS mx
+         |  FROM orders),
+         |r AS (SELECT ($cmp) AS bucket
+         |  FROM orders, b WHERE o_custkey IS NOT NULL)
+         |SELECT bucket,
+         |  CASE WHEN bucket = 0 THEN any_value(b.mn)
+         |       ELSE any_value(b.qs)[bucket] END AS lo_bound,
+         |  CASE WHEN bucket = 7 THEN any_value(b.mx)
+         |       ELSE any_value(b.qs)[bucket + 1] END AS hi_bound,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM r, b GROUP BY bucket""".stripMargin
+    },
+    "corpus_balanced_sample" ->
+      """SELECT doc_id, lang, rk AS sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4),
+        |               CAST(doc_id AS VARCHAR)) AS INT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 16""".stripMargin,
     "event_anomalies" ->
       """WITH series AS (
         |  SELECT event_type, date_trunc('hour', ts) AS event_hour,

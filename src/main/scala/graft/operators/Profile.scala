@@ -67,6 +67,59 @@ object Profile {
     }: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Equi-DEPTH histogram of a numeric column: `k` buckets holding
+    * ~equal row counts, cut at the exact interpolated percentiles —
+    * the distribution view `table`'s min/max can't give (an equi-WIDTH
+    * histogram of a skewed column puts everything in one bar; cutting
+    * by rank shows the shape). Bucket membership is
+    * `Σ_j [value > q_j]` over the k−1 interior quantiles — the same
+    * comparison chain an engine-portable oracle can replay, with ties
+    * landing in the lower bucket by the strict `>`.
+    *
+    * Keep `k` a power of two when the column is integral and the
+    * oracle must hash-match: interior fractions i/k are then exact
+    * binaries, so the standard `lo + frac·(hi−lo)` interpolation is
+    * exact arithmetic in ANY engine. Output one row per OCCUPIED
+    * bucket: `(bucket, lo_bound, hi_bound, n)` where the bounds are
+    * the enclosing quantiles (global min/max at the edges).
+    *
+    * Scale shape: two aggregation passes over the single projected
+    * column — one exact-percentile rollup (driver-sized result,
+    * broadcast back), one count keyed on the derived bucket id (k
+    * groups). The exact percentile buffers the column per partition;
+    * at 100 TB swap `approx_percentile` in for the boundary pass —
+    * the bucket-count pass is unchanged.
+    */
+  def equiDepthHistogram(df: DataFrame, column: String, k: Int,
+                         exactBoundaries: Boolean = true): DataFrame = {
+    require(k >= 2, "need at least 2 buckets")
+    val c = col(column)
+    val fracs = (1 until k).map(_.toDouble / k)
+    val qs =
+      if (exactBoundaries)
+        percentile(c, array(fracs.map(lit): _*)).as("qs")
+      else
+        approx_percentile(c, array(fracs.map(lit): _*), lit(10000)).as("qs")
+    val bounds = df.agg(qs, min(c).cast("double").as("mn"),
+      max(c).cast("double").as("mx"))
+    val bucket = (1 until k).map(i =>
+      when(c > element_at(col("qs"), i), 1).otherwise(0))
+      .reduce(_ + _).as("bucket")
+    df.where(c.isNotNull).crossJoin(broadcast(bounds))
+      .select(bucket, col("qs"), col("mn"), col("mx"))
+      .groupBy("bucket")
+      .agg(first(col("qs")).as("qs"), first(col("mn")).as("mn"),
+        first(col("mx")).as("mx"), count(lit(1)).as("n"))
+      .select(col("bucket"),
+        when(col("bucket") === 0, col("mn"))
+          .otherwise(expr("element_at(qs, CAST(bucket AS INT))"))
+          .as("lo_bound"),
+        when(col("bucket") === k - 1, col("mx"))
+          .otherwise(expr("element_at(qs, CAST(bucket + 1 AS INT))"))
+          .as("hi_bound"),
+        col("n"))
+  }
+
   /** Functional-dependency check: for each candidate `a → b`, does
     * every value of `a` determine exactly one value of `b`? The
     * profiling question behind normalization, key inference and

@@ -98,6 +98,35 @@ object Sampling {
       when(bucketKey(group, salt) < lit(thresholdHex(trainFrac)),
         lit("train")).otherwise(lit("holdout")))
 
+  /** Deterministic fixed-k sample PER GROUP — the balanced-eval-set
+    * draw ([[stratifiedSample]] keeps a FRACTION per stratum, so rare
+    * strata keep almost nothing; capping every group at exactly k
+    * rows is what an eval set balanced across languages/sources
+    * needs). Rows are ranked inside each group by the md5 of the row
+    * id (salted) and the top k kept — stable under re-runs, appends
+    * only perturb a group's sample where new ids hash below its
+    * current k-th key.
+    *
+    * Scale shape: one exchange keyed on the group + a per-group
+    * window rank. Group sizes bound the window buffer; for
+    * billion-row groups cap first by a cheap hash-range pre-filter
+    * (keep ~4k/|group| by [[bucketKey]] range, then rank the
+    * survivors — same result, window input bounded).
+    */
+  def fixedPerGroupSample(df: DataFrame, id: Column, group: Column,
+                          k: Int, salt: String = "graft"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__sk").asc, col("__id_s").asc)
+    df.withColumn("__g", group)
+      .withColumn("__sk", bucketKey(id, salt))
+      .withColumn("__id_s", id.cast("string"))
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+      .drop("__g", "__sk", "__id_s")
+  }
+
   /** Per-stratum deterministic sample: keeps ~`fractions(stratum)` of each
     * stratum's rows (absent strata keep nothing), selected by the same
     * id-hash bucketing as [[hashSplit]] — so the sample is a stable subset

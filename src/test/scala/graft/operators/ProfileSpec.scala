@@ -90,6 +90,31 @@ class ProfileSpec extends SparkTestBase {
     assert(r.getLong(1) == 2L && r.getLong(2) == 0L && r.getBoolean(3))
   }
 
+  test("equiDepthHistogram buckets evenly and bounds correctly") {
+    val df = (1 to 800).map(i => Tuple1(i.toLong)).toDF("v")
+    val h = Profile.equiDepthHistogram(df, "v", 8)
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(h.keySet == (0 to 7).toSet)
+    // 800 uniform values over 8 buckets: ~100 each (interpolated cut
+    // points land between integers, so splits are exact)
+    assert(h.values.map(_._3).sum == 800L)
+    assert(h.values.forall(v => v._3 >= 99 && v._3 <= 101), h.toString)
+    assert(h(0)._1 == 1.0 && h(7)._2 == 800.0, "edge bounds are min/max")
+    // interior bounds chain: bucket b's hi == bucket b+1's lo
+    (0 to 6).foreach(b => assert(h(b)._2 == h(b + 1)._1, s"chain at $b"))
+  }
+
+  test("equiDepthHistogram sends ties to the lower bucket") {
+    // 90% of mass on one value: the tied value's bucket absorbs it
+    val df = (Seq.fill(90)(5L) ++ Seq(1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L, 10L, 11L))
+      .map(Tuple1(_)).toDF("v")
+    val h = Profile.equiDepthHistogram(df, "v", 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    // all interior quantiles equal 5 => every 5 lands in bucket 0
+    assert(h(0) >= 90L, h.toString)
+  }
+
   test("nulls-only column profiles cleanly") {
     val df = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "v")
     val r = Profile.table(df, Seq("v")).collect()(0)

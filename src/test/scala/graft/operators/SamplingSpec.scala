@@ -348,6 +348,27 @@ class SamplingSpec extends SparkTestBase {
     assert(naiveLeaks > 0L, "fixture too easy: naive split didn't leak")
   }
 
+  test("fixedPerGroupSample caps every group at exactly k, stably") {
+    import graft.TestSpark.spark.implicits._
+    // groups of very different sizes: 1000, 30, 3
+    val rows = ((0L until 1000L).map(i => (i, "big")) ++
+      (1000L until 1030L).map(i => (i, "mid")) ++
+      (1030L until 1033L).map(i => (i, "tiny"))).toDF("id", "g")
+    val s1 = Sampling.fixedPerGroupSample(rows, col("id"), col("g"), k = 10)
+    val sizes = s1.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("big" -> 10L, "mid" -> 10L, "tiny" -> 3L))
+    // deterministic: a second draw is identical
+    val a = s1.select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.fixedPerGroupSample(rows, col("id"), col("g"), k = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // sample_rank is 1..k within each group
+    val ranks = s1.where(col("g") === "big")
+      .select("sample_rank").collect().map(_.getInt(0)).sorted
+    assert(ranks.toSeq == (1 to 10))
+  }
+
   test("groupSafeSplit agrees with hashSplit when groups are singletons") {
     import graft.TestSpark.spark.implicits._
     val uniq = (0L until 500L).map(i => (i, s"u-$i")).toDF("id", "text")
