@@ -1702,6 +1702,27 @@ object SparkEntry {
         "o_custkey" -> "o_orderstatus",
         "o_orderpriority" -> "o_orderstatus"))
     }),
+    "profile_drift" -> ((s, dir) => {
+      // load-over-load drift audit, the schema-on-read reality check
+      // (SURVEY §7.4.2: the reference's JSON inference yields
+      // different columns/types per day): today's orders vs a
+      // deterministically drifted twin — o_orderpriority dropped,
+      // o_channel appeared, o_custkey changed type bigint→string,
+      // o_orderstatus nulled on every 10th key. One profile pass per
+      // side, full-outer joined on column name.
+      import graft.operators.Profile
+      val orders = t(s, dir, "orders")
+      val drifted = orders.select(
+        col("o_orderkey"),
+        col("o_custkey").cast("string").as("o_custkey"),
+        when(col("o_orderkey") % 10 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        concat(lit("web-"), (col("o_orderkey") % 3).cast("string"))
+          .as("o_channel"))
+      Profile.drift(orders, drifted,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_channel"))
+    }),
     "profile_histogram" -> ((s, dir) => {
       // equi-DEPTH distribution view of o_custkey: 8 buckets cut at
       // exact interpolated octiles (k a power of two keeps every
@@ -5574,6 +5595,42 @@ object SparkEntry {
         "o_orderpriority" -> "o_orderstatus")
         .map { case (a, b) => one(a, b) }.mkString("\nUNION ALL\n")
     },
+    "profile_drift" ->
+      """SELECT 'o_orderkey' AS column_name, 'common' AS status,
+        |  'bigint' AS old_type, 'bigint' AS new_type,
+        |  FALSE AS type_changed,
+        |  (SELECT CAST(count(o_orderkey) AS BIGINT) FROM orders) AS old_nonnull,
+        |  (SELECT CAST(count(o_orderkey) AS BIGINT) FROM orders) AS new_nonnull,
+        |  (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS old_distinct,
+        |  (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS new_distinct
+        |UNION ALL
+        |SELECT 'o_custkey', 'common', 'bigint', 'string', TRUE,
+        |  (SELECT CAST(count(o_custkey) AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(o_custkey) AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
+        |UNION ALL
+        |SELECT 'o_orderstatus', 'common', 'string', 'string', FALSE,
+        |  (SELECT CAST(count(o_orderstatus) AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(o_orderstatus) AS BIGINT) FROM orders
+        |   WHERE o_orderkey % 10 <> 0),
+        |  (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+        |   WHERE o_orderkey % 10 <> 0)
+        |UNION ALL
+        |SELECT 'o_orderpriority', 'removed', 'string',
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS BOOLEAN),
+        |  (SELECT CAST(count(o_orderpriority) AS BIGINT) FROM orders),
+        |  CAST(NULL AS BIGINT),
+        |  (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders),
+        |  CAST(NULL AS BIGINT)
+        |UNION ALL
+        |SELECT 'o_channel', 'added', CAST(NULL AS VARCHAR), 'string',
+        |  CAST(NULL AS BOOLEAN),
+        |  CAST(NULL AS BIGINT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  CAST(NULL AS BIGINT),
+        |  (SELECT CAST(count(DISTINCT o_orderkey % 3) AS BIGINT) FROM orders)""".stripMargin,
     "profile_histogram" -> {
       val cmp = (1 to 7).map(i =>
         s"CASE WHEN o_custkey > qs[$i] THEN 1 ELSE 0 END")

@@ -67,6 +67,51 @@ object Profile {
     }: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Schema + distribution drift between two loads of "the same"
+    * table — the check a schema-on-read ingestion (the reference's
+    * model: whatever fields today's JSON happens to carry) runs
+    * before promoting a load: which columns appeared/vanished, which
+    * changed type, and how the null/distinct mass moved on the common
+    * ones. One [[table]] pass per side, full-outer joined on the
+    * column name; types come from the schemas (driver literals, no
+    * extra scan).
+    *
+    * Output one row per column in either side: `(column_name, status
+    * ∈ added|removed|common, old_type, new_type, type_changed,
+    * old_nonnull, new_nonnull, old_distinct, new_distinct)` — counts
+    * null on the absent side, `type_changed` null unless common.
+    */
+  def drift(oldDf: DataFrame, newDf: DataFrame,
+            oldColumns: Seq[String], newColumns: Seq[String]): DataFrame = {
+    require(oldColumns.nonEmpty && newColumns.nonEmpty,
+      "need columns on both sides")
+    def typeOf(df: DataFrame, c: String): String =
+      df.schema(c).dataType.simpleString
+    def side(df: DataFrame, cols: Seq[String], tag: String): DataFrame = {
+      val typed = cols.foldLeft(
+        table(df, cols).select(col("column_name"),
+          col("n_nonnull").as(s"${tag}_nonnull"),
+          col("n_distinct").as(s"${tag}_distinct"))
+          .withColumn(s"${tag}_type", lit(null).cast("string"))) {
+        case (acc, c) => acc.withColumn(s"${tag}_type",
+          when(col("column_name") === c, lit(typeOf(df, c)))
+            .otherwise(col(s"${tag}_type")))
+      }
+      typed
+    }
+    side(oldDf, oldColumns, "old")
+      .join(side(newDf, newColumns, "new"), Seq("column_name"), "full_outer")
+      .select(col("column_name"),
+        when(col("old_type").isNull, lit("added"))
+          .when(col("new_type").isNull, lit("removed"))
+          .otherwise(lit("common")).as("status"),
+        col("old_type"), col("new_type"),
+        when(col("old_type").isNotNull && col("new_type").isNotNull,
+          col("old_type") =!= col("new_type")).as("type_changed"),
+        col("old_nonnull"), col("new_nonnull"),
+        col("old_distinct"), col("new_distinct"))
+  }
+
   /** Equi-DEPTH histogram of a numeric column: `k` buckets holding
     * ~equal row counts, cut at the exact interpolated percentiles —
     * the distribution view `table`'s min/max can't give (an equi-WIDTH

@@ -474,6 +474,38 @@ object Streams {
         .agg(sum(col("cnt")).as("cnt")),
       thresh)
 
+  /** Continuously maintain a file-level Bloom index
+    * ([[graft.operators.BloomIndex]]): each micro-batch builds the
+    * `(chunk, word, bitmap)` rows for ITS rows and appends. The view
+    * folds everything with `bit_or` per (chunk, word) — OR is
+    * idempotent, so this loop needs NO replay bookkeeping at all: a
+    * replayed batch re-appends the identical bit rows and the fold
+    * absorbs them; late rows for an old chunk OR into it. The
+    * simplest replay story in the streaming family, bought entirely
+    * by the index's merge algebra.
+    */
+  def bloomIndexStream(rows: DataFrame, chunk: Column, key: Column,
+                       k: Int, mBits: Int, storePath: String,
+                       checkpointDir: String,
+                       trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.BloomIndex.build(batch.toDF(), chunk, key, k, mBits)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(storePath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
+  /** The probe-ready index a [[bloomIndexStream]] store currently
+    * serves: one `bit_or` fold per (chunk, word) — identical to
+    * rebuilding from all rows ever streamed.
+    */
+  def bloomIndexView(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .groupBy(col("chunk"), col("word"))
+      .agg(org.apache.spark.sql.functions.bit_or(col("bitmap")).as("bitmap"))
+
   /** The CUSUM level-shift verdict over the same [[anomalyStream]]
     * store — one store, both detectors (point spikes via
     * [[anomalyStoreView]], sustained shifts here), same replay

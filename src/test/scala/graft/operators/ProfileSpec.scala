@@ -90,6 +90,26 @@ class ProfileSpec extends SparkTestBase {
     assert(r.getLong(1) == 2L && r.getLong(2) == 0L && r.getBoolean(3))
   }
 
+  test("drift classifies added/removed/common and type changes") {
+    val oldDf = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, null, 3.0))
+      .toDF("id", "name", "gone")
+    val newDf = Seq((1L, 1, "x"), (2L, 2, "y"), (3L, 3, "z"))
+      .toDF("id", "name", "fresh")
+    val d = Profile.drift(oldDf, newDf,
+        Seq("id", "name", "gone"), Seq("id", "name", "fresh"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(d("id").getString(1) == "common" && !d("id").getBoolean(4))
+    // name changed string -> int
+    assert(d("name").getString(1) == "common" && d("name").getBoolean(4))
+    assert(d("name").getString(2) == "string" && d("name").getString(3) == "int")
+    // old side saw a null name; new side is full
+    assert(d("name").getLong(5) == 2L && d("name").getLong(6) == 3L)
+    assert(d("gone").getString(1) == "removed" && d("gone").isNullAt(3) &&
+      d("gone").isNullAt(4) && d("gone").isNullAt(6))
+    assert(d("fresh").getString(1) == "added" && d("fresh").isNullAt(2) &&
+      d("fresh").isNullAt(5) && d("fresh").getLong(6) == 3L)
+  }
+
   test("equiDepthHistogram buckets evenly and bounds correctly") {
     val df = (1 to 800).map(i => Tuple1(i.toLong)).toDF("v")
     val h = Profile.equiDepthHistogram(df, "v", 8)

@@ -819,6 +819,39 @@ class StreamsSpec extends SparkTestBase {
       "drift view diverged from the batch recompute")
   }
 
+  test("bloomIndexStream: OR-fold view equals a full rebuild and " +
+    "absorbs replays with zero bookkeeping") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    import graft.operators.BloomIndex
+    val store = tempDir("bloom_store").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streams.bloomIndexStream(mem.toDF().toDF("chunk", "key"),
+        col("chunk"), col("key"), k = 3, mBits = 1024, store,
+        tempDir("bloom_ckpt").toString,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val b1 = (0 until 100).map(i => (i / 40L, i.toLong))
+    val b2 = (100 until 160).map(i => (i / 40L, i.toLong)) // extends chunk 2, adds 3
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val served = m(Streams.bloomIndexView(spark, store))
+    val rebuilt = m(BloomIndex.build((b1 ++ b2).toDF("chunk", "key"),
+      col("chunk"), col("key"), 3, 1024))
+    assert(served == rebuilt, "served index diverged from full rebuild")
+    // replay: OR is idempotent — no batch ids, no dedup, still exact
+    val slice = spark.read.parquet(store).limit(50)
+    slice.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(store)
+    assert(m(Streams.bloomIndexView(spark, store)) == rebuilt,
+      "replayed appendix changed the index")
+  }
+
   test("zoneMapStream: appended slices merge to the exact batch zone map") {
     import graft.TestSpark.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
