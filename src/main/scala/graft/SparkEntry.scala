@@ -3168,6 +3168,34 @@ object SparkEntry {
           lit("group-safe split leaked a content group")).isNull)
         .select(col("doc_id"), col("split"))
     }),
+    "group_safe_split_clusters" -> ((s, dir) => {
+      // the NEAR-DUP extension of group_safe_split: split by the
+      // transitive dedup component (dedup_clusters' CC labels), so
+      // not just exact copies but whole near-duplicate families land
+      // on one side — the guarantee an eval holdout actually needs
+      // (a paraphrased train doc in the holdout inflates eval just
+      // as surely as an exact copy). Same zero-shuffle md5
+      // projection once the labels exist; the in-plan gate proves no
+      // component straddles.
+      import graft.operators.{Dedup, Sampling}
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"),
+        col("text"), n = 3, minJaccard = 0.5)
+      val cc = Dedup.connectedComponents(pairs, checkpointEvery = 4)
+      val labelled = docs.select(col("doc_id"))
+        .join(cc, docs("doc_id") === cc("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("component"))
+      val sp = Sampling.groupSafeSplit(labelled, col("component"),
+        trainFrac = 0.9)
+      val gate = sp.groupBy("component")
+        .agg(count_distinct(col("split")).as("k"))
+        .agg(coalesce(max(col("k")), lit(0L)).as("max_k"))
+      sp.crossJoin(broadcast(gate))
+        .where(assert_true(col("max_k") <= 1,
+          lit("near-dup cluster straddled the split")).isNull)
+        .select(col("doc_id"), col("component"), col("split"))
+    }),
     "split_leakage" -> ((s, dir) => {
       // eval-contamination audit of the 90/10 split: exact-content keys
       // present in BOTH splits, via one content-keyed hash agg (never a
@@ -4679,6 +4707,36 @@ object SparkEntry {
         |        substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
         |   OR (lang = 'de' AND
         |        substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < 'g')""".stripMargin,
+    "group_safe_split_clusters" ->
+      // the dedup_clusters reach-CTE verbatim, then the md5 split
+      // keyed on the component label
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id,
+        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM toks WHERE len(t) >= 3)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.t, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+        |lab AS (SELECT d.doc_id, COALESCE(MIN(r.comp), d.doc_id) AS component
+        |  FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, component,
+        |  CASE WHEN substr(md5('graft' || CAST(component AS VARCHAR)), 1, 4)
+        |       < 'e666' THEN 'train' ELSE 'holdout' END AS split
+        |FROM lab""".stripMargin,
     "group_safe_split" ->
       """SELECT doc_id,
         | CASE WHEN substr(md5('graft' || text), 1, 4) < 'e666'
