@@ -1702,6 +1702,18 @@ object SparkEntry {
         "o_custkey" -> "o_orderstatus",
         "o_orderpriority" -> "o_orderstatus"))
     }),
+    "langid_confusion" -> ((s, dir) => {
+      // EVAL of the langId heuristic against the labeled lang column:
+      // the full confusion matrix (one hash agg over a pure
+      // projection). The heuristic's marker-word argmax is exactly
+      // SQL-replayable (the corpus_curation_portable pattern), so
+      // even the misclassifications are oracle-pinned — the matrix is
+      // the honest accuracy statement a quality report needs.
+      import graft.functions.TextFunctions
+      t(s, dir, "documents")
+        .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    }),
     "profile_drift" -> ((s, dir) => {
       // load-over-load drift audit, the schema-on-read reality check
       // (SURVEY §7.4.2: the reference's JSON inference yields
@@ -2567,6 +2579,30 @@ object SparkEntry {
       val queries = embs.filter(col("vec_id") % 50 === 0)
       Similarity.bruteForceTopK(embs, col("vec_id"), col("embedding"),
         queries, col("vec_id"), col("embedding"), k = 10)
+    }),
+    "retrieval_label_precision" -> ((s, dir) => {
+      // label-based retrieval EVAL: for every query vector, how many
+      // of its exact-cosine top-10 neighbors share its label —
+      // precision@10 against the only ground truth the corpus carries,
+      // reported as exact integer counts per query (aggregate
+      // precision is n_same/n_top downstream; keeping integers keeps
+      // the oracle exact). The recall gates certify the ANN arms
+      // against the exact arm; this certifies the exact arm against
+      // MEANING.
+      val embs = t(s, dir, "embeddings")
+      val queries = embs.filter(col("vec_id") % 50 === 0)
+      val top = Similarity.bruteForceTopK(embs, col("vec_id"),
+        col("embedding"), queries, col("vec_id"), col("embedding"), k = 10)
+      val labels = embs.select(col("vec_id"), col("label"))
+      top
+        .join(broadcast(labels.withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("label", "q_label")), Seq("query_id"))
+        .join(broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")
+          .withColumnRenamed("label", "n_label")), Seq("neighbor_id"))
+        .groupBy(col("query_id"), col("q_label").as("label"))
+        .agg(count(lit(1)).as("n_top"),
+          sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L))
+            .as("n_same_label"))
     }),
     "ann_topk" -> ((s, dir) => { // SRP-plane based: rows-only check
       // bits=4/probes=4 is AnnRecallSpec's operating point: random
@@ -5653,6 +5689,25 @@ object SparkEntry {
         "o_orderpriority" -> "o_orderstatus")
         .map { case (a, b) => one(a, b) }.mkString("\nUNION ALL\n")
     },
+    "langid_confusion" ->
+      """WITH ann AS (
+        |  SELECT lang,
+        |    CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'en'
+        |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'de'
+        |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'fr'
+        |         WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'es'
+        |         ELSE 'ru' END AS lang_pred
+        |  FROM (
+        |    SELECT lang,
+        |      len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        |      len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |      len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+        |      len(list_filter(toks, x -> x IN ('el','los','las','es','y'))) AS s_es,
+        |      len(list_filter(toks, x -> x IN ('и','в','не','на','что'))) AS s_ru
+        |    FROM (SELECT lang, string_split(text, ' ') AS toks
+        |          FROM documents)))
+        |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        |FROM ann GROUP BY 1, 2""".stripMargin,
     "profile_drift" ->
       """SELECT 'o_orderkey' AS column_name, 'common' AS status,
         |  'bigint' AS old_type, 'bigint' AS new_type,
@@ -6458,6 +6513,24 @@ object SparkEntry {
         | SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
+    "retrieval_label_precision" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |  list_inner_product(qv, cv) /
+        |   (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cosine
+        |  FROM q CROSS JOIN c WHERE qid <> nid),
+        |top AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+        |  WHERE rank <= 10)
+        |SELECT t.query_id, ql.label, CAST(count(*) AS BIGINT) AS n_top,
+        |  CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label
+        |FROM top t
+        |JOIN embeddings ql ON ql.vec_id = t.query_id
+        |JOIN embeddings nl ON nl.vec_id = t.neighbor_id
+        |GROUP BY t.query_id, ql.label""".stripMargin,
     "embed_near_dup_exact" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |  FROM embeddings WHERE vec_id < 1000)
