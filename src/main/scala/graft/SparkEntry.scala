@@ -843,6 +843,16 @@ object SparkEntry {
           ntz(col("session_start")).as("session_start"),
           ntz(col("session_end")).as("session_end"), col("n_events"))
     }),
+    "q_session_cooccurrence" -> ((s, dir) => {
+      // market-basket over sessions: which event types co-occur in a
+      // user session, with each type's own support — exact integer
+      // inputs to lift/PMI (scores stay downstream so the whole
+      // comparison hash-matches). Pair fan-out is bounded by the type
+      // vocabulary per session, never the event count.
+      import graft.operators.EventAnalytics
+      EventAnalytics.sessionCooccurrence(t(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_type"), gapSeconds = 3600)
+    }),
     "q_funnel_users" -> ((s, dir) => {
       // per-user greedy-earliest ordered funnel completion; every stage
       // aggregates/joins on the user key — every exchange hashes on
@@ -1734,6 +1744,19 @@ object SparkEntry {
       Profile.drift(orders, drifted,
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_channel"))
+    }),
+    "profile_psi" -> ((s, dir) => {
+      // distribution drift: reference octile boundaries frozen on
+      // today's o_custkey, tomorrow simulated as a +300 (mod)
+      // customer-mass shift — the per-bucket ref/new counts ARE the
+      // PSI inputs, kept as exact integers so the whole comparison
+      // hash-matches (the ln-weighted score is one projection
+      // downstream). Mass visibly piles into shifted buckets.
+      import graft.operators.Profile
+      val orders = t(s, dir, "orders")
+      val drifted = orders.select(
+        ((col("o_custkey") + 300) % 1500).as("o_custkey"))
+      Profile.stabilityCounts(orders, drifted, "o_custkey", 8)
     }),
     "profile_histogram" -> ((s, dir) => {
       // equi-DEPTH distribution view of o_custkey: 8 buckets cut at
@@ -4410,6 +4433,30 @@ object SparkEntry {
         |SELECT user_id, session_idx, MIN(ts) AS session_start,
         | MAX(ts) AS session_end, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    "q_session_cooccurrence" ->
+      """WITH e AS (SELECT user_id, ts, event_type,
+        |  epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, ts, event_type,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > CAST(3600 AS BIGINT) * 1000000
+        |       THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, event_type,
+        |  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM m),
+        |p AS (SELECT DISTINCT user_id, session_idx, event_type FROM s),
+        |sup AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM p GROUP BY 1),
+        |pr AS (SELECT a.event_type AS kind_a, b.event_type AS kind_b,
+        |  CAST(count(*) AS BIGINT) AS n_both
+        |  FROM p a JOIN p b ON a.user_id = b.user_id
+        |    AND a.session_idx = b.session_idx
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT pr.kind_a, pr.kind_b, pr.n_both,
+        |  sa.n_sessions AS n_a, sb.n_sessions AS n_b
+        |FROM pr
+        |JOIN sup sa ON sa.event_type = pr.kind_a
+        |JOIN sup sb ON sb.event_type = pr.kind_b""".stripMargin,
     // greedy-earliest funnel: t1 = min view; t_i = min step-i event
     // strictly after t_{i-1}; left joins keep partial completions
     "q_funnel_users" ->
@@ -5744,6 +5791,24 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
         |  CAST(NULL AS BIGINT),
         |  (SELECT CAST(count(DISTINCT o_orderkey % 3) AS BIGINT) FROM orders)""".stripMargin,
+    "profile_psi" -> {
+      val cmp = (1 to 7).map(i =>
+        s"CASE WHEN v > qs[$i] THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH b AS (SELECT quantile_cont(o_custkey,
+         |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs
+         |  FROM orders),
+         |rc AS (SELECT ($cmp) AS bucket, count(*) AS n FROM
+         |  (SELECT o_custkey AS v FROM orders WHERE o_custkey IS NOT NULL), b
+         |  GROUP BY 1),
+         |nc AS (SELECT ($cmp) AS bucket, count(*) AS n FROM
+         |  (SELECT (o_custkey + 300) % 1500 AS v FROM orders
+         |   WHERE o_custkey IS NOT NULL), b
+         |  GROUP BY 1)
+         |SELECT coalesce(rc.bucket, nc.bucket) AS bucket,
+         |  CAST(coalesce(rc.n, 0) AS BIGINT) AS ref_n,
+         |  CAST(coalesce(nc.n, 0) AS BIGINT) AS new_n
+         |FROM rc FULL OUTER JOIN nc ON rc.bucket = nc.bucket""".stripMargin
+    },
     "profile_histogram" -> {
       val cmp = (1 to 7).map(i =>
         s"CASE WHEN o_custkey > qs[$i] THEN 1 ELSE 0 END")

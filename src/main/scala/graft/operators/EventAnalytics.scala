@@ -156,4 +156,43 @@ object EventAnalytics {
       .select(col("user_id"), col("v").as("value"), col("valid_from"),
         col("valid_to"), col("n_events"))
   }
+
+  /** Within-session co-occurrence of event kinds — the market-basket
+    * view of the event stream ("users who viewed X in a session also
+    * did Y"): gap-sessionize, reduce each session to its distinct
+    * kind set, count sessions containing each ordered pair (a < b)
+    * alongside each kind's own session support. The counts are the
+    * exact inputs to lift/PMI — keep the scores downstream so this
+    * stays integer-exact end to end.
+    *
+    * Scale shape: the sessionizer's one user-keyed exchange + window;
+    * the distinct-kinds reduction keys on (user, session); the pair
+    * join is an equi-join ON THE SESSION KEY, so its fan-out is
+    * bounded by (kinds-per-session choose 2) — the kind VOCABULARY,
+    * never the event count — and supports broadcast back onto the
+    * (|kinds|²)-row result.
+    */
+  def sessionCooccurrence(events: DataFrame, user: Column, ts: Column,
+                          kind: Column, gapSeconds: Long): DataFrame = {
+    val present = Sessionize.assignSessions(events, user, ts, gapSeconds,
+        carry = Seq("kind" -> kind))
+      .select(col("user_id"), col("session_idx"), col("kind"))
+      .distinct()
+    val support = present.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val pairs = present.as("a")
+      .join(present.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_idx") === col("b.session_idx") &&
+          col("a.kind") < col("b.kind"))
+      .groupBy(col("a.kind").as("kind_a"), col("b.kind").as("kind_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(support.select(col("kind").as("kind_a"),
+        col("n_sessions").as("n_a"))), Seq("kind_a"))
+      .join(broadcast(support.select(col("kind").as("kind_b"),
+        col("n_sessions").as("n_b"))), Seq("kind_b"))
+      .select(col("kind_a"), col("kind_b"), col("n_both"), col("n_a"),
+        col("n_b"))
+  }
 }

@@ -165,6 +165,41 @@ object Profile {
         col("n"))
   }
 
+  /** Population-stability counts — the DISTRIBUTION half of drift
+    * ([[drift]] sees schema and null/distinct mass; this sees the
+    * shape): freeze the equi-depth boundaries on the REFERENCE
+    * snapshot, bucket both snapshots with the same comparison chain,
+    * and report per-bucket counts side by side. A stable column puts
+    * ~1/k of the new load in every reference bucket; mass piling into
+    * one bucket is the classic PSI alarm. Counts stay exact integers
+    * (the PSI score itself needs `ln` — compute it downstream from
+    * these counts so the portable part stays hash-checkable).
+    *
+    * Scale shape: one percentile rollup on the reference + one
+    * counting pass per side against the broadcast boundaries.
+    */
+  def stabilityCounts(refDf: DataFrame, newDf: DataFrame, column: String,
+                      k: Int): DataFrame = {
+    require(k >= 2, "need at least 2 buckets")
+    val c = col(column)
+    val fracs = (1 until k).map(_.toDouble / k)
+    val bounds = refDf.agg(
+      percentile(c, array(fracs.map(lit): _*)).as("qs"))
+    def counts(df: DataFrame, tag: String): DataFrame = {
+      val bucket = (1 until k).map(i =>
+        when(c > element_at(col("qs"), i), 1).otherwise(0))
+        .reduce(_ + _).as("bucket")
+      df.where(c.isNotNull).crossJoin(broadcast(bounds))
+        .select(bucket)
+        .groupBy("bucket").agg(count(lit(1)).as(s"${tag}_n"))
+    }
+    counts(refDf, "ref").join(counts(newDf, "new"), Seq("bucket"),
+        "full_outer")
+      .select(col("bucket"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"))
+  }
+
   /** Functional-dependency check: for each candidate `a → b`, does
     * every value of `a` determine exactly one value of `b`? The
     * profiling question behind normalization, key inference and

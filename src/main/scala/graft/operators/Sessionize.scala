@@ -14,14 +14,16 @@ object Sessionize {
 
   /** Per-event session assignment: adds session_idx (1-based per user). */
   def assignSessions(events: DataFrame, user: Column, ts: Column,
-                     gapSeconds: Long): DataFrame = {
+                     gapSeconds: Long,
+                     carry: Seq[(String, Column)] = Nil): DataFrame = {
     // window rebuilt over the RENAMED columns — the caller's expressions
     // are no longer resolvable after the projection below
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     val prev = lag(unix_micros(col("ts")), 1).over(w)
     val newSession = when(prev.isNull ||
       unix_micros(col("ts")) - prev > gapSeconds * 1000000L, 1).otherwise(0)
-    events.select(user.as("user_id"), ts.as("ts"))
+    events.select(user.as("user_id") +: ts.as("ts") +:
+        carry.map { case (n, c) => c.as(n) }: _*)
       .withColumn("session_idx",
         sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
   }

@@ -147,4 +147,25 @@ class EventAnalyticsSpec extends SparkTestBase {
         col("event_type"), Seq("view", "view"))
     }
   }
+
+  test("sessionCooccurrence counts pairs per session, not per event") {
+    // user 1, one session: a a b c (duplicate 'a' must not double a-b);
+    // user 1, second session (2h later): a b; user 2: b c
+    val ev = Seq(
+      (1L, t("10:00:00"), "a"), (1L, t("10:01:00"), "a"),
+      (1L, t("10:02:00"), "b"), (1L, t("10:03:00"), "c"),
+      (1L, t("13:00:00"), "a"), (1L, t("13:01:00"), "b"),
+      (2L, t("10:00:00"), "b"), (2L, t("10:05:00"), "c")
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.sessionCooccurrence(ev, col("user_id"),
+        col("ts"), col("event_type"), gapSeconds = 3600)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // a-b in sessions 1 and 2 of user 1; supports: a in 2 sessions,
+    // b in 3, c in 2
+    assert(out(("a", "b")) == (2L, 2L, 3L), out.toString)
+    assert(out(("a", "c")) == (1L, 2L, 2L))
+    assert(out(("b", "c")) == (2L, 3L, 2L))
+    assert(!out.contains(("b", "a")), "pairs are ordered a < b")
+  }
 }

@@ -135,6 +135,25 @@ class ProfileSpec extends SparkTestBase {
     assert(h(0) >= 90L, h.toString)
   }
 
+  test("stabilityCounts pins boundaries on the reference side") {
+    val ref = (1 to 400).map(Tuple1(_)).toDF("v")
+    val same = (1 to 400).map(Tuple1(_)).toDF("v")
+    val stable = Profile.stabilityCounts(ref, same, "v", 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // identical distribution: every bucket matches ref exactly
+    assert(stable.values.forall { case (a, b) => a == b })
+    assert(stable.values.map(_._1).sum == 400L)
+    // shifted distribution: all new mass above the ref maximum lands
+    // in the TOP reference bucket — the classic PSI alarm shape
+    val shifted = (401 to 800).map(Tuple1(_)).toDF("v")
+    val alarm = Profile.stabilityCounts(ref, shifted, "v", 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(alarm(3)._2 == 400L, alarm.toString)
+    assert((0 to 2).forall(b => alarm(b)._2 == 0L))
+    assert((0 to 3).forall(b => alarm(b)._1 == stable(b)._1),
+      "ref side must not move")
+  }
+
   test("nulls-only column profiles cleanly") {
     val df = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "v")
     val r = Profile.table(df, Seq("v")).collect()(0)
