@@ -2265,6 +2265,24 @@ object SparkEntry {
       import graft.operators.Quality
       Quality.corpusReport(t(s, dir, "documents"), col("source"), col("text"))
     }),
+    "quality_calibrated" -> ((s, dir) => {
+      // cross-source rank calibration of the logit quality score: a
+      // webcrawl's 0.6 and a curated source's 0.6 are not the same
+      // thing, so thresholds act on the per-source percent-rank
+      // instead — "top 30 % of EACH source" becomes one global
+      // predicate. percent_rank is (rank−1)/(n−1) with min-rank ties:
+      // an exact rational of the group size, hash-portable.
+      import graft.operators.Quality
+      val docs = t(s, dir, "documents")
+      val scored = Quality.logisticQualityScore(docs, col("doc_id"),
+          col("text"))
+        .select(col("doc_id"), col("quality_score"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      Quality.calibrateAcrossGroups(scored, col("doc_id"), col("source"),
+          col("quality_score"))
+        .select(col("id").as("doc_id"), col("group").as("source"),
+          col("score").as("quality_score"), col("calibrated"))
+    }),
     "quality_logit" -> ((s, dir) => {
       // classifier-style quality scoring (CCNet/RefinedWeb shape): a
       // linear logit over the Gopher features squashed through the
@@ -4187,6 +4205,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "gopher_repetition_flags" -> gopherRepetitionSql,
     "quality_logit" -> qualityLogitSql,
+    "quality_calibrated" ->
+      // the full logit oracle as a subquery, percent-ranked per source
+      s"""SELECT d.doc_id, d.source, q.quality_score,
+         |  percent_rank() OVER (PARTITION BY d.source
+         |    ORDER BY q.quality_score) AS calibrated
+         |FROM ($qualityLogitSql) q
+         |JOIN documents d ON d.doc_id = q.doc_id""".stripMargin,
     "dedup_keep_best" -> dedupKeepBestSql,
     "c4_page_filter" ->
       // same in-plan page derivation as the Spark query (12-token

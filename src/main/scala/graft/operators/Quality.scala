@@ -369,4 +369,27 @@ object Quality {
       failed("flag_alpha").as("fail_alpha"),
       failed("flag_stopwords").as("fail_stopwords"))
   }
+
+  /** Cross-group score calibration by rank: replace a raw score with
+    * its percent-rank WITHIN its group. Why: raw quality scores are
+    * not comparable across heterogeneous sources (a webcrawl's 0.6
+    * and a curated corpus's 0.6 mean different things), so a global
+    * threshold silently over-prunes whole sources; rank-normalizing
+    * per source makes "keep the top 30 %" mean the same thing
+    * everywhere — the mixture-balancing prep DoReMi-style pipelines
+    * do before thresholding. `percent_rank` is the ANSI
+    * `(rank−1)/(n−1)` with ties sharing the min rank, so the output
+    * is a deterministic exact rational of the group's row count.
+    *
+    * Scale shape: one exchange keyed on the group + a per-group
+    * ordered window — the same shape as any per-group ranking; no
+    * global sort.
+    */
+  def calibrateAcrossGroups(df: DataFrame, id: Column, group: Column,
+                            score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("group")).orderBy(col("score"))
+    df.select(id.as("id"), group.as("group"), score.as("score"))
+      .withColumn("calibrated", percent_rank().over(w))
+  }
 }

@@ -207,4 +207,29 @@ class QualitySpec extends SparkTestBase {
     assert(r.getString(3) == "" && r.getInt(4) == 0)
     assert(!r.getBoolean(8))
   }
+
+  test("calibrateAcrossGroups makes per-source ranks comparable") {
+    import graft.TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // source A scores cluster high, source B low — a global threshold
+    // at 0.5 would keep all of A and none of B; calibrated ranks put
+    // the same fraction of each source above any cut
+    val rows = Seq(
+      (1L, "A", 0.9), (2L, "A", 0.8), (3L, "A", 0.7), (4L, "A", 0.6),
+      (5L, "B", 0.4), (6L, "B", 0.3), (7L, "B", 0.2), (8L, "B", 0.1)
+    ).toDF("id", "src", "q")
+    val cal = Quality.calibrateAcrossGroups(rows, col("id"), col("src"),
+        col("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // within each group: ranks 0, 1/3, 2/3, 1 by ascending score
+    assert(cal(4L) == 0.0 && cal(1L) == 1.0)
+    assert(cal(8L) == 0.0 && cal(5L) == 1.0)
+    assert(cal(3L) == 1.0 / 3 && cal(6L) == 1.0 / 3)
+    // ties share the min rank (ANSI percent_rank)
+    val tied = Quality.calibrateAcrossGroups(
+        Seq((1L, "A", 0.5), (2L, "A", 0.5), (3L, "A", 0.9))
+          .toDF("id", "src", "q"), col("id"), col("src"), col("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(tied(1L) == 0.0 && tied(2L) == 0.0 && tied(3L) == 1.0)
+  }
 }
