@@ -224,7 +224,7 @@ class QualitySpec extends SparkTestBase {
     // within each group: ranks 0, 1/3, 2/3, 1 by ascending score
     assert(cal(4L) == 0.0 && cal(1L) == 1.0)
     assert(cal(8L) == 0.0 && cal(5L) == 1.0)
-    assert(cal(3L) == 1.0 / 3 && cal(6L) == 1.0 / 3)
+    assert(cal(3L) == 1.0 / 3 && cal(6L) == 2.0 / 3)
     // ties share the min rank (ANSI percent_rank)
     val tied = Quality.calibrateAcrossGroups(
         Seq((1L, "A", 0.5), (2L, "A", 0.5), (3L, "A", 0.9))
