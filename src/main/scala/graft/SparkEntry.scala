@@ -3593,6 +3593,28 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.scrubPii(dirty).as("scrubbed"))
     }),
+    "pii_density" -> ((s, dir) => {
+      // the MEASUREMENT half of scrubbing: per-source counts of each
+      // PII pattern (same planted-span construction as text_scrub, so
+      // the expected density is known and the oracle validates the
+      // non-overlapping match semantics both engines must share).
+      // Run BEFORE scrubPii to decide whether a source needs it, and
+      // AFTER to prove the output is clean.
+      val dirty = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com ref 1234567890 via https://ex.com/d/"),
+        col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), dirty.as("t"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(regexp_count(col("t"), lit("https?://[^ ]+")))
+            .cast("bigint").as("n_urls"),
+          sum(regexp_count(col("t"),
+            lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")))
+            .cast("bigint").as("n_emails"),
+          sum(regexp_count(col("t"), lit("[0-9]{6,}")))
+            .cast("bigint").as("n_numbers"))
+    }),
     "contamination" -> ((s, dir) => {
       // eval-set decontamination: docs from src0 act as the benchmark;
       // every other doc is scored by distinct shared word-3-gram shingles
@@ -6967,6 +6989,18 @@ object SparkEntry {
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |   '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+    "pii_density" ->
+      """WITH d AS (SELECT source,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |       || '@mail.example.com ref 1234567890 via https://ex.com/d/'
+        |       || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(t, 'https?://[^ ]+'))) AS BIGINT) AS n_urls,
+        |  CAST(sum(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+        |  CAST(sum(len(regexp_extract_all(t, '[0-9]{6,}'))) AS BIGINT) AS n_numbers
+        |FROM d GROUP BY source""".stripMargin,
     "contamination" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, source, sh FROM (
