@@ -2628,6 +2628,35 @@ object SparkEntry {
       Similarity.bruteForceTopK(embs, col("vec_id"), col("embedding"),
         queries, col("vec_id"), col("embedding"), k = 10)
     }),
+    "hard_negatives" -> ((s, dir) => {
+      // contrastive-training prep: for each anchor, the k=5 NEAREST
+      // vectors carrying a DIFFERENT label — the hard negatives that
+      // make a contrastive loss learn boundaries (random negatives
+      // are trivially separable). Exact-cosine arm over the capped
+      // anchor set (the cosine_topk construction), label filter
+      // BEFORE the rank so the k survivors are all negatives.
+      val embs = t(s, dir, "embeddings")
+      val anchors = embs.filter(col("vec_id") % 50 === 0)
+      val labels = embs.select(col("vec_id"), col("label"))
+      // score all (anchor, candidate) pairs with a DIFFERENT label,
+      // then the bounded k=5 heap — the label filter runs BEFORE the
+      // rank so at most 5 rows per anchor cross the shuffle
+      val scored = embs
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+          col("label").as("n_label"))
+        .join(broadcast(anchors.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"), col("label").as("q_label"))),
+          col("query_id") =!= col("neighbor_id"))
+        .where(col("q_label") =!= col("n_label"))
+        .select(col("query_id"), col("neighbor_id"),
+          graft.functions.VectorFunctions.cosine(col("qv"), col("cv"))
+            .as("cosine"))
+      Similarity.rankTopK(scored, 5)
+        .join(broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")
+          .withColumnRenamed("label", "neg_label")), Seq("neighbor_id"))
+        .select(col("query_id").as("anchor_id"), col("neighbor_id"),
+          col("neg_label"), col("cosine"), col("rank").as("neg_rank"))
+    }),
     "retrieval_label_precision" -> ((s, dir) => {
       // label-based retrieval EVAL: for every query vector, how many
       // of its exact-cosine top-10 neighbors share its label —
@@ -6632,6 +6661,20 @@ object SparkEntry {
         | SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+        |  label AS ql FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv,
+        |  label AS nl FROM embeddings),
+        |s AS (SELECT qid AS anchor_id, nid AS neighbor_id, nl AS neg_label,
+        |  list_inner_product(qv, cv) /
+        |   (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cosine
+        |  FROM q CROSS JOIN c WHERE qid <> nid AND ql <> nl)
+        |SELECT anchor_id, neighbor_id, neg_label, cosine,
+        |  CAST(rank AS INT) AS neg_rank FROM (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+        |   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+        |WHERE rank <= 5""".stripMargin,
     "retrieval_label_precision" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id % 50 = 0),
