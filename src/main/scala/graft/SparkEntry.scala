@@ -2657,6 +2657,77 @@ object SparkEntry {
         .select(col("query_id").as("anchor_id"), col("neighbor_id"),
           col("neg_label"), col("cosine"), col("rank").as("neg_rank"))
     }),
+    "hard_negatives_ann" -> ((s, dir) => {
+      // the SCALE arm of hard_negatives: candidates from nprobe=4 of
+      // 16 IVF lists (the memoized bit-stable distributed fit)
+      // instead of the full corpus, label-filtered BEFORE the bounded
+      // k=5 heap — at 100 TB the all-pairs arm is the capped oracle
+      // anchor and THIS is the production shape. Approximate by
+      // design (a probe can miss a list): rows-only here, the
+      // _recall twin gates it in-plan against the exact arm.
+      import graft.operators.Ivf
+      import graft.functions.{Kernels, VectorFunctions}
+      val embs = t(s, dir, "embeddings")
+      val model = ivfModelFor(s, dir)
+      val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
+        .join(broadcast(embs.select(col("vec_id"),
+          col("label").as("n_label"))), Seq("vec_id"))
+      val probes = embs.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("q_label"),
+          explode(Kernels.topCentroidsCol(col("embedding"), model.matrix,
+            4)).as("list_id"))
+      val scored = assigned.join(probes, Seq("list_id"))
+        .filter(col("query_id") =!= col("vec_id") &&
+          col("q_label") =!= col("n_label"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          VectorFunctions.cosine(col("qv"), col("v")).as("cosine"))
+      Similarity.rankTopK(scored, 5)
+        .select(col("query_id").as("anchor_id"), col("neighbor_id"),
+          col("cosine"), col("rank").as("neg_rank"))
+    }),
+    "hard_negatives_ann_recall" -> ((s, dir) => {
+      // in-plan gate: macro recall of the IVF-armed hard negatives vs
+      // the exact arm, floor 0.3 (the ivf_topk_recall operating
+      // point; label filtering doesn't change which lists a probe
+      // visits). Both arms rebuilt inline — registered queries are
+      // self-contained by convention.
+      import graft.operators.Ivf
+      import graft.functions.{Kernels, VectorFunctions}
+      val embs = t(s, dir, "embeddings")
+      val model = ivfModelFor(s, dir)
+      def exactArm = {
+        val scored = embs
+          .select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("cv"), col("label").as("n_label"))
+          .join(broadcast(embs.filter(col("vec_id") % 50 === 0)
+            .select(col("vec_id").as("query_id"),
+              col("embedding").as("qv"), col("label").as("q_label"))),
+            col("query_id") =!= col("neighbor_id"))
+          .where(col("q_label") =!= col("n_label"))
+          .select(col("query_id"), col("neighbor_id"),
+            VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
+        Similarity.rankTopK(scored, 5)
+      }
+      def annArm = {
+        val assigned = Ivf.assign(model, embs, col("vec_id"),
+            col("embedding"))
+          .join(broadcast(embs.select(col("vec_id"),
+            col("label").as("n_label"))), Seq("vec_id"))
+        val probes = embs.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("label").as("q_label"),
+            explode(Kernels.topCentroidsCol(col("embedding"), model.matrix,
+              4)).as("list_id"))
+        val scored = assigned.join(probes, Seq("list_id"))
+          .filter(col("query_id") =!= col("vec_id") &&
+            col("q_label") =!= col("n_label"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            VectorFunctions.cosine(col("qv"), col("v")).as("cosine"))
+        Similarity.rankTopK(scored, 5)
+      }
+      recallGate(exactArm, annArm, floor = 0.3, what = "hard-negative ANN")
+    }),
     "retrieval_label_precision" -> ((s, dir) => {
       // label-based retrieval EVAL: for every query vector, how many
       // of its exact-cosine top-10 neighbors share its label —
