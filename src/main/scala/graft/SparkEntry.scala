@@ -1822,6 +1822,38 @@ object SparkEntry {
         expr("CAST(o_orderkey DIV 256 AS BIGINT)"), col("o_custkey"),
         k = 3, mBits = 4096)
     }),
+    "bloom_store_compaction" -> ((s, dir) => {
+      // OPTIMIZE for the streaming Bloom store: four "daily" partial
+      // builds appended (the bloomIndexStream accretion pattern), one
+      // OR-fold compaction (crash-safe two-phase swap), then the
+      // SERVED VIEW is the query result — and its oracle is the
+      // bloom_index_build SQL VERBATIM, because OR-folding partial
+      // builds must equal building over the whole table. A hash match
+      // here is a bit-level losslessness proof for the maintenance
+      // op, not a checksum-boolean; the driver-side require pins the
+      // file-count drop.
+      import graft.operators.{BloomIndex, Maintenance}
+      val storePath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_bloomstore_" + java.lang.Integer.toHexString(dir.hashCode) +
+          "_" + s.sparkContext.applicationId
+            .replaceAll("[^A-Za-z0-9]", "")).toString
+      val fsP = new org.apache.hadoop.fs.Path(storePath)
+      val fs = fsP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsP, true)
+      val orders = t(s, dir, "orders")
+      (0 until 4).foreach { i =>
+        BloomIndex.build(orders.where(col("o_orderkey") % 4 === i),
+            expr("CAST(o_orderkey DIV 256 AS BIGINT)"), col("o_custkey"),
+            3, 4096)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(storePath)
+      }
+      val res = Maintenance.compactBloomStore(s, storePath)
+      require(res.filesAfter < res.filesBefore,
+        s"bloom store compaction did not reduce files: $res")
+      graft.streaming.Streams.bloomIndexView(s, storePath)
+    }),
     "bloom_index_prune" -> ((s, dir) => {
       // the LOOKUP half: 5 present + 3 absent customer keys probed
       // against the index; output compares candidate chunks (bloom
@@ -3884,6 +3916,20 @@ object SparkEntry {
     (0 until 3).map(i =>
       s"('0x' || substr(md5($x || '#bloom$i'), 1, 15))::BIGINT % 4096")
       .mkString("[", ",\n           ", "]")
+
+  /** The orders Bloom index rebuilt in DuckDB — shared by
+    * `bloom_index_build` and `bloom_store_compaction` (the compacted
+    * store must serve exactly this).
+    */
+  private def bloomBuildOracleSql: String =
+    s"""WITH raw AS (
+       |  SELECT o_orderkey // 256 AS chunk,
+       |         unnest(${bloomPosListSql("CAST(o_custkey AS VARCHAR)")}) AS pos
+       |  FROM orders WHERE o_custkey IS NOT NULL)
+       |SELECT CAST(chunk AS BIGINT) AS chunk,
+       |       CAST(pos // 63 AS BIGINT) AS word,
+       |       bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bitmap
+       |FROM raw GROUP BY 1, 2""".stripMargin
 
   private def gopherRepetitionSql: String = {
     import graft.operators.Quality
@@ -6037,15 +6083,10 @@ object SparkEntry {
         |SELECT event_type, event_hour, cnt, cusum_pos, cusum_neg,
         |  (cusum_pos > 5.0 * mad OR cusum_neg > 5.0 * mad) AS is_drift
         |FROM s2""".stripMargin,
-    "bloom_index_build" ->
-      s"""WITH raw AS (
-         |  SELECT o_orderkey // 256 AS chunk,
-         |         unnest(${bloomPosListSql("CAST(o_custkey AS VARCHAR)")}) AS pos
-         |  FROM orders WHERE o_custkey IS NOT NULL)
-         |SELECT CAST(chunk AS BIGINT) AS chunk,
-         |       CAST(pos // 63 AS BIGINT) AS word,
-         |       bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bitmap
-         |FROM raw GROUP BY 1, 2""".stripMargin,
+    "bloom_index_build" -> bloomBuildOracleSql,
+    // OR-folding partial builds == one full build: same SQL, and a
+    // hash match proves the store compaction lossless bit-for-bit
+    "bloom_store_compaction" -> bloomBuildOracleSql,
     "bloom_index_prune" ->
       s"""WITH raw AS (
          |  SELECT o_orderkey // 256 AS chunk,

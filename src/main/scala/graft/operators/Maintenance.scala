@@ -178,4 +178,77 @@ object Maintenance {
       if (fs.exists(old)) fs.delete(old, true)
     }
   }
+
+  /** Rewrite an append-only SLICE STORE through its own merge algebra
+    * — the OPTIMIZE for the streaming stores, which grow one slice
+    * per micro-batch forever. The caller supplies the fold (the view
+    * logic minus the detector: OR for Bloom words, max-then-sum for
+    * count partials, register-max for sketches, box-union for zone
+    * maps); this handles the crash-safe two-phase swap, same suffix
+    * discipline as [[compactTable]], so [[recoverCompaction]] covers
+    * a torn store compaction too. Served views are IDENTICAL before
+    * and after by construction — the fold IS the view's collapse.
+    */
+  def compactStore(spark: SparkSession, path: String,
+                   fold: org.apache.spark.sql.DataFrame =>
+                     org.apache.spark.sql.DataFrame,
+                   targetFiles: Int = 1): CompactionResult = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(spark, path)
+    val before = dataFiles(fs, p)
+    val bytesBefore = before.map(_.getLen).sum
+    val tmp = new Path(path + ".__compact_tmp")
+    val old = new Path(path + ".__compact_old")
+    fold(spark.read.parquet(path)).coalesce(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    require(fs.rename(p, old), s"could not park $p")
+    require(fs.rename(tmp, p), s"could not promote $tmp")
+    fs.delete(old, true)
+    val after = dataFiles(fs, p)
+    CompactionResult(before.length, bytesBefore,
+      after.length, after.map(_.getLen).sum)
+  }
+
+  /** [[compactStore]] for a [[graft.streaming.Streams.bloomIndexStream]]
+    * store: OR-fold per (chunk, word). No replay contract needed — OR
+    * is idempotent, so a batch replayed AFTER compaction re-ORs into
+    * the folded rows harmlessly.
+    */
+  def compactBloomStore(spark: SparkSession, path: String): CompactionResult =
+    compactStore(spark, path, df => df
+      .groupBy(org.apache.spark.sql.functions.col("chunk"),
+        org.apache.spark.sql.functions.col("word"))
+      .agg(org.apache.spark.sql.functions
+        .bit_or(org.apache.spark.sql.functions.col("bitmap")).as("bitmap")))
+
+  /** [[compactStore]] for an [[graft.streaming.Streams.anomalyStream]]
+    * count store: collapse replayed appendixes (max per batch), sum
+    * partials across the folded batches, restamp as one slice carrying
+    * `throughBatch`. CONTRACT: `throughBatch` must be a batch id that
+    * can never replay again — i.e. a LATER batch has already committed
+    * to the stream's checkpoint (Structured Streaming replays at most
+    * the last uncommitted batch). Folding a batch that then replays
+    * would double-count it: the replayed appendix gets max-collapsed
+    * against nothing (its original rows were folded away) and summed
+    * on top of the folded base. Slices newer than `throughBatch` are
+    * kept verbatim, so the stream keeps appending undisturbed.
+    */
+  def compactCountStore(spark: SparkSession, path: String,
+                        throughBatch: Long): CompactionResult = {
+    import org.apache.spark.sql.functions._
+    compactStore(spark, path, { df =>
+      val oldSlices = df.where(col("batch_id") <= throughBatch)
+        .groupBy(col("batch_id"), col("group"), col("bucket"))
+        .agg(max(col("cnt")).as("cnt"))
+        .groupBy(col("group"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .select(col("group"), col("bucket"), col("cnt"),
+          lit(throughBatch).as("batch_id"))
+      val newSlices = df.where(col("batch_id") > throughBatch)
+        .select(col("group"), col("bucket"), col("cnt"), col("batch_id"))
+      oldSlices.unionByName(newSlices)
+    })
+  }
 }

@@ -133,4 +133,61 @@ class MaintenanceSpec extends SparkTestBase {
     assert(r.filesAfter == 1 && !tmp.exists())
     assert(spark.read.parquet(dir).collect().toSet == before)
   }
+
+  test("compactBloomStore folds slices; the served index is unchanged " +
+    "and post-compaction replays stay harmless") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.BloomIndex
+    val store = tempDir("bloom_cstore").toString
+    // three "batches" appended separately -> three slice files
+    val batches = Seq(
+      (0 until 60).map(i => (i / 30L, i.toLong)),
+      (60 until 120).map(i => (i / 30L, i.toLong)),
+      (120 until 150).map(i => (i / 30L, i.toLong)))
+    batches.foreach { b =>
+      BloomIndex.build(b.toDF("chunk", "key"), col("chunk"), col("key"),
+          3, 1024)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(store)
+    }
+    def served = graft.streaming.Streams.bloomIndexView(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val before = served
+    val r = Maintenance.compactBloomStore(spark, store)
+    assert(r.filesAfter < r.filesBefore, r.toString)
+    assert(served == before, "compaction changed the served index")
+    // a batch replayed AFTER compaction re-ORs harmlessly
+    BloomIndex.build(batches(1).toDF("chunk", "key"), col("chunk"),
+        col("key"), 3, 1024)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(store)
+    assert(served == before, "post-compaction replay changed the index")
+  }
+
+  test("compactCountStore folds committed batches and keeps the tail " +
+    "appendable") {
+    import org.apache.spark.sql.functions.col
+    val store = tempDir("count_cstore").toString
+    def append(batch: Long, rows: Seq[(String, Int)]): Unit =
+      graft.operators.Anomaly.countSeries(rows.toDF("g", "b"),
+          col("g"), col("b"))
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(batch))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(store)
+    append(0, (1 to 5).flatMap(b => Seq.fill(4)(("a", b))))
+    append(1, Seq.fill(6)(("a", 6)) ++ Seq.fill(2)(("a", 2)))   // late b=2
+    append(2, Seq.fill(3)(("a", 7)))
+    def snap = graft.streaming.Streams.anomalyStoreView(spark, store)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val before = snap
+    // batches 0 and 1 are superseded by committed batch 2 -> foldable
+    val r = Maintenance.compactCountStore(spark, store, throughBatch = 1)
+    assert(r.filesAfter < r.filesBefore, r.toString)
+    assert(snap == before, "compaction changed the served counts")
+    assert(before(("a", 2)) == 6L, "late partial must stay folded in")
+    // the stream keeps appending; a replay of the still-uncommitted
+    // LAST batch (the only one the checkpoint can replay) collapses
+    // exactly as before compaction
+    append(2, Seq.fill(3)(("a", 7)))
+    assert(snap == before, "replay of the tail batch double-counted")
+    append(3, Seq.fill(2)(("a", 8)))
+    assert(snap(("a", 8)) == 2L)
+  }
 }
