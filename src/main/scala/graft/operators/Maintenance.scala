@@ -251,4 +251,28 @@ object Maintenance {
       oldSlices.unionByName(newSlices)
     })
   }
+
+  /** [[compactStore]] for a [[graft.streaming.Streams.zoneMapStream]]
+    * store: per-batch replay collapse, then the zone-map merge
+    * algebra ([[Layout.mergeZoneMaps]] — box union + row-count sum)
+    * folds the committed batches into one slice stamped
+    * `throughBatch`. Same replay contract as [[compactCountStore]]
+    * (fold only batches a committed later batch has superseded).
+    */
+  def compactZoneStore(spark: SparkSession, path: String,
+                       throughBatch: Long): CompactionResult = {
+    import org.apache.spark.sql.functions._
+    compactStore(spark, path, { df =>
+      val oldSlices = Layout.mergeZoneMaps(
+        df.where(col("batch_id") <= throughBatch)
+          .groupBy(col("batch_id"), col("bucket"))
+          .agg(min(col("min_x")).as("min_x"), max(col("max_x")).as("max_x"),
+            min(col("min_y")).as("min_y"), max(col("max_y")).as("max_y"),
+            max(col("n_rows")).as("n_rows"))
+          .drop("batch_id"))
+        .withColumn("batch_id", lit(throughBatch))
+      val newSlices = df.where(col("batch_id") > throughBatch)
+      oldSlices.unionByName(newSlices, allowMissingColumns = false)
+    })
+  }
 }

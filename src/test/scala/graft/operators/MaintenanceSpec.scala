@@ -190,4 +190,28 @@ class MaintenanceSpec extends SparkTestBase {
     append(3, Seq.fill(2)(("a", 8)))
     assert(snap(("a", 8)) == 2L)
   }
+
+  test("compactZoneStore folds boxes through the merge algebra") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.Layout
+    val store = tempDir("zone_cstore").toString
+    val nx = Layout.normalize16(col("x"), 255L)
+    val ny = Layout.normalize16(col("y"), 255L)
+    def append(batch: Long, rows: Seq[(Long, Long)]): Unit =
+      Layout.zoneMap(rows.toDF("x", "y"), nx, ny, 4)
+        .withColumn("batch_id", lit(batch))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(store)
+    append(0, (0 until 200).map(i => ((i * 613L) % 256, (i * 389L) % 256)))
+    append(1, (0 until 150).map(i => ((i * 97L) % 256, (i * 31L) % 256)))
+    append(2, (0 until 50).map(i => ((i * 17L) % 256, (i * 11L) % 256)))
+    def snap = graft.streaming.Streams.zoneMapStoreView(spark, store)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val before = snap
+    val r = Maintenance.compactZoneStore(spark, store, throughBatch = 1)
+    assert(r.filesAfter < r.filesBefore, r.toString)
+    assert(snap == before, "compaction changed the served zone map")
+    // the tail batch still replays into the view exactly as before
+    append(2, (0 until 50).map(i => ((i * 17L) % 256, (i * 11L) % 256)))
+    assert(snap == before, "replay of the tail batch changed the view")
+  }
 }
