@@ -60,6 +60,15 @@ object Maintenance {
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
 
+  /** [[dataFiles]] one level down too — for `k=v`-partitioned roots,
+    * where the top level holds only partition directories. */
+  private def dataFilesRecursive(fs: FileSystem,
+                                 p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+    dataFiles(fs, p) ++ fs.listStatus(p)
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .flatMap(st => dataFiles(fs, st.getPath))
+
   /** Compaction outcome: file/byte counts either side of the swap. */
   final case class CompactionResult(filesBefore: Int, bytesBefore: Long,
                                     filesAfter: Int, bytesAfter: Long)
@@ -259,6 +268,38 @@ object Maintenance {
     * `throughBatch`. Same replay contract as [[compactCountStore]]
     * (fold only batches a committed later batch has superseded).
     */
+  /** [[compactStore]] for an [[graft.streaming.Streams.ivfIndexStream]]
+    * store: drop the bit-identical duplicate appendixes an
+    * at-least-once writer can leave (the probe path tolerates them,
+    * but they cost candidate rows on EVERY query forever) and rewrite
+    * one file per list partition, preserving the `list_id` directory
+    * layout the partition-pruned probe scan depends on. No
+    * through-batch contract: rows are keyed by (list_id, vec_id) and
+    * duplicates are bit-identical by the store's own invariant, so
+    * the dedup is idempotent under any replay — like the Bloom OR.
+    */
+  def compactIvfStore(spark: SparkSession, path: String): CompactionResult = {
+    import org.apache.spark.sql.functions.col
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(spark, path)
+    val before = dataFilesRecursive(fs, p)
+    val bytesBefore = before.map(_.getLen).sum
+    val tmp = new Path(path + ".__compact_tmp")
+    val old = new Path(path + ".__compact_old")
+    spark.read.parquet(path)
+      .dropDuplicates("list_id", "vec_id")
+      .repartition(col("list_id"))
+      .write.partitionBy("list_id")
+      .mode(SaveMode.Overwrite).parquet(tmp.toString)
+    require(fs.rename(p, old), s"could not park $p")
+    require(fs.rename(tmp, p), s"could not promote $tmp")
+    fs.delete(old, true)
+    val after = dataFilesRecursive(fs, p)
+    CompactionResult(before.length, bytesBefore,
+      after.length, after.map(_.getLen).sum)
+  }
+
   def compactZoneStore(spark: SparkSession, path: String,
                        throughBatch: Long): CompactionResult = {
     import org.apache.spark.sql.functions._

@@ -191,6 +191,43 @@ class MaintenanceSpec extends SparkTestBase {
     assert(snap(("a", 8)) == 2L)
   }
 
+  test("compactIvfStore drops replay duplicates and keeps the " +
+    "list-partitioned layout and probe results intact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.Ivf
+    val store = tempDir("ivf_cstore").toString
+    val vecs = (0L until 200L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat - 6f)))
+      .toDF("vec_id", "embedding")
+    val model = Ivf.fitDistributed(vecs, col("vec_id"), col("embedding"),
+      nlist = 4)
+    def append(batch: Long): Unit =
+      Ivf.assign(model, vecs, col("vec_id"), col("embedding"))
+        .withColumn("batch_id", lit(batch))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("list_id").parquet(store)
+    append(0)
+    append(0) // replayed appendix: bit-identical duplicate of batch 0
+    val queries = vecs.where(col("vec_id") % 40 === 0)
+    def probe = Ivf.topKStored(model,
+        graft.streaming.Streams.ivfIndexView(spark, store), queries,
+        col("vec_id"), col("embedding"), k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probe
+    val r = Maintenance.compactIvfStore(spark, store)
+    assert(r.filesAfter < r.filesBefore, r.toString)
+    assert(probe == before, "compaction changed probe results")
+    val rows = spark.read.parquet(store)
+    assert(rows.count() == 200L, "duplicates must be gone")
+    assert(rows.select("list_id").distinct().count() > 1,
+      "list partitioning must survive")
+    // partition pruning still works on the compacted layout
+    val pruned = rows.where(col("list_id") === 0)
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters: [isnotnull(list_id"),
+      pruned)
+  }
+
   test("compactZoneStore folds boxes through the merge algebra") {
     import org.apache.spark.sql.functions.{col, lit}
     import graft.operators.Layout
