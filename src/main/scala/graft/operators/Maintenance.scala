@@ -261,6 +261,36 @@ object Maintenance {
     })
   }
 
+  /** [[compactStore]] for a [[graft.streaming.Streams.cardinalityStream]]
+    * store: replay-collapse per (batch, group) — idempotent register
+    * union + max n_rows, the view's own fold — then union the
+    * committed batches' sketches into one slice per group stamped
+    * `throughBatch`. Same replay contract as [[compactCountStore]].
+    * The served `n_distinct` and `n_rows` are invariant (specs pin
+    * it); `n_slices` DROPS to `1 + tail` — that is the point, not a
+    * divergence: it counts physical slices, and after folding the
+    * store genuinely holds one historical slice.
+    */
+  def compactCardinalityStore(spark: SparkSession, path: String,
+                              throughBatch: Long): CompactionResult = {
+    import org.apache.spark.sql.functions._
+    compactStore(spark, path, { df =>
+      val oldSlices = df.where(col("batch_id") <= throughBatch)
+        .groupBy(col("batch_id"), col("group"))
+        .agg(hll_union_agg(col("sketch")).as("sketch"),
+          max(col("n_rows")).as("n_rows"))
+        .groupBy(col("group"))
+        .agg(hll_union_agg(col("sketch")).as("sketch"),
+          sum(col("n_rows")).as("n_rows"))
+        .select(lit(throughBatch).as("batch_id"), col("group"),
+          col("sketch"), col("n_rows"))
+      val newSlices = df.where(col("batch_id") > throughBatch)
+        .select(col("batch_id"), col("group"), col("sketch"),
+          col("n_rows"))
+      oldSlices.unionByName(newSlices)
+    })
+  }
+
   /** [[compactStore]] for a [[graft.streaming.Streams.zoneMapStream]]
     * store: per-batch replay collapse, then the zone-map merge
     * algebra ([[Layout.mergeZoneMaps]] — box union + row-count sum)

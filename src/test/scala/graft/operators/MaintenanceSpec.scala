@@ -228,6 +228,42 @@ class MaintenanceSpec extends SparkTestBase {
       pruned)
   }
 
+  test("compactCardinalityStore keeps estimates and row counts; " +
+    "n_slices drops to the physical truth") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Cardinality
+    val store = tempDir("card_cstore").toString
+    def append(batch: Long, rows: Seq[(String, String)]): Unit =
+      Cardinality.sliceSketches(rows.toDF("g", "v"),
+          org.apache.spark.sql.functions.lit(batch).as("batch_id"),
+          col("g"), col("v"), lgK = 12)
+        .withColumnRenamed("slice", "batch_id")
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(store)
+    append(0, (0 until 200).map(i => (s"g${i % 2}", s"v${i % 30}")))
+    append(1, (0 until 150).map(i => (s"g${i % 2}", s"v${i % 50}")))
+    append(2, (0 until 80).map(i => (s"g${i % 2}", s"v${i % 10}")))
+    def snap = graft.streaming.Streams.cardinalityStoreView(spark, store)
+      .collect().map(r => r.getAs[String]("group") ->
+        (r.getAs[Long]("n_distinct"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("n_slices"))).toMap
+    val before = snap
+    val r = Maintenance.compactCardinalityStore(spark, store,
+      throughBatch = 1)
+    assert(r.filesAfter < r.filesBefore, r.toString)
+    val after = snap
+    after.foreach { case (g, (est, n, slices)) =>
+      assert(est == before(g)._1, s"estimate moved for $g")
+      assert(n == before(g)._2, s"row count moved for $g")
+      assert(slices == 2L, s"expected 1 folded + 1 tail slice for $g")
+    }
+    // the tail batch still replays idempotently
+    append(2, (0 until 80).map(i => (s"g${i % 2}", s"v${i % 10}")))
+    snap.foreach { case (g, (est, n, _)) =>
+      assert(est == before(g)._1 && n == before(g)._2,
+        s"tail replay changed the view for $g")
+    }
+  }
+
   test("compactZoneStore folds boxes through the merge algebra") {
     import org.apache.spark.sql.functions.{col, lit}
     import graft.operators.Layout
