@@ -1854,6 +1854,40 @@ object SparkEntry {
         s"bloom store compaction did not reduce files: $res")
       graft.streaming.Streams.bloomIndexView(s, storePath)
     }),
+    "count_store_compaction" -> ((s, dir) => {
+      // the count-store twin of bloom_store_compaction: the events
+      // stream's count partials staged as three "committed batch"
+      // slices, folded through compactCountStore (batches 0-1 — a
+      // committed later batch supersedes them, the documented replay
+      // contract), then the served ANOMALY VERDICT is the query
+      // result — and its oracle is event_anomalies' SQL VERBATIM,
+      // because fold-then-detect must equal detecting over all events
+      // ever streamed. Hash match == losslessness proof for the
+      // maintenance op; driver require pins the file-count drop.
+      import graft.operators.{Anomaly, Maintenance}
+      val storePath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_countstore_" + java.lang.Integer.toHexString(dir.hashCode) +
+          "_" + s.sparkContext.applicationId
+            .replaceAll("[^A-Za-z0-9]", "")).toString
+      val fsP = new org.apache.hadoop.fs.Path(storePath)
+      val fs = fsP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsP, true)
+      val ev = t(s, dir, "events")
+      (0 until 3).foreach { i =>
+        Anomaly.countSeries(ev.where(col("event_id") % 3 === i),
+            col("event_type"), ntz(date_trunc("hour", col("ts"))))
+          .withColumn("batch_id", lit(i.toLong))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(storePath)
+      }
+      val res = Maintenance.compactCountStore(s, storePath, throughBatch = 1)
+      require(res.filesAfter < res.filesBefore,
+        s"count store compaction did not reduce files: $res")
+      graft.streaming.Streams.anomalyStoreView(s, storePath, 3.0)
+        .withColumnRenamed("group", "event_type")
+        .withColumnRenamed("bucket", "event_hour")
+    }),
     "bloom_index_prune" -> ((s, dir) => {
       // the LOOKUP half: 5 present + 3 absent customer keys probed
       // against the index; output compares candidate chunks (bloom
@@ -3916,6 +3950,26 @@ object SparkEntry {
     (0 until 3).map(i =>
       s"('0x' || substr(md5($x || '#bloom$i'), 1, 15))::BIGINT % 4096")
       .mkString("[", ",\n           ", "]")
+
+  /** The hourly median/MAD anomaly verdict rebuilt in DuckDB — shared
+    * by `event_anomalies` and `count_store_compaction` (the compacted
+    * count store must serve exactly this).
+    */
+  private def eventAnomaliesOracleSql: String =
+    """WITH series AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS event_hour,
+      |         count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |med AS (SELECT event_type, median(cnt) AS med
+      |        FROM series GROUP BY 1),
+      |wm AS (SELECT s.event_type, s.event_hour, s.cnt, m.med,
+      |              abs(s.cnt - m.med) AS adev
+      |       FROM series s JOIN med m ON s.event_type = m.event_type),
+      |mad AS (SELECT event_type, median(adev) AS mad
+      |        FROM wm GROUP BY 1)
+      |SELECT w.event_type, w.event_hour, w.cnt, w.med, d.mad,
+      |       (w.adev > 3.0 * d.mad) AS is_anomaly
+      |FROM wm w JOIN mad d ON w.event_type = d.event_type""".stripMargin
 
   /** The orders Bloom index rebuilt in DuckDB — shared by
     * `bloom_index_build` and `bloom_store_compaction` (the compacted
@@ -6037,21 +6091,10 @@ object SparkEntry {
         |               CAST(doc_id AS VARCHAR)) AS INT) AS rk
         |  FROM documents)
         |WHERE rk <= 16""".stripMargin,
-    "event_anomalies" ->
-      """WITH series AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS event_hour,
-        |         count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |med AS (SELECT event_type, median(cnt) AS med
-        |        FROM series GROUP BY 1),
-        |wm AS (SELECT s.event_type, s.event_hour, s.cnt, m.med,
-        |              abs(s.cnt - m.med) AS adev
-        |       FROM series s JOIN med m ON s.event_type = m.event_type),
-        |mad AS (SELECT event_type, median(adev) AS mad
-        |        FROM wm GROUP BY 1)
-        |SELECT w.event_type, w.event_hour, w.cnt, w.med, d.mad,
-        |       (w.adev > 3.0 * d.mad) AS is_anomaly
-        |FROM wm w JOIN mad d ON w.event_type = d.event_type""".stripMargin,
+    "event_anomalies" -> eventAnomaliesOracleSql,
+    // fold-then-detect == detect over all events ever streamed: same
+    // SQL, and a hash match proves the count-store compaction lossless
+    "count_store_compaction" -> eventAnomaliesOracleSql,
     "event_drift" ->
       """WITH series AS (
         |  SELECT event_type, date_trunc('hour', ts) AS event_hour,
