@@ -102,6 +102,39 @@ class AnomalySpec extends SparkTestBase {
     }
   }
 
+  test("cusum closed form matches the recursion on adversarial series") {
+    // series crafted to exercise the running-min reflection: deep
+    // negative excursions, exact-zero touches, long climbs
+    val seriesSet = Seq(
+      Seq(1, 1, 1, 20, 1, 1, 1),          // single spike then decay
+      Seq(10, 1, 10, 1, 10, 1),           // alternating deep swings
+      Seq(3, 3, 3, 3, 3, 3),              // constant (mad = 0)
+      Seq(1, 2, 3, 4, 5, 6, 7, 8))        // monotone climb
+    seriesSet.foreach { counts =>
+      val rows = counts.zipWithIndex.flatMap { case (c, b) =>
+        Seq.fill(c)(("g", b)) }
+      val out = Anomaly.cusumDrift(rows.toDF("g", "b"), col("g"),
+          col("b"), slack = 0.5, h = 5.0)
+        .orderBy("bucket").collect()
+      val sorted = counts.sorted.map(_.toDouble)
+      def medOf(xs: Seq[Double]) = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      val med = medOf(sorted)
+      val mad = medOf(counts.map(c => math.abs(c - med)))
+      var sp = 0.0; var sn = 0.0
+      out.foreach { r =>
+        val c = r.getLong(2).toDouble
+        sp = math.max(0.0, sp + (c - med - 0.5 * mad))
+        sn = math.max(0.0, sn + (med - c - 0.5 * mad))
+        assert(r.getDouble(3) == sp && r.getDouble(4) == sn,
+          s"series $counts bucket ${r.get(1)}")
+      }
+    }
+  }
+
   test("the per-group stats joins broadcast onto the series") {
     val plan = Anomaly.robustCountAnomalies(spiky, col("g"), col("b"))
       .queryExecution.executedPlan.toString

@@ -53,6 +53,31 @@ class BloomIndexSpec extends SparkTestBase {
     assert(cand.count() == 0L)
   }
 
+  test("a chunk's filter is exactly the OR of its per-key filters") {
+    // union property: build(all keys) == bit_or over build(one key each)
+    val whole = index.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val perKey = rows.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (chunk, key) =>
+        BloomIndex.build(Seq((chunk, key)).toDF("chunk", "key"),
+            col("chunk"), col("key"), K, M)
+          .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ | _)).toMap
+    assert(whole == perKey)
+  }
+
+  test("adding keys never clears bits (monotone growth)") {
+    val grown = rows.union(Seq((0L, 99L), (1L, 98L)).toDF("chunk", "key"))
+    val before = index.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val after = BloomIndex.build(grown, col("chunk"), col("key"), K, M)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    before.foreach { case (k, bits) =>
+      assert((after(k) & bits) == bits, s"bits cleared at $k")
+    }
+  }
+
   test("merge over coalesced chunks equals a rebuild") {
     // merge chunks {0,1} -> 0, {2} -> 1 (DIV 2), compare to building
     // directly on the coalesced chunk column
