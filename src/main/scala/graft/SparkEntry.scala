@@ -1808,6 +1808,28 @@ object SparkEntry {
         .withColumnRenamed("group", "event_type")
         .withColumnRenamed("bucket", "event_hour")
     }),
+    "event_anomalies_dense" -> ((s, dir) => {
+      // the OUTAGE-aware form of event_anomalies: countSeries produces
+      // no row for a zero-event bucket, so a complete outage — the
+      // exact failure the monitor exists for — is invisible to the
+      // sparse detector. denseCountSeries fills every (type, hour)
+      // against the hourly calendar spanning the load with cnt=0, so
+      // a dark hour becomes the loudest row in its group. The dense
+      // frame is groups × calendar (calendar-bounded, never
+      // event-scaled); same exact median/MAD arithmetic after.
+      import graft.operators.Anomaly
+      val ev = t(s, dir, "events")
+      val hour = ntz(date_trunc("hour", col("ts")))
+      val calendar = ev
+        .agg(min(hour).as("lo"), max(hour).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("bucket"))
+      Anomaly.robustCountAnomaliesFromSeries(
+          Anomaly.denseCountSeries(ev, col("event_type"), hour, calendar),
+          3.0)
+        .withColumnRenamed("group", "event_type")
+        .withColumnRenamed("bucket", "event_hour")
+    }),
     "bloom_index_build" -> ((s, dir) => {
       // file-level Bloom index (operators/BloomIndex.scala) — the
       // EQUALITY twin of the zone-map family: 256-row order "files"
@@ -6092,6 +6114,34 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rk <= 16""".stripMargin,
     "event_anomalies" -> eventAnomaliesOracleSql,
+    "event_anomalies_dense" ->
+      // the densified verdict: every (type, hour) in the load-spanning
+      // hourly calendar gets a row, absent ones at cnt=0
+      """WITH series AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS event_hour,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT unnest(generate_series(date_trunc('hour', min(ts)),
+        |                                date_trunc('hour', max(ts)),
+        |                                INTERVAL 1 HOUR)) AS event_hour
+        |  FROM events),
+        |dense AS (
+        |  SELECT g.event_type, c.event_hour, coalesce(s.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT event_type FROM series) g
+        |  CROSS JOIN cal c
+        |  LEFT JOIN series s ON s.event_type = g.event_type
+        |                    AND s.event_hour = c.event_hour),
+        |med AS (SELECT event_type, median(cnt) AS med
+        |        FROM dense GROUP BY 1),
+        |wm AS (SELECT d.event_type, d.event_hour, d.cnt, m.med,
+        |              abs(d.cnt - m.med) AS adev
+        |       FROM dense d JOIN med m ON d.event_type = m.event_type),
+        |mad AS (SELECT event_type, median(adev) AS mad
+        |        FROM wm GROUP BY 1)
+        |SELECT w.event_type, w.event_hour, w.cnt, w.med, d.mad,
+        |       (w.adev > 3.0 * d.mad) AS is_anomaly
+        |FROM wm w JOIN mad d ON w.event_type = d.event_type""".stripMargin,
     // fold-then-detect == detect over all events ever streamed: same
     // SQL, and a hash match proves the count-store compaction lossless
     "count_store_compaction" -> eventAnomaliesOracleSql,

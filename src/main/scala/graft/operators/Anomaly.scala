@@ -31,10 +31,44 @@ object Anomaly {
 
   /** The raw-rows → `(group, bucket, cnt)` collapse both detectors
     * share: one map-side-combining aggregation.
+    *
+    * Blind spot, by construction: a bucket with ZERO events produces
+    * NO row, so a complete outage is invisible to the detectors (no
+    * row, no flag) and the median/MAD are computed over OBSERVED
+    * buckets only — biased for sparse groups. Counting can't know
+    * which buckets were EXPECTED; when you can enumerate them (hourly
+    * calendar between load bounds), use [[denseCountSeries]], which
+    * fills the gaps with cnt=0 so an outage becomes the loudest row
+    * in its group instead of a missing one.
     */
   def countSeries(df: DataFrame, group: Column, bucket: Column): DataFrame =
     df.groupBy(group.as("group"), bucket.as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** [[countSeries]] densified against an expected bucket `calendar`
+    * (a one-column `bucket` frame — e.g. every hour between the load's
+    * bounds): every (observed group) × (expected bucket) pair gets a
+    * row, absent ones with cnt = 0, so outages surface as zero-count
+    * anomalies instead of silently missing rows. Observed buckets
+    * OUTSIDE the calendar are kept too (a densification must never
+    * hide data the sparse series would have shown).
+    *
+    * Scale shape: the dense frame is groups × calendar rows —
+    * calendar-bounded metadata, never event-scaled; the calendar
+    * broadcasts onto the distinct-group frame.
+    */
+  def denseCountSeries(df: DataFrame, group: Column, bucket: Column,
+                       calendar: DataFrame): DataFrame = {
+    require(calendar.columns.sameElements(Array("bucket")),
+      s"calendar must have exactly one column named 'bucket', got " +
+        calendar.columns.mkString(","))
+    val series = countSeries(df, group, bucket)
+    series.select(col("group")).distinct()
+      .crossJoin(broadcast(calendar))
+      .join(series, Seq("group", "bucket"), "full_outer")
+      .select(col("group"), col("bucket"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
 
   /** Median/MAD annotation of an existing `(group, bucket, cnt)`
     * series (e.g. one served by a streaming count store): two exact

@@ -193,10 +193,37 @@ object Maintenance {
     * per micro-batch forever. The caller supplies the fold (the view
     * logic minus the detector: OR for Bloom words, max-then-sum for
     * count partials, register-max for sketches, box-union for zone
-    * maps); this handles the crash-safe two-phase swap, same suffix
-    * discipline as [[compactTable]], so [[recoverCompaction]] covers
-    * a torn store compaction too. Served views are IDENTICAL before
-    * and after by construction — the fold IS the view's collapse.
+    * maps). Served views are IDENTICAL before and after by
+    * construction — the fold IS the view's collapse.
+    *
+    * Unlike [[compactTable]] (whole-directory swap, caller owns
+    * quiescence), this is safe against a CONCURRENT APPENDER — the
+    * live `foreachBatch` stream these stores exist for: the fold runs
+    * over a SNAPSHOT of the file listing taken at entry, and only
+    * those files are retired, so a slice appended mid-compaction is
+    * never touched (the directory-rename protocol would have deleted
+    * it with the old directory, and its no-directory window would
+    * have broken the append itself). A fold with a `throughBatch`
+    * contract composes: the snapshot bounds WHICH files fold, the
+    * batch stamp bounds which ROWS collapse.
+    *
+    * Crash matrix (manifest = commit record; [[recoverStoreCompaction]]
+    * repairs, and runs automatically at entry):
+    *   1. crash while writing the fold to `<path>.__compact_tmp` → the
+    *      store is untouched; recovery deletes the orphan tmp;
+    *   2. crash after the manifest exists (while parking snapshot
+    *      files into `<path>.__compact_parked` or promoting tmp files
+    *      in) → recovery ROLLS BACK: the manifest lists exactly the
+    *      folded file names, so they are removed from the store,
+    *      every parked original is restored, and the store is
+    *      byte-identical to pre-compaction (originals are never
+    *      deleted before cleanup, so rollback never loses a row);
+    *   3. crash during cleanup (manifest already deleted) → the
+    *      folded files are live; recovery just clears the redundant
+    *      parked/tmp leftovers.
+    * Readers racing the park/promote window can see a partial store
+    * (history briefly missing) — same as the old swap's no-directory
+    * window; the guarantee added here is for concurrent WRITERS.
     */
   def compactStore(spark: SparkSession, path: String,
                    fold: org.apache.spark.sql.DataFrame =>
@@ -206,18 +233,80 @@ object Maintenance {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(spark, path)
-    val before = dataFiles(fs, p)
-    val bytesBefore = before.map(_.getLen).sum
+    recoverStoreCompaction(spark, path)
+    val snapshot = dataFiles(fs, p) // files appended after this survive
+    val bytesBefore = snapshot.map(_.getLen).sum
+    if (snapshot.isEmpty)
+      return CompactionResult(0, 0L, 0, 0L)
     val tmp = new Path(path + ".__compact_tmp")
-    val old = new Path(path + ".__compact_old")
-    fold(spark.read.parquet(path)).coalesce(targetFiles)
+    val parked = new Path(path + ".__compact_parked")
+    val manifest = new Path(path + ".__compact_manifest")
+    fold(spark.read.parquet(snapshot.map(_.getPath.toString): _*))
+      .coalesce(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    require(fs.rename(p, old), s"could not park $p")
-    require(fs.rename(tmp, p), s"could not promote $tmp")
-    fs.delete(old, true)
+    val folded = dataFiles(fs, tmp)
+    // the manifest (folded file names) is written BEFORE any mutation
+    // of the store — from here until its deletion, recovery rolls back
+    val out = fs.create(manifest, true)
+    try out.write(folded.map(_.getPath.getName).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.mkdirs(parked)
+    snapshot.foreach { f =>
+      require(fs.rename(f.getPath, new Path(parked, f.getPath.getName)),
+        s"could not park ${f.getPath}")
+    }
+    folded.foreach { f =>
+      require(fs.rename(f.getPath, new Path(p, f.getPath.getName)),
+        s"could not promote ${f.getPath}")
+    }
+    // commit: deleting the manifest makes the promotion final
+    fs.delete(manifest, false)
+    fs.delete(parked, true)
+    fs.delete(tmp, true)
     val after = dataFiles(fs, p)
-    CompactionResult(before.length, bytesBefore,
+    CompactionResult(snapshot.length, bytesBefore,
       after.length, after.map(_.getLen).sum)
+  }
+
+  /** Repair an interrupted [[compactStore]] (crash matrix in its
+    * scaladoc): manifest present → roll back to the pre-compaction
+    * store; manifest absent → clear tmp/parked leftovers. Idempotent;
+    * called automatically at the top of every [[compactStore]].
+    */
+  def recoverStoreCompaction(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + ".__compact_tmp")
+    val parked = new Path(path + ".__compact_parked")
+    val manifest = new Path(path + ".__compact_manifest")
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val names =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).split("\n")
+          .map(_.trim).filter(_.nonEmpty)
+        finally in.close()
+      // folded part-file names are job-unique UUIDs, so deleting by
+      // name can never hit a restored original or a concurrent slice
+      names.foreach { n =>
+        val f = new Path(p, n)
+        if (fs.exists(f)) fs.delete(f, false)
+      }
+      if (fs.exists(parked)) dataFiles(fs, parked).foreach { f =>
+        require(fs.rename(f.getPath, new Path(p, f.getPath.getName)),
+          s"could not restore parked ${f.getPath}")
+      }
+      if (fs.exists(parked)) fs.delete(parked, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      fs.delete(manifest, false) // last: re-enter rollback until done
+    } else {
+      if (fs.exists(parked)) fs.delete(parked, true)
+      // tmp with no manifest is a pre-mutation orphan — but ONLY safe
+      // to clear when the store exists (compactTable's recover owns
+      // the directory-swap states)
+      if (fs.exists(p) && fs.exists(tmp)) fs.delete(tmp, true)
+    }
   }
 
   /** [[compactStore]] for a [[graft.streaming.Streams.bloomIndexStream]]
@@ -291,13 +380,6 @@ object Maintenance {
     })
   }
 
-  /** [[compactStore]] for a [[graft.streaming.Streams.zoneMapStream]]
-    * store: per-batch replay collapse, then the zone-map merge
-    * algebra ([[Layout.mergeZoneMaps]] — box union + row-count sum)
-    * folds the committed batches into one slice stamped
-    * `throughBatch`. Same replay contract as [[compactCountStore]]
-    * (fold only batches a committed later batch has superseded).
-    */
   /** [[compactStore]] for an [[graft.streaming.Streams.ivfIndexStream]]
     * store: drop the bit-identical duplicate appendixes an
     * at-least-once writer can leave (the probe path tolerates them,
@@ -307,6 +389,15 @@ object Maintenance {
     * through-batch contract: rows are keyed by (list_id, vec_id) and
     * duplicates are bit-identical by the store's own invariant, so
     * the dedup is idempotent under any replay — like the Bloom OR.
+    *
+    * CONCURRENCY: unlike [[compactStore]], this still uses the
+    * whole-directory swap (the `list_id=` partition layout makes
+    * per-file parking a recursive affair), so the writing stream MUST
+    * be quiescent during compaction — e.g. between
+    * `Trigger.AvailableNow()` runs: a slice appended between the tmp
+    * materialization and the park rename would be deleted with the
+    * old directory, and an append landing while `path` is renamed
+    * away recreates the directory and breaks the promote rename.
     */
   def compactIvfStore(spark: SparkSession, path: String): CompactionResult = {
     import org.apache.spark.sql.functions.col
@@ -330,6 +421,13 @@ object Maintenance {
       after.length, after.map(_.getLen).sum)
   }
 
+  /** [[compactStore]] for a [[graft.streaming.Streams.zoneMapStream]]
+    * store: per-batch replay collapse, then the zone-map merge
+    * algebra ([[Layout.mergeZoneMaps]] — box union + row-count sum)
+    * folds the committed batches into one slice stamped
+    * `throughBatch`. Same replay contract as [[compactCountStore]]
+    * (fold only batches a committed later batch has superseded).
+    */
   def compactZoneStore(spark: SparkSession, path: String,
                        throughBatch: Long): CompactionResult = {
     import org.apache.spark.sql.functions._

@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
   * only at the end; `avg_len` is the mean rendered length over
   * non-null rows; `is_candidate_key` is the discovery form of
   * [[Constraints.Unique]] — true iff the column is null-free AND
-  * all-distinct.
+  * all-distinct. The key claim is an EQUALITY on the distinct count,
+  * which an HLL++ estimate cannot support (a real key would almost
+  * always read false, a lucky estimate could read true), so with
+  * `exactDistinct = false` the column is NULL — unknown, not a
+  * verdict; and an empty frame keys NOTHING (0 == 0 proves no
+  * uniqueness), so the claim is also gated on `n_rows > 0`.
   *
   * Scale shape: ONE aggregation over the frame, map-side combining,
   * no joins. The only scale knob is distinct counting:
@@ -62,8 +67,10 @@ object Profile {
         col(s"__mn$i").as("min_value"),
         col(s"__mx$i").as("max_value"),
         col(s"__al$i").as("avg_len"),
-        (col(s"__nn$i") === col("__n") &&
-          col(s"__nd$i") === col("__n")).as("is_candidate_key"))
+        (if (exactDistinct)
+           (col("__n") > 0 && col(s"__nn$i") === col("__n") &&
+             col(s"__nd$i") === col("__n"))
+         else lit(null).cast("boolean")).as("is_candidate_key"))
     }: _*)).as("r")).select(col("r.*"))
   }
 

@@ -16,6 +16,11 @@ object Sessionize {
   def assignSessions(events: DataFrame, user: Column, ts: Column,
                      gapSeconds: Long,
                      carry: Seq[(String, Column)] = Nil): DataFrame = {
+    val reserved = Set("user_id", "ts", "session_idx")
+    require(carry.forall { case (n, _) => !reserved.contains(n) },
+      s"carry column names collide with reserved output columns " +
+        s"${reserved.mkString("/")}: " +
+        carry.map(_._1).filter(reserved).mkString(","))
     // window rebuilt over the RENAMED columns — the caller's expressions
     // are no longer resolvable after the projection below
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))

@@ -264,6 +264,82 @@ class MaintenanceSpec extends SparkTestBase {
     }
   }
 
+  test("a slice appended DURING store compaction survives the swap " +
+    "and is served afterwards (snapshot protocol vs concurrent writer)") {
+    import org.apache.spark.sql.functions.col
+    val store = tempDir("concurrent_cstore").toString
+    def append(batch: Long, rows: Seq[(String, Int)]): Unit =
+      graft.operators.Anomaly.countSeries(rows.toDF("g", "b"),
+          col("g"), col("b"))
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(batch))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(store)
+    append(0, Seq.fill(4)(("a", 1)))
+    append(1, Seq.fill(6)(("a", 2)))
+    def snap = graft.streaming.Streams.anomalyStoreView(spark, store)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // the fold callback runs AFTER the snapshot listing — appending a
+    // new slice from inside it is exactly a concurrent foreachBatch
+    // landing mid-compaction
+    var appended = false
+    val r = Maintenance.compactStore(spark, store, { df =>
+      if (!appended) { appended = true; append(2, Seq.fill(3)(("a", 3))) }
+      df.groupBy(col("batch_id"), col("group"), col("bucket"))
+        .agg(org.apache.spark.sql.functions.max(col("cnt")).as("cnt"))
+        .groupBy(col("group"), col("bucket"))
+        .agg(org.apache.spark.sql.functions.sum(col("cnt")).as("cnt"))
+        .select(col("group"), col("bucket"), col("cnt"),
+          org.apache.spark.sql.functions.lit(1L).as("batch_id"))
+    })
+    assert(appended && r.filesAfter >= 1, r.toString)
+    val after = snap
+    assert(after(("a", 1)) == 4L && after(("a", 2)) == 6L,
+      "folded history must be served")
+    assert(after(("a", 3)) == 3L,
+      "the concurrently appended slice must survive the compaction swap")
+  }
+
+  test("a torn store compaction rolls back: manifest-listed folded " +
+    "files are removed, parked originals restored, view unchanged") {
+    import org.apache.spark.sql.functions.col
+    val store = tempDir("rollback_cstore").toString
+    def append(batch: Long, rows: Seq[(String, Int)]): Unit =
+      graft.operators.Anomaly.countSeries(rows.toDF("g", "b"),
+          col("g"), col("b"))
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(batch))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(store)
+    append(0, Seq.fill(4)(("a", 1)))
+    append(1, Seq.fill(6)(("a", 2)))
+    def snap = graft.streaming.Streams.anomalyStoreView(spark, store)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val before = snap
+    // simulate a crash mid-promotion: originals parked, one folded file
+    // already promoted, manifest still present (= not committed)
+    val storeDir = new java.io.File(store)
+    val parked = new java.io.File(store + ".__compact_parked")
+    assert(parked.mkdirs())
+    val dataFiles = storeDir.listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    dataFiles.foreach { f =>
+      assert(f.renameTo(new java.io.File(parked, f.getName)))
+    }
+    val foldedName = "part-00000-torn-fold.snappy.parquet"
+    java.nio.file.Files.write(
+      new java.io.File(storeDir, foldedName).toPath,
+      Array[Byte](1, 2, 3)) // torn garbage — rollback must remove it
+    java.nio.file.Files.write(
+      new java.io.File(store + ".__compact_manifest").toPath,
+      foldedName.getBytes("UTF-8"))
+    Maintenance.recoverStoreCompaction(spark, store)
+    assert(!new java.io.File(storeDir, foldedName).exists(),
+      "manifest-listed folded file must be rolled back")
+    assert(!parked.exists() &&
+      !new java.io.File(store + ".__compact_manifest").exists())
+    assert(snap == before, "rollback must restore the exact store")
+    // and the next compaction (which auto-recovers) proceeds cleanly
+    val r = Maintenance.compactCountStore(spark, store, throughBatch = 0)
+    assert(r.filesAfter >= 1 && snap == before, r.toString)
+  }
+
   test("compactZoneStore folds boxes through the merge algebra") {
     import org.apache.spark.sql.functions.{col, lit}
     import graft.operators.Layout
