@@ -1958,15 +1958,19 @@ object SparkEntry {
       // zone-map data skipping as a Catalyst OPTIMIZER RULE
       // (plans/ZoneMapPruning.scala — the injectable-rule extension
       // point): lineitem's key columns are clustered ONCE per session
-      // into z-bucket partition directories (store convention), the
-      // per-bucket raw boxes registered driver-side, and every scan of
-      // the store with x/y range conjuncts gets `z_bucket IN (...)`
-      // injected, which FileSourceStrategy turns into directory
-      // pruning (ZoneMapPruningSpec pins the PartitionFilters and the
-      // bail-outs). The oracle recomputes the SAME filter over raw
-      // lineitem — a hash match is the proof the rewrite lost and
-      // duplicated nothing.
-      import graft.operators.Layout
+      // into z-bucket partition directories (store convention), and
+      // every scan of the store with x/y range conjuncts gets
+      // `z_bucket IN (...)` injected, which FileSourceStrategy turns
+      // into directory pruning (ZoneMapPruningSpec pins the
+      // PartitionFilters and the bail-outs). Registration is a
+      // METADATA READ, not a rescan: the build appends per-ingest
+      // rawZoneMap slices to a zone-stats store (what zoneStatsStream
+      // does per micro-batch), folds it with compactZoneStatsStore,
+      // and attachFromStore collects only the bucket-bounded boxes —
+      // the spec proves it by attaching with the table absent. The
+      // oracle recomputes the SAME filter over raw lineitem — a hash
+      // match is the proof the rewrite lost and duplicated nothing.
+      import graft.operators.{Layout, Maintenance}
       import graft.plans.ZoneMapPruning
       val appTag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "")
       val wh = new org.apache.hadoop.fs.Path(
@@ -1974,11 +1978,15 @@ object SparkEntry {
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
       val store = new org.apache.hadoop.fs.Path(wh, "graft_zcluster_" +
         java.lang.Integer.toHexString(dir.hashCode) + "_" + appTag)
+      val statsStore = new org.apache.hadoop.fs.Path(wh,
+        "graft_zstats_" + java.lang.Integer.toHexString(dir.hashCode) +
+          "_" + appTag)
       if (!fs.exists(store)) {
         val staleBefore = System.currentTimeMillis() - 30L * 60 * 1000
         if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
           val nm = st.getPath.getName
-          if (nm.startsWith("graft_zcluster_") && !nm.contains(appTag) &&
+          if ((nm.startsWith("graft_zcluster_") ||
+              nm.startsWith("graft_zstats_")) && !nm.contains(appTag) &&
               st.getModificationTime < staleBefore)
             fs.delete(st.getPath, true)
         }
@@ -1993,14 +2001,129 @@ object SparkEntry {
             Layout.normalize16(col("l_suppkey"), col("sx"))), 26))
           .drop("px", "sx")
           .write.partitionBy("z_bucket").parquet(store.toString)
-        ZoneMapPruning.attach(s, store.toString, "z_bucket",
-          "l_partkey", "l_suppkey")
+        // the maintenance path: three "ingest batch" stats slices
+        // appended (each one agg over its slice only), then the
+        // store fold — history never rescanned
+        val clustered = s.read.parquet(store.toString)
+        (0 until 3).foreach { b =>
+          Layout.rawZoneMap(clustered.where(col("l_orderkey") % 3 === b),
+              col("z_bucket"), Seq("l_partkey", "l_suppkey"))
+            .withColumn("batch_id", lit(b.toLong))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(statsStore.toString)
+        }
+        val cres = Maintenance.compactZoneStatsStore(s,
+          statsStore.toString, throughBatch = 1)
+        require(cres.filesAfter < cres.filesBefore,
+          s"zone-stats compaction did not reduce files: $cres")
+        ZoneMapPruning.attachFromStore(s, store.toString, "z_bucket",
+          statsStore.toString)
       }
       s.read.parquet(store.toString)
         .where(col("l_partkey") >= 500L && col("l_partkey") <= 600L &&
           col("l_suppkey") >= 20L && col("l_suppkey") <= 30L)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"))
+    }),
+    "zonemap3_prune_scan" -> ((s, dir) => {
+      // the pruning rule in THREE dimensions, serving the zValue3
+      // layout it could not before: lineitem clustered by the 3-D
+      // Morton prefix of (partkey, suppkey, orderkey), boxes kept per
+      // bucket for all three raw columns, and a 3-D range conjunction
+      // pruned on every dimension at once. Same full-scan-identity
+      // oracle discipline as zonemap_prune_scan.
+      import graft.operators.Layout
+      import graft.plans.ZoneMapPruning
+      val appTag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val store = new org.apache.hadoop.fs.Path(wh, "graft_z3cluster_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_" + appTag)
+      if (!fs.exists(store)) {
+        val staleBefore = System.currentTimeMillis() - 30L * 60 * 1000
+        if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+          val nm = st.getPath.getName
+          if (nm.startsWith("graft_z3cluster_") && !nm.contains(appTag) &&
+              st.getModificationTime < staleBefore)
+            fs.delete(st.getPath, true)
+        }
+        val li = t(s, dir, "lineitem")
+        val stats = li.agg(max(col("l_partkey")).cast("long").as("px"),
+          max(col("l_suppkey")).cast("long").as("sx"),
+          max(col("l_orderkey")).cast("long").as("ox"))
+        li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"))
+          .crossJoin(broadcast(stats))
+          // 48-bit curve, top 6 bits -> ≤64 partition directories
+          .withColumn("z_bucket", shiftright(Layout.zValue3(
+            Layout.normalize16(col("l_partkey"), col("px")),
+            Layout.normalize16(col("l_suppkey"), col("sx")),
+            Layout.normalize16(col("l_orderkey"), col("ox"))), 42))
+          .drop("px", "sx", "ox")
+          .write.partitionBy("z_bucket").parquet(store.toString)
+        // writer-persisted stats (one agg over the clustered rows);
+        // attach is the O(buckets) metadata read
+        val statsPath = store.toString + ".__zonemap"
+        Layout.rawZoneMap(s.read.parquet(store.toString), col("z_bucket"),
+            Seq("l_partkey", "l_suppkey", "l_orderkey"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(statsPath)
+        ZoneMapPruning.attachFromStats(s, store.toString, "z_bucket",
+          s.read.parquet(statsPath))
+      }
+      s.read.parquet(store.toString)
+        .where(col("l_partkey") >= 300L && col("l_partkey") <= 900L &&
+          col("l_suppkey") >= 5L && col("l_suppkey") <= 60L &&
+          col("l_orderkey") <= 300000L)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+    }),
+    "zonemap_prune_string" -> ((s, dir) => {
+      // STRING min/max boxes — the reference's own partition pattern
+      // (date-encoded paths: zoom_proc.py:325-336, jhub_proc.py:
+      // 258-276) makes string-range skipping on load_date/ISO
+      // timestamps the single most common real pruning predicate.
+      // lineitem staged with ship_date rendered 'yyyy-MM-dd' and
+      // bucketed by calendar month; boxes compare in binary UTF-8
+      // order (Spark's own string comparison), and a half-open
+      // [>= lo, < hi) date-string range prunes to the touched months.
+      // Oracle = the same filter on raw lineitem, strftime-rendered.
+      import graft.operators.Layout
+      import graft.plans.ZoneMapPruning
+      val appTag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val store = new org.apache.hadoop.fs.Path(wh, "graft_zdatestr_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_" + appTag)
+      if (!fs.exists(store)) {
+        val staleBefore = System.currentTimeMillis() - 30L * 60 * 1000
+        if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+          val nm = st.getPath.getName
+          if (nm.startsWith("graft_zdatestr_") && !nm.contains(appTag) &&
+              st.getModificationTime < staleBefore)
+            fs.delete(st.getPath, true)
+        }
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+            col("l_quantity"),
+            (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+              .cast("long").as("z_bucket"))
+          .write.partitionBy("z_bucket").parquet(store.toString)
+        val statsPath = store.toString + ".__zonemap"
+        Layout.rawZoneMap(s.read.parquet(store.toString), col("z_bucket"),
+            Seq("ship_date"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(statsPath)
+        ZoneMapPruning.attachFromStats(s, store.toString, "z_bucket",
+          s.read.parquet(statsPath))
+      }
+      s.read.parquet(store.toString)
+        .where(col("ship_date") >= "1995-03-01" &&
+          col("ship_date") < "1995-06-01")
+        .select(col("l_orderkey"), col("ship_date"), col("l_quantity"))
     }),
     "compaction_stats" -> ((s, dir) => {
       // the OPTIMIZE half of the reference's append cadence: stage
@@ -6224,6 +6347,21 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 500 AND 600
         |  AND l_suppkey BETWEEN 20 AND 30""".stripMargin,
+    "zonemap3_prune_scan" ->
+      // 3-D pruned scan ≡ the raw 3-range filter
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 300 AND 900
+        |  AND l_suppkey BETWEEN 5 AND 60
+        |  AND l_orderkey <= 300000""".stripMargin,
+    "zonemap_prune_string" ->
+      // string-box pruned scan ≡ the raw date-string range filter
+      """SELECT l_orderkey,
+        |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |       l_quantity
+        |FROM lineitem
+        |WHERE strftime(l_shipdate, '%Y-%m-%d') >= '1995-03-01'
+        |  AND strftime(l_shipdate, '%Y-%m-%d') < '1995-06-01'""".stripMargin,
     "zorder_pruning" ->
       """WITH st AS (SELECT CAST(max(l_partkey) AS BIGINT) AS px,
         |                   CAST(max(l_suppkey) AS BIGINT) AS sx

@@ -224,6 +224,52 @@ object Layout {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Per-bucket RAW-value min/max boxes of arbitrary columns — the
+    * stats frame [[graft.plans.ZoneMapPruning]] consumes, distinct
+    * from [[zoneMap]] (which boxes the NORMALIZED 16-bit curve inputs
+    * for pruning-stats arithmetic): the optimizer rule rewrites
+    * predicates over the raw columns, so its boxes must be raw too.
+    * Any column a range predicate can serve works — integral columns
+    * box numerically, STRING columns box in binary UTF-8 order (the
+    * engine's own string comparison), which is exactly the
+    * reference's date-encoded-path pattern (`zoom_proc.py:325-336`,
+    * `jhub_proc.py:258-276`: `load_date`/ISO-timestamp strings are
+    * the most common real-world pruning predicate). Output:
+    * `(bucket, min_<c>, max_<c> per dim, n_rows)`, min/max in the
+    * column's native type; ONE map-side-combining aggregation,
+    * bucket-bounded output.
+    *
+    * A cluster-by write computes this over the rows it is writing
+    * anyway and persists it NEXT TO the table (the `<path>.__zonemap`
+    * convention `zonemap_prune_scan` uses), so scan-time registration
+    * is a metadata read — never a table rescan.
+    */
+  def rawZoneMap(df: DataFrame, bucket: Column, dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "rawZoneMap needs at least one dimension")
+    val aggs = dims.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    df.groupBy(bucket.as("bucket")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[mergeZoneMaps]] for [[rawZoneMap]] frames: per-bucket box union
+    * (min of mins, max of maxes — associative-commutative in both the
+    * numeric and the binary-string order) + row-count sum, so
+    * per-slice stats fold to the union's stats EXACTLY and history is
+    * never rescanned. `dims` must match the frames' `min_/max_`
+    * columns.
+    */
+  def mergeRawZoneMaps(dims: Seq[String])(maps: DataFrame*): DataFrame = {
+    require(maps.nonEmpty, "mergeRawZoneMaps needs at least one zone map")
+    val aggs = dims.flatMap { c =>
+      Seq(min(col(s"min_$c")).as(s"min_$c"),
+        max(col(s"max_$c")).as(s"max_$c"))
+    } :+ sum(col("n_rows")).as("n_rows")
+    maps.reduce(_ unionByName _)
+      .groupBy(col("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Single-key zone map with the same bucket count: rows bucketed by
     * the top `bucketBits` bits of `x` alone (the layout a table sorted
     * only by `x` gives you) — the comparison baseline for

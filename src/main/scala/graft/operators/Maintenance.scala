@@ -428,6 +428,38 @@ object Maintenance {
     * `throughBatch`. Same replay contract as [[compactCountStore]]
     * (fold only batches a committed later batch has superseded).
     */
+  /** [[compactStore]] for a [[graft.streaming.Streams.zoneStatsStream]]
+    * RAW-stats store (the one the pruning rule attaches from):
+    * per-batch replay collapse, then the box-union merge
+    * ([[Layout.mergeRawZoneMaps]]) folds the committed batches into
+    * one slice stamped `throughBatch`; newer slices stay verbatim.
+    * Same replay contract as [[compactCountStore]]. Dimensions are
+    * inferred from the store's `min_`/`max_` columns, string and
+    * integral alike (both orders are associative-commutative under
+    * min/max, so the fold is exact either way).
+    */
+  def compactZoneStatsStore(spark: SparkSession, path: String,
+                            throughBatch: Long): CompactionResult = {
+    import org.apache.spark.sql.functions._
+    compactStore(spark, path, { df =>
+      val dims = df.columns.filter(_.startsWith("min_"))
+        .map(_.stripPrefix("min_")).toSeq
+        .filter(c => df.columns.contains(s"max_$c"))
+      val collapsed = dims.flatMap { c =>
+        Seq(min(col(s"min_$c")).as(s"min_$c"),
+          max(col(s"max_$c")).as(s"max_$c"))
+      } :+ max(col("n_rows")).as("n_rows")
+      val oldSlices = Layout.mergeRawZoneMaps(dims)(
+        df.where(col("batch_id") <= throughBatch)
+          .groupBy(col("batch_id"), col("bucket"))
+          .agg(collapsed.head, collapsed.tail: _*)
+          .drop("batch_id"))
+        .withColumn("batch_id", lit(throughBatch))
+      val newSlices = df.where(col("batch_id") > throughBatch)
+      oldSlices.unionByName(newSlices, allowMissingColumns = false)
+    })
+  }
+
   def compactZoneStore(spark: SparkSession, path: String,
                        throughBatch: Long): CompactionResult = {
     import org.apache.spark.sql.functions._

@@ -1,41 +1,69 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Zone-map data skipping as a Catalyst optimizer rule — the remaining
   * extension point the engine uses ([[graft.GraftExtensions]] injects
   * expressions; this injects a `Rule[LogicalPlan]`): a table laid out
   * by [[graft.operators.Layout.clusterByZ]]-style jobs carries a
   * curve-bucket PARTITION column, and its zone map (bucket → raw
-  * min/max box, dimension-bounded — at most 2^bucketBits rows) lives
-  * comfortably on the driver. A scan filtered on the mapped columns
-  * can then skip every partition directory whose box misses the
-  * predicate's bounding box — exactly what lakehouse "data skipping
-  * indexes" do, expressed as the standard Spark mechanism: rewrite
-  * `Filter(cond, scan)` to `Filter(cond, Filter(bucket IN cands,
-  * scan))`, and `FileSourceStrategy` turns the injected conjunct into
-  * a PartitionFilter (directory pruning, pinned by PlanAuditSpec).
+  * min/max box over N registered columns, dimension-bounded — at most
+  * 2^bucketBits rows) lives comfortably on the driver. A scan filtered
+  * on mapped columns can then skip every partition directory whose box
+  * misses the predicate's bounding box — exactly what lakehouse "data
+  * skipping indexes" do, expressed as the standard Spark mechanism:
+  * rewrite `Filter(cond, scan)` to `Filter(cond, Filter(bucket IN
+  * cands, scan))`, and `FileSourceStrategy` turns the injected
+  * conjunct into a PartitionFilter (directory pruning, pinned by
+  * PlanAuditSpec).
+  *
+  * Dimensions are typed: INTEGRAL columns compare numerically, STRING
+  * columns compare in binary UTF-8 order (Spark's own string
+  * comparison — [[UTF8String.compareTo]]), which serves the
+  * reference's date-encoded predicates (`load_date >= '2020-01-01'`,
+  * ISO timestamp prefixes) — the single most common real-world
+  * pruning conjunct. Any other column type is rejected at
+  * registration (fail fast beats a subtly unsound ordering).
   *
   * Soundness (the rule may only ever REMOVE work, never rows):
   *   - bounds are extracted ONLY from top-level AND conjuncts of the
   *     shapes attr ⟨op⟩ literal / literal ⟨op⟩ attr with op in
-  *     {=, >=, >, <=, <} on the registered columns; anything else
-  *     (ORs, casts, expressions) contributes no bound — pruning with a
-  *     SUPERSET box is still sound, just less effective;
-  *   - a candidate bucket is any whose [min,max] box intersects the
-  *     predicate box (the standard min/max skipping test); rows with
-  *     NULL in a mapped column cannot satisfy a range conjunct, so
-  *     their absence from the box stats never loses a row;
+  *     {=, >=, >, <=, <} on the registered columns, the literal typed
+  *     like the dimension; anything else (ORs, casts, expressions)
+  *     contributes no bound — pruning with a SUPERSET box is still
+  *     sound, just less effective;
+  *   - a candidate bucket is any whose per-dimension [min,max] box
+  *     intersects the predicate's range on EVERY bounded dimension
+  *     (the standard min/max skipping test); rows with NULL in a
+  *     mapped column cannot satisfy a range conjunct, so their absence
+  *     from the box stats never loses a row, and a bucket with no
+  *     non-null values on some dimension stays a candidate on it;
   *   - no bounds extracted, unknown table, or nothing pruned → the
-  *     plan is returned UNCHANGED. The `zonemap_prune_scan` oracle is
-  *     the end-to-end identity proof: the pruned scan answers the
+  *     plan is returned UNCHANGED. The `zonemap_prune_scan` /
+  *     `zonemap3_prune_scan` / `zonemap_prune_string` oracles are the
+  *     end-to-end identity proofs: the pruned scans answer the
   *     full-scan SQL verbatim.
   *
-  * Lifecycle: [[attach]] registers a table's stats and idempotently
+  * Registration is a METADATA read, never a table scan, when the
+  * writer persisted its stats: [[attachFromStats]] takes a
+  * [[graft.operators.Layout.rawZoneMap]]-shaped frame (the
+  * `<path>.__zonemap` convention), [[attachFromStore]] folds an
+  * append-only slice store ([[graft.streaming.Streams.zoneStatsStream]]
+  * output, compactable via
+  * [[graft.operators.Maintenance.compactZoneStatsStore]]) — both read
+  * only bucket-bounded stats rows (ZoneMapPruningSpec proves it by
+  * attaching with the table itself absent). [[attach]] without stats
+  * derives them with one aggregation over the table — the bootstrap
+  * path for a table whose writer kept none; at 100 TB that is a full
+  * scan, so persist stats at write time and use the metadata forms.
+  *
+  * Lifecycle: attach registers a table's stats and idempotently
   * appends [[PruneRule]] to `spark.experimental.extraOptimizations`
   * (the documented hook for user rules — they run as a final batch, so
   * the injected Filter sits directly on the relation where physical
@@ -46,12 +74,15 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object ZoneMapPruning {
 
-  /** One bucket's raw-value bounding box. NULL-only buckets carry no
-    * box and are registered as unprunable candidates (`None`).
+  /** One bucket's raw-value bounding box: per registered dimension,
+    * the [min,max] of its non-null values (Long for integral dims,
+    * String for string dims), or `None` when the bucket holds no
+    * non-null value on that dimension (unprunable on it).
     */
-  final case class BucketBox(bucket: Long, box: Option[(Long, Long, Long, Long)])
+  final case class BucketBox(bucket: Long, dims: Seq[Option[(Any, Any)]])
 
-  final case class TableStats(bucketCol: String, xCol: String, yCol: String,
+  /** `dims`: (column name, isString) in registration order. */
+  final case class TableStats(bucketCol: String, dims: Seq[(String, Boolean)],
                               boxes: Seq[BucketBox])
 
   private val registry =
@@ -63,28 +94,91 @@ object ZoneMapPruning {
     fs.makeQualified(p).toString
   }
 
-  /** Register `path`'s zone map for pruning: one aggregation derives
-    * the per-bucket raw boxes (dimension-bounded output, collected to
-    * the driver — the same contract as an IVF centroid matrix), and
-    * the optimizer rule is installed once per session.
-    */
+  /** Two-column compatibility form of [[attach]]. */
   def attach(spark: SparkSession, path: String, bucketCol: String,
-             xCol: String, yCol: String): Unit = {
-    import org.apache.spark.sql.functions._
-    val stats = spark.read.parquet(path)
-      .groupBy(col(bucketCol).cast("long").as("b"))
-      .agg(min(col(xCol).cast("long")).as("x0"),
-        max(col(xCol).cast("long")).as("x1"),
-        min(col(yCol).cast("long")).as("y0"),
-        max(col(yCol).cast("long")).as("y1"))
-      .collect()
-      .map { r =>
-        BucketBox(r.getLong(0),
-          if (r.isNullAt(1) || r.isNullAt(3)) None
-          else Some((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
-      }
+             xCol: String, yCol: String): Unit =
+    attach(spark, path, bucketCol, Seq(xCol, yCol))
+
+  /** Register `path`'s zone map by SCANNING the table: one aggregation
+    * derives the per-bucket raw boxes over `cols`. Bootstrap form —
+    * prefer [[attachFromStats]] / [[attachFromStore]] when the writer
+    * persisted stats (this is a full table scan; those are metadata
+    * reads).
+    */
+  def attach(spark: SparkSession, path: String,
+             bucketCol: String, cols: Seq[String]): Unit = {
+    val df = spark.read.parquet(path)
+    val stats = graft.operators.Layout.rawZoneMap(
+      df, org.apache.spark.sql.functions.col(bucketCol), cols)
+    attachFromStats(spark, path, bucketCol, stats)
+  }
+
+  /** Register `path` for pruning from a PRECOMPUTED
+    * [[graft.operators.Layout.rawZoneMap]] frame — `(bucket, min_<c>,
+    * max_<c>, ...)` — e.g. the `<path>.__zonemap` parquet a cluster-by
+    * writer persisted. Dimensions and their types are inferred from
+    * the frame's `min_`/`max_` column pairs; only the bucket-bounded
+    * stats rows are ever read (collected to the driver — the same
+    * contract as an IVF centroid matrix), so registration costs no
+    * table I/O at any scale.
+    */
+  def attachFromStats(spark: SparkSession, path: String, bucketCol: String,
+                      stats: DataFrame): Unit = {
+    val dims = statsDims(stats)
+    require(dims.nonEmpty,
+      s"stats frame has no min_/max_ column pairs: " +
+        stats.columns.mkString(","))
+    val selected = stats.select(
+      org.apache.spark.sql.functions.col("bucket").cast("long") +:
+        dims.flatMap { case (c, isString) =>
+          val cast = if (isString) "string" else "long"
+          Seq(org.apache.spark.sql.functions.col(s"min_$c").cast(cast),
+            org.apache.spark.sql.functions.col(s"max_$c").cast(cast))
+        }: _*)
+    val boxes = selected.collect().map { r =>
+      BucketBox(r.getLong(0), dims.indices.map { i =>
+        if (r.isNullAt(1 + 2 * i)) None
+        else Some((r.get(1 + 2 * i), r.get(2 + 2 * i)))
+      })
+    }
     registry.put(canonical(spark, path),
-      TableStats(bucketCol, xCol, yCol, stats.toSeq))
+      TableStats(bucketCol, dims, boxes.toSeq))
+    install(spark)
+  }
+
+  /** Register `path` for pruning from an APPEND-ONLY zone-stats slice
+    * store ([[graft.streaming.Streams.zoneStatsStream]] output: one
+    * [[graft.operators.Layout.rawZoneMap]] slice per micro-batch,
+    * stamped `batch_id`): replay-collapse per (batch_id, bucket), then
+    * the box-union merge — the store view's own fold. Bucket-bounded
+    * metadata I/O only.
+    */
+  def attachFromStore(spark: SparkSession, path: String, bucketCol: String,
+                      storePath: String): Unit =
+    attachFromStats(spark, path, bucketCol,
+      graft.streaming.Streams.zoneStatsView(spark, storePath))
+
+  /** (column, isString) pairs from a stats frame's min_/max_ columns,
+    * in min_ appearance order; rejects non-integral non-string dims.
+    */
+  private[graft] def statsDims(stats: DataFrame): Seq[(String, Boolean)] = {
+    val names = stats.columns
+    names.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+      .filter(c => names.contains(s"max_$c"))
+      .map { c =>
+        val dt = stats.schema(s"min_$c").dataType
+        c -> (dt match {
+          case StringType => true
+          case ByteType | ShortType | IntegerType | LongType => false
+          case other => throw new IllegalArgumentException(
+            s"zone-map dimension $c has unsupported type " +
+              s"${other.simpleString}: only integral and string " +
+              "columns have a portable pruning order")
+        })
+      }
+  }
+
+  private def install(spark: SparkSession): Unit = {
     val installed = spark.experimental.extraOptimizations
     if (!installed.exists(_ eq PruneRule))
       spark.experimental.extraOptimizations = installed :+ PruneRule
@@ -93,44 +187,86 @@ object ZoneMapPruning {
   def detach(spark: SparkSession, path: String): Unit =
     registry.remove(canonical(spark, path))
 
-  /** Bounds of one attribute from the top-level conjuncts: (lower,
-    * upper), unbounded sides at Long.Min/MaxValue.
+  /** Ordering shared by box stats and predicate bounds: numeric for
+    * integral dims, binary UTF-8 (Spark's string comparison) for
+    * string dims.
     */
-  private def boundsOf(conjuncts: Seq[Expression], name: String): (Long, Long) = {
-    var lo = Long.MinValue
-    var hi = Long.MaxValue
-    def lit(e: Expression): Option[Long] = e match {
-      case Literal(v: Byte, _)  => Some(v.toLong)
-      case Literal(v: Short, _) => Some(v.toLong)
-      case Literal(v: Int, _)   => Some(v.toLong)
-      case Literal(v: Long, _)  => Some(v)
-      case _                    => None
+  private def cmp(a: Any, b: Any, isString: Boolean): Int =
+    if (isString)
+      UTF8String.fromString(a.asInstanceOf[String])
+        .compareTo(UTF8String.fromString(b.asInstanceOf[String]))
+    else java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  /** One dimension's predicate range: optional lower/upper bound, each
+    * with strictness — kept inclusive/exclusive instead of ±1-adjusted
+    * so the same test serves longs and strings (a string has no
+    * successor).
+    */
+  private final case class PredRange(lo: Option[Any], loStrict: Boolean,
+                                     hi: Option[Any], hiStrict: Boolean) {
+    def bounded: Boolean = lo.isDefined || hi.isDefined
+  }
+
+  /** Extract one attribute's range from the top-level conjuncts. */
+  private def rangeOf(conjuncts: Seq[Expression], name: String,
+                      isString: Boolean): PredRange = {
+    var lo: Option[Any] = None; var loS = false
+    var hi: Option[Any] = None; var hiS = false
+    def litVal(e: Expression): Option[Any] = e match {
+      case Literal(v: UTF8String, StringType) if isString => Some(v.toString)
+      case Literal(v: Byte, _) if !isString   => Some(v.toLong)
+      case Literal(v: Short, _) if !isString  => Some(v.toLong)
+      case Literal(v: Int, _) if !isString    => Some(v.toLong)
+      case Literal(v: Long, _) if !isString   => Some(v)
+      case _                                  => None
     }
     def attr(e: Expression): Boolean = e match {
       case a: AttributeReference => a.name.equalsIgnoreCase(name)
       case _                     => false
     }
+    def tightenLo(v: Any, strict: Boolean): Unit = lo match {
+      case None => lo = Some(v); loS = strict
+      case Some(l) =>
+        val c = cmp(v, l, isString)
+        if (c > 0) { lo = Some(v); loS = strict }
+        else if (c == 0 && strict) loS = true
+    }
+    def tightenHi(v: Any, strict: Boolean): Unit = hi match {
+      case None => hi = Some(v); hiS = strict
+      case Some(h) =>
+        val c = cmp(v, h, isString)
+        if (c < 0) { hi = Some(v); hiS = strict }
+        else if (c == 0 && strict) hiS = true
+    }
     conjuncts.foreach {
-      case GreaterThanOrEqual(a, l) if attr(a) => lit(l).foreach(v => lo = math.max(lo, v))
+      case GreaterThanOrEqual(a, l) if attr(a) =>
+        litVal(l).foreach(tightenLo(_, strict = false))
       case GreaterThan(a, l) if attr(a) =>
-        lit(l).foreach(v => lo = math.max(lo, if (v == Long.MaxValue) v else v + 1))
-      case LessThanOrEqual(a, l) if attr(a) => lit(l).foreach(v => hi = math.min(hi, v))
+        litVal(l).foreach(tightenLo(_, strict = true))
+      case LessThanOrEqual(a, l) if attr(a) =>
+        litVal(l).foreach(tightenHi(_, strict = false))
       case LessThan(a, l) if attr(a) =>
-        lit(l).foreach(v => hi = math.min(hi, if (v == Long.MinValue) v else v - 1))
+        litVal(l).foreach(tightenHi(_, strict = true))
       case EqualTo(a, l) if attr(a) =>
-        lit(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v) }
-      // reversed operand order
-      case GreaterThanOrEqual(l, a) if attr(a) => lit(l).foreach(v => hi = math.min(hi, v))
+        litVal(l).foreach { v =>
+          tightenLo(v, strict = false); tightenHi(v, strict = false)
+        }
+      // reversed operand order: literal ⟨op⟩ attr
+      case GreaterThanOrEqual(l, a) if attr(a) =>
+        litVal(l).foreach(tightenHi(_, strict = false))
       case GreaterThan(l, a) if attr(a) =>
-        lit(l).foreach(v => hi = math.min(hi, if (v == Long.MinValue) v else v - 1))
-      case LessThanOrEqual(l, a) if attr(a) => lit(l).foreach(v => lo = math.max(lo, v))
+        litVal(l).foreach(tightenHi(_, strict = true))
+      case LessThanOrEqual(l, a) if attr(a) =>
+        litVal(l).foreach(tightenLo(_, strict = false))
       case LessThan(l, a) if attr(a) =>
-        lit(l).foreach(v => lo = math.max(lo, if (v == Long.MaxValue) v else v + 1))
+        litVal(l).foreach(tightenLo(_, strict = true))
       case EqualTo(l, a) if attr(a) =>
-        lit(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v) }
+        litVal(l).foreach { v =>
+          tightenLo(v, strict = false); tightenHi(v, strict = false)
+        }
       case _ => ()
     }
-    (lo, hi)
+    PredRange(lo, loS, hi, hiS)
   }
 
   object PruneRule extends Rule[LogicalPlan] {
@@ -143,18 +279,29 @@ object ZoneMapPruning {
           case _ => None
         }
         stats match {
-          case Some(TableStats(bucketCol, xCol, yCol, boxes)) =>
+          case Some(TableStats(bucketCol, dims, boxes)) =>
             val conjuncts = splitConjunctivePredicates(cond)
-            val (x0, x1) = boundsOf(conjuncts, xCol)
-            val (y0, y1) = boundsOf(conjuncts, yCol)
-            val bounded = x0 != Long.MinValue || x1 != Long.MaxValue ||
-              y0 != Long.MinValue || y1 != Long.MaxValue
+            val ranges = dims.map { case (c, isString) =>
+              rangeOf(conjuncts, c, isString)
+            }
+            val bounded = ranges.exists(_.bounded)
             rel.output.find(_.name.equalsIgnoreCase(bucketCol)) match {
               case Some(bAttr) if bounded =>
-                val cands = boxes.filter {
-                  case BucketBox(_, None) => true // null-only box: keep
-                  case BucketBox(_, Some((bx0, bx1, by0, by1))) =>
-                    bx0 <= x1 && bx1 >= x0 && by0 <= y1 && by1 >= y0
+                val cands = boxes.filter { box =>
+                  box.dims.zip(ranges).zip(dims).forall {
+                    case ((dimBox, r), (_, isString)) => dimBox match {
+                      case None => true // no non-null values: keep
+                      case Some((blo, bhi)) =>
+                        r.lo.forall { l =>
+                          val c = cmp(bhi, l, isString)
+                          if (r.loStrict) c > 0 else c >= 0
+                        } &&
+                          r.hi.forall { h =>
+                            val c = cmp(blo, h, isString)
+                            if (r.hiStrict) c < 0 else c <= 0
+                          }
+                    }
+                  }
                 }.map(_.bucket)
                 val inList = cands.flatMap(bucketLiteral(_, bAttr.dataType))
                 // bail out unless every candidate converts losslessly —
@@ -163,7 +310,7 @@ object ZoneMapPruning {
                     inList.length == cands.length) {
                   val pruned = Filter(
                     if (inList.isEmpty) Literal.FalseLiteral
-                    else In(bAttr, inList), rel)
+                    else In(bAttr, inList.toSeq), rel)
                   Filter(cond, pruned)
                 } else f
               case _ => f
@@ -172,8 +319,7 @@ object ZoneMapPruning {
         }
     }
 
-    private def bucketLiteral(v: Long,
-                              dt: org.apache.spark.sql.types.DataType): Option[Literal] =
+    private def bucketLiteral(v: Long, dt: DataType): Option[Literal] =
       dt match {
         case org.apache.spark.sql.types.LongType => Some(Literal(v))
         case org.apache.spark.sql.types.IntegerType

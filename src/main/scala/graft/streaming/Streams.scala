@@ -405,6 +405,59 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
 
+  /** The RAW-stats twin of [[zoneMapStream]], feeding the optimizer
+    * rule instead of the pruning-stats arithmetic: each micro-batch
+    * computes its own [[graft.operators.Layout.rawZoneMap]] slice
+    * (per-bucket raw min/max of the registered columns — integral or
+    * string — one map-side agg over just the new rows) and APPENDS it
+    * stamped with the batch id. The served stats are [[zoneStatsView]]
+    * (replay-collapse + box-union merge, exact by the same
+    * associative-commutative algebra), and
+    * [[graft.plans.ZoneMapPruning.attachFromStore]] registers a scan
+    * for pruning straight from this store — a bucket-bounded metadata
+    * read, never a rescan of the table the stats describe.
+    *
+    * `bucket` must be the same pure projection the table's layout
+    * writer used (stable across batches); replay of a batch appends a
+    * duplicate slice that min/max absorb, with n_rows deduplicated per
+    * (batch_id, bucket) by the view.
+    */
+  def zoneStatsStream(rows: DataFrame, bucket: Column, dims: Seq[String],
+                      storePath: String, checkpointDir: String,
+                      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Layout.rawZoneMap(batch.toDF(), bucket, dims)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(storePath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
+  /** The pruning-ready stats a [[zoneStatsStream]] store currently
+    * serves: replay-collapse per (batch_id, bucket) — min/max are
+    * idempotent over a replayed identical slice, n_rows needs the max
+    * — then the box-union fold across batches
+    * ([[graft.operators.Layout.mergeRawZoneMaps]]). Identical to
+    * rebuilding the raw zone map from all rows ever streamed.
+    * Dimensions are inferred from the store's `min_`/`max_` columns.
+    */
+  def zoneStatsView(spark: SparkSession, storePath: String): DataFrame = {
+    val df = spark.read.parquet(storePath)
+    val dims = df.columns.filter(_.startsWith("min_"))
+      .map(_.stripPrefix("min_")).toSeq
+      .filter(c => df.columns.contains(s"max_$c"))
+    val collapsed = dims.flatMap { c =>
+      Seq(min(col(s"min_$c")).as(s"min_$c"),
+        max(col(s"max_$c")).as(s"max_$c"))
+    } :+ max(col("n_rows")).as("n_rows")
+    graft.operators.Layout.mergeRawZoneMaps(dims)(
+      df.groupBy(col("batch_id"), col("bucket"))
+        .agg(collapsed.head, collapsed.tail: _*)
+        .drop("batch_id"))
+  }
+
   /** Continuously maintain per-group distinct counts: each micro-batch
     * appends its OWN constant-size HLL sketch rows
     * ([[graft.operators.Cardinality.sliceSketches]] keyed by the batch

@@ -843,4 +843,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(cp.contains("BroadcastHashJoin"), cp)
     assert(!cp.contains("SortMergeJoin"), cp)
   }
+
+  test("registered zone-map scans carry the injected directory pruning " +
+    "(IN partition filter, or the whole scan pruned to empty when the " +
+    "predicate box misses every bucket at this scale factor)") {
+    // at sf0.001 the part/supp key domains are small enough that the
+    // fixed oracle predicates can miss every bucket — then the rule
+    // injects Filter(false), which lands as PartitionFilters: [false]
+    // (zero directories read — pruning at its most total, not a
+    // bail-out)
+    def pruned(name: String): Unit = {
+      val plan = planOf(SparkEntry.queries(name)(spark, dir))
+        .replaceAll("\\s+", " ")
+      assert(plan.matches(".*PartitionFilters: \\[[^\\]]*z_bucket[^\\]]*IN.*")
+        || plan.matches(".*PartitionFilters: \\[[^\\]]*false[^\\]]*\\].*")
+        || plan.contains("LocalTableScan <empty>"), s"$name: $plan")
+    }
+    pruned("zonemap_prune_scan")
+    pruned("zonemap3_prune_scan")
+    pruned("zonemap_prune_string")
+  }
 }

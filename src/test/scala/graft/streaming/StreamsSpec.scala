@@ -852,6 +852,46 @@ class StreamsSpec extends SparkTestBase {
       "replayed appendix changed the index")
   }
 
+  test("zoneStatsStream: appended raw-stats slices serve the exact " +
+    "rebuild and register pruning via attachFromStore") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    import graft.operators.Layout
+    val store = tempDir("zs_store").toString
+    val mem = MemoryStream[(Long, Long)]
+    val rows = mem.toDF().toDF("x", "y")
+      .withColumn("z_bucket", org.apache.spark.sql.functions
+        .shiftright(col("x"), 4))
+    val q = Streams.zoneStatsStream(rows, col("z_bucket"), Seq("x", "y"),
+        store, tempDir("zs_ckpt").toString,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val b1 = (0 until 300).map(i => ((i * 613L) % 256, (i * 389L) % 256))
+    val b2 = (0 until 200).map(i => ((i * 97L) % 256, (i * 31L) % 256))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("min_x"), r.getAs[Long]("max_x"),
+          r.getAs[Long]("min_y"), r.getAs[Long]("max_y"),
+          r.getAs[Long]("n_rows"))).toMap
+    val all = (b1 ++ b2).toDF("x", "y")
+      .withColumn("z_bucket", org.apache.spark.sql.functions
+        .shiftright(col("x"), 4))
+    assert(snap(Streams.zoneStatsView(spark, store)) ==
+      snap(Layout.rawZoneMap(all, col("z_bucket"), Seq("x", "y"))))
+    // replayed slice 0: min/max absorb it, n_rows deduped per batch
+    val slice0 = spark.read.parquet(store).where(col("batch_id") === 0)
+    slice0.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(store)
+    assert(snap(Streams.zoneStatsView(spark, store)) ==
+      snap(Layout.rawZoneMap(all, col("z_bucket"), Seq("x", "y"))),
+      "replayed appendix changed the served stats")
+  }
+
   test("zoneMapStream: appended slices merge to the exact batch zone map") {
     import graft.TestSpark.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
