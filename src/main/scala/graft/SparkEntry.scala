@@ -1689,6 +1689,21 @@ object SparkEntry {
       Profile.table(t(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
     }),
+    "dq_suggest" -> ((s, dir) => {
+      // profiler → auditor composition (the pairing both scaladocs
+      // promise): the one-pass profile's facts rendered as a suggested
+      // rule table — not_null where null-free, unique where the key
+      // verdict held, in_range where min/max render as exact integers
+      // (the lossless-cast gate keeps text/decimal columns from
+      // founding a wrong range rule). ConstraintsSpec drives the
+      // second half: the suggestions re-audit green on the same table
+      // and flag injected violations on a drifted load. The derivation
+      // is row-local over the columns-sized profile, so the oracle
+      // replays it verbatim over the profile CTE.
+      import graft.operators.{Constraints, Profile}
+      Constraints.suggestFromProfile(Profile.table(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
+    }),
     "profile_top_values" -> ((s, dir) => {
       // the per-column frequent-values half of profiling: each column
       // costs one thin projected scan + hash agg, and the top-k is
@@ -4096,6 +4111,25 @@ object SparkEntry {
       s"('0x' || substr(md5($x || '#bloom$i'), 1, 15))::BIGINT % 4096")
       .mkString("[", ",\n           ", "]")
 
+  /** The four-column orders profile rebuilt in DuckDB — shared by
+    * `table_profile` and (as a CTE) `dq_suggest`, whose rule
+    * derivation replays over exactly this frame.
+    */
+  private def ordersProfileOracleSql: String = {
+    def one(c: String): String =
+      s"""SELECT '$c' AS column_name,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count($c) AS BIGINT) AS n_nonnull,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value,
+         |  CAST(sum(length(CAST($c AS VARCHAR))) AS DOUBLE) / count($c) AS avg_len,
+         |  (count($c) = count(*) AND count(DISTINCT $c) = count(*)) AS is_candidate_key
+         |FROM orders""".stripMargin
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .map(one).mkString("\nUNION ALL\n")
+  }
+
   /** The hourly median/MAD anomaly verdict rebuilt in DuckDB — shared
     * by `event_anomalies` and `count_store_compaction` (the compacted
     * count store must serve exactly this).
@@ -6096,20 +6130,28 @@ object SparkEntry {
         |FROM lineitem LEFT JOIN
         |  (SELECT DISTINCT o_orderkey FROM orders) o2
         |  ON l_orderkey = o2.o_orderkey""".stripMargin,
-    "table_profile" -> {
-      def one(c: String): String =
-        s"""SELECT '$c' AS column_name,
-           |  CAST(count(*) AS BIGINT) AS n_rows,
-           |  CAST(count($c) AS BIGINT) AS n_nonnull,
-           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-           |  CAST(min($c) AS VARCHAR) AS min_value,
-           |  CAST(max($c) AS VARCHAR) AS max_value,
-           |  CAST(sum(length(CAST($c AS VARCHAR))) AS DOUBLE) / count($c) AS avg_len,
-           |  (count($c) = count(*) AND count(DISTINCT $c) = count(*)) AS is_candidate_key
-           |FROM orders""".stripMargin
-      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
-        .map(one).mkString("\nUNION ALL\n")
-    },
+    "table_profile" -> ordersProfileOracleSql,
+    "dq_suggest" ->
+      // the rule derivation replayed over the profile CTE: same
+      // row-local predicates, TRY_CAST as the lossless-integer gate
+      s"""WITH prof AS (
+         |$ordersProfileOracleSql
+         |)
+         |SELECT column_name, 'not_null' AS rule_type,
+         |       CAST(NULL AS BIGINT) AS lo, CAST(NULL AS BIGINT) AS hi
+         |FROM prof WHERE n_rows > 0 AND n_nonnull = n_rows
+         |UNION ALL
+         |SELECT column_name, 'unique', CAST(NULL AS BIGINT),
+         |       CAST(NULL AS BIGINT)
+         |FROM prof WHERE is_candidate_key
+         |UNION ALL
+         |SELECT column_name, 'in_range',
+         |       TRY_CAST(min_value AS BIGINT),
+         |       TRY_CAST(max_value AS BIGINT)
+         |FROM prof
+         |WHERE n_nonnull > 0
+         |  AND TRY_CAST(min_value AS BIGINT) IS NOT NULL
+         |  AND TRY_CAST(max_value AS BIGINT) IS NOT NULL""".stripMargin,
     "profile_top_values" -> {
       def one(c: String): String =
         s"""SELECT column_name, value, n, rnk FROM (

@@ -124,4 +124,64 @@ object Constraints {
       .where(assert_true(col("n_violations") === 0,
         concat(lit("data-quality constraint violated: "), col("constraint_name"),
           lit(" ("), col("n_violations"), lit(" rows)"))).isNull)
+
+  /** The discovery half feeding the enforcement half: derive a
+    * suggested rule table from a [[Profile.table]] frame — what a
+    * platform runs on the FIRST load of a table so the SECOND load can
+    * be audited against yesterday's facts. Deterministic row-local
+    * derivation over the (columns-sized) profile:
+    *
+    *   - `not_null`  — the column was observed null-free (and the
+    *     frame non-empty: zero rows prove nothing);
+    *   - `unique`    — the profiler's candidate-key verdict (already
+    *     null under approximate distinct counts, which propagates to
+    *     "no suggestion" here — an estimate cannot found a key rule);
+    *   - `in_range`  — observed [min, max] when both bounds render as
+    *     exact integers (a lossless-cast gate: decimal, date and text
+    *     columns produce no range rule rather than a wrong one).
+    *
+    * Output one row per suggestion: `(column_name, rule_type, lo,
+    * hi)`, bounds null except for `in_range`. Suggested ranges are the
+    * OBSERVED envelope — by construction the same table re-audits
+    * clean, and a drifted load flags exactly what moved (the paired
+    * spec drives both directions); a human widens them before
+    * enforcing, same as any profiler-suggested constraint.
+    */
+  def suggestFromProfile(profile: DataFrame): DataFrame = {
+    val notNull = profile
+      .where(col("n_rows") > 0 && col("n_nonnull") === col("n_rows"))
+      .select(col("column_name"), lit("not_null").as("rule_type"),
+        lit(null).cast("long").as("lo"), lit(null).cast("long").as("hi"))
+    val unique = profile.where(col("is_candidate_key") === true)
+      .select(col("column_name"), lit("unique").as("rule_type"),
+        lit(null).cast("long").as("lo"), lit(null).cast("long").as("hi"))
+    // try_cast, not cast: under ANSI mode a non-integer rendering must
+    // mean "no range rule", not a thrown cast error
+    val inRange = profile.where(col("n_nonnull") > 0 &&
+        col("min_value").try_cast("long").isNotNull &&
+        col("max_value").try_cast("long").isNotNull)
+      .select(col("column_name"), lit("in_range").as("rule_type"),
+        col("min_value").try_cast("long").as("lo"),
+        col("max_value").try_cast("long").as("hi"))
+    notNull.unionByName(unique).unionByName(inRange)
+  }
+
+  /** Materialize a [[suggestFromProfile]] frame into [[Constraint]]s
+    * for [[audit]]/[[auditGated]] — the composition's second half. The
+    * suggestion table is columns-sized (≤3 rows per column), so the
+    * collect is bounded metadata, like reading any rule config.
+    */
+  def fromSuggestions(suggestions: DataFrame): Seq[Constraint] =
+    suggestions.select(col("column_name"), col("rule_type"), col("lo"),
+        col("hi"))
+      .collect().toSeq.map { r =>
+        val c = r.getString(0)
+        r.getString(1) match {
+          case "not_null" => NotNull(c)
+          case "unique"   => Unique(Seq(c))
+          case "in_range" => InRange(c, r.getLong(2), r.getLong(3))
+          case other => throw new IllegalArgumentException(
+            s"unknown suggested rule type: $other")
+        }
+      }
 }

@@ -56,4 +56,38 @@ class ConstraintsSpec extends SparkTestBase {
     }
     intercept[IllegalArgumentException] { Unique(Nil) }
   }
+
+  test("profile-suggested rules re-audit the SAME table green and flag " +
+    "every injected violation on a drifted load") {
+    import graft.TestSpark.spark.implicits._
+    val base = (1 to 50).map(i => (i.toLong, s"u$i", (i % 9) + 10L))
+      .toDF("id", "name", "qty")
+    val profile = Profile.table(base, Seq("id", "name", "qty"))
+    val suggested = Constraints.suggestFromProfile(profile)
+    val byType = suggested.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // id: null-free unique integral -> all three rules; name: unique
+    // string (no range — the lossless-cast gate); qty: duplicated
+    // values (no unique)
+    assert(byType == Set(
+      ("id", "not_null"), ("id", "unique"), ("id", "in_range"),
+      ("name", "not_null"), ("name", "unique"),
+      ("qty", "not_null"), ("qty", "in_range")), byType.toString)
+    val rules = Constraints.fromSuggestions(suggested)
+    assert(rules.size == 7)
+    // same table: every suggested rule audits clean
+    val self = Constraints.audit(base, rules).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(self.values.forall(_ == 0L), self.toString)
+    // drifted load: a null name, a duplicate id and an out-of-range
+    // qty must each be flagged by its OWN rule
+    val drifted = base.unionByName(Seq(
+      (1L, null.asInstanceOf[String], 99L)).toDF("id", "name", "qty"))
+    val flagged = Constraints.audit(drifted, rules).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(flagged("not_null(name)") == 1L, flagged.toString)
+    assert(flagged("unique(id)") == 2L, flagged.toString) // both dup rows
+    assert(flagged("in_range(qty,10,18)") == 1L, flagged.toString)
+    assert(flagged("not_null(id)") == 0L && flagged("not_null(qty)") == 0L)
+  }
 }
