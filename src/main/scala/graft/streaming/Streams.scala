@@ -224,20 +224,31 @@ object Streams {
     * NonLocalReturnControl that FAILS the batch — hence the guard
     * shape below.)
     *
-    * GC keeps the immediately superseded generation (N-1) and deletes
-    * older ones: a reader that resolved CURRENT just before a
+    * GC keeps the newest `keepGenerations` generations (the live one
+    * included; default 2 = live + its immediate predecessor) and
+    * deletes older ones: a reader that resolved CURRENT just before a
     * concurrent swap still has every file of its snapshot on disk for
-    * a full batch interval, and [[readGeneration]] can time-travel one
-    * step back. This is the two-phase shape every table format uses
-    * (manifest-then-data, retained-snapshot GC); at 100 TB you'd swap
-    * this writer for MERGE INTO on a transactional table and keep the
-    * same versioned-fold semantics upstream.
+    * a full batch interval, and [[readGeneration]] /
+    * [[generationDiff]] can time-travel `keepGenerations − 1` steps
+    * back — raise it to make "diff me against last week" survive the
+    * GC policy (retention is generations × batch cadence of history,
+    * priced in snapshots on disk). The floor is 2: retaining only the
+    * live generation would delete the snapshot a concurrent reader
+    * just resolved. This is the two-phase shape every table format
+    * uses (manifest-then-data, retained-snapshot GC); at 100 TB you'd
+    * swap this writer for MERGE INTO on a transactional table and
+    * keep the same versioned-fold semantics upstream.
     */
   def cdcMergeStream(changes: DataFrame, storePath: String,
                      checkpointDir: String, id: String,
                      seq: String = "seq", op: String = "op",
                      trigger: Trigger = Trigger.AvailableNow(),
-                     generationFiles: Option[Int] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+                     generationFiles: Option[Int] = None,
+                     keepGenerations: Int = 2): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keepGenerations >= 2,
+      s"keepGenerations must be >= 2 (live + superseded — retaining " +
+        s"only the live generation would delete the snapshot a " +
+        s"concurrent reader just resolved), got $keepGenerations")
     // writer epoch: one per cdcMergeStream CALL, so it changes on every
     // restart (like the engine's runId) but is stable across batches of
     // one run — exactly the scope a same-run redelivery shares
@@ -306,11 +317,15 @@ object Streams {
           finally outS.close()
           if (fs.exists(current)) fs.delete(current, false)
           fs.rename(tmp, current)
-          // GC: keep the new generation AND the one it superseded (so
-          // concurrent readers of the previous CURRENT stay valid, and
-          // one step of time travel survives); delete everything older
-          val keep = Set(genName) ++ pointer.map(_._1)
-          listGenerations(fs, root).filterNot(keep).foreach { g =>
+          // GC: keep the newest keepGenerations generations (numbers
+          // are the per-store monotone counter, so newest-by-name is
+          // newest-by-commit), plus — belt and braces for a torn-run
+          // orphan ranking above CURRENT — the generation the pointer
+          // named; delete everything older
+          val gens = listGenerations(fs, root)
+          val keep = gens.takeRight(keepGenerations).toSet +
+            genName ++ pointer.map(_._1)
+          gens.filterNot(keep).foreach { g =>
             fs.delete(new org.apache.hadoop.fs.Path(root, g), true)
           }
         }

@@ -524,6 +524,53 @@ class StreamsSpec extends SparkTestBase {
     assert(diff == Map(2L -> "changed", 3L -> "added"), diff.toString)
   }
 
+  test("cdcMergeStream: keepGenerations retains deeper history — a " +
+      "multi-step generation diff survives GC at several retentions") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    // retaining only the live generation is rejected up front
+    intercept[IllegalArgumentException] {
+      Streams.cdcMergeStream(MemoryStream[(Long, Long, String, String)]
+          .toDF().toDF("id", "seq", "op", "txt"),
+        tempDir("cdc_bad").toString, tempDir("cdc_bad_ckpt").toString,
+        id = "id", keepGenerations = 1)
+    }
+    val store = tempDir("cdc_keep_store").toString
+    val mem = MemoryStream[(Long, Long, String, String)]
+    val q = Streams.cdcMergeStream(
+        mem.toDF().toDF("id", "seq", "op", "txt"), store,
+        tempDir("cdc_keep_ckpt").toString, id = "id",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        keepGenerations = 3)
+      .start()
+    // five batches: id 1 rewritten every batch, one new id per batch
+    (1 to 5).foreach { b =>
+      mem.addData((1L, b.toLong, "upsert", s"v$b"),
+        (100L + b, b.toLong, "upsert", s"row$b"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val gens = Streams.listGenerations(spark, store)
+    assert(gens.length == 3, gens.mkString(","))
+    // the retained set is the NEWEST three (monotone counter order)
+    assert(gens == gens.sorted && gens.last > gens.head)
+    // "diff me against two batches ago": a >1-step gap both of whose
+    // ends survived the GC policy
+    val diff = Streams.generationDiff(spark, store, gens.head, gens.last,
+        col("id"), col("txt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(1L -> "changed", 101L -> "unchanged",
+      102L -> "unchanged", 103L -> "unchanged", 104L -> "added",
+      105L -> "added"), diff.toString)
+    // the oldest retained generation really is batch 3's snapshot
+    val oldest = graft.operators.Cdc.snapshotView(
+        Streams.readGeneration(spark, store, gens.head))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(oldest == Map(1L -> "v3", 101L -> "row1", 102L -> "row2",
+      103L -> "row3"), oldest.toString)
+  }
+
   test("cdcMergeStream: generationFiles bin-packs each generation " +
       "(no small-file accretion inside the store)") {
     import graft.TestSpark.spark.implicits._
