@@ -160,7 +160,8 @@ object Bench {
     // (skip a store build when a SPARK_GRAFT_BENCH_ONLY selection
     // excludes its query — no point paying it for a one-query rerun)
     for (storeQuery <- Seq("dedup_incremental_stored", "ivf_stored_topk",
-           "zonemap_prune_scan")
+           "zonemap_prune_scan", "zonemap3_prune_scan",
+           "zonemap_prune_string")
          if only.forall(_.contains(storeQuery));
          q <- SparkEntry.queries.get(storeQuery))
       timedPass(spark, s"store-warmup:$storeQuery", () => {
@@ -214,8 +215,15 @@ object Bench {
       // Queries that persist their fan-out lineage (ngram/minhash/CC)
       // have no safe in-query unpersist point; dropping the blocks here
       // keeps one query's cache from pressuring the next 60's memory and
-      // makes every timed pass equally cold.
+      // makes every timed pass equally cold. The temp-view sweep and
+      // explicit GC (both UNTIMED — outside timedPass) keep 200+
+      // queries sharing one JVM from accumulating catalog entries and
+      // old-gen pressure that would tax later queries' timings.
       spark.catalog.clearCache()
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      System.gc()
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted

@@ -3179,6 +3179,106 @@ object SparkEntry {
         .select(col("list_id"), col("n_vecs"), col("mean_cos"),
           col("min_cos"))
     }),
+    "kmeans_profile_portable" -> ((s, dir) => {
+      // the PORTABLE member of the k-means family (the r12 verdict's
+      // salvage ask): integer-grid Lloyd — embeddings quantize ONCE to
+      // longs (floor(x·1000 + 0.5), IEEE-identical in any engine),
+      // distance is exact squared-L2, argmin ties break to the lower
+      // list id (array_position = first minimum), the centroid update
+      // is the element-wise exact FLOOR-average, and init is the
+      // md5-rank trick — no floats anywhere after quantization, so the
+      // whole two-iteration fit, empty-cluster carry included, replays
+      // bit-for-bit in DuckDB and the (list_id, n_vecs, ssd) profile
+      // hash-matches. Scale shape identical to fitDistributed: per
+      // iteration one narrow distance projection + one 8×64-row
+      // aggregate; the 512-row update collects to the driver exactly
+      // like the float fit's centroid matrix.
+      val embs = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      val q = embs.select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(1000.0) + lit(0.5)).cast("long")).as("q"))
+        .persist()
+      val seedRows = q.select(col("q"),
+          md5(concat(col("vec_id").cast("string"), lit("#kp13"))).as("h"))
+        .orderBy(col("h")).limit(8).collect()
+      var cents: Array[Seq[Long]] = seedRows.map(_.getSeq[Long](0))
+      def distCol(c: Seq[Long]): Column =
+        aggregate(zip_with(col("q"), typedLit(c),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
+      def assigned = {
+        val dists = array(cents.toSeq.map(distCol): _*)
+        q.withColumn("__dists", dists)
+          .withColumn("list_id",
+            (array_position(col("__dists"), array_min(col("__dists"))) -
+              1L).cast("long"))
+          .withColumn("dist", array_min(col("__dists")))
+      }
+      for (_ <- 1 to 2) {
+        val upd = assigned
+          .select(col("list_id"), posexplode(col("q")).as(Seq("d", "v")))
+          .groupBy(col("list_id"), col("d"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+          // exact floor division (sv may be negative): subtract the
+          // non-negative remainder, then the double division is of an
+          // exact multiple — bit-exact, engine-portable
+          .select(col("list_id"), col("d"),
+            ((col("sv") - pmod(col("sv"), col("n"))) / col("n"))
+              .cast("long").as("cv"))
+          .collect()
+        val next = cents.map(_.toArray) // empty cluster keeps centroid
+        upd.groupBy(_.getLong(0)).foreach { case (lid, rows) =>
+          val c = new Array[Long](next(lid.toInt).length)
+          rows.foreach(r => c(r.getInt(1)) = r.getLong(2))
+          next(lid.toInt) = c
+        }
+        cents = next.map(_.toSeq)
+      }
+      assigned.groupBy(col("list_id"))
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          sum(col("dist")).cast("long").as("ssd"))
+    }),
+    "pca_power_portable" -> ((s, dir) => {
+      // the PORTABLE member of the PCA family: top-principal-direction
+      // scores via INTEGER power iteration. Quantize to longs, center
+      // by the exact floor-mean, then three rounds of v' = Gᵀ(G v)
+      // computed WITHOUT materializing the Gram — s_r = ⟨y_r, v⟩ then
+      // v'_d = Σ_r y_rd·s_r, two corpus passes per round (the same
+      // factorization that keeps covariance power methods linear in
+      // rows at 100 TB) — with v rescaled to |v|∞ ≤ 1024 by exact
+      // floor division each round. Every operation is exact long
+      // arithmetic, so the direction AND the per-row scores replay
+      // bit-for-bit in DuckDB; pca_project (true eigenbasis, Jacobi)
+      // keeps the float fidelity story, this pins the distributed
+      // moment/projection machinery to a hash.
+      val embs = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      val q = embs.select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(1000.0) + lit(0.5)).cast("long")).as("q"))
+      val mRows = q.select(posexplode(col("q")).as(Seq("d", "v")))
+        .groupBy(col("d")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .select(col("d"), ((col("sv") - pmod(col("sv"), col("n"))) /
+          col("n")).cast("long").as("m"))
+        .collect()
+      val m: Seq[Long] = mRows.sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+      val y = q.select(col("vec_id"),
+        zip_with(col("q"), typedLit(m), (a, b) => a - b).as("y")).persist()
+      var v: Seq[Long] = Seq.fill(m.length)(1024L)
+      for (_ <- 1 to 3) {
+        val sCol = aggregate(zip_with(col("y"), typedLit(v),
+          (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+        val wRows = y.select(posexplode(col("y")).as(Seq("d", "yi")),
+            sCol.as("s"))
+          .groupBy(col("d")).agg(sum(col("yi") * col("s")).as("w"))
+          .collect()
+        val w = wRows.sortBy(_.getInt(0)).map(_.getLong(1))
+        val maxabs = math.max(w.map(math.abs).max, 0L)
+        val div = math.max(1L, (maxabs + 1023L) / 1024L)
+        v = w.map(Math.floorDiv(_, div)).toSeq
+      }
+      y.select(col("vec_id"),
+        aggregate(zip_with(col("y"), typedLit(v), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("p1"))
+    }),
     "d4_prototype_prune" -> ((s, dir) => {
       // the diversification half of D4 (SemDeDup is semantic_prune):
       // SSL-prototype pruning drops the floor(dropFrac·n) most
@@ -4130,6 +4230,101 @@ object SparkEntry {
       .map(one).mkString("\nUNION ALL\n")
   }
 
+  /** The integer-grid k-means fit unrolled as DuckDB CTEs — every
+    * stage of `kmeans_profile_portable` (quantize, md5-rank init, two
+    * assign/update rounds with exact floor-average centroids and
+    * empty-cluster carry, final profile) in exact integer arithmetic.
+    */
+  private def kmeansPortableOracleSql: String = {
+    // one Lloyd round: assign to prevC, floor-average update, carry
+    // empty clusters
+    def round(i: Int, prevC: String): String =
+      s"""a$i AS (
+         |  SELECT v.vec_id, v.q, c.list_id,
+         |         list_sum([(v.q[i] - c.c[i]) * (v.q[i] - c.c[i])
+         |                   for i in range(1, 65)]) AS dist
+         |  FROM qv v CROSS JOIN $prevC c),
+         |r$i AS (SELECT vec_id, q, list_id, dist,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY dist, list_id) AS rn
+         |        FROM a$i),
+         |g$i AS (SELECT * FROM r$i WHERE rn = 1),
+         |u$i AS (SELECT list_id, i AS d, sum(q[i]) AS sv, count(*) AS n
+         |        FROM g$i, range(1, 65) t(i) GROUP BY 1, 2),
+         |n$i AS (SELECT list_id,
+         |               list(CAST((sv - (((sv % n) + n) % n)) / n AS BIGINT)
+         |                    ORDER BY d) AS c
+         |        FROM u$i GROUP BY 1),
+         |c$i AS (SELECT p.list_id, coalesce(n$i.c, p.c) AS c
+         |        FROM $prevC p LEFT JOIN n$i USING (list_id))""".stripMargin
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |         [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+       |          for x in embedding] AS q
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |sd AS (SELECT q, md5(CAST(vec_id AS VARCHAR) || '#kp13') AS h
+       |       FROM qv ORDER BY h LIMIT 8),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT)
+       |              AS list_id, q AS c
+       |       FROM sd),
+       |${round(1, "c0")},
+       |${round(2, "c1")},
+       |a3 AS (
+       |  SELECT v.vec_id, c.list_id,
+       |         list_sum([(v.q[i] - c.c[i]) * (v.q[i] - c.c[i])
+       |                   for i in range(1, 65)]) AS dist
+       |  FROM qv v CROSS JOIN c2 c),
+       |r3 AS (SELECT vec_id, list_id, dist,
+       |              row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY dist, list_id) AS rn
+       |       FROM a3)
+       |SELECT list_id, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(sum(dist) AS BIGINT) AS ssd
+       |FROM r3 WHERE rn = 1
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** The integer power iteration of `pca_power_portable` unrolled as
+    * DuckDB CTEs: quantize, floor-mean center, three v' = Gᵀ(G v)
+    * rounds in the Gram-free two-pass factorization, exact
+    * floor-division rescaling, final per-row scores.
+    */
+  private def pcaPowerPortableOracleSql: String = {
+    def round(i: Int, prevV: String): String =
+      s"""s$i AS (SELECT vec_id, y,
+         |               list_sum([y[i] * vv.v[i] for i in range(1, 65)]) AS s
+         |        FROM yv, $prevV vv),
+         |w$i AS (SELECT i AS d, sum(y[i] * s) AS w
+         |        FROM s$i, range(1, 65) t(i) GROUP BY 1),
+         |d$i AS (SELECT greatest(CAST(1 AS BIGINT),
+         |                 CAST(((mx + 1023) - ((mx + 1023) % 1024)) / 1024
+         |                      AS BIGINT)) AS dv
+         |        FROM (SELECT CAST(max(abs(w)) AS BIGINT) AS mx FROM w$i)),
+         |v$i AS (SELECT list(CAST((w - (((w % dv) + dv) % dv)) / dv
+         |                         AS BIGINT) ORDER BY d) AS v
+         |        FROM w$i, d$i)""".stripMargin
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |         [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+       |          for x in embedding] AS q
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |mm AS (SELECT i AS d, sum(q[i]) AS sv, count(*) AS n
+       |       FROM qv, range(1, 65) t(i) GROUP BY 1),
+       |mv AS (SELECT list(CAST((sv - (((sv % n) + n) % n)) / n AS BIGINT)
+       |                   ORDER BY d) AS m
+       |       FROM mm),
+       |yv AS (SELECT vec_id, [q[i] - mv.m[i] for i in range(1, 65)] AS y
+       |       FROM qv, mv),
+       |v0 AS (SELECT [CAST(1024 AS BIGINT) for i in range(1, 65)] AS v),
+       |${round(1, "v0")},
+       |${round(2, "v1")},
+       |${round(3, "v2")}
+       |SELECT vec_id,
+       |       CAST(list_sum([y[i] * vv.v[i] for i in range(1, 65)])
+       |            AS BIGINT) AS p1
+       |FROM yv, v3 vv""".stripMargin
+  }
+
   /** The hourly median/MAD anomaly verdict rebuilt in DuckDB — shared
     * by `event_anomalies` and `count_store_compaction` (the compacted
     * count store must serve exactly this).
@@ -4669,6 +4864,8 @@ object SparkEntry {
         |  n_sentences >= 5 AND NOT has_lorem_ipsum AND NOT has_brace AS keep
         |FROM m""".stripMargin,
     "corpus_report" -> corpusReportSql,
+    "kmeans_profile_portable" -> kmeansPortableOracleSql,
+    "pca_power_portable" -> pcaPowerPortableOracleSql,
     // the exact integer moment pass: quantized products sum exactly as
     // longs in both engines (micro-unit trick, bilinear form)
     "pca_gram" ->
