@@ -202,28 +202,39 @@ object Bench {
     // pass-major order (all queries per pass, passes back to back) so two
     // passes of one query never run against a hot cache the others missed
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (_ <- 1 to runs; (name, fn) <- selected if !failures.contains(name)) {
-      timedPass(spark, name,
-        () => fn(spark, sfDir).write.format("noop").mode("overwrite").save(),
-        watchdogSec) match {
-        case Right(sec) =>
-          samples(name) = sec :: samples.getOrElse(name, Nil)
-        case Left(reason) =>
-          System.err.println(s"[bench] $name FAILED: $reason")
-          failures += name
+    for (pass <- 1 to runs) {
+      for ((name, fn) <- selected if !failures.contains(name)) {
+        timedPass(spark, name,
+          () => fn(spark, sfDir).write.format("noop").mode("overwrite").save(),
+          watchdogSec) match {
+          case Right(sec) =>
+            samples(name) = sec :: samples.getOrElse(name, Nil)
+          case Left(reason) =>
+            System.err.println(s"[bench] $name FAILED: $reason")
+            failures += name
+        }
+        // Queries that persist their fan-out lineage (ngram/minhash/CC)
+        // have no safe in-query unpersist point; dropping the blocks
+        // here keeps one query's cache from pressuring the next 60's
+        // memory and makes every timed pass equally cold. ONLY
+        // clearCache() runs between queries: the round-13 harness ran a
+        // listTables sweep + System.gc() here and inflated every
+        // subsequent timed pass ~1.3× (full-GC aftermath — weak-ref
+        // cleanup storms, evicted code/broadcast re-derivation — bleeds
+        // into the next timing even though the sweep itself is
+        // untimed). Proven by an idle-host A/B/A/B on a 14-query probe:
+        // stock r13 45.6/50.1 s vs sweep-reverted 33.8 s vs r12 code
+        // 34.5 s. See SCALE.md "noise vs regression".
+        spark.catalog.clearCache()
       }
-      // Queries that persist their fan-out lineage (ngram/minhash/CC)
-      // have no safe in-query unpersist point; dropping the blocks here
-      // keeps one query's cache from pressuring the next 60's memory and
-      // makes every timed pass equally cold. The temp-view sweep and
-      // explicit GC (both UNTIMED — outside timedPass) keep 200+
-      // queries sharing one JVM from accumulating catalog entries and
-      // old-gen pressure that would tax later queries' timings.
-      spark.catalog.clearCache()
+      // Catalog hygiene for 200+ queries sharing one JVM now happens at
+      // PASS boundaries (between run k and run k+1 of the whole set),
+      // where the GC aftermath has a full untimed settle window before
+      // the next timed pass begins.
       spark.catalog.listTables().collect()
         .filter(_.isTemporary)
         .foreach(t => spark.catalog.dropTempView(t.name))
-      System.gc()
+      if (pass < runs) { System.gc(); Thread.sleep(2000) }
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted

@@ -1693,9 +1693,10 @@ object SparkEntry {
       // profiler → auditor composition (the pairing both scaladocs
       // promise): the one-pass profile's facts rendered as a suggested
       // rule table — not_null where null-free, unique where the key
-      // verdict held, in_range where min/max render as exact integers
-      // (the lossless-cast gate keeps text/decimal columns from
-      // founding a wrong range rule). ConstraintsSpec drives the
+      // verdict held, in_range ONLY for integral-typed columns (the
+      // profile's data_type gate keeps a text column whose values
+      // render as integers from founding a numeric range rule).
+      // ConstraintsSpec drives the
       // second half: the suggestions re-audit green on the same table
       // and flag injected violations on a drifted load. The derivation
       // is row-local over the columns-sized profile, so the oracle
@@ -4216,8 +4217,14 @@ object SparkEntry {
     * derivation replays over exactly this frame.
     */
   private def ordersProfileOracleSql: String = {
+    // the profile's data_type is a Spark schema literal; the oracle
+    // pins the expected names (orders: int64 -> bigint, utf8 -> string)
+    val sparkTypes = Map(
+      "o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_orderpriority" -> "string")
     def one(c: String): String =
       s"""SELECT '$c' AS column_name,
+         |  '${sparkTypes(c)}' AS data_type,
          |  CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(count($c) AS BIGINT) AS n_nonnull,
          |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
@@ -6347,6 +6354,7 @@ object SparkEntry {
          |       TRY_CAST(max_value AS BIGINT)
          |FROM prof
          |WHERE n_nonnull > 0
+         |  AND data_type IN ('tinyint', 'smallint', 'int', 'bigint')
          |  AND TRY_CAST(min_value AS BIGINT) IS NOT NULL
          |  AND TRY_CAST(max_value AS BIGINT) IS NOT NULL""".stripMargin,
     "profile_top_values" -> {

@@ -56,6 +56,16 @@ object Anomaly {
     * Scale shape: the dense frame is groups × calendar rows —
     * calendar-bounded metadata, never event-scaled; the calendar
     * broadcasts onto the distinct-group frame.
+    *
+    * A NULL group is NOT densified — it passes through exactly as the
+    * sparse series shows it: the USING join below is not null-safe, so
+    * a (null, bucket) dense row could never meet the series' null-group
+    * rows and the full-outer would emit BOTH a fabricated cnt=0 row and
+    * the real count for the same key, skewing that group's median/MAD.
+    * Filtering null out of the distinct-group frame keeps the join
+    * honest; a null group with an outage stays invisible, same as any
+    * sparse series (group your unknowns under a sentinel before calling
+    * if you need them calendar-checked).
     */
   def denseCountSeries(df: DataFrame, group: Column, bucket: Column,
                        calendar: DataFrame): DataFrame = {
@@ -63,7 +73,7 @@ object Anomaly {
       s"calendar must have exactly one column named 'bucket', got " +
         calendar.columns.mkString(","))
     val series = countSeries(df, group, bucket)
-    series.select(col("group")).distinct()
+    series.select(col("group")).where(col("group").isNotNull).distinct()
       .crossJoin(broadcast(calendar))
       .join(series, Seq("group", "bucket"), "full_outer")
       .select(col("group"), col("bucket"),

@@ -72,10 +72,26 @@ object Constraints {
     val rowLocal: Seq[(String, org.apache.spark.sql.Column)] =
       constraints.collect {
         case c: NotNull => c.label -> col(c.column).isNull
-        case c: InRange => c.label ->
-          // definitely-false only: null comparison -> null -> passes
-          coalesce(!(col(c.column) >= c.lo && col(c.column) <= c.hi),
-            lit(false))
+        case c: InRange => c.label -> {
+          val numeric = df.schema.fields
+            .find(_.name.equalsIgnoreCase(c.column))
+            .exists(_.dataType
+              .isInstanceOf[org.apache.spark.sql.types.NumericType])
+          if (numeric)
+            // definitely-false only: null comparison -> null -> passes
+            coalesce(!(col(c.column) >= c.lo && col(c.column) <= c.hi),
+              lit(false))
+          else {
+            // type-drifted load (the rule was suggested against a
+            // numeric column; today's frame carries something else): a
+            // non-null value that does not even parse as a number is
+            // definitely outside an integral range — COUNT it as a
+            // violation instead of letting an ANSI cast fail the job
+            val v = col(c.column).try_cast("long")
+            col(c.column).isNotNull &&
+              coalesce(!(v >= c.lo && v <= c.hi), lit(true))
+          }
+        }
         case c: Matches => c.label ->
           coalesce(!regexp_like(col(c.column), lit(c.pattern)), lit(false))
       }
@@ -136,9 +152,15 @@ object Constraints {
     *   - `unique`    — the profiler's candidate-key verdict (already
     *     null under approximate distinct counts, which propagates to
     *     "no suggestion" here — an estimate cannot found a key rule);
-    *   - `in_range`  — observed [min, max] when both bounds render as
-    *     exact integers (a lossless-cast gate: decimal, date and text
-    *     columns produce no range rule rather than a wrong one).
+    *   - `in_range`  — observed [min, max], emitted ONLY for columns
+    *     the profile records as INTEGRAL (`data_type` ∈ tinyint..
+    *     bigint): the gate is the column's TYPE, not whether its
+    *     rendered min/max happen to parse as integers — a text column
+    *     of zero-padded IDs or numeric codes must not found a numeric
+    *     range rule (auditing it would compare strings to long
+    *     literals, and its real domain is lexicographic anyway).
+    *     Decimal, date and text columns produce no range rule rather
+    *     than a wrong one.
     *
     * Output one row per suggestion: `(column_name, rule_type, lo,
     * hi)`, bounds null except for `in_range`. Suggested ranges are the
@@ -155,9 +177,11 @@ object Constraints {
     val unique = profile.where(col("is_candidate_key") === true)
       .select(col("column_name"), lit("unique").as("rule_type"),
         lit(null).cast("long").as("lo"), lit(null).cast("long").as("hi"))
-    // try_cast, not cast: under ANSI mode a non-integer rendering must
-    // mean "no range rule", not a thrown cast error
+    // type gate first (integral columns only — see scaladoc);
+    // try_cast, not cast, for the bound values so an exotic rendering
+    // means "no range rule" under ANSI mode, never a thrown cast error
     val inRange = profile.where(col("n_nonnull") > 0 &&
+        col("data_type").isin("tinyint", "smallint", "int", "bigint") &&
         col("min_value").try_cast("long").isNotNull &&
         col("max_value").try_cast("long").isNotNull)
       .select(col("column_name"), lit("in_range").as("rule_type"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, SaveMode, SparkSession}
 
 /** Table maintenance: small-file compaction (the OPTIMIZE half every
@@ -221,9 +221,14 @@ object Maintenance {
     *   3. crash during cleanup (manifest already deleted) → the
     *      folded files are live; recovery just clears the redundant
     *      parked/tmp leftovers.
-    * Readers racing the park/promote window can see a partial store
-    * (history briefly missing) — same as the old swap's no-directory
-    * window; the guarantee added here is for concurrent WRITERS.
+    * Readers: the serving views read through
+    * [[consistentStoreFiles]], which reconstructs the pre-compaction
+    * file set whenever the manifest is present — so a compaction that
+    * CRASHED mid-park/mid-promote does NOT leave the store partially
+    * served until the next compact call runs recovery; the views keep
+    * answering with the exact pre-compaction rows. A raw
+    * `spark.read.parquet(path)` reader racing the live park/promote
+    * window can still see a partial store for that window's duration.
     */
   def compactStore(spark: SparkSession, path: String,
                    fold: org.apache.spark.sql.DataFrame =>
@@ -267,6 +272,47 @@ object Maintenance {
     val after = dataFiles(fs, p)
     CompactionResult(snapshot.length, bytesBefore,
       after.length, after.map(_.getLen).sum)
+  }
+
+  /** READ-ONLY crash-consistent file listing for a [[compactStore]]
+    * store, used by the serving views
+    * ([[graft.streaming.Streams.zoneStatsView]] et al.) so a CRASHED
+    * compaction never serves a partial store until someone explicitly
+    * runs recovery: when the manifest is present (compaction in its
+    * park/promote window, live or crashed), the pre-compaction state
+    * is reconstructed WITHOUT mutating anything — store files minus
+    * the manifest's folded names, plus the parked originals (deduped
+    * by part-file name, parked copy preferred, since a file mid-rename
+    * can momentarily list on both sides). Returns None when no
+    * manifest exists — the caller reads the directory normally. A
+    * reader racing a LIVE compaction's renames can still hit a moved
+    * file (same tiny window as before); the guarantee added here is
+    * that a compaction that CRASHED mid-protocol — previously a
+    * partial view for an unbounded window until the next compact call
+    * ran recovery — now serves the exact pre-compaction rows.
+    */
+  def consistentStoreFiles(spark: SparkSession,
+                           path: String): Option[Seq[String]] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new Path(path + ".__compact_manifest")
+    if (!fs.exists(manifest)) return None
+    val in = fs.open(manifest)
+    val folded =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n")
+        .map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    val parked = new Path(path + ".__compact_parked")
+    val live =
+      if (fs.exists(p)) dataFiles(fs, p) else Array.empty[FileStatus]
+    val parkedFiles =
+      if (fs.exists(parked)) dataFiles(fs, parked) else Array.empty[FileStatus]
+    val byName = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    live.filterNot(f => folded.contains(f.getPath.getName))
+      .foreach(f => byName(f.getPath.getName) = f.getPath.toString)
+    parkedFiles.foreach(f => byName(f.getPath.getName) = f.getPath.toString)
+    Some(byName.values.toSeq)
   }
 
   /** Repair an interrupted [[compactStore]] (crash matrix in its
@@ -421,13 +467,6 @@ object Maintenance {
       after.length, after.map(_.getLen).sum)
   }
 
-  /** [[compactStore]] for a [[graft.streaming.Streams.zoneMapStream]]
-    * store: per-batch replay collapse, then the zone-map merge
-    * algebra ([[Layout.mergeZoneMaps]] — box union + row-count sum)
-    * folds the committed batches into one slice stamped
-    * `throughBatch`. Same replay contract as [[compactCountStore]]
-    * (fold only batches a committed later batch has superseded).
-    */
   /** [[compactStore]] for a [[graft.streaming.Streams.zoneStatsStream]]
     * RAW-stats store (the one the pruning rule attaches from):
     * per-batch replay collapse, then the box-union merge
@@ -460,6 +499,13 @@ object Maintenance {
     })
   }
 
+  /** [[compactStore]] for a [[graft.streaming.Streams.zoneMapStream]]
+    * store: per-batch replay collapse, then the zone-map merge
+    * algebra ([[Layout.mergeZoneMaps]] — box union + row-count sum)
+    * folds the committed batches into one slice stamped
+    * `throughBatch`. Same replay contract as [[compactCountStore]]
+    * (fold only batches a committed later batch has superseded).
+    */
   def compactZoneStore(spark: SparkSession, path: String,
                        throughBatch: Long): CompactionResult = {
     import org.apache.spark.sql.functions._

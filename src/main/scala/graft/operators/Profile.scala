@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   * rules should encode.
   *
   * Output is long-format, one row per profiled column:
-  * `(column_name, n_rows, n_nonnull, n_distinct, min_value, max_value,
-  * avg_len, is_candidate_key)`. min/max are computed on the column's
+  * `(column_name, data_type, n_rows, n_nonnull, n_distinct, min_value,
+  * max_value, avg_len, is_candidate_key)`. `data_type` is the
+  * column's Spark type (a driver literal from the schema — downstream
+  * rule derivation needs it: a string column whose values RENDER as
+  * integers must not found a numeric range rule). min/max are
+  * computed on the column's
   * NATIVE type (so numerics order numerically) and rendered to string
   * only at the end; `avg_len` is the mean rendered length over
   * non-null rows; `is_candidate_key` is the discovery form of
@@ -58,9 +62,14 @@ object Profile {
     }
     val built = aggs.result()
     val one = df.agg(built.head, built.tail: _*)
+    // resolved (case-insensitively) against the frame, not the raw
+    // name: the type is a driver literal, no extra scan
+    val resolvedTypes = df.select(columns.map(col): _*).schema
+      .fields.map(_.dataType.simpleString)
     one.select(explode(array(columns.zipWithIndex.map { case (c, i) =>
       struct(
         lit(c).as("column_name"),
+        lit(resolvedTypes(i)).as("data_type"),
         col("__n").as("n_rows"),
         col(s"__nn$i").as("n_nonnull"),
         col(s"__nd$i").as("n_distinct"),

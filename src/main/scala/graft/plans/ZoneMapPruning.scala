@@ -48,7 +48,31 @@ import org.apache.spark.unsafe.types.UTF8String
   *     plan is returned UNCHANGED. The `zonemap_prune_scan` /
   *     `zonemap3_prune_scan` / `zonemap_prune_string` oracles are the
   *     end-to-end identity proofs: the pruned scans answer the
-  *     full-scan SQL verbatim.
+  *     full-scan SQL verbatim;
+  *   - FRESHNESS is a soundness PRECONDITION on the metadata attach
+  *     paths, not something the rule can check per query: the min/max
+  *     test above is only sound if the registered stats COVER every
+  *     bucket (and every row) of the table being scanned. [[attach]]
+  *     derives boxes from the table itself, so it is fresh by
+  *     construction at registration time; [[attachFromStats]] /
+  *     [[attachFromStore]] trust a writer-persisted frame, and stats
+  *     that are STALE relative to the table — rows appended after the
+  *     `.__zonemap` was written, a stats store missing a batch —
+  *     silently prune LIVE rows (wrong results, not a loud failure).
+  *     The contract is the external-index contract: the stats writer
+  *     and the table writer must move together (the
+  *     [[graft.streaming.Streams.zoneStatsStream]] path does, one
+  *     stats slice per data micro-batch), and any out-of-band rewrite
+  *     requires re-attach. As a cheap tripwire, the metadata attach
+  *     paths VALIDATE bucket coverage when the table directory is
+  *     reachable: every `bucketCol=...` partition directory present on
+  *     disk must have a stats row, else attach fails loudly
+  *     (O(buckets) listing, no data I/O; skipped when the table path
+  *     is absent — registration-before-write stays legal). This
+  *     catches whole-bucket gaps (the missing-batch case); intra-
+  *     bucket staleness (appends into an existing bucket under an
+  *     unchanged stats frame) is undetectable without reading footers
+  *     and remains the writer's contract.
   *
   * Registration is a METADATA read, never a table scan, when the
   * writer persisted its stats: [[attachFromStats]] takes a
@@ -141,9 +165,41 @@ object ZoneMapPruning {
         else Some((r.get(1 + 2 * i), r.get(2 + 2 * i)))
       })
     }
+    validateBucketCoverage(spark, path, bucketCol, boxes.map(_.bucket).toSet)
     registry.put(canonical(spark, path),
       TableStats(bucketCol, dims, boxes.toSeq))
     install(spark)
+  }
+
+  /** Freshness tripwire for the metadata attach paths (see the
+    * soundness scaladoc): when the table directory exists and is laid
+    * out with `bucketCol=...` partition directories, every bucket
+    * present on disk must have a stats row — a whole bucket the stats
+    * never saw means the frame is stale and pruning would silently
+    * drop its rows. O(buckets) directory listing, no data I/O; a
+    * missing table path is fine (stats may legally be registered
+    * before the first write lands).
+    */
+  private def validateBucketCoverage(spark: SparkSession, path: String,
+                                     bucketCol: String,
+                                     statBuckets: Set[Long]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val prefix = s"$bucketCol="
+    val onDisk = fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
+    val missing = onDisk.filterNot(statBuckets.contains)
+    require(missing.isEmpty,
+      s"zone-map stats for $path are STALE: table has " +
+        s"$prefix{${missing.sorted.take(8).mkString(",")}" +
+        s"${if (missing.length > 8) ",..." else ""}} partition " +
+        "directories with no stats row — pruning would silently drop " +
+        "their rows; re-derive the stats (Layout.rawZoneMap) or attach " +
+        "from the current stats store")
   }
 
   /** Register `path` for pruning from an APPEND-ONLY zone-stats slice

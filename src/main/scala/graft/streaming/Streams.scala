@@ -458,8 +458,21 @@ object Streams {
     * rebuilding the raw zone map from all rows ever streamed.
     * Dimensions are inferred from the store's `min_`/`max_` columns.
     */
+  /** Flat-store read shared by the serving views: crash-consistent
+    * against an interrupted [[graft.operators.Maintenance.compactStore]]
+    * — when a compaction manifest is present the pre-compaction file
+    * set is read instead of the (possibly partial) directory, without
+    * mutating the store (recovery stays the writer's job; see
+    * [[graft.operators.Maintenance.consistentStoreFiles]]).
+    */
+  private def readStore(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Maintenance.consistentStoreFiles(spark, storePath) match {
+      case Some(files) => spark.read.parquet(files: _*)
+      case None        => spark.read.parquet(storePath)
+    }
+
   def zoneStatsView(spark: SparkSession, storePath: String): DataFrame = {
-    val df = spark.read.parquet(storePath)
+    val df = readStore(spark, storePath)
     val dims = df.columns.filter(_.startsWith("min_"))
       .map(_.stripPrefix("min_")).toSeq
       .filter(c => df.columns.contains(s"max_$c"))
@@ -535,7 +548,7 @@ object Streams {
   def anomalyStoreView(spark: SparkSession, storePath: String,
                        thresh: Double = 3.0): DataFrame =
     graft.operators.Anomaly.robustCountAnomaliesFromSeries(
-      spark.read.parquet(storePath)
+      readStore(spark, storePath)
         .groupBy(col("batch_id"), col("group"), col("bucket"))
         .agg(max(col("cnt")).as("cnt"))
         .groupBy(col("group"), col("bucket"))
@@ -570,7 +583,7 @@ object Streams {
     * rebuilding from all rows ever streamed.
     */
   def bloomIndexView(spark: SparkSession, storePath: String): DataFrame =
-    spark.read.parquet(storePath)
+    readStore(spark, storePath)
       .groupBy(col("chunk"), col("word"))
       .agg(org.apache.spark.sql.functions.bit_or(col("bitmap")).as("bitmap"))
 
@@ -582,7 +595,7 @@ object Streams {
   def driftStoreView(spark: SparkSession, storePath: String,
                      slack: Double = 0.5, h: Double = 5.0): DataFrame =
     graft.operators.Anomaly.cusumDriftFromSeries(
-      spark.read.parquet(storePath)
+      readStore(spark, storePath)
         .groupBy(col("batch_id"), col("group"), col("bucket"))
         .agg(max(col("cnt")).as("cnt"))
         .groupBy(col("group"), col("bucket"))
@@ -647,7 +660,7 @@ object Streams {
     */
   def cardinalityStoreView(spark: SparkSession, storePath: String): DataFrame =
     graft.operators.Cardinality.mergeSliceSketches(
-      spark.read.parquet(storePath)
+      readStore(spark, storePath)
         .groupBy(col("batch_id"), col("group"))
         .agg(org.apache.spark.sql.functions.hll_union_agg(col("sketch"))
             .as("sketch"),
@@ -661,7 +674,7 @@ object Streams {
     */
   def zoneMapStoreView(spark: SparkSession, storePath: String): DataFrame =
     graft.operators.Layout.mergeZoneMaps(
-      spark.read.parquet(storePath)
+      readStore(spark, storePath)
         .groupBy(col("batch_id"), col("bucket"))
         .agg(min(col("min_x")).as("min_x"), max(col("max_x")).as("max_x"),
           min(col("min_y")).as("min_y"), max(col("max_y")).as("max_y"),

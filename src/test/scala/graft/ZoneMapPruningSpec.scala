@@ -237,6 +237,29 @@ class ZoneMapPruningSpec extends SparkTestBase {
     assert(e.getMessage.contains("unsupported type"), e.getMessage)
   }
 
+  test("stale stats trip the coverage check: a bucket directory on disk " +
+      "with no stats row fails attach instead of silently pruning it") {
+    import graft.operators.Layout
+    val dir = tempDir("zm_stale").resolve("t").toString
+    val df = (0 until 400).map(i => ((i * 13L) % 1024, i.toLong))
+      .toDF("x", "payload")
+      .withColumn("z_bucket", shiftright(col("x"), 8))
+    df.write.partitionBy("z_bucket").parquet(dir)
+    val stats = Layout.rawZoneMap(spark.read.parquet(dir),
+      col("z_bucket"), Seq("x"))
+    // stats written BEFORE the last bucket's rows landed: drop one
+    val maxBucket = stats.agg(max(col("bucket").cast("long")))
+      .collect()(0).getLong(0)
+    val stale = stats.where(col("bucket") =!= maxBucket)
+    val e = intercept[IllegalArgumentException] {
+      ZoneMapPruning.attachFromStats(spark, dir, "z_bucket", stale)
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+    // the complete frame attaches fine
+    ZoneMapPruning.attachFromStats(spark, dir, "z_bucket", stats)
+    ZoneMapPruning.detach(spark, dir)
+  }
+
   test("bail-outs: unregistered table, OR predicates, no extractable bounds") {
     // not registered -> byte-identical plan
     val plain = query(table)

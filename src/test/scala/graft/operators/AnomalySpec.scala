@@ -141,4 +141,23 @@ class AnomalySpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected broadcast stats joins in:\n$plan")
   }
+
+  test("denseCountSeries fills calendar gaps and passes a NULL group " +
+    "through sparse — never a fabricated zero NEXT TO a real count") {
+    val rows = Seq(("a", 1), ("a", 3), (null, 1), (null, 1))
+      .toDF("g", "b")
+    val calendar = Seq(1, 2, 3).toDF("bucket")
+    val out = Anomaly.denseCountSeries(rows, col("g"), col("b"), calendar)
+      .collect().map(r =>
+        (Option(r.getString(0)), r.getInt(1)) -> r.getLong(2)).toMap
+    // group a densified over the full calendar
+    assert(out(Some("a") -> 1) == 1L && out(Some("a") -> 2) == 0L &&
+      out(Some("a") -> 3) == 1L)
+    // null group: exactly the sparse series' one row, cnt = 2 — the
+    // non-null-safe USING join must not have emitted BOTH a cnt=0 row
+    // and the real row for (null, 1), nor calendar rows for buckets
+    // the null group never had
+    assert(out(None -> 1) == 2L)
+    assert(out.size == 4, out.toString)
+  }
 }

@@ -90,4 +90,31 @@ class ConstraintsSpec extends SparkTestBase {
     assert(flagged("in_range(qty,10,18)") == 1L, flagged.toString)
     assert(flagged("not_null(id)") == 0L && flagged("not_null(qty)") == 0L)
   }
+
+  test("a string column whose values RENDER as integers gets no range " +
+    "rule — the gate is the column type, not the rendering") {
+    import graft.TestSpark.spark.implicits._
+    // zero-padded numeric codes: min/max render as castable integers,
+    // but the column's domain is lexicographic — a numeric range rule
+    // would be wrong (and auditing it compares strings to longs)
+    val codes = Seq("0001", "0002", "0042").toDF("code")
+    val suggested = Constraints.suggestFromProfile(
+      Profile.table(codes, Seq("code")))
+    val types = suggested.collect().map(_.getString(1)).toSet
+    assert(types == Set("not_null", "unique"), types.toString)
+  }
+
+  test("InRange on a type-drifted string column counts non-numeric " +
+    "values as violations instead of failing under ANSI") {
+    import graft.TestSpark.spark.implicits._
+    // the rule was suggested against yesterday's integral column;
+    // today's load drifted the type to string with one stray value
+    val drifted = Seq("3", "7", "oops", null).toDF("qty")
+    val got = Constraints.audit(drifted, Seq(InRange("qty", 1L, 10L)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // "3"/"7" parse in range; "oops" is definitely not in [1,10]; the
+    // null passes (unknown) per the SQL CHECK semantics
+    assert(got("in_range(qty,1,10)") == (4L, 1L), got.toString)
+  }
 }

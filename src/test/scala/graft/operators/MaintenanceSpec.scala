@@ -340,6 +340,47 @@ class MaintenanceSpec extends SparkTestBase {
     assert(r.filesAfter >= 1 && snap == before, r.toString)
   }
 
+  test("a CRASHED store compaction does not partially serve: the view " +
+    "reads the pre-compaction rows through the manifest, read-only, " +
+    "before anyone runs recovery") {
+    import org.apache.spark.sql.functions.col
+    val store = tempDir("crashview_cstore").toString
+    def append(batch: Long, rows: Seq[(String, Int)]): Unit =
+      graft.operators.Anomaly.countSeries(rows.toDF("g", "b"),
+          col("g"), col("b"))
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(batch))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(store)
+    append(0, Seq.fill(4)(("a", 1)))
+    append(1, Seq.fill(6)(("a", 2)))
+    def snap = graft.streaming.Streams.anomalyStoreView(spark, store)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val before = snap
+    // crash mid-promotion: ALL originals parked, a torn folded file in
+    // the store, manifest present — a raw directory read would see
+    // only unreadable garbage (history gone)
+    val storeDir = new java.io.File(store)
+    val parked = new java.io.File(store + ".__compact_parked")
+    assert(parked.mkdirs())
+    storeDir.listFiles().filter(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .foreach(f => assert(f.renameTo(new java.io.File(parked, f.getName))))
+    val foldedName = "part-00000-crash-fold.snappy.parquet"
+    java.nio.file.Files.write(
+      new java.io.File(storeDir, foldedName).toPath, Array[Byte](9, 9))
+    java.nio.file.Files.write(
+      new java.io.File(store + ".__compact_manifest").toPath,
+      foldedName.getBytes("UTF-8"))
+    // the view serves the exact pre-compaction verdicts, WITHOUT
+    // mutating the store (recovery stays the writer's job)
+    assert(snap == before, "view must reconstruct the pre-crash store")
+    assert(new java.io.File(store + ".__compact_manifest").exists() &&
+      parked.exists() && new java.io.File(storeDir, foldedName).exists(),
+      "a reader must not have mutated the crashed store")
+    // writer-side recovery then restores the directory itself
+    Maintenance.recoverStoreCompaction(spark, store)
+    assert(snap == before)
+  }
+
   test("compactZoneStore folds boxes through the merge algebra") {
     import org.apache.spark.sql.functions.{col, lit}
     import graft.operators.Layout

@@ -22,26 +22,28 @@ class ProfileSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r).toMap
 
     val id = p("id")
-    assert(id.getLong(1) == 5L && id.getLong(2) == 5L && id.getLong(3) == 5L)
-    assert(id.getString(4) == "1" && id.getString(5) == "5")
-    assert(id.getBoolean(7), "id is null-free and all-distinct => key")
+    assert(id.getString(1) == "bigint", "data_type is the Spark type")
+    assert(id.getLong(2) == 5L && id.getLong(3) == 5L && id.getLong(4) == 5L)
+    assert(id.getString(5) == "1" && id.getString(6) == "5")
+    assert(id.getBoolean(8), "id is null-free and all-distinct => key")
 
     val name = p("name")
-    assert(name.getLong(2) == 4L, "one null name")
-    assert(name.getLong(3) == 3L, "distinct ignores nulls")
-    assert(name.getString(4) == "alpha" && name.getString(5) == "gamma")
-    assert(!name.getBoolean(7), "nullable column is not a candidate key")
+    assert(name.getString(1) == "string")
+    assert(name.getLong(3) == 4L, "one null name")
+    assert(name.getLong(4) == 3L, "distinct ignores nulls")
+    assert(name.getString(5) == "alpha" && name.getString(6) == "gamma")
+    assert(!name.getBoolean(8), "nullable column is not a candidate key")
     // avg rendered length over NON-NULL rows: (5+4+5+5)/4
-    assert(math.abs(name.getDouble(6) - 19.0 / 4) < 1e-12)
+    assert(math.abs(name.getDouble(7) - 19.0 / 4) < 1e-12)
 
     val tag = p("tag")
-    assert(tag.getLong(2) == 5L && tag.getLong(3) == 2L)
-    assert(!tag.getBoolean(7), "non-distinct column is not a key")
+    assert(tag.getLong(3) == 5L && tag.getLong(4) == 2L)
+    assert(!tag.getBoolean(8), "non-distinct column is not a key")
   }
 
   test("table approx mode keeps the same shape without Expand") {
     val p = Profile.table(fixture, Seq("id", "tag"), exactDistinct = false)
-    val rows = p.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val rows = p.collect().map(r => r.getString(0) -> r.getLong(4)).toMap
     // HLL++ at default precision is exact at these cardinalities
     assert(rows("id") == 5L && rows("tag") == 2L)
     val plan = p.queryExecution.executedPlan.toString
@@ -157,8 +159,8 @@ class ProfileSpec extends SparkTestBase {
   test("nulls-only column profiles cleanly") {
     val df = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "v")
     val r = Profile.table(df, Seq("v")).collect()(0)
-    assert(r.getLong(1) == 2L && r.getLong(2) == 0L && r.getLong(3) == 0L)
-    assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
-    assert(!r.getBoolean(7))
+    assert(r.getLong(2) == 2L && r.getLong(3) == 0L && r.getLong(4) == 0L)
+    assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7))
+    assert(!r.getBoolean(8))
   }
 }
