@@ -69,6 +69,17 @@ object Maintenance {
         !st.getPath.getName.startsWith("."))
       .flatMap(st => dataFiles(fs, st.getPath))
 
+  /** `f`'s path relative to `root` — "part-x.parquet" for a flat
+    * store, "list_id=3/part-x.parquet" one partition level down. The
+    * manifest protocol stores these, so one recovery/read path serves
+    * flat and `k=v`-partitioned stores alike. */
+  private def relPath(root: Path, f: Path): String = {
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    val fUri = f.toUri.getPath
+    require(fUri.startsWith(rootUri + "/"), s"$f is not under $root")
+    fUri.stripPrefix(rootUri + "/")
+  }
+
   /** Compaction outcome: file/byte counts either side of the swap. */
   final case class CompactionResult(filesBefore: Int, bytesBefore: Long,
                                     filesAfter: Int, bytesAfter: Long)
@@ -305,14 +316,17 @@ object Maintenance {
       finally in.close()
     val parked = new Path(path + ".__compact_parked")
     val live =
-      if (fs.exists(p)) dataFiles(fs, p) else Array.empty[FileStatus]
+      if (fs.exists(p)) dataFilesRecursive(fs, p)
+      else Array.empty[FileStatus]
     val parkedFiles =
-      if (fs.exists(parked)) dataFiles(fs, parked) else Array.empty[FileStatus]
-    val byName = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    live.filterNot(f => folded.contains(f.getPath.getName))
-      .foreach(f => byName(f.getPath.getName) = f.getPath.toString)
-    parkedFiles.foreach(f => byName(f.getPath.getName) = f.getPath.toString)
-    Some(byName.values.toSeq)
+      if (fs.exists(parked)) dataFilesRecursive(fs, parked)
+      else Array.empty[FileStatus]
+    val byRel = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    live.filterNot(f => folded.contains(relPath(p, f.getPath)))
+      .foreach(f => byRel(relPath(p, f.getPath)) = f.getPath.toString)
+    parkedFiles.foreach(f =>
+      byRel(relPath(parked, f.getPath)) = f.getPath.toString)
+    Some(byRel.values.toSeq)
   }
 
   /** Repair an interrupted [[compactStore]] (crash matrix in its
@@ -334,13 +348,16 @@ object Maintenance {
           .map(_.trim).filter(_.nonEmpty)
         finally in.close()
       // folded part-file names are job-unique UUIDs, so deleting by
-      // name can never hit a restored original or a concurrent slice
+      // (relative) name can never hit a restored original or a
+      // concurrent slice
       names.foreach { n =>
         val f = new Path(p, n)
         if (fs.exists(f)) fs.delete(f, false)
       }
-      if (fs.exists(parked)) dataFiles(fs, parked).foreach { f =>
-        require(fs.rename(f.getPath, new Path(p, f.getPath.getName)),
+      if (fs.exists(parked)) dataFilesRecursive(fs, parked).foreach { f =>
+        val dest = new Path(p, relPath(parked, f.getPath))
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(f.getPath, dest),
           s"could not restore parked ${f.getPath}")
       }
       if (fs.exists(parked)) fs.delete(parked, true)
@@ -436,34 +453,71 @@ object Maintenance {
     * duplicates are bit-identical by the store's own invariant, so
     * the dedup is idempotent under any replay — like the Bloom OR.
     *
-    * CONCURRENCY: unlike [[compactStore]], this still uses the
-    * whole-directory swap (the `list_id=` partition layout makes
-    * per-file parking a recursive affair), so the writing stream MUST
-    * be quiescent during compaction — e.g. between
-    * `Trigger.AvailableNow()` runs: a slice appended between the tmp
-    * materialization and the park rename would be deleted with the
-    * old directory, and an append landing while `path` is renamed
-    * away recreates the directory and breaks the promote rename.
+    * CONCURRENCY: same snapshot + manifest protocol as
+    * [[compactStore]], carried per partition LEAF (manifest entries
+    * and park/promote renames use `list_id=N/part-x` RELATIVE paths):
+    * the fold reads only the file-listing snapshot taken at entry, and
+    * only those files are parked and retired, so a slice a live
+    * [[graft.streaming.Streams.ivfIndexStream]] appends mid-compaction
+    * — including into a brand-new `list_id=` directory — is never
+    * touched. Same crash matrix as [[compactStore]]
+    * ([[recoverStoreCompaction]] rolls a torn park/promote back to the
+    * exact pre-compaction store); [[graft.streaming.Streams.ivfIndexView]]
+    * reads through the manifest, so a crashed compaction never serves
+    * a partial index.
     */
-  def compactIvfStore(spark: SparkSession, path: String): CompactionResult = {
+  def compactIvfStore(spark: SparkSession, path: String): CompactionResult =
+    compactIvfStoreImpl(spark, path, identity)
+
+  /** [[compactIvfStore]] with a test seam: `tap` runs on the deduped
+    * frame AFTER the snapshot listing and before the tmp write —
+    * exactly where a concurrent `foreachBatch` append lands relative
+    * to the protocol (MaintenanceSpec drives one through it).
+    */
+  private[graft] def compactIvfStoreImpl(spark: SparkSession, path: String,
+      tap: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : CompactionResult = {
     import org.apache.spark.sql.functions.col
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverCompaction(spark, path)
-    val before = dataFilesRecursive(fs, p)
-    val bytesBefore = before.map(_.getLen).sum
+    recoverCompaction(spark, path)       // legacy whole-directory swaps
+    recoverStoreCompaction(spark, path)  // manifest-protocol states
+    val snapshot = dataFilesRecursive(fs, p) // appends after this survive
+    val bytesBefore = snapshot.map(_.getLen).sum
+    if (snapshot.isEmpty)
+      return CompactionResult(0, 0L, 0, 0L)
     val tmp = new Path(path + ".__compact_tmp")
-    val old = new Path(path + ".__compact_old")
-    spark.read.parquet(path)
-      .dropDuplicates("list_id", "vec_id")
+    val parked = new Path(path + ".__compact_parked")
+    val manifest = new Path(path + ".__compact_manifest")
+    // basePath keeps the list_id partition column on an explicit-file
+    // read, so the rewrite preserves the pruned directory layout
+    tap(spark.read.option("basePath", path)
+        .parquet(snapshot.map(_.getPath.toString): _*)
+        .dropDuplicates("list_id", "vec_id"))
       .repartition(col("list_id"))
       .write.partitionBy("list_id")
       .mode(SaveMode.Overwrite).parquet(tmp.toString)
-    require(fs.rename(p, old), s"could not park $p")
-    require(fs.rename(tmp, p), s"could not promote $tmp")
-    fs.delete(old, true)
+    val folded = dataFilesRecursive(fs, tmp)
+    val out = fs.create(manifest, true)
+    try out.write(folded.map(f => relPath(tmp, f.getPath)).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.mkdirs(parked)
+    snapshot.foreach { f =>
+      val dest = new Path(parked, relPath(p, f.getPath))
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(f.getPath, dest), s"could not park ${f.getPath}")
+    }
+    folded.foreach { f =>
+      val dest = new Path(p, relPath(tmp, f.getPath))
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(f.getPath, dest), s"could not promote ${f.getPath}")
+    }
+    fs.delete(manifest, false) // commit
+    fs.delete(parked, true)
+    fs.delete(tmp, true)
     val after = dataFilesRecursive(fs, p)
-    CompactionResult(before.length, bytesBefore,
+    CompactionResult(snapshot.length, bytesBefore,
       after.length, after.map(_.getLen).sum)
   }
 

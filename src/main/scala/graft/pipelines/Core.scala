@@ -63,12 +63,26 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
     * re-globbing the whole staging zone. The serving side keeps the
     * column as plain data (the history-table `load_datetime` pattern,
     * zoom_proc_hst.py:145-148).
+    *
+    * `zoneMapCols` (dated writes only): persist/refresh the
+    * `<path>.__zonemap` stats frame — per-`load_date` min/max boxes
+    * over the named columns — as part of the write, so
+    * [[graft.plans.ZoneMapPruning.attachFromStats]] registers the
+    * staging table with a METADATA read and a query filtered on a data
+    * column (an event date string, a meeting id range) prunes
+    * `load_date` directories it provably cannot match. The stats
+    * writer moves WITH the table writer — the freshness contract the
+    * pruning rule's soundness note demands: an Overwrite replaces the
+    * day's stats row, an Append box-unions into it, an empty dated
+    * Overwrite (the purge) drops it. Cost is one extra aggregation
+    * over the day just written, never a rescan of other days.
     */
   def saveTable(df: DataFrame, contract: Contract,
                 modeOverride: Option[SaveMode] = None,
                 dropOnOverwrite: Boolean = false,
                 applyContract: Boolean = true,
-                loadDate: Option[java.sql.Date] = None): TableResult = {
+                loadDate: Option[java.sql.Date] = None,
+                zoneMapCols: Seq[String] = Nil): TableResult = {
     val m = modeOverride.getOrElse(mode)
     // contradictory intent fails loudly: a dated backfill PRESERVES the
     // other days; dropOnOverwrite would destroy them. Migrating an
@@ -109,6 +123,10 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
     ParquetSink.write(out, path, m,
       partitionBy = if (loadDate.isDefined) Seq("load_date") else Nil,
       format = stagingFormat)
+    loadDate.foreach { d =>
+      if (zoneMapCols.nonEmpty) refreshZoneMapStats(out, path, d, m,
+        zoneMapCols)
+    }
     // dated writes use the partition-aware serving path: staging's dynamic
     // partition overwrite replaces one day, so the serving side must too
     // (a plain Overwrite would truncate the whole serving table)
@@ -119,6 +137,36 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
     val (staged, served, ok) =
       Reconcile.check(spark, path, sink, contract.table, stagingFormat)
     TableResult(contract.table, staged, served, ok)
+  }
+
+  /** Merge one dated write's zone-map stats into `<path>.__zonemap`
+    * (see [[saveTable]]'s `zoneMapCols`). The combined frame is
+    * materialized into a tmp directory FIRST (it lazily reads the old
+    * stats), then swapped in — stats are buckets-sized metadata, so
+    * the single-file rewrite is trivial at any table scale.
+    */
+  private def refreshZoneMapStats(out: DataFrame, path: String,
+                                  d: java.sql.Date, m: SaveMode,
+                                  zoneMapCols: Seq[String]): Unit = {
+    import graft.operators.Layout
+    val statsPath = new org.apache.hadoop.fs.Path(path + ".__zonemap")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dayStats = Layout.rawZoneMap(out, col("load_date"), zoneMapCols)
+    val combined =
+      if (!fs.exists(statsPath)) dayStats
+      else {
+        val old = spark.read.parquet(statsPath.toString)
+        if (m == SaveMode.Overwrite)
+          // the day's partition was replaced wholesale; other days keep
+          // their rows verbatim
+          old.where(col("bucket").cast("string") =!= lit(d.toString))
+            .unionByName(dayStats)
+        else Layout.mergeRawZoneMaps(zoneMapCols)(old, dayStats)
+      }
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__zonemap.tmp")
+    combined.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(statsPath, true)
+    require(fs.rename(tmp, statsPath), s"could not publish $statsPath")
   }
 
   /** A2/O3: the empty-input gate — a single global sum collected as a

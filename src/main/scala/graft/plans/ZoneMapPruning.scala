@@ -74,6 +74,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *     unchanged stats frame) is undetectable without reading footers
   *     and remains the writer's contract.
   *
+  * The bucket (partition) column may be integral, string, or DATE —
+  * the last serves the pipelines' `load_date=` staging layout
+  * ([[graft.pipelines.PipelineContext.saveTable]]'s `zoneMapCols`
+  * persists the stats as part of every dated write), so a query
+  * filtered on a data column prunes load-date directories without
+  * naming them.
+  *
   * Registration is a METADATA read, never a table scan, when the
   * writer persisted its stats: [[attachFromStats]] takes a
   * [[graft.operators.Layout.rawZoneMap]]-shaped frame (the
@@ -101,9 +108,14 @@ object ZoneMapPruning {
   /** One bucket's raw-value bounding box: per registered dimension,
     * the [min,max] of its non-null values (Long for integral dims,
     * String for string dims), or `None` when the bucket holds no
-    * non-null value on that dimension (unprunable on it).
+    * non-null value on that dimension (unprunable on it). The bucket
+    * id is kept CANONICALLY RENDERED (cast to string — "123",
+    * "2020-01-01"), so integral curve buckets and date/string
+    * partition columns (the pipelines' `load_date` staging layout) use
+    * one registry; the rule converts candidates back to the scan
+    * attribute's type, bailing out losslessly when it can't.
     */
-  final case class BucketBox(bucket: Long, dims: Seq[Option[(Any, Any)]])
+  final case class BucketBox(bucket: String, dims: Seq[Option[(Any, Any)]])
 
   /** `dims`: (column name, isString) in registration order. */
   final case class TableStats(bucketCol: String, dims: Seq[(String, Boolean)],
@@ -153,14 +165,18 @@ object ZoneMapPruning {
       s"stats frame has no min_/max_ column pairs: " +
         stats.columns.mkString(","))
     val selected = stats.select(
-      org.apache.spark.sql.functions.col("bucket").cast("long") +:
+      org.apache.spark.sql.functions.col("bucket").cast("string") +:
         dims.flatMap { case (c, isString) =>
           val cast = if (isString) "string" else "long"
           Seq(org.apache.spark.sql.functions.col(s"min_$c").cast(cast),
             org.apache.spark.sql.functions.col(s"max_$c").cast(cast))
         }: _*)
     val boxes = selected.collect().map { r =>
-      BucketBox(r.getLong(0), dims.indices.map { i =>
+      require(!r.isNullAt(0),
+        s"zone-map stats for $path contain a NULL bucket: rows with a " +
+          "null bucket value cannot be represented by an IN-list prune " +
+          "— exclude them from the layout or fix the stats writer")
+      BucketBox(r.getString(0), dims.indices.map { i =>
         if (r.isNullAt(1 + 2 * i)) None
         else Some((r.get(1 + 2 * i), r.get(2 + 2 * i)))
       })
@@ -182,7 +198,7 @@ object ZoneMapPruning {
     */
   private def validateBucketCoverage(spark: SparkSession, path: String,
                                      bucketCol: String,
-                                     statBuckets: Set[Long]): Unit = {
+                                     statBuckets: Set[String]): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
@@ -191,7 +207,10 @@ object ZoneMapPruning {
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(_.startsWith(prefix))
-      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
+      .map(_.stripPrefix(prefix))
+    require(!onDisk.contains("__HIVE_DEFAULT_PARTITION__"),
+      s"$path has a null-bucket partition directory: rows with a null " +
+        s"$bucketCol cannot be represented by an IN-list prune")
     val missing = onDisk.filterNot(statBuckets.contains)
     require(missing.isEmpty,
       s"zone-map stats for $path are STALE: table has " +
@@ -375,13 +394,26 @@ object ZoneMapPruning {
         }
     }
 
-    private def bucketLiteral(v: Long, dt: DataType): Option[Literal] =
+    /** Convert a canonically-rendered bucket id back to a literal of
+      * the scan attribute's type — None (lossless bail-out) when it
+      * doesn't parse. Date support serves the pipelines' `load_date`
+      * staging partitions, whose scan attribute is DateType.
+      */
+    private def bucketLiteral(v: String, dt: DataType): Option[Literal] =
       dt match {
-        case org.apache.spark.sql.types.LongType => Some(Literal(v))
-        case org.apache.spark.sql.types.IntegerType
-          if v >= Int.MinValue && v <= Int.MaxValue => Some(Literal(v.toInt))
-        case org.apache.spark.sql.types.ShortType
-          if v >= Short.MinValue && v <= Short.MaxValue => Some(Literal(v.toShort))
+        case StringType =>
+          Some(Literal(UTF8String.fromString(v), StringType))
+        case org.apache.spark.sql.types.LongType =>
+          scala.util.Try(v.toLong).toOption.map(Literal(_))
+        case IntegerType =>
+          scala.util.Try(v.toInt).toOption.map(Literal(_))
+        case ShortType =>
+          scala.util.Try(v.toShort).toOption.map(Literal(_))
+        case org.apache.spark.sql.types.DateType =>
+          scala.util.Try(java.sql.Date.valueOf(v)).toOption.map { d =>
+            Literal(org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .fromJavaDate(d), org.apache.spark.sql.types.DateType)
+          }
         case _ => None
       }
 

@@ -651,7 +651,13 @@ object Streams {
     * assumes a dedup'd assignment.
     */
   def ivfIndexView(spark: SparkSession, storePath: String): DataFrame =
-    spark.read.parquet(storePath)
+    graft.operators.Maintenance.consistentStoreFiles(spark, storePath) match {
+      // crashed-compaction window: read the pre-compaction file set,
+      // with basePath so list_id stays a (prunable) partition column
+      case Some(files) =>
+        spark.read.option("basePath", storePath).parquet(files: _*)
+      case None => spark.read.parquet(storePath)
+    }
 
   /** The per-group distinct view a [[cardinalityStream]] store
     * currently serves: replayed appendixes collapse (idempotent sketch

@@ -228,6 +228,97 @@ class MaintenanceSpec extends SparkTestBase {
       pruned)
   }
 
+  test("a slice appended DURING IVF store compaction survives — the " +
+    "manifest protocol replaces the whole-directory swap") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.Ivf
+    val store = tempDir("ivf_concurrent").toString
+    val vecs = (0L until 200L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat - 6f)))
+      .toDF("vec_id", "embedding")
+    val late = (200L until 240L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 17 + d * 5) % 13).toFloat - 6f)))
+      .toDF("vec_id", "embedding")
+    val model = Ivf.fitDistributed(vecs, col("vec_id"), col("embedding"),
+      nlist = 4)
+    def append(df: org.apache.spark.sql.DataFrame, batch: Long): Unit =
+      Ivf.assign(model, df, col("vec_id"), col("embedding"))
+        .withColumn("batch_id", lit(batch))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("list_id").parquet(store)
+    append(vecs, 0)
+    append(vecs, 0) // replayed duplicate appendix
+    // the tap runs after the snapshot listing — this append is a live
+    // ivfIndexStream batch landing mid-compaction
+    var appended = false
+    val r = Maintenance.compactIvfStoreImpl(spark, store, { df =>
+      if (!appended) { appended = true; append(late, 1) }
+      df
+    })
+    assert(appended && r.filesAfter < r.filesBefore, r.toString)
+    val rows = spark.read.parquet(store)
+    assert(rows.where(col("vec_id") < 200L).count() == 200L,
+      "snapshot rows deduped exactly once")
+    assert(rows.where(col("vec_id") >= 200L).count() == 40L,
+      "the concurrently appended slice must survive the compaction")
+    // probes see every vector, replay absorption intact
+    val probe = Ivf.topKStored(model,
+        graft.streaming.Streams.ivfIndexView(spark, store),
+        late.where(col("vec_id") % 20 === 0),
+        col("vec_id"), col("embedding"), k = 3, nprobe = 4)
+      .collect()
+    assert(probe.nonEmpty)
+  }
+
+  test("a torn IVF store compaction: the view serves the pre-crash " +
+    "index through the manifest; recovery restores the leafs") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.Ivf
+    val store = tempDir("ivf_torn").toString
+    val vecs = (0L until 120L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat - 6f)))
+      .toDF("vec_id", "embedding")
+    val model = Ivf.fitDistributed(vecs, col("vec_id"), col("embedding"),
+      nlist = 4)
+    Ivf.assign(model, vecs, col("vec_id"), col("embedding"))
+      .withColumn("batch_id", lit(0L))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("list_id").parquet(store)
+    def probe = Ivf.topKStored(model,
+        graft.streaming.Streams.ivfIndexView(spark, store),
+        vecs.where(col("vec_id") % 30 === 0),
+        col("vec_id"), col("embedding"), k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probe
+    // crash mid-promotion: every leaf's files parked (preserving the
+    // list_id=N relative layout), one torn folded file promoted,
+    // manifest present with its RELATIVE path
+    val storeDir = new java.io.File(store)
+    val parked = new java.io.File(store + ".__compact_parked")
+    storeDir.listFiles().filter(d => d.isDirectory &&
+        d.getName.startsWith("list_id=")).foreach { leaf =>
+      val dest = new java.io.File(parked, leaf.getName)
+      assert(dest.mkdirs())
+      leaf.listFiles().filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+        .foreach(f => assert(f.renameTo(new java.io.File(dest, f.getName))))
+    }
+    val tornRel = "list_id=0/part-00000-torn.snappy.parquet"
+    java.nio.file.Files.write(
+      new java.io.File(storeDir, tornRel).toPath, Array[Byte](7))
+    java.nio.file.Files.write(
+      new java.io.File(store + ".__compact_manifest").toPath,
+      tornRel.getBytes("UTF-8"))
+    assert(probe == before,
+      "view must serve the pre-crash index through the manifest")
+    Maintenance.recoverStoreCompaction(spark, store)
+    assert(!new java.io.File(storeDir, tornRel).exists() && !parked.exists())
+    assert(probe == before, "recovery must restore the exact store")
+    // and a fresh compaction completes on the recovered store
+    val r = Maintenance.compactIvfStore(spark, store)
+    assert(r.filesAfter >= 1 && probe == before, r.toString)
+  }
+
   test("compactCardinalityStore keeps estimates and row counts; " +
     "n_slices drops to the physical truth") {
     import org.apache.spark.sql.functions.col

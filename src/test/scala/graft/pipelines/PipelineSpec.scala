@@ -412,6 +412,70 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("pipeline-written zone-map stats serve the incremental pattern: " +
+    "a DATA-column predicate prunes load_date directories from a " +
+    "metadata-only attach, and the stats move with every write mode") {
+    import graft.TestSpark.spark.implicits._
+    import graft.sinks.Contract
+    import graft.plans.ZoneMapPruning
+    import org.apache.spark.sql.types._
+    val (c, _) = ctx("zm_pipeline", SaveMode.Append)
+    val contract = Contract("events_zm", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    val d1 = java.sql.Date.valueOf("2024-05-01")
+    val d2 = java.sql.Date.valueOf("2024-05-02")
+    val d3 = java.sql.Date.valueOf("2024-05-03")
+    def save(rows: Seq[(Long, String)], d: java.sql.Date,
+             mode: Option[SaveMode] = None) =
+      c.saveTable(rows.toDF("id", "v"), contract, modeOverride = mode,
+        loadDate = Some(d), zoneMapCols = Seq("id"))
+    save(Seq((1L, "a"), (2L, "b")), d1)
+    save(Seq((100L, "c")), d2)
+    save(Seq((200L, "d")), d3)
+    val path = s"${c.stagingDir}/events_zm"
+    val statsPath = path + ".__zonemap"
+    assert(spark.read.parquet(statsPath).count() == 3, "one row per day")
+    ZoneMapPruning.attachFromStats(spark, path, "load_date",
+      spark.read.parquet(statsPath))
+    try {
+      // the reference's incremental shape: filter on a DATA column —
+      // the rule turns the day boxes into load_date directory pruning
+      val q = spark.read.parquet(path)
+        .where(col("id") >= 100L && col("id") <= 150L)
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(100L))
+      assert(graft.plans.PlanInspect.planString(q).replaceAll("\\s+", " ")
+        .matches(".*PartitionFilters: \\[[^\\]]*load_date[^\\]]*IN.*"),
+        graft.plans.PlanInspect.planString(q))
+    } finally ZoneMapPruning.detach(spark, path)
+    // APPEND into day 1 widens its box — re-attach sees id=120 there
+    save(Seq((120L, "e")), d1)
+    ZoneMapPruning.attachFromStats(spark, path, "load_date",
+      spark.read.parquet(statsPath))
+    try {
+      val q2 = spark.read.parquet(path).where(col("id") === 120L)
+      assert(q2.count() == 1, "appended row must stay reachable")
+    } finally ZoneMapPruning.detach(spark, path)
+    // OVERWRITE day 2 replaces its stats row (the old box would
+    // wrongly keep claiming id=100 lives there)
+    save(Seq((500L, "f")), d2, mode = Some(SaveMode.Overwrite))
+    val afterOw = spark.read.parquet(statsPath)
+      .where(col("bucket").cast("string") === "2024-05-02")
+      .select(col("min_id").cast("long")).collect()
+    assert(afterOw.map(_.getLong(0)).toSeq == Seq(500L), "day-2 box replaced")
+    // the purge drops the day's stats row with its directory
+    save(Seq.empty, d3, mode = Some(SaveMode.Overwrite))
+    assert(spark.read.parquet(statsPath)
+      .where(col("bucket").cast("string") === "2024-05-03").count() == 0)
+    // freshness tripwire end-to-end: stats missing a day that exists on
+    // disk refuse to attach
+    val stale = spark.read.parquet(statsPath)
+      .where(col("bucket").cast("string") =!= "2024-05-01")
+    val e = intercept[IllegalArgumentException] {
+      ZoneMapPruning.attachFromStats(spark, path, "load_date", stale)
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+  }
+
   test("compactPartition collapses a day's small files, preserves data and siblings") {
     import graft.TestSpark.spark.implicits._
     val dir = tempDir("compact").toString + "/t"
