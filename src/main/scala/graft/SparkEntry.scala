@@ -340,6 +340,64 @@ object SparkEntry {
           col("macro_recall"))).isNull)
   }
 
+  /** The shared integer-grid Lloyd fit behind the PORTABLE embedding
+    * family (`kmeans_profile_portable` and the prune twins built on its
+    * bit-exact assignments): embeddings quantize ONCE to longs
+    * (floor(x·1000 + 0.5), IEEE-identical in any engine), distance is
+    * exact squared-L2, argmin ties break to the lower list id, the
+    * centroid update is the element-wise exact floor-average with
+    * empty-cluster carry, init is the md5-rank trick, two iterations —
+    * no floats anywhere after quantization, so the final assignment
+    * `(vec_id, q, list_id, dist)` replays bit-for-bit in DuckDB
+    * (`kmeansPortableCtesSql` is the same fit as CTEs). Scale shape
+    * identical to Ivf.fitDistributed: per iteration one narrow distance
+    * projection + one k×dim-row aggregate; the k×dim update collects to
+    * the driver exactly like the float fit's centroid matrix.
+    */
+  private def integerLloydAssigned(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+    val q = embs.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => floor(x * lit(1000.0) + lit(0.5)).cast("long")).as("q"))
+      .persist()
+    val seedRows = q.select(col("q"),
+        md5(concat(col("vec_id").cast("string"), lit("#kp13"))).as("h"))
+      .orderBy(col("h")).limit(8).collect()
+    var cents: Array[Seq[Long]] = seedRows.map(_.getSeq[Long](0))
+    def distCol(c: Seq[Long]): Column =
+      aggregate(zip_with(col("q"), typedLit(c),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
+    def assigned = {
+      val dists = array(cents.toSeq.map(distCol): _*)
+      q.withColumn("__dists", dists)
+        .withColumn("list_id",
+          (array_position(col("__dists"), array_min(col("__dists"))) -
+            1L).cast("long"))
+        .withColumn("dist", array_min(col("__dists")))
+    }
+    for (_ <- 1 to 2) {
+      val upd = assigned
+        .select(col("list_id"), posexplode(col("q")).as(Seq("d", "v")))
+        .groupBy(col("list_id"), col("d"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        // exact floor division (sv may be negative): subtract the
+        // non-negative remainder, then the double division is of an
+        // exact multiple — bit-exact, engine-portable
+        .select(col("list_id"), col("d"),
+          ((col("sv") - pmod(col("sv"), col("n"))) / col("n"))
+            .cast("long").as("cv"))
+        .collect()
+      val next = cents.map(_.toArray) // empty cluster keeps centroid
+      upd.groupBy(_.getLong(0)).foreach { case (lid, rows) =>
+        val c = new Array[Long](next(lid.toInt).length)
+        rows.foreach(r => c(r.getInt(1)) = r.getLong(2))
+        next(lid.toInt) = c
+      }
+      cents = next.map(_.toSeq)
+    }
+    assigned.select(col("vec_id"), col("q"), col("list_id"), col("dist"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- aggregation / join / window core (Catalyst surface) ----------
     "q1_pricing_summary" -> ((s, dir) => {
@@ -3182,59 +3240,11 @@ object SparkEntry {
     }),
     "kmeans_profile_portable" -> ((s, dir) => {
       // the PORTABLE member of the k-means family (the r12 verdict's
-      // salvage ask): integer-grid Lloyd — embeddings quantize ONCE to
-      // longs (floor(x·1000 + 0.5), IEEE-identical in any engine),
-      // distance is exact squared-L2, argmin ties break to the lower
-      // list id (array_position = first minimum), the centroid update
-      // is the element-wise exact FLOOR-average, and init is the
-      // md5-rank trick — no floats anywhere after quantization, so the
-      // whole two-iteration fit, empty-cluster carry included, replays
-      // bit-for-bit in DuckDB and the (list_id, n_vecs, ssd) profile
-      // hash-matches. Scale shape identical to fitDistributed: per
-      // iteration one narrow distance projection + one 8×64-row
-      // aggregate; the 512-row update collects to the driver exactly
-      // like the float fit's centroid matrix.
-      val embs = t(s, dir, "embeddings").where(col("embedding").isNotNull)
-      val q = embs.select(col("vec_id"),
-        transform(col("embedding").cast("array<double>"),
-          x => floor(x * lit(1000.0) + lit(0.5)).cast("long")).as("q"))
-        .persist()
-      val seedRows = q.select(col("q"),
-          md5(concat(col("vec_id").cast("string"), lit("#kp13"))).as("h"))
-        .orderBy(col("h")).limit(8).collect()
-      var cents: Array[Seq[Long]] = seedRows.map(_.getSeq[Long](0))
-      def distCol(c: Seq[Long]): Column =
-        aggregate(zip_with(col("q"), typedLit(c),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
-      def assigned = {
-        val dists = array(cents.toSeq.map(distCol): _*)
-        q.withColumn("__dists", dists)
-          .withColumn("list_id",
-            (array_position(col("__dists"), array_min(col("__dists"))) -
-              1L).cast("long"))
-          .withColumn("dist", array_min(col("__dists")))
-      }
-      for (_ <- 1 to 2) {
-        val upd = assigned
-          .select(col("list_id"), posexplode(col("q")).as(Seq("d", "v")))
-          .groupBy(col("list_id"), col("d"))
-          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-          // exact floor division (sv may be negative): subtract the
-          // non-negative remainder, then the double division is of an
-          // exact multiple — bit-exact, engine-portable
-          .select(col("list_id"), col("d"),
-            ((col("sv") - pmod(col("sv"), col("n"))) / col("n"))
-              .cast("long").as("cv"))
-          .collect()
-        val next = cents.map(_.toArray) // empty cluster keeps centroid
-        upd.groupBy(_.getLong(0)).foreach { case (lid, rows) =>
-          val c = new Array[Long](next(lid.toInt).length)
-          rows.foreach(r => c(r.getInt(1)) = r.getLong(2))
-          next(lid.toInt) = c
-        }
-        cents = next.map(_.toSeq)
-      }
-      assigned.groupBy(col("list_id"))
+      // salvage ask): the integerLloydAssigned fit (see its scaladoc —
+      // exact long arithmetic end to end) profiled per cluster; the
+      // (list_id, n_vecs, ssd) rows replay bit-for-bit in DuckDB and
+      // hash-match.
+      integerLloydAssigned(s, dir).groupBy(col("list_id"))
         .agg(count(lit(1)).cast("long").as("n_vecs"),
           sum(col("dist")).cast("long").as("ssd"))
     }),
@@ -3299,6 +3309,24 @@ object SparkEntry {
           col("n_dropped") === floor(lit(dropFrac) * col("n_before")),
           concat(lit("prototype prune floor identity broken on list "),
             col("list_id"))).isNull)
+    }),
+    "d4_prototype_prune_portable" -> ((s, dir) => {
+      // the HASH-CHECKABLE twin of d4_prototype_prune (the r13
+      // verdict's salvage ask), built on integerLloydAssigned's
+      // bit-exact assignments: per cluster, drop the floor(0.25·n)
+      // members CLOSEST to the centroid (rank by exact long distance,
+      // ties to the lower vec_id — fully deterministic cross-engine)
+      // and emit the survivors. Same window-rank shape as the float
+      // prune; the float family keeps the production-geometry story,
+      // this pins the rank/floor/drop machinery to a DuckDB hash.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("list_id"))
+      integerLloydAssigned(s, dir)
+        .withColumn("rn",
+          row_number().over(w.orderBy(col("dist"), col("vec_id"))))
+        .withColumn("n_before", count(lit(1)).over(w))
+        .where(col("rn") > floor(lit(0.25) * col("n_before")))
+        .select(col("vec_id"), col("list_id"), col("dist"))
     }),
     "pq_topk" -> ((s, dir) => { // IVF-PQ: compressed-candidate ANN, rows-only
       import graft.operators.{Ivf, Pq}
@@ -3390,6 +3418,39 @@ object SparkEntry {
       val embs = t(s, dir, "embeddings")
       SemDedup.semanticPrune(embs, col("vec_id"), col("embedding"),
         minCosine = 0.4, dim = 64, nlist = 4)
+        .select(col("vec_id"), col("label"))
+    }),
+    "semantic_prune_portable" -> ((s, dir) => {
+      // the HASH-CHECKABLE twin of semantic_prune (the r13 verdict's
+      // salvage ask): SemDeDup's cluster-bounded keep-one-per-component
+      // with every float replaced by exact long arithmetic — clusters
+      // from integerLloydAssigned (bit-exact cross-engine), candidate
+      // pairs same-cluster only (the Σ|list|² bound, the production
+      // shape), and the cosine-≥-0.4 verdict as the cross-multiplied
+      // integer test dot>0 ∧ 25·dot² ≥ 4·|a|²·|b|² (0.4² = 4/25
+      // exactly; |q| ≤ ~2000 keeps 25·dot² under 2⁶³ at dim 64). CC
+      // keep-min-id then replays in DuckDB as the recursive reach from
+      // semantic_prune_exact — survivors hash-match end to end.
+      import graft.operators.Dedup
+      val a = integerLloydAssigned(s, dir)
+      def dot(x: Column, y: Column): Column =
+        aggregate(zip_with(x, y, (p, r) => p * r), lit(0L),
+          (acc, v) => acc + v)
+      val pairs = a.as("x").join(a.as("y"),
+          col("x.list_id") === col("y.list_id") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+          dot(col("x.q"), col("y.q")).as("dp"),
+          dot(col("x.q"), col("x.q")).as("na"),
+          dot(col("y.q"), col("y.q")).as("nb"))
+        .where(col("dp") > 0L &&
+          lit(25L) * col("dp") * col("dp") >= lit(4L) * col("na") * col("nb"))
+        .select(col("id_a"), col("id_b"))
+      val cc = Dedup.connectedComponents(pairs, checkpointEvery = 4)
+      val drops = cc.filter(col("id") =!= col("comp"))
+        .select(col("id").as("__drop_id"))
+      t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .join(drops, col("vec_id") === col("__drop_id"), "left_anti")
         .select(col("vec_id"), col("label"))
     }),
     "semantic_dup_recall" -> ((s, dir) => {
@@ -4237,12 +4298,16 @@ object SparkEntry {
       .map(one).mkString("\nUNION ALL\n")
   }
 
-  /** The integer-grid k-means fit unrolled as DuckDB CTEs — every
-    * stage of `kmeans_profile_portable` (quantize, md5-rank init, two
-    * assign/update rounds with exact floor-average centroids and
-    * empty-cluster carry, final profile) in exact integer arithmetic.
+  /** The integer-grid k-means fit (`integerLloydAssigned`) unrolled as
+    * DuckDB CTEs — quantize, md5-rank init, two assign/update rounds
+    * with exact floor-average centroids and empty-cluster carry — in
+    * exact integer arithmetic, ending with `asg(vec_id, q, list_id,
+    * dist)` = the final assignment. Shared by the three portable
+    * oracles (`kmeans_profile_portable`, `d4_prototype_prune_portable`,
+    * `semantic_prune_portable`); no leading WITH so callers can extend
+    * the chain.
     */
-  private def kmeansPortableOracleSql: String = {
+  private def kmeansPortableCtesSql: String = {
     // one Lloyd round: assign to prevC, floor-average update, carry
     // empty clusters
     def round(i: Int, prevC: String): String =
@@ -4264,7 +4329,7 @@ object SparkEntry {
          |        FROM u$i GROUP BY 1),
          |c$i AS (SELECT p.list_id, coalesce(n$i.c, p.c) AS c
          |        FROM $prevC p LEFT JOIN n$i USING (list_id))""".stripMargin
-    s"""WITH qv AS (
+    s"""qv AS (
        |  SELECT vec_id,
        |         [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
        |          for x in embedding] AS q
@@ -4277,19 +4342,68 @@ object SparkEntry {
        |${round(1, "c0")},
        |${round(2, "c1")},
        |a3 AS (
-       |  SELECT v.vec_id, c.list_id,
+       |  SELECT v.vec_id, v.q, c.list_id,
        |         list_sum([(v.q[i] - c.c[i]) * (v.q[i] - c.c[i])
        |                   for i in range(1, 65)]) AS dist
        |  FROM qv v CROSS JOIN c2 c),
-       |r3 AS (SELECT vec_id, list_id, dist,
+       |r3 AS (SELECT vec_id, q, list_id, dist,
        |              row_number() OVER (PARTITION BY vec_id
        |                                 ORDER BY dist, list_id) AS rn
-       |       FROM a3)
+       |       FROM a3),
+       |asg AS (SELECT vec_id, q, list_id, dist FROM r3 WHERE rn = 1)""".stripMargin
+  }
+
+  private def kmeansPortableOracleSql: String =
+    s"""WITH $kmeansPortableCtesSql
        |SELECT list_id, CAST(count(*) AS BIGINT) AS n_vecs,
        |       CAST(sum(dist) AS BIGINT) AS ssd
-       |FROM r3 WHERE rn = 1
+       |FROM asg
        |GROUP BY 1""".stripMargin
-  }
+
+  /** `d4_prototype_prune_portable` over the shared assignment: the
+    * window-rank drop of the floor(0.25·n) closest-to-centroid members
+    * per cluster, ties to the lower vec_id.
+    */
+  private def d4PortableOracleSql: String =
+    s"""WITH $kmeansPortableCtesSql,
+       |rk AS (SELECT vec_id, list_id, dist,
+       |              row_number() OVER (PARTITION BY list_id
+       |                                 ORDER BY dist, vec_id) AS rn,
+       |              count(*) OVER (PARTITION BY list_id) AS n
+       |       FROM asg)
+       |SELECT vec_id, list_id, CAST(dist AS BIGINT) AS dist
+       |FROM rk WHERE rn > CAST(floor(0.25 * n) AS BIGINT)""".stripMargin
+
+  /** `semantic_prune_portable` over the shared assignment: same-cluster
+    * candidate pairs, the cross-multiplied integer cosine-≥-0.4 test
+    * (dot>0 ∧ 25·dot² ≥ 4·|a|²·|b|²), then the recursive min-reach CC
+    * keep-one from `semantic_prune_exact`.
+    */
+  private def semanticPrunePortableOracleSql: String =
+    s"""WITH RECURSIVE $kmeansPortableCtesSql,
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         list_sum([a.q[i] * b.q[i] for i in range(1, 65)]) AS dp,
+       |         list_sum([a.q[i] * a.q[i] for i in range(1, 65)]) AS na,
+       |         list_sum([b.q[i] * b.q[i] for i in range(1, 65)]) AS nb
+       |  FROM asg a JOIN asg b
+       |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id),
+       |pairs AS (SELECT id_a, id_b FROM cand
+       |          WHERE dp > 0 AND 25 * dp * dp >= 4 * na * nb),
+       |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.t, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+       |labels AS (SELECT asg.vec_id, COALESCE(MIN(r.comp), asg.vec_id)
+       |                  AS component
+       |  FROM asg LEFT JOIN reach r ON r.id = asg.vec_id
+       |  GROUP BY asg.vec_id)
+       |SELECT e.vec_id, e.label
+       |FROM embeddings e
+       |JOIN labels l ON l.vec_id = e.vec_id
+       |WHERE e.embedding IS NOT NULL AND l.component = e.vec_id""".stripMargin
 
   /** The integer power iteration of `pca_power_portable` unrolled as
     * DuckDB CTEs: quantize, floor-mean center, three v' = Gᵀ(G v)
@@ -4872,6 +4986,8 @@ object SparkEntry {
         |FROM m""".stripMargin,
     "corpus_report" -> corpusReportSql,
     "kmeans_profile_portable" -> kmeansPortableOracleSql,
+    "d4_prototype_prune_portable" -> d4PortableOracleSql,
+    "semantic_prune_portable" -> semanticPrunePortableOracleSql,
     "pca_power_portable" -> pcaPowerPortableOracleSql,
     // the exact integer moment pass: quantized products sum exactly as
     // longs in both engines (micro-unit trick, bilinear form)
