@@ -2750,6 +2750,14 @@ object SparkEntry {
       // competitor promoted by IVF probe misses can legitimately
       // overtake it for fused rank 1 — measured at sf0.01). Quality is
       // gated by the macro-recall floor in hybrid_rrf_ann_recall.
+      // Lexical arm = the PRODUCTION bm25Search (partial-agg sum):
+      // this query is rows-only, so it owes the oracle nothing, and
+      // the portable sorted-fold sum it used through r13 was ~80% of
+      // its 13 s bench cost (collect_list + interpreted HOF fold per
+      // (query, doc) group over the dense-vocabulary corpus — r14
+      // scratch decomposition: lex arm 9.5 s portable vs 3.2 s plain,
+      // ANN arm 0.5 s, fusion +0.7 s). hybrid_rrf keeps the portable
+      // sum: it is the hash-matched member of the family.
       import graft.operators.{Bm25, Ivf, Retrieval, TermWeights}
       val docs = t(s, dir, "documents")
       val embs = t(s, dir, "embeddings")
@@ -2762,8 +2770,7 @@ object SparkEntry {
         .select(col("doc_id").as("qid"), col("text").as("qtext"),
           col("embedding").as("qv"))
       val idx = bm25IndexFor(s, dir, TermWeights.RationalIdf)
-      val lex = Bm25.bm25SearchPortable(idx, q, col("qid"), col("qtext"),
-          k = 20)
+      val lex = Bm25.bm25Search(idx, q, col("qid"), col("qtext"), k = 20)
         .select(col("query_id"), col("doc_id").as("id"), col("rank"))
       val model = ivfModelFor(s, dir) // memoized fit — timed passes probe
       val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
@@ -2796,8 +2803,12 @@ object SparkEntry {
       // the ann_topk_recall pattern applied to the FUSED ranking: the
       // ANN-armed fusion's top-10 per query must recover most of the
       // exact-armed fusion's top-10. Floor 0.5 measured 0.68/0.88/0.805
-      // at sf0.001/0.01/0.1 (bit-stable: fitDistributed quantized fit,
-      // so no run variance). The lexical arm is shared verbatim, so
+      // at sf0.001/0.01/0.1 (the IVF fit is the bit-stable quantized
+      // fitDistributed; the plain-sum lexical arm can flip exact-tie
+      // ranks at ulp level run to run, but both fusions share the one
+      // persisted lex frame so the comparison itself never skews — the
+      // floor's ~0.3 margin absorbs tie noise). The lexical arm is
+      // shared verbatim, so
       // every miss is attributable to IVF probe misses surviving
       // fusion — much rarer than raw dense-arm misses because the
       // lexical contribution re-anchors most candidates.
@@ -2813,8 +2824,12 @@ object SparkEntry {
         .select(col("doc_id").as("qid"), col("text").as("qtext"),
           col("embedding").as("qv"))
       val idx = bm25IndexFor(s, dir, TermWeights.RationalIdf)
-      val lex = Bm25.bm25SearchPortable(idx, q, col("qid"), col("qtext"),
-          k = 20)
+      // production bm25Search (not the portable sorted-fold sum) —
+      // same reasoning as hybrid_rrf_ann; the persisted frame is
+      // SHARED by both fusions, so whatever ulp order this run's
+      // partial aggregation picked, both arms rank against identical
+      // lexical scores and the recall measure compares like for like
+      val lex = Bm25.bm25Search(idx, q, col("qid"), col("qtext"), k = 20)
         .select(col("query_id"), col("doc_id").as("id"), col("rank"))
         .persist() // shared by both fusions; tiny (|q| * 20 rows)
       val exactDense = Similarity.bruteForceTopK(embs, col("vec_id"),
