@@ -75,6 +75,10 @@ object GraftExtensions {
       "graft_agree_count(a, b) - positions where two bigint arrays agree (MinHash estimate numerator)"),
       (args: Seq[Expression]) => { arity("graft_agree_count", args, 2)
         Kernels.AgreeCount(args.head, args(1)) })),
+    "graft_long_dot" -> ((info("graft_long_dot",
+      "graft_long_dot(a, b) - exact bigint dot product of two bigint arrays (quantized cosine verdicts)"),
+      (args: Seq[Expression]) => { arity("graft_long_dot", args, 2)
+        Kernels.LongDot(args.head, args(1)) })),
     "graft_alpha_token_count" -> ((info("graft_alpha_token_count",
       "graft_alpha_token_count(str) - tokens containing an ASCII letter (Gopher alpha-word rule numerator)"),
       (args: Seq[Expression]) => { arity("graft_alpha_token_count", args, 1)

@@ -3448,9 +3448,14 @@ object SparkEntry {
       // semantic_prune_exact — survivors hash-match end to end.
       import graft.operators.Dedup
       val a = integerLloydAssigned(s, dir)
+      // codegen'd long dot (functions/Kernels.LongDot), NOT the HOF
+      // aggregate(zip_with(...)) fold: the verdict runs once per
+      // CANDIDATE PAIR (Σ|list|² of them), and interpreted per-element
+      // lambdas there cost 9× at the 10× fixture — the same
+      // kernel-vs-HOF call SCALE.md's global note mandates for every
+      // pair-quadratic hot path
       def dot(x: Column, y: Column): Column =
-        aggregate(zip_with(x, y, (p, r) => p * r), lit(0L),
-          (acc, v) => acc + v)
+        graft.functions.Kernels.longDotCol(x, y)
       val pairs = a.as("x").join(a.as("y"),
           col("x.list_id") === col("y.list_id") &&
             col("x.vec_id") < col("y.vec_id"))

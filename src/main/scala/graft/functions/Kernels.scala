@@ -67,6 +67,26 @@ object Kernels {
     c
   }
 
+  /** Exact long dot product over two array<bigint> columns — the
+    * integer-arithmetic primitive of the portable embedding twins
+    * (quantized cosine verdicts: dot > 0 ∧ c²·dot² ≥ t²·|a|²·|b|²).
+    * The HOF form (`aggregate(zip_with(a, b, _ * _), 0L, _ + _)`)
+    * evaluates TWO interpreted lambdas per element per candidate pair
+    * — at Σ|list|² pair counts that dominates the whole prune; this is
+    * one compiled loop. Null elements contribute 0 (a quantized vector
+    * has none by construction).
+    */
+  def longDot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    s
+  }
+
   /** Per-document word n-gram repetition stats — the "repetitious
     * document" quality filters of the MassiveText/Gopher curation recipe
     * (Rae et al. 2021, appendix A1.1: fraction of duplicate n-grams and
@@ -1022,6 +1042,29 @@ object Kernels {
       copy(left = newLeft, right = newRight)
   }
 
+  case class LongDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    private def isLongArray(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(prettyName, left, isLongArray, "array<bigint>")
+      if (l != TypeCheckSuccess) l
+      else requireType(prettyName, right, isLongArray, "array<bigint>")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "long_dot"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.longDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.Kernels.longDot($a, $b)")
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): LongDot =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class HilbertIndex(left: Expression, right: Expression, bits: Int)
       extends BinaryExpression {
     private def isIntegral(dt: DataType): Boolean = dt match {
@@ -1269,6 +1312,9 @@ object Kernels {
 
   def agreeCountCol(a: Column, b: Column): Column =
     ColumnBridge.column(AgreeCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def longDotCol(a: Column, b: Column): Column =
+    ColumnBridge.column(LongDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def hilbertCol(x: Column, y: Column, bits: Int = 16): Column =
     ColumnBridge.column(HilbertIndex(ColumnBridge.expression(x),

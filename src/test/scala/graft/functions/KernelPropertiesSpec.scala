@@ -103,6 +103,37 @@ class KernelPropertiesSpec extends SparkTestBase {
     assert(s == 2)
   }
 
+  test("longDot kernel matches the aggregate/zip_with HOF form exactly") {
+    import graft.TestSpark.spark.implicits._
+    (1L to 10L).foreach { seed =>
+      val g = Gen.listOfN(64, Gen.chooseNum(-2000L, 2000L))
+      val a = g.pureApply(Gen.Parameters.default, Seed(seed))
+      val b = g.pureApply(Gen.Parameters.default, Seed(seed + 100))
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        Kernels.longDotCol(col("a"), col("b")).as("kernel"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L),
+          (acc, v) => acc + v).as("hof")).head()
+      assert(r.getLong(0) == r.getLong(1), s"seed $seed")
+    }
+    // codegen: the kernel must stay inside whole-stage codegen on the
+    // pair-verify shape it exists for (range source so the projection
+    // isn't constant-folded into a LocalTableScan)
+    val df = graft.TestSpark.spark.range(4)
+      .select(array(col("id"), col("id") + 1).as("a"),
+        array(col("id") + 2, col("id") + 3).as("b"))
+      .select(Kernels.longDotCol(col("a"), col("b")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan) // * prefix = codegen'd stage
+    assert(plan.contains("long_dot"), plan)
+    assert(df.orderBy("d").head().getLong(0) == 3L) // id=0: 0*2 + 1*3
+    // SQL surface
+    graft.GraftExtensions.register(graft.TestSpark.spark)
+    val s = Seq((Seq(2L, 3L), Seq(4L, 5L))).toDF("a", "b")
+      .selectExpr("graft_long_dot(a, b)").head().getLong(0)
+    assert(s == 23L)
+  }
+
   test("alphaTokenCount matches the HOF filter over split tokens") {
     import graft.TestSpark.spark.implicits._
     val cases = Seq(
