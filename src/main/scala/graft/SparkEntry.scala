@@ -354,7 +354,15 @@ object SparkEntry {
     * projection + one k×dim-row aggregate; the k×dim update collects to
     * the driver exactly like the float fit's centroid matrix.
     */
-  private def integerLloydAssigned(s: SparkSession, dir: String): DataFrame = {
+  private def integerLloydAssigned(s: SparkSession, dir: String): DataFrame =
+    integerLloydFit(s, dir)._1
+
+  /** [[integerLloydAssigned]] plus the final integer centroid matrix —
+    * the probe-side queries (`ann_ivf_topk_portable`) rank centroids
+    * exactly like the fit's assignment step did.
+    */
+  private def integerLloydFit(s: SparkSession,
+                              dir: String): (DataFrame, Array[Seq[Long]]) = {
     val embs = t(s, dir, "embeddings").where(col("embedding").isNotNull)
     val q = embs.select(col("vec_id"),
       transform(col("embedding").cast("array<double>"),
@@ -395,7 +403,8 @@ object SparkEntry {
       }
       cents = next.map(_.toSeq)
     }
-    assigned.select(col("vec_id"), col("q"), col("list_id"), col("dist"))
+    (assigned.select(col("vec_id"), col("q"), col("list_id"), col("dist")),
+      cents)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3473,6 +3482,75 @@ object SparkEntry {
         .join(drops, col("vec_id") === col("__drop_id"), "left_anti")
         .select(col("vec_id"), col("label"))
     }),
+    "ann_ivf_topk_portable" -> ((s, dir) => {
+      // the HASH-CHECKABLE member of the ANN family: the ENTIRE IVF
+      // probe path — query-to-centroid ranking, nprobe list selection,
+      // candidate generation from the probed lists only, exact
+      // distance rank with deterministic ties — in exact long
+      // arithmetic over the shared integer-grid fit, so the top-k
+      // neighbor lists replay bit-for-bit in DuckDB. The float family
+      // (ivf_topk etc.) keeps the production geometry + recall gates;
+      // this pins the probe MACHINERY itself to a hash. Same pinned
+      // 64-query convention as hybrid_rrf_ann; probing 2 of 8 lists
+      // reads 1/4 of the corpus per query, the IVF contract.
+      val (assigned, cents) = integerLloydFit(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+      // exact squared-L2 of a quantized vector column against X via the
+      // codegen LongDot on the element-wise difference
+      def sqDist(v: Column, x: Column): Column = {
+        val diff = zip_with(v, x, (a, b) => a - b)
+        graft.functions.Kernels.longDotCol(diff, diff)
+      }
+      val queries = assigned.where(col("vec_id") < 64)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      val probed = queries
+        .select(col("query_id"), col("qq"),
+          posexplode(array(cents.toSeq.map(c =>
+            sqDist(col("qq"), typedLit(c))): _*)).as(Seq("pl", "cdist")))
+        .withColumn("prn", row_number().over(w.partitionBy(col("query_id"))
+          .orderBy(col("cdist"), col("pl"))))
+        .where(col("prn") <= 2)
+        .select(col("query_id"), col("qq"),
+          col("pl").cast("long").as("list_id"))
+      probed.join(assigned, "list_id")
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          sqDist(col("qq"), col("q")).as("dist"))
+        .withColumn("rank", row_number().over(w.partitionBy(col("query_id"))
+          .orderBy(col("dist"), col("neighbor_id"))))
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"), col("dist"),
+          col("rank"))
+    }),
+    "semantic_contamination_portable" -> ((s, dir) => {
+      // the HASH-CHECKABLE twin of semantic_contamination: cross-set
+      // (train = label≠0 vs eval = label=0) embedding contamination
+      // with the cluster-bounded candidate shape, every float replaced
+      // by exact long arithmetic — same integer-grid clusters and
+      // LongDot verdict as semantic_prune_portable, tau = 0.35 as the
+      // exact rational 49/400 (dot > 0 ∧ 400·dot² ≥ 49·|a|²·|b|²).
+      // Emits every matching (train_id, eval_id, dp) pair; dp is the
+      // exact integer dot, so the hash also pins the arithmetic.
+      val a = integerLloydAssigned(s, dir)
+      val labels = t(s, dir, "embeddings").select(col("vec_id"),
+        col("label"))
+      val al = a.join(labels, "vec_id")
+      val train = al.where(col("label") =!= 0)
+        .select(col("vec_id").as("train_id"), col("q").as("tq"),
+          col("list_id"))
+      val eval_ = al.where(col("label") === 0)
+        .select(col("vec_id").as("eval_id"), col("q").as("eq"),
+          col("list_id"))
+      def dot(x: Column, y: Column): Column =
+        graft.functions.Kernels.longDotCol(x, y)
+      train.join(eval_, "list_id")
+        .select(col("train_id"), col("eval_id"),
+          dot(col("tq"), col("eq")).as("dp"),
+          dot(col("tq"), col("tq")).as("na"),
+          dot(col("eq"), col("eq")).as("nb"))
+        .where(col("dp") > 0L &&
+          lit(400L) * col("dp") * col("dp") >= lit(49L) * col("na") * col("nb"))
+        .select(col("train_id"), col("eval_id"), col("dp"))
+    }),
     "semantic_dup_recall" -> ((s, dir) => {
       // In-plan gate for the clustered candidate generation, two claims:
       // (1) IDENTITY — every clustered pair is an exact pair (same ids,
@@ -4394,6 +4472,55 @@ object SparkEntry {
        |SELECT vec_id, list_id, CAST(dist AS BIGINT) AS dist
        |FROM rk WHERE rn > CAST(floor(0.25 * n) AS BIGINT)""".stripMargin
 
+  /** `ann_ivf_topk_portable` over the shared fit: rank centroids per
+    * pinned query, probe the 2 best lists, exact-distance top-10 with
+    * (dist, vec_id) ties — the full IVF probe path in integer
+    * arithmetic.
+    */
+  private def annIvfPortableOracleSql: String =
+    s"""WITH $kmeansPortableCtesSql,
+       |qs AS (SELECT vec_id AS query_id, q AS qq FROM asg
+       |       WHERE vec_id < 64),
+       |pd AS (
+       |  SELECT qs.query_id, qs.qq, c.list_id,
+       |         list_sum([(qs.qq[i] - c.c[i]) * (qs.qq[i] - c.c[i])
+       |                   for i in range(1, 65)]) AS cdist
+       |  FROM qs CROSS JOIN c2 c),
+       |pr AS (SELECT query_id, qq, list_id,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cdist, list_id) AS prn
+       |       FROM pd),
+       |probe AS (SELECT query_id, qq, list_id FROM pr WHERE prn <= 2),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         list_sum([(p.qq[i] - a.q[i]) * (p.qq[i] - a.q[i])
+       |                   for i in range(1, 65)]) AS dist
+       |  FROM probe p JOIN asg a ON a.list_id = p.list_id),
+       |rk AS (SELECT query_id, neighbor_id, CAST(dist AS BIGINT) AS dist,
+       |              CAST(row_number() OVER (PARTITION BY query_id
+       |                   ORDER BY dist, neighbor_id) AS INT) AS rank
+       |       FROM cand)
+       |SELECT query_id, neighbor_id, dist, rank FROM rk
+       |WHERE rank <= 10""".stripMargin
+
+  /** `semantic_contamination_portable` over the shared assignment:
+    * same-cluster train×eval pairs, the cross-multiplied integer
+    * cosine-≥-0.35 test (400·dot² ≥ 49·|a|²·|b|²).
+    */
+  private def semanticContaminationPortableOracleSql: String =
+    s"""WITH $kmeansPortableCtesSql,
+       |al AS (SELECT asg.vec_id, asg.q, asg.list_id, e.label
+       |       FROM asg JOIN embeddings e ON e.vec_id = asg.vec_id),
+       |cand AS (
+       |  SELECT a.vec_id AS train_id, b.vec_id AS eval_id,
+       |         list_sum([a.q[i] * b.q[i] for i in range(1, 65)]) AS dp,
+       |         list_sum([a.q[i] * a.q[i] for i in range(1, 65)]) AS na,
+       |         list_sum([b.q[i] * b.q[i] for i in range(1, 65)]) AS nb
+       |  FROM al a JOIN al b
+       |    ON a.list_id = b.list_id AND a.label <> 0 AND b.label = 0)
+       |SELECT train_id, eval_id, CAST(dp AS BIGINT) AS dp FROM cand
+       |WHERE dp > 0 AND 400 * dp * dp >= 49 * na * nb""".stripMargin
+
   /** `semantic_prune_portable` over the shared assignment: same-cluster
     * candidate pairs, the cross-multiplied integer cosine-≥-0.4 test
     * (dot>0 ∧ 25·dot² ≥ 4·|a|²·|b|²), then the recursive min-reach CC
@@ -5008,6 +5135,8 @@ object SparkEntry {
     "kmeans_profile_portable" -> kmeansPortableOracleSql,
     "d4_prototype_prune_portable" -> d4PortableOracleSql,
     "semantic_prune_portable" -> semanticPrunePortableOracleSql,
+    "ann_ivf_topk_portable" -> annIvfPortableOracleSql,
+    "semantic_contamination_portable" -> semanticContaminationPortableOracleSql,
     "pca_power_portable" -> pcaPowerPortableOracleSql,
     // the exact integer moment pass: quantized products sum exactly as
     // longs in both engines (micro-unit trick, bilinear form)
