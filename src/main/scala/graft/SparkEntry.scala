@@ -3521,6 +3521,107 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("dist"),
           col("rank"))
     }),
+    "pq_adc_portable" -> ((s, dir) => {
+      // the HASH-CHECKABLE member of the PQ family (pq_topk/_recall
+      // stay rows-only on the float fit): product quantization with
+      // every stage in exact long arithmetic — quantize once, split
+      // into m=8 subspaces of 8 dims, fit each sub-codebook (k=4) by
+      // md5-rank init + ONE exact floor-average Lloyd round with
+      // empty-code carry, encode the corpus per subspace (ties to the
+      // lower code), then the ASYMMETRIC DISTANCE COMPUTATION for the
+      // pinned 64-query set: adc(query, cand) = Σ_j ‖query_j −
+      // codebook_j[code_j(cand)]‖² — the real ADC shape, codes-only on
+      // the candidate side, summed from the m per-subspace lookup
+      // tables (query × 4 codes each, metadata-sized). Top-10 per
+      // query by (adc, vec_id) replays bit-for-bit in DuckDB. Scale
+      // shape: the fit collects m×k×(dim/m) longs; encode is per-row;
+      // the ADC join is (queries × corpus) rows of LONG sums — the
+      // codes-not-vectors contract that makes PQ candidates cheap.
+      val embs = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      val m = 8; val sub = 8; val k = 4
+      def sqDist(v: Column, x: Column): Column = {
+        val diff = zip_with(v, x, (a, b) => a - b)
+        graft.functions.Kernels.longDotCol(diff, diff)
+      }
+      // ONE exploded (vec, subspace) frame serves every stage: the fit
+      // is 2 driver actions TOTAL (seeds, update) instead of 2 per
+      // subspace — at 8 subspaces the per-job scheduler latency was
+      // the whole cost (10.4 s → ~4 s at sf0.1), and one corpus pass
+      // for all m sub-fits is the shape a real PQ fit wants anyway
+      val sv = embs.select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => floor(x * lit(1000.0) + lit(0.5)).cast("long")).as("q"))
+        .select(col("vec_id"), posexplode(array((0 until m).map(j =>
+          struct(lit(j).as("j"),
+            slice(col("q"), j * sub + 1, sub).as("v"),
+            md5(concat(col("vec_id").cast("string"), lit(s"#pq13s$j")))
+              .as("h"))): _*)).as(Seq("__i", "s")))
+        .select(col("vec_id"), col("s.j").as("j"), col("s.v").as("v"),
+          col("s.h").as("h"))
+        .persist()
+      val w = org.apache.spark.sql.expressions.Window
+      // md5-rank seeds, all subspaces in one action
+      val seedRows = sv
+        .withColumn("rn", row_number().over(w.partitionBy(col("j"))
+          .orderBy(col("h"))))
+        .where(col("rn") <= k)
+        .select(col("j"), col("rn") - 1, col("v")).collect()
+      val seeds: Array[Array[Seq[Long]]] = {
+        val a = Array.fill(m)(new Array[Seq[Long]](k))
+        seedRows.foreach(r => a(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2))
+        a
+      }
+      // per-row distance array to the row's OWN subspace's codebook:
+      // 8-way CASE on j, each branch a k-ary array of kernel calls
+      def distsTo(books: Array[Array[Seq[Long]]], v: Column): Column =
+        (0 until m).foldLeft(lit(null)
+            .cast("array<bigint>")) { (acc, j) =>
+          when(col("j") === j, array(books(j).toSeq.map(c =>
+            sqDist(v, typedLit(c))): _*)).otherwise(acc)
+        }
+      def codeOf(books: Array[Array[Seq[Long]]]): Column = {
+        val d = distsTo(books, col("v"))
+        (array_position(d, array_min(d)) - 1L).cast("long")
+      }
+      // one exact floor-average Lloyd round, all subspaces in one agg
+      val upd = sv.withColumn("code", codeOf(seeds))
+        .select(col("j"), col("code"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("j"), col("code"), col("d"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .select(col("j"), col("code"), col("d"),
+          ((col("sx") - pmod(col("sx"), col("n"))) / col("n"))
+            .cast("long").as("cx"))
+        .collect()
+      val books: Array[Array[Seq[Long]]] = seeds.map(_.clone())
+      upd.groupBy(r => (r.getInt(0), r.getLong(1))).foreach {
+        case ((j, code), rows) =>
+          val c = new Array[Long](sub)
+          rows.foreach(r => c(r.getInt(2)) = r.getLong(3))
+          books(j)(code.toInt) = c.toSeq
+      }
+      // corpus encode (all subspaces, zero shuffle) + the query-side
+      // ADC lookup table (64 queries × m×k codes, broadcast)
+      val enc = sv.select(col("vec_id"), col("j"), codeOf(books).as("code"))
+      def distToCode(c: Int): Column =
+        (0 until m).foldLeft(lit(null).cast("long")) { (acc, j) =>
+          when(col("j") === j, sqDist(col("v"), typedLit(books(j)(c))))
+            .otherwise(acc)
+        }
+      val qd = sv.where(col("vec_id") < 64)
+        .select(col("vec_id").as("query_id"), col("j"),
+          posexplode(array((0 until k).map(distToCode): _*))
+            .as(Seq("code_i", "d")))
+        .select(col("query_id"), col("j"),
+          col("code_i").cast("long").as("code"), col("d"))
+      enc.join(broadcast(qd), Seq("j", "code"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("d")).as("adc"))
+        .withColumn("rank", row_number().over(w.partitionBy(col("query_id"))
+          .orderBy(col("adc"), col("vec_id"))))
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("adc"), col("rank"))
+    }),
     "semantic_contamination_portable" -> ((s, dir) => {
       // the HASH-CHECKABLE twin of semantic_contamination: cross-set
       // (train = label≠0 vs eval = label=0) embedding contamination
@@ -4503,6 +4604,70 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, dist, rank FROM rk
        |WHERE rank <= 10""".stripMargin
 
+  /** `pq_adc_portable` unrolled as DuckDB CTEs: per subspace j — slice,
+    * md5-rank seeds, one exact Lloyd round with empty-code carry,
+    * corpus encode, query-side distance table — then the ADC sum over
+    * the m per-subspace parts and the (adc, vec_id)-ranked top 10.
+    */
+  private def pqAdcPortableOracleSql: String = {
+    val m = 8; val sub = 8; val k = 4
+    def dist(a: String, b: String): String =
+      s"list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, ${sub + 1})])"
+    def subspace(j: Int): String = {
+      val lo = j * sub + 1; val hi = (j + 1) * sub
+      s"""sv$j AS (SELECT vec_id, list_slice(q, $lo, $hi) AS v FROM qv),
+         |sd$j AS (SELECT v, md5(CAST(vec_id AS VARCHAR) || '#pq13s$j') AS h
+         |         FROM sv$j ORDER BY h LIMIT $k),
+         |k0$j AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT)
+         |                AS code, v AS c
+         |         FROM sd$j),
+         |pa$j AS (SELECT s.vec_id, s.v, c.code, ${dist("s.v", "c.c")} AS dist
+         |         FROM sv$j s CROSS JOIN k0$j c),
+         |pr$j AS (SELECT vec_id, v, code,
+         |                row_number() OVER (PARTITION BY vec_id
+         |                                   ORDER BY dist, code) AS rn
+         |         FROM pa$j),
+         |pu$j AS (SELECT code, i AS d, sum(v[i]) AS sx, count(*) AS n
+         |         FROM pr$j, range(1, ${sub + 1}) t(i)
+         |         WHERE rn = 1 GROUP BY 1, 2),
+         |pn$j AS (SELECT code,
+         |                list(CAST((sx - (((sx % n) + n) % n)) / n AS BIGINT)
+         |                     ORDER BY d) AS c
+         |         FROM pu$j GROUP BY 1),
+         |k1$j AS (SELECT p.code, coalesce(pn$j.c, p.c) AS c
+         |         FROM k0$j p LEFT JOIN pn$j USING (code)),
+         |ea$j AS (SELECT s.vec_id, c.code, ${dist("s.v", "c.c")} AS dist
+         |         FROM sv$j s CROSS JOIN k1$j c),
+         |enc$j AS (SELECT vec_id, code FROM (
+         |            SELECT vec_id, code,
+         |                   row_number() OVER (PARTITION BY vec_id
+         |                                      ORDER BY dist, code) AS rn
+         |            FROM ea$j) WHERE rn = 1),
+         |qd$j AS (SELECT s.vec_id AS query_id, c.code,
+         |                ${dist("s.v", "c.c")} AS d
+         |         FROM sv$j s CROSS JOIN k1$j c WHERE s.vec_id < 64),
+         |part$j AS (SELECT qd.query_id, e.vec_id, qd.d
+         |           FROM enc$j e JOIN qd$j qd USING (code))""".stripMargin
+    }
+    val union = (0 until m).map(j => s"SELECT * FROM part$j")
+      .mkString("\n       UNION ALL ")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |         [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+       |          for x in embedding] AS q
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |${(0 until m).map(subspace).mkString(",\n")},
+       |adc AS (SELECT query_id, vec_id, sum(d) AS adc
+       |        FROM ($union)
+       |        GROUP BY 1, 2),
+       |rk AS (SELECT query_id, vec_id, CAST(adc AS BIGINT) AS adc,
+       |              CAST(row_number() OVER (PARTITION BY query_id
+       |                   ORDER BY adc, vec_id) AS INT) AS rank
+       |       FROM adc)
+       |SELECT query_id, vec_id AS neighbor_id, adc, rank FROM rk
+       |WHERE rank <= 10""".stripMargin
+  }
+
   /** `semantic_contamination_portable` over the shared assignment:
     * same-cluster train×eval pairs, the cross-multiplied integer
     * cosine-≥-0.35 test (400·dot² ≥ 49·|a|²·|b|²).
@@ -5137,6 +5302,7 @@ object SparkEntry {
     "semantic_prune_portable" -> semanticPrunePortableOracleSql,
     "ann_ivf_topk_portable" -> annIvfPortableOracleSql,
     "semantic_contamination_portable" -> semanticContaminationPortableOracleSql,
+    "pq_adc_portable" -> pqAdcPortableOracleSql,
     "pca_power_portable" -> pcaPowerPortableOracleSql,
     // the exact integer moment pass: quantized products sum exactly as
     // longs in both engines (micro-unit trick, bilinear form)
