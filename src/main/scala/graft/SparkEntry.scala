@@ -354,8 +354,40 @@ object SparkEntry {
     * projection + one k×dim-row aggregate; the k×dim update collects to
     * the driver exactly like the float fit's centroid matrix.
     */
+  /** floor(x·1000 + 0.5) long quantization of an embedding column —
+    * THE portable-family entry point: every engine computes it
+    * IEEE-identically, and all integer twins must share one copy so
+    * the cross-engine hashes can never fork on the quantizer.
+    */
+  private def quantized(emb: Column): Column =
+    transform(emb.cast("array<double>"),
+      x => floor(x * lit(1000.0) + lit(0.5)).cast("long"))
+
+  /** Exact squared-L2 between two array<bigint> columns — the LongDot
+    * kernel on the element-wise difference (one compiled loop; shared
+    * by every portable distance so the arithmetic cannot fork).
+    */
+  private def sqDistL(a: Column, b: Column): Column = {
+    val diff = zip_with(a, b, (x, y) => x - y)
+    graft.functions.Kernels.longDotCol(diff, diff)
+  }
+
+  // memoized per (session, dir) for the fit's CONSUMERS (prune /
+  // contamination / probe twins) — the ivfModelFor convention: the
+  // centroid matrix is a driver value, re-deriving it per query paid
+  // 3 driver actions each. kmeans_profile_portable deliberately calls
+  // the unmemoized fit: it IS the fit's own bench entry (the ivf_topk
+  // counterpart).
+  private val integerLloydCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, Array[Seq[Long]])]
+
+  private def integerLloydFitMemo(s: SparkSession,
+                                  dir: String): (DataFrame, Array[Seq[Long]]) =
+    integerLloydCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), integerLloydFit(s, dir))
+
   private def integerLloydAssigned(s: SparkSession, dir: String): DataFrame =
-    integerLloydFit(s, dir)._1
+    integerLloydFitMemo(s, dir)._1
 
   /** [[integerLloydAssigned]] plus the final integer centroid matrix —
     * the probe-side queries (`ann_ivf_topk_portable`) rank centroids
@@ -364,17 +396,13 @@ object SparkEntry {
   private def integerLloydFit(s: SparkSession,
                               dir: String): (DataFrame, Array[Seq[Long]]) = {
     val embs = t(s, dir, "embeddings").where(col("embedding").isNotNull)
-    val q = embs.select(col("vec_id"),
-      transform(col("embedding").cast("array<double>"),
-        x => floor(x * lit(1000.0) + lit(0.5)).cast("long")).as("q"))
+    val q = embs.select(col("vec_id"), quantized(col("embedding")).as("q"))
       .persist()
     val seedRows = q.select(col("q"),
         md5(concat(col("vec_id").cast("string"), lit("#kp13"))).as("h"))
       .orderBy(col("h")).limit(8).collect()
     var cents: Array[Seq[Long]] = seedRows.map(_.getSeq[Long](0))
-    def distCol(c: Seq[Long]): Column =
-      aggregate(zip_with(col("q"), typedLit(c),
-        (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
+    def distCol(c: Seq[Long]): Column = sqDistL(col("q"), typedLit(c))
     def assigned = {
       val dists = array(cents.toSeq.map(distCol): _*)
       q.withColumn("__dists", dists)
@@ -3286,9 +3314,7 @@ object SparkEntry {
       // keeps the float fidelity story, this pins the distributed
       // moment/projection machinery to a hash.
       val embs = t(s, dir, "embeddings").where(col("embedding").isNotNull)
-      val q = embs.select(col("vec_id"),
-        transform(col("embedding").cast("array<double>"),
-          x => floor(x * lit(1000.0) + lit(0.5)).cast("long")).as("q"))
+      val q = embs.select(col("vec_id"), quantized(col("embedding")).as("q"))
       val mRows = q.select(posexplode(col("q")).as(Seq("d", "v")))
         .groupBy(col("d")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
         .select(col("d"), ((col("sv") - pmod(col("sv"), col("n"))) /
@@ -3493,20 +3519,14 @@ object SparkEntry {
       // this pins the probe MACHINERY itself to a hash. Same pinned
       // 64-query convention as hybrid_rrf_ann; probing 2 of 8 lists
       // reads 1/4 of the corpus per query, the IVF contract.
-      val (assigned, cents) = integerLloydFit(s, dir)
+      val (assigned, cents) = integerLloydFitMemo(s, dir)
       val w = org.apache.spark.sql.expressions.Window
-      // exact squared-L2 of a quantized vector column against X via the
-      // codegen LongDot on the element-wise difference
-      def sqDist(v: Column, x: Column): Column = {
-        val diff = zip_with(v, x, (a, b) => a - b)
-        graft.functions.Kernels.longDotCol(diff, diff)
-      }
       val queries = assigned.where(col("vec_id") < 64)
         .select(col("vec_id").as("query_id"), col("q").as("qq"))
       val probed = queries
         .select(col("query_id"), col("qq"),
           posexplode(array(cents.toSeq.map(c =>
-            sqDist(col("qq"), typedLit(c))): _*)).as(Seq("pl", "cdist")))
+            sqDistL(col("qq"), typedLit(c))): _*)).as(Seq("pl", "cdist")))
         .withColumn("prn", row_number().over(w.partitionBy(col("query_id"))
           .orderBy(col("cdist"), col("pl"))))
         .where(col("prn") <= 2)
@@ -3514,7 +3534,7 @@ object SparkEntry {
           col("pl").cast("long").as("list_id"))
       probed.join(assigned, "list_id")
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          sqDist(col("qq"), col("q")).as("dist"))
+          sqDistL(col("qq"), col("q")).as("dist"))
         .withColumn("rank", row_number().over(w.partitionBy(col("query_id"))
           .orderBy(col("dist"), col("neighbor_id"))))
         .where(col("rank") <= 10)
@@ -3539,18 +3559,12 @@ object SparkEntry {
       // codes-not-vectors contract that makes PQ candidates cheap.
       val embs = t(s, dir, "embeddings").where(col("embedding").isNotNull)
       val m = 8; val sub = 8; val k = 4
-      def sqDist(v: Column, x: Column): Column = {
-        val diff = zip_with(v, x, (a, b) => a - b)
-        graft.functions.Kernels.longDotCol(diff, diff)
-      }
       // ONE exploded (vec, subspace) frame serves every stage: the fit
       // is 2 driver actions TOTAL (seeds, update) instead of 2 per
       // subspace — at 8 subspaces the per-job scheduler latency was
       // the whole cost (10.4 s → ~4 s at sf0.1), and one corpus pass
       // for all m sub-fits is the shape a real PQ fit wants anyway
-      val sv = embs.select(col("vec_id"),
-          transform(col("embedding").cast("array<double>"),
-            x => floor(x * lit(1000.0) + lit(0.5)).cast("long")).as("q"))
+      val sv = embs.select(col("vec_id"), quantized(col("embedding")).as("q"))
         .select(col("vec_id"), posexplode(array((0 until m).map(j =>
           struct(lit(j).as("j"),
             slice(col("q"), j * sub + 1, sub).as("v"),
@@ -3577,7 +3591,7 @@ object SparkEntry {
         (0 until m).foldLeft(lit(null)
             .cast("array<bigint>")) { (acc, j) =>
           when(col("j") === j, array(books(j).toSeq.map(c =>
-            sqDist(v, typedLit(c))): _*)).otherwise(acc)
+            sqDistL(v, typedLit(c))): _*)).otherwise(acc)
         }
       def codeOf(books: Array[Array[Seq[Long]]]): Column = {
         val d = distsTo(books, col("v"))
@@ -3604,7 +3618,7 @@ object SparkEntry {
       val enc = sv.select(col("vec_id"), col("j"), codeOf(books).as("code"))
       def distToCode(c: Int): Column =
         (0 until m).foldLeft(lit(null).cast("long")) { (acc, j) =>
-          when(col("j") === j, sqDist(col("v"), typedLit(books(j)(c))))
+          when(col("j") === j, sqDistL(col("v"), typedLit(books(j)(c))))
             .otherwise(acc)
         }
       val qd = sv.where(col("vec_id") < 64)
@@ -3628,7 +3642,13 @@ object SparkEntry {
       // with the cluster-bounded candidate shape, every float replaced
       // by exact long arithmetic — same integer-grid clusters and
       // LongDot verdict as semantic_prune_portable, tau = 0.35 as the
-      // exact rational 49/400 (dot > 0 ∧ 400·dot² ≥ 49·|a|²·|b|²).
+      // exact rational 49/400 (dot > 0 ∧ 400·dot² ≥ 49·|a|²·|b|²). The
+      // guard's products run in DECIMAL, not LONG: at |q_i| ≤ 2000,
+      // |dot| reaches 2.56e8 and 400·dot² reaches 2.6e19 > 2⁶³ — a
+      // silent long wrap would flip verdicts exactly on the strongest
+      // (near-duplicate) pairs while DuckDB's HUGEINT stays exact.
+      // decimal(19,0) operands keep every product ≤ 31 digits — exact
+      // under Spark's 38-digit cap — for any |q_i| up to 10⁶.
       // Emits every matching (train_id, eval_id, dp) pair; dp is the
       // exact integer dot, so the hash also pins the arithmetic.
       val a = integerLloydAssigned(s, dir)
@@ -3643,13 +3663,15 @@ object SparkEntry {
           col("list_id"))
       def dot(x: Column, y: Column): Column =
         graft.functions.Kernels.longDotCol(x, y)
+      def big(c: Column): Column = c.cast("decimal(19,0)")
       train.join(eval_, "list_id")
         .select(col("train_id"), col("eval_id"),
           dot(col("tq"), col("eq")).as("dp"),
           dot(col("tq"), col("tq")).as("na"),
           dot(col("eq"), col("eq")).as("nb"))
         .where(col("dp") > 0L &&
-          lit(400L) * col("dp") * col("dp") >= lit(49L) * col("na") * col("nb"))
+          big(lit(400L)) * big(col("dp")) * big(col("dp")) >=
+            big(lit(49L)) * big(col("na")) * big(col("nb")))
         .select(col("train_id"), col("eval_id"), col("dp"))
     }),
     "semantic_dup_recall" -> ((s, dir) => {

@@ -83,11 +83,16 @@ object Constraints {
               lit(false))
           else {
             // type-drifted load (the rule was suggested against a
-            // numeric column; today's frame carries something else): a
-            // non-null value that does not even parse as a number is
-            // definitely outside an integral range — COUNT it as a
-            // violation instead of letting an ANSI cast fail the job
-            val v = col(c.column).try_cast("long")
+            // numeric column; today's frame carries something else):
+            // parse as a NUMBER, not as a long — "7.0" must pass an
+            // in-range check on [1,10], and a long try_cast rejects any
+            // fractional rendering. decimal(38,9) keeps giant integral
+            // renderings exact where a double would round 2⁵³-scale
+            // boundaries; a value that does not even parse as a number
+            // (or exceeds the decimal range, hence any long range) is
+            // definitely outside — COUNT it as a violation instead of
+            // letting an ANSI cast fail the job
+            val v = col(c.column).try_cast("decimal(38,9)")
             col(c.column).isNotNull &&
               coalesce(!(v >= c.lo && v <= c.hi), lit(true))
           }

@@ -101,20 +101,13 @@ object Profile {
             oldColumns: Seq[String], newColumns: Seq[String]): DataFrame = {
     require(oldColumns.nonEmpty && newColumns.nonEmpty,
       "need columns on both sides")
-    def typeOf(df: DataFrame, c: String): String =
-      df.schema(c).dataType.simpleString
-    def side(df: DataFrame, cols: Seq[String], tag: String): DataFrame = {
-      val typed = cols.foldLeft(
-        table(df, cols).select(col("column_name"),
-          col("n_nonnull").as(s"${tag}_nonnull"),
-          col("n_distinct").as(s"${tag}_distinct"))
-          .withColumn(s"${tag}_type", lit(null).cast("string"))) {
-        case (acc, c) => acc.withColumn(s"${tag}_type",
-          when(col("column_name") === c, lit(typeOf(df, c)))
-            .otherwise(col(s"${tag}_type")))
-      }
-      typed
-    }
+    // types come straight off the profile's own data_type column (a
+    // driver literal [[table]] already resolves per column)
+    def side(df: DataFrame, cols: Seq[String], tag: String): DataFrame =
+      table(df, cols).select(col("column_name"),
+        col("data_type").as(s"${tag}_type"),
+        col("n_nonnull").as(s"${tag}_nonnull"),
+        col("n_distinct").as(s"${tag}_distinct"))
     side(oldDf, oldColumns, "old")
       .join(side(newDf, newColumns, "new"), Seq("column_name"), "full_outer")
       .select(col("column_name"),

@@ -150,7 +150,19 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
                                   zoneMapCols: Seq[String]): Unit = {
     import graft.operators.Layout
     val statsPath = new org.apache.hadoop.fs.Path(path + ".__zonemap")
+    val old_ = new org.apache.hadoop.fs.Path(path + ".__zonemap.old")
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__zonemap.tmp")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover a crash between park and promote: the parked copy is the
+    // complete frame — restore it rather than silently rebuilding from
+    // one day (which would trip the attach staleness check until
+    // someone re-derived the full stats). A parked copy NEXT TO a live
+    // stats file is a completed promote's leftover — drop it.
+    if (fs.exists(old_)) {
+      if (!fs.exists(statsPath))
+        require(fs.rename(old_, statsPath), s"could not restore $old_")
+      else fs.delete(old_, true)
+    }
     val dayStats = Layout.rawZoneMap(out, col("load_date"), zoneMapCols)
     val combined =
       if (!fs.exists(statsPath)) dayStats
@@ -163,10 +175,13 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
             .unionByName(dayStats)
         else Layout.mergeRawZoneMaps(zoneMapCols)(old, dayStats)
       }
-    val tmp = new org.apache.hadoop.fs.Path(path + ".__zonemap.tmp")
+    // materialize FIRST (combined lazily reads the live stats), then
+    // park-promote-clean: the old frame survives any crash point
     combined.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(statsPath, true)
+    if (fs.exists(statsPath))
+      require(fs.rename(statsPath, old_), s"could not park $statsPath")
     require(fs.rename(tmp, statsPath), s"could not publish $statsPath")
+    fs.delete(old_, true)
   }
 
   /** A2/O3: the empty-input gate — a single global sum collected as a

@@ -203,11 +203,15 @@ object ZoneMapPruning {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
     val prefix = s"$bucketCol="
+    // directory names carry Hive-ESCAPED partition values ("a b" is
+    // written as "a%20b"); the stats render the raw value, so unescape
+    // before comparing or any escapable character reads as STALE
     val onDisk = fs.listStatus(p).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(_.startsWith(prefix))
-      .map(_.stripPrefix(prefix))
+      .map(n => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(n.stripPrefix(prefix)))
     require(!onDisk.contains("__HIVE_DEFAULT_PARTITION__"),
       s"$path has a null-bucket partition directory: rows with a null " +
         s"$bucketCol cannot be represented by an IN-list prune")

@@ -652,10 +652,27 @@ object Streams {
     */
   def ivfIndexView(spark: SparkSession, storePath: String): DataFrame =
     graft.operators.Maintenance.consistentStoreFiles(spark, storePath) match {
-      // crashed-compaction window: read the pre-compaction file set,
-      // with basePath so list_id stays a (prunable) partition column
+      // crashed-compaction window: read the pre-compaction file set.
+      // The set can span TWO roots — files still in the store and files
+      // already parked under <store>.__compact_parked (same list_id=
+      // leaf layout) — and Spark's partition discovery rejects one read
+      // over two base paths ("conflicting directory structures"), so
+      // each root is read under its OWN basePath (keeping list_id a
+      // partition column) and the halves union
       case Some(files) =>
-        spark.read.option("basePath", storePath).parquet(files: _*)
+        val p = new org.apache.hadoop.fs.Path(storePath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val base = fs.makeQualified(p).toString
+        val parkedBase = base + ".__compact_parked"
+        val (parked, live) = files.partition(_.startsWith(parkedBase + "/"))
+        def read(group: Seq[String], b: String) =
+          spark.read.option("basePath", b).parquet(group: _*)
+        (live.nonEmpty, parked.nonEmpty) match {
+          case (true, true) =>
+            read(live, base).unionByName(read(parked, parkedBase))
+          case (true, false) => read(live, base)
+          case _             => read(parked, parkedBase)
+        }
       case None => spark.read.parquet(storePath)
     }
 

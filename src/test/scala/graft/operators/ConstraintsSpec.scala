@@ -108,13 +108,15 @@ class ConstraintsSpec extends SparkTestBase {
     "values as violations instead of failing under ANSI") {
     import graft.TestSpark.spark.implicits._
     // the rule was suggested against yesterday's integral column;
-    // today's load drifted the type to string with one stray value
-    val drifted = Seq("3", "7", "oops", null).toDF("qty")
+    // today's load drifted the type to string with stray values
+    val drifted = Seq("3", "7.0", "10.5", "oops", null).toDF("qty")
     val got = Constraints.audit(drifted, Seq(InRange("qty", 1L, 10L)))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
-    // "3"/"7" parse in range; "oops" is definitely not in [1,10]; the
-    // null passes (unknown) per the SQL CHECK semantics
-    assert(got("in_range(qty,1,10)") == (4L, 1L), got.toString)
+    // "3" and "7.0" parse as NUMBERS in range (a long-only parse would
+    // wrongly flag the fractional rendering); "10.5" parses but is out
+    // of range; "oops" is definitely not in [1,10]; the null passes
+    // (unknown) per the SQL CHECK semantics
+    assert(got("in_range(qty,1,10)") == (5L, 2L), got.toString)
   }
 }

@@ -290,13 +290,18 @@ class MaintenanceSpec extends SparkTestBase {
         col("vec_id"), col("embedding"), k = 5, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val before = probe
-    // crash mid-promotion: every leaf's files parked (preserving the
-    // list_id=N relative layout), one torn folded file promoted,
-    // manifest present with its RELATIVE path
+    // crash mid-PARK: a MIXED state — some leaves' files already parked
+    // (preserving the list_id=N relative layout), others still live in
+    // the store — plus one torn folded file promoted and the manifest
+    // present with its RELATIVE path. The mixed state is the hard case
+    // for the reader: the pre-crash file set spans two roots, which a
+    // single-basePath partition-discovery read rejects outright
     val storeDir = new java.io.File(store)
     val parked = new java.io.File(store + ".__compact_parked")
-    storeDir.listFiles().filter(d => d.isDirectory &&
-        d.getName.startsWith("list_id=")).foreach { leaf =>
+    val leaves = storeDir.listFiles().filter(d => d.isDirectory &&
+      d.getName.startsWith("list_id="))
+    assert(leaves.length > 1, "fixture needs multiple leaves for the mix")
+    leaves.zipWithIndex.filter(_._2 % 2 == 0).map(_._1).foreach { leaf =>
       val dest = new java.io.File(parked, leaf.getName)
       assert(dest.mkdirs())
       leaf.listFiles().filter(f => f.isFile && !f.getName.startsWith(".") &&
