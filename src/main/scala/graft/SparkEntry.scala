@@ -3292,11 +3292,13 @@ object SparkEntry {
     }),
     "kmeans_profile_portable" -> ((s, dir) => {
       // the PORTABLE member of the k-means family (the r12 verdict's
-      // salvage ask): the integerLloydAssigned fit (see its scaladoc —
-      // exact long arithmetic end to end) profiled per cluster; the
+      // salvage ask): the integerLloydFit (see its scaladoc — exact
+      // long arithmetic end to end) profiled per cluster; the
       // (list_id, n_vecs, ssd) rows replay bit-for-bit in DuckDB and
-      // hash-match.
-      integerLloydAssigned(s, dir).groupBy(col("list_id"))
+      // hash-match. Deliberately the UNMEMOIZED fit: this entry prices
+      // the full fit (the ivf_topk convention); the consumer twins
+      // read the memoized model.
+      integerLloydFit(s, dir)._1.groupBy(col("list_id"))
         .agg(count(lit(1)).cast("long").as("n_vecs"),
           sum(col("dist")).cast("long").as("ssd"))
     }),
