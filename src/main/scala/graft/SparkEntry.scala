@@ -384,7 +384,8 @@ object SparkEntry {
   private def integerLloydFitMemo(s: SparkSession,
                                   dir: String): (DataFrame, Array[Seq[Long]]) =
     integerLloydCache.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir), integerLloydFit(s, dir))
+      (s.sparkContext.applicationId, dir),
+      integerLloydFit(s, dir, keepPersisted = true))
 
   private def integerLloydAssigned(s: SparkSession, dir: String): DataFrame =
     integerLloydFitMemo(s, dir)._1
@@ -392,9 +393,20 @@ object SparkEntry {
   /** [[integerLloydAssigned]] plus the final integer centroid matrix —
     * the probe-side queries (`ann_ivf_topk_portable`) rank centroids
     * exactly like the fit's assignment step did.
+    *
+    * `keepPersisted` — the quantized frame `q` backs the fit's 3
+    * driver actions (seed collect + 2 centroid updates) and MUST be
+    * cached for them; whether it stays cached afterwards is the
+    * caller's lifetime decision. The memoized path passes true (one
+    * pinned frame per application, shared by every twin). The default
+    * false unpersists q before returning so an unmemoized call
+    * (`kmeans_profile_portable` — deliberately re-fits, it IS the
+    * fit's bench entry) never leaks a cached frame per invocation;
+    * the returned assignment then lazily re-derives q (one scan +
+    * quantize) on its single downstream action.
     */
-  private def integerLloydFit(s: SparkSession,
-                              dir: String): (DataFrame, Array[Seq[Long]]) = {
+  private def integerLloydFit(s: SparkSession, dir: String,
+      keepPersisted: Boolean = false): (DataFrame, Array[Seq[Long]]) = {
     val embs = t(s, dir, "embeddings").where(col("embedding").isNotNull)
     val q = embs.select(col("vec_id"), quantized(col("embedding")).as("q"))
       .persist()
@@ -431,6 +443,7 @@ object SparkEntry {
       }
       cents = next.map(_.toSeq)
     }
+    if (!keepPersisted) q.unpersist(blocking = false)
     (assigned.select(col("vec_id"), col("q"), col("list_id"), col("dist")),
       cents)
   }
@@ -2862,13 +2875,20 @@ object SparkEntry {
           col("embedding").as("qv"))
       val idx = bm25IndexFor(s, dir, TermWeights.RationalIdf)
       // production bm25Search (not the portable sorted-fold sum) —
-      // same reasoning as hybrid_rrf_ann; the persisted frame is
-      // SHARED by both fusions, so whatever ulp order this run's
-      // partial aggregation picked, both arms rank against identical
-      // lexical scores and the recall measure compares like for like
-      val lex = Bm25.bm25Search(idx, q, col("qid"), col("qtext"), k = 20)
+      // same reasoning as hybrid_rrf_ann; the lex frame is SHARED by
+      // both fusions, so whatever ulp order this run's partial
+      // aggregation picked, both arms rank against identical lexical
+      // scores and the recall measure compares like for like. The
+      // sharing is made HARD, not best-effort: persist() blocks can be
+      // evicted and recomputed between the two fusion reads, and a
+      // recompute may reorder ulp-level BM25 ties — so the |q|·20-row
+      // frame is collected once and recreated as a local DataFrame,
+      // pinning one realization for both arms.
+      val lexPlan = Bm25.bm25Search(idx, q, col("qid"), col("qtext"), k = 20)
         .select(col("query_id"), col("doc_id").as("id"), col("rank"))
-        .persist() // shared by both fusions; tiny (|q| * 20 rows)
+      val lex = s.createDataFrame(
+        s.sparkContext.parallelize(lexPlan.collect().toIndexedSeq, 1),
+        lexPlan.schema)
       val exactDense = Similarity.bruteForceTopK(embs, col("vec_id"),
           col("embedding"), q, col("qid"), col("qv"), k = 20,
           excludeSelf = false)
@@ -3479,8 +3499,13 @@ object SparkEntry {
       // from integerLloydAssigned (bit-exact cross-engine), candidate
       // pairs same-cluster only (the Σ|list|² bound, the production
       // shape), and the cosine-≥-0.4 verdict as the cross-multiplied
-      // integer test dot>0 ∧ 25·dot² ≥ 4·|a|²·|b|² (0.4² = 4/25
-      // exactly; |q| ≤ ~2000 keeps 25·dot² under 2⁶³ at dim 64). CC
+      // integer test dot>0 ∧ 25·dot² ≥ 4·|a|²·|b|². The guard's
+      // products run in DECIMAL, not LONG (same as the contamination
+      // twin): at quantized magnitudes ≳3100 per element, 25·dot²
+      // exceeds 2⁶³ and a silent long wrap would flip verdicts exactly
+      // on the strongest near-duplicate pairs while DuckDB's HUGEINT
+      // oracle stays exact. decimal(19,0) operands keep every product
+      // ≤ 31 digits — exact under Spark's 38-digit cap. CC
       // keep-min-id then replays in DuckDB as the recursive reach from
       // semantic_prune_exact — survivors hash-match end to end.
       import graft.operators.Dedup
@@ -3493,6 +3518,7 @@ object SparkEntry {
       // pair-quadratic hot path
       def dot(x: Column, y: Column): Column =
         graft.functions.Kernels.longDotCol(x, y)
+      def big(c: Column): Column = c.cast("decimal(19,0)")
       val pairs = a.as("x").join(a.as("y"),
           col("x.list_id") === col("y.list_id") &&
             col("x.vec_id") < col("y.vec_id"))
@@ -3501,7 +3527,8 @@ object SparkEntry {
           dot(col("x.q"), col("x.q")).as("na"),
           dot(col("y.q"), col("y.q")).as("nb"))
         .where(col("dp") > 0L &&
-          lit(25L) * col("dp") * col("dp") >= lit(4L) * col("na") * col("nb"))
+          big(lit(25L)) * big(col("dp")) * big(col("dp")) >=
+            big(lit(4L)) * big(col("na")) * big(col("nb")))
         .select(col("id_a"), col("id_b"))
       val cc = Dedup.connectedComponents(pairs, checkpointEvery = 4)
       val drops = cc.filter(col("id") =!= col("comp"))

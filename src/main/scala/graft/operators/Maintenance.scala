@@ -308,25 +308,35 @@ object Maintenance {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = new Path(path + ".__compact_manifest")
     if (!fs.exists(manifest)) return None
-    val in = fs.open(manifest)
-    val folded =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).split("\n")
-        .map(_.trim).filter(_.nonEmpty).toSet
-      finally in.close()
-    val parked = new Path(path + ".__compact_parked")
-    val live =
-      if (fs.exists(p)) dataFilesRecursive(fs, p)
-      else Array.empty[FileStatus]
-    val parkedFiles =
-      if (fs.exists(parked)) dataFilesRecursive(fs, parked)
-      else Array.empty[FileStatus]
-    val byRel = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    live.filterNot(f => folded.contains(relPath(p, f.getPath)))
-      .foreach(f => byRel(relPath(p, f.getPath)) = f.getPath.toString)
-    parkedFiles.foreach(f =>
-      byRel(relPath(parked, f.getPath)) = f.getPath.toString)
-    Some(byRel.values.toSeq)
+    // A LIVE compaction can commit (delete the manifest) between the
+    // exists check above and any read below, and its parked/tmp dirs
+    // vanish moments later — that is not a failure but the signal that
+    // the store is consistent again: fall back to the plain directory
+    // read (None) instead of surfacing a transient FileNotFound to the
+    // serving view.
+    try {
+      val in = fs.open(manifest)
+      val folded =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).split("\n")
+          .map(_.trim).filter(_.nonEmpty).toSet
+        finally in.close()
+      val parked = new Path(path + ".__compact_parked")
+      val live =
+        if (fs.exists(p)) dataFilesRecursive(fs, p)
+        else Array.empty[FileStatus]
+      val parkedFiles =
+        if (fs.exists(parked)) dataFilesRecursive(fs, parked)
+        else Array.empty[FileStatus]
+      val byRel = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      live.filterNot(f => folded.contains(relPath(p, f.getPath)))
+        .foreach(f => byRel(relPath(p, f.getPath)) = f.getPath.toString)
+      parkedFiles.foreach(f =>
+        byRel(relPath(parked, f.getPath)) = f.getPath.toString)
+      Some(byRel.values.toSeq)
+    } catch {
+      case _: java.io.FileNotFoundException => None
+    }
   }
 
   /** Repair an interrupted [[compactStore]] (crash matrix in its

@@ -164,17 +164,57 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
       else fs.delete(old_, true)
     }
     val dayStats = Layout.rawZoneMap(out, col("load_date"), zoneMapCols)
-    val combined =
-      if (!fs.exists(statsPath)) dayStats
-      else {
-        val old = spark.read.parquet(statsPath.toString)
+    val fileCols = Seq("n_files", "n_bytes")
+    val oldAll = if (fs.exists(statsPath))
+      Some(spark.read.parquet(statsPath.toString)) else None
+    // box logic runs on fingerprint-less frames (mergeRawZoneMaps folds
+    // exactly the min_/max_/n_rows shape); the per-bucket file
+    // fingerprints are re-attached afterwards from their own truth —
+    // other days keep their recorded fingerprint (their directories are
+    // untouched by a dated write), the written day gets a FRESH listing
+    // of its partition directory, the source the attach-time staleness
+    // check relists against
+    val boxes = oldAll match {
+      case None => dayStats
+      case Some(oldWithFiles) =>
+        val old = oldWithFiles.drop(fileCols: _*)
         if (m == SaveMode.Overwrite)
           // the day's partition was replaced wholesale; other days keep
           // their rows verbatim
           old.where(col("bucket").cast("string") =!= lit(d.toString))
             .unionByName(dayStats)
         else Layout.mergeRawZoneMaps(zoneMapCols)(old, dayStats)
+    }
+    val otherDayFiles = oldAll match {
+      case Some(o) if fileCols.forall(o.columns.contains) =>
+        o.select(col("bucket").cast("string").as("__fp_bucket"),
+            col("n_files").cast("long").as("n_files"),
+            col("n_bytes").cast("long").as("n_bytes"))
+          .where(col("__fp_bucket") =!= lit(d.toString))
+      case _ => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__fp_bucket",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_files",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_bytes",
+            org.apache.spark.sql.types.LongType))))
+    }
+    val dayDir = new org.apache.hadoop.fs.Path(s"$path/load_date=$d")
+    val dayFiles = graft.plans.ZoneMapPruning.bucketFileStats(fs, dayDir)
+      .map { case (nf, nb) =>
+        import spark.implicits._
+        Seq((d.toString, nf, nb)).toDF("__fp_bucket", "n_files", "n_bytes")
       }
+    val fingerprints = dayFiles match {
+      case Some(df) => otherDayFiles.unionByName(df)
+      case None     => otherDayFiles
+    }
+    val combined = boxes.join(fingerprints,
+        boxes("bucket").cast("string") === fingerprints("__fp_bucket"),
+        "left")
+      .drop("__fp_bucket")
     // materialize FIRST (combined lazily reads the live stats), then
     // park-promote-clean: the old frame survives any crash point
     combined.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -182,6 +222,10 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
       require(fs.rename(statsPath, old_), s"could not park $statsPath")
     require(fs.rename(tmp, statsPath), s"could not publish $statsPath")
     fs.delete(old_, true)
+    // in-JVM push: a session that ATTACHED this table before this write
+    // must not keep pruning against the stale in-memory boxes
+    graft.plans.ZoneMapPruning.refreshIfAttached(spark, path,
+      statsPath.toString)
   }
 
   /** A2/O3: the empty-input gate — a single global sum collected as a

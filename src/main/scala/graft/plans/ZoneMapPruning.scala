@@ -69,10 +69,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *     disk must have a stats row, else attach fails loudly
   *     (O(buckets) listing, no data I/O; skipped when the table path
   *     is absent — registration-before-write stays legal). This
-  *     catches whole-bucket gaps (the missing-batch case); intra-
-  *     bucket staleness (appends into an existing bucket under an
-  *     unchanged stats frame) is undetectable without reading footers
-  *     and remains the writer's contract.
+  *     catches whole-bucket gaps (the missing-batch case); when the
+  *     stats additionally carry per-bucket `n_files`/`n_bytes`
+  *     fingerprints (the [[graft.pipelines.PipelineContext.saveTable]]
+  *     `zoneMapCols` writer records them for free from its own
+  *     listing), INTRA-bucket staleness — appends into an existing
+  *     bucket under an unchanged stats frame — also fails the attach
+  *     loudly (one listStatus per bucket, still metadata-only).
+  *     Fingerprint-less stats (streaming store views, hand-derived
+  *     frames) keep intra-bucket freshness as the writer's contract.
+  *     Within one JVM the writer also pushes: a `.__zonemap` refresh
+  *     re-registers any attached table ([[refreshIfAttached]]), so an
+  *     attach that predates a later dated write never keeps pruning
+  *     against stale in-memory boxes.
   *
   * The bucket (partition) column may be integral, string, or DATE —
   * the last serves the pipelines' `load_date=` staging layout
@@ -181,11 +190,61 @@ object ZoneMapPruning {
         else Some((r.get(1 + 2 * i), r.get(2 + 2 * i)))
       })
     }
-    validateBucketCoverage(spark, path, bucketCol, boxes.map(_.bucket).toSet)
+    // optional per-bucket file stats (`n_files`/`n_bytes`, written by
+    // Core.refreshZoneMapStats from the writer's own listing) extend
+    // the coverage tripwire to INTRA-bucket staleness; frames without
+    // them (streaming store views, hand-derived stats) keep the
+    // whole-bucket check only
+    val fileStats: Map[String, (Long, Long)] =
+      if (stats.columns.contains("n_files") &&
+          stats.columns.contains("n_bytes")) {
+        stats.select(
+            org.apache.spark.sql.functions.col("bucket").cast("string"),
+            org.apache.spark.sql.functions.col("n_files").cast("long"),
+            org.apache.spark.sql.functions.col("n_bytes").cast("long"))
+          .collect()
+          .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      } else Map.empty
+    validateBucketCoverage(spark, path, bucketCol,
+      boxes.map(_.bucket).toSet, fileStats)
     registry.put(canonical(spark, path),
       TableStats(bucketCol, dims, boxes.toSeq))
     install(spark)
   }
+
+  /** Writer-side notification (Core.saveTable's `zoneMapCols` path):
+    * when a `.__zonemap` refresh lands for a table this JVM has
+    * ATTACHED, re-register it from the freshly published stats so a
+    * session that attached before a later dated write never keeps
+    * pruning against the stale in-memory boxes (the silent-wrong-
+    * results mode the soundness note warns about). No-op when the
+    * table was never attached; metadata-sized read when it was.
+    */
+  def refreshIfAttached(spark: SparkSession, path: String,
+                        statsPath: String): Unit =
+    registry.get(canonical(spark, path)).foreach { ts =>
+      attachFromStats(spark, path, ts.bucketCol,
+        spark.read.parquet(statsPath))
+    }
+
+  /** Count + total bytes of the non-hidden data files directly under
+    * `dir` — the shared definition of a bucket's file fingerprint, so
+    * the stats writer ([[graft.pipelines.PipelineContext]]) and the
+    * attach-time check below can never disagree on what counts as a
+    * data file. None when the directory does not exist.
+    */
+  private[graft] def bucketFileStats(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[(Long, Long)] =
+    if (!fs.exists(dir)) None
+    else {
+      val files = fs.listStatus(dir).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      Some((files.length.toLong, files.map(_.getLen).sum))
+    }
 
   /** Freshness tripwire for the metadata attach paths (see the
     * soundness scaladoc): when the table directory exists and is laid
@@ -195,10 +254,23 @@ object ZoneMapPruning {
     * drop its rows. O(buckets) directory listing, no data I/O; a
     * missing table path is fine (stats may legally be registered
     * before the first write lands).
+    *
+    * When the stats carry per-bucket file fingerprints (`fileStats`,
+    * from the writer's own listing at refresh time), the check goes
+    * one level deeper: a bucket directory whose CURRENT file
+    * count/bytes differ from the fingerprint means files were appended
+    * (or rewritten) into an existing bucket after the stats were
+    * derived — previously the undetectable staleness mode — and the
+    * attach fails loudly instead of silently pruning the new rows.
+    * Cost rises from O(buckets) to O(files), still metadata-only (one
+    * listStatus per fingerprinted bucket, no data I/O); buckets
+    * without a fingerprint (older stats, streaming store views) keep
+    * the whole-bucket check only.
     */
-  private def validateBucketCoverage(spark: SparkSession, path: String,
-                                     bucketCol: String,
-                                     statBuckets: Set[String]): Unit = {
+  private def validateBucketCoverage(
+      spark: SparkSession, path: String, bucketCol: String,
+      statBuckets: Set[String],
+      fileStats: Map[String, (Long, Long)] = Map.empty): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
@@ -206,12 +278,15 @@ object ZoneMapPruning {
     // directory names carry Hive-ESCAPED partition values ("a b" is
     // written as "a%20b"); the stats render the raw value, so unescape
     // before comparing or any escapable character reads as STALE
-    val onDisk = fs.listStatus(p).toSeq
+    val dirs = fs.listStatus(p).toSeq
       .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith(prefix))
-      .map(n => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(n.stripPrefix(prefix)))
+      .filter(_.getPath.getName.startsWith(prefix))
+      .map { st =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(st.getPath.getName.stripPrefix(prefix)) ->
+          st.getPath
+      }
+    val onDisk = dirs.map(_._1)
     require(!onDisk.contains("__HIVE_DEFAULT_PARTITION__"),
       s"$path has a null-bucket partition directory: rows with a null " +
         s"$bucketCol cannot be represented by an IN-list prune")
@@ -223,6 +298,24 @@ object ZoneMapPruning {
         "directories with no stats row — pruning would silently drop " +
         "their rows; re-derive the stats (Layout.rawZoneMap) or attach " +
         "from the current stats store")
+    val changed = dirs.flatMap { case (bucket, dir) =>
+      fileStats.get(bucket).flatMap { case (nf, nb) =>
+        bucketFileStats(fs, dir) match {
+          case Some((curF, curB)) if curF != nf || curB != nb =>
+            Some(s"$prefix$bucket (stats: $nf files/$nb bytes, " +
+              s"disk: $curF files/$curB bytes)")
+          case _ => None
+        }
+      }
+    }
+    require(changed.isEmpty,
+      s"zone-map stats for $path are STALE inside existing buckets: " +
+        s"${changed.take(4).mkString("; ")}" +
+        s"${if (changed.length > 4) "; ..." else ""} — files landed in " +
+        "these partition directories after the stats were derived; " +
+        "pruning could silently drop the new rows. Re-run the stats " +
+        "writer (Core.saveTable zoneMapCols / Layout.rawZoneMap) and " +
+        "re-attach")
   }
 
   /** Register `path` for pruning from an APPEND-ONLY zone-stats slice

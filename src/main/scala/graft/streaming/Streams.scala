@@ -467,8 +467,15 @@ object Streams {
     */
   private def readStore(spark: SparkSession, storePath: String): DataFrame =
     graft.operators.Maintenance.consistentStoreFiles(spark, storePath) match {
-      case Some(files) => spark.read.parquet(files: _*)
-      case None        => spark.read.parquet(storePath)
+      case Some(files) =>
+        // a LIVE compaction can commit between the listing and this
+        // read's footer pass (parked files vanish) — the store is
+        // consistent again, so fall back to the plain directory read
+        try spark.read.parquet(files: _*)
+        catch { case _: java.io.FileNotFoundException =>
+          spark.read.parquet(storePath)
+        }
+      case None => spark.read.parquet(storePath)
     }
 
   def zoneStatsView(spark: SparkSession, storePath: String): DataFrame = {
@@ -667,11 +674,16 @@ object Streams {
         val (parked, live) = files.partition(_.startsWith(parkedBase + "/"))
         def read(group: Seq[String], b: String) =
           spark.read.option("basePath", b).parquet(group: _*)
-        (live.nonEmpty, parked.nonEmpty) match {
+        // same commit race as readStore: parked files can vanish
+        // between the listing and the footer pass — fall back to the
+        // (now consistent) plain directory read
+        try (live.nonEmpty, parked.nonEmpty) match {
           case (true, true) =>
             read(live, base).unionByName(read(parked, parkedBase))
           case (true, false) => read(live, base)
           case _             => read(parked, parkedBase)
+        } catch { case _: java.io.FileNotFoundException =>
+          spark.read.parquet(storePath)
         }
       case None => spark.read.parquet(storePath)
     }

@@ -476,6 +476,51 @@ class PipelineSpec extends SparkTestBase {
     assert(e.getMessage.contains("STALE"), e.getMessage)
   }
 
+  test("zone-map freshness: an out-of-band append INTO an existing " +
+    "bucket fails the attach (file-fingerprint check), and an in-band " +
+    "dated write auto-refreshes an already-attached registration") {
+    import graft.TestSpark.spark.implicits._
+    import graft.sinks.Contract
+    import graft.plans.ZoneMapPruning
+    import org.apache.spark.sql.types._
+    val (c, _) = ctx("zm_fresh", SaveMode.Append)
+    val contract = Contract("events_zmf", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    val d1 = java.sql.Date.valueOf("2024-06-01")
+    val d2 = java.sql.Date.valueOf("2024-06-02")
+    def save(rows: Seq[(Long, String)], d: java.sql.Date) =
+      c.saveTable(rows.toDF("id", "v"), contract, loadDate = Some(d),
+        zoneMapCols = Seq("id"))
+    save(Seq((1L, "a"), (2L, "b")), d1)
+    val path = s"${c.stagingDir}/events_zmf"
+    val statsPath = path + ".__zonemap"
+    // in-JVM push: attach FIRST, then land a later dated write without
+    // re-attaching — the write's stats refresh must re-register the
+    // table, so a data-column query still reaches the new day's rows
+    ZoneMapPruning.attachFromStats(spark, path, "load_date",
+      spark.read.parquet(statsPath))
+    try {
+      save(Seq((500L, "c")), d2)
+      val q = spark.read.parquet(path).where(col("id") === 500L)
+      assert(q.count() == 1,
+        "a dated write after attach must auto-refresh the registration " +
+          "— the stale in-memory boxes would have pruned day 2")
+    } finally ZoneMapPruning.detach(spark, path)
+    // out-of-band append INTO the existing d1 bucket (bypasses the
+    // stats writer): the per-bucket file fingerprint no longer matches
+    // the directory, so the attach must fail loudly instead of
+    // silently pruning the appended rows
+    Seq((999L, "x")).toDF("id", "v")
+      .write.mode(SaveMode.Append)
+      .parquet(s"$path/load_date=$d1")
+    val e = intercept[IllegalArgumentException] {
+      ZoneMapPruning.attachFromStats(spark, path, "load_date",
+        spark.read.parquet(statsPath))
+    }
+    assert(e.getMessage.contains("STALE inside existing buckets"),
+      e.getMessage)
+  }
+
   test("compactPartition collapses a day's small files, preserves data and siblings") {
     import graft.TestSpark.spark.implicits._
     val dir = tempDir("compact").toString + "/t"
