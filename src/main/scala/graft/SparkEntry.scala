@@ -1,11 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.functions.{Fingerprint, Fnv64, LogParse, TextFunctions, Timestamps, VectorFunctions}
-import graft.operators.{Dedup, Explodes, Flatten, Multimodal, Sampling, Similarity}
-import graft.sources.Tables
+import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,6 +18,13 @@ import graft.sources.Tables
   *   - ratios are single IEEE divisions of integers — bit-identical;
   *   - timestamps are output as TIMESTAMP_NTZ (naive, like DuckDB);
   *   - every computed column is aliased identically in Spark and SQL.
+  *
+  * The registry itself lives in per-family slices under
+  * [[graft.queries]] (QueriesCore / QueriesDedup / QueriesText /
+  * QueriesAnn / QueriesMultimodal, with the oracle SQL in OracleSqlA/B
+  * and shared plumbing in QueryHelpers) — SparkEntry.scala passed
+  * 8,000 LoC as one file and the slices are a pure mechanical split.
+  * This object stays the single composition point the harness calls.
   */
 object SparkEntry {
 
@@ -35,8136 +39,52 @@ object SparkEntry {
     // lineage-persist machinery end-to-end (476 rows at sf0.001)
     queries("corpus_curation")(spark, "/root/testdata/sf0.001")
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesCore.queries ++ QueriesDedup.queries ++ QueriesText.queries ++
+      QueriesAnn.queries ++ QueriesMultimodal.queries
 
-  /** Deterministic CDC delta for the cdc_merge/cdc_merge_summary pair:
-    * inserts (src15-19), updates (in-range de docs uppercased), deletes
-    * (doc_id%7), a later-seq re-upsert (doc_id%11 — overrides the
-    * delete where both hit) and a latest-seq delete of a not-in-base id
-    * (src15-19 ∧ doc_id%13 — cancels its own insert AND exercises the
-    * delete_noop action). (doc_id, seq) is unique by construction: each
-    * branch uses a distinct seq except inserts/updates, whose id sets
-    * are disjoint (source ranges don't overlap).
+  def oracleSql: Map[String, String] = OracleSqlA.map ++ OracleSqlB.map
+
+  /** Benchmark accounting tag per registered query, carried into the
+    * bench spread artifact so round-over-round totals can separate the
+    * ENGINE's trend from the cost of oracle service:
+    *   - `production` — the shape a user of the library would run;
+    *     the production-only total is the engine's number;
+    *   - `portable-twin` — exists to serve the DuckDB hash oracle
+    *     (exact integer/md5 arithmetic twins of a float production
+    *     query, or capped all-pairs oracle anchors); its cost prices
+    *     cross-engine verification, not the engine;
+    *   - `gate` — an in-plan quality assertion (recall floors,
+    *     identity checks) that intentionally runs BOTH an exact and an
+    *     approximate arm; its cost prices the check, not either arm.
+    * Rules (auditable, not per-query judgment): name ends `_recall` or
+    * `_gate` → gate (except `q_agg_gate`, which IMPLEMENTS the
+    * reference's empty-input-gate operator and is oracle-checked
+    * production); name ends `_portable` → portable-twin; plus the
+    * explicit oracle-anchor set below (capped all-pairs `_exact`
+    * anchors, `hybrid_rrf` with its deliberately portable BM25 sum,
+    * `bm25_search_rational` with the rational-IDF oracle weighting).
     */
-  private def cdcChanges(docs: DataFrame, base: DataFrame): DataFrame = {
-    val inserts = docs.filter(col("source").rlike("^src1[5-9]$"))
-      .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
-        col("text"), col("lang"), col("source"), col("n_chars"))
-    val updates = docs.filter(col("source").rlike("^src([5-9]|1[0-4])$") &&
-        col("lang") === "de")
-      .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
-        upper(col("text")).as("text"), col("lang"), col("source"),
-        col("n_chars"))
-    val deletes = base.filter(col("doc_id") % 7 === 0)
-      .select(col("doc_id"), lit(2L).as("seq"), lit("delete").as("op"),
-        col("text"), col("lang"), col("source"), col("n_chars"))
-    val lateUpserts = base.filter(col("doc_id") % 11 === 0)
-      .select(col("doc_id"), lit(3L).as("seq"), lit("upsert").as("op"),
-        concat(col("text"), lit(" [v3]")).as("text"), col("lang"),
-        col("source"), col("n_chars"))
-    val lateDeletes = docs.filter(col("source").rlike("^src1[5-9]$") &&
-        col("doc_id") % 13 === 0)
-      .select(col("doc_id"), lit(4L).as("seq"), lit("delete").as("op"),
-        col("text"), col("lang"), col("source"), col("n_chars"))
-    inserts.unionByName(updates).unionByName(deletes)
-      .unionByName(lateUpserts).unionByName(lateDeletes)
+  def queryTags: Map[String, String] = {
+    val twinAnchors = Set("hybrid_rrf", "bm25_search_rational",
+      "source_jaccard_exact", "fuzzy_pairs_exact", "embed_near_dup_exact",
+      "semantic_prune_exact", "semantic_contamination_exact")
+    queries.keysIterator.map { n =>
+      n -> {
+        if ((n.endsWith("_recall") || n.endsWith("_gate")) &&
+          n != "q_agg_gate") "gate"
+        else if (n.endsWith("_portable") || twinAnchors(n)) "portable-twin"
+        else "production"
+      }
+    }.toMap
   }
 
-  /** Image-variant corpus for the image_near_dup pair: ≤64 anchor docs
-    * (doc_id % 8 = 0, doc_id < 512 — the capped-anchor convention, flat
-    * across SFs) rendered as PNG originals plus ONE planted variant
-    * each, kind = (doc_id % 24)/8: 0 → BMP re-encode of the SAME pixels
-    * (content dup, zero shared bytes), 1 → crop (offset (1,1), dims
-    * −1), 2 → unrelated (seed + 7777). Variant asset ids are
-    * doc_id + 100000. Returns (media frame, variant descriptor frame).
+  /** Store names [[warmCaches]] understands — forwarded from
+    * [[graft.queries.QueryHelpers]] for the bench harness.
     */
-  private def imageVariantCorpus(s: SparkSession,
-                                 dir: String): (DataFrame, DataFrame) = {
-    import graft.operators.Multimodal
-    val anchors = t(s, dir, "documents")
-      .filter(col("doc_id") % 8 === 0 && col("doc_id") < 512)
-      .select(col("doc_id"))
-    val kind = ((col("doc_id") % 24) / 8).cast("int")
-    val originals = anchors.select(
-      col("doc_id").as("img_id"), col("doc_id").as("seed"),
-      (col("doc_id") % 13 + 4).cast("int").as("w"),
-      (col("doc_id") % 11 + 3).cast("int").as("h"),
-      lit(0).as("dx"), lit(0).as("dy"), lit("png").as("fmt"))
-    val variants = anchors.select(
-      (col("doc_id") + 100000).as("img_id"),
-      when(kind === 2, col("doc_id") + 7777).otherwise(col("doc_id"))
-        .as("seed"),
-      when(kind === 1, col("doc_id") % 13 + 3)
-        .otherwise(col("doc_id") % 13 + 4).cast("int").as("w"),
-      when(kind === 1, col("doc_id") % 11 + 2)
-        .otherwise(col("doc_id") % 11 + 3).cast("int").as("h"),
-      when(kind === 1, 1).otherwise(0).as("dx"),
-      when(kind === 1, 1).otherwise(0).as("dy"),
-      when(kind === 0, "bmp").otherwise("png").as("fmt"))
-    val spec = originals.unionByName(variants)
-    (Multimodal.synthesizeImageVariants(spec, col("img_id"), col("seed"),
-      col("w"), col("h"), col("dx"), col("dy"), col("fmt")), spec)
-  }
+  val AllStores: Set[String] = QueryHelpers.AllStores
 
-  /** Audio-variant corpus for audio_near_dup — same anchor/kind scheme
-    * as [[imageVariantCorpus]] over chirp clips: kind 0 → AIFF
-    * re-encode of the same samples (content dup, big-endian container:
-    * zero shared bytes with the WAV), 1 → truncation to 4/5 length,
-    * 2 → unrelated seed (+7777).
-    */
-  private def audioVariantCorpus(s: SparkSession,
-                                 dir: String): (DataFrame, DataFrame) = {
-    import graft.operators.Multimodal
-    val anchors = t(s, dir, "documents")
-      .filter(col("doc_id") % 8 === 0 && col("doc_id") < 512)
-      .select(col("doc_id"))
-    val kind = ((col("doc_id") % 24) / 8).cast("int")
-    val n = col("doc_id") % 97 + 40
-    val originals = anchors.select(
-      col("doc_id").as("clip_id"), col("doc_id").as("seed"),
-      n.cast("int").as("n"), lit("wav").as("ft"))
-    val variants = anchors.select(
-      (col("doc_id") + 100000).as("clip_id"),
-      when(kind === 2, col("doc_id") + 7777).otherwise(col("doc_id"))
-        .as("seed"),
-      when(kind === 1, (n * 4 / 5).cast("int")).otherwise(n.cast("int"))
-        .as("n"),
-      when(kind === 0, "aiff").otherwise("wav").as("ft"))
-    val spec = originals.unionByName(variants)
-    (Multimodal.synthesizeAudioVariants(spec, col("clip_id"), col("seed"),
-      col("n"), col("ft")), spec)
-  }
-
-  /** Video-variant corpus for video_near_dup — the same anchor scheme
-    * with TWO kinds (alternating by (doc_id % 16)/8): 0 → the same
-    * sloped-pixel frames re-encoded as BMP inside the container
-    * (content dup, zero shared bytes with the PNG-framed original),
-    * 1 → unrelated (seed + 7777). 6×4 frames, doc_id%7+3 of them.
-    */
-  private def videoVariantCorpus(s: SparkSession,
-                                 dir: String): (DataFrame, DataFrame) = {
-    import graft.operators.Multimodal
-    val anchors = t(s, dir, "documents")
-      .filter(col("doc_id") % 8 === 0 && col("doc_id") < 512)
-      .select(col("doc_id"))
-    val kind = ((col("doc_id") % 16) / 8).cast("int")
-    val nf = (col("doc_id") % 7 + 3).cast("int")
-    val originals = anchors.select(
-      col("doc_id").as("vid_id"), col("doc_id").as("seed"),
-      nf.as("nf"), lit("png").as("fmt"))
-    val variants = anchors.select(
-      (col("doc_id") + 100000).as("vid_id"),
-      when(kind === 1, col("doc_id") + 7777).otherwise(col("doc_id"))
-        .as("seed"),
-      nf.as("nf"),
-      when(kind === 0, "bmp").otherwise("png").as("fmt"))
-    val spec = originals.unionByName(variants)
-    (Multimodal.synthesizeVideoVariants(spec, col("vid_id"), col("seed"),
-      col("nf"), col("fmt"), w = 6, h = 4), spec)
-  }
-
-  // trained BPE merge tables, one per (application, table dir): training
-  // is a driver loop of count jobs that a production run pays once per
-  // vocabulary, not once per encode — memoizing keeps bpe_encode's
-  // timed passes measuring the encode path (the sigstore convention)
-  private val bpeMergeCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(String, String)]]
-
-  // materialized BM25 indexes, one per (application, table dir, idf
-  // flavour) — same sigstore convention as the merges above: a lexical
-  // index is built once and searched millions of times, so the three
-  // search-side queries (bm25_search, bm25_search_rational, hybrid_rrf)
-  // measure the SEARCH path against a persisted index; bm25_index
-  // itself keeps timing the full build
-  private val bm25IndexCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String, String), org.apache.spark.sql.DataFrame]
-
-  private def bm25IndexFor(s: SparkSession, dir: String,
-                           weight: graft.operators.TermWeights.IdfWeight)
-      : DataFrame =
-    bm25IndexCache.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir, weight.getClass.getSimpleName), {
-        import graft.operators.Bm25
-        val idx = Bm25.bm25Index(Tables.load(s, dir, "documents"),
-            col("doc_id"), col("text"), k1 = 1.2, b = 0.75, weight = weight)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        idx.count() // materialize now so timed passes measure search
-        idx
-      })
-
-  // the dense-side sigstore: an IVF index (centroid model + corpus
-  // assignment) is fit/written ONCE and probed millions of times, so
-  // the hybrid ANN queries measure the PROBE path against a memoized
-  // model — same convention as the BM25 index above. The model is the
-  // bit-reproducible quantized distributed fit (nlist=16, seed 42), so
-  // memoization changes cost only, never results. ivf_topk keeps
-  // timing its full build deliberately (the bm25_index counterpart).
-  private val ivfModelCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), graft.operators.Ivf.IvfModel]
-
-  private def ivfModelFor(s: SparkSession, dir: String)
-      : graft.operators.Ivf.IvfModel =
-    ivfModelCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
-      val embs = Tables.load(s, dir, "embeddings")
-      graft.operators.Ivf.fitDistributed(embs, col("vec_id"),
-        col("embedding"), nlist = 16)
-    })
-
-  /** Store kinds [[warmCaches]] knows how to pre-materialize. */
-  val AllStores: Set[String] = Set("bpe", "bm25", "ivf")
-
-  /** Pre-materialize the requested memoized per-(session, dir) stores —
-    * the trained BPE merge table, the BM25 index flavours, the IVF
-    * model — and report what happened to each. Exists so Bench can
-    * warm them EXPLICITLY before timed passes and log the outcome: the
-    * sigstore convention prices store BUILD in setup and the read path
-    * in the timed loop, and without this call that split silently
-    * depended on which query's first pass happened to run first (a
-    * runner reorder would fold a build into one query's timing with
-    * nothing saying so). The guarantee differs by store kind: the BPE
-    * merges and IVF model are DRIVER-side values — once built they
-    * stay warm for every pass — while the BM25 entries are persisted
-    * DataFrames whose cached blocks Bench's per-pass equal-cold
-    * `clearCache()` deliberately drops, so BM25 search passes still
-    * re-derive the index inside the timed plan (conservative: searches
-    * never measure faster than a cold run) and the warm genuinely
-    * holds only for consumers that do not clear the cache (Verify).
-    * `stores` selects which kinds to build — a focused bench rerun
-    * must not pay a k-means fit for a BPE-only selection. Idempotent:
-    * a second call reports `already-warm` and does no work
-    * (spec-pinned).
-    */
   def warmCaches(s: SparkSession, dir: String,
-                 stores: Set[String] = AllStores): Seq[String] = {
-    import graft.operators.{BpeStats, TermWeights}
-    require(stores.subsetOf(AllStores), s"unknown stores: ${stores -- AllStores}")
-    val app = s.sparkContext.applicationId
-    val report = Seq.newBuilder[String]
-    if (stores("bpe")) {
-      val had = bpeMergeCache.contains((app, dir))
-      bpeMergeCache.getOrElseUpdate((app, dir),
-        BpeStats.trainMerges(t(s, dir, "documents"), col("text"), steps = 6))
-      report += s"bpe_merges=${if (had) "already-warm" else "warmed"}"
-    }
-    if (stores("bm25"))
-      Seq(TermWeights.RationalIdf, TermWeights.LogIdf).foreach { w =>
-        val flavour = w.getClass.getSimpleName
-        val had = bm25IndexCache.contains((app, dir, flavour))
-        bm25IndexFor(s, dir, w)
-        report += s"bm25_index_$flavour=${if (had) "already-warm" else "warmed"}"
-      }
-    if (stores("ivf")) {
-      val had = ivfModelCache.contains((app, dir))
-      ivfModelFor(s, dir)
-      report += s"ivf_model=${if (had) "already-warm" else "warmed"}"
-    }
-    report.result()
-  }
-
-  /** Pinned merge table for `bpe_encode_portable` — a FIXED bounded
-    * vocabulary (vs the runtime-trained list `bpe_encode` uses), which
-    * is what lets the encode kernel be held to a DuckDB oracle: the
-    * oracle SQL is GENERATED from this same constant by folding each
-    * merge into one string `replace` over delimiter-wrapped tokens
-    * (greedy left-to-right non-overlapping replace ≡ the kernel's
-    * per-merge pass, see [[bpeEncodePortableOracle]]). The list is
-    * deliberately adversarial: an overlapping self-pair
-    * (order,order), second-order merges consuming first-order outputs
-    * ((orderorder,order), (aggpart,filter)), and pairs that may never
-    * occur (each still costs the kernel one scan).
-    */
-  private val BpePortableMerges: Seq[(String, String)] = Seq(
-    ("order", "order"), ("orderorder", "order"), ("order", "fast"),
-    ("agg", "part"), ("aggpart", "filter"), ("data", "slow"),
-    ("scan", "a"), ("stream", "column"), ("window", "join"),
-    ("join", "column"), ("line", "agg"), ("line", "group"),
-    ("the", "batch"), ("sort", "merge"), ("key", "data"),
-    ("orderfast", "keydata"))
-
-  /** DuckDB twin of the merge-kernel encode over [[BpePortableMerges]]:
-    * tokens wrap as chr(2)tok chr(3) so one `replace` per merge is
-    * exactly one greedy left-to-right non-overlapping pass — the
-    * wrapped form makes adjacent matches share no delimiter characters,
-    * so [a,b,a,b] merges twice, [a,a,a] merges once (kernel-identical);
-    * a bare 'sep-joined' encoding would under-merge, because a match
-    * consumes the boundary the next match needs.
-    */
-  private def bpeEncodePortableOracle: String = {
-    BpePortableMerges.foreach { case (a, b) =>
-      require((a + b).forall(_.isLetter), s"merge tokens must be plain words: $a,$b")
-    }
-    val base = "chr(2) || replace(text, ' ', chr(3)||chr(2)) || chr(3)"
-    val enc = BpePortableMerges.foldLeft(base) { case (acc, (a, b)) =>
-      s"replace($acc, chr(2)||'$a'||chr(3)||chr(2)||'$b'||chr(3), chr(2)||'$a$b'||chr(3))"
-    }
-    s"""WITH enc AS (SELECT doc_id, $enc AS s FROM documents)
-       |SELECT doc_id,
-       | CAST(length(s) - length(replace(s, chr(2), '')) AS BIGINT) AS n_tokens,
-       | array_to_string(list_slice(
-       |   string_split(substr(s, 2, length(s) - 2), chr(3)||chr(2)), 1, 8), ' ')
-       |   AS head_tokens
-       |FROM enc""".stripMargin
-  }
-
-  /** Exact decimal staging for money sums: per-row cast is a single
-    * well-defined rounding of the same double in every engine; the decimal
-    * sum is exact; the final cast back to double is one more shared
-    * rounding. Avoids order-dependent double accumulation.
-    */
-  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
-  private def dec6(c: Column): Column = c.cast("decimal(24,6)")
-  private def ntz(c: Column): Column = c.cast("timestamp_ntz")
-
-  /** Macro-averaged recall of an approximate top-k against the exact
-    * brute-force top-k, with the floor ENFORCED in-query: assert_true
-    * throws at every harness run if recall drops below `floor`, so ANN
-    * quality is a hard gate, not a spec-only observation (AnnRecallSpec
-    * keeps the parameter-sensitivity coverage). One summary row:
-    * (n_queries, macro_recall, recall_floor).
-    */
-  private def recallGate(exact: DataFrame, approx: DataFrame,
-                         floor: Double, what: String): DataFrame = {
-    val truth = exact.select(col("query_id"), col("neighbor_id"))
-    val hits = truth
-      .join(approx.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-    truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("query_id"), "left")
-      .agg(count(lit(1)).as("n_queries"),
-        avg(coalesce(col("n_hit"), lit(0L)) / col("n_exact")).as("macro_recall"))
-      .withColumn("recall_floor", lit(floor))
-      .where(assert_true(col("macro_recall") >= col("recall_floor"),
-        concat(lit(s"$what recall below floor $floor: "),
-          col("macro_recall"))).isNull)
-  }
-
-  /** The shared integer-grid Lloyd fit behind the PORTABLE embedding
-    * family (`kmeans_profile_portable` and the prune twins built on its
-    * bit-exact assignments): embeddings quantize ONCE to longs
-    * (floor(x·1000 + 0.5), IEEE-identical in any engine), distance is
-    * exact squared-L2, argmin ties break to the lower list id, the
-    * centroid update is the element-wise exact floor-average with
-    * empty-cluster carry, init is the md5-rank trick, two iterations —
-    * no floats anywhere after quantization, so the final assignment
-    * `(vec_id, q, list_id, dist)` replays bit-for-bit in DuckDB
-    * (`kmeansPortableCtesSql` is the same fit as CTEs). Scale shape
-    * identical to Ivf.fitDistributed: per iteration one narrow distance
-    * projection + one k×dim-row aggregate; the k×dim update collects to
-    * the driver exactly like the float fit's centroid matrix.
-    */
-  /** floor(x·1000 + 0.5) long quantization of an embedding column —
-    * THE portable-family entry point: every engine computes it
-    * IEEE-identically, and all integer twins must share one copy so
-    * the cross-engine hashes can never fork on the quantizer.
-    */
-  private def quantized(emb: Column): Column =
-    transform(emb.cast("array<double>"),
-      x => floor(x * lit(1000.0) + lit(0.5)).cast("long"))
-
-  /** Exact squared-L2 between two array<bigint> columns — the LongDot
-    * kernel on the element-wise difference (one compiled loop; shared
-    * by every portable distance so the arithmetic cannot fork).
-    */
-  private def sqDistL(a: Column, b: Column): Column = {
-    val diff = zip_with(a, b, (x, y) => x - y)
-    graft.functions.Kernels.longDotCol(diff, diff)
-  }
-
-  // memoized per (session, dir) for the fit's CONSUMERS (prune /
-  // contamination / probe twins) — the ivfModelFor convention: the
-  // centroid matrix is a driver value, re-deriving it per query paid
-  // 3 driver actions each. kmeans_profile_portable deliberately calls
-  // the unmemoized fit: it IS the fit's own bench entry (the ivf_topk
-  // counterpart).
-  private val integerLloydCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), (DataFrame, Array[Seq[Long]])]
-
-  private def integerLloydFitMemo(s: SparkSession,
-                                  dir: String): (DataFrame, Array[Seq[Long]]) =
-    integerLloydCache.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir),
-      integerLloydFit(s, dir, keepPersisted = true))
-
-  private def integerLloydAssigned(s: SparkSession, dir: String): DataFrame =
-    integerLloydFitMemo(s, dir)._1
-
-  /** [[integerLloydAssigned]] plus the final integer centroid matrix —
-    * the probe-side queries (`ann_ivf_topk_portable`) rank centroids
-    * exactly like the fit's assignment step did.
-    *
-    * `keepPersisted` — the quantized frame `q` backs the fit's 3
-    * driver actions (seed collect + 2 centroid updates) and MUST be
-    * cached for them; whether it stays cached afterwards is the
-    * caller's lifetime decision. The memoized path passes true (one
-    * pinned frame per application, shared by every twin). The default
-    * false unpersists q before returning so an unmemoized call
-    * (`kmeans_profile_portable` — deliberately re-fits, it IS the
-    * fit's bench entry) never leaks a cached frame per invocation;
-    * the returned assignment then lazily re-derives q (one scan +
-    * quantize) on its single downstream action.
-    */
-  private def integerLloydFit(s: SparkSession, dir: String,
-      keepPersisted: Boolean = false): (DataFrame, Array[Seq[Long]]) = {
-    val embs = t(s, dir, "embeddings").where(col("embedding").isNotNull)
-    val q = embs.select(col("vec_id"), quantized(col("embedding")).as("q"))
-      .persist()
-    val seedRows = q.select(col("q"),
-        md5(concat(col("vec_id").cast("string"), lit("#kp13"))).as("h"))
-      .orderBy(col("h")).limit(8).collect()
-    var cents: Array[Seq[Long]] = seedRows.map(_.getSeq[Long](0))
-    def distCol(c: Seq[Long]): Column = sqDistL(col("q"), typedLit(c))
-    def assigned = {
-      val dists = array(cents.toSeq.map(distCol): _*)
-      q.withColumn("__dists", dists)
-        .withColumn("list_id",
-          (array_position(col("__dists"), array_min(col("__dists"))) -
-            1L).cast("long"))
-        .withColumn("dist", array_min(col("__dists")))
-    }
-    for (_ <- 1 to 2) {
-      val upd = assigned
-        .select(col("list_id"), posexplode(col("q")).as(Seq("d", "v")))
-        .groupBy(col("list_id"), col("d"))
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-        // exact floor division (sv may be negative): subtract the
-        // non-negative remainder, then the double division is of an
-        // exact multiple — bit-exact, engine-portable
-        .select(col("list_id"), col("d"),
-          ((col("sv") - pmod(col("sv"), col("n"))) / col("n"))
-            .cast("long").as("cv"))
-        .collect()
-      val next = cents.map(_.toArray) // empty cluster keeps centroid
-      upd.groupBy(_.getLong(0)).foreach { case (lid, rows) =>
-        val c = new Array[Long](next(lid.toInt).length)
-        rows.foreach(r => c(r.getInt(1)) = r.getLong(2))
-        next(lid.toInt) = c
-      }
-      cents = next.map(_.toSeq)
-    }
-    if (!keepPersisted) q.unpersist(blocking = false)
-    (assigned.select(col("vec_id"), col("q"), col("list_id"), col("dist")),
-      cents)
-  }
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ----- aggregation / join / window core (Catalyst surface) ----------
-    "q1_pricing_summary" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01")))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity")).cast("bigint").as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
-          sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * (lit(1.0) + col("l_tax")))).cast("double").as("sum_charge"),
-          count(lit(1)).as("count_order"))
-        .withColumn("avg_qty",
-          col("sum_qty").cast("double") / col("count_order").cast("double"))
-    }),
-    "q3_top_revenue" -> ((s, dir) => {
-      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
-      val l = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderkey").asc)
-        .limit(10)
-        .select(col("o_orderkey"), ntz(col("o_orderdate")).as("o_orderdate"),
-          col("revenue"))
-    }),
-    "q5_region_revenue" -> ((s, dir) => {
-      val r = t(s, dir, "region")
-      val n = t(s, dir, "nation")
-      val c = t(s, dir, "customer")
-      val sup = t(s, dir, "supplier")
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
-          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
-      val l = t(s, dir, "lineitem")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(c, col("o_custkey") === col("c_custkey") &&
-          col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .cast("double").as("revenue"))
-    }),
-    "q6_forecast_revenue" -> ((s, dir) => {
-      // classic predicate-pushdown shape: all four filters reach the scan
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
-          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
-          col("l_discount").between(0.05, 0.07) &&
-          col("l_quantity") < 24)
-        .agg(sum(dec6(col("l_extendedprice") * col("l_discount")))
-          .cast("double").as("revenue"),
-          count(lit(1)).as("n_rows"))
-    }),
-    "q_semi_join" -> ((s, dir) => {
-      val heavy = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
-      t(s, dir, "orders")
-        .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n_orders"))
-    }),
-    "q_anti_join" -> ((s, dir) => {
-      val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
-      t(s, dir, "customer")
-        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
-        .select(col("c_custkey"))
-    }),
-    "q_window_top3" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      t(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-          row_number().over(w).as("rn"))
-        .filter(col("rn") <= 3)
-    }),
-    "q_distinct_agg" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_suppkey")).as("n_supps"),
-          count(lit(1)).as("n_rows"))
-    }),
-    "q_distinct_approx" -> ((s, dir) => {
-      // HLL++ sketch twin of q_distinct_agg: constant memory per group
-      // where exact countDistinct expands each group by its distinct
-      // count. Rows-only (sketch estimates are engine-specific) — the
-      // PLAIN sketch plan, so the benched number is the operator's real
-      // production cost. Drift against the exact twin is enforced by the
-      // separate q_distinct_approx_gate entry (the ann_topk /
-      // ann_topk_recall pattern): r7's folded-in gate made this "approx"
-      // query bench ~35% slower than its exact counterpart.
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01).as("n_parts"),
-          approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("n_supps"),
-          count(lit(1)).as("n_rows"))
-    }),
-    "heavy_hitters_gate" -> ((s, dir) => {
-      // count-min heavy hitters: per-source CMS sketches (the built-in
-      // count_min_sketch aggregate — mergeable, constant size, the
-      // 100-TB path for "how often does term X occur per slice" without
-      // a per-(source,term) shuffle) probed for the global top-10 terms
-      // via the codegen count_min_estimate kernel. In-plan gates pin
-      // the CMS contract against the exact counts: never-under is the
-      // sketch's DETERMINISTIC guarantee; the over-count bound eps*N
-      // holds per probe only with the confidence probability (0.99
-      // here), so the gate allows 3x headroom — it exists to catch
-      // implementation breakage (wrong hashing, wrong merge), not to
-      // hard-assert a probabilistic tail on every future dataset.
-      // Rows-only (the sketch layout is engine-specific) — the exact
-      // side is covered by the vocabulary oracles.
-      import graft.functions.Kernels
-      val toks = t(s, dir, "documents")
-        .select(col("source"), explode(split(col("text"), " ")).as("term"))
-        .filter(length(col("term")) > 0)
-        // fans out 3 ways (exact counts, top terms, sketches). The
-        // persist is never explicitly released — a lazy query has no
-        // safe in-plan unpersist point — so repeated re-registration
-        // accumulates entries until LRU eviction; Bench's per-pass
-        // clearCache() is what bounds it there (documented convention,
-        // same as Dsir.importanceWeights)
-        .persist()
-      val exact = toks.groupBy(col("source"), col("term"))
-        .agg(count(lit(1)).as("n_exact"))
-      val top = toks.groupBy(col("term"))
-        .agg(count(lit(1)).as("n_total"))
-        .orderBy(col("n_total").desc, col("term").asc)
-        .limit(10).select(col("term"))
-      val sketches = toks.groupBy(col("source"))
-        .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("cms"),
-          count(lit(1)).as("n_tokens"))
-      sketches.crossJoin(broadcast(top))
-        .select(col("source"), col("term"), col("n_tokens"),
-          Kernels.countMinEstimateCol(col("cms"), col("term")).as("n_est"))
-        .join(exact, Seq("source", "term"), "left_outer")
-        .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
-        .where(assert_true(col("n_est") >= col("n_exact"),
-          lit("count-min under-count: impossible by construction")).isNull)
-        .where(assert_true(
-          col("n_est") <= col("n_exact") +
-            lit(3L) * greatest(lit(1L),
-              ceil(col("n_tokens") * lit(0.001)).cast("long")),
-          concat(lit("count-min over-count far beyond eps*N: "),
-            col("n_est") - col("n_exact"))).isNull)
-        .select(col("source"), col("term"), col("n_exact"), col("n_est"))
-    }),
-    "q_distinct_approx_gate" -> ((s, dir) => {
-      // Drift gate for q_distinct_approx: the exact twin rides a
-      // SEPARATE aggregate, broadcast-joined on the 3-row group key, and
-      // assert_true throws on >5% relative drift (PlanAuditSpec's
-      // tolerance) — sketch quality is a hard gate at every harness run,
-      // priced apart from the plain sketch query. Separate aggs on
-      // purpose: mixing countDistinct with the HLL aggregate in ONE agg
-      // triggers Catalyst's multi-distinct Expand rewrite, which
-      // replicates every input row per distinct column and made the
-      // sketch pass 4x slower than the two passes combined (measured
-      // 6.6 s vs 0.8 + 1.5 at sf0.1).
-      val approx = t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01).as("n_parts"),
-          approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("n_supps"))
-      val exact = t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_partkey")).as("__x_parts"),
-          countDistinct(col("l_suppkey")).as("__x_supps"))
-      approx.join(broadcast(exact), Seq("l_returnflag"))
-        .where(assert_true(
-          abs(col("n_parts") - col("__x_parts")) <= col("__x_parts") * 0.05 &&
-          abs(col("n_supps") - col("__x_supps")) <= col("__x_supps") * 0.05,
-          concat(lit("approx_count_distinct drifted >5% from exact for "),
-            col("l_returnflag"))).isNull)
-        .select(col("l_returnflag"), col("n_parts"), col("__x_parts"),
-          col("n_supps"), col("__x_supps"))
-    }),
-    "hll_distinct_by_source" -> ((s, dir) => {
-      // mergeable-sketch distinct tokens per source (DataSketches HLL):
-      // the PLAIN production plan — one map-side-combining aggregate,
-      // constant 2^12-byte registers per group crossing the wire where
-      // countDistinct would shuffle every distinct token. Rows-only
-      // (sketch estimates are engine-specific); quality + the merge
-      // algebra are enforced by hll_merge_identity_gate, priced apart
-      // (the q_distinct_approx / _gate convention).
-      import graft.operators.Cardinality
-      val toks = t(s, dir, "documents")
-        .select(col("source"), explode(split(col("text"), " ")).as("token"))
-        .filter(length(col("token")) > 0)
-      Cardinality.distinctEstimate(toks, col("source"), col("token"))
-        .select(col("group").as("source"), col("n_distinct"))
-    }),
-    "hll_merge_identity_gate" -> ((s, dir) => {
-      // the property that makes the sketch store MAINTAINABLE, gated
-      // in-plan: per-slice sketches (slice = lang, standing in for
-      // ingest batches) union to EXACTLY the one-shot sketch of the
-      // union — register-max union of a partition of the data, the
-      // same argument as the zone-map merge identity — and the
-      // estimate tracks exact countDistinct within 3 sigma
-      // (1.04/sqrt(2^12) ~ 1.6% per side; breakage detector, not a
-      // probabilistic-tail assertion — the heavy_hitters_gate
-      // convention). Rows-only: estimates are engine hashes.
-      import graft.operators.Cardinality
-      val toks = t(s, dir, "documents")
-        .select(col("source"), col("lang"),
-          explode(split(col("text"), " ")).as("token"))
-        .filter(length(col("token")) > 0)
-      val merged = Cardinality.mergeSliceSketches(
-          Cardinality.sliceSketches(toks, col("lang"), col("source"),
-            col("token")))
-        .drop("sketch")
-      val oneShot = Cardinality.distinctEstimate(toks, col("source"),
-          col("token"))
-        .withColumnRenamed("n_distinct", "__one_shot")
-      val exact = toks.groupBy(col("source").as("group"))
-        .agg(countDistinct(col("token")).as("__exact"))
-      merged.join(broadcast(oneShot), Seq("group"))
-        .join(broadcast(exact), Seq("group"))
-        .where(assert_true(col("n_distinct") === col("__one_shot"),
-          concat(lit("HLL merge identity violated for "),
-            col("group"))).isNull)
-        .where(assert_true(
-          abs(col("n_distinct") - col("__exact")) <=
-            greatest(lit(1L), ceil(col("__exact") * 0.05).cast("long")),
-          concat(lit("HLL estimate drifted >5% from exact for "),
-            col("group"))).isNull)
-        .select(col("group").as("source"), col("n_distinct"),
-          col("__one_shot").as("n_one_shot"), col("__exact").as("n_exact"),
-          col("n_rows"), col("n_slices"))
-    }),
-    "vocabulary_topk" -> ((s, dir) => {
-      // approx_top_k heavy hitters over the token stream: one mergeable
-      // sketch instead of vocabulary's full groupBy+filter — the shape
-      // for "top 1000 tokens of a 100-TB corpus" where the full
-      // vocabulary agg would shuffle billions of (token, count) groups.
-      // Oracle-checkable: the sketch is EXACT whenever the vocabulary
-      // fits maxItemsTracked (space-saving sketches admit no evictions
-      // below capacity), so asking it for more than k and re-ranking
-      // with a deterministic tie-break (count DESC, token ASC — mirrored
-      // in the DuckDB oracle's ORDER BY) yields the exact top-k
-      // including boundary ties. Above capacity the same plan degrades
-      // gracefully to approximate heavy hitters.
-      // The exactness precondition is ASSERTED in-query: an HLL distinct
-      // estimate of the vocabulary rides the same single-pass agg, and
-      // the query throws if it approaches maxItemsTracked (8000 guard
-      // band covers the ~5% HLL rsd) — so a saturated sketch fails
-      // loudly instead of going silently approximate and red at the
-      // oracle (r7 advice).
-      t(s, dir, "documents")
-        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
-        .agg(expr("approx_top_k(token, 100, 10000)").as("top"),
-          approx_count_distinct(col("token")).as("__n_vocab"))
-        .where(assert_true(col("__n_vocab") <= 8000,
-          concat(lit("vocabulary_topk sketch near saturation: ~"),
-            col("__n_vocab"),
-            lit(" distinct tokens vs maxItemsTracked=10000 — exactness "
-              + "precondition broken; raise maxItemsTracked or accept "
-              + "approximate heavy hitters"))).isNull)
-        .select(explode(col("top")).as("e"))
-        .select(col("e.item").as("token"), col("e.count").as("n_occurrences"))
-        .orderBy(col("n_occurrences").desc, col("token").asc)
-        .limit(10)
-    }),
-    "q_intersect_custs" -> ((s, dir) => {
-      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-        .select(col("c_custkey").as("custkey"))
-        .intersect(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
-    }),
-    "q_percentiles" -> ((s, dir) => {
-      // exact interpolated percentiles (same definition as quantile_cont)
-      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("median_price"),
-          expr("percentile(l_extendedprice, 0.95)").as("p95_price"),
-          expr("percentile(l_quantity, 0.5)").as("median_qty"))
-    }),
-    "q_percentiles_approx" -> ((s, dir) => {
-      // The scale path: approx_percentile (KLL-style mergeable sketch,
-      // bounded memory per group) where exact `percentile` buffers every
-      // value of a group on one executor — OOM territory for a hot group
-      // at 100x (SCALE.md). Rows-only entry (the sketch is
-      // engine-specific, so there is no DuckDB-bitexact oracle) — the
-      // PLAIN sketch plan, so the benched number is the operator's real
-      // production cost (r7's folded-in exact twin made the "approx"
-      // query bench 5x slower than it runs in production). Drift is
-      // enforced by the separate q_percentiles_approx_gate entry.
-      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("median_price"),
-          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95_price"),
-          expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"))
-    }),
-    "q_percentiles_approx_gate" -> ((s, dir) => {
-      // Drift gate for q_percentiles_approx: exact percentiles ride the
-      // same agg and assert_true throws on >2% relative drift
-      // (PlanAuditSpec's tolerance) at every harness run — sketch
-      // quality stays a hard gate, priced apart from the plain query
-      // (the ann_topk / ann_topk_recall pattern).
-      def ok(a: String, e: String) =
-        abs(col(a) - col(e)) <= abs(col(e)) * 0.02
-      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("median_price"),
-          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95_price"),
-          expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"),
-          expr("percentile(l_extendedprice, 0.5)").as("__x_median_price"),
-          expr("percentile(l_extendedprice, 0.95)").as("__x_p95_price"),
-          expr("percentile(l_quantity, 0.5)").as("__x_median_qty"))
-        .where(assert_true(
-          ok("median_price", "__x_median_price") &&
-          ok("p95_price", "__x_p95_price") &&
-          ok("median_qty", "__x_median_qty"),
-          concat(lit("approx_percentile drifted >2% from exact for "),
-            col("l_returnflag"))).isNull)
-        .select(col("l_returnflag"), col("median_price"),
-          col("__x_median_price"), col("p95_price"), col("__x_p95_price"),
-          col("median_qty"), col("__x_median_qty"))
-    }),
-    "q_sql_correlated" -> ((s, dir) => {
-      // SQL frontend + correlated scalar subquery (Catalyst decorrelates
-      // it into an aggregate + outer join)
-      t(s, dir, "orders").createOrReplaceTempView("orders_v")
-      t(s, dir, "customer").createOrReplaceTempView("customer_v")
-      s.sql("""SELECT c_custkey, c_mktsegment,
-              |  (SELECT COUNT(*) FROM orders_v o
-              |    WHERE o.o_custkey = c.c_custkey) AS n_orders,
-              |  (SELECT CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
-              |    FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS total_spend
-              |FROM customer_v c""".stripMargin)
-    }),
-    "q_running_total" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // cumulative window frame with exact decimal accumulation
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
-        ntz(col("o_orderdate")).as("o_orderdate"),
-        sum(dec2(col("o_totalprice"))).over(w).cast("double")
-          .as("running_spend"))
-    }),
-    "q_moving_spend" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // RANGE frame (value-based, peers included) vs q_running_total's
-      // ROWS frame: 30-day trailing spend per customer
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("epoch_s"))
-        .rangeBetween(-30L * 86400, 0)
-      t(s, dir, "orders")
-        .withColumn("epoch_s", col("o_orderdate").cast("timestamp").cast("long"))
-        .select(col("o_custkey"), col("o_orderkey"),
-          ntz(col("o_orderdate")).as("o_orderdate"),
-          sum(dec2(col("o_totalprice"))).over(w).cast("double")
-            .as("trailing_30d_spend"))
-    }),
-    "q_pivot_events" -> ((s, dir) => {
-      // per-user event-type counts pivoted to columns (fixed type set so
-      // the pivot needs no extra distinct-values job)
-      t(s, dir, "events")
-        .groupBy(col("user_id"))
-        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
-        .count()
-        .na.fill(0L)
-        .select(col("user_id"), col("click").as("n_click"),
-          col("view").as("n_view"), col("purchase").as("n_purchase"),
-          col("signup").as("n_signup"), col("error").as("n_error"))
-    }),
-    "q_except_custs" -> ((s, dir) => {
-      t(s, dir, "customer").select(col("c_custkey").as("custkey"))
-        .except(t(s, dir, "orders")
-          .filter(col("o_totalprice") > 200000)
-          .select(col("o_custkey").as("custkey")))
-    }),
-    "q_agg_gate" -> ((s, dir) => {
-      // A1/A2/O3: the global scalar that gates a pipeline run.
-      t(s, dir, "lineitem").agg(
-        count(lit(1)).as("n_rows"),
-        sum(col("l_quantity")).cast("bigint").as("total_qty"))
-    }),
-    // ----- events (ns timestamp handling, JSON props) --------------------
-    "q_events_hourly" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(ntz(date_trunc("hour", col("ts"))).as("event_hour"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(dec2(col("value"))).cast("double").as("sum_value"))
-    }),
-    "q_events_json" -> ((s, dir) => {
-      t(s, dir, "events")
-        .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
-        .groupBy(col("event_type"))
-        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
-    }),
-    "q_rollup" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity")).cast("bigint").as("sum_qty"),
-          count(lit(1)).as("n_rows"))
-    }),
-    "q_cube" -> ((s, dir) => {
-      // full grouping-set lattice (2^2 groupings in one pass — Catalyst
-      // expands to a single Expand + one aggregate, not 4 scans)
-      t(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity")).cast("bigint").as("sum_qty"),
-          count(lit(1)).as("n_rows"))
-    }),
-    "q_lag_lead" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // offset window functions: days since the previous order and the
-      // next order's key, per customer (deterministic orderkey tiebreak)
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
-        ntz(col("o_orderdate")).as("o_orderdate"),
-        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
-          .cast("int").as("days_since_prev"),
-        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
-        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
-    }),
-    "q_cond_agg" -> ((s, dir) => {
-      // conditional aggregation (FILTER/CASE) + exact distinct count
-      t(s, dir, "orders").groupBy(col("o_orderpriority"))
-        .agg(count(when(col("o_totalprice") > 100000, 1)).as("n_big"),
-          count(lit(1)).as("n_all"),
-          sum(when(col("o_orderstatus") === "F", dec2(col("o_totalprice"))))
-            .cast("double").as("spend_f"),
-          countDistinct(col("o_custkey")).as("n_custs"))
-    }),
-    "q_histogram" -> ((s, dir) => {
-      // data-profiling histogram: fixed-width value buckets in one
-      // map-side-combinable aggregate (floor arithmetic is IEEE-exact so
-      // the oracle hash-matches; no width_bucket needed)
-      val bucket = least(greatest(floor(
-        (col("l_extendedprice").cast("double") - lit(900.0)) / lit(5205.0)),
-        lit(0.0)), lit(19.0)).cast("bigint")
-      t(s, dir, "lineitem")
-        .groupBy(bucket.as("bucket"))
-        .agg(count(lit(1)).as("n"),
-          min(col("l_extendedprice").cast("double")).as("lo"),
-          max(col("l_extendedprice").cast("double")).as("hi"))
-    }),
-    "q_rank_stats" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // distribution window functions: quartile bucket, percentile rank
-      // and cumulative distribution of order value within its priority
-      // class (deterministic orderkey tiebreak)
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
-        ntile(4).over(w).as("quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"))
-    }),
-    "q_range_join" -> ((s, dir) => {
-      import graft.operators.RangeJoin
-      // incident blast radius: for each error event, every event landing
-      // in the following hour — a pure interval join (no equi key), made
-      // an equi-join on 1h time cells instead of a nested-loop
-      val ev = t(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val incidents = t(s, dir, "events")
-        .filter(col("event_type") === "error")
-        .select(col("event_id").as("incident_id"), col("ts").as("w_start"),
-          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
-      // incidents are a filtered slice of events -> broadcast them; the
-      // full point stream then joins with zero exchange
-      RangeJoin.rangeJoin(ev, "ts", incidents, "w_start", "w_end",
-          granuleSeconds = 3600, broadcastRight = true)
-        .groupBy(col("incident_id"))
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"))
-    }),
-    "q_asof_join" -> ((s, dir) => {
-      import graft.operators.AsofJoin
-      // for each event, the customer's most recent order at/before the
-      // event time; right side deduped per (key, ts) for determinism
-      val orders = t(s, dir, "orders")
-        .groupBy(col("o_custkey"), col("o_orderdate"))
-        .agg(max(col("o_orderkey")).as("ok"),
-          expr("max_by(o_totalprice, o_orderkey)").as("op"))
-      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
-        col("ts"))
-      AsofJoin.asofJoin(
-        ev, col("user_id"), col("ts"),
-        orders, col("o_custkey"), col("o_orderdate").cast("timestamp"),
-        Seq("last_orderkey" -> col("ok"), "last_totalprice" -> col("op")))
-        .select(col("event_id"), col("user_id"), ntz(col("ts")).as("ts"),
-          col("last_orderkey"), col("last_totalprice"))
-    }),
-    "q_sessions" -> ((s, dir) => {
-      import graft.operators.Sessionize
-      Sessionize.sessions(t(s, dir, "events"), col("user_id"), col("ts"),
-        gapSeconds = 3600)
-        .select(col("user_id"), col("session_idx"),
-          ntz(col("session_start")).as("session_start"),
-          ntz(col("session_end")).as("session_end"), col("n_events"))
-    }),
-    "q_session_cooccurrence" -> ((s, dir) => {
-      // market-basket over sessions: which event types co-occur in a
-      // user session, with each type's own support — exact integer
-      // inputs to lift/PMI (scores stay downstream so the whole
-      // comparison hash-matches). Pair fan-out is bounded by the type
-      // vocabulary per session, never the event count.
-      import graft.operators.EventAnalytics
-      EventAnalytics.sessionCooccurrence(t(s, dir, "events"),
-        col("user_id"), col("ts"), col("event_type"), gapSeconds = 3600)
-    }),
-    "q_funnel_users" -> ((s, dir) => {
-      // per-user greedy-earliest ordered funnel completion; every stage
-      // aggregates/joins on the user key — every exchange hashes on
-      // user_id (PlanAuditSpec pins it).
-      import graft.operators.EventAnalytics
-      EventAnalytics.funnelTimes(t(s, dir, "events"), col("user_id"),
-        col("ts"), col("event_type"), Seq("view", "click", "purchase"))
-        .select(col("user_id"), ntz(col("t1")).as("t1"),
-          ntz(col("t2")).as("t2"), ntz(col("t3")).as("t3"))
-    }),
-    "q_funnel_reach" -> ((s, dir) => {
-      import graft.operators.EventAnalytics
-      EventAnalytics.funnelReach(t(s, dir, "events"), col("user_id"),
-        col("ts"), col("event_type"), Seq("view", "click", "purchase"))
-    }),
-    "q_funnel_windowed" -> ((s, dir) => {
-      // the conversion-window form: each step must land within 6h of
-      // the previous one (greedy-earliest reading, the oracle pins it)
-      import graft.operators.EventAnalytics
-      EventAnalytics.funnelTimes(t(s, dir, "events"), col("user_id"),
-        col("ts"), col("event_type"), Seq("view", "click", "purchase"),
-        maxStepGapSeconds = Some(21600L))
-        .select(col("user_id"), ntz(col("t1")).as("t1"),
-          ntz(col("t2")).as("t2"), ntz(col("t3")).as("t3"))
-    }),
-    "q_retention_cohorts" -> ((s, dir) => {
-      import graft.operators.EventAnalytics
-      EventAnalytics.retentionCohorts(t(s, dir, "events"), col("user_id"),
-        col("ts"), granularity = "day", horizon = 7)
-        .select(ntz(col("cohort")).as("cohort"), col("offset_n"),
-          col("n_active"))
-    }),
-    "q_scd2_history" -> ((s, dir) => {
-      // gaps-and-islands SCD2: consecutive per-user runs of event_type
-      // as half-open validity intervals.
-      import graft.operators.EventAnalytics
-      EventAnalytics.changeHistory(t(s, dir, "events"), col("user_id"),
-        col("ts"), col("event_id"), col("event_type"))
-        .select(col("user_id"), col("value"),
-          ntz(col("valid_from")).as("valid_from"),
-          ntz(col("valid_to")).as("valid_to"), col("n_events"))
-    }),
-    // ----- reference-parity operators (SURVEY §2) ------------------------
-    "flatten_struct" -> ((s, dir) => {
-      // P1 default aliasing: structCol_field.
-      val df = t(s, dir, "orders").select(col("o_orderkey"),
-        struct(col("o_orderstatus").as("status"),
-          col("o_totalprice").as("price")).as("ord"))
-      Flatten.flatten(df)
-    }),
-    "flatten_prefix" -> ((s, dir) => {
-      // P1 quirk: one prefix applied to the fields of EVERY struct column.
-      val df = t(s, dir, "orders").select(col("o_orderkey"),
-        struct(col("o_orderstatus").as("status")).as("a"),
-        struct(col("o_orderpriority").as("priority")).as("b"))
-      Flatten.flatten(df, Some("f_"))
-    }),
-    "flatten_all_nested" -> ((s, dir) => {
-      val df = t(s, dir, "customer").select(col("c_custkey"),
-        struct(struct(col("c_name").as("name"),
-          col("c_mktsegment").as("seg")).as("info")).as("cust"))
-      Flatten.flattenAll(df)
-    }),
-    "explode_carry" -> ((s, dir) => {
-      // G1 + P3: key-carry explode.
-      val df = t(s, dir, "part")
-      Explodes.explodeCarry(
-        df.select(col("p_partkey"), array(col("p_brand"), col("p_type")).as("arr")),
-        Seq("p_partkey"), col("arr"), "attr")
-    }),
-    "explode_pos" -> ((s, dir) => {
-      val df = t(s, dir, "part")
-      Explodes.posExplodeCarry(
-        df.select(col("p_partkey"), array(col("p_brand"), col("p_type")).as("arr")),
-        Seq("p_partkey"), col("arr"), "attr_idx", "attr")
-    }),
-    "explode_map_label" -> ((s, dir) => {
-      // G2: map-wrapped labelled explode (reference zoom_proc.py:181-190).
-      Explodes.explodeMapWrapped(
-        t(s, dir, "supplier"), "suppliers", array(col("s_name")))
-    }),
-    "explode_chain" -> ((s, dir) => {
-      // G3: rebuild a 2-level nested document (region -> nations -> customers)
-      // then take it apart with the explode+flatten chain, like the
-      // reference's survey-answers path (monkey_proc.py:448-475).
-      val custs = t(s, dir, "customer").groupBy(col("c_nationkey"))
-        .agg(collect_list(struct(col("c_custkey"), col("c_name"))).as("custs"))
-      val nats = t(s, dir, "nation")
-        .join(custs, col("c_nationkey") === col("n_nationkey"))
-        .select(col("n_regionkey"),
-          struct(col("n_nationkey"), col("n_name"), col("custs")).as("nat"))
-        .groupBy(col("n_regionkey")).agg(collect_list(col("nat")).as("nats"))
-      val tree = t(s, dir, "region")
-        .join(nats, col("r_regionkey") === col("n_regionkey"))
-      val lvl1 = Flatten.flatten(
-        Explodes.explodeCarry(tree, Seq("r_name"), col("nats"), "nat"))
-      val lvl2 = Flatten.flatten(
-        Explodes.explodeCarry(lvl1, Seq("r_name", "nat_n_name"),
-          col("nat_custs"), "cust"))
-      lvl2.select(col("r_name"), col("nat_n_name").as("n_name"),
-        col("cust_c_custkey").as("c_custkey"), col("cust_c_name").as("c_name"))
-    }),
-    "timestamps_multi" -> ((s, dir) => {
-      // F1: the reference's four timestamp encodings + epoch seconds.
-      val base = t(s, dir, "orders").select(col("o_orderkey"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("iso"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSS").as("plain"),
-        col("o_orderdate").cast("timestamp").cast("long").as("epoch_s"))
-      base.select(col("o_orderkey"),
-        ntz(Timestamps.parseIsoZulu(concat(col("iso"), lit("Z")))).as("t_zulu"),
-        ntz(Timestamps.parseIsoNoZone(col("iso"))).as("t_nozone"),
-        ntz(Timestamps.parseFluentBitNanos(concat(col("iso"), lit(".123456789Z"))))
-          .as("t_nanos"),
-        ntz(Timestamps.parsePlainMillis(col("plain"))).as("t_millis"),
-        ntz(Timestamps.parseEpochSeconds(col("epoch_s"))).as("t_epoch"),
-        col("epoch_s"))
-    }),
-    "sqbrackets_logs" -> ((s, dir) => {
-      // F8: the reference's only UDF, incl. the all-or-nothing fallback.
-      val lines = t(s, dir, "orders").select(col("o_orderkey"),
-        when(col("o_orderkey") % 10 === 0,
-          concat(lit("plain line "), col("o_orderpriority")))
-          .otherwise(concat(lit("[I 2024-01-01 00:00:00.000 JupyterHub app:"),
-            col("o_orderkey"), lit("] msg "), col("o_orderpriority")))
-          .as("line"))
-      val parsed = lines.select(col("o_orderkey"), col("line"),
-        LogParse.sqbracketsCol(col("line")).as("p"))
-      parsed.select(col("o_orderkey"),
-        col("p").getItem(0).as("head"), col("p").getItem(1).as("ts"),
-        col("p").getItem(2).as("service"), col("p").getItem(3).as("typ"),
-        col("p").getItem(4).as("code"), col("p").getItem(5).as("msg"))
-    }),
-    "jhub_pipeline_transform" -> ((s, dir) => {
-      // the JhubPipeline lineage (kuber_ flatten -> drop -> sqbrackets ->
-      // unpack -> 2 timestamp parses -> contract) over a fluent-bit-shaped
-      // frame synthesized from orders
-      import graft.pipelines.JhubPipeline
-      val raw = t(s, dir, "orders").select(
-        concat(lit("[I 2024-01-01 00:00:00.000 JupyterHub app:"),
-          col("o_orderkey"), lit("] served "), col("o_orderpriority")).as("log"),
-        concat(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"),
-          lit(".000000000Z")).as("time"),
-        struct(
-          concat(lit("hub-"), col("o_orderkey") % 3).as("container_name"),
-          concat(lit("node"), col("o_custkey") % 5).as("host"),
-          concat(lit("pod-"), col("o_orderkey")).as("pod_name"),
-          struct(lit("x").as("noise")).as("annotations"),
-          struct(lit("y").as("app")).as("labels")).as("kubernetes"))
-      JhubPipeline.transform(raw)
-        .withColumn("time_stamp", ntz(col("time_stamp")))
-        .withColumn("log_timestamp", ntz(col("log_timestamp")))
-    }),
-    "zoom_meetings_transform" -> ((s, dir) => {
-      // the ZoomPipeline meetings lineage (explode -> meet_ flatten ->
-      // ISO-Zulu parse -> 13-col contract) over a meetings-log-shaped
-      // frame: one meetings array element per order
-      import graft.pipelines.ZoomPipeline
-      val raw = t(s, dir, "orders").select(
-        lit(1L).as("total_records"),
-        array(struct(
-          concat(lit("acct"), col("o_custkey") % 7).as("account_id"),
-          (col("o_orderkey") % 120).as("duration"),
-          concat(lit("host"), col("o_custkey"), lit("@x.io")).as("host_email"),
-          concat(lit("h"), col("o_custkey")).as("host_id"),
-          col("o_orderkey").as("id"),
-          (col("o_orderkey") % 4).as("recording_count"),
-          concat(lit("https://share/"), col("o_orderkey")).as("share_url"),
-          concat(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"),
-            lit("Z")).as("start_time"),
-          lit("UTC").as("timezone"),
-          concat(lit("Topic "), col("o_orderpriority")).as("topic"),
-          (col("o_orderkey") * 1000).as("total_size"),
-          lit(2L).as("type"),
-          concat(lit("uuid-"), col("o_orderkey")).as("uuid"),
-          array(struct(lit("u").as("download_url")))
-            .as("recording_files"))).as("meetings"))
-      ZoomPipeline.meetings.select(ZoomPipeline.meetingsTransform(raw))
-        .withColumn("meet_start_time", ntz(col("meet_start_time")))
-    }),
-    "contract_select" -> ((s, dir) => {
-      // P2/P4/P5/P6: contract projection + rename + drop + audit literal.
-      t(s, dir, "customer")
-        .withColumnRenamed("c_custkey", "customer_id")
-        .drop("c_nationkey", "c_acctbal")
-        .withColumn("load_src", lit("graft"))
-        .select(col("customer_id"), col("c_name").as("customer_name"),
-          col("c_mktsegment").as("segment"), col("load_src"))
-    }),
-    "concat_ws_csv" -> ((s, dir) => {
-      // F2: array -> CSV string for a varchar serving column.
-      t(s, dir, "customer").select(col("c_custkey"),
-        concat_ws(",", array(col("c_name"), col("c_mktsegment"))).as("csv"))
-    }),
-    // ----- LLM-pipeline: dedup ------------------------------------------
-    "dedup_exact" -> ((s, dir) => {
-      Dedup.exactKeepMinId(t(s, dir, "documents"), col("text"), col("doc_id"))
-    }),
-    "dedup_dup_ids" -> ((s, dir) => {
-      Dedup.exactDuplicateIds(t(s, dir, "documents"), col("lang"), col("doc_id"))
-    }),
-    "ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"),
-        col("text"), n = 3, minJaccard = 0.5)
-    }),
-    "ngram_containment" -> ((s, dir) => {
-      // asymmetric twin of ngram_jaccard: |A∩B|/|A| — catches a short
-      // doc embedded verbatim in a long one (containment ~1, Jaccard
-      // ~|A|/|B| → arbitrarily low). Directed pairs, both directions.
-      Dedup.ngramContainmentPairs(t(s, dir, "documents"), col("doc_id"),
-        col("text"), n = 3, minContainment = 0.8)
-    }),
-    "dedup_containment_prune" -> ((s, dir) => {
-      // end-to-end superset dedup: drop docs that are near-subsets of
-      // another doc; mutual (near-identical) pairs keep their min id
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramContainmentPairs(docs, col("doc_id"),
-        col("text"), n = 3, minContainment = 0.8)
-      Dedup.applyContainmentPrune(docs, col("doc_id"), pairs)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-    }),
-    "dedup_corpus" -> ((s, dir) => {
-      // end-to-end: near-dup pairs -> pruned corpus (greedy min-id keep)
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-        n = 3, minJaccard = 0.5)
-      Dedup.applyPairDedup(docs, col("doc_id"), pairs)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-    }),
-    "dedup_clusters" -> ((s, dir) => {
-      // transitive near-dup clusters: every doc labelled with the min id
-      // reachable through the exact n-gram pair graph (singletons label
-      // themselves) — the cluster view that greedy pruning can't give
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-        n = 3, minJaccard = 0.5)
-      val cc = Dedup.connectedComponents(pairs, checkpointEvery = 4)
-      docs.select(col("doc_id"))
-        .join(cc, docs("doc_id") === cc("id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("component"))
-    }),
-    "dedup_cluster_sizes" -> ((s, dir) => {
-      // the cluster-level product: size distribution of the transitive
-      // near-dup components (how much of the corpus sits in 2-doc
-      // pairs vs template families). The pair-gen + CC recompute here
-      // is a HARNESS ARTIFACT — registered queries must be
-      // self-contained; a production run derives this with ONE agg
-      // over the stored dedup_clusters labels
-      // (Dedup.clusterSizeHistogram, spec'd against a written table)
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-        n = 3, minJaccard = 0.5)
-      val cc = Dedup.connectedComponents(pairs, checkpointEvery = 4)
-      Dedup.clusterSizeHistogram(
-        docs.select(col("doc_id"))
-          .join(cc, docs("doc_id") === cc("id"), "left")
-          .select(coalesce(col("comp"), col("doc_id")).as("component")),
-        col("component"))
-    }),
-    "doc_pagerank" -> ((s, dir) => {
-      // template-centrality of each doc: exact fixed-point PageRank
-      // (integer arithmetic, bit-portable — Centrality scaladoc) over
-      // the same exact 3-gram Jaccard pair graph dedup_clusters uses,
-      // 3 iterations unrolled as CTEs on the oracle side.
-      import graft.operators.Centrality
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-        n = 3, minJaccard = 0.5)
-      Centrality.fixedPointPageRank(docs, col("doc_id"), pairs,
-        iterations = 3)
-        .select(col("id").as("doc_id"), col("score"))
-    }),
-    "graph_triangles" -> ((s, dir) => {
-      // clique-ness of each doc's near-dup neighborhood: per-node
-      // triangle counts + local clustering coefficient over the same
-      // exact 3-gram Jaccard pair graph dedup_clusters/doc_pagerank
-      // use. Degree-ordered forward enumeration (skew-proof — the
-      // Centrality.triangleStats scaladoc); coefficient is one IEEE
-      // division of exact longs, so the whole frame hash-matches the
-      // brute-force 3-way-join oracle.
-      import graft.operators.Centrality
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-        n = 3, minJaccard = 0.5)
-      Centrality.triangleStats(docs, col("doc_id"), pairs)
-        .select(col("id").as("doc_id"), col("degree"),
-          col("n_triangles"), col("clustering"))
-    }),
-    "doc_pagerank_weighted" -> ((s, dir) => {
-      // similarity-weighted template centrality: score flows ∝
-      // floor(jaccard·10⁶) instead of uniformly — a hub held by
-      // 0.95-mirrors outranks one held by borderline 0.5 matches.
-      // Quantization is floor of one IEEE multiply of one IEEE
-      // division, so the weights (and the whole integer iteration)
-      // reproduce bit-for-bit in DuckDB (iterations unrolled as CTEs).
-      import graft.operators.Centrality
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-        n = 3, minJaccard = 0.5)
-      Centrality.fixedPointPageRankWeighted(docs, col("doc_id"), pairs,
-          floor(col("jaccard") * 1000000).cast("long"), iterations = 3)
-        .select(col("id").as("doc_id"), col("score"))
-    }),
-    "graph_communities" -> ((s, dir) => {
-      // community detection on the near-dup graph: deterministic
-      // synchronous label propagation (frequency voting, ties to the
-      // min label), 3 rounds — splits a connected component into its
-      // DENSE cores, the signal dedup_clusters' CC can't give (two
-      // template families bridged by one borderline pair vote apart).
-      // Exact integer counts + deterministic tie-break make the round-3
-      // labelling bit-reproducible, so the whole frame hash-matches the
-      // unrolled-CTE DuckDB oracle (the doc_pagerank convention).
-      import graft.operators.Centrality
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-        n = 3, minJaccard = 0.5)
-      Centrality.labelPropagation(docs, col("doc_id"), pairs,
-          iterations = 3)
-        .select(col("id").as("doc_id"), col("label").as("community"))
-    }),
-    "graph_kcore" -> ((s, dir) => {
-      // cohesive-subgraph membership: the 2-core of the near-dup graph
-      // (nodes that remain after iteratively peeling degree<2 members)
-      // — density classifier for template families on top of the
-      // triangle/PageRank signals. Bounded peeling with the in-plan
-      // convergence gate (one extra peel must be a no-op or the job
-      // fails), unrolled as CTEs on the oracle side.
-      import graft.operators.Centrality
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-        n = 3, minJaccard = 0.5)
-      Centrality.kCoreBounded(docs, col("doc_id"), pairs, k = 2,
-          maxPeels = 4)
-        .select(col("id").as("doc_id"), col("in_kcore"))
-    }),
-    "dedup_keep_best" -> ((s, dir) => {
-      // quality-aware survivor policy over the same transitive near-dup
-      // components as dedup_clusters: keep the member with the HIGHEST
-      // rational-sigmoid quality score (ties → min id) instead of the
-      // min id — the production canonical-pick (near-dup clusters mix a
-      // clean original with truncated / boilerplate-wrapped mirrors;
-      // keep the best, not the first-crawled). Exact IEEE scoring end
-      // to end, so the full survivor set hash-matches the
-      // recursive-CTE + window-arg-max oracle.
-      import graft.operators.Quality
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-        n = 3, minJaccard = 0.5)
-      val q = Quality.logisticQualityScore(docs, col("doc_id"), col("text"))
-        .select(col("doc_id").as("__qid"), col("quality_score"))
-      val ranked = docs.join(q, docs("doc_id") === col("__qid"))
-      Dedup.applyClusterDedupByRank(ranked, col("doc_id"), pairs,
-          col("quality_score"))
-        .select(col("doc_id"), col("source"), col("quality_score"))
-    }),
-    "minhash_pairs" -> ((s, dir) => {
-      // LSH candidates -> EXACT shingle-Jaccard verify (the
-      // embed_near_dup_srp construction), so the pair set answers the
-      // same exact DuckDB oracle as ngram_jaccard. rows=128/64=2 hash
-      // rows per band: a true pair at j>=0.5 is missed with probability
-      // (1-j^2)^64 <= 0.75^64 ~ 1e-8 — recall 1 at oracle scale.
-      // The estimate-threshold variant stays available as
-      // Dedup.minhashDedupPairs (benched inside corpus_curation).
-      Dedup.minhashVerifiedPairs(t(s, dir, "documents"), col("doc_id"),
-        col("text"), numHashes = 128, shingleSize = 3, bands = 64,
-        minJaccard = 0.5)
-    }),
-    "snapshot_diff" -> ((s, dir) => {
-      // two synthetic snapshots of the documents table: old = src0-14,
-      // new = src5-19 with German docs' text uppercased — so the
-      // overlap splits into changed (de) and unchanged (rest), the
-      // src0-4 tail is removed, the src15-19 head added. Exact-text
-      // content compare here (the digest form is the scale path).
-      import graft.operators.Snapshot
-      val docs = t(s, dir, "documents")
-      val old = docs.filter(col("source").rlike("^src([0-9]|1[0-4])$"))
-      val neu = docs.filter(col("source").rlike("^src([5-9]|1[0-9])$"))
-        .withColumn("text",
-          when(col("lang") === "de", upper(col("text"))).otherwise(col("text")))
-      Snapshot.diff(old, neu, col("doc_id"), col("text"))
-    }),
-    "snapshot_diff_digest" -> ((s, dir) => {
-      // the 100-TB form of snapshot_diff: only an 8-byte xxhash64(text)
-      // digest crosses the full-outer join, never the document. The
-      // in-query gate proves class-identical output to the exact-text
-      // form on this data (a digest collision would THROW, not silently
-      // differ), which is what lets the exact-form DuckDB oracle check
-      // this entry too. Bucketed-by-id snapshots plan the join with
-      // zero exchange (PlanAuditSpec pins it via writeBucketed).
-      import graft.operators.Snapshot
-      val docs = t(s, dir, "documents")
-      val old = docs.filter(col("source").rlike("^src([0-9]|1[0-4])$"))
-      val neu = docs.filter(col("source").rlike("^src([5-9]|1[0-9])$"))
-        .withColumn("text",
-          when(col("lang") === "de", upper(col("text"))).otherwise(col("text")))
-      val dig = Snapshot.diff(old, neu, col("doc_id"), xxhash64(col("text")))
-      val exact = Snapshot.diff(old, neu, col("doc_id"), col("text"))
-        .withColumnRenamed("status", "__exact")
-      dig.join(exact, Seq("id"))
-        .where(assert_true(col("status") === col("__exact"),
-          concat(lit("digest snapshot status diverged from exact for id "),
-            col("id"))).isNull)
-        .select(col("id"), col("status"))
-    }),
-    "ivm_refresh" -> ((s, dir) => {
-      // incremental view maintenance over the snapshot_diff scenario:
-      // the stored per-doc annotation table (token/stopword counts +
-      // exact mean token length) is refreshed by RE-DERIVING ONLY the
-      // added/changed slice — survivors pass through, removed ids drop.
-      // The oracle recomputes the WHOLE table from the new snapshot, so
-      // a hash match IS the full-recompute-equivalence proof (the IVM
-      // contract: derive is row-local, content compare covers derive's
-      // inputs). At 100 TB the derive slice is churn-sized; SnapshotSpec
-      // pins that unchanged rows never reach the derive (a poisoned
-      // derive that throws on them stays green).
-      import graft.operators.Snapshot
-      val docs = t(s, dir, "documents")
-      val old = docs.filter(col("source").rlike("^src([0-9]|1[0-4])$"))
-      val neu = docs.filter(col("source").rlike("^src([5-9]|1[0-9])$"))
-        .withColumn("text",
-          when(col("lang") === "de", upper(col("text"))).otherwise(col("text")))
-      def derive(d: DataFrame): DataFrame =
-        d.select(col("doc_id"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          TextFunctions.stopwordCount(col("text"),
-            TextFunctions.DefaultStopwords).as("n_stopwords"),
-          TextFunctions.avgTokenLength(col("text")).as("avg_token_len"))
-      Snapshot.incrementalRefresh(derive(old), old, neu, "doc_id",
-        col("text"), derive)
-    }),
-    "ivm_refresh_agg" -> ((s, dir) => {
-      // the AGGREGATE half of IVM over the same snapshot churn: the
-      // stored per-language (count, sum n_chars) table is folded
-      // forward by delta algebra — added/changed rows add, removed/
-      // changed-old rows subtract, groups that empty disappear — and
-      // the oracle recomputes the whole aggregate from the new
-      // snapshot, so the hash match proves the algebra. Exact because
-      // the value column is integral (integer addition commutes; float
-      // sums stay with the tolerance-gated sketch family).
-      import graft.operators.Snapshot
-      val docs = t(s, dir, "documents")
-      val old = docs.filter(col("source").rlike("^src([0-9]|1[0-4])$"))
-      val neu = docs.filter(col("source").rlike("^src([5-9]|1[0-9])$"))
-        .withColumn("text",
-          when(col("lang") === "de", upper(col("text"))).otherwise(col("text")))
-      val prev = old.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("n_chars").cast("long")).as("sum_value"))
-      Snapshot.incrementalRefreshAgg(prev, old, neu, "doc_id",
-        col("text"), "lang", col("n_chars"))
-    }),
-    "cdc_merge" -> ((s, dir) => {
-      // nightly-refresh MERGE: base = the src0-14 snapshot; the delta
-      // mixes inserts (src15-19 arrive), in-place updates (de docs
-      // uppercase), deletes (doc_id%7), and a later-seq re-upsert
-      // (doc_id%11, overriding the delete where both hit) — so
-      // latest-wins, idempotent-delete and insert-vs-update all face
-      // the oracle. One window + one full-outer join, both keyed on
-      // doc_id (the change side's exchange is planned once).
-      import graft.operators.Cdc
-      val docs = t(s, dir, "documents")
-      val base = docs.filter(col("source").rlike("^src([0-9]|1[0-4])$"))
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          col("n_chars"))
-      Cdc.applyChangeSet(base, cdcChanges(docs, base), "doc_id")
-    }),
-    "cdc_merge_summary" -> ((s, dir) => {
-      // the reconciliation line of the same merge: per-action counts
-      // incl. delete_noop (replayed deletes must not fail or count as
-      // deletions) — what a nightly job logs and alerts on
-      import graft.operators.Cdc
-      val docs = t(s, dir, "documents")
-      val base = docs.filter(col("source").rlike("^src([0-9]|1[0-4])$"))
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          col("n_chars"))
-      Cdc.changeSetSummary(base, cdcChanges(docs, base), "doc_id")
-    }),
-    "cdc_merge_versioned" -> ((s, dir) => {
-      // the STORE form of the merge: versioned snapshot (per-id applied
-      // seq + delete tombstones) folded in two batches with the
-      // HIGH-seq batch first and the stale stragglers second — the
-      // stored seq must shield every newer value and tombstone, making
-      // the fold batch-order-invariant. Final live view ≡ the one-shot
-      // merge, so it answers cdc_merge's oracle verbatim.
-      import graft.operators.Cdc
-      val docs = t(s, dir, "documents")
-      val base = docs.filter(col("source").rlike("^src([0-9]|1[0-4])$"))
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          col("n_chars"))
-      val changes = cdcChanges(docs, base)
-      Cdc.snapshotView(
-        Cdc.applyChangeSetVersioned(
-          Cdc.applyChangeSetVersioned(Cdc.versionSnapshot(base),
-            changes.where(col("seq") >= 2), "doc_id"),
-          changes.where(col("seq") <= 1), "doc_id"))
-    }),
-    "cdc_merge_evolve" -> ((s, dir) => {
-      // schema DRIFT through the merge: the same delta suddenly carries
-      // a column the base has never seen (`rev`) — the base widens
-      // with nulls (mergeSchema semantics), rows the changeset wins
-      // carry the value, and a same-name/different-type column fails
-      // at plan assembly instead (CdcSpec). Mirrors the reference's
-      // schema-on-read drift: a new JSON field just appears one day
-      // and the canonical table follows (SURVEY §7.4.2).
-      import graft.operators.Cdc
-      val docs = t(s, dir, "documents")
-      val base = docs.filter(col("source").rlike("^src([0-9]|1[0-4])$"))
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          col("n_chars"))
-      val changes = cdcChanges(docs, base)
-        .withColumn("rev", (col("doc_id") % 5).cast("int"))
-      Cdc.applyChangeSet(base, changes, "doc_id")
-    }),
-    "cdc_generation_diff" -> ((s, dir) => {
-      // generation time travel, oracle-composed: g1 = the versioned
-      // fold of the high-seq batch (what a cdcMergeStream store's
-      // PREVIOUS generation held), g2 = g1 + the straggler batch (the
-      // live generation — equal, by batch-order invariance, to the
-      // one-shot merge the oracle recomputes); the output is
-      // Snapshot.diff over the two LIVE views — the very composition
-      // Streams.generationDiff runs against a store's gen-* dirs
-      // (spec-verified against real dirs in StreamsSpec; inlined here
-      // so DuckDB can recompute both snapshots). Exercises tombstone
-      // shielding ACROSS the generation boundary: stale seq-1 rows for
-      // ids g1 deleted at seq 2-4 stay absent from both views.
-      import graft.operators.{Cdc, Snapshot}
-      val docs = t(s, dir, "documents")
-      val base = docs.filter(col("source").rlike("^src([0-9]|1[0-4])$"))
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          col("n_chars"))
-      val changes = cdcChanges(docs, base)
-      val g1 = Cdc.applyChangeSetVersioned(Cdc.versionSnapshot(base),
-        changes.where(col("seq") >= 2), "doc_id")
-      val g2 = Cdc.applyChangeSetVersioned(g1,
-        changes.where(col("seq") <= 1), "doc_id")
-      Snapshot.diff(Cdc.snapshotView(g1), Cdc.snapshotView(g2),
-        col("doc_id"), col("text"))
-    }),
-    "fuzzy_name_pairs" -> ((s, dir) => {
-      // entity canonicalization on the DICTIONARY: distinct part names
-      // + corpus frequencies (one hash agg), token-blocked candidates,
-      // exact Levenshtein verify at dist<=2 — candidates bounded by
-      // dictionary token df², independent of corpus size
-      import graft.operators.FuzzyJoin
-      val dict = t(s, dir, "part").groupBy(col("p_name").as("name"))
-        .agg(count(lit(1)).as("n"))
-      FuzzyJoin.tokenBlockedEditJoin(dict, col("name"), col("name"),
-          maxDist = 2)
-        .select(col("name_a"), col("name_b"), col("dist"))
-        .join(dict.select(col("name").as("name_a"), col("n").as("n_a")),
-          Seq("name_a"))
-        .join(dict.select(col("name").as("name_b"), col("n").as("n_b")),
-          Seq("name_b"))
-        .select(col("name_a"), col("name_b"), col("dist"),
-          col("n_a"), col("n_b"))
-    }),
-    "entity_resolution" -> ((s, dir) => {
-      // the END of the record-linkage pipeline: fuzzy pairs
-      // (token-blocked banded Levenshtein, the fuzzy_name_pairs
-      // machinery) → transitive closure (the Dedup CC operator, keyed
-      // on portable 60-bit md5 name ids so DuckDB can replay the
-      // labels) → survivorship: the cluster's most frequent spelling
-      // wins (ties to the lexicographically smallest), every variant
-      // mapped to its canonical form. One row per dictionary name —
-      // the lookup a normalization pass joins against.
-      import graft.operators.{Dedup, FuzzyJoin}
-      import org.apache.spark.sql.expressions.Window
-      val dict = t(s, dir, "part").groupBy(col("p_name").as("name"))
-        .agg(count(lit(1)).as("n"))
-      val named = dict.withColumn("name_id",
-        conv(substring(md5(col("name")), 1, 15), 16, 10).cast("long"))
-      val idPairs = FuzzyJoin.tokenBlockedEditJoin(dict, col("name"),
-          col("name"), maxDist = 2)
-        .select(col("name_a"), col("name_b")) // id_a/id_b here are names
-        .join(named.select(col("name").as("name_a"),
-          col("name_id").as("id_a")), Seq("name_a"))
-        .join(named.select(col("name").as("name_b"),
-          col("name_id").as("id_b")), Seq("name_b"))
-        .select(col("id_a"), col("id_b"))
-      val cc = Dedup.connectedComponents(idPairs)
-      val lab = named.join(cc, named("name_id") === cc("id"), "left")
-        .select(col("name"), col("n"),
-          coalesce(col("comp"), col("name_id")).as("cluster"))
-      val w = Window.partitionBy(col("cluster"))
-        .orderBy(col("n").desc, col("name").asc)
-      val canon = lab.withColumn("rk", row_number().over(w))
-        .where(col("rk") === 1)
-        .select(col("cluster"), col("name").as("canonical_name"))
-      val sizes = lab.groupBy("cluster")
-        .agg(count(lit(1)).as("cluster_size"))
-      lab.join(broadcast(canon), Seq("cluster"))
-        .join(broadcast(sizes), Seq("cluster"))
-        .select(col("name"), col("canonical_name"), col("cluster_size"),
-          col("n"))
-    }),
-    "fuzzy_pairs_exact" -> ((s, dir) => {
-      // ground-truth twin: all-pairs edit join over the same 64-name
-      // dictionary (dictionary-sized by construction — the capped
-      // anchor convention) — recall auditor for fuzzy_name_pairs
-      import graft.operators.FuzzyJoin
-      val dict = t(s, dir, "part").select(col("p_name").as("name"))
-        .distinct()
-      FuzzyJoin.allPairsEditJoin(dict, col("name"), col("name"),
-        maxDist = 2)
-        .select(col("name_a"), col("name_b"), col("dist"))
-    }),
-    "zorder_zonemap" -> ((s, dir) => {
-      // OPTIMIZE-ZORDER's deterministic twin: lineitem's
-      // (partkey, suppkey) normalized to 16 bits from a broadcast
-      // 1-row stats frame, Morton-interleaved, prefix-bucketed into 64
-      // zones with raw per-zone min/max — ONE map-side-combining agg,
-      // zero sorts, bit-portable (Layout scaladoc)
-      import graft.operators.Layout
-      val li = t(s, dir, "lineitem")
-      val stats = li.agg(max(col("l_partkey")).cast("long").as("px"),
-        max(col("l_suppkey")).cast("long").as("sx"))
-      val df = li.crossJoin(broadcast(stats))
-      Layout.zoneMap(df,
-        Layout.normalize16(col("l_partkey"), col("px")),
-        Layout.normalize16(col("l_suppkey"), col("sx")),
-        bucketBits = 6)
-    }),
-    "zorder_zonemap_incremental" -> ((s, dir) => {
-      // the maintenance algebra at 100 TB: per-slice zone maps (an
-      // ingest batch computes its own) merged by one bucket-keyed agg
-      // ≡ the full rebuild, asserted IN-PLAN cell by cell; historical
-      // data is never rescanned. Oracle = the full-rebuild SQL (the
-      // gate makes the merged frame answer it).
-      import graft.operators.Layout
-      val li = t(s, dir, "lineitem")
-      val stats = li.agg(max(col("l_partkey")).cast("long").as("px"),
-        max(col("l_suppkey")).cast("long").as("sx"))
-      val df = li.crossJoin(broadcast(stats))
-      def zm(d: DataFrame) = Layout.zoneMap(d,
-        Layout.normalize16(col("l_partkey"), col("px")),
-        Layout.normalize16(col("l_suppkey"), col("sx")),
-        bucketBits = 6)
-      val merged = Layout.mergeZoneMaps(
-        zm(df.where(col("l_orderkey") % 2 === 0)),
-        zm(df.where(col("l_orderkey") % 2 === 1)))
-      val full = zm(df).select(col("bucket"),
-        col("min_x").as("__fx0"), col("max_x").as("__fx1"),
-        col("min_y").as("__fy0"), col("max_y").as("__fy1"),
-        col("n_rows").as("__fn"))
-      merged.join(full, Seq("bucket"), "full_outer")
-        .where(assert_true(
-          col("min_x") === col("__fx0") && col("max_x") === col("__fx1") &&
-            col("min_y") === col("__fy0") && col("max_y") === col("__fy1") &&
-            col("n_rows") === col("__fn"),
-          concat(lit("merged zone map diverged from rebuild at bucket "),
-            col("bucket"))).isNull)
-        .select(col("bucket"), col("min_x"), col("max_x"),
-          col("min_y"), col("max_y"), col("n_rows"))
-    }),
-    "zorder_pruning" -> ((s, dir) => {
-      // the point of the layout, measured: candidate buckets/rows for
-      // the same 2-D box under z-order vs a partkey-only layout, plus
-      // the true match count — min/max skipping is sound (candidates
-      // ⊇ exact, the LayoutSpec property), and the zorder row's
-      // n_candidate_rows is the fraction of the table a scan planner
-      // actually reads
-      import graft.operators.Layout
-      val li = t(s, dir, "lineitem")
-      val stats = li.agg(max(col("l_partkey")).cast("long").as("px"),
-        max(col("l_suppkey")).cast("long").as("sx"))
-      val df = li.crossJoin(broadcast(stats))
-      val nx = Layout.normalize16(col("l_partkey"), col("px"))
-      val ny = Layout.normalize16(col("l_suppkey"), col("sx"))
-      // box in raw units, normalized with the same exact arithmetic
-      val box = stats.select(
-        Layout.normalize16(lit(500L), col("px")).as("x0"),
-        Layout.normalize16(lit(600L), col("px")).as("x1"),
-        Layout.normalize16(lit(20L), col("sx")).as("y0"),
-        Layout.normalize16(lit(30L), col("sx")).as("y1"))
-      def stats4(zm: DataFrame, tag: String) =
-        Layout.pruningStats(zm.crossJoin(broadcast(box)),
-          col("x0"), col("x1"), col("y0"), col("y1"))
-          .withColumn("layout", lit(tag))
-      val exact = li.where(col("l_partkey").between(500L, 600L) &&
-          col("l_suppkey").between(20L, 30L))
-        .agg(count(lit(1)).as("n_exact_rows"))
-      stats4(Layout.zoneMap(df, nx, ny, 6), "zorder")
-        .unionByName(stats4(Layout.linearZoneMap(df, nx, ny, 6), "linear"))
-        .crossJoin(broadcast(exact))
-        .select(col("layout"), col("n_buckets"), col("n_candidate_buckets"),
-          col("n_candidate_rows"), col("n_exact_rows"))
-    }),
-    "hilbert_zonemap" -> ((s, dir) => {
-      // zorder_zonemap's Hilbert twin: same normalize16 inputs, same
-      // prefix bucketing, but the curve is the codegen Hilbert kernel
-      // (Kernels.hilbert — the rotation reads both coordinates, so a
-      // builtin-composition unrolling would double per level). Exact
-      // integer walk, hence hash-checkable with the 16 levels unrolled
-      // as CTEs on the oracle side.
-      import graft.operators.Layout
-      val li = t(s, dir, "lineitem")
-      val stats = li.agg(max(col("l_partkey")).cast("long").as("px"),
-        max(col("l_suppkey")).cast("long").as("sx"))
-      val df = li.crossJoin(broadcast(stats))
-      Layout.hilbertZoneMap(df,
-        Layout.normalize16(col("l_partkey"), col("px")),
-        Layout.normalize16(col("l_suppkey"), col("sx")),
-        bucketBits = 6)
-    }),
-    "hilbert_pruning" -> ((s, dir) => {
-      // Hilbert vs Morton where curve choice ACTUALLY matters: the
-      // same box query against 64 curve-contiguous EQUAL-COUNT file
-      // chunks of each layout (prefix buckets of the two curves are
-      // the same quadtree cells relabeled and prune identically — the
-      // Layout.hilbertValue scaladoc; FILE boundaries fall at
-      // arbitrary curve positions, where Morton's quadrant seams bloat
-      // chunk boxes). Measured here: Hilbert chunks admit ~2.5x fewer
-      // candidate rows for the same predicate. All exact integer
-      // arithmetic, deterministic chunking — hash-checkable.
-      import graft.operators.Layout
-      val li = t(s, dir, "lineitem")
-      val stats = li.agg(max(col("l_partkey")).cast("long").as("px"),
-        max(col("l_suppkey")).cast("long").as("sx"))
-      val df = li.crossJoin(broadcast(stats))
-      val nx = Layout.normalize16(col("l_partkey"), col("px"))
-      val ny = Layout.normalize16(col("l_suppkey"), col("sx"))
-      val box = stats.select(
-        Layout.normalize16(lit(500L), col("px")).as("x0"),
-        Layout.normalize16(lit(600L), col("px")).as("x1"),
-        Layout.normalize16(lit(20L), col("sx")).as("y0"),
-        Layout.normalize16(lit(30L), col("sx")).as("y1"))
-      def stats4(zm: DataFrame, tag: String) =
-        Layout.pruningStats(zm.crossJoin(broadcast(box)),
-          col("x0"), col("x1"), col("y0"), col("y1"))
-          .withColumn("layout", lit(tag))
-      val exact = li.where(col("l_partkey").between(500L, 600L) &&
-          col("l_suppkey").between(20L, 30L))
-        .agg(count(lit(1)).as("n_exact_rows"))
-      stats4(Layout.curveFileMap(df, nx, ny,
-          Layout.hilbertValue(nx, ny), 64), "hilbert")
-        .unionByName(stats4(Layout.curveFileMap(df, nx, ny,
-          Layout.zValue(nx, ny), 64), "zorder"))
-        .crossJoin(broadcast(exact))
-        .select(col("layout"), col("n_buckets"), col("n_candidate_buckets"),
-          col("n_candidate_rows"), col("n_exact_rows"))
-    }),
-    "zorder3_zonemap" -> ((s, dir) => {
-      // 3-column OPTIMIZE ZORDER (the real lakehouse arity): 48-bit
-      // 3-D Morton over (partkey, suppkey, quantity), prefix-bucketed
-      // zone map carrying min/max of ALL THREE dims — one map-side
-      // agg, exact bit arithmetic, hash-checkable against the
-      // triple-spread CTE chain.
-      import graft.operators.Layout
-      val li = t(s, dir, "lineitem")
-      val stats = li.agg(max(col("l_partkey")).cast("long").as("px"),
-        max(col("l_suppkey")).cast("long").as("sx"),
-        max(col("l_quantity")).cast("long").as("qx"))
-      val df = li.crossJoin(broadcast(stats))
-      Layout.zoneMap3(df,
-        Layout.normalize16(col("l_partkey"), col("px")),
-        Layout.normalize16(col("l_suppkey"), col("sx")),
-        Layout.normalize16(col("l_quantity"), col("qx")),
-        bucketBits = 6)
-    }),
-    "zorder3_pruning" -> ((s, dir) => {
-      // what the third curve column BUYS — and what it costs: the same
-      // 3-D box predicate against the 3-D and 2-D zone maps at EQUAL
-      // bucket count. The third dimension needs curve DEPTH to pay its
-      // way (each prefix level spends 3 bits instead of 2): at 64
-      // buckets the z-ranges span the whole quantity domain and the
-      // 3-D map is marginally WORSE (measured 1844 vs 1812 candidate
-      // rows); at the 4096 buckets used here the 2-D map bottoms out
-      // at the matching x/y cells (433 rows — it cannot skip on
-      // quantity at all) while the 3-D map reads 94. All exact
-      // integers, full oracle.
-      import graft.operators.Layout
-      val li = t(s, dir, "lineitem")
-      val stats = li.agg(max(col("l_partkey")).cast("long").as("px"),
-        max(col("l_suppkey")).cast("long").as("sx"),
-        max(col("l_quantity")).cast("long").as("qx"))
-      val df = li.crossJoin(broadcast(stats))
-      val nx = Layout.normalize16(col("l_partkey"), col("px"))
-      val ny = Layout.normalize16(col("l_suppkey"), col("sx"))
-      val nz = Layout.normalize16(col("l_quantity"), col("qx"))
-      val box = stats.select(
-        Layout.normalize16(lit(500L), col("px")).as("x0"),
-        Layout.normalize16(lit(600L), col("px")).as("x1"),
-        Layout.normalize16(lit(20L), col("sx")).as("y0"),
-        Layout.normalize16(lit(30L), col("sx")).as("y1"),
-        Layout.normalize16(lit(1L), col("qx")).as("z0"),
-        Layout.normalize16(lit(10L), col("qx")).as("z1"))
-      val s3 = Layout.pruningStats3(
-          Layout.zoneMap3(df, nx, ny, nz, 12).crossJoin(broadcast(box)),
-          col("x0"), col("x1"), col("y0"), col("y1"), col("z0"), col("z1"))
-        .withColumn("layout", lit("zorder3"))
-      val s2 = Layout.pruningStats(
-          Layout.zoneMap(df, nx, ny, 12).crossJoin(broadcast(box)),
-          col("x0"), col("x1"), col("y0"), col("y1"))
-        .withColumn("layout", lit("zorder2d"))
-      val exact = li.where(col("l_partkey").between(500L, 600L) &&
-          col("l_suppkey").between(20L, 30L) &&
-          col("l_quantity") >= 1.0 && col("l_quantity") <= 10.0)
-        .agg(count(lit(1)).as("n_exact_rows"))
-      s3.unionByName(s2).crossJoin(broadcast(exact))
-        .select(col("layout"), col("n_buckets"), col("n_candidate_buckets"),
-          col("n_candidate_rows"), col("n_exact_rows"))
-    }),
-    "dq_audit" -> ((s, dir) => {
-      // declarative data-quality audit over lineitem, the gate a load
-      // runs before promoting to serving: nulls, candidate key,
-      // domains, referential integrity — a MIX of clean and violated
-      // rules so both count paths face the oracle (and the audit
-      // earned its keep immediately: the synthetic lineitem REUSES
-      // (l_orderkey, l_linenumber) pairs — ~26k rows at sf0.01 share
-      // their would-be TPC-H primary key — which this query now pins
-      // as a data fact). All row-local rules share ONE aggregation
-      // pass (adding a rule adds a sum column, not a scan); unique is
-      // one keyed agg; the FK target broadcasts.
-      import graft.operators.Constraints
-      import graft.operators.Constraints._
-      val li = t(s, dir, "lineitem")
-      Constraints.audit(li, Seq(
-        NotNull("l_orderkey"),
-        Unique(Seq("l_orderkey", "l_linenumber")),
-        InRange("l_quantity", 1L, 50L),
-        InRange("l_linenumber", 1L, 4L), // deliberately violated
-        Matches("l_returnflag", "^[ARN]$"),
-        Matches("l_linestatus", "^F$"), // deliberately violated ('O')
-        ForeignKey("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
-    }),
-    "table_profile" -> ((s, dir) => {
-      // one-pass column profiler (operators/Profile.scala) — the
-      // DISCOVERY twin of dq_audit: null counts, exact distincts,
-      // native-typed min/max, mean rendered length and candidate-key
-      // detection for four orders columns in a SINGLE aggregation
-      // scan (count(distinct) per column plans through one Expand;
-      // the exactDistinct=false knob swaps HLL++ in at 100 TB).
-      import graft.operators.Profile
-      Profile.table(t(s, dir, "orders"),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
-    }),
-    "dq_suggest" -> ((s, dir) => {
-      // profiler → auditor composition (the pairing both scaladocs
-      // promise): the one-pass profile's facts rendered as a suggested
-      // rule table — not_null where null-free, unique where the key
-      // verdict held, in_range ONLY for integral-typed columns (the
-      // profile's data_type gate keeps a text column whose values
-      // render as integers from founding a numeric range rule).
-      // ConstraintsSpec drives the
-      // second half: the suggestions re-audit green on the same table
-      // and flag injected violations on a drifted load. The derivation
-      // is row-local over the columns-sized profile, so the oracle
-      // replays it verbatim over the profile CTE.
-      import graft.operators.{Constraints, Profile}
-      Constraints.suggestFromProfile(Profile.table(t(s, dir, "orders"),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
-    }),
-    "profile_top_values" -> ((s, dir) => {
-      // the per-column frequent-values half of profiling: each column
-      // costs one thin projected scan + hash agg, and the top-k is
-      // TakeOrderedAndProject (per-partition partial top-k), never a
-      // global sort; ties break by value so the result is exact and
-      // deterministic even on the high-cardinality o_custkey column.
-      import graft.operators.Profile
-      Profile.topValues(t(s, dir, "orders"),
-        Seq("o_orderstatus", "o_orderpriority", "o_custkey"), 3)
-    }),
-    "profile_fds" -> ((s, dir) => {
-      // cross-column structure discovery: o_orderkey->o_custkey must
-      // HOLD (orderkey is the key), the reverse and custkey->status
-      // must NOT (customers place many orders) — one violated and one
-      // held dependency face the oracle on both count paths. Each
-      // candidate is one thin two-column scan + keyed agg.
-      import graft.operators.Profile
-      Profile.functionalDependencies(t(s, dir, "orders"), Seq(
-        "o_orderkey" -> "o_custkey",
-        "o_custkey" -> "o_orderkey",
-        "o_custkey" -> "o_orderstatus",
-        "o_orderpriority" -> "o_orderstatus"))
-    }),
-    "langid_confusion" -> ((s, dir) => {
-      // EVAL of the langId heuristic against the labeled lang column:
-      // the full confusion matrix (one hash agg over a pure
-      // projection). The heuristic's marker-word argmax is exactly
-      // SQL-replayable (the corpus_curation_portable pattern), so
-      // even the misclassifications are oracle-pinned — the matrix is
-      // the honest accuracy statement a quality report needs.
-      import graft.functions.TextFunctions
-      t(s, dir, "documents")
-        .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
-        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
-    }),
-    "profile_drift" -> ((s, dir) => {
-      // load-over-load drift audit, the schema-on-read reality check
-      // (SURVEY §7.4.2: the reference's JSON inference yields
-      // different columns/types per day): today's orders vs a
-      // deterministically drifted twin — o_orderpriority dropped,
-      // o_channel appeared, o_custkey changed type bigint→string,
-      // o_orderstatus nulled on every 10th key. One profile pass per
-      // side, full-outer joined on column name.
-      import graft.operators.Profile
-      val orders = t(s, dir, "orders")
-      val drifted = orders.select(
-        col("o_orderkey"),
-        col("o_custkey").cast("string").as("o_custkey"),
-        when(col("o_orderkey") % 10 === 0, lit(null).cast("string"))
-          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
-        concat(lit("web-"), (col("o_orderkey") % 3).cast("string"))
-          .as("o_channel"))
-      Profile.drift(orders, drifted,
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_channel"))
-    }),
-    "profile_psi" -> ((s, dir) => {
-      // distribution drift: reference octile boundaries frozen on
-      // today's o_custkey, tomorrow simulated as a +300 (mod)
-      // customer-mass shift — the per-bucket ref/new counts ARE the
-      // PSI inputs, kept as exact integers so the whole comparison
-      // hash-matches (the ln-weighted score is one projection
-      // downstream). Mass visibly piles into shifted buckets.
-      import graft.operators.Profile
-      val orders = t(s, dir, "orders")
-      val drifted = orders.select(
-        ((col("o_custkey") + 300) % 1500).as("o_custkey"))
-      Profile.stabilityCounts(orders, drifted, "o_custkey", 8)
-    }),
-    "profile_histogram" -> ((s, dir) => {
-      // equi-DEPTH distribution view of o_custkey: 8 buckets cut at
-      // exact interpolated octiles (k a power of two keeps every
-      // interior fraction an exact binary, so the lo + frac·(hi−lo)
-      // interpolation is exact arithmetic in both engines); bucket
-      // membership is the portable strict-> comparison chain. Two
-      // aggregation passes over one projected column; swap
-      // exactBoundaries=false (t-digest) at 100 TB.
-      import graft.operators.Profile
-      Profile.equiDepthHistogram(t(s, dir, "orders"), "o_custkey", 8)
-    }),
-    "corpus_balanced_sample" -> ((s, dir) => {
-      // fixed k=16 docs PER LANGUAGE — the balanced-eval draw a
-      // fraction-keyed stratified sample can't give (rare strata keep
-      // ~nothing); md5-ranked so the draw is stable under re-runs and
-      // engine changes. One keyed exchange + per-group window.
-      import graft.operators.Sampling
-      Sampling.fixedPerGroupSample(t(s, dir, "documents"),
-        col("doc_id"), col("lang"), k = 16)
-        .select(col("doc_id"), col("lang"), col("sample_rank"))
-    }),
-    "event_anomalies" -> ((s, dir) => {
-      // robust volume monitoring (operators/Anomaly.scala): hourly
-      // event counts per type, median/MAD center+spread (50 %
-      // breakdown — a broken day can't mask itself the way it drags a
-      // mean/stddev z-score), flag = |cnt−med| > 3·mad. All exact
-      // integer/half arithmetic, so DuckDB replays the decision
-      // bit-for-bit; the events frame collapses to the ~680-bucket
-      // count series in one map-side agg and the per-type stats
-      // broadcast back.
-      import graft.operators.Anomaly
-      Anomaly.robustCountAnomalies(t(s, dir, "events"),
-        col("event_type"), ntz(date_trunc("hour", col("ts"))), 3.0)
-        .withColumnRenamed("group", "event_type")
-        .withColumnRenamed("bucket", "event_hour")
-    }),
-    "event_drift" -> ((s, dir) => {
-      // the LEVEL-SHIFT twin of event_anomalies: one-sided CUSUM in
-      // MAD units (slack 0.5, decision h=5), computed closed-form as
-      // S − min(0, running-min S) — two per-group ordered windows, no
-      // recursion, exact half-integer arithmetic end to end. Catches
-      // the sustained small shift the per-bucket z-score structurally
-      // cannot.
-      import graft.operators.Anomaly
-      Anomaly.cusumDrift(t(s, dir, "events"),
-        col("event_type"), ntz(date_trunc("hour", col("ts"))),
-        slack = 0.5, h = 5.0)
-        .withColumnRenamed("group", "event_type")
-        .withColumnRenamed("bucket", "event_hour")
-    }),
-    "event_anomalies_dense" -> ((s, dir) => {
-      // the OUTAGE-aware form of event_anomalies: countSeries produces
-      // no row for a zero-event bucket, so a complete outage — the
-      // exact failure the monitor exists for — is invisible to the
-      // sparse detector. denseCountSeries fills every (type, hour)
-      // against the hourly calendar spanning the load with cnt=0, so
-      // a dark hour becomes the loudest row in its group. The dense
-      // frame is groups × calendar (calendar-bounded, never
-      // event-scaled); same exact median/MAD arithmetic after.
-      import graft.operators.Anomaly
-      val ev = t(s, dir, "events")
-      val hour = ntz(date_trunc("hour", col("ts")))
-      val calendar = ev
-        .agg(min(hour).as("lo"), max(hour).as("hi"))
-        .select(explode(sequence(col("lo"), col("hi"),
-          expr("interval 1 hour"))).as("bucket"))
-      Anomaly.robustCountAnomaliesFromSeries(
-          Anomaly.denseCountSeries(ev, col("event_type"), hour, calendar),
-          3.0)
-        .withColumnRenamed("group", "event_type")
-        .withColumnRenamed("bucket", "event_hour")
-    }),
-    "bloom_index_build" -> ((s, dir) => {
-      // file-level Bloom index (operators/BloomIndex.scala) — the
-      // EQUALITY twin of the zone-map family: 256-row order "files"
-      // indexed on the NON-clustered o_custkey (zone maps can't serve
-      // a point lookup on a column the layout wasn't sorted by). The
-      // md5-derived bit positions make the filter engine-portable, so
-      // DuckDB rebuilds the index bit-for-bit — false positives and
-      // all. One projected scan + one bit_or agg; ~2.4k-row output
-      // for a 15k-row table at sf0.01.
-      import graft.operators.BloomIndex
-      BloomIndex.build(t(s, dir, "orders"),
-        expr("CAST(o_orderkey DIV 256 AS BIGINT)"), col("o_custkey"),
-        k = 3, mBits = 4096)
-    }),
-    "bloom_store_compaction" -> ((s, dir) => {
-      // OPTIMIZE for the streaming Bloom store: four "daily" partial
-      // builds appended (the bloomIndexStream accretion pattern), one
-      // OR-fold compaction (crash-safe two-phase swap), then the
-      // SERVED VIEW is the query result — and its oracle is the
-      // bloom_index_build SQL VERBATIM, because OR-folding partial
-      // builds must equal building over the whole table. A hash match
-      // here is a bit-level losslessness proof for the maintenance
-      // op, not a checksum-boolean; the driver-side require pins the
-      // file-count drop.
-      import graft.operators.{BloomIndex, Maintenance}
-      val storePath = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft_bloomstore_" + java.lang.Integer.toHexString(dir.hashCode) +
-          "_" + s.sparkContext.applicationId
-            .replaceAll("[^A-Za-z0-9]", "")).toString
-      val fsP = new org.apache.hadoop.fs.Path(storePath)
-      val fs = fsP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(fsP, true)
-      val orders = t(s, dir, "orders")
-      (0 until 4).foreach { i =>
-        BloomIndex.build(orders.where(col("o_orderkey") % 4 === i),
-            expr("CAST(o_orderkey DIV 256 AS BIGINT)"), col("o_custkey"),
-            3, 4096)
-          .write.mode(org.apache.spark.sql.SaveMode.Append)
-          .parquet(storePath)
-      }
-      val res = Maintenance.compactBloomStore(s, storePath)
-      require(res.filesAfter < res.filesBefore,
-        s"bloom store compaction did not reduce files: $res")
-      graft.streaming.Streams.bloomIndexView(s, storePath)
-    }),
-    "count_store_compaction" -> ((s, dir) => {
-      // the count-store twin of bloom_store_compaction: the events
-      // stream's count partials staged as three "committed batch"
-      // slices, folded through compactCountStore (batches 0-1 — a
-      // committed later batch supersedes them, the documented replay
-      // contract), then the served ANOMALY VERDICT is the query
-      // result — and its oracle is event_anomalies' SQL VERBATIM,
-      // because fold-then-detect must equal detecting over all events
-      // ever streamed. Hash match == losslessness proof for the
-      // maintenance op; driver require pins the file-count drop.
-      import graft.operators.{Anomaly, Maintenance}
-      val storePath = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft_countstore_" + java.lang.Integer.toHexString(dir.hashCode) +
-          "_" + s.sparkContext.applicationId
-            .replaceAll("[^A-Za-z0-9]", "")).toString
-      val fsP = new org.apache.hadoop.fs.Path(storePath)
-      val fs = fsP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(fsP, true)
-      val ev = t(s, dir, "events")
-      (0 until 3).foreach { i =>
-        Anomaly.countSeries(ev.where(col("event_id") % 3 === i),
-            col("event_type"), ntz(date_trunc("hour", col("ts"))))
-          .withColumn("batch_id", lit(i.toLong))
-          .write.mode(org.apache.spark.sql.SaveMode.Append)
-          .parquet(storePath)
-      }
-      val res = Maintenance.compactCountStore(s, storePath, throughBatch = 1)
-      require(res.filesAfter < res.filesBefore,
-        s"count store compaction did not reduce files: $res")
-      graft.streaming.Streams.anomalyStoreView(s, storePath, 3.0)
-        .withColumnRenamed("group", "event_type")
-        .withColumnRenamed("bucket", "event_hour")
-    }),
-    "bloom_index_prune" -> ((s, dir) => {
-      // the LOOKUP half: 5 present + 3 absent customer keys probed
-      // against the index; output compares candidate chunks (bloom
-      // "maybe") with true chunks per key — the gap IS the measured
-      // false-positive cost, and the oracle reproduces it exactly
-      // because the hash is portable. The in-plan assert_true pins
-      // the Bloom contract: NO false negatives (every true chunk is a
-      // candidate), for present and absent keys alike. Probe side
-      // broadcasts; the index never shuffles.
-      import s.implicits._
-      import graft.operators.BloomIndex
-      val orders = t(s, dir, "orders")
-      val chunkCol = expr("CAST(o_orderkey DIV 256 AS BIGINT)")
-      // persist the shared frames: the audit references the index,
-      // candidates and truth 2-3 times each, and without pinning them
-      // the plan re-scans orders four times (measured — ReuseExchange
-      // does not fire across the differently-aliased subtrees). All
-      // three are index-sized, not table-sized.
-      val index = BloomIndex.build(orders, chunkCol, col("o_custkey"),
-        3, 4096).persist()
-      val probes = Seq("7", "42", "137", "999", "1250",
-        "100007", "100042", "100137").toDF("probe_key")
-      val cand = BloomIndex.candidates(index, probes, col("probe_key"),
-        3, 4096).persist()
-      val truth = orders
-        .select(chunkCol.as("chunk"),
-          col("o_custkey").cast("string").as("probe_key"))
-        .join(broadcast(probes), Seq("probe_key")).distinct().persist()
-      val candCnt = cand.groupBy("probe_key")
-        .agg(count(lit(1)).as("n_candidates"))
-      val trueCnt = truth.groupBy("probe_key").agg(count(lit(1)).as("n_true"))
-      val missed = truth.join(cand, Seq("probe_key", "chunk"), "left_anti")
-        .groupBy("probe_key").agg(count(lit(1)).as("n_missed"))
-      probes
-        .join(candCnt, Seq("probe_key"), "left")
-        .join(trueCnt, Seq("probe_key"), "left")
-        .join(missed, Seq("probe_key"), "left")
-        .select(col("probe_key"),
-          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-          coalesce(col("n_true"), lit(0L)).as("n_true"))
-        .where(assert_true(coalesce(col("n_missed"), lit(0L)) === 0,
-          concat(lit("bloom false negative for key "), col("probe_key")))
-          .isNull)
-    }),
-    "zonemap_prune_scan" -> ((s, dir) => {
-      // zone-map data skipping as a Catalyst OPTIMIZER RULE
-      // (plans/ZoneMapPruning.scala — the injectable-rule extension
-      // point): lineitem's key columns are clustered ONCE per session
-      // into z-bucket partition directories (store convention), and
-      // every scan of the store with x/y range conjuncts gets
-      // `z_bucket IN (...)` injected, which FileSourceStrategy turns
-      // into directory pruning (ZoneMapPruningSpec pins the
-      // PartitionFilters and the bail-outs). Registration is a
-      // METADATA READ, not a rescan: the build appends per-ingest
-      // rawZoneMap slices to a zone-stats store (what zoneStatsStream
-      // does per micro-batch), folds it with compactZoneStatsStore,
-      // and attachFromStore collects only the bucket-bounded boxes —
-      // the spec proves it by attaching with the table absent. The
-      // oracle recomputes the SAME filter over raw lineitem — a hash
-      // match is the proof the rewrite lost and duplicated nothing.
-      import graft.operators.{Layout, Maintenance}
-      import graft.plans.ZoneMapPruning
-      val appTag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "")
-      val wh = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"))
-      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val store = new org.apache.hadoop.fs.Path(wh, "graft_zcluster_" +
-        java.lang.Integer.toHexString(dir.hashCode) + "_" + appTag)
-      val statsStore = new org.apache.hadoop.fs.Path(wh,
-        "graft_zstats_" + java.lang.Integer.toHexString(dir.hashCode) +
-          "_" + appTag)
-      if (!fs.exists(store)) {
-        val staleBefore = System.currentTimeMillis() - 30L * 60 * 1000
-        if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
-          val nm = st.getPath.getName
-          if ((nm.startsWith("graft_zcluster_") ||
-              nm.startsWith("graft_zstats_")) && !nm.contains(appTag) &&
-              st.getModificationTime < staleBefore)
-            fs.delete(st.getPath, true)
-        }
-        val li = t(s, dir, "lineitem")
-        val stats = li.agg(max(col("l_partkey")).cast("long").as("px"),
-          max(col("l_suppkey")).cast("long").as("sx"))
-        li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-            col("l_quantity"))
-          .crossJoin(broadcast(stats))
-          .withColumn("z_bucket", shiftright(Layout.zValue(
-            Layout.normalize16(col("l_partkey"), col("px")),
-            Layout.normalize16(col("l_suppkey"), col("sx"))), 26))
-          .drop("px", "sx")
-          .write.partitionBy("z_bucket").parquet(store.toString)
-        // the maintenance path: three "ingest batch" stats slices
-        // appended (each one agg over its slice only), then the
-        // store fold — history never rescanned
-        val clustered = s.read.parquet(store.toString)
-        (0 until 3).foreach { b =>
-          Layout.rawZoneMap(clustered.where(col("l_orderkey") % 3 === b),
-              col("z_bucket"), Seq("l_partkey", "l_suppkey"))
-            .withColumn("batch_id", lit(b.toLong))
-            .write.mode(org.apache.spark.sql.SaveMode.Append)
-            .parquet(statsStore.toString)
-        }
-        val cres = Maintenance.compactZoneStatsStore(s,
-          statsStore.toString, throughBatch = 1)
-        require(cres.filesAfter < cres.filesBefore,
-          s"zone-stats compaction did not reduce files: $cres")
-        ZoneMapPruning.attachFromStore(s, store.toString, "z_bucket",
-          statsStore.toString)
-      }
-      s.read.parquet(store.toString)
-        .where(col("l_partkey") >= 500L && col("l_partkey") <= 600L &&
-          col("l_suppkey") >= 20L && col("l_suppkey") <= 30L)
-        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          col("l_quantity"))
-    }),
-    "zonemap3_prune_scan" -> ((s, dir) => {
-      // the pruning rule in THREE dimensions, serving the zValue3
-      // layout it could not before: lineitem clustered by the 3-D
-      // Morton prefix of (partkey, suppkey, orderkey), boxes kept per
-      // bucket for all three raw columns, and a 3-D range conjunction
-      // pruned on every dimension at once. Same full-scan-identity
-      // oracle discipline as zonemap_prune_scan.
-      import graft.operators.Layout
-      import graft.plans.ZoneMapPruning
-      val appTag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "")
-      val wh = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"))
-      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val store = new org.apache.hadoop.fs.Path(wh, "graft_z3cluster_" +
-        java.lang.Integer.toHexString(dir.hashCode) + "_" + appTag)
-      if (!fs.exists(store)) {
-        val staleBefore = System.currentTimeMillis() - 30L * 60 * 1000
-        if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
-          val nm = st.getPath.getName
-          if (nm.startsWith("graft_z3cluster_") && !nm.contains(appTag) &&
-              st.getModificationTime < staleBefore)
-            fs.delete(st.getPath, true)
-        }
-        val li = t(s, dir, "lineitem")
-        val stats = li.agg(max(col("l_partkey")).cast("long").as("px"),
-          max(col("l_suppkey")).cast("long").as("sx"),
-          max(col("l_orderkey")).cast("long").as("ox"))
-        li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-            col("l_quantity"))
-          .crossJoin(broadcast(stats))
-          // 48-bit curve, top 6 bits -> ≤64 partition directories
-          .withColumn("z_bucket", shiftright(Layout.zValue3(
-            Layout.normalize16(col("l_partkey"), col("px")),
-            Layout.normalize16(col("l_suppkey"), col("sx")),
-            Layout.normalize16(col("l_orderkey"), col("ox"))), 42))
-          .drop("px", "sx", "ox")
-          .write.partitionBy("z_bucket").parquet(store.toString)
-        // writer-persisted stats (one agg over the clustered rows);
-        // attach is the O(buckets) metadata read
-        val statsPath = store.toString + ".__zonemap"
-        Layout.rawZoneMap(s.read.parquet(store.toString), col("z_bucket"),
-            Seq("l_partkey", "l_suppkey", "l_orderkey"))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(statsPath)
-        ZoneMapPruning.attachFromStats(s, store.toString, "z_bucket",
-          s.read.parquet(statsPath))
-      }
-      s.read.parquet(store.toString)
-        .where(col("l_partkey") >= 300L && col("l_partkey") <= 900L &&
-          col("l_suppkey") >= 5L && col("l_suppkey") <= 60L &&
-          col("l_orderkey") <= 300000L)
-        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          col("l_quantity"))
-    }),
-    "zonemap_prune_string" -> ((s, dir) => {
-      // STRING min/max boxes — the reference's own partition pattern
-      // (date-encoded paths: zoom_proc.py:325-336, jhub_proc.py:
-      // 258-276) makes string-range skipping on load_date/ISO
-      // timestamps the single most common real pruning predicate.
-      // lineitem staged with ship_date rendered 'yyyy-MM-dd' and
-      // bucketed by calendar month; boxes compare in binary UTF-8
-      // order (Spark's own string comparison), and a half-open
-      // [>= lo, < hi) date-string range prunes to the touched months.
-      // Oracle = the same filter on raw lineitem, strftime-rendered.
-      import graft.operators.Layout
-      import graft.plans.ZoneMapPruning
-      val appTag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "")
-      val wh = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"))
-      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val store = new org.apache.hadoop.fs.Path(wh, "graft_zdatestr_" +
-        java.lang.Integer.toHexString(dir.hashCode) + "_" + appTag)
-      if (!fs.exists(store)) {
-        val staleBefore = System.currentTimeMillis() - 30L * 60 * 1000
-        if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
-          val nm = st.getPath.getName
-          if (nm.startsWith("graft_zdatestr_") && !nm.contains(appTag) &&
-              st.getModificationTime < staleBefore)
-            fs.delete(st.getPath, true)
-        }
-        t(s, dir, "lineitem")
-          .select(col("l_orderkey"),
-            date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
-            col("l_quantity"),
-            (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
-              .cast("long").as("z_bucket"))
-          .write.partitionBy("z_bucket").parquet(store.toString)
-        val statsPath = store.toString + ".__zonemap"
-        Layout.rawZoneMap(s.read.parquet(store.toString), col("z_bucket"),
-            Seq("ship_date"))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(statsPath)
-        ZoneMapPruning.attachFromStats(s, store.toString, "z_bucket",
-          s.read.parquet(statsPath))
-      }
-      s.read.parquet(store.toString)
-        .where(col("ship_date") >= "1995-03-01" &&
-          col("ship_date") < "1995-06-01")
-        .select(col("l_orderkey"), col("ship_date"), col("l_quantity"))
-    }),
-    "compaction_stats" -> ((s, dir) => {
-      // the OPTIMIZE half of the reference's append cadence: stage
-      // lineitem's key columns as 64 small files (one "hourly append"
-      // each — the pattern jhub_proc's calendar batches accrete), then
-      // bin-pack with Maintenance.compactTable and PROVE the rewrite
-      // lossless against the SOURCE with data aggregates (row count +
-      // an exact integral checksum, covering staging AND compaction).
-      // File counts are environment facts (parquet encoder sizes
-      // vary), so the oracle pins data identity and the reduction
-      // CONTRACT as booleans while the driver-side require enforces
-      // the actual file-count drop; the benched number prices the
-      // whole maintenance op (stage + rewrite + swap).
-      import graft.operators.Maintenance
-      val stagePath = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft_compact_" + java.lang.Integer.toHexString(dir.hashCode) +
-          "_" + s.sparkContext.applicationId
-            .replaceAll("[^A-Za-z0-9]", "")).toString
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
-      val fsP = new org.apache.hadoop.fs.Path(stagePath)
-      val fs = fsP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(fsP, true) // fresh staging: the op itself is the measure
-      li.repartition(64).write.parquet(stagePath)
-      val src = li.agg(count(lit(1)).cast("long").as("n"),
-        sum(col("l_orderkey")).cast("long").as("ck")).head()
-      val (nSrc, ckSrc) = (src.getLong(0), src.getLong(1))
-      val res = Maintenance.compactTable(s, stagePath,
-        targetBytes = 64L << 20)
-      require(res.filesAfter < res.filesBefore,
-        s"compaction did not reduce files: $res")
-      s.read.parquet(stagePath)
-        .agg(count(lit(1)).cast("long").as("n_rows_after"),
-          sum(col("l_orderkey")).cast("long").as("sum_okey_after"))
-        .select(lit(nSrc).as("n_rows_before"), col("n_rows_after"),
-          lit(ckSrc).as("sum_okey_before"), col("sum_okey_after"),
-          (col("n_rows_after") === nSrc &&
-            col("sum_okey_after") === ckSrc).as("row_identity"),
-          lit(res.filesAfter < res.filesBefore).as("files_reduced"))
-        .where(assert_true(col("row_identity"),
-          lit(s"compacted table diverged from source at $stagePath")).isNull)
-    }),
-    "compaction_partitioned_stats" -> ((s, dir) => {
-      // the PARTITIONED form of compaction_stats — the reference's
-      // actual layout (date-partitioned staging, one slice per
-      // calendar batch): lineitem staged under 3 l_returnflag
-      // partitions x 16 small files each, every partition bin-packed
-      // independently, and the rewrite proven lossless per partition
-      // against the source's GROUP BY — so a partition swapped with
-      // another's data (not just lost rows) would hash-mismatch.
-      import graft.operators.Maintenance
-      val stagePath = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft_compact_part_" + java.lang.Integer.toHexString(dir.hashCode) +
-          "_" + s.sparkContext.applicationId
-            .replaceAll("[^A-Za-z0-9]", "")).toString
-      val li = t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"))
-      val fsP = new org.apache.hadoop.fs.Path(stagePath)
-      val fs = fsP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(fsP, true)
-      li.repartition(16).write.partitionBy("l_returnflag").parquet(stagePath)
-      val results = Maintenance.compactPartitioned(s, stagePath,
-        targetBytes = 64L << 20)
-      require(results.nonEmpty &&
-        results.values.forall(r => r.filesAfter < r.filesBefore),
-        s"partitioned compaction did not reduce files: $results")
-      s.read.parquet(stagePath)
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).cast("long").as("n_rows"),
-          sum(col("l_orderkey")).cast("long").as("sum_okey"))
-        .withColumn("compacted", lit(true))
-    }),
-    "novelty_scores" -> ((s, dir) => {
-      // per-doc novelty of the src1x increment vs the accumulated
-      // src0-9 reference (the dedup_incremental split): integral
-      // (n_sh, n_known) projection for the oracle; the novelty double
-      // stays on the operator output
-      val docs = t(s, dir, "documents")
-      // hashShingles=false: the oracle computes exact text shingles, so
-      // the registered entry must too — a 64-bit gram-hash collision
-      // would flip the counts. Production keeps the hashed default.
-      Dedup.noveltyScores(
-        docs.filter(col("source").rlike("^src1[0-9]$")),
-        docs.filter(col("source").rlike("^src[0-9]$")),
-        col("doc_id"), col("text"), n = 3, hashShingles = false)
-        .select(col("doc_id"), col("n_sh"), col("n_known"))
-    }),
-    "duplicate_spans" -> ((s, dir) => {
-      // substring-level dedup signal (Lee et al. 2022): per doc, the
-      // count of corpus-duplicated 8-token spans and the tokens covered
-      // by their union. All-integral output -> exact DuckDB oracle.
-      // hashShingles=false to match the exact-text oracle (see
-      // novelty_scores); hashed remains the production default
-      Dedup.duplicateSpanStats(t(s, dir, "documents"), col("doc_id"),
-        col("text"), n = 8, minCount = 2, hashShingles = false)
-    }),
-    "strip_duplicate_spans" -> ((s, dir) => {
-      // the action half: cut every corpus-duplicated 8-token span from
-      // every document (all occurrences — boilerplate semantics).
-      // clean_text reconstructs from kept tokens, so both engines emit
-      // byte-identical strings.
-      Dedup.stripDuplicateSpans(t(s, dir, "documents"), col("doc_id"),
-        col("text"), n = 8, minCount = 2, hashShingles = false)
-    }),
-    "corpus_curation" -> ((s, dir) => { // engine-hash based: rows-only
-      // the composed training-data path: annotate -> quality/lang gate ->
-      // exact dedup -> MinHash near-dedup -> enriched curated corpus
-      import graft.pipelines.CorpusPipeline
-      val cfg = CorpusPipeline.Config(minQuality = 0.3,
-        keepLangs = Seq("en"), minTokens = 5, shingleSize = 3,
-        numHashes = 64, bands = 16, minEstJaccard = 0.7, featureDim = 8)
-      val gated = CorpusPipeline.qualityGate(
-        CorpusPipeline.annotate(t(s, dir, "documents")), cfg)
-      val deduped = CorpusPipeline.nearDedup(
-        CorpusPipeline.exactDedup(gated), cfg)
-      CorpusPipeline.enrich(deduped, cfg)
-        .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
-          col("simhash"), size(col("fingerprints")).as("n_fp"),
-          size(col("features")).as("n_features"))
-    }),
-    "corpus_curation_portable" -> ((s, dir) => {
-      // oracle twin of the composed funnel: every engine-hash stage
-      // swapped for its proven portable form (md5 minhash self-dedup,
-      // md5-vote simhash, md5 winnowing), so the END-TO-END composition
-      // — gate ∘ exact-dedup ∘ LSH-dedup ∘ enrich — hash-matches one
-      // DuckDB query, not just each primitive in isolation. Engine-hash
-      // corpus_curation stays the production path.
-      import graft.pipelines.CorpusPipeline
-      import graft.functions.Kernels
-      val cfg = CorpusPipeline.Config(minQuality = 0.3,
-        keepLangs = Seq("en"), minTokens = 5, shingleSize = 3,
-        numHashes = 64, bands = 16, minEstJaccard = 0.7, featureDim = 8)
-      val gated = CorpusPipeline.qualityGate(
-        CorpusPipeline.annotate(t(s, dir, "documents")), cfg)
-      val exact = CorpusPipeline.exactDedup(gated)
-      val deduped = Dedup.applyPairDedup(exact, col("doc_id"),
-        Dedup.minhashDedupPairsPortable(exact, col("doc_id"), col("text"),
-          cfg.numHashes, cfg.shingleSize, cfg.bands, cfg.minEstJaccard))
-      deduped.select(col("doc_id"), col("lang_pred"), col("n_tokens"),
-        Kernels.simhashMd5Col(TextFunctions.tokens(col("text")))
-          .as("simhash"),
-        size(Kernels.winnowMd5Fp(col("text"), 5, 4)).as("n_fp"),
-        size(graft.operators.Multimodal.stubFeatureVector(
-          col("text").cast("binary"), cfg.featureDim)).as("n_features"))
-    }),
-    "source_jaccard_exact" -> ((s, dir) => {
-      // the audit-time exact twin of source_minhash_jaccard: true
-      // distinct-shingle-set Jaccard per source pair, every pair
-      // emitted, all-integral counts + one 0/0-guarded IEEE division.
-      // hashShingles=false so the DuckDB oracle recomputes the
-      // identical text-shingle sets (production uses hashed keys)
-      Dedup.sourceJaccardExact(t(s, dir, "documents"), col("source"),
-        col("text"), n = 3, hashShingles = false)
-    }),
-    "source_minhash_jaccard" -> ((s, dir) => { // engine-hash: rows-only
-      // group-level sketches via the TypedImperativeAggregate: MinHash
-      // union per source, then pairwise estimated Jaccard across sources
-      import graft.functions.MinHashUnionAgg
-      val docs = t(s, dir, "documents")
-      val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"),
-        numHashes = 64, shingleSize = 3)
-        .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      val grouped = sigs.groupBy(col("source"))
-        .agg(MinHashUnionAgg.minhashUnion(col("sig"), 64).as("gsig"))
-      grouped.as("a").join(grouped.as("b"),
-          col("a.source") < col("b.source"))
-        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
-          (graft.functions.Kernels.agreeCountCol(col("a.gsig"), col("b.gsig"))
-            .cast("double") / lit(64.0)).as("est_jaccard"))
-    }),
-    "source_minhash_jaccard_portable" -> ((s, dir) => {
-      // md5 twin of the group-sketch query: per-(source, k) min over the
-      // portable per-doc signatures IS the MinHash union (min over a
-      // union of sets = min over per-set mins), so the whole sketch —
-      // signature elements, group union, agree-count/64 estimate —
-      // reproduces bit-for-bit in DuckDB. Same two-shuffle shape as the
-      // production TypedImperativeAggregate form (one agg, one tiny
-      // sources×sources join); the engine-hash form stays the bench
-      // default (4-byte kernel hashes vs 16-char md5 strings).
-      // Bounded anchor (the vec_id<1000 convention): the md5 kernel is
-      // ~10x the engine hash per (shingle, k), so the twin runs on the
-      // deterministic doc_id%10 slice — every source keeps 1/10 of its
-      // docs, the construction is exercised end-to-end, and the oracle
-      // applies the same cut (still the costliest query in the spread
-      // at %5; the sketch math is size-independent).
-      val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
-      val sigs = Dedup.minhashSignaturesPortable(docs, col("doc_id"),
-          col("text"), numHashes = 64, shingleSize = 3)
-        // n_sh, not size(sig): a size(sig) predicate pushes the md5
-        // kernel into the pre-exchange Filter (2-3 evals/row, one task —
-        // measured 8x the query's real cost); see Dedup.lshBands
-        .filter(col("n_sh") > 0)
-        .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      // group union via the typed aggregate, NOT posexplode-then-min:
-      // exploding a kernel-derived array makes InferFiltersFromGenerate
-      // add isnotnull(sig), which pushdown rewrites into a pre-exchange
-      // Filter evaluating the md5 kernel 2-3x per row in one task; the
-      // aggregate leaves the kernel in its parallel Project. The
-      // per-(source, k) rows (identical values) come from exploding the
-      // TINY group signatures after the agg.
-      import graft.functions.MinHashUnionAgg
-      val grouped = sigs.groupBy(col("source"))
-        .agg(MinHashUnionAgg.minhashUnionMd5(col("sig"), 64).as("gsig"))
-        .select(col("source"), posexplode(col("gsig")).as(Seq("k", "h")))
-      grouped.as("a").join(grouped.as("b"),
-          col("a.k") === col("b.k") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("source_a"),
-          col("b.source").as("source_b"))
-        .agg((sum(when(col("a.h") === col("b.h"), 1L).otherwise(0L))
-          .cast("double") / lit(64.0)).as("est_jaccard"))
-    }),
-    "simhash_codes" -> ((s, dir) => { // FNV-1a based: rows-only check
-      Dedup.simhash64(t(s, dir, "documents"), col("doc_id"), col("text"))
-    }),
-    "simhash_pairs" -> ((s, dir) => { // FNV-1a based: rows-only check
-      Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
-        maxHamming = 3)
-    }),
-    "simhash_codes_portable" -> ((s, dir) => {
-      // md5-vote twin of simhash_codes: same ±1-vote per-row reduction,
-      // zero shuffle, but the code derives from substr(md5(token),1,16)
-      // so DuckDB reproduces it bit-for-bit → the whole simhash
-      // construction is oracle-checked (FNV stays production)
-      Dedup.simhash64(t(s, dir, "documents"), col("doc_id"), col("text"),
-        portableHash = true)
-    }),
-    "simhash_pairs_portable" -> ((s, dir) => {
-      // the pigeonhole block join is EXACT at a fixed code function
-      // (hamming<=3 forces >=1 of 4 16-bit blocks equal), so with
-      // portable codes the pair set answers an exact all-pairs hamming
-      // oracle — the LSH recall proof the FNV twin can only property-test
-      Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
-        maxHamming = 3, portableHash = true)
-    }),
-    "winnow_fingerprints" -> ((s, dir) => { // FNV-1a based: rows-only check
-      t(s, dir, "documents").select(col("doc_id"),
-        Fingerprint.winnow(col("text"), k = 5, w = 4).as("fp"))
-        .select(col("doc_id"), size(col("fp")).as("n_fp"),
-          element_at(col("fp"), 1).as("min_fp"))
-    }),
-    "winnow_fingerprints_portable" -> ((s, dir) => {
-      // md5 twin of winnow_fingerprints at the same (k=5, w=4): the
-      // kernel's distinct-ascending output makes element 1 the minimum
-      // fingerprint, so both the count and the min are oracle-exact
-      // (the k=8/w=8 variant is already proven inside boilerplate_scores;
-      // this pins the standalone fingerprint query). FNV stays default.
-      import graft.functions.Kernels
-      t(s, dir, "documents").select(col("doc_id"),
-        Kernels.winnowMd5Fp(col("text"), k = 5, w = 4).as("fp"))
-        .select(col("doc_id"), size(col("fp")).as("n_fp"),
-          element_at(col("fp"), 1).as("min_fp"))
-    }),
-    "boilerplate_scores" -> ((s, dir) => {
-      // repeated-passage fraction per doc from the winnowed fingerprint
-      // sample — template/licence-block detection; only the fingerprint
-      // sample ever shuffles, never the text. engineHash=false: the
-      // md5-hex fingerprint variant reproduces in DuckDB SQL, so the
-      // whole operator is oracle-checked; production keeps the FNV
-      // default (winnow_fingerprints benches that kernel)
-      Dedup.boilerplateScores(t(s, dir, "documents"), col("doc_id"),
-        col("text"), k = 8, w = 8, minDocs = 2, engineHash = false)
-    }),
-    // ----- LLM-pipeline: text analysis ----------------------------------
-    "text_stats" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"),
-        TextFunctions.regexTokenCount(col("text")).as("n_word_tokens"),
-        TextFunctions.avgTokenLength(col("text")).as("avg_token_len"),
-        TextFunctions.stopwordCount(col("text"), TextFunctions.DefaultStopwords)
-          .as("n_stopwords"),
-        TextFunctions.langId(col("text")).as("lang_pred"),
-        TextFunctions.qualityScore(col("text")).as("quality"))
-    }),
-    "text_normalize" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.normalizeText(col("text")).as("norm_text"))
-    }),
-    "text_compressibility" -> ((s, dir) => {
-      // compressibility quality heuristic: deflate ratio per document —
-      // boilerplate/spam compresses far better than prose. Zero-shuffle
-      // codegen kernel (thread-local zlib state, one compiled call per
-      // row); zlib streams are JVM-specific, so rows-only — with the
-      // structural invariant self-asserted. The bound scales with input
-      // length: deflate's stored-block overhead is ~5 bytes per 64 KiB
-      // block plus a few fixed bytes, so ratio <= 1.001 + 8/n_chars
-      // (n_chars <= n_bytes, so the per-char bound is the loose side).
-      // A constant ceiling would be WRONG: 1 raw byte deflates to 3
-      // (ratio 3.0) — the r7 (0,2) assert threw on any 1-2 char doc.
-      import graft.functions.Kernels
-      t(s, dir, "documents")
-        .select(col("doc_id"), length(col("text")).as("n_chars"),
-          Kernels.deflateRatioCol(col("text")).as("deflate_ratio"))
-        .where(assert_true(
-          col("deflate_ratio") > 0.0 &&
-          col("deflate_ratio") <=
-            lit(1.001) + lit(8.0) / greatest(col("n_chars"), lit(1)),
-          concat(lit("deflate_ratio above the stored-block bound for doc "),
-            col("doc_id"))).isNull)
-    }),
-    "text_repetition" -> ((s, dir) => {
-      // Gopher-style repetition quality signals: fraction of duplicate
-      // word n-grams and fraction covered by the most frequent n-gram,
-      // for n = 2 and 3. Per-row kernel — the whole query is a
-      // projection with ZERO shuffle; the oracle's explode+groupBy form
-      // shuffles every n-gram of the corpus to compute the same thing.
-      val r2 = TextFunctions.repetitionStats(col("text"), 2)
-      val r3 = TextFunctions.repetitionStats(col("text"), 3)
-      def frac(num: Column, den: Column): Column =
-        when(den > 0, num.cast("double") / den.cast("double"))
-          .otherwise(lit(0.0))
-      t(s, dir, "documents").select(col("doc_id"),
-        element_at(r2, 1).cast("long").as("n_2grams"),
-        frac(element_at(r2, 1) - element_at(r2, 2), element_at(r2, 1))
-          .as("dup_2gram_frac"),
-        frac(element_at(r2, 3), element_at(r2, 1)).as("top_2gram_frac"),
-        element_at(r3, 1).cast("long").as("n_3grams"),
-        frac(element_at(r3, 1) - element_at(r3, 2), element_at(r3, 1))
-          .as("dup_3gram_frac"),
-        frac(element_at(r3, 3), element_at(r3, 1)).as("top_3gram_frac"))
-    }),
-    "gopher_quality_flags" -> ((s, dir) => {
-      // Gopher rule-filter gate (Rae et al. 2021 A1.1): measurements +
-      // one boolean per rule + the conjunction. Pure zero-shuffle
-      // projection of codegen kernels; every ratio is one IEEE division
-      // over integer counts, so the full rule evaluation hash-matches
-      // the DuckDB oracle.
-      import graft.operators.Quality
-      Quality.gopherQualityFlags(t(s, dir, "documents"), col("doc_id"),
-        col("text"))
-    }),
-    "gopher_drop_histogram" -> ((s, dir) => {
-      // corpus-level drop-reason audit over the same flags: how many
-      // docs each rule rejects (non-exclusive) — one map-side-partial
-      // aggregation, driver-sized output
-      import graft.operators.Quality
-      Quality.gopherDropHistogram(
-        Quality.gopherQualityFlags(t(s, dir, "documents"), col("doc_id"),
-          col("text")))
-    }),
-    "gopher_repetition_flags" -> ((s, dir) => {
-      // the repetition half of the Gopher gate: top-n-gram coverage
-      // (n=2..4) and duplicate-n-gram fractions (n=5..10) against the
-      // paper's thresholds — nine zero-shuffle kernel passes; the
-      // oracle recomputes each via explode+groupBy
-      import graft.operators.Quality
-      Quality.repetitionFlags(t(s, dir, "documents"), col("doc_id"),
-        col("text"))
-    }),
-    "corpus_report" -> ((s, dir) => {
-      // the one-pass curation dashboard: per-source doc/dup/token counts
-      // + survivors under BOTH gates from a single scan (no join between
-      // the gates), one aggregation by source; all-integer outputs make
-      // the whole dashboard oracle-checkable
-      import graft.operators.Quality
-      Quality.corpusReport(t(s, dir, "documents"), col("source"), col("text"))
-    }),
-    "quality_calibrated" -> ((s, dir) => {
-      // cross-source rank calibration of the logit quality score: a
-      // webcrawl's 0.6 and a curated source's 0.6 are not the same
-      // thing, so thresholds act on the per-source percent-rank
-      // instead — "top 30 % of EACH source" becomes one global
-      // predicate. percent_rank is (rank−1)/(n−1) with min-rank ties:
-      // an exact rational of the group size, hash-portable.
-      import graft.operators.Quality
-      val docs = t(s, dir, "documents")
-      val scored = Quality.logisticQualityScore(docs, col("doc_id"),
-          col("text"))
-        .select(col("doc_id"), col("quality_score"))
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      Quality.calibrateAcrossGroups(scored, col("doc_id"), col("source"),
-          col("quality_score"))
-        .select(col("id").as("doc_id"), col("group").as("source"),
-          col("score").as("quality_score"), col("calibrated"))
-    }),
-    "quality_logit" -> ((s, dir) => {
-      // classifier-style quality scoring (CCNet/RefinedWeb shape): a
-      // linear logit over the Gopher features squashed through the
-      // RATIONAL sigmoid x/(1+|x|) — exact IEEE arithmetic end to end,
-      // so the full scored output hash-matches the oracle GENERATED
-      // from the same weight constants. Zero-shuffle projection.
-      import graft.operators.Quality
-      Quality.logisticQualityScore(t(s, dir, "documents"), col("doc_id"),
-        col("text"))
-    }),
-    "c4_page_filter" -> ((s, dir) => {
-      // C4 §2.2 line+page rules (terminal punctuation, >=3 words/line,
-      // javascript lines, lorem-ipsum / brace pages, >=5 sentences).
-      // The harness corpus is single-line by construction, so the query
-      // derives a deterministic line-structured page per doc IN PLAN —
-      // 12-token lines; even docs' lines end with '.'; every 5th doc
-      // gains a javascript line, every 7th a lorem-ipsum line, every
-      // 11th a brace line — mirrored verbatim in the DuckDB oracle, so
-      // every rule path carries live data at every sf. The operator
-      // itself is pure builtin string arithmetic: the WHOLE output
-      // (clean text included) hash-matches.
-      import graft.operators.Quality
-      val docs = t(s, dir, "documents")
-      val toks = TextFunctions.tokens(col("text"))
-      val emptyArr = array().cast("array<string>")
-      val nl = ceil(size(toks).cast("double") / lit(12.0)).cast("int")
-      val body = transform(sequence(lit(1), nl),
-        i => concat(
-          array_join(slice(toks, (i - lit(1)) * lit(12) + lit(1), lit(12)),
-            " "),
-          when(col("doc_id") % 2 === 0, lit(".")).otherwise(lit(""))))
-      val page = concat_ws("\n", concat(body,
-        when(col("doc_id") % 5 === 0,
-          array(lit("see the javascript console output."))).otherwise(emptyArr),
-        when(col("doc_id") % 7 === 0,
-          array(lit("lorem ipsum dolor sit amet."))).otherwise(emptyArr),
-        when(col("doc_id") % 11 === 0,
-          array(lit("function demo() {"))).otherwise(emptyArr)))
-      Quality.c4PageFilter(
-        docs.select(col("doc_id"), page.as("page")),
-        col("doc_id"), col("page"))
-    }),
-    "ngram_counts" -> ((s, dir) => {
-      // corpus trigram count table (min support 2, top 100): the n-gram
-      // LM / audit statistic generalizing vocabulary (n=1) and
-      // bpe_pair_counts (adjacent pairs). Zipf tail dies in the
-      // map-side partial agg; total order makes the cut deterministic.
-      import graft.operators.Ngrams
-      Ngrams.ngramCounts(t(s, dir, "documents"), col("doc_id"),
-        col("text"), n = 3, minCount = 2L, k = 100)
-    }),
-    "vocabulary" -> ((s, dir) => {
-      // corpus vocabulary with document frequencies - the word-count shape
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
-      toks.groupBy(col("token"))
-        .agg(count(lit(1)).as("n_occurrences"),
-          countDistinct(col("doc_id")).as("n_docs"))
-        .filter(col("n_occurrences") >= 5)
-    }),
-    "vocab_stats" -> ((s, dir) => {
-      // per-source corpus diagnostics: token mass, type count, hapax
-      // legomena (types occurring once WITHIN the source — the Zipf
-      // tail whose share flags OCR noise / boilerplate-stripped text).
-      // Two chained aggs, both map-side partial; all-integral output.
-      t(s, dir, "documents")
-        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("token"))
-        .groupBy(col("source"), col("token"))
-        .agg(count(lit(1)).as("__cnt"))
-        .groupBy(col("source"))
-        .agg(sum(col("__cnt")).as("n_tokens"),
-          count(lit(1)).as("n_types"),
-          count(when(col("__cnt") === 1L, lit(1))).as("n_hapax"))
-    }),
-    "tfidf_topterms" -> ((s, dir) => {
-      // Per-document characteristic terms: tf-idf with the exact
-      // rational rarity weight tf*(N+1)/(df+1) — bit-reproducible
-      // across engines (one long product, one IEEE division), hence
-      // hash-oracle-checkable, unlike a log idf (ulp-level libm
-      // differences). One explode pass; df derives from the reduced
-      // (doc, token) aggregate; vocabulary broadcasts.
-      import graft.operators.TermWeights
-      TermWeights.tfidfTopTerms(t(s, dir, "documents"), col("doc_id"),
-        col("text"), k = 3)
-    }),
-    "bm25_index" -> ((s, dir) => {
-      // BM25 index build, rational-idf flavour: the whole weight is
-      // exact-long inputs through a fixed order of IEEE + * / (no log),
-      // so the DuckDB oracle hash-matches every score bit-for-bit.
-      // Production retrieval uses the classic LogIdf (bm25_search);
-      // the saturation/length-normalization machinery under test here
-      // is identical between the two.
-      import graft.operators.{Bm25, TermWeights}
-      Bm25.bm25Index(t(s, dir, "documents"), col("doc_id"), col("text"),
-        k1 = 1.2, b = 0.75, weight = TermWeights.RationalIdf)
-    }),
-    "bm25_search" -> ((s, dir) => {
-      // lexical retrieval over the LogIdf index: rows-only (libm log is
-      // ulp-engine-specific and per-doc score is a double SUM) —
-      // Bm25Spec checks the full formula and ranking against a
-      // hand-rolled reference; query 94 carries a no-hit term on
-      // purpose (absent terms must not contribute or error).
-      import s.implicits._
-      import graft.operators.{Bm25, TermWeights}
-      val idx = bm25IndexFor(s, dir, TermWeights.LogIdf)
-      val queries = Seq(
-        (91L, "fast hash join"), (92L, "vector scan"),
-        (93L, "slow merge sort"), (94L, "customer quantum"))
-        .toDF("qid", "qtext")
-      Bm25.bm25Search(idx, queries, col("qid"), col("qtext"), k = 10)
-    }),
-    "bm25_search_rational" -> ((s, dir) => {
-      // oracle twin of bm25_search: RationalIdf index (bit-exact per
-      // row, the bm25_index trick) + PORTABLE summation (ascending
-      // sort + left fold — sum(double) order is nondeterministic under
-      // partial aggregation, and the DuckDB side mirrors the fold with
-      // list_reduce(list_sort(...))). Same queries, same k; production
-      // keeps the LogIdf/plain-sum form.
-      import s.implicits._
-      import graft.operators.{Bm25, TermWeights}
-      val idx = bm25IndexFor(s, dir, TermWeights.RationalIdf)
-      val queries = Seq(
-        (91L, "fast hash join"), (92L, "vector scan"),
-        (93L, "slow merge sort"), (94L, "customer quantum"))
-        .toDF("qid", "qtext")
-      Bm25.bm25SearchPortable(idx, queries, col("qid"), col("qtext"), k = 10)
-    }),
-    "hybrid_rrf" -> ((s, dir) => {
-      // hybrid retrieval, the RAG default: lexical (rational BM25, the
-      // portable-sum form) and dense (exact cosine top-k) arms fused by
-      // Reciprocal Rank Fusion. Query docs = every 100th doc that has
-      // an embedding (vec_id shares the doc_id space); BOTH arms
-      // include the self-hit, so fused rank 1 == query doc is the
-      // built-in identity sanity. RRF contributions are exact integer
-      // divisions summed as longs — the entire three-stage pipeline
-      // hash-matches DuckDB. At 100 TB the exact dense arm swaps for
-      // the IVF/PQ arm: rrfFuse only consumes (query_id, id, rank).
-      import graft.operators.{Bm25, Retrieval, TermWeights}
-      val docs = t(s, dir, "documents")
-      val embs = t(s, dir, "embeddings")
-      val q = docs.filter(col("doc_id") % 100 === 0)
-        .join(embs, col("doc_id") === col("vec_id"))
-        .select(col("doc_id").as("qid"), col("text").as("qtext"),
-          col("embedding").as("qv"))
-      val idx = bm25IndexFor(s, dir, TermWeights.RationalIdf)
-      val lex = Bm25.bm25SearchPortable(idx, q, col("qid"), col("qtext"),
-          k = 20)
-        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
-      val dense = Similarity.bruteForceTopK(embs, col("vec_id"),
-          col("embedding"), q, col("qid"), col("qv"), k = 20,
-          excludeSelf = false)
-        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
-      Retrieval.rrfFuse(Seq(lex, dense), k0 = 60, k = 10)
-    }),
-    "hybrid_rrf_ann" -> ((s, dir) => {
-      // the PRODUCTION-shaped hybrid twin: same rational-BM25 lexical
-      // arm, but the dense arm is the IVF ANN path — the plan a real
-      // RAG stack runs at 100 TB, where brute-force cosine is not an
-      // option. rrfFuse consumes only (query_id, id, rank), so this is
-      // exactly the arm swap Retrieval.scala's scaladoc promises. The
-      // fit is fitDistributed with quantized sums: BIT-REPRODUCIBLE
-      // across partitionings/core counts, so the fused ranking (and
-      // these gates) behave identically on any runner — the sampled
-      // Ivf.fit varies with input splits, which made a strict gate
-      // flap between environments. Rows-only (k-means float) with TWO
-      // in-plan gates, both PRESENCE claims because presence is what
-      // the structure actually guarantees: the dense arm must CONTAIN
-      // the self-hit (the self list is always probed and cos(self) is
-      // maximal — but an exact-DUPLICATE embedding with a lower id
-      // ties at the same cosine and wins the deterministic tie-break,
-      // so dense rank 1 is only duplicate-free-data strong), and the
-      // fused top-10 must CONTAIN the self-hit (a lexical-only
-      // competitor promoted by IVF probe misses can legitimately
-      // overtake it for fused rank 1 — measured at sf0.01). Quality is
-      // gated by the macro-recall floor in hybrid_rrf_ann_recall.
-      // Lexical arm = the PRODUCTION bm25Search (partial-agg sum):
-      // this query is rows-only, so it owes the oracle nothing, and
-      // the portable sorted-fold sum it used through r13 was ~80% of
-      // its 13 s bench cost (collect_list + interpreted HOF fold per
-      // (query, doc) group over the dense-vocabulary corpus — r14
-      // scratch decomposition: lex arm 9.5 s portable vs 3.2 s plain,
-      // ANN arm 0.5 s, fusion +0.7 s). hybrid_rrf keeps the portable
-      // sum: it is the hash-matched member of the family.
-      import graft.operators.{Bm25, Ivf, Retrieval, TermWeights}
-      val docs = t(s, dir, "documents")
-      val embs = t(s, dir, "embeddings")
-      // PINNED query set (64 fixed ids): the benched number must
-      // measure CORPUS scaling, not query-load scaling — the previous
-      // every-100th-doc set grew 10x with the corpus and made the 10x
-      // bench ratio a construction artifact (r11 verdict)
-      val q = docs.filter(col("doc_id") < 64)
-        .join(embs, col("doc_id") === col("vec_id"))
-        .select(col("doc_id").as("qid"), col("text").as("qtext"),
-          col("embedding").as("qv"))
-      val idx = bm25IndexFor(s, dir, TermWeights.RationalIdf)
-      val lex = Bm25.bm25Search(idx, q, col("qid"), col("qtext"), k = 20)
-        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
-      val model = ivfModelFor(s, dir) // memoized fit — timed passes probe
-      val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
-      val dense = Ivf.topK(model, assigned, q, col("qid"), col("qv"),
-          k = 20, nprobe = 4, excludeSelf = false)
-        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
-        .withColumn("__self_in_dense",
-          sum(when(col("query_id") === col("id"), 1L).otherwise(0L))
-            .over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("query_id"))))
-        .where(assert_true(col("__self_in_dense") === 1,
-          concat(lit("IVF probe lost the self-hit for query "),
-            col("query_id"))).isNull)
-        .drop("__self_in_dense")
-      val fused = Retrieval.rrfFuse(Seq(lex, dense), k0 = 60, k = 10)
-      // membership gate as a WINDOW over the fused frame (≤ |q|·k rows,
-      // already partitioned by query_id from the fusion's rank window)
-      // — a join against an aggregate of `fused` would re-evaluate both
-      // retrieval arms a second time
-      fused.withColumn("__n_self",
-          sum(when(col("query_id") === col("id"), 1L).otherwise(0L))
-            .over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("query_id"))))
-        .where(assert_true(col("__n_self") === 1,
-          concat(lit("hybrid ANN fusion lost the self-hit for query "),
-            col("query_id"))).isNull)
-        .drop("__n_self")
-    }),
-    "hybrid_rrf_ann_recall" -> ((s, dir) => {
-      // the ann_topk_recall pattern applied to the FUSED ranking: the
-      // ANN-armed fusion's top-10 per query must recover most of the
-      // exact-armed fusion's top-10. Floor 0.5 measured 0.68/0.88/0.805
-      // at sf0.001/0.01/0.1 (the IVF fit is the bit-stable quantized
-      // fitDistributed; the plain-sum lexical arm can flip exact-tie
-      // ranks at ulp level run to run, but both fusions share the one
-      // persisted lex frame so the comparison itself never skews — the
-      // floor's ~0.3 margin absorbs tie noise). The lexical arm is
-      // shared verbatim, so
-      // every miss is attributable to IVF probe misses surviving
-      // fusion — much rarer than raw dense-arm misses because the
-      // lexical contribution re-anchors most candidates.
-      import graft.operators.{Bm25, Ivf, Retrieval, TermWeights}
-      val docs = t(s, dir, "documents")
-      val embs = t(s, dir, "embeddings")
-      // PINNED query set (64 fixed ids): the benched number must
-      // measure CORPUS scaling, not query-load scaling — the previous
-      // every-100th-doc set grew 10x with the corpus and made the 10x
-      // bench ratio a construction artifact (r11 verdict)
-      val q = docs.filter(col("doc_id") < 64)
-        .join(embs, col("doc_id") === col("vec_id"))
-        .select(col("doc_id").as("qid"), col("text").as("qtext"),
-          col("embedding").as("qv"))
-      val idx = bm25IndexFor(s, dir, TermWeights.RationalIdf)
-      // production bm25Search (not the portable sorted-fold sum) —
-      // same reasoning as hybrid_rrf_ann; the lex frame is SHARED by
-      // both fusions, so whatever ulp order this run's partial
-      // aggregation picked, both arms rank against identical lexical
-      // scores and the recall measure compares like for like. The
-      // sharing is made HARD, not best-effort: persist() blocks can be
-      // evicted and recomputed between the two fusion reads, and a
-      // recompute may reorder ulp-level BM25 ties — so the |q|·20-row
-      // frame is collected once and recreated as a local DataFrame,
-      // pinning one realization for both arms.
-      val lexPlan = Bm25.bm25Search(idx, q, col("qid"), col("qtext"), k = 20)
-        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
-      val lex = s.createDataFrame(
-        s.sparkContext.parallelize(lexPlan.collect().toIndexedSeq, 1),
-        lexPlan.schema)
-      val exactDense = Similarity.bruteForceTopK(embs, col("vec_id"),
-          col("embedding"), q, col("qid"), col("qv"), k = 20,
-          excludeSelf = false)
-        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
-      val model = ivfModelFor(s, dir) // same memoized bit-stable fit
-      val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
-      val annDense = Ivf.topK(model, assigned, q, col("qid"), col("qv"),
-          k = 20, nprobe = 4, excludeSelf = false)
-        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
-      def fuse(dense: DataFrame) =
-        Retrieval.rrfFuse(Seq(lex, dense), k0 = 60, k = 10)
-          .select(col("query_id"), col("id").as("neighbor_id"))
-      recallGate(fuse(exactDense), fuse(annDense),
-        floor = 0.5, what = "hybrid ANN fusion")
-    }),
-    "doc_bigram_stats" -> ((s, dir) => {
-      // interpolated bigram-LM scoring (the KenLM-perplexity-filter
-      // shape, one order up from doc_unigram_stats): conditional
-      // p(w2|w1) with Jelinek-Mercer continuation backoff, BOTH
-      // marginals derived from the single bigram count table — one
-      // explode pass over the corpus, everything downstream vocab-sized.
-      // Registered projection = the exact-integer columns + the one
-      // shared division; the libm logprob is spec-checked (tolerance),
-      // the unigram/tfidf split.
-      import graft.operators.UnigramLm
-      UnigramLm.docBigramStats(t(s, dir, "documents"), col("doc_id"),
-        col("text"))
-        .select(col("doc_id"), col("n_bigrams"), col("sum_freq"),
-          col("min_freq"), col("mean_freq"))
-    }),
-    "doc_unigram_stats" -> ((s, dir) => {
-      // self-supervised unigram-LM quality scoring: corpus token
-      // frequencies scored back onto each document. The oracle-checked
-      // projection keeps the exact-integer columns + the single-division
-      // mean_freq; the logprob column itself is a double SUM
-      // (order-dependent at ulp level) and is spec-checked with
-      // tolerance instead — the tfidf RationalIdf/LogIdf split.
-      import graft.operators.UnigramLm
-      UnigramLm.docUnigramStats(t(s, dir, "documents"), col("doc_id"),
-        col("text"))
-        .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
-          col("min_freq"), col("mean_freq"))
-    }),
-    // ----- LLM-pipeline: DSIR data selection ----------------------------
-    "dsir_weights" -> ((s, dir) => {
-      // DSIR (Xie 2023) importance statistics of the raw corpus (every
-      // source but src0) against the src0 target slice — the
-      // decontamination-style src0-as-reference convention. Portable
-      // md5 bucket hashing, so the exact-integer columns and the two
-      // single-division doubles are oracle-hashed end to end; the libm
-      // log_weight column is spec-checked (DsirSpec) and projected out.
-      import graft.operators.Dsir
-      val docs = t(s, dir, "documents")
-      Dsir.importanceWeights(
-        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
-        docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
-        buckets = 1024)
-        .select(col("doc_id"), col("n_grams"), col("n_feats"),
-          col("sum_target_freq"), col("sum_raw_freq"),
-          col("min_target_freq"), col("mean_target_freq"),
-          col("target_ratio"))
-    }),
-    "dsir_select" -> ((s, dir) => {
-      // the exact-arithmetic selection twin: top-200 most target-like
-      // raw docs by the bit-portable target_ratio (ties -> lower id).
-      // Same TakeOrderedAndProject plan as the production Gumbel form.
-      import graft.operators.Dsir
-      val docs = t(s, dir, "documents")
-      val w = Dsir.importanceWeights(
-        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
-        docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
-        buckets = 1024)
-      Dsir.selectTopK(w, 200)
-        .select(col("doc_id"), col("n_grams"), col("target_ratio"))
-    }),
-    "dsir_resample" -> ((s, dir) => {
-      // the paper's production path: Gumbel top-k sampling without
-      // replacement with P(doc) ∝ w(doc) over the engine-hash (xxhash64)
-      // feature space. libm on top of libm -> rows-only here; DsirSpec
-      // pins determinism, exact-k and the selection bias.
-      import graft.operators.Dsir
-      val docs = t(s, dir, "documents")
-      val w = Dsir.importanceWeights(
-        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
-        docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
-        buckets = 1024, portableHash = false)
-      Dsir.gumbelResample(w, 200)
-        .select(col("doc_id"), col("n_grams"), col("log_weight"))
-    }),
-    // ----- LLM-pipeline: similarity search ------------------------------
-    "cosine_topk" -> ((s, dir) => {
-      val embs = t(s, dir, "embeddings")
-      val queries = embs.filter(col("vec_id") % 50 === 0)
-      Similarity.bruteForceTopK(embs, col("vec_id"), col("embedding"),
-        queries, col("vec_id"), col("embedding"), k = 10)
-    }),
-    "hard_negatives" -> ((s, dir) => {
-      // contrastive-training prep: for each anchor, the k=5 NEAREST
-      // vectors carrying a DIFFERENT label — the hard negatives that
-      // make a contrastive loss learn boundaries (random negatives
-      // are trivially separable). Exact-cosine arm over the capped
-      // anchor set (the cosine_topk construction), label filter
-      // BEFORE the rank so the k survivors are all negatives.
-      val embs = t(s, dir, "embeddings")
-      val anchors = embs.filter(col("vec_id") % 50 === 0)
-      val labels = embs.select(col("vec_id"), col("label"))
-      // score all (anchor, candidate) pairs with a DIFFERENT label,
-      // then the bounded k=5 heap — the label filter runs BEFORE the
-      // rank so at most 5 rows per anchor cross the shuffle
-      val scored = embs
-        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-          col("label").as("n_label"))
-        .join(broadcast(anchors.select(col("vec_id").as("query_id"),
-          col("embedding").as("qv"), col("label").as("q_label"))),
-          col("query_id") =!= col("neighbor_id"))
-        .where(col("q_label") =!= col("n_label"))
-        .select(col("query_id"), col("neighbor_id"),
-          graft.functions.VectorFunctions.cosine(col("qv"), col("cv"))
-            .as("cosine"))
-      Similarity.rankTopK(scored, 5)
-        .join(broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")
-          .withColumnRenamed("label", "neg_label")), Seq("neighbor_id"))
-        .select(col("query_id").as("anchor_id"), col("neighbor_id"),
-          col("neg_label"), col("cosine"), col("rank").as("neg_rank"))
-    }),
-    "hard_negatives_ann" -> ((s, dir) => {
-      // the SCALE arm of hard_negatives: candidates from nprobe=4 of
-      // 16 IVF lists (the memoized bit-stable distributed fit)
-      // instead of the full corpus, label-filtered BEFORE the bounded
-      // k=5 heap — at 100 TB the all-pairs arm is the capped oracle
-      // anchor and THIS is the production shape. Approximate by
-      // design (a probe can miss a list): rows-only here, the
-      // _recall twin gates it in-plan against the exact arm.
-      import graft.operators.Ivf
-      import graft.functions.{Kernels, VectorFunctions}
-      val embs = t(s, dir, "embeddings")
-      val model = ivfModelFor(s, dir)
-      val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
-        .join(broadcast(embs.select(col("vec_id"),
-          col("label").as("n_label"))), Seq("vec_id"))
-      val probes = embs.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          col("label").as("q_label"),
-          explode(Kernels.topCentroidsCol(col("embedding"), model.matrix,
-            4)).as("list_id"))
-      val scored = assigned.join(probes, Seq("list_id"))
-        .filter(col("query_id") =!= col("vec_id") &&
-          col("q_label") =!= col("n_label"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          VectorFunctions.cosine(col("qv"), col("v")).as("cosine"))
-      Similarity.rankTopK(scored, 5)
-        .select(col("query_id").as("anchor_id"), col("neighbor_id"),
-          col("cosine"), col("rank").as("neg_rank"))
-    }),
-    "hard_negatives_ann_recall" -> ((s, dir) => {
-      // in-plan gate: macro recall of the IVF-armed hard negatives vs
-      // the exact arm, floor 0.3 (the ivf_topk_recall operating
-      // point; label filtering doesn't change which lists a probe
-      // visits). Both arms rebuilt inline — registered queries are
-      // self-contained by convention.
-      import graft.operators.Ivf
-      import graft.functions.{Kernels, VectorFunctions}
-      val embs = t(s, dir, "embeddings")
-      val model = ivfModelFor(s, dir)
-      def exactArm = {
-        val scored = embs
-          .select(col("vec_id").as("neighbor_id"),
-            col("embedding").as("cv"), col("label").as("n_label"))
-          .join(broadcast(embs.filter(col("vec_id") % 50 === 0)
-            .select(col("vec_id").as("query_id"),
-              col("embedding").as("qv"), col("label").as("q_label"))),
-            col("query_id") =!= col("neighbor_id"))
-          .where(col("q_label") =!= col("n_label"))
-          .select(col("query_id"), col("neighbor_id"),
-            VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
-        Similarity.rankTopK(scored, 5)
-      }
-      def annArm = {
-        val assigned = Ivf.assign(model, embs, col("vec_id"),
-            col("embedding"))
-          .join(broadcast(embs.select(col("vec_id"),
-            col("label").as("n_label"))), Seq("vec_id"))
-        val probes = embs.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-            col("label").as("q_label"),
-            explode(Kernels.topCentroidsCol(col("embedding"), model.matrix,
-              4)).as("list_id"))
-        val scored = assigned.join(probes, Seq("list_id"))
-          .filter(col("query_id") =!= col("vec_id") &&
-            col("q_label") =!= col("n_label"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            VectorFunctions.cosine(col("qv"), col("v")).as("cosine"))
-        Similarity.rankTopK(scored, 5)
-      }
-      recallGate(exactArm, annArm, floor = 0.3, what = "hard-negative ANN")
-    }),
-    "retrieval_label_precision" -> ((s, dir) => {
-      // label-based retrieval EVAL: for every query vector, how many
-      // of its exact-cosine top-10 neighbors share its label —
-      // precision@10 against the only ground truth the corpus carries,
-      // reported as exact integer counts per query (aggregate
-      // precision is n_same/n_top downstream; keeping integers keeps
-      // the oracle exact). The recall gates certify the ANN arms
-      // against the exact arm; this certifies the exact arm against
-      // MEANING.
-      val embs = t(s, dir, "embeddings")
-      val queries = embs.filter(col("vec_id") % 50 === 0)
-      val top = Similarity.bruteForceTopK(embs, col("vec_id"),
-        col("embedding"), queries, col("vec_id"), col("embedding"), k = 10)
-      val labels = embs.select(col("vec_id"), col("label"))
-      top
-        .join(broadcast(labels.withColumnRenamed("vec_id", "query_id")
-          .withColumnRenamed("label", "q_label")), Seq("query_id"))
-        .join(broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")
-          .withColumnRenamed("label", "n_label")), Seq("neighbor_id"))
-        .groupBy(col("query_id"), col("q_label").as("label"))
-        .agg(count(lit(1)).as("n_top"),
-          sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L))
-            .as("n_same_label"))
-    }),
-    "ann_topk" -> ((s, dir) => { // SRP-plane based: rows-only check
-      // bits=4/probes=4 is AnnRecallSpec's operating point: random
-      // 64-dim embeddings are the adversarial LSH case (neighbors
-      // near-orthogonal), so coarse buckets are needed for recall —
-      // measured 0.44-0.45 macro-recall at sf0.01/sf0.1 vs 0.07 at
-      // bits=8. The ann_topk_recall gate enforces the 0.3 floor at this
-      // exact operating point every harness run.
-      val embs = t(s, dir, "embeddings")
-      val queries = embs.filter(col("vec_id") % 50 === 0)
-      Similarity.srpBucketTopK(embs, col("vec_id"), col("embedding"),
-        queries, col("vec_id"), col("embedding"), k = 10, dim = 64,
-        bits = 4, probes = 4)
-    }),
-    "label_centroids" -> ((s, dir) => {
-      // Group centroids via the element-wise vector-sum aggregate with
-      // in-loop micro-unit quantization (floor(x*1e6+0.5) — the same
-      // engine-portable tie rule as embed_quantize): integral doubles
-      // sum exactly and order-independently below 2^53, which makes the
-      // emitted components oracle-hashable. This is the money-sum
-      // DECIMAL trick adapted to floats, whose exact decimal expansion
-      // can exceed DECIMAL(38) and so can't be decimal-staged directly.
-      // Quantization lives INSIDE the aggregate's update loop — a
-      // transform() HOF here would run 64 interpreted lambda evals per
-      // row on the hot aggregation input.
-      import graft.functions.VectorSumAgg
-      t(s, dir, "embeddings").groupBy(col("label"))
-        .agg(VectorSumAgg.vectorSumQuantized(col("embedding"), 64, 1e6)
-          .as("qsum"),
-          count(lit(1)).as("n_vectors"))
-        .select(col("label"), col("n_vectors"),
-          (element_at(col("qsum"), 1) / lit(1e6) / col("n_vectors")).as("c0"),
-          (element_at(col("qsum"), 64) / lit(1e6) / col("n_vectors")).as("c63"))
-    }),
-    "pca_gram" -> ((s, dir) => {
-      // the exact integer moment pass under PCA: quantized Gram upper
-      // triangle as long sums — map-side-combining typed aggregate, ONE
-      // 2080-long buffer per task crosses the wire; engine-portable by
-      // construction (integral products, exact long addition), so the
-      // full 64x64 triangle hash-matches DuckDB
-      import graft.operators.Pca
-      Pca.gramTriangle(t(s, dir, "embeddings"), col("embedding"), dim = 64)
-    }),
-    "pca_project" -> ((s, dir) => { // driver eigen: rows-only check
-      // fit = the same moment pass + dim x dim Jacobi on the driver
-      // (O(dim^3) once, row-count independent); project = per-row
-      // codegen kernel, zero shuffle. Deterministic bit-for-bit (exact
-      // triangle + pinned eigenvector sign) but not SQL-expressible —
-      // PcaSpec gates variance-vs-eigenvalue agreement, orthonormality
-      // and ordering; IN-PLAN, every row asserts the orthonormal-
-      // projection contract |Px|² <= |x−μ|² (a rotated-then-truncated
-      // vector can never grow), so a broken eigenbasis fails every
-      // harness run loudly, not just the spec.
-      import graft.operators.Pca
-      val embs = t(s, dir, "embeddings")
-      val model = Pca.fit(embs, col("embedding"), dim = 64, k = 8)
-      val mean = typedLit(model.mean.toSeq)
-      val centeredSq = aggregate(
-        zip_with(col("embedding").cast("array<double>"), mean,
-          (x, m) => (x - m) * (x - m)),
-        lit(0.0), (acc, v) => acc + v)
-      val projSq = aggregate(transform(col("pca"), p => p * p),
-        lit(0.0), (acc, v) => acc + v)
-      Pca.project(model, embs, col("embedding"))
-        .where(assert_true(projSq <= centeredSq * lit(1.0 + 1e-9) + lit(1e-9),
-          lit("pca_project: |Px|^2 exceeded |x-mean|^2 — basis not orthonormal"))
-          .isNull)
-        .select(col("vec_id") +:
-          (1 to 8).map(c => element_at(col("pca"), c).as(s"p$c")): _*)
-    }),
-    "ivf_topk" -> ((s, dir) => { // k-means based: rows-only check
-      import graft.operators.Ivf
-      val embs = t(s, dir, "embeddings")
-      // sampled fit: centroid positions are insensitive to a 4× sample,
-      // and the fit is the expensive part of the bench profile
-      val model = Ivf.fit(embs, col("embedding"), nlist = 16,
-        sampleFraction = 0.25)
-      val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
-      val queries = embs.filter(col("vec_id") % 50 === 0)
-      Ivf.topK(model, assigned, queries, col("vec_id"), col("embedding"),
-        k = 10, nprobe = 4)
-    }),
-    "ivf_stored_topk" -> ((s, dir) => { // engine-hash: rows-only
-      // the STORED-index probe cost — dedup_incremental_stored's ANN
-      // twin: ivf_topk re-assigns the corpus inline, so its number
-      // conflates index build with the probe; this entry probes a
-      // PRE-MATERIALIZED list-partitioned index (built once per
-      // session+dir, the ivfIndexStream layout: slices stamped with
-      // batch ids, partitioned by list_id so probes prune directories —
-      // PlanAuditSpec pins the PartitionFilters). The store carries a
-      // deliberately REPLAYED appendix of slice 1, so the self-hit gate
-      // below doubles as the replay-absorption certificate: without
-      // topKStored's post-prune dedup every odd-id query would see its
-      // self-hit TWICE and the === 1 assert fails. Full identity to the
-      // fresh in-memory index is spec-pinned (StreamsSpec).
-      import graft.operators.Ivf
-      val model = ivfModelFor(s, dir) // memoized bit-stable fit
-      val embs = t(s, dir, "embeddings")
-      val appTag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "")
-      val wh = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"))
-      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val store = new org.apache.hadoop.fs.Path(wh, "graft_ivfindex_" +
-        java.lang.Integer.toHexString(dir.hashCode) + "_" + appTag)
-      if (!fs.exists(store)) {
-        // sweep stale stores left by dead application ids (the sigstore
-        // hygiene discipline; same 30-minute concurrent-JVM floor)
-        val staleBefore = System.currentTimeMillis() - 30L * 60 * 1000
-        if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
-          val nm = st.getPath.getName
-          if (nm.startsWith("graft_ivfindex_") && !nm.contains(appTag) &&
-              st.getModificationTime < staleBefore)
-            fs.delete(st.getPath, true)
-        }
-        def appendSlice(p: Column, bid: Long): Unit =
-          Ivf.assign(model, embs.filter(p), col("vec_id"), col("embedding"))
-            .withColumn("batch_id", lit(bid))
-            .write.mode(org.apache.spark.sql.SaveMode.Append)
-            .partitionBy("list_id").parquet(store.toString)
-        appendSlice(col("vec_id") % 2 === 0, 0L)
-        appendSlice(col("vec_id") % 2 === 1, 1L)
-        appendSlice(col("vec_id") % 2 === 1, 1L) // the replayed appendix
-      }
-      val q = embs.filter(col("vec_id") < 64)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      Ivf.topKStored(model, s.read.parquet(store.toString), q,
-          col("qid"), col("qv"), k = 10, nprobe = 4, excludeSelf = false)
-        .withColumn("__self",
-          sum(when(col("query_id") === col("neighbor_id"), 1L).otherwise(0L))
-            .over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("query_id"))))
-        .where(assert_true(col("__self") === 1,
-          concat(lit("stored IVF probe lost (or duplicated) the self-hit " +
-            "for query "), col("query_id"))).isNull)
-        .drop("__self")
-    }),
-    "ann_topk_recall" -> ((s, dir) => {
-      // Recall gate for ann_topk's exact operating point (bits=4,
-      // probes=4): macro-averaged recall vs the in-query brute-force
-      // top-10, assert_true'd against the floor — harness runs fail
-      // loudly if a refactor degrades ANN quality. Random 64-dim
-      // embeddings are the adversarial LSH case (AnnRecallSpec), hence
-      // the loose floor (measured 0.44-0.45 at sf0.01/sf0.1).
-      val embs = t(s, dir, "embeddings")
-      val queries = embs.filter(col("vec_id") % 50 === 0)
-      recallGate(
-        Similarity.bruteForceTopK(embs, col("vec_id"), col("embedding"),
-          queries, col("vec_id"), col("embedding"), k = 10),
-        Similarity.srpBucketTopK(embs, col("vec_id"), col("embedding"),
-          queries, col("vec_id"), col("embedding"), k = 10, dim = 64,
-          bits = 4, probes = 4),
-        floor = 0.3, what = "SRP ANN")
-    }),
-    "ivf_topk_recall" -> ((s, dir) => {
-      // Same gate for ivf_topk's operating point (nlist=16, nprobe=4,
-      // sampled fit).
-      import graft.operators.Ivf
-      val embs = t(s, dir, "embeddings")
-      val queries = embs.filter(col("vec_id") % 50 === 0)
-      val model = Ivf.fit(embs, col("embedding"), nlist = 16,
-        sampleFraction = 0.25)
-      val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
-      recallGate(
-        Similarity.bruteForceTopK(embs, col("vec_id"), col("embedding"),
-          queries, col("vec_id"), col("embedding"), k = 10),
-        Ivf.topK(model, assigned, queries, col("vec_id"), col("embedding"),
-          k = 10, nprobe = 4),
-        floor = 0.3, what = "IVF ANN")
-    }),
-    "kmeans_cluster_profile" -> ((s, dir) => {
-      // distributed Lloyd k-means over the FULL corpus (Ivf.fitDistributed):
-      // per iteration one narrow argmax-cosine kernel pass + one
-      // nlist-row-wide VectorSumAgg shuffle; each round's plan derives
-      // from the persisted base + a fresh literal matrix, so plan size
-      // is CONSTANT per iteration (no CC-style lineage growth by
-      // construction). Registered rows-only — an iterative float fit is
-      // engine-specific — with the coverage identity enforced IN-PLAN:
-      // cluster sizes must sum to exactly the corpus row count, so a
-      // dropped/duplicated assignment fails every harness run loudly.
-      import graft.operators.Ivf
-      import org.apache.spark.sql.expressions.Window
-      val embs = t(s, dir, "embeddings")
-      val model = Ivf.fitDistributed(embs, col("vec_id"), col("embedding"),
-        nlist = 16, maxIter = 8)
-      val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
-      val prof = assigned.join(broadcast(model.centroids), "list_id")
-        .groupBy(col("list_id"))
-        .agg(count(lit(1)).as("n_vecs"),
-          avg(VectorFunctions.cosine(col("v"), col("centroid")))
-            .as("mean_cos"),
-          min(VectorFunctions.cosine(col("v"), col("centroid")))
-            .as("min_cos"))
-      val total = embs.agg(count(lit(1)).as("__n_corpus"))
-      prof.crossJoin(broadcast(total))
-        .withColumn("__cover",
-          sum(col("n_vecs")).over(Window.partitionBy()))
-        .where(assert_true(col("__cover") === col("__n_corpus"),
-          concat(lit("kmeans coverage broken: "), col("__cover"),
-            lit(" of "), col("__n_corpus"))).isNull)
-        .select(col("list_id"), col("n_vecs"), col("mean_cos"),
-          col("min_cos"))
-    }),
-    "kmeans_profile_portable" -> ((s, dir) => {
-      // the PORTABLE member of the k-means family (the r12 verdict's
-      // salvage ask): the integerLloydFit (see its scaladoc — exact
-      // long arithmetic end to end) profiled per cluster; the
-      // (list_id, n_vecs, ssd) rows replay bit-for-bit in DuckDB and
-      // hash-match. Deliberately the UNMEMOIZED fit: this entry prices
-      // the full fit (the ivf_topk convention); the consumer twins
-      // read the memoized model.
-      integerLloydFit(s, dir)._1.groupBy(col("list_id"))
-        .agg(count(lit(1)).cast("long").as("n_vecs"),
-          sum(col("dist")).cast("long").as("ssd"))
-    }),
-    "pca_power_portable" -> ((s, dir) => {
-      // the PORTABLE member of the PCA family: top-principal-direction
-      // scores via INTEGER power iteration. Quantize to longs, center
-      // by the exact floor-mean, then three rounds of v' = Gᵀ(G v)
-      // computed WITHOUT materializing the Gram — s_r = ⟨y_r, v⟩ then
-      // v'_d = Σ_r y_rd·s_r, two corpus passes per round (the same
-      // factorization that keeps covariance power methods linear in
-      // rows at 100 TB) — with v rescaled to |v|∞ ≤ 1024 by exact
-      // floor division each round. Every operation is exact long
-      // arithmetic, so the direction AND the per-row scores replay
-      // bit-for-bit in DuckDB; pca_project (true eigenbasis, Jacobi)
-      // keeps the float fidelity story, this pins the distributed
-      // moment/projection machinery to a hash.
-      val embs = t(s, dir, "embeddings").where(col("embedding").isNotNull)
-      val q = embs.select(col("vec_id"), quantized(col("embedding")).as("q"))
-      val mRows = q.select(posexplode(col("q")).as(Seq("d", "v")))
-        .groupBy(col("d")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-        .select(col("d"), ((col("sv") - pmod(col("sv"), col("n"))) /
-          col("n")).cast("long").as("m"))
-        .collect()
-      val m: Seq[Long] = mRows.sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
-      val y = q.select(col("vec_id"),
-        zip_with(col("q"), typedLit(m), (a, b) => a - b).as("y")).persist()
-      var v: Seq[Long] = Seq.fill(m.length)(1024L)
-      for (_ <- 1 to 3) {
-        val sCol = aggregate(zip_with(col("y"), typedLit(v),
-          (a, b) => a * b), lit(0L), (acc, x) => acc + x)
-        val wRows = y.select(posexplode(col("y")).as(Seq("d", "yi")),
-            sCol.as("s"))
-          .groupBy(col("d")).agg(sum(col("yi") * col("s")).as("w"))
-          .collect()
-        val w = wRows.sortBy(_.getInt(0)).map(_.getLong(1))
-        val maxabs = math.max(w.map(math.abs).max, 0L)
-        val div = math.max(1L, (maxabs + 1023L) / 1024L)
-        v = w.map(Math.floorDiv(_, div)).toSeq
-      }
-      y.select(col("vec_id"),
-        aggregate(zip_with(col("y"), typedLit(v), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("p1"))
-    }),
-    "d4_prototype_prune" -> ((s, dir) => {
-      // the diversification half of D4 (SemDeDup is semantic_prune):
-      // SSL-prototype pruning drops the floor(dropFrac·n) most
-      // prototypical members of each embedding cluster — closest to
-      // centroid = least marginal information. Rows-only (the Lloyd
-      // centroid matrix is float-sum order-dependent) with the floor
-      // identity enforced IN-PLAN per cluster: a rank-logic regression
-      // fails every harness run, not just the spec.
-      import graft.operators.{Diversify, Ivf}
-      val embs = t(s, dir, "embeddings")
-      val dropFrac = 0.25
-      val model = Ivf.fitDistributed(embs, col("vec_id"), col("embedding"),
-        nlist = 16, maxIter = 8)
-      Diversify.prototypePruneProfile(embs, col("vec_id"),
-          col("embedding"), model, dropFrac)
-        .where(assert_true(
-          col("n_dropped") === floor(lit(dropFrac) * col("n_before")),
-          concat(lit("prototype prune floor identity broken on list "),
-            col("list_id"))).isNull)
-    }),
-    "d4_prototype_prune_portable" -> ((s, dir) => {
-      // the HASH-CHECKABLE twin of d4_prototype_prune (the r13
-      // verdict's salvage ask), built on integerLloydAssigned's
-      // bit-exact assignments: per cluster, drop the floor(0.25·n)
-      // members CLOSEST to the centroid (rank by exact long distance,
-      // ties to the lower vec_id — fully deterministic cross-engine)
-      // and emit the survivors. Same window-rank shape as the float
-      // prune; the float family keeps the production-geometry story,
-      // this pins the rank/floor/drop machinery to a DuckDB hash.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("list_id"))
-      integerLloydAssigned(s, dir)
-        .withColumn("rn",
-          row_number().over(w.orderBy(col("dist"), col("vec_id"))))
-        .withColumn("n_before", count(lit(1)).over(w))
-        .where(col("rn") > floor(lit(0.25) * col("n_before")))
-        .select(col("vec_id"), col("list_id"), col("dist"))
-    }),
-    "pq_topk" -> ((s, dir) => { // IVF-PQ: compressed-candidate ANN, rows-only
-      import graft.operators.{Ivf, Pq}
-      val embs = t(s, dir, "embeddings")
-      val ivf = Ivf.fit(embs, col("embedding"), nlist = 16,
-        sampleFraction = 0.25)
-      val pq = Pq.fit(embs, col("embedding"), m = 8, k = 16)
-      val encoded = Pq.assignEncode(ivf, pq, embs, col("vec_id"),
-        col("embedding"))
-      val queries = embs.filter(col("vec_id") % 50 === 0)
-      Pq.topK(ivf, pq, encoded, queries, col("vec_id"), col("embedding"),
-        k = 10, nprobe = 4)
-    }),
-    "pq_topk_recall" -> ((s, dir) => {
-      // Recall gate on the PRODUCTION retrieval shape (ADC-rank 4k
-      // candidates from codes, exact-rerank the survivors): measured
-      // 0.43 / 0.38 / 0.315 at sf0.001/0.01/0.1 vs IVF-exact's
-      // 0.53/0.43/0.49 — the rerank recovers most of what quantization
-      // costs. Plain ADC-only ordering degrades with corpus density on
-      // these adversarial uniform-random embeddings (0.24→0.16 over the
-      // same sfs — near-ties swamp the ~0.08 ADC error), which is
-      // exactly why production IVF-PQ ALWAYS reranks; gating the
-      // unreranked form would gate a shape nothing should deploy.
-      import graft.operators.{Ivf, Pq}
-      val embs = t(s, dir, "embeddings")
-      val queries = embs.filter(col("vec_id") % 50 === 0)
-      val ivf = Ivf.fit(embs, col("embedding"), nlist = 16,
-        sampleFraction = 0.25)
-      val pq = Pq.fit(embs, col("embedding"), m = 8, k = 16)
-      val encoded = Pq.assignEncode(ivf, pq, embs, col("vec_id"),
-        col("embedding"))
-      recallGate(
-        Similarity.bruteForceTopK(embs, col("vec_id"), col("embedding"),
-          queries, col("vec_id"), col("embedding"), k = 10),
-        Pq.topKReranked(ivf, pq, encoded,
-          embs, col("vec_id"), col("embedding"),
-          queries, col("vec_id"), col("embedding"),
-          k = 10, nprobe = 4, candidateFactor = 4),
-        floor = 0.25, what = "IVF-PQ reranked ANN")
-    }),
-    "embed_near_dup_exact" -> ((s, dir) => {
-      // bits = 0 -> single bucket = verified all-pairs: an ORACLE
-      // ANCHOR, never a production path. The id cap (< 1000, the full
-      // table at sf<=0.01) bounds the O(n²) twin to a CONSTANT cost as
-      // sf grows — the oracle applies the identical predicate, so
-      // exactness on the capped range is preserved while the anchor
-      // stops scaling quadratically with the corpus (r9: the uncapped
-      // twins were on track to dominate bench totals).
-      Dedup.embeddingNearDupPairs(
-        t(s, dir, "embeddings").filter(col("vec_id") < 1000L),
-        col("vec_id"), col("embedding"), minCosine = 0.5, dim = 64,
-        bits = 0, bands = 1)
-    }),
-    "embed_near_dup_srp" -> ((s, dir) => { // SRP LSH-OR based
-      // Operating point matched to the threshold: at cos>=0.5 (theta/pi
-      // ~ 1/3) a band matches with p = (2/3)^bits, so 4 bits x 16 bands
-      // gives ~97% recall. A true near-dup threshold (cos>=0.9) would use
-      // more bits / fewer bands — see DedupSpec's recall test.
-      // Oracle-checked against the SAME exact-cosine DuckDB oracle as
-      // embed_near_dup_exact: candidates are verified with the exact
-      // cosine kernel, so every emitted pair carries the exact score,
-      // and at this operating point the LSH recovers the full exact pair
-      // set (DedupSpec recall test) — identical output, a fraction of
-      // the comparisons.
-      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), col("vec_id"),
-        col("embedding"), minCosine = 0.5, dim = 64, bits = 4, bands = 16)
-    }),
-    "semantic_prune_exact" -> ((s, dir) => {
-      // SemDeDup keep-one-per-component prune, exact twin (nlist=1 =
-      // verified all-pairs): DuckDB reproduces it with the list-cosine
-      // pair join + the recursive-CTE reach from dedup_clusters, keeping
-      // rows whose component label is their own id. tau=0.4 so the
-      // uniform-random harness embeddings actually form components.
-      // Same vec_id < 1000 cap as embed_near_dup_exact (constant-cost
-      // oracle anchor; predicate mirrored in the oracle SQL).
-      import graft.operators.SemDedup
-      val embs = t(s, dir, "embeddings").filter(col("vec_id") < 1000L)
-      SemDedup.semanticPrune(embs, col("vec_id"), col("embedding"),
-        minCosine = 0.4, dim = 64, nlist = 1)
-        .select(col("vec_id"), col("label"))
-    }),
-    "semantic_prune" -> ((s, dir) => {
-      // The production SemDeDup shape: cluster-bounded candidates
-      // (Σ|list|²/2 comparisons instead of n²/2), exact cosine inside.
-      // Approximate BY CONSTRUCTION (cross-cluster duplicates are
-      // unseen) so rows-only here; semantic_dup_recall is the gate, and
-      // SemDedupSpec pins the survivors ⊇ exact-survivors containment.
-      import graft.operators.SemDedup
-      val embs = t(s, dir, "embeddings")
-      SemDedup.semanticPrune(embs, col("vec_id"), col("embedding"),
-        minCosine = 0.4, dim = 64, nlist = 4)
-        .select(col("vec_id"), col("label"))
-    }),
-    "semantic_prune_portable" -> ((s, dir) => {
-      // the HASH-CHECKABLE twin of semantic_prune (the r13 verdict's
-      // salvage ask): SemDeDup's cluster-bounded keep-one-per-component
-      // with every float replaced by exact long arithmetic — clusters
-      // from integerLloydAssigned (bit-exact cross-engine), candidate
-      // pairs same-cluster only (the Σ|list|² bound, the production
-      // shape), and the cosine-≥-0.4 verdict as the cross-multiplied
-      // integer test dot>0 ∧ 25·dot² ≥ 4·|a|²·|b|². The guard's
-      // products run in DECIMAL, not LONG (same as the contamination
-      // twin): at quantized magnitudes ≳3100 per element, 25·dot²
-      // exceeds 2⁶³ and a silent long wrap would flip verdicts exactly
-      // on the strongest near-duplicate pairs while DuckDB's HUGEINT
-      // oracle stays exact. decimal(19,0) operands keep every product
-      // ≤ 31 digits — exact under Spark's 38-digit cap. CC
-      // keep-min-id then replays in DuckDB as the recursive reach from
-      // semantic_prune_exact — survivors hash-match end to end.
-      import graft.operators.Dedup
-      val a = integerLloydAssigned(s, dir)
-      // codegen'd long dot (functions/Kernels.LongDot), NOT the HOF
-      // aggregate(zip_with(...)) fold: the verdict runs once per
-      // CANDIDATE PAIR (Σ|list|² of them), and interpreted per-element
-      // lambdas there cost 9× at the 10× fixture — the same
-      // kernel-vs-HOF call SCALE.md's global note mandates for every
-      // pair-quadratic hot path
-      def dot(x: Column, y: Column): Column =
-        graft.functions.Kernels.longDotCol(x, y)
-      def big(c: Column): Column = c.cast("decimal(19,0)")
-      val pairs = a.as("x").join(a.as("y"),
-          col("x.list_id") === col("y.list_id") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-          dot(col("x.q"), col("y.q")).as("dp"),
-          dot(col("x.q"), col("x.q")).as("na"),
-          dot(col("y.q"), col("y.q")).as("nb"))
-        .where(col("dp") > 0L &&
-          big(lit(25L)) * big(col("dp")) * big(col("dp")) >=
-            big(lit(4L)) * big(col("na")) * big(col("nb")))
-        .select(col("id_a"), col("id_b"))
-      val cc = Dedup.connectedComponents(pairs, checkpointEvery = 4)
-      val drops = cc.filter(col("id") =!= col("comp"))
-        .select(col("id").as("__drop_id"))
-      t(s, dir, "embeddings").where(col("embedding").isNotNull)
-        .join(drops, col("vec_id") === col("__drop_id"), "left_anti")
-        .select(col("vec_id"), col("label"))
-    }),
-    "ann_ivf_topk_portable" -> ((s, dir) => {
-      // the HASH-CHECKABLE member of the ANN family: the ENTIRE IVF
-      // probe path — query-to-centroid ranking, nprobe list selection,
-      // candidate generation from the probed lists only, exact
-      // distance rank with deterministic ties — in exact long
-      // arithmetic over the shared integer-grid fit, so the top-k
-      // neighbor lists replay bit-for-bit in DuckDB. The float family
-      // (ivf_topk etc.) keeps the production geometry + recall gates;
-      // this pins the probe MACHINERY itself to a hash. Same pinned
-      // 64-query convention as hybrid_rrf_ann; probing 2 of 8 lists
-      // reads 1/4 of the corpus per query, the IVF contract.
-      val (assigned, cents) = integerLloydFitMemo(s, dir)
-      val w = org.apache.spark.sql.expressions.Window
-      val queries = assigned.where(col("vec_id") < 64)
-        .select(col("vec_id").as("query_id"), col("q").as("qq"))
-      val probed = queries
-        .select(col("query_id"), col("qq"),
-          posexplode(array(cents.toSeq.map(c =>
-            sqDistL(col("qq"), typedLit(c))): _*)).as(Seq("pl", "cdist")))
-        .withColumn("prn", row_number().over(w.partitionBy(col("query_id"))
-          .orderBy(col("cdist"), col("pl"))))
-        .where(col("prn") <= 2)
-        .select(col("query_id"), col("qq"),
-          col("pl").cast("long").as("list_id"))
-      probed.join(assigned, "list_id")
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          sqDistL(col("qq"), col("q")).as("dist"))
-        .withColumn("rank", row_number().over(w.partitionBy(col("query_id"))
-          .orderBy(col("dist"), col("neighbor_id"))))
-        .where(col("rank") <= 10)
-        .select(col("query_id"), col("neighbor_id"), col("dist"),
-          col("rank"))
-    }),
-    "pq_adc_portable" -> ((s, dir) => {
-      // the HASH-CHECKABLE member of the PQ family (pq_topk/_recall
-      // stay rows-only on the float fit): product quantization with
-      // every stage in exact long arithmetic — quantize once, split
-      // into m=8 subspaces of 8 dims, fit each sub-codebook (k=4) by
-      // md5-rank init + ONE exact floor-average Lloyd round with
-      // empty-code carry, encode the corpus per subspace (ties to the
-      // lower code), then the ASYMMETRIC DISTANCE COMPUTATION for the
-      // pinned 64-query set: adc(query, cand) = Σ_j ‖query_j −
-      // codebook_j[code_j(cand)]‖² — the real ADC shape, codes-only on
-      // the candidate side, summed from the m per-subspace lookup
-      // tables (query × 4 codes each, metadata-sized). Top-10 per
-      // query by (adc, vec_id) replays bit-for-bit in DuckDB. Scale
-      // shape: the fit collects m×k×(dim/m) longs; encode is per-row;
-      // the ADC join is (queries × corpus) rows of LONG sums — the
-      // codes-not-vectors contract that makes PQ candidates cheap.
-      val embs = t(s, dir, "embeddings").where(col("embedding").isNotNull)
-      val m = 8; val sub = 8; val k = 4
-      // ONE exploded (vec, subspace) frame serves every stage: the fit
-      // is 2 driver actions TOTAL (seeds, update) instead of 2 per
-      // subspace — at 8 subspaces the per-job scheduler latency was
-      // the whole cost (10.4 s → ~4 s at sf0.1), and one corpus pass
-      // for all m sub-fits is the shape a real PQ fit wants anyway
-      val sv = embs.select(col("vec_id"), quantized(col("embedding")).as("q"))
-        .select(col("vec_id"), posexplode(array((0 until m).map(j =>
-          struct(lit(j).as("j"),
-            slice(col("q"), j * sub + 1, sub).as("v"),
-            md5(concat(col("vec_id").cast("string"), lit(s"#pq13s$j")))
-              .as("h"))): _*)).as(Seq("__i", "s")))
-        .select(col("vec_id"), col("s.j").as("j"), col("s.v").as("v"),
-          col("s.h").as("h"))
-        .persist()
-      val w = org.apache.spark.sql.expressions.Window
-      // md5-rank seeds, all subspaces in one action
-      val seedRows = sv
-        .withColumn("rn", row_number().over(w.partitionBy(col("j"))
-          .orderBy(col("h"))))
-        .where(col("rn") <= k)
-        .select(col("j"), col("rn") - 1, col("v")).collect()
-      val seeds: Array[Array[Seq[Long]]] = {
-        val a = Array.fill(m)(new Array[Seq[Long]](k))
-        seedRows.foreach(r => a(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2))
-        a
-      }
-      // per-row distance array to the row's OWN subspace's codebook:
-      // 8-way CASE on j, each branch a k-ary array of kernel calls
-      def distsTo(books: Array[Array[Seq[Long]]], v: Column): Column =
-        (0 until m).foldLeft(lit(null)
-            .cast("array<bigint>")) { (acc, j) =>
-          when(col("j") === j, array(books(j).toSeq.map(c =>
-            sqDistL(v, typedLit(c))): _*)).otherwise(acc)
-        }
-      def codeOf(books: Array[Array[Seq[Long]]]): Column = {
-        val d = distsTo(books, col("v"))
-        (array_position(d, array_min(d)) - 1L).cast("long")
-      }
-      // one exact floor-average Lloyd round, all subspaces in one agg
-      val upd = sv.withColumn("code", codeOf(seeds))
-        .select(col("j"), col("code"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy(col("j"), col("code"), col("d"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-        .select(col("j"), col("code"), col("d"),
-          ((col("sx") - pmod(col("sx"), col("n"))) / col("n"))
-            .cast("long").as("cx"))
-        .collect()
-      val books: Array[Array[Seq[Long]]] = seeds.map(_.clone())
-      upd.groupBy(r => (r.getInt(0), r.getLong(1))).foreach {
-        case ((j, code), rows) =>
-          val c = new Array[Long](sub)
-          rows.foreach(r => c(r.getInt(2)) = r.getLong(3))
-          books(j)(code.toInt) = c.toSeq
-      }
-      // corpus encode (all subspaces, zero shuffle) + the query-side
-      // ADC lookup table (64 queries × m×k codes, broadcast)
-      val enc = sv.select(col("vec_id"), col("j"), codeOf(books).as("code"))
-      def distToCode(c: Int): Column =
-        (0 until m).foldLeft(lit(null).cast("long")) { (acc, j) =>
-          when(col("j") === j, sqDistL(col("v"), typedLit(books(j)(c))))
-            .otherwise(acc)
-        }
-      val qd = sv.where(col("vec_id") < 64)
-        .select(col("vec_id").as("query_id"), col("j"),
-          posexplode(array((0 until k).map(distToCode): _*))
-            .as(Seq("code_i", "d")))
-        .select(col("query_id"), col("j"),
-          col("code_i").cast("long").as("code"), col("d"))
-      enc.join(broadcast(qd), Seq("j", "code"))
-        .groupBy(col("query_id"), col("vec_id"))
-        .agg(sum(col("d")).as("adc"))
-        .withColumn("rank", row_number().over(w.partitionBy(col("query_id"))
-          .orderBy(col("adc"), col("vec_id"))))
-        .where(col("rank") <= 10)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("adc"), col("rank"))
-    }),
-    "semantic_contamination_portable" -> ((s, dir) => {
-      // the HASH-CHECKABLE twin of semantic_contamination: cross-set
-      // (train = label≠0 vs eval = label=0) embedding contamination
-      // with the cluster-bounded candidate shape, every float replaced
-      // by exact long arithmetic — same integer-grid clusters and
-      // LongDot verdict as semantic_prune_portable, tau = 0.35 as the
-      // exact rational 49/400 (dot > 0 ∧ 400·dot² ≥ 49·|a|²·|b|²). The
-      // guard's products run in DECIMAL, not LONG: at |q_i| ≤ 2000,
-      // |dot| reaches 2.56e8 and 400·dot² reaches 2.6e19 > 2⁶³ — a
-      // silent long wrap would flip verdicts exactly on the strongest
-      // (near-duplicate) pairs while DuckDB's HUGEINT stays exact.
-      // decimal(19,0) operands keep every product ≤ 31 digits — exact
-      // under Spark's 38-digit cap — for any |q_i| up to 10⁶.
-      // Emits every matching (train_id, eval_id, dp) pair; dp is the
-      // exact integer dot, so the hash also pins the arithmetic.
-      val a = integerLloydAssigned(s, dir)
-      val labels = t(s, dir, "embeddings").select(col("vec_id"),
-        col("label"))
-      val al = a.join(labels, "vec_id")
-      val train = al.where(col("label") =!= 0)
-        .select(col("vec_id").as("train_id"), col("q").as("tq"),
-          col("list_id"))
-      val eval_ = al.where(col("label") === 0)
-        .select(col("vec_id").as("eval_id"), col("q").as("eq"),
-          col("list_id"))
-      def dot(x: Column, y: Column): Column =
-        graft.functions.Kernels.longDotCol(x, y)
-      def big(c: Column): Column = c.cast("decimal(19,0)")
-      train.join(eval_, "list_id")
-        .select(col("train_id"), col("eval_id"),
-          dot(col("tq"), col("eq")).as("dp"),
-          dot(col("tq"), col("tq")).as("na"),
-          dot(col("eq"), col("eq")).as("nb"))
-        .where(col("dp") > 0L &&
-          big(lit(400L)) * big(col("dp")) * big(col("dp")) >=
-            big(lit(49L)) * big(col("na")) * big(col("nb")))
-        .select(col("train_id"), col("eval_id"), col("dp"))
-    }),
-    "semantic_dup_recall" -> ((s, dir) => {
-      // In-plan gate for the clustered candidate generation, two claims:
-      // (1) IDENTITY — every clustered pair is an exact pair (same ids,
-      // exact cosine attached, so a left_semi hit count equalling the
-      // clustered count proves subset-with-identical-scores); (2)
-      // RECALL — the cluster-boundary miss rate stays above the floor.
-      // Floor 0.25 measured against 0.58/0.63/0.53 at sf0.001/0.01/0.1
-      // on the capped range (deterministic per SF — seeded fit, no run
-      // variance) on uniform-random embeddings, the adversarial case:
-      // real duplicate pairs sit far inside clusters, these sit at the
-      // tau boundary.
-      // Measured on the vec_id < 1000 anchor range (the all-pairs exact
-      // side must stay constant-cost as sf grows; the clustered side is
-      // capped to the SAME subset so identity/recall compare like for
-      // like — the production query stays uncapped).
-      import graft.operators.SemDedup
-      val embs = t(s, dir, "embeddings").filter(col("vec_id") < 1000L)
-      val exact = SemDedup.semanticDupPairs(embs, col("vec_id"),
-        col("embedding"), minCosine = 0.4, dim = 64, nlist = 1)
-        .select("id_a", "id_b")
-      val clustered = SemDedup.semanticDupPairs(embs, col("vec_id"),
-        col("embedding"), minCosine = 0.4, dim = 64, nlist = 4)
-        .select("id_a", "id_b")
-      val nHit = clustered.join(exact, Seq("id_a", "id_b"), "left_semi")
-        .agg(count(lit(1)).as("n_hit"))
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(clustered.agg(count(lit(1)).as("n_clustered")))
-        .crossJoin(nHit)
-        .withColumn("recall",
-          col("n_hit") / greatest(col("n_exact"), lit(1L)))
-        .withColumn("recall_floor", lit(0.25))
-        .where(assert_true(col("n_hit") === col("n_clustered"),
-          lit("clustered SemDeDup pair outside the exact pair set")).isNull)
-        // vacuously true when the capped anchor range holds no exact
-        // pair at all — recall is 0/0 then, not a regression
-        .where(assert_true(
-          col("n_exact") === 0 || col("recall") >= col("recall_floor"),
-          concat(lit("SemDeDup cluster recall below floor: "),
-            col("recall"))).isNull)
-    }),
-    "semantic_contamination_exact" -> ((s, dir) => {
-      // Cross-set (train vs eval) embedding contamination, exact twin:
-      // nlist=0 -> broadcast nested-loop all-pairs over the tiny eval
-      // side. label=0 plays the held-out benchmark (the src0 convention
-      // from dsir_weights applied to embeddings); the vec_id < 1000 cap
-      // bounds the anchor to constant cost as sf grows, same contract
-      // as embed_near_dup_exact. ORACLE ANCHOR — production is the
-      // IVF-bucketed form below.
-      import graft.operators.SemDedup
-      val embs = t(s, dir, "embeddings").filter(col("vec_id") < 1000L)
-      SemDedup.crossContamination(
-        embs.filter(col("label") =!= 0), col("vec_id"), col("embedding"),
-        embs.filter(col("label") === 0), col("vec_id"), col("embedding"),
-        minCosine = 0.35, nlist = 0)
-    }),
-    "semantic_contamination" -> ((s, dir) => {
-      // the production path, uncapped: IVF assignment of the train side
-      // (projection, zero exchange), eval probe lists broadcast,
-      // candidate join on list_id. Engine-dependent recall at the
-      // nlist/nprobe operating point -> rows-only; the _recall gate
-      // below holds it to an identity + floor contract.
-      import graft.operators.SemDedup
-      val embs = t(s, dir, "embeddings")
-      SemDedup.crossContamination(
-        embs.filter(col("label") =!= 0), col("vec_id"), col("embedding"),
-        embs.filter(col("label") === 0), col("vec_id"), col("embedding"),
-        minCosine = 0.35, nlist = 16, nprobe = 4)
-    }),
-    "semantic_contamination_recall" -> ((s, dir) => {
-      // In-plan gate, same two claims as semantic_dup_recall: every
-      // bucketed pair is an exact pair (identity — left_semi hit count
-      // equals the bucketed count), and probe-miss recall stays above
-      // the floor. Floor 0.5 measured 0.70/0.67/0.74 at sf0.001/0.01/0.1
-      // (nlist=4, nprobe=2 on the capped range, seeded fit -> run-stable)
-      // on uniform embeddings — adversarial placement: τ=0.35 pairs sit
-      // AT the cluster boundary, so nprobe=2-of-4 misses ~30%; real
-      // contaminated pairs (cos→1) co-cluster and the production
-      // nprobe=4-of-16 point probes a similar list fraction.
-      import graft.operators.SemDedup
-      val embs = t(s, dir, "embeddings").filter(col("vec_id") < 1000L)
-      def pairs(nl: Int, np: Int) = SemDedup.crossContamination(
-        embs.filter(col("label") =!= 0), col("vec_id"), col("embedding"),
-        embs.filter(col("label") === 0), col("vec_id"), col("embedding"),
-        minCosine = 0.35, nlist = nl, nprobe = np)
-        .select("train_id", "eval_id")
-      val exact = pairs(0, 1)
-      val bucketed = pairs(4, 2)
-      val nHit = bucketed.join(exact, Seq("train_id", "eval_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hit"))
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(bucketed.agg(count(lit(1)).as("n_bucketed")))
-        .crossJoin(nHit)
-        .withColumn("recall",
-          col("n_hit") / greatest(col("n_exact"), lit(1L)))
-        .withColumn("recall_floor", lit(0.5))
-        .where(assert_true(col("n_hit") === col("n_bucketed"),
-          lit("bucketed contamination pair outside the exact pair set")).isNull)
-        // vacuously true when the capped anchor range holds no exact
-        // contamination pair — recall is 0/0 then, not a regression
-        .where(assert_true(
-          col("n_exact") === 0 || col("recall") >= col("recall_floor"),
-          concat(lit("cross-contamination recall below floor: "),
-            col("recall"))).isNull)
-    }),
-    "corpus_pack" -> ((s, dir) => {
-      // concat-and-chunk sequence packing: where each doc's tokens start
-      // in its source's fixed-512-token training windows. One exchange
-      // (hash on source) + in-partition running sum.
-      import graft.operators.Packing
-      Packing.packAssignments(
-        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
-        col("source"), col("doc_id"),
-        TextFunctions.tokenCount(col("text")), budget = 512L)
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("pack_id"), col("pack_offset"))
-    }),
-    "corpus_pack_chunked" -> ((s, dir) => {
-      // The two-level scan variant (chunkSize > 0): same assignments as
-      // corpus_pack byte-for-byte (exact long arithmetic both paths),
-      // held to the SAME DuckDB oracle — but the giant-group prefix sum
-      // parallelizes over (group, chunk) instead of serializing per
-      // group. The shape for a 100-TB corpus with a handful of sources.
-      import graft.operators.Packing
-      Packing.packAssignments(
-        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
-        col("source"), col("doc_id"),
-        TextFunctions.tokenCount(col("text")), budget = 512L,
-        chunkSize = 64L)
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("pack_id"), col("pack_offset"))
-    }),
-    "corpus_mixture" -> ((s, dir) => {
-      // training-mix temperature sampling: per-source token masses
-      // tempered by alpha=0.5 — sqrt is IEEE-correctly-rounded (pow is
-      // not) and the micro-unit quantization is an exact long, so the
-      // registered projection is all-integral. The normalized `weight`
-      // double stays available on the operator output but is NOT
-      // projected here: the driver's hash gate is fragile on raw double
-      // cells even when bit-identical to the oracle (round-7 finding).
-      Sampling.temperatureWeights(t(s, dir, "documents"), col("source"),
-        TextFunctions.tokenCount(col("text")))
-        .select(col("source"), col("n_units"), col("q_units"))
-    }),
-    "corpus_budget_alloc" -> ((s, dir) => {
-      // epoch-capped water-filling: 52k-token training budget split by
-      // the alpha=0.5 tempered mixture, every source capped at 2 epochs
-      // of its own tokens. Closed-form λ via one window pass over the
-      // source-cardinality table; all-integral output. 52k sits in the
-      // MIXED regime at sf0.01 (the smallest sources hit their 2-epoch
-      // caps, the rest water-fill), is uncapped at sf0.1, and degrades
-      // to the caps at sf0.001 (budget above every cap) — the three
-      // regimes of the operator across the harness scale factors.
-      Sampling.allocateBudget(t(s, dir, "documents"), col("source"),
-        TextFunctions.tokenCount(col("text")),
-        totalTokens = 52000L, maxEpochs = 2.0)
-    }),
-    "corpus_fixed_sample" -> ((s, dir) => {
-      // fixed-size eval-set construction: the 5 smallest md5-ranked docs
-      // per language — count-based where corpus_stratified is
-      // fraction-based; md5 hex order is engine-portable, hence the
-      // oracle. WindowGroupLimit bounds the shuffle at n per stratum
-      // per input partition.
-      Sampling.fixedSizeSample(t(s, dir, "documents"), col("doc_id"),
-        col("lang"), n = 5)
-        .select(col("doc_id"), col("lang"))
-    }),
-    "corpus_weighted_sample" -> ((s, dir) => {
-      // length-weighted (PPS) systematic sample, 5 docs per language:
-      // pure integer cut arithmetic over md5-shuffled weighted
-      // positions, so the selected set is engine-portable — unlike the
-      // u^(1/w) exponential-key form, which orders by a transcendental
-      Sampling.weightedSystematicSample(t(s, dir, "documents"),
-        col("doc_id"), col("lang"), col("n_chars"), k = 5)
-        .select(col("doc_id"), col("lang"), col("weight"))
-    }),
-    "corpus_length_buckets" -> ((s, dir) => {
-      // length-curriculum bucketing: quartile cut points of n_chars in
-      // one array-percentile aggregate, broadcast into a codegen'd
-      // when-chain label — quantile_cont semantics, hash-exact vs DuckDB
-      Sampling.quantileBuckets(
-        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
-        col("n_chars"))
-        .select(col("doc_id"), col("n_chars"), col("bucket"))
-    }),
-    "corpus_fluency_buckets" -> ((s, dir) => {
-      // quality-curriculum composition: unigram-LM mean corpus frequency
-      // per doc (exact rational projection), quartile-bucketed with the
-      // same percentile/when-chain machinery as the length curriculum —
-      // the "train easy/fluent docs first" ordering signal
-      import graft.operators.UnigramLm
-      val stats = UnigramLm.docUnigramStats(t(s, dir, "documents"),
-        col("doc_id"), col("text"))
-        .select(col("doc_id"), col("mean_freq"))
-      Sampling.quantileBuckets(stats, col("mean_freq"),
-        outCol = "fluency_bucket")
-        .select(col("doc_id"), col("mean_freq"), col("fluency_bucket"))
-    }),
-    "chunk_documents" -> ((s, dir) => {
-      // context-window prep: 200-char windows advancing 120 chars
-      // (overlapping), zero-shuffle generate+project — see Chunking
-      import graft.operators.Chunking
-      Chunking.chunkDocuments(t(s, dir, "documents"), col("doc_id"),
-        col("text"), chunkChars = 200, strideChars = 120)
-    }),
-    "chunk_tokens" -> ((s, dir) => {
-      // tokenizer-aware windows: 40 whitespace tokens advancing 30
-      import graft.operators.Chunking
-      Chunking.chunkByTokens(t(s, dir, "documents"), col("doc_id"),
-        col("text"), chunkTokens = 40, strideTokens = 30)
-    }),
-    "chunk_stats" -> ((s, dir) => {
-      // per-doc chunk audit over the same windows: count, surviving
-      // chars (> n_chars under overlap), coverage bound
-      import graft.operators.Chunking
-      Chunking.chunkStats(t(s, dir, "documents"), col("doc_id"),
-        col("text"), chunkChars = 200, strideChars = 120)
-    }),
-    "bpe_pair_counts" -> ((s, dir) => {
-      // one BPE-iteration statistic: top adjacent whitespace-token
-      // pairs, deterministic total-order cut at k
-      import graft.operators.BpeStats
-      BpeStats.pairCounts(t(s, dir, "documents"), col("text"), k = 40)
-    }),
-    "bpe_encode" -> ((s, dir) => { // trained-merge path: rows-only check
-      // the tokenizer APPLY side: train a small merge table (driver
-      // loop, one count job per step — memoized per session+dir, the
-      // sigstore convention: a vocabulary is trained once and applied
-      // daily, so timed passes measure ENCODE), then encode the corpus
-      // through the single-call merge kernel — one plan node for the
-      // whole table, zero shuffle (BpeStatsSpec pins merge semantics
-      // against the per-step kernel; rows-only here because the merge
-      // list is runtime-trained — the kernel itself is hash-checked by
-      // bpe_encode_portable over the pinned vocabulary)
-      import graft.operators.BpeStats
-      val docs = t(s, dir, "documents")
-      val merges = bpeMergeCache.getOrElseUpdate(
-        (s.sparkContext.applicationId, dir),
-        BpeStats.trainMerges(docs, col("text"), steps = 6))
-      BpeStats.encode(docs, col("doc_id"), col("text"), merges)
-        .select(col("doc_id"), col("n_tokens"),
-          array_join(slice(col("tokens"), 1, 8), " ").as("head_tokens"))
-    }),
-    "bpe_encode_portable" -> ((s, dir) => {
-      // the ORACLE-CHECKED encode twin: the same single-call merge
-      // kernel (one plan node, zero shuffle — the production path) over
-      // the PINNED BpePortableMerges vocabulary, so DuckDB can replay
-      // the identical greedy merge sequence as nested replaces (the
-      // oracle SQL is generated from the same constant — see
-      // bpeEncodePortableOracle). bpe_encode keeps the trained-merge
-      // registration; this row moves the kernel itself from
-      // spec-checked to hash-checked.
-      import graft.operators.BpeStats
-      BpeStats.encode(t(s, dir, "documents"), col("doc_id"), col("text"),
-        BpePortableMerges)
-        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
-          array_join(slice(col("tokens"), 1, 8), " ").as("head_tokens"))
-    }),
-    "corpus_split" -> ((s, dir) => {
-      // deterministic 90/10 train/holdout split — a pure function of the
-      // row id (md5 bucket), identical on any cluster size/engine
-      Sampling.hashSplit(t(s, dir, "documents"), col("doc_id"),
-        trainFrac = 0.9).select(col("doc_id"), col("split"))
-    }),
-    "corpus_stratified" -> ((s, dir) => {
-      // per-language deterministic subsample: half the en docs, all de
-      Sampling.stratifiedSample(t(s, dir, "documents"), col("doc_id"),
-        col("lang"), Map("en" -> 0.5, "de" -> 1.0))
-        .select(col("doc_id"), col("lang"))
-    }),
-    "group_safe_split" -> ((s, dir) => {
-      // the FIX for what split_leakage audits: assign train/holdout by
-      // the CONTENT key, so exact copies can never straddle the split
-      // (and passing a Dedup cluster id as the group extends that to
-      // near-dups). Still a zero-shuffle projection; the in-plan gate
-      // proves the guarantee on this corpus (max splits-per-group = 1)
-      // rather than asserting it on faith.
-      import graft.operators.Sampling
-      val sp = Sampling.groupSafeSplit(t(s, dir, "documents"),
-        col("text"), trainFrac = 0.9)
-      val gate = sp.groupBy(col("text"))
-        .agg(count_distinct(col("split")).as("k"))
-        .agg(coalesce(max(col("k")), lit(0L)).as("max_k"))
-      sp.crossJoin(broadcast(gate))
-        .where(assert_true(col("max_k") <= 1,
-          lit("group-safe split leaked a content group")).isNull)
-        .select(col("doc_id"), col("split"))
-    }),
-    "group_safe_split_clusters" -> ((s, dir) => {
-      // the NEAR-DUP extension of group_safe_split: split by the
-      // transitive dedup component (dedup_clusters' CC labels), so
-      // not just exact copies but whole near-duplicate families land
-      // on one side — the guarantee an eval holdout actually needs
-      // (a paraphrased train doc in the holdout inflates eval just
-      // as surely as an exact copy). Same zero-shuffle md5
-      // projection once the labels exist; the in-plan gate proves no
-      // component straddles.
-      import graft.operators.{Dedup, Sampling}
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"),
-        col("text"), n = 3, minJaccard = 0.5)
-      val cc = Dedup.connectedComponents(pairs, checkpointEvery = 4)
-      val labelled = docs.select(col("doc_id"))
-        .join(cc, docs("doc_id") === cc("id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("component"))
-      val sp = Sampling.groupSafeSplit(labelled, col("component"),
-        trainFrac = 0.9)
-      val gate = sp.groupBy("component")
-        .agg(count_distinct(col("split")).as("k"))
-        .agg(coalesce(max(col("k")), lit(0L)).as("max_k"))
-      sp.crossJoin(broadcast(gate))
-        .where(assert_true(col("max_k") <= 1,
-          lit("near-dup cluster straddled the split")).isNull)
-        .select(col("doc_id"), col("component"), col("split"))
-    }),
-    "split_leakage" -> ((s, dir) => {
-      // eval-contamination audit of the 90/10 split: exact-content keys
-      // present in BOTH splits, via one content-keyed hash agg (never a
-      // train x holdout self-join)
-      Sampling.splitLeakage(t(s, dir, "documents"), col("doc_id"),
-        col("text"), trainFrac = 0.9)
-    }),
-    "corpus_shards" -> ((s, dir) => {
-      // training-shard assignment: md5 hash-range over 16 shards — a
-      // pure zero-shuffle projection (the writer's partitionBy spends
-      // the only exchange), engine-portable and stable under re-runs
-      import graft.operators.Sharding
-      Sharding.assignShards(t(s, dir, "documents"), col("doc_id"),
-          numShards = 16)
-        .select(col("doc_id"), col("shard_key"), col("shard"))
-    }),
-    "shard_stats" -> ((s, dir) => {
-      // per-shard balance audit: doc count, token mass, observed key
-      // range — one map-side-partial agg to a 16-row frame
-      import graft.operators.Sharding
-      Sharding.shardStats(
-        Sharding.assignShards(t(s, dir, "documents"), col("doc_id"),
-          numShards = 16),
-        TextFunctions.tokenCount(col("text")))
-    }),
-    // ----- LLM-pipeline: multimodal columns -----------------------------
-    "media_meta" -> ((s, dir) => {
-      // REAL image metadata decode: per-document PNGs are synthesized
-      // ON EXECUTORS (dims a pure function of doc_id — no image assets
-      // exist in the container) and decoded back through javax.imageio.
-      // The in-plan gate asserts the DECODED dims equal the encoded
-      // ones (the kmeans_cluster_profile identity-gate pattern), so a
-      // codec break fails the harness run; the registered projection is
-      // the decoded metadata, which the DuckDB twin recomputes from the
-      // doc_id arithmetic — the oracle is green only if ImageIO
-      // round-trips real PNG bytes. n_bytes is PNG-encoder-specific and
-      // stays out of the projection (gated > 0 instead).
-      val dims = t(s, dir, "documents").select(col("doc_id"),
-        (col("doc_id") % 13 + 4).cast("int").as("w"),
-        (col("doc_id") % 11 + 3).cast("int").as("h"))
-      val media = Multimodal.synthesizeImages(dims, col("doc_id"),
-        col("w"), col("h"))
-      Multimodal.decodeMeta(media)
-        .where(assert_true(
-          col("width") === col("true_width") &&
-            col("height") === col("true_height") && col("channels") === 3,
-          concat(lit("ImageIO decode does not round-trip encoded dims: "),
-            col("asset_id"))).isNull)
-        .where(assert_true(col("n_bytes") > 0,
-          lit("empty encoded payload")).isNull)
-        .select(col("asset_id"),
-          col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"),
-          col("channels").cast("long").as("channels"),
-          (col("width") * col("height")).cast("long").as("n_pixels"))
-    }),
-    "media_pixel_stats" -> ((s, dir) => {
-      // the codec round-trip PROOF: encode synthetic pixels to real PNG,
-      // decode, sum each channel over the raster — PNG is lossless 8-bit
-      // sRGB, so the sums equal the DuckDB twin's arithmetic recompute
-      // of the synthetic pixel function exactly. Also the shape of real
-      // non-model feature extraction (per-channel statistics).
-      val dims = t(s, dir, "documents").select(col("doc_id"),
-        (col("doc_id") % 13 + 4).cast("int").as("w"),
-        (col("doc_id") % 11 + 3).cast("int").as("h"))
-      val media = Multimodal.synthesizeImages(dims, col("doc_id"),
-        col("w"), col("h"))
-      Multimodal.imageChannelStats(media, col("asset_id"))
-    }),
-    "media_grid_features" -> ((s, dir) => {
-      // REAL visual features from DECODED pixels: 2x2 grid grayscale
-      // means over the synthesized PNGs — exact integer cell sums plus
-      // a single IEEE division each, so the extraction (decode included)
-      // hash-matches the DuckDB arithmetic twin. The pre-ML image
-      // descriptor; the ML-embedding SHAPE stays covered by
-      // media_features' stub extractor.
-      val dims = t(s, dir, "documents").select(col("doc_id"),
-        (col("doc_id") % 13 + 4).cast("int").as("w"),
-        (col("doc_id") % 11 + 3).cast("int").as("h"))
-      val media = Multimodal.synthesizeImages(dims, col("doc_id"),
-        col("w"), col("h"))
-      Multimodal.imageGridFeatures(media, col("asset_id"),
-        gridW = 2, gridH = 2)
-    }),
-    "image_near_dup" -> ((s, dir) => {
-      // IMAGE near-dup on REAL pixel content, oracle-proven end to end:
-      // a capped anchor corpus of originals (PNG) plus one planted
-      // variant each — a BMP RE-ENCODE (same pixels, zero shared
-      // bytes), a CROP (offset + smaller dims) or an UNRELATED image
-      // (different seed) — is decoded, reduced to centered 3x3
-      // grid-sum vectors (exact longs), and ALL pairs are scored with
-      // the INTEGER-exact cosine>=0.999 decision: byte dedup finds
-      // nothing (every payload differs), content dedup must find
-      // exactly the re-encodes (cos = 1), and crops/unrelated stay
-      // below (measured negative max 0.9976 on this fixture). Every
-      // output cell is integer/boolean, so the DuckDB twin recomputes
-      // decode + features + decision verbatim — hash-green only if the
-      // whole codec-to-decision pipeline round-trips.
-      val (media, _) = imageVariantCorpus(s, dir)
-      val vecs = Multimodal.imageGridSumVector(media, col("asset_id"),
-        gridW = 3, gridH = 3)
-      Similarity.integerCosinePairs(vecs, col("asset_id"), col("features"),
-          tNum = 999, tDen = 1000, bits = 0)
-        .select(col("id_a").as("asset_a"), col("id_b").as("asset_b"),
-          col("dot"), col("is_dup"))
-    }),
-    "image_near_dup_lsh" -> ((s, dir) => {
-      // the SCALE arm of image_near_dup: SRP-banded candidate
-      // generation (equi-join on (band, code) — never all-pairs) with
-      // the SAME integer-exact verify. Identical vectors collide in
-      // every band, so recall on true re-encode pairs is 1.0 by
-      // construction — which is why this arm can answer a DETERMINISTIC
-      // oracle (the exact arm's duplicate set) instead of a recall
-      // floor: LSH only thins candidates BELOW the threshold.
-      val (media, _) = imageVariantCorpus(s, dir)
-      val vecs = Multimodal.imageGridSumVector(media, col("asset_id"),
-        gridW = 3, gridH = 3)
-      Similarity.integerCosinePairs(vecs, col("asset_id"), col("features"),
-          tNum = 999, tDen = 1000, bits = 12, bands = 4)
-        .where(col("is_dup"))
-        .select(col("id_a").as("asset_a"), col("id_b").as("asset_b"),
-          col("dot"))
-    }),
-    "media_video_frames" -> ((s, dir) => {
-      // REAL video frame extraction: per-document containers of
-      // length-prefixed PNG frames (a real variable-size framing, so
-      // the reader is a demuxer, not a stride slicer), every 2nd frame
-      // DECODED through ImageIO with exact per-channel pixel sums.
-      // The DuckDB twin recomputes frame coverage, dims and sums
-      // arithmetically — green only if framing AND codec round-trip.
-      val vids = t(s, dir, "documents").select(col("doc_id"),
-        (col("doc_id") % 7 + 3).cast("int").as("nf"))
-      val media = Multimodal.synthesizeVideo(vids, col("doc_id"), col("nf"),
-        w = 6, h = 4)
-      Multimodal.sampleVideoFrames(media, col("asset_id"), step = 2)
-    }),
-    "media_features_learned" -> ((s, dir) => { // rows-only (PCA floats)
-      // the model-INFERENCE shape with a REAL learned model — what the
-      // declared stubFeatureVector stands in for, minus the external
-      // ML runtime: content features from DECODED pixels (grid sums),
-      // a PCA basis FITTED on this corpus (the training step, one
-      // distributed moment pass + driver Jacobi), and per-row
-      // projection through the broadcast weight matrix (the batched
-      // inference step — swap the projection kernel for an ONNX/CLIP
-      // call and nothing upstream or downstream changes). IN-PLAN
-      // gate: a BMP re-encode's learned embedding must be IDENTICAL
-      // to its PNG original's (same decoded content -> same features
-      // -> same projection, bit-for-bit) — the gate a fake extractor
-      // that hashed BYTES instead of content would fail.
-      import graft.operators.Pca
-      val (media, _) = imageVariantCorpus(s, dir)
-      val vecs = Multimodal.imageGridSumVector(media, col("asset_id"),
-          gridW = 3, gridH = 3)
-        .select(col("asset_id"),
-          // exact scaling into unit range (one IEEE division by a
-          // power of two per component — keeps the gram aggregate's
-          // quantization guard satisfied and re-encode equality exact)
-          transform(col("features"), x => x.cast("double") / lit(1 << 20))
-            .as("fv"))
-      val model = Pca.fit(vecs, col("fv"), dim = 9, k = 4)
-      val proj = Pca.project(model, vecs, col("fv"))
-        .select(col("asset_id"), col("pca"))
-      // re-encode pairs: variant id = doc_id + 100000, kind 0
-      val reenc = proj.filter(col("asset_id") >= 100000L &&
-          (col("asset_id") - 100000) % 24 === 0)
-        .select((col("asset_id") - 100000).as("asset_id"),
-          col("pca").as("__v_pca"))
-      val gated = proj.join(reenc, Seq("asset_id"), "left")
-        .where(assert_true(col("__v_pca").isNull ||
-            col("pca") === col("__v_pca"),
-          concat(lit("re-encoded content diverged in the learned " +
-            "embedding for asset "), col("asset_id"))).isNull)
-        .drop("__v_pca")
-      gated.select(col("asset_id"), posexplode(col("pca")))
-        .withColumnRenamed("pos", "feature_idx")
-        .withColumnRenamed("col", "feature")
-    }),
-    "video_near_dup" -> ((s, dir) => {
-      // near-dup-by-content for VIDEO, closing the multimodal triangle
-      // (image_near_dup / audio_near_dup siblings): a capped anchor
-      // corpus of frame containers — PNG-framed originals; variants =
-      // the SAME frames re-encoded as BMP (content dup, zero shared
-      // bytes) or an unrelated seed — demuxed, every 2nd frame
-      // DECODED, grid sums accumulated across sampled frames into one
-      // centered 3x3 signature, all pairs scored with the
-      // integer-exact cosine>=0.9995 verdict (re-encodes cos=1
-      // exactly; unrelated measured <=0.9992 — thin because 6x4
-      // synthetic frames carry little content, but the integer
-      // decision makes even a thin margin bit-decisive).
-      val (media, _) = videoVariantCorpus(s, dir)
-      val vecs = Multimodal.videoGridSumVector(media, col("asset_id"),
-        gridW = 3, gridH = 3, step = 2)
-      Similarity.integerCosinePairs(vecs, col("asset_id"), col("features"),
-          tNum = 9995, tDen = 10000, bits = 0)
-        .select(col("id_a").as("asset_a"), col("id_b").as("asset_b"),
-          col("dot"), col("is_dup"))
-    }),
-    "media_audio_meta" -> ((s, dir) => {
-      // REAL audio metadata decode: per-document WAV clips synthesized
-      // ON EXECUTORS (mono 16-bit PCM, length a pure function of
-      // doc_id) and decoded back through javax.sound.sampled — the
-      // audio twin of media_meta, same gate/oracle construction: the
-      // in-plan gate pins decoded frames ≡ encoded samples, and the
-      // DuckDB twin recomputes the projection arithmetically, so the
-      // row is green only if the WAV container round-trips.
-      val lens = t(s, dir, "documents").select(col("doc_id"),
-        (col("doc_id") % 97 + 40).cast("int").as("n"))
-      val media = Multimodal.synthesizeAudio(lens, col("doc_id"), col("n"))
-      Multimodal.decodeAudioMeta(media)
-        .where(assert_true(
-          col("n_frames") === col("true_n_samples") &&
-            col("channels") === 1 && col("bits") === 16 &&
-            col("sample_rate") === col("true_sample_rate"),
-          concat(lit("WAV decode does not round-trip the clip shape: "),
-            col("asset_id"))).isNull)
-        .select(col("asset_id"),
-          col("n_frames").cast("long").as("n_samples"),
-          col("sample_rate").cast("long").as("sample_rate"),
-          col("channels").cast("long").as("channels"),
-          col("bits").cast("long").as("bits"))
-    }),
-    "media_audio_stats" -> ((s, dir) => {
-      // the audio codec round-trip PROOF (media_pixel_stats' twin):
-      // synthetic 16-bit samples encode to real WAV, decode, aggregate
-      // as exact integers — PCM is lossless, so the sums hash-match the
-      // DuckDB arithmetic recompute of the sample function.
-      val lens = t(s, dir, "documents").select(col("doc_id"),
-        (col("doc_id") % 97 + 40).cast("int").as("n"))
-      val media = Multimodal.synthesizeAudio(lens, col("doc_id"), col("n"))
-      Multimodal.audioSampleStats(media, col("asset_id"))
-    }),
-    "media_audio_features" -> ((s, dir) => {
-      // REAL audio content features: the windowed energy contour (the
-      // pre-ML audio descriptor — what VAD/loudness gates run on) over
-      // decoded PCM. 16-frame windows, exact long sums + one IEEE
-      // division per window, so the whole decode→window→aggregate
-      // pipeline hash-matches the DuckDB k//16 arithmetic twin.
-      val lens = t(s, dir, "documents").select(col("doc_id"),
-        (col("doc_id") % 97 + 40).cast("int").as("n"))
-      val media = Multimodal.synthesizeAudio(lens, col("doc_id"), col("n"))
-      Multimodal.audioWindowFeatures(media, col("asset_id"), windowSize = 16)
-    }),
-    "audio_near_dup" -> ((s, dir) => {
-      // near-dup-by-SOUND, the audio twin of image_near_dup: a capped
-      // anchor corpus of chirp clips (WAV originals; variants = AIFF
-      // re-encode of the SAME samples / truncation to 4/5 length /
-      // unrelated seed) decoded to centered 12-cell proportional
-      // contour vectors (exact longs) and all-pairs scored with the
-      // integer-exact cosine>=0.99 verdict — re-encodes land at cos=1
-      // exactly, truncated/unrelated measured <=0.954. Byte dedup sees
-      // nothing (WAV vs AIFF differ in every byte incl. endianness);
-      // content dedup finds exactly the re-encodes, oracle-proven.
-      val (media, _) = audioVariantCorpus(s, dir)
-      val vecs = Multimodal.audioGridSumVector(media, col("asset_id"),
-        cells = 12)
-      Similarity.integerCosinePairs(vecs, col("asset_id"), col("features"),
-          tNum = 99, tDen = 100, bits = 0)
-        .select(col("id_a").as("asset_a"), col("id_b").as("asset_b"),
-          col("dot"), col("is_dup"))
-    }),
-    "media_resize_image" -> ((s, dir) => {
-      // REAL bilinear resample to a fixed thumbnail size, re-encoded
-      // PNG, then decoded again: the gate asserts the decoded dims are
-      // exactly the target (resampled pixel VALUES are interpolation-
-      // implementation-specific, so only the dims project). Every 10th
-      // doc: the resample is the most expensive per-row step of the
-      // media family and the plumbing claim needs coverage, not volume.
-      val dims = t(s, dir, "documents")
-        .filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"),
-          (col("doc_id") % 13 + 4).cast("int").as("w"),
-          (col("doc_id") % 11 + 3).cast("int").as("h"))
-      val media = Multimodal.synthesizeImages(dims, col("doc_id"),
-        col("w"), col("h"))
-      val resized = Multimodal.resizeImages(media, targetW = 8, targetH = 6)
-        .select(col("asset_id"), col("resized").as("media"))
-      Multimodal.decodeMeta(resized)
-        .where(assert_true(col("width") === 8 && col("height") === 6,
-          concat(lit("resample missed target dims: "), col("asset_id"))).isNull)
-        .select(col("asset_id"),
-          col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"),
-          col("channels").cast("long").as("channels"))
-    }),
-    "media_frames" -> ((s, dir) => {
-      val media = Multimodal.packTextAsMedia(t(s, dir, "documents"),
-        col("doc_id"), col("text"))
-      // frames stay binary inside the operator; the registered query emits
-      // hex so the driver's pandas hash compare has a hashable column
-      Multimodal.sampleFrames(media, col("asset_id"), col("media"),
-        frameSize = 16, step = 4)
-        .withColumn("frame", hex(col("frame")))
-    }),
-    "media_features" -> ((s, dir) => {
-      val media = Multimodal.packTextAsMedia(t(s, dir, "documents"),
-        col("doc_id"), col("text"))
-      media.filter(octet_length(col("media")) > 0)
-        .select(col("asset_id"),
-        posexplode(Multimodal.stubFeatureVector(col("media"), dim = 8)))
-        .withColumnRenamed("pos", "feature_idx")
-        .withColumnRenamed("col", "feature")
-    }),
-    "media_resize" -> ((s, dir) => {
-      // byte-level crop/pad to a fixed frame size; hex'd for the driver's
-      // hash compare (same convention as media_frames)
-      val media = Multimodal.packTextAsMedia(t(s, dir, "documents"),
-        col("doc_id"), col("text"))
-      media.select(col("asset_id"),
-        hex(Multimodal.stubResize(col("media"), targetBytes = 64)).as("resized_hex"))
-    }),
-    "text_scrub" -> ((s, dir) => {
-      // the source docs carry no PII, so the query plants a synthetic
-      // email / account number / URL derived from doc_id and verifies the
-      // scrubber masks exactly those spans (oracle replays both steps)
-      val dirty = concat(col("text"), lit(" contact user"), col("doc_id"),
-        lit("@mail.example.com ref 1234567890 via https://ex.com/d/"),
-        col("doc_id"))
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.scrubPii(dirty).as("scrubbed"))
-    }),
-    "pii_density" -> ((s, dir) => {
-      // the MEASUREMENT half of scrubbing: per-source counts of each
-      // PII pattern (same planted-span construction as text_scrub, so
-      // the expected density is known and the oracle validates the
-      // non-overlapping match semantics both engines must share).
-      // Run BEFORE scrubPii to decide whether a source needs it, and
-      // AFTER to prove the output is clean.
-      val dirty = concat(col("text"), lit(" contact user"), col("doc_id"),
-        lit("@mail.example.com ref 1234567890 via https://ex.com/d/"),
-        col("doc_id"))
-      t(s, dir, "documents")
-        .select(col("source"), dirty.as("t"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(regexp_count(col("t"), lit("https?://[^ ]+")))
-            .cast("bigint").as("n_urls"),
-          sum(regexp_count(col("t"),
-            lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")))
-            .cast("bigint").as("n_emails"),
-          sum(regexp_count(col("t"), lit("[0-9]{6,}")))
-            .cast("bigint").as("n_numbers"))
-    }),
-    "contamination" -> ((s, dir) => {
-      // eval-set decontamination: docs from src0 act as the benchmark;
-      // every other doc is scored by distinct shared word-3-gram shingles
-      val docs = t(s, dir, "documents")
-      Dedup.shingleContamination(
-        docs.filter(col("source") =!= "src0"),
-        docs.filter(col("source") === "src0"),
-        col("doc_id"), col("text"), n = 3)
-    }),
-    "contamination_bloom" -> ((s, dir) => {
-      // the runtime-filter shape of decontamination: driver-built Bloom
-      // filter over eval shingles rides the plan as a binary literal
-      // and drops non-members in codegen before the exact verify join —
-      // no false negatives, so the result (and oracle) is identical to
-      // `contamination`
-      val docs = t(s, dir, "documents")
-      Dedup.bloomShingleContamination(
-        docs.filter(col("source") =!= "src0"),
-        docs.filter(col("source") === "src0"),
-        col("doc_id"), col("text"), n = 3, expectedItems = 1L << 17)
-    }),
-    "dedup_incremental" -> ((s, dir) => { // engine-hash based: rows-only
-      // the daily-increment shape: docs from sources src10-src19 arrive as
-      // the new batch and are near-deduped against the accumulated corpus
-      // (src0-src9) via its STORED MinHash signatures — the accumulated
-      // text is never rescanned
-      import graft.pipelines.CorpusPipeline
-      val cfg = CorpusPipeline.Config(minQuality = 0.3,
-        keepLangs = Seq("en"), minTokens = 5, shingleSize = 3,
-        numHashes = 64, bands = 16, minEstJaccard = 0.7, featureDim = 8)
-      val docs = t(s, dir, "documents")
-      val ref = docs.filter(col("source").rlike("^src[0-9]$"))
-      val inc = docs.filter(col("source").rlike("^src1[0-9]$"))
-      val refSigs = Dedup.minhashSignatures(
-        CorpusPipeline.qualityGate(CorpusPipeline.annotate(ref), cfg),
-        col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
-      val (curated, _) = CorpusPipeline.curateIncrement(inc, refSigs, cfg)
-      curated.select(col("doc_id"), col("lang_pred"), col("n_tokens"))
-    }),
-    "dedup_incremental_portable" -> ((s, dir) => {
-      // oracle twin of dedup_incremental: the SAME funnel (gate ->
-      // exact self-dedup -> LSH self-dedup -> cross-corpus band join ->
-      // prune) with md5-hex signatures and raw-slice band keys, so
-      // every signature element, band key, candidate pair and
-      // est_jaccard reproduces bit-for-bit in DuckDB. Engine-hash forms
-      // stay the production default (cheaper kernels, 4-byte band keys).
-      // Runs on the deterministic doc_id%5 slice (the bounded-anchor
-      // convention, like source_minhash_jaccard_portable): the md5
-      // signature kernel is ~10x the engine hash and this twin was the
-      // slowest query in the r10 spread — the oracle applies the same
-      // predicate, so exactness is untouched.
-      import graft.pipelines.CorpusPipeline
-      val cfg = CorpusPipeline.Config(minQuality = 0.3,
-        keepLangs = Seq("en"), minTokens = 5, shingleSize = 3,
-        numHashes = 64, bands = 16, minEstJaccard = 0.7, featureDim = 8)
-      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
-      val ref = docs.filter(col("source").rlike("^src[0-9]$"))
-      val inc = docs.filter(col("source").rlike("^src1[0-9]$"))
-      val refSigs = Dedup.minhashSignaturesPortable(
-        CorpusPipeline.qualityGate(CorpusPipeline.annotate(ref), cfg),
-        col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
-      val gated = CorpusPipeline.qualityGate(CorpusPipeline.annotate(inc), cfg)
-      val selfExact = CorpusPipeline.exactDedup(gated)
-      val selfClean = Dedup.applyPairDedup(selfExact, col("doc_id"),
-        Dedup.minhashDedupPairsPortable(selfExact, col("doc_id"), col("text"),
-          cfg.numHashes, cfg.shingleSize, cfg.bands, cfg.minEstJaccard))
-      val incSigs = Dedup.minhashSignaturesPortable(selfClean,
-        col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
-      Dedup.applyPairDedup(selfClean, col("doc_id"),
-          Dedup.minhashPairsAgainstPortable(incSigs, refSigs,
-            cfg.numHashes, cfg.bands, cfg.minEstJaccard))
-        .select(col("doc_id"), col("lang_pred"), col("n_tokens"))
-    }),
-    "dedup_incremental_stored" -> ((s, dir) => { // engine-hash: rows-only
-      // the 100-TB-relevant DAILY MARGINAL COST: dedup_incremental above
-      // rebuilds the reference signature store inline, so its benched
-      // number conflates store-build with the increment (r7 verdict).
-      // This entry curates the same increment against the
-      // PRE-MATERIALIZED bucketed store: built once per session+dir
-      // (first bench pass / first Verify call), then every timed pass
-      // measures only what a daily run pays — the store side of the
-      // band join plans no exchange (PlanAuditSpec pins it).
-      import graft.pipelines.CorpusPipeline
-      val cfg = CorpusPipeline.Config(minQuality = 0.3,
-        keepLangs = Seq("en"), minTokens = 5, shingleSize = 3,
-        numHashes = 64, bands = 16, minEstJaccard = 0.7, featureDim = 8)
-      // The table name is scoped by applicationId: a FRESH JVM's
-      // in-memory catalog does not know tables a previous JVM created,
-      // but their warehouse LOCATIONS survive on disk, and saveAsTable
-      // throws LOCATION_ALREADY_EXISTS rather than adopt one (caught
-      // silently by Verify's per-query try in round 8 until the bench
-      // surfaced it). Per-app names make the first build of every JVM
-      // collision-free; stale locations from prior JVMs are deleted
-      // below so the (gitignored) warehouse does not accrete.
-      val appTag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "")
-      val table = "graft_sigstore_" +
-        java.lang.Integer.toHexString(dir.hashCode) + "_" + appTag
-      // guard on BOTH halves: writeSignatureStore's two writes are not
-      // transactional, and a crash between them would otherwise leave
-      // the raw table present, the build skipped forever, and the
-      // banded-index read failing (or, worse, silently stale) — the
-      // exact hazard verifySignatureStore/repairSignatureStore exist
-      // for. Overwrite mode makes the rebuild safe over either half.
-      if (!s.catalog.tableExists(table) ||
-          !s.catalog.tableExists(table + "_banded")) {
-        // sweep stale store locations left by other (dead) application
-        // ids — rebuildable caches, safe to drop; this JVM's own stores
-        // (any sf dir) carry the current appTag and are preserved. The
-        // 30-minute age floor keeps a CONCURRENT harness JVM's live
-        // store (bench + verify sharing spark-warehouse run in minutes)
-        // from being deleted mid-run; only genuinely dead leftovers go.
-        val wh = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"))
-        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val staleBefore = System.currentTimeMillis() - 30L * 60 * 1000
-        if (fs.exists(wh)) {
-          fs.listStatus(wh).foreach { st =>
-            val nm = st.getPath.getName
-            if (nm.startsWith("graft_sigstore_") && !nm.contains(appTag) &&
-                st.getModificationTime < staleBefore)
-              fs.delete(st.getPath, true)
-          }
-        }
-        val ref = t(s, dir, "documents")
-          .filter(col("source").rlike("^src[0-9]$"))
-        val refSigs = Dedup.minhashSignatures(
-          CorpusPipeline.qualityGate(CorpusPipeline.annotate(ref), cfg),
-          col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
-        CorpusPipeline.writeSignatureStore(refSigs, table, cfg,
-          buckets = 32, org.apache.spark.sql.SaveMode.Overwrite)
-      }
-      val inc = t(s, dir, "documents")
-        .filter(col("source").rlike("^src1[0-9]$"))
-      val (curated, _) = CorpusPipeline.curateIncrementFromStore(inc, table, cfg)
-      curated.select(col("doc_id"), col("lang_pred"), col("n_tokens"))
-    }),
-    "embed_quantize" -> ((s, dir) => {
-      // int8 symmetric quantization of the embedding column; codes
-      // emitted CSV-joined (the driver's hash compare needs scalar cells)
-      val emb = t(s, dir, "embeddings")
-      emb.select(col("vec_id"),
-        array_join(VectorFunctions.quantize8(col("embedding"))
-          .cast("array<string>"), ",").as("q_csv"),
-        VectorFunctions.quantScale(col("embedding")).as("scale"))
-    })
-  )
-
-  /** Generated oracle for gopher_repetition_flags: one explode+groupBy
-    * CTE per n (the shuffle-heavy formulation of the zero-shuffle
-    * kernel); totals derive from len(t) - n + 1 so gram-less docs fall
-    * out as fraction 0 / rule passed, matching the kernel's [0,0,0].
-    * Thresholds are [[graft.operators.Quality]]'s paper defaults —
-    * generated from the SAME constants, so the twin can't drift.
-    */
-  /** DuckDB list of the k=3 portable Bloom bit positions for `x`
-    * (must render an already-VARCHAR expression) at mBits=4096 —
-    * mirrors `BloomIndex.positions`.
-    */
-  private def bloomPosListSql(x: String): String =
-    (0 until 3).map(i =>
-      s"('0x' || substr(md5($x || '#bloom$i'), 1, 15))::BIGINT % 4096")
-      .mkString("[", ",\n           ", "]")
-
-  /** The four-column orders profile rebuilt in DuckDB — shared by
-    * `table_profile` and (as a CTE) `dq_suggest`, whose rule
-    * derivation replays over exactly this frame.
-    */
-  private def ordersProfileOracleSql: String = {
-    // the profile's data_type is a Spark schema literal; the oracle
-    // pins the expected names (orders: int64 -> bigint, utf8 -> string)
-    val sparkTypes = Map(
-      "o_orderkey" -> "bigint", "o_custkey" -> "bigint",
-      "o_orderstatus" -> "string", "o_orderpriority" -> "string")
-    def one(c: String): String =
-      s"""SELECT '$c' AS column_name,
-         |  '${sparkTypes(c)}' AS data_type,
-         |  CAST(count(*) AS BIGINT) AS n_rows,
-         |  CAST(count($c) AS BIGINT) AS n_nonnull,
-         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-         |  CAST(min($c) AS VARCHAR) AS min_value,
-         |  CAST(max($c) AS VARCHAR) AS max_value,
-         |  CAST(sum(length(CAST($c AS VARCHAR))) AS DOUBLE) / count($c) AS avg_len,
-         |  (count($c) = count(*) AND count(DISTINCT $c) = count(*)) AS is_candidate_key
-         |FROM orders""".stripMargin
-    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
-      .map(one).mkString("\nUNION ALL\n")
-  }
-
-  /** The integer-grid k-means fit (`integerLloydAssigned`) unrolled as
-    * DuckDB CTEs — quantize, md5-rank init, two assign/update rounds
-    * with exact floor-average centroids and empty-cluster carry — in
-    * exact integer arithmetic, ending with `asg(vec_id, q, list_id,
-    * dist)` = the final assignment. Shared by the three portable
-    * oracles (`kmeans_profile_portable`, `d4_prototype_prune_portable`,
-    * `semantic_prune_portable`); no leading WITH so callers can extend
-    * the chain.
-    */
-  private def kmeansPortableCtesSql: String = {
-    // one Lloyd round: assign to prevC, floor-average update, carry
-    // empty clusters
-    def round(i: Int, prevC: String): String =
-      s"""a$i AS (
-         |  SELECT v.vec_id, v.q, c.list_id,
-         |         list_sum([(v.q[i] - c.c[i]) * (v.q[i] - c.c[i])
-         |                   for i in range(1, 65)]) AS dist
-         |  FROM qv v CROSS JOIN $prevC c),
-         |r$i AS (SELECT vec_id, q, list_id, dist,
-         |               row_number() OVER (PARTITION BY vec_id
-         |                                  ORDER BY dist, list_id) AS rn
-         |        FROM a$i),
-         |g$i AS (SELECT * FROM r$i WHERE rn = 1),
-         |u$i AS (SELECT list_id, i AS d, sum(q[i]) AS sv, count(*) AS n
-         |        FROM g$i, range(1, 65) t(i) GROUP BY 1, 2),
-         |n$i AS (SELECT list_id,
-         |               list(CAST((sv - (((sv % n) + n) % n)) / n AS BIGINT)
-         |                    ORDER BY d) AS c
-         |        FROM u$i GROUP BY 1),
-         |c$i AS (SELECT p.list_id, coalesce(n$i.c, p.c) AS c
-         |        FROM $prevC p LEFT JOIN n$i USING (list_id))""".stripMargin
-    s"""qv AS (
-       |  SELECT vec_id,
-       |         [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
-       |          for x in embedding] AS q
-       |  FROM embeddings WHERE embedding IS NOT NULL),
-       |sd AS (SELECT q, md5(CAST(vec_id AS VARCHAR) || '#kp13') AS h
-       |       FROM qv ORDER BY h LIMIT 8),
-       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT)
-       |              AS list_id, q AS c
-       |       FROM sd),
-       |${round(1, "c0")},
-       |${round(2, "c1")},
-       |a3 AS (
-       |  SELECT v.vec_id, v.q, c.list_id,
-       |         list_sum([(v.q[i] - c.c[i]) * (v.q[i] - c.c[i])
-       |                   for i in range(1, 65)]) AS dist
-       |  FROM qv v CROSS JOIN c2 c),
-       |r3 AS (SELECT vec_id, q, list_id, dist,
-       |              row_number() OVER (PARTITION BY vec_id
-       |                                 ORDER BY dist, list_id) AS rn
-       |       FROM a3),
-       |asg AS (SELECT vec_id, q, list_id, dist FROM r3 WHERE rn = 1)""".stripMargin
-  }
-
-  private def kmeansPortableOracleSql: String =
-    s"""WITH $kmeansPortableCtesSql
-       |SELECT list_id, CAST(count(*) AS BIGINT) AS n_vecs,
-       |       CAST(sum(dist) AS BIGINT) AS ssd
-       |FROM asg
-       |GROUP BY 1""".stripMargin
-
-  /** `d4_prototype_prune_portable` over the shared assignment: the
-    * window-rank drop of the floor(0.25·n) closest-to-centroid members
-    * per cluster, ties to the lower vec_id.
-    */
-  private def d4PortableOracleSql: String =
-    s"""WITH $kmeansPortableCtesSql,
-       |rk AS (SELECT vec_id, list_id, dist,
-       |              row_number() OVER (PARTITION BY list_id
-       |                                 ORDER BY dist, vec_id) AS rn,
-       |              count(*) OVER (PARTITION BY list_id) AS n
-       |       FROM asg)
-       |SELECT vec_id, list_id, CAST(dist AS BIGINT) AS dist
-       |FROM rk WHERE rn > CAST(floor(0.25 * n) AS BIGINT)""".stripMargin
-
-  /** `ann_ivf_topk_portable` over the shared fit: rank centroids per
-    * pinned query, probe the 2 best lists, exact-distance top-10 with
-    * (dist, vec_id) ties — the full IVF probe path in integer
-    * arithmetic.
-    */
-  private def annIvfPortableOracleSql: String =
-    s"""WITH $kmeansPortableCtesSql,
-       |qs AS (SELECT vec_id AS query_id, q AS qq FROM asg
-       |       WHERE vec_id < 64),
-       |pd AS (
-       |  SELECT qs.query_id, qs.qq, c.list_id,
-       |         list_sum([(qs.qq[i] - c.c[i]) * (qs.qq[i] - c.c[i])
-       |                   for i in range(1, 65)]) AS cdist
-       |  FROM qs CROSS JOIN c2 c),
-       |pr AS (SELECT query_id, qq, list_id,
-       |              row_number() OVER (PARTITION BY query_id
-       |                                 ORDER BY cdist, list_id) AS prn
-       |       FROM pd),
-       |probe AS (SELECT query_id, qq, list_id FROM pr WHERE prn <= 2),
-       |cand AS (
-       |  SELECT p.query_id, a.vec_id AS neighbor_id,
-       |         list_sum([(p.qq[i] - a.q[i]) * (p.qq[i] - a.q[i])
-       |                   for i in range(1, 65)]) AS dist
-       |  FROM probe p JOIN asg a ON a.list_id = p.list_id),
-       |rk AS (SELECT query_id, neighbor_id, CAST(dist AS BIGINT) AS dist,
-       |              CAST(row_number() OVER (PARTITION BY query_id
-       |                   ORDER BY dist, neighbor_id) AS INT) AS rank
-       |       FROM cand)
-       |SELECT query_id, neighbor_id, dist, rank FROM rk
-       |WHERE rank <= 10""".stripMargin
-
-  /** `pq_adc_portable` unrolled as DuckDB CTEs: per subspace j — slice,
-    * md5-rank seeds, one exact Lloyd round with empty-code carry,
-    * corpus encode, query-side distance table — then the ADC sum over
-    * the m per-subspace parts and the (adc, vec_id)-ranked top 10.
-    */
-  private def pqAdcPortableOracleSql: String = {
-    val m = 8; val sub = 8; val k = 4
-    def dist(a: String, b: String): String =
-      s"list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, ${sub + 1})])"
-    def subspace(j: Int): String = {
-      val lo = j * sub + 1; val hi = (j + 1) * sub
-      s"""sv$j AS (SELECT vec_id, list_slice(q, $lo, $hi) AS v FROM qv),
-         |sd$j AS (SELECT v, md5(CAST(vec_id AS VARCHAR) || '#pq13s$j') AS h
-         |         FROM sv$j ORDER BY h LIMIT $k),
-         |k0$j AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT)
-         |                AS code, v AS c
-         |         FROM sd$j),
-         |pa$j AS (SELECT s.vec_id, s.v, c.code, ${dist("s.v", "c.c")} AS dist
-         |         FROM sv$j s CROSS JOIN k0$j c),
-         |pr$j AS (SELECT vec_id, v, code,
-         |                row_number() OVER (PARTITION BY vec_id
-         |                                   ORDER BY dist, code) AS rn
-         |         FROM pa$j),
-         |pu$j AS (SELECT code, i AS d, sum(v[i]) AS sx, count(*) AS n
-         |         FROM pr$j, range(1, ${sub + 1}) t(i)
-         |         WHERE rn = 1 GROUP BY 1, 2),
-         |pn$j AS (SELECT code,
-         |                list(CAST((sx - (((sx % n) + n) % n)) / n AS BIGINT)
-         |                     ORDER BY d) AS c
-         |         FROM pu$j GROUP BY 1),
-         |k1$j AS (SELECT p.code, coalesce(pn$j.c, p.c) AS c
-         |         FROM k0$j p LEFT JOIN pn$j USING (code)),
-         |ea$j AS (SELECT s.vec_id, c.code, ${dist("s.v", "c.c")} AS dist
-         |         FROM sv$j s CROSS JOIN k1$j c),
-         |enc$j AS (SELECT vec_id, code FROM (
-         |            SELECT vec_id, code,
-         |                   row_number() OVER (PARTITION BY vec_id
-         |                                      ORDER BY dist, code) AS rn
-         |            FROM ea$j) WHERE rn = 1),
-         |qd$j AS (SELECT s.vec_id AS query_id, c.code,
-         |                ${dist("s.v", "c.c")} AS d
-         |         FROM sv$j s CROSS JOIN k1$j c WHERE s.vec_id < 64),
-         |part$j AS (SELECT qd.query_id, e.vec_id, qd.d
-         |           FROM enc$j e JOIN qd$j qd USING (code))""".stripMargin
-    }
-    val union = (0 until m).map(j => s"SELECT * FROM part$j")
-      .mkString("\n       UNION ALL ")
-    s"""WITH qv AS (
-       |  SELECT vec_id,
-       |         [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
-       |          for x in embedding] AS q
-       |  FROM embeddings WHERE embedding IS NOT NULL),
-       |${(0 until m).map(subspace).mkString(",\n")},
-       |adc AS (SELECT query_id, vec_id, sum(d) AS adc
-       |        FROM ($union)
-       |        GROUP BY 1, 2),
-       |rk AS (SELECT query_id, vec_id, CAST(adc AS BIGINT) AS adc,
-       |              CAST(row_number() OVER (PARTITION BY query_id
-       |                   ORDER BY adc, vec_id) AS INT) AS rank
-       |       FROM adc)
-       |SELECT query_id, vec_id AS neighbor_id, adc, rank FROM rk
-       |WHERE rank <= 10""".stripMargin
-  }
-
-  /** `semantic_contamination_portable` over the shared assignment:
-    * same-cluster train×eval pairs, the cross-multiplied integer
-    * cosine-≥-0.35 test (400·dot² ≥ 49·|a|²·|b|²).
-    */
-  private def semanticContaminationPortableOracleSql: String =
-    s"""WITH $kmeansPortableCtesSql,
-       |al AS (SELECT asg.vec_id, asg.q, asg.list_id, e.label
-       |       FROM asg JOIN embeddings e ON e.vec_id = asg.vec_id),
-       |cand AS (
-       |  SELECT a.vec_id AS train_id, b.vec_id AS eval_id,
-       |         list_sum([a.q[i] * b.q[i] for i in range(1, 65)]) AS dp,
-       |         list_sum([a.q[i] * a.q[i] for i in range(1, 65)]) AS na,
-       |         list_sum([b.q[i] * b.q[i] for i in range(1, 65)]) AS nb
-       |  FROM al a JOIN al b
-       |    ON a.list_id = b.list_id AND a.label <> 0 AND b.label = 0)
-       |SELECT train_id, eval_id, CAST(dp AS BIGINT) AS dp FROM cand
-       |WHERE dp > 0 AND 400 * dp * dp >= 49 * na * nb""".stripMargin
-
-  /** `semantic_prune_portable` over the shared assignment: same-cluster
-    * candidate pairs, the cross-multiplied integer cosine-≥-0.4 test
-    * (dot>0 ∧ 25·dot² ≥ 4·|a|²·|b|²), then the recursive min-reach CC
-    * keep-one from `semantic_prune_exact`.
-    */
-  private def semanticPrunePortableOracleSql: String =
-    s"""WITH RECURSIVE $kmeansPortableCtesSql,
-       |cand AS (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |         list_sum([a.q[i] * b.q[i] for i in range(1, 65)]) AS dp,
-       |         list_sum([a.q[i] * a.q[i] for i in range(1, 65)]) AS na,
-       |         list_sum([b.q[i] * b.q[i] for i in range(1, 65)]) AS nb
-       |  FROM asg a JOIN asg b
-       |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id),
-       |pairs AS (SELECT id_a, id_b FROM cand
-       |          WHERE dp > 0 AND 25 * dp * dp >= 4 * na * nb),
-       |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
-       |  UNION SELECT id_b, id_a FROM pairs),
-       |reach(id, comp) AS (
-       |  SELECT s, s FROM edges
-       |  UNION
-       |  SELECT e.t, r.comp FROM reach r JOIN edges e ON e.s = r.id),
-       |labels AS (SELECT asg.vec_id, COALESCE(MIN(r.comp), asg.vec_id)
-       |                  AS component
-       |  FROM asg LEFT JOIN reach r ON r.id = asg.vec_id
-       |  GROUP BY asg.vec_id)
-       |SELECT e.vec_id, e.label
-       |FROM embeddings e
-       |JOIN labels l ON l.vec_id = e.vec_id
-       |WHERE e.embedding IS NOT NULL AND l.component = e.vec_id""".stripMargin
-
-  /** The integer power iteration of `pca_power_portable` unrolled as
-    * DuckDB CTEs: quantize, floor-mean center, three v' = Gᵀ(G v)
-    * rounds in the Gram-free two-pass factorization, exact
-    * floor-division rescaling, final per-row scores.
-    */
-  private def pcaPowerPortableOracleSql: String = {
-    def round(i: Int, prevV: String): String =
-      s"""s$i AS (SELECT vec_id, y,
-         |               list_sum([y[i] * vv.v[i] for i in range(1, 65)]) AS s
-         |        FROM yv, $prevV vv),
-         |w$i AS (SELECT i AS d, sum(y[i] * s) AS w
-         |        FROM s$i, range(1, 65) t(i) GROUP BY 1),
-         |d$i AS (SELECT greatest(CAST(1 AS BIGINT),
-         |                 CAST(((mx + 1023) - ((mx + 1023) % 1024)) / 1024
-         |                      AS BIGINT)) AS dv
-         |        FROM (SELECT CAST(max(abs(w)) AS BIGINT) AS mx FROM w$i)),
-         |v$i AS (SELECT list(CAST((w - (((w % dv) + dv) % dv)) / dv
-         |                         AS BIGINT) ORDER BY d) AS v
-         |        FROM w$i, d$i)""".stripMargin
-    s"""WITH qv AS (
-       |  SELECT vec_id,
-       |         [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
-       |          for x in embedding] AS q
-       |  FROM embeddings WHERE embedding IS NOT NULL),
-       |mm AS (SELECT i AS d, sum(q[i]) AS sv, count(*) AS n
-       |       FROM qv, range(1, 65) t(i) GROUP BY 1),
-       |mv AS (SELECT list(CAST((sv - (((sv % n) + n) % n)) / n AS BIGINT)
-       |                   ORDER BY d) AS m
-       |       FROM mm),
-       |yv AS (SELECT vec_id, [q[i] - mv.m[i] for i in range(1, 65)] AS y
-       |       FROM qv, mv),
-       |v0 AS (SELECT [CAST(1024 AS BIGINT) for i in range(1, 65)] AS v),
-       |${round(1, "v0")},
-       |${round(2, "v1")},
-       |${round(3, "v2")}
-       |SELECT vec_id,
-       |       CAST(list_sum([y[i] * vv.v[i] for i in range(1, 65)])
-       |            AS BIGINT) AS p1
-       |FROM yv, v3 vv""".stripMargin
-  }
-
-  /** The hourly median/MAD anomaly verdict rebuilt in DuckDB — shared
-    * by `event_anomalies` and `count_store_compaction` (the compacted
-    * count store must serve exactly this).
-    */
-  private def eventAnomaliesOracleSql: String =
-    """WITH series AS (
-      |  SELECT event_type, date_trunc('hour', ts) AS event_hour,
-      |         count(*) AS cnt
-      |  FROM events GROUP BY 1, 2),
-      |med AS (SELECT event_type, median(cnt) AS med
-      |        FROM series GROUP BY 1),
-      |wm AS (SELECT s.event_type, s.event_hour, s.cnt, m.med,
-      |              abs(s.cnt - m.med) AS adev
-      |       FROM series s JOIN med m ON s.event_type = m.event_type),
-      |mad AS (SELECT event_type, median(adev) AS mad
-      |        FROM wm GROUP BY 1)
-      |SELECT w.event_type, w.event_hour, w.cnt, w.med, d.mad,
-      |       (w.adev > 3.0 * d.mad) AS is_anomaly
-      |FROM wm w JOIN mad d ON w.event_type = d.event_type""".stripMargin
-
-  /** The orders Bloom index rebuilt in DuckDB — shared by
-    * `bloom_index_build` and `bloom_store_compaction` (the compacted
-    * store must serve exactly this).
-    */
-  private def bloomBuildOracleSql: String =
-    s"""WITH raw AS (
-       |  SELECT o_orderkey // 256 AS chunk,
-       |         unnest(${bloomPosListSql("CAST(o_custkey AS VARCHAR)")}) AS pos
-       |  FROM orders WHERE o_custkey IS NOT NULL)
-       |SELECT CAST(chunk AS BIGINT) AS chunk,
-       |       CAST(pos // 63 AS BIGINT) AS word,
-       |       bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bitmap
-       |FROM raw GROUP BY 1, 2""".stripMargin
-
-  private def gopherRepetitionSql: String = {
-    import graft.operators.Quality
-    val tops = Quality.GopherTopNgramThresholds
-    val dups = Quality.GopherDupNgramThresholds
-    val ctes = (tops ++ dups).map(_._1).map { n =>
-      s"""r$n AS (SELECT doc_id, COUNT(*) AS dist, MAX(c) AS maxc FROM (
-         |  SELECT doc_id, g, COUNT(*) AS c FROM (
-         |    SELECT doc_id, unnest([array_to_string(t[i:i+${n - 1}], ' ')
-         |      for i in range(1, len(t) - ${n - 2})]) AS g
-         |    FROM toks WHERE len(t) >= $n) GROUP BY doc_id, g) GROUP BY doc_id)""".stripMargin
-    }
-    def total(n: Int) = s"(len(t) - ${n - 1})"
-    val fracs =
-      tops.map { case (n, _) =>
-        s"""CASE WHEN len(t) >= $n THEN CAST(r$n.maxc AS DOUBLE)
-           |  / CAST(${total(n)} AS DOUBLE) ELSE 0.0 END AS top_${n}gram_frac""".stripMargin
-      } ++ dups.map { case (n, _) =>
-        s"""CASE WHEN len(t) >= $n THEN CAST(${total(n)} - r$n.dist AS DOUBLE)
-           |  / CAST(${total(n)} AS DOUBLE) ELSE 0.0 END AS dup_${n}gram_frac""".stripMargin
-      }
-    val flags =
-      tops.map { case (n, thr) => s"top_${n}gram_frac <= $thr AS flag_top_$n" } ++
-        dups.map { case (n, thr) => s"dup_${n}gram_frac <= $thr AS flag_dup_$n" }
-    val keep =
-      (tops.map { case (n, thr) => s"top_${n}gram_frac <= $thr" } ++
-        dups.map { case (n, thr) => s"dup_${n}gram_frac <= $thr" })
-        .mkString(" AND ")
-    val joins = (tops ++ dups).map(_._1)
-      .map(n => s"LEFT JOIN r$n USING (doc_id)").mkString(" ")
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |${ctes.mkString(",\n")},
-       |f AS (SELECT doc_id, ${fracs.mkString(",\n  ")}
-       |  FROM toks $joins)
-       |SELECT doc_id, ${(tops.map(t => s"top_${t._1}gram_frac") ++
-        dups.map(d => s"dup_${d._1}gram_frac")).mkString(", ")},
-       |  ${flags.mkString(",\n  ")},
-       |  $keep AS keep
-       |FROM f""".stripMargin
-  }
-
-  /** Generated oracle for quality_logit: the same feature formulas as
-    * the gopher oracle, the same fixed-order multiply-add chain and the
-    * same rational squash, rendered from [[graft.operators.Quality]]'s
-    * weight constants so twin and engine cannot drift. Every term is
-    * exact IEEE arithmetic (integer counts, single divisions, dyadic
-    * weights), hence hash-identical.
-    */
-  private def qualityLogitSql: String = {
-    import graft.operators.Quality
-    val w = Quality.DefaultLogitWeights
-    val thr = 0.5
-    s"""WITH f AS (
-       |  SELECT doc_id,
-       |    CASE WHEN len(toks) > 0
-       |      THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
-       |        / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS alpha_frac,
-       |    CASE WHEN len(toks) > 0
-       |      THEN CAST(len(list_filter(toks,
-       |        x -> x IN (${Quality.GopherStopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
-       |        / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stop_frac,
-       |    CASE WHEN len(toks) > 0
-       |      THEN CAST((length(text) - length(replace(text, '#', '')))
-       |         + (length(text) - length(replace(text, '...', ''))) // 3
-       |         + (length(text) - length(replace(text, '…', ''))) AS DOUBLE)
-       |        / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
-       |    CAST(length(text) - (len(toks) - 1) AS DOUBLE)
-       |      / CAST(len(toks) AS DOUBLE) AS mean_word_len
-       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)),
-       |g AS (SELECT doc_id, alpha_frac, stop_frac, symbol_ratio, mean_word_len,
-       |  ${w.bias} + ${w.alphaFrac} * alpha_frac + ${w.stopFrac} * stop_frac
-       |    + ${w.symbolRatio} * symbol_ratio + ${w.meanWordLen} * mean_word_len AS logit
-       |  FROM f)
-       |SELECT doc_id, alpha_frac, stop_frac, symbol_ratio, mean_word_len, logit,
-       |  logit / (1.0 + abs(logit)) AS quality_score,
-       |  logit / (1.0 + abs(logit)) >= $thr AS keep
-       |FROM g""".stripMargin
-  }
-
-  /** Shared CTE prefix of the dsir_weights / dsir_select oracles:
-    * unigram+bigram features of the raw (non-src0) and target (src0)
-    * corpora, the portable md5 60-bit bucket (mod 1024 — non-negative
-    * operand, so `%` matches Spark's `pmod`), and the full-outer
-    * smoothed-count model — the DuckDB rendering of
-    * [[graft.operators.Dsir.hashedFeatures]] + `bucketModel`. Ends
-    * without a trailing comma so callers append either the final SELECT
-    * or another CTE.
-    */
-  private val dsirWeightsSql: String =
-    """WITH rtoks AS (SELECT doc_id, string_split(text, ' ') AS t
-      |  FROM documents WHERE source <> 'src0'),
-      |ttoks AS (SELECT doc_id, string_split(text, ' ') AS t
-      |  FROM documents WHERE source = 'src0'),
-      |rg AS (SELECT doc_id, unnest(t) AS gram FROM rtoks
-      | UNION ALL
-      | SELECT doc_id,
-      |  unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS gram
-      | FROM rtoks WHERE len(t) >= 2),
-      |tg AS (SELECT doc_id, unnest(t) AS gram FROM ttoks
-      | UNION ALL
-      | SELECT doc_id,
-      |  unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS gram
-      | FROM ttoks WHERE len(t) >= 2),
-      |rf AS (SELECT doc_id,
-      |  ('0x' || substr(md5('dsir#' || gram), 1, 15))::BIGINT % 1024 AS bucket,
-      |  COUNT(*) AS c
-      | FROM rg GROUP BY 1, 2),
-      |bt AS (SELECT
-      |  ('0x' || substr(md5('dsir#' || gram), 1, 15))::BIGINT % 1024 AS bucket,
-      |  CAST(COUNT(*) AS BIGINT) AS cnt_t
-      | FROM tg GROUP BY 1),
-      |br AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cnt_r
-      | FROM rf GROUP BY 1),
-      |model AS (SELECT COALESCE(bt.bucket, br.bucket) AS bucket,
-      |  COALESCE(cnt_t, 0) AS cnt_t, COALESCE(cnt_r, 0) AS cnt_r
-      | FROM bt FULL OUTER JOIN br ON bt.bucket = br.bucket)
-      |""".stripMargin
-
-  /** Generated oracle for dedup_keep_best: the dedup_clusters recursive
-    * CTE (components over the exact 3-gram Jaccard ≥ 0.5 pair graph)
-    * composed with the quality_logit formulas (same constants, same
-    * fixed-order chain), survivor = per-component window arg-max on
-    * (quality_score DESC, doc_id ASC) — the SQL rendering of
-    * min_by(id, (−score, id)).
-    */
-  /** Generated oracle for doc_pagerank: the exact 3-gram Jaccard pair
-    * graph (same CTEs as dedup_clusters), then the fixed-point PageRank
-    * recurrence with `iters` iterations UNROLLED as CTE pairs
-    * (inflow_k, scores_k). All arithmetic is BIGINT multiply /
-    * floor-divide (`//`, matching Spark's `div` on non-negative
-    * operands) / SUM-cast-back — order-independent, so the DuckDB hash
-    * matches the distributed result bit for bit. The one engine quirk
-    * is DuckDB widening SUM(BIGINT) to HUGEINT, cast back immediately.
-    */
-  /** graph_kcore's oracle: the shared pair-graph CTEs + `peels`
-    * synchronous peel rounds unrolled (restrict edges to survivors,
-    * recount degrees, keep ≥ k) — the docPagerankSql trick applied to
-    * a monotone-shrinking set.
-    */
-  private def graphKcoreSql(k: Int = 2, peels: Int = 4): String = {
-    val graph =
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id,
-        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM toks WHERE len(t) >= 3)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |prs AS (SELECT id_a, id_b FROM inter
-        |  JOIN sizes na ON na.doc_id = id_a
-        |  JOIN sizes nb ON nb.doc_id = id_b
-        |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5),
-        |s0 AS (SELECT doc_id AS id FROM documents)""".stripMargin
-    val steps = (1 to peels).map { i =>
-      s"""a$i AS (SELECT e.id_a, e.id_b FROM prs e
-         |  JOIN s${i - 1} x ON x.id = e.id_a
-         |  JOIN s${i - 1} y ON y.id = e.id_b),
-         |d$i AS (SELECT nid, COUNT(*) AS d FROM (
-         |  SELECT id_a AS nid FROM a$i UNION ALL SELECT id_b FROM a$i)
-         |  GROUP BY 1),
-         |s$i AS (SELECT nid AS id FROM d$i WHERE d >= $k)""".stripMargin
-    }.mkString(",\n", ",\n", "\n")
-    graph + steps +
-      s"""SELECT d.doc_id, (s.id IS NOT NULL) AS in_kcore
-         |FROM documents d LEFT JOIN s$peels s ON s.id = d.doc_id""".stripMargin
-  }
-
-  /** doc_pagerank_weighted's oracle: the weighted recurrence with
-    * floor(jaccard·10⁶) integer weights, iterations unrolled. score·w
-    * stays within BIGINT (10¹² · 10⁶ < 2^63) — the operator's stated
-    * overflow contract.
-    */
-  private def docPagerankWeightedSql(iters: Int = 3): String = {
-    val base = "(15 * (1000000000000 // c.n)) // 100"
-    val jac = "CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE)"
-    val graph =
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, sh FROM (
-         |  SELECT doc_id,
-         |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-         |  FROM toks WHERE len(t) >= 3)),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |prs AS (SELECT id_a, id_b,
-         |    CAST(floor(($jac) * 1000000) AS BIGINT) AS w
-         |  FROM inter
-         |  JOIN sizes na ON na.doc_id = id_a
-         |  JOIN sizes nb ON nb.doc_id = id_b
-         |  WHERE $jac >= 0.5),
-         |edges AS (SELECT id_a AS src, id_b AS dst, w FROM prs
-         |  UNION ALL SELECT id_b, id_a, w FROM prs),
-         |wd AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum
-         |  FROM edges GROUP BY 1),
-         |ed AS (SELECT e.src, e.dst, e.w, d.wsum
-         |  FROM edges e JOIN wd d USING (src)),
-         |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-         |s0 AS (SELECT doc_id AS id, 1000000000000 // c.n AS score
-         |  FROM documents CROSS JOIN c)""".stripMargin
-    val steps = (1 to iters).map { k =>
-      s"""i$k AS (SELECT ed.dst,
-         |  CAST(SUM((s.score * ed.w) // ed.wsum) AS BIGINT) AS inflow
-         |  FROM ed JOIN s${k - 1} s ON s.id = ed.src GROUP BY 1),
-         |s$k AS (SELECT d.doc_id AS id,
-         |  $base + COALESCE((85 * i$k.inflow) // 100, 0) AS score
-         |  FROM documents d CROSS JOIN c
-         |  LEFT JOIN i$k ON i$k.dst = d.doc_id)""".stripMargin
-    }.mkString(",\n", ",\n", "\n")
-    graph + steps + s"SELECT id AS doc_id, score FROM s$iters"
-  }
-
-  /** Unrolled-CTE oracle for graph_communities: the same exact 3-gram
-    * Jaccard pair graph as docPagerankSql, then `iters` synchronous
-    * label-propagation rounds — per round a (node, label) frequency
-    * count over the symmetrized edges, a QUALIFY argmax with the
-    * (count DESC, label ASC) tie-break, and a left join back to the
-    * node set (isolated nodes keep their own id).
-    */
-  /** The Hilbert xy2d walk as 16 unrolled CTE levels (the trick that
-    * keeps an inherently-sequential bit algorithm linear in SQL: each
-    * level MATERIALIZES rows, where a nested expression unrolling would
-    * double per level). Input CTE `h_init(ox, oy, wx, wy, hd)`; output
-    * CTE `h0` with the final index in `hd` and the original normalized
-    * point in (ox, oy). Verified token-for-token against
-    * [[graft.functions.Kernels.hilbert]].
-    */
-  private def hilbertStepsSql: String =
-    (15 to 0 by -1).map { b =>
-      val s = 1L << b
-      s"""h$b AS (
-         |  SELECT ox, oy,
-         |    CAST(CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $s - 1 - wy ELSE wy END) ELSE wx END AS BIGINT) AS wx,
-         |    CAST(CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $s - 1 - wx ELSE wx END) ELSE wy END AS BIGINT) AS wy,
-         |    CAST(hd + ${s * s} * xor(3 * rx, ry) AS BIGINT) AS hd
-         |  FROM (SELECT ox, oy, wx, wy, hd,
-         |      CAST(CASE WHEN (wx & $s) > 0 THEN 1 ELSE 0 END AS BIGINT) AS rx,
-         |      CAST(CASE WHEN (wy & $s) > 0 THEN 1 ELSE 0 END AS BIGINT) AS ry
-         |    FROM ${if (b == 15) "h_init" else s"h${b + 1}"}))""".stripMargin
-    }.mkString(",\n")
-
-  /** Shared head for the zorder3_* oracles: normalized 3-D lineitem
-    * points + the triple Morton spread chain; ends at CTE `zv3` with
-    * the 48-bit value in `zv` and the normalized point in (x, y, z).
-    */
-  private def zorder3GraphSql: String = {
-    val masks = Seq((32, 0x1f00000000ffffL), (16, 0x1f0000ff0000ffL),
-      (8, 0x100f00f00f00f00fL), (4, 0x10c30c30c30c30c3L),
-      (2, 0x1249249249249249L))
-    val steps = masks.zipWithIndex.map { case ((sh, mask), i) =>
-      s"""p${i + 1} AS (SELECT x, y, z,
-         |  (xa | (xa << $sh)) & $mask AS xa,
-         |  (ya | (ya << $sh)) & $mask AS ya,
-         |  (za | (za << $sh)) & $mask AS za FROM p$i)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH st AS (SELECT CAST(max(l_partkey) AS BIGINT) AS px,
-       |  CAST(max(l_suppkey) AS BIGINT) AS sx,
-       |  CAST(max(l_quantity) AS BIGINT) AS qx FROM lineitem),
-       |pts AS (SELECT
-       |  (least(greatest(l_partkey, 0), px) * 65535) // px AS x,
-       |  (least(greatest(l_suppkey, 0), sx) * 65535) // sx AS y,
-       |  (least(greatest(CAST(l_quantity AS BIGINT), 0), qx) * 65535) // qx AS z
-       |  FROM lineitem, st),
-       |p0 AS (SELECT x, y, z, x AS xa, y AS ya, z AS za FROM pts),
-       |$steps,
-       |zv3 AS (SELECT x, y, z, (xa | (ya << 1) | (za << 2)) AS zv FROM p5)""".stripMargin
-  }
-
-  /** Shared head for the hilbert_* oracles: normalized lineitem points
-    * + the walk; ends at CTE `h0`.
-    */
-  private def hilbertGraphSql: String =
-    s"""WITH st AS (SELECT CAST(max(l_partkey) AS BIGINT) AS px,
-       |                   CAST(max(l_suppkey) AS BIGINT) AS sx
-       |            FROM lineitem),
-       |pts AS (SELECT
-       |  (least(greatest(l_partkey, 0), px) * 65535) // px AS x,
-       |  (least(greatest(l_suppkey, 0), sx) * 65535) // sx AS y
-       |  FROM lineitem, st),
-       |h_init AS (SELECT x AS ox, y AS oy, x AS wx, y AS wy,
-       |  CAST(0 AS BIGINT) AS hd FROM pts),
-       |$hilbertStepsSql""".stripMargin
-
-  private def docLabelPropSql(iters: Int = 3): String = {
-    val graph =
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id,
-        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM toks WHERE len(t) >= 3)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |prs AS (SELECT id_a, id_b FROM inter
-        |  JOIN sizes na ON na.doc_id = id_a
-        |  JOIN sizes nb ON nb.doc_id = id_b
-        |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-        |  UNION ALL SELECT id_b, id_a FROM prs),
-        |l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents)""".stripMargin
-    val steps = (1 to iters).map { k =>
-      s"""p$k AS (SELECT dst, label FROM (
-         |  SELECT e.dst, l.label, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM edges e JOIN l${k - 1} l ON l.id = e.src GROUP BY 1, 2)
-         |  QUALIFY row_number() OVER (PARTITION BY dst
-         |    ORDER BY c DESC, label ASC) = 1),
-         |l$k AS (SELECT d.doc_id AS id, COALESCE(p$k.label, d.doc_id) AS label
-         |  FROM documents d LEFT JOIN p$k ON p$k.dst = d.doc_id)""".stripMargin
-    }.mkString(",\n", ",\n", "\n")
-    graph + steps + s"SELECT id AS doc_id, label AS community FROM l$iters"
-  }
-
-  private def docPagerankSql(iters: Int = 3): String = {
-    val base = "(15 * (1000000000000 // c.n)) // 100"
-    val graph =
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id,
-        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM toks WHERE len(t) >= 3)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |prs AS (SELECT id_a, id_b FROM inter
-        |  JOIN sizes na ON na.doc_id = id_a
-        |  JOIN sizes nb ON nb.doc_id = id_b
-        |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-        |  UNION ALL SELECT id_b, id_a FROM prs),
-        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
-        |  FROM edges GROUP BY 1),
-        |ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
-        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-        |s0 AS (SELECT doc_id AS id, 1000000000000 // c.n AS score
-        |  FROM documents CROSS JOIN c)""".stripMargin
-    val steps = (1 to iters).map { k =>
-      s"""i$k AS (SELECT ed.dst, CAST(SUM(s.score // ed.deg) AS BIGINT) AS inflow
-         |  FROM ed JOIN s${k - 1} s ON s.id = ed.src GROUP BY 1),
-         |s$k AS (SELECT d.doc_id AS id,
-         |  $base + COALESCE((85 * i$k.inflow) // 100, 0) AS score
-         |  FROM documents d CROSS JOIN c
-         |  LEFT JOIN i$k ON i$k.dst = d.doc_id)""".stripMargin
-    }.mkString(",\n", ",\n", "\n")
-    graph + steps + s"SELECT id AS doc_id, score FROM s$iters"
-  }
-
-  private def dedupKeepBestSql: String = {
-    import graft.operators.Quality
-    val w = Quality.DefaultLogitWeights
-    s"""WITH RECURSIVE
-       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, sh FROM (
-       |  SELECT doc_id,
-       |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-       |  FROM toks WHERE len(t) >= 3)),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id),
-       |prs AS (SELECT id_a, id_b FROM inter
-       |  JOIN sizes na ON na.doc_id = id_a
-       |  JOIN sizes nb ON nb.doc_id = id_b
-       |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5),
-       |edges AS (SELECT id_a AS s, id_b AS t FROM prs
-       |  UNION SELECT id_b, id_a FROM prs),
-       |reach(id, comp) AS (
-       |  SELECT s, s FROM edges
-       |  UNION
-       |  SELECT e.t, r.comp FROM reach r JOIN edges e ON e.s = r.id),
-       |comp AS (SELECT d.doc_id, COALESCE(MIN(r.comp), d.doc_id) AS component
-       |  FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
-       |  GROUP BY d.doc_id),
-       |f AS (
-       |  SELECT doc_id,
-       |    CASE WHEN len(t) > 0
-       |      THEN CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
-       |        / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS alpha_frac,
-       |    CASE WHEN len(t) > 0
-       |      THEN CAST(len(list_filter(t,
-       |        x -> x IN (${Quality.GopherStopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
-       |        / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS stop_frac,
-       |    CASE WHEN len(t) > 0
-       |      THEN CAST((length(text) - length(replace(text, '#', '')))
-       |         + (length(text) - length(replace(text, '...', ''))) // 3
-       |         + (length(text) - length(replace(text, '…', ''))) AS DOUBLE)
-       |        / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
-       |    CAST(length(text) - (len(t) - 1) AS DOUBLE)
-       |      / CAST(len(t) AS DOUBLE) AS mean_word_len
-       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
-       |q AS (SELECT doc_id, logit / (1.0 + abs(logit)) AS quality_score
-       |  FROM (SELECT doc_id,
-       |    ${w.bias} + ${w.alphaFrac} * alpha_frac + ${w.stopFrac} * stop_frac
-       |      + ${w.symbolRatio} * symbol_ratio + ${w.meanWordLen} * mean_word_len AS logit
-       |    FROM f)),
-       |ranked AS (SELECT c.doc_id, c.component, q.quality_score,
-       |    ROW_NUMBER() OVER (PARTITION BY c.component
-       |      ORDER BY q.quality_score DESC, c.doc_id) AS rn
-       |  FROM comp c JOIN q ON q.doc_id = c.doc_id)
-       |SELECT d.doc_id, d.source, r.quality_score
-       |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
-       |WHERE r.rn = 1""".stripMargin
-  }
-
-  /** Generated oracle for corpus_report: the gopher-rule and logit-gate
-    * formulas (same constants as their standalone oracles) rolled up
-    * per source — COUNT/COUNT DISTINCT/SUM over exact integers.
-    */
-  private def corpusReportSql: String = {
-    import graft.operators.Quality
-    val w = Quality.DefaultLogitWeights
-    s"""WITH f AS (
-       |  SELECT source, text,
-       |    len(toks) AS n_words,
-       |    CAST(length(text) - (len(toks) - 1) AS DOUBLE)
-       |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
-       |    CAST((length(text) - length(replace(text, '#', '')))
-       |       + (length(text) - length(replace(text, '...', ''))) // 3
-       |       + (length(text) - length(replace(text, '…', ''))) AS DOUBLE)
-       |      / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
-       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
-       |      / CAST(len(toks) AS DOUBLE) AS alpha_frac,
-       |    len(list_filter(toks,
-       |      x -> x IN (${Quality.GopherStopwords.map("'" + _ + "'").mkString(",")}))) AS n_stop
-       |  FROM (SELECT source, text, string_split(text, ' ') AS toks FROM documents)),
-       |g AS (SELECT source, text, n_words,
-       |    (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
-       |      AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2 AS gk,
-       |    ${w.bias} + ${w.alphaFrac} * (CASE WHEN n_words > 0 THEN alpha_frac ELSE 0.0 END)
-       |      + ${w.stopFrac} * (CASE WHEN n_words > 0
-       |          THEN CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END)
-       |      + ${w.symbolRatio} * (CASE WHEN n_words > 0 THEN symbol_ratio ELSE 0.0 END)
-       |      + ${w.meanWordLen} * mean_word_len AS logit
-       |  FROM f)
-       |SELECT source,
-       |  COUNT(*) AS n_docs,
-       |  COUNT(DISTINCT text) AS n_distinct_texts,
-       |  COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs,
-       |  CAST(SUM(n_words) AS BIGINT) AS total_tokens,
-       |  CAST(SUM(CASE WHEN gk THEN 1 ELSE 0 END) AS BIGINT) AS gopher_keep,
-       |  CAST(SUM(CASE WHEN logit / (1.0 + abs(logit)) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS logit_keep
-       |FROM g GROUP BY source""".stripMargin
-  }
-
-  def oracleSql: Map[String, String] = Map(
-    "gopher_repetition_flags" -> gopherRepetitionSql,
-    "quality_logit" -> qualityLogitSql,
-    "quality_calibrated" ->
-      // the full logit oracle as a subquery, percent-ranked per source
-      s"""SELECT d.doc_id, d.source, q.quality_score,
-         |  percent_rank() OVER (PARTITION BY d.source
-         |    ORDER BY q.quality_score) AS calibrated
-         |FROM ($qualityLogitSql) q
-         |JOIN documents d ON d.doc_id = q.doc_id""".stripMargin,
-    "dedup_keep_best" -> dedupKeepBestSql,
-    "c4_page_filter" ->
-      // same in-plan page derivation as the Spark query (12-token
-      // lines, '.' on even docs, the three injected rule-trigger
-      // lines), then the C4 line+page rules in builtin string
-      // arithmetic — 1-based inclusive list slices, single-space word
-      // split, strpos/right instead of regex, replace-delta sentence
-      // counts
-      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |paged AS (SELECT doc_id,
-        |  array_to_string(
-        |    [array_to_string(t[(i-1)*12+1:(i-1)*12+12], ' ')
-        |       || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END
-        |     for i in range(1, CAST(ceil(len(t) / 12.0) AS BIGINT) + 1)]
-        |    || CASE WHEN doc_id % 5 = 0
-        |         THEN ['see the javascript console output.']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    || CASE WHEN doc_id % 7 = 0
-        |         THEN ['lorem ipsum dolor sit amet.']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    || CASE WHEN doc_id % 11 = 0
-        |         THEN ['function demo() {']
-        |         ELSE CAST([] AS VARCHAR[]) END,
-        |    chr(10)) AS page
-        |  FROM base),
-        |ln AS (SELECT doc_id, page, string_split(page, chr(10)) AS ls FROM paged),
-        |k AS (SELECT doc_id, page, ls,
-        |  list_filter(ls, l -> right(l, 1) IN ('.', '!', '?', '"', '''')
-        |    AND len(string_split(l, ' ')) >= 3
-        |    AND strpos(lower(l), 'javascript') = 0) AS ka
-        |  FROM ln),
-        |c AS (SELECT doc_id, page, ls, ka,
-        |  COALESCE(array_to_string(ka, chr(10)), '') AS clean_text FROM k),
-        |m AS (SELECT doc_id,
-        |  len(ls) AS n_lines,
-        |  len(ka) AS n_kept_lines,
-        |  clean_text,
-        |  (length(clean_text) - length(replace(clean_text, '.', '')))
-        |   + (length(clean_text) - length(replace(clean_text, '!', '')))
-        |   + (length(clean_text) - length(replace(clean_text, '?', ''))) AS n_sentences,
-        |  strpos(lower(page), 'lorem ipsum') > 0 AS has_lorem_ipsum,
-        |  strpos(page, '{') > 0 AS has_brace
-        |  FROM c)
-        |SELECT doc_id, n_lines, n_kept_lines, clean_text, n_sentences,
-        |  has_lorem_ipsum, has_brace,
-        |  n_sentences >= 5 AS flag_sentences,
-        |  n_sentences >= 5 AND NOT has_lorem_ipsum AND NOT has_brace AS keep
-        |FROM m""".stripMargin,
-    "corpus_report" -> corpusReportSql,
-    "kmeans_profile_portable" -> kmeansPortableOracleSql,
-    "d4_prototype_prune_portable" -> d4PortableOracleSql,
-    "semantic_prune_portable" -> semanticPrunePortableOracleSql,
-    "ann_ivf_topk_portable" -> annIvfPortableOracleSql,
-    "semantic_contamination_portable" -> semanticContaminationPortableOracleSql,
-    "pq_adc_portable" -> pqAdcPortableOracleSql,
-    "pca_power_portable" -> pcaPowerPortableOracleSql,
-    // the exact integer moment pass: quantized products sum exactly as
-    // longs in both engines (micro-unit trick, bilinear form)
-    "pca_gram" ->
-      """WITH q AS (SELECT
-        |  [CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
-        |   FOR x IN embedding] AS qv FROM embeddings),
-        |c AS (SELECT COUNT(*) AS n_rows FROM q)
-        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-        |  CAST(SUM(qv[i] * qv[j]) AS BIGINT) AS qsum,
-        |  CAST(MAX(n_rows) AS BIGINT) AS n_rows
-        |FROM q, range(1, 65) t1(i), range(1, 65) t2(j), c
-        |WHERE j >= i
-        |GROUP BY i, j""".stripMargin,
-    "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
-        | COUNT(*) AS count_order,
-        | CAST(CAST(SUM(l_quantity) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
-    "q3_top_revenue" ->
-      """SELECT o_orderkey, o_orderdate,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        | JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        | AND o_orderdate < TIMESTAMP '1998-01-01'
-        | AND l_shipdate > TIMESTAMP '1998-01-01'
-        |GROUP BY o_orderkey, o_orderdate
-        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
-    "q5_region_revenue" ->
-      """SELECT r_name, n_name,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
-        |FROM lineitem
-        | JOIN orders ON l_orderkey = o_orderkey
-        | JOIN supplier ON l_suppkey = s_suppkey
-        | JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
-        | JOIN nation ON s_nationkey = n_nationkey
-        | JOIN region ON n_regionkey = r_regionkey
-        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-        | AND o_orderdate < TIMESTAMP '1998-01-01'
-        |GROUP BY r_name, n_name""".stripMargin,
-    "q6_forecast_revenue" ->
-      """SELECT
-        | CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
-        | COUNT(*) AS n_rows
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        | AND l_shipdate < TIMESTAMP '1997-01-01'
-        | AND l_discount BETWEEN 0.05 AND 0.07
-        | AND l_quantity < 24""".stripMargin,
-    "q_semi_join" ->
-      """SELECT o_orderstatus, COUNT(*) AS n_orders FROM orders
-        |WHERE EXISTS (SELECT 1 FROM lineitem
-        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
-        |GROUP BY o_orderstatus""".stripMargin,
-    "q_anti_join" ->
-      """SELECT c_custkey FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
-    "q_window_top3" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
-        | SELECT o_custkey, o_orderkey, o_totalprice,
-        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
-        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-        | FROM orders) WHERE rn <= 3""".stripMargin,
-    "q_distinct_agg" ->
-      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
-        | COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    "q_intersect_custs" ->
-      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-        |INTERSECT SELECT o_custkey AS custkey FROM orders""".stripMargin,
-    "q_percentiles" ->
-      """SELECT l_returnflag,
-        | quantile_cont(l_extendedprice, 0.5) AS median_price,
-        | quantile_cont(l_extendedprice, 0.95) AS p95_price,
-        | quantile_cont(l_quantity, 0.5) AS median_qty
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    "q_sql_correlated" ->
-      """SELECT c_custkey, c_mktsegment,
-        | (SELECT COUNT(*) FROM orders o
-        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
-        | (SELECT CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
-        |   FROM orders o WHERE o.o_custkey = c.c_custkey) AS total_spend
-        |FROM customer c""".stripMargin,
-    "q_running_total" ->
-      """SELECT o_custkey, o_orderkey, o_orderdate,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-        |   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-        |   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
-        |FROM orders""".stripMargin,
-    "q_moving_spend" ->
-      """SELECT o_custkey, o_orderkey, o_orderdate,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-        |   PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-        |   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
-        |   AS trailing_30d_spend
-        |FROM orders""".stripMargin,
-    "q_pivot_events" ->
-      """SELECT user_id,
-        | COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
-        | COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
-        | COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
-        | COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
-        | COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
-        |FROM events GROUP BY user_id""".stripMargin,
-    "q_except_custs" ->
-      """SELECT c_custkey AS custkey FROM customer
-        |EXCEPT
-        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000""".stripMargin,
-    "q_agg_gate" ->
-      """SELECT COUNT(*) AS n_rows, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
-        |FROM lineitem""".stripMargin,
-    "q_events_hourly" ->
-      """SELECT date_trunc('hour', ts) AS event_hour, event_type,
-        | COUNT(*) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
-    "q_events_json" ->
-      // the outer CAST matters: DuckDB's SUM(BIGINT) widens to HUGEINT
-      // (int128) and the driver's hash compare is dtype-sensitive
-      """SELECT event_type,
-        | CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
-        | COUNT(*) AS n
-        |FROM events GROUP BY event_type""".stripMargin,
-    "q_rollup" ->
-      """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n_rows
-        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
-    "q_cube" ->
-      """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n_rows
-        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
-    "q_lag_lead" ->
-      """SELECT o_custkey, o_orderkey, o_orderdate,
-        | CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS INT)
-        |   AS days_since_prev,
-        | LAG(o_orderkey) OVER w AS prev_orderkey,
-        | LEAD(o_orderkey) OVER w AS next_orderkey
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey
-        |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
-    "q_cond_agg" ->
-      """SELECT o_orderpriority,
-        | COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
-        | COUNT(*) AS n_all,
-        | CAST(SUM(CASE WHEN o_orderstatus = 'F'
-        |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS spend_f,
-        | COUNT(DISTINCT o_custkey) AS n_custs
-        |FROM orders GROUP BY o_orderpriority""".stripMargin,
-    "q_histogram" ->
-      """SELECT CAST(LEAST(GREATEST(FLOOR(
-        |   (CAST(l_extendedprice AS DOUBLE) - 900.0) / 5205.0), 0.0), 19.0)
-        |   AS BIGINT) AS bucket,
-        | COUNT(*) AS n,
-        | MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
-        | MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
-        |FROM lineitem GROUP BY 1""".stripMargin,
-    "q_rank_stats" ->
-      """SELECT o_orderkey, o_orderpriority,
-        | CAST(NTILE(4) OVER w AS INT) AS quartile,
-        | PERCENT_RANK() OVER w AS pct_rank,
-        | CUME_DIST() OVER w AS cume
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderpriority
-        |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
-    "q_range_join" ->
-      """WITH inc AS (SELECT event_id AS incident_id, ts AS w_start,
-        |  ts + INTERVAL 1 HOUR AS w_end FROM events WHERE event_type = 'error')
-        |SELECT incident_id, COUNT(*) AS n_events,
-        | COUNT(DISTINCT e.user_id) AS n_users
-        |FROM inc JOIN events e ON e.ts >= inc.w_start AND e.ts < inc.w_end
-        |GROUP BY incident_id""".stripMargin,
-    "q_asof_join" ->
-      """WITH r AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS ok,
-        |  arg_max(o_totalprice, o_orderkey) AS op
-        |  FROM orders GROUP BY o_custkey, o_orderdate)
-        |SELECT e.event_id, e.user_id, e.ts,
-        | r.ok AS last_orderkey, r.op AS last_totalprice
-        |FROM events e ASOF LEFT JOIN r
-        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
-    "q_sessions" ->
-      """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
-        |m AS (SELECT user_id, ts,
-        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > CAST(3600 AS BIGINT) * 1000000
-        |       THEN 1 ELSE 0 END AS ns
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (SELECT user_id, ts,
-        |  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM m)
-        |SELECT user_id, session_idx, MIN(ts) AS session_start,
-        | MAX(ts) AS session_end, COUNT(*) AS n_events
-        |FROM s GROUP BY user_id, session_idx""".stripMargin,
-    "q_session_cooccurrence" ->
-      """WITH e AS (SELECT user_id, ts, event_type,
-        |  epoch_us(ts) AS us FROM events),
-        |m AS (SELECT user_id, ts, event_type,
-        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > CAST(3600 AS BIGINT) * 1000000
-        |       THEN 1 ELSE 0 END AS ns
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (SELECT user_id, event_type,
-        |  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM m),
-        |p AS (SELECT DISTINCT user_id, session_idx, event_type FROM s),
-        |sup AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sessions
-        |  FROM p GROUP BY 1),
-        |pr AS (SELECT a.event_type AS kind_a, b.event_type AS kind_b,
-        |  CAST(count(*) AS BIGINT) AS n_both
-        |  FROM p a JOIN p b ON a.user_id = b.user_id
-        |    AND a.session_idx = b.session_idx
-        |    AND a.event_type < b.event_type
-        |  GROUP BY 1, 2)
-        |SELECT pr.kind_a, pr.kind_b, pr.n_both,
-        |  sa.n_sessions AS n_a, sb.n_sessions AS n_b
-        |FROM pr
-        |JOIN sup sa ON sa.event_type = pr.kind_a
-        |JOIN sup sb ON sb.event_type = pr.kind_b""".stripMargin,
-    // greedy-earliest funnel: t1 = min view; t_i = min step-i event
-    // strictly after t_{i-1}; left joins keep partial completions
-    "q_funnel_users" ->
-      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
-        |  JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
-        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
-        |  JOIN s2 ON e.user_id = s2.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
-        |SELECT s1.user_id, t1, t2, t3 FROM s1
-        |LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
-    "q_funnel_windowed" ->
-      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
-        |  JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
-        |    AND e.ts <= s1.t1 + INTERVAL 21600 SECOND GROUP BY 1),
-        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
-        |  JOIN s2 ON e.user_id = s2.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-        |    AND e.ts <= s2.t2 + INTERVAL 21600 SECOND GROUP BY 1)
-        |SELECT s1.user_id, t1, t2, t3 FROM s1
-        |LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
-    "q_funnel_reach" ->
-      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
-        |  JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
-        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
-        |  JOIN s2 ON e.user_id = s2.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
-        |SELECT 1 AS step_idx, 'view' AS step, COUNT(*) AS n_users FROM s1
-        |UNION ALL
-        |SELECT 2, 'click', COUNT(*) FROM s2
-        |UNION ALL
-        |SELECT 3, 'purchase', COUNT(*) FROM s3""".stripMargin,
-    "q_retention_cohorts" ->
-      """WITH f AS (SELECT user_id, date_trunc('day', MIN(ts)) AS cohort
-        |  FROM events GROUP BY 1),
-        |a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS period
-        |  FROM events)
-        |-- DuckDB date_trunc('day') yields DATE; Spark's yields TIMESTAMP
-        |SELECT CAST(cohort AS TIMESTAMP) AS cohort,
-        | CAST(datediff('day', cohort, period) AS INTEGER) AS offset_n,
-        | COUNT(*) AS n_active
-        |FROM a JOIN f USING (user_id)
-        |WHERE datediff('day', cohort, period) <= 7
-        |GROUP BY 1, 2""".stripMargin,
-    // gaps-and-islands: change flags -> running island id -> one row per
-    // run, valid_to = next run's start (half-open, null for the open run)
-    "q_scd2_history" ->
-      """WITH m AS (SELECT user_id, ts, event_id, event_type,
-        |  CASE WHEN lag(event_type) OVER w IS NULL
-        |         OR lag(event_type) OVER w <> event_type
-        |       THEN 1 ELSE 0 END AS chg
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |i AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
-        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
-        |  FROM m),
-        |g AS (SELECT user_id, island, event_type AS value,
-        |  MIN(ts) AS valid_from, COUNT(*) AS n_events
-        |  FROM i GROUP BY 1, 2, 3)
-        |SELECT user_id, value, valid_from,
-        | lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
-        | n_events
-        |FROM g""".stripMargin,
-    "flatten_struct" ->
-      """SELECT o_orderkey, o_orderstatus AS ord_status, o_totalprice AS ord_price
-        |FROM orders""".stripMargin,
-    "flatten_prefix" ->
-      """SELECT o_orderkey, o_orderstatus AS f_status, o_orderpriority AS f_priority
-        |FROM orders""".stripMargin,
-    "flatten_all_nested" ->
-      """SELECT c_custkey, c_name AS cust_info_name, c_mktsegment AS cust_info_seg
-        |FROM customer""".stripMargin,
-    "explode_carry" ->
-      """SELECT p_partkey, p_brand AS attr FROM part
-        |UNION ALL SELECT p_partkey, p_type AS attr FROM part""".stripMargin,
-    "explode_pos" ->
-      """SELECT p_partkey, CAST(0 AS INT) AS attr_idx, p_brand AS attr FROM part
-        |UNION ALL
-        |SELECT p_partkey, CAST(1 AS INT) AS attr_idx, p_type AS attr FROM part""".stripMargin,
-    "explode_map_label" ->
-      """SELECT 'suppliers' AS "key", s_name AS "value" FROM supplier""".stripMargin,
-    "explode_chain" ->
-      """SELECT r_name, n_name, c_custkey, c_name
-        |FROM region JOIN nation ON r_regionkey = n_regionkey
-        | JOIN customer ON c_nationkey = n_nationkey""".stripMargin,
-    "timestamps_multi" ->
-      """SELECT o_orderkey,
-        | o_orderdate AS t_zulu,
-        | o_orderdate AS t_nozone,
-        | o_orderdate + INTERVAL 123456 MICROSECOND AS t_nanos,
-        | o_orderdate AS t_millis,
-        | o_orderdate AS t_epoch,
-        | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
-        |FROM orders""".stripMargin,
-    "sqbrackets_logs" ->
-      """SELECT o_orderkey,
-        | CASE WHEN o_orderkey % 10 = 0 THEN '' ELSE 'I' END AS head,
-        | CASE WHEN o_orderkey % 10 = 0 THEN '' ELSE '2024-01-01 00:00:00.000' END AS ts,
-        | CASE WHEN o_orderkey % 10 = 0 THEN '' ELSE 'JupyterHub' END AS service,
-        | CASE WHEN o_orderkey % 10 = 0 THEN '' ELSE 'app' END AS typ,
-        | CASE WHEN o_orderkey % 10 = 0 THEN '' ELSE CAST(o_orderkey AS VARCHAR) END AS code,
-        | CASE WHEN o_orderkey % 10 = 0 THEN 'plain line ' || o_orderpriority
-        |      ELSE 'msg ' || o_orderpriority END AS msg
-        |FROM orders""".stripMargin,
-    "jhub_pipeline_transform" ->
-      """SELECT o_orderdate AS time_stamp,
-        | 'hub-' || CAST(o_orderkey % 3 AS VARCHAR) AS kuber_container_name,
-        | 'node' || CAST(o_custkey % 5 AS VARCHAR) AS kuber_host,
-        | 'pod-' || CAST(o_orderkey AS VARCHAR) AS kuber_pod_name,
-        | 'I' AS log_head,
-        | TIMESTAMP '2024-01-01 00:00:00' AS log_timestamp,
-        | 'JupyterHub' AS log_service,
-        | 'app' AS log_type,
-        | CAST(o_orderkey AS VARCHAR) AS log_code,
-        | 'served ' || o_orderpriority AS log_msg
-        |FROM orders""".stripMargin,
-    "zoom_meetings_transform" ->
-      """SELECT 'acct' || CAST(o_custkey % 7 AS VARCHAR) AS meet_account_id,
-        | o_orderkey % 120 AS meet_duration,
-        | 'host' || CAST(o_custkey AS VARCHAR) || '@x.io' AS meet_host_email,
-        | 'h' || CAST(o_custkey AS VARCHAR) AS meet_host_id,
-        | o_orderkey AS meet_id,
-        | o_orderkey % 4 AS meet_recording_count,
-        | 'https://share/' || CAST(o_orderkey AS VARCHAR) AS meet_share_url,
-        | o_orderdate AS meet_start_time,
-        | 'UTC' AS meet_timezone,
-        | 'Topic ' || o_orderpriority AS meet_topic,
-        | o_orderkey * 1000 AS meet_total_size,
-        | CAST(2 AS BIGINT) AS meet_type,
-        | 'uuid-' || CAST(o_orderkey AS VARCHAR) AS meet_uuid
-        |FROM orders""".stripMargin,
-    "contract_select" ->
-      """SELECT c_custkey AS customer_id, c_name AS customer_name,
-        | c_mktsegment AS segment, 'graft' AS load_src FROM customer""".stripMargin,
-    "concat_ws_csv" ->
-      """SELECT c_custkey, c_name || ',' || c_mktsegment AS csv FROM customer""".stripMargin,
-    "corpus_pack" ->
-      // exclusive prefix sum of token counts per source, chunked into
-      // 512-token windows; DuckDB windowed SUM(BIGINT) widens to HUGEINT,
-      // hence the explicit cast before the subtraction. cum // 512 is
-      // BIGINT floor division of non-negatives — matches Spark's `div`
-      // exactly at all magnitudes
-      """WITH t AS (SELECT doc_id, source,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (SELECT doc_id, source, n_tokens,
-        |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS cum FROM t)
-        |SELECT doc_id, source, n_tokens,
-        | cum // 512 AS pack_id,
-        | cum % 512 AS pack_offset
-        |FROM c""".stripMargin,
-    // the two-level scan must reproduce the single-window assignments
-    // bit-for-bit, so it is held to the IDENTICAL oracle
-    "corpus_pack_chunked" ->
-      """WITH t AS (SELECT doc_id, source,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (SELECT doc_id, source, n_tokens,
-        |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS cum FROM t)
-        |SELECT doc_id, source, n_tokens,
-        | cum // 512 AS pack_id,
-        | cum % 512 AS pack_offset
-        |FROM c""".stripMargin,
-    "corpus_mixture" ->
-      // FLOOR(sqrt·1e6+0.5) micro-units as exact BIGINT — all-integral
-      // projection so the hash gate has no float cell to disagree on
-      // (r7: the weight double was value-identical yet hash-red)
-      // the outer CAST matters: DuckDB widens SUM(BIGINT) to HUGEINT and
-      // the driver hashes typed cells, so an uncast sum hash-mismatches
-      // Spark's int64 even when every value is identical (red r7+r8)
-      """WITH c AS (SELECT source,
-        |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_units
-        |  FROM documents GROUP BY source)
-        |SELECT source, n_units,
-        |  CAST(FLOOR(sqrt(CAST(n_units AS DOUBLE)) * 1000000.0 + 0.5)
-        |    AS BIGINT) AS q_units
-        |FROM c""".stripMargin,
-    "corpus_budget_alloc" ->
-      // mirror of the closed-form water-filling: identical exact-long
-      // inputs, one IEEE division for λ, min(cap, floor(λ·q)) per row —
-      // bit-identical in any IEEE engine. NULL λ (budget above all
-      // caps) degrades to the caps in both.
-      // same HUGEINT rule as corpus_mixture: cast the SUM back to BIGINT
-      """WITH c AS (SELECT source,
-        |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_units
-        |  FROM documents GROUP BY source),
-        |q AS (SELECT source, n_units,
-        |  CAST(FLOOR(sqrt(CAST(n_units AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS q_units
-        |  FROM c),
-        |caps AS (SELECT source, n_units, q_units,
-        |  CAST(FLOOR(CAST(n_units AS DOUBLE) * 2.0) AS BIGINT) AS cap_tokens,
-        |  CAST(cap_tokens AS DOUBLE) / CAST(q_units AS DOUBLE) AS rr
-        |  FROM q),
-        |sums AS (SELECT *,
-        |  SUM(cap_tokens) OVER (ORDER BY rr, source ROWS UNBOUNDED PRECEDING) AS cumC,
-        |  SUM(q_units) OVER (ORDER BY rr, source ROWS UNBOUNDED PRECEDING) AS cumQ,
-        |  SUM(q_units) OVER () AS totQ
-        |  FROM caps WHERE q_units > 0),
-        |cand AS (SELECT *,
-        |  LAG(cumC, 1, 0) OVER (ORDER BY rr, source) AS cPrev,
-        |  LAG(cumQ, 1, 0) OVER (ORDER BY rr, source) AS qPrev,
-        |  LAG(rr, 1, 0.0) OVER (ORDER BY rr, source) AS rPrev
-        |  FROM sums),
-        |lamv AS (SELECT MIN(lam) AS lambda FROM (
-        |  SELECT (52000.0 - CAST(cPrev AS DOUBLE)) / CAST(totQ - qPrev AS DOUBLE) AS lam,
-        |         rr, rPrev FROM cand)
-        |  WHERE lam >= rPrev AND lam <= rr)
-        |SELECT source, n_units, q_units, cap_tokens,
-        |  CASE WHEN q_units > 0 THEN
-        |    LEAST(cap_tokens, CAST(COALESCE(
-        |      FLOOR(l.lambda * CAST(q_units AS DOUBLE)), cap_tokens) AS BIGINT))
-        |  ELSE 0 END AS alloc_tokens
-        |FROM caps, lamv l""".stripMargin,
-    "corpus_fixed_sample" ->
-      // lowercase md5 hex compares identically in both engines (the
-      // corpus_split portability argument), doc_id breaks exact-key ties
-      """SELECT doc_id, lang FROM (
-        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
-        |    ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
-        |  FROM documents)
-        |WHERE rk <= 5""".stripMargin,
-    "corpus_weighted_sample" ->
-      // systematic PPS cuts: pure integer arithmetic (// is DuckDB
-      // integer division, div on the Spark side); the random start u0
-      // is 60 md5 bits mod the stratum total — cum/tot widen to
-      // HUGEINT internally but are never projected
-      """SELECT doc_id, lang, weight FROM (
-        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
-        |    SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang
-        |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |    SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang) AS tot,
-        |    1 + (('0x' || substr(md5('graft#' || lang), 1, 15))::BIGINT %
-        |         SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang)) AS u0
-        |  FROM documents)
-        |WHERE (5 * cum - u0 + tot) // tot >
-        |      (5 * (cum - weight) - u0 + tot) // tot""".stripMargin,
-    "corpus_length_buckets" ->
-      // quantile_cont == Spark's exact interpolated percentile (the
-      // q_percentiles equivalence), so the cut points are bit-identical
-      """WITH c AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE),
-        |                  [0.25, 0.5, 0.75]) AS cuts FROM documents)
-        |SELECT doc_id, n_chars,
-        | CAST(CASE WHEN CAST(n_chars AS DOUBLE) <= cuts[1] THEN 1
-        |      WHEN CAST(n_chars AS DOUBLE) <= cuts[2] THEN 2
-        |      WHEN CAST(n_chars AS DOUBLE) <= cuts[3] THEN 3
-        |      ELSE 4 END AS INT) AS bucket
-        |FROM documents CROSS JOIN c""".stripMargin,
-    "corpus_fluency_buckets" ->
-      // unigram mean_freq CTE (the doc_unigram_stats oracle) bucketed by
-      // quantile_cont cuts — both halves reuse proven-bit-identical forms
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-        |cf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
-        |stats AS (SELECT doc_id,
-        |  CAST(SUM(tf * cf) AS DOUBLE) / CAST(SUM(tf) AS BIGINT) AS mean_freq
-        |  FROM tf JOIN cf USING (token) GROUP BY doc_id),
-        |c AS (SELECT quantile_cont(mean_freq, [0.25, 0.5, 0.75]) AS cuts
-        |  FROM stats)
-        |SELECT doc_id, mean_freq,
-        | CAST(CASE WHEN mean_freq <= cuts[1] THEN 1
-        |      WHEN mean_freq <= cuts[2] THEN 2
-        |      WHEN mean_freq <= cuts[3] THEN 3
-        |      ELSE 4 END AS INT) AS fluency_bucket
-        |FROM stats CROSS JOIN c""".stripMargin,
-    "chunk_documents" ->
-      // same start set as Spark's sequence(0, len-1, stride): inclusive
-      // bounds, fixed step; substr is 1-based char semantics both sides
-      """WITH starts AS (
-        |  SELECT doc_id, text,
-        |    unnest(generate_series(0, CAST(length(text) - 1 AS BIGINT), 120)) AS s
-        |  FROM documents WHERE length(text) > 0)
-        |SELECT doc_id,
-        |  CAST(s // 120 AS INT) AS chunk_idx,
-        |  CAST(s AS INT) AS chunk_start,
-        |  substr(text, CAST(s AS INT) + 1, 200) AS chunk_text,
-        |  CAST(length(substr(text, CAST(s AS INT) + 1, 200)) AS INT) AS chunk_chars
-        |FROM starts""".stripMargin,
-    "chunk_tokens" ->
-      // DuckDB list slice t[a:b] is 1-based inclusive; stop clamps at
-      // len(t) to match Spark's slice(length) bound
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-        |  FROM documents WHERE text IS NOT NULL),
-        |starts AS (SELECT doc_id, t,
-        |    unnest(generate_series(0, CAST(len(t) - 1 AS BIGINT), 30)) AS s
-        |  FROM toks WHERE len(t) > 0)
-        |SELECT doc_id,
-        |  CAST(s // 30 AS INT) AS chunk_idx,
-        |  CAST(s AS INT) AS tok_start,
-        |  array_to_string(t[CAST(s + 1 AS INT) :
-        |                    CAST(least(s + 40, len(t)) AS INT)], ' ') AS chunk_text,
-        |  CAST(least(s + 40, len(t)) - s AS INT) AS chunk_tokens
-        |FROM starts""".stripMargin,
-    "chunk_stats" ->
-      """WITH starts AS (
-        |  SELECT doc_id, text,
-        |    unnest(generate_series(0, CAST(length(text) - 1 AS BIGINT), 120)) AS s
-        |  FROM documents WHERE length(text) > 0),
-        |ch AS (SELECT doc_id, CAST(s AS INT) AS cs,
-        |         length(substr(text, CAST(s AS INT) + 1, 200)) AS cc
-        |       FROM starts)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
-        |  CAST(SUM(cc) AS BIGINT) AS chunked_chars,
-        |  CAST(MAX(cs + cc) AS INT) AS covered_to
-        |FROM ch GROUP BY doc_id""".stripMargin,
-    "bpe_pair_counts" ->
-      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
-        |idx AS (SELECT t, unnest(generate_series(1, CAST(len(t) - 1 AS BIGINT))) AS i
-        |        FROM toks WHERE len(t) >= 2)
-        |SELECT t[i] AS a, t[i + 1] AS b, CAST(COUNT(*) AS BIGINT) AS cnt
-        |FROM idx GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 40""".stripMargin,
-    "bpe_encode_portable" -> bpeEncodePortableOracle,
-    "corpus_split" ->
-      """SELECT doc_id,
-        | CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4)
-        |        < 'e666' THEN 'train' ELSE 'holdout' END AS split
-        |FROM documents""".stripMargin,
-    "corpus_stratified" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE (lang = 'en' AND
-        |        substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
-        |   OR (lang = 'de' AND
-        |        substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < 'g')""".stripMargin,
-    "group_safe_split_clusters" ->
-      // the dedup_clusters reach-CTE verbatim, then the md5 split
-      // keyed on the component label
-      """WITH RECURSIVE
-        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id,
-        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM toks WHERE len(t) >= 3)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |pairs AS (SELECT id_a, id_b FROM inter
-        |  JOIN sizes na ON na.doc_id = id_a
-        |  JOIN sizes nb ON nb.doc_id = id_b
-        |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5),
-        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(id, comp) AS (
-        |  SELECT s, s FROM edges
-        |  UNION
-        |  SELECT e.t, r.comp FROM reach r JOIN edges e ON e.s = r.id),
-        |lab AS (SELECT d.doc_id, COALESCE(MIN(r.comp), d.doc_id) AS component
-        |  FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
-        |  GROUP BY d.doc_id)
-        |SELECT doc_id, component,
-        |  CASE WHEN substr(md5('graft' || CAST(component AS VARCHAR)), 1, 4)
-        |       < 'e666' THEN 'train' ELSE 'holdout' END AS split
-        |FROM lab""".stripMargin,
-    "group_safe_split" ->
-      """SELECT doc_id,
-        | CASE WHEN substr(md5('graft' || text), 1, 4) < 'e666'
-        |      THEN 'train' ELSE 'holdout' END AS split
-        |FROM documents""".stripMargin,
-    "split_leakage" ->
-      """WITH sp AS (SELECT doc_id, text,
-        |  CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4)
-        |         < 'e666' THEN 'train' ELSE 'holdout' END AS split
-        |  FROM documents)
-        |SELECT text AS leak_key,
-        |  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
-        |  CAST(SUM(CASE WHEN split = 'holdout' THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout,
-        |  MIN(CASE WHEN split = 'train' THEN doc_id END) AS train_id,
-        |  MIN(CASE WHEN split = 'holdout' THEN doc_id END) AS holdout_id
-        |FROM sp GROUP BY text
-        |HAVING SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) > 0
-        |   AND SUM(CASE WHEN split = 'holdout' THEN 1 ELSE 0 END) > 0""".stripMargin,
-    // hash-range sharding: shard = #boundaries (i*4096 as 4-hex) at or
-    // below the 4-hex md5 key — contiguous key slices, not hash-mod
-    "corpus_shards" ->
-      """WITH k AS (SELECT doc_id,
-        |  substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) AS shard_key
-        |  FROM documents)
-        |SELECT doc_id, shard_key,
-        |  (CASE WHEN shard_key >= '1000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= '2000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= '3000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= '4000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= '5000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= '6000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= '7000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= '8000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= '9000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= 'a000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= 'b000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= 'c000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= 'd000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= 'e000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= 'f000' THEN 1 ELSE 0 END) AS shard
-        |FROM k""".stripMargin,
-    "shard_stats" ->
-      """WITH k AS (SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
-        |  substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) AS shard_key
-        |  FROM documents),
-        |s AS (SELECT doc_id, n_toks, shard_key,
-        |  (CASE WHEN shard_key >= '1000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= '2000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= '3000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= '4000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= '5000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= '6000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= '7000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= '8000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= '9000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= 'a000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= 'b000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= 'c000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= 'd000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= 'e000' THEN 1 ELSE 0 END
-        | + CASE WHEN shard_key >= 'f000' THEN 1 ELSE 0 END) AS shard
-        |FROM k)
-        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
-        |  MIN(shard_key) AS min_key, MAX(shard_key) AS max_key
-        |FROM s GROUP BY shard""".stripMargin,
-    // Gopher A1.1 rules: every measurement is integer counts + one IEEE
-    // division, so flags and ratios are engine-exact; '...' occurrences
-    // via the non-overlapping replace-delta // 3 (delta is always a
-    // multiple of 3, so integer division is exact on both sides)
-    "gopher_quality_flags" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    len(toks) AS n_words,
-        |    CAST(length(text) - (len(toks) - 1) AS DOUBLE)
-        |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
-        |    CAST((length(text) - length(replace(text, '#', '')))
-        |       + (length(text) - length(replace(text, '...', ''))) // 3
-        |       + (length(text) - length(replace(text, '…', ''))) AS DOUBLE)
-        |      / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
-        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
-        |      / CAST(len(toks) AS DOUBLE) AS alpha_frac,
-        |    CAST(len(list_filter(toks,
-        |      x -> x IN ('the','be','to','of','and','that','have','with'))) AS INT) AS n_stop
-        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))
-        |SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
-        |  symbol_ratio, alpha_frac, n_stop,
-        |  n_words BETWEEN 50 AND 100000 AS flag_words,
-        |  mean_word_len BETWEEN 3.0 AND 10.0 AS flag_word_len,
-        |  symbol_ratio <= 0.1 AS flag_symbols,
-        |  alpha_frac >= 0.8 AS flag_alpha,
-        |  n_stop >= 2 AS flag_stopwords,
-        |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
-        |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2 AS keep
-        |FROM f""".stripMargin,
-    "gopher_drop_histogram" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    len(toks) AS n_words,
-        |    CAST(length(text) - (len(toks) - 1) AS DOUBLE)
-        |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
-        |    CAST((length(text) - length(replace(text, '#', '')))
-        |       + (length(text) - length(replace(text, '...', ''))) // 3
-        |       + (length(text) - length(replace(text, '…', ''))) AS DOUBLE)
-        |      / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
-        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
-        |      / CAST(len(toks) AS DOUBLE) AS alpha_frac,
-        |    len(list_filter(toks,
-        |      x -> x IN ('the','be','to','of','and','that','have','with'))) AS n_stop
-        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)),
-        |g AS (SELECT
-        |    n_words BETWEEN 50 AND 100000 AS flag_words,
-        |    mean_word_len BETWEEN 3.0 AND 10.0 AS flag_word_len,
-        |    symbol_ratio <= 0.1 AS flag_symbols,
-        |    alpha_frac >= 0.8 AS flag_alpha,
-        |    n_stop >= 2 AS flag_stopwords
-        |  FROM f)
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(CASE WHEN flag_words AND flag_word_len AND flag_symbols
-        |    AND flag_alpha AND flag_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-        |  CAST(SUM(CASE WHEN NOT flag_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
-        |  CAST(SUM(CASE WHEN NOT flag_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
-        |  CAST(SUM(CASE WHEN NOT flag_symbols THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbols,
-        |  CAST(SUM(CASE WHEN NOT flag_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
-        |  CAST(SUM(CASE WHEN NOT flag_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords
-        |FROM g""".stripMargin,
-    "ngram_counts" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |g AS (SELECT doc_id,
-        |  unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS gram
-        |  FROM toks WHERE len(t) >= 3)
-        |SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |  CAST(COUNT(*) AS BIGINT) AS cnt
-        |FROM g GROUP BY gram HAVING COUNT(*) >= 2
-        |ORDER BY cnt DESC, gram LIMIT 100""".stripMargin,
-    "dedup_exact" ->
-      """SELECT text AS dedup_key, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
-        |FROM documents GROUP BY text""".stripMargin,
-    "dedup_dup_ids" ->
-      """SELECT d.doc_id AS row_id, k.keep_id
-        |FROM documents d JOIN (
-        |  SELECT lang, MIN(doc_id) AS keep_id FROM documents GROUP BY lang) k
-        | ON d.lang = k.lang
-        |WHERE d.doc_id <> k.keep_id""".stripMargin,
-    // The portable incremental-dedup funnel, mirrored stage for stage:
-    // annotate/gate = the text_stats formulas + filters; exact self-dedup
-    // = min-id QUALIFY; signatures = min md5-hex per (doc, k); band keys
-    // = raw 4-element signature slices; est_jaccard = agree/64 (exact
-    // dyadic division, so the >= 0.7 cut is engine-identical)
-    "dedup_incremental_portable" ->
-      """WITH ann AS (
-        |  SELECT doc_id, text, source, n_tokens,
-        |    CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'en'
-        |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'de'
-        |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'fr'
-        |         WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'es'
-        |         ELSE 'ru' END AS lang_pred,
-        |    (least(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, CAST(1.0 AS DOUBLE))
-        |     + CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
-        |     + least(CAST(n_tokens AS DOUBLE) / 20.0, CAST(1.0 AS DOUBLE))) / 3.0 AS quality
-        |  FROM (
-        |    SELECT doc_id, text, source,
-        |      len(toks) AS n_tokens,
-        |      CAST(length(text) - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
-        |      len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS n_stopwords,
-        |      len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
-        |      len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
-        |      len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS s_fr,
-        |      len(list_filter(toks, x -> x IN ('el','los','las','es','y'))) AS s_es,
-        |      len(list_filter(toks, x -> x IN ('и','в','не','на','что'))) AS s_ru
-        |    FROM (SELECT doc_id, text, source, string_split(text, ' ') AS toks
-        |          FROM documents WHERE doc_id % 5 = 0))),
-        |refg AS (SELECT doc_id, text FROM ann
-        |  WHERE regexp_matches(source, '^src[0-9]$')
-        |    AND n_tokens >= 5 AND quality >= 0.3 AND lang_pred = 'en'),
-        |incg AS (SELECT doc_id, text, lang_pred, n_tokens FROM ann
-        |  WHERE regexp_matches(source, '^src1[0-9]$')
-        |    AND n_tokens >= 5 AND quality >= 0.3 AND lang_pred = 'en'),
-        |iexact AS (SELECT doc_id, text, lang_pred, n_tokens FROM incg
-        |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)),
-        |rsh AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM refg) WHERE len(t) >= 3)),
-        |ish AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM iexact) WHERE len(t) >= 3)),
-        |rsig AS (SELECT doc_id, LIST(h ORDER BY k) AS sig FROM (
-        |  SELECT doc_id, k, MIN(substr(md5(sh || ':' || CAST(k AS VARCHAR)), 1, 16)) AS h
-        |  FROM rsh CROSS JOIN range(64) r(k) GROUP BY doc_id, k) GROUP BY doc_id),
-        |isig AS (SELECT doc_id, LIST(h ORDER BY k) AS sig FROM (
-        |  SELECT doc_id, k, MIN(substr(md5(sh || ':' || CAST(k AS VARCHAR)), 1, 16)) AS h
-        |  FROM ish CROSS JOIN range(64) r(k) GROUP BY doc_id, k) GROUP BY doc_id),
-        |rbands AS (SELECT doc_id, b AS band_idx,
-        |    array_to_string(sig[b*4+1 : b*4+4], ',') AS band_key
-        |  FROM rsig CROSS JOIN range(16) rb(b)),
-        |ibands AS (SELECT doc_id, b AS band_idx,
-        |    array_to_string(sig[b*4+1 : b*4+4], ',') AS band_key
-        |  FROM isig CROSS JOIN range(16) rb(b)),
-        |scand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM ibands a JOIN ibands b ON a.band_idx = b.band_idx
-        |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        |sdrops AS (SELECT DISTINCT id_b FROM scand
-        |  JOIN isig sa ON sa.doc_id = id_a JOIN isig sb ON sb.doc_id = id_b
-        |  WHERE CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
-        |        / CAST(len(sa.sig) AS DOUBLE) >= 0.7),
-        |sclean AS (SELECT doc_id, lang_pred, n_tokens FROM iexact
-        |  WHERE NOT EXISTS (SELECT 1 FROM sdrops WHERE id_b = doc_id)),
-        |ccand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM rbands a JOIN ibands b ON a.band_idx = b.band_idx
-        |    AND a.band_key = b.band_key AND a.doc_id <> b.doc_id
-        |  WHERE EXISTS (SELECT 1 FROM sclean WHERE sclean.doc_id = b.doc_id)),
-        |cdrops AS (SELECT DISTINCT id_b FROM ccand
-        |  JOIN rsig sa ON sa.doc_id = id_a JOIN isig sb ON sb.doc_id = id_b
-        |  WHERE CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
-        |        / CAST(len(sa.sig) AS DOUBLE) >= 0.7)
-        |SELECT doc_id, lang_pred, n_tokens FROM sclean
-        |WHERE NOT EXISTS (SELECT 1 FROM cdrops WHERE id_b = doc_id)""".stripMargin,
-    // End-to-end portable curation funnel: the ann/gate/exact/LSH
-    // fragments proven on dedup_incremental_portable, the md5 simhash
-    // votes from simhash_codes_portable, and the k=5/w=4 winnow-count
-    // variant of the boilerplate fingerprint machinery
-    "corpus_curation_portable" ->
-      """WITH ann AS (
-        |  SELECT doc_id, text, n_tokens,
-        |    CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'en'
-        |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'de'
-        |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'fr'
-        |         WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'es'
-        |         ELSE 'ru' END AS lang_pred,
-        |    (least(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, CAST(1.0 AS DOUBLE))
-        |     + CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
-        |     + least(CAST(n_tokens AS DOUBLE) / 20.0, CAST(1.0 AS DOUBLE))) / 3.0 AS quality
-        |  FROM (
-        |    SELECT doc_id, text,
-        |      len(toks) AS n_tokens,
-        |      CAST(length(text) - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
-        |      len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS n_stopwords,
-        |      len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
-        |      len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
-        |      len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS s_fr,
-        |      len(list_filter(toks, x -> x IN ('el','los','las','es','y'))) AS s_es,
-        |      len(list_filter(toks, x -> x IN ('и','в','не','на','что'))) AS s_ru
-        |    FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))),
-        |gated AS (SELECT doc_id, text, lang_pred, n_tokens FROM ann
-        |  WHERE n_tokens >= 5 AND quality >= 0.3 AND lang_pred = 'en'),
-        |iexact AS (SELECT doc_id, text, lang_pred, n_tokens FROM gated
-        |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)),
-        |ish AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM iexact) WHERE len(t) >= 3)),
-        |isig AS (SELECT doc_id, LIST(h ORDER BY k) AS sig FROM (
-        |  SELECT doc_id, k, MIN(substr(md5(sh || ':' || CAST(k AS VARCHAR)), 1, 16)) AS h
-        |  FROM ish CROSS JOIN range(64) r(k) GROUP BY doc_id, k) GROUP BY doc_id),
-        |ibands AS (SELECT doc_id, b AS band_idx,
-        |    array_to_string(sig[b*4+1 : b*4+4], ',') AS band_key
-        |  FROM isig CROSS JOIN range(16) rb(b)),
-        |scand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM ibands a JOIN ibands b ON a.band_idx = b.band_idx
-        |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        |sdrops AS (SELECT DISTINCT id_b FROM scand
-        |  JOIN isig sa ON sa.doc_id = id_a JOIN isig sb ON sb.doc_id = id_b
-        |  WHERE CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
-        |        / CAST(len(sa.sig) AS DOUBLE) >= 0.7),
-        |clean AS (SELECT doc_id, text, lang_pred, n_tokens FROM iexact
-        |  WHERE NOT EXISTS (SELECT 1 FROM sdrops WHERE id_b = doc_id)),
-        |hx AS (SELECT doc_id, substr(md5(tkn), 1, 16) AS h FROM
-        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tkn FROM clean)),
-        |votes AS (
-        |  SELECT doc_id, r.b AS b,
-        |    SUM(CASE WHEN (strpos('0123456789abcdef', substr(h, 16 - r.b // 4, 1)) - 1)
-        |              & (1 << (r.b % 4)) != 0 THEN 1 ELSE -1 END) AS v
-        |  FROM hx, range(64) r(b)
-        |  GROUP BY doc_id, r.b),
-        |sim AS (SELECT doc_id,
-        |  CAST(SUM(CASE WHEN v <= 0 THEN 0
-        |           WHEN b = 63 THEN -9223372036854775808
-        |           ELSE (CAST(1 AS BIGINT) << b) END) AS BIGINT) AS simhash
-        |  FROM votes GROUP BY doc_id),
-        |wg AS (SELECT doc_id,
-        |  [substr(md5(substr(text, i, 5)), 1, 16)
-        |   for i in range(1, greatest(len(text) - 3, 1))] AS h
-        |  FROM clean),
-        |wfp AS (SELECT DISTINCT doc_id, fp FROM (
-        |  SELECT doc_id, unnest(
-        |    [list_min(h[i:i+3]) for i in range(1, greatest(len(h) - 2, 2))]) AS fp
-        |  FROM wg WHERE len(h) >= 1)),
-        |nfp AS (SELECT doc_id, COUNT(*) AS n_fp FROM wfp GROUP BY doc_id)
-        |SELECT c.doc_id, c.lang_pred, c.n_tokens, s.simhash,
-        |  CAST(COALESCE(f.n_fp, 0) AS INT) AS n_fp,
-        |  CAST(8 AS INT) AS n_features
-        |FROM clean c JOIN sim s USING (doc_id) LEFT JOIN nfp f USING (doc_id)""".stripMargin,
-    "ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id,
-        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM toks WHERE len(t) >= 3)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT id_a, id_b,
-        | CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) AS jaccard
-        |FROM inter
-        | JOIN sizes na ON na.doc_id = id_a
-        | JOIN sizes nb ON nb.doc_id = id_b
-        |WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5""".stripMargin,
-    "ngram_containment" ->
-      // directed pairs; containment = i / |A| is one IEEE division of
-      // exact longs, bit-identical in both engines
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id,
-        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM toks WHERE len(t) >= 3)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT id_a, id_b, CAST(i AS DOUBLE) / na.n_sh AS containment
-        |FROM inter JOIN sizes na ON na.doc_id = id_a
-        |WHERE CAST(i AS DOUBLE) / na.n_sh >= 0.8""".stripMargin,
-    "dedup_containment_prune" ->
-      // same pair CTE as ngram_containment; one-way containment drops
-      // the contained doc, mutual pairs keep the min id
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id,
-        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM toks WHERE len(t) >= 3)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |pairs AS (SELECT id_a, id_b FROM inter JOIN sizes na ON na.doc_id = id_a
-        |  WHERE CAST(i AS DOUBLE) / na.n_sh >= 0.8),
-        |drops AS (SELECT p.id_a FROM pairs p LEFT JOIN pairs r
-        |  ON p.id_a = r.id_b AND p.id_b = r.id_a
-        |  WHERE r.id_a IS NULL OR p.id_a > p.id_b)
-        |SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE doc_id NOT IN (SELECT id_a FROM drops)""".stripMargin,
-    "minhash_pairs" ->
-      // IDENTICAL exact oracle as ngram_jaccard: the registered query
-      // verifies every LSH candidate with the exact shingle Jaccard, and
-      // the banding (2 rows x 64 bands) makes a miss at j>=0.5 a ~1e-8
-      // event, so the pair sets coincide
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id,
-        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM toks WHERE len(t) >= 3)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT id_a, id_b,
-        | CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) AS jaccard
-        |FROM inter
-        | JOIN sizes na ON na.doc_id = id_a
-        | JOIN sizes nb ON nb.doc_id = id_b
-        |WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5""".stripMargin,
-    "snapshot_diff" ->
-      """WITH old AS (SELECT doc_id, text FROM documents
-        |  WHERE regexp_matches(source, '^src([0-9]|1[0-4])$')),
-        |neu AS (SELECT doc_id,
-        |  CASE WHEN lang = 'de' THEN upper(text) ELSE text END AS text
-        |  FROM documents WHERE regexp_matches(source, '^src([5-9]|1[0-9])$'))
-        |SELECT COALESCE(o.doc_id, n.doc_id) AS id,
-        |  CASE WHEN o.doc_id IS NULL THEN 'added'
-        |       WHEN n.doc_id IS NULL THEN 'removed'
-        |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
-        |       ELSE 'changed' END AS status
-        |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id""".stripMargin,
-    "snapshot_diff_digest" ->
-      // the digest form's in-query gate asserts class-identity with the
-      // exact-text diff, so the exact-form oracle is ITS oracle too
-      """WITH old AS (SELECT doc_id, text FROM documents
-        |  WHERE regexp_matches(source, '^src([0-9]|1[0-4])$')),
-        |neu AS (SELECT doc_id,
-        |  CASE WHEN lang = 'de' THEN upper(text) ELSE text END AS text
-        |  FROM documents WHERE regexp_matches(source, '^src([5-9]|1[0-9])$'))
-        |SELECT COALESCE(o.doc_id, n.doc_id) AS id,
-        |  CASE WHEN o.doc_id IS NULL THEN 'added'
-        |       WHEN n.doc_id IS NULL THEN 'removed'
-        |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
-        |       ELSE 'changed' END AS status
-        |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id""".stripMargin,
-    "ivm_refresh_agg" ->
-      // full-recompute oracle over the new snapshot: the delta algebra
-      // must be indistinguishable from it (incl. emptied groups absent)
-      """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_value
-        |FROM documents
-        |WHERE regexp_matches(source, '^src([5-9]|1[0-9])$')
-        |GROUP BY lang""".stripMargin,
-    "ivm_refresh" ->
-      // the oracle is the FULL recompute over the new snapshot — the
-      // incremental path must be indistinguishable from it
-      """WITH neu AS (SELECT doc_id,
-        |  CASE WHEN lang = 'de' THEN upper(text) ELSE text END AS text
-        |  FROM documents WHERE regexp_matches(source, '^src([5-9]|1[0-9])$')),
-        |t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM neu)
-        |SELECT doc_id, len(toks) AS n_tokens,
-        | len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS n_stopwords,
-        | CAST(length(text) - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len
-        |FROM t""".stripMargin,
-    "cdc_merge" ->
-      // same delta construction (cdcChanges scaladoc), latest-wins via
-      // QUALIFY row_number, merge via full-outer + delete filter
-      """WITH base AS (SELECT doc_id, text, lang, source, n_chars
-        |  FROM documents WHERE regexp_matches(source, '^src([0-9]|1[0-4])$')),
-        |changes AS (
-        |  SELECT doc_id, 1 AS seq, 'upsert' AS op, text, lang, source, n_chars
-        |    FROM documents WHERE regexp_matches(source, '^src1[5-9]$')
-        |  UNION ALL
-        |  SELECT doc_id, 1, 'upsert', upper(text), lang, source, n_chars
-        |    FROM documents
-        |    WHERE regexp_matches(source, '^src([5-9]|1[0-4])$') AND lang = 'de'
-        |  UNION ALL
-        |  SELECT doc_id, 2, 'delete', text, lang, source, n_chars FROM base
-        |    WHERE doc_id % 7 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 3, 'upsert', text || ' [v3]', lang, source, n_chars
-        |    FROM base WHERE doc_id % 11 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 4, 'delete', text, lang, source, n_chars
-        |    FROM documents
-        |    WHERE regexp_matches(source, '^src1[5-9]$') AND doc_id % 13 = 0),
-        |latest AS (SELECT doc_id, op, text, lang, source, n_chars
-        |  FROM changes
-        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1)
-        |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
-        |  CASE WHEN c.doc_id IS NOT NULL THEN c.text ELSE b.text END AS text,
-        |  CASE WHEN c.doc_id IS NOT NULL THEN c.lang ELSE b.lang END AS lang,
-        |  CASE WHEN c.doc_id IS NOT NULL THEN c.source ELSE b.source END
-        |    AS source,
-        |  CASE WHEN c.doc_id IS NOT NULL THEN c.n_chars ELSE b.n_chars END
-        |    AS n_chars
-        |FROM base b FULL OUTER JOIN latest c ON b.doc_id = c.doc_id
-        |WHERE c.doc_id IS NULL OR c.op <> 'delete'""".stripMargin,
-    "cdc_merge_versioned" ->
-      // the two-batch versioned fold is batch-order-invariant, so its
-      // live view answers the ONE-SHOT merge SQL verbatim — the
-      // equivalence is the point of the query
-      """WITH base AS (SELECT doc_id, text, lang, source, n_chars
-        |  FROM documents WHERE regexp_matches(source, '^src([0-9]|1[0-4])$')),
-        |changes AS (
-        |  SELECT doc_id, 1 AS seq, 'upsert' AS op, text, lang, source, n_chars
-        |    FROM documents WHERE regexp_matches(source, '^src1[5-9]$')
-        |  UNION ALL
-        |  SELECT doc_id, 1, 'upsert', upper(text), lang, source, n_chars
-        |    FROM documents
-        |    WHERE regexp_matches(source, '^src([5-9]|1[0-4])$') AND lang = 'de'
-        |  UNION ALL
-        |  SELECT doc_id, 2, 'delete', text, lang, source, n_chars FROM base
-        |    WHERE doc_id % 7 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 3, 'upsert', text || ' [v3]', lang, source, n_chars
-        |    FROM base WHERE doc_id % 11 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 4, 'delete', text, lang, source, n_chars
-        |    FROM documents
-        |    WHERE regexp_matches(source, '^src1[5-9]$') AND doc_id % 13 = 0),
-        |latest AS (SELECT doc_id, op, text, lang, source, n_chars
-        |  FROM changes
-        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1)
-        |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
-        |  CASE WHEN c.doc_id IS NOT NULL THEN c.text ELSE b.text END AS text,
-        |  CASE WHEN c.doc_id IS NOT NULL THEN c.lang ELSE b.lang END AS lang,
-        |  CASE WHEN c.doc_id IS NOT NULL THEN c.source ELSE b.source END
-        |    AS source,
-        |  CASE WHEN c.doc_id IS NOT NULL THEN c.n_chars ELSE b.n_chars END
-        |    AS n_chars
-        |FROM base b FULL OUTER JOIN latest c ON b.doc_id = c.doc_id
-        |WHERE c.doc_id IS NULL OR c.op <> 'delete'""".stripMargin,
-    "cdc_merge_evolve" ->
-      // the one-shot merge with the drifted column: rows the changeset
-      // wins carry rev = doc_id % 5, pre-existing rows widen to NULL
-      """WITH base AS (SELECT doc_id, text, lang, source, n_chars
-        |  FROM documents WHERE regexp_matches(source, '^src([0-9]|1[0-4])$')),
-        |changes AS (
-        |  SELECT doc_id, 1 AS seq, 'upsert' AS op, text, lang, source, n_chars
-        |    FROM documents WHERE regexp_matches(source, '^src1[5-9]$')
-        |  UNION ALL
-        |  SELECT doc_id, 1, 'upsert', upper(text), lang, source, n_chars
-        |    FROM documents
-        |    WHERE regexp_matches(source, '^src([5-9]|1[0-4])$') AND lang = 'de'
-        |  UNION ALL
-        |  SELECT doc_id, 2, 'delete', text, lang, source, n_chars FROM base
-        |    WHERE doc_id % 7 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 3, 'upsert', text || ' [v3]', lang, source, n_chars
-        |    FROM base WHERE doc_id % 11 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 4, 'delete', text, lang, source, n_chars
-        |    FROM documents
-        |    WHERE regexp_matches(source, '^src1[5-9]$') AND doc_id % 13 = 0),
-        |latest AS (SELECT doc_id, op, text, lang, source, n_chars
-        |  FROM changes
-        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1)
-        |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
-        |  CASE WHEN c.doc_id IS NOT NULL THEN c.text ELSE b.text END AS text,
-        |  CASE WHEN c.doc_id IS NOT NULL THEN c.lang ELSE b.lang END AS lang,
-        |  CASE WHEN c.doc_id IS NOT NULL THEN c.source ELSE b.source END
-        |    AS source,
-        |  CASE WHEN c.doc_id IS NOT NULL THEN c.n_chars ELSE b.n_chars END
-        |    AS n_chars,
-        |  CASE WHEN c.doc_id IS NOT NULL THEN CAST(c.doc_id % 5 AS INTEGER)
-        |    ELSE NULL END AS rev
-        |FROM base b FULL OUTER JOIN latest c ON b.doc_id = c.doc_id
-        |WHERE c.doc_id IS NULL OR c.op <> 'delete'""".stripMargin,
-    "cdc_generation_diff" ->
-      // g1 = one-shot merge of the seq>=2 batch (≡ the single-batch
-      // versioned fold); g2 = one-shot merge of ALL changes (≡ the
-      // two-batch fold, by the batch-order invariance
-      // cdc_merge_versioned certifies); diff classifies by text
-      """WITH base AS (SELECT doc_id, text, lang, source, n_chars
-        |  FROM documents WHERE regexp_matches(source, '^src([0-9]|1[0-4])$')),
-        |changes AS (
-        |  SELECT doc_id, 1 AS seq, 'upsert' AS op, text, lang, source, n_chars
-        |    FROM documents WHERE regexp_matches(source, '^src1[5-9]$')
-        |  UNION ALL
-        |  SELECT doc_id, 1, 'upsert', upper(text), lang, source, n_chars
-        |    FROM documents
-        |    WHERE regexp_matches(source, '^src([5-9]|1[0-4])$') AND lang = 'de'
-        |  UNION ALL
-        |  SELECT doc_id, 2, 'delete', text, lang, source, n_chars FROM base
-        |    WHERE doc_id % 7 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 3, 'upsert', text || ' [v3]', lang, source, n_chars
-        |    FROM base WHERE doc_id % 11 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 4, 'delete', text, lang, source, n_chars
-        |    FROM documents
-        |    WHERE regexp_matches(source, '^src1[5-9]$') AND doc_id % 13 = 0),
-        |lat1 AS (SELECT doc_id, op, text FROM changes WHERE seq >= 2
-        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1),
-        |g1 AS (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
-        |  CASE WHEN c.doc_id IS NOT NULL THEN c.text ELSE b.text END AS text
-        |  FROM base b FULL OUTER JOIN lat1 c ON b.doc_id = c.doc_id
-        |  WHERE c.doc_id IS NULL OR c.op <> 'delete'),
-        |lat2 AS (SELECT doc_id, op, text FROM changes
-        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1),
-        |g2 AS (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
-        |  CASE WHEN c.doc_id IS NOT NULL THEN c.text ELSE b.text END AS text
-        |  FROM base b FULL OUTER JOIN lat2 c ON b.doc_id = c.doc_id
-        |  WHERE c.doc_id IS NULL OR c.op <> 'delete')
-        |SELECT COALESCE(o.doc_id, n.doc_id) AS id,
-        |  CASE WHEN o.doc_id IS NULL THEN 'added'
-        |       WHEN n.doc_id IS NULL THEN 'removed'
-        |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
-        |       ELSE 'changed' END AS status
-        |FROM g1 o FULL OUTER JOIN g2 n ON o.doc_id = n.doc_id""".stripMargin,
-    "cdc_merge_summary" ->
-      """WITH base AS (SELECT doc_id, text, lang, source, n_chars
-        |  FROM documents WHERE regexp_matches(source, '^src([0-9]|1[0-4])$')),
-        |changes AS (
-        |  SELECT doc_id, 1 AS seq, 'upsert' AS op, text, lang, source, n_chars
-        |    FROM documents WHERE regexp_matches(source, '^src1[5-9]$')
-        |  UNION ALL
-        |  SELECT doc_id, 1, 'upsert', upper(text), lang, source, n_chars
-        |    FROM documents
-        |    WHERE regexp_matches(source, '^src([5-9]|1[0-4])$') AND lang = 'de'
-        |  UNION ALL
-        |  SELECT doc_id, 2, 'delete', text, lang, source, n_chars FROM base
-        |    WHERE doc_id % 7 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 3, 'upsert', text || ' [v3]', lang, source, n_chars
-        |    FROM base WHERE doc_id % 11 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 4, 'delete', text, lang, source, n_chars
-        |    FROM documents
-        |    WHERE regexp_matches(source, '^src1[5-9]$') AND doc_id % 13 = 0),
-        |latest AS (SELECT doc_id, op FROM changes
-        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1)
-        |SELECT CASE WHEN c.doc_id IS NULL THEN 'unchanged'
-        |    WHEN c.op = 'delete' THEN
-        |      CASE WHEN b.doc_id IS NULL THEN 'delete_noop' ELSE 'deleted' END
-        |    WHEN b.doc_id IS NULL THEN 'inserted'
-        |    ELSE 'updated' END AS action,
-        |  CAST(COUNT(*) AS BIGINT) AS n
-        |FROM base b FULL OUTER JOIN latest c ON b.doc_id = c.doc_id
-        |GROUP BY 1""".stripMargin,
-    "fuzzy_name_pairs" ->
-      // mirrors the blocking exactly: distinct (name, token), df-capped
-      // tokens, shared-token candidates, Levenshtein verify
-      """WITH dict AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM part GROUP BY p_name),
-        |t AS (SELECT DISTINCT name, tok FROM (
-        |  SELECT name, unnest(string_split(name, ' ')) AS tok FROM dict)
-        |  WHERE tok <> ''),
-        |keep AS (SELECT tok FROM t GROUP BY tok HAVING COUNT(*) <= 1000),
-        |tk AS (SELECT t.name, t.tok FROM t JOIN keep USING (tok)),
-        |cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
-        |  FROM tk a JOIN tk b ON a.tok = b.tok AND a.name < b.name)
-        |SELECT c.name_a, c.name_b,
-        |  CAST(levenshtein(c.name_a, c.name_b) AS INTEGER) AS dist,
-        |  da.n AS n_a, db.n AS n_b
-        |FROM cand c
-        |JOIN dict da ON da.name = c.name_a
-        |JOIN dict db ON db.name = c.name_b
-        |WHERE levenshtein(c.name_a, c.name_b) <= 2""".stripMargin,
-    "entity_resolution" ->
-      // fuzzy_name_pairs' blocking verbatim, then the dedup_clusters
-      // reach-CTE over md5 name ids, then survivorship by (n DESC,
-      // name) — the full linkage pipeline replayed in one query
-      """WITH RECURSIVE
-        |dict AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM part GROUP BY p_name),
-        |named AS (SELECT name, n,
-        |  ('0x' || substr(md5(name), 1, 15))::BIGINT AS name_id FROM dict),
-        |t AS (SELECT DISTINCT name, tok FROM (
-        |  SELECT name, unnest(string_split(name, ' ')) AS tok FROM dict)
-        |  WHERE tok <> ''),
-        |keep AS (SELECT tok FROM t GROUP BY tok HAVING COUNT(*) <= 1000),
-        |tk AS (SELECT t.name, t.tok FROM t JOIN keep USING (tok)),
-        |cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
-        |  FROM tk a JOIN tk b ON a.tok = b.tok AND a.name < b.name),
-        |pairs AS (SELECT name_a, name_b FROM cand
-        |  WHERE levenshtein(name_a, name_b) <= 2),
-        |idp AS (SELECT na.name_id AS id_a, nb.name_id AS id_b FROM pairs
-        |  JOIN named na ON na.name = name_a
-        |  JOIN named nb ON nb.name = name_b),
-        |edges AS (SELECT id_a AS s, id_b AS d FROM idp
-        |  UNION SELECT id_b, id_a FROM idp),
-        |reach(id, comp) AS (
-        |  SELECT s, s FROM edges
-        |  UNION
-        |  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
-        |lab AS (SELECT nm.name, nm.n,
-        |  COALESCE(MIN(r.comp), nm.name_id) AS cluster
-        |  FROM named nm LEFT JOIN reach r ON r.id = nm.name_id
-        |  GROUP BY nm.name, nm.n, nm.name_id),
-        |canon AS (SELECT cluster, name AS canonical_name FROM (
-        |  SELECT cluster, name, row_number() OVER (
-        |    PARTITION BY cluster ORDER BY n DESC, name) AS rk FROM lab)
-        |  WHERE rk = 1),
-        |sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
-        |  FROM lab GROUP BY cluster)
-        |SELECT l.name, c.canonical_name, s.cluster_size, l.n
-        |FROM lab l
-        |JOIN canon c ON l.cluster = c.cluster
-        |JOIN sizes s ON l.cluster = s.cluster""".stripMargin,
-    "fuzzy_pairs_exact" ->
-      """WITH dict AS (SELECT DISTINCT p_name AS name FROM part)
-        |SELECT a.name AS name_a, b.name AS name_b,
-        |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
-        |FROM dict a JOIN dict b ON a.name < b.name
-        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
-    "compaction_partitioned_stats" ->
-      // per-partition data identity of the staged+compacted table vs
-      // the source's GROUP BY; `compacted` TRUE by the driver gate
-      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
-        |  TRUE AS compacted
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    "compaction_stats" ->
-      // data identity of the staged+compacted table vs the source; the
-      // contract booleans are TRUE by the in-plan/driver gates
-      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_before,
-        |  CAST(COUNT(*) AS BIGINT) AS n_rows_after,
-        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey_before,
-        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey_after,
-        |  TRUE AS row_identity, TRUE AS files_reduced
-        |FROM lineitem""".stripMargin,
-    "zorder_zonemap" ->
-      // normalize16's clamp+floor-div, the 8-4-2-1 Morton spread as
-      // stepwise CTEs, prefix bucketing — all exact integer bit
-      // arithmetic, hence hash-checkable
-      """WITH st AS (SELECT CAST(max(l_partkey) AS BIGINT) AS px,
-        |                   CAST(max(l_suppkey) AS BIGINT) AS sx
-        |            FROM lineitem),
-        |pts AS (SELECT
-        |  (least(greatest(l_partkey, 0), px) * 65535) // px AS x,
-        |  (least(greatest(l_suppkey, 0), sx) * 65535) // sx AS y
-        |  FROM lineitem, st),
-        |a AS (SELECT x, y, (x | (x << 8)) & 16711935 AS xa,
-        |  (y | (y << 8)) & 16711935 AS ya FROM pts),
-        |b AS (SELECT x, y, (xa | (xa << 4)) & 252645135 AS xb,
-        |  (ya | (ya << 4)) & 252645135 AS yb FROM a),
-        |c AS (SELECT x, y, (xb | (xb << 2)) & 858993459 AS xc,
-        |  (yb | (yb << 2)) & 858993459 AS yc FROM b),
-        |d AS (SELECT x, y, (xc | (xc << 1)) & 1431655765 AS xd,
-        |  (yc | (yc << 1)) & 1431655765 AS yd FROM c),
-        |z AS (SELECT x, y, (xd | (yd << 1)) AS zv FROM d)
-        |SELECT zv >> 26 AS bucket,
-        |  min(x) AS min_x, max(x) AS max_x,
-        |  min(y) AS min_y, max(y) AS max_y,
-        |  CAST(count(*) AS BIGINT) AS n_rows
-        |FROM z GROUP BY 1""".stripMargin,
-    "zorder_zonemap_incremental" ->
-      // merge(zm(even), zm(odd)) ≡ zm(all) is asserted in-plan, so the
-      // merged frame answers the full-rebuild oracle
-      """WITH st AS (SELECT CAST(max(l_partkey) AS BIGINT) AS px,
-        |                   CAST(max(l_suppkey) AS BIGINT) AS sx
-        |            FROM lineitem),
-        |pts AS (SELECT
-        |  (least(greatest(l_partkey, 0), px) * 65535) // px AS x,
-        |  (least(greatest(l_suppkey, 0), sx) * 65535) // sx AS y
-        |  FROM lineitem, st),
-        |a AS (SELECT x, y, (x | (x << 8)) & 16711935 AS xa,
-        |  (y | (y << 8)) & 16711935 AS ya FROM pts),
-        |b AS (SELECT x, y, (xa | (xa << 4)) & 252645135 AS xb,
-        |  (ya | (ya << 4)) & 252645135 AS yb FROM a),
-        |c AS (SELECT x, y, (xb | (xb << 2)) & 858993459 AS xc,
-        |  (yb | (yb << 2)) & 858993459 AS yc FROM b),
-        |d AS (SELECT x, y, (xc | (xc << 1)) & 1431655765 AS xd,
-        |  (yc | (yc << 1)) & 1431655765 AS yd FROM c),
-        |z AS (SELECT x, y, (xd | (yd << 1)) AS zv FROM d)
-        |SELECT zv >> 26 AS bucket,
-        |  min(x) AS min_x, max(x) AS max_x,
-        |  min(y) AS min_y, max(y) AS max_y,
-        |  CAST(count(*) AS BIGINT) AS n_rows
-        |FROM z GROUP BY 1""".stripMargin,
-    "zorder3_zonemap" ->
-      (zorder3GraphSql + """
-        |SELECT zv >> 42 AS bucket,
-        |  min(x) AS min_x, max(x) AS max_x,
-        |  min(y) AS min_y, max(y) AS max_y,
-        |  min(z) AS min_z, max(z) AS max_z,
-        |  CAST(count(*) AS BIGINT) AS n_rows
-        |FROM zv3 GROUP BY 1""".stripMargin),
-    "zorder3_pruning" ->
-      // 3-D zone map from the triple chain, 2-D from the pair chain
-      // (m-prefixed), same box; the 2-D map cannot test the z bounds
-      (zorder3GraphSql + """,
-        |ma AS (SELECT x, y, z, (x | (x << 8)) & 16711935 AS xa,
-        |  (y | (y << 8)) & 16711935 AS ya FROM pts),
-        |mb AS (SELECT x, y, z, (xa | (xa << 4)) & 252645135 AS xb,
-        |  (ya | (ya << 4)) & 252645135 AS yb FROM ma),
-        |mc AS (SELECT x, y, z, (xb | (xb << 2)) & 858993459 AS xc,
-        |  (yb | (yb << 2)) & 858993459 AS yc FROM mb),
-        |md AS (SELECT x, y, z, (xc | (xc << 1)) & 1431655765 AS xd,
-        |  (yc | (yc << 1)) & 1431655765 AS yd FROM mc),
-        |mz AS (SELECT x, y, z, (xd | (yd << 1)) AS zv2 FROM md),
-        |zm3 AS (SELECT zv >> 36 AS bucket,
-        |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y,
-        |  max(y) AS max_y, min(z) AS min_z, max(z) AS max_z,
-        |  CAST(count(*) AS BIGINT) AS n_rows FROM zv3 GROUP BY 1),
-        |zm2 AS (SELECT zv2 >> 20 AS bucket,
-        |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y,
-        |  max(y) AS max_y,
-        |  CAST(count(*) AS BIGINT) AS n_rows FROM mz GROUP BY 1),
-        |box AS (SELECT
-        |  (least(greatest(500, 0), px) * 65535) // px AS x0,
-        |  (least(greatest(600, 0), px) * 65535) // px AS x1,
-        |  (least(greatest(20, 0), sx) * 65535) // sx AS y0,
-        |  (least(greatest(30, 0), sx) * 65535) // sx AS y1,
-        |  (least(greatest(1, 0), qx) * 65535) // qx AS z0,
-        |  (least(greatest(10, 0), qx) * 65535) // qx AS z1 FROM st),
-        |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_rows
-        |  FROM lineitem WHERE l_partkey BETWEEN 500 AND 600
-        |  AND l_suppkey BETWEEN 20 AND 30
-        |  AND l_quantity >= 1 AND l_quantity <= 10),
-        |s3 AS (SELECT 'zorder3' AS layout,
-        |  CAST(count(*) AS BIGINT) AS n_buckets,
-        |  CAST(COALESCE(SUM(CASE WHEN min_x <= x1 AND max_x >= x0
-        |    AND min_y <= y1 AND max_y >= y0
-        |    AND min_z <= z1 AND max_z >= z0 THEN 1 ELSE 0 END), 0)
-        |    AS BIGINT) AS n_candidate_buckets,
-        |  CAST(COALESCE(SUM(CASE WHEN min_x <= x1 AND max_x >= x0
-        |    AND min_y <= y1 AND max_y >= y0
-        |    AND min_z <= z1 AND max_z >= z0 THEN n_rows ELSE 0 END), 0)
-        |    AS BIGINT) AS n_candidate_rows
-        |  FROM zm3, box),
-        |s2 AS (SELECT 'zorder2d' AS layout,
-        |  CAST(count(*) AS BIGINT) AS n_buckets,
-        |  CAST(COALESCE(SUM(CASE WHEN min_x <= x1 AND max_x >= x0
-        |    AND min_y <= y1 AND max_y >= y0 THEN 1 ELSE 0 END), 0)
-        |    AS BIGINT) AS n_candidate_buckets,
-        |  CAST(COALESCE(SUM(CASE WHEN min_x <= x1 AND max_x >= x0
-        |    AND min_y <= y1 AND max_y >= y0 THEN n_rows ELSE 0 END), 0)
-        |    AS BIGINT) AS n_candidate_rows
-        |  FROM zm2, box)
-        |SELECT layout, n_buckets, n_candidate_buckets, n_candidate_rows,
-        |  n_exact_rows
-        |FROM (SELECT * FROM s3 UNION ALL SELECT * FROM s2), ex""".stripMargin),
-    "hilbert_zonemap" ->
-      (hilbertGraphSql + """
-        |SELECT hd >> 26 AS bucket,
-        |  min(ox) AS min_x, max(ox) AS max_x,
-        |  min(oy) AS min_y, max(oy) AS max_y,
-        |  CAST(count(*) AS BIGINT) AS n_rows
-        |FROM h0 GROUP BY 1""".stripMargin),
-    "hilbert_pruning" ->
-      // the hilbert walk from the step CTEs, morton from the spread
-      // chain (m-prefixed to avoid colliding with the walk); each
-      // layout ranked by (curve, x, y) and cut into 64 equal-count
-      // chunks — the curveFileMap construction — then the same
-      // candidate test against the same box
-      (hilbertGraphSql + """,
-        |ma AS (SELECT ox AS x, oy AS y, (ox | (ox << 8)) & 16711935 AS xa,
-        |  (oy | (oy << 8)) & 16711935 AS ya FROM h0),
-        |mb AS (SELECT x, y, (xa | (xa << 4)) & 252645135 AS xb,
-        |  (ya | (ya << 4)) & 252645135 AS yb FROM ma),
-        |mc AS (SELECT x, y, (xb | (xb << 2)) & 858993459 AS xc,
-        |  (yb | (yb << 2)) & 858993459 AS yc FROM mb),
-        |md AS (SELECT x, y, (xc | (xc << 1)) & 1431655765 AS xd,
-        |  (yc | (yc << 1)) & 1431655765 AS yd FROM mc),
-        |mz AS (SELECT x, y, (xd | (yd << 1)) AS zv FROM md),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
-        |hr AS (SELECT ox, oy,
-        |  CAST(row_number() OVER (ORDER BY hd, ox, oy) - 1 AS BIGINT) AS rn
-        |  FROM h0),
-        |hm AS (SELECT (rn * 64) // n AS bucket, min(ox) AS min_x,
-        |  max(ox) AS max_x, min(oy) AS min_y, max(oy) AS max_y,
-        |  CAST(count(*) AS BIGINT) AS n_rows FROM hr, nn GROUP BY 1),
-        |zr AS (SELECT x, y,
-        |  CAST(row_number() OVER (ORDER BY zv, x, y) - 1 AS BIGINT) AS rn
-        |  FROM mz),
-        |zm AS (SELECT (rn * 64) // n AS bucket, min(x) AS min_x,
-        |  max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
-        |  CAST(count(*) AS BIGINT) AS n_rows FROM zr, nn GROUP BY 1),
-        |box AS (SELECT
-        |  (least(greatest(500, 0), px) * 65535) // px AS x0,
-        |  (least(greatest(600, 0), px) * 65535) // px AS x1,
-        |  (least(greatest(20, 0), sx) * 65535) // sx AS y0,
-        |  (least(greatest(30, 0), sx) * 65535) // sx AS y1 FROM st),
-        |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_rows
-        |  FROM lineitem WHERE l_partkey BETWEEN 500 AND 600
-        |  AND l_suppkey BETWEEN 20 AND 30),
-        |hstat AS (SELECT 'hilbert' AS layout,
-        |  CAST(count(*) AS BIGINT) AS n_buckets,
-        |  CAST(COALESCE(SUM(CASE WHEN min_x <= x1 AND max_x >= x0
-        |    AND min_y <= y1 AND max_y >= y0 THEN 1 ELSE 0 END), 0)
-        |    AS BIGINT) AS n_candidate_buckets,
-        |  CAST(COALESCE(SUM(CASE WHEN min_x <= x1 AND max_x >= x0
-        |    AND min_y <= y1 AND max_y >= y0 THEN n_rows ELSE 0 END), 0)
-        |    AS BIGINT) AS n_candidate_rows
-        |  FROM hm, box),
-        |zstat AS (SELECT 'zorder' AS layout,
-        |  CAST(count(*) AS BIGINT) AS n_buckets,
-        |  CAST(COALESCE(SUM(CASE WHEN min_x <= x1 AND max_x >= x0
-        |    AND min_y <= y1 AND max_y >= y0 THEN 1 ELSE 0 END), 0)
-        |    AS BIGINT) AS n_candidate_buckets,
-        |  CAST(COALESCE(SUM(CASE WHEN min_x <= x1 AND max_x >= x0
-        |    AND min_y <= y1 AND max_y >= y0 THEN n_rows ELSE 0 END), 0)
-        |    AS BIGINT) AS n_candidate_rows
-        |  FROM zm, box)
-        |SELECT layout, n_buckets, n_candidate_buckets, n_candidate_rows,
-        |  n_exact_rows
-        |FROM (SELECT * FROM hstat UNION ALL SELECT * FROM zstat), ex""".stripMargin),
-    "dq_audit" ->
-      """SELECT 'not_null(l_orderkey)' AS constraint_name,
-        |  CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(coalesce(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'in_range(l_quantity,1,50)', CAST(count(*) AS BIGINT),
-        |  CAST(coalesce(sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50) THEN 1 ELSE 0 END), 0) AS BIGINT)
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'in_range(l_linenumber,1,4)', CAST(count(*) AS BIGINT),
-        |  CAST(coalesce(sum(CASE WHEN NOT (l_linenumber >= 1 AND l_linenumber <= 4) THEN 1 ELSE 0 END), 0) AS BIGINT)
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'matches(l_returnflag)', CAST(count(*) AS BIGINT),
-        |  CAST(coalesce(sum(CASE WHEN NOT regexp_matches(l_returnflag, '^[ARN]$') THEN 1 ELSE 0 END), 0) AS BIGINT)
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'matches(l_linestatus)', CAST(count(*) AS BIGINT),
-        |  CAST(coalesce(sum(CASE WHEN NOT regexp_matches(l_linestatus, '^F$') THEN 1 ELSE 0 END), 0) AS BIGINT)
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'unique(l_orderkey,l_linenumber)',
-        |  CAST(coalesce(sum(c), 0) AS BIGINT),
-        |  CAST(coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT)
-        |FROM (SELECT count(*) AS c FROM lineitem
-        |      GROUP BY l_orderkey, l_linenumber)
-        |UNION ALL
-        |SELECT 'foreign_key(l_orderkey->o_orderkey)',
-        |  CAST(count(*) AS BIGINT),
-        |  CAST(coalesce(sum(CASE WHEN l_orderkey IS NOT NULL
-        |    AND o2.o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
-        |FROM lineitem LEFT JOIN
-        |  (SELECT DISTINCT o_orderkey FROM orders) o2
-        |  ON l_orderkey = o2.o_orderkey""".stripMargin,
-    "table_profile" -> ordersProfileOracleSql,
-    "dq_suggest" ->
-      // the rule derivation replayed over the profile CTE: same
-      // row-local predicates, TRY_CAST as the lossless-integer gate
-      s"""WITH prof AS (
-         |$ordersProfileOracleSql
-         |)
-         |SELECT column_name, 'not_null' AS rule_type,
-         |       CAST(NULL AS BIGINT) AS lo, CAST(NULL AS BIGINT) AS hi
-         |FROM prof WHERE n_rows > 0 AND n_nonnull = n_rows
-         |UNION ALL
-         |SELECT column_name, 'unique', CAST(NULL AS BIGINT),
-         |       CAST(NULL AS BIGINT)
-         |FROM prof WHERE is_candidate_key
-         |UNION ALL
-         |SELECT column_name, 'in_range',
-         |       TRY_CAST(min_value AS BIGINT),
-         |       TRY_CAST(max_value AS BIGINT)
-         |FROM prof
-         |WHERE n_nonnull > 0
-         |  AND data_type IN ('tinyint', 'smallint', 'int', 'bigint')
-         |  AND TRY_CAST(min_value AS BIGINT) IS NOT NULL
-         |  AND TRY_CAST(max_value AS BIGINT) IS NOT NULL""".stripMargin,
-    "profile_top_values" -> {
-      def one(c: String): String =
-        s"""SELECT column_name, value, n, rnk FROM (
-           |  SELECT '$c' AS column_name, value, n,
-           |    CAST(row_number() OVER (ORDER BY n DESC, value) AS INT) AS rnk
-           |  FROM (SELECT CAST($c AS VARCHAR) AS value,
-           |               CAST(count(*) AS BIGINT) AS n
-           |        FROM orders WHERE $c IS NOT NULL GROUP BY 1)
-           |) WHERE rnk <= 3""".stripMargin
-      Seq("o_orderstatus", "o_orderpriority", "o_custkey")
-        .map(one).mkString("\nUNION ALL\n")
-    },
-    "profile_fds" -> {
-      def one(a: String, b: String): String =
-        s"""SELECT '$a->$b' AS dependency,
-           |  CAST(count(*) AS BIGINT) AS n_groups,
-           |  CAST(coalesce(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violating_groups,
-           |  (coalesce(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END), 0) = 0) AS holds
-           |FROM (SELECT $a, count(DISTINCT $b) AS k
-           |      FROM orders GROUP BY $a)""".stripMargin
-      Seq("o_orderkey" -> "o_custkey", "o_custkey" -> "o_orderkey",
-        "o_custkey" -> "o_orderstatus",
-        "o_orderpriority" -> "o_orderstatus")
-        .map { case (a, b) => one(a, b) }.mkString("\nUNION ALL\n")
-    },
-    "langid_confusion" ->
-      """WITH ann AS (
-        |  SELECT lang,
-        |    CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'en'
-        |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'de'
-        |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'fr'
-        |         WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'es'
-        |         ELSE 'ru' END AS lang_pred
-        |  FROM (
-        |    SELECT lang,
-        |      len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
-        |      len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
-        |      len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS s_fr,
-        |      len(list_filter(toks, x -> x IN ('el','los','las','es','y'))) AS s_es,
-        |      len(list_filter(toks, x -> x IN ('и','в','не','на','что'))) AS s_ru
-        |    FROM (SELECT lang, string_split(text, ' ') AS toks
-        |          FROM documents)))
-        |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
-        |FROM ann GROUP BY 1, 2""".stripMargin,
-    "profile_drift" ->
-      """SELECT 'o_orderkey' AS column_name, 'common' AS status,
-        |  'bigint' AS old_type, 'bigint' AS new_type,
-        |  FALSE AS type_changed,
-        |  (SELECT CAST(count(o_orderkey) AS BIGINT) FROM orders) AS old_nonnull,
-        |  (SELECT CAST(count(o_orderkey) AS BIGINT) FROM orders) AS new_nonnull,
-        |  (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS old_distinct,
-        |  (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS new_distinct
-        |UNION ALL
-        |SELECT 'o_custkey', 'common', 'bigint', 'string', TRUE,
-        |  (SELECT CAST(count(o_custkey) AS BIGINT) FROM orders),
-        |  (SELECT CAST(count(o_custkey) AS BIGINT) FROM orders),
-        |  (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders),
-        |  (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
-        |UNION ALL
-        |SELECT 'o_orderstatus', 'common', 'string', 'string', FALSE,
-        |  (SELECT CAST(count(o_orderstatus) AS BIGINT) FROM orders),
-        |  (SELECT CAST(count(o_orderstatus) AS BIGINT) FROM orders
-        |   WHERE o_orderkey % 10 <> 0),
-        |  (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders),
-        |  (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
-        |   WHERE o_orderkey % 10 <> 0)
-        |UNION ALL
-        |SELECT 'o_orderpriority', 'removed', 'string',
-        |  CAST(NULL AS VARCHAR), CAST(NULL AS BOOLEAN),
-        |  (SELECT CAST(count(o_orderpriority) AS BIGINT) FROM orders),
-        |  CAST(NULL AS BIGINT),
-        |  (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders),
-        |  CAST(NULL AS BIGINT)
-        |UNION ALL
-        |SELECT 'o_channel', 'added', CAST(NULL AS VARCHAR), 'string',
-        |  CAST(NULL AS BOOLEAN),
-        |  CAST(NULL AS BIGINT),
-        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
-        |  CAST(NULL AS BIGINT),
-        |  (SELECT CAST(count(DISTINCT o_orderkey % 3) AS BIGINT) FROM orders)""".stripMargin,
-    "profile_psi" -> {
-      val cmp = (1 to 7).map(i =>
-        s"CASE WHEN v > qs[$i] THEN 1 ELSE 0 END").mkString(" + ")
-      s"""WITH b AS (SELECT quantile_cont(o_custkey,
-         |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs
-         |  FROM orders),
-         |rc AS (SELECT ($cmp) AS bucket, count(*) AS n FROM
-         |  (SELECT o_custkey AS v FROM orders WHERE o_custkey IS NOT NULL), b
-         |  GROUP BY 1),
-         |nc AS (SELECT ($cmp) AS bucket, count(*) AS n FROM
-         |  (SELECT (o_custkey + 300) % 1500 AS v FROM orders
-         |   WHERE o_custkey IS NOT NULL), b
-         |  GROUP BY 1)
-         |SELECT coalesce(rc.bucket, nc.bucket) AS bucket,
-         |  CAST(coalesce(rc.n, 0) AS BIGINT) AS ref_n,
-         |  CAST(coalesce(nc.n, 0) AS BIGINT) AS new_n
-         |FROM rc FULL OUTER JOIN nc ON rc.bucket = nc.bucket""".stripMargin
-    },
-    "profile_histogram" -> {
-      val cmp = (1 to 7).map(i =>
-        s"CASE WHEN o_custkey > qs[$i] THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH b AS (SELECT
-         |  quantile_cont(o_custkey,
-         |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs,
-         |  CAST(min(o_custkey) AS DOUBLE) AS mn,
-         |  CAST(max(o_custkey) AS DOUBLE) AS mx
-         |  FROM orders),
-         |r AS (SELECT ($cmp) AS bucket
-         |  FROM orders, b WHERE o_custkey IS NOT NULL)
-         |SELECT bucket,
-         |  CASE WHEN bucket = 0 THEN any_value(b.mn)
-         |       ELSE any_value(b.qs)[bucket] END AS lo_bound,
-         |  CASE WHEN bucket = 7 THEN any_value(b.mx)
-         |       ELSE any_value(b.qs)[bucket + 1] END AS hi_bound,
-         |  CAST(count(*) AS BIGINT) AS n
-         |FROM r, b GROUP BY bucket""".stripMargin
-    },
-    "corpus_balanced_sample" ->
-      """SELECT doc_id, lang, rk AS sample_rank FROM (
-        |  SELECT doc_id, lang,
-        |    CAST(row_number() OVER (PARTITION BY lang
-        |      ORDER BY substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4),
-        |               CAST(doc_id AS VARCHAR)) AS INT) AS rk
-        |  FROM documents)
-        |WHERE rk <= 16""".stripMargin,
-    "event_anomalies" -> eventAnomaliesOracleSql,
-    "event_anomalies_dense" ->
-      // the densified verdict: every (type, hour) in the load-spanning
-      // hourly calendar gets a row, absent ones at cnt=0
-      """WITH series AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS event_hour,
-        |         count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |cal AS (
-        |  SELECT unnest(generate_series(date_trunc('hour', min(ts)),
-        |                                date_trunc('hour', max(ts)),
-        |                                INTERVAL 1 HOUR)) AS event_hour
-        |  FROM events),
-        |dense AS (
-        |  SELECT g.event_type, c.event_hour, coalesce(s.cnt, 0) AS cnt
-        |  FROM (SELECT DISTINCT event_type FROM series) g
-        |  CROSS JOIN cal c
-        |  LEFT JOIN series s ON s.event_type = g.event_type
-        |                    AND s.event_hour = c.event_hour),
-        |med AS (SELECT event_type, median(cnt) AS med
-        |        FROM dense GROUP BY 1),
-        |wm AS (SELECT d.event_type, d.event_hour, d.cnt, m.med,
-        |              abs(d.cnt - m.med) AS adev
-        |       FROM dense d JOIN med m ON d.event_type = m.event_type),
-        |mad AS (SELECT event_type, median(adev) AS mad
-        |        FROM wm GROUP BY 1)
-        |SELECT w.event_type, w.event_hour, w.cnt, w.med, d.mad,
-        |       (w.adev > 3.0 * d.mad) AS is_anomaly
-        |FROM wm w JOIN mad d ON w.event_type = d.event_type""".stripMargin,
-    // fold-then-detect == detect over all events ever streamed: same
-    // SQL, and a hash match proves the count-store compaction lossless
-    "count_store_compaction" -> eventAnomaliesOracleSql,
-    "event_drift" ->
-      """WITH series AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS event_hour,
-        |         count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |med AS (SELECT event_type, median(cnt) AS med
-        |        FROM series GROUP BY 1),
-        |wm AS (SELECT s.event_type, s.event_hour, s.cnt, m.med,
-        |              abs(s.cnt - m.med) AS adev
-        |       FROM series s JOIN med m ON s.event_type = m.event_type),
-        |mad AS (SELECT event_type, median(adev) AS mad
-        |        FROM wm GROUP BY 1),
-        |base AS (SELECT w.event_type, w.event_hour, w.cnt, w.med, d.mad,
-        |  (w.cnt - w.med - 0.5 * d.mad) AS dp,
-        |  (w.med - w.cnt - 0.5 * d.mad) AS dn
-        |  FROM wm w JOIN mad d ON w.event_type = d.event_type),
-        |s1 AS (SELECT *,
-        |  sum(dp) OVER (PARTITION BY event_type ORDER BY event_hour
-        |                ROWS UNBOUNDED PRECEDING) AS sp,
-        |  sum(dn) OVER (PARTITION BY event_type ORDER BY event_hour
-        |                ROWS UNBOUNDED PRECEDING) AS sn
-        |  FROM base),
-        |s2 AS (SELECT *,
-        |  sp - least(0, min(sp) OVER (PARTITION BY event_type
-        |    ORDER BY event_hour ROWS UNBOUNDED PRECEDING)) AS cusum_pos,
-        |  sn - least(0, min(sn) OVER (PARTITION BY event_type
-        |    ORDER BY event_hour ROWS UNBOUNDED PRECEDING)) AS cusum_neg
-        |  FROM s1)
-        |SELECT event_type, event_hour, cnt, cusum_pos, cusum_neg,
-        |  (cusum_pos > 5.0 * mad OR cusum_neg > 5.0 * mad) AS is_drift
-        |FROM s2""".stripMargin,
-    "bloom_index_build" -> bloomBuildOracleSql,
-    // OR-folding partial builds == one full build: same SQL, and a
-    // hash match proves the store compaction lossless bit-for-bit
-    "bloom_store_compaction" -> bloomBuildOracleSql,
-    "bloom_index_prune" ->
-      s"""WITH raw AS (
-         |  SELECT o_orderkey // 256 AS chunk,
-         |         unnest(${bloomPosListSql("CAST(o_custkey AS VARCHAR)")}) AS pos
-         |  FROM orders WHERE o_custkey IS NOT NULL),
-         |idx AS (
-         |  SELECT chunk, pos // 63 AS word,
-         |         bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bitmap
-         |  FROM raw GROUP BY 1, 2),
-         |probes AS (SELECT unnest(['7','42','137','999','1250',
-         |                          '100007','100042','100137']) AS probe_key),
-         |ppos AS (
-         |  SELECT DISTINCT probe_key, pos // 63 AS word,
-         |         CAST(1 AS BIGINT) << CAST(pos % 63 AS INT) AS mask
-         |  FROM (SELECT probe_key,
-         |               unnest(${bloomPosListSql("probe_key")}) AS pos
-         |        FROM probes)),
-         |need AS (SELECT probe_key, count(*) AS need FROM ppos GROUP BY 1),
-         |hits AS (
-         |  SELECT probe_key, chunk, count(*) AS hits
-         |  FROM idx JOIN ppos USING (word)
-         |  WHERE (bitmap & mask) = mask GROUP BY 1, 2),
-         |cand AS (SELECT h.probe_key, h.chunk FROM hits h
-         |         JOIN need n ON h.probe_key = n.probe_key
-         |         WHERE h.hits = n.need),
-         |truth AS (
-         |  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS probe_key,
-         |         o_orderkey // 256 AS chunk
-         |  FROM orders
-         |  WHERE CAST(o_custkey AS VARCHAR) IN (SELECT probe_key FROM probes)),
-         |cc AS (SELECT probe_key, count(*) AS n FROM cand GROUP BY 1),
-         |tc AS (SELECT probe_key, count(*) AS n FROM truth GROUP BY 1)
-         |SELECT p.probe_key,
-         |  CAST(coalesce(cc.n, 0) AS BIGINT) AS n_candidates,
-         |  CAST(coalesce(tc.n, 0) AS BIGINT) AS n_true
-         |FROM probes p
-         |LEFT JOIN cc ON p.probe_key = cc.probe_key
-         |LEFT JOIN tc ON p.probe_key = tc.probe_key""".stripMargin,
-    "zonemap_prune_scan" ->
-      // the pruned scan must be indistinguishable from the raw filter
-      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
-        |FROM lineitem
-        |WHERE l_partkey BETWEEN 500 AND 600
-        |  AND l_suppkey BETWEEN 20 AND 30""".stripMargin,
-    "zonemap3_prune_scan" ->
-      // 3-D pruned scan ≡ the raw 3-range filter
-      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
-        |FROM lineitem
-        |WHERE l_partkey BETWEEN 300 AND 900
-        |  AND l_suppkey BETWEEN 5 AND 60
-        |  AND l_orderkey <= 300000""".stripMargin,
-    "zonemap_prune_string" ->
-      // string-box pruned scan ≡ the raw date-string range filter
-      """SELECT l_orderkey,
-        |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
-        |       l_quantity
-        |FROM lineitem
-        |WHERE strftime(l_shipdate, '%Y-%m-%d') >= '1995-03-01'
-        |  AND strftime(l_shipdate, '%Y-%m-%d') < '1995-06-01'""".stripMargin,
-    "zorder_pruning" ->
-      """WITH st AS (SELECT CAST(max(l_partkey) AS BIGINT) AS px,
-        |                   CAST(max(l_suppkey) AS BIGINT) AS sx
-        |            FROM lineitem),
-        |pts AS (SELECT
-        |  (least(greatest(l_partkey, 0), px) * 65535) // px AS x,
-        |  (least(greatest(l_suppkey, 0), sx) * 65535) // sx AS y
-        |  FROM lineitem, st),
-        |a AS (SELECT x, y, (x | (x << 8)) & 16711935 AS xa,
-        |  (y | (y << 8)) & 16711935 AS ya FROM pts),
-        |b AS (SELECT x, y, (xa | (xa << 4)) & 252645135 AS xb,
-        |  (ya | (ya << 4)) & 252645135 AS yb FROM a),
-        |c AS (SELECT x, y, (xb | (xb << 2)) & 858993459 AS xc,
-        |  (yb | (yb << 2)) & 858993459 AS yc FROM b),
-        |d AS (SELECT x, y, (xc | (xc << 1)) & 1431655765 AS xd,
-        |  (yc | (yc << 1)) & 1431655765 AS yd FROM c),
-        |z AS (SELECT x, y, (xd | (yd << 1)) AS zv FROM d),
-        |zm AS (SELECT zv >> 26 AS bucket, min(x) AS min_x, max(x) AS max_x,
-        |  min(y) AS min_y, max(y) AS max_y,
-        |  CAST(count(*) AS BIGINT) AS n_rows FROM z GROUP BY 1),
-        |lm AS (SELECT x >> 10 AS bucket, min(x) AS min_x, max(x) AS max_x,
-        |  min(y) AS min_y, max(y) AS max_y,
-        |  CAST(count(*) AS BIGINT) AS n_rows FROM z GROUP BY 1),
-        |box AS (SELECT
-        |  (least(greatest(500, 0), px) * 65535) // px AS x0,
-        |  (least(greatest(600, 0), px) * 65535) // px AS x1,
-        |  (least(greatest(20, 0), sx) * 65535) // sx AS y0,
-        |  (least(greatest(30, 0), sx) * 65535) // sx AS y1 FROM st),
-        |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_rows
-        |  FROM lineitem WHERE l_partkey BETWEEN 500 AND 600
-        |  AND l_suppkey BETWEEN 20 AND 30),
-        |zstat AS (SELECT 'zorder' AS layout,
-        |  CAST(count(*) AS BIGINT) AS n_buckets,
-        |  CAST(COALESCE(SUM(CASE WHEN min_x <= x1 AND max_x >= x0
-        |    AND min_y <= y1 AND max_y >= y0 THEN 1 ELSE 0 END), 0)
-        |    AS BIGINT) AS n_candidate_buckets,
-        |  CAST(COALESCE(SUM(CASE WHEN min_x <= x1 AND max_x >= x0
-        |    AND min_y <= y1 AND max_y >= y0 THEN n_rows ELSE 0 END), 0)
-        |    AS BIGINT) AS n_candidate_rows
-        |  FROM zm, box),
-        |lstat AS (SELECT 'linear' AS layout,
-        |  CAST(count(*) AS BIGINT) AS n_buckets,
-        |  CAST(COALESCE(SUM(CASE WHEN min_x <= x1 AND max_x >= x0
-        |    AND min_y <= y1 AND max_y >= y0 THEN 1 ELSE 0 END), 0)
-        |    AS BIGINT) AS n_candidate_buckets,
-        |  CAST(COALESCE(SUM(CASE WHEN min_x <= x1 AND max_x >= x0
-        |    AND min_y <= y1 AND max_y >= y0 THEN n_rows ELSE 0 END), 0)
-        |    AS BIGINT) AS n_candidate_rows
-        |  FROM lm, box)
-        |SELECT layout, n_buckets, n_candidate_buckets, n_candidate_rows,
-        |  n_exact_rows
-        |FROM (SELECT * FROM zstat UNION ALL SELECT * FROM lstat), ex""".stripMargin,
-    "source_jaccard_exact" ->
-      // per-source distinct 3-gram sets (ngram_jaccard's comprehension),
-      // pairwise |A∩B| via equi-join, every pair kept through the
-      // sizes cross frame; counts CAST from HUGEINT (r8 rule), 0/0
-      // guarded to 0.0 on both sides
-      """WITH sh AS (SELECT DISTINCT source, sh FROM (
-        |  SELECT source,
-        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
-        |  WHERE len(t) >= 3)),
-        |sizes AS (SELECT d.source, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
-        |  FROM (SELECT DISTINCT source FROM documents) d
-        |  LEFT JOIN (SELECT source, COUNT(*) AS n FROM sh GROUP BY source) c
-        |    USING (source)),
-        |ints AS (SELECT a.source AS source_a, b.source AS source_b,
-        |    COUNT(*) AS ni
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
-        |  GROUP BY a.source, b.source)
-        |SELECT x.source AS source_a, y.source AS source_b,
-        |  CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_int,
-        |  CAST(x.n + y.n - COALESCE(i.ni, 0) AS BIGINT) AS n_union,
-        |  CASE WHEN x.n + y.n - COALESCE(i.ni, 0) = 0 THEN 0.0
-        |       ELSE CAST(COALESCE(i.ni, 0) AS DOUBLE)
-        |            / CAST(x.n + y.n - COALESCE(i.ni, 0) AS DOUBLE) END
-        |    AS jaccard
-        |FROM sizes x JOIN sizes y ON x.source < y.source
-        |LEFT JOIN ints i
-        |  ON i.source_a = x.source AND i.source_b = y.source""".stripMargin,
-    "simhash_codes_portable" ->
-      // both engines: per token, first 64 bits of md5 (= 16 hex chars,
-      // decoded nibble-wise here), ±1 vote per bit over token
-      // OCCURRENCES, code bit = vote sum > 0. The signed int64 is
-      // rebuilt from bits with an explicit -2^63 term for bit 63 and
-      // the SUM cast back from HUGEINT (the r8 rule).
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-        |hx AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM tok),
-        |votes AS (
-        |  SELECT doc_id, r.b AS b,
-        |    SUM(CASE WHEN (strpos('0123456789abcdef', substr(h, 16 - r.b // 4, 1)) - 1)
-        |              & (1 << (r.b % 4)) != 0 THEN 1 ELSE -1 END) AS v
-        |  FROM hx, range(64) r(b)
-        |  GROUP BY doc_id, r.b)
-        |SELECT doc_id,
-        |  CAST(SUM(CASE WHEN v <= 0 THEN 0
-        |           WHEN b = 63 THEN -9223372036854775808
-        |           ELSE (CAST(1 AS BIGINT) << b) END) AS BIGINT) AS simhash
-        |FROM votes GROUP BY doc_id""".stripMargin,
-    "simhash_pairs_portable" ->
-      // exact all-pairs hamming over the portable codes: the engine's
-      // pigeonhole join must reproduce this set EXACTLY (no recall
-      // slack) — bit_count(xor) is two's-complement popcount in both
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-        |hx AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM tok),
-        |votes AS (
-        |  SELECT doc_id, r.b AS b,
-        |    SUM(CASE WHEN (strpos('0123456789abcdef', substr(h, 16 - r.b // 4, 1)) - 1)
-        |              & (1 << (r.b % 4)) != 0 THEN 1 ELSE -1 END) AS v
-        |  FROM hx, range(64) r(b)
-        |  GROUP BY doc_id, r.b),
-        |code AS (
-        |  SELECT doc_id,
-        |    CAST(SUM(CASE WHEN v <= 0 THEN 0
-        |             WHEN b = 63 THEN -9223372036854775808
-        |             ELSE (CAST(1 AS BIGINT) << b) END) AS BIGINT) AS simhash
-        |  FROM votes GROUP BY doc_id)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        |FROM code a JOIN code b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
-    "boilerplate_scores" ->
-      // portable-fingerprint twin of the winnowing kernel: both engines
-      // fingerprint with substr(md5(gram),1,16) (lowercase hex compares
-      // identically as ASCII), take the min per 8-window of the 8-gram
-      // hash stream — min-of-all for docs with 1..7 grams via the
-      // greatest(...,2) clamp, none for gram-less docs — then count
-      // distinct fps and those shared by >= 2 docs. n_shared's
-      // SUM(CASE) is CAST back from DuckDB's HUGEINT (the r8 rule).
-      """WITH g AS (SELECT doc_id,
-        |  [substr(md5(substr(text, i, 8)), 1, 16)
-        |   for i in range(1, greatest(len(text) - 6, 1))] AS h
-        |  FROM documents),
-        |fp AS (SELECT DISTINCT doc_id, fp FROM (
-        |  SELECT doc_id, unnest(
-        |    [list_min(h[i:i+7]) for i in range(1, greatest(len(h) - 6, 2))]) AS fp
-        |  FROM g WHERE len(h) >= 1)),
-        |shared AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) >= 2),
-        |agg AS (SELECT f.doc_id, COUNT(*) AS n_fp,
-        |  SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
-        |  FROM fp f LEFT JOIN shared s USING (fp) GROUP BY f.doc_id)
-        |SELECT d.doc_id,
-        |  CAST(COALESCE(a.n_fp, 0) AS BIGINT) AS n_fp,
-        |  CAST(COALESCE(a.n_shared, 0) AS BIGINT) AS n_shared,
-        |  CASE WHEN COALESCE(a.n_fp, 0) = 0 THEN 0.0
-        |       ELSE CAST(a.n_shared AS DOUBLE) / CAST(a.n_fp AS DOUBLE) END
-        |    AS boilerplate_frac
-        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
-    // k=5/w=4 winnowing twin: the kernel emits DISTINCT ASCENDING
-    // fingerprints, so n_fp = count distinct and min_fp = MIN — the
-    // same comprehension as boilerplate_scores' fp stage at (8,8)
-    "winnow_fingerprints_portable" ->
-      """WITH g AS (SELECT doc_id,
-        |  [substr(md5(substr(text, i, 5)), 1, 16)
-        |   for i in range(1, greatest(len(text) - 3, 1))] AS h
-        |  FROM documents),
-        |fp AS (SELECT DISTINCT doc_id, fp FROM (
-        |  SELECT doc_id, unnest(
-        |    [list_min(h[i:i+3]) for i in range(1, greatest(len(h) - 2, 2))]) AS fp
-        |  FROM g WHERE len(h) >= 1)),
-        |agg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_fp,
-        |  MIN(fp) AS min_fp FROM fp GROUP BY doc_id)
-        |SELECT d.doc_id, COALESCE(a.n_fp, 0) AS n_fp, a.min_fp AS min_fp
-        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
-    // group MinHash union: min over a union of shingle sets = min over
-    // per-set mins, so DISTINCT (source, shingle) + per-(source, k) MIN
-    // reproduces the engine's per-doc-signature fold exactly
-    "source_minhash_jaccard_portable" ->
-      """WITH toks AS (SELECT source, string_split(text, ' ') AS t
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |sh AS (SELECT DISTINCT source, sh FROM (
-        |  SELECT source,
-        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM toks WHERE len(t) >= 3)),
-        |gsig AS (SELECT source, k,
-        |  MIN(substr(md5(sh || ':' || CAST(k AS VARCHAR)), 1, 16)) AS h
-        |  FROM sh CROSS JOIN range(64) r(k) GROUP BY source, k)
-        |SELECT a.source AS source_a, b.source AS source_b,
-        |  CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS DOUBLE) / 64.0
-        |    AS est_jaccard
-        |FROM gsig a JOIN gsig b ON a.k = b.k AND a.source < b.source
-        |GROUP BY 1, 2""".stripMargin,
-    "novelty_scores" ->
-      // exact-text twin of the hashed-shingle plan (ngram_jaccard's
-      // 3-gram comprehension); DISTINCT per doc mirrors array_distinct
-      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
-        |dsh AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id,
-        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM toks WHERE regexp_matches(source, '^src1[0-9]$') AND len(t) >= 3)),
-        |rsh AS (SELECT DISTINCT sh FROM (
-        |  SELECT unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM toks WHERE regexp_matches(source, '^src[0-9]$') AND len(t) >= 3)),
-        |agg AS (SELECT doc_id, COUNT(*) AS n_sh,
-        |  CAST(SUM(CASE WHEN r.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known
-        |  FROM dsh d LEFT JOIN rsh r USING (sh) GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |  COALESCE(a.n_sh, 0) AS n_sh,
-        |  COALESCE(a.n_known, 0) AS n_known
-        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-        |WHERE regexp_matches(d.source, '^src1[0-9]$')""".stripMargin,
-    "duplicate_spans" ->
-      // exact-text twin of the hashed-span plan; gaps (pos - prev) are
-      // base-independent, so DuckDB's 1-based positions match Spark's
-      // 0-based posexplode
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |grams AS (SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS sh
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos
-        |        FROM toks WHERE len(t) >= 8)),
-        |hot AS (SELECT sh FROM grams GROUP BY sh HAVING COUNT(*) >= 2),
-        |seq AS (SELECT doc_id, pos,
-        |  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        |  FROM grams JOIN hot USING (sh)),
-        |cov AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
-        |  SUM(CASE WHEN prev IS NULL THEN 8 ELSE LEAST(8, pos - prev) END) AS dup_tokens
-        |  FROM seq GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-        |  CAST(COALESCE(c.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
-        |  CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens
-        |FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id""".stripMargin,
-    "strip_duplicate_spans" ->
-      // DuckDB's 1-based positions are self-consistent (coverage tests
-      // s <= i < s+8 in the same base); empty-array array_to_string is
-      // NULL in DuckDB, hence the final COALESCE for fully-covered docs
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |grams AS (SELECT doc_id, pos, array_to_string(tk[pos:pos+7], ' ') AS sh
-        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS pos
-        |        FROM toks WHERE len(tk) >= 8)),
-        |hot AS (SELECT sh FROM grams GROUP BY sh HAVING COUNT(*) >= 2),
-        |starts AS (SELECT doc_id, list_sort(list(pos)) AS st
-        |  FROM grams JOIN hot USING (sh) GROUP BY doc_id),
-        |kept AS (SELECT t.doc_id,
-        |  [t.tk[i] for i in range(1, len(t.tk) + 1)
-        |   if len(list_filter(coalesce(s.st, []), x -> x <= i AND i < x + 8)) = 0]
-        |    AS kt,
-        |  CAST(len(t.tk) AS BIGINT) AS n_tokens
-        |  FROM toks t LEFT JOIN starts s ON t.doc_id = s.doc_id)
-        |SELECT doc_id,
-        |  COALESCE(array_to_string(kt, ' '), '') AS clean_text,
-        |  n_tokens,
-        |  n_tokens - CAST(len(kt) AS BIGINT) AS n_removed
-        |FROM kept""".stripMargin,
-    "dedup_clusters" ->
-      """WITH RECURSIVE
-        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id,
-        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM toks WHERE len(t) >= 3)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |pairs AS (SELECT id_a, id_b FROM inter
-        |  JOIN sizes na ON na.doc_id = id_a
-        |  JOIN sizes nb ON nb.doc_id = id_b
-        |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5),
-        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(id, comp) AS (
-        |  SELECT s, s FROM edges
-        |  UNION
-        |  SELECT e.t, r.comp FROM reach r JOIN edges e ON e.s = r.id)
-        |SELECT d.doc_id, COALESCE(MIN(r.comp), d.doc_id) AS component
-        |FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
-        |GROUP BY d.doc_id""".stripMargin,
-    "doc_pagerank" -> docPagerankSql(3),
-    "graph_communities" -> docLabelPropSql(3),
-    "doc_pagerank_weighted" -> docPagerankWeightedSql(3),
-    "graph_kcore" -> graphKcoreSql(2, 4),
-    "graph_triangles" ->
-      // the dedup_clusters pair graph; triangles enumerated a<b<c by
-      // the canonical 3-way join (the oracle can afford it — the
-      // registered entry uses degree-ordered wedges for skew safety,
-      // and the per-node counts are orientation-independent)
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id,
-        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM toks WHERE len(t) >= 3)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |pairs AS (SELECT id_a, id_b FROM inter
-        |  JOIN sizes na ON na.doc_id = id_a
-        |  JOIN sizes nb ON nb.doc_id = id_b
-        |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5),
-        |tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
-        |  FROM pairs e1
-        |  JOIN pairs e2 ON e2.id_a = e1.id_b
-        |  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
-        |tcnt AS (SELECT nid, COUNT(*) AS tc FROM (
-        |  SELECT a AS nid FROM tri UNION ALL SELECT b FROM tri
-        |  UNION ALL SELECT c FROM tri) GROUP BY nid),
-        |deg AS (SELECT nid, COUNT(*) AS dg FROM (
-        |  SELECT id_a AS nid FROM pairs UNION ALL SELECT id_b FROM pairs)
-        |  GROUP BY nid)
-        |SELECT d.doc_id,
-        |  CAST(COALESCE(g.dg, 0) AS BIGINT) AS degree,
-        |  CAST(COALESCE(t.tc, 0) AS BIGINT) AS n_triangles,
-        |  CASE WHEN COALESCE(g.dg, 0) >= 2
-        |    THEN CAST(2 * COALESCE(t.tc, 0) AS DOUBLE) /
-        |         CAST(g.dg * (g.dg - 1) AS DOUBLE)
-        |    ELSE 0.0 END AS clustering
-        |FROM documents d
-        |LEFT JOIN deg g ON g.nid = d.doc_id
-        |LEFT JOIN tcnt t ON t.nid = d.doc_id""".stripMargin,
-    "dedup_cluster_sizes" ->
-      // the dedup_clusters recursive CTE, rolled up twice: component ->
-      // member count -> histogram of cluster sizes
-      """WITH RECURSIVE
-        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id,
-        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM toks WHERE len(t) >= 3)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |pairs AS (SELECT id_a, id_b FROM inter
-        |  JOIN sizes na ON na.doc_id = id_a
-        |  JOIN sizes nb ON nb.doc_id = id_b
-        |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5),
-        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(id, comp) AS (
-        |  SELECT s, s FROM edges
-        |  UNION
-        |  SELECT e.t, r.comp FROM reach r JOIN edges e ON e.s = r.id),
-        |labels AS (SELECT d.doc_id, COALESCE(MIN(r.comp), d.doc_id) AS component
-        |  FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
-        |  GROUP BY d.doc_id),
-        |members AS (SELECT component, COUNT(*) AS n_members
-        |  FROM labels GROUP BY component)
-        |SELECT n_members, COUNT(*) AS n_clusters
-        |FROM members GROUP BY n_members""".stripMargin,
-    "dedup_corpus" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM (
-        |  SELECT doc_id,
-        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM toks WHERE len(t) >= 3)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |drops AS (SELECT DISTINCT id_b FROM inter
-        |  JOIN sizes na ON na.doc_id = id_a
-        |  JOIN sizes nb ON nb.doc_id = id_b
-        |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5)
-        |SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE id_b = doc_id)""".stripMargin,
-    "text_stats" ->
-      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-        |b AS (SELECT doc_id, text, toks,
-        |  len(toks) AS n_tokens,
-        |  len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
-        |  CAST(length(text) - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
-        |  len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS n_stopwords,
-        |  len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
-        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
-        |  len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS s_fr,
-        |  len(list_filter(toks, x -> x IN ('el','los','las','es','y'))) AS s_es,
-        |  len(list_filter(toks, x -> x IN ('и','в','не','на','что'))) AS s_ru
-        | FROM t)
-        |SELECT doc_id, n_tokens, n_word_tokens, avg_token_len, n_stopwords,
-        | CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'en'
-        |      WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'de'
-        |      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'fr'
-        |      WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'es'
-        |      ELSE 'ru' END AS lang_pred,
-        | (least(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, CAST(1.0 AS DOUBLE))
-        |  + CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
-        |  + least(CAST(n_tokens AS DOUBLE) / 20.0, CAST(1.0 AS DOUBLE))) / 3.0 AS quality
-        |FROM b""".stripMargin,
-    "text_normalize" ->
-      """SELECT doc_id,
-        | trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-        |   ' +', ' ', 'g')) AS norm_text
-        |FROM documents""".stripMargin,
-    "text_repetition" ->
-      // the explode+groupBy formulation of the per-row kernel: counts are
-      // integers in both engines, fractions one identical double division
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |g2 AS (SELECT doc_id,
-        |  unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS g
-        |  FROM toks WHERE len(t) >= 2),
-        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
-        |s2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total2,
-        |  COUNT(*) AS dist2, CAST(MAX(c) AS BIGINT) AS mx2
-        |  FROM c2 GROUP BY doc_id),
-        |g3 AS (SELECT doc_id,
-        |  unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS g
-        |  FROM toks WHERE len(t) >= 3),
-        |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
-        |s3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total3,
-        |  COUNT(*) AS dist3, CAST(MAX(c) AS BIGINT) AS mx3
-        |  FROM c3 GROUP BY doc_id)
-        |SELECT d.doc_id,
-        | COALESCE(total2, 0) AS n_2grams,
-        | CASE WHEN COALESCE(total2, 0) > 0
-        |   THEN CAST(total2 - dist2 AS DOUBLE) / CAST(total2 AS DOUBLE)
-        |   ELSE CAST(0 AS DOUBLE) END AS dup_2gram_frac,
-        | CASE WHEN COALESCE(total2, 0) > 0
-        |   THEN CAST(mx2 AS DOUBLE) / CAST(total2 AS DOUBLE)
-        |   ELSE CAST(0 AS DOUBLE) END AS top_2gram_frac,
-        | COALESCE(total3, 0) AS n_3grams,
-        | CASE WHEN COALESCE(total3, 0) > 0
-        |   THEN CAST(total3 - dist3 AS DOUBLE) / CAST(total3 AS DOUBLE)
-        |   ELSE CAST(0 AS DOUBLE) END AS dup_3gram_frac,
-        | CASE WHEN COALESCE(total3, 0) > 0
-        |   THEN CAST(mx3 AS DOUBLE) / CAST(total3 AS DOUBLE)
-        |   ELSE CAST(0 AS DOUBLE) END AS top_3gram_frac
-        |FROM documents d
-        | LEFT JOIN s2 ON s2.doc_id = d.doc_id
-        | LEFT JOIN s3 ON s3.doc_id = d.doc_id""".stripMargin,
-    "vocabulary" ->
-      """SELECT token, COUNT(*) AS n_occurrences,
-        | COUNT(DISTINCT doc_id) AS n_docs
-        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |      FROM documents)
-        |GROUP BY token HAVING COUNT(*) >= 5""".stripMargin,
-    "vocab_stats" ->
-      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |c AS (SELECT source, token, COUNT(*) AS cnt FROM tok GROUP BY source, token)
-        |SELECT source,
-        |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-        |  COUNT(*) AS n_types,
-        |  CAST(COUNT(CASE WHEN cnt = 1 THEN 1 END) AS BIGINT) AS n_hapax
-        |FROM c GROUP BY source""".stripMargin,
-    "tfidf_topterms" ->
-      // tf*(N+1) stays exact in BIGINT; the single division by (df+1)
-      // is the one shared rounding — same bits in both engines
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
-        |s AS (SELECT doc_id, token, tf, df,
-        |  CAST(tf * (n_docs + 1) AS DOUBLE) / (df + 1) AS score
-        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
-        |SELECT doc_id, token, tf, df, score, CAST(rank AS INT) AS rank
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-        |        ORDER BY score DESC, token ASC) AS rank FROM s)
-        |WHERE rank <= 3""".stripMargin,
-    // BM25 rational-idf index: e0-suffixed literals force DOUBLE (a bare
-    // 1.2 is DECIMAL(2,1) in DuckDB and would round differently); op
-    // order mirrors Bm25.bm25Index subexpression for subexpression, and
-    // SUM(tf) is cast back to BIGINT before use (HUGEINT lesson).
-    "bm25_index" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-        |stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-        |  CAST((SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS DOUBLE)
-        |   / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl)
-        |SELECT doc_id, token, tf, dl, df,
-        | ((CAST(n_docs - df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0))
-        |  * ((CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0)) /
-        |     (CAST(tf AS DOUBLE)
-        |      + 1.2e0 * ((1.0e0 - 0.75e0)
-        |                 + (0.75e0 * CAST(dl AS DOUBLE)) / avgdl))) AS score
-        |FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
-        |CROSS JOIN stats""".stripMargin,
-    // BM25 search over the rational index: same index SQL, then the
-    // query-term join and a PORTABLE score sum — list_reduce over the
-    // ascending-sorted score list folds left exactly like Spark's
-    // aggregate(sort_array(collect_list(...))), making the double
-    // additions order-identical (0.0 + x == x in IEEE, so the differing
-    // initial accumulator is immaterial)
-    "bm25_search_rational" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-        |stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-        |  CAST((SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS DOUBLE)
-        |   / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl),
-        |idx AS (SELECT doc_id, token,
-        | ((CAST(n_docs - df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0))
-        |  * ((CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0)) /
-        |     (CAST(tf AS DOUBLE)
-        |      + 1.2e0 * ((1.0e0 - 0.75e0)
-        |                 + (0.75e0 * CAST(dl AS DOUBLE)) / avgdl))) AS score
-        | FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
-        | CROSS JOIN stats),
-        |q(query_id, qtext) AS (VALUES
-        |  (CAST(91 AS BIGINT), 'fast hash join'), (92, 'vector scan'),
-        |  (93, 'slow merge sort'), (94, 'customer quantum')),
-        |qt AS (SELECT DISTINCT query_id, token FROM
-        |  (SELECT query_id, unnest(string_split(qtext, ' ')) AS token FROM q)),
-        |m AS (SELECT query_id, doc_id, COUNT(*) AS n_matched,
-        |  list_reduce(list_sort(LIST(score)), (a, b) -> a + b) AS bm25
-        | FROM idx JOIN qt USING (token) GROUP BY 1, 2)
-        |SELECT query_id, doc_id, n_matched, bm25, CAST(rank AS INT) AS rank
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |        ORDER BY bm25 DESC, doc_id ASC) AS rank FROM m)
-        |WHERE rank <= 10""".stripMargin,
-    // hybrid RRF: the bm25_search_rational and cosine_topk oracle
-    // fragments (both proven hash-exact) as arms at k=20 over the
-    // joined query set, fused by exact integer division — 1000000000 //
-    // (60 + rank) summed as BIGINT mirrors Spark's `div` + long sum
-    "hybrid_rrf" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-        |stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-        |  CAST((SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS DOUBLE)
-        |   / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl),
-        |idx AS (SELECT doc_id, token,
-        | ((CAST(n_docs - df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0))
-        |  * ((CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0)) /
-        |     (CAST(tf AS DOUBLE)
-        |      + 1.2e0 * ((1.0e0 - 0.75e0)
-        |                 + (0.75e0 * CAST(dl AS DOUBLE)) / avgdl))) AS score
-        | FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
-        | CROSS JOIN stats),
-        |q AS (SELECT d.doc_id AS query_id, d.text AS qtext,
-        |    CAST(e.embedding AS DOUBLE[]) AS qv
-        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-        |  WHERE d.doc_id % 100 = 0),
-        |qt AS (SELECT DISTINCT query_id, token FROM
-        |  (SELECT query_id, unnest(string_split(qtext, ' ')) AS token FROM q)),
-        |m AS (SELECT query_id, doc_id, COUNT(*) AS n_matched,
-        |  list_reduce(list_sort(LIST(score)), (a, b) -> a + b) AS bm25
-        | FROM idx JOIN qt USING (token) GROUP BY 1, 2),
-        |lex AS (SELECT query_id, doc_id AS id, rank FROM (
-        |  SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
-        |    ORDER BY bm25 DESC, doc_id ASC) AS rank FROM m)
-        | WHERE rank <= 20),
-        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
-        |  FROM embeddings),
-        |s AS (SELECT query_id, nid AS id,
-        |  list_inner_product(qv, cv) /
-        |   (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cosine
-        |  FROM q CROSS JOIN c),
-        |dense AS (SELECT query_id, id, rank FROM (
-        |  SELECT query_id, id, ROW_NUMBER() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, id ASC) AS rank FROM s)
-        | WHERE rank <= 20),
-        |u AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
-        |f AS (SELECT query_id, id, CAST(COUNT(*) AS BIGINT) AS n_arms,
-        |  CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_score
-        | FROM u GROUP BY 1, 2)
-        |SELECT query_id, id, n_arms, rrf_score, CAST(rank AS INT) AS rank
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |  ORDER BY rrf_score DESC, id ASC) AS rank FROM f)
-        |WHERE rank <= 10""".stripMargin,
-    "doc_bigram_stats" ->
-      // exact-integer projection of the bigram-LM scores, same HUGEINT
-      // and single-division rules as doc_unigram_stats; bigrams via the
-      // same 1-based inclusive list slices as the dedup_clusters oracle
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |bg AS (SELECT doc_id,
-        |   unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS gram
-        | FROM toks WHERE len(t) >= 2),
-        |tf AS (SELECT doc_id, gram, COUNT(*) AS tf FROM bg GROUP BY 1, 2),
-        |cf AS (SELECT gram, CAST(SUM(tf) AS BIGINT) AS cf2 FROM tf GROUP BY 1)
-        |SELECT doc_id,
-        | CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-        | CAST(SUM(tf * cf2) AS BIGINT) AS sum_freq,
-        | MIN(cf2) AS min_freq,
-        | CAST(SUM(tf * cf2) AS DOUBLE) / CAST(SUM(tf) AS BIGINT) AS mean_freq
-        |FROM tf JOIN cf USING (gram)
-        |GROUP BY doc_id""".stripMargin,
-    "dsir_weights" ->
-      // DSIR hashed-ngram importance stats: same md5 60-bit bucket as
-      // the Spark portable path (('0x'||15 hex)::BIGINT is exact), the
-      // integer columns cast back to BIGINT (HUGEINT rule), and the two
-      // ratio columns each a single IEEE division over exact longs
-      (dsirWeightsSql +
-      """SELECT doc_id,
-        | CAST(SUM(c) AS BIGINT) AS n_grams,
-        | COUNT(*) AS n_feats,
-        | CAST(SUM(c * cnt_t) AS BIGINT) AS sum_target_freq,
-        | CAST(SUM(c * cnt_r) AS BIGINT) AS sum_raw_freq,
-        | MIN(cnt_t) AS min_target_freq,
-        | CAST(SUM(c * cnt_t) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
-        |   AS mean_target_freq,
-        | CAST(SUM(c * cnt_t) AS DOUBLE) /
-        |   (CAST(SUM(c * cnt_r) AS BIGINT) + 1) AS target_ratio
-        |FROM rf JOIN model USING (bucket)
-        |GROUP BY doc_id""".stripMargin),
-    "dsir_select" ->
-      (dsirWeightsSql +
-      """, w AS (SELECT doc_id,
-        |  CAST(SUM(c) AS BIGINT) AS n_grams,
-        |  CAST(SUM(c * cnt_t) AS DOUBLE) /
-        |    (CAST(SUM(c * cnt_r) AS BIGINT) + 1) AS target_ratio
-        | FROM rf JOIN model USING (bucket)
-        | GROUP BY doc_id)
-        |SELECT doc_id, n_grams, target_ratio FROM w
-        |ORDER BY target_ratio DESC, doc_id ASC
-        |LIMIT 200""".stripMargin),
-    "doc_unigram_stats" ->
-      // exact-integer projection of the unigram-LM scores; every SUM is
-      // cast back to BIGINT (DuckDB widens SUM(BIGINT) to HUGEINT and
-      // the driver hashes typed cells — the corpus_mixture lesson);
-      // mean_freq is the one shared IEEE division
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-        |cf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1)
-        |SELECT doc_id,
-        | CAST(SUM(tf) AS BIGINT) AS n_tokens,
-        | CAST(SUM(tf * cf) AS BIGINT) AS sum_freq,
-        | MIN(cf) AS min_freq,
-        | CAST(SUM(tf * cf) AS DOUBLE) / CAST(SUM(tf) AS BIGINT) AS mean_freq
-        |FROM tf JOIN cf USING (token)
-        |GROUP BY doc_id""".stripMargin,
-    // deterministic tie-break (count DESC, token ASC) mirrors the Spark
-    // query's re-rank of the approx_top_k sketch output — exact while
-    // the vocabulary fits the sketch's maxItemsTracked
-    "vocabulary_topk" ->
-      """SELECT token, COUNT(*) AS n_occurrences
-        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-        |GROUP BY token
-        |ORDER BY n_occurrences DESC, token ASC
-        |LIMIT 10""".stripMargin,
-    "cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id % 50 = 0),
-        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-        |s AS (SELECT qid AS query_id, nid AS neighbor_id,
-        |  list_inner_product(qv, cv) /
-        |   (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cosine
-        |  FROM q CROSS JOIN c WHERE qid <> nid)
-        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
-        | SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
-        |WHERE rank <= 10""".stripMargin,
-    "hard_negatives" ->
-      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
-        |  label AS ql FROM embeddings WHERE vec_id % 50 = 0),
-        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv,
-        |  label AS nl FROM embeddings),
-        |s AS (SELECT qid AS anchor_id, nid AS neighbor_id, nl AS neg_label,
-        |  list_inner_product(qv, cv) /
-        |   (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cosine
-        |  FROM q CROSS JOIN c WHERE qid <> nid AND ql <> nl)
-        |SELECT anchor_id, neighbor_id, neg_label, cosine,
-        |  CAST(rank AS INT) AS neg_rank FROM (
-        | SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
-        |   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
-        |WHERE rank <= 5""".stripMargin,
-    "retrieval_label_precision" ->
-      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id % 50 = 0),
-        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-        |s AS (SELECT qid AS query_id, nid AS neighbor_id,
-        |  list_inner_product(qv, cv) /
-        |   (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cosine
-        |  FROM q CROSS JOIN c WHERE qid <> nid),
-        |top AS (SELECT query_id, neighbor_id FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
-        |  WHERE rank <= 10)
-        |SELECT t.query_id, ql.label, CAST(count(*) AS BIGINT) AS n_top,
-        |  CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label
-        |FROM top t
-        |JOIN embeddings ql ON ql.vec_id = t.query_id
-        |JOIN embeddings nl ON nl.vec_id = t.neighbor_id
-        |GROUP BY t.query_id, ql.label""".stripMargin,
-    "embed_near_dup_exact" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-        |  FROM embeddings WHERE vec_id < 1000)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        | list_inner_product(a.e, b.e) /
-        |  (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) AS cosine
-        |FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |WHERE list_inner_product(a.e, b.e) /
-        |  (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.5""".stripMargin,
-    // Cross-set contamination exact twin: same list-cosine kernel, the
-    // join asymmetric (train = label<>0, eval = label=0) instead of the
-    // id_a < id_b self-pair triangle.
-    "semantic_contamination_exact" ->
-      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-        |  FROM embeddings WHERE vec_id < 1000)
-        |SELECT a.vec_id AS train_id, b.vec_id AS eval_id,
-        | list_inner_product(a.e, b.e) /
-        |  (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) AS cosine
-        |FROM v a JOIN v b ON a.label <> 0 AND b.label = 0
-        |WHERE list_inner_product(a.e, b.e) /
-        |  (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.35""".stripMargin,
-    // The SRP LSH path verifies its candidates with the exact cosine
-    // kernel and recovers the full exact pair set at its operating point
-    // (DedupSpec recall test), so it is held to the SAME exact oracle.
-    "embed_near_dup_srp" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        | list_inner_product(a.e, b.e) /
-        |  (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) AS cosine
-        |FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |WHERE list_inner_product(a.e, b.e) /
-        |  (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.5""".stripMargin,
-    // SemDeDup exact twin: list-cosine pair graph (embed_near_dup
-    // pattern) + the recursive-CTE reach from dedup_clusters; survivors
-    // are rows whose min reachable component id is their own id.
-    "semantic_prune_exact" ->
-      """WITH RECURSIVE
-        |emb AS (SELECT * FROM embeddings WHERE vec_id < 1000),
-        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM emb),
-        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |  WHERE list_inner_product(a.e, b.e) /
-        |   (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.4),
-        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(id, comp) AS (
-        |  SELECT s, s FROM edges
-        |  UNION
-        |  SELECT e.t, r.comp FROM reach r JOIN edges e ON e.s = r.id),
-        |labels AS (SELECT emb.vec_id, COALESCE(MIN(r.comp), emb.vec_id) AS component
-        |  FROM emb LEFT JOIN reach r ON r.id = emb.vec_id
-        |  GROUP BY emb.vec_id)
-        |SELECT e.vec_id, e.label FROM emb e
-        |JOIN labels l ON l.vec_id = e.vec_id
-        |WHERE l.component = e.vec_id""".stripMargin,
-    "media_meta" ->
-      // the twin recomputes the encoded dims arithmetically; the Spark
-      // side reports what ImageIO DECODED from real PNG bytes — a hash
-      // match proves the codec round trip, not just the projection
-      """SELECT doc_id AS asset_id,
-        | CAST(doc_id % 13 + 4 AS BIGINT) AS width,
-        | CAST(doc_id % 11 + 3 AS BIGINT) AS height,
-        | CAST(3 AS BIGINT) AS channels,
-        | CAST((doc_id % 13 + 4) * (doc_id % 11 + 3) AS BIGINT) AS n_pixels
-        |FROM documents""".stripMargin,
-    "media_pixel_stats" ->
-      // arithmetic recompute of the synthetic pixel function summed over
-      // the raster — equals the Spark side only because PNG is lossless
-      """SELECT d.doc_id AS asset_id,
-        | CAST((d.doc_id % 13 + 4) * (d.doc_id % 11 + 3) AS BIGINT) AS n_pixels,
-        | CAST(SUM((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256) AS BIGINT) AS sum_r,
-        | CAST(SUM((d.doc_id * 31 + x.x * 7 + y.y * 13 + 101) % 256) AS BIGINT) AS sum_g,
-        | CAST(SUM((d.doc_id * 31 + x.x * 7 + y.y * 13 + 202) % 256) AS BIGINT) AS sum_b
-        |FROM documents d,
-        | unnest(range(0, CAST(d.doc_id % 13 + 4 AS INT))) AS x(x),
-        | unnest(range(0, CAST(d.doc_id % 11 + 3 AS INT))) AS y(y)
-        |GROUP BY d.doc_id""".stripMargin,
-    "media_grid_features" ->
-      // arithmetic recompute of the grid-cell gray sums and the
-      // single-division means over the synthetic pixel function
-      """SELECT d.doc_id AS asset_id,
-        | CAST((x.x * 2) // (d.doc_id % 13 + 4) AS INT) AS cell_x,
-        | CAST((y.y * 2) // (d.doc_id % 11 + 3) AS INT) AS cell_y,
-        | CAST(COUNT(*) AS BIGINT) AS n_px,
-        | CAST(SUM(((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256)
-        |        + ((d.doc_id * 31 + x.x * 7 + y.y * 13 + 101) % 256)
-        |        + ((d.doc_id * 31 + x.x * 7 + y.y * 13 + 202) % 256)) AS BIGINT) AS sum_gray,
-        | CAST(SUM(((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256)
-        |        + ((d.doc_id * 31 + x.x * 7 + y.y * 13 + 101) % 256)
-        |        + ((d.doc_id * 31 + x.x * 7 + y.y * 13 + 202) % 256)) AS DOUBLE)
-        |   / (3.0 * COUNT(*)) AS mean_gray
-        |FROM documents d,
-        | unnest(range(0, CAST(d.doc_id % 13 + 4 AS INT))) AS x(x),
-        | unnest(range(0, CAST(d.doc_id % 11 + 3 AS INT))) AS y(y)
-        |GROUP BY 1, 2, 3""".stripMargin,
-    "image_near_dup" ->
-      // full arithmetic recompute of the variant corpus (originals +
-      // re-encode/crop/unrelated variants), the 3x3 centered grid-sum
-      // vectors and the integer-exact cosine>=999/1000 verdict — every
-      // value integral, so the comparison is bit-decisive
-      """WITH anchors AS (SELECT doc_id FROM documents
-        |  WHERE doc_id % 8 = 0 AND doc_id < 512),
-        |imgs AS (
-        |  SELECT doc_id AS img_id, doc_id AS seed, doc_id % 13 + 4 AS w,
-        |      doc_id % 11 + 3 AS h, 0 AS dx, 0 AS dy FROM anchors
-        |  UNION ALL
-        |  SELECT doc_id + 100000,
-        |    CASE WHEN (doc_id % 24) // 8 = 2 THEN doc_id + 7777
-        |         ELSE doc_id END,
-        |    CASE WHEN (doc_id % 24) // 8 = 1 THEN doc_id % 13 + 3
-        |         ELSE doc_id % 13 + 4 END,
-        |    CASE WHEN (doc_id % 24) // 8 = 1 THEN doc_id % 11 + 2
-        |         ELSE doc_id % 11 + 3 END,
-        |    CASE WHEN (doc_id % 24) // 8 = 1 THEN 1 ELSE 0 END,
-        |    CASE WHEN (doc_id % 24) // 8 = 1 THEN 1 ELSE 0 END
-        |  FROM anchors),
-        |sums AS (SELECT i.img_id,
-        |    ((y.y * 3) // i.h) * 3 + (x.x * 3) // i.w AS cell,
-        |    SUM( (i.seed * 31 + (x.x + i.dx) * 7 + (y.y + i.dy) * 13) % 256
-        |       + (i.seed * 31 + (x.x + i.dx) * 7 + (y.y + i.dy) * 13 + 101) % 256
-        |       + (i.seed * 31 + (x.x + i.dx) * 7 + (y.y + i.dy) * 13 + 202) % 256
-        |       ) AS s
-        |  FROM imgs i, unnest(range(0, i.w)) AS x(x),
-        |       unnest(range(0, i.h)) AS y(y)
-        |  GROUP BY 1, 2),
-        |grid AS (SELECT i.img_id, c.c AS cell, COALESCE(s.s, 0) AS s
-        |  FROM imgs i CROSS JOIN unnest(range(0, 9)) AS c(c)
-        |  LEFT JOIN sums s ON s.img_id = i.img_id AND s.cell = c.c),
-        |tot AS (SELECT img_id, SUM(s) AS st FROM grid GROUP BY 1),
-        |v AS (SELECT g.img_id, g.cell, CAST(9 * g.s - t.st AS HUGEINT) AS c
-        |  FROM grid g JOIN tot t ON t.img_id = g.img_id),
-        |norms AS (SELECT img_id, SUM(c * c) AS nn FROM v GROUP BY 1),
-        |dots AS (SELECT a.img_id AS ia, b.img_id AS ib, SUM(a.c * b.c) AS dot
-        |  FROM v a JOIN v b ON a.cell = b.cell AND a.img_id < b.img_id
-        |  GROUP BY 1, 2)
-        |SELECT d.ia AS asset_a, d.ib AS asset_b, CAST(d.dot AS BIGINT) AS dot,
-        |  (d.dot > 0 AND d.dot * d.dot * 1000000 >= 998001 * na.nn * nb.nn)
-        |    AS is_dup
-        |FROM dots d JOIN norms na ON na.img_id = d.ia
-        |JOIN norms nb ON nb.img_id = d.ib""".stripMargin,
-    "image_near_dup_lsh" ->
-      // the scale arm answers the exact arm's DUPLICATE SET: banding
-      // cannot drop an identical-vector pair (equal codes in every
-      // band) and the verify is the same integer-exact decision
-      """WITH anchors AS (SELECT doc_id FROM documents
-        |  WHERE doc_id % 8 = 0 AND doc_id < 512),
-        |imgs AS (
-        |  SELECT doc_id AS img_id, doc_id AS seed, doc_id % 13 + 4 AS w,
-        |      doc_id % 11 + 3 AS h, 0 AS dx, 0 AS dy FROM anchors
-        |  UNION ALL
-        |  SELECT doc_id + 100000,
-        |    CASE WHEN (doc_id % 24) // 8 = 2 THEN doc_id + 7777
-        |         ELSE doc_id END,
-        |    CASE WHEN (doc_id % 24) // 8 = 1 THEN doc_id % 13 + 3
-        |         ELSE doc_id % 13 + 4 END,
-        |    CASE WHEN (doc_id % 24) // 8 = 1 THEN doc_id % 11 + 2
-        |         ELSE doc_id % 11 + 3 END,
-        |    CASE WHEN (doc_id % 24) // 8 = 1 THEN 1 ELSE 0 END,
-        |    CASE WHEN (doc_id % 24) // 8 = 1 THEN 1 ELSE 0 END
-        |  FROM anchors),
-        |sums AS (SELECT i.img_id,
-        |    ((y.y * 3) // i.h) * 3 + (x.x * 3) // i.w AS cell,
-        |    SUM( (i.seed * 31 + (x.x + i.dx) * 7 + (y.y + i.dy) * 13) % 256
-        |       + (i.seed * 31 + (x.x + i.dx) * 7 + (y.y + i.dy) * 13 + 101) % 256
-        |       + (i.seed * 31 + (x.x + i.dx) * 7 + (y.y + i.dy) * 13 + 202) % 256
-        |       ) AS s
-        |  FROM imgs i, unnest(range(0, i.w)) AS x(x),
-        |       unnest(range(0, i.h)) AS y(y)
-        |  GROUP BY 1, 2),
-        |grid AS (SELECT i.img_id, c.c AS cell, COALESCE(s.s, 0) AS s
-        |  FROM imgs i CROSS JOIN unnest(range(0, 9)) AS c(c)
-        |  LEFT JOIN sums s ON s.img_id = i.img_id AND s.cell = c.c),
-        |tot AS (SELECT img_id, SUM(s) AS st FROM grid GROUP BY 1),
-        |v AS (SELECT g.img_id, g.cell, CAST(9 * g.s - t.st AS HUGEINT) AS c
-        |  FROM grid g JOIN tot t ON t.img_id = g.img_id),
-        |norms AS (SELECT img_id, SUM(c * c) AS nn FROM v GROUP BY 1),
-        |dots AS (SELECT a.img_id AS ia, b.img_id AS ib, SUM(a.c * b.c) AS dot
-        |  FROM v a JOIN v b ON a.cell = b.cell AND a.img_id < b.img_id
-        |  GROUP BY 1, 2)
-        |SELECT d.ia AS asset_a, d.ib AS asset_b, CAST(d.dot AS BIGINT) AS dot
-        |FROM dots d JOIN norms na ON na.img_id = d.ia
-        |JOIN norms nb ON nb.img_id = d.ib
-        |WHERE d.dot > 0
-        |  AND d.dot * d.dot * 1000000 >= 998001 * na.nn * nb.nn""".stripMargin,
-    "media_video_frames" ->
-      // arithmetic recompute of the sampled-frame coverage, dims and
-      // per-channel sums; the Spark side demuxes real PNG frames
-      """SELECT d.doc_id AS asset_id, CAST(f.f AS INT) AS frame_idx,
-        | CAST(6 AS INT) AS width, CAST(4 AS INT) AS height,
-        | CAST(SUM(((d.doc_id * 1009 + f.f) * 31 + x.x * 7 + y.y * 13) % 256) AS BIGINT) AS sum_r,
-        | CAST(SUM(((d.doc_id * 1009 + f.f) * 31 + x.x * 7 + y.y * 13 + 101) % 256) AS BIGINT) AS sum_g,
-        | CAST(SUM(((d.doc_id * 1009 + f.f) * 31 + x.x * 7 + y.y * 13 + 202) % 256) AS BIGINT) AS sum_b
-        |FROM documents d,
-        | unnest(range(0, CAST(d.doc_id % 7 + 3 AS INT), 2)) AS f(f),
-        | unnest(range(0, 6)) AS x(x),
-        | unnest(range(0, 4)) AS y(y)
-        |GROUP BY d.doc_id, f.f""".stripMargin,
-    "video_near_dup" ->
-      // arithmetic recompute of the sloped-pixel frame sums over the
-      // sampled frames, the centered 3x3 signatures and the
-      // integer-exact cosine>=9995/10000 verdict
-      """WITH anchors AS (SELECT doc_id FROM documents
-        |  WHERE doc_id % 8 = 0 AND doc_id < 512),
-        |vids AS (
-        |  SELECT doc_id AS vid_id, doc_id AS seed,
-        |      doc_id % 7 + 3 AS nf FROM anchors
-        |  UNION ALL
-        |  SELECT doc_id + 100000,
-        |    CASE WHEN (doc_id % 16) // 8 = 1 THEN doc_id + 7777
-        |         ELSE doc_id END,
-        |    doc_id % 7 + 3
-        |  FROM anchors),
-        |px AS (SELECT v.vid_id,
-        |    ((y.y * 3) // 4) * 3 + (x.x * 3) // 6 AS cell,
-        |    v.seed * 1009 + f.f AS fa, x.x AS x, y.y AS y
-        |  FROM vids v,
-        |    unnest(range(0, v.nf, 2)) AS f(f),
-        |    unnest(range(0, 6)) AS x(x), unnest(range(0, 4)) AS y(y)),
-        |sums AS (SELECT vid_id, cell,
-        |    SUM( (fa * 31 + x * (fa % 7 + 3) + y * (fa % 11 + 5)) % 256
-        |       + (fa * 31 + x * (fa % 7 + 3) + y * (fa % 11 + 5) + 101) % 256
-        |       + (fa * 31 + x * (fa % 7 + 3) + y * (fa % 11 + 5) + 202) % 256
-        |       ) AS s
-        |  FROM px GROUP BY 1, 2),
-        |tot AS (SELECT vid_id, SUM(s) AS st FROM sums GROUP BY 1),
-        |v AS (SELECT g.vid_id, g.cell, CAST(9 * g.s - t.st AS HUGEINT) AS c
-        |  FROM sums g JOIN tot t ON t.vid_id = g.vid_id),
-        |norms AS (SELECT vid_id, SUM(c * c) AS nn FROM v GROUP BY 1),
-        |dots AS (SELECT a.vid_id AS ia, b.vid_id AS ib, SUM(a.c * b.c) AS dot
-        |  FROM v a JOIN v b ON a.cell = b.cell AND a.vid_id < b.vid_id
-        |  GROUP BY 1, 2)
-        |SELECT d.ia AS asset_a, d.ib AS asset_b, CAST(d.dot AS BIGINT) AS dot,
-        |  (d.dot > 0 AND d.dot * d.dot * 100000000 >= 99900025 * na.nn * nb.nn)
-        |    AS is_dup
-        |FROM dots d JOIN norms na ON na.vid_id = d.ia
-        |JOIN norms nb ON nb.vid_id = d.ib""".stripMargin,
-    "media_audio_meta" ->
-      // arithmetic recompute of the encoded clip shape; the Spark side
-      // reports what javax.sound.sampled DECODED from real WAV bytes
-      """SELECT doc_id AS asset_id,
-        | CAST(doc_id % 97 + 40 AS BIGINT) AS n_samples,
-        | CAST(8000 AS BIGINT) AS sample_rate,
-        | CAST(1 AS BIGINT) AS channels,
-        | CAST(16 AS BIGINT) AS bits
-        |FROM documents""".stripMargin,
-    "media_audio_stats" ->
-      // arithmetic recompute of the synthetic PCM sample function,
-      // aggregated — equals the Spark side only because 16-bit PCM is
-      // lossless through the WAV container
-      """SELECT d.doc_id AS asset_id,
-        | CAST(doc_id % 97 + 40 AS BIGINT) AS n_samples,
-        | CAST(SUM((d.doc_id * 31 + k.k * 7) % 4096 - 2048) AS BIGINT) AS sum_pcm,
-        | CAST(SUM(abs((d.doc_id * 31 + k.k * 7) % 4096 - 2048)) AS BIGINT) AS sum_abs,
-        | CAST(MIN((d.doc_id * 31 + k.k * 7) % 4096 - 2048) AS BIGINT) AS min_pcm,
-        | CAST(MAX((d.doc_id * 31 + k.k * 7) % 4096 - 2048) AS BIGINT) AS max_pcm
-        |FROM documents d,
-        | unnest(range(0, CAST(d.doc_id % 97 + 40 AS INT))) AS k(k)
-        |GROUP BY d.doc_id""".stripMargin,
-    "media_audio_features" ->
-      // arithmetic recompute of the 16-frame windowed energy contour —
-      // exact long window sums, one IEEE division per window
-      """SELECT d.doc_id AS asset_id, CAST(k.k // 16 AS INT) AS win_idx,
-        | CAST(COUNT(*) AS BIGINT) AS n,
-        | CAST(SUM((d.doc_id * 31 + k.k * 7) % 4096 - 2048) AS BIGINT)
-        |   AS sum_pcm,
-        | CAST(SUM(((d.doc_id * 31 + k.k * 7) % 4096 - 2048)
-        |        * ((d.doc_id * 31 + k.k * 7) % 4096 - 2048)) AS BIGINT)
-        |   AS sum_sq,
-        | CAST(SUM(((d.doc_id * 31 + k.k * 7) % 4096 - 2048)
-        |        * ((d.doc_id * 31 + k.k * 7) % 4096 - 2048)) AS DOUBLE)
-        |   / COUNT(*) AS energy
-        |FROM documents d,
-        | unnest(range(0, CAST(d.doc_id % 97 + 40 AS INT))) AS k(k)
-        |GROUP BY 1, 2""".stripMargin,
-    "audio_near_dup" ->
-      // full arithmetic recompute of the chirp-clip variant corpus, the
-      // 12-cell centered contour vectors and the integer-exact
-      // cosine>=99/100 verdict (the audio image_near_dup twin)
-      """WITH anchors AS (SELECT doc_id FROM documents
-        |  WHERE doc_id % 8 = 0 AND doc_id < 512),
-        |clips AS (
-        |  SELECT doc_id AS clip_id, doc_id AS seed, doc_id % 97 + 40 AS n
-        |  FROM anchors
-        |  UNION ALL
-        |  SELECT doc_id + 100000,
-        |    CASE WHEN (doc_id % 24) // 8 = 2 THEN doc_id + 7777
-        |         ELSE doc_id END,
-        |    CASE WHEN (doc_id % 24) // 8 = 1 THEN ((doc_id % 97 + 40) * 4) // 5
-        |         ELSE doc_id % 97 + 40 END
-        |  FROM anchors),
-        |sums AS (SELECT c.clip_id, (k.k * 12) // c.n AS cell,
-        |    SUM((c.seed * 31 + (c.seed % 13 + 2) * k.k * k.k + 7 * k.k)
-        |        % 4096 - 2048) AS s
-        |  FROM clips c, unnest(range(0, c.n)) AS k(k)
-        |  GROUP BY 1, 2),
-        |grid AS (SELECT c.clip_id, x.x AS cell, COALESCE(s.s, 0) AS s
-        |  FROM clips c CROSS JOIN unnest(range(0, 12)) AS x(x)
-        |  LEFT JOIN sums s ON s.clip_id = c.clip_id AND s.cell = x.x),
-        |tot AS (SELECT clip_id, SUM(s) AS st FROM grid GROUP BY 1),
-        |v AS (SELECT g.clip_id, g.cell, CAST(12 * g.s - t.st AS HUGEINT) AS c
-        |  FROM grid g JOIN tot t ON t.clip_id = g.clip_id),
-        |norms AS (SELECT clip_id, SUM(c * c) AS nn FROM v GROUP BY 1),
-        |dots AS (SELECT a.clip_id AS ia, b.clip_id AS ib,
-        |    SUM(a.c * b.c) AS dot
-        |  FROM v a JOIN v b ON a.cell = b.cell AND a.clip_id < b.clip_id
-        |  GROUP BY 1, 2)
-        |SELECT d.ia AS asset_a, d.ib AS asset_b, CAST(d.dot AS BIGINT) AS dot,
-        |  (d.dot > 0 AND d.dot * d.dot * 10000 >= 9801 * na.nn * nb.nn)
-        |    AS is_dup
-        |FROM dots d JOIN norms na ON na.clip_id = d.ia
-        |JOIN norms nb ON nb.clip_id = d.ib""".stripMargin,
-    "media_resize_image" ->
-      // resampled dims are the target by contract (in-plan gated); the
-      // oracle pins the projection and the every-10th-doc coverage
-      """SELECT doc_id AS asset_id,
-        | CAST(8 AS BIGINT) AS width,
-        | CAST(6 AS BIGINT) AS height,
-        | CAST(3 AS BIGINT) AS channels
-        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
-    "media_frames" ->
-      """SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,
-        | hex(encode(substring(text, CAST(i * 16 + 1 AS INT), 16))) AS frame
-        |FROM documents, unnest(range(0, strlen(text) // 16, 4)) AS u(i)""".stripMargin,
-    "media_features" ->
-      """SELECT doc_id AS asset_id, CAST(i AS INT) AS feature_idx,
-        | CAST(ord(substring(text, CAST(i % strlen(text) AS INT) + 1, 1)) AS DOUBLE)
-        |   / 255.0 - 0.5 AS feature
-        |FROM documents, unnest(range(0, 8)) AS u(i)
-        |WHERE strlen(text) > 0""".stripMargin,
-    "media_resize" ->
-      // crop/pad in hex space: hex of the first 64 payload bytes, then
-      // '00' pairs for the zero padding
-      """SELECT doc_id AS asset_id,
-        | hex(encode(substring(text, 1, 64)))
-        |   || repeat('00', CAST(greatest(64 - strlen(text), 0) AS INT)) AS resized_hex
-        |FROM documents""".stripMargin,
-    "text_scrub" ->
-      """SELECT doc_id,
-        | regexp_replace(regexp_replace(regexp_replace(
-        |   text || ' contact user' || CAST(doc_id AS VARCHAR)
-        |        || '@mail.example.com ref 1234567890 via https://ex.com/d/'
-        |        || CAST(doc_id AS VARCHAR),
-        |   'https?://[^ ]+', '<URL>', 'g'),
-        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |   '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
-        |FROM documents""".stripMargin,
-    "pii_density" ->
-      """WITH d AS (SELECT source,
-        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
-        |       || '@mail.example.com ref 1234567890 via https://ex.com/d/'
-        |       || CAST(doc_id AS VARCHAR) AS t
-        |  FROM documents)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(len(regexp_extract_all(t, 'https?://[^ ]+'))) AS BIGINT) AS n_urls,
-        |  CAST(sum(len(regexp_extract_all(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
-        |  CAST(sum(len(regexp_extract_all(t, '[0-9]{6,}'))) AS BIGINT) AS n_numbers
-        |FROM d GROUP BY source""".stripMargin,
-    "contamination" ->
-      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, source, sh FROM (
-        |  SELECT doc_id, source,
-        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM toks WHERE len(t) >= 3)),
-        |ev AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0')
-        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contam
-        |FROM sh s JOIN ev USING (sh)
-        |WHERE s.source <> 'src0'
-        |GROUP BY s.doc_id""".stripMargin,
-    // the Bloom pre-filter admits no false negatives and the exact join
-    // runs after it, so the bloom path answers to the IDENTICAL oracle
-    "contamination_bloom" ->
-      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, source, sh FROM (
-        |  SELECT doc_id, source,
-        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM toks WHERE len(t) >= 3)),
-        |ev AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0')
-        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contam
-        |FROM sh s JOIN ev USING (sh)
-        |WHERE s.source <> 'src0'
-        |GROUP BY s.doc_id""".stripMargin,
-    "label_centroids" ->
-      // micro-unit quantization makes the element sums integral, hence
-      // exact and order-independent in both engines (see the query doc)
-      """SELECT label, COUNT(*) AS n_vectors,
-        | SUM(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5))
-        |   / 1000000.0 / COUNT(*) AS c0,
-        | SUM(floor(CAST(embedding[64] AS DOUBLE) * 1000000.0 + 0.5))
-        |   / 1000000.0 / COUNT(*) AS c63
-        |FROM embeddings GROUP BY label""".stripMargin,
-    "embed_quantize" ->
-      """SELECT vec_id,
-        | array_to_string(
-        |   [CAST(CAST(floor(CAST(x AS DOUBLE) * CAST(127 AS DOUBLE) / mx + 0.5) AS TINYINT) AS VARCHAR)
-        |    FOR x IN embedding], ',') AS q_csv,
-        | mx / CAST(127 AS DOUBLE) AS scale
-        |FROM (SELECT vec_id, embedding,
-        |       greatest(list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]),
-        |                CAST(1e-30 AS DOUBLE)) AS mx
-        |      FROM embeddings)""".stripMargin
-  )
+                 which: Set[String] = AllStores): Seq[String] =
+    QueryHelpers.warmCaches(s, dir, which)
 }

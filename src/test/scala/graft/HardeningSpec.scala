@@ -20,6 +20,32 @@ class HardeningSpec extends SparkTestBase {
     assert(orphans.isEmpty, s"oracleSql keys without queries: $orphans")
   }
 
+  test("registry slices are disjoint and fully tagged") {
+    import graft.queries._
+    // `++` over the per-family slices silently keeps the LAST entry on
+    // a key collision — a duplicated registration would shadow one
+    // query without any error. Pin slice disjointness by size.
+    val slices = Seq(QueriesCore.queries, QueriesDedup.queries,
+      QueriesText.queries, QueriesAnn.queries, QueriesMultimodal.queries)
+    assert(slices.map(_.size).sum == SparkEntry.queries.size,
+      "duplicate query name across registry slices")
+    assert(OracleSqlA.map.size + OracleSqlB.map.size ==
+      SparkEntry.oracleSql.size,
+      "duplicate oracle key across OracleSqlA/B")
+    // every registered query carries exactly one of the three bench
+    // accounting tags (Bench writes them into the spread artifact)
+    val tags = SparkEntry.queryTags
+    assert(tags.keySet == SparkEntry.queries.keySet)
+    val bad = tags.filterNot { case (_, t) =>
+      Set("production", "portable-twin", "gate")(t) }
+    assert(bad.isEmpty, s"unknown tags: $bad")
+    // the split must not change the registered surface: the r14 round
+    // artifact had 228 queries / 191 oracles and removals are a
+    // regression unless deliberate (then update these pins)
+    assert(SparkEntry.queries.size >= 228, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size >= 191, SparkEntry.oracleSql.size.toString)
+  }
+
   test("TopKAgg rejects wrong input types at analysis time") {
     import graft.TestSpark.spark.implicits._
     val df = Seq(("a", 1.0, "not-a-long")).toDF("g", "s", "id")

@@ -6,7 +6,8 @@ query's true cost).
 
 Usage:
     python3 tools/check_bench.py OLD NEW [threshold]
-    python3 tools/check_bench.py --coverage [SPREAD [SPARKENTRY]]
+    python3 tools/check_bench.py --coverage [SPREAD [REGISTRY_DIR]]
+    python3 tools/check_bench.py --bless [SPREAD [medmin_ratio [frac]]]
 
 --coverage gates bench COMPLETENESS instead of regressions: exit 1
 unless the spread artifact's query key set equals SparkEntry.queries'
@@ -44,7 +45,10 @@ def load(path):
     spread = d.get("spread")
     if spread:
         return {q: (v["min"], "min") for q, v in spread.items()}, sf
-    return {q: (v, "med") for q, v in d["queries"].items() if v >= 0}, sf
+    # r15+ harness artifacts carry per-query MINS (metric "total_min");
+    # older ones carried medians — label the comparator honestly
+    kind = "min" if d.get("metric") == "total_min" else "med"
+    return {q: (v, kind) for q, v in d["queries"].items() if v >= 0}, sf
 
 
 import os
@@ -55,10 +59,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def registry_keys(src_path):
     """Registered query names, parsed from the uniform registration
-    pattern `"name" -> ((s, dir)` — the only place that shape occurs."""
-    with open(src_path) as f:
-        names = re.findall(r'^\s*"([a-z0-9_]+)" -> \(\(s, dir\)', f.read(),
-                           re.MULTILINE)
+    pattern `"name" -> ((s, dir)` — the only place that shape occurs.
+    src_path may be a single file (the pre-split SparkEntry.scala) or a
+    directory of registry slices (src/main/scala/graft/queries/)."""
+    import glob as _glob
+    paths = (sorted(_glob.glob(os.path.join(src_path, "*.scala")))
+             if os.path.isdir(src_path) else [src_path])
+    names = []
+    for path in paths:
+        with open(path) as f:
+            names += re.findall(r'^\s*"([a-z0-9_]+)" -> \(\(s, dir\)',
+                                f.read(), re.MULTILINE)
     if not names:
         sys.exit(f"{src_path}: no registration pattern matches — "
                  "registry parse broken, refusing to pass vacuously")
@@ -72,7 +83,7 @@ def coverage(argv):
     spread_path = argv[0] if argv else os.path.join(REPO, "tools",
                                                     "bench_spread.json")
     src_path = argv[1] if len(argv) > 1 else os.path.join(
-        REPO, "src", "main", "scala", "graft", "SparkEntry.scala")
+        REPO, "src", "main", "scala", "graft", "queries")
     benched, _ = load(spread_path)
     registered = registry_keys(src_path)
     missing = sorted(registered - set(benched))
@@ -87,9 +98,61 @@ def coverage(argv):
         sys.exit(1)
 
 
+def bless(argv):
+    """Dispersion gate for a CLOSING spread artifact (r14 lesson: the
+    committed closing spread was the round's noisiest window and its
+    median outliers needed after-the-fact adjudication). Exit 1 unless
+    the artifact is tight enough to bless: at most `frac` (default
+    0.25) of queries may show med/min > `ratio` (default 2.0). Also
+    prints both totals and the per-tag production-only totals."""
+    spread_path = argv[0] if argv else os.path.join(REPO, "tools",
+                                                    "bench_spread.json")
+    ratio = float(argv[1]) if len(argv) > 1 else 2.0
+    frac = float(argv[2]) if len(argv) > 2 else 0.25
+    with open(spread_path) as f:
+        d = json.load(f)
+    if "parsed" in d:
+        d = d["parsed"]
+    spread = d.get("spread")
+    if not spread:
+        sys.exit(f"{spread_path}: no spread object — bless needs the "
+                 "side artifact, not the compact line")
+    wide = {q: v["med"] / v["min"] for q, v in spread.items()
+            if v["min"] > 0 and v["med"] / v["min"] > ratio}
+    for q, r in sorted(wide.items(), key=lambda x: -x[1])[:15]:
+        print(f"DISPERSED {q}: med/min {r:.2f}x "
+              f"({spread[q]['min']:.3f}s -> {spread[q]['med']:.3f}s)")
+    totals = {}
+    for key in ("min", "med"):
+        totals[key] = sum(v[key] for v in spread.values())
+        by_tag = {}
+        for v in spread.values():
+            by_tag.setdefault(v.get("tag", "untagged"), 0.0)
+            by_tag[v.get("tag", "untagged")] += v[key]
+        tag_s = "  ".join(f"{t}={x:.1f}s" for t, x in sorted(by_tag.items()))
+        print(f"total_{key}: {totals[key]:.1f}s   ({tag_s})")
+    if "pass_loadavg" in d:
+        print("pass_loadavg:", d["pass_loadavg"])
+    share = len(wide) / max(1, len(spread))
+    print(f"dispersion: {len(wide)}/{len(spread)} queries with med/min > "
+          f"{ratio} ({share:.0%}; gate {frac:.0%})")
+    # the count gate alone misses the r14 failure mode (8% of queries
+    # dispersed but the MEDIAN TOTAL 1.45x the min total — a few huge
+    # outliers); gate the totals ratio too
+    tot_ratio = totals["med"] / max(1e-9, totals["min"])
+    print(f"total_med/total_min: {tot_ratio:.2f}x (gate 1.35x)")
+    if share > frac or tot_ratio > 1.35:
+        print(f"REFUSING to bless {spread_path}: the window was too "
+              "noisy — rerun the closing bench on a quieter host")
+        sys.exit(1)
+    print("blessed")
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--coverage":
         return coverage(sys.argv[2:])
+    if len(sys.argv) > 1 and sys.argv[1] == "--bless":
+        return bless(sys.argv[2:])
     if len(sys.argv) < 3:
         sys.exit(__doc__)
     old_path, new_path = sys.argv[1], sys.argv[2]
