@@ -94,6 +94,66 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
 
+  /** The reference's hourly-incremental production cadence composed as
+    * ONE path (jhub_proc.py:268-276: process the latest hour partition,
+    * append into the dated staging table): each micro-batch lands
+    * through the contract dual-sink ([[dualSinkStream]] semantics
+    * verbatim) AND appends its zone-stats slice ([[zoneStatsStream]]
+    * semantics, bucket = the batch's `load_date` stamp) to
+    * `storePath` — the stats writer moves WITH the table writer,
+    * which is exactly the freshness contract
+    * [[graft.plans.ZoneMapPruning]]'s soundness note demands of the
+    * metadata attach paths. After (any number of) runs,
+    * `ZoneMapPruning.attachFromStore(spark, stagingPath, "load_date",
+    * storePath)` registers the staging table with a metadata read and
+    * a DATA-column predicate prunes `load_date` directories.
+    *
+    * Ordering makes the composition safe: the slice is written only
+    * AFTER the dual-sink stage succeeded — a failed batch rethrows
+    * first ([[dualSinkStream]]'s checkpoint-holding contract), so the
+    * replay re-runs BOTH halves; the replayed slice collapses
+    * idempotently in the store view (per-(batch_id, bucket) replay
+    * collapse) and the replayed data append is the reference's
+    * append-mode idempotency model. Stats therefore never lead the
+    * data, and a batch's rows are never served prunable before their
+    * slice lands only in the window between the two writes of ITS OWN
+    * batch — an attach in that window sees the store MISSING the
+    * freshly written bucket only on day one (whole-bucket coverage
+    * check fails loudly), or a box union that simply hasn't widened
+    * yet; re-attach after the drain, as the daily cadence does.
+    */
+  def dualSinkZoneStatsStream(stream: DataFrame,
+      ctx: graft.pipelines.PipelineContext, contract: graft.sinks.Contract,
+      checkpointDir: String, loadDate: java.sql.Date, zoneDims: Seq[String],
+      storePath: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ctx.stage(s"${contract.table}#$batchId") {
+          ctx.saveTable(batch, contract,
+            modeOverride = Some(org.apache.spark.sql.SaveMode.Append),
+            loadDate = Some(loadDate))
+        }
+        ctx.report.collectFirst {
+          case (n, Left(e)) if n == s"${contract.table}#$batchId" => e
+        }.foreach { e =>
+          throw new IllegalStateException(
+            s"dual-sink batch $batchId failed; failing the query so the " +
+              "checkpoint does not advance past it", e)
+        }
+        // slice over the CONTRACT-projected frame — the stats must
+        // describe exactly what landed in staging, not the raw batch
+        graft.operators.Layout.rawZoneMap(
+            contract.select(batch.toDF()).withColumn("load_date",
+              lit(loadDate)),
+            col("load_date"), zoneDims)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(storePath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
   /** Streaming incremental near-dedup — the streaming-native form of the
     * daily curation funnel
     * ([[graft.pipelines.CorpusPipeline.curateIncrement]]): each

@@ -149,6 +149,85 @@ class StreamsSpec extends SparkTestBase {
     assert(sink.ddl.exists(s => s.contains("stream_events") && s.contains("load_date date")))
   }
 
+  test("dualSinkZoneStatsStream: the reference's hourly-incremental " +
+    "cadence end-to-end — multi-batch dated drains with the stats " +
+    "store maintained per batch, a replayed batch, then a data-column " +
+    "predicate prunes load_date directories via attachFromStore") {
+    import graft.TestSpark.spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.plans.ZoneMapPruning
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    val sink = new graft.sinks.MockServingSink
+    val ctx = new graft.pipelines.PipelineContext(spark, sink,
+      tempDir("dszs_staging").toString, org.apache.spark.sql.SaveMode.Append)
+    val contract = graft.sinks.Contract("jhub_hourly", StructType(Seq(
+      StructField("uid", LongType), StructField("hr", StringType),
+      StructField("msg", StringType))))
+    val store = tempDir("dszs_store").toString
+    val path = s"${ctx.stagingDir}/jhub_hourly"
+    // one streaming RUN per day (the daily cadence); each micro-batch
+    // is one hour's worth of jhub-shaped logs, hr = ISO hour prefix so
+    // a predicate on the DATA column maps onto days
+    def day(d: String, hours: Seq[Int]): Unit = {
+      val mem = MemoryStream[(Long, String, String)]
+      val q = Streams.dualSinkZoneStatsStream(
+          mem.toDF().toDF("uid", "hr", "msg"), ctx, contract,
+          tempDir(s"dszs_ckpt_$d").toString, java.sql.Date.valueOf(d),
+          zoneDims = Seq("uid", "hr"), storePath = store,
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .start()
+      hours.foreach { h =>
+        mem.addData((1 to 5).map(i =>
+          (h * 100L + i, f"${d}T$h%02d", s"login user-$i")): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+    }
+    day("2024-05-01", Seq(10, 11)) // two hourly increments
+    day("2024-05-02", Seq(9))
+    day("2024-05-03", Seq(14))
+    assert(ctx.failed.isEmpty, ctx.report.toString)
+    // the composed path kept both halves in lockstep: attach is a
+    // metadata read of the slice store and passes its whole-bucket
+    // coverage tripwire against the staging directories
+    ZoneMapPruning.attachFromStore(spark, path, "load_date", store)
+    try {
+      val q1 = spark.read.parquet(path)
+        .where(col("hr") >= "2024-05-02T00" && col("hr") <= "2024-05-02T23")
+      assert(q1.select("uid").collect().map(_.getLong(0)).sorted.toSeq ==
+        (1 to 5).map(901L + _ - 1).toSeq)
+      assert(graft.plans.PlanInspect.planString(q1).replaceAll("\\s+", " ")
+        .matches(".*PartitionFilters: \\[[^\\]]*load_date[^\\]]*IN.*"),
+        graft.plans.PlanInspect.planString(q1))
+    } finally ZoneMapPruning.detach(spark, path)
+    // REPLAYED batch (a restart re-running foreachBatch): both halves
+    // re-land — the data re-append is the reference's append-mode
+    // idempotency model, the duplicate slice collapses per
+    // (batch_id, bucket) in the store view — and pruning still serves
+    // the exact same answer
+    val d3 = java.sql.Date.valueOf("2024-05-03")
+    val replay = (1 to 5).map(i => (1400L + i, "2024-05-03T14",
+      s"login user-$i")).toDF("uid", "hr", "msg")
+    ctx.saveTable(replay, contract,
+      modeOverride = Some(org.apache.spark.sql.SaveMode.Append),
+      loadDate = Some(d3))
+    graft.operators.Layout.rawZoneMap(
+        replay.withColumn("load_date", lit(d3)), col("load_date"),
+        Seq("uid", "hr"))
+      .withColumn("batch_id", lit(0L))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(store)
+    ZoneMapPruning.attachFromStore(spark, path, "load_date", store)
+    try {
+      val q2 = spark.read.parquet(path).where(col("hr") === "2024-05-03T14")
+      // the day-3 hour now holds the original 5 rows + the replayed 5
+      assert(q2.count() == 10, q2.count().toString)
+      assert(graft.plans.PlanInspect.planString(q2).replaceAll("\\s+", " ")
+        .matches(".*PartitionFilters: \\[[^\\]]*load_date[^\\]]*IN.*"),
+        graft.plans.PlanInspect.planString(q2))
+    } finally ZoneMapPruning.detach(spark, path)
+  }
+
   test("incrementalDedupStream: batch 2 drops a re-sent batch-1 doc via the signature store") {
     import graft.TestSpark.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
