@@ -173,10 +173,22 @@ object Maintenance {
       st.isDirectory && st.getPath.getName.contains("=") &&
         !st.getPath.getName.startsWith(".")
     }.map(_.getPath.getName).sorted
-    parts.filter(partitionFilter).map { part =>
+    val selectedParts = parts.filter(partitionFilter).toSeq
+    // compaction preserves rows but rewrites files: snapshot each
+    // bucket's listing first, refresh the per-bucket file fingerprints
+    // in <path>.__zonemap (if kept) after, so the next metadata attach
+    // doesn't read the rewrite as an out-of-band append — a bucket
+    // whose fingerprint was ALREADY stale going in keeps it (the
+    // tripwire must still fire on the folded-in rows)
+    val snapshot = graft.plans.ZoneMapPruning.fingerprintSnapshot(spark,
+      path, selectedParts)
+    val results = selectedParts.map { part =>
       part -> compactTable(spark, new Path(p, part).toString, targetBytes,
         sortCols)
     }.toMap
+    graft.plans.ZoneMapPruning.refreshFileFingerprints(spark, path,
+      selectedParts, snapshot)
+    results
   }
 
   /** Repair an interrupted [[compactTable]] swap. Restores the parked

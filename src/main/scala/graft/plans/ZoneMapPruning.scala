@@ -246,6 +246,99 @@ object ZoneMapPruning {
       Some((files.length.toLong, files.map(_.getLen).sum))
     }
 
+  /** Pre-compaction listing of the named partition directories — take
+    * BEFORE a row-preserving rewrite, pass to
+    * [[refreshFileFingerprints]] after it.
+    */
+  def fingerprintSnapshot(spark: SparkSession, tablePath: String,
+      partitionDirs: Seq[String]): Map[String, (Long, Long)] = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    partitionDirs.flatMap { dirName =>
+      bucketFileStats(fs, new org.apache.hadoop.fs.Path(table, dirName))
+        .map(dirName -> _)
+    }.toMap
+  }
+
+  /** Post-maintenance fingerprint refresh: a ROW-PRESERVING partition
+    * rewrite (small-file compaction — [[graft.operators.Maintenance
+    * .compactPartitioned]], [[graft.sinks.ParquetSink
+    * .compactPartition]]) leaves the boxes valid but the per-bucket
+    * file fingerprints stale, which would fail the next attach as
+    * loudly as a real out-of-band append. The compactors call this
+    * with the partition DIRECTORY names they rewrote plus the
+    * [[fingerprintSnapshot]] they took BEFORE rewriting; a bucket's
+    * `n_files`/`n_bytes` row in `<tablePath>.__zonemap` is updated
+    * from a fresh listing ONLY when the pre-compaction listing matched
+    * the recorded fingerprint — if it didn't, the stats were already
+    * stale going in (an out-of-band append the compaction just folded
+    * into its output) and blessing the new fingerprint would RESET the
+    * tripwire over a box that doesn't cover the appended rows; such
+    * buckets keep their stale fingerprint so the next attach still
+    * fails loudly. Boxes are never touched. Published through the same
+    * tmp/park/promote protocol as the pipeline stats writer (same
+    * `.old`/`.tmp` suffixes, so either writer's crash recovery covers
+    * the other); an attached table is re-registered. No-op when the
+    * table keeps no stats or the stats carry no fingerprints.
+    */
+  def refreshFileFingerprints(spark: SparkSession, tablePath: String,
+      partitionDirs: Seq[String],
+      preCompaction: Map[String, (Long, Long)]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val statsPath = new org.apache.hadoop.fs.Path(tablePath + ".__zonemap")
+    val old_ = new org.apache.hadoop.fs.Path(tablePath + ".__zonemap.old")
+    val tmp = new org.apache.hadoop.fs.Path(tablePath + ".__zonemap.tmp")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(old_)) { // crashed publish: parked copy is the truth
+      if (!fs.exists(statsPath))
+        require(fs.rename(old_, statsPath), s"could not restore $old_")
+      else fs.delete(old_, true)
+    }
+    if (!fs.exists(statsPath)) return
+    val stats = spark.read.parquet(statsPath.toString)
+    if (!stats.columns.contains("n_files") ||
+      !stats.columns.contains("n_bytes")) return
+    val recorded: Map[String, (Long, Long)] = stats.select(
+        col("bucket").cast("string"), col("n_files").cast("long"),
+        col("n_bytes").cast("long"))
+      .collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val updates = partitionDirs.flatMap { dirName =>
+      val eq = dirName.indexOf('=')
+      if (eq < 0) None
+      else {
+        val bucket = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(dirName.substring(eq + 1))
+        // fresh-going-in check: recorded fingerprint must match the
+        // pre-compaction listing, else keep the stale fingerprint so
+        // the attach tripwire still fires on the folded-in append
+        if (!recorded.get(bucket).exists(preCompaction.get(dirName)
+            .contains(_))) None
+        else bucketFileStats(fs,
+          new org.apache.hadoop.fs.Path(table, dirName))
+          .map { case (nf, nb) => (bucket, nf, nb) }
+      }
+    }
+    if (updates.isEmpty) return
+    import spark.implicits._
+    val upd = updates.toDF("__fp_bucket", "__nf", "__nb")
+    val merged = stats.join(upd,
+        stats("bucket").cast("string") === upd("__fp_bucket"), "left")
+      .withColumn("n_files",
+        coalesce(col("__nf"), col("n_files")).cast("long"))
+      .withColumn("n_bytes",
+        coalesce(col("__nb"), col("n_bytes")).cast("long"))
+      .drop("__fp_bucket", "__nf", "__nb")
+    merged.coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+    require(fs.rename(statsPath, old_), s"could not park $statsPath")
+    require(fs.rename(tmp, statsPath), s"could not publish $statsPath")
+    fs.delete(old_, true)
+    refreshIfAttached(spark, tablePath, statsPath.toString)
+  }
+
   /** Freshness tripwire for the metadata attach paths (see the
     * soundness scaladoc): when the table directory exists and is laid
     * out with `bucketCol=...` partition directories, every bucket

@@ -159,9 +159,21 @@ object ParquetSink {
     // a per-partition maintenance pass (one partition, not the table).
     val compacted = part.repartition(targetFiles).localCheckpoint(true)
     val rows = compacted.count()
-    if (rows > 0)
+    if (rows > 0) {
+      // row-preserving rewrite: keep the zone-map file fingerprint (if
+      // the table keeps stats) in step so the next attach doesn't read
+      // the compaction as an out-of-band append; the pre-write
+      // snapshot guards the tripwire (an already-stale fingerprint
+      // stays stale)
+      val dirName = partitionCol + "=" + org.apache.spark.sql.catalyst
+        .catalog.ExternalCatalogUtils.escapePathName(partitionValue)
+      val snapshot = graft.plans.ZoneMapPruning.fingerprintSnapshot(
+        spark, path, Seq(dirName))
       write(compacted, path, SaveMode.Overwrite,
         partitionBy = Seq(partitionCol), format = format)
+      graft.plans.ZoneMapPruning.refreshFileFingerprints(spark, path,
+        Seq(dirName), snapshot)
+    }
     rows
   }
 

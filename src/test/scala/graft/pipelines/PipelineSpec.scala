@@ -521,6 +521,53 @@ class PipelineSpec extends SparkTestBase {
       e.getMessage)
   }
 
+  test("zone-map fingerprints survive small-file compaction (refreshed " +
+    "when fresh going in, kept stale over a folded-in append)") {
+    import graft.TestSpark.spark.implicits._
+    import graft.sinks.Contract
+    import graft.plans.ZoneMapPruning
+    import org.apache.spark.sql.types._
+    val (c, _) = ctx("zm_compact", SaveMode.Append)
+    val contract = Contract("events_zmc", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    val d1 = java.sql.Date.valueOf("2024-07-01")
+    val d2 = java.sql.Date.valueOf("2024-07-02")
+    def save(rows: Seq[(Long, String)], d: java.sql.Date) =
+      c.saveTable(rows.toDF("id", "v"), contract, loadDate = Some(d),
+        zoneMapCols = Seq("id"))
+    // several appends = several small files per day
+    save(Seq((1L, "a")), d1); save(Seq((2L, "b")), d1)
+    save(Seq((3L, "c")), d1); save(Seq((50L, "x")), d2)
+    val path = s"${c.stagingDir}/events_zmc"
+    val statsPath = path + ".__zonemap"
+    // day-1 compaction rewrites its files; the fingerprint must follow
+    // (it was fresh going in), so the attach still passes and prunes
+    graft.operators.Maintenance.compactPartitioned(spark, path,
+      targetBytes = 128L * 1024 * 1024,
+      partitionFilter = _ == s"load_date=$d1")
+    ZoneMapPruning.attachFromStats(spark, path, "load_date",
+      spark.read.parquet(statsPath))
+    try {
+      val q = spark.read.parquet(path).where(col("id") <= 3L)
+      assert(q.count() == 3)
+    } finally ZoneMapPruning.detach(spark, path)
+    // an out-of-band append FOLLOWED by a compaction must NOT reset
+    // the tripwire: the compaction folds the appended row into its
+    // output, but the box never saw it — the fingerprint stays stale
+    // and the attach keeps failing loudly
+    Seq((999L, "z")).toDF("id", "v")
+      .write.mode(SaveMode.Append).parquet(s"$path/load_date=$d2")
+    graft.operators.Maintenance.compactPartitioned(spark, path,
+      targetBytes = 128L * 1024 * 1024,
+      partitionFilter = _ == s"load_date=$d2")
+    val e = intercept[IllegalArgumentException] {
+      ZoneMapPruning.attachFromStats(spark, path, "load_date",
+        spark.read.parquet(statsPath))
+    }
+    assert(e.getMessage.contains("STALE inside existing buckets"),
+      e.getMessage)
+  }
+
   test("compactPartition collapses a day's small files, preserves data and siblings") {
     import graft.TestSpark.spark.implicits._
     val dir = tempDir("compact").toString + "/t"
