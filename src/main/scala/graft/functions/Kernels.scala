@@ -87,6 +87,36 @@ object Kernels {
     s
   }
 
+  /** Ascending-sorted sequential sum of an array<double> — the
+    * portable deterministic summation (DuckDB twin:
+    * `list_sum(list_sort(...))`) as ONE compiled loop. Result is
+    * BIT-IDENTICAL to `aggregate(sort_array(xs), 0.0, (acc, x) => acc
+    * + x)`: `java.util.Arrays.sort(double[])` and Spark's `sort_array`
+    * both order by `java.lang.Double.compare` (-0.0 < 0.0, NaN
+    * greatest), and the accumulation is the same left-to-right IEEE
+    * addition from 0.0. Exists because the interpreted HOF fold runs
+    * once per (query, doc) GROUP in the portable BM25 sum and cost the
+    * `hybrid_rrf` oracle twin 14.3× at the 10× fixture (66 s, the
+    * whole spread's worst row) — the same kernel-vs-HOF call SCALE.md
+    * mandates for every per-group hot path. Nulls contribute nothing
+    * (collect_list never emits them; guarded anyway).
+    */
+  def sortedSum(arr: ArrayData): Double = {
+    val n = arr.numElements()
+    val a = new Array[Double](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { a(m) = arr.getDouble(i); m += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(a, 0, m)
+    var s = 0.0
+    i = 0
+    while (i < m) { s += a(i); i += 1 }
+    s
+  }
+
   /** Per-document word n-gram repetition stats — the "repetitious
     * document" quality filters of the MassiveText/Gopher curation recipe
     * (Rae et al. 2021, appendix A1.1: fraction of duplicate n-grams and
@@ -1065,6 +1095,29 @@ object Kernels {
       copy(left = newLeft, right = newRight)
   }
 
+  /** [[Kernels.sortedSum]] as a codegen expression — see its scaladoc
+    * for the bit-identity argument vs the `sort_array` + HOF-fold
+    * formulation it replaces.
+    */
+  case class DoubleSortedSum(child: Expression) extends UnaryExpression {
+    private def isDoubleArray(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child, isDoubleArray, "array<double>")
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "double_sorted_sum"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.sortedSum(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.Kernels.sortedSum($c)")
+    override protected def withNewChildInternal(
+        newChild: Expression): DoubleSortedSum =
+      copy(child = newChild)
+  }
+
   case class HilbertIndex(left: Expression, right: Expression, bits: Int)
       extends BinaryExpression {
     private def isIntegral(dt: DataType): Boolean = dt match {
@@ -1315,6 +1368,9 @@ object Kernels {
 
   def longDotCol(a: Column, b: Column): Column =
     ColumnBridge.column(LongDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sortedSumCol(a: Column): Column =
+    ColumnBridge.column(DoubleSortedSum(ColumnBridge.expression(a)))
 
   def hilbertCol(x: Column, y: Column, bits: Int = 16): Column =
     ColumnBridge.column(HilbertIndex(ColumnBridge.expression(x),

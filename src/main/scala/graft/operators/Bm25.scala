@@ -134,8 +134,12 @@ object Bm25 {
     val matched = index.join(broadcast(qterms), "token")
     val scoreSum =
       if (portableSum)
-        aggregate(sort_array(collect_list(col("score"))), lit(0.0),
-          (acc, x) => acc + x)
+        // codegen kernel (sort + left fold in one compiled loop),
+        // bit-identical to aggregate(sort_array(collect_list), 0.0,
+        // acc + x) — see Kernels.sortedSum: the interpreted HOF fold
+        // here ran once per (query, doc) group and was the full
+        // spread's worst 10× row (hybrid_rrf 66 s)
+        graft.functions.Kernels.sortedSumCol(collect_list(col("score")))
       else sum(col("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("bm25").desc, col("doc_id").asc)

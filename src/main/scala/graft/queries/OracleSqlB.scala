@@ -909,7 +909,7 @@ private[graft] object OracleSqlB {
         |q AS (SELECT d.doc_id AS query_id, d.text AS qtext,
         |    CAST(e.embedding AS DOUBLE[]) AS qv
         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-        |  WHERE d.doc_id % 100 = 0),
+        |  WHERE d.doc_id % 100 = 0 AND d.doc_id < 6400),
         |qt AS (SELECT DISTINCT query_id, token FROM
         |  (SELECT query_id, unnest(string_split(qtext, ' ')) AS token FROM q)),
         |m AS (SELECT query_id, doc_id, COUNT(*) AS n_matched,

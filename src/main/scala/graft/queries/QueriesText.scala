@@ -258,17 +258,25 @@ private[graft] object QueriesText {
     "hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval, the RAG default: lexical (rational BM25, the
       // portable-sum form) and dense (exact cosine top-k) arms fused by
-      // Reciprocal Rank Fusion. Query docs = every 100th doc that has
-      // an embedding (vec_id shares the doc_id space); BOTH arms
-      // include the self-hit, so fused rank 1 == query doc is the
-      // built-in identity sanity. RRF contributions are exact integer
+      // Reciprocal Rank Fusion. Query docs = the every-100th-doc set
+      // CAPPED at doc_id < 6400 (≤ 64 pinned ids with embeddings) —
+      // same pinned-query convention as hybrid_rrf_ann, for the same
+      // reason (r11/r15 audits): the uncapped every-100th set GREW
+      // with the corpus and made this row's 10× bench ratio a
+      // query-load construction artifact (66 s, the full spread's
+      // worst row; corpus scaling under a fixed query load is what
+      // the number should measure). The %100 stride keeps the set
+      // clear of the dense low-id exact-duplicate families, so BOTH
+      // arms include the self-hit and fused rank 1 == query doc stays
+      // the built-in identity sanity. RRF contributions are exact integer
       // divisions summed as longs — the entire three-stage pipeline
       // hash-matches DuckDB. At 100 TB the exact dense arm swaps for
       // the IVF/PQ arm: rrfFuse only consumes (query_id, id, rank).
       import graft.operators.{Bm25, Retrieval, TermWeights}
       val docs = t(s, dir, "documents")
       val embs = t(s, dir, "embeddings")
-      val q = docs.filter(col("doc_id") % 100 === 0)
+      val q = docs.filter(col("doc_id") % 100 === 0 &&
+          col("doc_id") < 6400)
         .join(embs, col("doc_id") === col("vec_id"))
         .select(col("doc_id").as("qid"), col("text").as("qtext"),
           col("embedding").as("qv"))

@@ -296,6 +296,38 @@ class KernelPropertiesSpec extends SparkTestBase {
     assert(got(2) == Seq(2.0, 1.0)) // double the displacement, double out
   }
 
+  test("sortedSum is bit-identical to the sort_array + HOF-fold " +
+    "portable summation it replaces, and stays in codegen") {
+    import graft.TestSpark.spark.implicits._
+    // adversarial doubles: sums where order changes the ulp result,
+    // negative zero, huge/tiny mixes — identity must hold bit for bit
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      i -> Seq.fill(rng.nextInt(12))(
+        (rng.nextDouble() - 0.5) * math.pow(10, rng.nextInt(20) - 10))
+    } :+ (201 -> Seq(-0.0, 0.0, 1e300, -1e300, 1e-300))
+    val df = rows.toDF("id", "xs")
+    val got = df.select(col("id"),
+        Kernels.sortedSumCol(col("xs")).as("kernel"),
+        aggregate(sort_array(col("xs")), lit(0.0),
+          (acc, x) => acc + x).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"id=${r.getInt(0)}: kernel ${r.getDouble(1)} != hof ${r.getDouble(2)}")
+    }
+    // plan pin on a non-foldable source (a local relation constant-folds
+    // the whole projection away)
+    val plan = graft.TestSpark.spark.range(3)
+      .select(array(col("id").cast("double"),
+        (col("id") * 2).cast("double")).as("xs"))
+      .select(Kernels.sortedSumCol(col("xs")).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("double_sorted_sum"), plan)
+    assert(plan.contains("*(1)"), plan)
+  }
+
   test("projectDense stays inside whole-stage codegen") {
     val df = graft.TestSpark.spark.range(3)
       .select(array(col("id").cast("double"),
