@@ -220,12 +220,29 @@ object ZoneMapPruning {
     * pruning against the stale in-memory boxes (the silent-wrong-
     * results mode the soundness note warns about). No-op when the
     * table was never attached; metadata-sized read when it was.
+    *
+    * If the re-attach VALIDATION fails (the fresh stats don't cover
+    * the directories — e.g. a concurrent writer's half-landed day, or
+    * an out-of-band append the refresh didn't see), the old
+    * registration is DETACHED before the failure propagates: the
+    * stale boxes must not survive a failed refresh, or every later
+    * query on this table would silently prune live rows. Detached =
+    * full scans until a successful re-attach — slower, never wrong.
+    * (Same single-writer-per-table cadence as the reference's daily
+    * loads; concurrent dated writers should re-attach out of band.)
     */
   def refreshIfAttached(spark: SparkSession, path: String,
                         statsPath: String): Unit =
     registry.get(canonical(spark, path)).foreach { ts =>
-      attachFromStats(spark, path, ts.bucketCol,
+      try attachFromStats(spark, path, ts.bucketCol,
         spark.read.parquet(statsPath))
+      catch { case e: Throwable =>
+        detach(spark, path)
+        throw new IllegalStateException(
+          s"zone-map re-attach after a stats refresh failed for $path; " +
+            "the stale registration has been DETACHED (full scans until " +
+            "a successful re-attach)", e)
+      }
     }
 
   /** Count + total bytes of the non-hidden data files directly under

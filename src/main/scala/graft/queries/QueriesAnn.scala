@@ -476,6 +476,39 @@ private[graft] object QueriesAnn {
           k = 10, nprobe = 4, candidateFactor = 4),
         floor = 0.25, what = "IVF-PQ reranked ANN")
     }),
+    "pq_topk_scaled_recall" -> ((s, dir) => {
+      // the r15 full-spread audit finding, answered in code:
+      // pq_topk_recall's FIXED sf0.1-calibrated operating point
+      // correctly fails its floor at a 10× corpus (0.157 < 0.25) —
+      // because an ANN operating point is a function of corpus size.
+      // This gate derives (nlist ≈ √n as a power of two, nprobe =
+      // nlist/4 so probe COVERAGE stays a constant fraction,
+      // candidateFactor deepening with density) from the corpus count
+      // (Ivf.operatingPoint) and holds the SAME 0.25 floor at sf0.1
+      // AND the 10× fixture — the scale path, tested. Queries are the
+      // PINNED ≤64-id set (vec_id % 50 = 0 AND < 3200): corpus
+      // scaling, never query-load scaling (the hybrid_rrf lesson).
+      import graft.operators.{Ivf, Pq}
+      val embs = t(s, dir, "embeddings")
+      val queries = embs.filter(col("vec_id") % 50 === 0 &&
+        col("vec_id") < 3200)
+      val op = Ivf.operatingPoint(
+        embs.where(col("embedding").isNotNull).count())
+      val ivf = Ivf.fit(embs, col("embedding"), nlist = op.nlist,
+        sampleFraction = 0.25)
+      val pq = Pq.fit(embs, col("embedding"), m = 8, k = 16)
+      val encoded = Pq.assignEncode(ivf, pq, embs, col("vec_id"),
+        col("embedding"))
+      recallGate(
+        Similarity.bruteForceTopK(embs, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"), k = 10),
+        Pq.topKReranked(ivf, pq, encoded,
+          embs, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"),
+          k = 10, nprobe = op.nprobe,
+          candidateFactor = op.candidateFactor),
+        floor = 0.25, what = "scaled-operating-point IVF-PQ reranked ANN")
+    }),
     "embed_near_dup_exact" -> ((s, dir) => {
       // bits = 0 -> single bucket = verified all-pairs: an ORACLE
       // ANCHOR, never a production path. The id cap (< 1000, the full

@@ -521,6 +521,40 @@ class PipelineSpec extends SparkTestBase {
       e.getMessage)
   }
 
+  test("a FAILED stats re-attach detaches the stale registration " +
+    "instead of leaving it pruning") {
+    import graft.TestSpark.spark.implicits._
+    import graft.sinks.Contract
+    import graft.plans.ZoneMapPruning
+    import org.apache.spark.sql.types._
+    val (c, _) = ctx("zm_detach", SaveMode.Append)
+    val contract = Contract("events_zmd", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    val d1 = java.sql.Date.valueOf("2024-08-01")
+    val d2 = java.sql.Date.valueOf("2024-08-02")
+    def save(rows: Seq[(Long, String)], d: java.sql.Date) =
+      c.saveTable(rows.toDF("id", "v"), contract, loadDate = Some(d),
+        zoneMapCols = Seq("id"))
+    save(Seq((1L, "a")), d1)
+    val path = s"${c.stagingDir}/events_zmd"
+    ZoneMapPruning.attachFromStats(spark, path, "load_date",
+      spark.read.parquet(path + ".__zonemap"))
+    try {
+      // out-of-band append into d1, then an in-band d2 write: the
+      // write's auto-refresh re-validates, sees the d1 fingerprint
+      // mismatch, and must DETACH before failing — a surviving stale
+      // registration would silently prune the appended row forever
+      Seq((999L, "z")).toDF("id", "v")
+        .write.mode(SaveMode.Append).parquet(s"$path/load_date=$d1")
+      val e = intercept[IllegalStateException] { save(Seq((5L, "b")), d2) }
+      assert(e.getMessage.contains("DETACHED"), e.getMessage)
+      // detached = full scans, never wrong: the out-of-band row is
+      // reachable even under a predicate its box never covered
+      assert(spark.read.parquet(path).where(col("id") === 999L)
+        .count() == 1, "stale registration survived the failed refresh")
+    } finally ZoneMapPruning.detach(spark, path)
+  }
+
   test("zone-map fingerprints survive small-file compaction (refreshed " +
     "when fresh going in, kept stale over a folded-in append)") {
     import graft.TestSpark.spark.implicits._
