@@ -61,8 +61,14 @@ object Ivf {
 
   def operatingPoint(n: Long): OperatingPoint = {
     require(n > 0, s"operatingPoint needs a positive corpus size, got $n")
-    val nlist = math.max(16,
-      1 << math.round(math.log(math.sqrt(n.toDouble)) / math.log(2.0)).toInt)
+    // Long shift + an explicit 2^20 cap: an Int shift wraps negative at
+    // exp >= 31 (n >= ~2.3e18) and would silently collapse nlist to the
+    // 16 floor at exactly the scale this function exists for; 1M lists
+    // is also where a flat centroid scan stops being the right probe
+    // structure anyway (beyond it, use a hierarchical coarse quantizer)
+    val exp = math.min(20L,
+      math.round(math.log(math.sqrt(n.toDouble)) / math.log(2.0)))
+    val nlist = math.max(16L, 1L << exp).toInt
     OperatingPoint(nlist, math.max(4, nlist / 4), math.max(4, nlist / 8))
   }
 

@@ -186,8 +186,19 @@ object Maintenance {
       part -> compactTable(spark, new Path(p, part).toString, targetBytes,
         sortCols)
     }.toMap
-    graft.plans.ZoneMapPruning.refreshFileFingerprints(spark, path,
+    // the refresh is best-effort bookkeeping on top of a compaction
+    // that already succeeded: a failure here (e.g. the in-JVM
+    // re-attach finding ANOTHER bucket stale and detaching) must not
+    // discard the CompactionResults — correctness is already preserved
+    // by the detach/loud-attach machinery, and a wedged fingerprint is
+    // healable via ZoneMapPruning.rederiveBucket
+    try graft.plans.ZoneMapPruning.refreshFileFingerprints(spark, path,
       selectedParts, snapshot)
+    catch { case e: Exception =>
+      System.err.println(s"[compactPartitioned] zone-map fingerprint " +
+        s"refresh failed for $path (compaction results are intact; " +
+        s"repair via ZoneMapPruning.rederiveBucket): ${e.getMessage}")
+    }
     results
   }
 

@@ -263,6 +263,63 @@ object ZoneMapPruning {
       Some((files.length.toLong, files.map(_.getLen).sum))
     }
 
+  /** RECOVERY for a bucket whose stats row went stale — the repair the
+    * attach-time STALE failures point at. Both staleness modes heal
+    * here: an out-of-band append (box AND fingerprint wrong) and a
+    * crash between a compaction's rewrite and its fingerprint refresh
+    * (box right, fingerprint unmatchable). Scans ONLY the named
+    * bucket's directory (bounded — one partition, the day being
+    * healed), re-derives its box, row count and file fingerprint,
+    * replaces its row in `<tablePath>.__zonemap` (other buckets kept
+    * verbatim; publish via the shared tmp/park/promote protocol), and
+    * re-registers an attached table. This is deliberately the ONE
+    * repair path that reads data; every other stats operation stays
+    * metadata-only.
+    */
+  def rederiveBucket(spark: SparkSession, tablePath: String,
+                     bucketCol: String, bucket: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val statsPath = new org.apache.hadoop.fs.Path(tablePath + ".__zonemap")
+    val old_ = new org.apache.hadoop.fs.Path(tablePath + ".__zonemap.old")
+    val tmp = new org.apache.hadoop.fs.Path(tablePath + ".__zonemap.tmp")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(old_)) { // crashed publish: parked copy is the truth
+      if (!fs.exists(statsPath))
+        require(fs.rename(old_, statsPath), s"could not restore $old_")
+      else fs.delete(old_, true)
+    }
+    require(fs.exists(statsPath),
+      s"no $statsPath to repair — derive full stats instead " +
+        "(Layout.rawZoneMap + attachFromStats)")
+    val stats = spark.read.parquet(statsPath.toString)
+    val dims = statsDims(stats).map(_._1)
+    val dirName = bucketCol + "=" + org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(bucket)
+    val dir = new org.apache.hadoop.fs.Path(table, dirName)
+    require(fs.exists(dir),
+      s"$dir does not exist — if the bucket was removed, drop its stats " +
+        "row instead of re-deriving it")
+    val (nf, nb) = bucketFileStats(fs, dir).get
+    val aggs = dims.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    val fresh = spark.read.parquet(dir.toString)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("bucket",
+        lit(bucket).cast(stats.schema("bucket").dataType))
+      .withColumn("n_files", lit(nf))
+      .withColumn("n_bytes", lit(nb))
+    val rest = stats.where(col("bucket").cast("string") =!= lit(bucket))
+    val merged = rest.unionByName(fresh, allowMissingColumns = true)
+    merged.coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+    require(fs.rename(statsPath, old_), s"could not park $statsPath")
+    require(fs.rename(tmp, statsPath), s"could not publish $statsPath")
+    fs.delete(old_, true)
+    refreshIfAttached(spark, tablePath, statsPath.toString)
+  }
+
   /** Pre-compaction listing of the named partition directories — take
     * BEFORE a row-preserving rewrite, pass to
     * [[refreshFileFingerprints]] after it.
@@ -423,9 +480,10 @@ object ZoneMapPruning {
         s"${changed.take(4).mkString("; ")}" +
         s"${if (changed.length > 4) "; ..." else ""} — files landed in " +
         "these partition directories after the stats were derived; " +
-        "pruning could silently drop the new rows. Re-run the stats " +
-        "writer (Core.saveTable zoneMapCols / Layout.rawZoneMap) and " +
-        "re-attach")
+        "pruning could silently drop the new rows. Repair with " +
+        "ZoneMapPruning.rederiveBucket(spark, path, bucketCol, bucket) " +
+        "— a bounded one-bucket scan that heals the box AND the " +
+        "fingerprint — then re-attach")
   }
 
   /** Register `path` for pruning from an APPEND-ONLY zone-stats slice

@@ -171,8 +171,15 @@ object ParquetSink {
         spark, path, Seq(dirName))
       write(compacted, path, SaveMode.Overwrite,
         partitionBy = Seq(partitionCol), format = format)
-      graft.plans.ZoneMapPruning.refreshFileFingerprints(spark, path,
+      // best-effort bookkeeping (see compactPartitioned): never undo a
+      // completed rewrite over a fingerprint refresh failure
+      try graft.plans.ZoneMapPruning.refreshFileFingerprints(spark, path,
         Seq(dirName), snapshot)
+      catch { case e: Exception =>
+        System.err.println(s"[compactPartition] zone-map fingerprint " +
+          s"refresh failed for $path (rewrite is intact; repair via " +
+          s"ZoneMapPruning.rederiveBucket): ${e.getMessage}")
+      }
     }
     rows
   }

@@ -52,6 +52,38 @@ object Streams {
       .select(col("window.start").as("event_hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** One micro-batch through the contract dual-sink: record the result
+    * under `<table>#<batchId>` for the report, but RETHROW on failure —
+    * a swallowed exception would let the engine commit the batch's
+    * offsets, permanently skipping its rows; failing the query instead
+    * leaves the checkpoint at the failed batch, so a restart replays it
+    * (append-mode re-run, the reference's idempotency model).
+    *
+    * The failure check is on THIS attempt's outcome (a local capture),
+    * never a scan of `ctx.report`: a replay re-runs the batch under the
+    * SAME stage name, and a report scan would find the previous
+    * attempt's recorded Left first — the retry could then never
+    * succeed, re-appending its rows on every attempt while the
+    * checkpoint stayed stuck.
+    */
+  private def saveBatchOrFail(ctx: graft.pipelines.PipelineContext,
+      contract: graft.sinks.Contract,
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+      loadDate: Option[java.sql.Date]): Unit = {
+    var failure: Option[Throwable] = None
+    ctx.stage(s"${contract.table}#$batchId") {
+      try ctx.saveTable(batch, contract,
+        modeOverride = Some(org.apache.spark.sql.SaveMode.Append),
+        loadDate = loadDate)
+      catch { case e: Throwable => failure = Some(e); throw e }
+    }
+    failure.foreach { e =>
+      throw new IllegalStateException(
+        s"dual-sink batch $batchId failed; failing the query so the " +
+          "checkpoint does not advance past it", e)
+    }
+  }
+
   /** Streaming ingestion through the SAME dual-sink contract machinery as
     * the batch pipelines: each micro-batch goes through
     * [[graft.pipelines.PipelineContext.saveTable]] — contract projection,
@@ -72,24 +104,7 @@ object Streams {
                      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // record the per-batch result for the report, but RETHROW on
-        // failure: a swallowed exception would let the engine commit the
-        // batch's offsets, permanently skipping its rows. Failing the
-        // query instead leaves the checkpoint at the failed batch, so a
-        // restart replays it (append-mode re-run, the reference's
-        // idempotency model).
-        ctx.stage(s"${contract.table}#$batchId") {
-          ctx.saveTable(batch, contract,
-            modeOverride = Some(org.apache.spark.sql.SaveMode.Append),
-            loadDate = loadDate)
-        }
-        ctx.report.collectFirst {
-          case (n, Left(e)) if n == s"${contract.table}#$batchId" => e
-        }.foreach { e =>
-          throw new IllegalStateException(
-            s"dual-sink batch $batchId failed; failing the query so the " +
-              "checkpoint does not advance past it", e)
-        }
+        saveBatchOrFail(ctx, contract, batch, batchId, loadDate)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -129,18 +144,7 @@ object Streams {
       trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        ctx.stage(s"${contract.table}#$batchId") {
-          ctx.saveTable(batch, contract,
-            modeOverride = Some(org.apache.spark.sql.SaveMode.Append),
-            loadDate = Some(loadDate))
-        }
-        ctx.report.collectFirst {
-          case (n, Left(e)) if n == s"${contract.table}#$batchId" => e
-        }.foreach { e =>
-          throw new IllegalStateException(
-            s"dual-sink batch $batchId failed; failing the query so the " +
-              "checkpoint does not advance past it", e)
-        }
+        saveBatchOrFail(ctx, contract, batch, batchId, Some(loadDate))
         // slice over the CONTRACT-projected frame — the stats must
         // describe exactly what landed in staging, not the raw batch
         graft.operators.Layout.rawZoneMap(
@@ -530,7 +534,12 @@ object Streams {
       case Some(files) =>
         // a LIVE compaction can commit between the listing and this
         // read's footer pass (parked files vanish) — the store is
-        // consistent again, so fall back to the plain directory read
+        // consistent again, so fall back to the plain directory read.
+        // Scope, stated honestly: the guard covers the CONSTRUCTION-time
+        // footer read; a view held across the commit can still fail at
+        // ACTION time if the engine re-lists — the same tiny
+        // reader-vs-live-rename window consistentStoreFiles has always
+        // documented, for which the remedy is re-deriving the view
         try spark.read.parquet(files: _*)
         catch { case _: java.io.FileNotFoundException =>
           spark.read.parquet(storePath)
@@ -736,7 +745,9 @@ object Streams {
           spark.read.option("basePath", b).parquet(group: _*)
         // same commit race as readStore: parked files can vanish
         // between the listing and the footer pass — fall back to the
-        // (now consistent) plain directory read
+        // (now consistent) plain directory read. Same construction-time
+        // scope note as readStore: an already-built view crossing the
+        // commit can still fail at action time (re-derive it)
         try (live.nonEmpty, parked.nonEmpty) match {
           case (true, true) =>
             read(live, base).unionByName(read(parked, parkedBase))

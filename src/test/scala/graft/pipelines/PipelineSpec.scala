@@ -553,6 +553,15 @@ class PipelineSpec extends SparkTestBase {
       assert(spark.read.parquet(path).where(col("id") === 999L)
         .count() == 1, "stale registration survived the failed refresh")
     } finally ZoneMapPruning.detach(spark, path)
+    // REPAIR: rederiveBucket re-scans ONLY the stale bucket, healing
+    // box + fingerprint — the attach then passes and the repaired box
+    // covers the out-of-band row under pruning
+    ZoneMapPruning.rederiveBucket(spark, path, "load_date", d1.toString)
+    ZoneMapPruning.attachFromStats(spark, path, "load_date",
+      spark.read.parquet(path + ".__zonemap"))
+    try assert(spark.read.parquet(path).where(col("id") === 999L)
+      .count() == 1, "repaired box must cover the appended row")
+    finally ZoneMapPruning.detach(spark, path)
   }
 
   test("zone-map fingerprints survive small-file compaction (refreshed " +

@@ -149,6 +149,38 @@ class StreamsSpec extends SparkTestBase {
     assert(sink.ddl.exists(s => s.contains("stream_events") && s.contains("load_date date")))
   }
 
+  test("dualSinkStream: a batch REPLAYED after a recorded failure can " +
+    "succeed (the failure check reads this attempt, not the report)") {
+    import graft.TestSpark.spark.implicits._
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      TestSpark.sqlContext
+    val sink = new graft.sinks.MockServingSink
+    val ctx = new graft.pipelines.PipelineContext(spark, sink,
+      tempDir("replay_stream").toString, org.apache.spark.sql.SaveMode.Append)
+    val contract = graft.sinks.Contract("replay_events", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    // poison the report with a recorded failure under the SAME stage
+    // name batch 0 will use — the restart-with-reused-ctx shape. The
+    // old report-scan check found this Left and rethrew forever, so a
+    // transient failure could never clear and every retry re-appended
+    // the batch's rows.
+    ctx.stage("replay_events#0") {
+      throw new RuntimeException("transient failure from attempt 1")
+    }
+    assert(ctx.failed.contains("replay_events#0"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.dualSinkStream(mem.toDF().toDF("id", "v"), ctx, contract,
+        tempDir("replay_ckpt").toString,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    mem.addData((1L, "a"))
+    q.processAllAvailable() // must NOT throw: this attempt succeeded
+    q.stop()
+    assert(spark.read.parquet(s"${ctx.stagingDir}/replay_events")
+      .count() == 1, "the retried batch must land exactly once")
+  }
+
   test("dualSinkZoneStatsStream: the reference's hourly-incremental " +
     "cadence end-to-end — multi-batch dated drains with the stats " +
     "store maintained per batch, a replayed batch, then a data-column " +

@@ -117,6 +117,12 @@ def bless(argv):
     if not spread:
         sys.exit(f"{spread_path}: no spread object — bless needs the "
                  "side artifact, not the compact line")
+    # a failed/timed-out query is ABSENT from the spread, so totals and
+    # dispersion over the survivors would silently understate the round
+    if d.get("failures"):
+        sys.exit(f"REFUSING to bless {spread_path}: failures recorded "
+                 f"({d['failures']}) — the totals below would omit their "
+                 "cost entirely")
     wide = {q: v["med"] / v["min"] for q, v in spread.items()
             if v["min"] > 0 and v["med"] / v["min"] > ratio}
     for q, r in sorted(wide.items(), key=lambda x: -x[1])[:15]:

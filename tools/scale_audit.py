@@ -30,10 +30,15 @@ def load(path):
 
 
 def main():
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
     p1, p10 = sys.argv[1], sys.argv[2]
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     (m1, tags, f1, d1), (m10, _, f10, d10) = load(p1), load(p10)
     shared = sorted(set(m1) & set(m10))
+    if not shared or sum(m1[q] for q in shared) <= 0:
+        sys.exit(f"no comparable queries between {p1} and {p10} "
+                 "(disjoint registries or empty spreads) — nothing to rank")
     rows = []
     for q in shared:
         if m1[q] > 0:
