@@ -56,4 +56,25 @@ class AnnRecallSpec extends SparkTestBase {
       dim = 64, bits = 4, probes = 0))
     assert(recall(srpNarrow) <= srpRecall + 1e-9)
   }
+
+  test("operatingPoint: sqrt-scaled power-of-two nlist, constant probe " +
+    "fraction, floors and the extreme-scale cap hold") {
+    import graft.operators.Ivf
+    // small corpora sit on the floors
+    assert(Ivf.operatingPoint(100L) == Ivf.OperatingPoint(16, 4, 4))
+    // sf0.1-ish and 10x-ish corpora: nlist tracks sqrt(n) as a power of
+    // two; nprobe stays nlist/4 (constant coverage), factor nlist/8
+    assert(Ivf.operatingPoint(6400L) == Ivf.OperatingPoint(64, 16, 8))
+    assert(Ivf.operatingPoint(64000L) == Ivf.OperatingPoint(256, 64, 32))
+    // monotone in n, never a regression to the floor at huge n (the
+    // Int-shift wrap this test exists to pin): max Long stays capped at
+    // 2^20 lists instead of collapsing to 16
+    val big = Ivf.operatingPoint(Long.MaxValue)
+    assert(big.nlist == (1 << 20) && big.nprobe == (1 << 18), big.toString)
+    val pts = Seq(1L, 1000L, 100000L, 10000000L, Long.MaxValue)
+      .map(Ivf.operatingPoint)
+    assert(pts.sliding(2).forall { case Seq(a, b) => a.nlist <= b.nlist },
+      pts.toString)
+    intercept[IllegalArgumentException](Ivf.operatingPoint(0L))
+  }
 }
