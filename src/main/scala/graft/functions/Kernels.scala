@@ -98,8 +98,11 @@ object Kernels {
     * once per (query, doc) GROUP in the portable BM25 sum and cost the
     * `hybrid_rrf` oracle twin 14.3× at the 10× fixture (66 s, the
     * whole spread's worst row) — the same kernel-vs-HOF call SCALE.md
-    * mandates for every per-group hot path. Nulls contribute nothing
-    * (collect_list never emits them; guarded anyway).
+    * mandates for every per-group hot path. Null ELEMENTS cannot reach
+    * here: [[Kernels.DoubleSortedSum]] rejects containsNull=true arrays
+    * at type-check (the HOF returns NULL on a null element — skipping
+    * would diverge from the claimed bit-identity); the in-loop null
+    * guard is defense-in-depth only.
     */
   def sortedSum(arr: ArrayData): Double = {
     val n = arr.numElements()
@@ -1100,12 +1103,20 @@ object Kernels {
     * formulation it replaces.
     */
   case class DoubleSortedSum(child: Expression) extends UnaryExpression {
+    // containsNull=true is REJECTED, not skipped: the kernel drops null
+    // elements, but the `aggregate(sort_array(xs), 0.0, _ + _)` HOF it
+    // claims bit-identity with returns NULL the moment any element is
+    // null — accepting nullable arrays would let the two formulations
+    // silently diverge outside the collect_list call sites (which emit
+    // containsNull=false by construction). Null-tolerant callers must
+    // filter/assert their arrays first, visibly.
     private def isDoubleArray(dt: DataType): Boolean = dt match {
-      case ArrayType(DoubleType, _) => true
-      case _                        => false
+      case ArrayType(DoubleType, false) => true
+      case _                            => false
     }
     override def checkInputDataTypes(): TypeCheckResult =
-      requireType(prettyName, child, isDoubleArray, "array<double>")
+      requireType(prettyName, child, isDoubleArray,
+        "array<double> with containsNull=false")
     override def dataType: DataType = DoubleType
     override def prettyName: String = "double_sorted_sum"
     override protected def nullSafeEval(input: Any): Any =

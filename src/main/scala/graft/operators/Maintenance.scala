@@ -192,8 +192,16 @@ object Maintenance {
     // discard the CompactionResults — correctness is already preserved
     // by the detach/loud-attach machinery, and a wedged fingerprint is
     // healable via ZoneMapPruning.rederiveBucket
+    // each partition's CompactionResult is the compactor's own output
+    // accounting — refreshFileFingerprints only blesses a fresh listing
+    // that AGREES with it (an out-of-band append racing the refresh
+    // keeps the stale fingerprint; see its scaladoc)
+    val expected = results.map { case (part, r) =>
+      part -> graft.plans.ZoneMapPruning.FileFingerprint(
+        r.filesAfter.toLong, r.bytesAfter, digest = None)
+    }
     try graft.plans.ZoneMapPruning.refreshFileFingerprints(spark, path,
-      selectedParts, snapshot)
+      selectedParts, snapshot, expected)
     catch { case e: Exception =>
       System.err.println(s"[compactPartitioned] zone-map fingerprint " +
         s"refresh failed for $path (compaction results are intact; " +

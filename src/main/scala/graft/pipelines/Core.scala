@@ -164,7 +164,7 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
       else fs.delete(old_, true)
     }
     val dayStats = Layout.rawZoneMap(out, col("load_date"), zoneMapCols)
-    val fileCols = Seq("n_files", "n_bytes")
+    val fileCols = Seq("n_files", "n_bytes", "files_digest")
     val oldAll = if (fs.exists(statsPath))
       Some(spark.read.parquet(statsPath.toString)) else None
     // box logic runs on fingerprint-less frames (mergeRawZoneMaps folds
@@ -186,10 +186,18 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
         else Layout.mergeRawZoneMaps(zoneMapCols)(old, dayStats)
     }
     val otherDayFiles = oldAll match {
-      case Some(o) if fileCols.forall(o.columns.contains) =>
+      // stats written before the digest column landed carry only the
+      // counts: keep them (null digest = counts-only check) rather than
+      // dropping other days' fingerprints wholesale
+      case Some(o) if Seq("n_files", "n_bytes").forall(o.columns.contains) =>
+        val dig =
+          if (o.columns.contains("files_digest"))
+            col("files_digest").cast("long")
+          else lit(null).cast("long")
         o.select(col("bucket").cast("string").as("__fp_bucket"),
             col("n_files").cast("long").as("n_files"),
-            col("n_bytes").cast("long").as("n_bytes"))
+            col("n_bytes").cast("long").as("n_bytes"),
+            dig.as("files_digest"))
           .where(col("__fp_bucket") =!= lit(d.toString))
       case _ => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -199,13 +207,16 @@ final class PipelineContext(val spark: SparkSession, val sink: ServingSink,
           org.apache.spark.sql.types.StructField("n_files",
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("n_bytes",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("files_digest",
             org.apache.spark.sql.types.LongType))))
     }
     val dayDir = new org.apache.hadoop.fs.Path(s"$path/load_date=$d")
     val dayFiles = graft.plans.ZoneMapPruning.bucketFileStats(fs, dayDir)
-      .map { case (nf, nb) =>
+      .map { fp =>
         import spark.implicits._
-        Seq((d.toString, nf, nb)).toDF("__fp_bucket", "n_files", "n_bytes")
+        Seq((d.toString, fp.nFiles, fp.nBytes, fp.digest.get))
+          .toDF("__fp_bucket", "n_files", "n_bytes", "files_digest")
       }
     val fingerprints = dayFiles match {
       case Some(df) => otherDayFiles.unionByName(df)

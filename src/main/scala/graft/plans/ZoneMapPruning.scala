@@ -190,21 +190,30 @@ object ZoneMapPruning {
         else Some((r.get(1 + 2 * i), r.get(2 + 2 * i)))
       })
     }
-    // optional per-bucket file stats (`n_files`/`n_bytes`, written by
-    // Core.refreshZoneMapStats from the writer's own listing) extend
-    // the coverage tripwire to INTRA-bucket staleness; frames without
-    // them (streaming store views, hand-derived stats) keep the
-    // whole-bucket check only
-    val fileStats: Map[String, (Long, Long)] =
+    // optional per-bucket file stats (`n_files`/`n_bytes` and, on
+    // stats written since the digest landed, `files_digest` — all from
+    // the writer's own listing, Core.refreshZoneMapStats) extend the
+    // coverage tripwire to INTRA-bucket staleness, the digest catching
+    // even a count- and byte-preserving in-place rewrite; frames
+    // without them (streaming store views, hand-derived stats) keep
+    // the whole-bucket check only
+    val fileStats: Map[String, FileFingerprint] =
       if (stats.columns.contains("n_files") &&
           stats.columns.contains("n_bytes")) {
+        val dig =
+          if (stats.columns.contains("files_digest"))
+            org.apache.spark.sql.functions.col("files_digest").cast("long")
+          else org.apache.spark.sql.functions.lit(null).cast("long")
         stats.select(
             org.apache.spark.sql.functions.col("bucket").cast("string"),
             org.apache.spark.sql.functions.col("n_files").cast("long"),
-            org.apache.spark.sql.functions.col("n_bytes").cast("long"))
+            org.apache.spark.sql.functions.col("n_bytes").cast("long"),
+            dig.as("files_digest"))
           .collect()
           .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
-          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+          .map(r => r.getString(0) -> FileFingerprint(r.getLong(1),
+            r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
       } else Map.empty
     validateBucketCoverage(spark, path, bucketCol,
       boxes.map(_.bucket).toSet, fileStats)
@@ -245,22 +254,50 @@ object ZoneMapPruning {
       }
     }
 
-  /** Count + total bytes of the non-hidden data files directly under
-    * `dir` — the shared definition of a bucket's file fingerprint, so
-    * the stats writer ([[graft.pipelines.PipelineContext]]) and the
-    * attach-time check below can never disagree on what counts as a
-    * data file. None when the directory does not exist.
+  /** One bucket directory's file fingerprint: data-file count, total
+    * bytes, and (when derived from a LISTING) an order-insensitive XOR
+    * digest of per-file (name, size, mtime) hashes. The digest closes
+    * the window the counts alone leave open: an in-place rewrite that
+    * preserves file count AND total bytes but changes rows still flips
+    * names/mtimes, so the attach-time staleness check fails loudly
+    * instead of pruning against boxes that never saw the new rows.
+    * `digest = None` marks a fingerprint built from a compactor's own
+    * output ACCOUNTING (`CompactionResult` — counts only, no listing);
+    * [[FileFingerprint.matches]] compares digests only when both sides
+    * carry one, so counts-only fingerprints stay comparable.
+    */
+  final case class FileFingerprint(nFiles: Long, nBytes: Long,
+                                   digest: Option[Long]) {
+    def matches(other: FileFingerprint): Boolean =
+      nFiles == other.nFiles && nBytes == other.nBytes &&
+        (for (a <- digest; b <- other.digest) yield a == b).getOrElse(true)
+  }
+
+  /** Count + total bytes + (name, size, mtime) XOR digest of the
+    * non-hidden data files directly under `dir` — the shared definition
+    * of a bucket's file fingerprint, so the stats writer
+    * ([[graft.pipelines.PipelineContext]]) and the attach-time check
+    * below can never disagree on what counts as a data file. None when
+    * the directory does not exist.
     */
   private[graft] def bucketFileStats(
       fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Option[(Long, Long)] =
+      dir: org.apache.hadoop.fs.Path): Option[FileFingerprint] =
     if (!fs.exists(dir)) None
     else {
       val files = fs.listStatus(dir).filter { st =>
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
-      Some((files.length.toLong, files.map(_.getLen).sum))
+      // XOR is order-insensitive, so the digest is stable under listing
+      // order; part-file names are job-unique UUIDs, so two distinct
+      // file sets colliding to one digest is a 2^-64 event
+      val digest = files.foldLeft(0L) { (acc, st) =>
+        acc ^ graft.functions.Fnv64.hash(
+          s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}")
+      }
+      Some(FileFingerprint(files.length.toLong, files.map(_.getLen).sum,
+        Some(digest)))
     }
 
   /** RECOVERY for a bucket whose stats row went stale — the repair the
@@ -300,7 +337,7 @@ object ZoneMapPruning {
     require(fs.exists(dir),
       s"$dir does not exist — if the bucket was removed, drop its stats " +
         "row instead of re-deriving it")
-    val (nf, nb) = bucketFileStats(fs, dir).get
+    val fp = bucketFileStats(fs, dir).get
     val aggs = dims.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
     } :+ count(lit(1)).as("n_rows")
@@ -308,8 +345,9 @@ object ZoneMapPruning {
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("bucket",
         lit(bucket).cast(stats.schema("bucket").dataType))
-      .withColumn("n_files", lit(nf))
-      .withColumn("n_bytes", lit(nb))
+      .withColumn("n_files", lit(fp.nFiles))
+      .withColumn("n_bytes", lit(fp.nBytes))
+      .withColumn("files_digest", lit(fp.digest.get))
     val rest = stats.where(col("bucket").cast("string") =!= lit(bucket))
     val merged = rest.unionByName(fresh, allowMissingColumns = true)
     merged.coalesce(1).write
@@ -325,7 +363,7 @@ object ZoneMapPruning {
     * [[refreshFileFingerprints]] after it.
     */
   def fingerprintSnapshot(spark: SparkSession, tablePath: String,
-      partitionDirs: Seq[String]): Map[String, (Long, Long)] = {
+      partitionDirs: Seq[String]): Map[String, FileFingerprint] = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     partitionDirs.flatMap { dirName =>
@@ -354,10 +392,20 @@ object ZoneMapPruning {
     * `.old`/`.tmp` suffixes, so either writer's crash recovery covers
     * the other); an attached table is re-registered. No-op when the
     * table keeps no stats or the stats carry no fingerprints.
+    *
+    * `postCompaction` is the compactor's OWN accounting of what it
+    * wrote (per-dir (files, bytes) — e.g. `CompactionResult.filesAfter/
+    * bytesAfter`): when present for a dir, the fresh listing taken here
+    * must MATCH it or the bucket keeps its stale fingerprint — without
+    * this, a file appended out-of-band between the compaction's swap
+    * and this refresh's listing would be blessed into the new
+    * fingerprint even though the boxes never saw its rows, resetting
+    * the very tripwire the fresh-going-in check protects (r15 advice).
     */
   def refreshFileFingerprints(spark: SparkSession, tablePath: String,
       partitionDirs: Seq[String],
-      preCompaction: Map[String, (Long, Long)]): Unit = {
+      preCompaction: Map[String, FileFingerprint],
+      postCompaction: Map[String, FileFingerprint] = Map.empty): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col}
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val statsPath = new org.apache.hadoop.fs.Path(tablePath + ".__zonemap")
@@ -373,12 +421,17 @@ object ZoneMapPruning {
     val stats = spark.read.parquet(statsPath.toString)
     if (!stats.columns.contains("n_files") ||
       !stats.columns.contains("n_bytes")) return
-    val recorded: Map[String, (Long, Long)] = stats.select(
+    val digCol =
+      if (stats.columns.contains("files_digest"))
+        col("files_digest").cast("long")
+      else org.apache.spark.sql.functions.lit(null).cast("long")
+    val recorded: Map[String, FileFingerprint] = stats.select(
         col("bucket").cast("string"), col("n_files").cast("long"),
-        col("n_bytes").cast("long"))
+        col("n_bytes").cast("long"), digCol.as("files_digest"))
       .collect()
       .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .map(r => r.getString(0) -> FileFingerprint(r.getLong(1),
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
     val updates = partitionDirs.flatMap { dirName =>
       val eq = dirName.indexOf('=')
       if (eq < 0) None
@@ -388,23 +441,30 @@ object ZoneMapPruning {
         // fresh-going-in check: recorded fingerprint must match the
         // pre-compaction listing, else keep the stale fingerprint so
         // the attach tripwire still fires on the folded-in append
-        if (!recorded.get(bucket).exists(preCompaction.get(dirName)
-            .contains(_))) None
+        if (!recorded.get(bucket).exists(rec =>
+            preCompaction.get(dirName).exists(rec.matches))) None
         else bucketFileStats(fs,
           new org.apache.hadoop.fs.Path(table, dirName))
-          .map { case (nf, nb) => (bucket, nf, nb) }
+          // fresh-coming-out check: when the compactor reported its own
+          // output shape, a fresh listing that disagrees means something
+          // ELSE wrote into the bucket after the swap — keep the stale
+          // fingerprint so the next attach fails loudly on those rows
+          .filter(fresh => postCompaction.get(dirName).forall(_.matches(fresh)))
+          .map(fp => (bucket, fp.nFiles, fp.nBytes, fp.digest.get))
       }
     }
     if (updates.isEmpty) return
     import spark.implicits._
-    val upd = updates.toDF("__fp_bucket", "__nf", "__nb")
+    val upd = updates.toDF("__fp_bucket", "__nf", "__nb", "__fd")
     val merged = stats.join(upd,
         stats("bucket").cast("string") === upd("__fp_bucket"), "left")
       .withColumn("n_files",
         coalesce(col("__nf"), col("n_files")).cast("long"))
       .withColumn("n_bytes",
         coalesce(col("__nb"), col("n_bytes")).cast("long"))
-      .drop("__fp_bucket", "__nf", "__nb")
+      .withColumn("files_digest",
+        coalesce(col("__fd"), digCol).cast("long"))
+      .drop("__fp_bucket", "__nf", "__nb", "__fd")
     merged.coalesce(1).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
     require(fs.rename(statsPath, old_), s"could not park $statsPath")
@@ -437,7 +497,7 @@ object ZoneMapPruning {
   private def validateBucketCoverage(
       spark: SparkSession, path: String, bucketCol: String,
       statBuckets: Set[String],
-      fileStats: Map[String, (Long, Long)] = Map.empty): Unit = {
+      fileStats: Map[String, FileFingerprint] = Map.empty): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
@@ -466,11 +526,13 @@ object ZoneMapPruning {
         "their rows; re-derive the stats (Layout.rawZoneMap) or attach " +
         "from the current stats store")
     val changed = dirs.flatMap { case (bucket, dir) =>
-      fileStats.get(bucket).flatMap { case (nf, nb) =>
+      fileStats.get(bucket).flatMap { rec =>
         bucketFileStats(fs, dir) match {
-          case Some((curF, curB)) if curF != nf || curB != nb =>
-            Some(s"$prefix$bucket (stats: $nf files/$nb bytes, " +
-              s"disk: $curF files/$curB bytes)")
+          case Some(cur) if !rec.matches(cur) =>
+            Some(s"$prefix$bucket (stats: ${rec.nFiles} files/" +
+              s"${rec.nBytes} bytes/digest ${rec.digest.getOrElse("-")}, " +
+              s"disk: ${cur.nFiles} files/${cur.nBytes} bytes/digest " +
+              s"${cur.digest.getOrElse("-")})")
           case _ => None
         }
       }
@@ -479,8 +541,9 @@ object ZoneMapPruning {
       s"zone-map stats for $path are STALE inside existing buckets: " +
         s"${changed.take(4).mkString("; ")}" +
         s"${if (changed.length > 4) "; ..." else ""} — files landed in " +
-        "these partition directories after the stats were derived; " +
-        "pruning could silently drop the new rows. Repair with " +
+        "(or were rewritten inside) these partition directories after " +
+        "the stats were derived; pruning could silently drop the new " +
+        "rows. Repair with " +
         "ZoneMapPruning.rederiveBucket(spark, path, bucketCol, bucket) " +
         "— a bounded one-bucket scan that heals the box AND the " +
         "fingerprint — then re-attach")

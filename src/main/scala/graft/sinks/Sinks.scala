@@ -171,10 +171,18 @@ object ParquetSink {
         spark, path, Seq(dirName))
       write(compacted, path, SaveMode.Overwrite,
         partitionBy = Seq(partitionCol), format = format)
+      // own-output accounting for the refresh's fresh-coming-out check:
+      // this listing is taken the moment the overwrite commits, so an
+      // out-of-band append racing the (job-sized) fingerprint refresh
+      // is caught by the listing disagreement and keeps the fingerprint
+      // stale; only the commit→this-listStatus instant remains exposed
+      // (a filesystem without transactions can't close it entirely)
+      val expected = graft.plans.ZoneMapPruning.fingerprintSnapshot(
+        spark, path, Seq(dirName))
       // best-effort bookkeeping (see compactPartitioned): never undo a
       // completed rewrite over a fingerprint refresh failure
       try graft.plans.ZoneMapPruning.refreshFileFingerprints(spark, path,
-        Seq(dirName), snapshot)
+        Seq(dirName), snapshot, expected)
       catch { case e: Exception =>
         System.err.println(s"[compactPartition] zone-map fingerprint " +
           s"refresh failed for $path (rewrite is intact; repair via " +

@@ -529,23 +529,58 @@ object Streams {
     * mutating the store (recovery stays the writer's job; see
     * [[graft.operators.Maintenance.consistentStoreFiles]]).
     */
-  private def readStore(spark: SparkSession, storePath: String): DataFrame =
+  private def readStore(spark: SparkSession, storePath: String,
+                        retries: Int = 3): DataFrame =
     graft.operators.Maintenance.consistentStoreFiles(spark, storePath) match {
       case Some(files) =>
-        // a LIVE compaction can commit between the listing and this
-        // read's footer pass (parked files vanish) — the store is
-        // consistent again, so fall back to the plain directory read.
+        // a LIVE compaction can race this read's footer pass two ways,
+        // and an FNFE does NOT distinguish them by itself: (a) the
+        // compaction COMMITTED (manifest deleted, parked files vanished)
+        // — the directory is consistent again and the plain read is
+        // right; (b) the compaction PARKED a file this listing saw as
+        // live — the manifest is still present and a plain directory
+        // read would silently serve a mid-compaction partial store
+        // (zone boxes narrow, pruning drops rows). Arbitration is the
+        // manifest itself: fnfeFallback re-derives from a fresh
+        // consistent listing while the manifest persists and only
+        // falls back to the plain read once it is confirmed absent.
         // Scope, stated honestly: the guard covers the CONSTRUCTION-time
         // footer read; a view held across the commit can still fail at
         // ACTION time if the engine re-lists — the same tiny
         // reader-vs-live-rename window consistentStoreFiles has always
         // documented, for which the remedy is re-deriving the view
         try spark.read.parquet(files: _*)
-        catch { case _: java.io.FileNotFoundException =>
-          spark.read.parquet(storePath)
+        catch { case e: java.io.FileNotFoundException =>
+          fnfeFallback(spark, storePath, retries, e)(
+            readStore(spark, storePath, retries - 1))
         }
       case None => spark.read.parquet(storePath)
     }
+
+  /** FNFE arbitration for the serving views' footer pass (see
+    * [[readStore]]): plain directory read ONLY when the compaction
+    * manifest is confirmed absent (post-commit — the store is whole
+    * again); while the manifest persists (park phase of a live
+    * compactStore) re-derive from a fresh consistent listing, and if
+    * retries exhaust with the manifest still there, fail LOUDLY rather
+    * than serve a silently partial store view.
+    */
+  private def fnfeFallback(spark: SparkSession, storePath: String,
+                           retries: Int,
+                           cause: java.io.FileNotFoundException)
+                          (retry: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest =
+      new org.apache.hadoop.fs.Path(storePath + ".__compact_manifest")
+    if (!fs.exists(manifest)) spark.read.parquet(storePath)
+    else if (retries > 0) retry
+    else throw new java.io.FileNotFoundException(
+      s"store $storePath: listed files kept vanishing while a compaction " +
+        "manifest is present (live compaction park race, retries " +
+        "exhausted) — refusing the plain directory read, which would " +
+        s"serve a partial mid-compaction store: ${cause.getMessage}")
+  }
 
   def zoneStatsView(spark: SparkSession, storePath: String): DataFrame = {
     val df = readStore(spark, storePath)
@@ -727,6 +762,10 @@ object Streams {
     * assumes a dedup'd assignment.
     */
   def ivfIndexView(spark: SparkSession, storePath: String): DataFrame =
+    ivfIndexViewWithRetry(spark, storePath, retries = 3)
+
+  private def ivfIndexViewWithRetry(spark: SparkSession, storePath: String,
+                                    retries: Int): DataFrame =
     graft.operators.Maintenance.consistentStoreFiles(spark, storePath) match {
       // crashed-compaction window: read the pre-compaction file set.
       // The set can span TWO roots — files still in the store and files
@@ -743,18 +782,21 @@ object Streams {
         val (parked, live) = files.partition(_.startsWith(parkedBase + "/"))
         def read(group: Seq[String], b: String) =
           spark.read.option("basePath", b).parquet(group: _*)
-        // same commit race as readStore: parked files can vanish
-        // between the listing and the footer pass — fall back to the
-        // (now consistent) plain directory read. Same construction-time
-        // scope note as readStore: an already-built view crossing the
-        // commit can still fail at action time (re-derive it)
+        // same commit race as readStore, same arbitration: a vanished
+        // file only licenses the plain directory read once the manifest
+        // is confirmed absent (commit happened); while it persists,
+        // re-derive from a fresh consistent listing (fnfeFallback).
+        // Same construction-time scope note as readStore: an
+        // already-built view crossing the commit can still fail at
+        // action time (re-derive it)
         try (live.nonEmpty, parked.nonEmpty) match {
           case (true, true) =>
             read(live, base).unionByName(read(parked, parkedBase))
           case (true, false) => read(live, base)
           case _             => read(parked, parkedBase)
-        } catch { case _: java.io.FileNotFoundException =>
-          spark.read.parquet(storePath)
+        } catch { case e: java.io.FileNotFoundException =>
+          fnfeFallback(spark, storePath, retries, e)(
+            ivfIndexViewWithRetry(spark, storePath, retries - 1))
         }
       case None => spark.read.parquet(storePath)
     }

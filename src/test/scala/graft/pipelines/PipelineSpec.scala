@@ -611,6 +611,63 @@ class PipelineSpec extends SparkTestBase {
       e.getMessage)
   }
 
+  test("zone-map freshness: an in-place rewrite preserving file count " +
+    "AND byte count still fails the attach (files_digest), and " +
+    "rederiveBucket repairs it") {
+    import graft.TestSpark.spark.implicits._
+    import graft.sinks.Contract
+    import graft.plans.ZoneMapPruning
+    import org.apache.spark.sql.types._
+    val (c, _) = ctx("zm_rewrite", SaveMode.Append)
+    val contract = Contract("events_zmr", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    val d1 = java.sql.Date.valueOf("2024-09-01")
+    c.saveTable(Seq((1L, "a")).toDF("id", "v"), contract,
+      loadDate = Some(d1), zoneMapCols = Seq("id"))
+    val path = s"${c.stagingDir}/events_zmr"
+    val statsPath = path + ".__zonemap"
+    val dir = new org.apache.hadoop.fs.Path(s"$path/load_date=$d1")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val orig = dataFiles(dir).head
+    // craft a replacement parquet with DIFFERENT rows but the same byte
+    // count: same schema, same value widths (one long, one 1-char
+    // string) — this is exactly the rewrite shape the n_files/n_bytes
+    // counts cannot see
+    val tmp = tempDir("zm_rewrite_repl")
+    Seq((9L, "z")).toDF("id", "v").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val repl = dataFiles(new org.apache.hadoop.fs.Path(tmp.toString)).head
+    assert(repl.getLen == orig.getLen,
+      s"test premise broken: replacement parquet is ${repl.getLen} " +
+        s"bytes vs original ${orig.getLen} — adjust the fixture rows " +
+        "so the rewrite is byte-count-preserving")
+    // in-place rewrite: same file NAME, same size, different content
+    fs.delete(orig.getPath, false)
+    org.apache.hadoop.fs.FileUtil.copy(fs, repl.getPath, fs,
+      orig.getPath, false, spark.sparkContext.hadoopConfiguration)
+    assert(dataFiles(dir).head.getLen == orig.getLen)
+    val e = intercept[IllegalArgumentException] {
+      ZoneMapPruning.attachFromStats(spark, path, "load_date",
+        spark.read.parquet(statsPath))
+    }
+    assert(e.getMessage.contains("STALE inside existing buckets"),
+      e.getMessage)
+    // repair: one-bucket rescan heals box + fingerprint; the attach
+    // passes and the repaired box covers the rewritten row under a
+    // predicate the ORIGINAL box (id in [1,1]) would have pruned
+    ZoneMapPruning.rederiveBucket(spark, path, "load_date", d1.toString)
+    ZoneMapPruning.attachFromStats(spark, path, "load_date",
+      spark.read.parquet(statsPath))
+    try assert(spark.read.parquet(path).where(col("id") === 9L)
+      .count() == 1, "repaired box must cover the rewritten row")
+    finally ZoneMapPruning.detach(spark, path)
+  }
+
   test("compactPartition collapses a day's small files, preserves data and siblings") {
     import graft.TestSpark.spark.implicits._
     val dir = tempDir("compact").toString + "/t"
