@@ -124,14 +124,31 @@ object Dedup {
     */
   def ngramContainmentPairs(df: DataFrame, id: Column, text: Column, n: Int,
                             minContainment: Double,
+                            maxDocFreq: Option[Long] = None,
                             hashShingles: Boolean = true,
                             persistLineage: Boolean = true): DataFrame = {
     val shingleKey =
       if (hashShingles) xxhash64(col("sh_text")) else col("sh_text")
-    val shUncached = df
+    val shRaw = df
       .select(id.as("doc_id"),
         explode(array_distinct(TextFunctions.wordShingles(text, n))).as("sh_text"))
       .select(col("doc_id"), shingleKey.as("sh"))
+    // Same skew guard as ngramJaccardPairs, same consistency rule: a
+    // shingle shared by k docs contributes k² join rows (the whole
+    // family's cost is Σ df(sh)²), so capping document frequency bounds
+    // the worst key at cap² — and the cap is applied to intersections
+    // AND the |A| denominators, so the result is the exact containment
+    // over the capped shingle universe (hash-checkable by a twin with
+    // the identical cap). A df-capped shingle is boilerplate by
+    // definition — it stops being evidence that one doc CONTAINS
+    // another precisely because everything contains it.
+    val shUncached = maxDocFreq match {
+      case None => shRaw
+      case Some(cap) =>
+        val hot = shRaw.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+        shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
     // fans out 3 ways (both self-join sides + sizes) — same persist
     // contract as ngramJaccardPairs
     val sh =
@@ -1262,6 +1279,63 @@ object Dedup {
     * For guaranteed-exhaustive small inputs set `bits = 0` (single
     * bucket = verified all-pairs; only for testing).
     */
+  /** Corpus-derived SRP LSH operating point for
+    * [[embeddingNearDupPairs]] — the embedding-near-dup analogue of
+    * [[Ivf.operatingPoint]], and the code form of the scale contract
+    * a PINNED (bits, bands) cannot keep: with bits fixed, same-(band,
+    * bucket) candidates are Θ(n²/2^bits) — the r15 full-spread audit
+    * measured exactly that quadratic term emerging (18× wall at 10×
+    * data for the fixed bits=4/bands=16 point). The standard LSH
+    * scaling discipline instead derives both knobs from the corpus:
+    *
+    *   - `bits` ≈ log₂(n / targetOccupancy): holds per-(band, bucket)
+    *     occupancy roughly constant, so PER-BAND candidate work is
+    *     Θ(n·occupancy) — linear in n at any corpus size. Floor 4;
+    *     cap 30 (2^30 buckets — beyond that per-band hash cost
+    *     dominates and a multi-probe scheme is the right structure,
+    *     the same escape hatch Ivf.operatingPoint documents at its
+    *     2^20 cap).
+    *   - `bands` from PER-PAIR recall at the threshold angle: one
+    *     band's hyperplanes all agree for a pair at angle θ with
+    *     probability p = (1 − θ/π)^bits, and OR-ing k bands leaves
+    *     miss probability (1−p)^k ≤ 1−pairRecall, so
+    *     k = ⌈ln(1−pairRecall) / ln(1−p)⌉. As bits rise with n, p
+    *     falls and bands grow ∝ (1/p) = (n/occ)^{log₂(1/(1−θ/π))} —
+    *     total candidate work then scales as the classic
+    *     sub-quadratic n^(1+ρ), ρ = log₂(1/(1−θ/π)) < 1 for any
+    *     θ < π/2, instead of n². Bands cap at 512 (hash cost bound;
+    *     reaching it means the threshold is too low for LSH-OR and
+    *     candidates should come from an IVF-style index instead).
+    *
+    * Recall is gated, not hash-anchored: a derived point recovers
+    * pairs AT the threshold with probability ≥ pairRecall (better
+    * above it), so the scaled query (`embed_near_dup_srp_scaled`)
+    * holds a recall floor against the exact pair set on a fixed id
+    * window — the fixed point's full-recall hash oracle
+    * (`embed_near_dup_srp`) stays registered as the envelope's-edge
+    * documentation, exactly the split `pq_topk_scaled_recall` /
+    * `pq_topk_recall` established for IVF-PQ.
+    */
+  final case class SrpOperatingPoint(bits: Int, bands: Int)
+
+  def srpOperatingPoint(n: Long, minCosine: Double,
+                        targetOccupancy: Long = 32,
+                        pairRecall: Double = 0.9): SrpOperatingPoint = {
+    require(n > 0, s"srpOperatingPoint needs a positive corpus size, got $n")
+    require(minCosine > -1.0 && minCosine < 1.0,
+      s"minCosine must be in (-1, 1), got $minCosine")
+    require(pairRecall > 0.0 && pairRecall < 1.0,
+      s"pairRecall must be in (0, 1), got $pairRecall")
+    require(targetOccupancy >= 1,
+      s"targetOccupancy must be >= 1, got $targetOccupancy")
+    val exp = math.round(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0))
+    val bits = math.max(4L, math.min(30L, exp)).toInt
+    val pBand = math.pow(1.0 - math.acos(minCosine) / math.Pi, bits.toDouble)
+    val bands = math.ceil(math.log1p(-pairRecall) / math.log1p(-pBand))
+    SrpOperatingPoint(bits, math.max(1L, math.min(512L, bands.toLong)).toInt)
+  }
+
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
                             minCosine: Double, dim: Int,
                             bits: Int = 8, bands: Int = 4): DataFrame = {

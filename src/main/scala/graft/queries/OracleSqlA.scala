@@ -1000,6 +1000,30 @@ private[graft] object OracleSqlA {
         |  WHERE r.id_a IS NULL OR p.id_a > p.id_b)
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id_a FROM drops)""".stripMargin,
+    "dedup_containment_capped" ->
+      // dedup_containment_prune's pair CTE with the IDENTICAL df-cap:
+      // shingles held by more than 64 docs leave intersections AND the
+      // |A| denominators, so both engines compute the exact containment
+      // over the same capped shingle universe (cap inert at sf <= 0.1,
+      // biting at the 10x fixture — the measured skew-guard form)
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id,
+        |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        |  FROM toks WHERE len(t) >= 3)),
+        |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > 64),
+        |sh AS (SELECT doc_id, sh FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (SELECT id_a, id_b FROM inter JOIN sizes na ON na.doc_id = id_a
+        |  WHERE CAST(i AS DOUBLE) / na.n_sh >= 0.8),
+        |drops AS (SELECT p.id_a FROM pairs p LEFT JOIN pairs r
+        |  ON p.id_a = r.id_b AND p.id_b = r.id_a
+        |  WHERE r.id_a IS NULL OR p.id_a > p.id_b)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id_a FROM drops)""".stripMargin,
     "minhash_pairs" ->
       // IDENTICAL exact oracle as ngram_jaccard: the registered query
       // verifies every LSH candidate with the exact shingle Jaccard, and

@@ -536,6 +536,52 @@ private[graft] object QueriesAnn {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), col("vec_id"),
         col("embedding"), minCosine = 0.5, dim = 64, bits = 4, bands = 16)
     }),
+    "embed_near_dup_srp_scaled" -> ((s, dir) => {
+      // The r15 full-spread audit's worst row (18× wall at 10× data),
+      // answered in code: embed_near_dup_srp's FIXED bits=4/bands=16
+      // point is pinned by its full-recall hash oracle, so its
+      // candidate set grows Θ(n²/2^bits). This query derives (bits ≈
+      // log2(n/occupancy), bands from per-pair recall at the threshold
+      // angle) from the corpus count (Dedup.srpOperatingPoint — the
+      // n^(1+ρ) sub-quadratic scale path, ρ<1) and gates RECALL
+      // instead of hash: the exact arm is all-pairs on the PINNED
+      // vec_id < 2000 window (the full sf0.1 original corpus; 10×
+      // copies live at vec_id ≥ 1e6) — constant cost as the corpus
+      // grows, the embed_near_dup_exact anchor convention — while the
+      // LSH arm runs over the FULL corpus at the derived point, so the
+      // measured wall time IS the production scale path. Floor 0.6
+      // with the point derived for 0.9 per-pair recall at cos=0.5
+      // (every fixture pair sits in [0.5, 0.6], the hard borderline
+      // band).
+      val embs = t(s, dir, "embeddings")
+      val op = Dedup.srpOperatingPoint(
+        embs.where(col("embedding").isNotNull).count(), minCosine = 0.5)
+      val approx = Dedup.embeddingNearDupPairs(embs, col("vec_id"),
+        col("embedding"), minCosine = 0.5, dim = 64,
+        bits = op.bits, bands = op.bands)
+      val exact = Dedup.embeddingNearDupPairs(
+        embs.filter(col("vec_id") < 2000L), col("vec_id"),
+        col("embedding"), minCosine = 0.5, dim = 64, bits = 0, bands = 1)
+      // Two arms, deliberately split. (1) RECALL on the window: letting
+      // Catalyst prune the LSH to vec_id < 2000 here is CORRECT — a
+      // pair's bucket codes depend only on its own two vectors, so
+      // window-pair recall is identical computed on the pruned or the
+      // full corpus (and Catalyst prunes whether asked or not: it
+      // infers the truth side's < 2000 constraint across the semi-join
+      // equality). (2) SCALE: a full-corpus pair count in the SAME
+      // summary row — no join to the truth side, so no constraint can
+      // prune it; this is what makes the measured wall time the
+      // production n^(1+ρ) path (without it the gate silently measured
+      // the window: 1.7 s at 10× vs the real ~17 s full-corpus run).
+      val truth = exact.select(col("id_a").as("query_id"),
+        col("id_b").as("neighbor_id"))
+      val window = approx
+        .filter(col("id_a") < 2000L && col("id_b") < 2000L)
+        .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+      recallGate(truth, window, floor = 0.6,
+          what = "scaled-operating-point SRP near-dup")
+        .crossJoin(approx.agg(count(lit(1)).as("n_pairs_total")))
+    }),
     "semantic_prune_exact" -> ((s, dir) => {
       // SemDeDup keep-one-per-component prune, exact twin (nlist=1 =
       // verified all-pairs): DuckDB reproduces it with the list-cosine

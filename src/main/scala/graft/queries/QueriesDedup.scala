@@ -42,6 +42,25 @@ private[graft] object QueriesDedup {
       Dedup.applyContainmentPrune(docs, col("doc_id"), pairs)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
+    "dedup_containment_capped" -> ((s, dir) => {
+      // the r15 audit's slowest absolute row, with the documented
+      // df-cap actually EXERCISED: shingles held by more than
+      // maxDocFreq docs are dropped from intersections AND
+      // denominators on both engines, so the result is the exact
+      // containment prune over the capped shingle universe — still
+      // hash-green. The cap never bites at sf ≤ 0.1 (max shingle df
+      // 25 < 64, so this row equals dedup_containment_prune there);
+      // at the 10× fixture it removes ~99 % of the Σ df² join rows
+      // (229M of 232M), which is the measured form of the "maxDocFreq
+      // bounds the worst key at 100 TB" claim. cap = 64 ≈ 2–3× the
+      // sf0.1 p99 df: genuine near-superset evidence survives,
+      // boilerplate shingles (which everything "contains") do not.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramContainmentPairs(docs, col("doc_id"),
+        col("text"), n = 3, minContainment = 0.8, maxDocFreq = Some(64L))
+      Dedup.applyContainmentPrune(docs, col("doc_id"), pairs)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
     "dedup_corpus" -> ((s, dir) => {
       // end-to-end: near-dup pairs -> pruned corpus (greedy min-id keep)
       val docs = t(s, dir, "documents")

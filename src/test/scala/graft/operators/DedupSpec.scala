@@ -524,6 +524,70 @@ class DedupSpec extends SparkTestBase {
     assert(srp == exact, s"missed pairs: ${(exact -- srp).take(5)}")
   }
 
+  test("srpOperatingPoint: occupancy-scaled bits, recall-derived bands, " +
+    "floors/caps/monotonicity hold") {
+    // sf-sized corpora (the scaled gate's actual inputs): bits tracks
+    // log2(n/32), bands = ceil(ln(1-R)/ln(1-(1-θ/π)^bits)) at cos=0.5
+    assert(Dedup.srpOperatingPoint(500L, 0.5) ==
+      Dedup.SrpOperatingPoint(4, 11)) // sf0.01 — floor bits
+    assert(Dedup.srpOperatingPoint(2000L, 0.5) ==
+      Dedup.SrpOperatingPoint(6, 26)) // sf0.1
+    assert(Dedup.srpOperatingPoint(20000L, 0.5) ==
+      Dedup.SrpOperatingPoint(9, 88)) // 10x fixture
+    // a TIGHTER threshold needs far fewer bands at the same bits —
+    // the cos 0.9 regime the embeddingNearDupPairs scaladoc describes
+    assert(Dedup.srpOperatingPoint(20000L, 0.9) ==
+      Dedup.SrpOperatingPoint(9, 9))
+    // bits monotone in n; extreme n hits both caps instead of wrapping
+    val pts = Seq(1L, 1000L, 100000L, 10000000L, Long.MaxValue)
+      .map(Dedup.srpOperatingPoint(_, 0.5))
+    assert(pts.sliding(2).forall { case Seq(a, b) => a.bits <= b.bits },
+      pts.toString)
+    assert(Dedup.srpOperatingPoint(Long.MaxValue, 0.5) ==
+      Dedup.SrpOperatingPoint(30, 512))
+    intercept[IllegalArgumentException](Dedup.srpOperatingPoint(0L, 0.5))
+    intercept[IllegalArgumentException](Dedup.srpOperatingPoint(10L, 1.0))
+    intercept[IllegalArgumentException](
+      Dedup.srpOperatingPoint(10L, 0.5, pairRecall = 1.0))
+  }
+
+  test("srpOperatingPoint-driven LSH holds the recall model on a " +
+    "borderline-pair fixture") {
+    import graft.TestSpark.spark.implicits._
+    // pairs NEAR the threshold (cos in [0.5, 0.65] — the fixture
+    // regime of embed_near_dup_srp_scaled, not easy 0.99 dups): the
+    // derived point promises per-pair recall >= 0.9 AT the threshold,
+    // so macro recall over ~40 borderline pairs must clear the gate's
+    // 0.6 floor with room (deterministic seed — measured, not flaky)
+    val rnd = new scala.util.Random(11L)
+    val dim = 16
+    val rows = (0 until 40).flatMap { i =>
+      val base = Array.fill(dim)(rnd.nextGaussian())
+      val noise = Array.fill(dim)(rnd.nextGaussian())
+      // mix for cos ≈ 0.55–0.65: unit(base)·0.6 + unit(noise)·0.8 has
+      // cosine 0.6 with base in expectation
+      val nb = math.sqrt(base.map(x => x * x).sum)
+      val nn = math.sqrt(noise.map(x => x * x).sum)
+      val near = base.indices.map(j =>
+        (0.6 * base(j) / nb + 0.8 * noise(j) / nn).toFloat).toArray
+      Seq((i * 2L, base.map(_.toFloat)), (i * 2L + 1L, near))
+    }
+    val vecs = rows.toDF("id", "v")
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairsOf(Dedup.embeddingNearDupPairs(vecs, col("id"),
+      col("v"), minCosine = 0.5, dim = dim, bits = 0, bands = 1))
+    assert(exact.size >= 25, s"fixture thin: ${exact.size} exact pairs")
+    val op = Dedup.srpOperatingPoint(rows.size.toLong, 0.5)
+    val srp = pairsOf(Dedup.embeddingNearDupPairs(vecs, col("id"),
+      col("v"), minCosine = 0.5, dim = dim,
+      bits = op.bits, bands = op.bands))
+    assert(srp.subsetOf(exact), "verification must kill false candidates")
+    val recall = srp.size.toDouble / exact.size
+    assert(recall >= 0.8,
+      s"derived point recalled ${srp.size}/${exact.size} = $recall")
+  }
+
   test("bloom contamination == exact contamination (no false negatives survive)") {
     spark.catalog.clearCache()
     val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
