@@ -8,6 +8,7 @@ Usage:
     python3 tools/check_bench.py OLD NEW [threshold]
     python3 tools/check_bench.py --coverage [SPREAD [REGISTRY_DIR]]
     python3 tools/check_bench.py --bless [SPREAD [medmin_ratio [frac]]]
+    python3 tools/check_bench.py --selftest
 
 --coverage gates bench COMPLETENESS instead of regressions: exit 1
 unless the spread artifact's query key set equals SparkEntry.queries'
@@ -147,11 +148,84 @@ def bless(argv):
     # outliers); gate the totals ratio too
     tot_ratio = totals["med"] / max(1e-9, totals["min"])
     print(f"total_med/total_min: {tot_ratio:.2f}x (gate 1.35x)")
+    # loadavg WARNING (r15 verdict: the recorded evidence should do
+    # work): a loaded host at capture time doesn't refuse the bless —
+    # r15 closed at start loadavg 9.6 with 1% dispersion — but it must
+    # be self-documenting, so the warning is written INTO the artifact
+    # (the reader of a future noisy capture sees it next to the
+    # numbers, not in a lost terminal). Only the FIRST pass's start
+    # loadavg measures EXTERNAL noise: later pass starts carry the
+    # bench's own 32-thread bursts.
+    warnings = []
+    pl = d.get("pass_loadavg") or []
+    if pl:
+        start1 = (pl[0].get("start") or [0.0])[0]
+        cpus = os.cpu_count() or 1
+        load_gate = cpus * 0.5
+        if start1 > load_gate:
+            warnings.append(
+                f"noisy capture window: pass-1 start loadavg {start1} > "
+                f"{load_gate:.0f} (0.5 x {cpus} cpus) — medians in this "
+                "artifact carry external load; trust mins only")
+    for w in warnings:
+        print(f"WARN {w}")
     if share > frac or tot_ratio > 1.35:
         print(f"REFUSING to bless {spread_path}: the window was too "
               "noisy — rerun the closing bench on a quieter host")
         sys.exit(1)
-    print("blessed")
+    # persist the verdict into the side artifact so the capture is
+    # self-documenting (harness-shaped artifacts are read-only history)
+    if "parsed" not in json.load(open(spread_path)):
+        d["bless"] = {"blessed": True, "warnings": warnings,
+                      "dispersed": sorted(wide),
+                      "total_med_over_min": round(tot_ratio, 3)}
+        with open(spread_path, "w") as f:
+            json.dump(d, f)
+    print("blessed" + (" (with warnings)" if warnings else ""))
+
+
+def selftest():
+    """Pinned behavior of --bless (run in CI-less repos by hand):
+    quiet window -> blessed, no warnings; loaded pass-1 start ->
+    blessed WITH a warning persisted into the artifact; over-dispersed
+    -> refused. Exits 0 iff all three hold."""
+    import copy
+    import subprocess
+    import tempfile
+    base = {
+        "spread": {f"q{i}": {"min": 1.0, "med": 1.1, "tag": "production"}
+                   for i in range(8)},
+        "failures": [],
+        "pass_loadavg": [{"pass": 1, "start": [1.0, 1.0, 1.0],
+                          "end": [1.0, 1.0, 1.0]}],
+    }
+    me = os.path.abspath(__file__)
+
+    def run(doc):
+        with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                         delete=False) as f:
+            json.dump(doc, f)
+            path = f.name
+        r = subprocess.run([sys.executable, me, "--bless", path],
+                           capture_output=True, text=True)
+        return r, json.load(open(path)), path
+
+    r, art, _ = run(copy.deepcopy(base))
+    assert r.returncode == 0 and "blessed" in r.stdout, r.stdout
+    assert art["bless"]["blessed"] and not art["bless"]["warnings"], art
+    noisy = copy.deepcopy(base)
+    noisy["pass_loadavg"][0]["start"] = [(os.cpu_count() or 1) * 0.5 + 1,
+                                         9.0, 9.0]
+    r, art, _ = run(noisy)
+    assert r.returncode == 0 and "WARN" in r.stdout, r.stdout
+    assert art["bless"]["warnings"], art
+    wide = copy.deepcopy(base)
+    for q in wide["spread"]:
+        wide["spread"][q]["med"] = 3.0
+    r, art, _ = run(wide)
+    assert r.returncode == 1 and "REFUSING" in r.stdout, r.stdout
+    assert "bless" not in art, art
+    print("selftest OK")
 
 
 def main():
@@ -159,6 +233,8 @@ def main():
         return coverage(sys.argv[2:])
     if len(sys.argv) > 1 and sys.argv[1] == "--bless":
         return bless(sys.argv[2:])
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        return selftest()
     if len(sys.argv) < 3:
         sys.exit(__doc__)
     old_path, new_path = sys.argv[1], sys.argv[2]
