@@ -608,6 +608,56 @@ private[graft] object QueriesAnn {
         minCosine = 0.4, dim = 64, nlist = 4)
         .select(col("vec_id"), col("label"))
     }),
+    "semantic_prune_scaled" -> ((s, dir) => {
+      // SemDeDup at a CORPUS-DERIVED operating point — the third member
+      // of the scaled family (pq_topk_scaled_recall /
+      // embed_near_dup_srp_scaled): semantic_prune's fixed nlist=4 keeps
+      // candidate work Θ(n²/4) — fine at sf0.1, quadratic at any real
+      // corpus. SemDeDup's own discipline (Abbas 2023 runs 50k clusters
+      // for 60M docs — lists sized ≈ √n) is exactly the √n rule
+      // Ivf.operatingPoint codifies, which bounds candidate pairs at
+      // Σ|list|² ≈ n²/nlist = n^1.5, sub-quadratic.
+      // Truth is PLANTED, not windowed: up to 500 deterministic
+      // near-identical twins (vec_id + 1e9, tiny per-index jitter,
+      // cos ≈ 0.999) union'd into the corpus. SemDeDup's contract is
+      // that NEAR-IDENTICAL pairs co-cluster (tau-boundary pairs are
+      // best-effort — semantic_dup_recall gates those at the fixed
+      // point), and a planted truth set stays constant-cost at every
+      // corpus size (the anchor convention). One aggregation arm over
+      // the survivors covers both the recall verdict and a full-corpus
+      // survivor count, so the measured wall IS the production prune —
+      // no constraint-propagation can narrow it to the planted rows
+      // (the embed_near_dup_srp_scaled lesson).
+      import graft.operators.{Ivf, SemDedup}
+      val embs = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val op = Ivf.operatingPoint(embs.count())
+      val planted = embs.filter(col("vec_id") < 500L)
+        .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + (pmod(i * lit(37), lit(11)) - lit(5)).cast("float") *
+              lit(0.003f)).as("embedding"))
+      val corpus = embs.unionByName(planted)
+      val survivors = SemDedup.semanticPrune(corpus, col("vec_id"),
+        col("embedding"), minCosine = 0.5, dim = 64, nlist = op.nlist)
+      val nPlanted = corpus.filter(col("vec_id") >= 1000000000L)
+        .agg(count(lit(1)).as("n_planted"))
+      survivors
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(when(col("vec_id") >= 1000000000L, 1L).otherwise(0L))
+            .as("n_planted_kept"))
+        .crossJoin(nPlanted)
+        .withColumn("planted_recall",
+          (col("n_planted") - col("n_planted_kept")) /
+            greatest(col("n_planted"), lit(1L)))
+        .withColumn("recall_floor", lit(0.9))
+        .where(assert_true(
+          col("n_planted") === 0 ||
+            col("planted_recall") >= col("recall_floor"),
+          concat(lit("scaled SemDeDup planted-twin recall below floor: "),
+            col("planted_recall"))).isNull)
+    }),
     "semantic_prune_portable" -> ((s, dir) => {
       // the HASH-CHECKABLE twin of semantic_prune (the r13 verdict's
       // salvage ask): SemDeDup's cluster-bounded keep-one-per-component
@@ -922,6 +972,49 @@ private[graft] object QueriesAnn {
           col("n_exact") === 0 || col("recall") >= col("recall_floor"),
           concat(lit("cross-contamination recall below floor: "),
             col("recall"))).isNull)
+    }),
+    "semantic_contamination_scaled" -> ((s, dir) => {
+      // The fourth scaled-family member (pq / srp / semantic_prune /
+      // THIS): semantic_contamination's fixed nlist=16, nprobe=4 keeps
+      // the candidate join at n·|eval|/4 — and the registered query's
+      // eval side GROWS with the corpus, so the fixed point is
+      // quadratic by construction at scale. Real decontamination runs
+      // a FIXED benchmark suite against a growing corpus, so this
+      // query pins the eval side to the constant vec_id < 2000
+      // window (label=0 rows of the original 1× corpus — the anchor
+      // convention) and derives (nlist, nprobe) from the TRAIN count
+      // (Ivf.operatingPoint): probe COVERAGE stays the constant 1/4
+      // fraction while per-probe list length shrinks as √n — candidate
+      // work n·|eval|·nprobe/nlist with √n lists, the IVF scale path.
+      // Gate: recall vs the exact all-pairs arm on the SAME pinned
+      // window restricted to the window's train rows (constant-cost
+      // truth); a full-corpus contamination count rides the same row
+      // so no constraint-propagation can narrow the production arm to
+      // the window (the embed_near_dup_srp_scaled lesson).
+      import graft.operators.{Ivf, SemDedup}
+      val embs = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      val train = embs.filter(col("label") =!= 0)
+      val evalSet = embs.filter(col("label") === 0 &&
+        col("vec_id") < 2000L)
+      val op = Ivf.operatingPoint(train.count())
+      val bucketed = SemDedup.crossContamination(
+        train, col("vec_id"), col("embedding"),
+        evalSet, col("vec_id"), col("embedding"),
+        minCosine = 0.35, nlist = op.nlist, nprobe = op.nprobe)
+      val exactWindow = SemDedup.crossContamination(
+        train.filter(col("vec_id") < 2000L), col("vec_id"),
+        col("embedding"),
+        evalSet, col("vec_id"), col("embedding"),
+        minCosine = 0.35, nlist = 0)
+        .select(col("eval_id").as("query_id"),
+          col("train_id").as("neighbor_id"))
+      val bucketedWindow = bucketed
+        .filter(col("train_id") < 2000L)
+        .select(col("eval_id").as("query_id"),
+          col("train_id").as("neighbor_id"))
+      recallGate(exactWindow, bucketedWindow, floor = 0.5,
+          what = "scaled-operating-point cross-contamination")
+        .crossJoin(bucketed.agg(count(lit(1)).as("n_contaminated_total")))
     }),
     "corpus_pack" -> ((s, dir) => {
       // concat-and-chunk sequence packing: where each doc's tokens start

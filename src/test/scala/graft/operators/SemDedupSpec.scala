@@ -177,4 +177,36 @@ class SemDedupSpec extends SparkTestBase {
         minCosine = 0.9, nlist = 4, nprobe = 0)
     }
   }
+
+  test("scaled operating point prunes planted near-identical twins " +
+    "(the semantic_prune_scaled contract)") {
+    // Mirror of the registered query on the harness embeddings: plant a
+    // near-identical twin (vec_id + 1e9, tiny per-index jitter,
+    // cos ≈ 0.999) for every vec_id < 500, run the prune at the
+    // CORPUS-DERIVED nlist (Ivf.operatingPoint — SemDeDup's own √n list
+    // discipline), and require near-total twin removal: near-identical
+    // pairs co-cluster under any sane centroid fit, so detection must
+    // not depend on the boundary-recall luck that tau-threshold pairs
+    // have (those are semantic_dup_recall's contract, floor 0.25).
+    val embs = Tables.load(spark, dir, "embeddings")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val planted500 = embs.filter(col("vec_id") < 500L)
+      .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + (pmod(i * lit(37), lit(11)) - lit(5)).cast("float") *
+            lit(0.003f)).as("embedding"))
+    val nPlanted = planted500.count()
+    assert(nPlanted > 0, "fixture must yield planted twins")
+    val corpus = embs.unionByName(planted500)
+    val op = Ivf.operatingPoint(embs.count())
+    val survivors = SemDedup.semanticPrune(corpus, col("vec_id"),
+      col("embedding"), minCosine = 0.5, dim = 64, nlist = op.nlist)
+    val keptTwins = survivors.filter(col("vec_id") >= 1000000000L).count()
+    val recall = (nPlanted - keptTwins).toDouble / nPlanted
+    assert(recall >= 0.9,
+      s"planted-twin recall $recall below 0.9 ($keptTwins of $nPlanted kept)")
+    // and the prune never invents survivors: original corpus size bounds
+    assert(survivors.count() <= embs.count() + nPlanted)
+  }
 }

@@ -1,19 +1,26 @@
 #!/usr/bin/env python3
-"""One-off scale-up fixture generator for the SCALE.md "measured at 10x"
-experiment: builds an N-fold copy of the sf tables into OUT_DIR with the
+"""Scale-up fixture generator for the SCALE.md "measured at Nx"
+experiments: builds an N-fold copy of the sf tables into OUT_DIR with the
 same per-row statistics but WITHOUT creating cross-copy near-duplicates
 (which would change the dedup/CC graph shape, not just the data volume):
 
-- documents: copy i remaps every token through a rotation of the (closed,
-  ~31-word) vocabulary — within-copy structure (pair counts, lengths,
-  dup families) is isomorphic to the original, while the same doc in two
-  copies shares no shingles, so the near-dup graph scales linearly like a
-  real corpus would. doc_id offsets by i*ID_OFF; n_chars recomputed.
-- embeddings: copy i rotates the embedding elements by (i*7) mod dim —
-  norm-preserving, and a rotated iid-ish vector is ~orthogonal to the
-  original, so no artificial semantic duplicates. vec_id offsets match
-  doc_id offsets (the two share an id space).
-- events: copy i shifts ts by i*(span+1h) and offsets ids — 10x the data
+- documents: copy i remaps every token through an AFFINE PERMUTATION of
+  the (closed, ~31-word) vocabulary, k -> (a_i*k + b_i) mod V with a_i
+  coprime to V — within-copy structure (pair counts, lengths, dup
+  families) is isomorphic to the original, while two copies share no
+  more shingles than two unrelated corpora. The r15 version used a bare
+  ROTATION (a=1), whose period is V: at >= V copies, copy V was
+  token-identical to copy 0 and the dedup graph grew quadratic cliques.
+  Distinct (a_i, b_i) pairs hold for every i < lcm(phi-ish(V), V)
+  (~930 at V=31), far past the 100x this script now serves.
+- embeddings: copy i rotates the embedding elements by (i*7) mod dim AND
+  sign-flips element j when bit (j mod 7) of i is set — both
+  norm-preserving orthogonal maps, so a transformed iid-ish vector stays
+  ~orthogonal to every other copy's. The r15 rotation-only version had
+  period dim/gcd(7,dim) (64 at dim=64): at 100 copies, copies 0 and 64
+  carried identical vectors and the ANN/near-dup truth sets inflated.
+  The sign-flip pattern (i & 127) alone is distinct for all i < 128.
+- events: copy i shifts ts by i*(span+1h) and offsets ids — Nx the data
   at the SAME event density, so interval joins scale by data, not by an
   artificially inflated rate.
 - every other table is copied verbatim (dimension-sized).
@@ -21,10 +28,12 @@ same per-row statistics but WITHOUT creating cross-copy near-duplicates
 Usage: python3 tools/scale_gen.py /root/testdata/sf0.1 /tmp/sf1 10
 """
 import sys, glob, os, shutil
+from math import gcd
 import duckdb
 
 src, out, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
 ID_OFF = 1_000_000
+assert copies <= 128, "sign-flip distinctness argument holds for < 128 copies"
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
 
@@ -32,13 +41,22 @@ vocab = [r[0] for r in con.execute(
     f"SELECT DISTINCT unnest(string_split(text, ' ')) AS t FROM '{src}/documents.parquet' ORDER BY t"
 ).fetchall()]
 V = len(vocab)
-print(f"vocab: {V} tokens")
+units = [a for a in range(1, V) if gcd(a, V) == 1]
+print(f"vocab: {V} tokens ({len(units)} affine multipliers)")
+# (a_i, b_i) collide only when i == j mod lcm(#units, V)
+assert copies <= (len(units) * V) // gcd(len(units), V), \
+    "affine-permutation distinctness exhausted for this copy count"
+
 
 def doc_copy(i):
     if i == 0:
         return f"SELECT * FROM '{src}/documents.parquet'"
+    a, b = units[i % len(units)], i % V
+    if a == 1 and b == 0:
+        b = 1
+    perm = {w: vocab[(a * k + b) % V] for k, w in enumerate(vocab)}
     case = "CASE t " + " ".join(
-        f"WHEN '{w}' THEN '{vocab[(k + i) % V]}'" for k, w in enumerate(vocab)
+        f"WHEN '{w}' THEN '{p}'" for w, p in perm.items()
     ) + " ELSE t END"
     return f"""
       SELECT doc_id + {i * ID_OFF} AS doc_id, text, lang, source,
@@ -48,21 +66,29 @@ def doc_copy(i):
               lang, source
             FROM '{src}/documents.parquet')"""
 
+
+dim = con.execute(
+    f"SELECT len(embedding) FROM '{src}/embeddings.parquet' LIMIT 1").fetchone()[0]
+
+
 def emb_copy(i):
     if i == 0:
         return f"SELECT * FROM '{src}/embeddings.parquet'"
-    dim = con.execute(f"SELECT len(embedding) FROM '{src}/embeddings.parquet' LIMIT 1").fetchone()[0]
     k = (i * 7) % dim
     rot = (f"list_concat(embedding[{k + 1}:{dim}], embedding[1:{k}])" if k else "embedding")
+    flipped = (f"list_transform({rot}, (x, j) -> "
+               f"CASE WHEN (({i} >> ((j - 1) % 7)) & 1) = 1 THEN -x ELSE x END)")
     return f"""
       SELECT vec_id + {i * ID_OFF} AS vec_id,
-             CAST({rot} AS FLOAT[]) AS embedding, label
+             CAST({flipped} AS FLOAT[]) AS embedding, label
       FROM '{src}/embeddings.parquet'"""
+
 
 span_h = con.execute(
     f"SELECT CAST(ceil(date_diff('hour', min(ts), max(ts)) + 1) AS INT) FROM '{src}/events.parquet'"
 ).fetchone()[0]
 print(f"events span: {span_h} hours")
+
 
 def ev_copy(i):
     if i == 0:
@@ -72,6 +98,7 @@ def ev_copy(i):
              ts + INTERVAL ({i * span_h}) HOUR AS ts,
              user_id + {i * ID_OFF} AS user_id, event_type, value, props
       FROM '{src}/events.parquet'"""
+
 
 for name, mk in [("documents", doc_copy), ("embeddings", emb_copy), ("events", ev_copy)]:
     union = " UNION ALL ".join(mk(i) for i in range(copies))
