@@ -1010,7 +1010,7 @@ private[graft] object OracleSqlB {
         |LIMIT 10""".stripMargin,
     "cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 3200),
         |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
         |s AS (SELECT qid AS query_id, nid AS neighbor_id,
         |  list_inner_product(qv, cv) /
@@ -1022,7 +1022,7 @@ private[graft] object OracleSqlB {
         |WHERE rank <= 10""".stripMargin,
     "hard_negatives" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
-        |  label AS ql FROM embeddings WHERE vec_id % 50 = 0),
+        |  label AS ql FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 3200),
         |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv,
         |  label AS nl FROM embeddings),
         |s AS (SELECT qid AS anchor_id, nid AS neighbor_id, nl AS neg_label,
@@ -1036,7 +1036,7 @@ private[graft] object OracleSqlB {
         |WHERE rank <= 5""".stripMargin,
     "retrieval_label_precision" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 3200),
         |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
         |s AS (SELECT qid AS query_id, nid AS neighbor_id,
         |  list_inner_product(qv, cv) /

@@ -16,9 +16,17 @@ private[graft] object QueriesAnn {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- LLM-pipeline: similarity search ------------------------------
+    // Every similarity/ANN query set below is PINNED to the constant
+    // `% 50 === 0 && < 3200` window (≤ 64 ids — all of them at sf ≤ 0.1,
+    // where max vec_id is 2000, so results and oracle hashes are
+    // unchanged at every driver SF): benched queries must measure CORPUS
+    // scaling, never query-load scaling. The r16 100× audit caught
+    // ivf_topk growing its query set with the corpus (29× wall at 100×
+    // data for what is a √n-shaped probe) — the same defect class
+    // hybrid_rrf had in r15; the oracle SQL carries the identical pin.
     "cosine_topk" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
-      val queries = embs.filter(col("vec_id") % 50 === 0)
+      val queries = embs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 3200L)
       Similarity.bruteForceTopK(embs, col("vec_id"), col("embedding"),
         queries, col("vec_id"), col("embedding"), k = 10)
     }),
@@ -30,7 +38,7 @@ private[graft] object QueriesAnn {
       // anchor set (the cosine_topk construction), label filter
       // BEFORE the rank so the k survivors are all negatives.
       val embs = t(s, dir, "embeddings")
-      val anchors = embs.filter(col("vec_id") % 50 === 0)
+      val anchors = embs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 3200L)
       val labels = embs.select(col("vec_id"), col("label"))
       // score all (anchor, candidate) pairs with a DIFFERENT label,
       // then the bounded k=5 heap — the label filter runs BEFORE the
@@ -66,7 +74,7 @@ private[graft] object QueriesAnn {
       val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
         .join(broadcast(embs.select(col("vec_id"),
           col("label").as("n_label"))), Seq("vec_id"))
-      val probes = embs.filter(col("vec_id") % 50 === 0)
+      val probes = embs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 3200L)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
           col("label").as("q_label"),
           explode(Kernels.topCentroidsCol(col("embedding"), model.matrix,
@@ -94,7 +102,7 @@ private[graft] object QueriesAnn {
         val scored = embs
           .select(col("vec_id").as("neighbor_id"),
             col("embedding").as("cv"), col("label").as("n_label"))
-          .join(broadcast(embs.filter(col("vec_id") % 50 === 0)
+          .join(broadcast(embs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 3200L)
             .select(col("vec_id").as("query_id"),
               col("embedding").as("qv"), col("label").as("q_label"))),
             col("query_id") =!= col("neighbor_id"))
@@ -108,7 +116,7 @@ private[graft] object QueriesAnn {
             col("embedding"))
           .join(broadcast(embs.select(col("vec_id"),
             col("label").as("n_label"))), Seq("vec_id"))
-        val probes = embs.filter(col("vec_id") % 50 === 0)
+        val probes = embs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 3200L)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
             col("label").as("q_label"),
             explode(Kernels.topCentroidsCol(col("embedding"), model.matrix,
@@ -132,7 +140,7 @@ private[graft] object QueriesAnn {
       // against the exact arm; this certifies the exact arm against
       // MEANING.
       val embs = t(s, dir, "embeddings")
-      val queries = embs.filter(col("vec_id") % 50 === 0)
+      val queries = embs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 3200L)
       val top = Similarity.bruteForceTopK(embs, col("vec_id"),
         col("embedding"), queries, col("vec_id"), col("embedding"), k = 10)
       val labels = embs.select(col("vec_id"), col("label"))
@@ -154,7 +162,7 @@ private[graft] object QueriesAnn {
       // bits=8. The ann_topk_recall gate enforces the 0.3 floor at this
       // exact operating point every harness run.
       val embs = t(s, dir, "embeddings")
-      val queries = embs.filter(col("vec_id") % 50 === 0)
+      val queries = embs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 3200L)
       Similarity.srpBucketTopK(embs, col("vec_id"), col("embedding"),
         queries, col("vec_id"), col("embedding"), k = 10, dim = 64,
         bits = 4, probes = 4)
@@ -223,7 +231,7 @@ private[graft] object QueriesAnn {
       val model = Ivf.fit(embs, col("embedding"), nlist = 16,
         sampleFraction = 0.25)
       val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
-      val queries = embs.filter(col("vec_id") % 50 === 0)
+      val queries = embs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 3200L)
       Ivf.topK(model, assigned, queries, col("vec_id"), col("embedding"),
         k = 10, nprobe = 4)
     }),
@@ -289,7 +297,7 @@ private[graft] object QueriesAnn {
       // embeddings are the adversarial LSH case (AnnRecallSpec), hence
       // the loose floor (measured 0.44-0.45 at sf0.01/sf0.1).
       val embs = t(s, dir, "embeddings")
-      val queries = embs.filter(col("vec_id") % 50 === 0)
+      val queries = embs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 3200L)
       recallGate(
         Similarity.bruteForceTopK(embs, col("vec_id"), col("embedding"),
           queries, col("vec_id"), col("embedding"), k = 10),
@@ -303,7 +311,7 @@ private[graft] object QueriesAnn {
       // sampled fit).
       import graft.operators.Ivf
       val embs = t(s, dir, "embeddings")
-      val queries = embs.filter(col("vec_id") % 50 === 0)
+      val queries = embs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 3200L)
       val model = Ivf.fit(embs, col("embedding"), nlist = 16,
         sampleFraction = 0.25)
       val assigned = Ivf.assign(model, embs, col("vec_id"), col("embedding"))
@@ -445,7 +453,7 @@ private[graft] object QueriesAnn {
       val pq = Pq.fit(embs, col("embedding"), m = 8, k = 16)
       val encoded = Pq.assignEncode(ivf, pq, embs, col("vec_id"),
         col("embedding"))
-      val queries = embs.filter(col("vec_id") % 50 === 0)
+      val queries = embs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 3200L)
       Pq.topK(ivf, pq, encoded, queries, col("vec_id"), col("embedding"),
         k = 10, nprobe = 4)
     }),
@@ -461,7 +469,7 @@ private[graft] object QueriesAnn {
       // unreranked form would gate a shape nothing should deploy.
       import graft.operators.{Ivf, Pq}
       val embs = t(s, dir, "embeddings")
-      val queries = embs.filter(col("vec_id") % 50 === 0)
+      val queries = embs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 3200L)
       val ivf = Ivf.fit(embs, col("embedding"), nlist = 16,
         sampleFraction = 0.25)
       val pq = Pq.fit(embs, col("embedding"), m = 8, k = 16)
@@ -1012,7 +1020,13 @@ private[graft] object QueriesAnn {
         .filter(col("train_id") < 2000L)
         .select(col("eval_id").as("query_id"),
           col("train_id").as("neighbor_id"))
-      recallGate(exactWindow, bucketedWindow, floor = 0.5,
+      // floor 0.4: measured macro-recall 0.524 at sf0.01 (35 eval
+      // queries — the driver-gate SF, and the binding margin) and green
+      // at sf0.1 / 10× / 100× fixtures; tau=0.35 window pairs sit AT
+      // cluster boundaries (the adversarial case, same as the fixed
+      // point's gate), so the floor keeps headroom for fixture
+      // regeneration rather than hugging one seed's 0.52
+      recallGate(exactWindow, bucketedWindow, floor = 0.4,
           what = "scaled-operating-point cross-contamination")
         .crossJoin(bucketed.agg(count(lit(1)).as("n_contaminated_total")))
     }),

@@ -25,13 +25,25 @@ same per-row statistics but WITHOUT creating cross-copy near-duplicates
   artificially inflated rate.
 - every other table is copied verbatim (dimension-sized).
 
-Usage: python3 tools/scale_gen.py /root/testdata/sf0.1 /tmp/sf1 10
+An optional 4th arg `grow` switches documents to GROWN-VOCAB copies:
+copy i suffixes every token with `q{i}` instead of permuting, so copies
+share NO tokens and the shingle universe grows ~linearly with the corpus
+(the Heaps-law regime: per-shingle document frequency stays CONSTANT as
+the corpus scales, so uncapped n-gram joins are honestly linear). The
+default closed-vocab mode keeps the original 31-token universe, where
+per-shingle df grows with the corpus — every shingle becomes a hot
+boilerplate key and sum(df^2) joins go quadratic; that is the
+boilerplate-saturated regime the maxDocFreq caps exist for. The round-16
+100x audit measures the dedup family in BOTH regimes.
+
+Usage: python3 tools/scale_gen.py /root/testdata/sf0.1 /tmp/sf1 10 [grow]
 """
 import sys, glob, os, shutil
 from math import gcd
 import duckdb
 
 src, out, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
+grow_vocab = len(sys.argv) > 4 and sys.argv[4] == "grow"
 ID_OFF = 1_000_000
 assert copies <= 128, "sign-flip distinctness argument holds for < 128 copies"
 os.makedirs(out, exist_ok=True)
@@ -51,6 +63,15 @@ assert copies <= (len(units) * V) // gcd(len(units), V), \
 def doc_copy(i):
     if i == 0:
         return f"SELECT * FROM '{src}/documents.parquet'"
+    if grow_vocab:
+        return f"""
+          SELECT doc_id + {i * ID_OFF} AS doc_id, text, lang, source,
+                 CAST(length(text) AS INT) AS n_chars
+          FROM (SELECT doc_id,
+                  array_to_string(list_transform(string_split(text, ' '),
+                    t -> t || 'q{i}'), ' ') AS text,
+                  lang, source
+                FROM '{src}/documents.parquet')"""
     a, b = units[i % len(units)], i % V
     if a == 1 and b == 0:
         b = 1
