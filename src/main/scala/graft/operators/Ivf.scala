@@ -118,13 +118,40 @@ object Ivf {
     val centroids = rnd.ints(0, pts.length).distinct().limit(k.toLong)
       .toArray.map(i => pts(i).clone())
     val assignArr = new Array[Int](pts.length)
+    // Hoisted norms: the per-pair cosine recomputed BOTH operand norms
+    // (3x the needed flops per element, and each point's norm k times
+    // per iteration — at nlist=512 the fit was ~25 s of the
+    // pq_topk_scaled_recall 100x row, r16 audit). Bit-identical to the
+    // inlined form: each norm accumulates in the same index order a
+    // standalone loop uses, and the final expression is the same
+    // dot / (sqrt(na) * sqrt(nb)) with the same operands.
+    val pNorm = new Array[Double](pts.length)
+    java.util.stream.IntStream.range(0, pts.length).parallel().forEach { i =>
+      val p = pts(i); var na = 0.0; var d = 0
+      while (d < p.length) { na += p(d) * p(d); d += 1 }
+      pNorm(i) = math.sqrt(na)
+    }
+    val cNorm = new Array[Double](k)
     var iter = 0
     while (iter < maxIter) {
+      var cn = 0
+      while (cn < k) {
+        val cv = centroids(cn); var nb = 0.0; var d = 0
+        while (d < cv.length) { nb += cv(d) * cv(d); d += 1 }
+        cNorm(cn) = math.sqrt(nb)
+        cn += 1
+      }
       // parallel argmax-cosine assignment (deterministic: per-point slot)
       java.util.stream.IntStream.range(0, pts.length).parallel().forEach { i =>
+        val p = pts(i)
         var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
         while (c < k) {
-          val s = localCosine(pts(i), centroids(c))
+          val cv = centroids(c)
+          val n = math.min(p.length, cv.length)
+          var dot = 0.0; var d = 0
+          while (d < n) { dot += p(d) * cv(d); d += 1 }
+          val s = if (pNorm(i) == 0.0 || cNorm(c) == 0.0) -1.0
+            else dot / (pNorm(i) * cNorm(c))
           if (s > bestSim) { bestSim = s; best = c }
           c += 1
         }
