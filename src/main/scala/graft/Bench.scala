@@ -222,11 +222,47 @@ object Bench {
       s.split(" ").take(3).mkString("[", ",", "]")
     } catch { case _: Exception => "[]" }
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[String]
+    // HOSTMARK: a fixed, data-independent CPU calibration timed once per
+    // pass — the discriminator loadavg cannot be. The r16 closing window
+    // measured EVERY query (pure-JVM kernels included) uniformly ~1.54×
+    // of r15 on an IDLE host (loadavg 0.08): a host-throughput level
+    // shift, which per-query min-of-N (additive-noise armor) and the
+    // bless dispersion gate (uniform ⇒ low dispersion ⇒ blessed) are
+    // both structurally blind to. Two marks: single-thread (per-core
+    // throughput — the thing a noisy hypervisor neighbor or frequency
+    // change moves) and a 32-way parallel variant (adds contention).
+    // check_bench divides round-over-round ratios by the hostmark ratio
+    // when both artifacts carry it, so "the host got slower" and "the
+    // code got slower" finally separate mechanically.
+    def xorshiftSum(seed0: Long, iters: Long): Long = {
+      var x = seed0; var acc = 0L; var i = 0L
+      while (i < iters) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1
+      }
+      acc
+    }
+    val hostmarkSink = new java.util.concurrent.atomic.AtomicLong()
+    def hostmark1t(): Double = {
+      val t0 = System.nanoTime()
+      hostmarkSink.addAndGet(xorshiftSum(0x9E3779B97F4A7C15L, 400000000L))
+      (System.nanoTime() - t0) / 1e9
+    }
+    def hostmarkMt(): Double = {
+      val t0 = System.nanoTime()
+      java.util.stream.IntStream.range(0, 32).parallel().forEach { lane =>
+        hostmarkSink.addAndGet(xorshiftSum(0x100000001B3L + lane, 50000000L))
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val marks1t = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val marksMt = scala.collection.mutable.ArrayBuffer.empty[Double]
     // pass-major order (all queries per pass, passes back to back) so two
     // passes of one query never run against a hot cache the others missed
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     for (pass <- 1 to runs) {
       val startLoad = loadavgNow
+      marks1t += hostmark1t()
+      marksMt += hostmarkMt()
       for ((name, fn) <- selected if !failures.contains(name)) {
         timedPass(spark, name,
           () => fn(spark, sfDir).write.format("noop").mode("overwrite").save(),
@@ -298,7 +334,12 @@ object Bench {
     val loadavg = loadavgNow
     val compact = compactLine(minResults, failures, sfDir,
       metric = "total_min")
-    val full = s"""{"metric":"total_min","value":${ms(totalMin)},"total_min":${ms(totalMin)},"total_med":${ms(totalMed)},"unit":"sec","queries":$qs3,"spread":$spread,"failures":$fstr,"runs":$runs,"loadavg":$loadavg,"pass_loadavg":${passLoads.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // hostmark: min over passes, same comparator as every query (the
+    // sink read keeps the calibration loops observable end to end)
+    val hostmarks =
+      s""""hostmark_1t":${ms(marks1t.min)},"hostmark_mt":${ms(marksMt.min)},""" +
+        s""""hostmark_sink":${hostmarkSink.get()},"""
+    val full = s"""{"metric":"total_min","value":${ms(totalMin)},"total_min":${ms(totalMin)},"total_med":${ms(totalMed)},"unit":"sec","queries":$qs3,"spread":$spread,"failures":$fstr,"runs":$runs,$hostmarks"loadavg":$loadavg,"pass_loadavg":${passLoads.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val spreadOut = sys.env.getOrElse("SPARK_GRAFT_SPREAD_OUT", "tools/bench_spread.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(spreadOut), (full + "\n").getBytes("UTF-8"))

@@ -225,6 +225,34 @@ def selftest():
     r, art, _ = run(wide)
     assert r.returncode == 1 and "REFUSING" in r.stdout, r.stdout
     assert "bless" not in art, art
+
+    # hostmark normalization: a uniform 1.6x level shift with matching
+    # hostmarks must PASS the 1.5x regression gate (host got slower,
+    # code did not); the same artifacts without hostmarks must FAIL;
+    # and a genuine 2x code regression must fail THROUGH the shift.
+    def cmp_run(old_doc, new_doc):
+        paths = []
+        for doc in (old_doc, new_doc):
+            with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                             delete=False) as f:
+                json.dump(doc, f)
+                paths.append(f.name)
+        return subprocess.run([sys.executable, me] + paths,
+                              capture_output=True, text=True)
+    mk = lambda scale, hm: {
+        "metric": "total_min", "sf": "sfX",
+        "queries": {f"q{i}": 1.0 * scale for i in range(8)},
+        "spread": {f"q{i}": {"min": 1.0 * scale, "med": 1.1 * scale,
+                             "tag": "production"} for i in range(8)},
+        **({"hostmark_1t": hm} if hm else {})}
+    r = cmp_run(mk(1.0, 1.0), mk(1.6, 1.6))
+    assert r.returncode == 0 and "host shift: 1.600x" in r.stdout, r.stdout
+    r = cmp_run(mk(1.0, None), mk(1.6, None))
+    assert r.returncode == 1, r.stdout
+    slow = mk(1.6, 1.6)
+    slow["spread"]["q0"]["min"] = slow["queries"]["q0"] = 3.5
+    r = cmp_run(mk(1.0, 1.0), slow)
+    assert r.returncode == 1 and "REGRESSED q0" in r.stdout, r.stdout
     print("selftest OK")
 
 
@@ -244,22 +272,49 @@ def main():
         sys.exit(f"sf mismatch: {old_path} ran at {old_sf}, {new_path} at "
                  f"{new_sf} — timings across scale factors cannot gate")
 
+    # Host-shift normalization (r16 finding): the r16 closing window
+    # measured EVERY query — pure-JVM kernels included — uniformly
+    # ~1.54x of r15 on an IDLE host, a host-throughput level shift that
+    # per-query min-of-N (additive-noise armor) cannot remove and the
+    # dispersion bless cannot see (uniform => tight => blessed). The
+    # hostmark (a fixed xorshift loop Bench times once per pass, min
+    # over passes like every query) measures exactly that shift: when
+    # BOTH artifacts carry hostmark_1t, the gate compares
+    # shift-normalized ratios and says so — "the host got slower" and
+    # "the code got slower" separate mechanically.
+    def hostmark_of(path):
+        with open(path) as f:
+            d = json.load(f)
+        if "parsed" in d:
+            d = d["parsed"] or {}
+        return d.get("hostmark_1t")
+    hm_old, hm_new = hostmark_of(old_path), hostmark_of(new_path)
+    shift = 1.0
+    if hm_old and hm_new:
+        shift = hm_new / hm_old
+        print(f"host shift: {shift:.3f}x (hostmark_1t {hm_old:.3f}s -> "
+              f"{hm_new:.3f}s) — per-query ratios below are "
+              "shift-normalized")
+
     shared = sorted(set(old) & set(new))
     regressed = []
     for q in shared:
         (o, okind), (n, nkind) = old[q], new[q]
-        if o > 0 and n / o > threshold:
-            regressed.append((q, o, okind, n, nkind, n / o))
+        if o > 0 and n / o / shift > threshold:
+            regressed.append((q, o, okind, n, nkind, n / o / shift))
 
     for q in sorted(set(new) - set(old)):
         print(f"NEW      {q}: {new[q][0]:.3f}s")
     for q in sorted(set(old) - set(new)):
         print(f"REMOVED  {q} (was {old[q][0]:.3f}s)")
     for q, o, okind, n, nkind, r in sorted(regressed, key=lambda x: -x[5]):
-        print(f"REGRESSED {q}: {o:.3f}s ({okind}) -> {n:.3f}s ({nkind})  {r:.2f}x")
+        print(f"REGRESSED {q}: {o:.3f}s ({okind}) -> {n:.3f}s ({nkind})  "
+              f"{r:.2f}x" + (" (normalized)" if shift != 1.0 else ""))
 
     ok = len(shared) - len(regressed)
-    print(f"{ok}/{len(shared)} shared queries within {threshold}x")
+    print(f"{ok}/{len(shared)} shared queries within {threshold}x"
+          + (f" (host-shift-normalized by {shift:.3f}x)"
+             if shift != 1.0 else ""))
     if regressed:
         sys.exit(1)
 
