@@ -139,9 +139,16 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT_SEC", "120").toInt
     require(watchdogSec >= 1,
       s"SPARK_GRAFT_BENCH_TIMEOUT_SEC must be >= 1, got $watchdogSec")
+    // Shuffle-partition override for scale-tail runs: the r16 100x audit
+    // attributed 1.2-1.9x over-linear legs to sort spill at the fixed 32
+    // partitions (SCALE.md) — on a real cluster that's AQE / partition-
+    // count territory, so the tail runner scales this with fixture size
+    // instead of conflating spill overhang with algorithmic shape.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       // plan strings are built per-action for listener events; cap them
       // so a lineage regression costs a truncated debug string, not
@@ -254,6 +261,12 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // JIT warm-up for the mark kernel itself: pass 1 would otherwise time
+    // xorshiftSum's interpreted/C1 execution, and with RUNS=1 the
+    // min-over-passes IS that inflated sample — overstating hostmark_1t
+    // and deflating every later shift-normalized comparison against the
+    // artifact. One untimed call makes every timed mark C2-warm.
+    hostmarkSink.addAndGet(xorshiftSum(0xDEADBEEFL, 400000000L))
     val marks1t = scala.collection.mutable.ArrayBuffer.empty[Double]
     val marksMt = scala.collection.mutable.ArrayBuffer.empty[Double]
     // pass-major order (all queries per pass, passes back to back) so two
@@ -339,7 +352,7 @@ object Bench {
     val hostmarks =
       s""""hostmark_1t":${ms(marks1t.min)},"hostmark_mt":${ms(marksMt.min)},""" +
         s""""hostmark_sink":${hostmarkSink.get()},"""
-    val full = s"""{"metric":"total_min","value":${ms(totalMin)},"total_min":${ms(totalMin)},"total_med":${ms(totalMed)},"unit":"sec","queries":$qs3,"spread":$spread,"failures":$fstr,"runs":$runs,$hostmarks"loadavg":$loadavg,"pass_loadavg":${passLoads.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total_min","value":${ms(totalMin)},"total_min":${ms(totalMin)},"total_med":${ms(totalMed)},"unit":"sec","queries":$qs3,"spread":$spread,"failures":$fstr,"runs":$runs,$hostmarks"shuffle_partitions":$shufflePartitions,"loadavg":$loadavg,"pass_loadavg":${passLoads.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val spreadOut = sys.env.getOrElse("SPARK_GRAFT_SPREAD_OUT", "tools/bench_spread.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(spreadOut), (full + "\n").getBytes("UTF-8"))

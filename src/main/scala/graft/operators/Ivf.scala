@@ -113,6 +113,16 @@ object Ivf {
     require(pts.nonEmpty, "Ivf.fit: empty sample")
     val k = math.min(nlist, pts.length)
     val dim = pts(0).length
+    // Uniform dimensionality is a fit precondition, not a best-effort:
+    // the hoisted pNorm/cNorm accumulate over each vector's FULL length,
+    // so a ragged input would make hoisted-norm cosines differ from the
+    // min-prefix form the pre-hoist code computed. Requiring one dim
+    // makes the "bit-identical to the inlined form" equivalence hold by
+    // construction (and a ragged embedding column is corrupt input
+    // anyway — better a loud error than a silently skewed fit).
+    pts.foreach(p => require(p.length == dim,
+      s"Ivf.fit: ragged embedding dims (${p.length} vs $dim) — " +
+        "uniform dimensionality required"))
     // seeded distinct-point init
     val rnd = new java.util.Random(seed)
     val centroids = rnd.ints(0, pts.length).distinct().limit(k.toLong)
@@ -147,9 +157,8 @@ object Ivf {
         var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
         while (c < k) {
           val cv = centroids(c)
-          val n = math.min(p.length, cv.length)
           var dot = 0.0; var d = 0
-          while (d < n) { dot += p(d) * cv(d); d += 1 }
+          while (d < dim) { dot += p(d) * cv(d); d += 1 }
           val s = if (pNorm(i) == 0.0 || cNorm(c) == 0.0) -1.0
             else dot / (pNorm(i) * cNorm(c))
           if (s > bestSim) { bestSim = s; best = c }

@@ -8,7 +8,22 @@ Usage:
     python3 tools/check_bench.py OLD NEW [threshold]
     python3 tools/check_bench.py --coverage [SPREAD [REGISTRY_DIR]]
     python3 tools/check_bench.py --bless [SPREAD [medmin_ratio [frac]]]
+    python3 tools/check_bench.py --docs [SCALE_MD [SPREAD [tolerance]]]
     python3 tools/check_bench.py --selftest
+
+--docs gates SCALE.md's closing-bench claim against the committed
+artifact. Twice (r15, r16) the SCALE.md headline drifted stale because
+the driver re-benches AFTER the round closes; the structural fix is a
+pinned, hostmark-relative claim line in SCALE.md:
+
+    closing total_min: <X> s at hostmark_1t <Y> s
+
+--docs finds the LAST such line and compares the hostmark-relative
+total (X / Y) against the artifact's (value / hostmark_1t) within
+`tolerance` (default 0.05 — a post-close re-capture on a host-shifted
+window moves X and Y together, so the ratio only carries min-of-N
+noise; the r15/r16 staleness drifts were 7-11%, well outside). Exit 1
+on missing line, missing artifact hostmark, or drift.
 
 --coverage gates bench COMPLETENESS instead of regressions: exit 1
 unless the spread artifact's query key set equals SparkEntry.queries'
@@ -184,6 +199,45 @@ def bless(argv):
     print("blessed" + (" (with warnings)" if warnings else ""))
 
 
+def docs(argv):
+    """Gate SCALE.md's closing-bench claim against the committed spread
+    artifact (see module docstring). The claim is hostmark-relative so a
+    post-close re-capture on a shifted host still reads consistent."""
+    scale_md = argv[0] if argv else os.path.join(REPO, "SCALE.md")
+    spread_path = argv[1] if len(argv) > 1 else os.path.join(
+        REPO, "tools", "bench_spread.json")
+    tol = float(argv[2]) if len(argv) > 2 else 0.05
+    with open(scale_md) as f:
+        claims = re.findall(
+            r"closing total_min:\s*([0-9.]+)\s*s at hostmark_1t\s*"
+            r"([0-9.]+)\s*s", f.read())
+    if not claims:
+        sys.exit(f"{scale_md}: no 'closing total_min: X s at "
+                 "hostmark_1t Y s' claim line — add one (the pinned "
+                 "format --docs checks)")
+    stated_total, stated_hm = map(float, claims[-1])
+    with open(spread_path) as f:
+        d = json.load(f)
+    if "parsed" in d:
+        d = d["parsed"] or {}
+    total, hm = d.get("value"), d.get("hostmark_1t")
+    if total is None or not hm:
+        sys.exit(f"{spread_path}: artifact lacks value/hostmark_1t — "
+                 "--docs needs a hostmark-bearing closing artifact")
+    if stated_hm <= 0:
+        sys.exit(f"{scale_md}: stated hostmark_1t must be > 0")
+    stated_rel, actual_rel = stated_total / stated_hm, total / hm
+    drift = abs(stated_rel - actual_rel) / actual_rel
+    print(f"SCALE.md claim: {stated_total:.1f}s @ hostmark {stated_hm:.3f}s"
+          f" (relative {stated_rel:.1f}) vs artifact {total:.1f}s @ "
+          f"{hm:.3f}s (relative {actual_rel:.1f}) — drift {drift:.1%}"
+          f" vs tolerance {tol:.0%}")
+    if drift > tol:
+        sys.exit(f"STALE: SCALE.md's closing claim drifted {drift:.1%} "
+                 f"from {spread_path} — update the claim line")
+    print("docs consistent")
+
+
 def selftest():
     """Pinned behavior of --bless (run in CI-less repos by hand):
     quiet window -> blessed, no warnings; loaded pass-1 start ->
@@ -253,6 +307,43 @@ def selftest():
     slow["spread"]["q0"]["min"] = slow["queries"]["q0"] = 3.5
     r = cmp_run(mk(1.0, 1.0), slow)
     assert r.returncode == 1 and "REGRESSED q0" in r.stdout, r.stdout
+    # regressed lines must show BOTH ratios when a shift applied
+    assert "normalized (raw" in r.stdout, r.stdout
+    # shift-trust clamp: a 3x hostmark ratio is outside the plausible
+    # band — it must be IGNORED (raw gate applies), so the same uniform
+    # 1.6x data that passed above now fails, loudly
+    r = cmp_run(mk(1.0, 1.0), mk(1.6, 3.0))
+    assert r.returncode == 1 and "WARN" in r.stdout and \
+        "outside the trusted" in r.stdout, r.stdout
+    # an exactly-zero hostmark must not normalize (and not crash)
+    r = cmp_run(mk(1.0, 0.0), mk(1.6, 1.6))
+    assert r.returncode == 1 and "host shift" not in r.stdout, r.stdout
+
+    # --docs: consistent claim passes; a host-shifted re-capture (total
+    # and hostmark moved together) still passes; a stale total fails;
+    # a missing claim line fails
+    def docs_run(md_text, total, hm):
+        with tempfile.NamedTemporaryFile("w", suffix=".md",
+                                         delete=False) as f:
+            f.write(md_text)
+            md = f.name
+        with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                         delete=False) as f:
+            json.dump({"value": total, "hostmark_1t": hm}, f)
+            sp = f.name
+        return subprocess.run([sys.executable, me, "--docs", md, sp],
+                              capture_output=True, text=True)
+    claim = "blah\nclosing total_min: 274.3 s at hostmark_1t 0.779 s\n"
+    r = docs_run(claim, 274.3, 0.779)
+    assert r.returncode == 0 and "docs consistent" in r.stdout, r.stdout
+    r = docs_run(claim, 274.3 * 1.4, 0.779 * 1.4)
+    assert r.returncode == 0, r.stdout
+    r = docs_run(claim, 304.1, 0.779)
+    assert r.returncode == 1 and "STALE" in (r.stdout + r.stderr), \
+        r.stdout + r.stderr
+    r = docs_run("no claim here\n", 274.3, 0.779)
+    assert r.returncode == 1 and "no 'closing total_min" in \
+        (r.stdout + r.stderr), r.stdout + r.stderr
     print("selftest OK")
 
 
@@ -261,6 +352,8 @@ def main():
         return coverage(sys.argv[2:])
     if len(sys.argv) > 1 and sys.argv[1] == "--bless":
         return bless(sys.argv[2:])
+    if len(sys.argv) > 1 and sys.argv[1] == "--docs":
+        return docs(sys.argv[2:])
     if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
         return selftest()
     if len(sys.argv) < 3:
@@ -290,11 +383,24 @@ def main():
         return d.get("hostmark_1t")
     hm_old, hm_new = hostmark_of(old_path), hostmark_of(new_path)
     shift = 1.0
-    if hm_old and hm_new:
+    if hm_old is not None and hm_new is not None and hm_old > 0:
         shift = hm_new / hm_old
-        print(f"host shift: {shift:.3f}x (hostmark_1t {hm_old:.3f}s -> "
-              f"{hm_new:.3f}s) — per-query ratios below are "
-              "shift-normalized")
+        # Bounded trust: the hostmark is a CPU-throughput calibration, so
+        # a shift far outside the plausible shared-host band (observed
+        # r15->r16: ~1.5x) is more likely a corrupted/degenerate mark than
+        # a real throughput change — and dividing every query (I/O-bound
+        # included) by a huge factor would mask genuine regressions. Warn
+        # loudly and fall back to raw ratios outside [0.5, 2.0].
+        if not (0.5 <= shift <= 2.0):
+            print(f"WARN: host shift {shift:.3f}x (hostmark_1t "
+                  f"{hm_old:.3f}s -> {hm_new:.3f}s) outside the trusted "
+                  "[0.5, 2.0] band — IGNORING it; ratios below are RAW. "
+                  "Inspect both artifacts' hostmarks by hand.")
+            shift = 1.0
+        else:
+            print(f"host shift: {shift:.3f}x (hostmark_1t {hm_old:.3f}s -> "
+                  f"{hm_new:.3f}s) — per-query ratios below are "
+                  "shift-normalized (raw ratios shown alongside)")
 
     shared = sorted(set(old) & set(new))
     regressed = []
@@ -309,7 +415,8 @@ def main():
         print(f"REMOVED  {q} (was {old[q][0]:.3f}s)")
     for q, o, okind, n, nkind, r in sorted(regressed, key=lambda x: -x[5]):
         print(f"REGRESSED {q}: {o:.3f}s ({okind}) -> {n:.3f}s ({nkind})  "
-              f"{r:.2f}x" + (" (normalized)" if shift != 1.0 else ""))
+              f"{r:.2f}x" + (f" normalized (raw {r * shift:.2f}x)"
+                             if shift != 1.0 else ""))
 
     ok = len(shared) - len(regressed)
     print(f"{ok}/{len(shared)} shared queries within {threshold}x"

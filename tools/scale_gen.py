@@ -14,12 +14,16 @@ same per-row statistics but WITHOUT creating cross-copy near-duplicates
   Distinct (a_i, b_i) pairs hold for every i < lcm(phi-ish(V), V)
   (~930 at V=31), far past the 100x this script now serves.
 - embeddings: copy i rotates the embedding elements by (i*7) mod dim AND
-  sign-flips element j when bit (j mod 7) of i is set — both
-  norm-preserving orthogonal maps, so a transformed iid-ish vector stays
-  ~orthogonal to every other copy's. The r15 rotation-only version had
-  period dim/gcd(7,dim) (64 at dim=64): at 100 copies, copies 0 and 64
-  carried identical vectors and the ANN/near-dup truth sets inflated.
-  The sign-flip pattern (i & 127) alone is distinct for all i < 128.
+  multiplies by a per-copy WALSH-ROW sign pattern — both norm-preserving
+  orthogonal maps, so a transformed iid-ish vector stays ~orthogonal to
+  every other copy's. Two prior defects in this map: the r15
+  rotation-only version had period dim/gcd(7,dim) (64 at dim=64), so at
+  100 copies copies 0 and 64 carried IDENTICAL vectors; the r16
+  bit-slice sign fix still left same-rotation partners differing on only
+  9/64 coordinates (cross-copy cosine ~0.72 — above every dedup/ANN
+  threshold). Distinct Walsh rows differ on exactly half of a 64-aligned
+  block, and the script ASSERTS the pairwise sign distance for every
+  same-rotation pair before writing anything.
 - events: copy i shifts ts by i*(span+1h) and offsets ids — Nx the data
   at the SAME event density, so interval joins scale by data, not by an
   artificially inflated rate.
@@ -92,13 +96,44 @@ dim = con.execute(
     f"SELECT len(embedding) FROM '{src}/embeddings.parquet' LIMIT 1").fetchone()[0]
 
 
+# Per-copy sign patterns are WALSH ROWS, not bit-slices of i (the r16
+# version flipped coordinate j by bit (j mod 7) of i, so copies i and
+# i+64 — which share a rotation, period dim/gcd(7,dim) — differed only
+# where (j mod 7) == 6, i.e. 9 of 64 coordinates: cross-copy cosine
+# ~0.72, ABOVE the 0.5/0.35 dedup/contamination thresholds, planting
+# cross-copy semantic near-dups the docstring claimed away). A Walsh
+# row s_w(j) = (-1)^popcount(w & (j mod 64)) makes any two DISTINCT
+# rows differ on exactly half of any 64-aligned coordinate block; the
+# row index is nonlinear in the rotation-period step so same-rotation
+# partners never collide, and the pairwise property is ASSERTED below
+# rather than trusted.
+ROT_PERIOD = dim // gcd(7, dim)
+
+
+def sign_pattern(i):
+    if i == 0:
+        return [1] * dim  # copy 0 is verbatim
+    w = (i * 37 + 19 * (i // ROT_PERIOD)) % 64
+    return [1 if bin(w & (j % 64)).count("1") % 2 == 0 else -1
+            for j in range(dim)]
+
+
+_pats = [sign_pattern(i) for i in range(copies)]
+for _i in range(copies):
+    for _i2 in range(_i + ROT_PERIOD, copies, ROT_PERIOD):
+        _d = sum(1 for a, b in zip(_pats[_i], _pats[_i2]) if a != b)
+        assert _d >= int(0.45 * dim), (
+            f"same-rotation copies {_i},{_i2} differ on only {_d}/{dim} "
+            "sign coordinates — cross-copy near-dup risk")
+
+
 def emb_copy(i):
     if i == 0:
         return f"SELECT * FROM '{src}/embeddings.parquet'"
     k = (i * 7) % dim
     rot = (f"list_concat(embedding[{k + 1}:{dim}], embedding[1:{k}])" if k else "embedding")
-    flipped = (f"list_transform({rot}, (x, j) -> "
-               f"CASE WHEN (({i} >> ((j - 1) % 7)) & 1) = 1 THEN -x ELSE x END)")
+    signs = ",".join(str(s) for s in _pats[i])
+    flipped = f"list_transform({rot}, (x, j) -> x * [{signs}][j])"
     return f"""
       SELECT vec_id + {i * ID_OFF} AS vec_id,
              CAST({flipped} AS FLOAT[]) AS embedding, label
