@@ -1316,11 +1316,26 @@ object Dedup {
     * documentation, exactly the split `pq_topk_scaled_recall` /
     * `pq_topk_recall` established for IVF-PQ.
     */
-  final case class SrpOperatingPoint(bits: Int, bands: Int)
+  /** `bandsDemanded` is the UNCLAMPED band count the recall target asked
+    * for; `capped` is true when the 512-band clamp bound it — at which
+    * point `bands` no longer delivers `pairRecall` at the threshold and
+    * the caller should take the IVF candidate arm instead
+    * ([[nearDupArm]] encodes that rule). The r16 audit showed the cap is
+    * one step away at cos ≥ 0.5 / 100× (447 of 512): a silent clamp
+    * would degrade per-pair recall with nothing loud until a 400 s run
+    * hits the in-plan gate.
+    */
+  final case class SrpOperatingPoint(bits: Int, bands: Int,
+                                     bandsDemanded: Long) {
+    def capped: Boolean = bandsDemanded > bands
+  }
+
+  val SrpMaxBands = 512L
 
   def srpOperatingPoint(n: Long, minCosine: Double,
                         targetOccupancy: Long = 32,
-                        pairRecall: Double = 0.9): SrpOperatingPoint = {
+                        pairRecall: Double = 0.9,
+                        strict: Boolean = false): SrpOperatingPoint = {
     require(n > 0, s"srpOperatingPoint needs a positive corpus size, got $n")
     require(minCosine > -1.0 && minCosine < 1.0,
       s"minCosine must be in (-1, 1), got $minCosine")
@@ -1332,8 +1347,38 @@ object Dedup {
       math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0))
     val bits = math.max(4L, math.min(30L, exp)).toInt
     val pBand = math.pow(1.0 - math.acos(minCosine) / math.Pi, bits.toDouble)
-    val bands = math.ceil(math.log1p(-pairRecall) / math.log1p(-pBand))
-    SrpOperatingPoint(bits, math.max(1L, math.min(512L, bands.toLong)).toInt)
+    val demanded = math.max(1L,
+      math.ceil(math.log1p(-pairRecall) / math.log1p(-pBand)).toLong)
+    if (strict) require(demanded <= SrpMaxBands,
+      s"SRP operating point demands $demanded bands (> $SrpMaxBands cap) " +
+        s"for pairRecall=$pairRecall at minCosine=$minCosine, n=$n — " +
+        "LSH-OR cannot reach this threshold at this scale; use the IVF " +
+        "candidate arm (Dedup.nearDupArm / SemDedup.nearDupPairsIvf)")
+    SrpOperatingPoint(bits, math.min(SrpMaxBands, demanded).toInt, demanded)
+  }
+
+  /** Candidate-arm selection for embedding near-dup pairs by (n, θ):
+    * SRP LSH-OR while the derived operating point's band demand fits
+    * under [[SrpMaxBands]] (sub-quadratic n^(1+ρ) candidate work,
+    * ρ = log₂(1/(1−θ/π))), the multi-probe IVF arm once the threshold
+    * is too low for OR-amplification to reach at the target recall
+    * (per-band match probability collapses and bands — i.e. full
+    * corpus re-hashes — blow past the hash-cost bound). The crossover
+    * is exactly the clamp [[srpOperatingPoint]] reports: bands demand
+    * grows ∝ (n/occ)^ρ, so every threshold has a corpus size where SRP
+    * stops being the right structure. SCALE.md's r16 audit located it
+    * empirically: cos ≥ 0.5 at 100× needs 447 of the 512 cap; cos ≥
+    * 0.3 at the same scale demands ~1.9k bands — IVF territory.
+    */
+  sealed trait NearDupArm
+  final case class SrpArm(point: SrpOperatingPoint) extends NearDupArm
+  final case class IvfArm(point: Ivf.OperatingPoint) extends NearDupArm
+
+  def nearDupArm(n: Long, minCosine: Double,
+                 targetOccupancy: Long = 32,
+                 pairRecall: Double = 0.9): NearDupArm = {
+    val srp = srpOperatingPoint(n, minCosine, targetOccupancy, pairRecall)
+    if (srp.capped) IvfArm(Ivf.operatingPoint(n)) else SrpArm(srp)
   }
 
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,

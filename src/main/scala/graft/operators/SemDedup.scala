@@ -66,6 +66,65 @@ object SemDedup {
     }
   }
 
+  /** Near-dup pairs over MULTI-PROBE IVF lists — the candidate arm for
+    * thresholds LSH-OR cannot reach ([[Dedup.nearDupArm]]'s IvfArm):
+    * when [[Dedup.srpOperatingPoint]]'s band demand blows past the 512
+    * cap (low θ and/or large n — bands grow ∝ (n/occ)^ρ), per-pair SRP
+    * recall degrades with nothing to buy it back, while IVF candidates
+    * keep working: every vector probes its `nprobe` closest centroids
+    * (a per-row codegen kernel over the broadcast centroid matrix — no
+    * shuffle to generate probes), a pair is a candidate when ANY probed
+    * list coincides (equi-join on list_id), and every candidate is
+    * verified with the exact cosine. Recall comes from geometry rather
+    * than OR-amplification: a pair at angle θ has both members near the
+    * same centroid(s) unless it straddles a Voronoi boundary, and
+    * multi-probe covers the straddle.
+    *
+    * Scale shape: candidates ≤ Σ_lists |list|² with |list| ≈
+    * nprobe·n/nlist, so at [[Ivf.operatingPoint]]'s nlist ≈ √n the
+    * candidate work is Θ(nprobe²·n^1.5) — sub-quadratic with a
+    * threshold-INDEPENDENT exponent (SRP's ρ → 1 as θ → π/2; this arm
+    * does not care). The `distinct()` before the vector rejoin keeps a
+    * pair sharing several probed lists from being cosine-scored per
+    * list (the [[Dedup.embeddingNearDupPairs]] argument).
+    *
+    * Output contract identical to [[Dedup.embeddingNearDupPairs]]:
+    * `(id_a, id_b, cosine)`, `id_a < id_b`, exact scores, approximate
+    * only by candidate omission — gate with a recall floor
+    * (`embed_near_dup_ivf_scaled`).
+    */
+  def nearDupPairsIvf(df: DataFrame, id: Column, vec: Column,
+                      minCosine: Double, nlist: Int, nprobe: Int,
+                      seed: Long = 42L): DataFrame = {
+    require(minCosine > 0.0 && minCosine <= 1.0,
+      s"minCosine in (0, 1], got $minCosine")
+    require(nlist >= 1 && nprobe >= 1,
+      s"nlist/nprobe must be >= 1, got $nlist/$nprobe")
+    val coded = df.select(id.as("vec_id"), vec.as("v"))
+    if (nlist <= 1)
+      Dedup.embeddingNearDupPairs(df, id, vec, minCosine,
+        dim = 0, bits = 0, bands = 1)
+    else {
+      val model = Ivf.fit(df, vec, nlist, seed = seed)
+      val probed = df.select(id.as("vec_id"),
+        explode(graft.functions.Kernels.topCentroidsCol(
+          vec, model.matrix, math.min(nprobe, nlist))).as("list_id"))
+      val cands = probed.as("a").join(probed.as("b"),
+          col("a.list_id") === col("b.list_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .distinct()
+      cands
+        .join(coded.select(col("vec_id").as("id_a"), col("v").as("v_a")),
+          "id_a")
+        .join(coded.select(col("vec_id").as("id_b"), col("v").as("v_b")),
+          "id_b")
+        .select(col("id_a"), col("id_b"),
+          VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
+        .filter(col("cosine") >= minCosine)
+    }
+  }
+
   /** Prune to one survivor per semantic-duplicate component: connected
     * components over the ≥`minCosine` pair graph, then one keep per
     * component under the chosen policy. Transitivity matters: cosine

@@ -19,7 +19,8 @@ private[graft] object OracleSqlA {
          |    ORDER BY q.quality_score) AS calibrated
          |FROM ($qualityLogitSql) q
          |JOIN documents d ON d.doc_id = q.doc_id""".stripMargin,
-    "dedup_keep_best" -> dedupKeepBestSql,
+    "dedup_keep_best" -> dedupKeepBestSql(),
+    "dedup_keep_best_capped" -> dedupKeepBestSql(Some(64)),
     "c4_page_filter" ->
       // same in-plan page derivation as the Spark query (12-token
       // lines, '.' on even docs, the three injected rule-trigger

@@ -647,7 +647,9 @@ private[graft] object OracleSqlB {
         |SELECT d.doc_id, COALESCE(MIN(r.comp), d.doc_id) AS component
         |FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
         |GROUP BY d.doc_id""".stripMargin,
+    "dedup_clusters_capped" -> dedupClustersSql(Some(64)),
     "doc_pagerank" -> docPagerankSql(3),
+    "doc_pagerank_capped" -> docPagerankSql(3, Some(64)),
     "graph_communities" -> docLabelPropSql(3),
     "doc_pagerank_weighted" -> docPagerankWeightedSql(3),
     "graph_kcore" -> graphKcoreSql(2, 4),

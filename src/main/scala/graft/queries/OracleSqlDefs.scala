@@ -656,22 +656,66 @@ private[graft] object OracleSqlDefs {
     graph + steps + s"SELECT id AS doc_id, label AS community FROM l$iters"
   }
 
-  private[graft] def docPagerankSql(iters: Int = 3): String = {
-    val base = "(15 * (1000000000000 // c.n)) // 100"
-    val graph =
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+  /** The exact-3-gram shingle CTE shared by the Jaccard pair-graph
+    * family, optionally df-CAPPED: with a cap, shingles held by more
+    * than `cap` docs leave the universe entirely — intersections AND
+    * set sizes — mirroring `Dedup.ngramJaccardPairs(maxDocFreq)`
+    * exactly (the dedup_containment_capped recipe), so the capped
+    * Spark queries stay hash-green against these CTEs.
+    */
+  private def shingleCte(cap: Option[Int]): String = cap match {
+    case None =>
+      """sh AS (SELECT DISTINCT doc_id, sh FROM (
         |  SELECT doc_id,
         |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        |  FROM toks WHERE len(t) >= 3)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |prs AS (SELECT id_a, id_b FROM inter
-        |  JOIN sizes na ON na.doc_id = id_a
-        |  JOIN sizes nb ON nb.doc_id = id_b
-        |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5),
+        |  FROM toks WHERE len(t) >= 3))""".stripMargin
+    case Some(c) =>
+      s"""sh0 AS (SELECT DISTINCT doc_id, sh FROM (
+         |  SELECT doc_id,
+         |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+         |  FROM toks WHERE len(t) >= 3)),
+         |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > $c),
+         |sh AS (SELECT doc_id, sh FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot))""".stripMargin
+  }
+
+  /** toks → sh → sizes → inter → `pairsName` CTE chain for the exact
+    * 3-gram Jaccard ≥ 0.5 pair graph (no WITH keyword — callers prefix
+    * WITH / WITH RECURSIVE as needed).
+    */
+  private def jaccardPairGraph(pairsName: String,
+                               cap: Option[Int]): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |${shingleCte(cap)},
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |$pairsName AS (SELECT id_a, id_b FROM inter
+       |  JOIN sizes na ON na.doc_id = id_a
+       |  JOIN sizes nb ON nb.doc_id = id_b
+       |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5)""".stripMargin
+
+  /** dedup_clusters' oracle, optionally df-capped — the capped variant
+    * is the production transitive-cluster twin (`dedup_clusters_capped`).
+    */
+  private[graft] def dedupClustersSql(cap: Option[Int] = None): String =
+    s"""WITH RECURSIVE
+       |${jaccardPairGraph("pairs", cap)},
+       |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.t, r.comp FROM reach r JOIN edges e ON e.s = r.id)
+       |SELECT d.doc_id, COALESCE(MIN(r.comp), d.doc_id) AS component
+       |FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
+       |GROUP BY d.doc_id""".stripMargin
+
+  private[graft] def docPagerankSql(iters: Int = 3,
+                                    cap: Option[Int] = None): String = {
+    val base = "(15 * (1000000000000 // c.n)) // 100"
+    val graph =
+      s"""WITH ${jaccardPairGraph("prs", cap)},
         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
         |  UNION ALL SELECT id_b, id_a FROM prs),
         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
@@ -691,23 +735,11 @@ private[graft] object OracleSqlDefs {
     graph + steps + s"SELECT id AS doc_id, score FROM s$iters"
   }
 
-  private[graft] def dedupKeepBestSql: String = {
+  private[graft] def dedupKeepBestSql(cap: Option[Int] = None): String = {
     import graft.operators.Quality
     val w = Quality.DefaultLogitWeights
     s"""WITH RECURSIVE
-       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, sh FROM (
-       |  SELECT doc_id,
-       |   unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-       |  FROM toks WHERE len(t) >= 3)),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id),
-       |prs AS (SELECT id_a, id_b FROM inter
-       |  JOIN sizes na ON na.doc_id = id_a
-       |  JOIN sizes nb ON nb.doc_id = id_b
-       |  WHERE CAST(i AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i AS DOUBLE) >= 0.5),
+       |${jaccardPairGraph("prs", cap)},
        |edges AS (SELECT id_a AS s, id_b AS t FROM prs
        |  UNION SELECT id_b, id_a FROM prs),
        |reach(id, comp) AS (

@@ -590,6 +590,75 @@ private[graft] object QueriesAnn {
           what = "scaled-operating-point SRP near-dup")
         .crossJoin(approx.agg(count(lit(1)).as("n_pairs_total")))
     }),
+    "embed_near_dup_ivf_scaled" -> ((s, dir) => {
+      // The IVF candidate arm for near-dup pairs, registered (r16
+      // verdict #2b): embed_near_dup_srp_scaled's operating point sits
+      // 447/512 bands from the clamp at cos >= 0.5 / 100x — one
+      // threshold step from silent recall degradation. This arm's
+      // candidate bound is Σ|list|² ≈ nprobe²·n^1.5 with a
+      // threshold-INDEPENDENT exponent (SemDedup.nearDupPairsIvf
+      // scaladoc), so it is the production path once
+      // Dedup.srpOperatingPoint reports its cap binding. Same gate
+      // construction as the SRP twin: exact all-pairs truth on the
+      // PINNED vec_id < 2000 window (constant cost at every corpus
+      // size), IVF arm over the FULL corpus at the corpus-derived
+      // (nlist, nprobe) — the full-corpus pair count arm keeps the
+      // measured wall the production path.
+      import graft.operators.{Ivf, SemDedup}
+      val embs = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      val op = Ivf.operatingPoint(embs.count())
+      val approx = SemDedup.nearDupPairsIvf(embs, col("vec_id"),
+        col("embedding"), minCosine = 0.5, nlist = op.nlist,
+        nprobe = op.nprobe)
+      val exact = Dedup.embeddingNearDupPairs(
+        embs.filter(col("vec_id") < 2000L), col("vec_id"),
+        col("embedding"), minCosine = 0.5, dim = 64, bits = 0, bands = 1)
+      val truth = exact.select(col("id_a").as("query_id"),
+        col("id_b").as("neighbor_id"))
+      val window = approx
+        .filter(col("id_a") < 2000L && col("id_b") < 2000L)
+        .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+      recallGate(truth, window, floor = 0.6,
+          what = "IVF-candidate near-dup")
+        .crossJoin(approx.agg(count(lit(1)).as("n_pairs_total")))
+    }),
+    "embed_near_dup_auto_arm" -> ((s, dir) => {
+      // End-to-end arm selection (r16 verdict #2 + stretch #8): at
+      // cos >= 0.3 the SRP band demand crosses the 512 cap somewhere
+      // between sf0.1 (n=2k -> 50 bands, SRP) and the 100x fixture
+      // (n=200k -> ~1.9k bands, IVF) — this query routes through
+      // Dedup.nearDupArm so the ARM ITSELF switches with the corpus:
+      // the registered artifact proves the rule end-to-end instead of
+      // documenting it. The emitted row carries the chosen arm; the
+      // recall gate (same pinned-window construction) holds across the
+      // switch, and the full-corpus pair count keeps the measured wall
+      // honest. DedupSpec pins the (n, θ) decision table; SCALE.md
+      // measures both arms at 100x where only IVF is selectable.
+      import graft.operators.{Dedup => D, SemDedup}
+      val embs = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      val n = embs.count()
+      val tau = 0.3
+      val (armName, approx) = D.nearDupArm(n, tau) match {
+        case D.SrpArm(p) => ("srp", D.embeddingNearDupPairs(embs,
+          col("vec_id"), col("embedding"), minCosine = tau, dim = 64,
+          bits = p.bits, bands = p.bands))
+        case D.IvfArm(p) => ("ivf", SemDedup.nearDupPairsIvf(embs,
+          col("vec_id"), col("embedding"), minCosine = tau,
+          nlist = p.nlist, nprobe = p.nprobe))
+      }
+      val exact = D.embeddingNearDupPairs(
+        embs.filter(col("vec_id") < 2000L), col("vec_id"),
+        col("embedding"), minCosine = tau, dim = 64, bits = 0, bands = 1)
+      val truth = exact.select(col("id_a").as("query_id"),
+        col("id_b").as("neighbor_id"))
+      val window = approx
+        .filter(col("id_a") < 2000L && col("id_b") < 2000L)
+        .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+      recallGate(truth, window, floor = 0.6,
+          what = s"auto-arm ($armName) near-dup at cos>=$tau")
+        .crossJoin(approx.agg(count(lit(1)).as("n_pairs_total")))
+        .withColumn("arm", lit(armName))
+    }),
     "semantic_prune_exact" -> ((s, dir) => {
       // SemDeDup keep-one-per-component prune, exact twin (nlist=1 =
       // verified all-pairs): DuckDB reproduces it with the list-cosine

@@ -196,6 +196,59 @@ private[graft] object QueriesDedup {
           col("quality_score"))
         .select(col("doc_id"), col("source"), col("quality_score"))
     }),
+    "dedup_clusters_capped" -> ((s, dir) => {
+      // the PRODUCTION path for the transitive-cluster family (r16
+      // verdict #1): the 100x audit MEASURED the uncapped pair graph
+      // blowing the 900 s watchdog in the closed-vocab (boilerplate-
+      // saturated) regime — Σdf² grows ~10,000x when every shingle is
+      // hot. Same df-cap as dedup_containment_capped (maxDocFreq=64 ≈
+      // 2-3x the sf0.1 p99 df): hot shingles leave intersections AND
+      // set sizes on BOTH engines, so the clustering is the exact CC
+      // over the capped shingle universe — hash-green, not gated. The
+      // cap is inert at sf <= 0.1 (max df 25), bites at 10x+; the
+      // uncapped dedup_clusters stays registered as the exact-oracle
+      // envelope edge (grown-vocab corpora, where df stays constant).
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.5, maxDocFreq = Some(64L))
+      val cc = Dedup.connectedComponents(pairs, checkpointEvery = 4)
+      docs.select(col("doc_id"))
+        .join(cc, docs("doc_id") === cc("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("component"))
+    }),
+    "dedup_keep_best_capped" -> ((s, dir) => {
+      // dedup_keep_best on the capped pair graph — the quality-aware
+      // survivor pick inherits the same uncapped scale cliff (it
+      // rebuilds the identical pair graph), so the production variant
+      // threads the same maxDocFreq through. Oracle twin carries the
+      // identical cap; exact IEEE scoring end to end as the uncapped
+      // row.
+      import graft.operators.Quality
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.5, maxDocFreq = Some(64L))
+      val q = Quality.logisticQualityScore(docs, col("doc_id"), col("text"))
+        .select(col("doc_id").as("__qid"), col("quality_score"))
+      val ranked = docs.join(q, docs("doc_id") === col("__qid"))
+      Dedup.applyClusterDedupByRank(ranked, col("doc_id"), pairs,
+          col("quality_score"))
+        .select(col("doc_id"), col("source"), col("quality_score"))
+    }),
+    "doc_pagerank_capped" -> ((s, dir) => {
+      // template centrality on the capped pair graph — completes the
+      // capped family (clusters / keep-best / pagerank share one pair
+      // graph, so one uncapped member re-opens the closed-vocab cliff).
+      // Integer fixed-point iteration unchanged: bit-portable, so the
+      // full frame hash-matches the capped-CTE oracle.
+      import graft.operators.Centrality
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.5, maxDocFreq = Some(64L))
+      Centrality.fixedPointPageRank(docs, col("doc_id"), pairs,
+        iterations = 3)
+        .select(col("id").as("doc_id"), col("score"))
+    }),
     "minhash_pairs" -> ((s, dir) => {
       // LSH candidates -> EXACT shingle-Jaccard verify (the
       // embed_near_dup_srp construction), so the pair set answers the

@@ -47,6 +47,41 @@ class DedupSpec extends SparkTestBase {
     assert(m.get((1L, 2L)).contains(1.0))
   }
 
+  test("capped pair graph: boilerplate-only links drop, genuine " +
+    "clusters survive the df-cap end to end (CC over capped pairs)") {
+    import graft.TestSpark.spark.implicits._
+    // every doc shares the boilerplate prefix "terms of service apply"
+    // (df = 6 > cap = 4); docs 1/2 and 3/4 are genuine near-dups beyond
+    // it, 5 and 6 are unrelated. Uncapped, the boilerplate shingles
+    // alone link EVERYTHING at low jaccard; capped, only the genuine
+    // families pair — the dedup_clusters_capped production semantics.
+    val boiler = Seq(
+      (1L, "terms of service apply alpha beta gamma delta"),
+      (2L, "terms of service apply alpha beta gamma delta"),
+      (3L, "terms of service apply epsilon zeta eta theta"),
+      (4L, "terms of service apply epsilon zeta eta theta"),
+      (5L, "terms of service apply iota kappa lambda mu"),
+      (6L, "terms of service apply nu xi omicron pi")
+    ).toDF("id", "text")
+    val capped = Dedup.ngramJaccardPairs(boiler, col("id"), col("text"),
+      n = 3, minJaccard = 0.5, maxDocFreq = Some(4L))
+    val cc = Dedup.connectedComponents(capped, checkpointEvery = 4)
+    val comp = boiler.select(col("id"))
+      .join(cc, boiler("id") === cc("id"), "left")
+      .select(boiler("id"), coalesce(col("comp"), boiler("id")).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L, comp.toString)
+    assert(comp(3L) == 3L && comp(4L) == 3L, comp.toString)
+    assert(comp(5L) == 5L && comp(6L) == 6L, comp.toString)
+    // the uncapped graph would have linked 5 and 6 into the blob:
+    // every shared shingle is boilerplate, jaccard 3/7 each direction
+    // against 1-4... assert the capped PAIR SET is exactly the two
+    // genuine mirrors (no boilerplate-only pair survives the cap)
+    val pairSet = capped.select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(pairSet == Set((1L, 2L), (3L, 4L)), pairSet.toString)
+  }
+
   test("minhash LSH surfaces exact and near duplicates as candidates") {
     val pairs = Dedup.minhashDedupPairs(docs, col("id"), col("text"),
       numHashes = 64, shingleSize = 2, bands = 16, minEstJaccard = 0.4)
@@ -529,26 +564,57 @@ class DedupSpec extends SparkTestBase {
     // sf-sized corpora (the scaled gate's actual inputs): bits tracks
     // log2(n/32), bands = ceil(ln(1-R)/ln(1-(1-θ/π)^bits)) at cos=0.5
     assert(Dedup.srpOperatingPoint(500L, 0.5) ==
-      Dedup.SrpOperatingPoint(4, 11)) // sf0.01 — floor bits
+      Dedup.SrpOperatingPoint(4, 11, 11)) // sf0.01 — floor bits
     assert(Dedup.srpOperatingPoint(2000L, 0.5) ==
-      Dedup.SrpOperatingPoint(6, 26)) // sf0.1
+      Dedup.SrpOperatingPoint(6, 26, 26)) // sf0.1
     assert(Dedup.srpOperatingPoint(20000L, 0.5) ==
-      Dedup.SrpOperatingPoint(9, 88)) // 10x fixture
+      Dedup.SrpOperatingPoint(9, 88, 88)) // 10x fixture
     // a TIGHTER threshold needs far fewer bands at the same bits —
     // the cos 0.9 regime the embeddingNearDupPairs scaladoc describes
     assert(Dedup.srpOperatingPoint(20000L, 0.9) ==
-      Dedup.SrpOperatingPoint(9, 9))
+      Dedup.SrpOperatingPoint(9, 9, 9))
     // bits monotone in n; extreme n hits both caps instead of wrapping
     val pts = Seq(1L, 1000L, 100000L, 10000000L, Long.MaxValue)
       .map(Dedup.srpOperatingPoint(_, 0.5))
     assert(pts.sliding(2).forall { case Seq(a, b) => a.bits <= b.bits },
       pts.toString)
-    assert(Dedup.srpOperatingPoint(Long.MaxValue, 0.5) ==
-      Dedup.SrpOperatingPoint(30, 512))
+    val extreme = Dedup.srpOperatingPoint(Long.MaxValue, 0.5)
+    assert(extreme.bits == 30 && extreme.bands == 512 &&
+      extreme.capped && extreme.bandsDemanded > 512L, extreme.toString)
     intercept[IllegalArgumentException](Dedup.srpOperatingPoint(0L, 0.5))
     intercept[IllegalArgumentException](Dedup.srpOperatingPoint(10L, 1.0))
     intercept[IllegalArgumentException](
       Dedup.srpOperatingPoint(10L, 0.5, pairRecall = 1.0))
+  }
+
+  test("srpOperatingPoint band cap is LOUD (capped flag, strict throw) " +
+    "and nearDupArm switches to IVF exactly at the clamp") {
+    // the r16 audit's two regimes at 100x (n = 200k): cos >= 0.5
+    // demands 447 bands — one step inside the cap, still SRP; cos >=
+    // 0.3 demands 1,882 — past the cap, where a silent clamp would
+    // quietly deliver ~27% of the asked per-pair recall
+    val inside = Dedup.srpOperatingPoint(200000L, 0.5)
+    assert(inside == Dedup.SrpOperatingPoint(13, 447, 447) &&
+      !inside.capped, inside.toString)
+    val outside = Dedup.srpOperatingPoint(200000L, 0.3)
+    assert(outside == Dedup.SrpOperatingPoint(13, 512, 1882) &&
+      outside.capped, outside.toString)
+    // strict mode refuses to degrade silently — and names the way out
+    Dedup.srpOperatingPoint(200000L, 0.5, strict = true)
+    val e = intercept[IllegalArgumentException](
+      Dedup.srpOperatingPoint(200000L, 0.3, strict = true))
+    assert(e.getMessage.contains("IVF"), e.getMessage)
+    assert(e.getMessage.contains("1882"), e.getMessage)
+    // the (n, θ) decision table embed_near_dup_auto_arm routes through:
+    // small corpus takes SRP at any threshold it can reach; the 100x
+    // corpus splits by threshold exactly at the clamp
+    assert(Dedup.nearDupArm(2000L, 0.3).isInstanceOf[Dedup.SrpArm])
+    assert(Dedup.nearDupArm(200000L, 0.5).isInstanceOf[Dedup.SrpArm])
+    Dedup.nearDupArm(200000L, 0.3) match {
+      case Dedup.IvfArm(p) =>
+        assert(p == graft.operators.Ivf.operatingPoint(200000L), p.toString)
+      case other => fail(s"expected IvfArm at (200k, 0.3), got $other")
+    }
   }
 
   test("srpOperatingPoint-driven LSH holds the recall model on a " +

@@ -128,6 +128,52 @@ class SemDedupSpec extends SparkTestBase {
     }
   }
 
+  test("nearDupPairsIvf: subset-of-exact with exact scores, full recall " +
+    "on co-clustered families, nlist=1 degenerates to all-pairs") {
+    val exact = Dedup.embeddingNearDupPairs(planted, col("vec_id"),
+      col("v"), minCosine = 0.9, dim = 4, bits = 0, bands = 1)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.map(p => (p._1, p._2)) ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+    // axis-aligned duplicate families co-cluster under any fit, so the
+    // IVF candidate arm recovers the full exact pair set — scores must
+    // be the EXACT cosine (candidates only prune, never approximate)
+    val ivf = SemDedup.nearDupPairsIvf(planted, col("vec_id"), col("v"),
+      minCosine = 0.9, nlist = 4, nprobe = 1)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ivf.subsetOf(exact), s"candidate outside exact set: $ivf")
+    assert(ivf == exact, s"missed pairs: ${exact -- ivf}")
+    // nlist <= 1 is the verified all-pairs twin
+    val deg = SemDedup.nearDupPairsIvf(planted, col("vec_id"), col("v"),
+      minCosine = 0.9, nlist = 1, nprobe = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(deg == exact.map(p => (p._1, p._2)))
+  }
+
+  test("nearDupPairsIvf multi-probe: one row per pair even when several " +
+    "probed lists coincide; ordering and bounds hold") {
+    // nprobe = 3 of nlist = 4: family members share up to 3 probed
+    // lists — without the distinct-before-rejoin each shared list
+    // would emit (and score) the pair once more
+    val rows = SemDedup.nearDupPairsIvf(planted, col("vec_id"), col("v"),
+      minCosine = 0.9, nlist = 4, nprobe = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(rows.distinct.length == rows.length,
+      s"duplicate pair rows: ${rows.groupBy(identity).filter(_._2.length > 1).keys}")
+    assert(rows.forall { case (a, b) => a < b })
+    // multi-probe only widens candidates: superset of the nprobe=1 set
+    val single = SemDedup.nearDupPairsIvf(planted, col("vec_id"), col("v"),
+      minCosine = 0.9, nlist = 4, nprobe = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(rows.toSet))
+    intercept[IllegalArgumentException] {
+      SemDedup.nearDupPairsIvf(planted, col("vec_id"), col("v"),
+        minCosine = 0.9, nlist = 4, nprobe = 0)
+    }
+  }
+
   // Cross-set contamination: eval prototypes on the two family axes.
   // Exact expectation at tau=0.9: every family member flags against its
   // axis prototype (cos = 1), loners 20/21 stay clean, and train-internal
