@@ -241,32 +241,7 @@ object Bench {
     // check_bench divides round-over-round ratios by the hostmark ratio
     // when both artifacts carry it, so "the host got slower" and "the
     // code got slower" finally separate mechanically.
-    def xorshiftSum(seed0: Long, iters: Long): Long = {
-      var x = seed0; var acc = 0L; var i = 0L
-      while (i < iters) {
-        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1
-      }
-      acc
-    }
-    val hostmarkSink = new java.util.concurrent.atomic.AtomicLong()
-    def hostmark1t(): Double = {
-      val t0 = System.nanoTime()
-      hostmarkSink.addAndGet(xorshiftSum(0x9E3779B97F4A7C15L, 400000000L))
-      (System.nanoTime() - t0) / 1e9
-    }
-    def hostmarkMt(): Double = {
-      val t0 = System.nanoTime()
-      java.util.stream.IntStream.range(0, 32).parallel().forEach { lane =>
-        hostmarkSink.addAndGet(xorshiftSum(0x100000001B3L + lane, 50000000L))
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
-    // JIT warm-up for the mark kernel itself: pass 1 would otherwise time
-    // xorshiftSum's interpreted/C1 execution, and with RUNS=1 the
-    // min-over-passes IS that inflated sample — overstating hostmark_1t
-    // and deflating every later shift-normalized comparison against the
-    // artifact. One untimed call makes every timed mark C2-warm.
-    hostmarkSink.addAndGet(xorshiftSum(0xDEADBEEFL, 400000000L))
+    Hostmark.warm()
     val marks1t = scala.collection.mutable.ArrayBuffer.empty[Double]
     val marksMt = scala.collection.mutable.ArrayBuffer.empty[Double]
     // pass-major order (all queries per pass, passes back to back) so two
@@ -274,8 +249,8 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     for (pass <- 1 to runs) {
       val startLoad = loadavgNow
-      marks1t += hostmark1t()
-      marksMt += hostmarkMt()
+      marks1t += Hostmark.mark1t()
+      marksMt += Hostmark.markMt()
       for ((name, fn) <- selected if !failures.contains(name)) {
         timedPass(spark, name,
           () => fn(spark, sfDir).write.format("noop").mode("overwrite").save(),
@@ -351,7 +326,7 @@ object Bench {
     // sink read keeps the calibration loops observable end to end)
     val hostmarks =
       s""""hostmark_1t":${ms(marks1t.min)},"hostmark_mt":${ms(marksMt.min)},""" +
-        s""""hostmark_sink":${hostmarkSink.get()},"""
+        s""""hostmark_sink":${Hostmark.sinkValue},"""
     val full = s"""{"metric":"total_min","value":${ms(totalMin)},"total_min":${ms(totalMin)},"total_med":${ms(totalMed)},"unit":"sec","queries":$qs3,"spread":$spread,"failures":$fstr,"runs":$runs,$hostmarks"shuffle_partitions":$shufflePartitions,"loadavg":$loadavg,"pass_loadavg":${passLoads.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val spreadOut = sys.env.getOrElse("SPARK_GRAFT_SPREAD_OUT", "tools/bench_spread.json")
     try java.nio.file.Files.write(
@@ -369,4 +344,51 @@ object Bench {
     System.out.flush()
     if (failures.nonEmpty) sys.exit(1)
   }
+}
+
+/** Fixed, data-independent CPU calibration shared by every timing main
+  * ([[Bench]] per pass, [[PipelineBench]] per capture). The r16 closing
+  * window measured EVERY query — pure-JVM kernels included — uniformly
+  * ~1.54× of r15 on an IDLE host: a host-throughput level shift, which
+  * per-query min-of-N (additive-noise armor) and the bless dispersion
+  * gate (uniform ⇒ low dispersion ⇒ blessed) are both structurally
+  * blind to. Two marks: single-thread (per-core throughput — the thing
+  * a noisy hypervisor neighbor or frequency change moves) and a 32-way
+  * parallel variant (adds contention). `tools/check_bench.py` divides
+  * round-over-round ratios by the hostmark ratio when both artifacts
+  * carry it, so "the host got slower" and "the code got slower"
+  * separate mechanically. Call [[warm]] once before the first timed
+  * mark: pass 1 would otherwise time the kernel's interpreted/C1
+  * execution and overstate the mark (the sink keeps the loops
+  * observable end to end).
+  */
+object Hostmark {
+  private val sink = new java.util.concurrent.atomic.AtomicLong()
+
+  private def xorshiftSum(seed0: Long, iters: Long): Long = {
+    var x = seed0; var acc = 0L; var i = 0L
+    while (i < iters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1
+    }
+    acc
+  }
+
+  def warm(): Unit =
+    sink.addAndGet(xorshiftSum(0xDEADBEEFL, 400000000L))
+
+  def mark1t(): Double = {
+    val t0 = System.nanoTime()
+    sink.addAndGet(xorshiftSum(0x9E3779B97F4A7C15L, 400000000L))
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def markMt(): Double = {
+    val t0 = System.nanoTime()
+    java.util.stream.IntStream.range(0, 32).parallel().forEach { lane =>
+      sink.addAndGet(xorshiftSum(0x100000001B3L + lane, 50000000L))
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def sinkValue: Long = sink.get()
 }

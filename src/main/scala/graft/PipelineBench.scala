@@ -30,6 +30,14 @@ object PipelineBench {
       body
       (System.nanoTime() - t0) / 1e9
     }
+    // host calibration, same contract as [[Bench]]: one mark before the
+    // mains and one after the recounts; the artifact carries the min so
+    // cross-scale and cross-round parity ratios can be read
+    // hostmark-relative (the r16 1x/10x artifacts predate the mark and
+    // are compared within their own capture window only)
+    Hostmark.warm()
+    val marks1t = scala.collection.mutable.ArrayBuffer(Hostmark.mark1t())
+    val marksMt = scala.collection.mutable.ArrayBuffer(Hostmark.markMt())
     val runs = scala.collection.mutable.LinkedHashMap[String, Double]()
     runs("jhub") = timed(graft.pipelines.JhubMain.main(
       Array(s"$rawRoot/jhub", s"$stagingRoot/jhub", "all")))
@@ -57,6 +65,8 @@ object PipelineBench {
             spark.read.parquet(t.toString).count()
         }
     }
+    marks1t += Hostmark.mark1t()
+    marksMt += Hostmark.markMt()
     val total = runs.values.sum
     val runsJson = runs.map { case (k, v) =>
       s""""$k":${Bench.trimZeros(f"$v%.2f")}""" }.mkString(",")
@@ -66,6 +76,9 @@ object PipelineBench {
     org.apache.log4j.LogManager.getRootLogger
       .setLevel(org.apache.log4j.Level.OFF)
     println(s"""{"metric":"pipeline_total","value":${
-      Bench.trimZeros(f"$total%.2f")},"unit":"sec","pipelines":{$runsJson},"staged_rows":{$countsJson},"raw":"$rawRoot"}""")
+      Bench.trimZeros(f"$total%.2f")},"unit":"sec","pipelines":{$runsJson},"staged_rows":{$countsJson},"hostmark_1t":${
+      Bench.trimZeros(f"${marks1t.min}%.3f")},"hostmark_mt":${
+      Bench.trimZeros(f"${marksMt.min}%.3f")},"hostmark_sink":${
+      Hostmark.sinkValue},"raw":"$rawRoot"}""")
   }
 }
