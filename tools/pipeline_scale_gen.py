@@ -111,14 +111,30 @@ def participant(pid):
                pid, pid))
 
 
+# Page size for the single-JSON-document dump shapes below. The APIs
+# these fixtures mirror are paginated (the loader layer's whole S6-S12
+# family exists to walk those pages), so a scaled dump is MANY page
+# files per date, not one ever-growing document — the mains' globs
+# (meetings_logs_{date}*.json, wall_owner_id_*.json) already match page
+# suffixes. This also matters mechanically: a single-line JSON document
+# is one unsplittable parse task in Spark, and at scale 100 the
+# one-file-per-date shape produced 241 MB single-record documents whose
+# 20 concurrent parses OOMed a 32 GB driver. Each page repeats the full
+# total_records/count (what the real APIs do), so flattened columns are
+# identical to the unpaginated shape; page 0 keeps the unpaginated
+# file name, so scale <= 1 output is byte-identical to before.
+ZOOM_PAGE = 2500
+
 mid = 0
 for day in range(1, DAYS + 1):
     date = f"2024-01-{day:02d}"
     ms = [meeting(mid + i, f"uuid-{mid + i}", day)
           for i in range(MEETINGS_PER_DAY)]
-    w(f"zoom/air-meetings-logs-{date}/meetings_logs_{date}.json",
-      ['{"from": "%s", "to": "%s", "total_records": %d, "meetings": [%s]}'
-       % (date, date, len(ms), ",".join(ms))])
+    for p in range(0, len(ms), ZOOM_PAGE):
+        suffix = "" if p == 0 else f"_page{p // ZOOM_PAGE}"
+        w(f"zoom/air-meetings-logs-{date}/meetings_logs_{date}{suffix}.json",
+          ['{"from": "%s", "to": "%s", "total_records": %d, "meetings": [%s]}'
+           % (date, date, len(ms), ",".join(ms[p:p + ZOOM_PAGE]))])
     plines = []
     for i in range(MEETINGS_PER_DAY):
         parts = ",".join(participant((mid + i) * PARTS_PER_MEETING + j)
@@ -204,8 +220,12 @@ for f in range(WALL_FILES):
             % (iid, 1700000100 + iid, 1700000200 + iid, iid, iid % 50,
                iid % 500, iid % 20, iid % 5000, iid + 1000000,
                1690000000 + iid, iid))
-    w(f"vk/data2024-01-01/wall_owner_id_{f}.json",
-      ['{"count": %d, "items": [%s]}' % (len(items), ",".join(items))])
+    # offset-paginated like the wall API itself (see ZOOM_PAGE note)
+    for off in range(0, len(items), 2000):
+        suffix = "" if off == 0 else f"_offset{off}"
+        w(f"vk/data2024-01-01/wall_owner_id_{f}{suffix}.json",
+          ['{"count": %d, "items": [%s]}'
+           % (len(items), ",".join(items[off:off + 2000]))])
 print(f"vk: {N_MEMBERS} members, {WALL_FILES * ITEMS_PER_FILE} wall items")
 
 # --- monkey: survey details + response dumps ---------------------------
