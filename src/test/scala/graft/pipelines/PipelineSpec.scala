@@ -98,6 +98,38 @@ class PipelineSpec extends SparkTestBase {
     s"""{"uuid": "uuid-2", "participants_data": {"participants": [${participant(3)}]}}"""),
     "zoom_participants")
 
+  test("zoom: paginated per-date dumps — glob unions pages, repeated totals don't double rows") {
+    // The dump APIs are offset/cursor-paginated, so a scaled per-date dump
+    // is MANY page files under the mains' `meetings_logs_{date}*.json`
+    // glob, each repeating the FULL total_records the way the real API
+    // does (a 241 MB single-document dump is one unsplittable parse task —
+    // the 100x parity fixture OOMed on exactly that before pagination).
+    // Pins: rows are the union across pages, the repeated total neither
+    // gates out the load nor duplicates rows.
+    val dir = tempDir("zoom_pages")
+    java.nio.file.Files.writeString(
+      dir.resolve("meetings_logs_2024-01-01.json"),
+      s"""{"from": "2024-01-01", "to": "2024-01-02", "total_records": 3,
+         | "meetings": [${meeting(1, "uuid-1", 2)}, ${meeting(2, "uuid-2", 1)}]}"""
+        .stripMargin.replaceAll("\n", ""))
+    java.nio.file.Files.writeString(
+      dir.resolve("meetings_logs_2024-01-01_page1.json"),
+      s"""{"from": "2024-01-01", "to": "2024-01-02", "total_records": 3,
+         | "meetings": [${meeting(3, "uuid-3", 1)}]}"""
+        .stripMargin.replaceAll("\n", ""))
+    val (c, _) = ctx("zoom_pages")
+    ZoomPipeline.run(c, s"$dir/meetings_logs_2024-01-01*.json",
+      zoomParticipantsFixture)
+    assert(c.failed.isEmpty, c.report.toString)
+    val meetings = spark.read.parquet(s"${c.stagingDir}/meetings")
+    assert(meetings.count() == 3)
+    assert(meetings.select("meet_uuid").collect().map(_.getString(0)).toSet ==
+      Set("uuid-1", "uuid-2", "uuid-3"))
+    val records = spark.read.parquet(s"${c.stagingDir}/records")
+    assert(records.count() == 4)
+    assert(records.filter(col("meet_uuid") === "uuid-3").count() == 1)
+  }
+
   test("zoom: three tables, key carry, forced participants overwrite") {
     val (c, sink) = ctx("zoom", SaveMode.Append)
     ZoomPipeline.run(c, zoomMeetingsFixture, zoomParticipantsFixture)
