@@ -77,4 +77,27 @@ class AnnRecallSpec extends SparkTestBase {
       pts.toString)
     intercept[IllegalArgumentException](Ivf.operatingPoint(0L))
   }
+
+  test("recallGate: empty truth set passes vacuously (n_queries = 0), " +
+    "below-floor truth still raises") {
+    val s = spark
+    import s.implicits._
+    import graft.queries.QueryHelpers
+    // a testdata refresh can leave a windowed truth set EMPTY at the
+    // smallest SF (embed_near_dup_srp_scaled at sf0.001, r17): avg()
+    // over zero rows is NULL and assert_true(NULL) raised with a NULL
+    // message — the gate must instead pass with an auditable
+    // n_queries = 0 summary row
+    val empty = Seq.empty[(Long, Long)].toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 2L)).toDF("query_id", "neighbor_id")
+    val row = QueryHelpers.recallGate(empty, approx, floor = 0.9,
+      what = "empty-truth").collect()
+    assert(row.length == 1 && row(0).getLong(0) == 0L, row.mkString)
+    // the floor still binds where truth exists
+    val truth = Seq((1L, 2L)).toDF("query_id", "neighbor_id")
+    val miss = Seq((1L, 3L)).toDF("query_id", "neighbor_id")
+    val e = intercept[Exception](
+      QueryHelpers.recallGate(truth, miss, 0.9, "below-floor").collect())
+    assert(e.getMessage != null, "gate must raise a non-null message")
+  }
 }
