@@ -155,6 +155,10 @@ object Bench {
       // minutes of 2 GiB string building (the r9 bench-timeout mode)
       .config("spark.sql.maxPlanStringLength", "1000000")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // bounded-buffer typed aggregates must not fall back to sort-based
+      // aggregation at 128 groups/task — see SessionFactory scaladoc
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        SessionFactory.objAggFallbackThreshold)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

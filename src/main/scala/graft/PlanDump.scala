@@ -26,6 +26,9 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.maxPlanStringLength", "1000000")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // same bounded-buffer aggregate setting as Bench (SessionFactory)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        SessionFactory.objAggFallbackThreshold)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

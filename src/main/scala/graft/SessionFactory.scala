@@ -27,8 +27,29 @@ object SessionFactory {
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
     "spark.sql.maxPlanStringLength" -> "1000000",
-    "spark.sql.extensions" -> classOf[GraftExtensions].getName
+    "spark.sql.extensions" -> classOf[GraftExtensions].getName,
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" ->
+      objAggFallbackThreshold
   )
+
+  /** ObjectHashAggregate keeps a per-task hash map of aggregation
+    * buffers and FALLS BACK to sort-based aggregation once the map holds
+    * more than this many keys. The Spark default (128) exists to protect
+    * unbounded buffers (`collect_list` over giant groups); every typed
+    * aggregate in this repo carries a BOUNDED buffer (TopKAgg ≤ k
+    * entries, MinHashUnionAgg = numHashes longs, VectorSumAgg = dim
+    * doubles, GramSumAgg = fixed slots, the BM25 sorted-fold list ≤ the
+    * query's term count), so past 128 groups/task the fallback only adds
+    * a full sort of the stage's rows — measured at sf0.1: the portable
+    * BM25 summation (100k groups) ran 4.6 s sort-based vs 3.1 s hashed.
+    * 131072 keys × ≤ a few hundred bytes ≈ tens of MB per task — the
+    * same order as the hash map a plain HashAggregate would hold, and
+    * scale-invariant when shuffle partitions are sized so per-task
+    * group counts stay bounded (guide §2.2). Env-overridable for
+    * deployments whose group buffers are NOT bounded.
+    */
+  def objAggFallbackThreshold: String =
+    sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "131072")
 
   /** Hadoop fs settings (UNprefixed — ready for `hadoopConfiguration`;
     * prepend `spark.hadoop.` when passing through a builder). Values are

@@ -14,6 +14,10 @@ object Verify {
       // same plan-string cap as Bench: a lineage regression must fail
       // fast/truncated, not stall the round's correctness dump
       .config("spark.sql.maxPlanStringLength", "1000000")
+      // same bounded-buffer aggregate setting as Bench (SessionFactory
+      // scaladoc): the dump must run the plans the bench times
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        SessionFactory.objAggFallbackThreshold)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -131,7 +131,12 @@ object Bm25 {
       .select(qid.as("query_id"),
         explode(TextFunctions.tokens(qtext)).as("token"))
       .distinct()
-    val matched = index.join(broadcast(qterms), "token")
+    // project the index to the three columns the scorer reads BEFORE the
+    // fan-out join (guide §2.3): the per-(doc, term) stream the join
+    // multiplies by the query count would otherwise carry tf/dl/df
+    // through the join, the aggregate and its exchange for nothing
+    val matched = index.select(col("token"), col("doc_id"), col("score"))
+      .join(broadcast(qterms), "token")
     val scoreSum =
       if (portableSum)
         // codegen kernel (sort + left fold in one compiled loop),

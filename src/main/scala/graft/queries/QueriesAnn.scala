@@ -564,9 +564,17 @@ private[graft] object QueriesAnn {
       val embs = t(s, dir, "embeddings")
       val op = Dedup.srpOperatingPoint(
         embs.where(col("embedding").isNotNull).count(), minCosine = 0.5)
+      // eager checkpoint: the pair frame feeds BOTH the window-recall
+      // arm and the full-corpus n_pairs_total counter inside one
+      // action; the counter forces the full-corpus run regardless, so
+      // materializing it once and letting the window arm FILTER the
+      // (thresholded, tiny) result replaces a second full LSH
+      // evaluation with a cache scan — the scale row still measures
+      // exactly one production n^(1+ρ) pass
       val approx = Dedup.embeddingNearDupPairs(embs, col("vec_id"),
         col("embedding"), minCosine = 0.5, dim = 64,
         bits = op.bits, bands = op.bands)
+        .localCheckpoint(true)
       val exact = Dedup.embeddingNearDupPairs(
         embs.filter(col("vec_id") < 2000L), col("vec_id"),
         col("embedding"), minCosine = 0.5, dim = 64, bits = 0, bands = 1)
@@ -619,8 +627,18 @@ private[graft] object QueriesAnn {
             x + (pmod(i * lit(37), lit(11)) - lit(5)).cast("float") *
               lit(0.003f)).as("embedding"))
       val corpus = embs.unionByName(planted)
+      // the candidate pair frame feeds THREE consumers (the recall gate,
+      // the n_pairs_total scale counter, the window-hit semi-join), all
+      // inside ONE final action, where a lazy persist cannot help (the
+      // kCoreBounded lesson) — without the eager checkpoint the whole
+      // IVF fit + probe self-join + cosine verify ran three times per
+      // pass (measured: 1.3-2.8 s per evaluation at sf0.1). Same for
+      // the 2000-vector exact window (two consumers). The checkpointed
+      // frames are the small thresholded outputs, never the candidate
+      // fan-out.
       val approx = SemDedup.nearDupPairsIvf(corpus, col("vec_id"),
         col("embedding"), minCosine = 0.5, nlist = op.nlist, nprobe = 4)
+        .localCheckpoint(true)
       val truth = embs.filter(col("vec_id") < 500L)
         .select(col("vec_id").as("query_id"),
           (col("vec_id") + lit(1000000000L)).as("neighbor_id"))
@@ -628,6 +646,7 @@ private[graft] object QueriesAnn {
         embs.filter(col("vec_id") < 2000L), col("vec_id"),
         col("embedding"), minCosine = 0.5, dim = 64, bits = 0, bands = 1)
         .select(col("id_a"), col("id_b"))
+        .localCheckpoint(true)
       val windowHits = exactWindow.join(
         approx.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"),
         "left_semi")
@@ -667,7 +686,12 @@ private[graft] object QueriesAnn {
             x + (pmod(i * lit(37), lit(11)) - lit(5)).cast("float") *
               lit(0.003f)).as("embedding"))
       val corpus = embs.unionByName(planted)
-      val (armName, approx) = D.nearDupArm(n, tau) match {
+      // eager checkpoints for the multi-consumer frames, exactly as in
+      // embed_near_dup_ivf_scaled: approx feeds gate + total counter +
+      // window semi-join, exactWindow feeds counter + semi-join — all
+      // in one action, so without the checkpoint the chosen arm's full
+      // candidate pipeline evaluated three times per pass
+      val (armName, approx0) = D.nearDupArm(n, tau) match {
         case D.SrpArm(p) => ("srp", D.embeddingNearDupPairs(corpus,
           col("vec_id"), col("embedding"), minCosine = tau, dim = 64,
           bits = p.bits, bands = p.bands))
@@ -675,6 +699,7 @@ private[graft] object QueriesAnn {
           col("vec_id"), col("embedding"), minCosine = tau,
           nlist = p.nlist, nprobe = 4))
       }
+      val approx = approx0.localCheckpoint(true)
       val truth = embs.filter(col("vec_id") < 500L)
         .select(col("vec_id").as("query_id"),
           (col("vec_id") + lit(1000000000L)).as("neighbor_id"))
@@ -682,6 +707,7 @@ private[graft] object QueriesAnn {
         embs.filter(col("vec_id") < 2000L), col("vec_id"),
         col("embedding"), minCosine = tau, dim = 64, bits = 0, bands = 1)
         .select(col("id_a"), col("id_b"))
+        .localCheckpoint(true)
       val windowHits = exactWindow.join(
         approx.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"),
         "left_semi")

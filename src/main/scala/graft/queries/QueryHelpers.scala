@@ -307,15 +307,26 @@ private[graft] object QueryHelpers {
     */
   private[graft] def recallGate(exact: DataFrame, approx: DataFrame,
                          floor: Double, what: String): DataFrame = {
+    // ONE reference to each arm (r17): the previous shape referenced
+    // `truth` twice (hit semi-join + denominator agg), so the exact arm
+    // — the expensive side by construction (brute-force top-k, all-pairs
+    // windows, a full exact fusion in hybrid_rrf_ann_recall) — was
+    // planned and evaluated twice inside the one gate action. A left
+    // join against the approx pair set marks hits and counts hits and
+    // denominators in a single per-query aggregate. Correctness rests on
+    // approx being duplicate-free on (query_id, neighbor_id), which
+    // every caller satisfies (top-k outputs and distinct-ed pair sets);
+    // a duplicated approx pair would inflate n_exact (join fan-out)
+    // rather than just n_hit, so the invariant matters — keep new arms
+    // deduped.
     val truth = exact.select(col("query_id"), col("neighbor_id"))
-    val hits = truth
-      .join(approx.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-    truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("query_id"), "left")
+    val hit = approx.select(col("query_id"), col("neighbor_id"),
+      lit(1L).as("__hit"))
+    truth.join(hit, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
       .agg(count(lit(1)).as("n_queries"),
-        avg(coalesce(col("n_hit"), lit(0L)) / col("n_exact")).as("macro_recall"))
+        avg(col("n_hit") / col("n_exact")).as("macro_recall"))
       .withColumn("recall_floor", lit(floor))
       // Empty truth set ⇒ the gate is VACUOUSLY satisfied (n_queries = 0
       // rides the summary row so the vacuousness is auditable), not a
