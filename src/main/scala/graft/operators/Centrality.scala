@@ -64,23 +64,26 @@ object Centrality {
     require(truncateEvery >= 1,
       s"truncateEvery must be >= 1, got $truncateEvery")
     val ids = nodes.select(id.as("id"))
-    // symmetrize with ONE explode rather than a self-union: a union of
-    // two selects would re-evaluate the (possibly expensive) pair
-    // generation subtree once per branch inside the same job. The edge
-    // list is persisted BEFORE the degree join for the same reason —
-    // the join needs edges twice (probe + agg side), and every
-    // iteration of the loop reuses it.
-    val edges = pairs
+    // Pin the PAIR frame, not the exploded edge list (r17): the degree
+    // join consumes edges twice (probe + agg side), so the expensive
+    // pair generation must be materialized exactly once — but pinning
+    // the small thresholded pair frame makes the explode + degree join
+    // trivially recomputable from cache, which retires the old
+    // edges.persist / degreed.count() / edges.unpersist release dance
+    // (the eager fill now runs pair generation alone, not pair
+    // generation + explode + degree join). Symmetrize with ONE explode
+    // rather than a self-union: a union of two selects would
+    // re-evaluate the subtree once per branch inside the same job.
+    val p = pairs.select(col("id_a"), col("id_b")).persist()
+    p.count() // eager fill; released after the result checkpoint below
+    val edges = p
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
     val degreed = edges
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-      .persist() // reused every iteration
-    degreed.count() // materialize so the raw edge cache can be released
-    edges.unpersist(blocking = false) // degreed carries the same rows
+      .persist() // reused every iteration (fills on iteration 1's scan)
     val n = ids.count()
     require(n > 0, "PageRank over an empty node set")
     val s0 = scale / n
@@ -105,6 +108,7 @@ object Centrality {
     // iteration cache is done and releases immediately
     val result = scores.localCheckpoint(true)
     degreed.unpersist(blocking = false)
+    p.unpersist(blocking = false)
     result
   }
 
@@ -138,20 +142,21 @@ object Centrality {
     require(truncateEvery >= 1,
       s"truncateEvery must be >= 1, got $truncateEvery")
     val ids = nodes.select(id.as("id"))
-    val edges = pairs
+    // same pair-frame pin rationale as [[fixedPointPageRank]]
+    val p = pairs
       .select(col("id_a"), col("id_b"), weight.cast("long").as("w"))
       .where(col("w") > 0)
+      .persist()
+    p.count() // eager fill; released after the result checkpoint below
+    val edges = p
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst"), col("w")),
         struct(col("id_b").as("src"), col("id_a").as("dst"), col("w"))))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
-      .persist()
     val weighted = edges
       .join(edges.groupBy(col("src")).agg(sum(col("w")).as("wsum")), "src")
-      .persist()
-    weighted.count()
-    edges.unpersist(blocking = false)
+      .persist() // reused every iteration (fills on iteration 1's scan)
     val n = ids.count()
     require(n > 0, "PageRank over an empty node set")
     val s0 = scale / n
@@ -173,6 +178,7 @@ object Centrality {
     }
     val result = scores.localCheckpoint(true)
     weighted.unpersist(blocking = false)
+    p.unpersist(blocking = false)
     result
   }
 
