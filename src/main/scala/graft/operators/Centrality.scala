@@ -369,12 +369,16 @@ object Centrality {
     require(truncateEvery >= 1,
       s"truncateEvery must be >= 1, got $truncateEvery")
     val ids = nodes.select(id.as("id"))
-    val edges = pairs
+    // same pair-frame pin rationale as [[fixedPointPageRank]]: pin the
+    // small thresholded pair frame, derive the (2x-sized) edge list
+    // from cache per round instead of caching it
+    val p = pairs.select(col("id_a"), col("id_b")).persist()
+    p.count() // eager fill; released after the result checkpoint below
+    val edges = p
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist() // reused every round (fills on round 1's scan)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("dst")).orderBy(col("c").desc, col("label").asc)
     var labels = ids.select(col("id"), col("id").as("label"))
@@ -391,7 +395,7 @@ object Centrality {
         labels = labels.localCheckpoint(true)
     }
     val result = labels.localCheckpoint(true)
-    edges.unpersist(blocking = false)
+    p.unpersist(blocking = false)
     result
   }
 

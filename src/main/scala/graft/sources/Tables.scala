@@ -70,9 +70,25 @@ object Tables {
       // estimate SPLITS (bytes / maxPartitionBytes per file, like the file
       // scan planner), not file count: a lake table of a few multi-GB
       // files yields plenty of splits and must NOT be repartitioned —
-      // only a genuinely under-split local artifact (one small file) is
+      // only a genuinely under-split local artifact (one small file) is.
+      //
+      // HASH repartition on the unique id, not round-robin (r17):
+      // round-robin pays a local sort of every input partition
+      // (spark.sql.execution.sortBeforeRepartition — required so task
+      // retries reproduce the same row placement, SPARK-23207/38388),
+      // charged to every scan of these tables; hashing a unique id is
+      // deterministic under retry BY CONSTRUCTION, skips that sort
+      // (measured ~50-70 ms per scan at sf0.1), spreads evenly
+      // (5,000+ distinct ids over `cores` buckets, guide §2.5), and
+      // leaves an id-keyed output partitioning downstream aggregates
+      // can reuse. Row PLACEMENT changes vs round-robin — which no
+      // registered result may depend on: the driver already runs the
+      // same queries at different core counts, so placement-dependent
+      // output would have been a cross-run mismatch long before this.
       if (estimatedSplits(spark, df.inputFiles) < cores)
-        df.repartition(cores)
+        df.repartition(cores,
+          org.apache.spark.sql.functions.col(
+            if (name == "documents") "doc_id" else "vec_id"))
       else df
     } else spark.read.parquet(path)
   }

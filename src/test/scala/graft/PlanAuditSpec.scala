@@ -162,21 +162,18 @@ class PlanAuditSpec extends SparkTestBase {
     val frames = graft.SparkEntry.queries("media_frames")(spark, dir)
     val plan = planOf(frames)
     // the only exchange allowed is Tables.load's local single-file
-    // round-robin split-up (absent on a many-file lake table); the frame
-    // explode/substring chain itself must stay a narrow projection
-    val nonInput = "Exchange (?!RoundRobinPartitioning)".r
-      .findAllIn(plan).length
-    assert(nonInput == 0, plan)
+    // split-up (hash-by-id, REPARTITION_BY_NUM origin; absent on a
+    // many-file lake table); the frame explode/substring chain itself
+    // must stay a narrow projection
+    assert(dataExchanges(plan) == 0, plan)
   }
 
   test("repetition stats run as a pure projection: zero exchanges, codegen kernel") {
     val df = graft.SparkEntry.queries("text_repetition")(spark, dir)
     val plan = planOf(df)
-    // only Tables.load's local single-file round-robin split-up is allowed
-    // (absent on a many-file lake table); the stats themselves are per-row
-    val nonInput = "Exchange (?!RoundRobinPartitioning)".r
-      .findAllIn(plan).length
-    assert(nonInput == 0, plan)
+    // only Tables.load's local single-file split-up is allowed (absent
+    // on a many-file lake table); the stats themselves are per-row
+    assert(dataExchanges(plan) == 0, plan)
     assert(plan.contains("ngram_repetition"), plan)
   }
 
@@ -583,19 +580,32 @@ class PlanAuditSpec extends SparkTestBase {
     "(a select-union here re-plans the whole self-join twice)") {
     val plan = planOf(SparkEntry.queries("ngram_containment")(spark, dir))
     assert(!plan.contains("Union"), plan)
-    val pairAggs = "hashpartitioning\\(doc_id#\\d+L, doc_id#\\d+L"
+    // the (id_a, id_b) intersection aggregate must be planned exactly
+    // once: one partial + one final HashAggregate (its exchange may be
+    // ELIDED entirely when the shingle stream arrives hash-partitioned
+    // by doc_id from Tables.load's split-up — partitioning on a subset
+    // of the group keys satisfies the distribution requirement — so
+    // counting exchanges would miss the double-planning this test
+    // exists to catch)
+    val pairAggs = "HashAggregate\\(keys=\\[doc_id#\\d+L, doc_id#\\d+L\\]"
       .r.findAllIn(plan).length
-    assert(pairAggs == 1, s"pair aggregate planned $pairAggs times:\n$plan")
+    assert(pairAggs == 2, s"pair aggregate operators: $pairAggs (expected " +
+      s"2 = one partial + one final):\n$plan")
   }
 
   // Tables.load repartitions the single-file documents scan for local
-  // parallelism (a no-op on a real many-split lake), so query-level pins
-  // ignore that RoundRobin exchange and count only DATA exchanges —
-  // hash/range repartitions the operator itself would cost at scale.
+  // parallelism (hash on the unique id since r17; a no-op on a real
+  // many-split lake), so query-level pins ignore that explicit
+  // REPARTITION_BY_NUM exchange and count only DATA exchanges — the
+  // hash/range/single-partition shuffles the operator itself would cost
+  // at scale (ENSURE_REQUIREMENTS origin).
   private def dataExchanges(plan: String): Int =
-    "Exchange hashpartitioning".r.findAllIn(plan).length +
-      "Exchange rangepartitioning".r.findAllIn(plan).length +
-      "Exchange SinglePartition".r.findAllIn(plan).length
+    plan.linesIterator.count { l =>
+      ("Exchange hashpartitioning".r.findFirstIn(l).isDefined ||
+        "Exchange rangepartitioning".r.findFirstIn(l).isDefined ||
+        "Exchange SinglePartition".r.findFirstIn(l).isDefined) &&
+        !l.contains("REPARTITION_BY_NUM")
+    }
 
   test("gopher flags and shard assignment are zero-exchange projections") {
     for (q <- Seq("gopher_quality_flags", "corpus_shards")) {
