@@ -564,17 +564,18 @@ private[graft] object QueriesAnn {
       val embs = t(s, dir, "embeddings")
       val op = Dedup.srpOperatingPoint(
         embs.where(col("embedding").isNotNull).count(), minCosine = 0.5)
-      // eager checkpoint: the pair frame feeds BOTH the window-recall
-      // arm and the full-corpus n_pairs_total counter inside one
-      // action; the counter forces the full-corpus run regardless, so
-      // materializing it once and letting the window arm FILTER the
-      // (thresholded, tiny) result replaces a second full LSH
-      // evaluation with a cache scan — the scale row still measures
-      // exactly one production n^(1+ρ) pass
+      // NO eager checkpoint here, unlike embed_near_dup_ivf_scaled (r17,
+      // measured): the window-recall consumer is CONSTANT-cost by
+      // construction — Catalyst prunes its LSH to the vec_id < 2000
+      // window (see the arm-split comment below) — so a checkpoint
+      // would remove a constant-cost duplicate while paying a
+      // scale-growing materialization of the full pair frame and
+      // losing the two arms' in-job overlap (10× A/B: 8.6 s without
+      // vs 10.2 s with the checkpoint). The ivf/auto_arm queries keep
+      // theirs because BOTH their extra consumers are full-cost.
       val approx = Dedup.embeddingNearDupPairs(embs, col("vec_id"),
         col("embedding"), minCosine = 0.5, dim = 64,
         bits = op.bits, bands = op.bands)
-        .localCheckpoint(true)
       val exact = Dedup.embeddingNearDupPairs(
         embs.filter(col("vec_id") < 2000L), col("vec_id"),
         col("embedding"), minCosine = 0.5, dim = 64, bits = 0, bands = 1)
