@@ -49,7 +49,21 @@ object SessionFactory {
     * deployments whose group buffers are NOT bounded.
     */
   def objAggFallbackThreshold: String =
-    sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "131072")
+    sys.env.get("SPARK_GRAFT_OBJ_AGG_FALLBACK") match {
+      case None => "131072"
+      case Some(v) =>
+        // validate HERE, not at session build: a typo'd env var would
+        // otherwise surface as an opaque conf failure deep inside the
+        // first getOrCreate() (r17 advice). New typed aggregates must
+        // state their buffer bound before relying on the raised default —
+        // an UNBOUNDED buffer needs the sort-based fallback this
+        // threshold defers (see the scaladoc above).
+        val t = v.trim
+        require(t.nonEmpty && t.length <= 10 && t.forall(_.isDigit) &&
+          t.toLong > 0 && t.toLong <= Int.MaxValue,
+          s"SPARK_GRAFT_OBJ_AGG_FALLBACK must be a positive int, got '$v'")
+        t
+    }
 
   /** Hadoop fs settings (UNprefixed — ready for `hadoopConfiguration`;
     * prepend `spark.hadoop.` when passing through a builder). Values are

@@ -127,10 +127,7 @@ object BpeStats {
       if (step % persistEvery == 0 && step < steps) {
         // eager truncation materializes the frame AND replaces its plan
         // with a leaf; the previous anchor's blocks are then safe to drop
-        val p =
-          if (frame.sparkSession.sparkContext.getCheckpointDir.isDefined)
-            frame.checkpoint(true)
-          else frame.localCheckpoint(true)
+        val p = Pin.eager(frame)
         anchored.foreach(_.unpersist())
         anchored = Some(p)
         frame = p

@@ -101,12 +101,12 @@ object Centrality {
           (lit(base) +
             coalesce(expr("(85 * inflow) div 100"), lit(0L))).as("score"))
       if (iter % truncateEvery == 0 && iter < iterations)
-        scores = scores.localCheckpoint(true)
+        scores = Pin.eager(scores)
     }
     // eager checkpoint: run the iterations ONCE here, hand callers a
     // frame whose plan is just the checkpointed scan — then the
     // iteration cache is done and releases immediately
-    val result = scores.localCheckpoint(true)
+    val result = Pin.eager(scores)
     degreed.unpersist(blocking = false)
     p.unpersist(blocking = false)
     result
@@ -174,9 +174,9 @@ object Centrality {
           (lit(base) +
             coalesce(expr("(85 * inflow) div 100"), lit(0L))).as("score"))
       if (iter % truncateEvery == 0 && iter < iterations)
-        scores = scores.localCheckpoint(true)
+        scores = Pin.eager(scores)
     }
-    val result = scores.localCheckpoint(true)
+    val result = Pin.eager(scores)
     weighted.unpersist(blocking = false)
     p.unpersist(blocking = false)
     result
@@ -266,10 +266,10 @@ object Centrality {
     // lazy cache — so an unpinned chain re-evaluates the (expensive)
     // pair generation ~2^depth times (measured: 78s -> 3s at sf0.01
     // when these checkpoints went in). One small job per peel instead.
-    val und = canonicalEdges(pairs).localCheckpoint(true)
+    val und = Pin.eager(canonicalEdges(pairs))
     val all = nodes.select(id.as("id"))
     var surv = all
-    for (_ <- 1 to maxPeels) surv = peelOnce(und, surv, k).localCheckpoint(true)
+    for (_ <- 1 to maxPeels) surv = Pin.eager(peelOnce(und, surv, k))
     val extra = peelOnce(und, surv, k)
     val cA = surv.agg(count(lit(1)).as("__n_peeled"))
     val cB = extra.agg(count(lit(1)).as("__n_extra"))
@@ -299,7 +299,7 @@ object Centrality {
     // semi-joins of round 1 would otherwise race the lazy cache and
     // run pair generation twice); rounds are serialized by their
     // count() actions, so lazy persist suffices for the survivor lists
-    val und = canonicalEdges(pairs).localCheckpoint(true)
+    val und = Pin.eager(canonicalEdges(pairs))
     val all = nodes.select(id.as("id"))
     var surv = all
     var prev = surv.count()
@@ -313,16 +313,15 @@ object Centrality {
       // too — persist alone bounds recompute, only checkpointing
       // bounds lineage (the CC lesson)
       surv = peelOnce(und, surv, k)
-      if (round % truncateEvery == 0) surv = surv.localCheckpoint(true)
+      if (round % truncateEvery == 0) surv = Pin.eager(surv)
       else { surv = surv.persist(); cached += surv }
       val n = surv.count()
       done = n == prev
       prev = n
     }
-    val result = all
+    val result = Pin.eager(all
       .join(surv.withColumn("__in", lit(true)), Seq("id"), "left")
-      .select(col("id"), coalesce(col("__in"), lit(false)).as("in_kcore"))
-      .localCheckpoint(true)
+      .select(col("id"), coalesce(col("__in"), lit(false)).as("in_kcore")))
     cached.foreach(_.unpersist(blocking = false))
     und.unpersist(blocking = false)
     result
@@ -392,9 +391,9 @@ object Centrality {
       labels = ids.join(pick, ids("id") === pick("dst"), "left")
         .select(col("id"), coalesce(col("__new"), col("id")).as("label"))
       if (iter % truncateEvery == 0 && iter < iterations)
-        labels = labels.localCheckpoint(true)
+        labels = Pin.eager(labels)
     }
-    val result = labels.localCheckpoint(true)
+    val result = Pin.eager(labels)
     p.unpersist(blocking = false)
     result
   }

@@ -80,32 +80,45 @@ object Dedup {
     // uncapped form stays available for exact-oracle verification. The cap
     // is applied consistently to intersections AND set sizes, so the
     // result is the exact Jaccard over the capped shingle universe.
-    val shUncached = maxDocFreq match {
-      case None => shRaw
-      case Some(cap) =>
-        val hot = shRaw.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("sh")
-        shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
-    }
+    //
     // Fans out 3 ways (self-join both sides + sizes); persist beats
     // recomputing the shingle explode per consumer. The blocks live until
     // session cache cleanup (no safe unpersist point inside a lazy
     // lineage) - long-lived sessions issuing many calls can pass
     // persistLineage=false or spark.catalog.clearCache() between runs.
-    val sh =
-      if (persistLineage)
-        shUncached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else shUncached
+    //
+    // CAPPED case: the persist goes on the RAW shingle stream, not the
+    // capped one (r18) — the hot-shingle aggregate AND the anti-join probe
+    // side both read shRaw, so persisting only the capped stream paid the
+    // interpreted shingle-explode pipeline TWICE to fill it (once inside
+    // the broadcast build, once on the probe side; 2.4x the uncapped
+    // sibling's wall at the 10x closed-vocab fixture, where the explode
+    // dominates). With shRaw cached, the broadcast build fills the cache
+    // and every downstream consumer pays one cheap broadcast-hash probe
+    // over cached 8-byte rows instead.
+    val sh = maxDocFreq match {
+      case None =>
+        if (persistLineage)
+          shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else shRaw
+      case Some(cap) =>
+        val base =
+          if (persistLineage)
+            shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else shRaw
+        val hot = base.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+        base.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
     // Per-doc set sizes as ONE eagerly-materialized frame (r17): both
     // endpoint joins below consume `sizes`, and with a lazy frame
     // Catalyst plans the aggregate subtree TWICE inside the final job
     // (two aggregate + broadcast builds over the cached stream). The
-    // eager localCheckpoint runs the (map-side-combined, n_docs-row)
-    // aggregate once in its own small job and hands both joins the
-    // materialized frame — measured 3.2 s → 2.1 s on the full pair
-    // build at sf0.1, bit-identical output.
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      .localCheckpoint(true)
+    // eager pin runs the (map-side-combined, n_docs-row) aggregate once
+    // in its own small job and hands both joins the materialized frame —
+    // measured 3.2 s → 2.1 s on the full pair build at sf0.1,
+    // bit-identical output. Reliable when a checkpoint dir is set (Pin).
+    val sizes = Pin.eager(sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
     val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -161,24 +174,28 @@ object Dedup {
     // the identical cap). A df-capped shingle is boilerplate by
     // definition — it stops being evidence that one doc CONTAINS
     // another precisely because everything contains it.
-    val shUncached = maxDocFreq match {
-      case None => shRaw
-      case Some(cap) =>
-        val hot = shRaw.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("sh")
-        shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
-    }
     // fans out 3 ways (both self-join sides + sizes) — same persist
-    // contract as ngramJaccardPairs
-    val sh =
-      if (persistLineage)
-        shUncached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else shUncached
+    // contract as ngramJaccardPairs, and the same capped-case rule: cache
+    // the RAW stream so the hot aggregate and the anti-join probe share
+    // one shingle-explode evaluation (r18)
+    val sh = maxDocFreq match {
+      case None =>
+        if (persistLineage)
+          shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else shRaw
+      case Some(cap) =>
+        val base =
+          if (persistLineage)
+            shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else shRaw
+        val hot = base.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+        base.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
     // eager sizes frame — same single-aggregate rationale as
     // ngramJaccardPairs (one small job instead of a planned-twice
     // aggregate subtree)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      .localCheckpoint(true)
+    val sizes = Pin.eager(sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
     val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -414,10 +431,8 @@ object Dedup {
         driverEdgeLimit)
     // reliable checkpoint when a dir is configured, executor-local
     // otherwise — the trade-off documented in the contract note above
-    def truncate(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(true)
-      else df.localCheckpoint(true)
+    // (the rule is centralized in Pin since r18)
+    def truncate(df: DataFrame): DataFrame = Pin.eager(df)
     // the pair lineage is typically expensive (an n-gram or LSH self-join)
     // and the symmetric union below references it twice — persist it so
     // edge materialization computes it once. If the CALLER already cached
@@ -979,6 +994,21 @@ object Dedup {
       if (persistLineage)
         sigsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sigsRaw
+    minhashDedupPairsFromSigs(sigs, numHashes, bands, minEstJaccard)
+  }
+
+  /** Within-corpus LSH pair generation over PRE-COMPUTED signatures — the
+    * body of [[minhashDedupPairs]], split out (r18) so a caller that
+    * already holds a (persisted) signature frame — e.g. the incremental
+    * funnel, which needs the SAME signatures again for its cross-corpus
+    * join — generates self-pairs without paying the per-row minhash
+    * kernel a second time. `sigs` is a (doc_id, sig, n_sh) frame from
+    * [[minhashSignatures]]; it is referenced four times here (both
+    * banding sides + both verification lookups), so the caller should
+    * persist it.
+    */
+  def minhashDedupPairsFromSigs(sigs: DataFrame, numHashes: Int, bands: Int,
+                                minEstJaccard: Double): DataFrame = {
     val banded = lshBands(sigs, numHashes, bands)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -1070,9 +1100,25 @@ object Dedup {
     */
   def minhashPairsAgainst(newSigs: DataFrame, refSigs: DataFrame,
                           numHashes: Int, bands: Int,
-                          minEstJaccard: Double): DataFrame = {
+                          minEstJaccard: Double,
+                          persistLineage: Boolean = true): DataFrame = {
+    // the REFERENCE side is consumed twice (banding + candidate
+    // verification) and its lineage is typically the expensive half — a
+    // full annotate/gate/minhash chain over the accumulated corpus when
+    // no signature store is staged (dedup_incremental's shape) — so it
+    // is persisted here unless the caller already cached it (respect
+    // their lifecycle, the connectedComponents convention). The NEW side
+    // is also read twice, but every funnel caller hands in an
+    // already-persisted (or trivially derived) frame, so its lifecycle
+    // stays with the caller.
+    val refCached =
+      refSigs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val ref =
+      if (persistLineage && !refCached)
+        refSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else refSigs
     val bn = lshBands(newSigs, numHashes, bands)
-    val br = lshBands(refSigs, numHashes, bands)
+    val br = lshBands(ref, numHashes, bands)
     // both band columns in the key: collisions stay within a band
     // (expected spurious candidates ~ N_ref·N_new·bands/2^32, not ·bands²)
     val cands = br.as("a").join(bn.as("b"),
@@ -1081,7 +1127,7 @@ object Dedup {
         col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    verifyCandidatePairs(cands, newSigs, refSigs, minEstJaccard)
+    verifyCandidatePairs(cands, newSigs, ref, minEstJaccard)
   }
 
   /** [[minhashPairsAgainst]] where the reference side is a PRE-BANDED
@@ -1206,6 +1252,17 @@ object Dedup {
       if (persistLineage)
         sigsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sigsRaw
+    minhashDedupPairsPortableFromSigs(sigs, numHashes, bands, minEstJaccard)
+  }
+
+  /** [[minhashDedupPairsFromSigs]] over portable signatures — the same
+    * kernel-reuse split for the md5 twins, whose signature kernel is
+    * ~10x the engine hash and therefore gains the most from being
+    * computed once (r18). `sigs` should be persisted by the caller.
+    */
+  def minhashDedupPairsPortableFromSigs(sigs: DataFrame, numHashes: Int,
+                                        bands: Int,
+                                        minEstJaccard: Double): DataFrame = {
     val banded = lshBandsPortable(sigs, numHashes, bands)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -1222,16 +1279,27 @@ object Dedup {
     */
   def minhashPairsAgainstPortable(newSigs: DataFrame, refSigs: DataFrame,
                                   numHashes: Int, bands: Int,
-                                  minEstJaccard: Double): DataFrame = {
+                                  minEstJaccard: Double,
+                                  persistLineage: Boolean = true): DataFrame = {
+    // same ref-side persist rationale as minhashPairsAgainst — and the
+    // md5 signature chain behind an unstaged reference is the single
+    // most expensive subtree of the portable funnel, so evaluating it
+    // once instead of twice matters even more here
+    val refCached =
+      refSigs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val ref =
+      if (persistLineage && !refCached)
+        refSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else refSigs
     val bn = lshBandsPortable(newSigs, numHashes, bands)
-    val br = lshBandsPortable(refSigs, numHashes, bands)
+    val br = lshBandsPortable(ref, numHashes, bands)
     val cands = br.as("a").join(bn.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    verifyCandidatePairsPortable(cands, newSigs, refSigs, minEstJaccard)
+    verifyCandidatePairsPortable(cands, newSigs, ref, minEstJaccard)
   }
 
   // --- SimHash ---------------------------------------------------------

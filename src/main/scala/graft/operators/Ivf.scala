@@ -59,6 +59,28 @@ object Ivf {
     */
   case class OperatingPoint(nlist: Int, nprobe: Int, candidateFactor: Int)
 
+  /** Deterministic (hash, vector-lexicographic) order for collected fit
+    * samples — shared by [[fit]] and [[Pq.fit]] so both driver-side
+    * k-means trainers see a placement-independent iteration order.
+    */
+  private[operators] val sampleOrder =
+    new java.util.Comparator[(Long, Array[Double])] {
+      override def compare(a: (Long, Array[Double]),
+                           b: (Long, Array[Double])): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) return c
+        val (x, y) = (a._2, b._2)
+        val m = math.min(x.length, y.length)
+        var i = 0
+        while (i < m) {
+          val d = java.lang.Double.compare(x(i), y(i))
+          if (d != 0) return d
+          i += 1
+        }
+        Integer.compare(x.length, y.length)
+      }
+    }
+
   def operatingPoint(n: Long): OperatingPoint = {
     require(n > 0, s"operatingPoint needs a positive corpus size, got $n")
     // Long shift + an explicit 2^20 cap: an Int shift wraps negative at
@@ -92,24 +114,40 @@ object Ivf {
   def fit(corpus: DataFrame, vec: Column, nlist: Int,
           sampleFraction: Double = 1.0, seed: Long = 42L,
           maxSample: Int = 25000, maxIter: Int = 10): IvfModel = {
-    val base = if (sampleFraction >= 1.0) corpus
-      else corpus.sample(withReplacement = false, sampleFraction, seed)
-    val vecs = base.select(vec.cast("array<double>").as("v"))
+    // PLACEMENT-INDEPENDENT sampling (r18, closing r17 verdict #6): both
+    // the caller's fraction thinning and the maxSample cap select on a
+    // seeded 64-bit hash of the VECTOR VALUE, and the collected sample
+    // is sorted on the driver by (hash, vector) before the fit runs — so
+    // the realized training set AND its iteration order (which feeds the
+    // seeded init indices and the sequential float accumulation of the
+    // centroid update) are pure functions of the data and the seed,
+    // independent of partitioning, core count and file layout. The
+    // previous sample()/limit()/collect() chain was seeded per PARTITION
+    // and kept partition order: the same corpus produced a different
+    // model under a different core count or loader layout (the r17
+    // disclosed drift on semantic_contamination / semantic_prune).
+    // Uniformity is preserved — a hash threshold is the classic
+    // deterministic Bernoulli sample, so a sorted/clustered corpus still
+    // cannot bias the cap (the old anti-limit() argument). Cost shape
+    // unchanged: one count aggregate, then one filtered collect bounded
+    // near maxSample rows; the 1.1 slack absorbs hash variance exactly
+    // like the old sample(1.1x)+limit pair.
+    val vecs = corpus.select(vec.cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
-    // cap via a UNIFORM thinning, never a bare limit(): limit takes the
-    // first rows in file order, and a corpus laid out sorted/clustered
-    // (by source, language, ...) would hand the fit one corner of
-    // embedding space — every centroid lands there and the rest of the
-    // corpus collapses into a few giant lists. The count is one cheap
-    // aggregate; the residual limit only trims sampling variance.
     val n = vecs.count()
-    val capped = if (n > maxSample)
-      vecs.sample(withReplacement = false,
-        math.min(1.0, maxSample * 1.1 / n.toDouble), seed).limit(maxSample)
-    else vecs
-    val pts: Array[Array[Double]] = capped
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+    require(n > 0, "Ivf.fit: empty sample")
+    val hashMod = 1L << 40
+    val frac = if (sampleFraction >= 1.0) 1.0 else sampleFraction
+    val p = math.min(frac, math.min(1.0, maxSample * 1.1 / n.toDouble))
+    val hashed = vecs.select(col("v"),
+      pmod(xxhash64(col("v"), lit(seed)), lit(hashMod)).as("__h"))
+    val sampled =
+      if (p >= 1.0) hashed
+      else hashed.filter(col("__h") < lit(math.round(p * hashMod)))
+    val collected: Array[(Long, Array[Double])] = sampled.collect()
+      .map(r => (r.getLong(1), r.getSeq[Double](0).toArray))
+    java.util.Arrays.sort(collected, sampleOrder)
+    val pts: Array[Array[Double]] = collected.take(maxSample).map(_._2)
     require(pts.nonEmpty, "Ivf.fit: empty sample")
     val k = math.min(nlist, pts.length)
     val dim = pts(0).length

@@ -50,15 +50,25 @@ object Pq {
           seed: Long = 42L, maxSample: Int = 25000,
           maxIter: Int = 10): PqModel = {
     require(m > 0 && k > 1, s"need m > 0 subspaces, k > 1 codewords: $m, $k")
+    // placement-independent sample + deterministic driver order — the
+    // same (hash-threshold select, sort by (hash, vector)) rule as
+    // Ivf.fit (r18): the realized codebooks are a pure function of
+    // (data, seed), not of partitioning or core count
     val vecs = corpus.select(vec.cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
     val n = vecs.count()
-    val capped = if (n > maxSample)
-      vecs.sample(withReplacement = false,
-        math.min(1.0, maxSample * 1.1 / n.toDouble), seed).limit(maxSample)
-    else vecs
-    val raw: Array[Array[Double]] = capped.collect()
-      .map(_.getSeq[Double](0).toArray)
+    require(n > 0, "Pq.fit: empty sample")
+    val hashMod = 1L << 40
+    val p = math.min(1.0, maxSample * 1.1 / n.toDouble)
+    val hashed = vecs.select(col("v"),
+      pmod(xxhash64(col("v"), lit(seed)), lit(hashMod)).as("__h"))
+    val sampled =
+      if (p >= 1.0) hashed
+      else hashed.filter(col("__h") < lit(math.round(p * hashMod)))
+    val collected: Array[(Long, Array[Double])] = sampled.collect()
+      .map(r => (r.getLong(1), r.getSeq[Double](0).toArray))
+    java.util.Arrays.sort(collected, Ivf.sampleOrder)
+    val raw: Array[Array[Double]] = collected.take(maxSample).map(_._2)
     require(raw.nonEmpty, "Pq.fit: empty sample")
     val dim = raw(0).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")

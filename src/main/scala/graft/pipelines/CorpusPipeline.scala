@@ -46,11 +46,22 @@ object CorpusPipeline {
       .filter(col("quality") >= cfg.minQuality)
       .filter(col("lang_pred").isin(cfg.keepLangs: _*))
 
-  /** Stage 3: exact dedup — one hash aggregation, min-id survivor. */
+  /** Stage 3: exact dedup — one hash aggregation, min-id survivor.
+    *
+    * Shape (r18): the survivors ARE [[Dedup.exactKeepMinId]]'s keep_ids,
+    * so one id-keyed left_semi join selects them directly. The previous
+    * route through [[Dedup.exactDuplicateIds]] + anti-join planned the
+    * aggregate, a join back on the RAW TEXT key (shuffling every
+    * document's text a second time), and an id anti-join — one exchange
+    * more, and the widest one in the stage. Identical survivor set by
+    * construction (doc_id is unique; a row survives iff its id is its
+    * text group's min).
+    */
   def exactDedup(docs: DataFrame): DataFrame =
-    Dedup.applyPairDedup(docs, col("doc_id"),
-      Dedup.exactDuplicateIds(docs, col("text"), col("doc_id"))
-        .select(col("keep_id").as("id_a"), col("row_id").as("id_b")))
+    docs.join(
+      Dedup.exactKeepMinId(docs, col("text"), col("doc_id"))
+        .select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
 
   /** Stage 4: near-dedup via MinHash LSH, greedy min-id survivor. */
   def nearDedup(docs: DataFrame, cfg: Config): DataFrame =
@@ -99,10 +110,20 @@ object CorpusPipeline {
     * subsequent query's cache lookup.
     */
   def curateIncrementManaged(newDocs: DataFrame, refSigs: DataFrame,
-                             cfg: Config = Config()): (DataFrame, DataFrame, Seq[DataFrame]) =
-    curateAgainst(newDocs, cfg)(sigs =>
-      Dedup.minhashPairsAgainst(sigs, refSigs,
+                             cfg: Config = Config()): (DataFrame, DataFrame, Seq[DataFrame]) = {
+    // persist the ref side HERE (not inside minhashPairsAgainst, which
+    // would also do it) so the handle rides the managed seq and the
+    // streaming loop can free it per batch; a caller-cached ref is
+    // respected, matching the operator's own convention
+    import org.apache.spark.storage.StorageLevel
+    val refCached = refSigs.storageLevel != StorageLevel.NONE
+    val ref = if (refCached) refSigs
+      else refSigs.persist(StorageLevel.MEMORY_AND_DISK)
+    val (curated, keptSigs, persisted) = curateAgainst(newDocs, cfg)(sigs =>
+      Dedup.minhashPairsAgainst(sigs, ref,
         cfg.numHashes, cfg.bands, cfg.minEstJaccard))
+    (curated, keptSigs, if (refCached) persisted else persisted :+ ref)
+  }
 
   /** The shared incremental funnel: gate → self-dedup → signatures →
     * cross-pairs (strategy supplied by the caller) → prune → enrich.
@@ -113,22 +134,38 @@ object CorpusPipeline {
     import org.apache.spark.storage.StorageLevel
     val gated = qualityGate(annotate(newDocs), cfg)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // within-increment dedup first (exact, then LSH self-join) ...
-    val selfClean = nearDedup(exactDedup(gated), cfg)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // ... then cross-increment: band-join the survivors' signatures
-    // against the accumulated signature store and drop any new doc that
-    // near-matches an accumulated one
-    val sigs = Dedup.minhashSignatures(selfClean, col("doc_id"), col("text"),
+    // within-increment dedup: exact survivors first ...
+    val exact = exactDedup(gated)
+    // ... then ONE signature pass over them (r18): a MinHash signature
+    // is a pure per-row function of the text, so the self-LSH pairs,
+    // the cross-corpus band join and keptSigs can all share the same
+    // frame — the previous shape ran the (dominant) minhash kernel
+    // TWICE, once inside nearDedup over the exact survivors and again
+    // over selfClean for the cross join, recomputing identical values
+    // for every surviving doc.
+    val sigsAll = Dedup.minhashSignatures(exact, col("doc_id"), col("text"),
         cfg.numHashes, cfg.shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // self-pairs from the shared signatures; eagerly pinned because the
+    // pair list (tiny: thresholded candidates) feeds two consumers
+    // inside one action — the selfClean anti-join and the signature
+    // narrowing below — and a lazy persist loses that sibling race
+    val selfPairs = graft.operators.Pin.eager(
+      Dedup.minhashDedupPairsFromSigs(sigsAll, cfg.numHashes, cfg.bands,
+        cfg.minEstJaccard))
+    val selfDropIds = selfPairs.select(col("id_b").as("doc_id")).distinct()
+    val selfClean = Dedup.applyPairDedup(exact, col("doc_id"), selfPairs)
+    // signatures of the self-clean survivors = the shared frame minus
+    // the dropped ids (identical values: signatures depend only on the
+    // text, and selfClean ⊆ exact)
+    val sigs = sigsAll.join(selfDropIds, Seq("doc_id"), "left_anti")
     // clean is consumed TWICE (enrich -> curated, and the keptSigs
     // semi-join); persisting it keeps the expensive cross-corpus band
     // join from running once per consumer
     val clean = Dedup.applyPairDedup(selfClean, col("doc_id"), crossPairsOf(sigs))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val keptSigs = sigs.join(clean.select("doc_id"), Seq("doc_id"), "left_semi")
-    (enrich(clean, cfg), keptSigs, Seq(gated, selfClean, sigs, clean))
+    (enrich(clean, cfg), keptSigs, Seq(gated, sigsAll, clean))
   }
 
   /** Stage a day's kept signatures as the accumulated signature STORE —

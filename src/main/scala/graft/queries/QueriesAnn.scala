@@ -637,17 +637,17 @@ private[graft] object QueriesAnn {
       // the 2000-vector exact window (two consumers). The checkpointed
       // frames are the small thresholded outputs, never the candidate
       // fan-out.
-      val approx = SemDedup.nearDupPairsIvf(corpus, col("vec_id"),
-        col("embedding"), minCosine = 0.5, nlist = op.nlist, nprobe = 4)
-        .localCheckpoint(true)
+      val approx = graft.operators.Pin.eager(
+        SemDedup.nearDupPairsIvf(corpus, col("vec_id"),
+          col("embedding"), minCosine = 0.5, nlist = op.nlist, nprobe = 4))
       val truth = embs.filter(col("vec_id") < 500L)
         .select(col("vec_id").as("query_id"),
           (col("vec_id") + lit(1000000000L)).as("neighbor_id"))
-      val exactWindow = Dedup.embeddingNearDupPairs(
-        embs.filter(col("vec_id") < 2000L), col("vec_id"),
-        col("embedding"), minCosine = 0.5, dim = 64, bits = 0, bands = 1)
-        .select(col("id_a"), col("id_b"))
-        .localCheckpoint(true)
+      val exactWindow = graft.operators.Pin.eager(
+        Dedup.embeddingNearDupPairs(
+          embs.filter(col("vec_id") < 2000L), col("vec_id"),
+          col("embedding"), minCosine = 0.5, dim = 64, bits = 0, bands = 1)
+          .select(col("id_a"), col("id_b")))
       val windowHits = exactWindow.join(
         approx.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"),
         "left_semi")
@@ -700,15 +700,15 @@ private[graft] object QueriesAnn {
           col("vec_id"), col("embedding"), minCosine = tau,
           nlist = p.nlist, nprobe = 4))
       }
-      val approx = approx0.localCheckpoint(true)
+      val approx = graft.operators.Pin.eager(approx0)
       val truth = embs.filter(col("vec_id") < 500L)
         .select(col("vec_id").as("query_id"),
           (col("vec_id") + lit(1000000000L)).as("neighbor_id"))
-      val exactWindow = D.embeddingNearDupPairs(
-        embs.filter(col("vec_id") < 2000L), col("vec_id"),
-        col("embedding"), minCosine = tau, dim = 64, bits = 0, bands = 1)
-        .select(col("id_a"), col("id_b"))
-        .localCheckpoint(true)
+      val exactWindow = graft.operators.Pin.eager(
+        D.embeddingNearDupPairs(
+          embs.filter(col("vec_id") < 2000L), col("vec_id"),
+          col("embedding"), minCosine = tau, dim = 64, bits = 0, bands = 1)
+          .select(col("id_a"), col("id_b")))
       val windowHits = exactWindow.join(
         approx.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"),
         "left_semi")

@@ -393,13 +393,26 @@ private[graft] object QueriesMultimodal {
       val refSigs = Dedup.minhashSignaturesPortable(
         CorpusPipeline.qualityGate(CorpusPipeline.annotate(ref), cfg),
         col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
+      // single md5-signature pass over the increment (r18, the
+      // curateAgainst shape): signatures are pure per-row functions of
+      // the text, so the self-LSH pairs and the cross-corpus join share
+      // one persisted frame instead of running the ~10x-cost md5 kernel
+      // twice; the ref side persists inside minhashPairsAgainstPortable
+      // (it is otherwise planned once for banding and once for
+      // verification). Identical survivor set — the oracle re-proves it.
       val gated = CorpusPipeline.qualityGate(CorpusPipeline.annotate(inc), cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val selfExact = CorpusPipeline.exactDedup(gated)
-      val selfClean = Dedup.applyPairDedup(selfExact, col("doc_id"),
-        Dedup.minhashDedupPairsPortable(selfExact, col("doc_id"), col("text"),
-          cfg.numHashes, cfg.shingleSize, cfg.bands, cfg.minEstJaccard))
-      val incSigs = Dedup.minhashSignaturesPortable(selfClean,
-        col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
+      val sigsAll = Dedup.minhashSignaturesPortable(selfExact,
+          col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val selfPairs = graft.operators.Pin.eager(
+        Dedup.minhashDedupPairsPortableFromSigs(sigsAll,
+          cfg.numHashes, cfg.bands, cfg.minEstJaccard))
+      val selfClean = Dedup.applyPairDedup(selfExact, col("doc_id"), selfPairs)
+      val incSigs = sigsAll.join(
+        selfPairs.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
       Dedup.applyPairDedup(selfClean, col("doc_id"),
           Dedup.minhashPairsAgainstPortable(incSigs, refSigs,
             cfg.numHashes, cfg.bands, cfg.minEstJaccard))

@@ -314,14 +314,17 @@ private[graft] object QueryHelpers {
     // planned and evaluated twice inside the one gate action. A left
     // join against the approx pair set marks hits and counts hits and
     // denominators in a single per-query aggregate. Correctness rests on
-    // approx being duplicate-free on (query_id, neighbor_id), which
-    // every caller satisfies (top-k outputs and distinct-ed pair sets);
-    // a duplicated approx pair would inflate n_exact (join fan-out)
-    // rather than just n_hit, so the invariant matters — keep new arms
-    // deduped.
+    // approx being duplicate-free on (query_id, neighbor_id) — a
+    // duplicated approx pair would inflate n_exact (join fan-out), not
+    // just n_hit, silently loosening the asserted gate — so the
+    // invariant is ENFORCED here (r18 advice): the dropDuplicates is a
+    // no-op exchange on the small approx arm for every current caller
+    // (top-k outputs and distinct-ed pair sets), and a future arm that
+    // forgets its distinct() can no longer corrupt the denominator.
     val truth = exact.select(col("query_id"), col("neighbor_id"))
-    val hit = approx.select(col("query_id"), col("neighbor_id"),
-      lit(1L).as("__hit"))
+    val hit = approx.select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("__hit", lit(1L))
     truth.join(hit, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))

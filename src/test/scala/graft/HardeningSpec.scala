@@ -46,6 +46,23 @@ class HardeningSpec extends SparkTestBase {
     assert(SparkEntry.oracleSql.size >= 191, SparkEntry.oracleSql.size.toString)
   }
 
+  test("every uncapped transitive-cluster query has its capped " +
+    "production twin registered (r18 routing contract)") {
+    // the uncapped pair-graph family is the exact-oracle envelope edge
+    // and a measured closed-vocab 100x scale-killer (Σdf² blowup); the
+    // df-capped twins are the production path README routes to. A
+    // registry refactor must not drop one side of a pair silently.
+    val pairs = Seq(
+      "dedup_clusters" -> "dedup_clusters_capped",
+      "dedup_keep_best" -> "dedup_keep_best_capped",
+      "doc_pagerank" -> "doc_pagerank_capped",
+      "dedup_containment_prune" -> "dedup_containment_capped")
+    pairs.foreach { case (uncapped, capped) =>
+      assert(SparkEntry.queries.contains(uncapped), uncapped)
+      assert(SparkEntry.queries.contains(capped), capped)
+    }
+  }
+
   test("TopKAgg rejects wrong input types at analysis time") {
     import graft.TestSpark.spark.implicits._
     val df = Seq(("a", 1.0, "not-a-long")).toDF("g", "s", "id")

@@ -100,4 +100,43 @@ class AnnRecallSpec extends SparkTestBase {
       QueryHelpers.recallGate(truth, miss, 0.9, "below-floor").collect())
     assert(e.getMessage != null, "gate must raise a non-null message")
   }
+
+  test("recallGate: a DUPLICATED approx pair cannot inflate the " +
+    "denominator or the hit count (r18 enforcement)") {
+    val s = spark
+    import s.implicits._
+    import graft.queries.QueryHelpers
+    // truth: query 1 has two exact neighbors; approx found ONE of them,
+    // but emitted it twice (the bug class the in-gate dropDuplicates
+    // guards against). Correct recall is 1/2. The pre-enforcement left
+    // join would fan the matched truth row out to n_exact=3, n_hit=2 ->
+    // 0.667, silently loosening an asserted floor.
+    val truth = Seq((1L, 2L), (1L, 3L)).toDF("query_id", "neighbor_id")
+    val dupApprox = Seq((1L, 2L), (1L, 2L)).toDF("query_id", "neighbor_id")
+    val row = QueryHelpers.recallGate(truth, dupApprox, floor = 0.5,
+      what = "dup-approx").collect()
+    assert(row.length == 1 && math.abs(row(0).getDouble(1) - 0.5) < 1e-12,
+      row.mkString)
+    // and the floor binds on the TRUE recall, not the inflated one
+    intercept[Exception](QueryHelpers.recallGate(truth, dupApprox,
+      floor = 0.6, what = "dup-approx-floor").collect())
+  }
+
+  test("Ivf.fit / Pq.fit are placement-independent: the same corpus " +
+    "under different partitionings yields the SAME model (r18)") {
+    val embs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val shuffled = embs.repartition(13, col("vec_id") + 7)
+    val single = embs.coalesce(1)
+    def cents(df: org.apache.spark.sql.DataFrame): Seq[Seq[Double]] =
+      Ivf.fit(df, col("embedding"), nlist = 8, sampleFraction = 0.5)
+        .matrix.map(_.toSeq).toSeq
+    assert(cents(shuffled) == cents(single),
+      "Ivf.fit model differs across partitionings")
+    def books(df: org.apache.spark.sql.DataFrame): Seq[Seq[Seq[Double]]] =
+      Pq.fit(df, col("embedding"), m = 8, k = 8)
+        .codebooks.map(_.map(_.toSeq).toSeq).toSeq
+    assert(books(shuffled) == books(single),
+      "Pq.fit codebooks differ across partitionings")
+  }
 }

@@ -89,6 +89,27 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("minhashDedupPairsFromSigs over a shared signature frame == the " +
+    "full operator (engine and portable forms) — the r18 funnel split") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    val full = asSet(Dedup.minhashDedupPairs(docs, col("id"), col("text"),
+      numHashes = 64, shingleSize = 2, bands = 16, minEstJaccard = 0.4))
+    val sigs = Dedup.minhashSignatures(docs, col("id"), col("text"),
+      numHashes = 64, shingleSize = 2)
+    val split = asSet(Dedup.minhashDedupPairsFromSigs(sigs,
+      numHashes = 64, bands = 16, minEstJaccard = 0.4))
+    assert(split == full, s"split=$split full=$full")
+    val fullP = asSet(Dedup.minhashDedupPairsPortable(docs, col("id"),
+      col("text"), numHashes = 16, shingleSize = 2, bands = 4,
+      minEstJaccard = 0.4))
+    val sigsP = Dedup.minhashSignaturesPortable(docs, col("id"), col("text"),
+      numHashes = 16, shingleSize = 2)
+    val splitP = asSet(Dedup.minhashDedupPairsPortableFromSigs(sigsP,
+      numHashes = 16, bands = 4, minEstJaccard = 0.4))
+    assert(splitP == fullP, s"splitP=$splitP fullP=$fullP")
+  }
+
   test("noveltyScores: known/unknown shingle split per incoming doc") {
     import graft.TestSpark.spark.implicits._
     spark.catalog.clearCache()
