@@ -175,24 +175,38 @@ object Constraints {
     * enforcing, same as any profiler-suggested constraint.
     */
   def suggestFromProfile(profile: DataFrame): DataFrame = {
-    val notNull = profile
-      .where(col("n_rows") > 0 && col("n_nonnull") === col("n_rows"))
-      .select(col("column_name"), lit("not_null").as("rule_type"),
-        lit(null).cast("long").as("lo"), lit(null).cast("long").as("hi"))
-    val unique = profile.where(col("is_candidate_key") === true)
-      .select(col("column_name"), lit("unique").as("rule_type"),
-        lit(null).cast("long").as("lo"), lit(null).cast("long").as("hi"))
-    // type gate first (integral columns only — see scaladoc);
-    // try_cast, not cast, for the bound values so an exotic rendering
-    // means "no range rule" under ANSI mode, never a thrown cast error
-    val inRange = profile.where(col("n_nonnull") > 0 &&
-        col("data_type").isin("tinyint", "smallint", "int", "bigint") &&
-        col("min_value").try_cast("long").isNotNull &&
-        col("max_value").try_cast("long").isNotNull)
-      .select(col("column_name"), lit("in_range").as("rule_type"),
-        col("min_value").try_cast("long").as("lo"),
-        col("max_value").try_cast("long").as("hi"))
-    notNull.unionByName(unique).unionByName(inRange)
+    // ONE reference to the profile (r18): the previous three-way
+    // filter+union planned the profile subtree — typically the
+    // multi-count_distinct one-pass aggregate over the full table —
+    // THREE times inside one job (the select-union trap
+    // ngramContainmentPairs documents; dq_suggest measured ~3 table
+    // scans' worth of wall). The same row set now falls out of a single
+    // explode of per-rule conditional structs over one profile pass.
+    //
+    // in_range keeps its type gate (integral columns only — see
+    // scaladoc) and try_cast, not cast, for the bound values so an
+    // exotic rendering means "no range rule" under ANSI mode, never a
+    // thrown cast error.
+    val nullL = lit(null).cast("long")
+    val candidates = array(
+      when(col("n_rows") > 0 && col("n_nonnull") === col("n_rows"),
+        struct(lit("not_null").as("rule_type"),
+          nullL.as("lo"), nullL.as("hi"))),
+      when(col("is_candidate_key") === true,
+        struct(lit("unique").as("rule_type"),
+          nullL.as("lo"), nullL.as("hi"))),
+      when(col("n_nonnull") > 0 &&
+          col("data_type").isin("tinyint", "smallint", "int", "bigint") &&
+          col("min_value").try_cast("long").isNotNull &&
+          col("max_value").try_cast("long").isNotNull,
+        struct(lit("in_range").as("rule_type"),
+          col("min_value").try_cast("long").as("lo"),
+          col("max_value").try_cast("long").as("hi"))))
+    profile
+      .select(col("column_name"),
+        explode(filter(candidates, r => r.isNotNull)).as("__rule"))
+      .select(col("column_name"), col("__rule.rule_type").as("rule_type"),
+        col("__rule.lo").as("lo"), col("__rule.hi").as("hi"))
   }
 
   /** Materialize a [[suggestFromProfile]] frame into [[Constraint]]s

@@ -104,11 +104,14 @@ object Dedup {
       case Some(cap) =>
         val base =
           if (persistLineage)
-            shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            shRaw.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
           else shRaw
         val hot = base.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("sh")
-        base.join(broadcast(hot), Seq("sh"), "left_anti")
+        val capped = base.join(broadcast(hot), Seq("sh"), "left_anti")
+        if (persistLineage)
+          capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else capped
     }
     // Per-doc set sizes as ONE eagerly-materialized frame (r17): both
     // endpoint joins below consume `sizes`, and with a lazy frame
@@ -186,11 +189,14 @@ object Dedup {
       case Some(cap) =>
         val base =
           if (persistLineage)
-            shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            shRaw.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
           else shRaw
         val hot = base.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("sh")
-        base.join(broadcast(hot), Seq("sh"), "left_anti")
+        val capped = base.join(broadcast(hot), Seq("sh"), "left_anti")
+        if (persistLineage)
+          capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else capped
     }
     // eager sizes frame — same single-aggregate rationale as
     // ngramJaccardPairs (one small job instead of a planned-twice
