@@ -406,6 +406,17 @@ object Centrality {
     // cache the pair generation re-runs once per consumer (measured
     // 10.8s -> 2.9s on the sf0.1 near-dup graph). deg is node-sized;
     // caching it spares three re-aggregations of und.
+    //
+    // LAZY persists, deliberately (r18 re-measured): eager Pin.eager
+    // pins were tried here and REJECTED — a pinned frame is an
+    // ExistingRDD leaf with no size statistics, so every downstream
+    // broadcast-hash join (the degree annotates, the wedge-closing
+    // join) flipped to sort-merge (plan diff: 54 BroadcastHashJoins ->
+    // 0) and the 10x closed-vocab fixture regressed 28 s -> 40-52 s.
+    // The sibling-race duplicate evaluation the pins would close is
+    // bounded here (the persists fill early, and the duplicate is the
+    // thresholded pair frame, not the shingle stream), so statistics
+    // beat eagerness.
     val und = pairs
       .select(least(col("id_a"), col("id_b")).as("u"),
         greatest(col("id_a"), col("id_b")).as("v"))

@@ -146,13 +146,18 @@ object CorpusPipeline {
     val sigsAll = Dedup.minhashSignatures(exact, col("doc_id"), col("text"),
         cfg.numHashes, cfg.shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // self-pairs from the shared signatures; eagerly pinned because the
-    // pair list (tiny: thresholded candidates) feeds two consumers
-    // inside one action — the selfClean anti-join and the signature
-    // narrowing below — and a lazy persist loses that sibling race
-    val selfPairs = graft.operators.Pin.eager(
-      Dedup.minhashDedupPairsFromSigs(sigsAll, cfg.numHashes, cfg.bands,
-        cfg.minEstJaccard))
+    // self-pairs from the shared signatures, persisted LAZILY on
+    // purpose (r18 re-measured): an eager Pin here hands both anti-join
+    // consumers an ExistingRDD with no size statistics, and the
+    // planner flipped every drop-list anti-join from broadcast-hash to
+    // sort-merge (the graph_triangles stats-loss lesson — full-stream
+    // sorts to drop a thresholded pair list). With a lazy persist the
+    // plan keeps the child's small estimate (broadcast, as before the
+    // refactor) and the two consumers' broadcast BUILDS serialize the
+    // cache fill, so the LSH self-join still evaluates once.
+    val selfPairs = Dedup.minhashDedupPairsFromSigs(sigsAll, cfg.numHashes,
+        cfg.bands, cfg.minEstJaccard)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val selfDropIds = selfPairs.select(col("id_b").as("doc_id")).distinct()
     val selfClean = Dedup.applyPairDedup(exact, col("doc_id"), selfPairs)
     // signatures of the self-clean survivors = the shared frame minus

@@ -1249,9 +1249,17 @@ private[graft] object QueriesAnn {
       // same percentile/when-chain machinery as the length curriculum —
       // the "train easy/fluent docs first" ordering signal
       import graft.operators.UnigramLm
-      val stats = UnigramLm.docUnigramStats(t(s, dir, "documents"),
-        col("doc_id"), col("text"))
-        .select(col("doc_id"), col("mean_freq"))
+      // quantileBuckets necessarily reads its input twice (global cut
+      // points, then the label pass — the operator's documented two-scan
+      // contract, which is right for a RAW pruned source at 100 TB). Here
+      // the input is a DERIVED aggregate (the unigram-LM per-doc stats),
+      // so the two references planned the whole docUnigramStats subtree
+      // twice per run (r18, guide §2.4); the eager pin materializes the
+      // small (n_docs-row) stats frame once and hands both passes a leaf.
+      val stats = graft.operators.Pin.eager(
+        UnigramLm.docUnigramStats(t(s, dir, "documents"),
+          col("doc_id"), col("text"))
+          .select(col("doc_id"), col("mean_freq")))
       Sampling.quantileBuckets(stats, col("mean_freq"),
         outCol = "fluency_bucket")
         .select(col("doc_id"), col("mean_freq"), col("fluency_bucket"))

@@ -406,9 +406,12 @@ private[graft] object QueriesMultimodal {
       val sigsAll = Dedup.minhashSignaturesPortable(selfExact,
           col("doc_id"), col("text"), cfg.numHashes, cfg.shingleSize)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val selfPairs = graft.operators.Pin.eager(
-        Dedup.minhashDedupPairsPortableFromSigs(sigsAll,
-          cfg.numHashes, cfg.bands, cfg.minEstJaccard))
+      // lazy persist, not an eager pin — pinned leaves lose size
+      // statistics and flip the drop-list anti-joins to sort-merge
+      // (see curateAgainst)
+      val selfPairs = Dedup.minhashDedupPairsPortableFromSigs(sigsAll,
+          cfg.numHashes, cfg.bands, cfg.minEstJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val selfClean = Dedup.applyPairDedup(selfExact, col("doc_id"), selfPairs)
       val incSigs = sigsAll.join(
         selfPairs.select(col("id_b").as("doc_id")).distinct(),

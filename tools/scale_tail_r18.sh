@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# Round-18 scale-tail audit — same two-regime structure as r17
+# (tools/scale_tail_r17.sh), re-run on the SHIPPED tree because the
+# committed r17 10x artifact predates the SRP-checkpoint revert (r17
+# verdict "what's wrong" #4) and no 100x run exists post-optimization.
+# r18 additions to group S: the re-shaped incremental funnel
+# (dedup_incremental — the stored form was already there), and the two
+# queries whose multi-consumer frames were eagerly pinned this round
+# (corpus_fluency_buckets, graph_triangles). Additions only; every r17
+# query keeps its slot so ratios stay comparable.
+#
+# Usage: tools/scale_tail_r18.sh [fixture_root]   (default /tmp/scale_r17 —
+# the generator is deterministic, so reusing the r17 fixtures is exact)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+ROOT="${1:-/tmp/scale_r17}"
+GROUP_S="bpe_encode,bm25_search,dedup_exact,dedup_containment_capped,dedup_clusters_capped,dedup_keep_best_capped,doc_pagerank_capped,dedup_incremental,dedup_incremental_stored,embed_near_dup_srp_scaled,embed_near_dup_ivf_scaled,embed_near_dup_auto_arm,hybrid_rrf_ann,ivf_stored_topk,ivf_topk,pq_topk_scaled_recall,semantic_contamination_scaled,semantic_prune_scaled,corpus_fluency_buckets,graph_triangles"
+GROUP_G="minhash_pairs,ngram_jaccard,dedup_clusters,dedup_keep_best,dedup_corpus"
+
+[ -d "$ROOT/sf10x" ]   || python3 tools/scale_gen.py /root/testdata/sf0.1 "$ROOT/sf10x" 10
+[ -d "$ROOT/sf100x" ]  || python3 tools/scale_gen.py /root/testdata/sf0.1 "$ROOT/sf100x" 100
+[ -d "$ROOT/sf10xg" ]  || python3 tools/scale_gen.py /root/testdata/sf0.1 "$ROOT/sf10xg" 10 grow
+[ -d "$ROOT/sf100xg" ] || python3 tools/scale_gen.py /root/testdata/sf0.1 "$ROOT/sf100xg" 100 grow
+
+run() { # $1 = queries, $2 = sf dir, $3 = out json, $4 = runs, $5 = shuffle partitions
+  SPARK_GRAFT_BENCH_ONLY="$1" SPARK_GRAFT_BENCH_RUNS="$4" \
+  SPARK_GRAFT_SF_DIR="$2" SPARK_GRAFT_SPREAD_OUT="$3" \
+  SPARK_GRAFT_SHUFFLE_PARTITIONS="${5:-32}" \
+  SPARK_GRAFT_BENCH_TIMEOUT_SEC=900 SPARK_DRIVER_MEM=32g \
+  tools/run_main.sh graft.Bench
+}
+
+run "$GROUP_S,$GROUP_G" /root/testdata/sf0.1 tools/scale_tail_r18_1x.json  3 32
+run "$GROUP_S,$GROUP_G" "$ROOT/sf10x"        tools/scale_tail_r18_10x.json 3 32
+run "$GROUP_S"          "$ROOT/sf100x"       tools/scale_tail_r18_100x.json 2 32
+run "$GROUP_G"          "$ROOT/sf10xg"       tools/scale_tail_r18_10xg.json 3 32
+run "$GROUP_G"          "$ROOT/sf100xg"      tools/scale_tail_r18_100xg.json 2 32
+run "$GROUP_G"          "$ROOT/sf100xg"      tools/scale_tail_r18_100xg_p256.json 2 256
+
+python3 tools/scale_audit.py tools/scale_tail_r18_1x.json tools/scale_tail_r18_100x.json 20
+python3 tools/scale_audit.py tools/scale_tail_r18_10xg.json tools/scale_tail_r18_100xg.json 20
+python3 tools/scale_audit.py tools/scale_tail_r18_100xg.json tools/scale_tail_r18_100xg_p256.json 2
