@@ -32,7 +32,13 @@ run() { # $1 = queries, $2 = sf dir, $3 = out json, $4 = runs, $5 = shuffle part
 
 run "$GROUP_S,$GROUP_G" /root/testdata/sf0.1 tools/scale_tail_r18_1x.json  3 32
 run "$GROUP_S,$GROUP_G" "$ROOT/sf10x"        tools/scale_tail_r18_10x.json 3 32
-run "$GROUP_S"          "$ROOT/sf100x"       tools/scale_tail_r18_100x.json 2 32
+# graph_triangles is EXCLUDED at closed-vocab 100x (measured this round:
+# it runs on the UNCAPPED pair graph, whose wedge stream at that regime
+# spilled >75 GB and died on disk — the same Σdf² cliff that keeps the
+# uncapped cluster family out of this leg; the committed
+# scale_tail_r18_100x.json carries that failed row as the evidence)
+GROUP_S_100X="${GROUP_S/,graph_triangles/}"
+run "$GROUP_S_100X"     "$ROOT/sf100x"       tools/scale_tail_r18_100x.json 2 32
 run "$GROUP_G"          "$ROOT/sf10xg"       tools/scale_tail_r18_10xg.json 3 32
 run "$GROUP_G"          "$ROOT/sf100xg"      tools/scale_tail_r18_100xg.json 2 32
 run "$GROUP_G"          "$ROOT/sf100xg"      tools/scale_tail_r18_100xg_p256.json 2 256
